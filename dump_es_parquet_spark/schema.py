@@ -1,0 +1,196 @@
+"""ES/OpenSearch index-mapping JSON → Spark ``StructType``.
+
+Re-expresses the reference's type system (``dump-es-parquet:33-49``
+``es2pl_type`` table, ``map_properties`` ``:97-110``, ``index_schema``
+``:185-204``) as a pure function over the mapping-API response.
+
+Differences from the reference, by design (SURVEY.md §1.2):
+
+- unhandled mapping types default to ``StringType`` fallback (policy
+  ``unhandled='string'``) instead of a ``None`` hole; ``'skip'`` and
+  ``'error'`` policies are available. The reference logs
+  ``unhandled es mapping type`` and leaves ``None`` (``:107-109``).
+- an optional ``multivalue='array'`` mode wraps every leaf in
+  ``ArrayType`` — ES allows any field to be multi-valued without
+  declaring it; the reference collapses lists to their first element
+  (``:129-137``, "an imperfect compromise"). Default stays
+  reference-compatible (``'first'``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+# Reference es2pl_type table (dump-es-parquet:33-49), Spark targets per
+# SURVEY.md §1.2.
+ES_TO_SPARK: dict[str, T.DataType] = {
+    "byte": T.ByteType(),
+    "short": T.ShortType(),
+    "integer": T.IntegerType(),
+    "long": T.LongType(),
+    "half_float": T.FloatType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),  # legacy ES type
+    "text": T.StringType(),
+    "keyword": T.StringType(),
+    "boolean": T.BooleanType(),
+    "date": T.TimestampType(),
+    "geo_point": T.StructType(
+        [
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+        ]
+    ),
+    "ip": T.StringType(),
+    # propertyless `object` → JSON-serialized string (reference :48,
+    # serialization via str() at :176-180; we use to_json semantics).
+    "object": T.StringType(),
+}
+
+#: ES types whose values arrive as JSON objects and are serialized to a
+#: JSON string column ("object" without properties).
+JSON_SERIALIZED_TYPES = frozenset({"object"})
+
+FLATTEN_SEP = "_"
+
+
+@dataclass
+class SchemaWarnings:
+    """Collects schema-derivation warnings (reference logs these at
+    :107-109; we surface them programmatically)."""
+
+    unhandled: list[tuple[str, str]] = field(default_factory=list)  # (field, es_type)
+
+    def messages(self) -> list[str]:
+        return [
+            f"unhandled es mapping type {t} for field {f}" for f, t in self.unhandled
+        ]
+
+
+def _leaf_type(es_type: str, unhandled: str, fld: str, warns: SchemaWarnings) -> T.DataType | None:
+    dt = ES_TO_SPARK.get(es_type)
+    if dt is not None:
+        return dt
+    warns.unhandled.append((fld, es_type))
+    if unhandled == "string":
+        return T.StringType()
+    if unhandled == "skip":
+        return None
+    raise ValueError(f"unhandled es mapping type {es_type} for field {fld}")
+
+
+def properties_to_struct(
+    properties: dict,
+    *,
+    flatten: bool = False,
+    prefix: str = "",
+    unhandled: str = "string",
+    multivalue: str = "first",
+    warnings: SchemaWarnings | None = None,
+) -> T.StructType:
+    """``mapping['properties']`` dict → ``StructType``.
+
+    Mirrors ``map_properties`` (dump-es-parquet:97-110): nested
+    ``properties`` recurse into ``StructType`` columns, or — when
+    ``flatten`` — into ``_``-joined top-level names (``README.md:14``:
+    flattening is required for CSV and recommended for merging
+    dynamically-mapped indices).
+
+    ``multivalue='array'`` wraps each leaf in ``ArrayType`` (engine
+    extension; the reference has no list type — SURVEY.md §1.2).
+    """
+    warns = warnings if warnings is not None else SchemaWarnings()
+    fields: list[T.StructField] = []
+    for fld, spec in properties.items():
+        name = prefix + fld
+        if "properties" in spec:
+            sub = properties_to_struct(
+                spec["properties"],
+                flatten=flatten,
+                prefix=(name + FLATTEN_SEP) if flatten else "",
+                unhandled=unhandled,
+                multivalue=multivalue,
+                warnings=warns,
+            )
+            if flatten:
+                fields.extend(sub.fields)
+            else:
+                fields.append(T.StructField(name, sub))
+        else:
+            dt = _leaf_type(spec.get("type", "object"), unhandled, name, warns)
+            if dt is None:
+                continue
+            if multivalue == "array":
+                dt = T.ArrayType(dt)
+            fields.append(T.StructField(name, dt))
+    return T.StructType(fields)
+
+
+def mapping_response_to_struct(
+    mapping_response: dict,
+    *,
+    flatten: bool = False,
+    unhandled: str = "string",
+    multivalue: str = "first",
+    warnings: SchemaWarnings | None = None,
+) -> T.StructType:
+    """Full ``indices.get_mapping`` response → ``StructType``.
+
+    Handles both layouts the reference handles (``index_schema``,
+    dump-es-parquet:185-204):
+
+    - ES7+/OpenSearch: ``{index: {mappings: {properties: {...}}}}``
+    - legacy doc-types: ``{index: {mappings: {doctype: {properties:
+      {...}}}}}`` — only the *first* doc type is used (``:200-203``).
+    """
+    for _idx, dts in mapping_response.items():
+        mappings = dts["mappings"]
+        if "properties" in mappings:
+            props = mappings["properties"]
+        else:
+            # first doc type only (reference :200-203)
+            first = next(iter(mappings.values()), {})
+            props = first.get("properties", {})
+        return properties_to_struct(
+            props,
+            flatten=flatten,
+            unhandled=unhandled,
+            multivalue=multivalue,
+            warnings=warnings,
+        )
+    return T.StructType([])
+
+
+def wire_struct(schema: T.StructType) -> T.StructType:
+    """The 'wire' schema used to parse raw ``_source`` JSON before
+    coercion: same shape as ``schema`` but every leaf is a StringType.
+
+    Spark's JSON parser stores the *raw JSON text* into a StringType
+    field whatever the actual JSON value is (number, bool, array,
+    object) — which lets the coercion layer (``coerce.py``) apply the
+    reference's per-value semantics (multi-value collapse, epoch
+    heuristics, int-via-float fallback) as pure Column expressions.
+    """
+    out = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            out.append(T.StructField(f.name, wire_struct(f.dataType)))
+        else:
+            out.append(T.StructField(f.name, T.StringType()))
+    return T.StructType(out)
+
+
+def flatten_struct_names(schema: T.StructType, prefix: str = "") -> list[str]:
+    """Dotted paths of all leaf fields (helper for projection pushdown
+    and CSV flattening)."""
+    names: list[str] = []
+    for f in schema.fields:
+        p = f"{prefix}{f.name}"
+        if isinstance(f.dataType, T.StructType):
+            names.extend(flatten_struct_names(f.dataType, p + "."))
+        else:
+            names.append(p)
+    return names

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs ``local[N]``; the same configs are what we would set
+cluster-side for a 1000-executor deployment (AQE on, skew-join handling,
+partition coalescing) — nothing here is local-mode specific except the
+master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dump-es-parquet-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    AQE is enabled so shuffle partition counts, skew joins and
+    broadcast decisions re-plan at runtime from real statistics —
+    the difference between "works at sf0.1" and "works at 100 TB".
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Runtime re-planning: coalesce tiny shuffle partitions, split
+        # skewed ones, convert SMJ→broadcast when the build side turns
+        # out small. Essential at 100 TB where static plans mis-size.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every Python<->JVM hop (pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Timestamps in testdata are ns-precision; read without error.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet writer defaults mirroring the reference's zstd output
+        # (reference README.md:10 — "compressed with zstd").
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,226 @@
+"""Coercion tests — one per branch of the reference's map_source
+(dump-es-parquet:112-183), per FIXTURES.md A2."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from dump_es_parquet_spark.coerce import parse_and_coerce, warning_aggregates
+from dump_es_parquet_spark.schema import properties_to_struct
+
+PROPS = {
+    "id": {"type": "long"},
+    "count_i": {"type": "integer"},
+    "ratio_d": {"type": "double"},
+    "name": {"type": "keyword"},
+    "active": {"type": "boolean"},
+    "ts": {"type": "date"},
+    "blob": {"type": "object"},
+    "meta": {
+        "properties": {
+            "host": {"type": "keyword"},
+            "port": {"type": "integer"},
+            "geo": {"properties": {"city": {"type": "keyword"}}},
+        }
+    },
+}
+SCHEMA = properties_to_struct(PROPS)
+
+UTC = dt.timezone.utc
+
+
+def run(spark, docs, schema=SCHEMA, **kw):
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], "value string")
+    return parse_and_coerce(df, schema, **kw).collect()
+
+
+def test_clean_row(spark):
+    [r] = run(
+        spark,
+        [
+            {
+                "id": 7,
+                "count_i": 3,
+                "ratio_d": 0.5,
+                "name": "a",
+                "active": True,
+                "ts": "2026-05-29T12:00:00",
+                "blob": {"k": [1, 2]},
+                "meta": {"host": "h1", "port": 9200, "geo": {"city": "x"}},
+            }
+        ],
+    )
+    assert r.id == 7
+    assert r.count_i == 3
+    assert r.ratio_d == 0.5
+    assert r.name == "a"
+    assert r.active is True
+    assert r.ts == dt.datetime(2026, 5, 29, 12, 0, 0)
+    assert json.loads(r.blob) == {"k": [1, 2]}
+    assert r.meta == Row(host="h1", port=9200, geo=Row(city="x"))
+
+
+def test_iso_date(spark):
+    [r] = run(spark, [{"ts": "2026-05-29T12:00:00"}])
+    assert r.ts == dt.datetime(2026, 5, 29, 12, 0, 0)
+
+
+def test_epoch_seconds(spark):
+    [r] = run(spark, [{"ts": 1748520000}])
+    assert r.ts == dt.datetime.fromtimestamp(1748520000, UTC).replace(tzinfo=None)
+
+
+def test_epoch_millis(spark):
+    [r] = run(spark, [{"ts": 1748520000123}])
+    expect = dt.datetime.fromtimestamp(1748520000.123, UTC).replace(tzinfo=None)
+    assert r.ts == expect
+
+
+def test_epoch_boundary(spark):
+    # threshold exactly 20_000_000_000 (reference :151): below=seconds,
+    # at/above=millis
+    [lo, hi] = run(spark, [{"id": 1, "ts": 19999999999}, {"id": 2, "ts": 20000000000}])
+    assert lo.ts == dt.datetime.fromtimestamp(19999999999, UTC).replace(tzinfo=None)
+    assert hi.ts == dt.datetime.fromtimestamp(20000000000 / 1000, UTC).replace(
+        tzinfo=None
+    )
+
+
+def test_garbage_date_dropped(spark):
+    [r] = run(spark, [{"ts": "not-a-date"}])
+    assert r.ts is None
+
+
+def test_epoch_string_form(spark):
+    [r] = run(spark, [{"ts": "1748520000"}])
+    assert r.ts == dt.datetime.fromtimestamp(1748520000, UTC).replace(tzinfo=None)
+
+
+def test_int_as_float_string(spark):
+    # int("3.0") fails → int(float("3.0")) (reference :167-168)
+    [r] = run(spark, [{"count_i": "3.0"}])
+    assert r.count_i == 3
+
+
+def test_int_as_float_value(spark):
+    [r] = run(spark, [{"count_i": 3.9}])
+    assert r.count_i == 3  # truncation toward zero, like int(float)
+
+
+def test_garbage_int_dropped(spark):
+    [r] = run(spark, [{"count_i": "abc"}])
+    assert r.count_i is None
+
+
+def test_float_from_string(spark):
+    [r] = run(spark, [{"ratio_d": "2.5"}])
+    assert r.ratio_d == 2.5
+
+
+def test_multivalue_first_element(spark):
+    [r] = run(spark, [{"name": ["a", "b"]}])
+    assert r.name == "a"
+
+
+def test_multivalue_numeric(spark):
+    [r] = run(spark, [{"count_i": [5, 6]}])
+    assert r.count_i == 5
+
+
+def test_empty_list_is_missing(spark):
+    [r] = run(spark, [{"name": []}])
+    assert r.name is None
+
+
+def test_string_that_looks_like_list_is_not_collapsed(spark):
+    # a JSON *string* "[1, 2]" must survive verbatim — only genuine
+    # JSON arrays collapse (reference distinguishes via type(v) is list)
+    [r] = run(spark, [{"name": "[1, 2]"}])
+    assert r.name == "[1, 2]"
+
+
+def test_unknown_field_dropped(spark):
+    [r] = run(spark, [{"id": 1, "extra_field": 99}])
+    assert r.id == 1
+    assert "extra_field" not in r.asDict()
+
+
+def test_missing_fields_null(spark):
+    [r] = run(spark, [{"id": 1}])
+    assert r.name is None and r.ts is None and r.meta is None
+
+
+def test_propertyless_object_serialized(spark):
+    [r] = run(spark, [{"blob": {"k": [1, 2]}}])
+    assert json.loads(r.blob) == {"k": [1, 2]}
+
+
+def test_scalar_blob_stays_string(spark):
+    [r] = run(spark, [{"blob": "plain"}])
+    assert r.blob == "plain"
+
+
+def test_flatten_mode(spark):
+    [r] = run(
+        spark,
+        [{"meta": {"host": "h1", "port": 9200, "geo": {"city": "x"}}}],
+        flatten=True,
+    )
+    d = r.asDict()
+    assert d["meta_host"] == "h1"
+    assert d["meta_port"] == 9200
+    assert d["meta_geo_city"] == "x"
+    assert "meta" not in d
+
+
+def test_multivalue_array_mode(spark):
+    schema = properties_to_struct({"name": {"type": "keyword"}}, multivalue="array")
+    [one, many, none] = run(
+        spark,
+        [{"name": "solo"}, {"name": ["a", "b"]}, {}],
+        schema=schema,
+        multivalue="array",
+    )
+    assert one.name == ["solo"]
+    assert many.name == ["a", "b"]
+    assert none.name is None
+
+
+def test_multivalue_struct_field(spark):
+    [r] = run(spark, [{"meta": [{"host": "h1"}, {"host": "h2"}]}])
+    assert r.meta.host == "h1"
+
+
+def test_boolean_variants(spark):
+    rows = run(spark, [{"id": 1, "active": True}, {"id": 2, "active": "false"}])
+    assert rows[0].active is True
+    assert rows[1].active is False
+
+
+def test_warning_aggregates(spark):
+    docs = [
+        {"id": 1, "extra": 1, "also_extra": 2},
+        {"id": "abc"},
+        {"name": ["a", "b"]},
+        {"ts": "garbage"},
+    ]
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], "value string")
+    aggs = warning_aggregates(SCHEMA)
+    row = df.agg(*[c.alias(n) for n, c in aggs.items()]).collect()[0]
+    assert row.docs == 4
+    assert row.unknown_field_values == 2
+    assert row.multivalue_collapsed == 1
+    assert row.id_cast_failures == 1
+    assert row.ts_cast_failures == 1
+
+
+def test_no_python_udf_in_plan(spark):
+    df = spark.createDataFrame([("{}",)], "value string")
+    plan = parse_and_coerce(df, SCHEMA)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

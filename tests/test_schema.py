@@ -1,0 +1,153 @@
+"""Schema derivation tests — every row of the reference type table
+(dump-es-parquet:33-49) plus nesting/flatten/doc-type handling
+(:97-110, :185-204) per FIXTURES.md A1."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from dump_es_parquet_spark.schema import (
+    SchemaWarnings,
+    flatten_struct_names,
+    mapping_response_to_struct,
+    properties_to_struct,
+    wire_struct,
+)
+
+# FIXTURES.md A1 mapping: every supported type + nested + unhandled.
+A1_PROPERTIES = {
+    "id": {"type": "long"},
+    "count_b": {"type": "byte"},
+    "count_s": {"type": "short"},
+    "count_i": {"type": "integer"},
+    "ratio_h": {"type": "half_float"},
+    "ratio_f": {"type": "float"},
+    "ratio_d": {"type": "double"},
+    "name": {"type": "keyword"},
+    "body": {"type": "text"},
+    "legacy": {"type": "string"},
+    "active": {"type": "boolean"},
+    "ts": {"type": "date"},
+    "location": {"type": "geo_point"},
+    "client_ip": {"type": "ip"},
+    "blob": {"type": "object"},
+    "meta": {
+        "properties": {
+            "host": {"type": "keyword"},
+            "port": {"type": "integer"},
+            "geo": {"properties": {"city": {"type": "keyword"}}},
+        }
+    },
+    "mystery": {"type": "weird_type"},
+}
+
+EXPECTED_LEAVES = {
+    "id": T.LongType(),
+    "count_b": T.ByteType(),
+    "count_s": T.ShortType(),
+    "count_i": T.IntegerType(),
+    "ratio_h": T.FloatType(),
+    "ratio_f": T.FloatType(),
+    "ratio_d": T.DoubleType(),
+    "name": T.StringType(),
+    "body": T.StringType(),
+    "legacy": T.StringType(),
+    "active": T.BooleanType(),
+    "ts": T.TimestampType(),
+    "client_ip": T.StringType(),
+    "blob": T.StringType(),
+}
+
+
+def test_every_scalar_type_row():
+    st = properties_to_struct(A1_PROPERTIES)
+    by_name = {f.name: f.dataType for f in st.fields}
+    for name, dt in EXPECTED_LEAVES.items():
+        assert by_name[name] == dt, name
+
+
+def test_geo_point_struct():
+    st = properties_to_struct(A1_PROPERTIES)
+    geo = dict((f.name, f.dataType) for f in st.fields)["location"]
+    assert geo == T.StructType(
+        [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]
+    )
+
+
+def test_nested_struct():
+    st = properties_to_struct(A1_PROPERTIES)
+    meta = dict((f.name, f.dataType) for f in st.fields)["meta"]
+    assert isinstance(meta, T.StructType)
+    inner = {f.name: f.dataType for f in meta.fields}
+    assert inner["host"] == T.StringType()
+    assert inner["port"] == T.IntegerType()
+    assert inner["geo"] == T.StructType([T.StructField("city", T.StringType())])
+
+
+def test_flatten_names():
+    st = properties_to_struct(A1_PROPERTIES, flatten=True)
+    names = [f.name for f in st.fields]
+    assert "meta_host" in names
+    assert "meta_port" in names
+    assert "meta_geo_city" in names
+    assert "meta" not in names
+
+
+def test_unhandled_string_fallback_and_warning():
+    w = SchemaWarnings()
+    st = properties_to_struct(A1_PROPERTIES, unhandled="string", warnings=w)
+    assert dict((f.name, f.dataType) for f in st.fields)["mystery"] == T.StringType()
+    assert ("mystery", "weird_type") in w.unhandled
+    assert any("unhandled es mapping type" in m for m in w.messages())
+
+
+def test_unhandled_skip():
+    st = properties_to_struct(A1_PROPERTIES, unhandled="skip")
+    assert "mystery" not in [f.name for f in st.fields]
+
+
+def test_unhandled_error():
+    with pytest.raises(ValueError, match="weird_type"):
+        properties_to_struct(A1_PROPERTIES, unhandled="error")
+
+
+def test_multivalue_array_mode():
+    st = properties_to_struct({"name": {"type": "keyword"}}, multivalue="array")
+    assert st.fields[0].dataType == T.ArrayType(T.StringType())
+
+
+def test_mapping_response_es7():
+    resp = {"idx-1": {"mappings": {"properties": A1_PROPERTIES}}}
+    st = mapping_response_to_struct(resp)
+    assert "id" in [f.name for f in st.fields]
+
+
+def test_mapping_response_legacy_first_doctype_only():
+    # pre-ES7 doc types: only the FIRST is used (reference :200-203)
+    resp = {
+        "idx-1": {
+            "mappings": {
+                "doc_a": {"properties": {"x": {"type": "long"}}},
+                "doc_b": {"properties": {"y": {"type": "long"}}},
+            }
+        }
+    }
+    st = mapping_response_to_struct(resp)
+    assert [f.name for f in st.fields] == ["x"]
+
+
+def test_wire_struct_all_strings():
+    st = properties_to_struct(A1_PROPERTIES)
+    w = wire_struct(st)
+    for f in w.fields:
+        if isinstance(f.dataType, T.StructType):
+            continue
+        assert f.dataType == T.StringType(), f.name
+    meta = {f.name: f.dataType for f in w.fields}["meta"]
+    assert isinstance(meta, T.StructType)
+
+
+def test_flatten_struct_names():
+    st = properties_to_struct({"meta": {"properties": {"geo": {"properties": {"city": {"type": "keyword"}}}}}})
+    assert flatten_struct_names(st) == ["meta.geo.city"]
