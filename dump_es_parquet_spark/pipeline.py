@@ -1,0 +1,104 @@
+"""Dump pipeline: pattern → per-index scan → coerce → sink, with
+per-index error isolation and the end-of-run warning report.
+
+This is the reference's ``Processor.process`` / ``process_index``
+orchestration (``dump-es-parquet:87-95, 214-310``) over the Spark
+building blocks. Each index is one Spark job; an exception in one
+index is logged and the loop continues (``:87-95``).
+"""
+
+from __future__ import annotations
+
+import logging
+import traceback
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from dump_es_parquet_spark.coerce import parse_and_coerce, warning_aggregates
+from dump_es_parquet_spark.sinks import SinkOptions, write, write_stdout
+from dump_es_parquet_spark.sources.scan import (
+    ScanOptions,
+    expand_pattern,
+    fetch_schema,
+    read_index_raw,
+    _sort_columns,
+)
+
+logger = logging.getLogger(__name__)
+
+#: custom ultra-visible log level, reference :410
+UBER = 99
+logging.addLevelName(UBER, "UBER")
+
+#: formats that build a typed DataFrame (reference build_df, :58)
+DF_OUTPUTS = ("parquet", "ndjson", "csv")
+
+
+@dataclass
+class DumpResult:
+    indices: dict[str, str | int] = field(default_factory=dict)  # index → path|rows
+    warnings: dict[str, dict[str, int]] = field(default_factory=dict)
+    errors: dict[str, str] = field(default_factory=dict)
+
+    def warning_report(self) -> list[str]:
+        """Reference end-of-run report lines: ``msg [N documents]``
+        (``:304-305, 352-353``)."""
+        lines = []
+        for idx, counts in self.warnings.items():
+            for msg, n in counts.items():
+                if msg != "docs" and n:
+                    lines.append(f"{idx}: {msg} [{n} documents]")
+        return lines
+
+
+def dump(
+    spark: SparkSession,
+    client_factory,
+    index_pattern: str,
+    output_path: str,
+    scan: ScanOptions | None = None,
+    sink: SinkOptions | None = None,
+) -> DumpResult:
+    """The full reference entry point: enumerate indices, scan each,
+    coerce (DF modes) or passthrough (raw modes), write partitioned
+    output named per index."""
+    scan = scan or ScanOptions()
+    sink = sink or SinkOptions()
+    build_df = sink.output in DF_OUTPUTS
+    result = DumpResult()
+
+    for idx in expand_pattern(client_factory(), index_pattern, scan):
+        try:
+            logger.log(UBER, "Processing index %s", idx)
+            raw = read_index_raw(spark, client_factory, idx, scan)
+            if build_df:
+                schema = fetch_schema(client_factory(), idx, scan)
+                # one-pass warning observation riding the write job
+                aggs = warning_aggregates(schema)
+                from pyspark.sql import Observation
+
+                obs = Observation(f"warnings-{idx}")
+                raw = raw.observe(obs, *[c.alias(n) for n, c in aggs.items()])
+                df = parse_and_coerce(
+                    raw, schema, flatten=scan.flatten, multivalue=scan.multivalue
+                )
+                if scan.order == "global" and scan.sort:
+                    df = df.orderBy(*_sort_columns(scan.sort, df.columns))
+                result.indices[idx] = write(df, output_path, idx, sink)
+                result.warnings[idx] = {
+                    k: v for k, v in obs.get.items() if isinstance(v, int)
+                }
+            elif sink.output == "stdout":
+                result.indices[idx] = write_stdout(raw)
+            else:  # jsonl raw
+                result.indices[idx] = write(raw, output_path, idx, sink)
+        except Exception as e:  # per-index isolation (reference :87-95)
+            logger.error("Exception while processing index %s", idx)
+            traceback.print_exc()
+            result.errors[idx] = str(e)
+            continue
+
+    for line in result.warning_report():
+        logger.warning(line)
+    return result

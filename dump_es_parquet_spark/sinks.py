@@ -1,0 +1,175 @@
+"""Partitioned sinks: parquet / ndjson / csv / raw jsonl / stdout.
+
+Reproduces the reference's output surface (``dump-es-parquet:284-338``)
+Spark-idiomatically:
+
+- layout: directory-per-index (``{out}/{index}/part-*.ext``) — the
+  Spark-native layout; ``single_file=True`` coalesces to one task and
+  renames to the reference's flat ``{index}.{ext}`` /
+  ``{index}-{NNNN}.{ext}`` naming (``:312-316``).
+- row bounding: ``maxRecordsPerFile`` = ``--max-partition-rows``
+  (reference default 1_000_000, ``:391-392``).
+- size bounding: the reference flushes when the in-memory frame
+  exceeds ``--max-partition-mb`` (``:393-395``). Spark tasks stream to
+  files, so the analog is *output file size*: we estimate bytes/row
+  from a sample and derive an equivalent ``maxRecordsPerFile``.
+- compression: parquet defaults to zstd (reference ``README.md:10``);
+  the reference's ``--compression`` flag only actually compresses the
+  raw-jsonl mode (gzip/zstd, ``:324-336`` — its zstd call is a NameError
+  bug; we implement the documented intent, SURVEY.md op #25).
+- csv requires a flattened (struct-free) schema (``README.md:14``) —
+  enforced here with a clear error instead of a writer crash.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_MAX_ROWS = 1_000_000  # reference --max-partition-rows (:391-392)
+DEFAULT_MAX_MB = 1000  # reference --max-partition-mb (:393-395)
+
+
+@dataclass
+class SinkOptions:
+    output: str = "parquet"  # parquet|ndjson|csv|jsonl|stdout
+    compression: str | None = None  # None|gzip|zstd (jsonl/text modes)
+    partition: bool = True  # --no-partition disables bounding (:396)
+    partition_rows: int = DEFAULT_MAX_ROWS
+    partition_mb: int = DEFAULT_MAX_MB
+    single_file: bool = False  # reference-compatible flat naming
+
+
+def _has_struct(df: DataFrame) -> bool:
+    return any(isinstance(f.dataType, T.StructType) for f in df.schema.fields)
+
+
+def estimate_row_bytes(df: DataFrame, sample_rows: int = 1000) -> int:
+    """Sampled bytes/row estimate — the distributed analog of the
+    reference's ``df.estimated_size('mb')`` check (``:284-289``),
+    computed from a bounded sample instead of materializing the whole
+    frame in memory."""
+    sample = df.limit(sample_rows)
+    n = sample.count()
+    if n == 0:
+        return 1
+    total = (
+        sample.select(
+            sum(
+                (
+                    F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0)) + 8
+                    for c in df.columns
+                ),
+                F.lit(0),
+            ).alias("sz")
+        )
+        .agg(F.sum("sz"))
+        .collect()[0][0]
+        or n
+    )
+    return max(1, int(total / n))
+
+
+def rows_per_file(df: DataFrame, opts: SinkOptions) -> int | None:
+    """Effective maxRecordsPerFile from the row bound AND the size
+    bound (whichever is tighter), like the reference's dual threshold
+    at ``:284-289``."""
+    if not opts.partition:
+        return None
+    by_rows = opts.partition_rows
+    row_bytes = estimate_row_bytes(df)
+    by_size = max(1, (opts.partition_mb * 1024 * 1024) // row_bytes)
+    return min(by_rows, by_size)
+
+
+def write(df: DataFrame, path: str, index: str, opts: SinkOptions | None = None) -> str:
+    """Write one index's frame. Returns the output location."""
+    opts = opts or SinkOptions()
+    out_dir = os.path.join(path, index)
+    writer = df.write.mode("overwrite")
+
+    if opts.partition:
+        writer = writer.option("maxRecordsPerFile", rows_per_file(df, opts))
+    if opts.single_file:
+        df_out = df.coalesce(1)
+        writer = df_out.write.mode("overwrite")
+
+    if opts.output == "parquet":
+        # zstd is the session default (session.py), matching README.md:10
+        if opts.compression in ("gzip", "zstd", "snappy"):
+            writer = writer.option("compression", opts.compression)
+        writer.parquet(out_dir)
+    elif opts.output == "ndjson":
+        if opts.compression in ("gzip",):
+            writer = writer.option("compression", opts.compression)
+        writer.json(out_dir)
+    elif opts.output == "csv":
+        if _has_struct(df):
+            raise ValueError(
+                "csv output requires a flattened schema — rerun with "
+                "flatten=True (reference README.md:14)"
+            )
+        writer.option("header", True).csv(out_dir)
+    elif opts.output == "jsonl":
+        # raw passthrough: df must be the schemaless [value: string]
+        if df.columns != ["value"]:
+            raise ValueError("jsonl raw mode expects the schemaless [value] frame")
+        if opts.compression in ("gzip",):
+            writer = writer.option("compression", "gzip")
+        elif opts.compression == "zstd":
+            # the reference intended zstd here (its call is a NameError
+            # bug, dump-es-parquet:329-332); Spark's text writer
+            # supports codec names directly
+            writer = writer.option("compression", "zstd")
+        writer.text(out_dir)
+    else:
+        raise ValueError(f"unknown output format {opts.output!r}")
+
+    if opts.single_file:
+        return _flatten_single_file(out_dir, path, index, opts)
+    return out_dir
+
+
+def _ext(opts: SinkOptions) -> str:
+    """Reference __output_ext (:206-212): format extension, with
+    .gz/.zstd suffix when the raw mode compresses."""
+    ext = opts.output
+    if opts.output == "jsonl":
+        if opts.compression == "gzip":
+            ext += ".gz"
+        elif opts.compression == "zstd":
+            ext += ".zstd"
+    return ext
+
+
+def _flatten_single_file(out_dir: str, path: str, index: str, opts: SinkOptions) -> str:
+    """Rename the single part file to the reference's flat
+    ``{index}.{ext}`` naming (:312-316)."""
+    part = next(
+        f
+        for f in sorted(os.listdir(out_dir))
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    target = os.path.join(path, f"{index}.{_ext(opts)}")
+    shutil.move(os.path.join(out_dir, part), target)
+    shutil.rmtree(out_dir)
+    return target
+
+
+def write_stdout(df: DataFrame, limit: int | None = None) -> int:
+    """Raw JSON per line to stdout (reference ``:250-253, 278-281``).
+    Streams via toLocalIterator — never collects the full frame."""
+    n = 0
+    it = df.toLocalIterator()
+    for row in it:
+        print(row[0] if df.columns == ["value"] else row.asDict())
+        n += 1
+        if limit is not None and n >= limit:
+            break
+    return n

@@ -6,6 +6,14 @@ import pytest
 
 os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
+# Python workers must be able to unpickle functions defined in the repo
+# and in test modules.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [p for p in (_REPO, _HERE, os.environ.get("PYTHONPATH")) if p]
+)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -1,0 +1,262 @@
+"""End-to-end dump tests against the mock ES (SURVEY.md §5 item 2):
+sliced parallel scan, pushdown knobs, sinks, per-index isolation,
+warning report."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import json
+import os
+
+import pytest
+
+from dump_es_parquet_spark.pipeline import dump
+from dump_es_parquet_spark.sinks import SinkOptions
+from dump_es_parquet_spark.sources import MockES, ScanOptions, read_index
+from dump_es_parquet_spark.sources.client import TransportError, iter_hits, with_retry
+from dump_es_parquet_spark.sources.scan import read_index_raw, read_pattern
+
+MAPPING = {
+    "host": {"type": "keyword"},
+    "status": {"type": "keyword"},
+    "port": {"type": "integer"},
+    "@timestamp": {"type": "date"},
+    "load": {"type": "double"},
+}
+
+
+def make_fixture(n=1500):
+    # ≥3 scroll pages at size=500 (FIXTURES.md A2 sizing guidance)
+    docs = [
+        {
+            "host": f"web-{i % 7}",
+            "status": "active" if i % 3 else "idle",
+            "port": 9200 + (i % 5),
+            "@timestamp": f"2026-05-{1 + i % 28:02d}T12:00:00",
+            "load": i / 100.0,
+        }
+        for i in range(n)
+    ]
+    return {
+        "metrics-2026.05": {"mapping": MAPPING, "docs": docs},
+        "metrics-2026.06": {"mapping": MAPPING, "docs": docs[:100]},
+        "unrelated-index": {"mapping": MAPPING, "docs": docs[:10]},
+    }
+
+
+FIXTURE = make_fixture()
+
+
+def factory():
+    return MockES(FIXTURE)
+
+
+def test_sliced_scan_reads_everything(spark):
+    opts = ScanOptions(slices=4, sort=None)
+    df = read_index_raw(spark, factory, "metrics-2026.05", opts)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1500
+
+
+def test_typed_scan(spark):
+    df = read_index(spark, factory, "metrics-2026.05", ScanOptions(slices=3))
+    assert df.count() == 1500
+    row = df.filter("host = 'web-0' and port = 9200").first()
+    assert isinstance(row["@timestamp"], dt.datetime)
+    assert df.schema["port"].dataType.simpleString() == "int"
+
+
+def test_query_pushdown(spark):
+    opts = ScanOptions(query="status:idle", slices=2)
+    df = read_index(spark, factory, "metrics-2026.05", opts)
+    assert df.count() == 500  # every i % 3 == 0
+    assert df.select("status").distinct().collect()[0][0] == "idle"
+
+
+def test_fields_pushdown(spark):
+    opts = ScanOptions(fields="host,@timestamp", slices=2)
+    df = read_index(spark, factory, "metrics-2026.05", opts)
+    assert df.filter("port is not null").count() == 0
+    assert df.filter("host is not null").count() == 1500
+
+
+def test_global_order(spark):
+    opts = ScanOptions(slices=4, order="global", sort="@timestamp:desc")
+    df = read_index(spark, factory, "metrics-2026.05", opts)
+    ts = [r[0] for r in df.select("@timestamp").collect()]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_empty_result_early_exit(spark):
+    # 0-hit query → empty frame, no scroll loop (reference :236-238)
+    opts = ScanOptions(query="status:nonexistent", slices=2)
+    df = read_index_raw(spark, factory, "metrics-2026.05", opts)
+    assert df.count() == 0
+
+
+def test_retry_bounded():
+    flaky = MockES(FIXTURE, fail_first=2)
+    out = with_retry(
+        lambda: flaky.get_settings("metrics-*"), max_retries=5, backoff_s=0,
+        sleep=lambda s: None,
+    )
+    assert len(out) == 2
+
+
+def test_retry_exhausted():
+    flaky = MockES(FIXTURE, fail_first=10)
+    with pytest.raises(TransportError):
+        with_retry(
+            lambda: flaky.get_settings("metrics-*"),
+            max_retries=2,
+            backoff_s=0,
+            sleep=lambda s: None,
+        )
+
+
+def test_iter_hits_scroll_pagination():
+    hits = list(
+        iter_hits(
+            factory(),
+            "metrics-2026.05",
+            q=None,
+            _source=None,
+            sort=None,
+            size=500,
+            scroll="1h",
+        )
+    )
+    assert len(hits) == 1500
+
+
+def test_read_pattern_fanout(spark):
+    dfs = read_pattern(spark, factory, "metrics-*", ScanOptions(slices=2))
+    assert set(dfs) == {"metrics-2026.05", "metrics-2026.06"}
+    assert dfs["metrics-2026.06"].count() == 100
+
+
+# ---------------------------------------------------------------------------
+# pipeline e2e
+# ---------------------------------------------------------------------------
+
+
+def test_dump_parquet_e2e(spark, tmp_path):
+    res = dump(
+        spark,
+        factory,
+        "metrics-*",
+        str(tmp_path),
+        ScanOptions(slices=2),
+        SinkOptions(output="parquet"),
+    )
+    assert not res.errors
+    back = spark.read.parquet(str(tmp_path / "metrics-2026.05"))
+    assert back.count() == 1500
+    assert back.schema["@timestamp"].dataType.simpleString() == "timestamp"
+    # duckdb downstream contract (reference README.md:99-103)
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/metrics-2026.05/*.parquet')"
+    ).fetchone()[0]
+    assert n == 1500
+
+
+def test_dump_warning_report(spark, tmp_path):
+    fixture = {
+        "weird": {
+            "mapping": MAPPING,
+            "docs": [
+                {"host": "a", "port": "not-a-port", "extra": 1},
+                {"host": ["x", "y"], "port": 1},
+            ],
+        }
+    }
+    res = dump(
+        spark,
+        lambda: MockES(fixture),
+        "weird",
+        str(tmp_path),
+        ScanOptions(slices=1),
+        SinkOptions(output="parquet"),
+    )
+    report = "\n".join(res.warning_report())
+    assert "port_cast_failures [1 documents]" in report
+    assert "unknown_field_values [1 documents]" in report
+    assert "multivalue_collapsed [1 documents]" in report
+
+
+def test_dump_csv_requires_flatten(spark, tmp_path):
+    fixture = {
+        "nested": {
+            "mapping": {"meta": {"properties": {"x": {"type": "keyword"}}}},
+            "docs": [{"meta": {"x": "1"}}],
+        }
+    }
+    res = dump(
+        spark,
+        lambda: MockES(fixture),
+        "nested",
+        str(tmp_path),
+        ScanOptions(slices=1),
+        SinkOptions(output="csv"),
+    )
+    assert "nested" in res.errors  # isolated, not raised
+    res2 = dump(
+        spark,
+        lambda: MockES(fixture),
+        "nested",
+        str(tmp_path),
+        ScanOptions(slices=1, flatten=True),
+        SinkOptions(output="csv"),
+    )
+    assert not res2.errors
+    csvs = glob.glob(str(tmp_path / "nested" / "*.csv"))
+    assert csvs and "meta_x" in open(csvs[0]).read()
+
+
+def test_dump_jsonl_raw_gzip(spark, tmp_path):
+    res = dump(
+        spark,
+        factory,
+        "metrics-2026.06",
+        str(tmp_path),
+        ScanOptions(slices=2),
+        SinkOptions(output="jsonl", compression="gzip"),
+    )
+    assert not res.errors
+    files = glob.glob(str(tmp_path / "metrics-2026.06" / "*.txt.gz"))
+    assert files
+    import gzip
+
+    line = gzip.open(files[0], "rt").readline()
+    assert json.loads(line)["host"].startswith("web-")
+
+
+def test_dump_single_file_naming(spark, tmp_path):
+    res = dump(
+        spark,
+        factory,
+        "metrics-2026.06",
+        str(tmp_path),
+        ScanOptions(slices=2),
+        SinkOptions(output="parquet", single_file=True),
+    )
+    assert res.indices["metrics-2026.06"] == str(tmp_path / "metrics-2026.06.parquet")
+    assert os.path.exists(tmp_path / "metrics-2026.06.parquet")
+
+
+def test_dump_per_index_isolation(spark, tmp_path):
+    fixture = dict(FIXTURE)
+    fixture["metrics-broken"] = {"mapping": None, "docs": []}  # schema fetch crashes
+    res = dump(
+        spark,
+        lambda: MockES(fixture),
+        "metrics-*",
+        str(tmp_path),
+        ScanOptions(slices=1),
+        SinkOptions(output="parquet"),
+    )
+    assert "metrics-broken" in res.errors
+    assert "metrics-2026.05" in res.indices  # others still processed
