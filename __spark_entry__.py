@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 /
+§2.2 plus the training-data-pipeline extensions; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for each (identical column names + values —
+aggregates go through decimal so partial-agg ordering can't flip bits;
+hash math is md5-based and engine-portable; dot products are
+sequential double folds, bit-identical to list_dot_product).
 """
 
 from __future__ import annotations
@@ -12,27 +13,568 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q1-style pricing summary at sf0.001."""
+    from dump_es_parquet_spark.operators.relational import q1_pricing_summary
+
+    return q1_pricing_summary(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# ES-dump parity query: the full coercion pipeline on testdata
+# ---------------------------------------------------------------------------
+
+
+def q_dump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events rows → raw JSON docs → full ES-dump coercion pipeline
+    (schema from an ES mapping, dual-wire parse, epoch/ISO handling)
+    → typed rows. Oracle: the identity projection — the pipeline must
+    round-trip exactly (reference entry point 1 semantics)."""
+    from dump_es_parquet_spark.coerce import parse_and_coerce
+    from dump_es_parquet_spark.schema import properties_to_struct
+
+    mapping = {
+        "event_id": {"type": "long"},
+        "ts": {"type": "date"},
+        "user_id": {"type": "long"},
+        "event_type": {"type": "keyword"},
+        "value": {"type": "double"},
+        "props": {"type": "object"},
+    }
+    schema = properties_to_struct(mapping)
+    from dump_es_parquet_spark.operators.tables import load
+
+    e = load(spark, sf_dir, "events")
+    raw = e.select(
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"},
+        ).alias("value")
+    )
+    typed = parse_and_coerce(raw, schema)
+    return typed.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("props_k"),
+    ).orderBy("event_id")
+
+
+def _rel(name):
+    def run(spark, sf_dir, _name=name):
+        from dump_es_parquet_spark.operators import relational
+
+        return getattr(relational, _name)(spark, sf_dir)
+
+    return run
+
+
+def _mod(module, name):
+    def run(spark, sf_dir, _m=module, _n=name):
+        import importlib
+
+        m = importlib.import_module(f"dump_es_parquet_spark.operators.{_m}")
+        return getattr(m, _n)(spark, sf_dir)
+
+    return run
+
+
+def _stream_batch_equiv(spark, sf_dir):
+    from dump_es_parquet_spark.operators.tables import load
+    from dump_es_parquet_spark.streaming.stream import windowed_counts
+
+    return windowed_counts(load(spark, sf_dir, "events")).orderBy(
+        "window_start", "event_type"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # — dump parity (SURVEY §2 ops #3,4,11-18) —
+        "dump_roundtrip": q_dump_roundtrip,
+        # — relational (SURVEY §2.2) —
+        "q1_pricing_summary": _rel("q1_pricing_summary"),
+        "q3_shipping_priority": _rel("q3_shipping_priority"),
+        "q5_local_supplier_volume": _rel("q5_local_supplier_volume"),
+        "rollup_region_nation": _rel("q_rollup_region_nation"),
+        "cube_order_status": _rel("q_cube_order_status"),
+        "distinct_agg": _rel("q_distinct_agg"),
+        "semi_anti_join": _rel("q_semi_anti_join"),
+        "setops": _rel("q_setops"),
+        "window_customer_orders": _rel("q_window_customer_orders"),
+        "top_customers": _rel("q_top_customers"),
+        "events_json": _rel("q_events_json"),
+        "events_hourly": _rel("q_events_hourly"),
+        "events_sessionize": _rel("q_events_sessionize"),
+        "events_top_users": _rel("q_events_top_users"),
+        # — streaming (batch-equivalent plan; true stream tested in tests/) —
+        "stream_window_counts": _stream_batch_equiv,
+        # — text analysis —
+        "text_token_count": _mod("text", "token_count"),
+        "text_quality": _mod("text", "quality_score"),
+        "text_lang_id": _mod("text", "lang_id"),
+        "text_fingerprint": _mod("text", "fingerprint"),
+        # — dedup —
+        "dedup_exact": _mod("dedup", "exact_dedup"),
+        "dedup_ngram_jaccard": _mod("dedup", "ngram_jaccard_pairs"),
+        "dedup_minhash_lsh": _mod("dedup", "minhash_lsh_pairs"),
+        "dedup_simhash": _mod("dedup", "simhash_pairs"),
+        "dedup_embedding": _mod("dedup", "embedding_near_dup"),
+        # — similarity search —
+        "sim_topk_bruteforce": _mod("similarity", "topk_bruteforce"),
+        "sim_ann_lsh": _mod("similarity", "ann_sign_lsh"),
+        "sim_label_centroids": _mod("similarity", "label_centroids"),
+        # — multimodal —
+        "mm_binary_metadata": _mod("multimodal", "binary_metadata"),
+        "mm_decode_stub": _mod("multimodal", "decode_metadata"),
+        "mm_frame_sample": _mod("multimodal", "frame_sample"),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — same column names, same values
+# ---------------------------------------------------------------------------
+
+_SHINGLES = r"""
+list_distinct([array_to_string(t[x+1:x+3], ' ')
+               FOR x IN range(0, greatest(len(t)-3, 0) + 1)])
+"""
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    q = {}
+
+    q["dump_roundtrip"] = """
+        SELECT event_id, ts, user_id, event_type, value,
+               CAST(props::JSON->>'k' AS BIGINT) AS props_k
+        FROM events ORDER BY event_id
     """
-    return {}
+
+    q["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+    q["q3_shipping_priority"] = """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """
+
+    q["q5_local_supplier_volume"] = """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """
+
+    q["rollup_region_nation"] = """
+        SELECT r_name, n_name,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+    """
+
+    q["cube_order_status"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """
+
+    q["distinct_agg"] = """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    q["semi_anti_join"] = """
+        WITH w AS (
+          SELECT c_nationkey, count(*) AS with_orders FROM customer
+          WHERE c_custkey IN (SELECT o_custkey FROM orders)
+          GROUP BY c_nationkey
+        ), wo AS (
+          SELECT c_nationkey, count(*) AS without_orders FROM customer
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+          GROUP BY c_nationkey
+        )
+        SELECT n_name,
+               coalesce(with_orders, 0) AS with_orders,
+               coalesce(without_orders, 0) AS without_orders
+        FROM nation
+        LEFT JOIN w ON n_nationkey = w.c_nationkey
+        LEFT JOIN wo ON n_nationkey = wo.c_nationkey
+        ORDER BY n_name
+    """
+
+    q["setops"] = """
+        SELECT
+          (SELECT count(*) FROM (
+             SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+             INTERSECT
+             SELECT o_custkey FROM orders WHERE o_orderstatus='F')) AS both_statuses,
+          (SELECT count(*) FROM (
+             SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O'
+             EXCEPT
+             SELECT o_custkey FROM orders WHERE o_orderstatus='F')) AS only_open,
+          (SELECT count(*) FROM (
+             SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='F'
+             EXCEPT
+             SELECT o_custkey FROM orders WHERE o_orderstatus='O')) AS only_done,
+          (SELECT count(DISTINCT o_custkey) FROM orders
+             WHERE o_orderstatus IN ('O','F')) AS either
+    """
+
+    q["window_customer_orders"] = """
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER w AS order_seq,
+                 CAST(lag(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) AS running_total
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ) WHERE o_custkey <= 100
+        ORDER BY o_custkey, order_seq
+    """
+
+    q["top_customers"] = """
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY total_spent DESC, c_custkey ASC
+        LIMIT 25
+    """
+
+    q["events_json"] = """
+        SELECT event_type,
+               sum(CAST(props::JSON->>'k' AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               count(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    q["events_hourly"] = """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    q["events_sessionize"] = """
+        WITH gaps AS (
+          SELECT user_id, event_id, ts,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events
+        ), sess AS (
+          SELECT user_id, event_id, ts,
+                 sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM gaps
+        ), per_session AS (
+          SELECT user_id, session_id, count(*) AS n_events,
+                 CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s,
+                 CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s
+          FROM sess GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               max(n_events) AS max_session_events,
+               sum(session_end_s - session_start_s) AS total_session_seconds
+        FROM per_session
+        WHERE user_id <= 200
+        GROUP BY user_id ORDER BY user_id
+    """
+
+    q["events_top_users"] = """
+        SELECT event_id, user_id, event_type, value
+        FROM events ORDER BY value DESC, event_id ASC LIMIT 100
+    """
+
+    q["stream_window_counts"] = """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # — text —
+    q["text_token_count"] = f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               len(list_distinct({_TOKS})) AS n_distinct_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|\\d+|[^\\sA-Za-z\\d]')) AS n_bpe_tokens,
+               length(text) AS n_chars_actual
+        FROM documents ORDER BY doc_id
+    """
+
+    stop_list = "['the','a','an','of','and','to','in','is','it','that']"
+    q["text_quality"] = f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               length(text) AS n_chars_actual,
+               len(toks) AS n_tokens,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+               round(len(list_intersect(toks, {stop_list})) * 1.0 / len(toks), 6) AS stopword_ratio,
+               round((length(text) - len(toks) + 1) * 1.0 / len(toks), 6) AS avg_word_len,
+               (len(toks) >= 10 AND length(text) >= 50
+                AND len(list_intersect(toks, {stop_list})) * 1.0 / len(toks) < 0.5) AS passes_filter
+        FROM t ORDER BY doc_id
+    """
+
+    en = "['the','a','of','and','to']"
+    es = "['el','la','de','que','los']"
+    zh = "['de','shi','le','zai','he']"
+    q["text_lang_id"] = f"""
+        WITH t AS (
+          SELECT doc_id, lang, list_distinct({_TOKS}) AS toks FROM documents
+        ), s AS (
+          SELECT doc_id, lang,
+                 len(list_intersect(toks, {en})) AS score_en,
+                 len(list_intersect(toks, {es})) AS score_es,
+                 len(list_intersect(toks, {zh})) AS score_zh
+          FROM t
+        )
+        SELECT doc_id, lang, score_en, score_es, score_zh,
+               CASE WHEN greatest(score_en, score_es, score_zh) <= 0 THEN 'und'
+                    WHEN score_en = greatest(score_en, score_es, score_zh) THEN 'en'
+                    WHEN score_es = greatest(score_en, score_es, score_zh) THEN 'es'
+                    ELSE 'zh' END AS guessed
+        FROM s ORDER BY doc_id
+    """
+
+    q["text_fingerprint"] = r"""
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                     '\s+', ' ', 'g')) AS norm
+          FROM documents
+        ), t AS (
+          SELECT doc_id, norm, regexp_split_to_array(norm, ' ') AS toks FROM n
+        )
+        SELECT doc_id,
+               md5(norm) AS fingerprint,
+               list_min([md5(array_to_string(toks[x+1:x+3], ' '))
+                         FOR x IN range(0, greatest(len(toks)-3, 0) + 1)]) AS min_shingle_hash
+        FROM t ORDER BY doc_id
+    """
+
+    # — dedup —
+    q["dedup_exact"] = """
+        WITH g AS (
+          SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keep_id
+          FROM documents GROUP BY md5(text)
+        )
+        SELECT count(*) AS n_unique,
+               sum(n_copies) AS n_docs,
+               sum(n_copies - 1) AS n_duplicates_removed,
+               sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+        FROM g
+    """
+
+    shingle_cte = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        docs AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+        sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docs)
+    """
+
+    q["dedup_ngram_jaccard"] = f"""
+        {shingle_cte},
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), sizes AS (SELECT doc_id, len(sh) AS n FROM docs)
+        SELECT id_a, id_b,
+               round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.6
+        ORDER BY id_a, id_b
+    """
+
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(8)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(mh{2*bi} || '|' || mh{2*bi+1}) AS bhash FROM sigs"
+        for bi in range(4)
+    )
+    q["dedup_minhash_lsh"] = f"""
+        {shingle_cte},
+        sigs AS (SELECT doc_id, {mh_cols} FROM docs),
+        bands AS ({band_union}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b,
+               round(len(list_intersect(da.sh, db.sh)) * 1.0
+                     / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 6) AS jaccard
+        FROM cand
+        JOIN docs da ON id_a = da.doc_id
+        JOIN docs db ON id_b = db.doc_id
+        WHERE len(list_intersect(da.sh, db.sh)) * 1.0
+              / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) >= 0.7
+        ORDER BY id_a, id_b
+    """
+
+    sim_bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(toks, tok -> "
+        f"CASE WHEN ascii(substr(md5(tok), {b + 1}, 1)) >= 56 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
+    q["dedup_simhash"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sigs AS (SELECT doc_id, CAST({sim_bits} AS BIGINT) AS simhash FROM t)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        ORDER BY id_a, id_b
+    """
+
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    q["dedup_embedding"] = f"""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {cos} >= 0.45
+        ORDER BY id_a, id_b
+    """
+
+    qcos = (
+        "list_dot_product(e.v, q.qv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    q["sim_topk_bruteforce"] = f"""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT vec_id, label, round({qcos}, 6) AS cos_sim
+        FROM e, q WHERE vec_id != 0
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+    )
+    q["sim_ann_lsh"] = f"""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, label, v, {bucket_expr} AS bucket FROM e),
+        q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+        SELECT vec_id, label, bucket,
+               round(list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM b e, q
+        WHERE e.bucket = q.qbucket AND e.vec_id != 0
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """
+
+    q["sim_label_centroids"] = """
+        WITH x AS (
+          SELECT label, u.dim - 1 AS dim, u.x
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding) AS x,
+                               generate_subscripts(embedding, 1) AS dim) u
+        )
+        SELECT label, dim,
+               round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+                     / count(*), 6) AS centroid_x,
+               count(*) AS n_vectors
+        FROM x WHERE dim < 8
+        GROUP BY label, dim ORDER BY label, dim
+    """
+
+    # — multimodal —
+    media = ("CASE WHEN doc_id % 3 = 0 THEN 'image/png' "
+             "WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END")
+    q["mm_binary_metadata"] = f"""
+        SELECT doc_id,
+               {media} AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha256,
+               lower(substr(hex(encode(text)), 1, 16)) AS magic_hex
+        FROM documents ORDER BY doc_id
+    """
+
+    q["mm_decode_stub"] = f"""
+        SELECT doc_id,
+               {media} AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               64 + octet_length(encode(text)) % 576 AS width,
+               64 + octet_length(encode(text)) % 344 AS height,
+               1 + octet_length(encode(text)) % 4 AS n_frames
+        FROM documents ORDER BY doc_id
+    """
+
+    q["mm_frame_sample"] = """
+        WITH d AS (SELECT doc_id, hex(encode(text)) AS hexp,
+                          octet_length(encode(text)) AS n FROM documents),
+        f AS (SELECT doc_id, hexp,
+                     unnest(range(0, CAST(floor((n - 1) / 1000.0) AS INT) + 1)) AS frame_no
+              FROM d)
+        SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+               lower(substr(hexp, frame_no * 2000 + 1, 32)) AS frame_hex
+        FROM f ORDER BY doc_id, frame_no
+    """
+
+    return q

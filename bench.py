@@ -1,0 +1,67 @@
+"""Benchmark runner (driver contract): run every declared query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (count + a cheap checksum collect) so the
+timing includes the whole plan, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    import __spark_entry__ as entry
+    from dump_es_parquet_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "100g"},
+    )
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in entry.queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        except Exception as e:
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,278 @@
+"""Deduplication operators over the ``documents`` table: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+Design for 100 TB (the whole point of these): never O(n²) on the full
+corpus —
+
+- exact: hash-groupBy on a content digest (one shuffle on md5(text)).
+- n-gram Jaccard: candidate pairs via an inverted shingle index
+  (explode → self-join on shingle), verified with exact Jaccard.
+- MinHash+LSH: constant-size signatures (8 min-hashes), banded (4
+  bands × 2 rows) → candidates only for band collisions; P(collision)
+  = 1-(1-j²)⁴ ≈ 1 for j ≥ 0.9. The signature pass is a narrow
+  projection; the join touches only colliding bands.
+- SimHash: 16-bit signature; banded candidate join (4 bands × 4 bits;
+  by pigeonhole, hamming ≤ 3 ⇒ at least one identical band) + exact
+  hamming verify — result-identical to the O(n²) plan the DuckDB
+  oracle runs, without the n² join.
+- embedding cosine: exact pairwise at test scale; the LSH-bucketed
+  scale path lives in ``similarity.py``.
+
+Determinism: all hashing is md5 (bit-identical across engines), minima
+over md5 *strings* (lexicographic, engine-independent) — so every
+operator hash-matches its SQL oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dump_es_parquet_spark.operators.tables import load
+
+SHINGLE_K = 3  # word n-gram size
+MINHASHES = 8
+BANDS = 4  # × 2 rows each
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # × 8 bits each; finds all pairs with hamming ≤ 3
+
+
+def _par(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Explicit repartition before CPU-heavy per-row hash work: the
+    tiny source file arrives as one input partition and AQE's
+    size-based coalescing keeps *byte-small but CPU-dense* data on too
+    few cores; a user repartition is exempt from AQE coalescing, so
+    the md5/fold stages actually parallelize."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
+def shingles_col(col="text", k: int = SHINGLE_K):
+    """Distinct word-k-gram shingles of a text column (JVM-side)."""
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-digest groupBy — the baseline: one
+    shuffle keyed on md5(text), keep min doc_id per group."""
+    d = load(spark, sf_dir, "documents")
+    groups = (
+        d.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_copies").alias("n_docs"),
+        F.sum(F.col("n_copies") - 1).alias("n_duplicates_removed"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6
+) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard, candidates from the
+    inverted shingle index (pairs must share ≥1 shingle)."""
+    d = _par(load(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(shingles_col()).alias("shingle"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = d.select("doc_id", F.size(shingles_col()).alias("n_shingles"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: min over md5("i|"+shingle) per hash
+    index i — string minima, engine-portable."""
+    sh = shingles_col()
+
+    def _hash_fn(i):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    cols = [
+        F.array_min(F.transform(sh, _hash_fn(i))).alias(f"mh{i}")
+        for i in range(MINHASHES)
+    ]
+    return d.select("doc_id", *cols)
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.7
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: banded signatures → band-collision
+    candidates → exact-Jaccard verification. The scalable near-dedup:
+    signature build is per-row; only band collisions join."""
+    d = _par(load(spark, sf_dir, "documents"))
+    sig = minhash_signatures(d)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", f"mh{2 * bi}", f"mh{2 * bi + 1}")
+                        ).alias("bhash"),
+                    )
+                    for bi in range(BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bhash")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bhash") == F.col("y.bhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    docs = _par(load(spark, sf_dir, "documents")).select(
+        "doc_id", shingles_col().alias("sh")
+    )
+    da, db = docs.alias("da"), docs.alias("db")
+    inter = F.size(F.array_intersect(F.col("da.sh"), F.col("db.sh")))
+    union = F.size(F.col("da.sh")) + F.size(F.col("db.sh")) - inter
+    return (
+        cand.join(da, F.col("id_a") == F.col("da.doc_id"))
+        .join(db, F.col("id_b") == F.col("db.doc_id"))
+        .select(
+            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_col(col="text", bits: int = SIMHASH_BITS):
+    """32-bit SimHash as a single int column: per-token md5 hex digits
+    vote each bit up/down; hex digit ≥ 8 ⟺ ascii(char) ≥ 56 (chars
+    '8','9','a'-'f'). Pure expressions — no explode, no UDF."""
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+
+    def _vote_fn(b):
+        # real closure — default-arg lambdas change the arity Spark
+        # infers for higher-order functions
+        return lambda acc, t: acc + F.when(
+            F.ascii(F.substring(F.md5(t), b + 1, 1)) >= 56, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(toks, F.lit(0), _vote_fn(b))
+        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 1
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ 1: banded candidate join
+    (4×4-bit bands; pigeonhole ⇒ no pair missed vs the O(n²) oracle)
+    + exact bit_count verify."""
+    d = _par(load(spark, sf_dir, "documents"))
+    sigs = d.select("doc_id", simhash_col().alias("simhash"))
+    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("simhash", bi * band_w)
+                        .bitwiseAND(F.lit((1 << band_w) - 1))
+                        .alias("bval"),
+                    )
+                    for bi in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bval")
+    x, y = bands.alias("x"), bands.alias("y")
+    hamming = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold. Exact pairwise
+    here (oracle-checkable); the bucketed scale path is
+    ``similarity.ann_sign_lsh``. Dot products are sequential
+    double-folds — bit-identical to the oracle's list_dot_product."""
+    e = _par(load(spark, sf_dir, "embeddings"), "vec_id")
+
+    def norm(v):
+        return F.sqrt(
+            F.aggregate(
+                v,
+                F.lit(0.0).cast("double"),
+                lambda s, x: s + x.cast("double") * x.cast("double"),
+            )
+        )
+
+    vecs = e.select("vec_id", F.col("embedding").alias("v"), norm(F.col("embedding")).alias("nrm"))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda s, x: s + x,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

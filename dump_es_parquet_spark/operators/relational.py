@@ -1,0 +1,362 @@
+"""Relational operator suite: joins, aggregations, windows, top-k, set
+ops, grouping sets — the SURVEY.md §2.2 categories the reference
+doesn't implement (it defers analytics to DuckDB, README.md:99-103).
+
+Every query here is a pure DataFrame-API logical plan — Catalyst picks
+the physical strategy. Scale notes per query explain why the plan
+survives 100 TB:
+
+- dimension joins (region/nation/supplier) are explicitly
+  ``broadcast()`` — they stay small at any scale factor (25 nations,
+  5 regions), so no shuffle on the fact side.
+- fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE
+  handles skew + partition sizing at runtime.
+- aggregations are expressed as plain ``groupBy`` → Spark plans
+  partial (map-side) + final aggregation automatically.
+- top-k is ``orderBy().limit(k)`` → Spark plans TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows, never a global sort).
+
+Oracle-determinism convention (the driver hash-compares against DuckDB
+at sf0.01): money sums go through ``decimal(18,2)`` so partial-agg
+reordering can't change low-order bits; averages are decimal-sum /
+count cast to double (bit-exact across engines — verified); every
+computed column is aliased identically in the SQL oracles
+(``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from dump_es_parquet_spark.operators.tables import load
+
+
+def _dec(c, scale=2):
+    return F.col(c).cast(f"decimal(18,{scale})") if isinstance(c, str) else c.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical partial+final hash
+    aggregate. Filter is pushed to the parquet scan; 6 aggregates over
+    2 grouping keys → tiny shuffle regardless of input size."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregate over the dimension hierarchy;
+    regions/nations broadcast onto customer."""
+    c = load(spark, sf_dir, "customer")
+    n = broadcast(load(spark, sf_dir, "nation"))
+    r = broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+def q_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality order attributes."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — Spark expands to a two-phase
+    aggregate; stays shuffle-bounded by group count."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: fact⋈fact⋈dim with top-k — customer filter
+    broadcast-ready, orders⋈lineitem shuffles on orderkey, final top-10
+    via TakeOrderedAndProject."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join; nation/region broadcast, the rest
+    shuffle on their keys with AQE sizing."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = broadcast(load(spark, sf_dir, "nation"))
+    r = broadcast(load(spark, sf_dir, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI: customers with vs without orders, per
+    nation. Anti/semi avoid materializing the right side's columns."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = broadcast(load(spark, sf_dir, "nation"))
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_nationkey").alias("nk_w"))
+        .agg(F.count(F.lit(1)).alias("with_orders"))
+    )
+    without_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nk_wo"))
+        .agg(F.count(F.lit(1)).alias("without_orders"))
+    )
+    return (
+        n.join(with_orders, n.n_nationkey == with_orders.nk_w, "left")
+        .join(without_orders, n.n_nationkey == without_orders.nk_wo, "left")
+        .select(
+            "n_name",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over customer key sets (customers
+    with open vs fulfilled orders)."""
+    o = load(spark, sf_dir, "orders")
+    open_cust = o.filter("o_orderstatus = 'O'").select("o_custkey")
+    done_cust = o.filter("o_orderstatus = 'F'").select("o_custkey")
+    both = open_cust.intersect(done_cust).count()  # INTERSECT is set-based
+    only_open = open_cust.subtract(done_cust).count()  # EXCEPT (distinct)
+    only_done = done_cust.subtract(open_cust).count()
+    either = open_cust.union(done_cust).distinct().count()
+    return spark.createDataFrame(
+        [(both, only_open, only_done, either)],
+        "both_statuses bigint, only_open bigint, only_done bigint, either bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows / top-k
+# ---------------------------------------------------------------------------
+
+
+def q_window_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-customer order sequence with row_number,
+    lag and running sum. One shuffle on the partition key, sort within
+    partitions — the scalable window pattern."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.row_number().over(w).alias("order_seq"),
+            F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+            F.sum(_dec("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_total"),
+        )
+        .filter(F.col("o_custkey") <= 100)
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by aggregate: TakeOrderedAndProject after the agg — never
+    a full global sort."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select("c_custkey", "c_name", "total_spent", "n_orders")
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: json + time windows + sessionization
+# ---------------------------------------------------------------------------
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: extract from the JSON props column
+    (get_json_object stays JVM-side) and aggregate."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            "value",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour time windows (batch form of the streaming
+    windowed agg; same date_trunc plan)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window functions: a new session starts after
+    a >30 min gap per user; the classic gaps-and-islands plan (one
+    shuffle on user_id)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.when(gap > 1800, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_timestamp(F.max("ts")).alias("session_end_s"),
+            F.unix_timestamp(F.min("ts")).alias("session_start_s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum(F.col("session_end_s") - F.col("session_start_s")).alias(
+                "total_session_seconds"
+            ),
+        )
+        .filter(F.col("user_id") <= 200)
+        .orderBy("user_id")
+    )
+
+
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort parity demo on the stream table: order by value
+    descending, top 100 (TakeOrderedAndProject)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "user_id", "event_type", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(100)
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over the ``embeddings`` table
+(``array<float>`` column): brute-force cosine top-k baseline and a
+bucketed ANN variant for scale.
+
+Scale design:
+
+- brute-force: one narrow projection computing cosine per row, then
+  TakeOrderedAndProject top-k — linear scan, no shuffle, trivially
+  parallel. The right baseline, and often the right answer when the
+  query set is small.
+- sign-LSH: an 8-bit signature from the signs of the leading
+  dimensions buckets the corpus; a query probes only its bucket
+  (≈ n/256 of the corpus). The bucketing pass is reusable across
+  queries (write bucketed/partitioned parquet); this is the IVF-style
+  shape — coarse quantize, then exact re-rank within the probed cell.
+- centroids: per-label mean vector via posexplode + groupBy — the
+  k-means/IVF building block, one shuffle keyed (label, dim).
+
+Dot products fold left-to-right over ``zip_with`` in double precision —
+bit-identical to DuckDB's ``list_dot_product`` (verified), so cosine
+scores hash-match the oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dump_es_parquet_spark.operators.tables import load
+
+LSH_BITS = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda s, x: s + x,
+    )
+
+
+def l2norm(v: Column) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def _query_vec(e: DataFrame, query_id: int) -> Column:
+    """The query embedding as a scalar-subquery-style broadcast: a
+    1-row frame cross-joined (Catalyst broadcasts it)."""
+    return e.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("qv")
+    )
+
+
+def topk_bruteforce(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k against one query vector: broadcast the
+    query, linear scan, per-partition heap (TakeOrderedAndProject)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(_query_vec(e, query_id))
+    return (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def sign_bucket(v: Column, bits: int = LSH_BITS) -> Column:
+    """Sign-LSH bucket id: bit i = (v[i] >= 0). Axis-aligned random
+    hyperplanes — deterministic and engine-portable."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(v, i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return out
+
+
+def ann_sign_lsh(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10
+) -> DataFrame:
+    """ANN top-k: probe only the query's sign-bucket (≈1/256 of the
+    corpus), exact cosine re-rank inside the bucket. Recall < 1 by
+    construction; the bucketed scan is what survives 100 TB."""
+    e = load(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "label", "embedding", sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = F.broadcast(
+        bucketed.filter(F.col("vec_id") == query_id).select(
+            F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+        )
+    )
+    return (
+        bucketed.crossJoin(q)
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != query_id))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors via posexplode + groupBy(label, dim)
+    — the distributed vector-mean pattern (IVF/k-means building
+    block). Output: one row per (label, dim) with the mean component
+    (keeps the result relational and oracle-checkable)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            # decimal-sum → double/count: partial-agg order can't change
+            # the result, so it hash-matches the oracle exactly
+            F.round(
+                F.sum(F.col("x").cast("double").cast("decimal(28,9)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid_x"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .filter(F.col("dim") < 8)  # keep the checked slice compact
+        .orderBy("label", "dim")
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators over the ``documents`` table: token
+counting, quality scoring, language-ID, fingerprinting.
+
+All pure ``pyspark.sql.functions`` expressions (JVM-side, codegen) —
+no Python in the hot path. Hash-based operators use md5, which is
+bit-identical across engines, so every query here is exactly
+DuckDB-oracle-checkable.
+
+Scale: each operator is a narrow per-row projection (no shuffle except
+the final aggregate/ordering), so they scale linearly with input and
+pipeline with the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dump_es_parquet_spark.operators.tables import load
+
+#: whitespace tokenizer — identical semantics in Spark split() and
+#: DuckDB regexp_split_to_array
+TOKEN_SEP = r"\s+"
+
+#: BPE-ish subword splitter: words, numbers, or single punctuation —
+#: approximates a byte-pair tokenizer's pre-tokenization regex
+BPE_ISH = r"[a-z]+|[A-Z][a-z]*|\d+|[^\sA-Za-z\d]"
+
+#: tiny marker-word lists for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+
+
+def tokens_col(col="text"):
+    return F.split(F.trim(F.col(col)), TOKEN_SEP)
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: length, punctuation density, stopword
+    ratio, mean word length — the standard pre-training quality-filter
+    feature set."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        F.round(stop_hits.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(
+            (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 6
+        ).alias("avg_word_len"),
+        (
+            (n_tokens >= 10)
+            & (F.length("text") >= 50)
+            & (stop_hits.cast("double") / n_tokens < 0.5)
+        ).alias("passes_filter"),
+    ).orderBy("doc_id")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic: score = distinct marker hits per
+    language, argmax with deterministic tie-break on language code.
+    (A real system uses char-n-gram models; the plumbing — per-row
+    scoring + argmax — is identical.)"""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_col())
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias(
+            f"score_{lang}"
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    scored = d.select("doc_id", "lang", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    guess = F.when(best <= 0, F.lit("und"))
+    for l in langs:  # first max wins → deterministic tie-break
+        guess = guess.when(F.col(f"score_{l}") == best, F.lit(l))
+    return (
+        scored.select(
+            "doc_id", "lang", *[f"score_{l}" for l in langs], guess.alias("guessed")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the normalized text
+    (lowercase, collapsed whitespace, punctuation stripped) — the
+    canonical near-exact-dup key — plus a shingle-composite fingerprint
+    (min-md5 over word 3-grams, a 1-hash MinHash)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    toks = F.split(norm, " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_hash"),
+    ).orderBy("doc_id")
