@@ -1,0 +1,132 @@
+"""Pure-Python document coercion — the same semantics as
+``coerce.py``'s Column-expression path, for contexts where rows are
+already Python objects (the Python DataSource reader, where each hit
+arrives as a ``json.loads``-ed dict from the HTTP response).
+
+Mirrors the reference's ``map_source`` (``dump-es-parquet:112-183``)
+branch-for-branch, with the engine's spec decisions (UTC, flatten
+works, multivalue='array' mode). Kept deliberately tiny — the hot
+analytical path is the expression version; this one only runs inside
+source readers where the data is Python-native anyway.
+
+``tests/test_coerce_py.py`` cross-checks both implementations on the
+same documents.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from typing import Any
+
+from pyspark.sql import types as T
+
+from dump_es_parquet_spark.coerce import EPOCH_SECONDS_MILLIS_CUTOFF
+from dump_es_parquet_spark.schema import FLATTEN_SEP
+
+UTC = dt.timezone.utc
+
+
+def _coerce_timestamp(v: Any) -> dt.datetime | None:
+    """ISO-8601 else epoch with the seconds/millis cutoff (reference
+    :145-162); UTC, tz-naive output (matches the expression path)."""
+    s = str(v).strip()
+    if not (s.lstrip("-").isdigit() and len(s.lstrip("-")) >= 9):
+        try:
+            d = dt.datetime.fromisoformat(s)
+            if d.tzinfo is not None:
+                d = d.astimezone(UTC).replace(tzinfo=None)
+            return d
+        except ValueError:
+            pass
+    try:
+        i = int(s)
+    except ValueError:
+        return None
+    if i < EPOCH_SECONDS_MILLIS_CUTOFF:
+        return dt.datetime.fromtimestamp(i, UTC).replace(tzinfo=None)
+    return dt.datetime.fromtimestamp(i / 1000, UTC).replace(tzinfo=None)
+
+
+_INT_RANGES = {
+    T.ByteType: (-(1 << 7), (1 << 7) - 1),
+    T.ShortType: (-(1 << 15), (1 << 15) - 1),
+    T.IntegerType: (-(1 << 31), (1 << 31) - 1),
+    T.LongType: (-(1 << 63), (1 << 63) - 1),
+}
+
+
+def _coerce_int(v: Any, dtype: T.DataType) -> int | None:
+    try:
+        i = int(v)
+    except (ValueError, TypeError):
+        try:
+            i = int(float(v))  # "3.0" (reference :167-168)
+        except (ValueError, TypeError):
+            return None
+    lo, hi = _INT_RANGES[type(dtype)]
+    return i if lo <= i <= hi else None  # try_cast overflow → NULL
+
+
+def coerce_value(v: Any, dtype: T.DataType, multivalue: str = "first"):
+    """One value → target type, reference fallback semantics."""
+    if v is None:
+        return None
+    if isinstance(v, list):
+        if multivalue == "array":
+            return [coerce_value(x, dtype.elementType if isinstance(dtype, T.ArrayType) else dtype) for x in v]
+        if not v:  # empty list → missing (:136-137)
+            return None
+        v = v[0]  # first element (:132-135)
+    if multivalue == "array" and isinstance(dtype, T.ArrayType):
+        return [coerce_value(v, dtype.elementType)]
+    if isinstance(dtype, T.StructType):
+        if not isinstance(v, dict):
+            return None
+        return coerce_doc(v, dtype)
+    if isinstance(dtype, T.TimestampType):
+        return _coerce_timestamp(v)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return _coerce_int(v, dtype)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        try:
+            return float(v)
+        except (ValueError, TypeError):
+            return None
+    if isinstance(dtype, T.BooleanType):
+        if isinstance(v, bool):
+            return v
+        s = str(v).strip().lower()
+        return {"true": True, "t": True, "1": True, "yes": True, "y": True,
+                "false": False, "f": False, "0": False, "no": False,
+                "n": False}.get(s)
+    if isinstance(dtype, T.StringType):
+        # objects JSON-serialize (engine spec; reference str()s them)
+        if isinstance(v, (dict, list)):
+            return json.dumps(v, separators=(",", ":"))
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+    return v
+
+
+def coerce_doc(
+    src: dict, schema: T.StructType, multivalue: str = "first"
+) -> tuple:
+    """Document dict → tuple in schema field order (unknown fields
+    dropped, missing fields None — reference :115-119)."""
+    return tuple(
+        coerce_value(src.get(f.name), f.dataType, multivalue) for f in schema.fields
+    )
+
+
+def flatten_doc(src: dict, prefix: str = "") -> dict:
+    """Pre-flatten nested dicts with `_`-joined names so a flattened
+    schema (``properties_to_struct(flatten=True)``) lines up."""
+    out: dict = {}
+    for k, v in src.items():
+        if isinstance(v, dict):
+            out.update(flatten_doc(v, prefix + k + FLATTEN_SEP))
+        else:
+            out[prefix + k] = v
+    return out

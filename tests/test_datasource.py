@@ -1,0 +1,134 @@
+"""esdump Python Data Source + pure-Python coercion cross-checks."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from dump_es_parquet_spark.coerce import parse_and_coerce
+from dump_es_parquet_spark.coerce_py import coerce_doc
+from dump_es_parquet_spark.schema import properties_to_struct
+from dump_es_parquet_spark.sources.datasource import EsDumpReader, register
+
+MAPPING = {
+    "host": {"type": "keyword"},
+    "status": {"type": "keyword"},
+    "port": {"type": "integer"},
+    "@timestamp": {"type": "date"},
+    "load": {"type": "double"},
+    "meta": {"properties": {"dc": {"type": "keyword"}}},
+}
+
+DOCS = [
+    {
+        "host": f"web-{i % 5}",
+        "status": "active" if i % 3 else "idle",
+        "port": 9200 + i % 4,
+        "@timestamp": 1748520000 + i,
+        "load": i / 10.0,
+        "meta": {"dc": "eu" if i % 2 else "us"},
+    }
+    for i in range(1200)
+]
+
+FIXTURE_JSON = json.dumps({"logs": {"mapping": MAPPING, "docs": DOCS}})
+
+
+@pytest.fixture()
+def esdump(spark):
+    register(spark)
+    return (
+        spark.read.format("esdump")
+        .option("fixture_json", FIXTURE_JSON)
+        .option("index", "logs")
+        .option("slices", "3")
+        .option("sort", None or "@timestamp:asc")
+    )
+
+
+def test_read_all(esdump):
+    df = esdump.load()
+    assert df.count() == 1200
+    row = df.filter("port = 9201").first()
+    assert isinstance(row["@timestamp"], dt.datetime)
+    assert row.meta.dc in ("eu", "us")
+
+
+def test_filter_pushdown_results(esdump):
+    df = esdump.load().filter("status = 'idle'")
+    assert df.count() == 400
+    assert df.select("status").distinct().first()[0] == "idle"
+
+
+def test_fields_option(esdump):
+    df = esdump.option("fields", "host,port").load()
+    assert df.filter("load is not null").count() == 0
+    assert df.filter("host is not null").count() == 1200
+
+
+def test_push_filters_unit():
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    schema = properties_to_struct(MAPPING)
+    r = EsDumpReader(schema, {"index": "logs"}, pushable={"status", "port"})
+    remaining = list(
+        r.pushFilters([EqualTo(("status",), "idle"), GreaterThan(("port",), 9201)])
+    )
+    assert r.pushed_clauses == ["status:idle"]
+    assert len(remaining) == 1  # GreaterThan returned for Spark to apply
+    assert r._query() == "status:idle"
+
+
+def test_push_filters_text_not_pushed():
+    from pyspark.sql.datasource import EqualTo
+
+    schema = properties_to_struct({"body": {"type": "text"}})
+    r = EsDumpReader(schema, {"index": "logs"}, pushable=set())
+    remaining = list(r.pushFilters([EqualTo(("body",), "hello")]))
+    # analyzed text: term match ≠ equality → must stay in Spark
+    assert r.pushed_clauses == []
+    assert len(remaining) == 1
+
+
+def test_python_and_expression_coercion_agree(spark):
+    """Both coercion implementations produce identical rows for the
+    FIXTURES.md A2-style hostile documents."""
+    props = {
+        "id": {"type": "long"},
+        "count_i": {"type": "integer"},
+        "ratio_d": {"type": "double"},
+        "name": {"type": "keyword"},
+        "active": {"type": "boolean"},
+        "ts": {"type": "date"},
+        "blob": {"type": "object"},
+        "meta": {"properties": {"host": {"type": "keyword"}, "port": {"type": "integer"}}},
+    }
+    schema = properties_to_struct(props)
+    docs = [
+        {"id": 1, "count_i": "3.0", "ratio_d": "2.5", "name": ["a", "b"],
+         "active": "true", "ts": 1748520000, "blob": {"k": [1, 2]},
+         "meta": {"host": "h", "port": "9200"}},
+        {"id": "abc", "count_i": 3.9, "name": [], "ts": "2026-05-29T12:00:00",
+         "unknown": 1},
+        {"ts": 19999999999},
+        {"ts": 20000000000},
+        {"ts": "garbage", "count_i": "nope", "active": "y"},
+    ]
+    expr_df = parse_and_coerce(
+        spark.createDataFrame([(json.dumps(d),) for d in docs], "value string"),
+        schema,
+    )
+    expr_rows = [tuple(r) for r in expr_df.collect()]
+    py_rows = [coerce_doc(d, schema) for d in docs]
+
+    def flat(t):
+        return tuple(tuple(x) if isinstance(x, tuple) else x for x in t)
+
+    for er, pr, doc in zip(expr_rows, py_rows, docs):
+        # struct rows come back as Row — normalize
+        er = tuple(tuple(x) if hasattr(x, "_fields") or isinstance(x, tuple) else x for x in er)
+        pr = flat(pr)
+        # blob JSON text may differ in whitespace only
+        assert er == pr, f"doc={doc}\nexpr={er}\npy={pr}"
