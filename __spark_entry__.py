@@ -441,8 +441,11 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY id_a, id_b
     """
 
+    # 8 minhashes = four 8-hex-char slices of each of two md5s
+    # (mirrors dedup.minhash_signatures)
     mh_cols = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
+        f"list_min(list_transform(sh, s -> "
+        f"substr(md5('{i // 4}|' || s), {1 + 8 * (i % 4)}, 8))) AS mh{i}"
         for i in range(8)
     )
     band_union = " UNION ALL ".join(

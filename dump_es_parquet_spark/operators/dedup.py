@@ -107,15 +107,24 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(d: DataFrame) -> DataFrame:
-    """Per-doc MinHash signature: min over md5("i|"+shingle) per hash
-    index i — string minima, engine-portable."""
+    """Per-doc MinHash signature: 8 minima over 32-bit hash slices.
+
+    Two md5s per shingle ("0|s", "1|s"), each split into four 8-hex-char
+    slices → 8 independent hash functions at a quarter of the md5 cost
+    of hashing per-function. String minima are engine-portable
+    (lexicographic order == numeric order for fixed-width hex)."""
     sh = shingles_col()
 
-    def _hash_fn(i):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+    def _mh(src_idx, slice_idx):
+        def fn(s):
+            return F.substring(
+                F.md5(F.concat(F.lit(f"{src_idx}|"), s)), 1 + 8 * slice_idx, 8
+            )
+
+        return fn
 
     cols = [
-        F.array_min(F.transform(sh, _hash_fn(i))).alias(f"mh{i}")
+        F.array_min(F.transform(sh, _mh(i // 4, i % 4))).alias(f"mh{i}")
         for i in range(MINHASHES)
     ]
     return d.select("doc_id", *cols)
@@ -129,6 +138,9 @@ def minhash_lsh_pairs(
     signature build is per-row; only band collisions join."""
     d = _par(load(spark, sf_dir, "documents"))
     sig = minhash_signatures(d)
+    # the band table and candidate set are each referenced by several
+    # joins below; without caching, every reference recomputes the md5
+    # signature subtree. Both frames are tiny (4 rows/doc; pair ids).
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -144,7 +156,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "b.band", "b.bhash")
+    ).select("doc_id", "b.band", "b.bhash").cache()
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -155,19 +167,20 @@ def minhash_lsh_pairs(
         )
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
+        .cache()
     )
-    docs = _par(load(spark, sf_dir, "documents")).select(
-        "doc_id", shingles_col().alias("sh")
-    )
+    # exact-Jaccard verification on candidate pairs only. The shingle
+    # arrays ride two broadcast-sized joins (candidates are rare by
+    # construction); at larger corpora the same plan holds because the
+    # array join is proportional to |candidates|, not |corpus|².
+    docs = d.select("doc_id", shingles_col().alias("sh"))
     da, db = docs.alias("da"), docs.alias("db")
     inter = F.size(F.array_intersect(F.col("da.sh"), F.col("db.sh")))
     union = F.size(F.col("da.sh")) + F.size(F.col("db.sh")) - inter
     return (
         cand.join(da, F.col("id_a") == F.col("da.doc_id"))
         .join(db, F.col("id_b") == F.col("db.doc_id"))
-        .select(
-            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
-        )
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )

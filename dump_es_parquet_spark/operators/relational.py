@@ -218,13 +218,16 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     open_cust = o.filter("o_orderstatus = 'O'").select("o_custkey")
     done_cust = o.filter("o_orderstatus = 'F'").select("o_custkey")
-    both = open_cust.intersect(done_cust).count()  # INTERSECT is set-based
-    only_open = open_cust.subtract(done_cust).count()  # EXCEPT (distinct)
-    only_done = done_cust.subtract(open_cust).count()
-    either = open_cust.union(done_cust).distinct().count()
-    return spark.createDataFrame(
-        [(both, only_open, only_done, either)],
-        "both_statuses bigint, only_open bigint, only_done bigint, either bigint",
+
+    def one(df, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    # one action: the four set-op branches cross-join into a single row
+    return (
+        one(open_cust.intersect(done_cust), "both_statuses")  # INTERSECT (set)
+        .crossJoin(one(open_cust.subtract(done_cust), "only_open"))  # EXCEPT
+        .crossJoin(one(done_cust.subtract(open_cust), "only_done"))
+        .crossJoin(one(open_cust.union(done_cust).distinct(), "either"))  # UNION
     )
 
 

@@ -1,0 +1,115 @@
+"""Property-based tests (SURVEY.md §5 item 4, hypothesis):
+
+1. documents conforming to a random mapping ROUND-TRIP: dump →
+   parquet → read back equals the coerced frame.
+2. NON-conforming documents never crash the DF path — worst case is
+   dropped values/fields (reference :115-119 semantics).
+3. the pure-Python and expression coercion paths agree on arbitrary
+   JSON-ish documents.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dump_es_parquet_spark.coerce import parse_and_coerce
+from dump_es_parquet_spark.coerce_py import coerce_doc
+from dump_es_parquet_spark.schema import properties_to_struct
+
+FIELD_TYPES = ["long", "integer", "double", "keyword", "boolean", "date"]
+
+mapping_st = st.dictionaries(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+    st.sampled_from(FIELD_TYPES).map(lambda t: {"type": t}),
+    min_size=1,
+    max_size=5,
+)
+
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=12),
+)
+
+doc_st = st.dictionaries(
+    st.text(alphabet="abcdefghijkl", min_size=1, max_size=6),
+    st.one_of(json_scalars, st.lists(json_scalars, max_size=3)),
+    max_size=6,
+)
+
+
+def normalize(row):
+    out = []
+    for v in row:
+        if isinstance(v, float):
+            if math.isnan(v):
+                out.append("nan")
+                continue
+            v = round(v, 6)
+        out.append(v)
+    return tuple(out)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(mapping=mapping_st, docs=st.lists(doc_st, min_size=1, max_size=6))
+def test_nonconforming_docs_never_crash_and_paths_agree(spark, mapping, docs):
+    schema = properties_to_struct(mapping)
+    df = spark.createDataFrame(
+        [(json.dumps(d),) for d in docs], "value string"
+    )
+    rows = parse_and_coerce(df, schema).collect()  # must not raise
+    assert len(rows) == len(docs)
+    for r, d in zip(rows, docs):
+        expr_t = normalize(tuple(r))
+        py_t = normalize(coerce_doc(d, schema))
+        assert expr_t == py_t, f"mapping={mapping} doc={d}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(mapping=mapping_st, seed=st.integers(0, 10**6))
+def test_conforming_roundtrip(spark, tmp_path_factory, mapping, seed):
+    """Well-typed docs survive dump → parquet → read-back exactly."""
+    import random
+
+    rng = random.Random(seed)
+    schema = properties_to_struct(mapping)
+
+    def val(t):
+        if t == "long":
+            return rng.randint(-(2**40), 2**40)
+        if t == "integer":
+            return rng.randint(-(2**31), 2**31 - 1)
+        if t == "double":
+            return round(rng.uniform(-1e6, 1e6), 6)
+        if t == "keyword":
+            return "".join(rng.choices("abcxyz", k=5))
+        if t == "boolean":
+            return rng.random() < 0.5
+        return f"2026-0{rng.randint(1, 9)}-1{rng.randint(0, 9)}T12:00:00"
+
+    docs = [
+        {f: val(spec["type"]) for f, spec in mapping.items()} for _ in range(5)
+    ]
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], "value string")
+    typed = parse_and_coerce(df, schema)
+    out = tmp_path_factory.mktemp("rt") / "out"
+    typed.write.mode("overwrite").parquet(str(out))
+    back = spark.read.parquet(str(out))
+    orig = sorted(normalize(tuple(r)) for r in typed.collect())
+    rt = sorted(normalize(tuple(r)) for r in back.select(typed.columns).collect())
+    assert orig == rt
