@@ -94,14 +94,21 @@ def coerce_timestamp(s: Column) -> Column:
     )
 
 
+def _bool_wire_as_num(s: Column) -> Column:
+    """JSON booleans reaching a numeric field: Python ``int(False)`` is
+    0 (reference :166), so 'true'/'false' wire text maps to 1/0."""
+    low = F.lower(F.trim(s))
+    return F.when(low == "true", F.lit(1)).when(low == "false", F.lit(0))
+
+
 def coerce_integral(s: Column, dtype: T.DataType) -> Column:
     """``int(v)`` with ``int(float(v))`` fallback (reference :163-170) —
     handles ``"3.0"`` → 3; cast double→int truncates toward zero in
-    both Python and Spark."""
+    both Python and Spark; booleans count as 0/1 like Python int()."""
     name = dtype.simpleString()  # tinyint/smallint/int/bigint
     direct = F.trim(s).try_cast(name)
     via_double = F.trim(s).try_cast("double").try_cast(name)
-    return F.coalesce(direct, via_double)
+    return F.coalesce(direct, via_double, _bool_wire_as_num(s).cast(name))
 
 
 def coerce_leaf(s: Column, dtype: T.DataType) -> Column:
@@ -112,7 +119,10 @@ def coerce_leaf(s: Column, dtype: T.DataType) -> Column:
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return coerce_integral(s, dtype)
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
-        return F.trim(s).try_cast(dtype.simpleString())
+        return F.coalesce(
+            F.trim(s).try_cast(dtype.simpleString()),
+            _bool_wire_as_num(s).cast(dtype.simpleString()),
+        )
     if isinstance(dtype, T.BooleanType):
         return F.trim(s).try_cast("boolean")
     if isinstance(dtype, T.StringType):

@@ -281,6 +281,50 @@ class RestES:
         )
 
 
+def iter_hits_search_after(
+    client,
+    index: str,
+    *,
+    q: str | None,
+    _source: list[str] | None,
+    sort: str | None,
+    size: int,
+    slice_spec: dict | None = None,
+    max_retries: int | None = 3,
+    backoff_s: float = 1.0,
+) -> Iterable[dict]:
+    """``search_after`` pagination loop — the retry-idempotent cursor
+    (SURVEY.md §7 hard part 2): unlike a scroll id, the sort-key cursor
+    is *resumable*, so a retried page re-requests exactly where the
+    last successful page ended instead of consuming a one-shot
+    server-side cursor. Pair with a PIT id in production for snapshot
+    isolation; the pagination mechanics are identical."""
+    cursor: list | None = [0]  # first page: offset-style cursor start
+    while True:
+        after = None if cursor == [0] else cursor
+        resp = with_retry(
+            lambda: client.search(
+                index,
+                q=q,
+                _source=_source,
+                sort=sort,
+                size=size,
+                scroll=None,  # no server-held cursor
+                slice_spec=slice_spec,
+                search_after=after if after is not None else [0],
+            ),
+            max_retries=max_retries,
+            backoff_s=backoff_s,
+        )
+        hits = resp["hits"]["hits"]
+        if not hits:
+            return
+        yield from hits
+        cursor = resp.get("last_sort")
+        if cursor is None:
+            return
+
+
 def iter_hits(
     client,
     index: str,

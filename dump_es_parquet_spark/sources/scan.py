@@ -44,6 +44,7 @@ class ScanOptions:
     sort: str | None = DEFAULT_SORT  # --sort (:380)
     size: int = 500  # --size, page size (:379)
     scroll: str = "1h"  # --scroll, cursor TTL (:382)
+    cursor: str = "scroll"  # 'scroll' (reference) | 'search_after' (retry-idempotent)
     slices: int = 8  # engine extension: scan parallelism
     flatten: bool = False  # --flatten (:388-390)
     multivalue: str = "first"  # 'first' (reference) | 'array'
@@ -67,21 +68,37 @@ def _slice_reader(
     import json
 
     def read_slices(slice_ids: Iterator[int]) -> Iterator[str]:
+        from dump_es_parquet_spark.sources.client import iter_hits_search_after
+
         client = client_factory()
         for sid in slice_ids:
             spec = {"id": sid, "max": n_slices} if n_slices > 1 else None
-            for hit in iter_hits(
-                client,
-                index,
-                q=opts.query,
-                _source=opts.source_includes(),
-                sort=opts.sort,
-                size=opts.size,
-                scroll=opts.scroll,
-                slice_spec=spec,
-                max_retries=opts.max_retries,
-                backoff_s=opts.backoff_s,
-            ):
+            if opts.cursor == "search_after":
+                hits = iter_hits_search_after(
+                    client,
+                    index,
+                    q=opts.query,
+                    _source=opts.source_includes(),
+                    sort=opts.sort,
+                    size=opts.size,
+                    slice_spec=spec,
+                    max_retries=opts.max_retries,
+                    backoff_s=opts.backoff_s,
+                )
+            else:
+                hits = iter_hits(
+                    client,
+                    index,
+                    q=opts.query,
+                    _source=opts.source_includes(),
+                    sort=opts.sort,
+                    size=opts.size,
+                    scroll=opts.scroll,
+                    slice_spec=spec,
+                    max_retries=opts.max_retries,
+                    backoff_s=opts.backoff_s,
+                )
+            for hit in hits:
                 # only _source is read; ES metadata is discarded
                 # (reference :243, 247, 252)
                 yield json.dumps(hit["_source"])

@@ -260,3 +260,45 @@ def test_dump_per_index_isolation(spark, tmp_path):
     )
     assert "metrics-broken" in res.errors
     assert "metrics-2026.05" in res.indices  # others still processed
+
+
+def test_search_after_cursor(spark):
+    opts = ScanOptions(slices=3, cursor="search_after", sort="@timestamp:asc")
+    df = read_index(spark, factory, "metrics-2026.05", opts)
+    assert df.count() == 1500
+
+
+def test_search_after_resumes_after_failures():
+    # transport failures mid-pagination must not skip or duplicate docs
+    from dump_es_parquet_spark.sources.client import iter_hits_search_after
+
+    flaky = MockES(make_fixture(), fail_first=3)
+    hits = list(
+        iter_hits_search_after(
+            flaky,
+            "metrics-2026.05",
+            q=None,
+            _source=None,
+            sort="@timestamp:asc",
+            size=400,
+            max_retries=10,
+            backoff_s=0,
+        )
+    )
+    assert len(hits) == 1500
+    assert len({h["_id"] for h in hits}) == 1500  # no dupes, no gaps
+
+
+def test_geo_point_coercion(spark, tmp_path):
+    # geo_point → Struct{lat,lon} (reference es2pl_type :46)
+    fixture = {
+        "geo": {
+            "mapping": {"location": {"type": "geo_point"}},
+            "docs": [{"location": {"lat": 41.12, "lon": -71.34}}],
+        }
+    }
+    df = read_index(spark, lambda: MockES(fixture), "geo", ScanOptions(slices=1))
+    row = df.first()
+    assert row.location.lat == 41.12
+    assert row.location.lon == -71.34
+    assert df.schema["location"].dataType.simpleString() == "struct<lat:double,lon:double>"
