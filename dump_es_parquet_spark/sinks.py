@@ -44,6 +44,11 @@ class SinkOptions:
     partition_rows: int = DEFAULT_MAX_ROWS
     partition_mb: int = DEFAULT_MAX_MB
     single_file: bool = False  # reference-compatible flat naming
+    # engine extension: hive-style directory partitioning by columns
+    # (e.g. dt=2026-05-29/) — partition pruning for downstream readers;
+    # the reference has no equivalent (its partitions are size-bounded
+    # file splits only, :284-295)
+    partition_by: tuple[str, ...] = ()
 
 
 def _has_struct(df: DataFrame) -> bool:
@@ -99,6 +104,13 @@ def write(df: DataFrame, path: str, index: str, opts: SinkOptions | None = None)
     if opts.single_file:
         df_out = df.coalesce(1)
         writer = df_out.write.mode("overwrite")
+    if opts.partition_by:
+        if opts.single_file:
+            raise ValueError("partition_by and single_file are mutually exclusive")
+        missing = [c for c in opts.partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by columns not in frame: {missing}")
+        writer = writer.partitionBy(*opts.partition_by)
 
     if opts.output == "parquet":
         # zstd is the session default (session.py), matching README.md:10

@@ -85,6 +85,14 @@ class EsDumpDataSource(DataSource):
         {"keyword", "byte", "short", "integer", "long", "ip", "boolean"}
     )
 
+    def simpleStreamReader(self, schema: StructType):
+        """Micro-batch streaming over search_after cursors —
+        ``spark.readStream.format("esdump")`` (see
+        ``streaming/es_stream.py``)."""
+        from dump_es_parquet_spark.streaming.es_stream import EsDumpStreamReader
+
+        return EsDumpStreamReader(schema, dict(self.options))
+
     def reader(self, schema: StructType) -> "EsDumpReader":
         client = _make_client(self.options)
         mapping = with_retry(

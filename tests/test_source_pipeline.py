@@ -302,3 +302,27 @@ def test_geo_point_coercion(spark, tmp_path):
     assert row.location.lat == 41.12
     assert row.location.lon == -71.34
     assert df.schema["location"].dataType.simpleString() == "struct<lat:double,lon:double>"
+
+
+def test_dump_hive_partitioning(spark, tmp_path):
+    res = dump(
+        spark,
+        factory,
+        "metrics-2026.05",
+        str(tmp_path),
+        ScanOptions(slices=2),
+        SinkOptions(output="parquet", partition_by=("status",)),
+    )
+    assert not res.errors
+    subdirs = sorted(
+        p for p in os.listdir(tmp_path / "metrics-2026.05") if p.startswith("status=")
+    )
+    assert subdirs == ["status=active", "status=idle"]
+    # partition pruning works downstream
+    back = spark.read.parquet(str(tmp_path / "metrics-2026.05"))
+    plan = (
+        back.filter("status = 'idle'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(status" in plan
+    assert back.filter("status = 'idle'").count() == 500
