@@ -130,7 +130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — similarity search —
         "sim_topk_bruteforce": _mod("similarity", "topk_bruteforce"),
         "sim_ann_lsh": _mod("similarity", "ann_sign_lsh"),
+        "sim_ann_hyperplane": _mod("similarity", "ann_hyperplane_lsh"),
         "sim_label_centroids": _mod("similarity", "label_centroids"),
+        # — custom grouped op (applyInPandas UDAF surface) —
+        "grouped_robust_stats": _mod("grouped", "robust_stats"),
         # — multimodal —
         "mm_binary_metadata": _mod("multimodal", "binary_metadata"),
         "mm_decode_stub": _mod("multimodal", "decode_metadata"),
@@ -530,6 +533,49 @@ def oracle_sql() -> dict[str, str]:
         FROM b e, q
         WHERE e.bucket = q.qbucket AND e.vec_id != 0
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """
+
+    from dump_es_parquet_spark.operators.similarity import _hyperplanes
+
+    def _plane_sql(w: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+
+    hp_buckets = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(w)}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, w in enumerate(_hyperplanes())
+    )
+    q["sim_ann_hyperplane"] = f"""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, label, v,
+                     {hp_buckets} AS bucket
+              FROM e),
+        q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+        SELECT vec_id, label, bucket,
+               round(list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM b e, q
+        WHERE bit_count(xor(CAST(e.bucket AS BIGINT), CAST(q.qbucket AS BIGINT))) <= 1
+          AND e.vec_id != 0
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """
+
+    q["grouped_robust_stats"] = """
+        WITH m AS (
+          SELECT event_type, count(*) AS n_events,
+                 quantile_cont(value, 0.5) AS med,
+                 quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               any_value(m.n_events) AS n_events,
+               round(any_value(m.med), 6) AS median_value,
+               round(any_value(m.iqr), 6) AS iqr,
+               round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        FROM events e JOIN m USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type
     """
 
     q["sim_label_centroids"] = """

@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-verify-certs", action="store_true")
     p.add_argument("--output", default="parquet",
                    choices=["parquet", "ndjson", "csv", "jsonl", "stdout"])
-    p.add_argument("--compression", default=None, choices=[None, "gzip", "zstd"])
+    p.add_argument("--compression", default=None, choices=["gzip", "zstd"])
     p.add_argument("--sort", default=DEFAULT_SORT)  # :380
     p.add_argument("--size", type=int, default=500)  # :379
     p.add_argument("--timeout", type=int, default=60)  # :381

@@ -138,3 +138,79 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dim") < 8)  # keep the checked slice compact
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (multi-probe)
+# ---------------------------------------------------------------------------
+
+HP_PLANES = 8
+HP_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 —
+    reproducible across engines and sessions (components in [-7.5,7.5]
+    from hex digits; direction is all that matters for sign-LSH)."""
+    import hashlib
+
+    planes = []
+    for j in range(HP_PLANES):
+        row = []
+        for d in range(HP_DIM):
+            h = hashlib.md5(f"hp|{j}|{d}".encode()).hexdigest()
+            row.append(float(int(h[:2], 16) % 16) - 7.5)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(v: Column) -> Column:
+    """8-bit random-hyperplane signature: bit j = (v · w_j >= 0).
+    Sequential fold dot products — engine-portable."""
+    out = F.lit(0)
+    for j, w in enumerate(_hyperplanes()):
+        wcol = F.array(*[F.lit(x) for x in w])
+        out = out + F.when(dot(v, wcol) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def ann_hyperplane_lsh(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Multi-probe random-hyperplane LSH top-k: probe the query's
+    bucket plus all buckets at hamming distance 1 (9 of 256 cells ≈
+    3.5% of the corpus scanned), exact cosine re-rank inside the
+    probed cells. The standard recall/cost dial: more probes → higher
+    recall, same plan.
+
+    Measured on the synthetic testdata (near-uniform vectors, max
+    pairwise cosine ≈ 0.5): recall@10 ≈ 0.2 while scanning 3.6% of the
+    corpus — ~5× better than random probing; real embedding corpora
+    with genuine near-neighbors bucket far more coherently."""
+    e = load(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        hyperplane_bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = F.broadcast(
+        bucketed.filter(F.col("vec_id") == query_id).select(
+            F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+        )
+    )
+    hamming = F.bit_count(
+        F.col("bucket").bitwiseXOR(F.col("qbucket"))
+    )
+    return (
+        bucketed.crossJoin(q)
+        .filter((hamming <= 1) & (F.col("vec_id") != query_id))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -326,3 +326,20 @@ def test_dump_hive_partitioning(spark, tmp_path):
     )
     assert "PartitionFilters: [isnotnull(status" in plan
     assert back.filter("status = 'idle'").count() == 500
+
+
+def test_single_file_jsonl_gzip_reference_naming(spark, tmp_path):
+    # reference __output_ext (:206-212): {index}.jsonl.gz in flat mode
+    res = dump(
+        spark,
+        factory,
+        "metrics-2026.06",
+        str(tmp_path),
+        ScanOptions(slices=2),
+        SinkOptions(output="jsonl", compression="gzip", single_file=True),
+    )
+    assert res.indices["metrics-2026.06"] == str(tmp_path / "metrics-2026.06.jsonl.gz")
+    import gzip
+
+    with gzip.open(tmp_path / "metrics-2026.06.jsonl.gz", "rt") as f:
+        assert json.loads(f.readline())["host"].startswith("web-")
