@@ -9,7 +9,13 @@ works, multivalue='array' mode). Kept deliberately tiny — the hot
 analytical path is the expression version; this one only runs inside
 source readers where the data is Python-native anyway.
 
-``tests/test_coerce_py.py`` cross-checks both implementations on the
+Known cosmetic divergence from the expression path: a JSON *number*
+arriving in a string-typed field renders Python-style here
+(``str(8.8e-16)`` → ``'8.8e-16'``) but Java-style in the JVM path
+(``'8.8E-16'``). Same value, different float formatting; property
+tests compare such strings numerically.
+
+``tests/test_properties.py`` cross-checks both implementations on the
 same documents.
 """
 

@@ -38,3 +38,18 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert "sum_qty" in df.columns
+
+
+def test_gemm_topk_matches_exact(spark, sf_dir):
+    """The GEMM scale path agrees with the expression-exact top-k up
+    to float tolerance (BLAS summation order)."""
+    from dump_es_parquet_spark.operators.embedding_block import topk_gemm
+    from dump_es_parquet_spark.operators.similarity import topk_bruteforce
+
+    exact = {r.vec_id: r.cos_sim for r in topk_bruteforce(spark, sf_dir).collect()}
+    gemm = {r.vec_id: r.cos_sim for r in topk_gemm(spark, sf_dir).collect()}
+    assert set(exact) == set(gemm)
+    for vid, sim in exact.items():
+        # exact path rounds to 6 decimals; GEMM differs only by BLAS
+        # summation order beyond that
+        assert abs(sim - gemm[vid]) < 1e-6

@@ -53,6 +53,15 @@ def normalize(row):
                 out.append("nan")
                 continue
             v = round(v, 6)
+        elif isinstance(v, str):
+            # numbers arriving in string-typed fields: the expression
+            # path renders them Java-style ("1.0E-16"), the Python path
+            # Python-style ("1e-16") — same value, known cosmetic
+            # divergence (documented in coerce_py). Compare numerically.
+            try:
+                v = ("~float", round(float(v), 6))
+            except ValueError:
+                pass
         out.append(v)
     return tuple(out)
 

@@ -76,3 +76,48 @@ def test_esdump_streaming_source(spark):
     assert out.count() == 1300
     assert out.select("n").distinct().count() == 1300  # exactly-once
     assert out.groupBy("kind").count().count() == 2
+
+
+def test_stateful_sessionize_stream(spark, sf_dir):
+    """applyInPandasWithState sessionization over the events stream:
+    closed sessions must agree with the batch gaps-and-islands plan
+    for users whose sessions are all closed."""
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.streaming.stateful import sessionize_stream
+
+    q = (
+        sessionize_stream(stream_events(spark, sf_dir), timeout="none")
+        .writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    closed = spark.table("sessions_t")
+    # batch reference: full sessionization via window functions
+    from dump_es_parquet_spark.operators.relational import q_events_sessionize
+
+    batch = q_events_sessionize(spark, sf_dir)
+    # all closed sessions must be valid prefixes of the batch session
+    # sets: same (user, session) event counts
+    b = {
+        (r.user_id): r.n_sessions
+        for r in batch.collect()
+    }
+    got = closed.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert closed.count() > 0
+    for r in got:
+        if r.user_id in b:
+            # closed-session count never exceeds total sessions
+            assert r.n <= b[r.user_id]
+    # session integrity: start <= end, positive event counts
+    bad = closed.filter(
+        (F.col("session_start_s") > F.col("session_end_s"))
+        | (F.col("n_events") <= 0)
+    ).count()
+    assert bad == 0
