@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _rel("q_events_hourly"),
         "events_sessionize": _rel("q_events_sessionize"),
         "events_top_users": _rel("q_events_top_users"),
+        "scalar_functions": _rel("q_scalar_functions"),
         # — streaming (batch-equivalent plan; true stream tested in tests/) —
         "stream_window_counts": _stream_batch_equiv,
         # — text analysis —
@@ -334,6 +335,34 @@ def oracle_sql() -> dict[str, str]:
         FROM per_session
         WHERE user_id <= 200
         GROUP BY user_id ORDER BY user_id
+    """
+
+    q["scalar_functions"] = """
+        WITH oo AS (
+          SELECT o_orderkey,
+                 upper(o_orderpriority) AS prio_upper,
+                 substr(o_orderpriority, 1, 1) AS prio_code,
+                 o_orderstatus || '#' || o_orderpriority AS status_tag,
+                 lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS key_padded,
+                 CAST(year(o_orderdate) AS INT) AS order_year,
+                 CAST(month(o_orderdate) AS INT) AS order_month,
+                 CAST(day(o_orderdate) AS INT) AS order_day,
+                 abs(o_totalprice - 100000) AS price_dist,
+                 round(sqrt(o_totalprice), 6) AS price_sqrt,
+                 round(ln(o_totalprice), 6) AS price_ln,
+                 o_orderkey % 7 AS key_mod7
+          FROM orders WHERE o_orderkey < 500
+        ), ee AS (
+          SELECT event_id AS o_orderkey,
+                 list_sort(str_split_regex(event_type, '')) AS type_chars,
+                 len(str_split_regex(event_type, '')) AS type_len,
+                 CAST(props::JSON->>'k' AS BIGINT) AS props_k,
+                 regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_devoweled
+          FROM events WHERE event_id < 500
+        )
+        SELECT oo.*, ee.type_chars, ee.type_len, ee.props_k, ee.type_devoweled
+        FROM oo JOIN ee USING (o_orderkey)
+        ORDER BY o_orderkey
     """
 
     q["events_top_users"] = """

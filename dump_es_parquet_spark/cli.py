@@ -70,7 +70,14 @@ def main(argv: list[str] | None = None) -> int:
     def client_factory():
         from dump_es_parquet_spark.sources.client import RestES
 
-        return RestES(args.es, timeout=args.timeout)
+        return RestES(
+            args.es,
+            timeout=args.timeout,
+            cert=args.cert,
+            key=args.key,
+            capath=args.capath,
+            verify_certs=not args.no_verify_certs,
+        )
 
     scan = ScanOptions(
         query=args.query,

@@ -363,3 +363,42 @@ def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("value").desc(), F.col("event_id").asc())
         .limit(100)
     )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage in one projection (SURVEY §2.2 row
+    "scalar functions"): string, date, math, array, and JSON functions
+    — all JVM-side, one narrow pass."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    oo = (
+        o.filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.upper("o_orderpriority").alias("prio_upper"),
+            F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+            F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("status_tag"),
+            F.lpad(F.col("o_orderkey").cast("string"), 8, "0").alias("key_padded"),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.abs(F.col("o_totalprice") - 100000).alias("price_dist"),
+            F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+            F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+            F.pmod(F.col("o_orderkey"), F.lit(7)).alias("key_mod7"),
+        )
+    )
+    ee = (
+        e.filter(F.col("event_id") < 500)
+        .select(
+            F.col("event_id").alias("o_orderkey"),
+            F.array_sort(F.split("event_type", "")).alias("type_chars"),
+            F.size(F.split("event_type", "")).alias("type_len"),
+            F.get_json_object("props", "$.k").cast("long").alias("props_k"),
+            F.regexp_replace("event_type", "[aeiou]", "_").alias("type_devoweled"),
+        )
+    )
+    return (
+        oo.join(ee, "o_orderkey")
+        .orderBy("o_orderkey")
+    )

@@ -216,15 +216,33 @@ class MockES:
 
 @dataclass
 class RestES:
-    """Minimal JSON-over-HTTP client (no external deps).
+    """Minimal JSON-over-HTTP(S) client (no external deps).
 
     TLS/client-cert options mirror the reference ctor
-    (``dump-es-parquet:71-83``); pass ``context`` via ``ssl`` if
-    needed. Only the endpoints the engine uses are implemented.
+    (``dump-es-parquet:71-83``): ``cert``/``key`` for mutual TLS,
+    ``capath`` for a CA bundle, ``verify_certs=False`` to disable
+    verification. Only the endpoints the engine uses are implemented.
     """
 
     base_url: str
     timeout: int = 60
+    cert: str | None = None
+    key: str | None = None
+    capath: str | None = None
+    verify_certs: bool = True
+
+    def _ssl_context(self):
+        import ssl
+
+        if not self.base_url.startswith("https"):
+            return None
+        ctx = ssl.create_default_context(cafile=self.capath)
+        if self.cert:
+            ctx.load_cert_chain(self.cert, self.key)
+        if not self.verify_certs:
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        return ctx
 
     def _req(self, method: str, path: str, body: dict | None = None) -> dict:
         url = self.base_url.rstrip("/") + path
@@ -233,7 +251,9 @@ class RestES:
             url, data=data, method=method, headers={"Content-Type": "application/json"}
         )
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            with urllib.request.urlopen(
+                req, timeout=self.timeout, context=self._ssl_context()
+            ) as resp:
                 return json.loads(resp.read())
         except OSError as e:  # connection-level failures → retryable
             raise TransportError(str(e)) from e

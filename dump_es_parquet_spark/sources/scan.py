@@ -181,6 +181,26 @@ def _sort_columns(sort: str, columns: list[str]):
     return cols or [F.lit(1)]
 
 
+def read_pattern_unioned(
+    spark: SparkSession,
+    client_factory: Callable[[], object],
+    pattern: str,
+    opts: ScanOptions | None = None,
+) -> DataFrame:
+    """All matching indices as ONE frame with an ``_index`` column
+    (SURVEY op #19 union/append across indices): ``unionByName`` with
+    missing-column tolerance — dynamically-mapped indices rarely share
+    exact schemas (reference README.md:95-97 pairs with DuckDB's
+    ``union_by_name=true`` for the same reason)."""
+    dfs = read_pattern(spark, client_factory, pattern, opts, add_index_column=True)
+    if not dfs:
+        raise ValueError(f"no indices match pattern {pattern!r}")
+    out = None
+    for df in dfs.values():
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def read_pattern(
     spark: SparkSession,
     client_factory: Callable[[], object],

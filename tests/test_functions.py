@@ -1,0 +1,69 @@
+"""UDTF surface + approximate-aggregate accuracy + pattern union."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dump_es_parquet_spark.functions.udtf import ShingleExplode, register
+from dump_es_parquet_spark.operators.tables import load
+
+
+def test_udtf_shingle_explode(spark):
+    register(spark)
+    rows = spark.sql(
+        "SELECT * FROM shingle_explode('a b c d', 3)"
+    ).collect()
+    assert [(r.shingle, r.pos) for r in rows] == [("a b c", 0), ("b c d", 1)]
+    # lateral join over a table
+    spark.createDataFrame([("x y z w",)], "text string").createOrReplaceTempView(
+        "t_udtf"
+    )
+    n = spark.sql(
+        "SELECT s.shingle FROM t_udtf, LATERAL shingle_explode(text, 2) s"
+    ).count()
+    assert n == 3
+
+
+def test_udtf_matches_jvm_shingles(spark, sf_dir):
+    """The Python UDTF and the JVM expression produce the same shingle
+    multiset (modulo the expression's array_distinct)."""
+    from dump_es_parquet_spark.operators.dedup import shingles_col
+
+    register(spark)
+    d = load(spark, sf_dir, "documents").limit(20)
+    d.createOrReplaceTempView("t_docs_udtf")
+    py = (
+        spark.sql(
+            "SELECT doc_id, collect_set(s.shingle) sh FROM t_docs_udtf, "
+            "LATERAL shingle_explode(text, 3) s GROUP BY doc_id"
+        )
+        .select("doc_id", F.array_sort("sh").alias("sh"))
+        .collect()
+    )
+    jvm = (
+        d.select("doc_id", F.array_sort(shingles_col()).alias("sh")).collect()
+    )
+    assert {r.doc_id: r.sh for r in py} == {r.doc_id: r.sh for r in jvm}
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """HLL sketch (approx_count_distinct) lands within its rsd bound of
+    the exact count — the approximate-aggregate surface."""
+    o = load(spark, sf_dir, "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.06  # 3×rsd
+
+
+def test_read_pattern_unioned(spark):
+    from tests.test_source_pipeline import FIXTURE, factory
+
+    from dump_es_parquet_spark.sources.scan import read_pattern_unioned
+    from dump_es_parquet_spark.sources import ScanOptions
+
+    df = read_pattern_unioned(spark, factory, "metrics-*", ScanOptions(slices=2))
+    assert "_index" in df.columns
+    counts = {r["_index"]: r["cnt"] for r in df.groupBy("_index").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts == {"metrics-2026.05": 1500, "metrics-2026.06": 100}
