@@ -110,24 +110,35 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     """Per-doc MinHash signature: 8 minima over 32-bit hash slices.
 
     Two md5s per shingle ("0|s", "1|s"), each split into four 8-hex-char
-    slices → 8 independent hash functions at a quarter of the md5 cost
-    of hashing per-function. String minima are engine-portable
-    (lexicographic order == numeric order for fixed-width hex)."""
+    slices → 8 independent hash functions. The md5 arrays materialize
+    in a first projection so each md5 is computed once (not once per
+    derived hash — projection collapse would otherwise inline it 4×);
+    the minima are then cheap substring transforms. String minima are
+    engine-portable (lexicographic == numeric for fixed-width hex)."""
     sh = shingles_col()
 
-    def _mh(src_idx, slice_idx):
-        def fn(s):
-            return F.substring(
-                F.md5(F.concat(F.lit(f"{src_idx}|"), s)), 1 + 8 * slice_idx, 8
-            )
+    def _md5_fn(prefix):
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
-        return fn
+    def _md5_arr(src_idx):
+        return F.transform(sh, _md5_fn(f"{src_idx}|"))
+
+    hashed = d.select(
+        "doc_id", _md5_arr(0).alias("h0"), _md5_arr(1).alias("h1")
+    ).localCheckpoint(eager=False)
+
+    def _substr_fn(start):
+        return lambda h: F.substring(h, start, 8)
+
+    def _slice_min(src_col, slice_idx):
+        return F.array_min(
+            F.transform(F.col(src_col), _substr_fn(1 + 8 * slice_idx))
+        )
 
     cols = [
-        F.array_min(F.transform(sh, _mh(i // 4, i % 4))).alias(f"mh{i}")
-        for i in range(MINHASHES)
+        _slice_min(f"h{i // 4}", i % 4).alias(f"mh{i}") for i in range(MINHASHES)
     ]
-    return d.select("doc_id", *cols)
+    return hashed.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(

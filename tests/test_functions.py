@@ -67,3 +67,32 @@ def test_read_pattern_unioned(spark):
     assert "_index" in df.columns
     counts = {r["_index"]: r["cnt"] for r in df.groupBy("_index").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert counts == {"metrics-2026.05": 1500, "metrics-2026.06": 100}
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from dump_es_parquet_spark.operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    plain = o.join(c, ["o_custkey"]).groupBy("c_nationkey").count()
+    salted = salted_join(o, c, ["o_custkey"]).groupBy("c_nationkey").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_distinct_count_exact(spark, sf_dir):
+    from dump_es_parquet_spark.operators.skew import salted_distinct_count
+
+    o = load(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    salted = {
+        r.o_orderpriority: r.n_distinct_o_custkey
+        for r in salted_distinct_count(o, "o_orderpriority", "o_custkey").collect()
+    }
+    assert exact == salted
