@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _rel("q1_pricing_summary"),
         "q3_shipping_priority": _rel("q3_shipping_priority"),
         "q5_local_supplier_volume": _rel("q5_local_supplier_volume"),
+        "q7_nation_volume": _rel("q7_nation_volume"),
+        "q10_returned_items": _rel("q10_returned_items"),
         "rollup_region_nation": _rel("q_rollup_region_nation"),
         "cube_order_status": _rel("q_cube_order_status"),
         "distinct_agg": _rel("q_distinct_agg"),
@@ -204,6 +206,37 @@ def oracle_sql() -> dict[str, str]:
         WHERE c_nationkey = s_nationkey
         GROUP BY n_name
         ORDER BY revenue DESC, n_name ASC
+    """
+
+    q["q7_nation_volume"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS ship_year,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name < n2.n_name
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= 5
+        ORDER BY 1, 2, 3
+    """
+
+    q["q10_returned_items"] = """
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_returned
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
     """
 
     q["rollup_region_nation"] = """

@@ -343,3 +343,47 @@ def test_single_file_jsonl_gzip_reference_naming(spark, tmp_path):
 
     with gzip.open(tmp_path / "metrics-2026.06.jsonl.gz", "rt") as f:
         assert json.loads(f.readline())["host"].startswith("web-")
+
+
+def test_sort_field_missing_no_crash(spark):
+    # default --sort @timestamp:asc on an index without that field
+    fixture = {
+        "nots": {
+            "mapping": {"n": {"type": "integer"}},
+            "docs": [{"n": i} for i in range(10)],
+        }
+    }
+    df = read_index(
+        spark, lambda: MockES(fixture), "nots",
+        ScanOptions(slices=1, order="global", sort="@timestamp:asc"),
+    )
+    assert df.count() == 10
+
+
+def test_row_bounded_output_files(spark, tmp_path):
+    # maxRecordsPerFile honors --max-partition-rows (reference :391-392)
+    res = dump(
+        spark,
+        factory,
+        "metrics-2026.05",
+        str(tmp_path),
+        ScanOptions(slices=1),
+        SinkOptions(output="parquet", partition_rows=400),
+    )
+    assert not res.errors
+    files = glob.glob(str(tmp_path / "metrics-2026.05" / "*.parquet"))
+    assert len(files) >= 4  # 1500 rows / 400 per file
+    import pyarrow.parquet as pq
+
+    assert max(pq.read_metadata(f).num_rows for f in files) <= 400
+
+
+def test_estimate_row_bytes_sane(spark):
+    from dump_es_parquet_spark.sinks import estimate_row_bytes, rows_per_file
+
+    df = read_index(spark, factory, "metrics-2026.06", ScanOptions(slices=1))
+    b = estimate_row_bytes(df)
+    assert 20 <= b <= 2000  # a few fields ≈ tens of bytes
+    # size bound tighter than row bound when partition_mb tiny
+    opts = SinkOptions(partition_rows=10**9, partition_mb=1)
+    assert rows_per_file(df, opts) < 10**9
