@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _rel("q_events_sessionize"),
         "events_top_users": _rel("q_events_top_users"),
         "scalar_functions": _rel("q_scalar_functions"),
+        "asof_events_orders": _mod("asof", "events_last_order"),
         # — streaming (batch-equivalent plan; true stream tested in tests/) —
         "stream_window_counts": _stream_batch_equiv,
         # — text analysis —
@@ -368,6 +369,30 @@ def oracle_sql() -> dict[str, str]:
         FROM per_session
         WHERE user_id <= 200
         GROUP BY user_id ORDER BY user_id
+    """
+
+    q["asof_events_orders"] = """
+        WITH l AS (
+          SELECT user_id AS k, ts AS t, 1 AS tag, event_id, ts AS ev_ts,
+                 NULL::STRUCT(o_orderdate TIMESTAMP, o_orderkey BIGINT) AS r
+          FROM events WHERE event_id < 2000
+        ), r AS (
+          SELECT o_custkey AS k, o_orderdate AS t, 0 AS tag,
+                 NULL::BIGINT AS event_id, NULL::TIMESTAMP AS ev_ts,
+                 struct_pack(o_orderdate := o_orderdate, o_orderkey := o_orderkey) AS r
+          FROM orders
+        ), u AS (
+          SELECT * FROM l UNION ALL BY NAME SELECT * FROM r
+        ), c AS (
+          SELECT *, last_value(r IGNORE NULLS) OVER (
+                      PARTITION BY k ORDER BY t, tag, r
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+          FROM u
+        )
+        SELECT event_id, k AS user_id, ev_ts AS ts,
+               m.o_orderdate AS asof_o_orderdate,
+               m.o_orderkey AS asof_o_orderkey
+        FROM c WHERE tag = 1 ORDER BY event_id
     """
 
     q["scalar_functions"] = """

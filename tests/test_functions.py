@@ -96,3 +96,31 @@ def test_salted_distinct_count_exact(spark, sf_dir):
         for r in salted_distinct_count(o, "o_orderpriority", "o_custkey").collect()
     }
     assert exact == salted
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.asof import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, T(2026, 1, 1, 10)), (1, T(2026, 1, 1, 12)), (2, T(2026, 1, 1, 9)),
+         (3, T(2026, 1, 1, 9))],
+        "k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, T(2026, 1, 1, 10), 100), (1, T(2026, 1, 1, 11), 200),
+         (2, T(2026, 1, 1, 9, 30), 300)],
+        "k long, rt timestamp, val int",
+    )
+    out = {
+        (r.k, r.t): r.asof_val
+        for r in asof_join(
+            left, right, "k", "k", "t", "rt", payload=["rt", "val"]
+        ).collect()
+    }
+    assert out[(1, T(2026, 1, 1, 10))] == 100   # exact-time tie matches
+    assert out[(1, T(2026, 1, 1, 12))] == 200   # latest prior
+    assert out[(2, T(2026, 1, 1, 9))] is None   # right row is later → no match
+    assert out[(3, T(2026, 1, 1, 9))] is None   # key never in right
