@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _mod("similarity", "topk_bruteforce"),
         "sim_ann_lsh": _mod("similarity", "ann_sign_lsh"),
         "sim_ann_hyperplane": _mod("similarity", "ann_hyperplane_lsh"),
+        "sim_topk_batch": _mod("similarity", "topk_batch"),
         "sim_label_centroids": _mod("similarity", "label_centroids"),
         # — custom grouped op (applyInPandas UDAF surface) —
         "grouped_robust_stats": _mod("grouped", "robust_stats"),
@@ -663,6 +664,24 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
         FROM events e JOIN m USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type
+    """
+
+    q["sim_topk_batch"] = """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT query_id, vec_id,
+                 round(list_dot_product(e.v, qs.qv)
+                       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv))), 6) AS cos_sim
+          FROM e CROSS JOIN qs WHERE e.vec_id != qs.query_id
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """
 
     q["sim_label_centroids"] = """

@@ -214,3 +214,38 @@ def ann_hyperplane_lsh(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def topk_batch(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """Batch top-k: many query vectors served in ONE scan — broadcast
+    the query set, cross join, per-query ranking via window row_number.
+    The batch-serving pattern: cost is one corpus scan regardless of
+    query count, versus n_queries separate TakeOrderedAndProject jobs.
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        e.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = (
+        e.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
