@@ -387,3 +387,41 @@ def test_estimate_row_bytes_sane(spark):
     # size bound tighter than row bound when partition_mb tiny
     opts = SinkOptions(partition_rows=10**9, partition_mb=1)
     assert rows_per_file(df, opts) < 10**9
+
+
+def test_dump_ndjson_gzip(spark, tmp_path):
+    res = dump(
+        spark,
+        factory,
+        "metrics-2026.06",
+        str(tmp_path),
+        ScanOptions(slices=2),
+        SinkOptions(output="ndjson", compression="gzip"),
+    )
+    assert not res.errors
+    import gzip
+
+    files = glob.glob(str(tmp_path / "metrics-2026.06" / "*.json.gz"))
+    assert files
+    rec = json.loads(gzip.open(files[0], "rt").readline())
+    assert rec["host"].startswith("web-")
+
+
+def test_restes_ssl_context_selection():
+    from dump_es_parquet_spark.sources.client import RestES
+
+    assert RestES("http://x:9200")._ssl_context() is None
+    ctx = RestES("https://x:9200", verify_certs=False)._ssl_context()
+    assert ctx is not None and ctx.check_hostname is False
+
+
+def test_stdout_mode(spark, capsys):
+    from dump_es_parquet_spark.sinks import write_stdout
+    from dump_es_parquet_spark.sources.scan import read_index_raw
+
+    raw = read_index_raw(spark, factory, "metrics-2026.06", ScanOptions(slices=2))
+    n = write_stdout(raw, limit=5)
+    assert n == 5
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 5
+    assert json.loads(out[0])["host"].startswith("web-")
