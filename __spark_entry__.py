@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _mod("text", "quality_score"),
         "text_lang_id": _mod("text", "lang_id"),
         "text_fingerprint": _mod("text", "fingerprint"),
+        "text_chunking": _mod("chunking", "chunk_stats"),
         # — dedup —
         "dedup_exact": _mod("dedup", "exact_dedup"),
         "dedup_ngram_jaccard": _mod("dedup", "ngram_jaccard_pairs"),
@@ -495,6 +496,25 @@ def oracle_sql() -> dict[str, str]:
                list_min([md5(array_to_string(toks[x+1:x+3], ' '))
                          FOR x IN range(0, greatest(len(toks)-3, 0) + 1)]) AS min_shingle_hash
         FROM t ORDER BY doc_id
+    """
+
+    q["text_chunking"] = r"""
+        WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                   FROM documents),
+        starts AS (
+          SELECT doc_id, t,
+                 greatest(CAST(ceil((len(t) - 64) / 48.0) AS INT), 0) * 48 AS last_start
+          FROM t
+        ), ch AS (
+          SELECT doc_id,
+                 array_to_string(t[s.x + 1 : s.x + 64], ' ') AS chunk_text,
+                 least(len(t) - s.x, 64) AS n_chunk_tokens
+          FROM starts, LATERAL (SELECT unnest(range(0, last_start + 1, 48)) AS x) s
+        )
+        SELECT doc_id, count(*) AS n_chunks,
+               sum(n_chunk_tokens) AS total_chunk_tokens,
+               min(md5(chunk_text)) AS min_chunk_digest
+        FROM ch GROUP BY doc_id ORDER BY doc_id
     """
 
     # — dedup —

@@ -184,7 +184,11 @@ def minhash_lsh_pairs(
     # arrays ride two broadcast-sized joins (candidates are rare by
     # construction); at larger corpora the same plan holds because the
     # array join is proportional to |candidates|, not |corpus|².
-    docs = d.select("doc_id", shingles_col().alias("sh"))
+    # Materialized once — the verify sides must not recompute the
+    # regexp/shingle chain (and its codegen) per join side.
+    docs = d.select("doc_id", shingles_col().alias("sh")).localCheckpoint(
+        eager=False
+    )
     da, db = docs.alias("da"), docs.alias("db")
     inter = F.size(F.array_intersect(F.col("da.sh"), F.col("db.sh")))
     union = F.size(F.col("da.sh")) + F.size(F.col("db.sh")) - inter
@@ -300,3 +304,81 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def dedup_corpus(
+    d: DataFrame,
+    strategy: str = "exact",
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """User-facing dedup: returns the corpus with duplicates REMOVED
+    (keep the smallest id per duplicate group).
+
+    - ``strategy='exact'``: content-digest groupBy (md5 of text).
+    - ``strategy='minhash'``: near-dup pairs from the banded MinHash
+      path; connected near-dup pairs collapse transitively onto the
+      smallest id via iterated min-propagation (near-dup clusters are
+      tiny — diameter-bounded — so 2 rounds suffice for pair chains
+      found at these thresholds; loop to fixpoint for general graphs).
+    """
+    if strategy == "exact":
+        keep = (
+            d.select(F.col(id_col), F.md5("text").alias("_dg"))
+            .groupBy("_dg")
+            .agg(F.min(id_col).alias(id_col))
+            .drop("_dg")
+        )
+        return d.join(keep, id_col, "left_semi")
+    if strategy != "minhash":
+        raise ValueError(f"unknown dedup strategy {strategy!r}")
+    if id_col != "doc_id":
+        d = d.withColumnRenamed(id_col, "doc_id")
+        id_col = "doc_id"
+    sig = minhash_signatures(_par(d, id_col))
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", f"mh{2 * bi}", f"mh{2 * bi + 1}")
+                        ).alias("bhash"),
+                    )
+                    for bi in range(BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.bhash")
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bhash") == F.col("y.bhash"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+        .cache()
+    )
+    # min-propagation: map every id to the smallest id reachable via
+    # pair edges (2 rounds — see docstring)
+    root = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("_root")
+    )
+    for _ in range(1):
+        r2 = root.alias("r1").join(
+            root.select(F.col(id_col).alias("_root"), F.col("_root").alias("_r2")).alias("r2"),
+            "_root",
+            "left",
+        )
+        root = r2.select(
+            F.col(id_col), F.coalesce("_r2", "_root").alias("_root")
+        )
+    dup_ids = root.select(id_col)  # every id that maps to a smaller root
+    return d.join(dup_ids, id_col, "left_anti")

@@ -53,3 +53,50 @@ def test_gemm_topk_matches_exact(spark, sf_dir):
         # exact path rounds to 6 decimals; GEMM differs only by BLAS
         # summation order beyond that
         assert abs(sim - gemm[vid]) < 1e-6
+
+
+def test_dedup_corpus_exact(spark):
+    from dump_es_parquet_spark.operators.dedup import dedup_corpus
+
+    d = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_corpus(d, "exact").collect())
+    assert kept == [1, 2, 4]
+
+
+def test_dedup_corpus_minhash(spark):
+    from dump_es_parquet_spark.operators.dedup import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 6
+    variant = base.replace("lazy", "sleepy")  # near-dup of base
+    distinct = "completely different content with other words entirely " * 6
+    d = spark.createDataFrame(
+        [(1, base), (2, base), (3, variant), (4, distinct), (5, base + " extra")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_corpus(d, "minhash").collect())
+    # 2,3,5 collapse onto 1 (identical/near-identical); 4 survives
+    assert 1 in kept and 4 in kept
+    assert 2 not in kept
+    assert len(kept) <= 3
+
+
+def test_chunking(spark, sf_dir):
+    from dump_es_parquet_spark.operators.chunking import chunk_documents
+    from dump_es_parquet_spark.operators.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    ch = chunk_documents(d, chunk_tokens=64, stride=48)
+    row = ch.first()
+    assert row.n_chunk_tokens <= 64
+    # every doc produces >=1 chunk; token coverage complete
+    assert ch.select("doc_id").distinct().count() == d.count()
+    one = ch.filter("doc_id = 1").orderBy("chunk_id").collect()
+    toks = d.filter("doc_id = 1").first().text.split()
+    # last chunk ends at the document's end
+    assert one[-1].chunk_text.split()[-1] == toks[-1]
+    # consecutive chunks overlap by chunk-stride tokens
+    if len(one) > 1:
+        assert one[0].chunk_text.split()[48:] == one[1].chunk_text.split()[: 64 - 48]
