@@ -10,10 +10,18 @@ sequential double folds, bit-identical to list_dot_product).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# the harness may import this file by path from any cwd — make the
+# package importable regardless
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 

@@ -100,3 +100,21 @@ def test_chunking(spark, sf_dir):
     # consecutive chunks overlap by chunk-stride tokens
     if len(one) > 1:
         assert one[0].chunk_text.split()[48:] == one[1].chunk_text.split()[: 64 - 48]
+
+
+def test_corpus_curation_pipeline(spark, sf_dir):
+    from dump_es_parquet_spark.operators.corpus import curate
+    from dump_es_parquet_spark.operators.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    chunks = curate(d, min_tokens=10, languages=("en", "es"), dedup="exact")
+    assert chunks.columns == ["doc_id", "chunk_id", "chunk_text", "n_chunk_tokens"]
+    n = chunks.count()
+    assert 0 < n
+    # only en/es docs survive
+    langs = (
+        chunks.join(d, "doc_id").select("lang").distinct().collect()
+    )
+    assert {r.lang for r in langs} <= {"en", "es"}
+    # no chunk exceeds the window
+    assert chunks.agg({"n_chunk_tokens": "max"}).collect()[0][0] <= 64
