@@ -84,6 +84,10 @@ def coerce_value(v: Any, dtype: T.DataType, multivalue: str = "first"):
         if not v:  # empty list → missing (:136-137)
             return None
         v = v[0]  # first element (:132-135)
+        if v is None:
+            # [null] → NULL (the reference's str() branch would emit
+            # the literal string "None" here — PARITY.md: NULL wins)
+            return None
     if multivalue == "array" and isinstance(dtype, T.ArrayType):
         return [coerce_value(v, dtype.elementType)]
     if isinstance(dtype, T.StructType):
