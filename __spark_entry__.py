@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _mod("text", "lang_id"),
         "text_fingerprint": _mod("text", "fingerprint"),
         "text_chunking": _mod("chunking", "chunk_stats"),
+        "corpus_splits": _mod("sampling", "split_summary"),
         # — dedup —
         "dedup_exact": _mod("dedup", "exact_dedup"),
         "dedup_ngram_jaccard": _mod("dedup", "ngram_jaccard_pairs"),
@@ -523,6 +524,31 @@ def oracle_sql() -> dict[str, str]:
                sum(n_chunk_tokens) AS total_chunk_tokens,
                min(md5(chunk_text)) AS min_chunk_digest
         FROM ch GROUP BY doc_id ORDER BY doc_id
+    """
+
+    q["corpus_splits"] = """
+        WITH h AS (
+          SELECT doc_id, n_chars,
+                 md5('split' || CAST(doc_id AS VARCHAR)) AS hh
+          FROM documents
+        ), dig AS (
+          SELECT doc_id, n_chars,
+                 (ascii(substr(hh,1,1)) - CASE WHEN ascii(substr(hh,1,1)) >= 97 THEN 87 ELSE 48 END) * 4096
+               + (ascii(substr(hh,2,1)) - CASE WHEN ascii(substr(hh,2,1)) >= 97 THEN 87 ELSE 48 END) * 256
+               + (ascii(substr(hh,3,1)) - CASE WHEN ascii(substr(hh,3,1)) >= 97 THEN 87 ELSE 48 END) * 16
+               + (ascii(substr(hh,4,1)) - CASE WHEN ascii(substr(hh,4,1)) >= 97 THEN 87 ELSE 48 END) AS v
+          FROM h
+        ), s AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN v % 10000 < 1000 THEN 'val'
+                      WHEN v % 10000 < 2000 THEN 'test'
+                      ELSE 'train' END AS split
+          FROM dig
+        )
+        SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars,
+               min(doc_id) AS min_doc_id,
+               md5(array_to_string(list_sort(list(doc_id)), ',')) AS membership_digest
+        FROM s GROUP BY split ORDER BY split
     """
 
     # — dedup —

@@ -124,3 +124,30 @@ def test_asof_join_semantics(spark):
     assert out[(1, T(2026, 1, 1, 12))] == 200   # latest prior
     assert out[(2, T(2026, 1, 1, 9))] is None   # right row is later → no match
     assert out[(3, T(2026, 1, 1, 9))] is None   # key never in right
+
+
+def test_deterministic_split_stable(spark, sf_dir):
+    from dump_es_parquet_spark.operators.sampling import (
+        deterministic_sample,
+        train_val_test_split,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    s1 = {r.doc_id: r.split for r in train_val_test_split(d, "doc_id").collect()}
+    # same rows, different partitioning → identical assignment
+    s2 = {
+        r.doc_id: r.split
+        for r in train_val_test_split(d.repartition(7), "doc_id").collect()
+    }
+    assert s1 == s2
+    assert set(s1.values()) == {"train", "val", "test"}
+    # splits are disjoint+exhaustive by construction; fractions sane
+    n = len(s1)
+    n_val = sum(1 for v in s1.values() if v == "val")
+    assert 0.02 < n_val / n < 0.25
+    # sampling with different salts gives different (deterministic) sets
+    a = {r.doc_id for r in deterministic_sample(d, "doc_id", 0.3, "s1").collect()}
+    b = {r.doc_id for r in deterministic_sample(d, "doc_id", 0.3, "s2").collect()}
+    assert a != b
+    a2 = {r.doc_id for r in deterministic_sample(d, "doc_id", 0.3, "s1").collect()}
+    assert a == a2
