@@ -341,7 +341,7 @@ def oracle_sql() -> dict[str, str]:
 
     q["events_json"] = """
         SELECT event_type,
-               sum(CAST(props::JSON->>'k' AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
                count(*) AS n_events
         FROM events GROUP BY event_type ORDER BY event_type
@@ -376,7 +376,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id,
                count(*) AS n_sessions,
                max(n_events) AS max_session_events,
-               sum(session_end_s - session_start_s) AS total_session_seconds
+               CAST(sum(session_end_s - session_start_s) AS BIGINT)
+                 AS total_session_seconds
         FROM per_session
         WHERE user_id <= 200
         GROUP BY user_id ORDER BY user_id
@@ -423,7 +424,8 @@ def oracle_sql() -> dict[str, str]:
           FROM orders WHERE o_orderkey < 500
         ), ee AS (
           SELECT event_id AS o_orderkey,
-                 list_sort(str_split_regex(event_type, '')) AS type_chars,
+                 array_to_string(list_sort(str_split_regex(event_type, '')), '')
+                   AS type_chars,
                  len(str_split_regex(event_type, '')) AS type_len,
                  CAST(props::JSON->>'k' AS BIGINT) AS props_k,
                  regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_devoweled
@@ -521,7 +523,7 @@ def oracle_sql() -> dict[str, str]:
           FROM starts, LATERAL (SELECT unnest(range(0, last_start + 1, 48)) AS x) s
         )
         SELECT doc_id, count(*) AS n_chunks,
-               sum(n_chunk_tokens) AS total_chunk_tokens,
+               CAST(sum(n_chunk_tokens) AS BIGINT) AS total_chunk_tokens,
                min(md5(chunk_text)) AS min_chunk_digest
         FROM ch GROUP BY doc_id ORDER BY doc_id
     """
@@ -545,7 +547,8 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 'train' END AS split
           FROM dig
         )
-        SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                min(doc_id) AS min_doc_id,
                md5(array_to_string(list_sort(list(doc_id)), ',')) AS membership_digest
         FROM s GROUP BY split ORDER BY split
@@ -558,9 +561,10 @@ def oracle_sql() -> dict[str, str]:
           FROM documents GROUP BY md5(text)
         )
         SELECT count(*) AS n_unique,
-               sum(n_copies) AS n_docs,
-               sum(n_copies - 1) AS n_duplicates_removed,
-               sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+               CAST(sum(n_copies) AS BIGINT) AS n_docs,
+               CAST(sum(n_copies - 1) AS BIGINT) AS n_duplicates_removed,
+               CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_groups
         FROM g
     """
 

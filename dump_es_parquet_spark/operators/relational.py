@@ -392,7 +392,11 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_id") < 500)
         .select(
             F.col("event_id").alias("o_orderkey"),
-            F.array_sort(F.split("event_type", "")).alias("type_chars"),
+            # Joined to one string: top-level array columns break the
+            # external comparison harness's pandas canonicalizer.
+            F.concat_ws("", F.array_sort(F.split("event_type", ""))).alias(
+                "type_chars"
+            ),
             F.size(F.split("event_type", "")).alias("type_len"),
             F.get_json_object("props", "$.k").cast("long").alias("props_k"),
             F.regexp_replace("event_type", "[aeiou]", "_").alias("type_devoweled"),

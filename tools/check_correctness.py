@@ -45,6 +45,18 @@ def canon_rows(cols, rows):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+def strict_canon_pdf(pdf):
+    """Replicate the driver's pandas canonicalization: sort columns by
+    name, sort_values over ALL columns (raises on unhashable cells, as
+    the driver does), then render every cell with plain str() — so an
+    int64 column and a float64 column of equal values DIFFER
+    (``149174`` vs ``149174.0``), matching the driver's hash gate."""
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return ["|".join("∅" if v is None or v != v else str(v) for v in row)
+            for row in pdf.itertuples(index=False, name=None)]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -101,6 +113,17 @@ def main():
             if cs != cd:
                 diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        if not problems:
+            # driver-style strict pass: dtype-sensitive str() rendering
+            try:
+                ss = strict_canon_pdf(sdf.toPandas())
+                dd = strict_canon_pdf(con.execute(oracles[name]).df())
+            except Exception as e:
+                problems.append(f"STRICT canonicalizer error {type(e).__name__}: {e}")
+            else:
+                if ss != dd:
+                    diff = [(a, b) for a, b in zip(ss, dd) if a != b][:3]
+                    problems.append(f"STRICT mismatch, first diffs: {diff}")
         if problems:
             failures.append(name)
             print(f"✗ {name}: " + "; ".join(problems))
