@@ -15,8 +15,10 @@ corpus —
   by pigeonhole, hamming ≤ 3 ⇒ at least one identical band) + exact
   hamming verify — result-identical to the O(n²) plan the DuckDB
   oracle runs, without the n² join.
-- embedding cosine: exact pairwise at test scale; the LSH-bucketed
-  scale path lives in ``similarity.py``.
+- embedding cosine: blocked-GEMM candidate generation (distributed
+  exact all-pairs, bounded memory) + sequential-fold verification of
+  candidates only — oracle-exact at any threshold, no full-corpus
+  BNLJ.
 
 Determinism: all hashing is md5 (bit-identical across engines), minima
 over md5 *strings* (lexicographic, engine-independent) — so every
@@ -234,24 +236,52 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_col(col="text", bits: int = SIMHASH_BITS):
-    """32-bit SimHash as a single int column: per-token md5 hex digits
-    vote each bit up/down; hex digit ≥ 8 ⟺ ascii(char) ≥ 56 (chars
-    '8','9','a'-'f'). Pure expressions — no explode, no UDF."""
-    toks = F.split(F.trim(F.col(col)), r"\s+")
+def simhash_from_hashes(th, bits: int = SIMHASH_BITS):
+    """32-bit SimHash from a pre-computed md5-per-token array column:
+    hex digit b of each token's digest votes bit b up/down; hex digit
+    ≥ 8 ⟺ ascii(char) ≥ 56 (chars '8','9','a'-'f'). Pure expressions
+    — no explode, no UDF. The folds only read the cached hex strings,
+    so each token is hashed exactly once (in the projection that built
+    ``th``), not once per bit."""
 
     def _vote_fn(b):
         # real closure — default-arg lambdas change the arity Spark
         # infers for higher-order functions
-        return lambda acc, t: acc + F.when(
-            F.ascii(F.substring(F.md5(t), b + 1, 1)) >= 56, F.lit(1)
+        return lambda acc, h: acc + F.when(
+            F.ascii(F.substring(h, b + 1, 1)) >= 56, F.lit(1)
         ).otherwise(F.lit(-1))
 
     out = F.lit(0).cast("long")
     for b in range(bits):
-        vote = F.aggregate(toks, F.lit(0), _vote_fn(b))
+        vote = F.aggregate(th, F.lit(0), _vote_fn(b))
         out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
     return out
+
+
+def simhash_col(col="text", bits: int = SIMHASH_BITS):
+    """Single-expression SimHash of a text column. Convenience form:
+    the optimizer cannot CSE through lambda bodies, so this may hash
+    each token up to ``bits`` times — ``simhash_signatures`` (two
+    projections with a lineage cut) is the efficient path."""
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    return simhash_from_hashes(F.transform(toks, F.md5), bits)
+
+
+def simhash_signatures(
+    d: DataFrame, col="text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Per-doc SimHash with ONE md5 per token: the digest array
+    materializes in its own projection (localCheckpoint cuts lineage so
+    projection collapse can't inline md5 into all ``bits`` folds — the
+    same trick ``minhash_signatures`` uses), then the bit-vote folds
+    read the cached hex strings."""
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    hashed = d.select(
+        "doc_id", F.transform(toks, F.md5).alias("th")
+    ).localCheckpoint(eager=False)
+    return hashed.select(
+        "doc_id", simhash_from_hashes(F.col("th"), bits).alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -261,7 +291,7 @@ def simhash_pairs(
     (4×4-bit bands; pigeonhole ⇒ no pair missed vs the O(n²) oracle)
     + exact bit_count verify."""
     d = _par(load(spark, sf_dir, "documents"))
-    sigs = d.select("doc_id", simhash_col().alias("simhash"))
+    sigs = simhash_signatures(d)
     band_w = SIMHASH_BITS // SIMHASH_BANDS
     bands = sigs.select(
         "doc_id",
@@ -302,13 +332,105 @@ def simhash_pairs(
     )
 
 
+def embedding_block_candidates(
+    e: DataFrame, threshold: float, block_size: int = 512, margin: float = 1e-6
+) -> DataFrame:
+    """Candidate pairs with cosine ≥ threshold − margin via **blocked
+    GEMM** — the distributed exact-all-pairs shape.
+
+    Exact all-pairs cosine is inherently O(n²) flops; what scale buys
+    is distributing those flops evenly with bounded memory. Rows are
+    assigned to B = ⌈n/block_size⌉ blocks; each row is replicated to
+    the B block-pairs containing its block (shuffle volume n·B, the
+    classic replicated-matmul cost), and each of the B(B+1)/2 groups
+    runs ONE dense numpy GEMM over ≤2·block_size vectors. No
+    broadcast-nested-loop join over the corpus ever happens, task
+    count and memory are set by block_size, not n.
+
+    The margin absorbs the only way GEMM can disagree with a
+    sequential-fold dot product — float summation order (~1e-15
+    relative) — so no pair at or above the true threshold is missed;
+    callers re-verify candidates with the exact fold."""
+    import math
+
+    n = e.count()
+    b = max(1, math.ceil(n / block_size))
+    tasks = (
+        e.select("vec_id", "embedding", F.pmod("vec_id", F.lit(b)).alias("blk"))
+        .select(
+            "vec_id",
+            "embedding",
+            "blk",
+            F.explode(F.array(*[F.lit(j) for j in range(b)])).alias("other"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.least("blk", "other").alias("bp_lo"),
+            F.greatest("blk", "other").alias("bp_hi"),
+            (F.col("blk") <= F.col("other")).alias("is_left"),
+        )
+    )
+    cutoff = threshold - margin
+
+    def _gemm(key, pdf):
+        # nested so cloudpickle ships it by value (driver cwd unknown)
+        import numpy as np
+        import pandas as pd
+
+        def mat(frame):
+            ids = frame["vec_id"].to_numpy()
+            m = np.vstack(
+                frame["embedding"].map(lambda a: np.asarray(a, dtype="float64"))
+            )
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m
+
+        empty = pd.DataFrame({"id_a": np.array([], dtype="int64"),
+                              "id_b": np.array([], dtype="int64")})
+        lo, hi = key
+        left = pdf[pdf["is_left"]]
+        if lo == hi:
+            if len(left) < 2:
+                return empty
+            ids, m = mat(left)
+            cos = m @ m.T
+            ii, jj = np.triu_indices(len(ids), 1)
+            keep = cos[ii, jj] >= cutoff
+            ia, ib = ids[ii[keep]], ids[jj[keep]]
+        else:
+            right = pdf[~pdf["is_left"]]
+            if len(left) == 0 or len(right) == 0:
+                return empty
+            ids_l, ml = mat(left)
+            ids_r, mr = mat(right)
+            ii, jj = np.nonzero(ml @ mr.T >= cutoff)
+            ia, ib = ids_l[ii], ids_r[jj]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib)}
+        )
+
+    return tasks.groupBy("bp_lo", "bp_hi").applyInPandas(
+        _gemm, "id_a long, id_b long"
+    )
+
+
 def embedding_near_dup(
     spark: SparkSession, sf_dir: str, threshold: float = 0.45
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold. Exact pairwise
-    here (oracle-checkable); the bucketed scale path is
-    ``similarity.ann_sign_lsh``. Dot products are sequential
-    double-folds — bit-identical to the oracle's list_dot_product."""
+    """Near-dup pairs by embedding cosine ≥ threshold, oracle-exact.
+
+    Two phases: (1) blocked-GEMM candidate generation
+    (``embedding_block_candidates`` — distributed numpy matmul, no
+    full-corpus BNLJ), then (2) exact verification of the tiny
+    candidate set with sequential double-folds — bit-identical to the
+    oracle's ``list_dot_product``, so the rounded cosines hash-match.
+
+    Sign/hyperplane LSH buckets were measured and rejected for this
+    operator: qualifying pairs in this corpus sit at cosine 0.45–0.51
+    (≈60°), where 8-bit bucket hamming reaches 6 — any bucketed
+    candidate scheme with bounded probing silently loses pairs. GEMM
+    candidates are exact at any threshold."""
     e = _par(load(spark, sf_dir, "embeddings"), "vec_id")
 
     def norm(v):
@@ -320,7 +442,10 @@ def embedding_near_dup(
             )
         )
 
-    vecs = e.select("vec_id", F.col("embedding").alias("v"), norm(F.col("embedding")).alias("nrm"))
+    cand = embedding_block_candidates(e, threshold)
+    vecs = e.select(
+        "vec_id", F.col("embedding").alias("v"), norm(F.col("embedding")).alias("nrm")
+    ).localCheckpoint(eager=False)
     a, b = vecs.alias("a"), vecs.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
@@ -328,10 +453,11 @@ def embedding_near_dup(
         lambda s, x: s + x,
     )
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        cand.join(a, F.col("id_a") == F.col("a.vec_id"))
+        .join(b, F.col("id_b") == F.col("b.vec_id"))
         .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
