@@ -124,8 +124,11 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     toks = F.split(norm, " ")
+    # greatest(..., 0) guards docs under 3 tokens: an unguarded
+    # sequence(0, size-3) runs DESCENDING when size < 3 and the slice
+    # then misbehaves (same guard as dedup.shingles_col)
     shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
     )
     return d.select(

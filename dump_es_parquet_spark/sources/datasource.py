@@ -141,7 +141,15 @@ class EsDumpReader(DataSourceReader):
     def _query(self) -> str | None:
         user = self.options.get("query")
         clauses = ([user] if user else []) + self.pushed_clauses
-        return " AND ".join(clauses) if clauses else None
+        if not clauses:
+            return None
+        if len(clauses) == 1:
+            return clauses[0]
+        # parenthesize each clause: Lucene binds AND tighter than OR,
+        # so an unparenthesized user query 'a:1 OR b:2' joined with a
+        # pushed 'c:3' would parse as 'a:1 OR (b:2 AND c:3)' — and the
+        # consumed pushdown filter is trusted, nothing re-checks rows
+        return " AND ".join(f"({c})" for c in clauses)
 
     def partitions(self) -> Sequence[InputPartition]:
         n = int(self.options.get("slices", "8"))

@@ -81,6 +81,20 @@ def test_push_filters_unit():
     assert r._query() == "status:idle"
 
 
+def test_query_clauses_parenthesized():
+    from pyspark.sql.datasource import EqualTo
+
+    schema = properties_to_struct(MAPPING)
+    r = EsDumpReader(
+        schema,
+        {"index": "logs", "query": "host:a OR host:b"},
+        pushable={"status"},
+    )
+    list(r.pushFilters([EqualTo(("status",), "idle")]))
+    # each clause parenthesized: Lucene AND binds tighter than OR
+    assert r._query() == "(host:a OR host:b) AND (status:idle)"
+
+
 def test_push_filters_text_not_pushed():
     from pyspark.sql.datasource import EqualTo
 

@@ -118,3 +118,28 @@ def test_corpus_curation_pipeline(spark, sf_dir):
     assert {r.lang for r in langs} <= {"en", "es"}
     # no chunk exceeds the window
     assert chunks.agg({"n_chunk_tokens": "max"}).collect()[0][0] <= 64
+
+
+def test_fingerprint_short_docs(spark, tmp_path):
+    """Docs with fewer than 3 tokens still fingerprint: the shingle
+    sequence is guarded with greatest(size-3, 0), so a 1- or 2-token
+    doc yields one whole-text shingle instead of a descending range."""
+    import hashlib
+
+    from dump_es_parquet_spark.operators.text import fingerprint
+
+    d = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, ""), (4, "exactly three tokens")],
+        "doc_id long, text string",
+    )
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in fingerprint(spark, str(tmp_path)).collect()}
+    assert len(out) == 4
+    for doc_id, norm in ((1, "one"), (2, "two words"), (3, "")):
+        h = hashlib.md5(norm.encode()).hexdigest()
+        assert out[doc_id].fingerprint == h
+        assert out[doc_id].min_shingle_hash == h
+    assert (
+        out[4].min_shingle_hash
+        == hashlib.md5(b"exactly three tokens").hexdigest()
+    )
