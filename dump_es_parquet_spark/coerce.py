@@ -7,17 +7,20 @@ no Python UDF anywhere in the hot path.
 
 Strategy ("dual wire parse"):
 
-1. Each raw ``_source`` JSON document is parsed **twice** with
-   ``from_json``:
+1. Each struct level is parsed **twice** with ``from_json``, one level
+   at a time (nested objects survive as raw JSON text and are re-parsed
+   the same way one level down — the reference's ``map_source``
+   recursion):
 
-   - *scalar wire*: every leaf is ``StringType``. Spark's JSON parser
+   - *scalar wire*: every field is ``StringType``. Spark's JSON parser
      stores the raw JSON text for non-string values, so ``3`` → ``"3"``,
      ``[1,2]`` → ``"[1,2]"``, ``{"a":1}`` → ``"{\"a\":1}"``.
-   - *array wire*: every field is ``ArrayType(wire)``. Scalars parse to
+   - *array wire*: every field is ``array<string>``. Scalars parse to
      NULL here; only genuine JSON arrays survive. This disambiguates a
      real multi-value field from a string that merely *looks* like
-     ``"[1,2]"`` — something the reference gets for free from Python
-     ``type(v) is list`` (``:132``).
+     ``"[1,2]"`` — by JSON syntax, at every nesting depth — something
+     the reference gets for free from Python ``type(v) is list``
+     (``:132``).
 
 2. Per field: if the array-wire value is non-null → multi-value field →
    collapse to its first element (reference ``:129-137``: "Taking the
@@ -48,7 +51,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dump_es_parquet_spark.schema import FLATTEN_SEP, wire_struct
+from dump_es_parquet_spark.schema import FLATTEN_SEP
 
 #: Reference epoch seconds-vs-millis cutoff (dump-es-parquet:151):
 #: values < 2e10 are seconds ("Tue Oct 11 2603"), else milliseconds.
@@ -60,17 +63,30 @@ EPOCH_SECONDS_MILLIS_CUTOFF = 20_000_000_000
 # ---------------------------------------------------------------------------
 
 
+def scalar_wire_struct(schema: T.StructType) -> T.StructType:
+    """ONE parse level: every field — struct fields included — becomes
+    StringType. Spark's JSON parser stores the raw JSON text of
+    whatever the value is (number, bool, array, **object**), so each
+    nested object survives as text and the coercion recursion can
+    re-apply the same dual parse at the next level. This is what makes
+    nested levels behave identically to the top level (the reference's
+    ``map_source`` recursion): a nested ``{"port":[9200,9300]}`` is
+    still a *JSON array token* when its level is parsed, never a quoted
+    string."""
+    return T.StructType(
+        [T.StructField(f.name, T.StringType()) for f in schema.fields]
+    )
+
+
 def array_wire_struct(schema: T.StructType) -> T.StructType:
-    """Schema where every field is wrapped in ArrayType of its wire
-    type — used to detect genuine JSON arrays (multi-value fields)."""
-    out = []
-    for f in schema.fields:
-        if isinstance(f.dataType, T.StructType):
-            inner: T.DataType = wire_struct(f.dataType)
-        else:
-            inner = T.StringType()
-        out.append(T.StructField(f.name, T.ArrayType(inner)))
-    return T.StructType(out)
+    """ONE parse level where every field is ``array<string>`` — only
+    genuine JSON arrays survive (scalars/objects/strings parse to
+    NULL), with elements as raw JSON text. Disambiguates a real
+    multi-value field from a string that merely looks like "[1,2]" by
+    JSON *syntax*, not text sniffing."""
+    return T.StructType(
+        [T.StructField(f.name, T.ArrayType(T.StringType())) for f in schema.fields]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -141,33 +157,36 @@ def _coerce_struct(
 ) -> list[tuple[str, Column]]:
     """Coerce one wire-struct level → list of (name, typed Column).
 
-    ``scalar``: struct with string leaves; ``arrays``: struct with
-    array-wrapped fields (NULL per field when the JSON value was not an
-    array).
+    ``scalar``: one-level struct whose every field is the raw JSON
+    text of the value; ``arrays``: one-level struct with
+    ``array<string>`` fields (NULL when the JSON value was not an
+    array). Each nested struct level re-parses its raw text with the
+    same pair of wires, so multi-value collapse and array detection
+    work identically at every depth — mirroring the reference's
+    ``map_source`` recursion (dump-es-parquet:112-144).
     """
     out: list[tuple[str, Column]] = []
     for f in schema.fields:
         s = scalar[f.name]
         a = arrays[f.name]
+        # multi-value: first element, empty list → missing (reference
+        # :132-137; F.get is 0-indexed and null-safe under ANSI)
+        picked = F.when(a.isNotNull(), F.get(a, 0)).otherwise(s)
         if isinstance(f.dataType, T.StructType):
-            # multi-value struct field: first element (reference :132-135
-            # applies before the struct recursion at :139-144)
-            picked = F.when(a.isNotNull(), F.element_at(a, 1)).otherwise(s)
-            # nested arrays-inside-structs: one collapse level is enough
-            # for ES semantics; re-parse nested text for array detection
-            # is intentionally not done below the top level (documented
-            # deviation — the reference recurses with the same collapse).
             sub = _coerce_struct(
-                picked,
-                F.from_json(F.to_json(picked), array_wire_struct(f.dataType)),
+                F.from_json(picked, scalar_wire_struct(f.dataType)),
+                F.from_json(picked, array_wire_struct(f.dataType)),
                 f.dataType,
                 multivalue,
             )
             out.append(
                 (
                     f.name,
+                    # from_json yields an all-NULL row (not a NULL
+                    # struct) for non-object text, so gate on "is this
+                    # a JSON object" to keep NULL semantics
                     F.when(
-                        picked.isNotNull(),
+                        F.json_object_keys(picked).isNotNull(),
                         F.struct(*[c.alias(n) for n, c in sub]),
                     ),
                 )
@@ -188,11 +207,6 @@ def _coerce_struct(
 
                 out.append((f.name, F.transform(arr, _elem_coercer(elem_dt))))
             else:
-                # reference-compatible: first element, empty list → NULL
-                picked = F.when(
-                    a.isNotNull(),
-                    F.when(F.size(a) > 0, F.element_at(a, 1)),
-                ).otherwise(s)
                 out.append((f.name, coerce_leaf(picked, f.dataType)))
     return out
 
@@ -231,7 +245,7 @@ def parse_and_coerce(
     keeps the whole thing in one codegen stage over the scan.
     """
     raw = F.col(value_col)
-    scalar = F.from_json(raw, wire_struct(schema))
+    scalar = F.from_json(raw, scalar_wire_struct(schema))
     arrays = F.from_json(raw, array_wire_struct(schema))
     cols = _coerce_struct(scalar, arrays, schema, multivalue)
     if flatten:
@@ -263,7 +277,7 @@ def warning_aggregates(
       the cast dropped (``unable to convert field …``, ``:161-180``).
     """
     raw = F.col(value_col)
-    scalar = F.from_json(raw, wire_struct(schema))
+    scalar = F.from_json(raw, scalar_wire_struct(schema))
     arrays = F.from_json(raw, array_wire_struct(schema))
     known = F.array(*[F.lit(f.name) for f in schema.fields])
     aggs: dict[str, Column] = {

@@ -146,3 +146,49 @@ def test_python_and_expression_coercion_agree(spark):
         pr = flat(pr)
         # blob JSON text may differ in whitespace only
         assert er == pr, f"doc={doc}\nexpr={er}\npy={pr}"
+
+
+def test_nested_struct_multivalue_coercion(spark):
+    """Multi-value scalars NESTED inside structs collapse to their
+    first element — at every depth — exactly like top-level fields
+    (reference map_source recursion). Regression: the old to_json
+    round-trip serialized a nested array as the quoted string
+    '"[9200,9300]"', which never parsed as an array and coerced to
+    NULL instead of 9200."""
+    props = {
+        "meta": {
+            "properties": {
+                "host": {"type": "keyword"},
+                "port": {"type": "integer"},
+                "deep": {"properties": {"vals": {"type": "long"}}},
+            }
+        },
+        "note": {"type": "keyword"},
+    }
+    schema = properties_to_struct(props)
+    docs = [
+        {"meta": {"host": ["a", "b"], "port": [9200, 9300],
+                  "deep": {"vals": [7, 8, 9]}}, "note": "[not an array]"},
+        {"meta": {"port": [], "deep": [{"vals": 1}, {"vals": 2}]}},
+        {"meta": 3},
+        {"meta": {"port": "9201"}},
+    ]
+    expr_df = parse_and_coerce(
+        spark.createDataFrame([(json.dumps(d),) for d in docs], "value string"),
+        schema,
+    )
+    rows = expr_df.collect()
+    assert rows[0].meta.host == "a"
+    assert rows[0].meta.port == 9200
+    assert rows[0].meta.deep.vals == 7
+    # a string that merely looks like an array stays a string
+    assert rows[0].note == "[not an array]"
+    # empty list → missing; array-of-objects → first object
+    assert rows[1].meta.port is None
+    assert rows[1].meta.deep.vals == 1
+    # scalar where an object is expected → NULL struct
+    assert rows[2].meta is None
+    assert rows[3].meta.port == 9201
+    # the Python twin agrees on the advisor's exact case
+    py = [coerce_doc(d, schema) for d in docs]
+    assert py[0][0][1] == 9200 and py[0][0][0] == "a"
