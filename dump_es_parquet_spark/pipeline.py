@@ -16,7 +16,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from dump_es_parquet_spark.coerce import parse_and_coerce, warning_aggregates
-from dump_es_parquet_spark.sinks import SinkOptions, write, write_stdout
+from dump_es_parquet_spark.sinks import (
+    SinkOptions,
+    bounded_rows_per_file,
+    estimate_row_bytes_from_docs,
+    write,
+    write_stdout,
+)
 from dump_es_parquet_spark.sources.scan import (
     ScanOptions,
     expand_pattern,
@@ -52,6 +58,27 @@ class DumpResult:
         return lines
 
 
+def _sample_rows_per_file(
+    client, idx: str, scan: ScanOptions, sink: SinkOptions
+) -> int | None:
+    """maxRecordsPerFile for one index from a single driver-side page
+    fetch (no scroll context, no Spark job): raw ``_source`` JSON size
+    approximates the written row width closely enough for the MB bound
+    — and keeps each index's distributed scan single-pass."""
+    if not sink.partition or sink.output == "stdout":
+        return None
+    resp = client.search(
+        idx,
+        q=scan.query,
+        _source=scan.source_includes(),
+        sort=None,
+        size=min(1000, scan.size),
+        scroll=None,
+    )
+    docs = [h.get("_source", {}) for h in resp.get("hits", {}).get("hits", [])]
+    return bounded_rows_per_file(estimate_row_bytes_from_docs(docs), sink)
+
+
 def dump(
     spark: SparkSession,
     client_factory,
@@ -72,9 +99,14 @@ def dump(
         try:
             logger.log(UBER, "Processing index %s", idx)
             raw = read_index_raw(spark, client_factory, idx, scan)
+            rpf = _sample_rows_per_file(client_factory(), idx, scan, sink)
             if build_df:
                 schema = fetch_schema(client_factory(), idx, scan)
-                # one-pass warning observation riding the write job
+                # one-pass warning observation riding the write job.
+                # The write action must be the FIRST action on this
+                # plan — any earlier action (e.g. a sampling count)
+                # would satisfy Observation.get with truncated-sample
+                # numbers — hence the driver-side rpf sample above.
                 aggs = warning_aggregates(schema)
                 from pyspark.sql import Observation
 
@@ -85,14 +117,18 @@ def dump(
                 )
                 if scan.order == "global" and scan.sort:
                     df = df.orderBy(*_sort_columns(scan.sort, df.columns))
-                result.indices[idx] = write(df, output_path, idx, sink)
+                result.indices[idx] = write(
+                    df, output_path, idx, sink, rows_per_file_hint=rpf
+                )
                 result.warnings[idx] = {
                     k: v for k, v in obs.get.items() if isinstance(v, int)
                 }
             elif sink.output == "stdout":
                 result.indices[idx] = write_stdout(raw)
             else:  # jsonl raw
-                result.indices[idx] = write(raw, output_path, idx, sink)
+                result.indices[idx] = write(
+                    raw, output_path, idx, sink, rows_per_file_hint=rpf
+                )
         except Exception as e:  # per-index isolation (reference :87-95)
             logger.error("Exception while processing index %s", idx)
             traceback.print_exc()

@@ -81,29 +81,70 @@ def estimate_row_bytes(df: DataFrame, sample_rows: int = 1000) -> int:
     return max(1, int(total / n))
 
 
-def rows_per_file(df: DataFrame, opts: SinkOptions) -> int | None:
+def estimate_row_bytes_from_docs(docs: list) -> int:
+    """Driver-side bytes/row estimate from a sampled page of raw
+    ``_source`` docs — no Spark job, so the dump's distributed scan
+    stays single-pass (the Spark-side ``estimate_row_bytes`` would
+    partially re-scroll the index, and — worse — its sample count
+    would be the *first action* on an observed plan, poisoning the
+    warning-report counts with truncated-sample numbers)."""
+    import json
+
+    if not docs:
+        return 1
+    total = sum(
+        len(d if isinstance(d, str) else json.dumps(d)) for d in docs
+    )
+    return max(1, total // len(docs))
+
+
+def bounded_rows_per_file(row_bytes: int, opts: SinkOptions) -> int | None:
     """Effective maxRecordsPerFile from the row bound AND the size
     bound (whichever is tighter), like the reference's dual threshold
     at ``:284-289``."""
     if not opts.partition:
         return None
-    by_rows = opts.partition_rows
-    row_bytes = estimate_row_bytes(df)
-    by_size = max(1, (opts.partition_mb * 1024 * 1024) // row_bytes)
-    return min(by_rows, by_size)
+    by_size = max(1, (opts.partition_mb * 1024 * 1024) // max(1, row_bytes))
+    return min(opts.partition_rows, by_size)
 
 
-def write(df: DataFrame, path: str, index: str, opts: SinkOptions | None = None) -> str:
-    """Write one index's frame. Returns the output location."""
+def rows_per_file(df: DataFrame, opts: SinkOptions) -> int | None:
+    """Sampled-from-the-frame variant for direct ``write()`` callers.
+    NOTE: runs a bounded sampling job over ``df`` — inside ``dump()``
+    the driver-side page sample (``estimate_row_bytes_from_docs``) is
+    used instead so the scan isn't re-executed and observed plans see
+    no pre-write action."""
+    if not opts.partition:
+        return None
+    return bounded_rows_per_file(estimate_row_bytes(df), opts)
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    index: str,
+    opts: SinkOptions | None = None,
+    rows_per_file_hint: int | None = None,
+) -> str:
+    """Write one index's frame. Returns the output location.
+
+    ``rows_per_file_hint``: pre-computed maxRecordsPerFile; when None
+    and partitioning is on, a bounded sampling job over ``df`` derives
+    it (don't pass observed plans through that path)."""
     opts = opts or SinkOptions()
     out_dir = os.path.join(path, index)
-    writer = df.write.mode("overwrite")
+    # decide the output frame FIRST, then build one writer chain — a
+    # rebuilt writer silently drops previously-set options
+    df_out = df.coalesce(1) if opts.single_file else df
+    writer = df_out.write.mode("overwrite")
 
     if opts.partition:
-        writer = writer.option("maxRecordsPerFile", rows_per_file(df, opts))
-    if opts.single_file:
-        df_out = df.coalesce(1)
-        writer = df_out.write.mode("overwrite")
+        rpf = (
+            rows_per_file_hint
+            if rows_per_file_hint is not None
+            else rows_per_file(df, opts)
+        )
+        writer = writer.option("maxRecordsPerFile", rpf)
     if opts.partition_by:
         if opts.single_file:
             raise ValueError("partition_by and single_file are mutually exclusive")

@@ -425,3 +425,29 @@ def test_stdout_mode(spark, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 5
     assert json.loads(out[0])["host"].startswith("web-")
+
+
+def test_warning_counts_cover_full_dump(spark, tmp_path):
+    """The warning observation is satisfied by the WRITE job, not by
+    any sampling pre-action: with >1000 docs (the old Spark-side
+    sampler's limit) and default partitioning, 'docs' must equal the
+    full corpus count — a truncated-sample observation would report
+    ≤1000 here."""
+    n = 1500
+    fixture = {
+        "big": {
+            "mapping": MAPPING,
+            "docs": [{"host": f"h{i}", "port": [i, i + 1]} for i in range(n)],
+        }
+    }
+    res = dump(
+        spark,
+        lambda: MockES(fixture),
+        "big",
+        str(tmp_path),
+        ScanOptions(slices=2),
+        SinkOptions(output="parquet"),  # partition=True (default)
+    )
+    assert not res.errors
+    assert res.warnings["big"]["docs"] == n
+    assert res.warnings["big"]["multivalue_collapsed"] == n
