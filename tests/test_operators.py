@@ -143,3 +143,47 @@ def test_fingerprint_short_docs(spark, tmp_path):
         out[4].min_shingle_hash
         == hashlib.md5(b"exactly three tokens").hexdigest()
     )
+
+
+def test_component_min_labels_fixpoint(spark):
+    """Min-label propagation runs to fixpoint: in edges (1,3),(2,3),
+    (2,4) the component minimum 1 is NOT adjacent to 2 or 4 — only
+    iterated propagation labels the whole component with 1."""
+    from dump_es_parquet_spark.operators.dedup import _component_min_labels
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (2, 4), (10, 11)], "id_a long, id_b long"
+    )
+    labels = {r.node: r.label for r in _component_min_labels(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_corpus_minhash_chain(spark):
+    """A 4-doc near-dup chain a≈b≈c≈d collapses to one survivor."""
+    from dump_es_parquet_spark.operators.dedup import dedup_corpus
+
+    base = ["w%d" % i for i in range(40)]
+    rows = []
+    text = base
+    for i in range(4):
+        rows.append((i + 1, " ".join(text)))
+        text = text + ["extra%d" % i]  # each step appends one token
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup_corpus(d, "minhash", threshold=0.7).collect())
+    assert kept == [1]
+
+
+def test_dedup_corpus_minhash_threshold_honored(spark):
+    """Band collisions below the Jaccard threshold are NOT removed:
+    with threshold=0.99, docs at J≈0.9 survive (only the exact dup
+    collapses). Previously raw LSH collisions deleted non-duplicates
+    and the threshold parameter was silently unused."""
+    from dump_es_parquet_spark.operators.dedup import dedup_corpus
+
+    base = " ".join("t%d" % i for i in range(30))
+    near = base + " tail_token"  # high-J near-dup, but < 0.99
+    d = spark.createDataFrame(
+        [(1, base), (2, base), (3, near)], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup_corpus(d, "minhash", threshold=0.99).collect())
+    assert kept == [1, 3]
