@@ -130,6 +130,7 @@ class MockES:
     fail_first: int = 0
     _calls: itertools.count = field(default_factory=itertools.count, repr=False)
     _scrolls: dict = field(default_factory=dict, repr=False)
+    _pits: dict = field(default_factory=dict, repr=False)
 
     def _maybe_fail(self):
         if next(self._calls) < self.fail_first:
@@ -149,25 +150,46 @@ class MockES:
         return {index: {"mappings": {"properties": props}}}
 
     # -- scan ---------------------------------------------------------
-    def _docs_for(self, index, q, slice_spec) -> list[dict]:
-        docs = [d for d in self.fixture[index]["docs"] if _match_query_string(d, q)]
+    def _entries_for(self, docs, q, slice_spec) -> list[tuple[int, dict]]:
+        """(stable ordinal, doc) pairs — ordinals are assigned over the
+        unfiltered corpus so ``_id``/``_shard_doc`` stay stable across
+        queries and slices, like a real server's doc ids."""
+        entries = [
+            (i, d) for i, d in enumerate(docs) if _match_query_string(d, q)
+        ]
         if slice_spec:
             i, n = slice_spec["id"], slice_spec["max"]
-            docs = docs[i::n]
-        return docs
+            entries = entries[i::n]
+        return entries
 
     @staticmethod
-    def _sort_docs(docs: list[dict], sort: str | None) -> list[dict]:
+    def _sort_spec(sort: str | None) -> list[tuple[str, bool]]:
         if not sort:
-            return docs
-        for part in reversed(sort.split(",")):
-            fld, _, direction = part.partition(":")
-            docs = sorted(
-                docs,
-                key=lambda d: (_get_path(d, fld) is None, _get_path(d, fld)),
-                reverse=direction.strip() == "desc",
-            )
-        return docs
+            return []
+        return [
+            (p.partition(":")[0].strip(), p.partition(":")[2].strip() == "desc")
+            for p in sort.split(",")
+        ]
+
+    @staticmethod
+    def _sort_value(ordinal: int, doc: dict, fld: str):
+        if fld == "_id":
+            return str(ordinal)
+        if fld == "_shard_doc":  # PIT tie-breaker: global doc ordinal
+            return ordinal
+        return _get_path(doc, fld)
+
+    @staticmethod
+    def _after_cursor(sort_vals: list, cursor: list, spec) -> bool:
+        """Real search_after semantics: strictly after the cursor tuple
+        in sort order, honoring per-field direction — ties on a page
+        boundary are only safe when the sort ends in a unique key."""
+        for v, c, (_, desc) in zip(sort_vals, cursor, spec):
+            if v == c:
+                continue
+            lt = (v is None, v) < (c is None, c)
+            return lt if desc else not lt
+        return False
 
     def search(
         self,
@@ -179,17 +201,43 @@ class MockES:
         scroll: str | None = "1h",
         slice_spec: dict | None = None,
         search_after: list | None = None,
+        pit_id: str | None = None,
+        keep_alive: str = "1h",
     ) -> dict:
         self._maybe_fail()
-        docs = self._sort_docs(self._docs_for(index, q, slice_spec), sort)
-        hits = [
-            {"_id": str(i), "_index": index, "_source": _project(d, _source)}
-            for i, d in enumerate(docs)
-        ]
+        if pit_id is not None:
+            if pit_id not in self._pits:
+                raise TransportError(f"unknown or expired pit {pit_id!r}")
+            docs = self._pits[pit_id]  # frozen point-in-time view
+        else:
+            docs = self.fixture[index]["docs"]
+        entries = self._entries_for(docs, q, slice_spec)
+        spec = self._sort_spec(sort)
+        for fld, desc in reversed(spec):
+            entries = sorted(
+                entries,
+                key=lambda e: (
+                    self._sort_value(*e, fld) is None,
+                    self._sort_value(*e, fld),
+                ),
+                reverse=desc,
+            )
+        hits = []
+        for ordinal, d in entries:
+            h = {
+                "_id": str(ordinal),
+                "_index": index,
+                "_source": _project(d, _source),
+            }
+            if spec:
+                h["sort"] = [self._sort_value(ordinal, d, f) for f, _ in spec]
+            hits.append(h)
         if search_after is not None:
-            # cursor = [offset] — a real server uses sort values + _id;
-            # offset is equivalent for a frozen mock corpus
-            hits = hits[int(search_after[0]) :]
+            if not spec:
+                raise TransportError("search_after requires a sort")
+            hits = [
+                h for h in hits if self._after_cursor(h["sort"], search_after, spec)
+            ]
         total = len(hits)
         page, rest = hits[:size], hits[size:]
         resp = {"hits": {"total": {"value": total}, "hits": page}}
@@ -197,9 +245,22 @@ class MockES:
             sid = f"scroll-{index}-{id(rest)}-{len(rest)}"
             self._scrolls[sid] = (rest, size)
             resp["_scroll_id"] = sid
-        if page and search_after is not None:
-            resp["last_sort"] = [int(search_after[0]) + len(page)]
+        if spec and page:
+            resp["last_sort"] = page[-1]["sort"]
         return resp
+
+    # -- point-in-time (snapshot isolation, like a scroll context) ----
+    def open_pit(self, index: str, keep_alive: str = "1h") -> dict:
+        self._maybe_fail()
+        import copy
+
+        pid = f"pit-{index}-{len(self._pits)}"
+        self._pits[pid] = copy.deepcopy(self.fixture[index]["docs"])
+        return {"id": pid}
+
+    def close_pit(self, pit_id: str) -> dict:
+        self._maybe_fail()
+        return {"succeeded": self._pits.pop(pit_id, None) is not None}
 
     def scroll(self, scroll_id: str, scroll: str = "1h") -> dict:
         self._maybe_fail()
@@ -274,9 +335,11 @@ class RestES:
         scroll: str | None = "1h",
         slice_spec: dict | None = None,
         search_after: list | None = None,
+        pit_id: str | None = None,
+        keep_alive: str = "1h",
     ) -> dict:
         params = [f"size={size}"]
-        if scroll:
+        if scroll and pit_id is None:  # a PIT search must not open a scroll
             params.append(f"scroll={scroll}")
         if q:
             params.append("q=" + urllib.parse.quote(q))
@@ -288,8 +351,18 @@ class RestES:
         if slice_spec:
             body["slice"] = slice_spec
         if search_after is not None:
+            # None means "from the start" and must be OMITTED — a real
+            # server would interpret a literal [0] as "after sort
+            # value 0" and silently skip documents
             body["search_after"] = search_after
-        resp = self._req("POST", f"/{index}/_search?" + "&".join(params), body or None)
+        if pit_id is not None:
+            # PIT searches address /_search without an index (the pit
+            # id pins index + snapshot)
+            body["pit"] = {"id": pit_id, "keep_alive": keep_alive}
+            path = "/_search?"
+        else:
+            path = f"/{index}/_search?"
+        resp = self._req("POST", path + "&".join(params), body or None)
         hits = resp.get("hits", {}).get("hits", [])
         if hits and "sort" in hits[-1]:
             resp["last_sort"] = hits[-1]["sort"]
@@ -299,6 +372,28 @@ class RestES:
         return self._req(
             "POST", "/_search/scroll", {"scroll": scroll, "scroll_id": scroll_id}
         )
+
+    def open_pit(self, index: str, keep_alive: str = "1h") -> dict:
+        """POST /{index}/_pit — point-in-time context (ES ≥ 7.10 /
+        OpenSearch ≥ 2.4), the snapshot the reference gets implicitly
+        from its scroll context (dump-es-parquet:224,261)."""
+        return self._req("POST", f"/{index}/_pit?keep_alive={keep_alive}")
+
+    def close_pit(self, pit_id: str) -> dict:
+        return self._req("DELETE", "/_pit", {"id": pit_id})
+
+
+def with_sort_tiebreaker(sort: str | None, pit: bool) -> str:
+    """Append a unique tie-breaker to a sort spec unless one is
+    already present: without it, documents sharing the last sort value
+    at a page boundary are silently SKIPPED by search_after. ``_id``
+    works everywhere; under a PIT the server-recommended ``_shard_doc``
+    is used instead."""
+    tb = "_shard_doc:asc" if pit else "_id:asc"
+    fields = [p.partition(":")[0].strip() for p in sort.split(",")] if sort else []
+    if "_id" in fields or "_shard_doc" in fields:
+        return sort  # caller already provides a unique key
+    return f"{sort},{tb}" if sort else tb
 
 
 def iter_hits_search_after(
@@ -312,37 +407,57 @@ def iter_hits_search_after(
     slice_spec: dict | None = None,
     max_retries: int | None = 3,
     backoff_s: float = 1.0,
+    pit: bool = False,
+    keep_alive: str = "1h",
 ) -> Iterable[dict]:
     """``search_after`` pagination loop — the retry-idempotent cursor
     (SURVEY.md §7 hard part 2): unlike a scroll id, the sort-key cursor
     is *resumable*, so a retried page re-requests exactly where the
     last successful page ended instead of consuming a one-shot
-    server-side cursor. Pair with a PIT id in production for snapshot
-    isolation; the pagination mechanics are identical."""
-    cursor: list | None = [0]  # first page: offset-style cursor start
-    while True:
-        after = None if cursor == [0] else cursor
-        resp = with_retry(
-            lambda: client.search(
-                index,
-                q=q,
-                _source=_source,
-                sort=sort,
-                size=size,
-                scroll=None,  # no server-held cursor
-                slice_spec=slice_spec,
-                search_after=after if after is not None else [0],
-            ),
-            max_retries=max_retries,
-            backoff_s=backoff_s,
-        )
-        hits = resp["hits"]["hits"]
-        if not hits:
-            return
-        yield from hits
-        cursor = resp.get("last_sort")
-        if cursor is None:
-            return
+    server-side cursor.
+
+    The sort always ends in a unique tie-breaker (see
+    ``with_sort_tiebreaker``) and the first page omits ``search_after``
+    entirely. With ``pit=True`` a point-in-time context is opened per
+    slice and threaded through every page, giving the same snapshot
+    isolation as the reference's scroll context
+    (dump-es-parquet:224,261) — without it, a dump concurrent with
+    writes can see skew or duplicates."""
+    sort_eff = with_sort_tiebreaker(sort, pit)
+    pit_id = client.open_pit(index, keep_alive)["id"] if pit else None
+    cursor: list | None = None  # None → first page, omit search_after
+    try:
+        while True:
+            resp = with_retry(
+                lambda: client.search(
+                    index,
+                    q=q,
+                    _source=_source,
+                    sort=sort_eff,
+                    size=size,
+                    scroll=None,  # no server-held scroll cursor
+                    slice_spec=slice_spec,
+                    search_after=cursor,
+                    pit_id=pit_id,
+                    keep_alive=keep_alive,
+                ),
+                max_retries=max_retries,
+                backoff_s=backoff_s,
+            )
+            hits = resp["hits"]["hits"]
+            if not hits:
+                return
+            yield from hits
+            nxt = resp.get("last_sort")
+            if nxt is None or nxt == cursor:
+                return
+            cursor = nxt
+    finally:
+        if pit_id is not None:
+            try:
+                client.close_pit(pit_id)
+            except Exception:  # best-effort: PITs expire via keep_alive
+                pass
 
 
 def iter_hits(

@@ -45,6 +45,9 @@ class ScanOptions:
     size: int = 500  # --size, page size (:379)
     scroll: str = "1h"  # --scroll, cursor TTL (:382)
     cursor: str = "scroll"  # 'scroll' (reference) | 'search_after' (retry-idempotent)
+    # search_after mode only: open a point-in-time per slice for
+    # snapshot isolation matching scroll mode (needs ES≥7.10/OS≥2.4)
+    pit: bool = False
     slices: int = 8  # engine extension: scan parallelism
     flatten: bool = False  # --flatten (:388-390)
     multivalue: str = "first"  # 'first' (reference) | 'array'
@@ -84,6 +87,8 @@ def _slice_reader(
                     slice_spec=spec,
                     max_retries=opts.max_retries,
                     backoff_s=opts.backoff_s,
+                    pit=opts.pit,
+                    keep_alive=opts.scroll,  # same TTL knob as scroll mode
                 )
             else:
                 hits = iter_hits(

@@ -27,7 +27,7 @@ from typing import Iterator, Tuple
 from pyspark.sql.datasource import SimpleDataSourceStreamReader
 
 from dump_es_parquet_spark.coerce_py import coerce_doc, flatten_doc
-from dump_es_parquet_spark.sources.client import with_retry
+from dump_es_parquet_spark.sources.client import with_retry, with_sort_tiebreaker
 
 
 class EsDumpStreamReader(SimpleDataSourceStreamReader):
@@ -45,7 +45,10 @@ class EsDumpStreamReader(SimpleDataSourceStreamReader):
         return _make_client(self.options)
 
     def initialOffset(self) -> dict:
-        return {"cursor": [0]}
+        # None → first page omits search_after ("from the start"); a
+        # literal [0] cursor would mean "after sort value 0" on a real
+        # server and silently skip documents
+        return {"cursor": None}
 
     def _read_pages(
         self, start_cursor, max_pages: int | None, stop_cursor=None
@@ -67,7 +70,11 @@ class EsDumpStreamReader(SimpleDataSourceStreamReader):
                     self.options["index"],
                     q=self.options.get("query"),
                     _source=None,
-                    sort=self.options.get("sort", "@timestamp:asc"),
+                    # unique tie-breaker: page boundaries must not skip
+                    # docs sharing the last sort value
+                    sort=with_sort_tiebreaker(
+                        self.options.get("sort", "@timestamp:asc"), pit=False
+                    ),
                     size=int(self.options.get("size", "500")),
                     scroll=None,
                     search_after=cur,

@@ -451,3 +451,92 @@ def test_warning_counts_cover_full_dump(spark, tmp_path):
     assert not res.errors
     assert res.warnings["big"]["docs"] == n
     assert res.warnings["big"]["multivalue_collapsed"] == n
+
+
+def test_search_after_first_page_not_skipped():
+    """The first page omits search_after entirely: a literal [0]
+    cursor means 'after sort value 0' on a real server and would skip
+    documents sorting at or below 0."""
+    from dump_es_parquet_spark.sources.client import iter_hits_search_after
+
+    fixture = {
+        "nums": {
+            "mapping": {"n": {"type": "integer"}},
+            "docs": [{"n": i} for i in range(10)],  # includes n=0
+        }
+    }
+    hits = list(
+        iter_hits_search_after(
+            MockES(fixture), "nums", q=None, _source=None,
+            sort="n:asc", size=3, backoff_s=0,
+        )
+    )
+    assert [h["_source"]["n"] for h in hits] == list(range(10))
+
+
+def test_search_after_ties_at_page_boundary():
+    """Documents sharing the last sort value at a page boundary are
+    not skipped: the automatic _id tie-breaker makes the cursor
+    unique. 50 docs share one timestamp, page size 7."""
+    from dump_es_parquet_spark.sources.client import iter_hits_search_after
+
+    fixture = {
+        "ties": {
+            "mapping": MAPPING,
+            "docs": [{"host": f"h{i}", "@timestamp": "2026-05-01T00:00:00"}
+                     for i in range(50)],
+        }
+    }
+    hits = list(
+        iter_hits_search_after(
+            MockES(fixture), "ties", q=None, _source=None,
+            sort="@timestamp:asc", size=7, backoff_s=0,
+        )
+    )
+    assert len(hits) == 50
+    assert len({h["_id"] for h in hits}) == 50
+
+
+def test_pit_snapshot_isolation():
+    """cursor='search_after' with pit=True freezes a point-in-time
+    view like the reference's scroll context: documents added mid-scan
+    are invisible, while the plain search_after cursor sees them."""
+    from dump_es_parquet_spark.sources.client import iter_hits_search_after
+
+    def fresh():
+        return {
+            "live": {
+                "mapping": MAPPING,
+                "docs": [{"host": f"h{i}", "@timestamp": f"2026-05-01T00:00:{i:02d}"}
+                         for i in range(20)],
+            }
+        }
+
+    # PIT: mutation after the first page is invisible
+    fixture = fresh()
+    client = MockES(fixture)
+    it = iter_hits_search_after(
+        client, "live", q=None, _source=None, sort="@timestamp:asc",
+        size=5, backoff_s=0, pit=True,
+    )
+    first = [next(it) for _ in range(5)]
+    fixture["live"]["docs"].append(
+        {"host": "new", "@timestamp": "2026-05-01T00:00:05.5"}
+    )
+    rest = list(it)
+    assert len(first) + len(rest) == 20
+    assert all(h["_source"]["host"] != "new" for h in rest)
+    assert client._pits == {}  # PIT closed on exhaustion
+
+    # plain search_after: same mutation IS visible (21 docs)
+    fixture2 = fresh()
+    client2 = MockES(fixture2)
+    it2 = iter_hits_search_after(
+        client2, "live", q=None, _source=None, sort="@timestamp:asc",
+        size=5, backoff_s=0,
+    )
+    first2 = [next(it2) for _ in range(5)]
+    fixture2["live"]["docs"].append(
+        {"host": "new", "@timestamp": "2026-05-01T00:00:05.5"}
+    )
+    assert len(first2) + len(list(it2)) == 21
