@@ -1,0 +1,238 @@
+"""RestES contract tests against a real HTTP transport.
+
+A stdlib HTTP server in a thread serves ES 7.17-shaped response JSON
+(the shapes a real `/_search`, `/_search/scroll`, `/_pit`, `/_mapping`,
+`/_settings` return) and records every request — so these tests pin
+the exact requests RestES builds (URL params vs body interplay,
+search_after omission on the first page, PIT addressing) *through
+urllib*, not through MockES. One response-shape mismatch here would
+break every real dump (SURVEY §5 / VERDICT r1 #10).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from dump_es_parquet_spark.sources.client import (
+    RestES,
+    iter_hits,
+    iter_hits_search_after,
+)
+
+DOCS = [{"host": f"web-{i}", "load": i / 10.0} for i in range(5)]
+
+
+def _sortvals(i: int, fields: list[str]) -> list:
+    vals = []
+    for f in fields:
+        if f == "_id":
+            vals.append(str(i))
+        elif f == "_shard_doc":
+            vals.append(i)
+        else:
+            vals.append(1_700_000_000_000 + i)
+    return vals
+
+
+class _Handler(BaseHTTPRequestHandler):
+    requests: list[dict] = []  # class-level recorder
+    pits_open: set = set()
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def _read_body(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        return json.loads(self.rfile.read(n)) if n else None
+
+    def _send(self, obj, code=200):
+        data = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _record(self, method):
+        parsed = urllib.parse.urlparse(self.path)
+        params = dict(urllib.parse.parse_qsl(parsed.query))
+        body = self._read_body()
+        rec = {"method": method, "path": parsed.path, "params": params,
+               "body": body}
+        _Handler.requests.append(rec)
+        return rec
+
+    def _hits_page(self, rec):
+        params, body = rec["params"], rec["body"] or {}
+        size = int(params.get("size", "500"))
+        sort_fields = [p.partition(":")[0]
+                       for p in params.get("sort", "").split(",") if p]
+        start = 0
+        if "search_after" in body:
+            # cursor = sort values of the last hit of the previous
+            # page; the unique tail (_id/_shard_doc) identifies it
+            tail = body["search_after"][-1]
+            start = int(tail) + 1
+        idx = list(range(start, min(start + size, len(DOCS))))
+        hits = []
+        for i in idx:
+            h = {"_index": "metrics", "_id": str(i), "_score": None,
+                 "_source": DOCS[i]}
+            if sort_fields:
+                h["sort"] = _sortvals(i, sort_fields)
+            hits.append(h)
+        return hits, len(DOCS) - start
+
+    def do_GET(self):
+        rec = self._record("GET")
+        if rec["path"].endswith("/_mapping"):
+            self._send({"metrics": {"mappings": {"properties": {
+                "host": {"type": "keyword"},
+                "load": {"type": "double"}}}}})
+        elif rec["path"].endswith("/_settings"):
+            self._send({"metrics": {"settings": {"index": {
+                "uuid": "x", "number_of_shards": "1"}}}})
+        else:
+            self._send({"error": "unknown"}, 404)
+
+    def do_DELETE(self):
+        rec = self._record("DELETE")
+        if rec["path"] == "/_pit":
+            _Handler.pits_open.discard(rec["body"]["id"])
+            self._send({"succeeded": True, "num_freed": 1})
+        else:
+            self._send({"error": "unknown"}, 404)
+
+    def do_POST(self):
+        rec = self._record("POST")
+        path = rec["path"]
+        if path.endswith("/_pit"):
+            pid = "pit-abc123"
+            _Handler.pits_open.add(pid)
+            self._send({"id": pid})
+        elif path == "/_search/scroll":
+            sid = rec["body"]["scroll_id"]
+            page_no = int(sid.rsplit("-", 1)[1]) + 1
+            start = page_no * 2
+            hits = [{"_index": "metrics", "_id": str(i), "_score": None,
+                     "_source": DOCS[i]}
+                    for i in range(start, min(start + 2, len(DOCS)))]
+            self._send({"_scroll_id": f"scrollid-{page_no}",
+                        "hits": {"total": {"value": len(DOCS)},
+                                 "hits": hits}})
+        elif path.endswith("/_search"):
+            body = rec["body"] or {}
+            if body.get("pit") and body["pit"]["id"] not in _Handler.pits_open:
+                self._send({"error": {"type": "search_phase_execution_exception",
+                                      "reason": "pit expired"}}, 404)
+                return
+            hits, total = self._hits_page(rec)
+            resp = {"hits": {"total": {"value": total, "relation": "eq"},
+                             "hits": hits}}
+            if "scroll" in rec["params"]:
+                resp["_scroll_id"] = "scrollid-0"
+                # scroll: first page is fixed docs[0:2]
+                resp["hits"]["hits"] = resp["hits"]["hits"][:2]
+            self._send(resp)
+        else:
+            self._send({"error": "unknown"}, 404)
+
+
+@pytest.fixture(scope="module")
+def es_url():
+    server = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+@pytest.fixture(autouse=True)
+def _reset_recorder():
+    _Handler.requests = []
+    _Handler.pits_open = set()
+
+
+def test_mapping_and_settings_paths(es_url):
+    es = RestES(es_url)
+    m = es.get_mapping("metrics")
+    assert m["metrics"]["mappings"]["properties"]["host"]["type"] == "keyword"
+    s = es.get_settings("metrics-*")
+    assert "metrics" in s
+    paths = [r["path"] for r in _Handler.requests]
+    assert paths == ["/metrics/_mapping", "/metrics-*/_settings"]
+
+
+def test_scroll_flow_q_and_body_interplay(es_url):
+    es = RestES(es_url)
+    hits = list(iter_hits(
+        es, "metrics", q="host:web-1 OR host:web-2", _source=["host"],
+        sort="@timestamp:asc", size=2, scroll="5m", backoff_s=0,
+    ))
+    assert [h["_source"]["host"] for h in hits] == [d["host"] for d in DOCS]
+    first = _Handler.requests[0]
+    # q and sort ride the URL; _source rides the body — both must
+    # arrive in the same request
+    assert first["path"] == "/metrics/_search"
+    assert first["params"]["q"] == "host:web-1 OR host:web-2"
+    assert first["params"]["scroll"] == "5m"
+    assert first["params"]["sort"] == "@timestamp:asc"
+    assert first["body"] == {"_source": ["host"]}
+    # continuation goes to /_search/scroll with the server's scroll id
+    cont = _Handler.requests[1]
+    assert cont["path"] == "/_search/scroll"
+    assert cont["body"] == {"scroll": "5m", "scroll_id": "scrollid-0"}
+
+
+def test_search_after_flow_first_page_omitted_and_cursor_echoed(es_url):
+    es = RestES(es_url)
+    hits = list(iter_hits_search_after(
+        es, "metrics", q=None, _source=None, sort="@timestamp:asc",
+        size=2, backoff_s=0,
+    ))
+    assert len(hits) == len(DOCS)
+    searches = [r for r in _Handler.requests if r["path"].endswith("/_search")]
+    # tie-breaker appended to the sort on every page
+    assert all(r["params"]["sort"] == "@timestamp:asc,_id:asc"
+               for r in searches)
+    # no scroll context is opened in cursor mode
+    assert all("scroll" not in r["params"] for r in searches)
+    # first page: no search_after key at all (no body → None)
+    first_body = searches[0]["body"] or {}
+    assert "search_after" not in first_body
+    # second page: cursor == the sort values of page 1's last hit
+    assert searches[1]["body"]["search_after"] == [1_700_000_000_001, "1"]
+
+
+def test_pit_flow(es_url):
+    es = RestES(es_url)
+    hits = list(iter_hits_search_after(
+        es, "metrics", q=None, _source=None, sort="@timestamp:asc",
+        size=2, backoff_s=0, pit=True, keep_alive="2m",
+    ))
+    assert len(hits) == len(DOCS)
+    reqs = _Handler.requests
+    assert reqs[0]["method"] == "POST"
+    assert reqs[0]["path"] == "/metrics/_pit"
+    assert reqs[0]["params"] == {"keep_alive": "2m"}
+    searches = [r for r in reqs if r["path"] == "/_search"]
+    assert searches, "PIT searches must address /_search without an index"
+    for r in searches:
+        assert r["body"]["pit"] == {"id": "pit-abc123", "keep_alive": "2m"}
+        assert r["params"]["sort"] == "@timestamp:asc,_shard_doc:asc"
+    assert reqs[-1] == {"method": "DELETE", "path": "/_pit", "params": {},
+                        "body": {"id": "pit-abc123"}}
+    assert not _Handler.pits_open  # closed on exhaustion
+
+
+def test_http_error_is_transport_error(es_url):
+    from dump_es_parquet_spark.sources.client import TransportError
+
+    es = RestES(es_url)
+    with pytest.raises(TransportError):
+        es._req("GET", "/nope/_unknown")
