@@ -3,7 +3,7 @@
 
 Usage::
 
-    python -m dump_es_parquet_spark.cli http://es-host:9200 'my-data-*' \
+    python -m dump_es_parquet_spark.cli 'my-data-*' --es http://es-host:9200 \
         --output parquet --query 'status:active' --fields 'a,b,meta.*' \
         --sort '@timestamp:asc' --out ./dump
 
@@ -31,15 +31,18 @@ def build_parser() -> argparse.ArgumentParser:
         description="Dump Elasticsearch/OpenSearch indices to parquet/"
         "ndjson/csv/jsonl via Spark",
     )
-    p.add_argument("es", help="elasticsearch URL")
-    p.add_argument("index", help="index name or pattern, e.g. 'my-data-*'")
-    p.add_argument("--cert", default=None)
-    p.add_argument("--key", default=None)
-    p.add_argument("--capath", default=None)
-    p.add_argument("--no-verify-certs", action="store_true")
+    p.add_argument("index", help="source index pattern")  # :370
+    p.add_argument("--es", default="http://localhost:9200",
+                   help="source cluster address")  # :371
+    p.add_argument("--cert", default=None, help="Client x509 certificate")
+    p.add_argument("--key", default=None, help="Client x509 key")
+    p.add_argument("--capath", default=None, help="Path to CA certificates")
+    p.add_argument("--no-verify-certs", action="store_true",
+                   help="Do not verify x509 certificates")
     p.add_argument("--output", default="parquet",
                    choices=["parquet", "ndjson", "csv", "jsonl", "stdout"])
-    p.add_argument("--compression", default=None, choices=["gzip", "zstd"])
+    p.add_argument("--compression", default="uncompressed",
+                   choices=["uncompressed", "gzip", "zstd"])  # :392
     p.add_argument("--sort", default=DEFAULT_SORT)  # :380
     p.add_argument("--size", type=int, default=500)  # :379
     p.add_argument("--timeout", type=int, default=60)  # :381
@@ -50,7 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-partition-rows", type=int, default=DEFAULT_MAX_ROWS)
     p.add_argument("--max-partition-mb", type=int, default=DEFAULT_MAX_MB)
     p.add_argument("--no-partition", action="store_true")  # :396
-    p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("--debug", action="store_true",
+                   help="Enable debug logging")  # :398
+    p.add_argument("--quiet", action="store_true",
+                   help="Disable most logging (ignored if --debug)")  # :399
+    p.add_argument("-v", "--verbose", action="count", default=0,
+                   help="engine extension: -v INFO, -vv DEBUG")
     # engine extensions
     p.add_argument("--out", default=".", help="output directory")
     p.add_argument("--slices", type=int, default=8, help="scan parallelism")
@@ -64,7 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    level = {0: UBER, 1: logging.INFO}.get(args.verbose, logging.DEBUG)
+    # reference precedence (:401-407): --debug > --quiet > default
+    if args.debug:
+        level = logging.DEBUG
+    elif args.quiet:
+        level = logging.ERROR
+    else:
+        level = {0: UBER, 1: logging.INFO}.get(args.verbose, logging.DEBUG)
     logging.basicConfig(level=level, stream=sys.stderr)
 
     def client_factory():
@@ -92,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     sink = SinkOptions(
         output=args.output,
-        compression=args.compression,
+        compression=None if args.compression == "uncompressed" else args.compression,
         partition=not args.no_partition,
         partition_rows=args.max_partition_rows,
         partition_mb=args.max_partition_mb,

@@ -14,7 +14,7 @@ from __future__ import annotations
 import json
 import threading
 import urllib.parse
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
 
@@ -145,7 +145,7 @@ class _Handler(BaseHTTPRequestHandler):
 
 @pytest.fixture(scope="module")
 def es_url():
-    server = HTTPServer(("127.0.0.1", 0), _Handler)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{server.server_address[1]}"
@@ -228,6 +228,23 @@ def test_pit_flow(es_url):
     assert reqs[-1] == {"method": "DELETE", "path": "/_pit", "params": {},
                         "body": {"id": "pit-abc123"}}
     assert not _Handler.pits_open  # closed on exhaustion
+
+
+def test_cli_end_to_end_against_http_server(es_url, tmp_path, spark):
+    """The full CLI path — argparse → RestES over real HTTP → sliced
+    scan → coerce → parquet — against the recorded-response server.
+    Also pins the reference flag surface: index is positional, --es is
+    a flag (dump-es-parquet:370-371), --quiet suppresses logging."""
+    from dump_es_parquet_spark.cli import main
+
+    rc = main([
+        "metrics", "--es", es_url, "--out", str(tmp_path),
+        "--slices", "1", "--quiet",
+    ])
+    assert rc == 0
+    back = spark.read.parquet(str(tmp_path / "metrics"))
+    got = sorted(r.host for r in back.collect())
+    assert got == [d["host"] for d in DOCS]
 
 
 def test_http_error_is_transport_error(es_url):
