@@ -36,10 +36,11 @@ def main() -> int:
         extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "100g"},
     )
 
-    # Each query runs twice: the reported time is the best of two
-    # (steady-state — whole-stage-codegen compilation happens once per
-    # plan in a long-lived deployment); first-run times are included as
-    # queries_cold for transparency.
+    # Each query runs 3×: run 1 is the cold (codegen-compile) time,
+    # steady-state is the best of the two WARM runs — min(runs) alone
+    # can report the cold run as "steady" when a warm run hits a noisy
+    # GC/scheduler moment, making cold==steady rows look like
+    # single-run benches.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     total = 0.0
@@ -47,21 +48,24 @@ def main() -> int:
         runs = []
         n = None
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 n = fn(spark, sf_dir).count()
                 runs.append(time.time() - t0)
+            steady = min(runs[1:])
             cold[name] = round(runs[0], 3)
-            timings[name] = round(min(runs), 3)
-            total += min(runs)
+            timings[name] = round(steady, 3)
+            total += steady
             print(
-                f"# {name}: {n} rows, cold {runs[0]:.2f}s best {min(runs):.2f}s",
+                f"# {name}: {n} rows, cold {runs[0]:.2f}s steady {steady:.2f}s",
                 file=sys.stderr,
             )
         except Exception as e:
             timings[name] = cold[name] = -1.0
             print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
 
+    # the ONE stdout line (everything else goes to stderr), flushed
+    # before spark.stop() so a slow JVM teardown can't truncate it
     print(
         json.dumps(
             {
@@ -72,7 +76,8 @@ def main() -> int:
                 "queries_cold": cold,
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
     return 0
