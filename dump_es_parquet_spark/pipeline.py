@@ -98,7 +98,16 @@ def dump(
     for idx in expand_pattern(client_factory(), index_pattern, scan):
         try:
             logger.log(UBER, "Processing index %s", idx)
-            raw = read_index_raw(spark, client_factory, idx, scan)
+            eff_scan = scan
+            if scan.order == "global" and not build_df:
+                # raw modes can't re-sort a [value: string] frame by
+                # typed fields; global order is produced the way the
+                # reference produces it — one sequential sorted scan
+                # (dump-es-parquet:226,380)
+                from dataclasses import replace
+
+                eff_scan = replace(scan, slices=1)
+            raw = read_index_raw(spark, client_factory, idx, eff_scan)
             rpf = _sample_rows_per_file(client_factory(), idx, scan, sink)
             if build_df:
                 schema = fetch_schema(client_factory(), idx, scan)

@@ -540,3 +540,24 @@ def test_pit_snapshot_isolation():
         {"host": "new", "@timestamp": "2026-05-01T00:00:05.5"}
     )
     assert len(first2) + len(list(it2)) == 21
+
+
+def test_raw_global_order(spark, tmp_path):
+    """order='global' on a raw mode (jsonl) yields reference-identical
+    global sort order via a single-slice sequential scan — raw [value]
+    frames can't be re-sorted by typed fields."""
+    res = dump(
+        spark,
+        factory,
+        "metrics-2026.06",
+        str(tmp_path),
+        ScanOptions(slices=4, order="global", sort="@timestamp:asc,load:asc"),
+        SinkOptions(output="jsonl", partition=False),
+    )
+    assert not res.errors
+    files = sorted(glob.glob(str(tmp_path / "metrics-2026.06" / "part-*")))
+    assert len(files) == 1  # single slice → one output partition
+    recs = [json.loads(line) for f in files for line in open(f)]
+    keys = [(r["@timestamp"], r["load"]) for r in recs]
+    assert len(recs) == 100
+    assert keys == sorted(keys)
