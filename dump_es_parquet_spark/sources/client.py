@@ -88,17 +88,28 @@ def _match_query_string(doc: dict, q: str | None) -> bool:
         fld, _, val = clause.partition(":")
         fld, val = fld.strip(), val.strip()
         got = _get_path(doc, fld)
-        if val.startswith("[") and " TO " in val:
-            lo, hi = val.strip("[]").split(" TO ")
+        if val[:1] in "[{" and " TO " in val:
+            # Lucene range: [ ] inclusive, { } exclusive, * unbounded
+            lo_inc, hi_inc = val[0] == "[", val[-1] == "]"
+            lo, hi = val[1:-1].split(" TO ")
             if got is None:
                 return False
-            g = str(got)
-            try:
-                gf, lof, hif = float(got), float(lo), float(hi)
-                if not (lof <= gf <= hif):
+
+            def _cmp(a, b):
+                try:
+                    fa, fb = float(a), float(b)
+                    return (fa > fb) - (fa < fb)
+                except (TypeError, ValueError):
+                    sa, sb = str(a), str(b)
+                    return (sa > sb) - (sa < sb)
+
+            if lo != "*":
+                c = _cmp(got, lo)
+                if c < 0 or (c == 0 and not lo_inc):
                     return False
-            except (TypeError, ValueError):
-                if not (lo <= g <= hi):
+            if hi != "*":
+                c = _cmp(got, hi)
+                if c > 0 or (c == 0 and not hi_inc):
                     return False
         else:
             if got is None or str(got) != val:

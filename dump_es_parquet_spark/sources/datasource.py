@@ -93,6 +93,24 @@ class EsDumpDataSource(DataSource):
 
         return EsDumpStreamReader(schema, dict(self.options))
 
+    def streamReader(self, schema: StructType):
+        """``stream_mode=timeslice`` → the partitioned, executor-side
+        stream reader (timestamp-watermark offsets, N slices per
+        batch); any other value falls back to the simple cursor reader
+        (Spark calls ``simpleStreamReader`` when this raises
+        NOT_IMPLEMENTED)."""
+        if self.options.get("stream_mode") == "timeslice":
+            from dump_es_parquet_spark.streaming.es_stream import (
+                EsDumpTimeSliceStreamReader,
+            )
+
+            return EsDumpTimeSliceStreamReader(schema, dict(self.options))
+        from pyspark.errors import PySparkNotImplementedError
+
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader"}
+        )
+
     def reader(self, schema: StructType) -> "EsDumpReader":
         client = _make_client(self.options)
         mapping = with_retry(

@@ -15,19 +15,37 @@ Registered through the same ``esdump`` DataSource:
          .option("index", ...).option(...)  # same options as batch
          .load()
 
-Uses ``SimpleDataSourceStreamReader`` (driver-side reads): correct for
-moderate ingest rates; a partitioned stream reader per slice is the
-scale-up path and reuses the identical cursor logic.
+Two readers share the ``esdump`` format:
+
+- ``EsDumpStreamReader`` (default): ``SimpleDataSourceStreamReader``,
+  driver-side reads over a single search_after cursor. Correct for
+  moderate ingest rates; zero executor coordination.
+- ``EsDumpTimeSliceStreamReader`` (``stream_mode=timeslice``): a full
+  ``DataSourceStreamReader`` whose offset is a **timestamp watermark**
+  and whose micro-batches fan out over N server-side slices read *on
+  executors* — the scale path for log-style indices (the reference's
+  domain is monitoring logs with ``@timestamp``). Each batch is the
+  half-open range ``(start_ts, end_ts]`` pushed down as a Lucene range
+  clause, so replay of a committed batch is deterministic on an
+  append-only index.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator, Sequence, Tuple
 
-from pyspark.sql.datasource import SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from dump_es_parquet_spark.coerce_py import coerce_doc, flatten_doc
-from dump_es_parquet_spark.sources.client import with_retry, with_sort_tiebreaker
+from dump_es_parquet_spark.sources.client import (
+    iter_hits,
+    with_retry,
+    with_sort_tiebreaker,
+)
 
 
 class EsDumpStreamReader(SimpleDataSourceStreamReader):
@@ -109,3 +127,105 @@ class EsDumpStreamReader(SimpleDataSourceStreamReader):
         concurrently-mutating indices)."""
         rows, _ = self._read_pages(start["cursor"], None, stop_cursor=end["cursor"])
         return iter(rows)
+
+
+class EsDumpTimeSliceStreamReader(DataSourceStreamReader):
+    """Partitioned micro-batch reader: offset = ``{"ts": <watermark>}``
+    (the last fully-ingested timestamp, inclusive; ``None`` = before
+    everything).
+
+    ``latestOffset`` probes the server for the current max timestamp
+    (one size-1 sorted search — O(1) driver work per trigger); each
+    batch then reads ``ts ∈ (start, end]`` as a pushed-down Lucene
+    range clause, split over ``slices`` server-side slices, one
+    executor task per slice (the same sliced-scroll scan as the batch
+    source). Assumes an append-only index whose timestamp never
+    decreases — the log-shipping shape the reference dumps
+    (``dump-es-parquet:219-302`` always sorts ``@timestamp``); a doc
+    back-filled below a committed watermark is missed, exactly as it
+    would be by the reference's next incremental dump.
+    """
+
+    def __init__(self, schema, options: dict):
+        self.schema = schema
+        self.options = options
+        self.ts_field = options.get("ts_field", "@timestamp")
+
+    def _client(self):
+        from dump_es_parquet_spark.sources.datasource import _make_client
+
+        return _make_client(self.options)
+
+    def initialOffset(self) -> dict:
+        start = self.options.get("start_ts")
+        return {"ts": start if start is not None else None}
+
+    def latestOffset(self) -> dict:
+        resp = with_retry(
+            lambda: self._client().search(
+                self.options["index"],
+                q=self.options.get("query"),
+                _source=[self.ts_field],
+                sort=f"{self.ts_field}:desc",
+                size=1,
+                scroll=None,
+            ),
+            max_retries=3,
+            backoff_s=1.0,
+        )
+        hits = resp["hits"]["hits"]
+        if not hits:
+            return {"ts": None}
+        sort_vals = hits[0].get("sort")
+        return {"ts": sort_vals[0] if sort_vals else None}
+
+    @staticmethod
+    def _range_clause(field: str, start, end) -> str:
+        # half-open (start, end]: exclusive lower bound `{` so a batch
+        # never re-reads the committed watermark row, inclusive upper
+        # `]` so the probed max doc lands in this batch
+        lo = "*" if start is None else str(start)
+        brace = "{" if start is not None else "["
+        return f"{field}:{brace}{lo} TO {end}]"
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if end.get("ts") is None or start.get("ts") == end.get("ts"):
+            return [InputPartition((0, 1, start.get("ts"), end.get("ts")))]
+        n = max(1, int(self.options.get("slices", "8")))
+        return [
+            InputPartition((i, n, start.get("ts"), end.get("ts")))
+            for i in range(n)
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[Tuple]:
+        i, n, start, end = partition.value
+        if end is None or start == end:
+            return iter(())
+        user_q = self.options.get("query")
+        rng = self._range_clause(self.ts_field, start, end)
+        q = f"({user_q}) AND ({rng})" if user_q else rng
+        flatten = self.options.get("flatten", "false") == "true"
+        multivalue = self.options.get("multivalue", "first")
+
+        def rows() -> Iterator[Tuple]:
+            for hit in iter_hits(
+                self._client(),
+                self.options["index"],
+                q=q,
+                _source=None,
+                sort=self.options.get("sort"),
+                size=int(self.options.get("size", "500")),
+                scroll=self.options.get("scroll", "1h"),
+                slice_spec={"id": i, "max": n} if n > 1 else None,
+                max_retries=3,
+                backoff_s=1.0,
+            ):
+                src = hit["_source"]
+                if flatten:
+                    src = flatten_doc(src)
+                yield coerce_doc(src, self.schema, multivalue)
+
+        return rows()
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing server-side to release: ranges are stateless

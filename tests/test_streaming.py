@@ -78,6 +78,132 @@ def test_esdump_streaming_source(spark):
     assert out.groupBy("kind").count().count() == 2
 
 
+def test_esdump_timeslice_stream(spark):
+    """stream_mode=timeslice: the partitioned (executor-side) stream
+    reader drains the index exactly once across N slices."""
+    import json
+
+    from dump_es_parquet_spark.sources.datasource import register
+
+    docs = [
+        {"n": i, "@timestamp": 1748520000 + i // 3, "kind": "a" if i % 2 else "b"}
+        for i in range(900)  # ts ties across slice boundaries on purpose
+    ]
+    fixture = json.dumps(
+        {
+            "live": {
+                "mapping": {
+                    "n": {"type": "integer"},
+                    "@timestamp": {"type": "date"},
+                    "kind": {"type": "keyword"},
+                },
+                "docs": docs,
+            }
+        }
+    )
+    register(spark)
+    stream = (
+        spark.readStream.format("esdump")
+        .option("fixture_json", fixture)
+        .option("index", "live")
+        .option("stream_mode", "timeslice")
+        .option("slices", "4")
+        .option("size", "100")
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("es_ts_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("es_ts_stream_t")
+    assert out.count() == 900
+    assert out.select("n").distinct().count() == 900  # exactly-once
+    assert out.groupBy("kind").count().count() == 2
+
+
+def test_timeslice_reader_batches_partition_the_timeline():
+    """Driver-level contract: consecutive (start, end] batches tile the
+    timeline with no overlap and no gap, and slices within a batch are
+    disjoint."""
+    import json
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from dump_es_parquet_spark.streaming.es_stream import (
+        EsDumpTimeSliceStreamReader,
+    )
+
+    docs = [{"n": i, "@timestamp": 100 + i // 4} for i in range(80)]
+    opts = {
+        "fixture_json": json.dumps(
+            {
+                "ix": {
+                    "mapping": {
+                        "n": {"type": "integer"},
+                        "@timestamp": {"type": "long"},
+                    },
+                    "docs": docs,
+                }
+            }
+        ),
+        "index": "ix",
+        "slices": "3",
+        "size": "7",
+    }
+    schema = StructType(
+        [StructField("n", IntegerType()), StructField("@timestamp", LongType())]
+    )
+    rdr = EsDumpTimeSliceStreamReader(schema, opts)
+    start = rdr.initialOffset()
+    assert start == {"ts": None}
+    # batch 1: everything up to a mid-point watermark (simulate a
+    # latestOffset probe taken mid-ingest)
+    mid = {"ts": 110}
+    seen: list = []
+    parts = rdr.partitions(start, mid)
+    assert len(parts) == 3
+    per_slice = [sorted(r[0] for r in rdr.read(p)) for p in parts]
+    for i, a in enumerate(per_slice):
+        for b in per_slice[i + 1:]:
+            assert not (set(a) & set(b))  # slices are disjoint
+    seen += [n for s in per_slice for n in s]
+    # batch 2: watermark advances to the true max — rest arrives once
+    end = rdr.latestOffset()
+    assert end == {"ts": 100 + 79 // 4}
+    for p in rdr.partitions(mid, end):
+        seen += [r[0] for r in rdr.read(p)]
+    assert sorted(seen) == list(range(80))  # no gap, no overlap
+    # empty batch: equal offsets read nothing
+    assert list(rdr.read(rdr.partitions(end, end)[0])) == []
+
+
+def test_mockes_range_bounds():
+    """Lucene range semantics in the mock: inclusive [..], exclusive
+    {..}, and * unbounded — the evaluator the timeslice pushdown
+    relies on."""
+    from dump_es_parquet_spark.sources.client import _match_query_string
+
+    doc = {"ts": 10}
+    assert _match_query_string(doc, "ts:[10 TO 20]")
+    assert not _match_query_string(doc, "ts:{10 TO 20]")
+    assert _match_query_string(doc, "ts:[5 TO 10]")
+    assert not _match_query_string(doc, "ts:[5 TO 10}")
+    assert _match_query_string(doc, "ts:[* TO 10]")
+    assert _match_query_string(doc, "ts:{5 TO *]")
+    assert not _match_query_string({"ts": 5}, "ts:{5 TO 10]")
+    # string (ISO timestamp) ordering falls back to lexicographic
+    d = {"t": "2026-01-05T00:00:00"}
+    assert _match_query_string(d, "t:{2026-01-04T00:00:00 TO 2026-01-05T00:00:00]")
+    assert not _match_query_string(d, "t:{2026-01-05T00:00:00 TO *]")
+
+
 def test_stateful_sessionize_stream(spark, sf_dir):
     """applyInPandasWithState sessionization over the events stream:
     closed sessions must agree with the batch gaps-and-islands plan
