@@ -113,6 +113,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": _rel("q5_local_supplier_volume"),
         "q7_nation_volume": _rel("q7_nation_volume"),
         "q10_returned_items": _rel("q10_returned_items"),
+        "q2_min_price_part": _rel("q2_min_price_part"),
+        "q4_priority_returns": _rel("q4_priority_returns"),
+        "q6_revenue_band": _rel("q6_revenue_band"),
+        "q8_market_share": _rel("q8_market_share"),
+        "q9_nation_profit": _rel("q9_nation_profit"),
+        "q11_important_parts": _rel("q11_important_parts"),
+        "q12_priority_split": _rel("q12_priority_split"),
+        "q14_promo_revenue": _rel("q14_promo_revenue"),
+        "q15_top_supplier": _rel("q15_top_supplier"),
+        "q18_large_volume": _rel("q18_large_volume"),
+        "q19_disjunctive_brand": _rel("q19_disjunctive_brand"),
+        "q22_idle_customers": _rel("q22_idle_customers"),
         "rollup_region_nation": _rel("q_rollup_region_nation"),
         "cube_order_status": _rel("q_cube_order_status"),
         "distinct_agg": _rel("q_distinct_agg"),
@@ -145,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _mod("similarity", "topk_bruteforce"),
         "sim_ann_lsh": _mod("similarity", "ann_sign_lsh"),
         "sim_ann_hyperplane": _mod("similarity", "ann_hyperplane_lsh"),
+        "sim_ann_ivf": _mod("similarity", "ann_ivf"),
         "sim_topk_batch": _mod("similarity", "topk_batch"),
         "sim_label_centroids": _mod("similarity", "label_centroids"),
         # — custom grouped op (applyInPandas UDAF surface) —
@@ -249,6 +262,163 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
+    """
+
+    q["q2_min_price_part"] = """
+        WITH m AS (
+          SELECT p_type AS mt, min(p_retailprice) AS min_price
+          FROM part GROUP BY 1
+        )
+        SELECT p_type, p_partkey, p_name,
+               CAST(p_retailprice AS DOUBLE) AS retail
+        FROM part JOIN m ON p_type = mt AND p_retailprice = min_price
+        ORDER BY p_type, p_partkey
+    """
+
+    q["q4_priority_returns"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+    q["q6_revenue_band"] = """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.02 AND l_discount <= 0.06
+          AND l_quantity < 24
+    """
+
+    q["q8_market_share"] = """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(sum(CASE WHEN n1.n_name = 'NATION_7'
+                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                 AS mkt_share,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+        GROUP BY 1 ORDER BY 1
+    """
+
+    q["q9_nation_profit"] = """
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity * 0.1
+                        AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%r%'
+        GROUP BY 1, 2
+        ORDER BY nation ASC, o_year DESC
+    """
+
+    q["q11_important_parts"] = """
+        WITH pp AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+          FROM lineitem GROUP BY 1
+        ), t AS (
+          SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 0.0006 AS threshold
+          FROM lineitem
+        )
+        SELECT l_partkey, part_value
+        FROM pp, t WHERE part_value > threshold
+        ORDER BY part_value DESC, l_partkey ASC
+    """
+
+    q["q12_priority_split"] = """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    q["q14_promo_revenue"] = """
+        SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                 AS promo_revenue_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """
+
+    q["q15_top_supplier"] = """
+        WITH r AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM r JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+        ORDER BY s_suppkey
+    """
+
+    q["q18_large_volume"] = """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """
+
+    q["q19_disjunctive_brand"] = """
+        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    """
+
+    q["q22_idle_customers"] = """
+        WITH pool AS (
+          SELECT *, substring(c_name, 17, 2) AS cntrycode FROM customer
+          WHERE substring(c_name, 17, 2) IN ('00','11','22','33','44','55','66')
+        ), a AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+          FROM pool WHERE c_acctbal > 0
+        )
+        SELECT cntrycode, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM pool, a
+        WHERE c_acctbal > avg_bal
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY cntrycode ORDER BY cntrycode
     """
 
     q["rollup_region_nation"] = """
@@ -706,6 +876,50 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(CAST(e.bucket AS BIGINT), CAST(q.qbucket AS BIGINT))) <= 1
           AND e.vec_id != 0
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """
+
+    q["sim_ann_ivf"] = """
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        hs AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e),
+        seeds AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v AS cv
+                  FROM hs ORDER BY h LIMIT 8),
+        a1 AS (SELECT vec_id, v, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM (SELECT e.vec_id, e.v, s.cid,
+                            -2 * list_dot_product(e.v, s.cv)
+                              + list_dot_product(s.cv, s.cv) AS dist
+                     FROM e CROSS JOIN seeds s) t1),
+        asg1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+        comp AS (SELECT cid, u.dim - 1 AS dim, u.x
+                 FROM asg1,
+                      LATERAL (SELECT unnest(v) AS x,
+                                      generate_subscripts(v, 1) AS dim) u),
+        means AS (SELECT cid, dim,
+                         CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS m
+                  FROM comp GROUP BY cid, dim),
+        cents AS (SELECT cid, list(m ORDER BY dim) AS cv FROM means GROUP BY cid),
+        a2 AS (SELECT vec_id, label, v, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM (SELECT e.vec_id, e.label, e.v, c.cid,
+                            -2 * list_dot_product(e.v, c.cv)
+                              + list_dot_product(c.cv, c.cv) AS dist
+                     FROM e CROSS JOIN cents c) t2),
+        asg2 AS (SELECT vec_id, label, v, cid FROM a2 WHERE rn = 1),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        probes AS (SELECT c.cid FROM cents c, q
+                   ORDER BY -2 * list_dot_product(q.qv, c.cv)
+                              + list_dot_product(c.cv, c.cv), c.cid
+                   LIMIT 2)
+        SELECT a.vec_id, a.label, a.cid AS cell,
+               round(list_dot_product(a.v, q.qv)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM asg2 a JOIN probes p ON a.cid = p.cid, q
+        WHERE a.vec_id != 0
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
     """
 
     q["grouped_robust_stats"] = """

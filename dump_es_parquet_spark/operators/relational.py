@@ -447,6 +447,306 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-min shape (adapted: the testdata has no
+    partsupp, so the min is over retail price per type): aggregate the
+    min per group, broadcast it back, keep the rows that attain it.
+    The broadcast side is |distinct p_type| rows — never a shuffle."""
+    p = load(spark, sf_dir, "part")
+    mins = broadcast(
+        p.groupBy(F.col("p_type").alias("mt")).agg(
+            F.min("p_retailprice").alias("min_price")
+        )
+    )
+    return (
+        p.join(mins, (p.p_type == mins.mt) & (p.p_retailprice == mins.min_price))
+        .select(
+            "p_type",
+            "p_partkey",
+            "p_name",
+            F.col("p_retailprice").cast("double").alias("retail"),
+        )
+        .orderBy("p_type", "p_partkey")
+    )
+
+
+def q4_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi): orders in a date window
+    with at least one returned lineitem, counted by priority. The semi
+    join never materializes lineitem columns."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q6_revenue_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan + filter + single-row aggregate — the
+    pushdown showcase (all three predicates reach the parquet reader;
+    zero shuffle, one exchange of a single partial-agg row)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's volume in one
+    part-type market, by year — conditional aggregation over a 6-way
+    join (dims broadcast, facts shuffle on their keys)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = broadcast(load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY"))
+    n1 = broadcast(load(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = broadcast(load(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .join(r, F.col("c_rk") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: profit margin uses retail price in
+    place of the absent partsupp supplycost): profit per supplier
+    nation per year over name-matched parts."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    p = broadcast(load(spark, sf_dir, "part").filter(F.col("p_name").contains("r")))
+    n = broadcast(load(spark, sf_dir, "nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    ).cast("decimal(18,4)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (HAVING > scalar subquery): parts whose revenue
+    exceeds 0.06% of global revenue. The global total is a one-row
+    aggregate broadcast into the filter — no recomputation, no
+    correlated rescan."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("double").alias("part_value")
+    )
+    total = li.agg((F.sum(rev).cast("double") * 0.0006).alias("threshold"))
+    return (
+        per_part.crossJoin(broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional counts after a fact-fact join,
+    adapted to l_returnflag — the testdata has no l_shipmode): per
+    return flag, how many high- vs low-priority orders shipped."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share in one month — conditional
+    aggregate ratio over the part⋈lineitem join (part broadcast)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = broadcast(load(spark, sf_dir, "part"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (view + max scalar): supplier(s) attaining the max
+    quarterly revenue. The per-supplier aggregate is computed once; the
+    max is a one-row broadcast joined back (no window over the whole
+    table, no recomputed view)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("double").alias("total_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("mx"))
+    return (
+        per_supp.crossJoin(broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with orders above a quantity threshold —
+    agg → HAVING → join back to the facts, top-100. The heavy groupBy
+    runs on (orderkey) before any join fan-out."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q19_disjunctive_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive multi-attribute predicate over
+    part⋈lineitem — the join key is conjunctive (partkey), so the OR
+    branches evaluate post-join on the broadcast dim; one-row
+    aggregate out."""
+    li = load(spark, sf_dir, "lineitem")
+    p = broadcast(load(spark, sf_dir, "part"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 40))
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (scalar-subquery threshold + NOT EXISTS,
+    adapted: country code ← last two digits of c_name, the testdata
+    has no phone column; lapsed = no order since 2000, every customer
+    in this testdata has *some* order): above-average-balance lapsed
+    customers, grouped by code."""
+    c = load(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.substring("c_name", 17, 2)
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    codes = ["00", "11", "22", "33", "44", "55", "66"]
+    pool = c.filter(F.col("cntrycode").isin(codes))
+    avg_bal = pool.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        pool.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, pool.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style: revenue lost to returned items per customer,
     top 20 — filter + join + agg + top-k composition."""

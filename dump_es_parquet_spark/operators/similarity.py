@@ -216,6 +216,116 @@ def ann_hyperplane_lsh(
     )
 
 
+IVF_CELLS = 8
+IVF_NPROBE = 2
+
+
+def _ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmin over
+    ``-2·v·c + c·c``; ``v·v`` is constant per vector and drops out).
+    Centroids broadcast; ties break on cid. One window shuffle on
+    vec_id over n×C rows — at 100 TB replace the window with
+    ``groupBy(vec_id).agg(min(struct(dist, cid)))`` + join-back, which
+    partial-aggregates map-side (same result, documented here to keep
+    the plan identical to the SQL oracle)."""
+    from pyspark.sql.window import Window
+
+    dist = F.lit(-2.0) * dot(F.col("embedding"), F.col("cv")) + dot(
+        F.col("cv"), F.col("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "dist", "cv")
+    )
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) -> DataFrame:
+    """IVF coarse quantizer, trained distributed: deterministic seeds
+    (the ``n_cells`` smallest md5(vec_id) — reproducible across engines,
+    no RNG), one Lloyd update (assign → per-cell per-dim mean via
+    posexplode + groupBy). Returns (cid, cv double[]). The mean goes
+    decimal-sum → double / count so partial-agg order can't change it
+    (hash-exact vs the oracle)."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    seeds = (
+        e.select(
+            F.col("embedding").alias("cv"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_cells)
+        .select((F.row_number().over(Window.orderBy("h")) - 1).alias("cid"), "cv")
+    )
+    assigned = _ivf_assign(e.select("vec_id", "embedding"), seeds)
+    return (
+        assigned.select("cid", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+    )
+
+
+def ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize the corpus into ``n_cells``
+    inverted lists (``ivf_centroids``), probe the query's ``nprobe``
+    nearest cells, exact-cosine re-rank inside them — the
+    FAISS-IVF-flat shape. Scan fraction ≈ nprobe/n_cells; at scale the
+    assignment is a write-once artifact (partitioned parquet keyed by
+    cell) amortized across every query, and probing is partition
+    pruning — only the probed cells' files are read."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(spark, sf_dir, n_cells)
+    inverted = _ivf_assign(e, cents)
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == query_id).select(F.col("embedding").alias("qv"))
+    )
+    probes = F.broadcast(
+        cents.crossJoin(qv)
+        .orderBy(
+            (F.lit(-2.0) * dot(F.col("qv"), F.col("cv")) + dot(F.col("cv"), F.col("cv"))).asc(),
+            F.col("cid").asc(),
+        )
+        .limit(nprobe)
+        .select("cid")
+    )
+    return (
+        inverted.join(probes, "cid")
+        .crossJoin(qv)
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").alias("cell"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def topk_batch(
     spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5
 ) -> DataFrame:

@@ -187,3 +187,30 @@ def test_dedup_corpus_minhash_threshold_honored(spark):
     )
     kept = sorted(r.doc_id for r in dedup_corpus(d, "minhash", threshold=0.99).collect())
     assert kept == [1, 3]
+
+
+def test_ivf_inverted_lists_partition_corpus(spark, sf_dir):
+    """IVF assignment is a partition: every vector lands in exactly one
+    cell, cells cover the corpus, and probing is a strict subset."""
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.similarity import (
+        IVF_CELLS,
+        _ivf_assign,
+        ivf_centroids,
+    )
+    from dump_es_parquet_spark.operators.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(spark, sf_dir)
+    assert cents.count() == IVF_CELLS
+    # every centroid has the full dimensionality
+    dims = cents.select(F.size("cv").alias("d")).distinct().collect()
+    assert [r.d for r in dims] == [len(e.first().embedding)]
+    inverted = _ivf_assign(e, cents)
+    n = e.count()
+    assert inverted.count() == n  # exactly one cell per vector
+    assert inverted.select("vec_id").distinct().count() == n
+    per_cell = inverted.groupBy("cid").count()
+    assert per_cell.count() <= IVF_CELLS
+    assert per_cell.agg(F.sum("count")).first()[0] == n
