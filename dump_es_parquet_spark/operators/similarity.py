@@ -326,6 +326,68 @@ def ann_ivf(
     )
 
 
+def write_ivf_index(
+    spark: SparkSession, sf_dir: str, path: str, n_cells: int = IVF_CELLS
+) -> None:
+    """Materialize the IVF index as a write-once artifact: inverted
+    lists as parquet PARTITIONED BY cell id, centroids alongside.
+    Probing then becomes partition pruning — only the probed cells'
+    files are ever opened, which is how the nprobe/n_cells scan
+    fraction survives 100 TB (cf. ``ann_ivf`` docstring)."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(spark, sf_dir, n_cells)
+    _ivf_assign(e, cents).write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/lists"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ann_ivf_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Serve IVF top-k from the materialized index. The nprobe cell
+    ids are a bounded driver-side collect (nprobe rows — same class as
+    TakeOrdered's driver merge) inlined as a literal partition filter,
+    so the parquet source statically prunes to the probed cells."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(f"{path}/centroids")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == query_id).select(F.col("embedding").alias("qv"))
+    )
+    probe_rows = (
+        cents.crossJoin(qv)
+        .orderBy(
+            (
+                F.lit(-2.0) * dot(F.col("qv"), F.col("cv"))
+                + dot(F.col("cv"), F.col("cv"))
+            ).asc(),
+            F.col("cid").asc(),
+        )
+        .limit(nprobe)
+        .select("cid")
+        .collect()
+    )
+    probed = [r.cid for r in probe_rows]
+    lists = spark.read.parquet(f"{path}/lists").filter(F.col("cid").isin(probed))
+    return (
+        lists.crossJoin(qv)
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").cast("int").alias("cell"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def topk_batch(
     spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5
 ) -> DataFrame:

@@ -214,3 +214,68 @@ def test_ivf_inverted_lists_partition_corpus(spark, sf_dir):
     per_cell = inverted.groupBy("cid").count()
     assert per_cell.count() <= IVF_CELLS
     assert per_cell.agg(F.sum("count")).first()[0] == n
+
+
+def test_ivf_index_artifact_prunes_partitions(spark, sf_dir, tmp_path):
+    """The materialized IVF index serves the same top-k as the inline
+    plan, and the probe reads only the probed cells (partition
+    pruning visible in the scan)."""
+    from dump_es_parquet_spark.operators.similarity import (
+        ann_ivf,
+        ann_ivf_indexed,
+        write_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(spark, sf_dir, idx)
+    served = ann_ivf_indexed(spark, sf_dir, idx)
+    inline = ann_ivf(spark, sf_dir)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the lists scan must carry the cell filter, not scan-all-cells
+    assert "cid" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Same-bucketed tables join with zero shuffles — the pay-once
+    co-location property (SURVEY §4 'reuse a partitioning')."""
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.bucketing import (
+        cohorted_join,
+        plan_has_no_shuffle,
+        write_bucketed,
+    )
+    from dump_es_parquet_spark.operators.tables import load
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    write_bucketed(o, "t_orders_b", ["o_custkey"], 8, str(tmp_path / "ob"))
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "o_custkey"),
+        "t_customer_b",
+        ["o_custkey"],
+        8,
+        str(tmp_path / "cb"),
+    )
+    # disable broadcast so the planner must pick a partitioned join —
+    # that's the regime bucketing is for (at 100 TB neither side fits)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cohorted_join(spark, "t_orders_b", "t_customer_b", ["o_custkey"])
+        assert plan_has_no_shuffle(j)
+        # and the join is actually correct
+        expect = o.join(c, o.o_custkey == c.c_custkey).count()
+        assert j.count() == expect
+        # a plain (non-bucketed) read of the same data DOES shuffle
+        po = spark.read.parquet(str(tmp_path / "ob"))
+        pc = spark.read.parquet(str(tmp_path / "cb"))
+        assert not plan_has_no_shuffle(po.join(pc, ["o_custkey"]))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
