@@ -297,7 +297,10 @@ def ann_ivf(
     cell) amortized across every query, and probing is partition
     pruning — only the probed cells' files are read."""
     e = load(spark, sf_dir, "embeddings")
-    cents = ivf_centroids(spark, sf_dir, n_cells)
+    # n_cells rows referenced twice (assignment + probe selection):
+    # cache so the Lloyd pipeline runs once, not per reference — the
+    # in-query stand-in for the materialized artifact (write_ivf_index)
+    cents = ivf_centroids(spark, sf_dir, n_cells).cache()
     inverted = _ivf_assign(e, cents)
     qv = F.broadcast(
         e.filter(F.col("vec_id") == query_id).select(F.col("embedding").alias("qv"))
