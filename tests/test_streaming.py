@@ -247,3 +247,78 @@ def test_stateful_sessionize_stream(spark, sf_dir):
         | (F.col("n_events") <= 0)
     ).count()
     assert bad == 0
+
+
+def test_timeslice_stream_composes_with_windowed_agg(spark):
+    """End-to-end: partitioned esdump stream → watermarked tumbling
+    windows → memory sink equals the batch windowed aggregate over the
+    same documents (exactly-once + correct event-time grouping)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.sources.datasource import register
+    from dump_es_parquet_spark.streaming.stream import windowed_counts
+
+    base = 1748520000  # epoch seconds, UTC
+    docs = [
+        {
+            "ts": base + i * 97,
+            "event_type": "click" if i % 3 else "view",
+            "value": float(i % 7) / 4.0,
+        }
+        for i in range(600)
+    ]
+    fixture = json.dumps(
+        {
+            "ev": {
+                "mapping": {
+                    "ts": {"type": "date"},
+                    "event_type": {"type": "keyword"},
+                    "value": {"type": "float"},
+                },
+                "docs": docs,
+            }
+        }
+    )
+    register(spark)
+    stream = (
+        spark.readStream.format("esdump")
+        .option("fixture_json", fixture)
+        .option("index", "ev")
+        .option("stream_mode", "timeslice")
+        .option("ts_field", "ts")
+        .option("slices", "3")
+        .option("size", "128")
+        .load()
+    )
+    q = (
+        windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("ts_win_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("ts_win_t").collect()
+    }
+    batch = (
+        spark.read.format("esdump")
+        .option("fixture_json", fixture)
+        .option("index", "ev")
+        .load()
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_counts(batch).collect()
+    }
+    # append-mode only emits windows the watermark closed; every
+    # emitted window must match the batch result exactly
+    assert len(got) > 0
+    for k, v in got.items():
+        assert want[k] == v
