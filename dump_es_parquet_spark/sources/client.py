@@ -85,6 +85,12 @@ def _match_query_string(doc: dict, q: str | None) -> bool:
     if not q:
         return True
     for clause in q.split(" AND "):
+        clause = clause.strip()
+        # unwrap clause parens: the engine joins user + pushed clauses
+        # as "(c1) AND (c2)" (Lucene precedence safety) — a real server
+        # parses that; this evaluator just strips the wrapping
+        while clause.startswith("(") and clause.endswith(")"):
+            clause = clause[1:-1].strip()
         fld, _, val = clause.partition(":")
         fld, val = fld.strip(), val.strip()
         got = _get_path(doc, fld)

@@ -192,3 +192,25 @@ def test_nested_struct_multivalue_coercion(spark):
     # the Python twin agrees on the advisor's exact case
     py = [coerce_doc(d, schema) for d in docs]
     assert py[0][0][1] == 9200 and py[0][0][0] == "a"
+
+
+def test_user_query_combines_with_pushdown(esdump):
+    """A user-supplied query option AND a Catalyst pushed filter reach
+    the server as parenthesized conjoined clauses — and still match
+    (regression: the mock evaluator dropped parenthesized clauses,
+    silently returning zero rows for every combined query)."""
+    df = (
+        esdump.option("query", "status:idle").load().filter("port = 9201")
+    )
+    assert df.count() > 0
+    rows = df.select("status", "port").distinct().collect()
+    assert [(r.status, r.port) for r in rows] == [("idle", 9201)]
+
+
+def test_mock_evaluates_parenthesized_clauses():
+    from dump_es_parquet_spark.sources.client import _match_query_string
+
+    doc = {"a": 1, "ts": 5}
+    assert _match_query_string(doc, "(a:1) AND (ts:[1 TO 9])")
+    assert _match_query_string(doc, "((a:1)) AND (ts:{4 TO *])")
+    assert not _match_query_string(doc, "(a:2) AND (ts:[1 TO 9])")
