@@ -115,16 +115,37 @@ def ngram_jaccard_pairs(
     ).cast("int")
     prefixes = ranked.select(
         "doc_id",
-        F.explode(F.slice("ordered", 1, F.greatest(prefix_len, F.lit(1)))).alias(
-            "p"
+        F.size("ordered").alias("sz"),
+        F.posexplode(F.slice("ordered", 1, F.greatest(prefix_len, F.lit(1)))).alias(
+            "pos", "p"
         ),
-    ).select("doc_id", F.col("p.shingle").alias("shingle"))
+    ).select("doc_id", "sz", "pos", F.col("p.shingle").alias("shingle"))
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    # two PPJoin prunes, both NECESSARY conditions of J >= t (cannot
+    # drop a true pair), applied inside the join before the expensive
+    # array-intersect verify:
+    # - length filter: J >= t implies min(|A|,|B|) >= t·max(|A|,|B|)
+    # - positional filter: the overlap reachable from match position
+    #   (pos, 0-based in the shared rarity order) caps at
+    #   1 + min(|A|-posA-1, |B|-posB-1), which must reach
+    #   ceil(t/(1+t)·(|A|+|B|)) — the overlap J >= t requires
+    t = float(threshold)
+    length_ok = F.least(F.col("a.sz"), F.col("b.sz")) >= F.lit(t) * F.greatest(
+        F.col("a.sz"), F.col("b.sz")
+    )
+    required_overlap = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("a.sz") + F.col("b.sz"))
+    )
+    reachable = 1 + F.least(
+        F.col("a.sz") - F.col("a.pos") - 1, F.col("b.sz") - F.col("b.pos") - 1
+    )
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & length_ok
+            & (reachable >= required_overlap),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
