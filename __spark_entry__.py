@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _rel("q_events_json"),
         "events_hourly": _rel("q_events_hourly"),
         "events_sessionize": _rel("q_events_sessionize"),
+        "events_session_window": _rel("q_events_session_window"),
+        "events_sliding": _rel("q_events_sliding"),
+        "events_variant": _rel("q_events_variant"),
         "events_top_users": _rel("q_events_top_users"),
         "scalar_functions": _rel("q_scalar_functions"),
         "asof_events_orders": _mod("asof", "events_last_order"),
@@ -551,6 +554,56 @@ def oracle_sql() -> dict[str, str]:
         FROM per_session
         WHERE user_id <= 200
         GROUP BY user_id ORDER BY user_id
+    """
+
+    q["events_session_window"] = """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess,
+                 value
+          FROM events
+        ), sess AS (
+          SELECT user_id, ts, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sid
+          FROM gaps
+        )
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+               CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT)
+                 AS session_end_s,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM sess
+        WHERE user_id <= 100
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start_s
+    """
+
+    q["events_sliding"] = """
+        WITH assigned AS (
+          SELECT event_type, value,
+                 unnest([b, b - INTERVAL 30 MINUTE]) AS window_start
+          FROM (SELECT *, CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800)
+                               AS TIMESTAMP) AS b
+                FROM events) t
+        )
+        SELECT window_start, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM assigned
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    q["events_variant"] = """
+        SELECT event_type,
+               CAST(sum(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               count(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
     """
 
     q["asof_events_orders"] = """

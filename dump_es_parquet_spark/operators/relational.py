@@ -354,6 +354,78 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (the built-in merging session
+    operator, batch form of the streaming session window): per-user
+    sessions with a 30-minute gap. Same one-shuffle-on-user_id plan
+    class as the gaps-and-islands formulation (``q_events_sessionize``)
+    but expressed through the first-class operator. Session end is
+    last-event + gap (Spark's window end), floored to epoch seconds."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end_s"),
+            "n_events",
+            "sum_value",
+        )
+        .filter(F.col("user_id") <= 100)
+        .orderBy("user_id", "session_start_s")
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands in
+    exactly two overlapping windows — the hopping-aggregate plan
+    (explode to window assignments, then one grouped aggregate)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured via VariantType (Spark 4's binary JSON):
+    ``parse_json`` once, ``variant_get`` typed paths — the
+    shred-at-read path that replaces repeated string parsing
+    (same aggregate as ``q_events_json`` for cross-checking)."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        e.select(
+            "event_type",
+            F.variant_get(v, "$.k", "long").alias("k"),
+            "value",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort parity demo on the stream table: order by value
     descending, top 100 (TakeOrderedAndProject)."""
