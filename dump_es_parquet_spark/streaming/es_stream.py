@@ -156,11 +156,28 @@ class EsDumpTimeSliceStreamReader(DataSourceStreamReader):
 
         return _make_client(self.options)
 
+    @staticmethod
+    def _num(v):
+        try:
+            f = float(v)
+            return int(f) if f == int(f) else f
+        except (TypeError, ValueError):
+            return None
+
     def initialOffset(self) -> dict:
         start = self.options.get("start_ts")
-        return {"ts": start if start is not None else None}
+        if start is not None and self._num(start) is not None:
+            start = self._num(start)
+        return {"ts": start}
 
     def latestOffset(self) -> dict:
+        """Current server max timestamp — one size-1 sorted search.
+        Deliberately STATELESS and monotone-with-the-server: Spark may
+        call this before initialOffset (observed) and the offset it
+        returns is logged before any batch runs, so a reader-side
+        'rate cap' here could regress behind the checkpoint head and
+        silently replay ranges. Bounding per-task work is partitions()'
+        job (``chunk_seconds``), not the offset's."""
         resp = with_retry(
             lambda: self._client().search(
                 self.options["index"],
@@ -175,7 +192,7 @@ class EsDumpTimeSliceStreamReader(DataSourceStreamReader):
         )
         hits = resp["hits"]["hits"]
         if not hits:
-            return {"ts": None}
+            return self.initialOffset()
         sort_vals = hits[0].get("sort")
         return {"ts": sort_vals[0] if sort_vals else None}
 
@@ -189,13 +206,31 @@ class EsDumpTimeSliceStreamReader(DataSourceStreamReader):
         return f"{field}:{brace}{lo} TO {end}]"
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        if end.get("ts") is None or start.get("ts") == end.get("ts"):
-            return [InputPartition((0, 1, start.get("ts"), end.get("ts")))]
+        """One input partition per (time-chunk × slice). For numeric
+        timestamps, ``chunk_seconds`` tiles the batch range (start,
+        end] into bounded sub-ranges — so a large backfill becomes
+        many bounded tasks instead of N unbounded ones. Per-task work
+        is capped WITHOUT touching the offset (no replay hazard; task
+        count is the knob, Spark's scheduler does the pacing)."""
+        s, e = start.get("ts"), end.get("ts")
+        if e is None or s == e:
+            return [InputPartition((0, 1, s, e))]
         n = max(1, int(self.options.get("slices", "8")))
-        return [
-            InputPartition((i, n, start.get("ts"), end.get("ts")))
-            for i in range(n)
-        ]
+        chunk = self._num(self.options.get("chunk_seconds"))
+        s_n, e_n = self._num(s), self._num(e)
+        if chunk and s_n is not None and e_n is not None and e_n > s_n:
+            bounds: list = []
+            lo = s_n
+            while lo < e_n:
+                hi = min(lo + chunk, e_n)
+                bounds.append((lo, hi))
+                lo = hi
+            return [
+                InputPartition((i, n, lo, hi))
+                for (lo, hi) in bounds
+                for i in range(n)
+            ]
+        return [InputPartition((i, n, s, e)) for i in range(n)]
 
     def read(self, partition: InputPartition) -> Iterator[Tuple]:
         i, n, start, end = partition.value

@@ -322,3 +322,110 @@ def test_timeslice_stream_composes_with_windowed_agg(spark):
     assert len(got) > 0
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_timeslice_stream_restarts_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: run one bounded micro-batch, stop,
+    start a NEW query from the same checkpoint — the union of outputs
+    has every document exactly once (offsets resume, nothing replays
+    into the sink)."""
+    import json
+
+    from dump_es_parquet_spark.sources.datasource import register
+
+    docs = [{"n": i, "@timestamp": 1000 + i} for i in range(400)]
+    fixture = json.dumps(
+        {
+            "cp": {
+                "mapping": {
+                    "n": {"type": "integer"},
+                    "@timestamp": {"type": "long"},
+                },
+                "docs": docs,
+            }
+        }
+    )
+    register(spark)
+
+    def start(visible_query=None):
+        b = (
+            spark.readStream.format("esdump")
+            .option("fixture_json", fixture)
+            .option("index", "cp")
+            .option("stream_mode", "timeslice")
+            .option("ts_field", "@timestamp")
+            .option("slices", "2")
+            .option("size", "50")
+            .option("start_ts", "999")
+            .option("chunk_seconds", "100")
+        )
+        if visible_query:
+            # emulate a growing index: run 1 only "has" the first 200
+            # docs (the mock can't be mutated between runs)
+            b = b.option("query", visible_query)
+        return (
+            b.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+        )
+
+    q1 = start("@timestamp:[* TO 1199]").trigger(availableNow=True).start()
+    q1.awaitTermination(120)
+    q1.stop()
+    n1 = spark.read.parquet(str(tmp_path / "out")).count()
+    assert n1 == 200  # run 1 saw only the ingested prefix
+    # run 2: NEW query object, same checkpoint, index has "grown" —
+    # drains only the remainder (the checkpointed watermark holds)
+    q2 = start().start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 400
+    assert out.select("n").distinct().count() == 400
+
+
+def test_timeslice_chunked_partitions():
+    """chunk_seconds tiles a batch range into bounded sub-ranges ×
+    slices: disjoint, covering, per-task bounded."""
+    import json
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from dump_es_parquet_spark.streaming.es_stream import (
+        EsDumpTimeSliceStreamReader,
+    )
+
+    docs = [{"n": i, "@timestamp": 1000 + i} for i in range(400)]
+    opts = {
+        "fixture_json": json.dumps(
+            {
+                "ix": {
+                    "mapping": {
+                        "n": {"type": "integer"},
+                        "@timestamp": {"type": "long"},
+                    },
+                    "docs": docs,
+                }
+            }
+        ),
+        "index": "ix",
+        "slices": "2",
+        "size": "64",
+        "chunk_seconds": "100",
+    }
+    schema = StructType(
+        [StructField("n", IntegerType()), StructField("@timestamp", LongType())]
+    )
+    rdr = EsDumpTimeSliceStreamReader(schema, opts)
+    parts = rdr.partitions({"ts": 999}, {"ts": 1399})
+    assert len(parts) == 4 * 2  # 4 time chunks × 2 slices
+    seen: list = []
+    for p in parts:
+        rows = [r[0] for r in rdr.read(p)]
+        assert len(rows) <= 100  # bounded per task (chunk ∩ slice)
+        seen += rows
+    assert sorted(seen) == list(range(400))  # disjoint + covering
