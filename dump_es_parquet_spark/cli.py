@@ -67,7 +67,87 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--single-file", action="store_true",
                    help="reference-compatible flat {index}.{ext} naming")
     p.add_argument("--master", default=None, help="spark master override")
+    # continuous (streaming) dump — engine extension
+    p.add_argument("--follow", action="store_true",
+                   help="keep dumping as the index grows (timestamp-"
+                   "watermark stream; requires a concrete index name, "
+                   "parquet or ndjson output)")
+    p.add_argument("--follow-once", action="store_true",
+                   help="with --follow: drain what's available, then exit "
+                   "(availableNow trigger) — resumable via --checkpoint")
+    p.add_argument("--follow-interval", type=int, default=30,
+                   help="with --follow: trigger interval in seconds")
+    p.add_argument("--checkpoint", default=None,
+                   help="stream checkpoint dir (default {out}/_checkpoint_"
+                   "{index})")
+    p.add_argument("--ts-field", default="@timestamp",
+                   help="event-time field for --follow watermarks")
+    p.add_argument("--chunk-seconds", type=int, default=None,
+                   help="with --follow: tile each micro-batch into bounded "
+                   "time chunks (bounded per-task scans on big backfills)")
+    p.add_argument("--fixture-json", default=argparse.SUPPRESS,
+                   help=argparse.SUPPRESS)  # testing hook: mock ES fixture file
     return p
+
+
+def _follow(spark, args) -> int:
+    """Continuous dump: ``esdump`` timeslice stream → parquet/ndjson
+    sink with checkpointed exactly-once delivery. The batch scan's
+    one-shot dump becomes `tail -f` for an index."""
+    import os
+
+    from dump_es_parquet_spark.sources.datasource import register
+
+    if args.output not in ("parquet", "ndjson"):
+        print("--follow supports --output parquet|ndjson", file=sys.stderr)
+        return 2
+    register(spark)
+    b = (
+        spark.readStream.format("esdump")
+        .option("index", args.index)
+        .option("stream_mode", "timeslice")
+        .option("ts_field", args.ts_field)
+        .option("slices", str(args.slices))
+        .option("size", str(args.size))
+        .option("flatten", "true" if args.flatten else "false")
+        .option("multivalue", args.multivalue)
+    )
+    if args.query:
+        b = b.option("query", args.query)
+    if args.chunk_seconds:
+        b = b.option("chunk_seconds", str(args.chunk_seconds))
+    fixture_path = getattr(args, "fixture_json", None)
+    if fixture_path:
+        with open(fixture_path) as f:
+            b = b.option("fixture_json", f.read())
+    else:
+        b = (
+            b.option("url", args.es)
+            .option("timeout", str(args.timeout))
+        )
+        for k in ("cert", "key", "capath"):
+            if getattr(args, k):
+                b = b.option(k, getattr(args, k))
+        if args.no_verify_certs:
+            b = b.option("verify_certs", "false")
+    out_dir = os.path.join(args.out, args.index)
+    ck = args.checkpoint or os.path.join(args.out, f"_checkpoint_{args.index}")
+    w = (
+        b.load()
+        .writeStream.format({"parquet": "parquet", "ndjson": "json"}[args.output])
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+    )
+    if args.compression != "uncompressed":
+        w = w.option("compression", args.compression)
+    if args.follow_once:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = w.trigger(processingTime=f"{args.follow_interval} seconds").start()
+        q.awaitTermination()
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -113,6 +193,8 @@ def main(argv: list[str] | None = None) -> int:
         single_file=args.single_file,
     )
     spark = get_spark(master=args.master)
+    if args.follow:
+        return _follow(spark, args)
     result = dump(spark, client_factory, args.index, args.out, scan, sink)
     for line in result.warning_report():
         print(line, file=sys.stderr)

@@ -49,7 +49,14 @@ def _make_client(options: dict):
         return MockES(json.loads(fixture))
     from dump_es_parquet_spark.sources.client import RestES
 
-    return RestES(options["url"], timeout=int(options.get("timeout", "60")))
+    return RestES(
+        options["url"],
+        timeout=int(options.get("timeout", "60")),
+        cert=options.get("cert"),
+        key=options.get("key"),
+        capath=options.get("capath"),
+        verify_certs=options.get("verify_certs", "true") != "false",
+    )
 
 
 def _lucene_escape(v) -> str:

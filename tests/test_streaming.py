@@ -429,3 +429,53 @@ def test_timeslice_chunked_partitions():
         assert len(rows) <= 100  # bounded per task (chunk ∩ slice)
         seen += rows
     assert sorted(seen) == list(range(400))  # disjoint + covering
+
+
+def test_cli_follow_once(spark, tmp_path):
+    """`--follow --follow-once` drains the index to parquet through the
+    timeslice stream and is idempotent on re-run (checkpoint holds)."""
+    import json
+
+    from dump_es_parquet_spark.cli import main
+
+    docs = [{"n": i, "ts": 2000 + i} for i in range(250)]
+    fixture = {
+        "flw": {
+            "mapping": {"n": {"type": "integer"}, "ts": {"type": "long"}},
+            "docs": docs,
+        }
+    }
+    fp = tmp_path / "fixture.json"
+    fp.write_text(json.dumps(fixture))
+    argv = [
+        "flw",
+        "--follow",
+        "--follow-once",
+        "--fixture-json",
+        str(fp),
+        "--out",
+        str(tmp_path),
+        "--ts-field",
+        "ts",
+        "--slices",
+        "2",
+        "--chunk-seconds",
+        "100",
+        "--quiet",
+    ]
+    assert main(argv) == 0
+    out = spark.read.parquet(str(tmp_path / "flw"))
+    assert out.count() == 250
+    assert out.select("n").distinct().count() == 250
+    # re-run: nothing new on the server — no duplicates appended
+    assert main(argv) == 0
+    assert spark.read.parquet(str(tmp_path / "flw")).count() == 250
+
+
+def test_cli_follow_rejects_csv(tmp_path):
+    from dump_es_parquet_spark.cli import main
+
+    rc = main(
+        ["x", "--follow", "--follow-once", "--output", "csv", "--out", str(tmp_path)]
+    )
+    assert rc == 2
