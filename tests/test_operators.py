@@ -279,3 +279,39 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_mapinarrow_l2_normalize(spark, sf_dir):
+    """Arrow-native normalization equals the pure-expression form and
+    produces unit vectors."""
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.arrow_ops import l2_normalize_embeddings
+    from dump_es_parquet_spark.operators.similarity import dot
+    from dump_es_parquet_spark.operators.tables import load
+
+    e = load(spark, sf_dir, "embeddings").limit(200)
+    got = l2_normalize_embeddings(e)
+    # every output vector has unit norm (within float32 tolerance)
+    bad = got.select(
+        (F.abs(F.sqrt(dot(F.col("unit"), F.col("unit"))) - 1.0) > 1e-5).alias("b")
+    ).filter("b").count()
+    assert bad == 0
+    # matches the expression-based normalization elementwise
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    expr = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: (x / norm).cast("float")).alias("u2"),
+    )
+    j = got.select("vec_id", "unit").join(expr, "vec_id")
+    diff = j.select(
+        F.aggregate(
+            F.zip_with("unit", "u2", lambda a, b: F.abs(a - b)),
+            F.lit(0.0),
+            lambda s, x: F.greatest(s, x),
+        ).alias("d")
+    )
+    assert diff.agg(F.max("d")).first()[0] < 1e-6
+    # schema: original columns preserved + the new one appended
+    assert got.columns == e.columns + ["unit"]
+    assert got.count() == 200
