@@ -146,3 +146,55 @@ def test_chunking_reconstruction(spark, sf_dir):
         assert rebuilt[: len(toks)] == toks or " ".join(toks).startswith(
             " ".join(rebuilt[: len(toks)])
         ) or set(toks) == set(rebuilt), row.doc_id
+
+
+@given(
+    s=st.integers(min_value=0, max_value=10_000),
+    span=st.integers(min_value=1, max_value=5_000),
+    chunk=st.integers(min_value=1, max_value=600),
+    slices=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_timeslice_chunk_tiling_partitions_range(s, span, chunk, slices):
+    """chunk tiling covers (s, e] exactly: chunks are contiguous,
+    ordered, non-overlapping, each no wider than chunk, and every
+    slice id appears once per chunk."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from dump_es_parquet_spark.streaming.es_stream import (
+        EsDumpTimeSliceStreamReader,
+    )
+
+    e = s + span
+    rdr = EsDumpTimeSliceStreamReader(
+        StructType([StructField("ts", LongType())]),
+        {"index": "x", "slices": str(slices), "chunk_seconds": str(chunk)},
+    )
+    parts = [p.value for p in rdr.partitions({"ts": s}, {"ts": e})]
+    ranges = sorted({(lo, hi) for (_, _, lo, hi) in parts})
+    assert ranges[0][0] == s and ranges[-1][1] == e
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 == lo2  # contiguous, no gap, no overlap
+    assert all(hi - lo <= chunk for lo, hi in ranges)
+    for r in ranges:
+        ids = sorted(i for (i, n, lo, hi) in parts if (lo, hi) == r)
+        assert ids == list(range(slices))
+
+
+@given(
+    lo=st.integers(min_value=-50, max_value=50),
+    hi=st.integers(min_value=-50, max_value=50),
+    v=st.integers(min_value=-60, max_value=60),
+    lo_inc=st.booleans(),
+    hi_inc=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_mock_range_matches_interval_semantics(lo, hi, v, lo_inc, hi_inc):
+    """The mock's Lucene range evaluator agrees with plain interval
+    arithmetic for every bracket combination."""
+    from dump_es_parquet_spark.sources.client import _match_query_string
+
+    q = f"x:{'[' if lo_inc else '{'}{lo} TO {hi}{']' if hi_inc else '}'}"
+    got = _match_query_string({"x": v}, q)
+    want = (v > lo or (lo_inc and v == lo)) and (v < hi or (hi_inc and v == hi))
+    assert got == want
