@@ -151,3 +151,33 @@ def test_deterministic_split_stable(spark, sf_dir):
     assert a != b
     a2 = {r.doc_id for r in deterministic_sample(d, "doc_id", 0.3, "s1").collect()}
     assert a == a2
+
+
+def test_sql_surface_matches_dataframe_plan(spark, sf_dir):
+    """spark.sql over registered views equals the DataFrame-API query
+    (same Catalyst plan space), and pushdown still reaches parquet."""
+    from dump_es_parquet_spark.operators.relational import q6_revenue_band
+    from dump_es_parquet_spark.sql_surface import register_tables, sql
+
+    names = register_tables(spark, sf_dir)
+    assert "lineitem" in names and len(names) == 10
+    got = sql(
+        spark,
+        sf_dir,
+        """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
+        """,
+    ).first()
+    want = q6_revenue_band(spark, sf_dir).first()
+    assert got.revenue == want.revenue and got.n_items == want.n_items
+    # the SQL text's filter reaches the parquet scan
+    plan = (
+        spark.sql("SELECT l_orderkey FROM lineitem WHERE l_orderkey = 42")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
