@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _mod("text", "fingerprint"),
         "text_chunking": _mod("chunking", "chunk_stats"),
         "corpus_splits": _mod("sampling", "split_summary"),
+        "corpus_stratified": _mod("sampling", "stratified_summary"),
         # — dedup —
         "dedup_exact": _mod("dedup", "exact_dedup"),
         "dedup_ngram_jaccard": _mod("dedup", "ngram_jaccard_pairs"),
@@ -749,6 +750,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_chunk_tokens) AS BIGINT) AS total_chunk_tokens,
                min(md5(chunk_text)) AS min_chunk_digest
         FROM ch GROUP BY doc_id ORDER BY doc_id
+    """
+
+    q["corpus_stratified"] = """
+        WITH ranked AS (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                             doc_id) AS rk,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents
+        )
+        SELECT lang, count(*) AS n_sampled,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               md5(array_to_string(list_sort(list(doc_id)), ',')) AS membership_digest
+        FROM ranked
+        WHERE rk <= ceil(n * 0.2)
+        GROUP BY lang ORDER BY lang
     """
 
     q["corpus_splits"] = """

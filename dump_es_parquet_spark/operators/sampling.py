@@ -84,3 +84,46 @@ def split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, fraction: float
+) -> DataFrame:
+    """EXACT per-stratum sampling: within each stratum, rank rows by
+    md5(key) — a deterministic shuffle — and keep ``ceil(n_s ·
+    fraction)``. Unlike ``deterministic_sample`` (expected fraction,
+    zero shuffle), this guarantees the per-stratum count exactly: the
+    balanced-mixture primitive for training-data recipes ("20% of each
+    language"). Cost: one shuffle on the stratum key + window rank —
+    the same plan class as any per-group top-k; skewed strata are the
+    usual salting candidates."""
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col).cast("string")
+    w_rank = Window.partitionBy(strata_col).orderBy(F.md5(key), F.col(key_col))
+    w_all = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("_rk") <= F.ceil(F.col("_n") * F.lit(float(fraction))))
+        .drop("_rk", "_n")
+    )
+
+
+def stratified_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form: 20% stratified sample of documents by language,
+    with per-stratum counts and a membership digest (order-free,
+    exact-set check against the oracle)."""
+    d = load(spark, sf_dir, "documents")
+    s = stratified_sample(d, "lang", "doc_id", 0.2)
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("doc_id")))
+            ).alias("membership_digest"),
+        )
+        .orderBy("lang")
+    )
