@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": _mod("chunking", "chunk_stats"),
         "corpus_splits": _mod("sampling", "split_summary"),
         "corpus_stratified": _mod("sampling", "stratified_summary"),
+        "corpus_temperature": _mod("sampling", "temperature_summary"),
         # — dedup —
         "dedup_exact": _mod("dedup", "exact_dedup"),
         "dedup_ngram_jaccard": _mod("dedup", "ngram_jaccard_pairs"),
@@ -767,6 +768,30 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked
         WHERE rk <= ceil(n * 0.2)
         GROUP BY lang ORDER BY lang
+    """
+
+    q["corpus_temperature"] = """
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        t AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(28,12))) AS DOUBLE) AS z,
+                     CAST(sum(n) AS BIGINT) AS total
+              FROM c),
+        k AS (SELECT lang, n,
+                     least(n, CAST(ceil(CAST(total AS DOUBLE) * 0.3 *
+                           (CAST(CAST(sqrt(n) AS DECIMAL(28,12)) AS DOUBLE) / z))
+                         AS BIGINT)) AS keep
+              FROM c, t),
+        ranked AS (SELECT lang, doc_id,
+                          row_number() OVER (PARTITION BY lang
+                                             ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                                      doc_id) AS rk
+                   FROM documents)
+        SELECT r.lang,
+               CAST(max(k.n) AS BIGINT) AS n_total,
+               count(*) AS n_sampled,
+               md5(array_to_string(list_sort(list(doc_id)), ',')) AS membership_digest
+        FROM ranked r JOIN k ON r.lang = k.lang
+        WHERE r.rk <= k.keep
+        GROUP BY r.lang ORDER BY r.lang
     """
 
     q["corpus_splits"] = """

@@ -127,3 +127,61 @@ def stratified_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def temperature_summary(
+    spark: SparkSession, sf_dir: str, total_fraction: float = 0.3
+) -> DataFrame:
+    """Temperature-reweighted mixture sampling (α = 0.5): stratum s
+    gets a share ∝ √n_s of the sampled budget — the standard
+    multilingual rebalancing (upsample tails, downsample heads)
+    computed exactly and deterministically.
+
+    Determinism notes (hash-gate grade): α is fixed at 0.5 because
+    sqrt is IEEE-correctly-rounded in every engine (pow(x, α) is not);
+    the √n normalizer sums as DECIMAL so aggregation order can't move
+    a bit; shares divide as doubles (identical IEEE ops both sides);
+    membership is the md5-ranked prefix per stratum, as in
+    ``stratified_sample``."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    dec_sqrt = F.sqrt(F.col("n").cast("double")).cast("decimal(28,12)")
+    t = c.agg(
+        F.sum(dec_sqrt).cast("double").alias("z"),
+        F.sum("n").cast("bigint").alias("total"),
+    )
+    k = (
+        c.crossJoin(F.broadcast(t))
+        .withColumn("share", dec_sqrt.cast("double") / F.col("z"))
+        .withColumn(
+            "keep",
+            F.least(
+                F.col("n"),
+                F.ceil(
+                    F.col("total").cast("double")
+                    * F.lit(float(total_fraction))
+                    * F.col("share")
+                ),
+            ),
+        )
+        .select("lang", "n", "keep")
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w_rank))
+        .join(F.broadcast(k), "lang")
+        .filter(F.col("rk") <= F.col("keep"))
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("bigint").alias("n_total"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("doc_id")))
+            ).alias("membership_digest"),
+        )
+        .orderBy("lang")
+    )
