@@ -28,6 +28,7 @@ import fnmatch
 import itertools
 import json
 import time
+import urllib.error
 import urllib.parse
 import urllib.request
 from dataclasses import dataclass, field
@@ -37,6 +38,18 @@ from typing import Any, Callable, Iterable
 class TransportError(Exception):
     """Transient server/transport failure (named after the
     opensearch-py exception the reference catches)."""
+
+
+class FatalHTTPError(Exception):
+    """Non-retryable HTTP client error: a 4xx other than 429 means the
+    request itself is wrong (bad query string, missing index, auth) —
+    retrying can never succeed, so it must NOT be converted into
+    ``TransportError`` (under the reference-default ``max_retries=None``
+    that would retry a 400 forever)."""
+
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
 
 
 def with_retry(
@@ -333,6 +346,18 @@ class RestES:
                 req, timeout=self.timeout, context=self._ssl_context()
             ) as resp:
                 return json.loads(resp.read())
+        # HTTPError IS an OSError — it must be classified first, or a 400
+        # bad query / 404 missing index would be retried (forever, under
+        # the reference-default max_retries=None).
+        except urllib.error.HTTPError as e:
+            try:
+                detail = e.read().decode("utf-8", "replace")[:500]
+            except Exception:
+                detail = ""
+            msg = f"HTTP {e.code} on {method} {path}: {detail}"
+            if e.code >= 500 or e.code == 429:  # server fault / throttling
+                raise TransportError(msg) from e
+            raise FatalHTTPError(e.code, msg) from e
         except OSError as e:  # connection-level failures → retryable
             raise TransportError(str(e)) from e
 
