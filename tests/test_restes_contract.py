@@ -97,6 +97,17 @@ class _Handler(BaseHTTPRequestHandler):
         elif rec["path"].endswith("/_settings"):
             self._send({"metrics": {"settings": {"index": {
                 "uuid": "x", "number_of_shards": "1"}}}})
+        elif rec["path"].endswith("/_busy"):
+            # transient server fault: 503 twice, then succeed — so a
+            # retry loop can be observed converging
+            n = sum(1 for r in _Handler.requests
+                    if r["path"] == rec["path"])
+            if n <= 2:
+                self._send({"error": "overloaded"}, 503)
+            else:
+                self._send({"ok": True})
+        elif rec["path"].endswith("/_throttle"):
+            self._send({"error": "too many requests"}, 429)
         else:
             self._send({"error": "unknown"}, 404)
 
@@ -247,9 +258,41 @@ def test_cli_end_to_end_against_http_server(es_url, tmp_path, spark):
     assert got == [d["host"] for d in DOCS]
 
 
-def test_http_error_is_transport_error(es_url):
-    from dump_es_parquet_spark.sources.client import TransportError
+def test_http_4xx_is_fatal_and_never_retried(es_url):
+    """VERDICT r2 #2: a 400/404 means the request itself is wrong —
+    retrying can never succeed. It must surface as FatalHTTPError and
+    pass straight through with_retry (under the reference-default
+    max_retries=None, the old TransportError conflation retried a bad
+    query forever)."""
+    from dump_es_parquet_spark.sources.client import (
+        FatalHTTPError, with_retry)
+
+    es = RestES(es_url)
+    with pytest.raises(FatalHTTPError) as ei:
+        es._req("GET", "/nope/_unknown")
+    assert ei.value.code == 404
+
+    _Handler.requests = []
+    with pytest.raises(FatalHTTPError):
+        with_retry(lambda: es._req("GET", "/nope/_unknown"),
+                   max_retries=5, backoff_s=0, sleep=lambda s: None)
+    # fails fast: exactly one request hit the wire, zero retries
+    assert len(_Handler.requests) == 1
+
+
+def test_http_5xx_and_429_are_retryable(es_url):
+    """5xx and 429 are server-side/transient: TransportError, so
+    with_retry converges once the server recovers."""
+    from dump_es_parquet_spark.sources.client import (
+        TransportError, with_retry)
 
     es = RestES(es_url)
     with pytest.raises(TransportError):
-        es._req("GET", "/nope/_unknown")
+        es._req("GET", "/busy/_throttle")  # 429 → retryable class
+
+    _Handler.requests = []
+    out = with_retry(lambda: es._req("GET", "/cluster/_busy"),
+                     max_retries=5, backoff_s=0, sleep=lambda s: None)
+    assert out == {"ok": True}
+    # two 503s then success
+    assert len(_Handler.requests) == 3
