@@ -223,23 +223,27 @@ IVF_NPROBE = 2
 def _ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign each vector to its nearest centroid (argmin over
     ``-2·v·c + c·c``; ``v·v`` is constant per vector and drops out).
-    Centroids broadcast; ties break on cid. One window shuffle on
-    vec_id over n×C rows — at 100 TB replace the window with
-    ``groupBy(vec_id).agg(min(struct(dist, cid)))`` + join-back, which
-    partial-aggregates map-side (same result, documented here to keep
-    the plan identical to the SQL oracle)."""
-    from pyspark.sql.window import Window
+    Centroids broadcast; ties break on cid (the ordering struct is
+    unique per vec_id, so ``min_by`` is deterministic).
 
+    Map-side-combining argmin: ``min_by`` over the broadcast-expanded
+    n×C rows partial-aggregates inside each task, so only n combined
+    rows ever hit the shuffle — versus the window formulation
+    (``row_number over partitionBy(vec_id)``) that shuffles and sorts
+    all n×C expanded rows. The payload rides inside ``min_by``'s value
+    struct, so no join-back is needed either (VERDICT r2 #3)."""
+    payload = F.struct(
+        *[F.col(c) for c in e.columns if c != "vec_id"], F.col("cid")
+    )
     dist = F.lit(-2.0) * dot(F.col("embedding"), F.col("cv")) + dot(
         F.col("cv"), F.col("cv")
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     return (
         e.crossJoin(F.broadcast(cents))
-        .withColumn("dist", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "dist", "cv")
+        .select("vec_id", payload.alias("p"), F.struct(dist.alias("dist"), "cid").alias("o"))
+        .groupBy("vec_id")
+        .agg(F.min_by("p", "o").alias("b"))
+        .select("vec_id", "b.*")
     )
 
 

@@ -60,12 +60,9 @@ def estimate_row_bytes(df: DataFrame, sample_rows: int = 1000) -> int:
     reference's ``df.estimated_size('mb')`` check (``:284-289``),
     computed from a bounded sample instead of materializing the whole
     frame in memory."""
-    sample = df.limit(sample_rows)
-    n = sample.count()
-    if n == 0:
-        return 1
-    total = (
-        sample.select(
+    row = (
+        df.limit(sample_rows)
+        .select(
             sum(
                 (
                     F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0)) + 8
@@ -74,11 +71,13 @@ def estimate_row_bytes(df: DataFrame, sample_rows: int = 1000) -> int:
                 F.lit(0),
             ).alias("sz")
         )
-        .agg(F.sum("sz"))
-        .collect()[0][0]
-        or n
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("sz").alias("total"))
+        .collect()[0]
     )
-    return max(1, int(total / n))
+    n = row["n"]
+    if n == 0:
+        return 1
+    return max(1, int((row["total"] or n) / n))
 
 
 def estimate_row_bytes_from_docs(docs: list) -> int:
@@ -202,15 +201,30 @@ def _ext(opts: SinkOptions) -> str:
 
 
 def _flatten_single_file(out_dir: str, path: str, index: str, opts: SinkOptions) -> str:
-    """Rename the single part file to the reference's flat
-    ``{index}.{ext}`` naming (:312-316)."""
-    part = next(
+    """Rename part files to the reference's flat naming (:312-316):
+    one part → ``{index}.{ext}``; several (the row/size bound split the
+    coalesced task's output) → numbered ``{index}-NNNN.{ext}``, exactly
+    the reference's partitioned flat-file naming. Every part file is
+    moved — dropping all but the first would silently lose data."""
+    ext = _ext(opts)
+    parts = [
         f
         for f in sorted(os.listdir(out_dir))
         if f.startswith("part-") and not f.endswith(".crc")
-    )
-    target = os.path.join(path, f"{index}.{_ext(opts)}")
-    shutil.move(os.path.join(out_dir, part), target)
+    ]
+    if len(parts) <= 1:
+        target = os.path.join(path, f"{index}.{ext}")
+        if parts:
+            shutil.move(os.path.join(out_dir, parts[0]), target)
+        else:  # empty frame, no part file emitted (text/json writers)
+            open(target, "wb").close()
+    else:
+        for i, part in enumerate(parts):
+            shutil.move(
+                os.path.join(out_dir, part),
+                os.path.join(path, f"{index}-{i:04}.{ext}"),
+            )
+        target = os.path.join(path, f"{index}-0000.{ext}")
     shutil.rmtree(out_dir)
     return target
 

@@ -247,6 +247,29 @@ def test_dump_single_file_naming(spark, tmp_path):
     assert os.path.exists(tmp_path / "metrics-2026.06.parquet")
 
 
+def test_dump_single_file_overflow_numbered_no_data_loss(spark, tmp_path):
+    """ADVICE r3 (high): when the row bound splits a single_file dump
+    into several part files, ALL of them must survive as the
+    reference's numbered {index}-NNNN.{ext} flat naming
+    (dump-es-parquet:312-316) — the old code moved only the first and
+    rmtree'd the rest."""
+    res = dump(
+        spark,
+        factory,
+        "metrics-2026.05",  # 1500 docs
+        str(tmp_path),
+        ScanOptions(slices=2),
+        SinkOptions(output="parquet", single_file=True, partition_rows=400),
+    )
+    assert not res.errors
+    files = sorted(glob.glob(str(tmp_path / "metrics-2026.05-*.parquet")))
+    assert len(files) >= 2
+    assert files[0].endswith("metrics-2026.05-0000.parquet")
+    back = spark.read.parquet(*files)
+    assert back.count() == 1500  # nothing silently dropped
+    assert not os.path.exists(tmp_path / "metrics-2026.05")  # dir cleaned
+
+
 def test_dump_per_index_isolation(spark, tmp_path):
     fixture = dict(FIXTURE)
     fixture["metrics-broken"] = {"mapping": None, "docs": []}  # schema fetch crashes
