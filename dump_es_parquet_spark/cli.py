@@ -101,6 +101,17 @@ def _follow(spark, args) -> int:
     if args.output not in ("parquet", "ndjson"):
         print("--follow supports --output parquet|ndjson", file=sys.stderr)
         return 2
+    if any(c in args.index for c in "*?,"):
+        # A pattern would be embedded verbatim in the output dir and
+        # checkpoint path (literal '*' directory) and the stream's
+        # single-index search would dump whatever the server resolves
+        # per trigger — reject instead of silently misbehaving.
+        print(
+            "--follow requires a concrete index name, not a pattern: "
+            f"{args.index!r}",
+            file=sys.stderr,
+        )
+        return 2
     register(spark)
     b = (
         spark.readStream.format("esdump")

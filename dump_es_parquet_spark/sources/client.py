@@ -89,51 +89,96 @@ def _get_path(doc: dict, path: str):
     return cur
 
 
+def _split_top_and(q: str) -> list[str]:
+    """Split on ``" AND "`` at paren depth 0 only. Raises on
+    unbalanced parens so mock-backed tests fail loudly instead of the
+    fragmented clauses silently matching nothing."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    while i < len(q):
+        ch = q[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced parens in query_string: {q!r}")
+        elif depth == 0 and q.startswith(" AND ", i):
+            parts.append(q[start:i])
+            i += 5
+            start = i
+            continue
+        i += 1
+    if depth != 0:
+        raise ValueError(f"unbalanced parens in query_string: {q!r}")
+    parts.append(q[start:])
+    return parts
+
+
+def _is_wrapped(clause: str) -> bool:
+    """True when the whole clause is one balanced paren group (the
+    first ``(`` closes only at the final character)."""
+    if not (clause.startswith("(") and clause.endswith(")")):
+        return False
+    depth = 0
+    for i, ch in enumerate(clause):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(clause) - 1
+    return False
+
+
 def _match_query_string(doc: dict, q: str | None) -> bool:
     """Tiny Lucene-ish evaluator for tests: supports ``field:value``,
-    ``field:[lo TO hi]`` and ``AND`` conjunctions. The reference passes
-    the query string verbatim to the server (``:222``) — a full Lucene
-    parser is the server's job, not the client's; this subset only
-    exists so pushdown plumbing is testable."""
+    ``field:[lo TO hi]``, ``AND`` conjunctions, and parenthesized
+    groups that may themselves contain ``AND`` — the engine joins user
+    + pushed clauses as ``"(c1) AND (c2)"`` (Lucene precedence safety,
+    ``datasource.py``) and the timeslice reader nests another level, so
+    splitting must be paren-depth-aware. The reference passes the query
+    string verbatim to the server (``:222``) — a full Lucene parser is
+    the server's job, not the client's; this subset only exists so
+    pushdown plumbing is testable."""
     if not q:
         return True
-    for clause in q.split(" AND "):
-        clause = clause.strip()
-        # unwrap clause parens: the engine joins user + pushed clauses
-        # as "(c1) AND (c2)" (Lucene precedence safety) — a real server
-        # parses that; this evaluator just strips the wrapping
-        while clause.startswith("(") and clause.endswith(")"):
-            clause = clause[1:-1].strip()
-        fld, _, val = clause.partition(":")
-        fld, val = fld.strip(), val.strip()
-        got = _get_path(doc, fld)
-        if val[:1] in "[{" and " TO " in val:
-            # Lucene range: [ ] inclusive, { } exclusive, * unbounded
-            lo_inc, hi_inc = val[0] == "[", val[-1] == "]"
-            lo, hi = val[1:-1].split(" TO ")
-            if got is None:
-                return False
+    clauses = _split_top_and(q)
+    if len(clauses) > 1:
+        return all(_match_query_string(doc, c.strip()) for c in clauses)
+    clause = clauses[0].strip()
+    if _is_wrapped(clause):  # recurse: inner may hold more ANDs
+        return _match_query_string(doc, clause[1:-1].strip())
+    fld, _, val = clause.partition(":")
+    fld, val = fld.strip(), val.strip()
+    got = _get_path(doc, fld)
+    if val[:1] in "[{" and " TO " in val:
+        # Lucene range: [ ] inclusive, { } exclusive, * unbounded
+        lo_inc, hi_inc = val[0] == "[", val[-1] == "]"
+        lo, hi = val[1:-1].split(" TO ")
+        if got is None:
+            return False
 
-            def _cmp(a, b):
-                try:
-                    fa, fb = float(a), float(b)
-                    return (fa > fb) - (fa < fb)
-                except (TypeError, ValueError):
-                    sa, sb = str(a), str(b)
-                    return (sa > sb) - (sa < sb)
+        def _cmp(a, b):
+            try:
+                fa, fb = float(a), float(b)
+                return (fa > fb) - (fa < fb)
+            except (TypeError, ValueError):
+                sa, sb = str(a), str(b)
+                return (sa > sb) - (sa < sb)
 
-            if lo != "*":
-                c = _cmp(got, lo)
-                if c < 0 or (c == 0 and not lo_inc):
-                    return False
-            if hi != "*":
-                c = _cmp(got, hi)
-                if c > 0 or (c == 0 and not hi_inc):
-                    return False
-        else:
-            if got is None or str(got) != val:
+        if lo != "*":
+            c = _cmp(got, lo)
+            if c < 0 or (c == 0 and not lo_inc):
                 return False
-    return True
+        if hi != "*":
+            c = _cmp(got, hi)
+            if c > 0 or (c == 0 and not hi_inc):
+                return False
+        return True
+    return got is not None and str(got) == val
 
 
 def _project(doc: dict, includes: list[str] | None) -> dict:

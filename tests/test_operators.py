@@ -322,3 +322,50 @@ def test_mapinarrow_l2_normalize(spark, sf_dir):
     # schema: original columns preserved + the new one appended
     assert got.columns == e.columns + ["unit"]
     assert got.count() == 200
+
+def test_mapinarrow_l2_normalize_empty_null_tail(spark):
+    """ADVICE r3: an empty/null embedding in the trailing row used to
+    make the reduceat kernel IndexError (its start offset ==
+    len(values)); empty rows mid-batch silently picked up the next
+    segment's first element. Nulls must stay null, empties empty."""
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.arrow_ops import l2_normalize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, []), (3, None), (4, [0.0, 0.0]), (5, [])],
+        "vec_id int, embedding array<float>",
+    ).coalesce(1)
+    rows = {
+        r["vec_id"]: r["unit"]
+        for r in l2_normalize_embeddings(df).collect()
+    }
+    assert rows[1] == pytest.approx([0.6, 0.8])
+    assert rows[2] == []
+    assert rows[3] is None
+    assert rows[4] == [0.0, 0.0]  # zero vector passes through, no NaN
+    assert rows[5] == []
+
+
+def test_l2_normalize_kernel_sliced_batch():
+    """The kernel must rebase a *sliced* ListArray: .values/.offsets on
+    a slice still expose the parent buffers (offsets[0] != 0), which
+    misaligns np.repeat against the flat values."""
+    import pyarrow as pa
+
+    from dump_es_parquet_spark.operators.arrow_ops import _l2_normalize_batch
+
+    full = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int32()),
+            "embedding": pa.array(
+                [[9.0, 9.0], [3.0, 4.0], None, []], pa.list_(pa.float32())
+            ),
+        }
+    )
+    rb = full.to_batches()[0].slice(1, 3)  # drops row 0 → offsets[0] != 0
+    out = _l2_normalize_batch(rb, "embedding", "unit")
+    unit = out.column(out.schema.get_field_index("unit")).to_pylist()
+    assert unit[0] == pytest.approx([0.6, 0.8])  # 9/… if buffers misaligned
+    assert unit[1] is None
+    assert unit[2] == []

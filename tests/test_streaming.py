@@ -479,3 +479,37 @@ def test_cli_follow_rejects_csv(tmp_path):
         ["x", "--follow", "--follow-once", "--output", "csv", "--out", str(tmp_path)]
     )
     assert rc == 2
+
+
+def test_cli_follow_rejects_index_patterns(tmp_path, capsys):
+    """ADVICE r3: a wildcard/pattern index would be embedded verbatim
+    in the output dir and checkpoint path (literal '*' directory) —
+    --follow needs one concrete index, so patterns exit rc=2."""
+    from dump_es_parquet_spark.cli import main
+
+    for idx in ("my-data-*", "a?b", "one,two"):
+        rc = main(["--follow", "--follow-once", "--out", str(tmp_path), idx])
+        assert rc == 2
+        assert "concrete index" in capsys.readouterr().err
+
+def test_mockes_parenthesized_and_groups():
+    """ADVICE r3: '(a AND b) AND (c)' — exactly what EsDumpReader._query
+    and the timeslice reader compose — used to fragment on the naive
+    ' AND ' split and silently match nothing. Splitting is now
+    paren-depth-aware and recursive; unbalanced input raises."""
+    import pytest
+
+    from dump_es_parquet_spark.sources.client import _match_query_string
+
+    doc = {"a": 1, "b": 2, "c": 3, "ts": 15}
+    assert _match_query_string(doc, "(a:1 AND b:2) AND (c:3)")
+    assert not _match_query_string(doc, "(a:1 AND b:9) AND (c:3)")
+    # the timeslice composition: "({user_q}) AND ({range})"
+    assert _match_query_string(doc, "((a:1 AND b:2)) AND (ts:[10 TO 20])")
+    assert not _match_query_string(doc, "((a:1 AND b:2)) AND (ts:[20 TO 30])")
+    # nested unwrap of a single group
+    assert _match_query_string(doc, "((a:1 AND (b:2)))")
+    with pytest.raises(ValueError, match="unbalanced"):
+        _match_query_string(doc, "(a:1 AND b:2")
+    with pytest.raises(ValueError, match="unbalanced"):
+        _match_query_string(doc, "a:1) AND (b:2")
