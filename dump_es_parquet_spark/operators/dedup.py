@@ -27,6 +27,8 @@ operator hash-matches its SQL oracle exactly.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,6 +39,27 @@ MINHASHES = 8
 BANDS = 4  # × 2 rows each
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # × 8 bits each; finds all pairs with hamming ≤ 3
+
+
+def _lazy_barrier(df: DataFrame) -> DataFrame:
+    """Default optimizer barrier for the LAZY pair queries: stop
+    projection collapse from inlining the md5 subtree into every
+    downstream fold, without running a job at construction time. The
+    persisted blocks live exactly as long as the returned frame and are
+    reclaimed by the ContextCleaner with it; callers that need a fully
+    scoped lifetime (``dedup_corpus``) pass a cache-tracking barrier
+    and unpersist explicitly."""
+    return df.localCheckpoint(eager=False)
+
+
+def _ensure_checkpoint_dir(spark: SparkSession) -> None:
+    """Reliable-checkpoint dir for iterative operators. On a cluster
+    this should be durable shared storage (HDFS/S3) set by the
+    session owner; default to a local tempdir so local runs work
+    out of the box."""
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="dep-spark-ckpt-"))
 
 
 def _par(df: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -162,7 +185,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(d: DataFrame) -> DataFrame:
+def minhash_signatures(d: DataFrame, barrier=_lazy_barrier) -> DataFrame:
     """Per-doc MinHash signature: 8 minima over 32-bit hash slices.
 
     Two md5s per shingle ("0|s", "1|s"), each split into four 8-hex-char
@@ -170,7 +193,11 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     in a first projection so each md5 is computed once (not once per
     derived hash — projection collapse would otherwise inline it 4×);
     the minima are then cheap substring transforms. String minima are
-    engine-portable (lexicographic == numeric for fixed-width hex)."""
+    engine-portable (lexicographic == numeric for fixed-width hex).
+
+    ``barrier`` is the materialization cut for that first projection —
+    lazy localCheckpoint by default; ``dedup_corpus`` passes a tracked
+    ``cache`` so it can unpersist when done."""
     sh = shingles_col()
 
     def _md5_fn(prefix):
@@ -179,9 +206,9 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     def _md5_arr(src_idx):
         return F.transform(sh, _md5_fn(f"{src_idx}|"))
 
-    hashed = d.select(
-        "doc_id", _md5_arr(0).alias("h0"), _md5_arr(1).alias("h1")
-    ).localCheckpoint(eager=False)
+    hashed = barrier(
+        d.select("doc_id", _md5_arr(0).alias("h0"), _md5_arr(1).alias("h1"))
+    )
 
     def _substr_fn(start):
         return lambda h: F.substring(h, start, 8)
@@ -207,17 +234,25 @@ def minhash_lsh_pairs(
     return minhash_lsh_pairs_for(_par(load(spark, sf_dir, "documents")), threshold)
 
 
-def minhash_lsh_pairs_for(d: DataFrame, threshold: float = 0.7) -> DataFrame:
+def minhash_lsh_pairs_for(
+    d: DataFrame, threshold: float = 0.7, barrier=_lazy_barrier
+) -> DataFrame:
     """Core of ``minhash_lsh_pairs`` over any ``(doc_id, text)``
     frame — shared by the query entry point and ``dedup_corpus``, so
     corpus dedup gets the same exact-Jaccard verification of band
     collisions (raw LSH collisions at 4 bands × 2 rows fire ~31% of
     the time even at Jaccard ≈ 0.3 — unverified removal deletes
-    non-duplicates)."""
-    sig = minhash_signatures(d)
-    # the band table and candidate set are each referenced by several
-    # joins below; without caching, every reference recomputes the md5
-    # signature subtree. Both frames are tiny (4 rows/doc; pair ids).
+    non-duplicates).
+
+    Candidate generation groups the band table by (band, bhash) and
+    expands intra-bucket pairs with array expressions — ONE pass over
+    the band table (no self-join, nothing to cache), and candidate
+    work is Σ|bucket|² over *colliding* buckets only, which is the
+    LSH contract. A degenerate hot bucket (e.g. a corpus of empty
+    texts all hashing identically) would make one task quadratic —
+    that is a property of the signature, not the plan; cap upstream
+    by filtering empty/boilerplate docs before dedup."""
+    sig = minhash_signatures(d, barrier)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -233,18 +268,28 @@ def minhash_lsh_pairs_for(d: DataFrame, threshold: float = 0.7) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "b.band", "b.bhash").cache()
-    x, y = bands.alias("x"), bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bhash") == F.col("y.bhash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select("doc_id", "b.band", "b.bhash")
+    buckets = (
+        bands.groupBy("band", "bhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # ids are sorted, so pairing each element with its successors
+    # yields exactly the id_a < id_b pairs the old self-join produced;
+    # distinct() dedups pairs colliding in more than one band.
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
-        .cache()
     )
     # exact-Jaccard verification on candidate pairs only. The shingle
     # arrays ride two broadcast-sized joins (candidates are rare by
@@ -252,9 +297,7 @@ def minhash_lsh_pairs_for(d: DataFrame, threshold: float = 0.7) -> DataFrame:
     # array join is proportional to |candidates|, not |corpus|².
     # Materialized once — the verify sides must not recompute the
     # regexp/shingle chain (and its codegen) per join side.
-    docs = d.select("doc_id", shingles_col().alias("sh")).localCheckpoint(
-        eager=False
-    )
+    docs = barrier(d.select("doc_id", shingles_col().alias("sh")))
     da, db = docs.alias("da"), docs.alias("db")
     inter = F.size(F.array_intersect(F.col("da.sh"), F.col("db.sh")))
     union = F.size(F.col("da.sh")) + F.size(F.col("db.sh")) - inter
@@ -515,6 +558,13 @@ def dedup_corpus(
       candidate-pair edge set — iterations shuffle only the pair
       edges, never the corpus, and near-dup cluster diameters bound
       the round count).
+
+    Storage lifecycle: every block this function persists is released
+    before it returns (try/finally unpersist of the tracked caches;
+    fixpoint rounds use reliable checkpoints, which hold no executor
+    blocks) — long-lived sessions calling dedup repeatedly accumulate
+    nothing. The returned frame reads only the corpus and the final
+    label checkpoint files.
     """
     if strategy == "exact":
         keep = (
@@ -529,12 +579,26 @@ def dedup_corpus(
     renamed = id_col != "doc_id"
     if renamed:
         d = d.withColumnRenamed(id_col, "doc_id")
-    pairs = (
-        minhash_lsh_pairs_for(_par(d), threshold)
-        .select("id_a", "id_b")
-        .cache()
-    )
-    labels = _component_min_labels(pairs)
+    tracked: list[DataFrame] = []
+
+    def _scoped(df: DataFrame) -> DataFrame:
+        df = df.cache()
+        tracked.append(df)
+        return df
+
+    try:
+        pairs = _scoped(
+            minhash_lsh_pairs_for(_par(d), threshold, barrier=_scoped).select(
+                "id_a", "id_b"
+            )
+        )
+        # the fixpoint materializes `pairs` (and through it the cached
+        # barriers) on its first round; after it returns, labels are
+        # file-backed and nothing downstream re-reads the caches.
+        labels = _component_min_labels(pairs)
+    finally:
+        for c in tracked:
+            c.unpersist(blocking=True)
     dup_ids = labels.filter(F.col("label") != F.col("node")).select(
         F.col("node").alias("doc_id")
     )
@@ -552,8 +616,13 @@ def _component_min_labels(pairs: DataFrame) -> DataFrame:
 
     Scale shape: every iteration shuffles the *edge set* (candidate
     pairs only, tiny by LSH construction), never the corpus; rounds
-    are bounded by component diameter. localCheckpoint per round cuts
-    the exponentially-growing lineage."""
+    are bounded by component diameter. Reliable checkpoints per round
+    cut the growing lineage WITHOUT pinning executor blocks (the
+    GraphX/GraphFrames iteration pattern) — so iterative dedup leaves
+    the block manager exactly as it found it. On a cluster, point
+    ``sc.setCheckpointDir`` at shared storage; locally a tempdir is
+    created on demand."""
+    _ensure_checkpoint_dir(pairs.sparkSession)
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -561,7 +630,7 @@ def _component_min_labels(pairs: DataFrame) -> DataFrame:
         sym.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .checkpoint(eager=True)
     )
     while True:
         neighbor_min = (
@@ -577,7 +646,7 @@ def _component_min_labels(pairs: DataFrame) -> DataFrame:
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .checkpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

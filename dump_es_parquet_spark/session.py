@@ -49,6 +49,9 @@ def get_spark(
         # Parquet writer defaults mirroring the reference's zstd output
         # (reference README.md:10 — "compressed with zstd").
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Iterative operators (dedup_corpus fixpoint) cut lineage with
+        # reliable checkpoints; delete their files once unreferenced.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -90,6 +90,27 @@ def test_dedup_corpus_minhash(spark):
     assert len(kept) <= 3
 
 
+def test_dedup_corpus_releases_all_persisted_blocks(spark):
+    """dedup_corpus must leave the block manager as it found it: the
+    tracked caches unpersist in its finally block, and fixpoint rounds
+    use reliable (file-backed) checkpoints, not block-manager persists
+    — a long-lived session running dedup repeatedly accumulates no
+    executor storage."""
+    from dump_es_parquet_spark.operators.dedup import dedup_corpus
+
+    base_txt = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    d = spark.createDataFrame(
+        [(i, base_txt if i % 2 else f"unique words {i} " * 12) for i in range(20)],
+        "doc_id long, text string",
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = dedup_corpus(d, "minhash", threshold=0.7)
+    after_return = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after_return == before
+    assert out.count() >= 1  # materializing the result persists nothing new
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
 def test_chunking(spark, sf_dir):
     from dump_es_parquet_spark.operators.chunking import chunk_documents
     from dump_es_parquet_spark.operators.tables import load
