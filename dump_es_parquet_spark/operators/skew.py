@@ -27,12 +27,18 @@ def salted_join(
     how: str = "inner",
     salts: int = 16,
 ) -> DataFrame:
-    """Equi-join with the hot-key salting pattern. Deterministic salt
-    (xxhash64 of the big side's row) — no RNG, so plans are stable and
-    retry-safe."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts)).cast(
-        "int"
-    )
+    """Equi-join with the hot-key salting pattern. The salt derives
+    from the row's *position* — ``xxhash64(spark_partition_id(),
+    monotonically_increasing_id())`` — not its content: hashing column
+    values would give byte-identical duplicate rows (the common shape
+    of a hot key) the same salt and leave them on one task. Positional
+    salting spreads even identical rows, stays RNG-free, and is
+    deterministic within a task attempt (each retry re-derives the
+    same per-partition ordinals)."""
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(salts),
+    ).cast("int")
     bs = big.withColumn("_salt", salt)
     ss = small.crossJoin(
         small.sparkSession.range(salts).select(F.col("id").cast("int").alias("_salt"))

@@ -81,6 +81,35 @@ def test_salted_join_equals_plain(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_spreads_identical_hot_rows(spark):
+    """The hot-key pathology: one key, 10k byte-identical rows. A
+    content-derived salt would put them all in one (key, salt) task;
+    the positional salt must spread them over most of the salt space
+    while the join result stays exact."""
+    from dump_es_parquet_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(7, "same payload")] * 10_000, "k int, payload string"
+    ).repartition(4)
+    small = spark.createDataFrame([(7, "dim")], "k int, attr string")
+    out = salted_join(big, small, ["k"])
+    assert out.count() == 10_000
+    # re-derive the salt exactly as salted_join does and count buckets
+    from pyspark.sql import functions as F
+
+    n_salts = (
+        big.select(
+            F.pmod(
+                F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+                F.lit(16),
+            ).alias("s")
+        )
+        .agg(F.countDistinct("s").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n_salts > 8  # identical rows land on many salts, not one
+
+
 def test_salted_distinct_count_exact(spark, sf_dir):
     from dump_es_parquet_spark.operators.skew import salted_distinct_count
 
