@@ -19,6 +19,25 @@ Rows are coerced *in the reader* with the pure-Python twin of the
 expression coercion (``coerce_py``) — the data is already Python
 dicts from the HTTP JSON, so this is the natural (and single) pass.
 
+**Column-pruning boundary.** The Python Data Source API exposes
+``pushFilters`` but no column-prune hook (there is no Python
+counterpart of ``SupportsPushDownRequiredColumns``), so a bare
+``df.select("a", "b")`` on an esdump frame prunes only *after* the
+reader has fetched every ``_source`` field over the wire. The
+``fields`` option IS this source's projection pushdown — the exact
+``_source`` includes mechanism the reference pushes server-side
+(``dump-es-parquet:223,386-387``), wildcards included. Pair it with
+the select::
+
+    df = (spark.read.format("esdump")
+          .option("url", url).option("index", "logs")
+          .option("fields", "host,status,@timestamp")  # wire-level prune
+          .load()
+          .select("host", "status"))                   # plan-level prune
+
+If Spark later adds a prune hook to the Python API, ``fields`` can be
+derived from the required schema; until then it is explicit.
+
 Register per-session with ``register(spark)``.
 """
 
