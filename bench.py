@@ -36,15 +36,27 @@ def main() -> int:
         extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "100g"},
     )
 
-    # Each query runs 3×: run 1 is the cold (codegen-compile) time,
-    # steady-state is the best of the two WARM runs — min(runs) alone
-    # can report the cold run as "steady" when a warm run hits a noisy
-    # GC/scheduler moment, making cold==steady rows look like
-    # single-run benches.
+    # One untimed warm-up sweep over ALL queries first: the early
+    # entries in queries() otherwise pay the JVM/codegen/broadcast
+    # warm-up that later entries get for free, so any reordering of
+    # queries() changes their "steady" numbers by 2-4x and breaks
+    # round-over-round comparison (observed r02 -> r04).
+    queries = entry.queries()
+    for name, fn in queries.items():
+        try:
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            print(f"# warmup {name}: {time.time() - t0:.2f}s", file=sys.stderr)
+        except Exception as e:
+            print(f"# warmup {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+
+    # After the sweep, each query runs 3x warm; steady-state is the
+    # best of the last two runs (min of all 3 could still catch one
+    # noisy GC/scheduler moment on the first).
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     total = 0.0
-    for name, fn in entry.queries().items():
+    for name, fn in queries.items():
         runs = []
         n = None
         try:
@@ -57,7 +69,7 @@ def main() -> int:
             timings[name] = round(steady, 3)
             total += steady
             print(
-                f"# {name}: {n} rows, cold {runs[0]:.2f}s steady {steady:.2f}s",
+                f"# {name}: {n} rows, first {runs[0]:.2f}s steady {steady:.2f}s",
                 file=sys.stderr,
             )
         except Exception as e:
@@ -70,7 +82,9 @@ def main() -> int:
     # steady timings only (2-decimal), separators without spaces; the
     # cold run and per-run detail go to stderr instead of stdout.
     print(
-        json.dumps({"runs": 3, "steady": "min(warm runs)", "queries_cold": cold}),
+        json.dumps(
+            {"runs": 3, "warmup": "full sweep", "steady": "min(last 2 runs)", "queries_first": cold}
+        ),
         file=sys.stderr,
         flush=True,
     )

@@ -172,17 +172,31 @@ def main(argv: list[str] | None = None) -> int:
         level = {0: UBER, 1: logging.INFO}.get(args.verbose, logging.DEBUG)
     logging.basicConfig(level=level, stream=sys.stderr)
 
-    def client_factory():
-        from dump_es_parquet_spark.sources.client import RestES
+    fixture_path = getattr(args, "fixture_json", None)
+    if fixture_path:
+        import json as _json
 
-        return RestES(
-            args.es,
-            timeout=args.timeout,
-            cert=args.cert,
-            key=args.key,
-            capath=args.capath,
-            verify_certs=not args.no_verify_certs,
-        )
+        from dump_es_parquet_spark.sources.client import MockES
+
+        with open(fixture_path) as f:
+            fixture = _json.loads(f.read())
+
+        def client_factory():
+            return MockES(fixture)
+
+    else:
+
+        def client_factory():
+            from dump_es_parquet_spark.sources.client import RestES
+
+            return RestES(
+                args.es,
+                timeout=args.timeout,
+                cert=args.cert,
+                key=args.key,
+                capath=args.capath,
+                verify_certs=not args.no_verify_certs,
+            )
 
     scan = ScanOptions(
         query=args.query,

@@ -34,10 +34,25 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+    if name == "events":
+        df = _normalize_ts(df)
+    return df
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP (with local tz)
+    across testdata generations: ns-precision epochs arrive as long
+    (``nanosAsLong``), µs parquet without the UTC annotation arrives as
+    TIMESTAMP_NTZ (which e.g. ``withWatermark`` rejects). Under the
+    session's pinned UTC zone the NTZ→TZ cast preserves wall-clock
+    values, so both forms land on the exact same instants."""
+    t = df.schema["ts"].dataType
+    if isinstance(t, T.LongType):
         # ns epoch → µs timestamp; truncation matches DuckDB, whose
         # TIMESTAMP is µs and truncates ns parquet on read.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(t, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 import fnmatch
 import itertools
 import json
+import re
 import time
 import urllib.error
 import urllib.parse
@@ -133,9 +134,20 @@ def _is_wrapped(clause: str) -> bool:
     return False
 
 
+def _unquote(s: str) -> str:
+    """Undo the engine's value rendering: quoted phrases (`"v"` — range
+    bounds on keyword fields) lose the quotes + their two escapes;
+    bare terms lose Lucene `\\x` character escapes (``_lucene_escape``
+    output, e.g. ``web\\-1`` → ``web-1``)."""
+    if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+        return s[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+    return re.sub(r"\\(.)", r"\1", s)
+
+
 def _match_query_string(doc: dict, q: str | None) -> bool:
     """Tiny Lucene-ish evaluator for tests: supports ``field:value``,
-    ``field:[lo TO hi]``, ``AND`` conjunctions, and parenthesized
+    ``field:[lo TO hi]`` ranges, ``field:(v1 OR v2)`` term OR-lists,
+    ``_exists_:field``, ``AND`` conjunctions, and parenthesized
     groups that may themselves contain ``AND`` — the engine joins user
     + pushed clauses as ``"(c1) AND (c2)"`` (Lucene precedence safety,
     ``datasource.py``) and the timeslice reader nests another level, so
@@ -153,11 +165,15 @@ def _match_query_string(doc: dict, q: str | None) -> bool:
         return _match_query_string(doc, clause[1:-1].strip())
     fld, _, val = clause.partition(":")
     fld, val = fld.strip(), val.strip()
+    if fld == "_exists_":
+        # field-presence query (pushed IsNotNull); the engine escapes
+        # the field name, the raw doc key is unescaped
+        return _get_path(doc, _unquote(val)) is not None
     got = _get_path(doc, fld)
     if val[:1] in "[{" and " TO " in val:
         # Lucene range: [ ] inclusive, { } exclusive, * unbounded
         lo_inc, hi_inc = val[0] == "[", val[-1] == "]"
-        lo, hi = val[1:-1].split(" TO ")
+        lo, hi = (_unquote(b.strip()) for b in val[1:-1].split(" TO "))
         if got is None:
             return False
 
@@ -178,6 +194,14 @@ def _match_query_string(doc: dict, q: str | None) -> bool:
             if c > 0 or (c == 0 and not hi_inc):
                 return False
         return True
+    if val.startswith("(") and val.endswith(")"):
+        # term OR-list (pushed In): field:(v1 OR v2 ...)
+        if got is None:
+            return False
+        return any(
+            str(got) == _unquote(alt.strip())
+            for alt in val[1:-1].split(" OR ")
+        )
     return got is not None and str(got) == val
 
 

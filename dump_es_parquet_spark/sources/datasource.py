@@ -46,12 +46,21 @@ from __future__ import annotations
 import json
 from typing import Iterator, Sequence
 
+import datetime as _dt
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
 
@@ -85,6 +94,40 @@ def _lucene_escape(v) -> str:
     return s
 
 
+def _is_scalar(v) -> bool:
+    return v is not None and not isinstance(v, (dict, list, tuple, bytes))
+
+
+def _range_literal(v, es_type: str) -> str | None:
+    """Render one range bound for a Lucene ``field:[lo TO hi]`` clause,
+    or None if the value can't be rendered soundly for this ES type.
+
+    ``date`` bounds are emitted as epoch-millis integers: the ES date
+    type's default format is ``strict_date_optional_time||epoch_millis``,
+    so millis are accepted verbatim and sidestep every ISO-format /
+    timezone-suffix pitfall. Spark hands timestamp literals to
+    ``pushFilters`` as tz-aware datetimes (session zone), so
+    ``.timestamp()`` is exact; a naive datetime is taken as UTC.
+    """
+    if es_type == "date":
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return str(int(v.timestamp() * 1000))
+        if isinstance(v, _dt.date):
+            dtv = _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc)
+            return str(int(dtv.timestamp() * 1000))
+        return None
+    if es_type == "keyword":
+        if not isinstance(v, str):
+            return None
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    # integral numerics
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None
+    return str(v)
+
+
 class EsDumpDataSource(DataSource):
     """``spark.read.format("esdump")`` entry point."""
 
@@ -109,6 +152,21 @@ class EsDumpDataSource(DataSource):
     #: query is NOT equality, so text fields are never pushed.
     PUSHABLE_ES_TYPES = frozenset(
         {"keyword", "byte", "short", "integer", "long", "ip", "boolean"}
+    )
+
+    #: ES types whose server-side range ordering matches Spark's
+    #: comparison on the coerced column — range (>, >=, <, <=) pushdown
+    #: is only sound for these. ``date`` compares as instants on both
+    #: sides (bounds shipped as epoch millis); integrals compare
+    #: numerically; ``keyword`` compares byte-wise UTF-8 on both sides
+    #: (Spark's default UTF8_BINARY collation = Lucene term order).
+    #: Excluded: ``ip`` (ES orders as addresses, the coerced column is
+    #: a string — "9.0.0.0" > "10.0.0.0" lexicographically), ``boolean``
+    #: (no meaningful range), ``float``/``double``/``half_float``
+    #: (stored-precision rounding at the bound can disagree with
+    #: Spark's double compare).
+    RANGE_ES_TYPES = frozenset(
+        {"byte", "short", "integer", "long", "keyword", "date"}
     )
 
     def simpleStreamReader(self, schema: StructType):
@@ -145,42 +203,121 @@ class EsDumpDataSource(DataSource):
             backoff_s=1.0,
         )
         props = next(iter(mapping.values()))["mappings"].get("properties", {})
+        # typed leaf fields only: object fields (bare "properties") are
+        # excluded so IsNotNull on a struct column is never pushed —
+        # ES `_exists_:obj` is false for `{"obj": {}}` while the coerced
+        # struct is non-null there.
+        field_types = {
+            name: spec["type"] for name, spec in props.items() if "type" in spec
+        }
         pushable = {
             name
-            for name, spec in props.items()
-            if spec.get("type") in self.PUSHABLE_ES_TYPES
+            for name, t in field_types.items()
+            if t in self.PUSHABLE_ES_TYPES
         }
-        return EsDumpReader(schema, dict(self.options), pushable)
+        return EsDumpReader(schema, dict(self.options), pushable, field_types)
 
 
 class EsDumpReader(DataSourceReader):
+    #: lower bound is exclusive for GT (`{v`), inclusive for GTE (`[v`);
+    #: the unbounded side's bracket is irrelevant — `]` by convention.
+    _RANGE_TEMPLATES = {
+        GreaterThan: "{fld}:{{{val} TO *]",
+        GreaterThanOrEqual: "{fld}:[{val} TO *]",
+        LessThan: "{fld}:[* TO {val}}}",
+        LessThanOrEqual: "{fld}:[* TO {val}]",
+    }
+
     def __init__(
-        self, schema: StructType, options: dict, pushable: set[str] | None = None
+        self,
+        schema: StructType,
+        options: dict,
+        pushable: set[str] | None = None,
+        field_types: dict[str, str] | None = None,
     ):
         self.schema = schema
         self.options = options
         # default: nothing pushable without mapping info
         self.pushable = pushable if pushable is not None else set()
+        self.field_types = field_types if field_types is not None else {}
         self.pushed_clauses: list[str] = []
 
     # -- Catalyst filter pushdown → Lucene query_string ---------------
     def pushFilters(self, filters: list["Filter"]) -> Iterator["Filter"]:
-        """Consume top-level equality filters as ``field:value``
-        clauses — only for fields whose ES mapping type has exact-term
-        semantics (``pushable``; analyzed ``text`` is excluded);
-        everything else is returned for Spark to evaluate."""
+        """Consume top-level filters that translate soundly to Lucene
+        ``query_string`` clauses; everything else is returned for Spark
+        to evaluate. This is the reference's whole-filter-server-side
+        behavior (``dump-es-parquet:222,385``) applied per-conjunct to
+        native Spark filters:
+
+        - ``EqualTo``/``EqualNullSafe`` → ``field:value`` (exact-term
+          ``pushable`` types only; analyzed ``text`` never pushes)
+        - ``In`` → ``field:(v1 OR v2 ...)`` (same gate; an In-list that
+          contains NULL still only matches the non-null members —
+          three-valued IN is never TRUE on the null, so dropping it
+          would even be sound, but we simply don't push that shape)
+        - ``GreaterThan[OrEqual]``/``LessThan[OrEqual]`` → Lucene
+          ``field:[a TO b]`` / ``{a TO b}`` ranges, gated on
+          ``RANGE_ES_TYPES``; crucially ``date`` ranges ship as epoch
+          millis so a ``@timestamp`` window no longer fetches the whole
+          index over the wire
+        - ``IsNotNull`` → ``_exists_:field`` (typed leaf fields only;
+          matches docs with ≥1 indexed value = rows whose coerced
+          column is non-null, including the empty-array→NULL collapse)
+        """
         for f in filters:
-            if (
-                isinstance(f, EqualTo)
-                and len(f.attribute) == 1
-                and f.attribute[0] in self.pushable
-                and not isinstance(f.value, (dict, list, bytes))
-            ):
-                self.pushed_clauses.append(
-                    f"{f.attribute[0]}:{_lucene_escape(f.value)}"
-                )
+            clause = self._translate(f)
+            if clause is not None:
+                self.pushed_clauses.append(clause)
             else:
                 yield f
+
+    def _fetched(self, fld: str) -> bool:
+        """A filter may only be *consumed* if the reader actually
+        fetches the field: with a ``fields`` (``_source`` includes)
+        projection, the server still matches on the full stored doc,
+        but the excluded column comes back NULL — so a consumed
+        ``_exists_:load`` (or ``load:3``) would return rows whose
+        ``load`` column is NULL, contradicting the Spark predicate."""
+        pats = self.options.get("fields")
+        if not pats:
+            return True
+        import fnmatch
+
+        return any(fnmatch.fnmatch(fld, p.strip()) for p in pats.split(","))
+
+    def _translate(self, f: "Filter") -> str | None:
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            return None
+        fld = attr[0]
+        if not self._fetched(fld):
+            return None
+        if isinstance(f, IsNotNull):
+            return f"_exists_:{_lucene_escape(fld)}" if fld in self.field_types else None
+        if isinstance(f, (EqualTo, EqualNullSafe)):
+            # EqualNullSafe(NULL) means "IS NULL" — not expressible; the
+            # _is_scalar gate rejects it along with complex literals.
+            if fld in self.pushable and _is_scalar(f.value):
+                return f"{fld}:{_lucene_escape(f.value)}"
+            return None
+        if isinstance(f, In):
+            if (
+                fld in self.pushable
+                and f.value
+                and all(_is_scalar(v) for v in f.value)
+            ):
+                ors = " OR ".join(_lucene_escape(v) for v in f.value)
+                return f"{fld}:({ors})"
+            return None
+        tmpl = self._RANGE_TEMPLATES.get(type(f))
+        if tmpl is not None:
+            es_type = self.field_types.get(fld)
+            if es_type in EsDumpDataSource.RANGE_ES_TYPES:
+                val = _range_literal(f.value, es_type)
+                if val is not None:
+                    return tmpl.format(fld=fld, val=val)
+        return None
 
     def _query(self) -> str | None:
         user = self.options.get("query")

@@ -46,9 +46,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    if df.schema["ts"].dataType.simpleString() == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    from dump_es_parquet_spark.operators.tables import _normalize_ts
+
+    return _normalize_ts(df)
 
 
 def windowed_counts(

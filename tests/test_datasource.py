@@ -48,6 +48,37 @@ def esdump(spark):
     )
 
 
+#: epoch-MILLIS timestamps (> the coercion's 2e10 seconds/millis
+#: heuristic cutoff) so the mock's numeric range compare and the
+#: pushed epoch-millis bounds agree end-to-end. Base instant:
+#: 2025-05-29T12:00:00Z = 1748520000000 ms.
+DOCS_MILLIS = [
+    {
+        "host": f"web-{i % 5}" if i % 4 else None,
+        "status": "active" if i % 3 else "idle",
+        "port": 9200 + i % 4,
+        "@timestamp": 1748520000000 + i * 1000,
+        "load": i / 10.0,
+    }
+    for i in range(100)
+]
+
+FIXTURE_MILLIS_JSON = json.dumps(
+    {"logs": {"mapping": MAPPING, "docs": DOCS_MILLIS}}
+)
+
+
+@pytest.fixture()
+def esdump_millis(spark):
+    register(spark)
+    return (
+        spark.read.format("esdump")
+        .option("fixture_json", FIXTURE_MILLIS_JSON)
+        .option("index", "logs")
+        .option("slices", "2")
+    )
+
+
 def test_read_all(esdump):
     df = esdump.load()
     assert df.count() == 1200
@@ -93,6 +124,90 @@ def test_query_clauses_parenthesized():
     list(r.pushFilters([EqualTo(("status",), "idle")]))
     # each clause parenthesized: Lucene AND binds tighter than OR
     assert r._query() == "(host:a OR host:b) AND (status:idle)"
+
+
+def test_push_filters_widened_unit():
+    """In / range / IsNotNull translate to the documented Lucene clause
+    strings; unsound shapes are returned to Spark untouched."""
+    import datetime as dtt
+
+    from pyspark.sql.datasource import (
+        EqualNullSafe,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    schema = properties_to_struct(MAPPING)
+    field_types = {
+        "host": "keyword", "status": "keyword", "port": "integer",
+        "@timestamp": "date", "load": "double", "addr": "ip",
+    }
+    pushable = {"host", "status", "port", "addr"}
+    r = EsDumpReader(
+        schema, {"index": "logs"}, pushable=pushable, field_types=field_types
+    )
+    ts = dtt.datetime(2025, 5, 29, 12, 0, 30, tzinfo=dtt.timezone.utc)
+    remaining = list(
+        r.pushFilters(
+            [
+                In(("port",), [9201, 9202]),
+                GreaterThanOrEqual(("@timestamp",), ts),
+                LessThan(("@timestamp",), ts),
+                GreaterThan(("port",), 9201),
+                LessThanOrEqual(("host",), 'web "x"'),
+                IsNotNull(("host",)),
+                EqualNullSafe(("status",), "idle"),
+                # -- all of these must come back for Spark to evaluate:
+                IsNotNull(("missing_field",)),
+                IsNull(("host",)),
+                In(("port",), [9201, None]),
+                GreaterThan(("load",), 0.5),   # double: not range-safe
+                GreaterThan(("addr",), "10.0.0.0"),  # ip: order mismatch
+                EqualNullSafe(("status",), None),    # IS NULL in disguise
+            ]
+        )
+    )
+    assert r.pushed_clauses == [
+        "port:(9201 OR 9202)",
+        "@timestamp:[1748520030000 TO *]",
+        "@timestamp:[* TO 1748520030000}",
+        "port:{9201 TO *]",
+        'host:[* TO "web \\"x\\""]',
+        "_exists_:host",
+        "status:idle",
+    ]
+    assert len(remaining) == 6
+
+
+def test_range_pushdown_results(esdump_millis):
+    """A Spark-native timestamp window + IN + IS NOT NULL all evaluate
+    server-side (MockES) and produce the same rows Spark would."""
+    df = esdump_millis.load()
+    windowed = df.filter(
+        "`@timestamp` >= timestamp'2025-05-29 12:00:30' "
+        "AND `@timestamp` < timestamp'2025-05-29 12:00:40'"
+    )
+    assert windowed.count() == 10
+    picked = df.filter("port IN (9201, 9202) AND host IS NOT NULL")
+    assert picked.count() == 50
+    assert {r.port for r in picked.select("port").distinct().collect()} == {9201, 9202}
+
+
+def test_mock_or_list_and_exists():
+    from dump_es_parquet_spark.sources.client import _match_query_string
+
+    doc = {"a": 1, "host": "web-1"}
+    assert _match_query_string(doc, "a:(1 OR 2)")
+    assert not _match_query_string(doc, "a:(3 OR 4)")
+    assert _match_query_string(doc, "_exists_:host")
+    assert not _match_query_string(doc, "_exists_:nope")
+    # the engine's In rendering: Lucene-escaped bare terms
+    assert _match_query_string(doc, "(host:(web\\-1 OR other)) AND (a:1)")
 
 
 def test_push_filters_text_not_pushed():
