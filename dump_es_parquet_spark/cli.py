@@ -46,7 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sort", default=DEFAULT_SORT)  # :380
     p.add_argument("--size", type=int, default=500)  # :379
     p.add_argument("--timeout", type=int, default=60)  # :381
-    p.add_argument("--scroll", default="1h")  # :382
+    p.add_argument("--scroll", default="1h")  # :382 (cursor/PIT TTL)
+    p.add_argument("--cursor", default="search_after",
+                   choices=["search_after", "scroll"],
+                   help="pagination cursor: search_after+PIT (default, "
+                        "retry-idempotent) or scroll (reference parity)")
+    p.add_argument("--no-pit", action="store_true",
+                   help="search_after without a point-in-time context "
+                        "(pre-7.10 servers; forfeits snapshot isolation)")
     p.add_argument("--flatten", action="store_true")  # :388-390
     p.add_argument("--query", default=None)  # :385
     p.add_argument("--fields", default=None)  # :386-387
@@ -204,6 +211,8 @@ def main(argv: list[str] | None = None) -> int:
         sort=args.sort,
         size=args.size,
         scroll=args.scroll,
+        cursor=args.cursor,
+        pit=args.cursor == "search_after" and not args.no_pit,
         slices=args.slices,
         flatten=args.flatten,
         multivalue=args.multivalue,

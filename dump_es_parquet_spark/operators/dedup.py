@@ -342,17 +342,15 @@ def simhash_col(col="text", bits: int = SIMHASH_BITS):
 
 
 def simhash_signatures(
-    d: DataFrame, col="text", bits: int = SIMHASH_BITS
+    d: DataFrame, col="text", bits: int = SIMHASH_BITS, barrier=_lazy_barrier
 ) -> DataFrame:
     """Per-doc SimHash with ONE md5 per token: the digest array
-    materializes in its own projection (localCheckpoint cuts lineage so
+    materializes in its own projection (``barrier`` cuts lineage so
     projection collapse can't inline md5 into all ``bits`` folds — the
     same trick ``minhash_signatures`` uses), then the bit-vote folds
     read the cached hex strings."""
     toks = F.split(F.trim(F.col(col)), r"\s+")
-    hashed = d.select(
-        "doc_id", F.transform(toks, F.md5).alias("th")
-    ).localCheckpoint(eager=False)
+    hashed = barrier(d.select("doc_id", F.transform(toks, F.md5).alias("th")))
     return hashed.select(
         "doc_id", simhash_from_hashes(F.col("th"), bits).alias("simhash")
     )
@@ -364,8 +362,15 @@ def simhash_pairs(
     """SimHash near-dup pairs with hamming ≤ 1: banded candidate join
     (4×4-bit bands; pigeonhole ⇒ no pair missed vs the O(n²) oracle)
     + exact bit_count verify."""
-    d = _par(load(spark, sf_dir, "documents"))
-    sigs = simhash_signatures(d)
+    return simhash_pairs_for(_par(load(spark, sf_dir, "documents")), max_hamming)
+
+
+def simhash_pairs_for(
+    d: DataFrame, max_hamming: int = 1, barrier=_lazy_barrier
+) -> DataFrame:
+    """``simhash_pairs`` over a caller-supplied (doc_id, text) frame —
+    the form ``dedup_corpus`` composes with transitive collapse."""
+    sigs = simhash_signatures(d, barrier=barrier)
     band_w = SIMHASH_BITS // SIMHASH_BANDS
     bands = sigs.select(
         "doc_id",
@@ -585,6 +590,28 @@ def embedding_near_dup(
     mode: at cosine ≈ 0.45 bucket hamming reaches 6 of 8 bits — worse
     recall than IVF at equal probe cost (measured, see VERDICT r1)."""
     e = _par(load(spark, sf_dir, "embeddings"), "vec_id")
+    cents_rows = None
+    if candidates == "ivf":
+        from dump_es_parquet_spark.operators.similarity import ivf_centroids
+
+        cents_rows = ivf_centroids(spark, sf_dir, n_cells).collect()
+    return embedding_near_dup_pairs_for(
+        e, threshold, candidates=candidates, cents_rows=cents_rows, nprobe=nprobe
+    )
+
+
+def embedding_near_dup_pairs_for(
+    e: DataFrame,
+    threshold: float,
+    candidates: str = "gemm",
+    cents_rows=None,
+    nprobe: int = 2,
+    barrier=_lazy_barrier,
+) -> DataFrame:
+    """``embedding_near_dup`` over a caller-supplied (vec_id,
+    embedding) frame — the form ``dedup_corpus`` composes with
+    transitive collapse. ``cents_rows`` (collected IVF centroids) is
+    required for ``candidates='ivf'``."""
 
     def norm(v):
         return F.sqrt(
@@ -598,15 +625,18 @@ def embedding_near_dup(
     if candidates == "gemm":
         cand = embedding_block_candidates(e, threshold)
     elif candidates == "ivf":
-        from dump_es_parquet_spark.operators.similarity import ivf_centroids
-
-        cents_rows = ivf_centroids(spark, sf_dir, n_cells).collect()
+        if cents_rows is None:
+            raise ValueError("candidates='ivf' requires cents_rows")
         cand = embedding_ivf_candidates(e, cents_rows, nprobe)
     else:
         raise ValueError(f"unknown candidate strategy {candidates!r}")
-    vecs = e.select(
-        "vec_id", F.col("embedding").alias("v"), norm(F.col("embedding")).alias("nrm")
-    ).localCheckpoint(eager=False)
+    vecs = barrier(
+        e.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            norm(F.col("embedding")).alias("nrm"),
+        )
+    )
     a, b = vecs.alias("a"), vecs.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
@@ -631,6 +661,7 @@ def dedup_corpus(
     strategy: str = "exact",
     threshold: float = 0.7,
     id_col: str = "doc_id",
+    max_hamming: int = 1,
 ) -> DataFrame:
     """User-facing dedup: returns the corpus with duplicates REMOVED
     (keep the smallest id per duplicate group).
@@ -639,12 +670,19 @@ def dedup_corpus(
     - ``strategy='minhash'``: near-dup pairs from the banded MinHash
       path **verified with exact Jaccard ≥ threshold** (raw band
       collisions fire ~31% of the time even at J ≈ 0.3 — removal
-      without verification deletes non-duplicates); connected verified
-      pairs then collapse transitively onto the smallest id via
-      min-label propagation to fixpoint (connected components over the
-      candidate-pair edge set — iterations shuffle only the pair
-      edges, never the corpus, and near-dup cluster diameters bound
-      the round count).
+      without verification deletes non-duplicates).
+    - ``strategy='simhash'``: banded SimHash candidates verified with
+      exact ``bit_count`` hamming ≤ ``max_hamming``.
+    - ``strategy='embedding'``: blocked-GEMM candidates verified with
+      exact-fold cosine ≥ ``threshold`` — ``d`` must carry an
+      ``embedding`` column (``id_col`` defaults still apply; the
+      ``documents`` text column is not required).
+
+    For every near-dup strategy the *verified* pairs collapse
+    transitively onto the smallest id via min-label propagation to
+    fixpoint (connected components over the candidate-pair edge set —
+    iterations shuffle only the pair edges, never the corpus, and
+    near-dup cluster diameters bound the round count).
 
     Storage lifecycle: every block this function persists is released
     before it returns (try/finally unpersist of the tracked caches;
@@ -661,11 +699,12 @@ def dedup_corpus(
             .drop("_dg")
         )
         return d.join(keep, id_col, "left_semi")
-    if strategy != "minhash":
+    if strategy not in ("minhash", "simhash", "embedding"):
         raise ValueError(f"unknown dedup strategy {strategy!r}")
-    renamed = id_col != "doc_id"
+    internal = "vec_id" if strategy == "embedding" else "doc_id"
+    renamed = id_col != internal
     if renamed:
-        d = d.withColumnRenamed(id_col, "doc_id")
+        d = d.withColumnRenamed(id_col, internal)
     tracked: list[DataFrame] = []
 
     def _scoped(df: DataFrame) -> DataFrame:
@@ -674,11 +713,15 @@ def dedup_corpus(
         return df
 
     try:
-        pairs = _scoped(
-            minhash_lsh_pairs_for(_par(d), threshold, barrier=_scoped).select(
-                "id_a", "id_b"
+        if strategy == "minhash":
+            raw = minhash_lsh_pairs_for(_par(d), threshold, barrier=_scoped)
+        elif strategy == "simhash":
+            raw = simhash_pairs_for(_par(d), max_hamming, barrier=_scoped)
+        else:
+            raw = embedding_near_dup_pairs_for(
+                _par(d, "vec_id"), threshold, barrier=_scoped
             )
-        )
+        pairs = _scoped(raw.select("id_a", "id_b"))
         # the fixpoint materializes `pairs` (and through it the cached
         # barriers) on its first round; after it returns, labels are
         # file-backed and nothing downstream re-reads the caches.
@@ -687,10 +730,10 @@ def dedup_corpus(
         for c in tracked:
             c.unpersist(blocking=True)
     dup_ids = labels.filter(F.col("label") != F.col("node")).select(
-        F.col("node").alias("doc_id")
+        F.col("node").alias(internal)
     )
-    out = d.join(dup_ids, "doc_id", "left_anti")
-    return out.withColumnRenamed("doc_id", id_col) if renamed else out
+    out = d.join(dup_ids, internal, "left_anti")
+    return out.withColumnRenamed(internal, id_col) if renamed else out
 
 
 def _component_min_labels(pairs: DataFrame) -> DataFrame:

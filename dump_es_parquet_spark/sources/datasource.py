@@ -343,18 +343,39 @@ class EsDumpReader(DataSourceReader):
         flatten = self.options.get("flatten", "false") == "true"
         multivalue = self.options.get("multivalue", "first")
         spec = {"id": partition.value, "max": n} if n > 1 else None
-        for hit in iter_hits(
-            client,
-            self.options["index"],
+        common = dict(
             q=self._query(),
             _source=[f.strip() for f in fields.split(",")] if fields else None,
             sort=self.options.get("sort"),
             size=int(self.options.get("size", "500")),
-            scroll=self.options.get("scroll", "1h"),
             slice_spec=spec,
             max_retries=3,
             backoff_s=1.0,
-        ):
+        )
+        if self.options.get("cursor", "search_after") == "scroll":
+            # reference-parity option; the default is the
+            # retry-idempotent cursor (a retried Spark task re-runs its
+            # slice against a fresh PIT snapshot instead of a
+            # consumed-once scroll id) — see ScanOptions.cursor.
+            hits = iter_hits(
+                client,
+                self.options["index"],
+                scroll=self.options.get("scroll", "1h"),
+                **common,
+            )
+        else:
+            from dump_es_parquet_spark.sources.client import (
+                iter_hits_search_after,
+            )
+
+            hits = iter_hits_search_after(
+                client,
+                self.options["index"],
+                pit=self.options.get("pit", "true") != "false",
+                keep_alive=self.options.get("scroll", "1h"),
+                **common,
+            )
+        for hit in hits:
             src = hit["_source"]
             if flatten:
                 src = flatten_doc(src)

@@ -44,10 +44,16 @@ class ScanOptions:
     sort: str | None = DEFAULT_SORT  # --sort (:380)
     size: int = 500  # --size, page size (:379)
     scroll: str = "1h"  # --scroll, cursor TTL (:382)
-    cursor: str = "scroll"  # 'scroll' (reference) | 'search_after' (retry-idempotent)
+    # DEFAULT is the retry-idempotent cursor: a scroll id is
+    # consumed-once server state, so a retried Spark task can skip or
+    # duplicate pages; search_after's sort-key cursor re-requests
+    # exactly where the last good page ended, composing with
+    # spark.task.maxFailures (the scale-safe design, SURVEY §4).
+    # 'scroll' remains the reference-parity option (dump-es-parquet:224).
+    cursor: str = "search_after"  # 'search_after' (default) | 'scroll'
     # search_after mode only: open a point-in-time per slice for
     # snapshot isolation matching scroll mode (needs ES≥7.10/OS≥2.4)
-    pit: bool = False
+    pit: bool = True
     slices: int = 8  # engine extension: scan parallelism
     flatten: bool = False  # --flatten (:388-390)
     multivalue: str = "first"  # 'first' (reference) | 'array'

@@ -118,6 +118,96 @@ def test_embedding_near_dup_ivf_candidates_recall(spark, sf_dir):
         embedding_near_dup(spark, sf_dir, 0.45, candidates="nope")
 
 
+def _expected_kept(ids, pairs):
+    """Independent transitive collapse (union-find) over verified
+    pairs — the oracle for dedup_corpus's min-label fixpoint."""
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for i in ids:
+        groups.setdefault(find(i), []).append(i)
+    return sorted(min(g) for g in groups.values())
+
+
+def test_dedup_corpus_simhash(spark):
+    """simhash strategy: removal set == union-find collapse of the
+    verified hamming<=1 pairs, and the block manager is left clean."""
+    from dump_es_parquet_spark.operators.dedup import (
+        dedup_corpus,
+        simhash_pairs_for,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    rows = [
+        (1, base),
+        (2, base),                             # identical → hamming 0
+        (3, base.replace("kappa", "lambda")),  # near variant
+        (4, "totally different words entirely disjoint vocabulary " * 6),
+        (5, base),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = [
+        (r.id_a, r.id_b) for r in simhash_pairs_for(d, max_hamming=1).collect()
+    ]
+    expected = _expected_kept([r[0] for r in rows], pairs)
+    assert 4 in expected and 2 not in expected  # sanity: 2 dups of 1
+
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persisted_ids()
+    kept = sorted(r.doc_id for r in dedup_corpus(d, "simhash").collect())
+    assert kept == expected
+    assert persisted_ids() - before == set()
+
+
+def test_dedup_corpus_embedding(spark):
+    """embedding strategy: removal set == union-find collapse of the
+    exact-verified cosine pairs; id_col renaming round-trips; block
+    manager left clean."""
+    from dump_es_parquet_spark.operators.dedup import (
+        dedup_corpus,
+        embedding_near_dup_pairs_for,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.14, 0.0, 0.0]),   # cos≈0.990 with 1
+        (3, [0.97, 0.24, 0.0, 0.0]),   # cos≈0.971 with 1, 0.999 with 2
+        (4, [0.0, 1.0, 0.0, 0.0]),     # orthogonal to 1
+        (5, [0.0, 0.98, 0.2, 0.0]),    # cos≈0.980 with 4
+        (6, [0.0, 0.0, 0.0, 1.0]),     # isolated
+    ]
+    d = spark.createDataFrame(rows, "id long, embedding array<float>")
+    e = d.withColumnRenamed("id", "vec_id")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_for(e, threshold=0.9).collect()
+    ]
+    expected = _expected_kept([r[0] for r in rows], pairs)
+    assert expected == [1, 4, 6]
+
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persisted_ids()
+    kept = sorted(
+        r.id for r in dedup_corpus(d, "embedding", threshold=0.9, id_col="id").collect()
+    )
+    assert kept == expected
+    assert persisted_ids() - before == set()
+
+
 def test_dedup_corpus_releases_all_persisted_blocks(spark):
     """dedup_corpus must leave the block manager as it found it: the
     tracked caches unpersist in its finally block, and fixpoint rounds

@@ -312,6 +312,112 @@ def test_search_after_resumes_after_failures():
     assert len({h["_id"] for h in hits}) == 1500  # no dupes, no gaps
 
 
+def test_default_cursor_is_retry_idempotent():
+    """The DEFAULT ScanOptions cursor is search_after+PIT (VERDICT r4
+    #6): scroll ids are consumed-once server state, so the
+    reference-parity mode stays opt-in."""
+    opts = ScanOptions()
+    assert opts.cursor == "search_after"
+    assert opts.pit is True
+
+
+def test_search_after_pit_mid_slice_retry_idempotent():
+    """Simulated mid-slice task retry under concurrent writes: attempt
+    1 dies partway through its slice (pages already emitted and
+    discarded by Spark); the retried attempt re-runs the whole slice.
+    The idempotence contract: (a) the retry restarts from the slice's
+    beginning against its OWN fresh PIT — every doc of its snapshot
+    exactly once, nothing skipped because attempt 1 half-consumed a
+    cursor (the scroll-id failure mode), and (b) writes landing DURING
+    an attempt are invisible to it — the snapshot is per-attempt, so a
+    task's output is internally consistent even mid-ingest."""
+    from dump_es_parquet_spark.sources.client import (
+        TransportError,
+        iter_hits_search_after,
+    )
+
+    fixture = make_fixture()
+    mock = MockES(fixture)
+    n0 = len(fixture["metrics-2026.05"]["docs"])
+
+    class DiesMidSlice:
+        """Delegate to MockES but die on the 3rd search page."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.pages = 0
+
+        def search(self, *a, **kw):
+            self.pages += 1
+            if self.pages == 3:
+                raise TransportError("executor lost")
+            return self.inner.search(*a, **kw)
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
+
+    def run_slice(client):
+        # "load" is i/100.0 — unique per doc, a serial number in disguise
+        return [
+            h["_source"]["load"]
+            for h in iter_hits_search_after(
+                client,
+                "metrics-2026.05",
+                q=None,
+                _source=None,
+                sort="@timestamp:asc",
+                size=200,
+                slice_spec={"id": 1, "max": 3},
+                max_retries=0,  # in-task retries off: Spark's task retry
+                backoff_s=0,    # is the mechanism under test
+                pit=True,
+            )
+        ]
+
+    # the slice's true membership under the original snapshot
+    baseline = run_slice(mock)
+    assert len(baseline) > 200  # spans multiple pages
+
+    # attempt 1: dies mid-slice (some pages already emitted)
+    with pytest.raises(TransportError):
+        run_slice(DiesMidSlice(mock))
+    # concurrent writes land between the attempts
+    fixture["metrics-2026.05"]["docs"].extend(
+        {"load": (n0 + i) / 100.0, "@timestamp": "2026-05-29T12:00:00"}
+        for i in range(50)
+    )
+    # attempt 2 (the Spark re-run of the same slice): fresh PIT, whole
+    # slice again — no duplicates, and every old doc of the slice is
+    # present (a half-consumed scroll id would have skipped the pages
+    # attempt 1 already pulled)
+    retried = run_slice(mock)
+    assert len(retried) == len(set(retried))
+    assert set(baseline) <= set(retried)
+
+    # (b) writes DURING an attempt are invisible: consume one page,
+    # mutate the live index, finish — output is exactly the snapshot
+    # the attempt's PIT froze at open time
+    it = iter(
+        iter_hits_search_after(
+            mock, "metrics-2026.05", q=None, _source=None,
+            sort="@timestamp:asc", size=200,
+            slice_spec={"id": 1, "max": 3}, max_retries=0,
+            backoff_s=0, pit=True,
+        )
+    )
+    first_page = [next(it) for _ in range(200)]
+    frozen_n = len(fixture["metrics-2026.05"]["docs"])
+    fixture["metrics-2026.05"]["docs"].extend(
+        {"load": (frozen_n + i) / 100.0, "@timestamp": "2026-05-30T12:00:00"}
+        for i in range(50)
+    )
+    rest = list(it)
+    seen = [h["_source"]["load"] for h in first_page + rest]
+    assert len(seen) == len(set(seen))
+    assert all(s < frozen_n / 100.0 for s in seen)  # mid-attempt writes unseen
+    assert set(seen) == set(retried)  # identical membership to attempt 2
+
+
 def test_geo_point_coercion(spark, tmp_path):
     # geo_point → Struct{lat,lon} (reference es2pl_type :46)
     fixture = {
