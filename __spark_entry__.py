@@ -112,7 +112,15 @@ def q_sim_ann_ivf_indexed(spark, sf_dir):
         write_ivf_index,
     )
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # key the cached artifact on the source file's identity AND content
+    # fingerprint (mtime+size): the test harness regenerates the
+    # testdata between rounds, and a stale index would serve answers
+    # from the previous generation's vectors.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_v1_{tag}")
     # centroids are written last — their _SUCCESS marks a complete index
     if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):

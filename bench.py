@@ -10,6 +10,7 @@ timing includes the whole plan, not just planning.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -53,6 +54,13 @@ def main() -> int:
             print(f"# warmup {name}: {time.time() - t0:.2f}s", file=sys.stderr)
         except Exception as e:
             print(f"# warmup {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+        # drop the frame's py4j refs NOW so the ContextCleaner can
+        # release its lazy-localCheckpoint blocks before the next query
+        # measures — otherwise blocks from 4 runs x N queries pile up
+        # and a late query pays the cleanup in ITS timed window
+        # (observed: dedup_minhash_lsh 1.95s run 1, 6s runs 2-3 right
+        # after the ngram warm-ups).
+        gc.collect()
 
     # After the sweep, each query runs 3x warm; steady-state is the
     # best of the last two runs (min of all 3 could still catch one
@@ -70,6 +78,7 @@ def main() -> int:
                 t0 = time.time()
                 n = fn(spark, sf_dir).count()
                 runs.append(time.time() - t0)
+                gc.collect()  # see warm-up loop comment
             steady = min(runs[1:])
             cold[name] = round(runs[0], 3)
             out[name] = round(steady, 3)

@@ -115,10 +115,16 @@ def ngram_jaccard_pairs(
     At test scale (5k docs) the extra stages cost more in codegen than
     the pruning saves — the crossover is where hot-shingle df² starts
     dominating, exactly the regime a web-scale corpus lives in."""
-    d = _par(load(spark, sf_dir, "documents"))
-    docs = d.select("doc_id", shingles_col().alias("sh")).localCheckpoint(
-        eager=False
-    )
+    return ngram_jaccard_pairs_for(_par(load(spark, sf_dir, "documents")), threshold)
+
+
+def ngram_jaccard_pairs_for(
+    d: DataFrame, threshold: float = 0.6, barrier=_lazy_barrier
+) -> DataFrame:
+    """``ngram_jaccard_pairs`` over a caller-supplied (doc_id, text)
+    frame — the form ``dedup_corpus`` composes with transitive
+    collapse."""
+    docs = barrier(d.select("doc_id", shingles_col().alias("sh")))
     sh = docs.select("doc_id", F.explode("sh").alias("shingle"))
     # global rarity order: (document frequency, shingle)
     df_order = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -671,6 +677,9 @@ def dedup_corpus(
       path **verified with exact Jaccard ≥ threshold** (raw band
       collisions fire ~31% of the time even at J ≈ 0.3 — removal
       without verification deletes non-duplicates).
+    - ``strategy='ngram'``: exact word-3-gram Jaccard ≥ ``threshold``
+      via the AllPairs/PPJoin prefix-filtered join — no probabilistic
+      signature, no missed pair (the exact counterpart of minhash).
     - ``strategy='simhash'``: banded SimHash candidates verified with
       exact ``bit_count`` hamming ≤ ``max_hamming``.
     - ``strategy='embedding'``: blocked-GEMM candidates verified with
@@ -699,7 +708,7 @@ def dedup_corpus(
             .drop("_dg")
         )
         return d.join(keep, id_col, "left_semi")
-    if strategy not in ("minhash", "simhash", "embedding"):
+    if strategy not in ("minhash", "ngram", "simhash", "embedding"):
         raise ValueError(f"unknown dedup strategy {strategy!r}")
     internal = "vec_id" if strategy == "embedding" else "doc_id"
     renamed = id_col != internal
@@ -715,6 +724,8 @@ def dedup_corpus(
     try:
         if strategy == "minhash":
             raw = minhash_lsh_pairs_for(_par(d), threshold, barrier=_scoped)
+        elif strategy == "ngram":
+            raw = ngram_jaccard_pairs_for(_par(d), threshold, barrier=_scoped)
         elif strategy == "simhash":
             raw = simhash_pairs_for(_par(d), max_hamming, barrier=_scoped)
         else:

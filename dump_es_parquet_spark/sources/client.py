@@ -163,6 +163,8 @@ def _match_query_string(doc: dict, q: str | None) -> bool:
     clause = clauses[0].strip()
     if _is_wrapped(clause):  # recurse: inner may hold more ANDs
         return _match_query_string(doc, clause[1:-1].strip())
+    if clause.startswith("NOT "):
+        return not _match_query_string(doc, clause[4:].strip())
     fld, _, val = clause.partition(":")
     fld, val = fld.strip(), val.strip()
     if fld == "_exists_":
@@ -202,7 +204,10 @@ def _match_query_string(doc: dict, q: str | None) -> bool:
             str(got) == _unquote(alt.strip())
             for alt in val[1:-1].split(" OR ")
         )
-    return got is not None and str(got) == val
+    if val.endswith("*") and not val.endswith("\\*"):
+        # wildcard prefix term (pushed StringStartsWith)
+        return got is not None and str(got).startswith(_unquote(val[:-1]))
+    return got is not None and str(got) == _unquote(val)
 
 
 def _project(doc: dict, includes: list[str] | None) -> dict:

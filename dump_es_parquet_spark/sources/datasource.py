@@ -61,6 +61,8 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    Not,
+    StringStartsWith,
 )
 from pyspark.sql.types import StructType
 
@@ -88,8 +90,11 @@ def _make_client(options: dict):
 
 
 def _lucene_escape(v) -> str:
+    # backslash MUST be escaped first — escaping it after the other
+    # characters would re-escape the backslashes just inserted
+    # (`web-` → `web\-` → `web\\-`, a different Lucene term)
     s = str(v)
-    for ch in '+-&|!(){}[]^"~*?:\\/ ':
+    for ch in '\\+-&|!(){}[]^"~*?:/ ':
         s = s.replace(ch, "\\" + ch)
     return s
 
@@ -264,8 +269,29 @@ class EsDumpReader(DataSourceReader):
         - ``IsNotNull`` → ``_exists_:field`` (typed leaf fields only;
           matches docs with ≥1 indexed value = rows whose coerced
           column is non-null, including the empty-array→NULL collapse)
+        - ``StringStartsWith`` → ``field:prefix*`` (keyword only —
+          wildcard prefix on an exact term IS string prefix; analyzed
+          text and ip/boolean are excluded)
+        - ``Not(EqualTo/In)`` → ``NOT field:...`` — but ONLY when an
+          ``IsNotNull`` on the same field is consumed in the same
+          batch: Lucene ``NOT f:v`` also matches docs *without* ``f``,
+          while Spark's ``f != v`` filters nulls out; the conjoined
+          ``_exists_:f AND NOT f:v`` restores exact equivalence.
+          Catalyst supplies that IsNotNull conjunct for every
+          null-filtering predicate, so in practice negations push.
         """
-        for f in filters:
+        fs = list(filters)
+        # fields whose IsNotNull we are about to consume — the guard
+        # that makes NOT clauses null-exact (see docstring)
+        self._notnull_pushed = {
+            f.attribute[0]
+            for f in fs
+            if isinstance(f, IsNotNull)
+            and len(f.attribute) == 1
+            and f.attribute[0] in self.field_types
+            and self._fetched(f.attribute[0])
+        }
+        for f in fs:
             clause = self._translate(f)
             if clause is not None:
                 self.pushed_clauses.append(clause)
@@ -287,6 +313,17 @@ class EsDumpReader(DataSourceReader):
         return any(fnmatch.fnmatch(fld, p.strip()) for p in pats.split(","))
 
     def _translate(self, f: "Filter") -> str | None:
+        if isinstance(f, Not):
+            inner = f.child
+            if (
+                isinstance(inner, (EqualTo, In))
+                and len(inner.attribute) == 1
+                and inner.attribute[0] in getattr(self, "_notnull_pushed", ())
+            ):
+                pos = self._translate(inner)
+                if pos is not None:
+                    return f"NOT ({pos})"
+            return None
         attr = getattr(f, "attribute", None)
         if not attr or len(attr) != 1:
             return None
@@ -302,13 +339,23 @@ class EsDumpReader(DataSourceReader):
                 return f"{fld}:{_lucene_escape(f.value)}"
             return None
         if isinstance(f, In):
+            # cap well under Lucene's default 1024 maxClauseCount — a
+            # huge IN-list is better evaluated by Spark than rejected
+            # by the server
             if (
                 fld in self.pushable
                 and f.value
+                and len(f.value) <= 512
                 and all(_is_scalar(v) for v in f.value)
             ):
                 ors = " OR ".join(_lucene_escape(v) for v in f.value)
                 return f"{fld}:({ors})"
+            return None
+        if isinstance(f, StringStartsWith):
+            # wildcard prefix on an exact (keyword) term IS string
+            # prefix; analyzed text would match token prefixes instead
+            if self.field_types.get(fld) == "keyword" and isinstance(f.value, str):
+                return f"{fld}:{_lucene_escape(f.value)}*"
             return None
         tmpl = self._RANGE_TEMPLATES.get(type(f))
         if tmpl is not None:

@@ -184,6 +184,52 @@ def test_push_filters_widened_unit():
     assert len(remaining) == 6
 
 
+def test_push_filters_negation_and_prefix_unit():
+    """Not(EqualTo/In) pushes only when the same batch consumes the
+    field's IsNotNull (null-exactness guard); StringStartsWith pushes
+    as a wildcard prefix for keyword fields only."""
+    from pyspark.sql.datasource import EqualTo, In, IsNotNull, Not, StringStartsWith
+
+    schema = properties_to_struct(MAPPING)
+    field_types = {"host": "keyword", "status": "keyword", "port": "integer",
+                   "body": "text"}
+    pushable = {"host", "status", "port"}
+
+    r = EsDumpReader(schema, {"index": "logs"}, pushable=pushable,
+                     field_types=field_types)
+    remaining = list(
+        r.pushFilters(
+            [
+                IsNotNull(("status",)),
+                Not(EqualTo(("status",), "idle")),
+                Not(In(("port",), [9200, 9201])),  # no IsNotNull(port) → back
+                Not(EqualTo(("body",), "x")),      # text → back
+                StringStartsWith(("host",), "web-"),
+                StringStartsWith(("body",), "he"),  # text → back
+            ]
+        )
+    )
+    assert r.pushed_clauses == [
+        "_exists_:status",
+        "NOT (status:idle)",
+        "host:web\\-*",
+    ]
+    assert len(remaining) == 3
+
+
+def test_negation_pushdown_results(esdump_millis):
+    """NOT-equality evaluated server-side matches Spark's null-aware
+    semantics: docs with host=NULL are excluded by both engines."""
+    df = esdump_millis.load()
+    picked = df.filter("host IS NOT NULL AND host != 'web-1'")
+    rows = picked.select("host").distinct().collect()
+    assert {r.host for r in rows} == {"web-0", "web-2", "web-3", "web-4"}
+    # prefix pushdown end-to-end
+    pref = df.filter("host LIKE 'web-1%'")
+    assert pref.count() > 0
+    assert {r.host for r in pref.select("host").distinct().collect()} == {"web-1"}
+
+
 def test_range_pushdown_results(esdump_millis):
     """A Spark-native timestamp window + IN + IS NOT NULL all evaluate
     server-side (MockES) and produce the same rows Spark would."""

@@ -171,6 +171,38 @@ def test_dedup_corpus_simhash(spark):
     assert persisted_ids() - before == set()
 
 
+def test_dedup_corpus_ngram(spark):
+    """ngram strategy: removal set == union-find collapse of the exact
+    prefix-filtered Jaccard pairs; block manager left clean."""
+    from dump_es_parquet_spark.operators.dedup import (
+        dedup_corpus,
+        ngram_jaccard_pairs_for,
+    )
+
+    base = "one two three four five six seven eight nine ten " * 5
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base.replace("ten", "eleven")),
+        (4, "disjoint vocabulary entirely unrelated tokens here now " * 5),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs_for(d, threshold=0.6).collect()
+    ]
+    expected = _expected_kept([r[0] for r in rows], pairs)
+    assert 4 in expected and 2 not in expected
+
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persisted_ids()
+    kept = sorted(r.doc_id for r in dedup_corpus(d, "ngram", threshold=0.6).collect())
+    assert kept == expected
+    assert persisted_ids() - before == set()
+
+
 def test_dedup_corpus_embedding(spark):
     """embedding strategy: removal set == union-find collapse of the
     exact-verified cosine pairs; id_col renaming round-trips; block
