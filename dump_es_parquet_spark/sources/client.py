@@ -100,6 +100,9 @@ def _split_top_and(q: str) -> list[str]:
     i = 0
     while i < len(q):
         ch = q[i]
+        if ch == "\\":  # escaped char: not structural (e.g. `f:\(`)
+            i += 2
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -124,14 +127,28 @@ def _is_wrapped(clause: str) -> bool:
     if not (clause.startswith("(") and clause.endswith(")")):
         return False
     depth = 0
-    for i, ch in enumerate(clause):
+    i = 0
+    while i < len(clause):
+        ch = clause[i]
+        if ch == "\\":  # escaped char: not structural
+            i += 2
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
             if depth == 0:
                 return i == len(clause) - 1
+        i += 1
     return False
+
+
+def _strip_unescaped(s: str) -> str:
+    """strip() that leaves a backslash-escaped trailing space alone."""
+    s = s.lstrip()
+    while s and s[-1].isspace() and not (len(s) >= 2 and s[-2] == "\\"):
+        s = s[:-1]
+    return s
 
 
 def _unquote(s: str) -> str:
@@ -166,7 +183,9 @@ def _match_query_string(doc: dict, q: str | None) -> bool:
     if clause.startswith("NOT "):
         return not _match_query_string(doc, clause[4:].strip())
     fld, _, val = clause.partition(":")
-    fld, val = fld.strip(), val.strip()
+    # rstrip must not eat a trailing ESCAPED space (`f:a\ ` is the
+    # engine's rendering of the value "a ")
+    fld, val = fld.strip(), _strip_unescaped(val)
     if fld == "_exists_":
         # field-presence query (pushed IsNotNull); the engine escapes
         # the field name, the raw doc key is unescaped

@@ -100,7 +100,15 @@ def _lucene_escape(v) -> str:
 
 
 def _is_scalar(v) -> bool:
-    return v is not None and not isinstance(v, (dict, list, tuple, bytes))
+    """Literal shapes that render soundly into a query_string term.
+    Strings containing non-space whitespace are rejected: Lucene's
+    escape syntax covers ' ' but tabs/newlines still tokenize, so such
+    a term would not round-trip as equality on a real server."""
+    if v is None or isinstance(v, (dict, list, tuple, bytes)):
+        return False
+    if isinstance(v, str) and any(c.isspace() and c != " " for c in v):
+        return False
+    return True
 
 
 def _range_literal(v, es_type: str) -> str | None:
@@ -354,7 +362,11 @@ class EsDumpReader(DataSourceReader):
         if isinstance(f, StringStartsWith):
             # wildcard prefix on an exact (keyword) term IS string
             # prefix; analyzed text would match token prefixes instead
-            if self.field_types.get(fld) == "keyword" and isinstance(f.value, str):
+            if (
+                self.field_types.get(fld) == "keyword"
+                and isinstance(f.value, str)
+                and _is_scalar(f.value)
+            ):
                 return f"{fld}:{_lucene_escape(f.value)}*"
             return None
         tmpl = self._RANGE_TEMPLATES.get(type(f))

@@ -198,3 +198,55 @@ def test_mock_range_matches_interval_semantics(lo, hi, v, lo_inc, hi_inc):
     got = _match_query_string({"x": v}, q)
     want = (v > lo or (lo_inc and v == lo)) and (v < hi or (hi_inc and v == hi))
     assert got == want
+
+
+@given(
+    value=st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), min_size=1, max_size=30
+    ),
+    other=st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), min_size=1, max_size=30
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_escape_roundtrip_equality_exact(value, other):
+    """Pushed-equality round trip: for ARBITRARY values (spaces,
+    quotes, backslashes, Lucene metacharacters), the escaped clause the
+    engine emits matches exactly the docs whose field equals the value
+    — no false positives on near-miss values. Regression: backslash was
+    escaped after the other metacharacters, double-escaping every
+    escape ('web-' pushed as the term 'web\\\\-', matching nothing)."""
+    from hypothesis import assume
+
+    from dump_es_parquet_spark.sources.client import _match_query_string
+    from dump_es_parquet_spark.sources.datasource import _is_scalar, _lucene_escape
+
+    assume(_is_scalar(value))  # the engine's own push gate
+    q = f"f:{_lucene_escape(value)}"
+    assert _match_query_string({"f": value}, q)
+    if other != value:
+        assert not _match_query_string({"f": other}, q)
+    assert not _match_query_string({}, q)
+
+
+@given(
+    value=st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), min_size=1, max_size=30
+    ),
+    prefix_len=st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_escape_roundtrip_prefix(value, prefix_len):
+    """Pushed StringStartsWith round trip: the escaped wildcard clause
+    matches exactly the docs whose field starts with the prefix."""
+    from hypothesis import assume
+
+    from dump_es_parquet_spark.sources.client import _match_query_string
+    from dump_es_parquet_spark.sources.datasource import _is_scalar, _lucene_escape
+
+    prefix = value[:prefix_len]
+    assume(_is_scalar(prefix))  # the engine's own push gate
+    q = f"f:{_lucene_escape(prefix)}*"
+    assert _match_query_string({"f": value}, q)
+    if not ("x" + value).startswith(prefix):
+        assert not _match_query_string({"f": "x" + value}, q)
