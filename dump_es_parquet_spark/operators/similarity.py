@@ -395,6 +395,74 @@ def ann_ivf_indexed(
     )
 
 
+def ann_ivf_indexed_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    n_queries: int = 5,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Serve MANY queries from the materialized IVF index in ONE
+    partition-pruned scan — the batch-serving counterpart of
+    ``ann_ivf_indexed``.
+
+    Probe selection is tiny driver-side work (Q×C distance rows → the
+    ``nprobe`` nearest cells per query); the UNION of all probed cells
+    (≤ Q·nprobe values) is inlined as the static partition filter, so
+    the lists parquet opens only those cells' files once, regardless of
+    query count. A broadcast (query_id, cid, qv) routing table then
+    sends each inverted-list row to exactly the queries that probed its
+    cell, and a per-query window takes the exact-cosine top-k. Cost:
+    one pruned scan + one broadcast join for the whole batch, versus
+    Q separate jobs."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(f"{path}/centroids")
+    qs = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cdist = F.lit(-2.0) * dot(F.col("qv"), F.col("cv")) + dot(
+        F.col("cv"), F.col("cv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("cid").asc()
+    )
+    probes = (
+        qs.crossJoin(cents)
+        .select("query_id", "qv", "cid", cdist.alias("cdist"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    # bounded collect: ≤ n_queries × nprobe cell ids (same class as
+    # ann_ivf_indexed's probe collect) — becomes the static pruning
+    # literal; the probes themselves re-derive cheaply for the join
+    # (Q×C rows off two tiny inputs)
+    cells = sorted({r.cid for r in probes.select("cid").collect()})
+    lists = spark.read.parquet(f"{path}/lists").filter(F.col("cid").isin(cells))
+    scored = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.col("cid").cast("int").alias("cell"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def topk_batch(
     spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5
 ) -> DataFrame:

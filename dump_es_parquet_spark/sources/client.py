@@ -143,6 +143,20 @@ def _is_wrapped(clause: str) -> bool:
     return False
 
 
+def _ends_with_wildcard(s: str) -> bool:
+    """True when the trailing ``*`` is an ACTIVE wildcard: preceded by
+    an even number of backslashes (``a\\\\*`` = escaped backslash then
+    wildcard; ``a\\*`` = literal asterisk)."""
+    if not s.endswith("*"):
+        return False
+    n = 0
+    i = len(s) - 2
+    while i >= 0 and s[i] == "\\":
+        n += 1
+        i -= 1
+    return n % 2 == 0
+
+
 def _strip_unescaped(s: str) -> str:
     """strip() that leaves a backslash-escaped trailing space alone."""
     s = s.lstrip()
@@ -184,8 +198,9 @@ def _match_query_string(doc: dict, q: str | None) -> bool:
         return not _match_query_string(doc, clause[4:].strip())
     fld, _, val = clause.partition(":")
     # rstrip must not eat a trailing ESCAPED space (`f:a\ ` is the
-    # engine's rendering of the value "a ")
-    fld, val = fld.strip(), _strip_unescaped(val)
+    # engine's rendering of the value "a "); field names unescape like
+    # terms (`my\-field` → `my-field`)
+    fld, val = _unquote(fld.strip()), _strip_unescaped(val)
     if fld == "_exists_":
         # field-presence query (pushed IsNotNull); the engine escapes
         # the field name, the raw doc key is unescaped
@@ -223,7 +238,7 @@ def _match_query_string(doc: dict, q: str | None) -> bool:
             str(got) == _unquote(alt.strip())
             for alt in val[1:-1].split(" OR ")
         )
-    if val.endswith("*") and not val.endswith("\\*"):
+    if _ends_with_wildcard(val):
         # wildcard prefix term (pushed StringStartsWith)
         return got is not None and str(got).startswith(_unquote(val[:-1]))
     return got is not None and str(got) == _unquote(val)

@@ -338,13 +338,14 @@ class EsDumpReader(DataSourceReader):
         fld = attr[0]
         if not self._fetched(fld):
             return None
+        efld = _lucene_escape(fld)  # field names escape like terms
         if isinstance(f, IsNotNull):
-            return f"_exists_:{_lucene_escape(fld)}" if fld in self.field_types else None
+            return f"_exists_:{efld}" if fld in self.field_types else None
         if isinstance(f, (EqualTo, EqualNullSafe)):
             # EqualNullSafe(NULL) means "IS NULL" — not expressible; the
             # _is_scalar gate rejects it along with complex literals.
             if fld in self.pushable and _is_scalar(f.value):
-                return f"{fld}:{_lucene_escape(f.value)}"
+                return f"{efld}:{_lucene_escape(f.value)}"
             return None
         if isinstance(f, In):
             # cap well under Lucene's default 1024 maxClauseCount — a
@@ -357,7 +358,7 @@ class EsDumpReader(DataSourceReader):
                 and all(_is_scalar(v) for v in f.value)
             ):
                 ors = " OR ".join(_lucene_escape(v) for v in f.value)
-                return f"{fld}:({ors})"
+                return f"{efld}:({ors})"
             return None
         if isinstance(f, StringStartsWith):
             # wildcard prefix on an exact (keyword) term IS string
@@ -367,7 +368,7 @@ class EsDumpReader(DataSourceReader):
                 and isinstance(f.value, str)
                 and _is_scalar(f.value)
             ):
-                return f"{fld}:{_lucene_escape(f.value)}*"
+                return f"{efld}:{_lucene_escape(f.value)}*"
             return None
         tmpl = self._RANGE_TEMPLATES.get(type(f))
         if tmpl is not None:
@@ -375,7 +376,7 @@ class EsDumpReader(DataSourceReader):
             if es_type in EsDumpDataSource.RANGE_ES_TYPES:
                 val = _range_literal(f.value, es_type)
                 if val is not None:
-                    return tmpl.format(fld=fld, val=val)
+                    return tmpl.format(fld=efld, val=val)
         return None
 
     def _query(self) -> str | None:
