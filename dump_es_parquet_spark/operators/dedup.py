@@ -747,6 +747,56 @@ def dedup_corpus(
     return out.withColumnRenamed(internal, id_col) if renamed else out
 
 
+def split_contamination(
+    d: DataFrame,
+    strategy: str = "ngram",
+    threshold: float = 0.6,
+    max_hamming: int = 1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split near-duplicate pairs — the train/test contamination
+    check a training-data pipeline runs before shipping splits: a
+    near-dup of a test document inside the train split leaks the
+    benchmark. ``d`` carries (doc_id, text, ``split_col``); the result
+    is every VERIFIED near-dup pair whose two sides land in different
+    splits, with both split labels.
+
+    Composes the existing pair generators (same verification
+    guarantees): ``'ngram'`` exact prefix-filtered Jaccard ≥ threshold
+    (default — contamination wants no missed pair), ``'minhash'``
+    banded+verified Jaccard, ``'simhash'`` hamming ≤ ``max_hamming``,
+    ``'exact'`` content-digest equality. Scale shape: the pair set is
+    near-dup-sparse by construction; the two label joins are plain
+    equi-joins on doc_id that AQE sizes."""
+    if strategy == "exact":
+        dg = d.select("doc_id", F.md5("text").alias("_dg"))
+        x, y = dg.alias("x"), dg.alias("y")
+        pairs = (
+            x.join(
+                y,
+                (F.col("x._dg") == F.col("y._dg"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        )
+    elif strategy == "ngram":
+        pairs = ngram_jaccard_pairs_for(_par(d), threshold).select("id_a", "id_b")
+    elif strategy == "minhash":
+        pairs = minhash_lsh_pairs_for(_par(d), threshold).select("id_a", "id_b")
+    elif strategy == "simhash":
+        pairs = simhash_pairs_for(_par(d), max_hamming).select("id_a", "id_b")
+    else:
+        raise ValueError(f"unknown contamination strategy {strategy!r}")
+    labels = d.select("doc_id", F.col(split_col).alias("_split"))
+    return (
+        pairs.join(labels.withColumnsRenamed({"doc_id": "id_a", "_split": "split_a"}), "id_a")
+        .join(labels.withColumnsRenamed({"doc_id": "id_b", "_split": "split_b"}), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _component_min_labels(pairs: DataFrame) -> DataFrame:
     """Connected components over an (id_a, id_b) edge set: every node
     labeled with its component's minimum id, via min-label propagation

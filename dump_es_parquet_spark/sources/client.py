@@ -190,10 +190,12 @@ def _match_query_string(doc: dict, q: str | None) -> bool:
         return True
     clauses = _split_top_and(q)
     if len(clauses) > 1:
-        return all(_match_query_string(doc, c.strip()) for c in clauses)
-    clause = clauses[0].strip()
+        return all(
+            _match_query_string(doc, _strip_unescaped(c)) for c in clauses
+        )
+    clause = _strip_unescaped(clauses[0])
     if _is_wrapped(clause):  # recurse: inner may hold more ANDs
-        return _match_query_string(doc, clause[1:-1].strip())
+        return _match_query_string(doc, _strip_unescaped(clause[1:-1]))
     if clause.startswith("NOT "):
         return not _match_query_string(doc, clause[4:].strip())
     fld, _, val = clause.partition(":")

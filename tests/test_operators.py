@@ -240,6 +240,44 @@ def test_dedup_corpus_embedding(spark):
     assert persisted_ids() - before == set()
 
 
+def test_split_contamination(spark):
+    """Cross-split near-dup detection: a test-split document that
+    near-duplicates a train document is reported (both directions of
+    the split boundary), same-split duplicates are not."""
+    from dump_es_parquet_spark.operators.dedup import split_contamination
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (1, base, "train"),
+        (2, base, "train"),                              # same-split dup: not reported
+        # one changed token of 50 — J ≈ 0.77 over distinct shingles
+        (3, base.replace("kappa", "lambda", 1), "test"),  # leaks into train
+        (4, "completely different tokens with no overlap at all " * 5, "test"),
+        (5, base, "val"),                                # exact dup across splits
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, split string")
+
+    got = [
+        (r.id_a, r.id_b, r.split_a, r.split_b)
+        for r in split_contamination(d, strategy="ngram", threshold=0.6).collect()
+    ]
+    cross = {(a, b) for a, b, _, _ in got}
+    assert (1, 3) in cross and (1, 5) in cross and (3, 5) in cross
+    assert (1, 2) not in cross  # same split
+    assert not any(4 in p for p in cross)
+    # labels ride along correctly
+    assert (1, 3, "train", "test") in got
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in split_contamination(d, strategy="exact").collect()
+    }
+    assert exact == {(1, 5), (2, 5)}  # only the identical cross-split pairs
+
+    with pytest.raises(ValueError):
+        split_contamination(d, strategy="nope")
+
+
 def test_dedup_corpus_releases_all_persisted_blocks(spark):
     """dedup_corpus must leave the block manager as it found it: the
     tracked caches unpersist in its finally block, and fixpoint rounds
