@@ -668,6 +668,9 @@ def dedup_corpus(
     threshold: float = 0.7,
     id_col: str = "doc_id",
     max_hamming: int = 1,
+    candidates: str = "gemm",
+    n_cells: int = 8,
+    nprobe: int = 2,
 ) -> DataFrame:
     """User-facing dedup: returns the corpus with duplicates REMOVED
     (keep the smallest id per duplicate group).
@@ -685,7 +688,10 @@ def dedup_corpus(
     - ``strategy='embedding'``: blocked-GEMM candidates verified with
       exact-fold cosine ≥ ``threshold`` — ``d`` must carry an
       ``embedding`` column (``id_col`` defaults still apply; the
-      ``documents`` text column is not required).
+      ``documents`` text column is not required). ``candidates='ivf'``
+      opts into the sub-quadratic IVF co-residency candidate mode
+      (recall < 1, see ``embedding_near_dup``), training the coarse
+      quantizer on the frame itself (``n_cells``/``nprobe``).
 
     For every near-dup strategy the *verified* pairs collapse
     transitively onto the smallest id via min-label propagation to
@@ -729,8 +735,20 @@ def dedup_corpus(
         elif strategy == "simhash":
             raw = simhash_pairs_for(_par(d), max_hamming, barrier=_scoped)
         else:
+            cents_rows = None
+            if candidates == "ivf":
+                from dump_es_parquet_spark.operators.similarity import (
+                    ivf_centroids_for,
+                )
+
+                cents_rows = ivf_centroids_for(_par(d, "vec_id"), n_cells).collect()
             raw = embedding_near_dup_pairs_for(
-                _par(d, "vec_id"), threshold, barrier=_scoped
+                _par(d, "vec_id"),
+                threshold,
+                candidates=candidates,
+                cents_rows=cents_rows,
+                nprobe=nprobe,
+                barrier=_scoped,
             )
         pairs = _scoped(raw.select("id_a", "id_b"))
         # the fixpoint materializes `pairs` (and through it the cached

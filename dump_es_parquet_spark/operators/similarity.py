@@ -248,15 +248,21 @@ def _ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def ivf_centroids(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) -> DataFrame:
-    """IVF coarse quantizer, trained distributed: deterministic seeds
-    (the ``n_cells`` smallest md5(vec_id) — reproducible across engines,
-    no RNG), one Lloyd update (assign → per-cell per-dim mean via
-    posexplode + groupBy). Returns (cid, cv double[]). The mean goes
-    decimal-sum → double / count so partial-agg order can't change it
-    (hash-exact vs the oracle)."""
+    """IVF coarse quantizer over the ``embeddings`` table — see
+    ``ivf_centroids_for``."""
+    return ivf_centroids_for(load(spark, sf_dir, "embeddings"), n_cells)
+
+
+def ivf_centroids_for(e: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
+    """IVF coarse quantizer, trained distributed over a caller-supplied
+    (vec_id, embedding) frame: deterministic seeds (the ``n_cells``
+    smallest md5(vec_id) — reproducible across engines, no RNG), one
+    Lloyd update (assign → per-cell per-dim mean via posexplode +
+    groupBy). Returns (cid, cv double[]). The mean goes decimal-sum →
+    double / count so partial-agg order can't change it (hash-exact vs
+    the oracle)."""
     from pyspark.sql.window import Window
 
-    e = load(spark, sf_dir, "embeddings")
     seeds = (
         e.select(
             F.col("embedding").alias("cv"),

@@ -278,6 +278,35 @@ def test_split_contamination(spark):
         split_contamination(d, strategy="nope")
 
 
+def test_dedup_corpus_embedding_ivf_candidates(spark):
+    """embedding strategy with candidates='ivf': the coarse quantizer
+    trains on the frame itself; verification keeps precision 1, so the
+    removal set is a SUBSET of the exact-GEMM removal (recall<1 can
+    only under-remove, never delete a non-duplicate)."""
+    from dump_es_parquet_spark.operators.dedup import dedup_corpus
+
+    rows = [
+        (i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.01 * i])
+        for i in range(12)
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact_kept = {
+        r.vec_id
+        for r in dedup_corpus(d, "embedding", threshold=0.95, id_col="vec_id").collect()
+    }
+    ivf_kept = {
+        r.vec_id
+        for r in dedup_corpus(
+            d, "embedding", threshold=0.95, id_col="vec_id",
+            candidates="ivf", n_cells=3, nprobe=1,
+        ).collect()
+    }
+    # precision 1 ⇒ ivf removes only true duplicates ⇒ keeps a superset
+    assert exact_kept <= ivf_kept
+    # and on this coherently-clustered corpus the quantizer finds them
+    assert ivf_kept != set(range(12))
+
+
 def test_dedup_corpus_releases_all_persisted_blocks(spark):
     """dedup_corpus must leave the block manager as it found it: the
     tracked caches unpersist in its finally block, and fixpoint rounds
