@@ -334,6 +334,76 @@ def test_dedup_corpus_releases_all_persisted_blocks(spark):
     assert persisted_ids() - before == set()
 
 
+def test_packing_matches_duckdb_prefix_sum(spark, sf_dir, con):
+    """The distributed two-phase prefix sum (range partition → local
+    window → driver-prefixed base offsets) produces EXACTLY the
+    single-threaded window cumsum: offsets, sequence membership, and
+    per-sequence fill all hash-match the DuckDB oracle."""
+    from dump_es_parquet_spark.operators.packing import packing_summary
+
+    got = [tuple(r) for r in packing_summary(spark, sf_dir, seq_len=512).collect()]
+    want = con.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+          FROM documents
+        ),
+        off AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS tok_end
+          FROM toks
+        ),
+        packed AS (
+          SELECT s.seq_id, doc_id,
+                 greatest(tok_end - n_tokens - s.seq_id * 512, 0) AS fill_start,
+                 least(tok_end - s.seq_id * 512, 512) AS fill_end
+          FROM off,
+               LATERAL (SELECT unnest(range(
+                   CAST((tok_end - n_tokens) // 512 AS BIGINT),
+                   CAST((tok_end - 1) // 512 + 1 AS BIGINT))) AS seq_id) s
+          WHERE n_tokens > 0
+        )
+        SELECT seq_id, count(*) AS n_docs,
+               sum(fill_end - fill_start) AS n_filled
+        FROM packed GROUP BY seq_id ORDER BY seq_id
+        """
+    ).fetchall()
+    assert [tuple(map(int, r)) for r in got] == [tuple(map(int, r)) for r in want]
+    # invariants: every non-tail sequence is exactly full
+    fills = [int(r[2]) for r in got]
+    assert all(f == 512 for f in fills[:-1]) and 0 < fills[-1] <= 512
+
+
+def test_pack_sequences_slices_are_exact(spark):
+    """Document slices tile each sequence with no gap/overlap and cover
+    each document completely, including boundary straddles."""
+    from dump_es_parquet_spark.operators.packing import pack_sequences
+
+    d = spark.createDataFrame(
+        [(1, 3), (2, 10), (3, 1), (4, 7), (5, 0), (6, 11)],
+        "doc_id long, n_tokens long",
+    )
+    rows = pack_sequences(d, seq_len=8).collect()
+    # doc 5 (empty) never appears
+    assert all(r.doc_id != 5 for r in rows)
+    # per sequence: slices tile [0, fill) contiguously
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r.seq_id, []).append((r.fill_start, r.fill_end))
+    for sid, spans in by_seq.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+            assert b1 == a2
+    # per doc: total sliced length == n_tokens
+    per_doc = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + (r.fill_end - r.fill_start)
+    assert per_doc == {1: 3, 2: 10, 3: 1, 4: 7, 6: 11}
+
+
 def test_chunking(spark, sf_dir):
     from dump_es_parquet_spark.operators.chunking import chunk_documents
     from dump_es_parquet_spark.operators.tables import load
