@@ -375,7 +375,14 @@ def simhash_pairs_for(
     d: DataFrame, max_hamming: int = 1, barrier=_lazy_barrier
 ) -> DataFrame:
     """``simhash_pairs`` over a caller-supplied (doc_id, text) frame —
-    the form ``dedup_corpus`` composes with transitive collapse."""
+    the form ``dedup_corpus`` composes with transitive collapse.
+
+    Candidate generation is ONE groupBy over (band, bval) buckets with
+    intra-bucket pair expansion — the same no-self-join shape as
+    ``minhash_lsh_pairs_for`` (each doc's signature rides the bucket
+    struct, so the hamming verify needs no join-back either). Work is
+    Σ|bucket|² over colliding buckets only; the hot-bucket caveat from
+    the minhash docstring applies identically."""
     sigs = simhash_signatures(d, barrier=barrier)
     band_w = SIMHASH_BITS // SIMHASH_BANDS
     bands = sigs.select(
@@ -395,22 +402,37 @@ def simhash_pairs_for(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.band", "b.bval")
-    x, y = bands.alias("x"), bands.alias("y")
-    hamming = F.bit_count(
-        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("items")
+        )
+        .filter(F.size("items") > 1)
+    )
+    # items sort by doc_id (struct ordering, doc_id first), so pairing
+    # each element with its successors yields exactly the id_a < id_b
+    # pairs the old band self-join produced; distinct() dedups pairs
+    # colliding in more than one band.
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + F.lit(2), F.size("items")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    y["doc_id"].alias("id_b"),
+                    F.bit_count(
+                        x["simhash"].bitwiseXOR(y["simhash"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
     )
     return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bval") == F.col("y.bval"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("id_a"),
-            F.col("y.doc_id").alias("id_b"),
-            hamming.alias("hamming"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
