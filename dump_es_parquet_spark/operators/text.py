@@ -136,3 +136,37 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_hash"),
     ).orderBy("doc_id")
+
+
+#: redaction patterns — a pragmatic curation pass, not a compliance
+#: guarantee: emails, international-ish phone numbers, IPv4s, and
+#: 13-19-digit card-like runs. Kept in the regex subset Java's engine
+#: and RE2 (DuckDB) evaluate identically, so the operator is
+#: oracle-checkable.
+#: ORDER MATTERS: the phone pattern is the greediest (any long
+#: digit-ish run), so card numbers and dotted IPs must be redacted
+#: before it runs, and emails before everything (their local part can
+#: contain digit runs).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("card", r"\b[0-9]{13,19}\b", "<CARD>"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(d, text_col: str = "text"):
+    """Scrub PII-shaped spans from a text column (JVM-side
+    ``regexp_replace`` chain — no UDF, one projection) and count what
+    each pattern hit per doc. Patterns apply in the declared order on
+    the progressively-redacted text, so a digit run inside an
+    already-redacted email never double-counts; each ``n_<name>`` is
+    the match count the corresponding replace actually performed."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    return d.select("*", *counts, cur.alias("redacted"))

@@ -404,6 +404,40 @@ def test_pack_sequences_slices_are_exact(spark):
     assert per_doc == {1: 3, 2: 10, 3: 1, 4: 7, 6: 11}
 
 
+def test_redact_pii_matches_duckdb(spark, con):
+    """The sequential regexp_replace chain and per-pattern counts match
+    DuckDB (RE2) applying the same patterns in the same order — the
+    patterns stay in the regex subset both engines evaluate
+    identically."""
+    from dump_es_parquet_spark.operators.text import PII_PATTERNS, redact_pii
+
+    rows = [
+        (1, "contact bob@example.com or +1 (555) 123-4567 now"),
+        (2, "server 10.0.0.1 logged card 4111111111111111 twice: 4111111111111111"),
+        (3, "no pii here at all"),
+        (4, "alice@sub.domain.org then 192.168.1.100 then alice@sub.domain.org"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_email, r.n_ipv4, r.n_card, r.n_phone, r.redacted)
+        for r in redact_pii(d).collect()
+    }
+    for doc_id, text in rows:
+        cur = text
+        want_counts = []
+        for name, pat, token in PII_PATTERNS:
+            n, red = con.execute(
+                "SELECT len(regexp_extract_all(?, ?)), regexp_replace(?, ?, ?, 'g')",
+                [cur, pat, cur, pat, token],
+            ).fetchone()
+            want_counts.append(n)
+            cur = red
+        assert got[doc_id] == (*want_counts, cur), doc_id
+    assert got[1][4] == "contact <EMAIL> or <PHONE> now"
+    assert got[2][2] == 2  # both card numbers
+    assert got[3] == (0, 0, 0, 0, "no pii here at all")
+
+
 def test_chunking(spark, sf_dir):
     from dump_es_parquet_spark.operators.chunking import chunk_documents
     from dump_es_parquet_spark.operators.tables import load
