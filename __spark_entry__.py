@@ -128,6 +128,16 @@ def q_sim_ann_ivf_indexed(spark, sf_dir):
     return ann_ivf_indexed(spark, sf_dir, path)
 
 
+def q_text_redact(spark, sf_dir):
+    from dump_es_parquet_spark.operators.tables import load
+    from dump_es_parquet_spark.operators.text import redact_pii
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return redact_pii(d).select(
+        "doc_id", "n_email", "n_ipv4", "n_card", "n_phone", "redacted"
+    ).orderBy("doc_id")
+
+
 def _stream_batch_equiv(spark, sf_dir):
     from dump_es_parquet_spark.operators.tables import load
     from dump_es_parquet_spark.streaming.stream import windowed_counts
@@ -138,11 +148,12 @@ def _stream_batch_equiv(spark, sf_dir):
 
 
 # The driver's correctness gate records at most 50 oracle rows, in
-# ``queries()`` order.  The engine implements 58 query entry points; the
-# 8 below are DEMOTED from the declared set (still fully implemented,
-# still oracle-verified — by tests/test_operators.py against the same
-# DuckDB SQL) because each duplicates an operator surface another
-# declared query already exercises:
+# ``queries()`` order.  The entries below are DEMOTED from the declared
+# set (still fully implemented, still oracle-verified — by
+# tests/test_operators.py against the same DuckDB SQL) because each
+# duplicates an operator surface another declared query already
+# exercises, or (corpus_packing / text_redact, round 5) joined after
+# the 50 slots were filled:
 #   events_variant        — same oracle SQL as events_json
 #   stream_window_counts  — same oracle SQL as events_hourly
 #   events_sliding        — sliding windows; tumbling/session covered by
@@ -159,6 +170,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           partition-pruned index (the 100 TB design),
 #                           and bench reports both so the amortization
 #                           is measurable (VERDICT r4 #4)
+#   corpus_packing        — sequence packing (distributed prefix sum)
+#   text_redact           — PII-style redaction chain + hit counts
 DEMOTED: frozenset[str] = frozenset(
     {
         "events_variant",
@@ -170,6 +183,8 @@ DEMOTED: frozenset[str] = frozenset(
         "q4_priority_returns",
         "q6_revenue_band",
         "sim_ann_ivf",
+        "corpus_packing",
+        "text_redact",
     }
 )
 
@@ -250,6 +265,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _mod("text", "lang_id"),
         "text_fingerprint": _mod("text", "fingerprint"),
         "text_chunking": _mod("chunking", "chunk_stats"),
+        "corpus_packing": _mod("packing", "packing_summary"),
+        "text_redact": q_text_redact,
         "corpus_splits": _mod("sampling", "split_summary"),
         "corpus_stratified": _mod("sampling", "stratified_summary"),
         "corpus_temperature": _mod("sampling", "temperature_summary"),
@@ -1112,6 +1129,52 @@ def _all_oracle_sql() -> dict[str, str]:
     # the serving path answers the exact same question from the
     # materialized index — one oracle, two physical plans
     q["sim_ann_ivf_indexed"] = q["sim_ann_ivf"]
+
+    q["corpus_packing"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+          FROM documents
+        ),
+        off AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS tok_end
+          FROM toks
+        ),
+        packed AS (
+          SELECT s.seq_id, doc_id,
+                 greatest(tok_end - n_tokens - s.seq_id * 512, 0) AS fill_start,
+                 least(tok_end - s.seq_id * 512, 512) AS fill_end
+          FROM off,
+               LATERAL (SELECT unnest(range(
+                   CAST((tok_end - n_tokens) // 512 AS BIGINT),
+                   CAST((tok_end - 1) // 512 + 1 AS BIGINT))) AS seq_id) s
+          WHERE n_tokens > 0
+        )
+        SELECT seq_id, count(*) AS n_docs,
+               sum(fill_end - fill_start) AS n_filled
+        FROM packed GROUP BY seq_id ORDER BY seq_id
+    """
+
+    # sequential redaction chain, generated from the SAME pattern table
+    # the engine applies (order is load-bearing — see text.PII_PATTERNS)
+    from dump_es_parquet_spark.operators.text import PII_PATTERNS
+
+    stage = "text"
+    count_exprs = []
+    for pname, pat, token in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        count_exprs.append(
+            f"len(regexp_extract_all({stage}, '{lit}')) AS n_{pname}"
+        )
+        stage = f"regexp_replace({stage}, '{lit}', '{token}', 'g')"
+    q["text_redact"] = f"""
+        SELECT doc_id,
+               {', '.join(count_exprs)},
+               {stage} AS redacted
+        FROM documents ORDER BY doc_id
+    """
 
     q["grouped_robust_stats"] = """
         WITH m AS (
