@@ -244,6 +244,41 @@ def test_range_pushdown_results(esdump_millis):
     assert {r.port for r in picked.select("port").distinct().collect()} == {9201, 9202}
 
 
+def test_esdump_composes_with_relational_layer(esdump_millis, spark):
+    """End-to-end: an esdump frame behaves as a first-class relational
+    input — server-side-filtered scan, broadcast join to a parquet-side
+    dimension, grouped aggregation — matching the same pipeline
+    computed in pure Python over the fixture."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [(9200, "http"), (9201, "alt-1"), (9202, "alt-2"), (9203, "alt-3")],
+        "port int, service string",
+    )
+    df = (
+        esdump_millis.load()
+        .filter("status = 'idle' AND host IS NOT NULL")
+        .join(F.broadcast(dim), "port")
+        .groupBy("service")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("load"), 6).alias("avg_load"),
+        )
+        .orderBy("service")
+    )
+    got = [(r.service, r.n, r.avg_load) for r in df.collect()]
+
+    svc = {9200: "http", 9201: "alt-1", 9202: "alt-2", 9203: "alt-3"}
+    agg = {}
+    for d in DOCS_MILLIS:
+        if d["status"] == "idle" and d["host"] is not None:
+            agg.setdefault(svc[d["port"]], []).append(d["load"])
+    want = sorted(
+        (s, len(v), round(sum(v) / len(v), 6)) for s, v in agg.items()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_mock_or_list_and_exists():
     from dump_es_parquet_spark.sources.client import _match_query_string
 
