@@ -172,8 +172,12 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           is measurable (VERDICT r4 #4)
 #   corpus_packing        — sequence packing (distributed prefix sum)
 #   text_redact           — PII-style redaction chain + hit counts
+#   q13_customer_distribution — LEFT OUTER join + two-level agg
+#   q17_small_quantity_revenue — decorrelated AVG subquery shape
 DEMOTED: frozenset[str] = frozenset(
     {
+        "q13_customer_distribution",
+        "q17_small_quantity_revenue",
         "events_variant",
         "stream_window_counts",
         "events_sliding",
@@ -236,6 +240,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_nation_profit": _rel("q9_nation_profit"),
         "q11_important_parts": _rel("q11_important_parts"),
         "q12_priority_split": _rel("q12_priority_split"),
+        "q13_customer_distribution": _rel("q13_customer_distribution"),
+        "q17_small_quantity_revenue": _rel("q17_small_quantity_revenue"),
         "q14_promo_revenue": _rel("q14_promo_revenue"),
         "q15_top_supplier": _rel("q15_top_supplier"),
         "q18_large_volume": _rel("q18_large_volume"),
@@ -463,6 +469,31 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    q["q13_customer_distribution"] = """
+        WITH per_cust AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+          GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+
+    q["q17_small_quantity_revenue"] = """
+        WITH avg_qty AS (
+          SELECT l_partkey AS ap_key,
+                 CAST(avg(CAST(l_quantity AS DECIMAL(18,2))) * 0.2 AS DOUBLE) AS qty_cut
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+        JOIN avg_qty ON l_partkey = ap_key
+        WHERE CAST(l_quantity AS DOUBLE) < qty_cut
     """
 
     q["q14_promo_revenue"] = """

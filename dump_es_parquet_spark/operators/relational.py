@@ -754,6 +754,53 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution via LEFT
+    OUTER join (customers with zero orders must appear in the c_count=0
+    bucket — an inner join would silently drop them) then a
+    two-level aggregate. Both shuffles key on high-cardinality ids;
+    the second groupBy input is already one row per customer."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("1")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below 20% of their part's average
+    quantity — the correlated AVG subquery decorrelates into one
+    aggregate per partkey joined back to the facts (Catalyst's own
+    rewrite for the SQL form; expressed directly here so the plan is
+    explicit: agg ⋈ facts, filtered, one-row out)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg(_dec("l_quantity")) * 0.2).cast("double").alias("qty_cut")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity").cast("double") < F.col("qty_cut"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
 def q19_disjunctive_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: disjunctive multi-attribute predicate over
     part⋈lineitem — the join key is conjunctive (partkey), so the OR
