@@ -174,10 +174,12 @@ def _stream_batch_equiv(spark, sf_dir):
 #   text_redact           — PII-style redaction chain + hit counts
 #   q13_customer_distribution — LEFT OUTER join + two-level agg
 #   q17_small_quantity_revenue — decorrelated AVG subquery shape
+#   q21_waiting_supplier_shape — EXISTS + NOT EXISTS decorrelated
 DEMOTED: frozenset[str] = frozenset(
     {
         "q13_customer_distribution",
         "q17_small_quantity_revenue",
+        "q21_waiting_supplier_shape",
         "events_variant",
         "stream_window_counts",
         "events_sliding",
@@ -242,6 +244,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_split": _rel("q12_priority_split"),
         "q13_customer_distribution": _rel("q13_customer_distribution"),
         "q17_small_quantity_revenue": _rel("q17_small_quantity_revenue"),
+        "q21_waiting_supplier_shape": _rel("q21_waiting_supplier_shape"),
         "q14_promo_revenue": _rel("q14_promo_revenue"),
         "q15_top_supplier": _rel("q15_top_supplier"),
         "q18_large_volume": _rel("q18_large_volume"),
@@ -494,6 +497,28 @@ def _all_oracle_sql() -> dict[str, str]:
         JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
         JOIN avg_qty ON l_partkey = ap_key
         WHERE CAST(l_quantity AS DOUBLE) < qty_cut
+    """
+
+    # the oracle keeps the LITERAL correlated EXISTS / NOT EXISTS, so
+    # it independently verifies the engine's count-based decorrelation
+    q["q21_waiting_supplier_shape"] = """
+        WITH late AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+            AND date_diff('day', o_orderdate, l_shipdate) > 60
+        )
+        SELECT l_suppkey AS s_suppkey, count(*) AS numwait
+        FROM late l1
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY l_suppkey
+        ORDER BY numwait DESC, s_suppkey ASC
+        LIMIT 100
     """
 
     q["q14_promo_revenue"] = """

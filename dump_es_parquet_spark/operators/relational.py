@@ -801,6 +801,47 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q21_waiting_supplier_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's query SHAPE — correlated EXISTS + NOT EXISTS over
+    the same fact table — adapted to this schema (no receipt/commit
+    dates: "late" = shipped >60 days after the order date). Suppliers
+    who were the ONLY late supplier on a multi-supplier order.
+
+    Both correlations ("exists another supplier on the order", "not
+    exists another late supplier") carry an l_suppkey inequality, so
+    instead of two extra semi/anti self-joins they decorrelate into
+    per-order breadth COUNTS of the same scans: given the candidate is
+    on the order and late, `n_sups > 1` ⟺ the EXISTS and
+    `n_late_sups == 1` ⟺ the NOT EXISTS. One shuffle key (orderkey)
+    end-to-end, no row explosion — the formulation a 100 TB plan wants
+    over Catalyst's literal ExistenceJoin rewrite."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.datediff("l_shipdate", "o_orderdate") > 60)
+        .select("l_orderkey", "l_suppkey")
+    )
+    # per-order supplier sets, computed ONCE: order breadth + late breadth
+    order_sups = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_sups")
+    )
+    late_sups = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_late_sups")
+    )
+    return (
+        late.distinct()
+        .join(order_sups, "l_orderkey")
+        .join(late_sups, "l_orderkey")
+        # EXISTS other supplier; NOT EXISTS other late supplier
+        .filter((F.col("n_sups") > 1) & (F.col("n_late_sups") == 1))
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(100)
+    )
+
+
 def q19_disjunctive_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: disjunctive multi-attribute predicate over
     part⋈lineitem — the join key is conjunctive (partkey), so the OR
