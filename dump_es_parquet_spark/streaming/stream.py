@@ -90,3 +90,39 @@ def run_stream_to_memory(
     )
     q.awaitTermination(120)
     return spark.table(table)
+
+
+def purchase_after_click_join(
+    left: DataFrame, right: DataFrame, interval: str = "1 hour",
+    watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream INNER interval join: purchases within ``interval``
+    after a click by the same user — the canonical attribution shape.
+
+    State stays bounded because BOTH sides carry event-time watermarks
+    and the join condition bounds ``r_ts`` to [l_ts, l_ts + interval]:
+    Spark evicts buffered left rows once the right watermark passes
+    l_ts + interval, and right rows once the left watermark passes
+    r_ts (Structured Streaming's stream-stream join state cleanup
+    contract). The same expression tree evaluates identically on batch
+    frames, which is how the test cross-checks stream vs batch."""
+    lw = left.withWatermark("ts", watermark) if left.isStreaming else left
+    rw = right.withWatermark("ts", watermark) if right.isStreaming else right
+    clicks = lw.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = rw.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {interval}")),
+        "inner",
+    ).drop("b_user")

@@ -513,3 +513,37 @@ def test_mockes_parenthesized_and_groups():
         _match_query_string(doc, "(a:1 AND b:2")
     with pytest.raises(ValueError, match="unbalanced"):
         _match_query_string(doc, "a:1) AND (b:2")
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """The stream-stream interval join (watermarked both sides) drained
+    with availableNow produces exactly the batch join's rows — and the
+    streaming plan really is a stream-stream join, not a fallback."""
+    from dump_es_parquet_spark.operators.tables import load
+    from dump_es_parquet_spark.streaming.stream import (
+        purchase_after_click_join,
+        stream_events,
+    )
+
+    s = stream_events(spark, sf_dir)
+    joined = purchase_after_click_join(s, s)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.table("t_ssjoin").collect()
+    }
+    b = load(spark, sf_dir, "events")
+    batch = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in purchase_after_click_join(b, b).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
