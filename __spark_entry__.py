@@ -175,8 +175,10 @@ def _stream_batch_equiv(spark, sf_dir):
 #   q13_customer_distribution — LEFT OUTER join + two-level agg
 #   q17_small_quantity_revenue — decorrelated AVG subquery shape
 #   q21_waiting_supplier_shape — EXISTS + NOT EXISTS decorrelated
+#   events_pivot          — pivot() with explicit value domain
 DEMOTED: frozenset[str] = frozenset(
     {
+        "events_pivot",
         "q13_customer_distribution",
         "q17_small_quantity_revenue",
         "q21_waiting_supplier_shape",
@@ -263,6 +265,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": _rel("q_events_session_window"),
         "events_sliding": _rel("q_events_sliding"),
         "events_variant": _rel("q_events_variant"),
+        "events_pivot": _rel("q_events_pivot"),
         "events_top_users": _rel("q_events_top_users"),
         "scalar_functions": _rel("q_scalar_functions"),
         "asof_events_orders": _mod("asof", "events_last_order"),
@@ -497,6 +500,16 @@ def _all_oracle_sql() -> dict[str, str]:
         JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
         JOIN avg_qty ON l_partkey = ap_key
         WHERE CAST(l_quantity AS DOUBLE) < qty_cut
+    """
+
+    q["events_pivot"] = """
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               sum(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               sum(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY day ORDER BY day
     """
 
     # the oracle keeps the LITERAL correlated EXISTS / NOT EXISTS, so

@@ -437,6 +437,21 @@ def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: daily event counts, one column per event type.
+    The pivot values are EXPLICIT (no extra distinct-values job — at
+    scale an implicit pivot first scans the column for its domain) and
+    the physical plan is an ordinary two-phase aggregate over
+    ``count(CASE WHEN type=v)`` expressions, nothing row-expanding."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .orderBy("day")
+    )
+
+
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function coverage in one projection (SURVEY §2.2 row
     "scalar functions"): string, date, math, array, and JSON functions
