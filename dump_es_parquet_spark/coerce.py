@@ -57,6 +57,17 @@ from dump_es_parquet_spark.schema import FLATTEN_SEP
 #: values < 2e10 are seconds ("Tue Oct 11 2603"), else milliseconds.
 EPOCH_SECONDS_MILLIS_CUTOFF = 20_000_000_000
 
+#: Representable-timestamp clamp (engine spec, PARITY.md #18): results
+#: outside Python's datetime range (years 1-9999) become NULL with a
+#: cast-failure warning instead of crashing driver materialization
+#: (``collect()``/``toPandas()`` convert Spark timestamps to
+#: ``datetime.datetime``, which raises outside this range). Padded one
+#: day inside the exact year-1/9999 edges because PySpark's
+#: ``TimestampType.fromInternal`` converts through the *local* zone —
+#: the exact UTC edge would still underflow on a west-of-UTC driver.
+MIN_EPOCH_SECONDS = -62_135_510_400  # 0001-01-02T00:00:00Z
+MAX_EPOCH_SECONDS = 253_402_214_399  # 9999-12-30T23:59:59Z
+
 
 # ---------------------------------------------------------------------------
 # wire schemas
@@ -97,17 +108,47 @@ def array_wire_struct(schema: T.StructType) -> T.StructType:
 def coerce_timestamp(s: Column) -> Column:
     """ISO-8601 parse, else integer-epoch with the seconds/millis
     heuristic (reference :145-162). All-UTC (engine spec decision; the
-    reference uses the local zone via ``datetime.fromtimestamp``)."""
-    as_long = F.trim(s).try_cast("long")
-    epoch = F.when(
-        as_long < F.lit(EPOCH_SECONDS_MILLIS_CUTOFF), F.timestamp_seconds(as_long)
-    ).otherwise(F.timestamp_millis(as_long))
-    # Bare integers ≥ 9 digits are epochs, never ISO dates (Spark would
-    # otherwise mis-parse some as year-only timestamps).
-    is_big_int = F.trim(s).rlike(r"^-?\d{9,}$")
-    return F.when(is_big_int, epoch).otherwise(
-        F.coalesce(F.try_to_timestamp(s), epoch)
+    reference uses the local zone via ``datetime.fromtimestamp``).
+
+    Spec decisions pinned in PARITY.md #18:
+
+    - EVERY bare-digit value (``^-?\\d+$``, any length — including the
+      8-digit ``yyyyMMdd`` shape Python's ``fromisoformat`` would read
+      as a basic-format date) is an epoch under the 2e10 cutoff. The
+      reference's string path parses ``"20240101"`` as a date but
+      raises an uncaught TypeError on true JSON ints
+      (``fromisoformat(int)``, :147); we pin one uniform behavior for
+      both wire shapes instead.
+    - Any result outside years 1-9999 → NULL (counted as a cast
+      failure) so no coerced value can ever crash ``collect()``:
+      Spark's year-only literal parse (``try_to_timestamp('1000')`` →
+      year 1000) is fine, but year -1000 or 10000+ breaks Python
+      ``datetime`` during row materialization.
+    """
+    st = F.trim(s)
+    as_long = st.try_cast("long")  # overflow beyond int64 → NULL
+    secs = F.when(
+        as_long.between(MIN_EPOCH_SECONDS, MAX_EPOCH_SECONDS),
+        F.timestamp_seconds(as_long),
     )
+    millis = F.when(
+        as_long.between(MIN_EPOCH_SECONDS * 1000, MAX_EPOCH_SECONDS * 1000 + 999),
+        F.timestamp_millis(as_long),
+    )
+    epoch = F.when(as_long < F.lit(EPOCH_SECONDS_MILLIS_CUTOFF), secs).otherwise(
+        millis
+    )
+    is_bare_int = st.rlike(r"^-?\d+$")
+    iso = F.try_to_timestamp(st)
+    iso_clamped = F.when(
+        F.unix_micros(iso).between(
+            MIN_EPOCH_SECONDS * 1_000_000, (MAX_EPOCH_SECONDS + 1) * 1_000_000 - 1
+        ),
+        iso,
+    )
+    # Non-integer strings: ISO first, then the reference's int()
+    # fallback (covers '+5' and other cast-to-long-parseable forms).
+    return F.when(is_bare_int, epoch).otherwise(F.coalesce(iso_clamped, epoch))
 
 
 def _bool_wire_as_num(s: Column) -> Column:

@@ -23,35 +23,67 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import re
 from typing import Any
 
 from pyspark.sql import types as T
 
-from dump_es_parquet_spark.coerce import EPOCH_SECONDS_MILLIS_CUTOFF
+from dump_es_parquet_spark.coerce import (
+    EPOCH_SECONDS_MILLIS_CUTOFF,
+    MAX_EPOCH_SECONDS,
+    MIN_EPOCH_SECONDS,
+)
 from dump_es_parquet_spark.schema import FLATTEN_SEP
 
 UTC = dt.timezone.utc
 
+_EPOCH0 = dt.datetime(1970, 1, 1)
+_MIN_DT = _EPOCH0 + dt.timedelta(seconds=MIN_EPOCH_SECONDS)
+_MAX_DT = _EPOCH0 + dt.timedelta(seconds=MAX_EPOCH_SECONDS, microseconds=999_999)
+#: Bare-digit wire value → always epoch (PARITY.md #18; mirrors the
+#: expression path's ``rlike(r'^-?\d+$')`` gate).
+_BARE_INT_RE = re.compile(r"^-?\d+$")
+#: Spark's string→long cast grammar for the post-ISO fallback (accepts
+#: a leading '+' the bare-int gate does not; no Python '1_0' digit
+#: grouping, which int() would otherwise admit).
+_CAST_LONG_RE = re.compile(r"^[+-]?\d+$")
+
+
+def _epoch_timestamp(s: str) -> dt.datetime | None:
+    """Integer-epoch branch with the seconds/millis cutoff (reference
+    :149-160), clamped to years 1-9999 (PARITY.md #18) — exact integer
+    arithmetic, matching Spark's ``timestamp_seconds``/``_millis``."""
+    if not _CAST_LONG_RE.match(s):
+        return None
+    i = int(s)
+    if not -(1 << 63) <= i < (1 << 63):  # try_cast long overflow → NULL
+        return None
+    if i < EPOCH_SECONDS_MILLIS_CUTOFF:
+        if not MIN_EPOCH_SECONDS <= i <= MAX_EPOCH_SECONDS:
+            return None
+        return _EPOCH0 + dt.timedelta(seconds=i)
+    if not MIN_EPOCH_SECONDS * 1000 <= i <= MAX_EPOCH_SECONDS * 1000 + 999:
+        return None
+    return _EPOCH0 + dt.timedelta(milliseconds=i)
+
 
 def _coerce_timestamp(v: Any) -> dt.datetime | None:
     """ISO-8601 else epoch with the seconds/millis cutoff (reference
-    :145-162); UTC, tz-naive output (matches the expression path)."""
+    :145-162); UTC, tz-naive output (matches the expression path).
+    Bare-digit values (any length, incl. 8-digit ``yyyyMMdd``) skip the
+    ISO parse entirely — PARITY.md #18."""
     s = str(v).strip()
-    if not (s.lstrip("-").isdigit() and len(s.lstrip("-")) >= 9):
-        try:
-            d = dt.datetime.fromisoformat(s)
-            if d.tzinfo is not None:
-                d = d.astimezone(UTC).replace(tzinfo=None)
-            return d
-        except ValueError:
-            pass
+    if _BARE_INT_RE.match(s):
+        return _epoch_timestamp(s)
     try:
-        i = int(s)
+        d = dt.datetime.fromisoformat(s)
+        if d.tzinfo is not None:
+            d = d.astimezone(UTC).replace(tzinfo=None)
+        if not _MIN_DT <= d <= _MAX_DT:  # same clamp as expression path
+            return None
+        return d
     except ValueError:
-        return None
-    if i < EPOCH_SECONDS_MILLIS_CUTOFF:
-        return dt.datetime.fromtimestamp(i, UTC).replace(tzinfo=None)
-    return dt.datetime.fromtimestamp(i / 1000, UTC).replace(tzinfo=None)
+        return _epoch_timestamp(s)
 
 
 _INT_RANGES = {

@@ -96,6 +96,57 @@ def test_garbage_date_dropped(spark):
     assert r.ts is None
 
 
+def test_small_bare_int_is_epoch_not_year_literal(spark):
+    # PARITY.md #18: EVERY bare integer is an epoch. Spark would parse
+    # '1000' as the year-1000 literal; the pinned spec says 1000
+    # epoch-seconds (the reference's int branch, dump-es-parquet:149).
+    [r] = run(spark, [{"ts": 1000}])
+    assert r.ts == dt.datetime(1970, 1, 1, 0, 16, 40)
+
+
+def test_negative_bare_int_is_pre_epoch_not_crash(spark):
+    # -1000 must neither parse as year -1000 (which crashes collect())
+    # nor drop: it is 1000 seconds before the epoch.
+    [r] = run(spark, [{"ts": -1000}])
+    assert r.ts == dt.datetime(1969, 12, 31, 23, 43, 20)
+
+
+def test_eight_digit_int_is_epoch_not_yyyymmdd(spark):
+    # PARITY.md #18 pins the ambiguous 8-digit shape: epoch seconds,
+    # NOT a basic-format date (the reference's string path would read
+    # 2024-01-01 but TypeErrors on the int wire shape; we unify).
+    [a, b] = run(spark, [{"id": 1, "ts": 20240101}, {"id": 2, "ts": "20240101"}])
+    expect = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=20240101)
+    assert a.ts == expect
+    assert b.ts == expect
+
+
+def test_out_of_range_dates_null_not_crash(spark):
+    # Years outside 1-9999 are unrepresentable in Python datetime —
+    # clamp to NULL so collect() never raises (PARITY.md #18).
+    rows = run(
+        spark,
+        [
+            {"id": 1, "ts": "0000-01-01"},
+            {"id": 2, "ts": "+10000-01-01T00:00:00"},
+            {"id": 3, "ts": -62135510401},  # 1s below the clamp floor
+            {"id": 4, "ts": 253402214400000},  # 1s above the clamp ceiling
+            {"id": 5, "ts": 2**63},  # beyond int64
+        ],
+    )
+    assert all(r.ts is None for r in rows)
+
+
+def test_epoch_range_edges_representable(spark):
+    # Clamp edges are one day inside years 1/9999 (local-tz
+    # materialization safety — see coerce.MIN/MAX_EPOCH_SECONDS).
+    [lo, hi] = run(
+        spark, [{"id": 1, "ts": -62135510400}, {"id": 2, "ts": 253402214399000}]
+    )
+    assert lo.ts == dt.datetime(1, 1, 2, 0, 0, 0)
+    assert hi.ts == dt.datetime(9999, 12, 30, 23, 59, 59)
+
+
 def test_epoch_string_form(spark):
     [r] = run(spark, [{"ts": "1748520000"}])
     assert r.ts == dt.datetime.fromtimestamp(1748520000, UTC).replace(tzinfo=None)

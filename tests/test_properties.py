@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import datetime as dtm
 import json
 import math
 
@@ -83,6 +84,101 @@ def test_nonconforming_docs_never_crash_and_paths_agree(spark, mapping, docs):
         expr_t = normalize(tuple(r))
         py_t = normalize(coerce_doc(d, schema))
         assert expr_t == py_t, f"mapping={mapping} doc={d}"
+
+
+# --- dedicated timestamp-chain property (VERDICT r05 #6) -------------------
+# Wire values a date-typed ES field can carry: bare ints spanning digit
+# lengths 1-20 (both signs), ISO strings including year-0 / year-10000
+# edges, fractional seconds, timezone offsets, and garbage.
+
+_digit_ints = st.integers(min_value=1, max_value=20).flatmap(
+    lambda n: st.integers(min_value=10 ** (n - 1) if n > 1 else 0, max_value=10**n - 1)
+)
+date_wire_st = st.one_of(
+    _digit_ints,
+    _digit_ints.map(lambda i: -i),
+    _digit_ints.map(str),
+    _digit_ints.map(lambda i: str(-i)),
+    st.sampled_from(
+        [
+            "0000-01-01",
+            "0001-01-01T00:00:00",
+            "0001-01-02T00:00:00",
+            "9999-12-30T23:59:59",
+            "9999-12-31T23:59:59",
+            "+10000-01-01T00:00:00",
+            "2024-02-29T12:34:56.789",
+            "2024-06-01T00:00:00+05:30",
+            "2024-06-01T00:00:00Z",
+            "20240101",
+            "1970-01-01",
+            "not a date",
+            "",
+            " 1000 ",
+            "+5",
+        ]
+    ),
+    st.datetimes(
+        min_value=dtm.datetime(1, 1, 2), max_value=dtm.datetime(9999, 12, 30)
+    ).map(lambda d: d.isoformat()),
+)
+
+
+def _spec_timestamp(v):
+    """Independent model of the PARITY.md #18 spec (stdlib only):
+    bare-digit → epoch (s<2e10 else ms), clamped to the padded year
+    1-9999 window; else ISO-8601, same clamp; else cast-to-long
+    fallback; else NULL."""
+    import datetime as dtm
+    import re as rem
+
+    E0 = dtm.datetime(1970, 1, 1)
+    LO, HI = -62_135_510_400, 253_402_214_399
+
+    def epoch(s):
+        if not rem.match(r"^[+-]?\d+$", s):
+            return None
+        i = int(s)
+        if not -(2**63) <= i < 2**63:
+            return None
+        if i < 20_000_000_000:
+            return E0 + dtm.timedelta(seconds=i) if LO <= i <= HI else None
+        ok = LO * 1000 <= i <= HI * 1000 + 999
+        return E0 + dtm.timedelta(milliseconds=i) if ok else None
+
+    s = str(v).strip()
+    if rem.match(r"^-?\d+$", s):
+        return epoch(s)
+    try:
+        d = dtm.datetime.fromisoformat(s)
+        if d.tzinfo is not None:
+            d = d.astimezone(dtm.timezone.utc).replace(tzinfo=None)
+        lo = E0 + dtm.timedelta(seconds=LO)
+        hi = E0 + dtm.timedelta(seconds=HI, microseconds=999_999)
+        return d if lo <= d <= hi else None
+    except ValueError:
+        return epoch(s)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(date_wire_st, min_size=1, max_size=8))
+def test_timestamp_chain_expr_py_spec_agree(spark, vals):
+    """expr ≡ py ≡ independent spec model on arbitrary date wire
+    values; collect() must never raise (op #12 regression guard)."""
+    schema = properties_to_struct({"a": {"type": "date"}})
+    df = spark.createDataFrame(
+        [(json.dumps({"a": v}),) for v in vals], "value string"
+    )
+    rows = parse_and_coerce(df, schema).collect()  # must not raise
+    for r, v in zip(rows, vals):
+        expect = _spec_timestamp(v)
+        (py,) = coerce_doc({"a": v}, schema)
+        assert r.a == expect, f"expr path diverges from spec for {v!r}"
+        assert py == expect, f"python path diverges from spec for {v!r}"
 
 
 @settings(
