@@ -121,10 +121,47 @@ def q_sim_ann_ivf_indexed(spark, sf_dir):
     tag = hashlib.md5(
         f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_v1_{tag}")
+    tmp_root = tempfile.gettempdir()
+    path = os.path.join(tmp_root, f"spark_graft_ivf_v1_{tag}")
     # centroids are written last — their _SUCCESS marks a complete index
     if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
-        write_ivf_index(spark, sf_dir, path)
+        # build in a unique staging dir, then atomically rename into
+        # place: two concurrent sessions that both saw a missing index
+        # would otherwise interleave mode('overwrite') writes into the
+        # SAME directory and serve a torn index. rename() makes readers
+        # see either nothing or a complete artifact; the loser of the
+        # race just discards its staging copy.
+        import shutil
+
+        stage = tempfile.mkdtemp(prefix=f"spark_graft_ivf_v1_{tag}_stage_",
+                                 dir=tmp_root)
+        try:
+            write_ivf_index(spark, sf_dir, stage)
+            try:
+                os.rename(stage, path)
+            except OSError:  # concurrent builder won the rename
+                shutil.rmtree(stage, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        # drop stale generations (regenerated testdata leaves old
+        # spark_graft_ivf_v1_* dirs behind) — but only dirs idle >1 day,
+        # so concurrently-live indexes for OTHER sf_dirs survive
+        import time
+
+        cutoff = time.time() - 86400
+        for d in os.listdir(tmp_root):
+            p = os.path.join(tmp_root, d)
+            if (
+                d.startswith("spark_graft_ivf_v1_")
+                and d != f"spark_graft_ivf_v1_{tag}"
+                and os.path.isdir(p)
+            ):
+                try:
+                    if os.stat(p).st_mtime < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
     return ann_ivf_indexed(spark, sf_dir, path)
 
 

@@ -53,7 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "retry-idempotent) or scroll (reference parity)")
     p.add_argument("--no-pit", action="store_true",
                    help="search_after without a point-in-time context "
-                        "(pre-7.10 servers; forfeits snapshot isolation)")
+                        "(pre-7.10 servers; forfeits snapshot isolation "
+                        "AND scan parallelism — ES only accepts sliced "
+                        "scans inside a PIT/scroll context, so this "
+                        "forces --slices 1)")
     p.add_argument("--flatten", action="store_true")  # :388-390
     p.add_argument("--query", default=None)  # :385
     p.add_argument("--fields", default=None)  # :386-387
@@ -205,6 +208,14 @@ def main(argv: list[str] | None = None) -> int:
                 verify_certs=not args.no_verify_certs,
             )
 
+    if args.cursor == "search_after" and args.no_pit and args.slices > 1:
+        print(
+            "warning: --no-pit disables sliced scans (ES rejects the "
+            "slice parameter outside a PIT/scroll context); running "
+            "single-slice. Use --cursor scroll for parallel scans on "
+            "pre-7.10 servers.",
+            file=sys.stderr,
+        )
     scan = ScanOptions(
         query=args.query,
         fields=args.fields,

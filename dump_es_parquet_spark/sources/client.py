@@ -208,6 +208,10 @@ def _match_query_string(doc: dict, q: str | None) -> bool:
         # the field name, the raw doc key is unescaped
         return _get_path(doc, _unquote(val)) is not None
     got = _get_path(doc, fld)
+    if isinstance(got, bool):
+        # ES renders/accepts JSON booleans as lowercase 'true'/'false'
+        # (the engine's _lucene_escape emits the same)
+        got = "true" if got else "false"
     if val[:1] in "[{" and " TO " in val:
         # Lucene range: [ ] inclusive, { } exclusive, * unbounded
         lo_inc, hi_inc = val[0] == "[", val[-1] == "]"

@@ -90,6 +90,11 @@ def _make_client(options: dict):
 
 
 def _lucene_escape(v) -> str:
+    # ES boolean fields accept only lowercase 'true'/'false' — Python
+    # str(True) would 400 on a real server (bool before the generic
+    # path, since bool is an int subclass)
+    if isinstance(v, bool):
+        return "true" if v else "false"
     # backslash MUST be escaped first — escaping it after the other
     # characters would re-escape the backslashes just inserted
     # (`web-` → `web\-` → `web\\-`, a different Lucene term)
@@ -111,26 +116,38 @@ def _is_scalar(v) -> bool:
     return True
 
 
-def _range_literal(v, es_type: str) -> str | None:
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_MICRO = _dt.timedelta(microseconds=1)
+
+
+def _range_literal(v, es_type: str, round_up: bool = False) -> str | None:
     """Render one range bound for a Lucene ``field:[lo TO hi]`` clause,
     or None if the value can't be rendered soundly for this ES type.
 
     ``date`` bounds are emitted as epoch-millis integers: the ES date
     type's default format is ``strict_date_optional_time||epoch_millis``,
     so millis are accepted verbatim and sidestep every ISO-format /
-    timezone-suffix pitfall. Spark hands timestamp literals to
-    ``pushFilters`` as tz-aware datetimes (session zone), so
-    ``.timestamp()`` is exact; a naive datetime is taken as UTC.
+    timezone-suffix pitfall. Spark timestamps are *microsecond*
+    precision while ES stores whole millis, so the bound must round in
+    the direction that keeps the consumed filter exactly equivalent on
+    milli-grained docs: ceil for ``>=`` / ``<`` bounds, floor for
+    ``>`` / ``<=`` (``round_up`` — derivation at the call site).
+    Computed from exact integer microseconds (timedelta division), not
+    float ``.timestamp()``, to avoid ulp drift on large epochs.
     """
     if es_type == "date":
         if isinstance(v, _dt.datetime):
             if v.tzinfo is None:
                 v = v.replace(tzinfo=_dt.timezone.utc)
-            return str(int(v.timestamp() * 1000))
-        if isinstance(v, _dt.date):
+            micros = (v - _EPOCH_UTC) // _MICRO
+        elif isinstance(v, _dt.date):
             dtv = _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc)
-            return str(int(dtv.timestamp() * 1000))
-        return None
+            micros = (dtv - _EPOCH_UTC) // _MICRO
+        else:
+            return None
+        if round_up:
+            return str(-((-micros) // 1000))
+        return str(micros // 1000)
     if es_type == "keyword":
         if not isinstance(v, str):
             return None
@@ -330,7 +347,15 @@ class EsDumpReader(DataSourceReader):
             ):
                 pos = self._translate(inner)
                 if pos is not None:
-                    return f"NOT ({pos})"
+                    # The existence guard rides INSIDE this clause: a
+                    # parenthesized sub-boolean holding only a MUST_NOT
+                    # (`(NOT f:v)`) rewrites to match-no-docs on real
+                    # Lucene (pure-negative handling is top-level
+                    # only); the positive `_exists_` conjunct keeps the
+                    # clause self-contained — and it is the same guard
+                    # that makes NOT null-exact (see pushFilters).
+                    guard = _lucene_escape(inner.attribute[0])
+                    return f"_exists_:{guard} AND NOT ({pos})"
             return None
         attr = getattr(f, "attribute", None)
         if not attr or len(attr) != 1:
@@ -374,7 +399,15 @@ class EsDumpReader(DataSourceReader):
         if tmpl is not None:
             es_type = self.field_types.get(fld)
             if es_type in EsDumpDataSource.RANGE_ES_TYPES:
-                val = _range_literal(f.value, es_type)
+                # date bounds round toward the predicate's interior on
+                # ES's milli grid (Spark ts are micro-grained): for
+                # whole-milli doc values m and micro bound b,
+                #   m*1000 >= b  ⟺  m >= ceil(b/1000)   ([v TO *])
+                #   m*1000 >  b  ⟺  m >  floor(b/1000)  ({v TO *])
+                #   m*1000 <  b  ⟺  m <  ceil(b/1000)   ([* TO v})
+                #   m*1000 <= b  ⟺  m <= floor(b/1000)  ([* TO v])
+                round_up = isinstance(f, (GreaterThanOrEqual, LessThan))
+                val = _range_literal(f.value, es_type, round_up=round_up)
                 if val is not None:
                     return tmpl.format(fld=efld, val=val)
         return None
@@ -392,13 +425,25 @@ class EsDumpReader(DataSourceReader):
         # consumed pushdown filter is trusted, nothing re-checks rows
         return " AND ".join(f"({c})" for c in clauses)
 
+    def _n_slices(self) -> int:
+        """Real ES rejects the ``slice`` parameter on a plain search
+        (slicing needs a PIT or scroll context), so ``search_after``
+        without PIT (``pit=false``, pre-7.10 servers) is forced
+        single-slice — otherwise N partitions would each scan the full
+        index."""
+        if (
+            self.options.get("cursor", "search_after") == "search_after"
+            and self.options.get("pit", "true") == "false"
+        ):
+            return 1
+        return max(1, int(self.options.get("slices", "8")))
+
     def partitions(self) -> Sequence[InputPartition]:
-        n = int(self.options.get("slices", "8"))
-        return [InputPartition(i) for i in range(max(1, n))]
+        return [InputPartition(i) for i in range(self._n_slices())]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         client = _make_client(self.options)
-        n = int(self.options.get("slices", "8"))
+        n = self._n_slices()
         fields = self.options.get("fields")
         flatten = self.options.get("flatten", "false") == "true"
         multivalue = self.options.get("multivalue", "first")

@@ -66,6 +66,17 @@ class ScanOptions:
         return [f.strip() for f in self.fields.split(",")] if self.fields else None
 
 
+def effective_slices(opts: ScanOptions) -> int:
+    """Real ES rejects the ``slice`` parameter on a plain search —
+    slicing needs a PIT or scroll context. ``search_after`` without PIT
+    (``--no-pit``, pre-7.10 servers) therefore runs single-slice; every
+    partition-count decision goes through here so N unsliced scans can
+    never each read the whole index."""
+    if opts.cursor == "search_after" and not opts.pit:
+        return 1
+    return max(1, opts.slices)
+
+
 def _slice_reader(
     client_factory: Callable[[], object],
     index: str,
@@ -155,7 +166,7 @@ def read_index_raw(
     IO is the one place RDD usage is warranted (SURVEY.md §7).
     """
     opts = opts or ScanOptions()
-    n = max(1, opts.slices)
+    n = max(1, effective_slices(opts))
     rdd = spark.sparkContext.parallelize(range(n), n).mapPartitions(
         _slice_reader(client_factory, index, opts, n)
     )

@@ -209,12 +209,132 @@ def test_push_filters_negation_and_prefix_unit():
             ]
         )
     )
+    # the negation carries its own positive _exists_ conjunct: a
+    # clause holding only a MUST_NOT would match no docs on real
+    # Lucene (pure-negative sub-booleans rewrite top-level only)
     assert r.pushed_clauses == [
         "_exists_:status",
-        "NOT (status:idle)",
+        "_exists_:status AND NOT (status:idle)",
         "host:web\\-*",
     ]
     assert len(remaining) == 3
+
+
+def test_submilli_timestamp_bounds_round_toward_interior():
+    """Spark timestamps are micro-grained, ES stores whole millis: a
+    consumed bound must round so the pushed range is EXACTLY the Spark
+    predicate on milli-grained docs — ceil for >= and <, floor for >
+    and <= (a floored >= bound would re-admit the doc at floor(b) that
+    Spark excludes, and the consumed filter is never re-checked)."""
+    import datetime as dtt
+
+    from pyspark.sql.datasource import (
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    schema = properties_to_struct(MAPPING)
+    field_types = {"@timestamp": "date"}
+    r = EsDumpReader(schema, {"index": "logs"}, pushable=set(),
+                     field_types=field_types)
+    # 2025-05-29T12:00:30.000400Z — 400µs past the milli grid
+    b = dtt.datetime(2025, 5, 29, 12, 0, 30, 400, tzinfo=dtt.timezone.utc)
+    list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("@timestamp",), b),  # ceil
+                GreaterThan(("@timestamp",), b),         # floor
+                LessThan(("@timestamp",), b),            # ceil
+                LessThanOrEqual(("@timestamp",), b),     # floor
+            ]
+        )
+    )
+    assert r.pushed_clauses == [
+        "@timestamp:[1748520030001 TO *]",
+        "@timestamp:{1748520030000 TO *]",
+        "@timestamp:[* TO 1748520030001}",
+        "@timestamp:[* TO 1748520030000]",
+    ]
+    # whole-milli bounds are unchanged in every direction
+    r2 = EsDumpReader(schema, {"index": "logs"}, pushable=set(),
+                      field_types=field_types)
+    w = dtt.datetime(2025, 5, 29, 12, 0, 30, tzinfo=dtt.timezone.utc)
+    list(r2.pushFilters([GreaterThanOrEqual(("@timestamp",), w),
+                         LessThanOrEqual(("@timestamp",), w)]))
+    assert r2.pushed_clauses == [
+        "@timestamp:[1748520030000 TO *]",
+        "@timestamp:[* TO 1748520030000]",
+    ]
+
+
+def test_boolean_literal_renders_lowercase():
+    """ES boolean fields accept only 'true'/'false' — Python str(True)
+    would 400 on a real server (EqualTo, In, and the negation form)."""
+    from pyspark.sql.datasource import EqualTo, In, IsNotNull, Not
+
+    schema = properties_to_struct({**MAPPING, "flag": {"type": "boolean"}})
+    field_types = {"flag": "boolean"}
+    r = EsDumpReader(schema, {"index": "logs"}, pushable={"flag"},
+                     field_types=field_types)
+    list(
+        r.pushFilters(
+            [
+                IsNotNull(("flag",)),
+                EqualTo(("flag",), True),
+                Not(EqualTo(("flag",), False)),
+                In(("flag",), [True, False]),
+            ]
+        )
+    )
+    assert r.pushed_clauses == [
+        "_exists_:flag",
+        "flag:true",
+        "_exists_:flag AND NOT (flag:false)",
+        "flag:(true OR false)",
+    ]
+
+
+def test_boolean_pushdown_end_to_end(spark):
+    """Pushed boolean equality returns the same rows Spark computes."""
+    mapping = {"host": {"type": "keyword"}, "up": {"type": "boolean"}}
+    docs = [{"host": f"h{i}", "up": i % 3 == 0} for i in range(30)]
+    fixture = json.dumps({"logs": {"mapping": mapping, "docs": docs}})
+    register(spark)
+    df = (
+        spark.read.format("esdump")
+        .option("fixture_json", fixture)
+        .option("index", "logs")
+        .option("slices", "2")
+        .load()
+    )
+    assert df.filter("up = true").count() == 10
+    assert df.filter("up IS NOT NULL AND up != true").count() == 20
+
+
+def test_no_pit_forces_single_slice(spark):
+    """search_after without PIT cannot slice (ES rejects the slice
+    param outside a PIT/scroll context) — the reader must fall back to
+    one partition, NOT run N full-index scans (which would duplicate
+    every row N times)."""
+    from dump_es_parquet_spark.sources.scan import ScanOptions, effective_slices
+
+    assert effective_slices(ScanOptions(slices=8, pit=False)) == 1
+    assert effective_slices(ScanOptions(slices=8, pit=True)) == 8
+    assert effective_slices(ScanOptions(slices=8, cursor="scroll", pit=False)) == 8
+
+    register(spark)
+    df = (
+        spark.read.format("esdump")
+        .option("fixture_json", FIXTURE_MILLIS_JSON)
+        .option("index", "logs")
+        .option("slices", "4")
+        .option("pit", "false")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == len(DOCS_MILLIS)  # no N-times duplication
 
 
 def test_negation_pushdown_results(esdump_millis):
