@@ -175,6 +175,67 @@ def q_text_redact(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_corpus_dedup(spark, sf_dir):
+    """End-to-end ``dedup_corpus`` (the user-facing API a 100 TB
+    pipeline actually calls): per-strategy kept/removed counts plus a
+    kept-set membership digest (sum + bit_xor of kept ids — order-free,
+    so it hashes identically across engines), for the exact and
+    minhash strategies. The oracle recomputes the minhash removal set
+    with a recursive transitive closure over the SAME banded+verified
+    pair SQL the declared dedup_minhash_lsh query is hash-checked
+    against (VERDICT r05 #4)."""
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.dedup import dedup_corpus
+    from dump_es_parquet_spark.operators.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    total = d.agg(F.count("*").cast("long").alias("n_docs"))
+    frames = []
+    for strat in ("exact", "minhash"):
+        kept = dedup_corpus(d, strategy=strat).select("doc_id")
+        frames.append(
+            kept.agg(
+                F.count("*").cast("long").alias("n_kept"),
+                F.sum("doc_id").cast("long").alias("kept_id_sum"),
+                F.expr("bit_xor(doc_id)").cast("long").alias("kept_id_xor"),
+            )
+            .withColumn("strategy", F.lit(strat))
+            .crossJoin(F.broadcast(total))
+        )
+    out = frames[0].unionByName(frames[1])
+    return out.select(
+        "strategy",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_removed"),
+        "kept_id_sum",
+        "kept_id_xor",
+    ).orderBy("strategy")
+
+
+def q_events_click_attribution(spark, sf_dir):
+    """The stream-stream interval join's batch-equivalent plan
+    (``purchase_after_click_join``, streaming/stream.py): purchases
+    within 1 day after a click by the same user. The SAME expression
+    tree runs as a watermarked stream-stream join with bounded state
+    (tests/test_streaming.py cross-checks batch ≡ stream); running it
+    here on the batch frames makes the operator oracle- and
+    bench-visible (VERDICT r05 #2)."""
+    from dump_es_parquet_spark.operators.tables import load
+    from dump_es_parquet_spark.streaming.stream import purchase_after_click_join
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        purchase_after_click_join(ev, ev, interval="1 day")
+        .select(
+            "user_id", "click_id", "click_ts",
+            "purchase_id", "purchase_ts", "purchase_value",
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 def _stream_batch_equiv(spark, sf_dir):
     from dump_es_parquet_spark.operators.tables import load
     from dump_es_parquet_spark.streaming.stream import windowed_counts
@@ -213,8 +274,16 @@ def _stream_batch_equiv(spark, sf_dir):
 #   q17_small_quantity_revenue — decorrelated AVG subquery shape
 #   q21_waiting_supplier_shape — EXISTS + NOT EXISTS decorrelated
 #   events_pivot          — pivot() with explicit value domain
+#   events_click_attribution — batch plan of the stream-stream interval
+#                           join (same expression tree; stream side
+#                           verified batch≡stream in test_streaming.py)
+#   corpus_dedup          — end-to-end dedup_corpus API (kept/removed
+#                           counts + membership digest, exact+minhash)
+#                           vs a recursive-CTE transitive-closure oracle
 DEMOTED: frozenset[str] = frozenset(
     {
+        "corpus_dedup",
+        "events_click_attribution",
         "events_pivot",
         "q13_customer_distribution",
         "q17_small_quantity_revenue",
@@ -308,6 +377,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events_orders": _mod("asof", "events_last_order"),
         # — streaming (batch-equivalent plan; true stream tested in tests/) —
         "stream_window_counts": _stream_batch_equiv,
+        "events_click_attribution": q_events_click_attribution,
+        "corpus_dedup": q_corpus_dedup,
         # — text analysis —
         "text_token_count": _mod("text", "token_count"),
         "text_quality": _mod("text", "quality_score"),
@@ -887,6 +958,17 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """
 
+    q["events_click_attribution"] = """
+        SELECT c.user_id AS user_id,
+               c.event_id AS click_id, c.ts AS click_ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM events c JOIN events p ON p.user_id = c.user_id
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 DAY
+        ORDER BY click_id, purchase_id
+    """
+
     # — text —
     q["text_token_count"] = f"""
         SELECT doc_id,
@@ -1115,6 +1197,64 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
         ORDER BY id_a, id_b
+    """
+
+    # end-to-end dedup_corpus: the minhash removal set is the
+    # transitive closure (recursive reachability, min-id label) over
+    # the SAME banded+verified pair SQL dedup_minhash_lsh hash-checks;
+    # membership digests (sum + bit_xor of kept ids) are order-free.
+    jac = (
+        "len(list_intersect(da.sh, db.sh)) * 1.0 / "
+        "(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))"
+    )
+    q["corpus_dedup"] = f"""
+        {shingle_cte.replace("WITH ", "WITH RECURSIVE ", 1)},
+        sigs AS (SELECT doc_id, {mh_cols} FROM docs),
+        bands AS ({band_union}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id
+        ),
+        ver AS (
+          SELECT id_a, id_b FROM cand
+          JOIN docs da ON id_a = da.doc_id
+          JOIN docs db ON id_b = db.doc_id
+          WHERE {jac} >= 0.7
+        ),
+        adj AS (SELECT id_a AS u, id_b AS v FROM ver
+                UNION ALL SELECT id_b, id_a FROM ver),
+        reach(node, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM adj)
+          UNION
+          SELECT a.u, reach.r FROM adj a JOIN reach ON a.v = reach.node
+        ),
+        removed_mh AS (
+          SELECT node AS doc_id FROM reach GROUP BY node
+          HAVING min(r) <> node
+        ),
+        kept_mh AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM removed_mh)
+        ),
+        kept_ex AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        tot AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT 'exact' AS strategy, n_docs,
+               count(*) AS n_kept,
+               n_docs - count(*) AS n_removed,
+               CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+               CAST(bit_xor(doc_id) AS BIGINT) AS kept_id_xor
+        FROM kept_ex, tot GROUP BY n_docs
+        UNION ALL
+        SELECT 'minhash' AS strategy, n_docs,
+               count(*) AS n_kept,
+               n_docs - count(*) AS n_removed,
+               CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+               CAST(bit_xor(doc_id) AS BIGINT) AS kept_id_xor
+        FROM kept_mh, tot GROUP BY n_docs
+        ORDER BY strategy
     """
 
     cos = (
