@@ -244,6 +244,13 @@ def _match_query_string(doc: dict, q: str | None) -> bool:
             str(got) == _unquote(alt.strip())
             for alt in val[1:-1].split(" OR ")
         )
+    if val.startswith("*"):
+        # leading wildcard (pushed StringEndsWith/Contains) — a literal
+        # '*' is rendered escaped (`\*`), so a bare one is structural
+        body = val[1:]
+        if _ends_with_wildcard(body):
+            return got is not None and _unquote(body[:-1]) in str(got)
+        return got is not None and str(got).endswith(_unquote(body))
     if _ends_with_wildcard(val):
         # wildcard prefix term (pushed StringStartsWith)
         return got is not None and str(got).startswith(_unquote(val[:-1]))

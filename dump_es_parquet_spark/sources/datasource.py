@@ -62,6 +62,8 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    StringContains,
+    StringEndsWith,
     StringStartsWith,
 )
 from pyspark.sql.types import StructType
@@ -294,9 +296,11 @@ class EsDumpReader(DataSourceReader):
         - ``IsNotNull`` → ``_exists_:field`` (typed leaf fields only;
           matches docs with ≥1 indexed value = rows whose coerced
           column is non-null, including the empty-array→NULL collapse)
-        - ``StringStartsWith`` → ``field:prefix*`` (keyword only —
-          wildcard prefix on an exact term IS string prefix; analyzed
-          text and ip/boolean are excluded)
+        - ``StringStartsWith``/``StringEndsWith``/``StringContains`` →
+          ``field:prefix*`` / ``field:*suffix`` / ``field:*sub*``
+          (keyword only — wildcards on an exact term ARE string
+          prefix/suffix/substring; analyzed text and ip/boolean are
+          excluded; empty pattern → ``_exists_``)
         - ``Not(EqualTo/In)`` → ``NOT field:...`` — but ONLY when an
           ``IsNotNull`` on the same field is consumed in the same
           batch: Lucene ``NOT f:v`` also matches docs *without* ``f``,
@@ -385,15 +389,30 @@ class EsDumpReader(DataSourceReader):
                 ors = " OR ".join(_lucene_escape(v) for v in f.value)
                 return f"{efld}:({ors})"
             return None
-        if isinstance(f, StringStartsWith):
-            # wildcard prefix on an exact (keyword) term IS string
-            # prefix; analyzed text would match token prefixes instead
+        if isinstance(f, (StringStartsWith, StringEndsWith, StringContains)):
+            # wildcard patterns on an exact (keyword) term ARE string
+            # prefix/suffix/substring; analyzed text would match token
+            # fragments instead, so text never pushes. The reference
+            # evaluates its whole Lucene filter server-side
+            # (dump-es-parquet:222,385) where `*term*`/`*term` are
+            # expressible — a leading wildcard costs server CPU (term
+            # scan), but the alternative ships the entire index over
+            # the wire for Spark to filter.
             if (
                 self.field_types.get(fld) == "keyword"
                 and isinstance(f.value, str)
                 and _is_scalar(f.value)
             ):
-                return f"{efld}:{_lucene_escape(f.value)}*"
+                if f.value == "":
+                    # contains''/endswith''/startswith'' is TRUE exactly
+                    # where the column is non-null
+                    return f"_exists_:{efld}"
+                body = _lucene_escape(f.value)
+                if isinstance(f, StringStartsWith):
+                    return f"{efld}:{body}*"
+                if isinstance(f, StringEndsWith):
+                    return f"{efld}:*{body}"
+                return f"{efld}:*{body}*"
             return None
         tmpl = self._RANGE_TEMPLATES.get(type(f))
         if tmpl is not None:

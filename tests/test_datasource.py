@@ -220,6 +220,57 @@ def test_push_filters_negation_and_prefix_unit():
     assert len(remaining) == 3
 
 
+def test_contains_endswith_pushdown_unit():
+    """StringContains/StringEndsWith translate to keyword-gated leading
+    wildcards (`*sub*` / `*suffix`); text fields and non-string values
+    come back; empty patterns collapse to _exists_."""
+    from pyspark.sql.datasource import (
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
+    )
+
+    schema = properties_to_struct(MAPPING)
+    field_types = {"host": "keyword", "body": "text", "port": "integer"}
+    r = EsDumpReader(schema, {"index": "logs"}, pushable={"host"},
+                     field_types=field_types)
+    remaining = list(
+        r.pushFilters(
+            [
+                StringContains(("host",), "eb-"),
+                StringEndsWith(("host",), "-1"),
+                StringStartsWith(("host",), "web"),
+                StringContains(("host",), ""),     # non-null gate
+                StringContains(("host",), "a*b"),  # literal '*' escaped
+                StringContains(("body",), "x"),    # text → back
+                StringEndsWith(("port",), "1"),    # non-keyword → back
+            ]
+        )
+    )
+    assert r.pushed_clauses == [
+        "host:*eb\\-*",
+        "host:*\\-1",
+        "host:web*",
+        "_exists_:host",
+        "host:*a\\*b*",
+    ]
+    assert len(remaining) == 2
+
+
+def test_contains_endswith_pushdown_results(esdump_millis):
+    """LIKE '%…%' / LIKE '%…' evaluate server-side (MockES) and match
+    Spark's own substring/suffix semantics row-for-row."""
+    df = esdump_millis.load()
+    sub = df.filter("host LIKE '%eb-1%'")
+    assert sub.count() > 0
+    assert {r.host for r in sub.select("host").distinct().collect()} == {"web-1"}
+    suf = df.filter("host LIKE '%-3'")
+    assert suf.count() > 0
+    assert {r.host for r in suf.select("host").distinct().collect()} == {"web-3"}
+    # literal-wildcard value: no doc matches, and nothing crashes
+    assert df.filter("host LIKE '%a*b%'").count() == 0
+
+
 def test_submilli_timestamp_bounds_round_toward_interior():
     """Spark timestamps are micro-grained, ES stores whole millis: a
     consumed bound must round so the pushed range is EXACTLY the Spark
