@@ -175,6 +175,22 @@ def q_text_redact(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_split_contamination(spark, sf_dir):
+    """Cross-split contamination check end-to-end (the pre-ship gate a
+    training pipeline runs): deterministic hash splits + exact-ngram
+    near-dup pairs that straddle split boundaries
+    (``operators/dedup.split_contamination``, default 'ngram' strategy
+    — contamination wants no missed pair)."""
+    from dump_es_parquet_spark.operators.dedup import split_contamination
+    from dump_es_parquet_spark.operators.sampling import train_val_test_split
+    from dump_es_parquet_spark.operators.tables import load
+
+    d = train_val_test_split(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    return split_contamination(d, strategy="ngram", threshold=0.6)
+
+
 def q_corpus_dedup(spark, sf_dir):
     """End-to-end ``dedup_corpus`` (the user-facing API a 100 TB
     pipeline actually calls): per-strategy kept/removed counts plus a
@@ -280,9 +296,17 @@ def _stream_batch_equiv(spark, sf_dir):
 #   corpus_dedup          — end-to-end dedup_corpus API (kept/removed
 #                           counts + membership digest, exact+minhash)
 #                           vs a recursive-CTE transitive-closure oracle
+#   split_contamination   — cross-split ngram near-dup pairs over
+#                           deterministic hash splits (pre-ship gate)
+#   q16/q20 shapes        — complete the TPC-H 22: NOT-IN→anti-join +
+#                           count-distinct groups; nested correlated
+#                           aggregates decorrelated onto one shuffle key
 DEMOTED: frozenset[str] = frozenset(
     {
         "corpus_dedup",
+        "split_contamination",
+        "q16_supplier_part_types",
+        "q20_dominant_supplier_shape",
         "events_click_attribution",
         "events_pivot",
         "q13_customer_distribution",
@@ -379,6 +403,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": _stream_batch_equiv,
         "events_click_attribution": q_events_click_attribution,
         "corpus_dedup": q_corpus_dedup,
+        "split_contamination": q_split_contamination,
+        "q16_supplier_part_types": _rel("q16_supplier_part_types"),
+        "q20_dominant_supplier_shape": _rel("q20_dominant_supplier_shape"),
         # — text analysis —
         "text_token_count": _mod("text", "token_count"),
         "text_quality": _mod("text", "quality_score"),
@@ -608,6 +635,45 @@ def _all_oracle_sql() -> dict[str, str]:
         JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
         JOIN avg_qty ON l_partkey = ap_key
         WHERE CAST(l_quantity AS DOUBLE) < qty_cut
+    """
+
+    # the oracle keeps the LITERAL NOT IN subquery, independently
+    # verifying the engine's broadcast anti-join decorrelation
+    q["q16_supplier_part_types"] = """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_type NOT LIKE 'SMALL%'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    # decimal sums through the share comparison keep the 0.5 cut exact
+    q["q20_dominant_supplier_shape"] = """
+        WITH w AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey AND p_name LIKE 'small%'
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_partkey, l_suppkey
+        ), tot AS (
+          SELECT l_partkey AS t_key, sum(q) AS tq FROM w GROUP BY l_partkey
+        ), dominant AS (
+          SELECT l_suppkey, count(DISTINCT l_partkey) AS n_dominant_parts
+          FROM w JOIN tot ON l_partkey = t_key
+          WHERE q > tq * 0.5
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, n_dominant_parts
+        FROM supplier JOIN dominant ON s_suppkey = l_suppkey
+        ORDER BY s_name, s_suppkey
     """
 
     q["events_pivot"] = """
@@ -1255,6 +1321,46 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(bit_xor(doc_id) AS BIGINT) AS kept_id_xor
         FROM kept_mh, tot GROUP BY n_docs
         ORDER BY strategy
+    """
+
+    # cross-split contamination: the engine's deterministic hash split
+    # (same md5-hex-digit arithmetic as corpus_splits) + the SAME
+    # exact-ngram pair SQL dedup_ngram_jaccard hash-checks, keeping
+    # only pairs that straddle split boundaries.
+    hexd = (
+        "(ascii(substr(hh,{p},1)) - CASE WHEN ascii(substr(hh,{p},1)) >= 97 "
+        "THEN 87 ELSE 48 END)"
+    )
+    split_val = " + ".join(
+        f"{hexd.format(p=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+    q["split_contamination"] = f"""
+        {shingle_cte},
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.6
+        ),
+        h AS (SELECT doc_id, md5('split' || CAST(doc_id AS VARCHAR)) AS hh
+              FROM documents),
+        dig AS (SELECT doc_id, {split_val} AS v FROM h),
+        s AS (SELECT doc_id,
+                     CASE WHEN v % 10000 < 1000 THEN 'val'
+                          WHEN v % 10000 < 2000 THEN 'test'
+                          ELSE 'train' END AS split
+              FROM dig)
+        SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b
+        FROM pairs
+        JOIN s sa ON id_a = sa.doc_id
+        JOIN s sb ON id_b = sb.doc_id
+        WHERE sa.split <> sb.split
+        ORDER BY id_a, id_b
     """
 
     cos = (

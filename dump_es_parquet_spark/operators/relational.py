@@ -791,6 +791,92 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier counts per part attribute group with a
+    NOT IN excluded-supplier subquery — adapted to this schema (no
+    partsupp: the distinct (l_partkey, l_suppkey) pairs of lineitem ARE
+    the part-supplier relation; no s_comment: complaint suppliers =
+    negative account balance).
+
+    Scale shape: the NOT IN decorrelates to a broadcast ANTI join
+    (supplier is tiny and s_suppkey is non-null, so NOT IN ≡ anti
+    join with no three-valued-logic hazard); part is broadcast and its
+    predicates evaluate before the distinct pair set shuffles; one
+    count-distinct agg on the grouped attributes ends the plan."""
+    li = load(spark, sf_dir, "lineitem")
+    p = broadcast(
+        load(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#5")
+            & ~F.col("p_type").startswith("SMALL")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+    )
+    excluded = broadcast(
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "p_brand", "p_type", "p_size")
+        .distinct()
+    )
+    return (
+        ps.join(excluded, ps.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q20_dominant_supplier_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested IN + correlated-aggregate pattern
+    ("suppliers with availqty exceeding half the shipped quantity of a
+    part") — adapted to this schema (no partsupp/availqty: a supplier
+    qualifies when it shipped MORE than half of some small-part's total
+    1996 quantity, i.e. it dominates the part's supply).
+
+    Both correlated aggregates decorrelate into two groupBys over the
+    SAME filtered fact scan — per-(part,supplier) and per-part — joined
+    on partkey, so the plan reuses one shuffle key throughout and never
+    rescans lineitem per outer row. Quantity sums stay DECIMAL through
+    the share comparison (q > 0.5·tq) so the cut is exact on both
+    engines."""
+    li = load(spark, sf_dir, "lineitem")
+    p = broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    w = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+    )
+    tot = w.groupBy(F.col("l_partkey").alias("t_key")).agg(
+        F.sum("q").alias("tq")
+    )
+    dominant = (
+        w.join(tot, w.l_partkey == F.col("t_key"))
+        .filter(F.col("q") > F.col("tq") * 0.5)
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n_dominant_parts"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey)
+        .select("s_suppkey", "s_name", "n_dominant_parts")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: lineitems below 20% of their part's average
     quantity — the correlated AVG subquery decorrelates into one
