@@ -298,6 +298,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           vs a recursive-CTE transitive-closure oracle
 #   split_contamination   — cross-split ngram near-dup pairs over
 #                           deterministic hash splits (pre-ship gate)
+#   text_repetition       — Gopher-style repetition filters (top-word /
+#                           dup-word / top-bigram shares)
 #   q16/q20 shapes        — complete the TPC-H 22: NOT-IN→anti-join +
 #                           count-distinct groups; nested correlated
 #                           aggregates decorrelated onto one shuffle key
@@ -305,6 +307,7 @@ DEMOTED: frozenset[str] = frozenset(
     {
         "corpus_dedup",
         "split_contamination",
+        "text_repetition",
         "q16_supplier_part_types",
         "q20_dominant_supplier_shape",
         "events_click_attribution",
@@ -404,6 +407,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_click_attribution": q_events_click_attribution,
         "corpus_dedup": q_corpus_dedup,
         "split_contamination": q_split_contamination,
+        "text_repetition": _mod("text", "repetition_signals"),
         "q16_supplier_part_types": _rel("q16_supplier_part_types"),
         "q20_dominant_supplier_shape": _rel("q20_dominant_supplier_shape"),
         # — text analysis —
@@ -1043,6 +1047,26 @@ def _all_oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|\\d+|[^\\sA-Za-z\\d]')) AS n_bpe_tokens,
                length(text) AS n_chars_actual
         FROM documents ORDER BY doc_id
+    """
+
+    q["text_repetition"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        w AS (SELECT doc_id, unnest(t) AS w FROM t),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                      max(c) AS top_w,
+                      sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_w
+               FROM wc GROUP BY 1),
+        b AS (SELECT doc_id,
+                     unnest([t[x] || ' ' || t[x+1] FOR x IN range(1, len(t))]) AS b
+              FROM t WHERE len(t) >= 2),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY 1, 2),
+        bs AS (SELECT doc_id, max(c) AS top_b FROM bc GROUP BY 1)
+        SELECT doc_id, n_words,
+               round(top_w * 1.0 / n_words, 6) AS top_word_frac,
+               round(dup_w * 1.0 / n_words, 6) AS dup_word_frac,
+               round(top_b * 1.0 / (n_words - 1), 6) AS top_bigram_frac
+        FROM ws LEFT JOIN bs USING (doc_id) ORDER BY doc_id
     """
 
     stop_list = "['the','a','an','of','and','to','in','is','it','that']"

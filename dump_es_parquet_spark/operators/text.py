@@ -155,6 +155,63 @@ PII_PATTERNS = (
 )
 
 
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 — the
+    standard pre-training repetition gate): per document, the most
+    frequent word's share, the fraction of tokens that are repeats,
+    and the most frequent word-bigram's share. Heavily repetitive
+    machine-generated text scores high on all three.
+
+    Scale shape: explode → groupBy(doc_id, gram) with map-side combine
+    → one groupBy(doc_id) — LINEAR in corpus token count (the
+    alternative, a per-doc ``transform×filter`` expression, is
+    O(distinct·n) per doc and melts on 100k-token documents). Both
+    shuffles key on doc_id-prefixed grams, so hot documents spread by
+    gram, not by doc."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = d.select("doc_id", tokens_col().alias("t"))
+    wc = (
+        t.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_w"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_w"),
+    )
+    bigrams = F.zip_with(
+        F.expr("slice(t, 1, size(t) - 1)"),
+        F.expr("slice(t, 2, size(t) - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bs = (
+        t.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_b"))
+    )
+    return (
+        ws.join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(
+                F.col("top_w").cast("double") / F.col("n_words"), 6
+            ).alias("top_word_frac"),
+            F.round(
+                F.col("dup_w").cast("double") / F.col("n_words"), 6
+            ).alias("dup_word_frac"),
+            F.round(
+                F.col("top_b").cast("double") / (F.col("n_words") - 1), 6
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def redact_pii(d, text_col: str = "text"):
     """Scrub PII-shaped spans from a text column (JVM-side
     ``regexp_replace`` chain — no UDF, one projection) and count what
