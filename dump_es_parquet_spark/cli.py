@@ -95,6 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-seconds", type=int, default=None,
                    help="with --follow: tile each micro-batch into bounded "
                    "time chunks (bounded per-task scans on big backfills)")
+    p.add_argument("--follow-dedup-key", default=None,
+                   help="with --follow: comma-separated key columns; "
+                   "re-delivered docs (retried pages) collapse to one row "
+                   "per key within the dedup watermark "
+                   "(dropDuplicatesWithinWatermark, bounded state)")
+    p.add_argument("--follow-dedup-watermark", type=int, default=3600,
+                   help="with --follow-dedup-key: event-time watermark in "
+                   "seconds bounding dedup state")
     p.add_argument("--fixture-json", default=argparse.SUPPRESS,
                    help=argparse.SUPPRESS)  # testing hook: mock ES fixture file
     return p
@@ -153,9 +161,42 @@ def _follow(spark, args) -> int:
             b = b.option("verify_certs", "false")
     out_dir = os.path.join(args.out, args.index)
     ck = args.checkpoint or os.path.join(args.out, f"_checkpoint_{args.index}")
+    df = b.load()
+    if args.follow_dedup_key:
+        # re-delivered docs (retried pages, at-least-once upstream)
+        # collapse to one row per key while state stays bounded by the
+        # watermark (dropDuplicatesWithinWatermark)
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from dump_es_parquet_spark.coerce import EPOCH_SECONDS_MILLIS_CUTOFF
+        from dump_es_parquet_spark.streaming.stream import dedup_stream
+
+        wm_col = args.ts_field
+        derived = not isinstance(
+            df.schema[args.ts_field].dataType, T.TimestampType
+        )
+        if derived:
+            # epoch-typed ts field (long date mappings): derive the
+            # event-time column with the seconds/millis heuristic
+            ts = F.col(args.ts_field).cast("long")
+            wm_col = "_wm_ts"
+            df = df.withColumn(
+                wm_col,
+                F.when(
+                    ts < EPOCH_SECONDS_MILLIS_CUTOFF, F.timestamp_seconds(ts)
+                ).otherwise(F.timestamp_millis(ts)),
+            )
+        df = dedup_stream(
+            df,
+            [k.strip() for k in args.follow_dedup_key.split(",")],
+            watermark=f"{args.follow_dedup_watermark} seconds",
+            ts_col=wm_col,
+        )
+        if derived:
+            df = df.drop(wm_col)
     w = (
-        b.load()
-        .writeStream.format({"parquet": "parquet", "ndjson": "json"}[args.output])
+        df.writeStream.format({"parquet": "parquet", "ndjson": "json"}[args.output])
         .option("path", out_dir)
         .option("checkpointLocation", ck)
         .outputMode("append")

@@ -92,6 +92,34 @@ def run_stream_to_memory(
     return spark.table(table)
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen,
+    with state bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — Spark's canonical streaming
+    dedup; state for a key is evicted once the watermark passes its
+    event time, so at-least-once upstream sources — e.g. a retried ES
+    page in the ``--follow`` dump — collapse to effectively-once
+    without unbounded key state).
+
+    On a batch frame the same call degrades to plain
+    ``dropDuplicates`` over the keys, which is how tests cross-check
+    stream ≡ batch. Note the WITHIN-watermark caveat: duplicates
+    arriving farther apart than the watermark are kept in stream mode
+    — a deliberate state-size/completeness trade every 100 TB stream
+    makes explicitly."""
+    keys = key_cols or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 def purchase_after_click_join(
     left: DataFrame, right: DataFrame, interval: str = "1 hour",
     watermark: str = "2 hours"

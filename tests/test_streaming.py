@@ -472,6 +472,46 @@ def test_cli_follow_once(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "flw")).count() == 250
 
 
+def test_cli_follow_once_with_dedup_key(spark, tmp_path):
+    """`--follow --follow-dedup-key` runs the watermarked streaming
+    dedup in the dump pipeline (long ts field → derived event-time
+    column) and the drained output is still exactly one row per key."""
+    import json
+
+    from dump_es_parquet_spark.cli import main
+
+    docs = [{"n": i, "ts": 2000 + i} for i in range(120)]
+    fixture = {
+        "flwd": {
+            "mapping": {"n": {"type": "integer"}, "ts": {"type": "long"}},
+            "docs": docs,
+        }
+    }
+    fp = tmp_path / "fixture.json"
+    fp.write_text(json.dumps(fixture))
+    argv = [
+        "flwd",
+        "--follow",
+        "--follow-once",
+        "--fixture-json",
+        str(fp),
+        "--out",
+        str(tmp_path),
+        "--ts-field",
+        "ts",
+        "--slices",
+        "2",
+        "--follow-dedup-key",
+        "n",
+        "--quiet",
+    ]
+    assert main(argv) == 0
+    out = spark.read.parquet(str(tmp_path / "flwd"))
+    assert out.count() == 120
+    assert out.select("n").distinct().count() == 120
+    assert "_wm_ts" not in out.columns
+
+
 def test_cli_follow_rejects_csv(tmp_path):
     from dump_es_parquet_spark.cli import main
 
@@ -513,6 +553,46 @@ def test_mockes_parenthesized_and_groups():
         _match_query_string(doc, "(a:1 AND b:2")
     with pytest.raises(ValueError, match="unbalanced"):
         _match_query_string(doc, "a:1) AND (b:2")
+
+
+def test_stream_dedup_within_watermark_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) drained
+    with availableNow keeps exactly one row per key when the duplicate
+    arrives inside the watermark — matching batch dropDuplicates.
+    Duplicates are injected as a second parquet file (a separate
+    micro-batch under maxFilesPerTrigger=1), the retried-ES-page
+    shape the --follow dump produces."""
+    from dump_es_parquet_spark.operators.tables import load
+    from dump_es_parquet_spark.streaming.stream import dedup_stream
+
+    base = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tmp_path / "dup_events"
+    base.write.parquet(str(src / "f1"))
+    # re-deliver 50 rows verbatim (same event_id, same ts)
+    base.orderBy("event_id").limit(50).write.parquet(str(src / "f2"))
+    schema = spark.read.parquet(str(src / "f1")).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = dedup_stream(s, ["event_id"])
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = [r.event_id for r in spark.table("t_sdedup").collect()]
+    n_batch = dedup_stream(
+        spark.read.parquet(str(src / "*")), ["event_id"]
+    ).count()
+    assert len(streamed) == len(set(streamed)) == n_batch == base.count()
 
 
 def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
