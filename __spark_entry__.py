@@ -300,6 +300,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           deterministic hash splits (pre-ship gate)
 #   text_repetition       — Gopher-style repetition filters (top-word /
 #                           dup-word / top-bigram shares)
+#   corpus_filter         — composed quality gate (filter_corpus API):
+#                           per-rule drop counts + kept-set digest
 #   q16/q20 shapes        — complete the TPC-H 22: NOT-IN→anti-join +
 #                           count-distinct groups; nested correlated
 #                           aggregates decorrelated onto one shuffle key
@@ -308,6 +310,7 @@ DEMOTED: frozenset[str] = frozenset(
         "corpus_dedup",
         "split_contamination",
         "text_repetition",
+        "corpus_filter",
         "q16_supplier_part_types",
         "q20_dominant_supplier_shape",
         "events_click_attribution",
@@ -408,6 +411,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup": q_corpus_dedup,
         "split_contamination": q_split_contamination,
         "text_repetition": _mod("text", "repetition_signals"),
+        "corpus_filter": _mod("text", "corpus_filter_summary"),
         "q16_supplier_part_types": _rel("q16_supplier_part_types"),
         "q20_dominant_supplier_shape": _rel("q20_dominant_supplier_shape"),
         # — text analysis —
@@ -1070,6 +1074,39 @@ def _all_oracle_sql() -> dict[str, str]:
     """
 
     stop_list = "['the','a','an','of','and','to','in','is','it','that']"
+
+    _not_dropped = (
+        "NOT (f_short_tokens OR f_short_chars OR f_no_stopwords "
+        "OR f_top_word OR f_dup_words)"
+    )
+    q["corpus_filter"] = f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+        w AS (SELECT doc_id, unnest(t) AS w FROM t),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                      max(c) AS top_w,
+                      sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_w
+               FROM wc GROUP BY 1),
+        g AS (
+          SELECT t.doc_id,
+                 (ws.n_words < 20) AS f_short_tokens,
+                 (length(t.text) < 100) AS f_short_chars,
+                 (len(list_intersect(t.t, {stop_list})) < 1) AS f_no_stopwords,
+                 (round(top_w * 1.0 / ws.n_words, 6) > 0.12) AS f_top_word,
+                 (round(dup_w * 1.0 / ws.n_words, 6) > 0.9) AS f_dup_words
+          FROM t JOIN ws ON t.doc_id = ws.doc_id
+        )
+        SELECT count(*) AS n_docs,
+               CAST(sum(CASE WHEN f_short_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_short_tokens,
+               CAST(sum(CASE WHEN f_short_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_short_chars,
+               CAST(sum(CASE WHEN f_no_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_no_stopwords,
+               CAST(sum(CASE WHEN f_top_word THEN 1 ELSE 0 END) AS BIGINT) AS n_top_word,
+               CAST(sum(CASE WHEN f_dup_words THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_words,
+               CAST(sum(CASE WHEN {_not_dropped} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN {_not_dropped} THEN doc_id END) AS BIGINT) AS kept_id_sum,
+               CAST(bit_xor(CASE WHEN {_not_dropped} THEN doc_id END) AS BIGINT) AS kept_id_xor
+        FROM g
+    """
     q["text_quality"] = f"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
         SELECT doc_id,

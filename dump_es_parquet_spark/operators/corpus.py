@@ -26,15 +26,26 @@ def curate(
     dedup: str = "minhash",
     chunk_tokens: int = 64,
     stride: int = 48,
+    repetition_gates: bool = False,
 ) -> DataFrame:
     """documents(doc_id, text, lang, ...) → curated chunk table
     (doc_id, chunk_id, chunk_text, n_chunk_tokens).
 
     Stage order matters at scale: cheap per-row filters first (shrink
     before the dedup shuffle), dedup before chunking (don't fan out
-    rows that will be dropped)."""
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    filtered = d.filter((toks >= min_tokens) & (F.length("text") >= min_chars))
+    rows that will be dropped). ``repetition_gates=True`` swaps the
+    plain length filter for the full quality gate set
+    (``text.filter_corpus``: length + stopword presence + Gopher
+    repetition thresholds — adds one linear gram-count pass)."""
+    if repetition_gates:
+        from dump_es_parquet_spark.operators.text import filter_corpus
+
+        filtered = filter_corpus(d, min_tokens=min_tokens, min_chars=min_chars)
+    else:
+        toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        filtered = d.filter(
+            (toks >= min_tokens) & (F.length("text") >= min_chars)
+        )
     if languages:
         filtered = filtered.filter(F.col("lang").isin(*languages))
     deduped = dedup_corpus(filtered, strategy=dedup)

@@ -169,7 +169,12 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles key on doc_id-prefixed grams, so hot documents spread by
     gram, not by doc."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    t = d.select("doc_id", tokens_col().alias("t"))
+    return repetition_signals_for(d)
+
+
+def repetition_signals_for(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frame-level repetition signals (see ``repetition_signals``)."""
+    t = d.select("doc_id", tokens_col(text_col).alias("t"))
     wc = (
         t.select("doc_id", F.explode("t").alias("w"))
         .groupBy("doc_id", "w")
@@ -209,6 +214,89 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_bigram_frac"),
         )
         .orderBy("doc_id")
+    )
+
+
+#: quality-gate rule set (Gopher-flavored, thresholds tuned to the
+#: synthetic corpus so each rule has bite): rule name → short reason
+FILTER_RULES = (
+    "short_tokens",   # n_words < min_tokens
+    "short_chars",    # n_chars < min_chars
+    "no_stopwords",   # fewer distinct stopword hits than min_stop_hits
+    "top_word",       # most frequent word's share > max_top_word_frac
+    "dup_words",      # repeated-token fraction > max_dup_word_frac
+)
+
+
+def corpus_gates(
+    d: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_chars: int = 100,
+    min_stop_hits: int = 1,
+    max_top_word_frac: float = 0.12,
+    max_dup_word_frac: float = 0.9,
+) -> DataFrame:
+    """The corpus with one boolean ``f_<rule>`` column per quality
+    rule (FILTER_RULES): length gates and stopword presence are pure
+    expressions; the two repetition gates join the linear
+    ``repetition_signals_for`` frame on doc_id. The repetition ratios
+    are the 6-decimal-rounded signal values, so the gate thresholds
+    compare identically on every engine."""
+    toks = tokens_col(text_col)
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    rep = repetition_signals_for(d, text_col).select(
+        "doc_id", "n_words", "top_word_frac", "dup_word_frac"
+    )
+    return (
+        d.join(rep, "doc_id")
+        .withColumn("f_short_tokens", F.col("n_words") < min_tokens)
+        .withColumn("f_short_chars", F.length(text_col) < min_chars)
+        .withColumn("f_no_stopwords", stop_hits < min_stop_hits)
+        .withColumn("f_top_word", F.col("top_word_frac") > max_top_word_frac)
+        .withColumn("f_dup_words", F.col("dup_word_frac") > max_dup_word_frac)
+        .drop("n_words", "top_word_frac", "dup_word_frac")
+    )
+
+
+def filter_corpus(d: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """User-facing quality filter: rows passing EVERY rule, original
+    columns only. One linear repetition pass + one join — no collect,
+    no UDF; the drop report comes from ``corpus_filter_summary``-style
+    conditional aggregation over the same gated frame."""
+    g = corpus_gates(d, text_col, **thresholds)
+    keep = ~functools_reduce_or([F.col(f"f_{r}") for r in FILTER_RULES])
+    return g.filter(keep).drop(*[f"f_{r}" for r in FILTER_RULES])
+
+
+def functools_reduce_or(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
+def corpus_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass filter report: total docs, per-rule failure counts
+    (non-exclusive), kept count, and an order-free kept-set membership
+    digest (sum + bit_xor of kept ids)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    g = corpus_gates(d)
+    dropped = functools_reduce_or([F.col(f"f_{r}") for r in FILTER_RULES])
+    rule_counts = [
+        F.sum(F.col(f"f_{r}").cast("long")).alias(f"n_{r}") for r in FILTER_RULES
+    ]
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *rule_counts,
+        F.sum((~dropped).cast("long")).alias("n_kept"),
+        F.sum(F.when(~dropped, F.col("doc_id"))).cast("long").alias("kept_id_sum"),
+        F.expr("bit_xor(CASE WHEN NOT (f_short_tokens OR f_short_chars OR "
+               "f_no_stopwords OR f_top_word OR f_dup_words) THEN doc_id END)")
+        .cast("long")
+        .alias("kept_id_xor"),
     )
 
 

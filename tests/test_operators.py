@@ -62,6 +62,26 @@ def test_gemm_topk_matches_exact(spark, sf_dir):
         assert abs(sim - gemm[vid]) < 1e-6
 
 
+def test_filter_corpus_api(spark):
+    """filter_corpus drops exactly the rule-violating docs and keeps
+    original columns only."""
+    from dump_es_parquet_spark.operators.text import filter_corpus
+
+    good = " ".join(
+        ["the"] + [f"meaningful{i:02d}word" for i in range(25)]
+    )  # 26 unique tokens, >100 chars, has a stopword, no repetition
+    rows = [
+        (1, good),
+        (2, "the tiny one"),  # < 20 tokens AND < 100 chars
+        (3, " ".join(f"zz{i:02d}xx{'q' * 3}" for i in range(30))),  # no stopword
+        (4, "the " + " ".join(["spam"] * 30)),  # top_word_frac ≈ 0.97
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = filter_corpus(d)
+    assert kept.columns == ["doc_id", "text"]
+    assert [r.doc_id for r in kept.collect()] == [1]
+
+
 def test_dedup_corpus_exact(spark):
     from dump_es_parquet_spark.operators.dedup import dedup_corpus
 
