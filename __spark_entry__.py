@@ -305,8 +305,20 @@ def _stream_batch_equiv(spark, sf_dir):
 #   q16/q20 shapes        — complete the TPC-H 22: NOT-IN→anti-join +
 #                           count-distinct groups; nested correlated
 #                           aggregates decorrelated onto one shuffle key
+#   dedup_spans           — repeated k-token span profile (distributed
+#                           suffix-array-lite boilerplate detection)
+#   corpus_mix            — per-group token-budget mixing (greedy
+#                           md5-ranked prefix under a recipe of shares)
+#   corpus_shuffle        — seeded engine-portable global shuffle
+#                           (ordered prefix pinned)
+#   embedding_quantize    — symmetric int8 quantization round-trip
+#                           (exact code digests + max reconstruction err)
 DEMOTED: frozenset[str] = frozenset(
     {
+        "dedup_spans",
+        "corpus_mix",
+        "corpus_shuffle",
+        "embedding_quantize",
         "corpus_dedup",
         "split_contamination",
         "text_repetition",
@@ -425,6 +437,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_splits": _mod("sampling", "split_summary"),
         "corpus_stratified": _mod("sampling", "stratified_summary"),
         "corpus_temperature": _mod("sampling", "temperature_summary"),
+        "corpus_mix": _mod("sampling", "mix_summary"),
+        "corpus_shuffle": _mod("sampling", "shuffle_summary"),
+        "dedup_spans": _mod("spans", "span_summary"),
+        "embedding_quantize": _mod("embedding_ops", "quantize_summary"),
         # — dedup —
         "dedup_exact": _mod("dedup", "exact_dedup"),
         "dedup_ngram_jaccard": _mod("dedup", "ngram_jaccard_pairs"),
@@ -1241,6 +1257,103 @@ def _all_oracle_sql() -> dict[str, str]:
                min(doc_id) AS min_doc_id,
                md5(array_to_string(list_sort(list(doc_id)), ',')) AS membership_digest
         FROM s GROUP BY split ORDER BY split
+    """
+
+    # — corpus mixing / shuffle (operators/sampling.py) —
+    # budgets replicate mix_summary: floor(w * 0.5 * total_chars),
+    # same left-assoc double arithmetic
+    q["corpus_mix"] = """
+        WITH w(lang, weight) AS (
+          VALUES ('de', 0.15), ('en', 0.4), ('es', 0.15),
+                 ('fr', 0.1), ('zh', 0.2)
+        ),
+        tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM documents),
+        b AS (
+          SELECT lang,
+                 CAST(floor(weight * 0.5 * CAST(total AS DOUBLE)) AS BIGINT)
+                   AS budget
+          FROM w, tot
+        ),
+        r AS (
+          SELECT d.lang, d.doc_id, d.n_chars, b.budget,
+                 sum(d.n_chars) OVER (
+                   PARTITION BY d.lang
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents d JOIN b USING (lang)
+        )
+        SELECT lang, count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+               max(budget) AS budget,
+               md5(array_to_string(list_sort(list(doc_id)), ',')) AS membership_digest
+        FROM r WHERE cum - n_chars < budget
+        GROUP BY lang ORDER BY lang
+    """
+
+    q["corpus_shuffle"] = """
+        WITH h AS (
+          SELECT doc_id, lang,
+                 md5('epoch0' || CAST(doc_id AS VARCHAR)) AS hh
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (ORDER BY hh, doc_id) AS rank
+          FROM h
+        )
+        SELECT rank, doc_id, lang FROM r WHERE rank <= 20 ORDER BY rank
+    """
+
+    # — span-level dup detection (operators/spans.py, k = 8) —
+    q["dedup_spans"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sp AS (
+          SELECT doc_id,
+                 unnest([md5(array_to_string(t[x+1:x+8], ' '))
+                         FOR x IN range(0, greatest(len(t)-8, 0) + 1)]) AS span_h
+          FROM t
+        ),
+        shared AS (
+          SELECT span_h FROM sp GROUP BY span_h
+          HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT sp.doc_id, count(*) AS n_spans,
+               CAST(sum(CASE WHEN sh.span_h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared_spans,
+               round(sum(CASE WHEN sh.span_h IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS dup_frac
+        FROM sp LEFT JOIN shared sh USING (span_h)
+        GROUP BY sp.doc_id ORDER BY doc_id
+    """
+
+    # — int8 embedding quantization (operators/embedding_ops.py) —
+    q["embedding_quantize"] = """
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        s AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM v
+        ),
+        c AS (
+          SELECT vec_id, v, scale,
+                 list_transform(v, x ->
+                   CAST(coalesce(floor(x / nullif(scale, 0.0) + 0.5), 0)
+                        AS INTEGER)) AS codes
+          FROM s
+        )
+        SELECT vec_id,
+               len(v) AS n_dims,
+               round(scale, 6) AS scale_r6,
+               md5(array_to_string(codes, ',')) AS code_digest,
+               CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+               round(list_max([abs(v[i] - codes[i] * scale)
+                               FOR i IN range(1, len(v) + 1)]), 6)
+                 AS max_abs_err_r6
+        FROM c ORDER BY vec_id
     """
 
     # — dedup —

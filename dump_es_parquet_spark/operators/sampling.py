@@ -129,6 +129,120 @@ def stratified_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def budget_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    size_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Greedy deterministic mixing under per-group size budgets — the
+    "recipe" primitive of a training run ("500 B tokens total: 40%
+    web, 20% code, ..."): within each group, rank docs by md5(key) (a
+    deterministic shuffle, so the prefix is an unbiased sample) and
+    keep docs while the group's cumulative size has not yet reached
+    its budget. The first doc to CROSS the budget is kept (budgets are
+    floors, not ceilings — standard take-until semantics), so every
+    group with data and a positive budget is non-empty.
+
+    Cost: one shuffle on ``group_col`` for the running-sum window +
+    a broadcast of the budget table. Same plan class as any per-group
+    rank; hot groups are the usual salting candidates — but here the
+    window is a running SUM, which AQE skew-split cannot break, so at
+    100 TB the right mitigation is sub-grouping (hash the key into
+    ``group || '#' || bucket`` with per-bucket budgets = budget/B).
+    """
+    from pyspark.sql.window import Window
+
+    b = df.sparkSession.createDataFrame(
+        [(g, int(n)) for g, n in sorted(budgets.items())],
+        f"{group_col} string, budget bigint",
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(key_col).cast("string")), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(size_col)).over(w)
+    return (
+        df.join(F.broadcast(b), group_col)
+        .withColumn("_cum", cum)
+        .filter(F.col("_cum") - F.col(size_col) < F.col("budget"))
+        .drop("_cum", "budget")
+    )
+
+
+# the pinned mixing recipe of the ``corpus_mix`` query: per-language
+# shares of a global budget = half the corpus' characters
+MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.15, "es": 0.15, "fr": 0.1}
+MIX_TOTAL_FRACTION = 0.5
+
+
+def mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): mix the documents corpus to a
+    fixed language recipe under a global character budget; report
+    per-language kept counts, kept characters, the budget, and the
+    membership digest."""
+    d = load(spark, sf_dir, "documents")
+    total = int(
+        d.agg(F.sum("n_chars").cast("bigint").alias("t")).first()["t"]
+    )  # one scalar to the driver — the recipe needs absolute budgets
+    budgets = {
+        g: int(w * MIX_TOTAL_FRACTION * float(total))
+        for g, w in MIX_WEIGHTS.items()
+    }
+    kept = budget_mix(d, "lang", "doc_id", "n_chars", budgets)
+    b = spark.createDataFrame(
+        sorted(budgets.items()), "lang string, budget bigint"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("doc_id")))
+            ).alias("membership_digest"),
+        )
+        .join(F.broadcast(b), "lang")
+        .select("lang", "n_kept", "chars_kept", "budget", "membership_digest")
+        .orderBy("lang")
+    )
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str, seed: str = "") -> DataFrame:
+    """Seeded, engine-portable global shuffle — the order a training
+    run reads the corpus in, reproducible across engines and cluster
+    sizes: sort by ``md5(seed || key)``. At scale this is a range
+    partition + per-partition sort (what ``orderBy`` plans), i.e. the
+    shuffled corpus lands in globally-ordered files; a different
+    ``seed`` is a fresh permutation."""
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    return df.withColumn("_shuffle_key", h).orderBy("_shuffle_key", key_col)
+
+
+def shuffle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): the first 20 documents of the
+    seeded shuffled corpus, with their shuffle rank — pins both the
+    permutation and its order. ``orderBy().limit()`` plans
+    TakeOrderedAndProject (no global sort materialized); the rank
+    window then runs over 20 rows."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    head = (
+        deterministic_shuffle(d, "doc_id", seed="epoch0")
+        .select("doc_id", "lang", "_shuffle_key")
+        .limit(20)
+    )
+    w = Window.orderBy("_shuffle_key", "doc_id")
+    return (
+        head.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "lang")
+        .orderBy("rank")
+    )
+
+
 def temperature_summary(
     spark: SparkSession, sf_dir: str, total_fraction: float = 0.3
 ) -> DataFrame:

@@ -1,0 +1,132 @@
+"""API-level tests for the round-6 LLM-pipeline operators: span-level
+dup detection, budget mixing, deterministic shuffle, int8 quantization.
+(The query forms are oracle-verified in test_operators.py; these pin
+the API semantics on constructed inputs.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_span_profile_flags_shared_boilerplate(spark):
+    from dump_es_parquet_spark.operators.spans import doc_span_profile
+
+    boiler = " ".join(f"legal{i}" for i in range(8))  # exactly one 8-token span
+    rows = [
+        (1, boiler + " unique one body text here now extra"),
+        (2, boiler + " other words entirely different tail stream"),
+        (3, "completely unrelated document with its own eight tokens"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = {r.doc_id: r for r in doc_span_profile(d).collect()}
+    # docs 1 and 2 share the leading boilerplate span; doc 3 shares none
+    assert prof[1].n_shared_spans == 1
+    assert prof[2].n_shared_spans == 1
+    assert prof[3].n_shared_spans == 0
+    # 15 tokens -> 8 spans per boilerplate doc
+    assert prof[1].n_spans == 8
+    assert prof[1].dup_frac == pytest.approx(1 / 8)
+
+
+def test_span_profile_short_docs_one_whole_doc_span(spark):
+    from dump_es_parquet_spark.operators.spans import doc_span_profile
+
+    d = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "different tiny doc")],
+        "doc_id long, text string",
+    )
+    prof = {r.doc_id: r for r in doc_span_profile(d).collect()}
+    # <8 tokens => exactly one span covering the whole doc, so short
+    # exact duplicates are caught
+    assert all(prof[i].n_spans == 1 for i in (1, 2, 3))
+    assert prof[1].n_shared_spans == 1 and prof[2].n_shared_spans == 1
+    assert prof[3].n_shared_spans == 0
+
+
+def test_span_stream_xxhash64_same_sharing_structure(spark):
+    from dump_es_parquet_spark.operators.spans import shared_spans, span_stream
+
+    rows = [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for hash_fn in ("md5", "xxhash64"):
+        sh = shared_spans(span_stream(d, hash_fn=hash_fn)).count()
+        assert sh == 1  # the one common window 'a..h'
+
+
+def test_budget_mix_take_until_semantics(spark):
+    from dump_es_parquet_spark.operators.sampling import budget_mix
+
+    rows = [(i, "g", 10) for i in range(10)]  # 10 docs of size 10
+    d = spark.createDataFrame(rows, "doc_id long, grp string, sz long")
+    kept = budget_mix(d, "grp", "doc_id", "sz", {"g": 35})
+    # 35-char budget over 10-char docs: 3 full + the crossing doc = 4
+    assert kept.count() == 4
+    # deterministic: same set on re-run and under different partitioning
+    ids = {r.doc_id for r in kept.collect()}
+    ids2 = {
+        r.doc_id
+        for r in budget_mix(
+            d.repartition(7), "grp", "doc_id", "sz", {"g": 35}
+        ).collect()
+    }
+    assert ids == ids2
+    # zero budget keeps nothing; absent group keeps nothing (inner join)
+    assert budget_mix(d, "grp", "doc_id", "sz", {"g": 0}).count() == 0
+    assert budget_mix(d, "grp", "doc_id", "sz", {"other": 100}).count() == 0
+
+
+def test_deterministic_shuffle_is_seeded_permutation(spark):
+    from dump_es_parquet_spark.operators.sampling import deterministic_shuffle
+
+    d = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    o1 = [r.doc_id for r in deterministic_shuffle(d, "doc_id", "s1").collect()]
+    o1b = [
+        r.doc_id
+        for r in deterministic_shuffle(d.repartition(5), "doc_id", "s1").collect()
+    ]
+    o2 = [r.doc_id for r in deterministic_shuffle(d, "doc_id", "s2").collect()]
+    assert sorted(o1) == list(range(100))  # a permutation
+    assert o1 == o1b  # partitioning-independent
+    assert o1 != o2  # seed changes the permutation
+    assert o1 != list(range(100))  # actually shuffled
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    from dump_es_parquet_spark.operators.embedding_ops import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [127.0, -127.0, 63.5, 0.1]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # all-zero: scale 0, codes 0
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dequantize_int8(quantize_int8(d)).collect()
+    by_id = {r.vec_id: r for r in out}
+    # codes bounded, reconstruction within scale/2 per element
+    for r in out:
+        assert all(-127 <= c <= 127 for c in r.q_codes)
+        half = r.q_scale / 2 + 1e-12
+        for orig, deq in zip(r.embedding, r.dequantized):
+            assert abs(orig - deq) <= half
+    assert by_id[3].q_scale == 0.0
+    assert list(by_id[3].q_codes) == [0, 0, 0, 0]
+    assert list(by_id[3].dequantized) == [0.0, 0.0, 0.0, 0.0]
+    # max|v| maps to ±127 exactly
+    assert max(by_id[2].q_codes) == 127 and min(by_id[2].q_codes) == -127
+
+
+def test_quantize_negative_half_rounding_matches_halfup(spark):
+    """floor(x/scale + 0.5) is half-UP for negatives too (-0.5 -> 0):
+    pin it so neither engine's native round() sneaks back in."""
+    from dump_es_parquet_spark.operators.embedding_ops import quantize_int8
+
+    # scale = 127/127 = 1.0; element -0.5 sits exactly on a half
+    d = spark.createDataFrame(
+        [(1, [127.0, -0.5, 0.5, -1.5])], "vec_id long, embedding array<float>"
+    )
+    codes = list(quantize_int8(d).collect()[0].q_codes)
+    assert codes == [127, 0, 1, -1]
