@@ -313,12 +313,16 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           (ordered prefix pinned)
 #   embedding_quantize    — symmetric int8 quantization round-trip
 #                           (exact code digests + max reconstruction err)
+#   corpus_profile        — exact per-source profile (quartiles,
+#                           distincts); the mergeable-HLL-sketch form is
+#                           pytest-verified (sketches aren't SQL-portable)
 DEMOTED: frozenset[str] = frozenset(
     {
         "dedup_spans",
         "corpus_mix",
         "corpus_shuffle",
         "embedding_quantize",
+        "corpus_profile",
         "corpus_dedup",
         "split_contamination",
         "text_repetition",
@@ -441,6 +445,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": _mod("sampling", "shuffle_summary"),
         "dedup_spans": _mod("spans", "span_summary"),
         "embedding_quantize": _mod("embedding_ops", "quantize_summary"),
+        "corpus_profile": _mod("profile", "corpus_profile"),
         # — dedup —
         "dedup_exact": _mod("dedup", "exact_dedup"),
         "dedup_ngram_jaccard": _mod("dedup", "ngram_jaccard_pairs"),
@@ -1354,6 +1359,21 @@ def _all_oracle_sql() -> dict[str, str]:
                                FOR i IN range(1, len(v) + 1)]), 6)
                  AS max_abs_err_r6
         FROM c ORDER BY vec_id
+    """
+
+    # — corpus profiling (operators/profile.py) —
+    q["corpus_profile"] = """
+        SELECT source,
+               count(*) AS n_rows,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct_keys,
+               CAST(sum(n_chars) AS BIGINT) AS total_size,
+               CAST(min(n_chars) AS BIGINT) AS min_size,
+               CAST(max(n_chars) AS BIGINT) AS max_size,
+               round(avg(n_chars), 6) AS avg_size_r6,
+               round(quantile_cont(n_chars, 0.25), 6) AS p25_r6,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50_r6,
+               round(quantile_cont(n_chars, 0.75), 6) AS p75_r6
+        FROM documents GROUP BY source ORDER BY source
     """
 
     # — dedup —

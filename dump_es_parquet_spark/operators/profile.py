@@ -1,0 +1,98 @@
+"""Corpus profiling — the "what's in this 100 TB pile" pass a
+training-data pipeline runs before any curation decision: per-group
+exact statistics (the oracle-checkable form) and MERGEABLE sketches
+(the form that actually scales — pre-aggregate once per
+partition/day/source, then any rollup is a cheap sketch merge, never a
+re-scan).
+
+Not in the reference (its analytics endgame is DuckDB over the dumped
+parquet, ``/root/reference/README.md:99-103``); north-star extension
+surface (SURVEY.md §2.2).
+
+Sketches are Spark's built-in Apache DataSketches HLL
+(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``,
+JVM-side, Tungsten-aggregated): binary, associative, storable in
+parquet — the pre-aggregation contract. The exact profile keeps to
+one shuffle (groupBy the profile key); exact percentiles sort within
+groups, which is fine per-group but the documented scale path for
+global quantiles is ``approx_percentile`` (also exposed here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dump_es_parquet_spark.operators.tables import load
+
+
+def profile_exact(
+    d: DataFrame, group_col: str, size_col: str, key_col: str
+) -> DataFrame:
+    """Exact per-group profile: counts, distinct keys, size moments and
+    quartiles. One shuffle on ``group_col``; ``percentile`` is exact
+    (per-group sort) — use :func:`profile_approx` when groups are
+    100 TB-sized."""
+    sz = F.col(size_col)
+    return d.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(key_col)).alias("n_distinct_keys"),
+        F.sum(sz).cast("bigint").alias("total_size"),
+        F.min(sz).cast("bigint").alias("min_size"),
+        F.max(sz).cast("bigint").alias("max_size"),
+        F.round(F.avg(sz), 6).alias("avg_size_r6"),
+        F.round(F.percentile(sz, F.lit(0.25)), 6).alias("p25_r6"),
+        F.round(F.percentile(sz, F.lit(0.5)), 6).alias("p50_r6"),
+        F.round(F.percentile(sz, F.lit(0.75)), 6).alias("p75_r6"),
+    )
+
+
+def profile_approx(
+    d: DataFrame, group_col: str, size_col: str, key_col: str,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The scale form of :func:`profile_exact`: HLL distinct counts and
+    approximate percentiles — partial-aggregatable everywhere, no
+    per-group sort, bounded state per group."""
+    sz = F.col(size_col)
+    return d.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct(F.col(key_col)).alias("n_distinct_keys"),
+        F.sum(sz).cast("bigint").alias("total_size"),
+        F.approx_percentile(sz, F.lit(0.5), F.lit(accuracy)).alias("p50"),
+    )
+
+
+def hll_sketches(
+    d: DataFrame, group_col: str, key_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group HLL sketch of the key column — the MERGEABLE distinct
+    count. Store these in the lake next to the data; any union of
+    groups (all sources, one language, last 30 days) is then
+    ``hll_union_agg`` over a handful of kilobyte blobs instead of a
+    corpus re-scan."""
+    return d.groupBy(group_col).agg(
+        F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(lg_k)).alias(
+            "key_sketch"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hll_rollup(sketches: DataFrame) -> DataFrame:
+    """Merge per-group sketches to one global distinct estimate —
+    the whole point of sketching: this touches len(groups) rows."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("key_sketch")).alias(
+            "distinct_estimate"
+        ),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): exact per-source profile of the
+    documents corpus — row counts, distinct langs, char-length
+    quartiles."""
+    d = load(spark, sf_dir, "documents")
+    return profile_exact(d, "source", "n_chars", "lang").orderBy("source")

@@ -119,6 +119,77 @@ def test_quantize_roundtrip_error_bound(spark):
     assert max(by_id[2].q_codes) == 127 and min(by_id[2].q_codes) == -127
 
 
+def test_hll_sketches_merge_equals_direct(spark, sf_dir):
+    """The pre-aggregation contract: union of per-group sketches
+    estimates the same cardinality as sketching the whole corpus
+    directly (DataSketches' union gadget keeps HLL_8 state, so the
+    estimates can differ by a hair — but both must sit within 5% of
+    truth and within 1% of each other), and re-merging is
+    deterministic."""
+    from dump_es_parquet_spark.operators.profile import hll_rollup, hll_sketches
+    from dump_es_parquet_spark.operators.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    per_source = hll_sketches(d, "source", "doc_id")
+    merged = hll_rollup(per_source).collect()[0]
+    direct = (
+        d.groupBy(F.lit(1))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("doc_id").cast("string"), F.lit(12))
+            ).alias("est")
+        )
+        .collect()[0]["est"]
+    )
+    truth = d.select("doc_id").distinct().count()
+    assert abs(merged.distinct_estimate - direct) / truth < 0.01
+    assert abs(merged.distinct_estimate - truth) / truth < 0.05
+    assert abs(direct - truth) / truth < 0.05
+    assert merged.n_rows == d.count()
+    # determinism: the same merge yields the same estimate on re-run
+    assert hll_rollup(per_source).collect()[0].distinct_estimate == (
+        merged.distinct_estimate
+    )
+
+
+def test_hll_sketches_survive_parquet(spark, tmp_path):
+    """Sketch blobs written to parquet merge identically after a
+    round-trip — the store-next-to-the-data pattern."""
+    from dump_es_parquet_spark.operators.profile import hll_rollup, hll_sketches
+
+    d = spark.createDataFrame(
+        [(i % 4, i % 97) for i in range(2000)], "grp int, key int"
+    )
+    sk = hll_sketches(d, "grp", "key")
+    before = hll_rollup(sk).collect()[0].distinct_estimate
+    path = str(tmp_path / "sketches.parquet")
+    sk.write.parquet(path)
+    after = hll_rollup(spark.read.parquet(path)).collect()[0].distinct_estimate
+    assert before == after
+    assert abs(after - 97) / 97 < 0.05
+
+
+def test_profile_approx_close_to_exact(spark, sf_dir):
+    from dump_es_parquet_spark.operators.profile import (
+        profile_approx,
+        profile_exact,
+    )
+    from dump_es_parquet_spark.operators.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    ex = {r.source: r for r in profile_exact(d, "source", "n_chars", "lang").collect()}
+    ap = {r.source: r for r in profile_approx(d, "source", "n_chars", "lang").collect()}
+    assert set(ex) == set(ap)
+    for s, e in ex.items():
+        a = ap[s]
+        assert a.n_rows == e.n_rows and a.total_size == e.total_size
+        # 5-distinct-lang groups: HLL is exact at this cardinality
+        assert a.n_distinct_keys == e.n_distinct_keys
+        # approx median lands within the exact quartile band
+        assert e.min_size <= a.p50 <= e.max_size
+        assert abs(a.p50 - e.p50_r6) / e.p50_r6 < 0.1
+
+
 def test_quantize_negative_half_rounding_matches_halfup(spark):
     """floor(x/scale + 0.5) is half-UP for negatives too (-0.5 -> 0):
     pin it so neither engine's native round() sneaks back in."""
