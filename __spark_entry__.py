@@ -316,6 +316,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #   corpus_profile        — exact per-source profile (quartiles,
 #                           distincts); the mergeable-HLL-sketch form is
 #                           pytest-verified (sketches aren't SQL-portable)
+#   corpus_curriculum     — exact-quantile curriculum bins (two-pass
+#                           broadcast-edge histogram, not a global ntile)
 DEMOTED: frozenset[str] = frozenset(
     {
         "dedup_spans",
@@ -323,6 +325,7 @@ DEMOTED: frozenset[str] = frozenset(
         "corpus_shuffle",
         "embedding_quantize",
         "corpus_profile",
+        "corpus_curriculum",
         "corpus_dedup",
         "split_contamination",
         "text_repetition",
@@ -446,6 +449,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _mod("spans", "span_summary"),
         "embedding_quantize": _mod("embedding_ops", "quantize_summary"),
         "corpus_profile": _mod("profile", "corpus_profile"),
+        "corpus_curriculum": _mod("profile", "curriculum_summary"),
         # — dedup —
         "dedup_exact": _mod("dedup", "exact_dedup"),
         "dedup_ngram_jaccard": _mod("dedup", "ngram_jaccard_pairs"),
@@ -1374,6 +1378,31 @@ def _all_oracle_sql() -> dict[str, str]:
                round(quantile_cont(n_chars, 0.5), 6) AS p50_r6,
                round(quantile_cont(n_chars, 0.75), 6) AS p75_r6
         FROM documents GROUP BY source ORDER BY source
+    """
+
+    # replicate quantile_bins: edges at i/5 exact continuous quantiles,
+    # bin = 1 + Σ(score > edge_i)
+    q["corpus_curriculum"] = """
+        WITH e AS (
+          SELECT quantile_cont(n_chars, 0.2) AS e1,
+                 quantile_cont(n_chars, 0.4) AS e2,
+                 quantile_cont(n_chars, 0.6) AS e3,
+                 quantile_cont(n_chars, 0.8) AS e4
+          FROM documents
+        ),
+        b AS (
+          SELECT d.doc_id, d.n_chars,
+                 1 + (CASE WHEN d.n_chars > e.e1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN d.n_chars > e.e2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN d.n_chars > e.e3 THEN 1 ELSE 0 END)
+                   + (CASE WHEN d.n_chars > e.e4 THEN 1 ELSE 0 END) AS bin
+          FROM documents d, e
+        )
+        SELECT bin, count(*) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               md5(array_to_string(list_sort(list(doc_id)), ',')) AS membership_digest
+        FROM b GROUP BY bin ORDER BY bin
     """
 
     # — dedup —

@@ -90,6 +90,59 @@ def hll_rollup(sketches: DataFrame) -> DataFrame:
     )
 
 
+def quantile_bins(
+    d: DataFrame, score_col: str, n_bins: int = 5, exact: bool = True
+) -> DataFrame:
+    """Adds ``bin`` (1..n_bins): quantile-bucket the corpus by a score
+    — the curriculum / quality-tier primitive ("train short→long",
+    "mix 10% from the top quality decile"). Deliberately NOT
+    ``F.ntile``: a global ntile is a single-partition window (dead at
+    100 TB). Instead the standard two-pass histogram — pass 1 reduces
+    the corpus to n_bins-1 edge values (exact ``percentile`` here;
+    flip ``exact=False`` for ``approx_percentile`` when the score has
+    unbounded cardinality), pass 2 assigns by comparison against the
+    broadcast edges. Ties share a bin (stable under reordering, unlike
+    ntile's row-split)."""
+    score = F.col(score_col)
+    pct = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, p, F.lit(10_000))
+    )
+    edges = d.agg(
+        *[
+            pct(score, F.lit(i / n_bins)).alias(f"_edge{i}")
+            for i in range(1, n_bins)
+        ]
+    )
+    bin_no = F.lit(1)
+    for i in range(1, n_bins):
+        bin_no = bin_no + F.when(score > F.col(f"_edge{i}"), 1).otherwise(0)
+    return (
+        d.crossJoin(F.broadcast(edges))
+        .withColumn("bin", bin_no.cast("int"))
+        .drop(*[f"_edge{i}" for i in range(1, n_bins)])
+    )
+
+
+def curriculum_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): length-curriculum bins of the
+    documents corpus — 5 exact-quantile buckets by ``n_chars`` with
+    per-bin accounting and membership digest."""
+    d = load(spark, sf_dir, "documents")
+    b = quantile_bins(d, "n_chars", n_bins=5)
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("doc_id")))
+            ).alias("membership_digest"),
+        )
+        .orderBy("bin")
+    )
+
+
 def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query form (oracle-checked): exact per-source profile of the
     documents corpus — row counts, distinct langs, char-length

@@ -190,6 +190,29 @@ def test_profile_approx_close_to_exact(spark, sf_dir):
         assert abs(a.p50 - e.p50_r6) / e.p50_r6 < 0.1
 
 
+def test_quantile_bins_ties_and_approx(spark):
+    from dump_es_parquet_spark.operators.profile import quantile_bins
+
+    # 100 rows, only 4 distinct scores: ties must share a bin
+    d = spark.createDataFrame(
+        [(i, i % 4) for i in range(100)], "doc_id long, score long"
+    )
+    ex = quantile_bins(d, "score", n_bins=4)
+    per_score = (
+        ex.groupBy("score").agg(F.count_distinct("bin").alias("nb")).collect()
+    )
+    assert all(r.nb == 1 for r in per_score)
+    # bins are monotone in score
+    order = {r.score: r.bin for r in ex.select("score", "bin").distinct().collect()}
+    assert [order[s] for s in sorted(order)] == sorted(order[s] for s in order)
+    # approx mode agrees with exact on small data (accuracy >> n)
+    ap = quantile_bins(d, "score", n_bins=4, exact=False)
+    assert (
+        ex.select("doc_id", "bin").exceptAll(ap.select("doc_id", "bin")).count()
+        == 0
+    )
+
+
 def test_quantize_negative_half_rounding_matches_halfup(spark):
     """floor(x/scale + 0.5) is half-UP for negatives too (-0.5 -> 0):
     pin it so neither engine's native round() sneaks back in."""
