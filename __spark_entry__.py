@@ -94,23 +94,16 @@ def _mod(module, name):
     return run
 
 
-def q_sim_ann_ivf_indexed(spark, sf_dir):
-    """The IVF *serving* path — the plan you'd actually run at 100×:
-    probe a write-once materialized index (inverted lists as parquet
-    partitioned by cell) via static partition pruning, instead of
-    re-training the coarse quantizer in-query like ``sim_ann_ivf``.
-    The index is built on first call per sf_dir (a deterministic
-    artifact: same seeds, same Lloyd update) and reused after — so the
-    steady bench number is pure serving cost, exactly the amortized
-    regime the materialized design buys."""
+def _ivf_index_path(spark, sf_dir):
+    """Build-once cache of the materialized IVF index (a deterministic
+    artifact: same seeds, same Lloyd update — so every caller gets the
+    identical index). v2 = lists carry the SQ8 columns alongside the
+    flat vectors."""
     import hashlib
     import os
     import tempfile
 
-    from dump_es_parquet_spark.operators.similarity import (
-        ann_ivf_indexed,
-        write_ivf_index,
-    )
+    from dump_es_parquet_spark.operators.similarity import write_ivf_index
 
     # key the cached artifact on the source file's identity AND content
     # fingerprint (mtime+size): the test harness regenerates the
@@ -122,7 +115,7 @@ def q_sim_ann_ivf_indexed(spark, sf_dir):
         f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
     tmp_root = tempfile.gettempdir()
-    path = os.path.join(tmp_root, f"spark_graft_ivf_v1_{tag}")
+    path = os.path.join(tmp_root, f"spark_graft_ivf_v2_{tag}")
     # centroids are written last — their _SUCCESS marks a complete index
     if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
         # build in a unique staging dir, then atomically rename into
@@ -133,7 +126,7 @@ def q_sim_ann_ivf_indexed(spark, sf_dir):
         # race just discards its staging copy.
         import shutil
 
-        stage = tempfile.mkdtemp(prefix=f"spark_graft_ivf_v1_{tag}_stage_",
+        stage = tempfile.mkdtemp(prefix=f"spark_graft_ivf_v2_{tag}_stage_",
                                  dir=tmp_root)
         try:
             write_ivf_index(spark, sf_dir, stage)
@@ -145,16 +138,16 @@ def q_sim_ann_ivf_indexed(spark, sf_dir):
             shutil.rmtree(stage, ignore_errors=True)
             raise
         # drop stale generations (regenerated testdata leaves old
-        # spark_graft_ivf_v1_* dirs behind) — but only dirs idle >1 day,
-        # so concurrently-live indexes for OTHER sf_dirs survive
+        # index dirs behind) — but only dirs idle >1 day, so
+        # concurrently-live indexes for OTHER sf_dirs survive
         import time
 
         cutoff = time.time() - 86400
         for d in os.listdir(tmp_root):
             p = os.path.join(tmp_root, d)
             if (
-                d.startswith("spark_graft_ivf_v1_")
-                and d != f"spark_graft_ivf_v1_{tag}"
+                d.startswith(("spark_graft_ivf_v1_", "spark_graft_ivf_v2_"))
+                and d != f"spark_graft_ivf_v2_{tag}"
                 and os.path.isdir(p)
             ):
                 try:
@@ -162,7 +155,30 @@ def q_sim_ann_ivf_indexed(spark, sf_dir):
                         shutil.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass
-    return ann_ivf_indexed(spark, sf_dir, path)
+    return path
+
+
+def q_sim_ann_ivf_indexed(spark, sf_dir):
+    """The IVF *serving* path — the plan you'd actually run at 100×:
+    probe a write-once materialized index (inverted lists as parquet
+    partitioned by cell) via static partition pruning, instead of
+    re-training the coarse quantizer in-query like ``sim_ann_ivf``.
+    The index is built on first call per sf_dir and reused after — so
+    the steady bench number is pure serving cost, exactly the
+    amortized regime the materialized design buys."""
+    from dump_es_parquet_spark.operators.similarity import ann_ivf_indexed
+
+    return ann_ivf_indexed(spark, sf_dir, _ivf_index_path(spark, sf_dir))
+
+
+def q_sim_ann_ivf_sq8(spark, sf_dir):
+    """IVF-SQ8 serving: approximate pass over the int8 codes (4× less
+    list I/O — column pruning never touches the flat vectors), exact
+    rescore of the top k·4 candidates from the same pruned partitions.
+    Identical answer to the flat path, so it shares its oracle."""
+    from dump_es_parquet_spark.operators.similarity import ann_ivf_indexed_sq8
+
+    return ann_ivf_indexed_sq8(spark, sf_dir, _ivf_index_path(spark, sf_dir))
 
 
 def q_text_redact(spark, sf_dir):
@@ -318,8 +334,12 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           pytest-verified (sketches aren't SQL-portable)
 #   corpus_curriculum     — exact-quantile curriculum bins (two-pass
 #                           broadcast-edge histogram, not a global ntile)
+#   sim_ann_ivf_sq8       — IVF-SQ8 serving (int8 approximate pass +
+#                           exact rescore); same answer as the flat
+#                           serving path, same oracle
 DEMOTED: frozenset[str] = frozenset(
     {
+        "sim_ann_ivf_sq8",
         "dedup_spans",
         "corpus_mix",
         "corpus_shuffle",
@@ -380,6 +400,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_hyperplane": _mod("similarity", "ann_hyperplane_lsh"),
         "sim_ann_ivf": _mod("similarity", "ann_ivf"),
         "sim_ann_ivf_indexed": q_sim_ann_ivf_indexed,
+        "sim_ann_ivf_sq8": q_sim_ann_ivf_sq8,
         "sim_topk_batch": _mod("similarity", "topk_batch"),
         "sim_label_centroids": _mod("similarity", "label_centroids"),
         "grouped_robust_stats": _mod("grouped", "robust_stats"),
@@ -1704,6 +1725,9 @@ def _all_oracle_sql() -> dict[str, str]:
     # the serving path answers the exact same question from the
     # materialized index — one oracle, two physical plans
     q["sim_ann_ivf_indexed"] = q["sim_ann_ivf"]
+    # the SQ8 serving path rescores to the exact flat answer — one
+    # oracle, three physical plans
+    q["sim_ann_ivf_sq8"] = q["sim_ann_ivf"]
 
     q["corpus_packing"] = r"""
         WITH toks AS (

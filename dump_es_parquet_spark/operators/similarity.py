@@ -346,12 +346,24 @@ def write_ivf_index(
     lists as parquet PARTITIONED BY cell id, centroids alongside.
     Probing then becomes partition pruning — only the probed cells'
     files are ever opened, which is how the nprobe/n_cells scan
-    fraction survives 100 TB (cf. ``ann_ivf`` docstring)."""
+    fraction survives 100 TB (cf. ``ann_ivf`` docstring).
+
+    The lists also carry the SQ8 columns (``q_scale``, ``q_codes`` as
+    int8, ``norm``) next to the flat vectors, so the same artifact
+    serves both the flat path (``ann_ivf_indexed``) and the quantized
+    path (``ann_ivf_indexed_sq8``) — parquet column pruning means each
+    path reads only its own columns."""
+    from dump_es_parquet_spark.operators.embedding_ops import quantize_int8
+
     e = load(spark, sf_dir, "embeddings")
     cents = ivf_centroids(spark, sf_dir, n_cells)
-    _ivf_assign(e, cents).write.mode("overwrite").partitionBy("cid").parquet(
-        f"{path}/lists"
+    lists = quantize_int8(_ivf_assign(e, cents)).withColumns(
+        {
+            "q_codes": F.transform("q_codes", lambda c: c.cast("byte")),
+            "norm": F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
+        }
     )
+    lists.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -390,6 +402,84 @@ def ann_ivf_indexed(
     return (
         lists.crossJoin(qv)
         .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").cast("int").alias("cell"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def ann_ivf_indexed_sq8(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    rescore_factor: int = 4,
+) -> DataFrame:
+    """Serve IVF top-k from the SQ8 columns of the materialized index
+    — the FAISS IVF-SQ8 shape, two stages over the SAME pruned
+    partitions:
+
+    1. approximate pass: score candidates as
+       ``q_scale · Σ(code_i · q_i) / (norm · |q|)`` — reads only the
+       int8 ``q_codes`` (+ two scalars) from the probed cells, 4× less
+       I/O than the flat vectors (parquet column pruning does this;
+       nothing reads ``embedding``), keep the top ``k·rescore_factor``;
+    2. exact pass: re-read just those candidates' flat vectors from the
+       same probed partitions (a bounded id-literal filter — row-group
+       stats prune inside the cells) and rank by exact cosine.
+
+    With ``rescore_factor`` ≥ 2 the exact top-k survives any SQ8
+    ordering jitter (max quantization error per element is scale/2 ≈
+    0.4% of the max coordinate), so the result is identical to
+    ``ann_ivf_indexed`` — pinned by test and by sharing its oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(f"{path}/centroids")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == query_id).select(F.col("embedding").alias("qv"))
+    )
+    probe_rows = (
+        cents.crossJoin(qv)
+        .orderBy(
+            (
+                F.lit(-2.0) * dot(F.col("qv"), F.col("cv"))
+                + dot(F.col("cv"), F.col("cv"))
+            ).asc(),
+            F.col("cid").asc(),
+        )
+        .limit(nprobe)
+        .select("cid")
+        .collect()
+    )
+    probed = [r.cid for r in probe_rows]
+    lists = spark.read.parquet(f"{path}/lists").filter(F.col("cid").isin(probed))
+    approx = (
+        lists.select("vec_id", "q_scale", "q_codes", "norm")
+        .crossJoin(qv)
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            (
+                F.col("q_scale")
+                * dot(F.col("q_codes"), F.col("qv"))
+                / (F.col("norm") * l2norm(F.col("qv")))
+            ).alias("approx_sim"),
+        )
+        .orderBy(F.col("approx_sim").desc(), F.col("vec_id").asc())
+        .limit(k * rescore_factor)
+    )
+    # bounded collect: k·rescore_factor candidate ids → literal filter
+    # for the exact re-read (same class as the nprobe probe collect)
+    cand = [r.vec_id for r in approx.collect()]
+    return (
+        lists.filter(F.col("vec_id").isin(cand))
+        .crossJoin(qv)
         .select(
             "vec_id",
             "label",

@@ -213,6 +213,31 @@ def test_quantile_bins_ties_and_approx(spark):
     )
 
 
+def test_ivf_sq8_equals_flat_serving(spark, sf_dir, tmp_path):
+    """The SQ8 approximate pass + exact rescore returns EXACTLY the
+    flat serving path's top-k (same index, same probes), and the v2
+    index carries byte codes."""
+    from dump_es_parquet_spark.operators.similarity import (
+        ann_ivf_indexed,
+        ann_ivf_indexed_sq8,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(spark, sf_dir, path)
+    flat = ann_ivf_indexed(spark, sf_dir, path).collect()
+    sq8 = ann_ivf_indexed_sq8(spark, sf_dir, path).collect()
+    assert [tuple(r) for r in flat] == [tuple(r) for r in sq8]
+
+    lists = spark.read.parquet(f"{path}/lists")
+    schema = {f.name: f.dataType.simpleString() for f in lists.schema.fields}
+    assert schema["q_codes"] == "array<tinyint>"
+    assert schema["q_scale"] == "double"
+    row = lists.select("q_codes", "norm").first()
+    assert all(-127 <= c <= 127 for c in row.q_codes)
+    assert row.norm > 0
+
+
 def test_quantize_negative_half_rounding_matches_halfup(spark):
     """floor(x/scale + 0.5) is half-UP for negatives too (-0.5 -> 0):
     pin it so neither engine's native round() sneaks back in."""
