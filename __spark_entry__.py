@@ -337,9 +337,12 @@ def _stream_batch_equiv(spark, sf_dir):
 #   sim_ann_ivf_sq8       — IVF-SQ8 serving (int8 approximate pass +
 #                           exact rescore); same answer as the flat
 #                           serving path, same oracle
+#   text_vocab            — vocabulary heavy hitters (map-side-combined
+#                           token counts, TakeOrdered top-k)
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
+        "text_vocab",
         "dedup_spans",
         "corpus_mix",
         "corpus_shuffle",
@@ -471,6 +474,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _mod("embedding_ops", "quantize_summary"),
         "corpus_profile": _mod("profile", "corpus_profile"),
         "corpus_curriculum": _mod("profile", "curriculum_summary"),
+        "text_vocab": _mod("text", "vocab_summary"),
         # — dedup —
         "dedup_exact": _mod("dedup", "exact_dedup"),
         "dedup_ngram_jaccard": _mod("dedup", "ngram_jaccard_pairs"),
@@ -1424,6 +1428,16 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(max(n_chars) AS BIGINT) AS max_chars,
                md5(array_to_string(list_sort(list(doc_id)), ',')) AS membership_digest
         FROM b GROUP BY bin ORDER BY bin
+    """
+
+    q["text_vocab"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        )
+        SELECT token, count(*) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM tok GROUP BY token
+        ORDER BY n_occurrences DESC, token ASC LIMIT 50
     """
 
     # — dedup —

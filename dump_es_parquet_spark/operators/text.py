@@ -228,6 +228,38 @@ FILTER_RULES = (
 )
 
 
+def vocab_topk(
+    d: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: token → document frequency and
+    total count, top-k by count (tie-broken on the token for
+    determinism). The vocab-building / BPE-seeding pass.
+
+    Scale shape: explode → ONE groupBy on the token (Catalyst's
+    partial aggregation combines map-side, so the shuffle carries one
+    row per distinct token per task, not per occurrence) → global
+    top-k via TakeOrdered. Zipf skew is absorbed by the map-side
+    combine — the hot token arrives pre-counted from each task."""
+    toks = tokens_col(text_col)
+    return (
+        d.select(F.col("doc_id"), F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def vocab_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): top-50 corpus vocabulary with
+    occurrence and document frequencies."""
+    d = load(spark, sf_dir, "documents")
+    return vocab_topk(d)
+
+
 def corpus_gates(
     d: DataFrame,
     text_col: str = "text",

@@ -5,7 +5,11 @@ the API semantics on constructed inputs.)"""
 
 from __future__ import annotations
 
+import hashlib
+
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 
@@ -236,6 +240,75 @@ def test_ivf_sq8_equals_flat_serving(spark, sf_dir, tmp_path):
     row = lists.select("q_codes", "norm").first()
     assert all(-127 <= c <= 127 for c in row.q_codes)
     assert row.norm > 0
+
+
+_finite32 = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(_finite32, min_size=1, max_size=16), min_size=1, max_size=12
+    )
+)
+def test_quantize_property_bounds_and_reconstruction(spark, vecs):
+    """∀ finite float32 vectors: codes ∈ [-127,127], scale = max|v|/127,
+    and |dequantized − original| ≤ scale/2 elementwise."""
+    from dump_es_parquet_spark.operators.embedding_ops import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    d = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    for r in dequantize_int8(quantize_int8(d)).collect():
+        maxabs = max(abs(x) for x in r.embedding)
+        assert r.q_scale == pytest.approx(maxabs / 127.0, rel=1e-12)
+        assert all(-127 <= c <= 127 for c in r.q_codes)
+        tol = r.q_scale / 2 + 1e-9 * max(1.0, maxabs)
+        for orig, deq in zip(r.embedding, r.dequantized):
+            assert abs(orig - deq) <= tol
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(1, 50), min_size=1, max_size=20),
+    budget=st.integers(0, 600),
+)
+def test_budget_mix_property_is_md5_prefix(spark, sizes, budget):
+    """∀ corpora and budgets: the kept set is exactly the md5-ordered
+    prefix that take-until-budget selects — recomputed independently
+    with Python's hashlib (pins the engine-portability of the order)."""
+    from dump_es_parquet_spark.operators.sampling import budget_mix
+
+    rows = [(i, "g", s) for i, s in enumerate(sizes)]
+    d = spark.createDataFrame(rows, "doc_id long, grp string, sz long")
+    kept = {
+        r.doc_id
+        for r in budget_mix(d, "grp", "doc_id", "sz", {"g": budget}).collect()
+    }
+    order = sorted(
+        range(len(sizes)),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    expect, cum = set(), 0
+    for i in order:
+        if cum < budget:
+            expect.add(i)
+        cum += sizes[i]
+    assert kept == expect
 
 
 def test_quantize_negative_half_rounding_matches_halfup(spark):
