@@ -240,6 +240,27 @@ def minhash_lsh_pairs(
     return minhash_lsh_pairs_for(_par(load(spark, sf_dir, "documents")), threshold)
 
 
+def minhash_band_table(sig: DataFrame) -> DataFrame:
+    """Signature frame → ``(doc_id, band, bhash)`` LSH band table
+    (BANDS bands × 2 signature rows each, band value md5-folded)."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", f"mh{2 * bi}", f"mh{2 * bi + 1}")
+                        ).alias("bhash"),
+                    )
+                    for bi in range(BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bhash")
+
+
 def minhash_lsh_pairs_for(
     d: DataFrame, threshold: float = 0.7, barrier=_lazy_barrier
 ) -> DataFrame:
@@ -259,22 +280,7 @@ def minhash_lsh_pairs_for(
     that is a property of the signature, not the plan; cap upstream
     by filtering empty/boilerplate docs before dedup."""
     sig = minhash_signatures(d, barrier)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws("|", f"mh{2 * bi}", f"mh{2 * bi + 1}")
-                        ).alias("bhash"),
-                    )
-                    for bi in range(BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bhash")
+    bands = minhash_band_table(sig)
     buckets = (
         bands.groupBy("band", "bhash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -314,6 +320,107 @@ def minhash_lsh_pairs_for(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted signature store
+# ---------------------------------------------------------------------------
+#
+# The production shape at 100 TB: history is never re-deduped — each
+# increment (a day's crawl, a new dump) is checked against a persisted
+# MinHash signature store, and only the kept docs' signatures are
+# appended. The store holds (doc_id, mh0..mh7, band, bhash) — a few
+# hundred bytes/doc, no text — so the increment join touches the band
+# table, never the historical corpus. Cross-corpus similarity is
+# decided by the signature-estimated Jaccard (matching minhash
+# fraction ≥ threshold); the estimator is unbiased with 8 hashes —
+# the standard incremental tradeoff (exact verification would require
+# storing shingle arrays ≈ the corpus itself). Intra-batch duplicates
+# still get the exact-verified path (minhash_lsh_pairs_for).
+
+
+def write_signature_store(
+    d: DataFrame, path: str, mode: str = "overwrite", barrier=_lazy_barrier
+) -> None:
+    """Persist the MinHash signature+band table for ``(doc_id, text)``
+    rows. Layout: parquet partitioned by ``band``, sorted by ``bhash``
+    within files, so the increment's band join prunes by partition and
+    row-group min/max stats."""
+    sig = minhash_signatures(d, barrier)
+    tbl = minhash_band_table(sig).join(sig, "doc_id")
+    (
+        tbl.repartition("band")
+        .sortWithinPartitions("bhash")
+        .write.mode(mode)
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def dedup_incremental(
+    new_d: DataFrame,
+    store_path: str,
+    threshold: float = 0.7,
+    update_store: bool = True,
+    barrier=_lazy_barrier,
+) -> DataFrame:
+    """Dedup an increment against the signature store (and itself).
+
+    Returns the increment tagged with ``keep: bool`` and
+    ``matched_hist_id`` (the historical doc that shadowed it, NULL
+    otherwise). A new doc is dropped when (a) a band collision with
+    history has signature-estimated Jaccard ≥ ``threshold``, or (b) an
+    exact-verified intra-batch duplicate with a smaller kept doc_id
+    exists (min-id survivor, as in ``dedup_corpus``).
+
+    Plan: increment bands (small) join the pruned store band table —
+    Catalyst broadcasts the increment side; estimated Jaccard is 8
+    column equality tests on the joined signature rows. One shuffle on
+    the increment's doc_id to aggregate matches. When ``update_store``
+    is set, kept docs' signatures append to the store (the next
+    increment sees them)."""
+    spark = new_d.sparkSession
+    sig_new = minhash_signatures(new_d, barrier)
+    sig_new = barrier(minhash_band_table(sig_new).join(sig_new, "doc_id"))
+    hist = spark.read.parquet(store_path)
+    est = (
+        sum(
+            F.when(
+                F.col(f"n.mh{i}") == F.col(f"h.mh{i}"), 1
+            ).otherwise(0)
+            for i in range(MINHASHES)
+        )
+        / float(MINHASHES)
+    )
+    hist_match = (
+        sig_new.alias("n")
+        .join(hist.alias("h"), ["band", "bhash"])
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("h.doc_id").alias("hist_id"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .groupBy("doc_id")
+        .agg(F.min("hist_id").alias("matched_hist_id"))
+    )
+    intra = minhash_lsh_pairs_for(new_d, threshold, barrier)
+    # min-id survivor: a doc is shadowed intra-batch when some smaller
+    # doc id is its verified duplicate (id_a < id_b by construction)
+    shadowed = intra.select(F.col("id_b").alias("doc_id")).distinct()
+    out = (
+        new_d.join(hist_match, "doc_id", "left")
+        .join(shadowed.withColumn("_shadowed", F.lit(1)), "doc_id", "left")
+        .withColumn(
+            "keep",
+            F.col("matched_hist_id").isNull() & F.col("_shadowed").isNull(),
+        )
+        .drop("_shadowed")
+    )
+    if update_store:
+        kept = out.filter("keep").select(new_d.columns)
+        write_signature_store(kept, store_path, mode="append", barrier=barrier)
+    return out
 
 
 def simhash_from_hashes(th, bits: int = SIMHASH_BITS):

@@ -96,6 +96,74 @@ def test_deterministic_shuffle_is_seeded_permutation(spark):
     assert o1 != list(range(100))  # actually shuffled
 
 
+def test_incremental_dedup_against_store(spark, tmp_path):
+    """The production incremental shape: batch2 checks against batch1's
+    signature store; near-dups of history are dropped, novel docs kept
+    and appended, and batch3 then sees batch2's survivors."""
+    from dump_es_parquet_spark.operators.dedup import (
+        dedup_incremental,
+        write_signature_store,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    novel = (
+        "completely different content about distributed query engines "
+        "processing petabytes of training data with columnar formats"
+    )
+    store = str(tmp_path / "sigstore")
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    write_signature_store(b1, store)
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base),  # exact dup of history
+            (11, base + " extra trailing words"),  # near-dup of history
+            (12, novel),  # novel -> kept
+            (13, novel),  # intra-batch dup of 12 -> dropped, min-id wins
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_incremental(b2, store).collect()}
+    assert not out[10].keep and out[10].matched_hist_id == 1
+    assert not out[11].keep and out[11].matched_hist_id == 1
+    assert out[12].keep and out[12].matched_hist_id is None
+    assert not out[13].keep and out[13].matched_hist_id is None  # intra
+
+    # batch3: a dup of batch2's survivor must now hit the store
+    b3 = spark.createDataFrame([(20, novel)], "doc_id long, text string")
+    out3 = dedup_incremental(b3, store).collect()[0]
+    assert not out3.keep and out3.matched_hist_id == 12
+
+    # store grew only by the kept docs (1 base + 1 novel = 2 docs,
+    # BANDS rows each)
+    from dump_es_parquet_spark.operators.dedup import BANDS
+
+    assert spark.read.parquet(store).count() == 2 * BANDS
+
+
+def test_incremental_dedup_no_update_leaves_store(spark, tmp_path):
+    from dump_es_parquet_spark.operators.dedup import (
+        dedup_incremental,
+        write_signature_store,
+    )
+
+    store = str(tmp_path / "s2")
+    b1 = spark.createDataFrame(
+        [(1, "one doc of words " * 5)], "doc_id long, text string"
+    )
+    write_signature_store(b1, store)
+    before = spark.read.parquet(store).count()
+    b2 = spark.createDataFrame(
+        [(2, "unrelated fresh text entirely " * 4)], "doc_id long, text string"
+    )
+    out = dedup_incremental(b2, store, update_store=False).collect()
+    assert out[0].keep
+    assert spark.read.parquet(store).count() == before
+
+
 def test_quantize_roundtrip_error_bound(spark):
     from dump_es_parquet_spark.operators.embedding_ops import (
         dequantize_int8,
