@@ -120,6 +120,47 @@ def dedup_stream(
     return events.dropDuplicates(keys)
 
 
+def dedup_stream_against_store(
+    stream_df: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+):
+    """Streaming NEAR-dup curation against the persisted MinHash
+    signature store (``operators.dedup.write_signature_store``): each
+    micro-batch runs ``dedup_incremental`` — band-collision check
+    against all history INCLUDING previous micro-batches' survivors —
+    and appends only kept rows to ``out_path``. The ``foreachBatch``
+    composition is Structured Streaming's idiom for stateful logic
+    whose state lives outside the stream (here: the store on disk,
+    which also serves batch increments between stream runs).
+
+    Delivery contract (stated, not hidden): foreachBatch is
+    at-least-once — a batch retried after a mid-write crash re-appends
+    its rows and signatures. The store stays CORRECT under replay
+    (duplicate signature rows only add redundant band matches), but
+    the parquet output needs the usual downstream exact-dedup on
+    doc_id (or a transactional sink) for exactly-once. Returns the
+    started query; await it (``availableNow`` drains the source)."""
+    from dump_es_parquet_spark.operators.dedup import dedup_incremental
+
+    def _batch(df, _epoch_id):
+        if not df.head(1):
+            return
+        out = dedup_incremental(df, store_path, threshold)
+        out.filter("keep").select(df.columns).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def purchase_after_click_join(
     left: DataFrame, right: DataFrame, interval: str = "1 hour",
     watermark: str = "2 hours"

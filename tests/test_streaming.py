@@ -627,3 +627,56 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_dedup_against_signature_store(spark, tmp_path):
+    """foreachBatch composition: a file stream deduped against the
+    persisted signature store — batch-2 survivors shadow batch-3
+    replicas, and history (pre-stream) shadows batch-2 replicas."""
+    from dump_es_parquet_spark.operators.dedup import write_signature_store
+    from dump_es_parquet_spark.streaming.stream import (
+        dedup_stream_against_store,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    novel = (
+        "completely different content about distributed query engines "
+        "processing petabytes of training data with columnar formats"
+    )
+    store = str(tmp_path / "store")
+    seed = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    write_signature_store(seed, store)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, base + " tail"), (11, novel)], "doc_id long, text string"
+    ).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = str(tmp_path / "kept")
+    q = dedup_stream_against_store(
+        stream, store, out, checkpoint=str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    kept1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept1 == {11}  # 10 is a near-dup of seeded history
+
+    # second stream run: a replica of 11 (now in the store) + fresh doc
+    spark.createDataFrame(
+        [(20, novel + " coda"), (21, "an entirely fresh small doc " * 3)],
+        "doc_id long, text string",
+    ).write.parquet(str(src / "b2"))
+    q2 = dedup_stream_against_store(
+        stream, store, out, checkpoint=str(tmp_path / "ck")
+    )
+    q2.awaitTermination(120)
+    kept2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept2 == {11, 21}  # 20 shadowed by 11's streamed signature
