@@ -339,10 +339,14 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           serving path, same oracle
 #   text_vocab            — vocabulary heavy hitters (map-side-combined
 #                           token counts, TakeOrdered top-k)
+#   corpus_triplets       — contrastive (anchor, positive, negative)
+#                           mining: verified near-dup positives +
+#                           deterministic hash-ring negatives
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
         "text_vocab",
+        "corpus_triplets",
         "dedup_spans",
         "corpus_mix",
         "corpus_shuffle",
@@ -475,6 +479,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": _mod("profile", "corpus_profile"),
         "corpus_curriculum": _mod("profile", "curriculum_summary"),
         "text_vocab": _mod("text", "vocab_summary"),
+        "corpus_triplets": _mod("triplets", "triplet_summary"),
         # — dedup —
         "dedup_exact": _mod("dedup", "exact_dedup"),
         "dedup_ngram_jaccard": _mod("dedup", "ngram_jaccard_pairs"),
@@ -1474,6 +1479,48 @@ def _all_oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON id_b = sb.doc_id
         WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.6
         ORDER BY id_a, id_b
+    """
+
+    # contrastive triplets: the ngram pair CTE + the hash-ring negative
+    # (same md5 16-bit fold as corpus_splits, salt 'neg', mod n_docs)
+    _ring = """
+        (  (ascii(substr(nh,1,1)) - CASE WHEN ascii(substr(nh,1,1)) >= 97 THEN 87 ELSE 48 END) * 4096
+         + (ascii(substr(nh,2,1)) - CASE WHEN ascii(substr(nh,2,1)) >= 97 THEN 87 ELSE 48 END) * 256
+         + (ascii(substr(nh,3,1)) - CASE WHEN ascii(substr(nh,3,1)) >= 97 THEN 87 ELSE 48 END) * 16
+         + (ascii(substr(nh,4,1)) - CASE WHEN ascii(substr(nh,4,1)) >= 97 THEN 87 ELSE 48 END)
+        ) % 10000"""
+    q["corpus_triplets"] = f"""
+        {shingle_cte},
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+        pairs AS (
+          SELECT id_a, id_b,
+                 round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.6
+        ),
+        nn AS (SELECT count(*) AS n FROM documents),
+        hb AS (
+          SELECT id_a, id_b, jaccard, n,
+                 ({_ring}) % n AS base
+          FROM (SELECT p.*, nn.n,
+                       md5('neg' || CAST(id_a AS VARCHAR)) AS nh
+                FROM pairs p, nn) t
+        )
+        SELECT id_a AS anchor_id, id_b AS positive_id,
+               CAST(CASE
+                 WHEN base != id_a AND base != id_b THEN base
+                 WHEN ((base+1) % n) != id_a AND ((base+1) % n) != id_b
+                   THEN (base+1) % n
+                 ELSE (base+2) % n
+               END AS BIGINT) AS negative_id,
+               jaccard
+        FROM hb ORDER BY anchor_id, positive_id
     """
 
     # 8 minhashes = four 8-hex-char slices of each of two md5s

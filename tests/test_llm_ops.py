@@ -164,6 +164,25 @@ def test_incremental_dedup_no_update_leaves_store(spark, tmp_path):
     assert spark.read.parquet(store).count() == before
 
 
+def test_contrastive_triplets_negative_disjoint(spark, sf_dir):
+    from dump_es_parquet_spark.operators.tables import load
+    from dump_es_parquet_spark.operators.triplets import (
+        contrastive_triplets_for,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    rows = contrastive_triplets_for(d).collect()
+    assert rows  # the testdata plants near-dups
+    n = d.count()
+    for r in rows:
+        assert r.negative_id not in (r.anchor_id, r.positive_id)
+        assert 0 <= r.negative_id < n
+        assert r.jaccard >= 0.6
+    # deterministic across partitionings
+    rows2 = contrastive_triplets_for(d.repartition(7)).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
 def test_quantize_roundtrip_error_bound(spark):
     from dump_es_parquet_spark.operators.embedding_ops import (
         dequantize_int8,
