@@ -342,11 +342,14 @@ def _stream_batch_equiv(spark, sf_dir):
 #   corpus_triplets       — contrastive (anchor, positive, negative)
 #                           mining: verified near-dup positives +
 #                           deterministic hash-ring negatives
+#   corpus_decontaminate  — benchmark decontamination (GPT-3-style
+#                           shared-k-gram rule vs a held-out set)
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
         "text_vocab",
         "corpus_triplets",
+        "corpus_decontaminate",
         "dedup_spans",
         "corpus_mix",
         "corpus_shuffle",
@@ -480,6 +483,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curriculum": _mod("profile", "curriculum_summary"),
         "text_vocab": _mod("text", "vocab_summary"),
         "corpus_triplets": _mod("triplets", "triplet_summary"),
+        "corpus_decontaminate": _mod("spans", "decontaminate_summary"),
         # — dedup —
         "dedup_exact": _mod("dedup", "exact_dedup"),
         "dedup_ngram_jaccard": _mod("dedup", "ngram_jaccard_pairs"),
@@ -1341,6 +1345,29 @@ def _all_oracle_sql() -> dict[str, str]:
           FROM h
         )
         SELECT rank, doc_id, lang FROM r WHERE rank <= 20 ORDER BY rank
+    """
+
+    # — benchmark decontamination (operators/spans.py, k = 8) —
+    q["corpus_decontaminate"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sp AS (
+          SELECT doc_id,
+                 unnest([md5(array_to_string(t[x+1:x+8], ' '))
+                         FOR x IN range(0, greatest(len(t)-8, 0) + 1)]) AS span_h
+          FROM t
+        ),
+        bspans AS (
+          SELECT DISTINCT span_h FROM sp WHERE doc_id % 10 = 0
+        ),
+        hits AS (
+          SELECT DISTINCT s.doc_id, s.span_h
+          FROM sp s JOIN bspans b USING (span_h)
+          WHERE s.doc_id % 10 != 0
+        )
+        SELECT doc_id, count(*) AS n_shared_spans
+        FROM hits GROUP BY doc_id
+        HAVING count(*) >= 1
+        ORDER BY doc_id
     """
 
     # — span-level dup detection (operators/spans.py, k = 8) —

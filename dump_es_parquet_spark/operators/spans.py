@@ -105,6 +105,53 @@ def doc_span_profile(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    k: int = SPAN_K,
+    min_shared: int = 1,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Benchmark decontamination by shared-span count — the GPT-3-style
+    n-gram overlap rule: a corpus doc sharing ≥ ``min_shared`` k-token
+    spans with ANY benchmark document is flagged (and normally
+    dropped) before training, so eval numbers aren't memorization.
+
+    Returns the flagged docs as ``(doc_id, n_shared_spans)``.
+
+    Scale shape: the benchmark side reduces to a DISTINCT span-hash
+    set — benchmarks are MBs against a 100 TB corpus, so Catalyst
+    broadcasts it and the corpus-side span stream is filtered where it
+    is produced (corpus spans are never shuffled); the distinct + the
+    per-doc count shuffle only the surviving HITS, which are
+    contamination-sparse by construction."""
+    b_spans = span_stream(
+        benchmark, text_col, doc_col, k, hash_fn
+    ).select("span_h").distinct()
+    hits = span_stream(corpus, text_col, doc_col, k, hash_fn).join(
+        b_spans, "span_h"
+    )
+    return (
+        hits.select("doc_id", "span_h")
+        .distinct()  # count each shared span once per doc
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= min_shared)
+    )
+
+
+def decontaminate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): every 10th document stands in as
+    the held-out benchmark; the rest of the corpus is checked against
+    it. The planted near-dups in the testdata cross that boundary."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate(corpus, bench).orderBy("doc_id")
+
+
 def span_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query form (oracle-checked): repeated-span profile of every
     document, ordered by doc_id."""
