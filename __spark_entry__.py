@@ -344,6 +344,12 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           deterministic hash-ring negatives
 #   corpus_decontaminate  — benchmark decontamination (GPT-3-style
 #                           shared-k-gram rule vs a held-out set)
+#   events_value_bands    — keyless binned range join (point-in-interval
+#                           without an equi-key; no BNLJ)
+#   events_compact_latest — snapshot compaction (last-write-wins via
+#                           max_by partial agg, not a window sort)
+#   corpus_source_cap     — per-domain/source document cap (unbiased
+#                           md5-ordered window prune)
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
@@ -378,6 +384,9 @@ DEMOTED: frozenset[str] = frozenset(
         "sim_ann_ivf",
         "corpus_packing",
         "text_redact",
+        "events_value_bands",
+        "events_compact_latest",
+        "corpus_source_cap",
     }
 )
 
@@ -493,6 +502,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — similarity search —
         "sim_topk_bruteforce": _mod("similarity", "topk_bruteforce"),
         "sim_ann_lsh": _mod("similarity", "ann_sign_lsh"),
+        # — keyless range join / snapshot compaction / web curation —
+        "events_value_bands": _mod("rangejoin", "value_band_rangejoin"),
+        "events_compact_latest": _mod("snapshot", "q_events_compact_latest"),
+        "corpus_source_cap": _mod("web", "q_source_cap"),
     }
 
 
@@ -1943,6 +1956,65 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
                lower(substr(hexp, frame_no * 2000 + 1, 32)) AS frame_hex
         FROM f ORDER BY doc_id, frame_no
+    """
+
+    # keyless range join: irregular quadratic value bands [i^2, (i+1)^2).
+    # DuckDB plans this range predicate natively (IEJoin); the engine
+    # restores an equi-key via binning (operators/rangejoin.py).
+    q["events_value_bands"] = """
+        WITH bands AS (
+          SELECT range AS band_id, range * range AS lo,
+                 (range + 1) * (range + 1) AS hi
+          FROM range(23)
+        )
+        SELECT band_id, lo, hi,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band_id, lo, hi
+        ORDER BY band_id
+    """
+
+    # snapshot compaction: last-write-wins over two dump generations;
+    # the oracle uses the window formulation the engine deliberately
+    # avoids (operators/snapshot.py uses max_by partial aggregation).
+    q["events_compact_latest"] = """
+        WITH gen1 AS (
+          SELECT event_id, ts, user_id, event_type, value, props, 1 AS gen
+          FROM events
+        ),
+        gen2 AS (
+          SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id, event_type,
+                 value * 2 AS value, props, 2 AS gen
+          FROM events WHERE event_id % 10 = 0
+        ),
+        unioned AS (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2),
+        latest AS (
+          SELECT * FROM unioned
+          QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY gen DESC) = 1
+        )
+        SELECT event_type,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM latest GROUP BY event_type ORDER BY event_type
+    """
+
+    # per-source cap: both engines pick the same 15 docs per source
+    # because the order key md5(doc_id-as-string) hashes identical
+    # strings.
+    q["corpus_source_cap"] = """
+        WITH capped AS (
+          SELECT doc_id, source FROM documents
+          QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+          ) <= 15
+        )
+        SELECT source,
+               count(*) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+               CAST(bit_xor(doc_id) AS BIGINT) AS kept_id_xor
+        FROM capped GROUP BY source ORDER BY source
     """
 
     return q

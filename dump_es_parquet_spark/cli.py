@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-verify-certs", action="store_true",
                    help="Do not verify x509 certificates")
     p.add_argument("--output", default="parquet",
-                   choices=["parquet", "ndjson", "csv", "jsonl", "stdout"])
+                   choices=["parquet", "orc", "ndjson", "csv", "jsonl", "stdout"])
     p.add_argument("--compression", default="uncompressed",
                    choices=["uncompressed", "gzip", "zstd"])  # :392
     p.add_argument("--sort", default=DEFAULT_SORT)  # :380

@@ -38,7 +38,7 @@ UBER = 99
 logging.addLevelName(UBER, "UBER")
 
 #: formats that build a typed DataFrame (reference build_df, :58)
-DF_OUTPUTS = ("parquet", "ndjson", "csv")
+DF_OUTPUTS = ("parquet", "orc", "ndjson", "csv")
 
 
 @dataclass

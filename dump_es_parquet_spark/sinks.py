@@ -38,7 +38,7 @@ DEFAULT_MAX_MB = 1000  # reference --max-partition-mb (:393-395)
 
 @dataclass
 class SinkOptions:
-    output: str = "parquet"  # parquet|ndjson|csv|jsonl|stdout
+    output: str = "parquet"  # parquet|orc|ndjson|csv|jsonl|stdout
     compression: str | None = None  # None|gzip|zstd (jsonl/text modes)
     partition: bool = True  # --no-partition disables bounding (:396)
     partition_rows: int = DEFAULT_MAX_ROWS
@@ -157,6 +157,15 @@ def write(
         if opts.compression in ("gzip", "zstd", "snappy"):
             writer = writer.option("compression", opts.compression)
         writer.parquet(out_dir)
+    elif opts.output == "orc":
+        # engine extension (no reference equivalent): Spark's other
+        # built-in columnar format, for downstream stacks standardized
+        # on ORC. zstd to match the parquet default.
+        writer = writer.option(
+            "compression",
+            opts.compression if opts.compression in ("zstd", "snappy", "zlib", "lz4") else "zstd",
+        )
+        writer.orc(out_dir)
     elif opts.output == "ndjson":
         if opts.compression in ("gzip",):
             writer = writer.option("compression", opts.compression)

@@ -163,6 +163,25 @@ def test_dump_parquet_e2e(spark, tmp_path):
     assert n == 1500
 
 
+def test_dump_orc_e2e(spark, tmp_path):
+    """ORC sink (engine extension): same typed frame, Spark's other
+    built-in columnar format, zstd by default."""
+    res = dump(
+        spark,
+        factory,
+        "metrics-2026.05",
+        str(tmp_path),
+        ScanOptions(slices=2),
+        SinkOptions(output="orc"),
+    )
+    assert not res.errors
+    back = spark.read.orc(str(tmp_path / "metrics-2026.05"))
+    assert back.count() == 1500
+    assert back.schema["@timestamp"].dataType.simpleString() == "timestamp"
+    files = glob.glob(f"{tmp_path}/metrics-2026.05/part-*")
+    assert files and all(".orc" in f for f in files)
+
+
 def test_dump_warning_report(spark, tmp_path):
     fixture = {
         "weird": {

@@ -1,0 +1,195 @@
+"""Unit tests for the round-6 additions: binned range join, snapshot
+compaction, and web-corpus curation (URL canonicalization / domain
+caps). The end-to-end oracle checks live in test_operators.py via the
+demoted-query harness; these pin the operator APIs directly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dump_es_parquet_spark.operators.rangejoin import bin_range_join
+from dump_es_parquet_spark.operators.snapshot import compact_latest
+from dump_es_parquet_spark.operators.web import (
+    cap_per_group,
+    normalize_url,
+    registrable_domain,
+)
+
+
+# ---------------------------------------------------------------------------
+# bin_range_join
+# ---------------------------------------------------------------------------
+
+
+def _naive(points, ranges, closed):
+    ops = {
+        "left": lambda p, lo, hi: (p >= lo) & (p < hi),
+        "right": lambda p, lo, hi: (p > lo) & (p <= hi),
+        "both": lambda p, lo, hi: (p >= lo) & (p <= hi),
+        "neither": lambda p, lo, hi: (p > lo) & (p < hi),
+    }[closed]
+    return points.crossJoin(ranges).where(
+        ops(F.col("p"), F.col("lo"), F.col("hi"))
+    )
+
+
+@pytest.mark.parametrize("closed", ["left", "right", "both", "neither"])
+def test_bin_range_join_matches_naive(spark, closed):
+    # irregular, overlapping, boundary-touching ranges; points on the
+    # exact boundaries exercise every closed-ness mode
+    points = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0.0, 1.0, 2.5, 7.0, 7.5, 15.0, 63.9, 64.0])],
+        ["pid", "p"],
+    )
+    ranges = spark.createDataFrame(
+        [(0, 0.0, 1.0), (1, 1.0, 7.5), (2, 5.0, 64.0), (3, 7.0, 7.0), (4, 60.0, 100.0)],
+        ["rid", "lo", "hi"],
+    )
+    for w in (0.5, 3.0, 50.0):  # correctness must not depend on bin width
+        got = sorted(
+            (r.pid, r.rid)
+            for r in bin_range_join(
+                points, ranges, "p", "lo", "hi", bin_width=w, closed=closed
+            ).collect()
+        )
+        want = sorted((r.pid, r.rid) for r in _naive(points, ranges, closed).collect())
+        assert got == want, f"closed={closed} w={w}"
+
+
+def test_bin_range_join_no_nested_loop(spark):
+    """The whole point: the physical plan must be a hash/broadcast
+    equi-join, never BroadcastNestedLoopJoin."""
+    points = spark.range(100).select(F.col("id").cast("double").alias("p"))
+    ranges = spark.range(5).select(
+        (F.col("id") * 10).cast("double").alias("lo"),
+        (F.col("id") * 10 + 15).cast("double").alias("hi"),
+    )
+    binned = bin_range_join(points, ranges, "p", "lo", "hi", bin_width=10.0)
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMerge" in plan
+    # and the un-hinted naive formulation indeed degenerates, proving
+    # the rewrite is load-bearing
+    naive_plan = (
+        points.join(
+            ranges, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" in naive_plan
+
+
+def test_bin_range_join_validates(spark):
+    df = spark.range(1).select(F.col("id").cast("double").alias("p"))
+    r = spark.createDataFrame([(0.0, 1.0)], ["lo", "hi"])
+    with pytest.raises(ValueError):
+        bin_range_join(df, r, "p", "lo", "hi", bin_width=0)
+    with pytest.raises(ValueError):
+        bin_range_join(df, r, "p", "lo", "hi", bin_width=1.0, closed="open")
+
+
+# ---------------------------------------------------------------------------
+# compact_latest
+# ---------------------------------------------------------------------------
+
+
+def test_compact_latest_last_write_wins(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, payload="old", ts=1, gen=1),
+            Row(id=1, payload="new", ts=2, gen=1),
+            Row(id=1, payload="newer", ts=2, gen=2),  # ts tie → gen breaks it
+            Row(id=2, payload="only", ts=5, gen=1),
+        ]
+    )
+    out = compact_latest(df, ["id"], ["ts", "gen"])
+    assert out.columns == df.columns  # column order preserved
+    rows = {r.id: r.payload for r in out.collect()}
+    assert rows == {1: "newer", 2: "only"}
+
+
+def test_compact_latest_validates(spark):
+    df = spark.createDataFrame([Row(id=1, v=1)])
+    with pytest.raises(ValueError):
+        compact_latest(df, ["id"], ["nope"])
+
+
+def test_compact_latest_is_aggregate_not_window(spark):
+    """Plan check: partial aggregation before the shuffle (map-side
+    collapse of co-resident generations), and no Window/Sort node."""
+    df = spark.createDataFrame([Row(id=1, v="a", gen=1)])
+    plan = (
+        compact_latest(df, ["id"], ["gen"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "partial_max_by" in plan.lower() or "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# web curation
+# ---------------------------------------------------------------------------
+
+URL_CASES = [
+    # lowercase scheme+host, default port stripped, fragment dropped,
+    # tracking param removed, real param kept, path case preserved
+    (
+        "HTTP://Example.COM:80/Path?utm_source=x&q=1#frag",
+        "http://example.com/Path?q=1",
+    ),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a?b=2", "https://example.com:8443/a?b=2"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/?utm_campaign=z&fbclid=1", "https://example.com/"),
+    ("https://example.com/a?gclid=9&x=1&y=2", "https://example.com/a?x=1&y=2"),
+    (None, None),
+    ("not a url", None),
+]
+
+
+def test_normalize_url(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(URL_CASES)], ["i", "url"]
+    )
+    got = {
+        r.i: r.n
+        for r in df.select("i", normalize_url(F.col("url")).alias("n")).collect()
+    }
+    for i, (_, want) in enumerate(URL_CASES):
+        assert got[i] == want, f"case {i}: {URL_CASES[i][0]!r} -> {got[i]!r}"
+
+
+DOMAIN_CASES = [
+    ("www.example.co.uk", "example.co.uk"),
+    ("a.b.example.com", "example.com"),
+    ("example.com", "example.com"),
+    ("localhost", "localhost"),
+    ("192.168.0.1", "192.168.0.1"),
+    ("news.bbc.co.uk", "bbc.co.uk"),
+]
+
+
+def test_registrable_domain(spark):
+    df = spark.createDataFrame(DOMAIN_CASES, ["host", "want"])
+    for r in df.select(
+        "host", "want", registrable_domain(F.col("host")).alias("got")
+    ).collect():
+        assert r.got == r.want, f"{r.host}: {r.got!r} != {r.want!r}"
+
+
+def test_cap_per_group(spark):
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(5 if g == "a" else 2)],
+        ["g", "i"],
+    )
+    out = cap_per_group(df, ["g"], 3, F.col("i"))
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 3, "b": 2}
+    # order_col=i ascending keeps the smallest i's
+    assert sorted(r.i for r in out.where(F.col("g") == "a").collect()) == [0, 1, 2]
