@@ -350,6 +350,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           max_by partial agg, not a window sort)
 #   corpus_source_cap     — per-domain/source document cap (unbiased
 #                           md5-ordered window prune)
+#   sim_knn_graph         — exact corpus kNN graph (blocked-GEMM
+#                           partial top-k candidates + exact rescore)
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
@@ -387,6 +389,7 @@ DEMOTED: frozenset[str] = frozenset(
         "events_value_bands",
         "events_compact_latest",
         "corpus_source_cap",
+        "sim_knn_graph",
     }
 )
 
@@ -506,6 +509,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_bands": _mod("rangejoin", "value_band_rangejoin"),
         "events_compact_latest": _mod("snapshot", "q_events_compact_latest"),
         "corpus_source_cap": _mod("web", "q_source_cap"),
+        "sim_knn_graph": _mod("knn", "q_knn_graph"),
     }
 
 
@@ -2015,6 +2019,26 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
                CAST(bit_xor(doc_id) AS BIGINT) AS kept_id_xor
         FROM capped GROUP BY source ORDER BY source
+    """
+
+    # corpus kNN graph: every vector's exact top-5 cosine neighbors.
+    # DuckDB evaluates the O(n^2) self-join directly; the engine's
+    # blocked-GEMM candidate pruning (operators/knn.py) must land on
+    # the identical edge set and (rounded, fold-exact) sims.
+    q["sim_knn_graph"] = """
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                     round(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+        SELECT src, dst, cos_sim FROM p
+        QUALIFY row_number() OVER (
+          PARTITION BY src ORDER BY cos_sim DESC, dst ASC
+        ) <= 5
+        ORDER BY src, cos_sim DESC, dst
     """
 
     return q

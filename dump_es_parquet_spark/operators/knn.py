@@ -1,0 +1,166 @@
+"""Corpus kNN graph: exact top-k neighbors for EVERY vector.
+
+The similarity operators (``operators/similarity.py``) answer
+query→corpus top-k; clustering, SemDeDup-style semantic dedup, and
+graph-based ANN indexes (HNSW/NSG construction) all need the
+corpus→corpus form — each node's k nearest neighbors — which is a
+self-join that naive Spark plans as an O(n²)-row join output.
+
+Scale shape (candidates + exact rescore, the same two-phase pattern as
+``dedup.embedding_near_dup``):
+
+1. **Candidates — blocked GEMM partial top-k.** Rows are assigned to
+   B = ⌈n/block_size⌉ blocks; each row is replicated to the B block
+   pairs containing its block (shuffle volume n·B — replicated
+   matmul, NOT n²) and each of the B(B+1)/2 groups runs one dense
+   numpy GEMM, emitting only each row's top-(k+extra) WITHIN that
+   block pair. Per-row candidates are therefore B·(k+extra), not n:
+   the O(n²) flops stay inside BLAS kernels, and only O(n·B·k) rows
+   ever hit a shuffle. Correctness: any global top-k neighbor of a
+   row is by definition inside that row's top-k of the block pair
+   containing it, so the union of per-pair top-k is a superset of the
+   true top-k; ``extra`` absorbs BLAS-vs-fold float-order noise
+   (~1e-15) at the cut boundary.
+2. **Exact rescore + global top-k.** Candidates re-join their
+   embeddings and are scored with the same sequential-fold cosine the
+   DuckDB oracle computes (rounded to 6 decimals), then a per-source
+   ``row_number`` keeps k by (sim desc, neighbor asc) — bit-exact
+   against the oracle, with GEMM used only to prune.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dump_es_parquet_spark.operators.similarity import cosine
+from dump_es_parquet_spark.operators.tables import load
+
+CAND_SCHEMA = "src long, dst long"
+
+
+def knn_candidates(
+    e: DataFrame, k: int, block_size: int = 512, extra: int = 8
+) -> DataFrame:
+    """(src, dst) candidate edges: each row's top-(k+extra) neighbors
+    within every block pair, via per-group GEMM (see module doc)."""
+    n = e.count()
+    b = max(1, math.ceil(n / block_size))
+    kk = k + extra
+    tasks = (
+        e.select("vec_id", "embedding", F.pmod("vec_id", F.lit(b)).alias("blk"))
+        .select(
+            "vec_id",
+            "embedding",
+            "blk",
+            F.explode(F.array(*[F.lit(j) for j in range(b)])).alias("other"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.least("blk", "other").alias("bp_lo"),
+            F.greatest("blk", "other").alias("bp_hi"),
+            (F.col("blk") <= F.col("other")).alias("is_left"),
+        )
+    )
+
+    def _topk(key, pdf):
+        # nested so cloudpickle ships it by value
+        import numpy as np
+        import pandas as pd
+
+        def mat(frame):
+            ids = frame["vec_id"].to_numpy()
+            m = np.vstack(
+                frame["embedding"].map(lambda a: np.asarray(a, dtype="float64"))
+            )
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m
+
+        def rows_topk(src_ids, dst_ids, cos):
+            # per-row partial top-kk of one (src-block × dst-block) score
+            # matrix; argpartition keeps this O(rows·cols), not a sort
+            take = min(kk, cos.shape[1])
+            idx = np.argpartition(-cos, take - 1, axis=1)[:, :take]
+            s = np.repeat(src_ids, take)
+            d = dst_ids[idx.ravel()]
+            return s, d
+
+        lo, hi = key
+        left = pdf[pdf["is_left"]]
+        out_s: list = []
+        out_d: list = []
+        if lo == hi:
+            if len(left) >= 2:
+                ids, m = mat(left)
+                cos = m @ m.T
+                np.fill_diagonal(cos, -np.inf)
+                s, d = rows_topk(ids, ids, cos)
+                out_s.append(s)
+                out_d.append(d)
+        else:
+            right = pdf[~pdf["is_left"]]
+            if len(left) and len(right):
+                ids_l, ml = mat(left)
+                ids_r, mr = mat(right)
+                cos = ml @ mr.T
+                s, d = rows_topk(ids_l, ids_r, cos)
+                out_s.append(s)
+                out_d.append(d)
+                # symmetric: right rows also need neighbors from left
+                s, d = rows_topk(ids_r, ids_l, cos.T)
+                out_s.append(s)
+                out_d.append(d)
+        if not out_s:
+            return pd.DataFrame(
+                {"src": np.array([], dtype="int64"), "dst": np.array([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"src": np.concatenate(out_s), "dst": np.concatenate(out_d)}
+        )
+
+    return tasks.groupBy("bp_lo", "bp_hi").applyInPandas(_topk, CAND_SCHEMA)
+
+
+def knn_graph(
+    e: DataFrame, k: int = 5, block_size: int = 512, extra: int = 8
+) -> DataFrame:
+    """(src, dst, cos_sim): every vector's exact k nearest neighbors by
+    cosine, ties broken by neighbor id. GEMM prunes; the returned sims
+    come from the exact expression fold (oracle-portable)."""
+    # no distinct: a (src, dst) pair coexists in exactly ONE block pair
+    # (the one holding both blocks), so candidates are already unique
+    cand = knn_candidates(e.select("vec_id", "embedding"), k, block_size, extra)
+    ea = e.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("va")
+    )
+    eb = e.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("vb")
+    )
+    scored = (
+        cand.join(ea, "src")
+        .join(eb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("src", F.col("cos_sim").desc(), "dst")
+    )
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Declared-surface form: the full kNN graph of the embeddings
+    table (block_size forces multiple blocks even at test scale so the
+    block-pair path is what's actually exercised)."""
+    e = load(spark, sf_dir, "embeddings")
+    return knn_graph(e, k=k, block_size=256)

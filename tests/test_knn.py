@@ -1,0 +1,69 @@
+"""Corpus kNN graph: blocked-GEMM candidates + exact rescore must
+equal the naive exact per-node top-k (the oracle form runs in
+test_operators.py; this pins the operator against a Spark-computed
+exact answer and checks the candidate superset property)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dump_es_parquet_spark.operators.knn import knn_candidates, knn_graph
+from dump_es_parquet_spark.operators.similarity import cosine
+
+
+def _toy(spark, n=40, dim=8):
+    # deterministic pseudo-random vectors, no RNG: v[i][j] from md5-ish
+    # integer mixing so every run and engine sees the same data
+    rows = [
+        (i, [((i * 37 + j * 101 + (i * j) % 13) % 19) - 9.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _exact(e, k):
+    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    p = (
+        a.crossJoin(b)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
+    return p.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
+def test_knn_graph_matches_exact(spark):
+    e = _toy(spark)
+    # block_size=16 forces 3 blocks -> 6 block pairs: the multi-block
+    # path, not a degenerate single GEMM
+    got = sorted(
+        (r.src, r.dst, r.cos_sim)
+        for r in knn_graph(e, k=3, block_size=16).collect()
+    )
+    want = sorted((r.src, r.dst, r.cos_sim) for r in _exact(e, 3).collect())
+    assert got == want
+
+
+def test_knn_candidates_cover_true_topk(spark):
+    e = _toy(spark)
+    cand = set(
+        (r.src, r.dst) for r in knn_candidates(e, k=3, block_size=16).collect()
+    )
+    true = set((r.src, r.dst) for r in _exact(e, 3).collect())
+    assert true <= cand  # superset property the rescore relies on
+    # and candidates stay bounded: <= B * (k + extra) per node
+    import collections
+
+    per_src = collections.Counter(s for s, _ in cand)
+    assert max(per_src.values()) <= 3 * (3 + 8)
+
+
+def test_knn_graph_every_node_has_k(spark):
+    e = _toy(spark)
+    out = knn_graph(e, k=3, block_size=16)
+    counts = out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    assert len(counts) == 40 and all(r.n == 3 for r in counts)
