@@ -352,6 +352,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           md5-ordered window prune)
 #   sim_knn_graph         — exact corpus kNN graph (blocked-GEMM
 #                           partial top-k candidates + exact rescore)
+#   events_zorder         — Z-order (Morton) layout clustering: the
+#                           multi-column min/max-pruning write layout
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
@@ -390,6 +392,7 @@ DEMOTED: frozenset[str] = frozenset(
         "events_compact_latest",
         "corpus_source_cap",
         "sim_knn_graph",
+        "events_zorder",
     }
 )
 
@@ -510,6 +513,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_compact_latest": _mod("snapshot", "q_events_compact_latest"),
         "corpus_source_cap": _mod("web", "q_source_cap"),
         "sim_knn_graph": _mod("knn", "q_knn_graph"),
+        "events_zorder": _mod("layout", "q_events_zorder"),
     }
 
 
@@ -2019,6 +2023,38 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
                CAST(bit_xor(doc_id) AS BIGINT) AS kept_id_xor
         FROM capped GROUP BY source ORDER BY source
+    """
+
+    # z-order layout: quantize (user_id, value) to 8-bit codes from the
+    # table's min/max, Morton-interleave, bucket by the top bits. The
+    # per-bucket column spans being tight vs the table span IS the
+    # min/max file-pruning benefit (operators/layout.py).
+    interleave = " + ".join(
+        f"(((cu >> {i}) & 1) << {2 * i}) + (((cv >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    q["events_zorder"] = f"""
+        WITH b AS (SELECT CAST(min(user_id) AS DOUBLE) AS lou,
+                          CAST(max(user_id) AS DOUBLE) AS hiu,
+                          CAST(min(value) AS DOUBLE) AS lov,
+                          CAST(max(value) AS DOUBLE) AS hiv
+                   FROM events),
+        c AS (SELECT user_id, value,
+                     greatest(0, least(255, CAST(floor(
+                       (CAST(user_id AS DOUBLE) - lou) * 255 / (hiu - lou)
+                     ) AS BIGINT))) AS cu,
+                     greatest(0, least(255, CAST(floor(
+                       (CAST(value AS DOUBLE) - lov) * 255 / (hiv - lov)
+                     ) AS BIGINT))) AS cv
+              FROM events, b),
+        z AS (SELECT user_id, value, {interleave} AS zv FROM c)
+        SELECT zv >> 8 AS z_bucket,
+               count(*) AS n_events,
+               CAST(min(user_id) AS BIGINT) AS min_user,
+               CAST(max(user_id) AS BIGINT) AS max_user,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM z GROUP BY z_bucket ORDER BY z_bucket
     """
 
     # corpus kNN graph: every vector's exact top-5 cosine neighbors.

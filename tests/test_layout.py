@@ -1,0 +1,89 @@
+"""Z-order layout: the written files must actually enable min/max
+pruning — per-file column spans far tighter than the table span on
+EVERY participating column, which a single-column sort cannot give."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from dump_es_parquet_spark.operators.layout import (
+    interleave_bits,
+    quantize,
+    zorder,
+    zvalue_for,
+)
+
+
+def test_quantize_edges(spark):
+    df = spark.range(1).select(
+        quantize(F.lit(5.0), F.lit(0.0), F.lit(10.0), 8).alias("mid"),
+        quantize(F.lit(0.0), F.lit(0.0), F.lit(10.0), 8).alias("lo"),
+        quantize(F.lit(10.0), F.lit(0.0), F.lit(10.0), 8).alias("hi"),
+        quantize(F.lit(7.0), F.lit(7.0), F.lit(7.0), 8).alias("degenerate"),
+        quantize(F.lit(None).cast("double"), F.lit(0.0), F.lit(1.0), 8).alias("null"),
+        quantize(F.lit(99.0), F.lit(0.0), F.lit(10.0), 8).alias("above"),
+    )
+    r = df.first()
+    assert r.lo == 0 and r.hi == 255 and 120 <= r.mid <= 135
+    assert r.degenerate == 0 and r.null == 0 and r.above == 255
+
+
+def test_interleave_bits_morton():
+    # z(x=0b11, y=0b00) with 2 bits: x bits at even positions -> 0b0101
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    r = spark.range(1).select(
+        interleave_bits([F.lit(3).cast("long"), F.lit(0).cast("long")], 2).alias("a"),
+        interleave_bits([F.lit(0).cast("long"), F.lit(3).cast("long")], 2).alias("b"),
+        interleave_bits([F.lit(3).cast("long"), F.lit(3).cast("long")], 2).alias("c"),
+    ).first()
+    assert (r.a, r.b, r.c) == (0b0101, 0b1010, 0b1111)
+
+
+def _file_spans(path, col):
+    spans = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    los.append(c.statistics.min)
+                    his.append(c.statistics.max)
+        if los:
+            spans.append(max(his) - min(los))
+    return spans
+
+
+def test_zorder_tightens_file_spans(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
+    n_files = 8
+    naive = str(tmp_path / "naive")
+    zed = str(tmp_path / "zorder")
+    # naive: whatever partitioning the scan had, rebalanced round-robin
+    ev.repartition(n_files).write.parquet(naive)
+    zorder(ev, ["user_id", "value"], bits=8, num_files=n_files).write.parquet(zed)
+
+    table_span_u = ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    naive_spans = _file_spans(naive, "user_id")
+    z_spans = _file_spans(zed, "user_id")
+    # round-robin files each cover ~the whole domain; z-ordered files
+    # cover tight slices -> average span at most half the naive average
+    assert sum(naive_spans) / len(naive_spans) > 0.8 * table_span_u
+    assert sum(z_spans) / len(z_spans) < 0.5 * sum(naive_spans) / len(naive_spans)
+    # AND the second column also tightens (single-column sort can't)
+    naive_v = _file_spans(naive, "value")
+    z_v = _file_spans(zed, "value")
+    assert sum(z_v) / len(z_v) < 0.8 * sum(naive_v) / len(naive_v)
+
+
+def test_zvalue_deterministic(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = zvalue_for(ev, ["user_id", "value"]).agg(F.sum("__zvalue")).first()[0]
+    b = zvalue_for(ev, ["user_id", "value"]).agg(F.sum("__zvalue")).first()[0]
+    assert a == b
