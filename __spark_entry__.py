@@ -354,6 +354,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           partial top-k candidates + exact rescore)
 #   events_zorder         — Z-order (Morton) layout clustering: the
 #                           multi-column min/max-pruning write layout
+#   events_snapshot_diff  — CDC diff between dump generations (one
+#                           full-outer join + null-safe struct compare)
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
@@ -393,6 +395,7 @@ DEMOTED: frozenset[str] = frozenset(
         "corpus_source_cap",
         "sim_knn_graph",
         "events_zorder",
+        "events_snapshot_diff",
     }
 )
 
@@ -514,6 +517,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_cap": _mod("web", "q_source_cap"),
         "sim_knn_graph": _mod("knn", "q_knn_graph"),
         "events_zorder": _mod("layout", "q_events_zorder"),
+        "events_snapshot_diff": _mod("snapshot", "q_events_snapshot_diff"),
     }
 
 
@@ -2055,6 +2059,37 @@ def _all_oracle_sql() -> dict[str, str]:
                min(value) AS min_value,
                max(value) AS max_value
         FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """
+
+    # CDC diff between dump generations: deletes (every 97th), updates
+    # (every 10th survivor), adds (shifted-id clones of every 101st).
+    q["events_snapshot_diff"] = """
+        WITH survivors AS (SELECT * FROM events WHERE event_id % 97 <> 0),
+        updated AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value,
+                 event_type
+          FROM survivors
+        ),
+        added AS (
+          SELECT event_id + 10000000 AS event_id, value, event_type
+          FROM events WHERE event_id % 101 = 0
+        ),
+        newgen AS (SELECT * FROM updated UNION ALL SELECT * FROM added),
+        old AS (SELECT event_id, value, event_type FROM events),
+        d AS (
+          SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+                 CASE WHEN o.event_id IS NULL THEN 'added'
+                      WHEN n.event_id IS NULL THEN 'removed'
+                      WHEN (o.value IS DISTINCT FROM n.value)
+                        OR (o.event_type IS DISTINCT FROM n.event_type)
+                        THEN 'changed'
+                      ELSE 'unchanged' END AS change_status
+          FROM old o FULL OUTER JOIN newgen n ON o.event_id = n.event_id
+        )
+        SELECT change_status, count(*) AS n,
+               CAST(sum(event_id) AS BIGINT) AS key_sum
+        FROM d GROUP BY change_status ORDER BY change_status
     """
 
     # corpus kNN graph: every vector's exact top-5 cosine neighbors.

@@ -47,6 +47,75 @@ def compact_latest(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data capture between two dump generations: one row per
+    key present in either, with ``change_status`` ∈ added / removed /
+    changed / unchanged (ES has no CDC API below 're-dump and diff' —
+    this is the diff).
+
+    Scale shape: a single full-outer sort-merge join on the keys (both
+    sides shuffle once); change detection is a null-safe struct
+    comparison (``<=>``), evaluated inside the join's projection — no
+    per-column join conditions, no second pass. For very wide rows
+    pass ``compare_cols`` to diff a subset (e.g. exclude ingest
+    timestamps that always churn)."""
+    missing = [k for k in keys if k not in old.columns or k not in new.columns]
+    if missing:
+        raise ValueError(f"key columns not in both frames: {missing}")
+    payload = compare_cols or [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.struct(*[F.col(c) for c in payload]).alias("__old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.struct(*[F.col(c) for c in payload]).alias("__new"),
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+    status = (
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("removed"))
+        .when(F.col("__old").eqNullSafe(F.col("__new")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*keys, status.alias("change_status"))
+
+
+def q_events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demo: generation 2 re-dump where every 97th doc was deleted,
+    every 10th surviving doc updated, and a shifted-id clone of every
+    101st doc added. The diff summary must count each class exactly;
+    the oracle recomputes it with FULL JOIN + IS DISTINCT FROM."""
+    from dump_es_parquet_spark.operators.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    survivors = ev.where(F.col("event_id") % 97 != 0)
+    updated = survivors.withColumn(
+        "value",
+        F.when(F.col("event_id") % 10 == 0, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    added = ev.where(F.col("event_id") % 101 == 0).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
+    new = updated.unionByName(added)
+    d = snapshot_diff(ev, new, ["event_id"], compare_cols=["value", "event_type"])
+    return (
+        d.groupBy("change_status")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("key_sum"),
+        )
+        .orderBy("change_status")
+    )
+
+
 def q_events_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Demo on the events table: generation 1 is the original dump;
     generation 2 "re-dumps" every 10th document a day later with an

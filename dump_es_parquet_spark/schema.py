@@ -194,3 +194,50 @@ def flatten_struct_names(schema: T.StructType, prefix: str = "") -> list[str]:
         else:
             names.append(p)
     return names
+
+
+def diff_schemas(
+    old: T.StructType, new: T.StructType, prefix: str = ""
+) -> list[dict]:
+    """Schema drift between two dump generations' discovered schemas
+    (re-dumping after a mapping change is routine ES operation; the
+    reference rebuilds its schema from the live mapping every run,
+    ``dump-es-parquet:51-80``, so drift is silent there — this makes
+    it inspectable).
+
+    Returns one record per changed leaf path:
+    ``{"path", "change": added|removed|type_changed, "old_type",
+    "new_type"}``. A field whose type changed from struct to leaf (or
+    back) reports as ``type_changed`` at that path; matching structs
+    recurse. Driver-side metadata work — no data is scanned; pair with
+    ``snapshot_diff`` (row-level) for a full generation audit."""
+    out: list[dict] = []
+    old_fields = {f.name: f for f in old.fields}
+    new_fields = {f.name: f for f in new.fields}
+    for name, f in old_fields.items():
+        p = prefix + name
+        if name not in new_fields:
+            out.append(
+                {"path": p, "change": "removed",
+                 "old_type": f.dataType.simpleString(), "new_type": None}
+            )
+            continue
+        g = new_fields[name]
+        both_struct = isinstance(f.dataType, T.StructType) and isinstance(
+            g.dataType, T.StructType
+        )
+        if both_struct:
+            out.extend(diff_schemas(f.dataType, g.dataType, p + "."))
+        elif f.dataType != g.dataType:
+            out.append(
+                {"path": p, "change": "type_changed",
+                 "old_type": f.dataType.simpleString(),
+                 "new_type": g.dataType.simpleString()}
+            )
+    for name, g in new_fields.items():
+        if name not in old_fields:
+            out.append(
+                {"path": prefix + name, "change": "added",
+                 "old_type": None, "new_type": g.dataType.simpleString()}
+            )
+    return out

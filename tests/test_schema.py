@@ -151,3 +151,33 @@ def test_wire_struct_all_strings():
 def test_flatten_struct_names():
     st = properties_to_struct({"meta": {"properties": {"geo": {"properties": {"city": {"type": "keyword"}}}}}})
     assert flatten_struct_names(st) == ["meta.geo.city"]
+
+
+def test_diff_schemas_drift():
+    from dump_es_parquet_spark.schema import diff_schemas
+
+    old = properties_to_struct(
+        {
+            "host": {"type": "keyword"},
+            "port": {"type": "integer"},
+            "meta": {"properties": {"city": {"type": "keyword"},
+                                    "zip": {"type": "keyword"}}},
+        }
+    )
+    new = properties_to_struct(
+        {
+            "host": {"type": "keyword"},
+            "port": {"type": "long"},  # widened
+            "meta": {"properties": {"city": {"type": "keyword"},
+                                    "geo": {"type": "keyword"}}},
+            "status": {"type": "keyword"},  # new field
+        }
+    )
+    drift = {d["path"]: d for d in diff_schemas(old, new)}
+    assert drift["port"]["change"] == "type_changed"
+    assert (drift["port"]["old_type"], drift["port"]["new_type"]) == ("int", "bigint")
+    assert drift["meta.zip"]["change"] == "removed"
+    assert drift["meta.geo"]["change"] == "added"
+    assert drift["status"]["change"] == "added"
+    assert "host" not in drift and "meta.city" not in drift
+    assert diff_schemas(old, old) == []

@@ -132,6 +132,32 @@ def test_compact_latest_is_aggregate_not_window(spark):
     assert "partial_max_by" in plan.lower() or "HashAggregate" in plan
 
 
+def test_snapshot_diff_statuses(spark):
+    from dump_es_parquet_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y"), (4, None, "z")],
+        ["id", "v", "w"],
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "x"), (3, "CHANGED", "y"), (4, None, "z"), (5, "e", None)],
+        ["id", "v", "w"],
+    )
+    got = {r.id: r.change_status for r in snapshot_diff(old, new, ["id"]).collect()}
+    # null-safe compare: id=4 has NULL v on both sides -> unchanged
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "unchanged", 5: "added"}
+
+
+def test_snapshot_diff_compare_subset(spark):
+    from dump_es_parquet_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 10)], ["id", "v", "noise"])
+    new = spark.createDataFrame([(1, "a", 99)], ["id", "v", "noise"])
+    full = snapshot_diff(old, new, ["id"]).first().change_status
+    sub = snapshot_diff(old, new, ["id"], compare_cols=["v"]).first().change_status
+    assert (full, sub) == ("changed", "unchanged")
+
+
 # ---------------------------------------------------------------------------
 # web curation
 # ---------------------------------------------------------------------------
