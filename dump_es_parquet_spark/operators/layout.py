@@ -89,6 +89,39 @@ def zorder(df: DataFrame, cols: list[str], bits: int = 8, num_files: int | None 
     return parted.sortWithinPartitions(Z_COL).drop(Z_COL)
 
 
+def compact_files(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 512,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_mb`` each. Streaming dumps (``--follow``) and per-slice
+    writers leave many small files; small files are the other half of
+    the scan-cost story (per-file open/footer overhead, starved
+    vectorized reads, NameNode/object-store pressure).
+
+    File count comes from the directory's ACTUAL on-disk bytes (driver
+    metadata listing, no data read). ``sort_col`` additionally orders
+    the rewrite (``repartitionByRange`` + local sort) so compaction
+    doubles as a clustering pass; otherwise a plain ``repartition``
+    round-robins for uniform file sizes. Returns the file count."""
+    import math
+
+    df = spark.read.parquet(in_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm_path).getLength()
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if sort_col:
+        out = df.repartitionByRange(n, sort_col).sortWithinPartitions(sort_col)
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(out_path)
+    return n
+
+
 def q_events_zorder(spark, sf_dir: str):
     """Declared-surface form: z-values of (user_id, value) over fixed
     8-bit codes, summarized per z-range bucket with the per-bucket

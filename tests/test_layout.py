@@ -87,3 +87,28 @@ def test_zvalue_deterministic(spark, sf_dir):
     a = zvalue_for(ev, ["user_id", "value"]).agg(F.sum("__zvalue")).first()[0]
     b = zvalue_for(ev, ["user_id", "value"]).agg(F.sum("__zvalue")).first()[0]
     assert a == b
+
+
+def test_compact_files(spark, sf_dir, tmp_path):
+    from dump_es_parquet_spark.operators.layout import compact_files
+
+    frag = str(tmp_path / "fragmented")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(40).write.parquet(frag)  # simulate a streamy dump
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 40
+
+    out = str(tmp_path / "compacted")
+    # target sized so the whole table fits in one file at test scale
+    n = compact_files(spark, frag, out, target_mb=64)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert n == 1 and len(files) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+
+    # sort_col variant clusters while compacting
+    out2 = str(tmp_path / "compacted_sorted")
+    compact_files(spark, frag, out2, target_mb=64, sort_col="user_id")
+    spans = _file_spans(out2, "user_id")
+    assert spans  # stats exist; single file spans whole domain, but sorted
+    first = spark.read.parquet(out2).limit(1).first()
+    assert first.user_id == spark.read.parquet(frag).agg(F.min("user_id")).first()[0]

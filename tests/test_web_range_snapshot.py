@@ -132,6 +132,46 @@ def test_compact_latest_is_aggregate_not_window(spark):
     assert "partial_max_by" in plan.lower() or "HashAggregate" in plan
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+finite = st.floats(
+    min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(finite, min_size=0, max_size=8),
+    ranges=st.lists(st.tuples(finite, finite), min_size=0, max_size=5),
+    width=st.sampled_from([0.5, 7.0, 100.0]),
+    closed=st.sampled_from(["left", "right", "both", "neither"]),
+)
+def test_bin_range_join_property(spark, points, ranges, width, closed):
+    """Arbitrary floats (boundary-coincident, negative, empty frames):
+    binned result set-equals the naive cross-join filter, for every
+    closed-ness and bin width."""
+    pdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(points)], "pid long, p double"
+    )
+    rdf = spark.createDataFrame(
+        [(i, float(min(a, b)), float(max(a, b))) for i, (a, b) in enumerate(ranges)],
+        "rid long, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.rid)
+        for r in bin_range_join(
+            pdf, rdf, "p", "lo", "hi", bin_width=width, closed=closed
+        ).collect()
+    )
+    want = sorted((r.pid, r.rid) for r in _naive(pdf, rdf, closed).collect())
+    assert got == want
+
+
 def test_snapshot_diff_statuses(spark):
     from dump_es_parquet_spark.operators.snapshot import snapshot_diff
 
