@@ -356,6 +356,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           multi-column min/max-pruning write layout
 #   events_snapshot_diff  — CDC diff between dump generations (one
 #                           full-outer join + null-safe struct compare)
+#   corpus_lm_score       — perplexity-filter shape: corpus-derived
+#                           unigram-rank model, broadcast-join scoring
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
@@ -396,6 +398,7 @@ DEMOTED: frozenset[str] = frozenset(
         "sim_knn_graph",
         "events_zorder",
         "events_snapshot_diff",
+        "corpus_lm_score",
     }
 )
 
@@ -518,6 +521,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_graph": _mod("knn", "q_knn_graph"),
         "events_zorder": _mod("layout", "q_events_zorder"),
         "events_snapshot_diff": _mod("snapshot", "q_events_snapshot_diff"),
+        "corpus_lm_score": _mod("lm", "q_corpus_lm_score"),
     }
 
 
@@ -2059,6 +2063,35 @@ def _all_oracle_sql() -> dict[str, str]:
                min(value) AS min_value,
                max(value) AS max_value
         FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """
+
+    # perplexity-filter shape: rank model from the corpus's own token
+    # stats, integer Zipf scores (floor(1e6/rank); float logprobs would
+    # hinge the oracle on libm log bit-parity), broadcast-join apply.
+    q["corpus_lm_score"] = r"""
+        WITH toks AS (
+          SELECT doc_id, t AS token FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+            FROM documents
+          ) WHERE t <> ''
+        ),
+        counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        model AS (
+          SELECT token,
+                 row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+          FROM counts ORDER BY cnt DESC, token ASC LIMIT 1000
+        ),
+        m2 AS (SELECT token, CAST(1000000 // rank AS BIGINT) AS score_ppm
+               FROM model),
+        j AS (SELECT t.doc_id, m2.score_ppm
+              FROM toks t LEFT JOIN m2 USING (token))
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN score_ppm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               CAST(sum(COALESCE(score_ppm, 0)) AS BIGINT) AS score_sum_ppm,
+               CAST(sum(COALESCE(score_ppm, 0)) // count(*) AS BIGINT) AS mean_score_ppm
+        FROM j GROUP BY doc_id ORDER BY doc_id
     """
 
     # CDC diff between dump generations: deletes (every 97th), updates

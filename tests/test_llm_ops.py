@@ -409,3 +409,35 @@ def test_quantize_negative_half_rounding_matches_halfup(spark):
     )
     codes = list(quantize_int8(d).collect()[0].q_codes)
     assert codes == [127, 0, 1, -1]
+
+
+def test_unigram_rank_model_and_scoring(spark):
+    """Rank model: deterministic ranks with string tiebreak; scoring:
+    OOV handling and integer-exact means (operators/lm.py)."""
+    from dump_es_parquet_spark.operators.lm import (
+        score_documents,
+        unigram_rank_model,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog"),
+            (2, "zzz unseen-only tokens"),
+        ],
+        ["doc_id", "text"],
+    )
+    model = unigram_rank_model(docs, vocab_size=3)
+    m = {r.token: (r.rank, r.score_ppm) for r in model.collect()}
+    # 'the' x3 -> rank 1; then count-1 tokens tie -> lexicographic
+    assert m["the"] == (1, 1_000_000)
+    assert list(m) == sorted(m, key=lambda t: (-3 if t == "the" else -1, t))
+    assert len(m) == 3
+
+    scored = {r.doc_id: r for r in score_documents(docs, model).collect()}
+    assert scored[0].n_tokens == 6
+    # doc 2 shares no vocab: everything OOV, mean 0
+    assert scored[2].n_oov == scored[2].n_tokens and scored[2].mean_score_ppm == 0
+    # integer mean: floor(sum/n)
+    r0 = scored[0]
+    assert r0.mean_score_ppm == r0.score_sum_ppm // r0.n_tokens
