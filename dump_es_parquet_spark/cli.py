@@ -103,6 +103,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--follow-dedup-watermark", type=int, default=3600,
                    help="with --follow-dedup-key: event-time watermark in "
                    "seconds bounding dedup state")
+    p.add_argument("--follow-upsert-key", default=None,
+                   help="with --follow: comma-separated document key "
+                   "columns; maintain a LATEST-STATE table (last write "
+                   "wins, bucket-partitioned parquet merge) instead of "
+                   "appending history. Requires --output parquet")
+    p.add_argument("--follow-upsert-version", default=None,
+                   help="with --follow-upsert-key: comma-separated version "
+                   "columns deciding 'latest' (default: the --ts-field)")
+    p.add_argument("--follow-upsert-buckets", type=int, default=64,
+                   help="hash buckets partitioning the latest-state table; "
+                   "an increment rewrites only touched buckets")
     p.add_argument("--fixture-json", default=argparse.SUPPRESS,
                    help=argparse.SUPPRESS)  # testing hook: mock ES fixture file
     return p
@@ -118,6 +129,9 @@ def _follow(spark, args) -> int:
 
     if args.output not in ("parquet", "ndjson"):
         print("--follow supports --output parquet|ndjson", file=sys.stderr)
+        return 2
+    if args.follow_upsert_key and args.output != "parquet":
+        print("--follow-upsert-key requires --output parquet", file=sys.stderr)
         return 2
     if any(c in args.index for c in "*?,"):
         # A pattern would be embedded verbatim in the output dir and
@@ -195,6 +209,29 @@ def _follow(spark, args) -> int:
         )
         if derived:
             df = df.drop(wm_col)
+    if args.follow_upsert_key:
+        # latest-state mode: merge each micro-batch (last write wins)
+        # into a bucket-partitioned parquet table instead of appending
+        # history — the `tail -f` that converges to the index's current
+        # documents (operators/snapshot.upsert_latest)
+        from dump_es_parquet_spark.operators.snapshot import follow_upsert
+
+        trig = (
+            {"availableNow": True}
+            if args.follow_once
+            else {"processingTime": f"{args.follow_interval} seconds"}
+        )
+        q = follow_upsert(
+            df,
+            out_dir,
+            ck,
+            [k.strip() for k in args.follow_upsert_key.split(",")],
+            [v.strip() for v in (args.follow_upsert_version or args.ts_field).split(",")],
+            n_buckets=args.follow_upsert_buckets,
+            trigger=trig,
+        )
+        q.awaitTermination()
+        return 0
     w = (
         df.writeStream.format({"parquet": "parquet", "ndjson": "json"}[args.output])
         .option("path", out_dir)

@@ -47,6 +47,87 @@ def compact_latest(
     )
 
 
+BUCKET_COL = "__kbucket"
+
+
+def upsert_latest(
+    batch: DataFrame,
+    state_path: str,
+    keys: list[str],
+    version_cols: list[str],
+    n_buckets: int = 64,
+) -> None:
+    """Merge a batch of new document generations into a persisted
+    "latest state" parquet table, last-write-wins — the parquet-only
+    MERGE.
+
+    Plain parquet cannot update in place, and rewriting the whole
+    state per increment is O(state) — the 100 TB killer. Instead the
+    state table is hive-partitioned by a key-hash bucket
+    (``pmod(xxhash64(keys), n_buckets)``); an increment rewrites ONLY
+    the buckets its keys touch (dynamic partition overwrite), so merge
+    cost is O(state/n_buckets × touched_buckets + batch), independent
+    of total state when increments are concentrated. Size ``n_buckets``
+    so one bucket ≈ a comfortable task (state_bytes / ~512 MB).
+
+    Idempotent by construction: re-applying the same batch (foreachBatch
+    is at-least-once) recomputes identical bucket contents. Not safe
+    for CONCURRENT writers — one merge job at a time, the same contract
+    as any dynamic-partition-overwrite pipeline."""
+    spark = batch.sparkSession
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    b = batch.withColumn(BUCKET_COL, bucket)
+    # Hadoop FS check (not os.path) so object-store state paths work
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path + "/_SUCCESS")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        # bootstrap still compacts: one batch can carry several
+        # generations of a key (a backfill drain always does)
+        compact_latest(b, keys, version_cols).write.partitionBy(
+            BUCKET_COL
+        ).mode("overwrite").parquet(state_path)
+        return
+    touched = [r[BUCKET_COL] for r in b.select(BUCKET_COL).distinct().collect()]
+    if not touched:
+        return
+    state = spark.read.parquet(state_path).where(
+        F.col(BUCKET_COL).isin(touched)  # partition-pruned scan
+    )
+    merged = compact_latest(
+        state.select(b.columns).unionByName(b), keys, version_cols
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(state_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def follow_upsert(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    version_cols: list[str],
+    n_buckets: int = 64,
+    trigger: dict | None = None,
+):
+    """Streaming tail of ``upsert_latest``: each ``--follow``
+    micro-batch merges into the latest-state table instead of
+    appending history (``foreachBatch`` — Structured Streaming's idiom
+    for sinks with external state). At-least-once delivery composes
+    with the merge's idempotence to effectively-once state."""
+
+    def _merge(b: DataFrame, _epoch: int) -> None:
+        upsert_latest(b, state_path, keys, version_cols, n_buckets)
+
+    w = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    return w.trigger(**(trigger or {"availableNow": True})).start()
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -241,3 +241,109 @@ def diff_schemas(
                  "old_type": None, "new_type": g.dataType.simpleString()}
             )
     return out
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution union (multi-generation lakes)
+# ---------------------------------------------------------------------------
+
+#: numeric widening lattice (order = width); crossing the int/float
+#: line resolves to double, anything else to string (lossless as text,
+#: the reference's own fallback for unconvertible values, :176-180)
+_INT_ORDER = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()]
+_FLOAT_ORDER = [T.FloatType(), T.DoubleType()]
+
+
+def widen_types(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Least common supertype for evolved-schema unions."""
+    if a == b:
+        return a
+    if a in _INT_ORDER and b in _INT_ORDER:
+        return _INT_ORDER[max(_INT_ORDER.index(a), _INT_ORDER.index(b))]
+    if a in _FLOAT_ORDER and b in _FLOAT_ORDER:
+        return _FLOAT_ORDER[max(_FLOAT_ORDER.index(a), _FLOAT_ORDER.index(b))]
+    num = set(_INT_ORDER) | set(_FLOAT_ORDER)
+    if a in num and b in num:
+        return T.DoubleType()
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        return merge_schemas(a, b)
+    return T.StringType()
+
+
+def merge_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Union of fields, recursively widened; field order = ``a``'s
+    order then ``b``-only fields in ``b``'s order (stable across
+    repeated merges)."""
+    bf = {f.name: f for f in b.fields}
+    out = []
+    for f in a.fields:
+        if f.name in bf:
+            out.append(T.StructField(f.name, widen_types(f.dataType, bf[f.name].dataType)))
+        else:
+            out.append(T.StructField(f.name, f.dataType))
+    seen = {f.name for f in a.fields}
+    out.extend(T.StructField(f.name, f.dataType) for f in b.fields if f.name not in seen)
+    return T.StructType(out)
+
+
+def _conform_col(col, src: T.DataType | None, dst: T.DataType):
+    """Cast one column (possibly missing: src None) to the merged
+    type; structs recurse field-wise, struct→string serializes as
+    JSON (readable, greppable — not Spark's struct.toString)."""
+    from pyspark.sql import functions as F
+
+    if src is None:
+        return F.lit(None).cast(dst)
+    if src == dst:
+        return col
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        return F.when(
+            col.isNotNull(),
+            F.struct(
+                *[
+                    _conform_col(
+                        col[f.name],
+                        next((g.dataType for g in src.fields if g.name == f.name), None),
+                        f.dataType,
+                    ).alias(f.name)
+                    for f in dst.fields
+                ]
+            ),
+        )
+    if isinstance(src, T.StructType) and isinstance(dst, T.StringType):
+        return F.to_json(col)
+    return col.cast(dst)
+
+
+def union_evolved(frames: list) -> "object":
+    """Union DataFrames whose schemas drifted across dump generations
+    (the multi-generation read the reference cannot express — it
+    assumes every file of an index shares one mapping). Types widen
+    along the numeric lattice, int×float crossings go to double,
+    irreconcilable types fall back to string (struct→JSON), missing
+    fields become NULL. One pass, no shuffle: each frame gets one
+    conforming projection, then a by-position union of identical
+    schemas."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not frames:
+        raise ValueError("union_evolved needs at least one frame")
+    merged = reduce(merge_schemas, (f.schema for f in frames))
+    conformed = []
+    for fr in frames:
+        src = {f.name: f.dataType for f in fr.schema.fields}
+        conformed.append(
+            fr.select(
+                *[
+                    _conform_col(
+                        F.col(f.name) if f.name in src else F.lit(None),
+                        src.get(f.name),
+                        f.dataType,
+                    ).alias(f.name)
+                    for f in merged.fields
+                ]
+            )
+        )
+    return reduce(lambda x, y: x.union(y), conformed)

@@ -181,3 +181,59 @@ def test_diff_schemas_drift():
     assert drift["status"]["change"] == "added"
     assert "host" not in drift and "meta.city" not in drift
     assert diff_schemas(old, old) == []
+
+
+def test_merge_schemas_widening():
+    from dump_es_parquet_spark.schema import merge_schemas, widen_types
+
+    assert widen_types(T.IntegerType(), T.LongType()) == T.LongType()
+    assert widen_types(T.FloatType(), T.DoubleType()) == T.DoubleType()
+    assert widen_types(T.LongType(), T.FloatType()) == T.DoubleType()
+    assert widen_types(T.BooleanType(), T.LongType()) == T.StringType()
+    a = T.StructType(
+        [
+            T.StructField("x", T.IntegerType()),
+            T.StructField("m", T.StructType([T.StructField("c", T.FloatType())])),
+        ]
+    )
+    b = T.StructType(
+        [
+            T.StructField("x", T.LongType()),
+            T.StructField("m", T.StructType([T.StructField("c", T.DoubleType()),
+                                             T.StructField("d", T.StringType())])),
+            T.StructField("y", T.StringType()),
+        ]
+    )
+    m = merge_schemas(a, b)
+    assert m["x"].dataType == T.LongType()
+    assert m["m"].dataType["c"].dataType == T.DoubleType()
+    assert m["m"].dataType["d"].dataType == T.StringType()
+    assert [f.name for f in m.fields] == ["x", "m", "y"]
+
+
+def test_union_evolved_frames(spark):
+    from dump_es_parquet_spark.schema import union_evolved
+
+    gen1 = spark.createDataFrame([(1, 2, 1.5)], "id int, port int, load float")
+    gen2 = spark.createDataFrame(
+        [(2, 3000000000, 2.5, "eu")], "id int, port long, load double, region string"
+    )
+    gen3 = spark.createDataFrame([(3, "n/a")], "id int, port string")
+    u = union_evolved([gen1, gen2, gen3])
+    assert u.schema["port"].dataType == T.StringType()  # int x string -> string
+    assert u.schema["load"].dataType == T.DoubleType()
+    rows = {r.id: r for r in u.collect()}
+    assert rows[1].port == "2" and rows[1].region is None
+    assert rows[2].port == "3000000000" and rows[2].region == "eu"
+    assert rows[3].port == "n/a" and rows[3].load is None
+    assert u.count() == 3
+
+
+def test_union_evolved_struct_to_json(spark):
+    from dump_es_parquet_spark.schema import union_evolved
+
+    s1 = spark.createDataFrame([(1, {"a": 1})], "id int, meta struct<a:int>")
+    s2 = spark.createDataFrame([(2, "raw")], "id int, meta string")
+    u = union_evolved([s1, s2])
+    rows = {r.id: r.meta for r in u.collect()}
+    assert rows[1] == '{"a":1}' and rows[2] == "raw"

@@ -680,3 +680,61 @@ def test_stream_dedup_against_signature_store(spark, tmp_path):
     q2.awaitTermination(120)
     kept2 = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept2 == {11, 21}  # 20 shadowed by 11's streamed signature
+
+
+def test_cli_follow_once_with_upsert_key(spark, tmp_path):
+    """`--follow --follow-upsert-key` maintains the latest-state table:
+    duplicate keys in the stream collapse to the max-version row, and a
+    second drain with updated docs converges instead of appending."""
+    import json
+
+    from dump_es_parquet_spark.cli import main
+
+    docs = [{"n": i % 50, "ts": 2000 + i} for i in range(100)]  # 2 gens/key
+    fixture = {
+        "flwu": {
+            "mapping": {"n": {"type": "integer"}, "ts": {"type": "long"}},
+            "docs": docs,
+        }
+    }
+    fp = tmp_path / "fixture.json"
+    fp.write_text(json.dumps(fixture))
+    argv = [
+        "flwu",
+        "--follow",
+        "--follow-once",
+        "--fixture-json",
+        str(fp),
+        "--out",
+        str(tmp_path),
+        "--ts-field",
+        "ts",
+        "--slices",
+        "2",
+        "--follow-upsert-key",
+        "n",
+        "--quiet",
+    ]
+    assert main(argv) == 0
+    out = spark.read.parquet(str(tmp_path / "flwu"))
+    assert out.count() == 50  # one row per key, not 100 appended
+    latest = {r.n: r.ts for r in out.collect()}
+    assert latest == {i: 2050 + i for i in range(50)}  # max ts per key
+
+    # second drain with a late higher-version doc for key 0
+    fixture["flwu"]["docs"] = docs + [{"n": 0, "ts": 9999}]
+    fp.write_text(json.dumps(fixture))
+    assert main(argv) == 0
+    out2 = spark.read.parquet(str(tmp_path / "flwu"))
+    assert out2.count() == 50
+    assert {r.n: r.ts for r in out2.collect()}[0] == 9999
+
+
+def test_cli_follow_upsert_requires_parquet(tmp_path):
+    from dump_es_parquet_spark.cli import main
+
+    rc = main(
+        ["x", "--follow", "--follow-once", "--output", "ndjson",
+         "--follow-upsert-key", "n", "--out", str(tmp_path)]
+    )
+    assert rc == 2

@@ -259,3 +259,103 @@ def test_cap_per_group(spark):
     assert counts == {"a": 3, "b": 2}
     # order_col=i ascending keeps the smallest i's
     assert sorted(r.i for r in out.where(F.col("g") == "a").collect()) == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# bucket-partitioned parquet upsert (the parquet-only MERGE)
+# ---------------------------------------------------------------------------
+
+
+def _state_rows(spark, path):
+    return {
+        r.id: (r.v, r.gen)
+        for r in spark.read.parquet(path).select("id", "v", "gen").collect()
+    }
+
+
+def test_upsert_latest_merges_and_prunes(spark, tmp_path):
+    import glob
+    import os
+
+    from dump_es_parquet_spark.operators.snapshot import upsert_latest
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(20)], ["id", "v", "gen"]
+    )
+    upsert_latest(b1, state, ["id"], ["gen"], n_buckets=8)
+    assert _state_rows(spark, state) == {i: (f"v{i}", 1) for i in range(20)}
+
+    # snapshot per-bucket file listing before the incremental merge
+    before = {
+        d: sorted(os.listdir(os.path.join(state, d)))
+        for d in os.listdir(state)
+        if d.startswith("__kbucket=")
+    }
+    b2 = spark.createDataFrame([(3, "UPDATED", 2), (99, "NEW", 1)], ["id", "v", "gen"])
+    upsert_latest(b2, state, ["id"], ["gen"], n_buckets=8)
+    rows = _state_rows(spark, state)
+    assert rows[3] == ("UPDATED", 2) and rows[99] == ("NEW", 1)
+    assert len(rows) == 21 and rows[5] == ("v5", 1)
+
+    # untouched buckets keep their exact files (partition-scoped rewrite)
+    from pyspark.sql import functions as F
+
+    touched = {
+        f"__kbucket={r[0]}"
+        for r in spark.createDataFrame([(3,), (99,)], ["id"])
+        .select(F.pmod(F.xxhash64("id"), F.lit(8)))
+        .collect()
+    }
+    after = {
+        d: sorted(os.listdir(os.path.join(state, d)))
+        for d in os.listdir(state)
+        if d.startswith("__kbucket=")
+    }
+    untouched = set(before) - touched
+    assert untouched, "test needs at least one untouched bucket"
+    for d in untouched:
+        assert after[d] == before[d], f"bucket {d} was rewritten needlessly"
+
+
+def test_upsert_latest_idempotent(spark, tmp_path):
+    from dump_es_parquet_spark.operators.snapshot import upsert_latest
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], ["id", "v", "gen"])
+    b2 = spark.createDataFrame([(2, "B", 2)], ["id", "v", "gen"])
+    upsert_latest(b1, state, ["id"], ["gen"], n_buckets=4)
+    upsert_latest(b2, state, ["id"], ["gen"], n_buckets=4)
+    first = _state_rows(spark, state)
+    upsert_latest(b2, state, ["id"], ["gen"], n_buckets=4)  # at-least-once replay
+    assert _state_rows(spark, state) == first == {1: ("a", 1), 2: ("B", 2)}
+
+
+def test_follow_upsert_stream(spark, tmp_path):
+    """foreachBatch wrapper: tail a growing parquet dir as a stream,
+    state converges to last-write-wins across restarts."""
+    import time
+
+    from dump_es_parquet_spark.operators.snapshot import follow_upsert
+
+    src = str(tmp_path / "incoming")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame([(1, "a", 1), (2, "b", 1)], ["id", "v", "gen"]).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("id long, v string, gen long").parquet(src)
+    q = follow_upsert(stream, state, ck, ["id"], ["gen"], n_buckets=4)
+    q.awaitTermination(60)
+    assert _state_rows(spark, state) == {1: ("a", 1), 2: ("B", 2)} or _state_rows(
+        spark, state
+    ) == {1: ("a", 1), 2: ("b", 1)}
+
+    # second increment, new stream run from the same checkpoint
+    spark.createDataFrame([(2, "B", 2), (3, "c", 1)], ["id", "v", "gen"]).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("id long, v string, gen long").parquet(src)
+    q = follow_upsert(stream, state, ck, ["id"], ["gen"], n_buckets=4)
+    q.awaitTermination(60)
+    assert _state_rows(spark, state) == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1)}
