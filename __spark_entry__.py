@@ -246,6 +246,45 @@ def q_corpus_dedup(spark, sf_dir):
     ).orderBy("strategy")
 
 
+def q_events_union_evolved(spark, sf_dir):
+    """``schema.union_evolved`` over two synthetic dump generations of
+    the events table whose mappings drifted: gen1 narrows ``user_id``
+    to int and lacks ``region``; gen2 keeps long ``user_id``, adds
+    ``region``, and shifts ids. The union must widen user_id back to
+    long and NULL-fill region; the oracle re-expresses the widening as
+    explicit casts in a UNION ALL."""
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.tables import load
+    from dump_es_parquet_spark.schema import union_evolved
+
+    ev = load(spark, sf_dir, "events")
+    gen1 = ev.select(
+        "event_id",
+        F.col("user_id").cast("int").alias("user_id"),
+        "event_type",
+    )
+    gen2 = ev.select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        F.col("user_id").alias("user_id"),
+        "event_type",
+        F.concat(F.lit("r"), (F.col("user_id") % 5).cast("string")).alias("region"),
+    )
+    u = union_evolved([gen1, gen2])
+    return (
+        u.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("user_id").cast("long").alias("user_sum"),
+            F.sum(F.when(F.col("region").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gen1"),
+            F.count_distinct("region").cast("long").alias("n_regions"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_click_attribution(spark, sf_dir):
     """The stream-stream interval join's batch-equivalent plan
     (``purchase_after_click_join``, streaming/stream.py): purchases
@@ -358,6 +397,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           full-outer join + null-safe struct compare)
 #   corpus_lm_score       — perplexity-filter shape: corpus-derived
 #                           unigram-rank model, broadcast-join scoring
+#   events_union_evolved  — schema-evolution union across drifted dump
+#                           generations (widen + NULL-fill, no shuffle)
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
@@ -399,6 +440,7 @@ DEMOTED: frozenset[str] = frozenset(
         "events_zorder",
         "events_snapshot_diff",
         "corpus_lm_score",
+        "events_union_evolved",
     }
 )
 
@@ -522,6 +564,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder": _mod("layout", "q_events_zorder"),
         "events_snapshot_diff": _mod("snapshot", "q_events_snapshot_diff"),
         "corpus_lm_score": _mod("lm", "q_corpus_lm_score"),
+        "events_union_evolved": q_events_union_evolved,
     }
 
 
@@ -2063,6 +2106,33 @@ def _all_oracle_sql() -> dict[str, str]:
                min(value) AS min_value,
                max(value) AS max_value
         FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """
+
+    # schema-evolution union: gen1 narrowed user_id + no region, gen2
+    # long user_id + region; widening = explicit casts in the oracle.
+    q["events_union_evolved"] = """
+        WITH gen1 AS (
+          SELECT event_id, CAST(user_id AS INTEGER) AS user_id, event_type
+          FROM events
+        ),
+        gen2 AS (
+          SELECT event_id + 10000000 AS event_id, user_id, event_type,
+                 'r' || CAST(user_id % 5 AS VARCHAR) AS region
+          FROM events
+        ),
+        u AS (
+          SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
+                 CAST(NULL AS VARCHAR) AS region
+          FROM gen1
+          UNION ALL
+          SELECT event_id, user_id, event_type, region FROM gen2
+        )
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(user_id) AS BIGINT) AS user_sum,
+               CAST(sum(CASE WHEN region IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gen1,
+               CAST(count(DISTINCT region) AS BIGINT) AS n_regions
+        FROM u GROUP BY event_type ORDER BY event_type
     """
 
     # perplexity-filter shape: rank model from the corpus's own token
