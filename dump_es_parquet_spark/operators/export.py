@@ -1,0 +1,75 @@
+"""Training-data export: sharded parquet + a loader manifest.
+
+The last step of a curation pipeline hands data to a training loader,
+which wants (a) a fixed number of roughly equal shards it can assign
+to data-parallel workers, and (b) a manifest of per-shard sizes so
+epoch accounting and resumption don't require listing/scanning the
+lake. This writes both in one pass: hive-partitioned shards plus a
+``_manifest.json`` whose stats come from the SAME aggregation Spark
+already shuffles for the write — the manifest collect is ``n_shards``
+rows, never data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHARD_COL = "shard"
+MANIFEST = "_manifest.json"
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    token_col: str | None = None,
+) -> dict:
+    """Write ``df`` hive-partitioned into ``n_shards`` shards
+    (``shard=K/`` directories) with a ``_manifest.json`` of per-shard
+    row/token counts and an order-free content digest.
+
+    Shard assignment is ``pmod(xxhash64(key), n_shards)`` — stable
+    across runs and engines, balanced under any key skew (hash, not
+    range), and independent of input partitioning, so a re-export of
+    identical data is byte-stable shard membership. Returns the
+    manifest dict."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+    out = df.withColumn(SHARD_COL, shard)
+    out.write.partitionBy(SHARD_COL).mode("overwrite").parquet(path)
+
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.sum(F.col(key_col).cast("long")).alias("key_sum"),
+        F.expr(f"bit_xor(cast({key_col} as long))").alias("key_xor"),
+    ]
+    if token_col:
+        aggs.append(F.sum(F.col(token_col).cast("long")).alias("n_tokens"))
+    rows = out.groupBy(SHARD_COL).agg(*aggs).orderBy(SHARD_COL).collect()
+    shards = [r.asDict() for r in rows]
+    manifest = {
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "token_col": token_col,
+        "total_rows": sum(s["n_rows"] for s in shards),
+        "total_tokens": (
+            sum(s["n_tokens"] for s in shards) if token_col else None
+        ),
+        "shards": shards,
+    }
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, MANIFEST))  # atomic publish
+    return manifest
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)

@@ -441,3 +441,34 @@ def test_unigram_rank_model_and_scoring(spark):
     # integer mean: floor(sum/n)
     r0 = scored[0]
     assert r0.mean_score_ppm == r0.score_sum_ppm // r0.n_tokens
+
+
+def test_export_shards_manifest(spark, sf_dir, tmp_path):
+    """Sharded export: manifest matches what's actually on disk, shard
+    membership is stable across re-exports (operators/export.py)."""
+    from dump_es_parquet_spark.operators.export import (
+        export_shards,
+        read_manifest,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = str(tmp_path / "shards")
+    m = export_shards(d, out, n_shards=4, key_col="doc_id", token_col="n_chars")
+    assert m == read_manifest(out)
+    assert m["total_rows"] == d.count()
+    assert m["total_tokens"] == d.agg({"n_chars": "sum"}).first()[0]
+    assert {s["shard"] for s in m["shards"]} == {0, 1, 2, 3}
+
+    # manifest per-shard stats equal a direct read of each shard dir
+    for s in m["shards"]:
+        back = spark.read.parquet(f"{out}/shard={s['shard']}")
+        assert back.count() == s["n_rows"]
+        assert back.agg({"n_chars": "sum"}).first()[0] == s["n_tokens"]
+
+    # re-export: identical membership digests (stable hash sharding)
+    m2 = export_shards(d, str(tmp_path / "again"), 4, "doc_id", "n_chars")
+    assert [s["key_xor"] for s in m2["shards"]] == [
+        s["key_xor"] for s in m["shards"]
+    ]
