@@ -952,38 +952,53 @@ def _component_min_labels(pairs: DataFrame) -> DataFrame:
     the block manager exactly as it found it. On a cluster, point
     ``sc.setCheckpointDir`` at shared storage; locally a tempdir is
     created on demand."""
-    _ensure_checkpoint_dir(pairs.sparkSession)
+    spark = pairs.sparkSession
+    _ensure_checkpoint_dir(spark)
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .checkpoint(eager=True)
-    )
-    while True:
-        neighbor_min = (
-            sym.join(labels, sym["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
-            )
+    # Size the FIXPOINT's shuffles to the edge set, not the corpus: the
+    # session's shuffle.partitions is tuned for corpus-scale scans, but
+    # each round here moves only the (tiny by LSH construction) pair
+    # edges — running D rounds x 2 jobs across corpus-width task counts
+    # is pure scheduler overhead (measured 16 s -> ~3 s at sf0.1,
+    # 64-partition rounds over ~500-row edge sets). ~500k edges per
+    # partition keeps round tasks meaningful at any scale.
+    n_edges = pairs.count()  # pairs is caller-cached; this is cheap
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    fix_p = max(1, min(int(prev_sp), (n_edges // 500_000) + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(fix_p))
+    try:
+        labels = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
             .checkpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
+        while True:
+            neighbor_min = (
+                sym.join(labels, sym["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nlabel", F.col("label"))
+                    ).alias("label"),
+                )
+                .checkpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
