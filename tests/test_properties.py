@@ -346,3 +346,87 @@ def test_escape_roundtrip_prefix(value, prefix_len):
     assert _match_query_string({"f": value}, q)
     if not ("x" + value).startswith(prefix):
         assert not _match_query_string({"f": "x" + value}, q)
+
+
+# ---------------------------------------------------------------------------
+# round-6 operator algebra: widening lattice, compact_latest ≡ window
+# ---------------------------------------------------------------------------
+
+_WIDEN_TYPES = [
+    "byte", "short", "int", "bigint", "float", "double", "string",
+    "boolean", "timestamp",
+]
+
+
+def _t(name):
+    from pyspark.sql import types as T
+
+    return {
+        "byte": T.ByteType(), "short": T.ShortType(), "int": T.IntegerType(),
+        "bigint": T.LongType(), "float": T.FloatType(), "double": T.DoubleType(),
+        "string": T.StringType(), "boolean": T.BooleanType(),
+        "timestamp": T.TimestampType(),
+    }[name]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.sampled_from(_WIDEN_TYPES),
+    b=st.sampled_from(_WIDEN_TYPES),
+    c=st.sampled_from(_WIDEN_TYPES),
+)
+def test_widen_types_is_a_join_semilattice(a, b, c):
+    """widen_types must be commutative, associative, and idempotent —
+    otherwise union_evolved's reduce() would depend on frame order."""
+    from dump_es_parquet_spark.schema import widen_types
+
+    ta, tb, tc = _t(a), _t(b), _t(c)
+    assert widen_types(ta, ta) == ta
+    assert widen_types(ta, tb) == widen_types(tb, ta)
+    assert widen_types(widen_types(ta, tb), tc) == widen_types(
+        ta, widen_types(tb, tc)
+    )
+    # widening never narrows: result re-widened with an input is itself
+    w = widen_types(ta, tb)
+    assert widen_types(w, ta) == w and widen_types(w, tb) == w
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # key
+            st.integers(min_value=0, max_value=9),   # version
+            st.integers(min_value=-50, max_value=50),  # payload
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_compact_latest_equals_window_formulation(spark, rows):
+    """The max_by aggregate must agree with the row_number-window
+    last-write-wins on arbitrary multi-generation inputs (version made
+    unique per key by a tiebreak column, as the API requires)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.snapshot import compact_latest
+
+    uniq = [(k, v, p, i) for i, (k, v, p) in enumerate(rows)]
+    df = spark.createDataFrame(uniq, "k long, v long, p long, tb long")
+    got = {
+        r.k: (r.v, r.p, r.tb)
+        for r in compact_latest(df, ["k"], ["v", "tb"]).collect()
+    }
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("tb").desc())
+    want = {
+        r.k: (r.v, r.p, r.tb)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert got == want
