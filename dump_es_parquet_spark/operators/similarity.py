@@ -367,6 +367,59 @@ def write_ivf_index(
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_to_ivf_index(new_vecs: DataFrame, path: str) -> None:
+    """Incremental index maintenance: assign NEW vectors to the
+    existing coarse quantizer and append them to the touched cells'
+    inverted lists — no retrain, no rewrite of any existing file
+    (parquet append drops new part-files into the partition dirs).
+    This is how a serving index absorbs a day's crawl between
+    retrains (FAISS ``add`` against a frozen quantizer, lake-shaped).
+
+    Operational contract: the quantizer is FROZEN, so sustained
+    appends drift cell balance — watch ``ivf_index_stats`` and rebuild
+    with ``write_ivf_index`` when the imbalance ratio degrades the
+    nprobe scan fraction. Duplicate vec_ids are the caller's problem
+    (run ``dedup_incremental`` first in a curation pipeline)."""
+    from dump_es_parquet_spark.operators.embedding_ops import quantize_int8
+
+    spark = new_vecs.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    # conform to the index's stored vector type (e.g. array<float>
+    # corpora) — parquet append is schema-strict per column
+    stored_t = spark.read.parquet(f"{path}/lists").schema["embedding"].dataType
+    conformed = new_vecs.select(
+        "vec_id", F.col("embedding").cast(stored_t).alias("embedding")
+    )
+    lists = quantize_int8(_ivf_assign(conformed, cents)).withColumns(
+        {
+            "q_codes": F.transform("q_codes", lambda c: c.cast("byte")),
+            "norm": F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
+        }
+    )
+    lists.write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
+
+
+def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell list sizes + the imbalance the operator watches: a
+    cell holding k× the mean makes every probe of it k× the intended
+    scan fraction. One aggregate over the lists; the global-avg window
+    runs over the n_cells aggregated rows (bounded by construction),
+    not the corpus — the WindowExec single-partition warning is
+    expected and harmless here."""
+    from pyspark.sql.window import Window
+
+    lists = spark.read.parquet(f"{path}/lists")
+    per_cell = lists.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    return per_cell.select(
+        "cid",
+        "n_vecs",
+        (
+            F.col("n_vecs")
+            / F.avg("n_vecs").over(Window.partitionBy())
+        ).alias("balance_ratio"),
+    ).orderBy("cid")
+
+
 def ann_ivf_indexed(
     spark: SparkSession,
     sf_dir: str,

@@ -67,3 +67,49 @@ def test_knn_graph_every_node_has_k(spark):
     out = knn_graph(e, k=3, block_size=16)
     counts = out.groupBy("src").agg(F.count("*").alias("n")).collect()
     assert len(counts) == 40 and all(r.n == 3 for r in counts)
+
+
+def test_append_to_ivf_index_serves_new_vectors(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance: appended vectors are discoverable
+    by the indexed serving path without a retrain, and pre-existing
+    list files are untouched (operators/similarity.py)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.similarity import (
+        ann_ivf_indexed,
+        append_to_ivf_index,
+        ivf_index_stats,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(spark, sf_dir, path)
+    before = sorted(glob.glob(f"{path}/lists/cid=*/part-*.parquet"))
+    n0 = spark.read.parquet(f"{path}/lists").count()
+
+    # a synthetic near-clone of vector 0 must become its top neighbor
+    q = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") == 0
+    ).first()
+    clone = [float(x) * 1.001 for x in q.embedding]
+    new = spark.createDataFrame(
+        [(900001, clone, 0)], ["vec_id", "embedding", "label"]
+    )
+    append_to_ivf_index(new, path)
+
+    assert spark.read.parquet(f"{path}/lists").count() == n0 + 1
+    # append-only: every pre-existing file still present and unmodified
+    after = set(glob.glob(f"{path}/lists/cid=*/part-*.parquet"))
+    assert set(before) <= after
+    sizes = {f: os.path.getsize(f) for f in before}
+    assert all(os.path.getsize(f) == s for f, s in sizes.items())
+
+    top = ann_ivf_indexed(spark, sf_dir, path, query_id=0, k=3).collect()
+    assert top[0].vec_id == 900001  # the clone dominates cosine
+
+    stats = ivf_index_stats(spark, path)
+    assert stats.agg(F.sum("n_vecs")).first()[0] == n0 + 1
+    assert stats.where(F.col("balance_ratio") <= 0).count() == 0
