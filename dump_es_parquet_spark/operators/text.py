@@ -83,6 +83,25 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def lang_guess_col(text) -> "F.Column":
+    """Column form of the marker-word language heuristic (no hit →
+    'und'; ties break on language code). Composable into any frame —
+    the datacard uses it without the table-level wrapper."""
+    toks = F.array_distinct(F.split(F.trim(text), r"\s+"))
+    langs = sorted(LANG_MARKERS)
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_MARKERS[lang]]))
+        )
+        for lang in langs
+    }
+    best = F.greatest(*scores.values())
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first max wins → deterministic tie-break
+        guess = guess.when(scores[lang] == best, F.lit(lang))
+    return guess
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language heuristic: score = distinct marker hits per
     language, argmax with deterministic tie-break on language code.

@@ -472,3 +472,34 @@ def test_export_shards_manifest(spark, sf_dir, tmp_path):
     assert [s["key_xor"] for s in m2["shards"]] == [
         s["key_xor"] for s in m["shards"]
     ]
+
+
+def test_datacard(spark, sf_dir, tmp_path):
+    """Datacard: section presence, internal consistency, atomic
+    publish (operators/datacard.py)."""
+    from dump_es_parquet_spark.operators.datacard import (
+        build_datacard,
+        write_datacard,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    card = write_datacard(docs, str(tmp_path / "card"))
+    import json
+
+    disk = json.load(open(tmp_path / "card" / "_datacard.json"))
+    assert disk == card
+    assert card["n_docs"] == docs.count()
+    assert card["total_tokens"] > card["n_docs"]  # docs have >1 token
+    assert sum(card["lang_mix"].values()) == card["n_docs"]
+    assert set(card["per_source"]) == {
+        r.source for r in docs.select("source").distinct().collect()
+    }
+    assert sum(s["n_docs"] for s in card["per_source"].values()) == card["n_docs"]
+    assert 0 <= card["exact_dup_rate"] < 1
+    q = card["token_quartiles"]
+    assert q["p25"] <= q["p50"] <= q["p75"] <= q["p99"]
+
+    # degrades without source/lang columns
+    bare = docs.select("doc_id", "text")
+    c2 = build_datacard(bare)
+    assert "per_source" not in c2 and c2["n_docs"] == card["n_docs"]
