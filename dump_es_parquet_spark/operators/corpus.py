@@ -50,3 +50,58 @@ def curate(
         filtered = filtered.filter(F.col("lang").isin(*languages))
     deduped = dedup_corpus(filtered, strategy=dedup)
     return chunk_documents(deduped, chunk_tokens=chunk_tokens, stride=stride)
+
+
+def curate_and_export(
+    d: DataFrame,
+    out_path: str,
+    *,
+    n_shards: int = 64,
+    per_source_cap: int | None = None,
+    min_lm_score_ppm: int | None = None,
+    **curate_kwargs,
+) -> dict:
+    """The full release pipeline in one call: curate (filter → dedup →
+    chunk), optionally cap per-source dominance and drop the
+    lowest-LM-score tail, then publish sharded parquet with a loader
+    manifest AND a datacard — everything a downstream trainer consumes.
+
+    Stage order at scale: caps and score filters run on DOCUMENTS
+    (before chunk fan-out); the datacard is computed over the kept
+    documents so it describes exactly what shipped. Returns
+    ``{"manifest": ..., "datacard": ...}``."""
+    from dump_es_parquet_spark.operators.datacard import write_datacard
+    from dump_es_parquet_spark.operators.export import export_shards
+
+    kept = d
+    if per_source_cap is not None and "source" in d.columns:
+        from dump_es_parquet_spark.operators.web import cap_per_group
+
+        kept = cap_per_group(
+            kept, ["source"], per_source_cap,
+            F.md5(F.col("doc_id").cast("string")),
+        )
+    if min_lm_score_ppm is not None:
+        from dump_es_parquet_spark.operators.lm import (
+            score_documents,
+            unigram_rank_model,
+        )
+
+        model = unigram_rank_model(kept.select("doc_id", "text"))
+        scores = score_documents(kept.select("doc_id", "text"), model)
+        good = scores.where(
+            F.col("mean_score_ppm") >= min_lm_score_ppm
+        ).select("doc_id")
+        kept = kept.join(good, "doc_id", "left_semi")
+    chunks = curate(kept, **curate_kwargs)
+    datacard = write_datacard(
+        kept.select(
+            *[c for c in ("doc_id", "text", "lang", "source") if c in kept.columns]
+        ),
+        out_path,
+    )
+    manifest = export_shards(
+        chunks, f"{out_path}/shards", n_shards, key_col="doc_id",
+        token_col="n_chunk_tokens",
+    )
+    return {"manifest": manifest, "datacard": datacard}

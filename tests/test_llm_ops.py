@@ -503,3 +503,36 @@ def test_datacard(spark, sf_dir, tmp_path):
     bare = docs.select("doc_id", "text")
     c2 = build_datacard(bare)
     assert "per_source" not in c2 and c2["n_docs"] == card["n_docs"]
+
+
+def test_curate_and_export_end_to_end(spark, sf_dir, tmp_path):
+    """One-call release pipeline: filter -> dedup -> cap -> LM-score
+    tail drop -> chunk -> shards + manifest + datacard
+    (operators/corpus.curate_and_export)."""
+    import json
+    import os
+
+    from dump_es_parquet_spark.operators.corpus import curate_and_export
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "release")
+    res = curate_and_export(
+        docs,
+        out,
+        n_shards=4,
+        per_source_cap=20,
+        min_lm_score_ppm=1,
+        dedup="exact",
+        chunk_tokens=32,
+        stride=24,
+    )
+    m, card = res["manifest"], res["datacard"]
+    assert os.path.exists(f"{out}/_datacard.json")
+    assert os.path.exists(f"{out}/shards/_manifest.json")
+    # datacard describes the kept DOCUMENTS (capped at 20/source)
+    assert card["n_docs"] <= docs.count()
+    assert all(s["n_docs"] <= 20 for s in card["per_source"].values())
+    # manifest totals equal what's on disk
+    back = spark.read.parquet(f"{out}/shards")
+    assert back.count() == m["total_rows"] > 0
+    assert m["total_tokens"] == back.agg({"n_chunk_tokens": "sum"}).first()[0]
