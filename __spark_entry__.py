@@ -399,6 +399,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           unigram-rank model, broadcast-join scoring
 #   events_union_evolved  — schema-evolution union across drifted dump
 #                           generations (widen + NULL-fill, no shuffle)
+#   events_rolling_1h     — event-time RANGE-frame rolling window
+#                           (trailing 1h per user; rangeBetween)
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
@@ -441,6 +443,7 @@ DEMOTED: frozenset[str] = frozenset(
         "events_snapshot_diff",
         "corpus_lm_score",
         "events_union_evolved",
+        "events_rolling_1h",
     }
 )
 
@@ -565,6 +568,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_snapshot_diff": _mod("snapshot", "q_events_snapshot_diff"),
         "corpus_lm_score": _mod("lm", "q_corpus_lm_score"),
         "events_union_evolved": q_events_union_evolved,
+        "events_rolling_1h": _rel("q_events_rolling_1h"),
     }
 
 
@@ -2106,6 +2110,19 @@ def _all_oracle_sql() -> dict[str, str]:
                min(value) AS min_value,
                max(value) AS max_value
         FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """
+
+    # event-time RANGE-frame rolling window (trailing 1 hour per user)
+    q["events_rolling_1h"] = """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_1h,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        FROM events
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
+        ORDER BY event_id
     """
 
     # schema-evolution union: gen1 narrowed user_id + no region, gen2

@@ -319,6 +319,29 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE-frame rolling window: per user, each event's
+    trailing-1-hour event count and value sum — the window-frame class
+    (``rangeBetween`` on event time, vs the row-frames used elsewhere)
+    that powers rate limiting, rolling MAUs, and feature engineering.
+    One shuffle on user_id; the frame is evaluated with a sliding
+    aggregate over each partition's sort, never a per-row rescan.
+    Micros arithmetic keeps the frame boundary identical to the
+    oracle's ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING``."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(_dec("value", 2)).over(w).cast("double").alias("sum_1h"),
+    ).orderBy("event_id")
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via window functions: a new session starts after
     a >30 min gap per user; the classic gaps-and-islands plan (one
