@@ -401,6 +401,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           generations (widen + NULL-fill, no shuffle)
 #   events_rolling_1h     — event-time RANGE-frame rolling window
 #                           (trailing 1h per user; rangeBetween)
+#   events_funnel         — order-aware conversion funnel (stepwise
+#                           min-after-threshold, one shuffle key)
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
@@ -444,6 +446,7 @@ DEMOTED: frozenset[str] = frozenset(
         "corpus_lm_score",
         "events_union_evolved",
         "events_rolling_1h",
+        "events_funnel",
     }
 )
 
@@ -569,6 +572,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lm_score": _mod("lm", "q_corpus_lm_score"),
         "events_union_evolved": q_events_union_evolved,
         "events_rolling_1h": _rel("q_events_rolling_1h"),
+        "events_funnel": _rel("q_events_funnel"),
     }
 
 
@@ -2110,6 +2114,41 @@ def _all_oracle_sql() -> dict[str, str]:
                min(value) AS min_value,
                max(value) AS max_value
         FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """
+
+    # order-aware conversion funnel: step N only counts AFTER the
+    # user's step N-1 time (chained conditional mins, not independent)
+    q["events_funnel"] = """
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        t2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN t1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts >= t1.t1
+          GROUP BY e.user_id
+        ),
+        t3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN t2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+          GROUP BY e.user_id
+        ),
+        f AS (
+          SELECT t1.user_id, t1.t1, t2.t2, t3.t3
+          FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        )
+        SELECT count(*) AS n_viewed,
+               count(t2) AS n_clicked,
+               count(t3) AS n_purchased,
+               median(CASE WHEN t2 IS NOT NULL
+                      THEN (epoch_us(t2) - epoch_us(t1)) / 1000000.0 END)
+                 AS median_view_to_click_s,
+               median(CASE WHEN t3 IS NOT NULL
+                      THEN (epoch_us(t3) - epoch_us(t2)) / 1000000.0 END)
+                 AS median_click_to_purchase_s
+        FROM f
     """
 
     # event-time RANGE-frame rolling window (trailing 1 hour per user)

@@ -342,6 +342,52 @@ def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    converts step N only AFTER their step-N−1 time (stepwise
+    min-after-threshold, not independent mins — the distinction that
+    makes funnels order-aware). Three chained conditional aggregations
+    on the SAME key: one logical shuffle key end-to-end, each phase a
+    map-side-combined min, small (users-sized) frames joined back
+    broadcast. Reports per-step reach + median step latency."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.join(F.broadcast(t1), "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.join(F.broadcast(t2), "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    funnel = (
+        t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+    )
+    return funnel.agg(
+        F.count("*").cast("long").alias("n_viewed"),
+        F.count("t2").cast("long").alias("n_clicked"),
+        F.count("t3").cast("long").alias("n_purchased"),
+        F.median(
+            F.when(
+                F.col("t2").isNotNull(),
+                (F.unix_micros("t2") - F.unix_micros("t1")) / 1_000_000,
+            )
+        ).alias("median_view_to_click_s"),
+        F.median(
+            F.when(
+                F.col("t3").isNotNull(),
+                (F.unix_micros("t3") - F.unix_micros("t2")) / 1_000_000,
+            )
+        ).alias("median_click_to_purchase_s"),
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via window functions: a new session starts after
     a >30 min gap per user; the classic gaps-and-islands plan (one
