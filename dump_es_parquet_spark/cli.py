@@ -114,6 +114,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--follow-upsert-buckets", type=int, default=64,
                    help="hash buckets partitioning the latest-state table; "
                    "an increment rewrites only touched buckets")
+    p.add_argument("--restore-from", default=None,
+                   help="reverse mode: read this parquet path and "
+                   "bulk-index it INTO the index (per-partition _bulk; "
+                   "--size is the batch size)")
+    p.add_argument("--restore-id-col", default=None,
+                   help="with --restore-from: column providing the "
+                   "document _id (makes task retries idempotent "
+                   "overwrites instead of duplicates)")
     p.add_argument("--fixture-json", default=argparse.SUPPRESS,
                    help=argparse.SUPPRESS)  # testing hook: mock ES fixture file
     return p
@@ -316,6 +324,21 @@ def main(argv: list[str] | None = None) -> int:
         single_file=args.single_file,
     )
     spark = get_spark(master=args.master)
+    if args.restore_from:
+        # reverse mode: parquet → _bulk into the index (the dump's
+        # other half; elasticdump-style reload)
+        from dump_es_parquet_spark.restore import restore_index
+
+        df = spark.read.parquet(args.restore_from)
+        n = restore_index(
+            df,
+            client_factory,
+            args.index,
+            id_col=args.restore_id_col,
+            batch_size=args.size,
+        )
+        print(f"restored {n} documents into {args.index}", file=sys.stderr)
+        return 0
     if args.follow:
         return _follow(spark, args)
     result = dump(spark, client_factory, args.index, args.out, scan, sink)

@@ -1,0 +1,87 @@
+"""Restore: the reverse path — a typed DataFrame back into an
+Elasticsearch/OpenSearch index via ``_bulk``.
+
+The reference only dumps (``dump-es-parquet`` README's pipeline ends at
+files); real operation also reloads — reindexing into a new cluster,
+rehydrating a pruned index, shipping curated subsets back for search.
+This is the ``elasticdump``-style other half, Spark-shaped:
+
+- Serialization is JVM-side: ``to_json(struct(*))`` renders each row's
+  ``_source`` line inside codegen, so Python touches only ready
+  strings (timestamps ISO-formatted by Spark, structs nested, NULLs
+  dropped via ``ignoreNullFields`` — ES treats absent and null alike).
+- Each partition streams its rows in ``batch_size`` NDJSON ``_bulk``
+  calls through the retrying client — per-task connections, no driver
+  funnel, the write mirror of the sliced scan.
+- Delivery is at-least-once under task retry. Pass ``id_col`` to make
+  it idempotent: the doc id rides the bulk action line, so a retried
+  batch overwrites rather than duplicates (the same
+  cursor-idempotence contract the scan side makes, PARITY.md #6b).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def restore_index(
+    df: DataFrame,
+    client_factory: Callable,
+    index: str,
+    *,
+    id_col: str | None = None,
+    batch_size: int = 500,
+) -> int:
+    """Write every row of ``df`` into ``index`` via ``_bulk``.
+    Returns the number of documents indexed. Raises on any per-item
+    bulk error (fail the task → Spark retries it; with ``id_col`` the
+    retry is an idempotent overwrite)."""
+    cols = [F.to_json(F.struct(*df.columns)).alias("_src")]
+    if id_col:
+        cols.insert(0, F.col(id_col).cast("string").alias("_id"))
+    lines_df = df.select(*cols)
+
+    def _ship(rows: Iterator) -> Iterator[int]:
+        import json as _json
+
+        client = client_factory()
+        sent = 0
+        batch: list[str] = []
+
+        def _flush():
+            nonlocal sent
+            if not batch:
+                return
+            resp = client.bulk(index, batch)
+            if resp.get("errors"):
+                bad = next(
+                    (
+                        item
+                        for item in resp.get("items", [])
+                        for op in item.values()
+                        if op.get("status", 200) >= 300
+                    ),
+                    None,
+                )
+                raise RuntimeError(f"bulk item failed: {bad}")
+            sent += len(batch) // 2
+            batch.clear()
+
+        for row in rows:
+            action = (
+                {"index": {"_id": row["_id"]}} if id_col else {"index": {}}
+            )
+            batch.append(_json.dumps(action))
+            batch.append(row["_src"])
+            if len(batch) >= 2 * batch_size:
+                _flush()
+        _flush()
+        yield sent
+
+    # mapPartitions (not foreachPartition) so the per-task doc counts
+    # come back as data — the one legitimate RDD drop-down: per-
+    # partition imperative I/O with a result
+    return lines_df.rdd.mapPartitions(_ship).sum()

@@ -300,6 +300,24 @@ class MockES:
         props = self.fixture[index]["mapping"]
         return {index: {"mappings": {"properties": props}}}
 
+    def bulk(self, index: str, lines: list[str]) -> dict:
+        """NDJSON ``_bulk`` stand-in: applies index actions into the
+        fixture. NOTE: a MockES pickled into Spark tasks mutates the
+        TASK's copy — use the HTTP harness (tests/test_restes_contract)
+        to test distributed restore; MockES.bulk is for driver-side
+        unit tests of the line protocol."""
+        self._maybe_fail()
+        docs = self.fixture.setdefault(index, {"mapping": {}, "docs": []})["docs"]
+        items = []
+        it = iter(lines)
+        for action in it:
+            a = json.loads(action)
+            if "index" not in a and "create" not in a:
+                raise TransportError(f"unsupported bulk action: {action[:80]}")
+            docs.append(json.loads(next(it)))
+            items.append({"index": {"status": 201}})
+        return {"errors": False, "items": items}
+
     # -- scan ---------------------------------------------------------
     def _entries_for(self, docs, q, slice_spec) -> list[tuple[int, dict]]:
         """(stable ordinal, doc) pairs — ordinals are assigned over the
@@ -457,10 +475,24 @@ class RestES:
         return ctx
 
     def _req(self, method: str, path: str, body: dict | None = None) -> dict:
-        url = self.base_url.rstrip("/") + path
         data = json.dumps(body).encode() if body is not None else None
+        return self._send_raw(method, path, data, "application/json")
+
+    def bulk(self, index: str, lines: list[str]) -> dict:
+        """``_bulk`` NDJSON ingest (the restore path). ``lines`` are
+        pre-serialized action/source line pairs; response errors are
+        the CALLER's to check (partial failure is per-item in ES)."""
+        data = ("\n".join(lines) + "\n").encode()
+        return self._send_raw(
+            "POST", f"/{index}/_bulk", data, "application/x-ndjson"
+        )
+
+    def _send_raw(
+        self, method: str, path: str, data: bytes | None, content_type: str
+    ) -> dict:
+        url = self.base_url.rstrip("/") + path
         req = urllib.request.Request(
-            url, data=data, method=method, headers={"Content-Type": "application/json"}
+            url, data=data, method=method, headers={"Content-Type": content_type}
         )
         try:
             with urllib.request.urlopen(

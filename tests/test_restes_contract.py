@@ -119,7 +119,31 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send({"error": "unknown"}, 404)
 
+    indexed: dict = {}  # {index: [(action, source), ...]} via _bulk
+
     def do_POST(self):
+        # _bulk bodies are NDJSON, not JSON — branch before _record's
+        # json.loads
+        parsed = urllib.parse.urlparse(self.path)
+        if parsed.path.endswith("/_bulk"):
+            n = int(self.headers.get("Content-Length") or 0)
+            lines = [
+                json.loads(l)
+                for l in self.rfile.read(n).decode().splitlines()
+                if l.strip()
+            ]
+            idx = parsed.path.rsplit("/", 2)[-2]
+            store = _Handler.indexed.setdefault(idx, [])
+            items = []
+            for action, source in zip(lines[0::2], lines[1::2]):
+                store.append((action, source))
+                items.append({"index": {"status": 201}})
+            _Handler.requests.append(
+                {"method": "POST", "path": parsed.path, "params": {},
+                 "body": {"n_lines": len(lines)}}
+            )
+            self._send({"errors": False, "took": 1, "items": items})
+            return
         rec = self._record("POST")
         path = rec["path"]
         if path.endswith("/_pit"):
@@ -296,3 +320,66 @@ def test_http_5xx_and_429_are_retryable(es_url):
     assert out == {"ok": True}
     # two 503s then success
     assert len(_Handler.requests) == 3
+
+
+def test_restore_index_over_http(es_url, spark):
+    """Distributed restore: typed frame -> per-partition _bulk over the
+    real HTTP transport. JSON rendering is JVM-side (ISO timestamps,
+    nested structs, nulls omitted); ids ride the action line so task
+    retries overwrite idempotently."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.restore import restore_index
+
+    _Handler.indexed.clear()
+    df = spark.createDataFrame(
+        [
+            (0, "web-0", dt.datetime(2026, 1, 1, 12, 0, 0), {"city": "x"}, 1.5),
+            (1, "web-1", dt.datetime(2026, 1, 2, 0, 0, 0), {"city": "y"}, None),
+        ],
+        "doc_id long, host string, ts timestamp, meta struct<city:string>, load double",
+    ).repartition(2)
+    n = restore_index(
+        df,
+        lambda: RestES(es_url),
+        "restored",
+        id_col="doc_id",
+        batch_size=1,
+    )
+    assert n == 2
+    got = {a["index"]["_id"]: s for a, s in _Handler.indexed["restored"]}
+    assert set(got) == {"0", "1"}
+    assert got["0"]["host"] == "web-0" and got["0"]["meta"] == {"city": "x"}
+    assert got["0"]["ts"].startswith("2026-01-01T12:00:00")
+    assert "load" not in got["1"]  # null omitted — ES treats as absent
+
+
+def test_restore_without_ids_and_mockes_bulk_protocol(spark):
+    from dump_es_parquet_spark.restore import restore_index
+    from dump_es_parquet_spark.sources import MockES
+
+    # MockES driver-side protocol check (pickled copies can't test the
+    # distributed path — the HTTP test above does)
+    m = MockES({"idx": {"mapping": {}, "docs": []}})
+    resp = m.bulk("idx", ['{"index": {}}', '{"a": 1}', '{"index": {}}', '{"a": 2}'])
+    assert resp == {"errors": False,
+                    "items": [{"index": {"status": 201}}] * 2}
+    assert [d["a"] for d in m.fixture["idx"]["docs"]] == [1, 2]
+
+
+def test_cli_restore_from_parquet(es_url, spark, tmp_path):
+    from dump_es_parquet_spark.cli import main
+
+    _Handler.indexed.clear()
+    src = str(tmp_path / "dumped")
+    spark.createDataFrame(
+        [(i, f"web-{i}") for i in range(7)], "doc_id long, host string"
+    ).write.parquet(src)
+    rc = main(
+        ["restored_cli", "--restore-from", src, "--restore-id-col", "doc_id",
+         "--es", es_url, "--size", "3", "--quiet"]
+    )
+    assert rc == 0
+    got = {a["index"]["_id"]: s for a, s in _Handler.indexed["restored_cli"]}
+    assert set(got) == {str(i) for i in range(7)}
+    assert got["3"] == {"doc_id": 3, "host": "web-3"}
