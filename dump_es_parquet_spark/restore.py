@@ -34,11 +34,22 @@ def restore_index(
     *,
     id_col: str | None = None,
     batch_size: int = 500,
+    create_index: bool = False,
 ) -> int:
     """Write every row of ``df`` into ``index`` via ``_bulk``.
     Returns the number of documents indexed. Raises on any per-item
     bulk error (fail the task → Spark retries it; with ``id_col`` the
-    retry is an idempotent overwrite)."""
+    retry is an idempotent overwrite).
+
+    ``create_index=True`` first PUTs the index with a mapping derived
+    from the DataFrame schema (``schema.struct_to_properties``, the
+    dump type table inverted) — without it, ES would dynamic-map the
+    first document and e.g. read restored ISO timestamps as ``text``.
+    One driver-side call before any task runs."""
+    if create_index:
+        from dump_es_parquet_spark.schema import struct_to_properties
+
+        client_factory().create_index(index, struct_to_properties(df.schema))
     cols = [F.to_json(F.struct(*df.columns)).alias("_src")]
     if id_col:
         cols.insert(0, F.col(id_col).cast("string").alias("_id"))

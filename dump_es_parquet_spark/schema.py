@@ -347,3 +347,48 @@ def union_evolved(frames: list) -> "object":
             )
         )
     return reduce(lambda x, y: x.union(y), conformed)
+
+
+# ---------------------------------------------------------------------------
+# inverse type map (restore: DataFrame schema → index mapping)
+# ---------------------------------------------------------------------------
+
+#: Spark → ES leaf types, the restore-side inverse of ES_TO_SPARK.
+#: Strings map to ``keyword`` (exact-match semantics — what the dump
+#: side's coercion preserved; a search deployment may widen chosen
+#: fields to ``text`` after restore). ES has no array types: element
+#: types map directly (arrays are implicit per-document).
+SPARK_TO_ES = {
+    T.StringType(): "keyword",
+    T.LongType(): "long",
+    T.IntegerType(): "integer",
+    T.ShortType(): "short",
+    T.ByteType(): "byte",
+    T.DoubleType(): "double",
+    T.FloatType(): "float",
+    T.BooleanType(): "boolean",
+    T.TimestampType(): "date",
+    T.BinaryType(): "binary",
+}
+
+
+def struct_to_properties(schema: T.StructType) -> dict:
+    """DataFrame schema → ES mapping ``properties`` dict (structs →
+    nested ``properties``, arrays → their element type). Raises on
+    types ES cannot hold (MapType etc.) — restore callers should cast
+    those to string/JSON first."""
+    props: dict = {}
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.ArrayType):
+            dt = dt.elementType
+        if isinstance(dt, T.StructType):
+            props[f.name] = {"properties": struct_to_properties(dt)}
+            continue
+        es = SPARK_TO_ES.get(dt)
+        if es is None:
+            raise ValueError(
+                f"no ES mapping type for {f.name}: {dt.simpleString()}"
+            )
+        props[f.name] = {"type": es}
+    return props

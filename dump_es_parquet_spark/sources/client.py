@@ -300,6 +300,11 @@ class MockES:
         props = self.fixture[index]["mapping"]
         return {index: {"mappings": {"properties": props}}}
 
+    def create_index(self, index: str, properties: dict) -> dict:
+        self._maybe_fail()
+        self.fixture[index] = {"mapping": properties, "docs": []}
+        return {"acknowledged": True, "index": index}
+
     def bulk(self, index: str, lines: list[str]) -> dict:
         """NDJSON ``_bulk`` stand-in: applies index actions into the
         fixture. NOTE: a MockES pickled into Spark tasks mutates the
@@ -485,6 +490,13 @@ class RestES:
         data = ("\n".join(lines) + "\n").encode()
         return self._send_raw(
             "POST", f"/{index}/_bulk", data, "application/x-ndjson"
+        )
+
+    def create_index(self, index: str, properties: dict) -> dict:
+        """``PUT /{index}`` with an explicit mapping (restore-side
+        inverse of ``get_mapping``)."""
+        return self._req(
+            "PUT", f"/{index}", {"mappings": {"properties": properties}}
         )
 
     def _send_raw(

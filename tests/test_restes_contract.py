@@ -111,6 +111,14 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send({"error": "unknown"}, 404)
 
+    created: dict = {}  # {index: mappings} via PUT
+
+    def do_PUT(self):
+        rec = self._record("PUT")
+        idx = rec["path"].strip("/")
+        _Handler.created[idx] = rec["body"]
+        self._send({"acknowledged": True, "index": idx})
+
     def do_DELETE(self):
         rec = self._record("DELETE")
         if rec["path"] == "/_pit":
@@ -383,3 +391,70 @@ def test_cli_restore_from_parquet(es_url, spark, tmp_path):
     got = {a["index"]["_id"]: s for a, s in _Handler.indexed["restored_cli"]}
     assert set(got) == {str(i) for i in range(7)}
     assert got["3"] == {"doc_id": 3, "host": "web-3"}
+
+
+def test_restore_create_index_puts_mapping(es_url, spark):
+    """create_index=True PUTs an explicit mapping derived from the
+    frame schema BEFORE any bulk task runs — no dynamic mapping."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.restore import restore_index
+
+    _Handler.indexed.clear()
+    _Handler.created.clear()
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1), {"city": "x"}, 2.5)],
+        "doc_id long, ts timestamp, meta struct<city:string>, load double",
+    )
+    restore_index(
+        df, lambda: RestES(es_url), "rt_http", id_col="doc_id",
+        create_index=True,
+    )
+    props = _Handler.created["rt_http"]["mappings"]["properties"]
+    assert props == {
+        "doc_id": {"type": "long"},
+        "ts": {"type": "date"},
+        "meta": {"properties": {"city": {"type": "keyword"}}},
+        "load": {"type": "double"},
+    }
+    assert len(_Handler.indexed["rt_http"]) == 1
+
+
+def test_dump_restore_dump_roundtrip(spark, tmp_path):
+    """The full circle: frame → restore (driver-side MockES: mapping +
+    bulk) → dump pipeline (schema discovery + coercion) → frame. The
+    restored index round-trips to the identical typed rows, proving
+    the restore serialization and the dump coercion are inverses."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.pipeline import dump
+    from dump_es_parquet_spark.schema import struct_to_properties
+    from dump_es_parquet_spark.sinks import SinkOptions
+    from dump_es_parquet_spark.sources import MockES, ScanOptions
+
+    df = spark.createDataFrame(
+        [
+            (0, "a", dt.datetime(2026, 1, 1, 12, 30), {"city": "x"}, 1.5, True),
+            (1, "b", dt.datetime(2026, 2, 2, 0, 0, 1), {"city": "y"}, None, False),
+        ],
+        "doc_id long, host string, ts timestamp, meta struct<city:string>, "
+        "load double, up boolean",
+    )
+    m = MockES({})
+    m.create_index("rt", struct_to_properties(df.schema))
+    lines = []
+    for r in df.select(F.to_json(F.struct(*df.columns)).alias("j")).collect():
+        lines += ['{"index": {}}', r.j]
+    m.bulk("rt", lines)
+
+    res = dump(
+        spark, lambda: m, "rt", str(tmp_path), ScanOptions(slices=1),
+        SinkOptions(output="parquet"),
+    )
+    assert not res.errors
+    back = spark.read.parquet(str(tmp_path / "rt")).select(*df.columns)
+    want = {tuple(str(v) for v in r) for r in df.collect()}
+    got = {tuple(str(v) for v in r) for r in back.collect()}
+    assert got == want

@@ -237,3 +237,33 @@ def test_union_evolved_struct_to_json(spark):
     u = union_evolved([s1, s2])
     rows = {r.id: r.meta for r in u.collect()}
     assert rows[1] == '{"a":1}' and rows[2] == "raw"
+
+
+def test_struct_to_properties_inverts_type_table():
+    from dump_es_parquet_spark.schema import (
+        properties_to_struct,
+        struct_to_properties,
+    )
+
+    st = T.StructType(
+        [
+            T.StructField("h", T.StringType()),
+            T.StructField("p", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("f", T.FloatType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("t", T.TimestampType()),
+            T.StructField(
+                "m", T.StructType([T.StructField("c", T.StringType())])
+            ),
+        ]
+    )
+    # restore-side inverse composes with the dump-side map to identity
+    assert properties_to_struct(struct_to_properties(st)) == st
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        struct_to_properties(
+            T.StructType([T.StructField("x", T.MapType(T.StringType(), T.LongType()))])
+        )
