@@ -122,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --restore-from: column providing the "
                    "document _id (makes task retries idempotent "
                    "overwrites instead of duplicates)")
+    p.add_argument("--restore-create-index", action="store_true",
+                   help="with --restore-from: PUT the index first with "
+                   "a mapping derived from the parquet schema (avoids "
+                   "ES dynamic-mapping timestamps as text)")
     p.add_argument("--fixture-json", default=argparse.SUPPRESS,
                    help=argparse.SUPPRESS)  # testing hook: mock ES fixture file
     return p
@@ -336,6 +340,7 @@ def main(argv: list[str] | None = None) -> int:
             args.index,
             id_col=args.restore_id_col,
             batch_size=args.size,
+            create_index=args.restore_create_index,
         )
         print(f"restored {n} documents into {args.index}", file=sys.stderr)
         return 0

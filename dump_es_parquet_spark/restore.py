@@ -27,6 +27,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def source_lines(df: DataFrame, id_col: str | None = None) -> DataFrame:
+    """Render each row's ``_source`` JSON line (JVM-side): the one
+    serialization restore uses everywhere. ``to_json``'s DEFAULT
+    timestampFormat is millisecond-precision — it silently truncates
+    µs through a restore (caught by the circle property test) — so we
+    pin full microseconds, which both ES date parsing and the dump
+    coercion accept."""
+    cols = [
+        F.to_json(
+            F.struct(*df.columns),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        ).alias("_src")
+    ]
+    if id_col:
+        cols.insert(0, F.col(id_col).cast("string").alias("_id"))
+    return df.select(*cols)
+
+
 def restore_index(
     df: DataFrame,
     client_factory: Callable,
@@ -50,10 +68,7 @@ def restore_index(
         from dump_es_parquet_spark.schema import struct_to_properties
 
         client_factory().create_index(index, struct_to_properties(df.schema))
-    cols = [F.to_json(F.struct(*df.columns)).alias("_src")]
-    if id_col:
-        cols.insert(0, F.col(id_col).cast("string").alias("_id"))
-    lines_df = df.select(*cols)
+    lines_df = source_lines(df, id_col=id_col)
 
     def _ship(rows: Iterator) -> Iterator[int]:
         import json as _json

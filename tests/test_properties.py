@@ -430,3 +430,64 @@ def test_compact_latest_equals_window_formulation(spark, rows):
         .collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(max_size=12),
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=False, width=32),
+            ),
+            st.booleans(),
+            st.datetimes(
+                min_value=dtm.datetime(1900, 1, 1),
+                max_value=dtm.datetime(2100, 1, 1),
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_restore_dump_circle_property(spark, tmp_path_factory, rows):
+    """Restore serialization ∘ dump coercion = identity on arbitrary
+    typed rows (strings incl. quotes/unicode, negative ints, NULLs,
+    float32 values, µs timestamps): frame → to_json bulk lines →
+    MockES index (schema-derived mapping) → full dump pipeline →
+    the same typed rows."""
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.pipeline import dump
+    from dump_es_parquet_spark.schema import struct_to_properties
+    from dump_es_parquet_spark.sinks import SinkOptions
+    from dump_es_parquet_spark.sources import MockES, ScanOptions
+
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "doc_id long, s string, n long, f float, b boolean, ts timestamp",
+    )
+    m = MockES({})
+    m.create_index("circ", struct_to_properties(df.schema))
+    from dump_es_parquet_spark.restore import source_lines
+
+    lines = []
+    for r in source_lines(df).collect():
+        lines += ['{"index": {}}', r._src]
+    m.bulk("circ", lines)
+    out = str(tmp_path_factory.mktemp("circle"))
+    res = dump(
+        spark, lambda: m, "circ", out, ScanOptions(slices=1),
+        SinkOptions(output="parquet"),
+    )
+    assert not res.errors
+    back = spark.read.parquet(f"{out}/circ").select(*df.columns)
+    want = sorted(tuple(str(v) for v in r) for r in df.collect())
+    got = sorted(tuple(str(v) for v in r) for r in back.collect())
+    assert got == want

@@ -444,9 +444,11 @@ def test_dump_restore_dump_roundtrip(spark, tmp_path):
     )
     m = MockES({})
     m.create_index("rt", struct_to_properties(df.schema))
+    from dump_es_parquet_spark.restore import source_lines
+
     lines = []
-    for r in df.select(F.to_json(F.struct(*df.columns)).alias("j")).collect():
-        lines += ['{"index": {}}', r.j]
+    for r in source_lines(df).collect():
+        lines += ['{"index": {}}', r._src]
     m.bulk("rt", lines)
 
     res = dump(
