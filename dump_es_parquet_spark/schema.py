@@ -392,3 +392,35 @@ def struct_to_properties(schema: T.StructType) -> dict:
             )
         props[f.name] = {"type": es}
     return props
+
+
+def unflatten_to(df, schema: T.StructType):
+    """Inverse of the dump's ``flatten=True`` projection: rebuild the
+    nested frame from ``{FLATTEN_SEP}``-joined leaf columns, guided by
+    the TARGET schema (the original mapping's struct) — which resolves
+    the ambiguity a blind split on ``_`` cannot (``meta_city`` the
+    flattened path vs ``meta_city`` a literal field name: whichever
+    the schema declares wins, preferring the literal column when both
+    exist). Restore-side use: a flattened dump re-nests before
+    ``restore_index`` so the index mapping keeps its object fields."""
+    from pyspark.sql import functions as F
+
+    def build(st: T.StructType, prefix: str):
+        cols = []
+        for f in st.fields:
+            flat = f"{prefix}{f.name}"
+            if isinstance(f.dataType, T.StructType) and flat not in df.columns:
+                sub = build(f.dataType, flat + FLATTEN_SEP)
+                cols.append(
+                    F.when(
+                        sum((c.isNotNull().cast("int") for c in sub), F.lit(0)) > 0,
+                        F.struct(*[c.alias(g.name) for c, g in zip(sub, f.dataType.fields)]),
+                    ).alias(f.name)
+                )
+            elif flat in df.columns:
+                cols.append(F.col(flat).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return cols
+
+    return df.select(*build(schema, ""))

@@ -267,3 +267,34 @@ def test_struct_to_properties_inverts_type_table():
         struct_to_properties(
             T.StructType([T.StructField("x", T.MapType(T.StringType(), T.LongType()))])
         )
+
+
+def test_unflatten_inverts_flatten(spark):
+    """unflatten_to ∘ flatten = identity on the nested frame (all-NULL
+    struct rows come back as NULL structs, not structs of NULLs)."""
+    from dump_es_parquet_spark.coerce import parse_and_coerce
+    from dump_es_parquet_spark.schema import unflatten_to
+
+    st = properties_to_struct(
+        {
+            "host": {"type": "keyword"},
+            "meta": {"properties": {"geo": {"properties": {
+                "city": {"type": "keyword"}}},
+                "rack": {"type": "integer"}}},
+        }
+    )
+    docs = [
+        '{"host": "a", "meta": {"geo": {"city": "x"}, "rack": 3}}',
+        '{"host": "b", "meta": {"rack": 4}}',
+        '{"host": "c"}',
+    ]
+    raw = spark.createDataFrame([(d,) for d in docs], ["value"])
+    nested = parse_and_coerce(raw, st)
+    flat = parse_and_coerce(raw, st, flatten=True)
+    assert "meta_geo_city" in flat.columns
+    rebuilt = unflatten_to(flat, st)
+    assert rebuilt.schema == nested.schema
+    key = lambda df: sorted(str(r) for r in df.collect())
+    assert key(rebuilt) == key(nested)
+    # host 'c' has no meta leaves -> NULL struct, matching the nested path
+    assert rebuilt.where("host = 'c'").first().meta is None
