@@ -299,3 +299,50 @@ def temperature_summary(
         )
         .orderBy("lang")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement, distributed: the
+    Efraimidis–Spirakis A-ES scheme — each row draws a deterministic
+    uniform u from md5(key, seed) and ranks by ``u^(1/w)``; the global
+    top-``n`` keys is a weighted sample exactly distributed as
+    sequential draws without replacement. One ``TakeOrderedAndProject``
+    (per-partition heaps, n rows to the driver merge) — no shuffle of
+    the corpus, no rejection loop.
+
+    This is the quality-weighted subset op (sample by LM score,
+    up-weight rare sources) the plain md5-fraction sampler cannot
+    express. Deterministic and engine-portable in SET terms, but NOT
+    given a SQL oracle: the rank passes through ``pow``, whose last-ulp
+    rounding libms may disagree on, so the hash-exact gate would hinge
+    on float formatting rather than semantics (cf. the integer-score
+    choice in ``operators/lm.py``); the pytest suite pins determinism,
+    exclusion of zero weights, and the inclusion-frequency ordering
+    instead. Rows with weight <= 0 or NULL never sample."""
+    u = _hex_fraction(F.md5(F.concat_ws("\x1f", F.col(key_col).cast("string"), F.lit(seed))))
+    w = F.col(weight_col).cast("double")
+    rank = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.where(w > 0)
+        .withColumn("__aes_rank", rank)
+        .orderBy(F.col("__aes_rank").desc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("__aes_rank")
+    )
+
+
+def _hex_fraction(h: Column) -> Column:
+    """md5 hex → uniform double in (0, 1): first 13 hex digits as a
+    52-bit integer (exactly representable in a double) over 2^52, with
+    a half-ulp offset so u is never exactly 0 (pow(0, x) = 0 would tie
+    every zero-u row)."""
+    frac = F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(
+        float(1 << 52)
+    )
+    return frac + F.lit(0.5 / (1 << 52))

@@ -536,3 +536,34 @@ def test_curate_and_export_end_to_end(spark, sf_dir, tmp_path):
     back = spark.read.parquet(f"{out}/shards")
     assert back.count() == m["total_rows"] > 0
     assert m["total_tokens"] == back.agg({"n_chunk_tokens": "sum"}).first()[0]
+
+
+def test_weighted_sample_aes(spark):
+    """A-ES weighted sampling: deterministic, excludes non-positive
+    weights, and inclusion frequency orders by weight across seeds
+    (operators/sampling.weighted_sample)."""
+    from dump_es_parquet_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 5 else 1.0) for i in range(50)] + [
+        (90, 0.0), (91, -1.0), (92, None)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    s1 = sorted(r.doc_id for r in weighted_sample(df, "w", 10, seed="a").collect())
+    s2 = sorted(r.doc_id for r in weighted_sample(df, "w", 10, seed="a").collect())
+    assert s1 == s2 and len(s1) == 10  # deterministic, exact n
+    assert not {90, 91, 92} & set(s1)  # zero/negative/NULL never sample
+
+    # heavy ids (w=10) must be included far more often than light ones
+    from collections import Counter
+
+    seen = Counter()
+    for seed in "abcdefgh":
+        for r in weighted_sample(df, "w", 10, seed=seed).collect():
+            seen[r.doc_id] += 1
+    heavy = sum(seen[i] for i in range(5)) / 5
+    light = sum(seen[i] for i in range(5, 50)) / 45
+    assert heavy > 2 * light
+
+    # n >= population: everything with positive weight
+    assert weighted_sample(df, "w", 100).count() == 50
