@@ -346,3 +346,33 @@ def _hex_fraction(h: Column) -> Column:
         float(1 << 52)
     )
     return frac + F.lit(0.5 / (1 << 52))
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Grouped A-ES: the top-``k`` weighted sample WITHIN each group
+    (k docs per source/language, weight-proportional). Same rank as
+    ``weighted_sample``; selection becomes a per-group window prune —
+    one shuffle on the group key, rows beyond ``k`` dropped before
+    anything downstream."""
+    from pyspark.sql.window import Window
+
+    u = _hex_fraction(
+        F.md5(F.concat_ws("\x1f", F.col(key_col).cast("string"), F.lit(seed)))
+    )
+    w = F.col(weight_col).cast("double")
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.pow(u, F.lit(1.0) / w).desc(), F.col(key_col).asc()
+    )
+    return (
+        df.where(w > 0)
+        .withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -567,3 +567,21 @@ def test_weighted_sample_aes(spark):
 
     # n >= population: everything with positive weight
     assert weighted_sample(df, "w", 100).count() == 50
+
+
+def test_weighted_sample_per_group(spark):
+    from dump_es_parquet_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(g * 100 + i, "ab"[g], float(i + 1)) for g in range(2) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+    out = weighted_sample_per_group(df, ["src"], "w", 4)
+    from pyspark.sql import functions as F
+
+    counts = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 4, "b": 4}
+    again = weighted_sample_per_group(df, ["src"], "w", 4)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
