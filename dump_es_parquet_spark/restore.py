@@ -111,3 +111,31 @@ def restore_index(
     # come back as data — the one legitimate RDD drop-down: per-
     # partition imperative I/O with a result
     return lines_df.rdd.mapPartitions(_ship).sum()
+
+
+def follow_restore(
+    stream_df: DataFrame,
+    client_factory: Callable,
+    index: str,
+    checkpoint: str,
+    *,
+    id_col: str | None = None,
+    batch_size: int = 500,
+    trigger: dict | None = None,
+):
+    """Continuous lake→index replication: each micro-batch of a
+    streaming frame (e.g. ``readStream.parquet`` over a growing dump
+    directory) bulk-indexes via ``restore_index`` — the search-side
+    mirror of ``--follow``'s ingest. foreachBatch is at-least-once;
+    pass ``id_col`` so replays overwrite idempotently (the same
+    contract as the batch restore's task retries)."""
+
+    def _ship(b: DataFrame, _epoch: int) -> None:
+        restore_index(
+            b, client_factory, index, id_col=id_col, batch_size=batch_size
+        )
+
+    w = stream_df.writeStream.foreachBatch(_ship).option(
+        "checkpointLocation", checkpoint
+    )
+    return w.trigger(**(trigger or {"availableNow": True})).start()

@@ -460,3 +460,30 @@ def test_dump_restore_dump_roundtrip(spark, tmp_path):
     want = {tuple(str(v) for v in r) for r in df.collect()}
     got = {tuple(str(v) for v in r) for r in back.collect()}
     assert got == want
+
+
+def test_follow_restore_stream(es_url, spark, tmp_path):
+    """Streaming replication: growing parquet dir -> per-batch _bulk;
+    checkpoint resumes without re-shipping old rows, id lines make
+    replays idempotent."""
+    from dump_es_parquet_spark.restore import follow_restore
+
+    _Handler.indexed.clear()
+    src = str(tmp_path / "lake")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, host string").write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("doc_id long, host string").parquet(src)
+    q = follow_restore(stream, lambda: RestES(es_url), "repl", ck, id_col="doc_id")
+    q.awaitTermination(60)
+    assert {a["index"]["_id"] for a, _ in _Handler.indexed["repl"]} == {"1", "2"}
+
+    spark.createDataFrame([(3, "c")], "doc_id long, host string").write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("doc_id long, host string").parquet(src)
+    q = follow_restore(stream, lambda: RestES(es_url), "repl", ck, id_col="doc_id")
+    q.awaitTermination(60)
+    ids = [a["index"]["_id"] for a, _ in _Handler.indexed["repl"]]
+    assert sorted(ids) == ["1", "2", "3"]  # no re-ship of 1,2
