@@ -403,6 +403,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           (trailing 1h per user; rangeBetween)
 #   events_funnel         — order-aware conversion funnel (stepwise
 #                           min-after-threshold, one shuffle key)
+#   events_retention      — cohort retention matrix (first-activity
+#                           week × week-offset distinct users)
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
@@ -447,6 +449,7 @@ DEMOTED: frozenset[str] = frozenset(
         "events_union_evolved",
         "events_rolling_1h",
         "events_funnel",
+        "events_retention",
     }
 )
 
@@ -573,6 +576,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_union_evolved": q_events_union_evolved,
         "events_rolling_1h": _rel("q_events_rolling_1h"),
         "events_funnel": _rel("q_events_funnel"),
+        "events_retention": _rel("q_events_retention"),
     }
 
 
@@ -2114,6 +2118,27 @@ def _all_oracle_sql() -> dict[str, str]:
                min(value) AS min_value,
                max(value) AS max_value
         FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """
+
+    # cohort retention: ISO-Monday week truncation in both engines;
+    # offsets are exact multiples of 7 days by construction
+    q["events_retention"] = """
+        WITH first AS (
+          SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        active AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS active_week
+          FROM events
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT)
+                 AS week_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM active JOIN first USING (user_id)
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
     """
 
     # order-aware conversion funnel: step N only counts AFTER the

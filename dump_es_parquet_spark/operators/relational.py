@@ -342,6 +342,35 @@ def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (ISO Monday truncation — identical in both engines), counted
+    distinct per (cohort, week-offset). Two aggregations on user_id +
+    one broadcast join of the users-sized cohort frame; offsets are
+    exact multiples of 7 days by construction (both sides truncated),
+    so the integer division is portable."""
+    ev = load(spark, sf_dir, "events")
+    # DATE-typed weeks (DuckDB's date_trunc('week', ts) lands on DATE
+    # through the view layer; match the type so hashes align)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: a user
     converts step N only AFTER their step-N−1 time (stepwise
