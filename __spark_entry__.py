@@ -827,13 +827,16 @@ def _all_oracle_sql() -> dict[str, str]:
         ORDER BY s_name, s_suppkey
     """
 
+    # TIMESTAMP day + BIGINT casts so the strict (dtype-sensitive)
+    # canonicalizer agrees too: DATE and HUGEINT render differently
+    # through the two toPandas paths
     q["events_pivot"] = """
-        SELECT CAST(ts AS DATE) AS day,
-               sum(CASE WHEN event_type = 'click' THEN 1 END) AS click,
-               sum(CASE WHEN event_type = 'error' THEN 1 END) AS error,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-               sum(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
-               sum(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
         FROM events GROUP BY day ORDER BY day
     """
 
@@ -1924,7 +1927,7 @@ def _all_oracle_sql() -> dict[str, str]:
           WHERE n_tokens > 0
         )
         SELECT seq_id, count(*) AS n_docs,
-               sum(fill_end - fill_start) AS n_filled
+               CAST(sum(fill_end - fill_start) AS BIGINT) AS n_filled
         FROM packed GROUP BY seq_id ORDER BY seq_id
     """
 
@@ -2124,16 +2127,18 @@ def _all_oracle_sql() -> dict[str, str]:
     # offsets are exact multiples of 7 days by construction
     q["events_retention"] = """
         WITH first AS (
-          SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+          SELECT user_id,
+                 CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
           FROM events GROUP BY user_id
         ),
         active AS (
           SELECT DISTINCT user_id,
-                 CAST(date_trunc('week', ts) AS DATE) AS active_week
+                 CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
           FROM events
         )
         SELECT cohort_week,
-               CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT)
+               CAST(date_diff('day', CAST(cohort_week AS DATE),
+                              CAST(active_week AS DATE)) // 7 AS BIGINT)
                  AS week_offset,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM active JOIN first USING (user_id)

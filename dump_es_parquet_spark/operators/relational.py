@@ -350,19 +350,26 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact multiples of 7 days by construction (both sides truncated),
     so the integer division is portable."""
     ev = load(spark, sf_dir, "events")
-    # DATE-typed weeks (DuckDB's date_trunc('week', ts) lands on DATE
-    # through the view layer; match the type so hashes align)
+    # TIMESTAMP-typed weeks on BOTH engines: DATE columns render
+    # differently through the two toPandas paths (datetime.date vs
+    # datetime64), which the driver's dtype-sensitive hash would flag
     first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     active = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
     ).distinct()
     return (
         active.join(F.broadcast(first), "user_id")
         .groupBy(
             "cohort_week",
-            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
             .cast("long")
             .alias("week_offset"),
         )
@@ -543,7 +550,10 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``count(CASE WHEN type=v)`` expressions, nothing row-expanding."""
     e = load(spark, sf_dir, "events")
     return (
-        e.groupBy(F.to_date("ts").alias("day"))
+        # TIMESTAMP day (not to_date): DATE columns render differently
+        # through Spark's and DuckDB's toPandas paths, which the
+        # strict dtype-sensitive canonicalizer would flag
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
         .count()
         .orderBy("day")

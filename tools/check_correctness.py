@@ -78,6 +78,12 @@ def main():
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    if "--all" in only:
+        # include the demoted (still-verified) set — the full 93-query
+        # oracle sweep pytest runs, but at an arbitrary sf_dir
+        only.discard("--all")
+        queries = {**queries, **entry.demoted_queries()}
+        oracles = {**oracles, **entry.demoted_oracle_sql()}
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
