@@ -405,6 +405,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           min-after-threshold, one shuffle key)
 #   events_retention      — cohort retention matrix (first-activity
 #                           week × week-offset distinct users)
+#   events_sequence_patterns — MATCH_RECOGNIZE-lite: regex over each
+#                           user's time-ordered event-type string
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
@@ -450,6 +452,7 @@ DEMOTED: frozenset[str] = frozenset(
         "events_rolling_1h",
         "events_funnel",
         "events_retention",
+        "events_sequence_patterns",
     }
 )
 
@@ -577,6 +580,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_1h": _rel("q_events_rolling_1h"),
         "events_funnel": _rel("q_events_funnel"),
         "events_retention": _rel("q_events_retention"),
+        "events_sequence_patterns": _rel("q_events_sequence_patterns"),
     }
 
 
@@ -2121,6 +2125,26 @@ def _all_oracle_sql() -> dict[str, str]:
                min(value) AS min_value,
                max(value) AS max_value
         FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """
+
+    # MATCH_RECOGNIZE-lite: per-user event-type strings in (ts, id)
+    # order; both engines run the same unanchored regexes over them
+    q["events_sequence_patterns"] = """
+        WITH seqs AS (
+          SELECT user_id,
+                 string_agg(substr(event_type, 1, 1), ''
+                            ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_v_c_p,
+               CAST(sum(CASE WHEN regexp_matches(seq, '^[^p]*e.*p')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_error_before_purchase,
+               CAST(sum(CASE WHEN regexp_matches(seq, 'eee')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_error_burst
+        FROM seqs
     """
 
     # cohort retention: ISO-Monday week truncation in both engines;

