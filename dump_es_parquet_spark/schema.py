@@ -377,11 +377,18 @@ def struct_to_properties(schema: T.StructType) -> dict:
     nested ``properties``, arrays → their element type). Raises on
     types ES cannot hold (MapType etc.) — restore callers should cast
     those to string/JSON first."""
+    geo = ES_TO_SPARK["geo_point"]
     props: dict = {}
     for f in schema.fields:
         dt = f.dataType
         if isinstance(dt, T.ArrayType):
             dt = dt.elementType
+        if dt == geo:
+            # the dump side maps geo_point → struct<lat,lon double>;
+            # restore the SAME shape as geo_point (ES accepts {lat,lon}
+            # objects for it), keeping the inverse composition exact
+            props[f.name] = {"type": "geo_point"}
+            continue
         if isinstance(dt, T.StructType):
             props[f.name] = {"properties": struct_to_properties(dt)}
             continue

@@ -298,3 +298,16 @@ def test_unflatten_inverts_flatten(spark):
     assert key(rebuilt) == key(nested)
     # host 'c' has no meta leaves -> NULL struct, matching the nested path
     assert rebuilt.where("host = 'c'").first().meta is None
+
+
+def test_struct_to_properties_geo_point_roundtrip():
+    from dump_es_parquet_spark.schema import (
+        properties_to_struct,
+        struct_to_properties,
+    )
+
+    st = properties_to_struct({"loc": {"type": "geo_point"},
+                               "host": {"type": "keyword"}})
+    props = struct_to_properties(st)
+    assert props["loc"] == {"type": "geo_point"}  # not a nested object
+    assert properties_to_struct(props) == st
