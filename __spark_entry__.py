@@ -407,6 +407,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           week × week-offset distinct users)
 #   events_sequence_patterns — MATCH_RECOGNIZE-lite: regex over each
 #                           user's time-ordered event-type string
+#   privacy_k_anonymity   — structured release gate: sub-k
+#                           quasi-identifier combos + suppression
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
@@ -453,6 +455,7 @@ DEMOTED: frozenset[str] = frozenset(
         "events_funnel",
         "events_retention",
         "events_sequence_patterns",
+        "privacy_k_anonymity",
     }
 )
 
@@ -581,6 +584,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _rel("q_events_funnel"),
         "events_retention": _rel("q_events_retention"),
         "events_sequence_patterns": _rel("q_events_sequence_patterns"),
+        "privacy_k_anonymity": _mod("privacy", "q_privacy_report"),
     }
 
 
@@ -2125,6 +2129,31 @@ def _all_oracle_sql() -> dict[str, str]:
                min(value) AS min_value,
                max(value) AS max_value
         FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """
+
+    # k-anonymity release gate over (nation, segment) quasi-identifiers
+    q["privacy_k_anonymity"] = """
+        WITH combos AS (
+          SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
+          FROM customer GROUP BY c_nationkey, c_mktsegment
+        ),
+        kept AS (
+          SELECT c.c_custkey
+          FROM customer c JOIN combos x
+            ON c.c_nationkey = x.c_nationkey
+           AND c.c_mktsegment = x.c_mktsegment
+          WHERE x.n_rows >= 3
+        ),
+        totals AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_kept_rows,
+                 CAST(sum(c_custkey) AS BIGINT) AS kept_key_sum
+          FROM kept
+        )
+        SELECT c_nationkey, c_mktsegment, n_rows,
+               n_rows < 3 AS violates_k,
+               n_kept_rows, kept_key_sum
+        FROM combos, totals
+        ORDER BY c_nationkey, c_mktsegment
     """
 
     # MATCH_RECOGNIZE-lite: per-user event-type strings in (ts, id)

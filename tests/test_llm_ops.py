@@ -585,3 +585,21 @@ def test_weighted_sample_per_group(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_k_anonymity(spark):
+    from dump_es_parquet_spark.operators.privacy import (
+        enforce_k_anonymity,
+        k_anonymity_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "us" if i < 8 else "rare", "A") for i in range(10)],
+        "id long, region string, seg string",
+    )
+    bad = k_anonymity_violations(df, ["region", "seg"], k=3).collect()
+    assert [(r.region, r.n_rows) for r in bad] == [("rare", 2)]
+    kept = enforce_k_anonymity(df, ["region", "seg"], k=3)
+    assert sorted(r.id for r in kept.collect()) == list(range(8))
+    # k=1 is always anonymous
+    assert k_anonymity_violations(df, ["region"], k=1).count() == 0
