@@ -149,3 +149,65 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles."""
     d = load(spark, sf_dir, "documents")
     return profile_exact(d, "source", "n_chars", "lang").orderBy("source")
+
+
+def kll_sketches(
+    d: DataFrame, group_col: str, value_col: str, k: int = 200
+) -> DataFrame:
+    """Per-group KLL quantile sketch of a numeric column — the
+    MERGEABLE quantile, completing the sketch family (HLL answers
+    "how many distinct"; KLL answers "what is p50/p99"). Same lake
+    contract: kilobyte blobs stored next to the data; any union of
+    groups answers quantile queries by merging sketches, never
+    re-scanning rows."""
+    return d.groupBy(group_col).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias(
+            "value_sketch"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def kll_rollup(sketches: DataFrame, quantiles=(0.5, 0.9, 0.99)) -> DataFrame:
+    """Merge per-group KLL sketches and read global quantiles — a
+    len(groups)-row aggregation."""
+    merged = F.kll_merge_agg_double("value_sketch")
+    return sketches.agg(
+        *[
+            F.kll_sketch_get_quantile_double(merged, F.lit(q)).alias(
+                f"p{int(q * 100)}"
+            )
+            for q in quantiles
+        ],
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+def theta_overlap(
+    d: DataFrame, group_col: str, key_col: str, a, b
+) -> DataFrame:
+    """Mergeable SET algebra between two groups via Theta sketches:
+    estimated |A|, |B|, |A∩B|, |A∪B|, |A∖B| of their key sets —
+    distinct-overlap questions (shared users between sources, vocab
+    intersection between shards) WITHOUT a join or re-shuffle of the
+    raw keys. Sketch once per group; every pairwise question is then
+    sketch-local."""
+    sk = d.where(F.col(group_col).isin([a, b])).groupBy(group_col).agg(
+        F.theta_sketch_agg(F.col(key_col).cast("string")).alias("s")
+    )
+    row_a = sk.where(F.col(group_col) == a).select(F.col("s").alias("sa"))
+    row_b = sk.where(F.col(group_col) == b).select(F.col("s").alias("sb"))
+    both = row_a.crossJoin(row_b)
+    return both.select(
+        F.theta_sketch_estimate("sa").cast("double").alias("n_a"),
+        F.theta_sketch_estimate("sb").cast("double").alias("n_b"),
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb"))
+        .cast("double")
+        .alias("n_intersection"),
+        F.theta_sketch_estimate(F.theta_union("sa", "sb"))
+        .cast("double")
+        .alias("n_union"),
+        F.theta_sketch_estimate(F.theta_difference("sa", "sb"))
+        .cast("double")
+        .alias("n_a_minus_b"),
+    )

@@ -603,3 +603,33 @@ def test_k_anonymity(spark):
     assert sorted(r.id for r in kept.collect()) == list(range(8))
     # k=1 is always anonymous
     assert k_anonymity_violations(df, ["region"], k=1).count() == 0
+
+
+def test_kll_and_theta_sketches(spark, tmp_path):
+    """KLL quantile sketches survive parquet and merge to accurate
+    global quantiles; Theta sketches answer exact-ish set algebra
+    between groups without joins (operators/profile.py)."""
+    from dump_es_parquet_spark.operators.profile import (
+        kll_rollup,
+        kll_sketches,
+        theta_overlap,
+    )
+
+    rows = [(g, float(v)) for g in range(4) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    sk = kll_sketches(df, "g", "v")
+    p = str(tmp_path / "kll")
+    sk.write.parquet(p)  # blobs are parquet-storable
+    roll = kll_rollup(spark.read.parquet(p)).first()
+    assert roll.n_rows == 400
+    assert abs(roll.p50 - 50) <= 3 and abs(roll.p99 - 99) <= 3
+
+    ov = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", i) for i in range(50, 200)],
+        "src string, uid long",
+    )
+    est = theta_overlap(ov, "src", "uid", "a", "b").first()
+    assert abs(est.n_a - 100) < 5 and abs(est.n_b - 150) < 8
+    assert abs(est.n_intersection - 50) < 5
+    assert abs(est.n_union - 200) < 10
+    assert abs(est.n_a_minus_b - 50) < 5
