@@ -1,0 +1,61 @@
+"""Physical-plan linting: the scale anti-pattern gate.
+
+PLANS.md documents what each query's plan IS; this module asserts what
+no plan may BECOME. A refactor that silently turns a broadcast-hash
+join into a cartesian product, or an expression into a row-at-a-time
+Python UDF, passes every correctness test — the results are identical
+— and only shows up as a 100× cliff at cluster scale. Linting the
+executed-plan string catches the regression at test time, before any
+data moves.
+
+Rules (each returns a finding string):
+
+- ``CartesianProduct`` — never acceptable.
+- ``BatchEvalPython`` — row-at-a-time Python UDF in the plan; the
+  engine's contract is Arrow-batched Python only (``ArrowEvalPython``
+  / ``MapInPandas`` / ``FlatMapGroupsInPandas`` are fine).
+- ``BroadcastNestedLoopJoin`` — flagged unless the caller allows it:
+  the ONE legitimate shape is a 1-row broadcast (scalar subquery /
+  query-vector cross join), which is O(n); anything else is O(n·m).
+- parquet scans reading every column of a wide table when the query
+  uses few — approximated by flagging scans whose ReadSchema lists
+  more than ``max_scan_cols`` columns (tune per call; the testdata
+  tables are narrow, so default is permissive).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+ARROW_OK = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "MapInArrow")
+
+
+def lint_plan(
+    df: DataFrame, *, allow_bnlj: bool = False, max_scan_cols: int | None = None
+) -> list[str]:
+    """Findings for scale anti-patterns in ``df``'s physical plan
+    (plan compilation only — nothing executes). Empty list = clean."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    findings: list[str] = []
+    if "CartesianProduct" in plan:
+        findings.append("CartesianProduct: unbounded n*m join")
+    if "BatchEvalPython" in plan:
+        findings.append(
+            "BatchEvalPython: row-at-a-time Python UDF (use Arrow-batched forms)"
+        )
+    if not allow_bnlj and "BroadcastNestedLoopJoin" in plan:
+        findings.append(
+            "BroadcastNestedLoopJoin: O(n*m) unless the broadcast side is "
+            "a scalar (pass allow_bnlj=True only for 1-row broadcasts)"
+        )
+    if max_scan_cols is not None:
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            ncols = len([c for c in m.group(1).split(",") if ":" in c])
+            if ncols > max_scan_cols:
+                findings.append(
+                    f"wide scan: {ncols} columns read (> {max_scan_cols}) — "
+                    "projection not pushed to the source"
+                )
+    return findings

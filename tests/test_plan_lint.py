@@ -1,0 +1,71 @@
+"""Every declared + demoted query's physical plan must stay free of
+scale anti-patterns (CartesianProduct, row-at-a-time Python UDFs,
+unapproved nested-loop joins) — the regression gate behind PLANS.md.
+
+Plan compilation only: queries whose construction itself executes
+(eager checkpoints / index builds) do run some jobs, but nothing is
+collected."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from dump_es_parquet_spark.plan_lint import lint_plan
+
+QUERIES = {**entry.queries(), **entry.demoted_queries()}
+
+#: queries whose BroadcastNestedLoopJoin is the benign 1-row-broadcast
+#: shape (scalar subquery / query vector / threshold scalar) — audited
+#: in PLANS.md and VERDICT r05's anti-pattern review. Adding a name
+#: here requires the same audit.
+BNLJ_ALLOWED = frozenset(
+    {
+        "sim_ann_hyperplane",
+        "sim_ann_ivf_indexed",
+        "sim_ann_ivf_sq8",
+        "sim_ann_ivf",
+        "sim_topk_batch",
+        "sim_topk_bruteforce",
+        "sim_ann_lsh",
+        "q11_important_parts",
+        "q22_idle_customers",
+        "setops",
+        "corpus_temperature",
+        "corpus_dedup",
+        "corpus_curriculum",
+        "corpus_triplets",
+        "privacy_k_anonymity",  # 1-row totals frame cross-joined
+    }
+)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_is_scale_clean(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    findings = lint_plan(df, allow_bnlj=name in BNLJ_ALLOWED)
+    assert not findings, f"{name}: {findings}"
+
+
+def test_lint_catches_antipatterns(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    # a broadcastable side plans BNLJ, not CartesianProduct — disable
+    # auto-broadcast to produce the real thing
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cart = a.crossJoin(b)
+        assert any("CartesianProduct" in f for f in lint_plan(cart))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    bnlj = a.join(b, F.col("id") > F.col("id2"))
+    assert any("NestedLoop" in f for f in lint_plan(bnlj))
+    assert lint_plan(bnlj, allow_bnlj=True) == []
+
+    slow = a.select(F.udf(lambda x: x + 1, LongType())("id"))
+    assert any("BatchEvalPython" in f for f in lint_plan(slow))
