@@ -409,6 +409,8 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           user's time-ordered event-type string
 #   privacy_k_anonymity   — structured release gate: sub-k
 #                           quasi-identifier combos + suppression
+#   events_anomalies      — hourly 3σ volume anomalies via exact
+#                           integer moments (no float stddev)
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
@@ -456,6 +458,7 @@ DEMOTED: frozenset[str] = frozenset(
         "events_retention",
         "events_sequence_patterns",
         "privacy_k_anonymity",
+        "events_anomalies",
     }
 )
 
@@ -585,6 +588,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _rel("q_events_retention"),
         "events_sequence_patterns": _rel("q_events_sequence_patterns"),
         "privacy_k_anonymity": _mod("privacy", "q_privacy_report"),
+        "events_anomalies": _rel("q_events_anomalies"),
     }
 
 
@@ -2129,6 +2133,29 @@ def _all_oracle_sql() -> dict[str, str]:
                min(value) AS min_value,
                max(value) AS max_value
         FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """
+
+    # hourly 3σ anomalies with the σ test in pure integer arithmetic
+    # ((c·n − Σc)² > 9·(n·Σc² − (Σc)²)) — engine stddev algorithms
+    # (Welford vs naive) disagree in float bits, exact moments don't
+    q["events_anomalies"] = """
+        WITH hourly AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                 event_type, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY hour, event_type
+        ),
+        m AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cnt) AS BIGINT) AS s1,
+                 CAST(sum(cnt * cnt) AS BIGINT) AS s2
+          FROM hourly GROUP BY event_type
+        )
+        SELECT h.event_type, h.hour, h.cnt, m.n, m.s1, m.s2
+        FROM hourly h JOIN m USING (event_type)
+        WHERE (h.cnt * m.n - m.s1) * (h.cnt * m.n - m.s1)
+              > 9 * (m.n * m.s2 - m.s1 * m.s1)
+        ORDER BY h.event_type, h.hour
     """
 
     # k-anonymity release gate over (nation, segment) quasi-identifiers

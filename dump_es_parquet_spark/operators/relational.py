@@ -397,6 +397,39 @@ def q_events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomalies per event type — the monitoring query
+    the reference's own domain (Fermilab's fifemon dumps) exists to
+    feed. An hour is anomalous when its count deviates from the type's
+    mean by more than 3σ.
+
+    Oracle portability is engineered, not assumed: engine stddev
+    implementations (Welford vs naive) disagree in float bit patterns,
+    so the moments are computed EXACTLY (counts are integers; n, Σc,
+    Σc² as longs) and the population-σ test |c − μ| > 3σ is multiplied
+    through by n² into pure integer arithmetic:
+    ``(c·n − Σc)² > 9·(n·Σc² − (Σc)²)`` — no division, no sqrt, no
+    float anywhere."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    moments = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    j = hourly.join(F.broadcast(moments), "event_type")
+    dev = F.col("cnt") * F.col("n") - F.col("s1")  # n·(c − mean)
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")  # n²·σ²
+    anomalous = dev * dev > F.lit(9) * var_n2
+    return (
+        j.where(anomalous)
+        .select("event_type", "hour", "cnt", "n", "s1", "s2")
+        .orderBy("event_type", "hour")
+    )
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity week
     (ISO Monday truncation — identical in both engines), counted
