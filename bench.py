@@ -171,8 +171,35 @@ def main() -> int:
         ),
         flush=True,
     )
+    # The driver captures only the TAIL of stdout (~2 KB), and with 90+
+    # per-query entries the detail line above outgrew it — its head,
+    # including "value", was cut off and BENCH_r06 recorded parsed:null.
+    # So the LAST stdout line is a short fixed-size summary with no
+    # per-query map: the tail capture always keeps the end of the
+    # stream, so this line survives regardless of how many queries we
+    # add. summary_line() is a pure function so a unit test can pin its
+    # size (< 300 bytes) against future field creep.
+    print(summary_line(total, len(timings), len(extra_timings), sf), flush=True)
     spark.stop()
     return 0
+
+
+def summary_line(total: float, n_queries: int, n_extra: int, sf: float) -> str:
+    """The final, driver-parsed stdout line. MUST stay short (< 300
+    bytes, pinned by tests/test_bench_contract.py) and contain no
+    per-query map — the driver's tail capture keeps only the end of
+    stdout, and this line must survive whole."""
+    return json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": round(total, 2),
+            "unit": "sec",
+            "n_queries": n_queries,
+            "n_extra": n_extra,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
 
 
 if __name__ == "__main__":

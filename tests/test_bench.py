@@ -56,3 +56,38 @@ def test_factor_boundary():
     assert not needs_retry(steady=1.0, warmup=0.5)  # exactly 2x: no
     assert needs_retry(steady=1.01, warmup=0.5)
     assert RETRY_FACTOR == 2.0
+
+
+def test_summary_line_is_last_and_short():
+    """BENCH_r06 regression: the driver's ~2 KB stdout tail capture cut
+    off the head of the single detail line once it carried 96 query
+    entries, so "value" vanished and the driver recorded parsed:null.
+    The fix is a FINAL short summary line with no per-query map. Pin:
+    (a) it parses, (b) it carries the headline fields, (c) it stays
+    under 300 bytes no matter how many queries exist."""
+    import json
+
+    from bench import summary_line
+
+    line = summary_line(12345.67, n_queries=500, n_extra=500, sf=100.0)
+    assert len(line.encode()) < 300, f"summary line too long: {len(line)}B"
+    d = json.loads(line)
+    assert d["metric"] == "total_query_seconds"
+    assert d["value"] == 12345.67
+    assert d["unit"] == "sec"
+    assert d["sf"] == 100.0
+    assert "queries" not in d and "extra" not in d  # size is O(1), not O(n)
+
+
+def test_summary_line_follows_detail_line_in_source():
+    """The tail capture keeps the END of stdout — the summary must be
+    printed AFTER the detail line, or the fix is inverted. Assert the
+    source ordering so a refactor can't silently swap them."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    detail_pos = src.index('"queries": {k: round(v, 2)')
+    summary_pos = src.index("summary_line(total")
+    assert detail_pos < summary_pos
