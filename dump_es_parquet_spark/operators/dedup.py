@@ -31,6 +31,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dump_es_parquet_spark.operators.tables import load
 
@@ -936,6 +937,48 @@ def split_contamination(
     )
 
 
+#: Edge-count bound for the driver union-find fast path in
+#: ``_component_min_labels``: 200k two-id rows ≈ a few MB on the
+#: driver — the same order as a broadcast-join threshold, so the
+#: collect is bounded by construction, not by luck.
+SMALL_EDGE_UNION_FIND = 200_000
+
+
+def _min_labels_driver_union_find(pairs: DataFrame) -> DataFrame:
+    """Exact min-label connected components for a small edge set via
+    driver-side union-find (path compression + union by attaching the
+    larger root under the smaller, so every root IS its component's
+    minimum).  Produces the identical (node, label) map the
+    distributed fixpoint converges to, with zero checkpoint I/O and
+    two jobs total (the collect + the local-relation scan)."""
+    spark = pairs.sparkSession
+    id_type = pairs.schema["id_a"].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for ida, idb in pairs.collect():
+        ra, rb = find(ida), find(idb)
+        if ra != rb:
+            # attach the larger root under the smaller: roots stay the
+            # component minimum, so no second min-pass is needed
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        parent.setdefault(ida, find(ida))
+        parent.setdefault(idb, find(idb))
+    rows = [(node, find(node)) for node in parent]
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("label", id_type)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def _component_min_labels(pairs: DataFrame) -> DataFrame:
     """Connected components over an (id_a, id_b) edge set: every node
     labeled with its component's minimum id, via min-label propagation
@@ -951,9 +994,20 @@ def _component_min_labels(pairs: DataFrame) -> DataFrame:
     GraphX/GraphFrames iteration pattern) — so iterative dedup leaves
     the block manager exactly as it found it. On a cluster, point
     ``sc.setCheckpointDir`` at shared storage; locally a tempdir is
-    created on demand."""
+    created on demand.
+
+    Adaptive small-edge path: when the edge set fits the
+    ``SMALL_EDGE_UNION_FIND`` bound, the distributed fixpoint's D
+    rounds × 2 jobs of checkpoint I/O are pure overhead (measured
+    ~1.4 s for 477 edges at sf0.1, and the disk writes are the main
+    run-to-run variance in the corpus_dedup bench).  A bounded
+    ``collect()`` of two-id edge rows (≤ ~6 MB at the 200k bound) plus
+    driver union-find computes the identical min-label map in
+    microseconds — the same move AQE makes when it converts a tiny
+    relation to a local one.  Above the bound, the distributed
+    fixpoint runs unchanged, so the operator still scales to edge
+    sets that do NOT fit a driver."""
     spark = pairs.sparkSession
-    _ensure_checkpoint_dir(spark)
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -965,6 +1019,9 @@ def _component_min_labels(pairs: DataFrame) -> DataFrame:
     # 64-partition rounds over ~500-row edge sets). ~500k edges per
     # partition keeps round tasks meaningful at any scale.
     n_edges = pairs.count()  # pairs is caller-cached; this is cheap
+    if n_edges <= SMALL_EDGE_UNION_FIND:
+        return _min_labels_driver_union_find(pairs)
+    _ensure_checkpoint_dir(spark)
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     fix_p = max(1, min(int(prev_sp), (n_edges // 500_000) + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(fix_p))

@@ -770,3 +770,34 @@ def test_l2_normalize_kernel_sliced_batch():
     assert unit[0] == pytest.approx([0.6, 0.8])  # 9/… if buffers misaligned
     assert unit[1] is None
     assert unit[2] == []
+
+
+def test_component_min_labels_driver_and_distributed_agree(spark, monkeypatch):
+    """The adaptive small-edge union-find path must produce the exact
+    (node, label) map the distributed fixpoint converges to — force
+    each path in turn over a set with chains, a merged component whose
+    minimum is never adjacent to half its members, and an isolated
+    pair."""
+    import dump_es_parquet_spark.operators.dedup as dd
+
+    edges = [(1, 3), (2, 3), (2, 4), (10, 11), (5, 6), (6, 7), (7, 8), (4, 9)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 9: 1, 10: 10, 11: 10, 5: 5, 6: 5, 7: 5, 8: 5}
+    driver = {r.node: r.label for r in dd._min_labels_driver_union_find(pairs).collect()}
+    assert driver == expected
+    monkeypatch.setattr(dd, "SMALL_EDGE_UNION_FIND", -1)  # force fixpoint
+    dist = {r.node: r.label for r in dd._component_min_labels(pairs).collect()}
+    assert dist == expected
+
+
+def test_component_min_labels_driver_path_string_ids(spark):
+    """The union-find path must preserve the edge id type (dedup runs
+    over long doc ids here, but the operator is generic)."""
+    from dump_es_parquet_spark.operators.dedup import _min_labels_driver_union_find
+
+    pairs = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "id_a string, id_b string"
+    )
+    out = _min_labels_driver_union_find(pairs)
+    assert dict(out.dtypes) == {"node": "string", "label": "string"}
+    assert {r.node: r.label for r in out.collect()} == {"a": "a", "b": "a", "c": "a"}
