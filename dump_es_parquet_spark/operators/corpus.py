@@ -67,9 +67,11 @@ def curate_and_export(
     manifest AND a datacard — everything a downstream trainer consumes.
 
     Stage order at scale: caps and score filters run on DOCUMENTS
-    (before chunk fan-out); the datacard is computed over the kept
-    documents so it describes exactly what shipped. Returns
-    ``{"manifest": ..., "datacard": ...}``."""
+    (before chunk fan-out); the datacard is computed over the documents
+    that SURVIVE curate's own quality filter and dedup (the distinct
+    doc_ids of the shipped chunk table semi-joined back to the document
+    frame), so it describes exactly what shipped — not the pre-filter
+    input. Returns ``{"manifest": ..., "datacard": ...}``."""
     from dump_es_parquet_spark.operators.datacard import write_datacard
     from dump_es_parquet_spark.operators.export import export_shards
 
@@ -94,8 +96,12 @@ def curate_and_export(
         ).select("doc_id")
         kept = kept.join(good, "doc_id", "left_semi")
     chunks = curate(kept, **curate_kwargs)
+    # curate drops more documents (quality gate + dedup) after the
+    # cap/score filters above — the datacard must count what ships,
+    # so restrict to doc_ids that actually produced chunks.
+    shipped = kept.join(chunks.select("doc_id").distinct(), "doc_id", "left_semi")
     datacard = write_datacard(
-        kept.select(
+        shipped.select(
             *[c for c in ("doc_id", "text", "lang", "source") if c in kept.columns]
         ),
         out_path,

@@ -19,9 +19,6 @@ metadata-sized by construction.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -94,10 +91,10 @@ def write_datacard(
 ) -> dict:
     """Build and atomically publish ``_datacard.json`` under ``path``
     (pairs with ``export.export_shards``' ``_manifest.json``)."""
+    from dump_es_parquet_spark.fsutil import publish_json
+
     card = build_datacard(docs, text_col, id_col)
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, DATACARD + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(card, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(path, DATACARD))
+    # Hadoop-FS publish (not os.*): the export path is an object-store
+    # URI at scale, same handling as snapshot.upsert_latest (ADVICE r06)
+    publish_json(docs.sparkSession, path, DATACARD, card)
     return card

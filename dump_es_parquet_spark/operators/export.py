@@ -44,15 +44,37 @@ def export_shards(
     out = df.withColumn(SHARD_COL, shard)
     out.write.partitionBy(SHARD_COL).mode("overwrite").parquet(path)
 
+    # Digest base: integral keys sum/xor directly; anything else (doc
+    # ids are often strings) goes through xxhash64 first — a straight
+    # long cast would turn every string key into NULL and publish a
+    # digest of nothing (ADVICE r06).
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[key_col].dataType, (T.IntegralType, T.DecimalType)):
+        key_digest = F.col(key_col).cast("long")
+    else:
+        key_digest = F.xxhash64(F.col(key_col))
     aggs = [
         F.count("*").alias("n_rows"),
-        F.sum(F.col(key_col).cast("long")).alias("key_sum"),
-        F.expr(f"bit_xor(cast({key_col} as long))").alias("key_xor"),
+        # decimal(38,0) sum: full-width xxhash64 values overflow a long
+        # sum under ANSI mode; decimal is exact and order-free
+        F.sum(F.col("__key_digest").cast("decimal(38,0)")).alias("key_sum"),
+        F.expr("bit_xor(__key_digest)").alias("key_xor"),
     ]
     if token_col:
         aggs.append(F.sum(F.col(token_col).cast("long")).alias("n_tokens"))
-    rows = out.groupBy(SHARD_COL).agg(*aggs).orderBy(SHARD_COL).collect()
-    shards = [r.asDict() for r in rows]
+    rows = (
+        out.withColumn("__key_digest", key_digest)
+        .groupBy(SHARD_COL)
+        .agg(*aggs)
+        .orderBy(SHARD_COL)
+        .collect()
+    )
+    shards = [
+        {k: int(v) if k == "key_sum" and v is not None else v
+         for k, v in r.asDict().items()}
+        for r in rows
+    ]
     manifest = {
         "n_shards": n_shards,
         "key_col": key_col,
@@ -63,10 +85,10 @@ def export_shards(
         ),
         "shards": shards,
     }
-    tmp = os.path.join(path, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(path, MANIFEST))  # atomic publish
+    from dump_es_parquet_spark.fsutil import publish_json
+
+    # Hadoop-FS publish (not os.*) so object-store export paths work
+    publish_json(df.sparkSession, path, MANIFEST, manifest)
     return manifest
 
 

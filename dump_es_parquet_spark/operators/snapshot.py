@@ -21,6 +21,8 @@ the same one-shuffle cost.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -72,13 +74,26 @@ def upsert_latest(
 
     Idempotent by construction: re-applying the same batch (foreachBatch
     is at-least-once) recomputes identical bucket contents. Not safe
-    for CONCURRENT writers — one merge job at a time, the same contract
-    as any dynamic-partition-overwrite pipeline."""
+    for CONCURRENT writers — one merge job at a time.
+
+    Crash safety (ADVICE r06): dynamic partition overwrite deletes the
+    old bucket files before renaming the staged ones into place, so a
+    crash in that window would permanently lose the touched buckets.
+    Instead the merged buckets are fully written to an
+    underscore-prefixed staging dir (invisible to partition discovery),
+    then each bucket dir is swapped in two renames with a backup held
+    in between — every crash point leaves each bucket with either its
+    complete old or complete new contents, and the next call's
+    ``_recover_interrupted_merge`` rolls the swap forward or back
+    before reading state. (On stores without atomic dir rename — raw
+    S3 — front this with a rename-capable layer, the same caveat every
+    rename-committer pipeline carries.)"""
     spark = batch.sparkSession
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
     b = batch.withColumn(BUCKET_COL, bucket)
-    # Hadoop FS check (not os.path) so object-store state paths work
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path + "/_SUCCESS")
+    # Hadoop FS (not os.path) so object-store state paths work
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    jpath = Path(state_path + "/_SUCCESS")
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         # bootstrap still compacts: one batch can carry several
@@ -87,6 +102,7 @@ def upsert_latest(
             BUCKET_COL
         ).mode("overwrite").parquet(state_path)
         return
+    _recover_interrupted_merge(fs, Path, state_path)
     touched = [r[BUCKET_COL] for r in b.select(BUCKET_COL).distinct().collect()]
     if not touched:
         return
@@ -96,12 +112,61 @@ def upsert_latest(
     merged = compact_latest(
         state.select(b.columns).unionByName(b), keys, version_cols
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(state_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Phase 1: materialize the merged buckets WITHOUT touching live
+    # dirs (the lazy `state` read above executes here, against the
+    # still-intact live buckets).
+    staging = f"{state_path}/{STAGING_PREFIX}-{uuid.uuid4().hex}"
+    merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(staging)
+    # Phase 2: per-bucket swap — backup-rename the live dir, rename the
+    # staged dir into place, drop the backup.
+    for bkt in touched:
+        live = Path(f"{state_path}/{BUCKET_COL}={bkt}")
+        backup = Path(f"{state_path}/{BACKUP_PREFIX}{bkt}")
+        if fs.exists(live):
+            _rename_or_raise(fs, live, backup)
+        _rename_or_raise(fs, Path(f"{staging}/{BUCKET_COL}={bkt}"), live)
+        fs.delete(backup, True)
+    fs.delete(Path(staging), True)
+
+
+#: Underscore-prefixed names with NO ``=``: Spark prunes ``_``/``.``
+#: dirs from recursive listing, so in-flight staging (and the nested
+#: ``__kbucket=`` dirs under it) and backups are invisible to readers
+#: of ``state_path`` — but a top-level dir name CONTAINING ``=`` would
+#: still be parsed as a partition column and break discovery, so the
+#: backup name carries only the numeric bucket id.
+STAGING_PREFIX = "_staging"
+BACKUP_PREFIX = "_backup-b"
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop FileSystem.rename reports failure by returning False —
+    surface it, or a failed swap would silently drop a bucket."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _recover_interrupted_merge(fs, Path, state_path: str) -> None:
+    """Single-writer crash recovery for ``upsert_latest``'s bucket
+    swap: a leftover ``_backup-…`` dir means a previous merge died
+    mid-swap — if its live bucket dir exists the swap completed (drop
+    the backup), otherwise roll back (rename the backup into place).
+    Leftover ``_staging-…`` dirs are never referenced once their swap
+    loop finished, so they are plain garbage."""
+    root = Path(state_path)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(BACKUP_PREFIX):
+            bkt = name[len(BACKUP_PREFIX):]
+            live = Path(f"{state_path}/{BUCKET_COL}={bkt}")
+            if fs.exists(live):
+                fs.delete(st.getPath(), True)
+            else:
+                _rename_or_raise(fs, st.getPath(), live)
+        elif name.startswith(STAGING_PREFIX + "-"):
+            fs.delete(st.getPath(), True)
 
 
 def follow_upsert(

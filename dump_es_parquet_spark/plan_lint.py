@@ -51,11 +51,39 @@ def lint_plan(
             "a scalar (pass allow_bnlj=True only for 1-row broadcasts)"
         )
     if max_scan_cols is not None:
-        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-            ncols = len([c for c in m.group(1).split(",") if ":" in c])
+        for ncols in _read_schema_widths(plan):
             if ncols > max_scan_cols:
                 findings.append(
                     f"wide scan: {ncols} columns read (> {max_scan_cols}) — "
                     "projection not pushed to the source"
                 )
     return findings
+
+
+def _read_schema_widths(plan: str) -> list[int]:
+    """Top-level column count of every ``ReadSchema: struct<…>`` in the
+    plan string. Brackets are matched by depth — a non-greedy regex
+    stops at the FIRST ``>`` of a nested struct/array/map type and
+    undercounts, letting wide scans of nested tables through
+    (ADVICE r06)."""
+    widths: list[int] = []
+    for m in re.finditer(r"ReadSchema: struct<", plan):
+        start = m.end()
+        depth, i = 1, start
+        while i < len(plan) and depth:
+            if plan[i] == "<":
+                depth += 1
+            elif plan[i] == ">":
+                depth -= 1
+            i += 1
+        body = plan[start : i - 1]
+        depth, ncols = 0, 1 if body.strip() else 0
+        for ch in body:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                ncols += 1
+        widths.append(ncols)
+    return widths

@@ -536,6 +536,10 @@ def test_curate_and_export_end_to_end(spark, sf_dir, tmp_path):
     back = spark.read.parquet(f"{out}/shards")
     assert back.count() == m["total_rows"] > 0
     assert m["total_tokens"] == back.agg({"n_chunk_tokens": "sum"}).first()[0]
+    # the datacard counts what SHIPPED: exactly the documents that
+    # survive curate's quality filter + dedup and produced chunks —
+    # not the pre-filter capped set (ADVICE r06: it used to overstate)
+    assert card["n_docs"] == back.select("doc_id").distinct().count()
 
 
 def test_weighted_sample_aes(spark):
@@ -633,3 +637,42 @@ def test_kll_and_theta_sketches(spark, tmp_path):
     assert abs(est.n_intersection - 50) < 5
     assert abs(est.n_union - 200) < 10
     assert abs(est.n_a_minus_b - 50) < 5
+
+
+def test_export_shards_string_key_digest(spark, tmp_path):
+    """String doc ids must produce a real content digest — the old
+    cast-to-long digest silently summed NULLs (ADVICE r06). Same data,
+    different row order => identical digests; different data =>
+    different digests."""
+    from dump_es_parquet_spark.operators.export import export_shards
+
+    rows = [(f"doc-{i:04d}", i * 10) for i in range(40)]
+    d1 = spark.createDataFrame(rows, "doc_id string, n int")
+    d2 = spark.createDataFrame(list(reversed(rows)), "doc_id string, n int")
+    m1 = export_shards(d1, str(tmp_path / "a"), 4, key_col="doc_id")
+    m2 = export_shards(d2, str(tmp_path / "b"), 4, key_col="doc_id")
+    for s in m1["shards"]:
+        assert s["key_sum"] is not None and s["key_xor"] is not None
+    assert [s["key_sum"] for s in m1["shards"]] == [s["key_sum"] for s in m2["shards"]]
+    assert [s["key_xor"] for s in m1["shards"]] == [s["key_xor"] for s in m2["shards"]]
+    d3 = spark.createDataFrame(rows[:39] + [("doc-XXXX", 390)], "doc_id string, n int")
+    m3 = export_shards(d3, str(tmp_path / "c"), 4, key_col="doc_id")
+    assert [s["key_xor"] for s in m3["shards"]] != [s["key_xor"] for s in m1["shards"]]
+
+
+def test_publish_json_hadoop_fs_roundtrip(spark, tmp_path):
+    """fsutil.publish_json goes through the Hadoop FileSystem (so
+    object-store URIs work); round-trips via read_json AND plain
+    open() on a local path, overwrites atomically, leaves no temp."""
+    import json
+    import os
+
+    from dump_es_parquet_spark.fsutil import publish_json, read_json
+
+    d = str(tmp_path / "pub")
+    publish_json(spark, d, "_card.json", {"a": 1})
+    publish_json(spark, d, "_card.json", {"a": 2, "b": [1, 2]})
+    assert read_json(spark, d, "_card.json") == {"a": 2, "b": [1, 2]}
+    with open(os.path.join(d, "_card.json")) as f:
+        assert json.load(f) == {"a": 2, "b": [1, 2]}
+    assert not [x for x in os.listdir(d) if x.endswith(".tmp")]

@@ -69,3 +69,19 @@ def test_lint_catches_antipatterns(spark):
 
     slow = a.select(F.udf(lambda x: x + 1, LongType())("id"))
     assert any("BatchEvalPython" in f for f in lint_plan(slow))
+
+
+def test_read_schema_width_counts_nested_types():
+    """The wide-scan rule must count TOP-LEVEL columns through nested
+    struct/array/map brackets — a non-greedy regex stops at the first
+    '>' and undercounts (ADVICE r06)."""
+    from dump_es_parquet_spark.plan_lint import _read_schema_widths
+
+    plan = (
+        "FileScan parquet [a,b,c] ... "
+        "ReadSchema: struct<a:struct<x:int,y:array<string>>,"
+        "b:map<string,struct<p:int,q:int>>,c:bigint>\n"
+        "FileScan parquet [k] ... ReadSchema: struct<k:int>\n"
+        "FileScan parquet [] ... ReadSchema: struct<>"
+    )
+    assert _read_schema_widths(plan) == [3, 1, 0]

@@ -359,3 +359,74 @@ def test_follow_upsert_stream(spark, tmp_path):
     q = follow_upsert(stream, state, ck, ["id"], ["gen"], n_buckets=4)
     q.awaitTermination(60)
     assert _state_rows(spark, state) == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1)}
+
+
+def test_upsert_latest_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash window the old dynamic-partition-overwrite could not
+    survive (ADVICE r06): live bucket renamed away, staged bucket not
+    yet in place. Simulate exactly that filesystem state and assert the
+    next upsert call first ROLLS BACK (no data loss), then re-applies
+    the batch to the full prior state."""
+    import os
+    import shutil
+
+    from dump_es_parquet_spark.operators.snapshot import upsert_latest
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(20)], ["id", "v", "gen"]
+    )
+    upsert_latest(b1, state, ["id"], ["gen"], n_buckets=4)
+    before = _state_rows(spark, state)
+
+    # forge the mid-swap crash: one live bucket sits in _backup-, its
+    # replacement sits in a _staging- dir that never got renamed in
+    bucket = next(d for d in os.listdir(state) if d.startswith("__kbucket="))
+    bkt_id = bucket.split("=")[1]
+    os.rename(os.path.join(state, bucket), os.path.join(state, f"_backup-b{bkt_id}"))
+    staging = os.path.join(state, "_staging-deadbeef")
+    os.makedirs(os.path.join(staging, bucket))
+
+    # readers between crash and recovery simply miss the bucket —
+    # but nothing is permanently lost:
+    assert len(_state_rows(spark, state)) < 20
+
+    b2 = spark.createDataFrame([(3, "UPDATED", 2)], ["id", "v", "gen"])
+    upsert_latest(b2, state, ["id"], ["gen"], n_buckets=4)
+    rows = _state_rows(spark, state)
+    assert rows[3] == ("UPDATED", 2)
+    assert {k: v for k, v in rows.items() if k != 3} == {
+        k: v for k, v in before.items() if k != 3
+    }
+    # recovery swept the staging/backup litter
+    assert not [d for d in os.listdir(state) if d.startswith(("_staging", "_backup"))]
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_upsert_latest_recovers_completed_swap_backup(spark, tmp_path):
+    """The other crash window: staged dir already renamed into place,
+    backup not yet deleted. Recovery must keep the NEW bucket and drop
+    the stale backup — not resurrect old generations."""
+    import os
+
+    from dump_es_parquet_spark.operators.snapshot import upsert_latest
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], ["id", "v", "gen"])
+    upsert_latest(b1, state, ["id"], ["gen"], n_buckets=2)
+    b2 = spark.createDataFrame([(2, "B", 2)], ["id", "v", "gen"])
+    upsert_latest(b2, state, ["id"], ["gen"], n_buckets=2)
+
+    # forge: a stale backup of SOME bucket alongside its live (newer) dir
+    bucket = next(d for d in os.listdir(state) if d.startswith("__kbucket="))
+    backup = os.path.join(state, f"_backup-b{bucket.split('=')[1]}")
+    os.makedirs(backup)
+    with open(os.path.join(backup, "junk.parquet"), "wb") as f:
+        f.write(b"not read")
+
+    upsert_latest(
+        spark.createDataFrame([(1, "a2", 2)], ["id", "v", "gen"]),
+        state, ["id"], ["gen"], n_buckets=2,
+    )
+    assert _state_rows(spark, state) == {1: ("a2", 2), 2: ("B", 2)}
+    assert not os.path.exists(backup)
