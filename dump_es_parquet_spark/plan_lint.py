@@ -60,6 +60,32 @@ def lint_plan(
     return findings
 
 
+#: Operators counted by ``plan_fingerprint`` — the shuffle/join-
+#: strategy shape of a plan. Exchange is every shuffle boundary;
+#: the join kinds distinguish broadcast (cheap) from shuffled
+#: (SMJ/SHJ) from nested-loop (only ever the audited scalar shape).
+FINGERPRINT_OPS = {
+    "exchange": r"Exchange",
+    "bhj": r"BroadcastHashJoin",
+    "smj": r"SortMergeJoin",
+    "shj": r"ShuffledHashJoin",
+    "bnlj": r"BroadcastNestedLoopJoin",
+}
+
+
+def plan_fingerprint(df: DataFrame) -> dict[str, int]:
+    """Shuffle/join-shape counts of ``df``'s physical plan (compile
+    only, nothing executes; zero counts are omitted). The lint gate
+    catches categorical anti-patterns — this catches GRADUAL shape
+    drift: a refactor that adds an avoidable Exchange or degrades a
+    broadcast join to sort-merge passes every correctness test and
+    only shows up as bench slowdown; pinning the counts turns it into
+    a test diff instead."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out = {k: len(re.findall(pat, plan)) for k, pat in FINGERPRINT_OPS.items()}
+    return {k: v for k, v in out.items() if v}
+
+
 def _read_schema_widths(plan: str) -> list[int]:
     """Top-level column count of every ``ReadSchema: struct<…>`` in the
     plan string. Brackets are matched by depth — a non-greedy regex

@@ -85,3 +85,43 @@ def test_read_schema_width_counts_nested_types():
         "FileScan parquet [] ... ReadSchema: struct<>"
     )
     assert _read_schema_widths(plan) == [3, 1, 0]
+
+
+#: Pinned shuffle/join-shape fingerprints for the most expensive
+#: queries (top of BENCH_local_r6 + both dedup/packing families).
+#: The lint gate catches categorical anti-patterns; these catch
+#: gradual drift — a refactor that adds an avoidable Exchange or
+#: demotes a broadcast join to SMJ fails HERE with a diff instead of
+#: surfacing as an unexplained bench slowdown two rounds later.
+#: Values are the plan shape at sf0.001 / local[4] / 4 shuffle
+#: partitions (the conftest environment); a legitimate plan
+#: improvement updates the pin in the same commit that changes it.
+PINNED_FINGERPRINTS = {
+    "corpus_dedup": {"exchange": 10, "bhj": 1, "smj": 1, "bnlj": 2},
+    "sim_knn_graph": {"exchange": 5, "bhj": 2},
+    "corpus_triplets": {"exchange": 13, "bhj": 5, "bnlj": 1},
+    "split_contamination": {"exchange": 12, "bhj": 7},
+    "dedup_ngram_jaccard": {"exchange": 10, "bhj": 5},
+    "dedup_simhash": {"exchange": 3, "bhj": 1},
+    "dedup_minhash_lsh": {"exchange": 5, "bhj": 2},
+    "corpus_packing": {"exchange": 3, "bhj": 1},
+    "q21_waiting_supplier_shape": {"exchange": 10, "bhj": 3, "smj": 1},
+    "q7_nation_volume": {"exchange": 7, "bhj": 5},
+    "sim_ann_ivf": {"exchange": 13, "bhj": 1, "bnlj": 5},
+    "corpus_mix": {"exchange": 4, "bhj": 2},
+    "q18_large_volume": {"exchange": 3, "bhj": 2},
+    "q8_market_share": {"exchange": 9, "bhj": 7},
+}
+
+
+@pytest.mark.parametrize("name", sorted(PINNED_FINGERPRINTS))
+def test_plan_fingerprint_pinned(spark, sf_dir, name):
+    from dump_es_parquet_spark.plan_lint import plan_fingerprint
+
+    if not sf_dir.rstrip("/").endswith("sf0.001"):
+        pytest.skip("fingerprints pinned at the sf0.001 test environment")
+    fp = plan_fingerprint(QUERIES[name](spark, sf_dir))
+    assert fp == PINNED_FINGERPRINTS[name], (
+        f"{name}: plan shape drifted {PINNED_FINGERPRINTS[name]} -> {fp}; "
+        "if intentional, update the pin in this commit"
+    )
