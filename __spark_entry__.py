@@ -465,6 +465,11 @@ DEMOTED: frozenset[str] = frozenset(
         "q7_nation_volume",
         "q19_disjunctive_brand",
         "text_fingerprint",
+        # sketch_error_bounds — HLL/KLL/Theta estimates checked against
+        #     their own exact answers in one plan, reduced to
+        #     within_bound integers (the estimates themselves aren't
+        #     SQL-portable to DuckDB)
+        "sketch_error_bounds",
     }
 )
 
@@ -595,6 +600,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sequence_patterns": _rel("q_events_sequence_patterns"),
         "privacy_k_anonymity": _mod("privacy", "q_privacy_report"),
         "events_anomalies": _rel("q_events_anomalies"),
+        "sketch_error_bounds": _mod("profile", "sketch_error_bounds"),
     }
 
 
@@ -2385,6 +2391,23 @@ def _all_oracle_sql() -> dict[str, str]:
           PARTITION BY src ORDER BY cos_sim DESC, dst ASC
         ) <= 5
         ORDER BY src, cos_sim DESC, dst
+    """
+
+    # Sketch estimates aren't SQL-portable, so the contract is
+    # inverted: the Spark side computes |estimate − exact| inside one
+    # plan and reduces it to within_bound ∈ {0,1}; the oracle asserts
+    # the bound HOLDS (within_bound = 1) plus the portable input count.
+    # A sketch drifting outside its published error envelope is a
+    # driver-visible hash mismatch.
+    q["sketch_error_bounds"] = """
+        WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_input FROM events)
+        SELECT * FROM (
+          SELECT 'hll_user_distinct' AS metric, n_input, 1 AS within_bound FROM n
+          UNION ALL
+          SELECT 'kll_value_quantile_ranks', n_input, 1 FROM n
+          UNION ALL
+          SELECT 'theta_user_overlap', n_input, 1 FROM n
+        ) ORDER BY metric
     """
 
     return q

@@ -211,3 +211,94 @@ def theta_overlap(
         .cast("double")
         .alias("n_a_minus_b"),
     )
+
+
+def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form: every sketch family checked against its OWN exact
+    answer inside one plan, reduced to engine-portable integers.
+
+    Sketch estimates aren't SQL-portable to an external oracle, so the
+    oracle contract is inverted: each row carries the metric name, the
+    input row count, and ``within_bound`` — 1 iff the sketch estimate
+    sits inside its published error envelope of the exact answer
+    (computed in the same plan). The DuckDB oracle recomputes the
+    portable columns and asserts ``within_bound = 1``, so a sketch
+    drifting out of its error bound is a driver-visible hash mismatch,
+    not just a pytest failure.
+
+    Bounds used (all generous multiples of the published 1σ error):
+    HLL lg_k=12 → ±5% on distincts; Theta default → ±5% on the
+    intersection; KLL k=200 → the exact RANK of each estimated
+    quantile within ±2% of its target rank (rank error is KLL's
+    contract — value error is unbounded for heavy-tailed data)."""
+    ev = load(spark, sf_dir, "events")
+
+    n_input = ev.agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+
+    hll_est = hll_rollup(hll_sketches(ev, "event_type", "user_id")).select(
+        F.col("distinct_estimate").cast("double").alias("hll_est")
+    )
+    exacts = ev.agg(
+        F.count_distinct("user_id").cast("double").alias("hll_exact")
+    )
+
+    kll_est = kll_rollup(
+        kll_sketches(ev, "event_type", "value"), quantiles=(0.5, 0.9, 0.99)
+    ).select("p50", "p90", "p99")
+    ranks = (
+        ev.crossJoin(F.broadcast(kll_est))
+        .agg(
+            *[
+                (
+                    F.sum((F.col("value") <= F.col(c)).cast("int"))
+                    / F.count(F.lit(1))
+                ).alias(f"rank_{c}")
+                for c in ("p50", "p90", "p99")
+            ]
+        )
+    )
+
+    theta = theta_overlap(ev, "event_type", "user_id", "click", "purchase").select(
+        F.col("n_intersection").alias("theta_est")
+    )
+    ua = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    ub = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact_overlap = (
+        ua.join(ub, "user_id").agg(F.count(F.lit(1)).cast("double").alias("theta_exact"))
+    )
+
+    wide = (
+        n_input.crossJoin(F.broadcast(hll_est))
+        .crossJoin(F.broadcast(exacts))
+        .crossJoin(F.broadcast(ranks))
+        .crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(exact_overlap))
+    )
+
+    def row(metric: str, ok: Column) -> DataFrame:
+        return wide.select(
+            F.lit(metric).alias("metric"),
+            F.col("n_input"),
+            ok.cast("int").alias("within_bound"),
+        )
+
+    kll_ok = None
+    for c, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        t = F.abs(F.col(f"rank_{c}") - F.lit(q)) <= F.lit(0.02)
+        kll_ok = t if kll_ok is None else (kll_ok & t)
+    out = (
+        row(
+            "hll_user_distinct",
+            F.abs(F.col("hll_est") - F.col("hll_exact"))
+            <= 0.05 * F.col("hll_exact"),
+        )
+        .unionByName(row("kll_value_quantile_ranks", kll_ok))
+        .unionByName(
+            row(
+                "theta_user_overlap",
+                F.abs(F.col("theta_est") - F.col("theta_exact"))
+                <= 0.05 * F.col("theta_exact"),
+            )
+        )
+    )
+    return out.orderBy("metric")

@@ -36,6 +36,7 @@ BNLJ_ALLOWED = frozenset(
         "corpus_curriculum",
         "corpus_triplets",
         "privacy_k_anonymity",  # 1-row totals frame cross-joined
+        "sketch_error_bounds",  # chain of 1-row estimate/exact frames
     }
 )
 
