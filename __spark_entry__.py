@@ -470,6 +470,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     within_bound integers (the estimates themselves aren't
         #     SQL-portable to DuckDB)
         "sketch_error_bounds",
+        # corpus_dedup_incremental — append-time dedup of an increment
+        #     against the persisted minhash band/signature store
+        #     (write_signature_store + dedup_incremental), vs a DuckDB
+        #     recompute of estimated-Jaccard history matches +
+        #     exact-verified intra-batch pairs
+        "corpus_dedup_incremental",
     }
 )
 
@@ -590,6 +596,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_compact_latest": _mod("snapshot", "q_events_compact_latest"),
         "corpus_source_cap": _mod("web", "q_source_cap"),
         "sim_knn_graph": _mod("knn", "q_knn_graph"),
+        "corpus_dedup_incremental": _mod("dedup", "q_dedup_incremental"),
         "events_zorder": _mod("layout", "q_events_zorder"),
         "events_snapshot_diff": _mod("snapshot", "q_events_snapshot_diff"),
         "corpus_lm_score": _mod("lm", "q_corpus_lm_score"),
@@ -2391,6 +2398,58 @@ def _all_oracle_sql() -> dict[str, str]:
           PARTITION BY src ORDER BY cos_sim DESC, dst ASC
         ) <= 5
         ORDER BY src, cos_sim DESC, dst
+    """
+
+    # Incremental dedup vs the persisted signature store: history =
+    # doc_id % 3 != 0, increment = the rest. History matches use the
+    # store's contract — signature-ESTIMATED Jaccard (matching-minhash
+    # fraction ≥ 0.7 ⟺ ≥ 6 of 8 for integers); intra-batch pairs are
+    # exact-verified, min-id survivor — the same md5-slice signature
+    # SQL dedup_minhash_lsh hash-checks.
+    est_matches = " + ".join(
+        f"(CASE WHEN ns.mh{i} = hs.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    q["corpus_dedup_incremental"] = f"""
+        {shingle_cte},
+        sigs AS (SELECT doc_id, {mh_cols} FROM docs),
+        bands AS ({band_union}),
+        matched AS (
+          SELECT nb.doc_id, min(hb.doc_id) AS hist_id
+          FROM bands nb
+          JOIN bands hb ON nb.band = hb.band AND nb.bhash = hb.bhash
+          JOIN sigs ns ON ns.doc_id = nb.doc_id
+          JOIN sigs hs ON hs.doc_id = hb.doc_id
+          WHERE nb.doc_id % 3 = 0 AND hb.doc_id % 3 != 0
+            AND ({est_matches}) >= 6
+          GROUP BY nb.doc_id
+        ),
+        shadowed AS (
+          SELECT DISTINCT y.doc_id
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id
+          JOIN docs da ON x.doc_id = da.doc_id
+          JOIN docs db ON y.doc_id = db.doc_id
+          WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 = 0 AND {jac} >= 0.7
+        ),
+        j AS (
+          SELECT d.doc_id, m.hist_id,
+                 (s.doc_id IS NOT NULL) AS is_shadowed,
+                 (m.hist_id IS NULL AND s.doc_id IS NULL) AS keep
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+          LEFT JOIN matched m ON d.doc_id = m.doc_id
+          LEFT JOIN shadowed s ON d.doc_id = s.doc_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_increment,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN hist_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped_hist,
+               CAST(sum(CASE WHEN hist_id IS NULL AND is_shadowed
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_intra,
+               CAST(sum(CASE WHEN keep THEN doc_id END) AS BIGINT) AS kept_id_sum,
+               CAST(bit_xor(CASE WHEN keep THEN doc_id END) AS BIGINT)
+                    AS kept_id_xor,
+               CAST(sum(hist_id) AS BIGINT) AS hist_match_id_sum
+        FROM j
     """
 
     # Sketch estimates aren't SQL-portable, so the contract is

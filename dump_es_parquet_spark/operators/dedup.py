@@ -1059,3 +1059,42 @@ def _component_min_labels(pairs: DataFrame) -> DataFrame:
                 return labels
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form of the incremental path (oracle-checked): history =
+    docs with ``doc_id % 3 != 0`` persisted as a signature store,
+    increment = the rest checked against it with
+    :func:`dedup_incremental`. Summarizes the increment's fate —
+    kept / dropped-vs-history / dropped-intra-batch counts, kept-set
+    membership digest, and the sum of matching history ids — all
+    engine-portable integers the DuckDB oracle recomputes from the
+    same md5-slice signature SQL the declared dedup_minhash_lsh query
+    hash-checks (estimated Jaccard = matching-minhash fraction ≥ 0.7
+    against history; exact-verified pairs intra-batch)."""
+    import tempfile
+
+    d = _par(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    hist = d.where(F.col("doc_id") % 3 != 0)
+    inc = d.where(F.col("doc_id") % 3 == 0)
+    store = tempfile.mkdtemp(prefix="incr_sig_store_")
+    write_signature_store(hist, store)
+    out = dedup_incremental(inc, store, update_store=False)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_increment"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        F.sum(
+            F.when(F.col("matched_hist_id").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_dropped_hist"),
+        F.sum(
+            F.when(F.col("matched_hist_id").isNull() & ~F.col("keep"), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_dropped_intra"),
+        F.sum(F.when(F.col("keep"), F.col("doc_id"))).cast("long").alias(
+            "kept_id_sum"
+        ),
+        F.expr("bit_xor(CASE WHEN keep THEN doc_id END)").cast("long").alias(
+            "kept_id_xor"
+        ),
+        F.sum("matched_hist_id").cast("long").alias("hist_match_id_sum"),
+    )
