@@ -108,7 +108,11 @@ PINNED_FINGERPRINTS = {
     "corpus_packing": {"exchange": 3, "bhj": 1},
     "q21_waiting_supplier_shape": {"exchange": 10, "bhj": 3, "smj": 1},
     "q7_nation_volume": {"exchange": 7, "bhj": 5},
-    "sim_ann_ivf": {"exchange": 13, "bhj": 1, "bnlj": 5},
+    # NOT sim_ann_ivf: its in-query Lloyd pipeline calls .cache(), and
+    # the compiled shape depends on whether an earlier test already
+    # materialized that cache entry — pin the declared serving path
+    # (reads the materialized index; no cache node) instead.
+    "sim_ann_ivf_indexed": {"exchange": 1, "bnlj": 1},
     "corpus_mix": {"exchange": 4, "bhj": 2},
     "q18_large_volume": {"exchange": 3, "bhj": 2},
     "q8_market_share": {"exchange": 9, "bhj": 7},
