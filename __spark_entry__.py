@@ -181,6 +181,43 @@ def q_sim_ann_ivf_sq8(spark, sf_dir):
     return ann_ivf_indexed_sq8(spark, sf_dir, _ivf_index_path(spark, sf_dir))
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster audit (``dedup.near_dup_clusters``): the full
+    (doc → cluster) mapping reduced to a cluster-size histogram with a
+    per-size membership digest. The oracle recomputes the mapping via
+    the recursive transitive closure over the same banded+verified
+    minhash pair SQL, with singletons labeled by themselves."""
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.dedup import near_dup_clusters
+    from dump_es_parquet_spark.operators.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    c = near_dup_clusters(d, strategy="minhash", threshold=0.7)
+    sizes = c.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_id").cast("long").alias("cluster_id_sum"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def q_sim_ivf_recall(spark, sf_dir):
+    """Recall@10 of the IVF serving path vs exact brute force for the
+    first 10 query vectors — ANN accuracy as an oracle-checked metric
+    (``similarity.ivf_recall_report``): both rankings are deterministic
+    (md5-seeded Lloyd, rounded-cosine + vec_id tiebreak), so DuckDB
+    recomputes the identical per-query hit counts."""
+    from dump_es_parquet_spark.operators.similarity import ivf_recall_report
+
+    return ivf_recall_report(spark, sf_dir, _ivf_index_path(spark, sf_dir))
+
+
 def q_text_redact(spark, sf_dir):
     from dump_es_parquet_spark.operators.tables import load
     from dump_es_parquet_spark.operators.text import redact_pii
@@ -476,6 +513,14 @@ DEMOTED: frozenset[str] = frozenset(
         #     recompute of estimated-Jaccard history matches +
         #     exact-verified intra-batch pairs
         "corpus_dedup_incremental",
+        # sim_ivf_recall — recall@10 of the IVF serving path vs exact
+        #     brute force, oracle-recomputed exactly (deterministic
+        #     Lloyd + rounded-cosine ranking on both engines)
+        "sim_ivf_recall",
+        # corpus_dup_clusters — near_dup_clusters audit mapping reduced
+        #     to a cluster-size histogram, vs the recursive-CTE
+        #     transitive closure with self-labeled singletons
+        "corpus_dup_clusters",
     }
 )
 
@@ -597,6 +642,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_cap": _mod("web", "q_source_cap"),
         "sim_knn_graph": _mod("knn", "q_knn_graph"),
         "corpus_dedup_incremental": _mod("dedup", "q_dedup_incremental"),
+        "sim_ivf_recall": q_sim_ivf_recall,
+        "corpus_dup_clusters": q_dup_clusters,
         "events_zorder": _mod("layout", "q_events_zorder"),
         "events_snapshot_diff": _mod("snapshot", "q_events_snapshot_diff"),
         "corpus_lm_score": _mod("lm", "q_corpus_lm_score"),
@@ -1773,6 +1820,45 @@ def _all_oracle_sql() -> dict[str, str]:
         ORDER BY strategy
     """
 
+    # near_dup_clusters audit: same recursive closure as corpus_dedup,
+    # but exposing the FULL (doc -> cluster) mapping (singletons label
+    # themselves) reduced to a cluster-size histogram + digest.
+    q["corpus_dup_clusters"] = f"""
+        {shingle_cte.replace("WITH ", "WITH RECURSIVE ", 1)},
+        sigs AS (SELECT doc_id, {mh_cols} FROM docs),
+        bands AS ({band_union}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id
+        ),
+        ver AS (
+          SELECT id_a, id_b FROM cand
+          JOIN docs da ON id_a = da.doc_id
+          JOIN docs db ON id_b = db.doc_id
+          WHERE {jac} >= 0.7
+        ),
+        adj AS (SELECT id_a AS u, id_b AS v FROM ver
+                UNION ALL SELECT id_b, id_a FROM ver),
+        reach(node, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM adj)
+          UNION
+          SELECT a.u, reach.r FROM adj a JOIN reach ON a.v = reach.node
+        ),
+        lab AS (SELECT node AS doc_id, min(r) AS cluster_id
+                FROM reach GROUP BY node),
+        all_lab AS (
+          SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+        ),
+        sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                  FROM all_lab GROUP BY cluster_id)
+        SELECT cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(cluster_id) AS BIGINT) AS cluster_id_sum
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
+
     # cross-split contamination: the engine's deterministic hash split
     # (same md5-hex-digit arithmetic as corpus_splits) + the SAME
     # exact-ngram pair SQL dedup_ngram_jaccard hash-checks, keeping
@@ -1926,6 +2012,75 @@ def _all_oracle_sql() -> dict[str, str]:
         WHERE a.vec_id != 0
         ORDER BY cos_sim DESC, vec_id ASC
         LIMIT 10
+    """
+
+    # Recall@10 of the IVF path vs exact brute force for query vectors
+    # 0..9: the full Lloyd pipeline (same CTEs as sim_ann_ivf) batched
+    # over all queries, per-query ANN top-10 from the probed cells,
+    # exact top-10 over the corpus, hit counts joined — every ranking
+    # deterministic (rounded cosine, vec_id tiebreak), so recall is an
+    # exact integer on both engines.
+    _COS = (
+        "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    q["sim_ivf_recall"] = f"""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        hs AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e),
+        seeds AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v AS cv
+                  FROM hs ORDER BY h LIMIT 8),
+        a1 AS (SELECT vec_id, v, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM (SELECT e.vec_id, e.v, s.cid,
+                            -2 * list_dot_product(e.v, s.cv)
+                              + list_dot_product(s.cv, s.cv) AS dist
+                     FROM e CROSS JOIN seeds s) t1),
+        asg1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+        comp AS (SELECT cid, u.dim - 1 AS dim, u.x
+                 FROM asg1,
+                      LATERAL (SELECT unnest(v) AS x,
+                                      generate_subscripts(v, 1) AS dim) u),
+        means AS (SELECT cid, dim,
+                         CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS m
+                  FROM comp GROUP BY cid, dim),
+        cents AS (SELECT cid, list(m ORDER BY dim) AS cv FROM means GROUP BY cid),
+        a2 AS (SELECT vec_id, v, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM (SELECT e.vec_id, e.v, c.cid,
+                            -2 * list_dot_product(e.v, c.cv)
+                              + list_dot_product(c.cv, c.cv) AS dist
+                     FROM e CROSS JOIN cents c) t2),
+        asg2 AS (SELECT vec_id, v, cid FROM a2 WHERE rn = 1),
+        qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        probes AS (SELECT query_id, qv, cid FROM (
+                     SELECT q.query_id, q.qv, c.cid,
+                            row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY -2 * list_dot_product(q.qv, c.cv)
+                                         + list_dot_product(c.cv, c.cv), c.cid
+                            ) AS rn
+                     FROM qs q CROSS JOIN cents c) t WHERE rn <= 2),
+        ann AS (SELECT query_id, vec_id FROM (
+                  SELECT p.query_id, a.vec_id,
+                         row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY {_COS.format(a="a.v", b="p.qv")} DESC,
+                                    a.vec_id ASC) AS rank
+                  FROM asg2 a JOIN probes p ON a.cid = p.cid
+                  WHERE a.vec_id != p.query_id) t WHERE rank <= 10),
+        ex AS (SELECT query_id, vec_id FROM (
+                 SELECT q.query_id, e.vec_id,
+                        row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY {_COS.format(a="e.v", b="q.qv")} DESC,
+                                   e.vec_id ASC) AS rank
+                 FROM e CROSS JOIN qs q
+                 WHERE e.vec_id != q.query_id) t WHERE rank <= 10)
+        SELECT x.query_id AS query_id, CAST(count(*) AS BIGINT) AS k_eff,
+               CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits
+        FROM ex x LEFT JOIN ann a
+          ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+        GROUP BY x.query_id ORDER BY x.query_id
     """
 
     # the serving path answers the exact same question from the

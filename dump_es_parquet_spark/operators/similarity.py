@@ -645,3 +645,45 @@ def topk_batch(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    n_queries: int = 10,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Recall@k of the IVF serving path against exact brute force, per
+    query — the evaluation every ANN deployment needs before trusting
+    nprobe/n_cells settings at scale. Returns ``(query_id, k_eff,
+    n_hits)``: ``k_eff`` = size of the exact top-k ground truth,
+    ``n_hits`` = how many of those the partition-pruned IVF batch path
+    returned. recall@k = n_hits / k_eff.
+
+    Deterministic end to end (md5-seeded Lloyd, rounded-cosine ranking
+    with vec_id tiebreak), so the DuckDB oracle recomputes the SAME
+    integers — recall is oracle-checked, not assumed. Cost shape: one
+    corpus scan for the ground truth (the expensive, run-rarely half)
+    + one pruned-lists scan for the ANN half."""
+    exact = topk_batch(spark, sf_dir, n_queries, k).select("query_id", "vec_id")
+    ann = ann_ivf_indexed_batch(
+        spark, sf_dir, path, n_queries, k, nprobe
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(ann, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("k_eff"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k_eff",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .orderBy("query_id")
+    )

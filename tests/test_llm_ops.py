@@ -676,3 +676,70 @@ def test_publish_json_hadoop_fs_roundtrip(spark, tmp_path):
     with open(os.path.join(d, "_card.json")) as f:
         assert json.load(f) == {"a": 2, "b": [1, 2]}
     assert not [x for x in os.listdir(d) if x.endswith(".tmp")]
+
+
+def test_near_dup_clusters_consistent_with_dedup_corpus(spark):
+    """near_dup_clusters is the audit form of dedup_corpus: survivors
+    are exactly the docs whose cluster_id is their own id, and every
+    chain member maps to the chain minimum."""
+    from dump_es_parquet_spark.operators.dedup import (
+        dedup_corpus,
+        near_dup_clusters,
+    )
+
+    base = ["w%d" % i for i in range(40)]
+    rows, text = [], base
+    for i in range(4):  # a≈b≈c≈d chain (one substitution per step)
+        rows.append((i + 1, " ".join(text)))
+        text = text.copy()
+        text[5 + i] = f"swap{i}"
+    rows += [(50, "an unrelated singleton document entirely")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(d, strategy="minhash", threshold=0.5).collect()
+    }
+    assert clusters == {1: 1, 2: 1, 3: 1, 4: 1, 50: 50}
+    survivors = {r.doc_id for r in dedup_corpus(d, "minhash", 0.5).collect()}
+    assert survivors == {k for k, v in clusters.items() if k == v}
+
+
+def test_near_dup_clusters_exact_strategy(spark):
+    from dump_es_parquet_spark.operators.dedup import near_dup_clusters
+
+    d = spark.createDataFrame(
+        [(3, "same text"), (7, "same text"), (9, "other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.cluster_id for r in near_dup_clusters(d, "exact").collect()}
+    assert out == {3: 3, 7: 3, 9: 9}
+
+
+def test_ivf_recall_report_bounds(spark, sf_dir, tmp_path):
+    """Recall@k is well-formed: k_eff == k for every query, 0 <= n_hits
+    <= k_eff, and the report agrees with a direct set comparison of the
+    exact and ANN top-k outputs."""
+    from dump_es_parquet_spark.operators.similarity import (
+        ann_ivf_indexed_batch,
+        ivf_recall_report,
+        topk_batch,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(spark, sf_dir, path)
+    rep = {r.query_id: r for r in
+           ivf_recall_report(spark, sf_dir, path, n_queries=5, k=5).collect()}
+    exact = topk_batch(spark, sf_dir, 5, 5).collect()
+    ann = ann_ivf_indexed_batch(spark, sf_dir, path, 5, 5).collect()
+    ex_sets, ann_sets = {}, {}
+    for r in exact:
+        ex_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in ann:
+        ann_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(rep) == set(ex_sets)
+    for qid, r in rep.items():
+        assert r.k_eff == len(ex_sets[qid]) == 5
+        assert r.n_hits == len(ex_sets[qid] & ann_sets.get(qid, set()))
+        assert 0 <= r.n_hits <= r.k_eff

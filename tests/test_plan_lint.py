@@ -37,6 +37,7 @@ BNLJ_ALLOWED = frozenset(
         "corpus_triplets",
         "privacy_k_anonymity",  # 1-row totals frame cross-joined
         "sketch_error_bounds",  # chain of 1-row estimate/exact frames
+        "sim_ivf_recall",  # query-batch broadcast (same shape as sim_topk_batch)
     }
 )
 
