@@ -521,6 +521,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     to a cluster-size histogram, vs the recursive-CTE
         #     transitive closure with self-labeled singletons
         "corpus_dup_clusters",
+        # corpus_attributes — the tag-once/filter-many attributes table
+        #     (every curation signal in one scan); oracle composes the
+        #     per-signal SQL the text_* queries already hash-check
+        "corpus_attributes",
     }
 )
 
@@ -644,6 +648,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup_incremental": _mod("dedup", "q_dedup_incremental"),
         "sim_ivf_recall": q_sim_ivf_recall,
         "corpus_dup_clusters": q_dup_clusters,
+        "corpus_attributes": _mod("text", "corpus_attributes"),
         "events_zorder": _mod("layout", "q_events_zorder"),
         "events_snapshot_diff": _mod("snapshot", "q_events_snapshot_diff"),
         "corpus_lm_score": _mod("lm", "q_corpus_lm_score"),
@@ -2134,6 +2139,75 @@ def _all_oracle_sql() -> dict[str, str]:
                {', '.join(count_exprs)},
                {stage} AS redacted
         FROM documents ORDER BY doc_id
+    """
+
+    # the tag-once attributes table: every signal the dedicated text_*
+    # oracles hash-check, composed into one per-doc row — generated
+    # from the SAME constants (stopword list, language markers, PII
+    # pattern table) the engine applies
+    from dump_es_parquet_spark.operators.text import (
+        BPE_ISH,
+        LANG_MARKERS,
+        STOPWORDS,
+    )
+
+    _stop_list = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+    _langs = sorted(LANG_MARKERS)
+    _score = {
+        lang: (
+            "len(list_intersect(dtoks, ["
+            + ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+            + "]))"
+        )
+        for lang in _langs
+    }
+    _best = "greatest(" + ", ".join(_score[lang] for lang in _langs) + ")"
+    _lang_case = (
+        f"CASE WHEN {_best} <= 0 THEN 'und' "
+        + " ".join(
+            f"WHEN {_score[lang]} = {_best} THEN '{lang}'" for lang in _langs[:-1]
+        )
+        + f" ELSE '{_langs[-1]}' END"
+    )
+    _bpe = BPE_ISH.replace("'", "''")
+    q["corpus_attributes"] = f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
+                          list_distinct({_TOKS}) AS dtoks
+                   FROM documents),
+        base AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct_tokens,
+                 len(regexp_extract_all(text, '{_bpe}')) AS n_bpe_tokens,
+                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                 round(len(list_intersect(toks, {_stop_list})) * 1.0
+                       / len(toks), 6) AS stopword_ratio,
+                 round((length(text) - len(toks) + 1) * 1.0 / len(toks), 6)
+                       AS avg_word_len,
+                 {_lang_case} AS lang_guess,
+                 {', '.join(count_exprs)}
+          FROM t
+        ),
+        rw AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        rwc AS (SELECT doc_id, w, count(*) AS c FROM rw GROUP BY 1, 2),
+        rws AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_w,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_w
+                FROM rwc GROUP BY 1),
+        rb AS (SELECT doc_id,
+                      unnest([toks[x] || ' ' || toks[x+1]
+                              FOR x IN range(1, len(toks))]) AS b
+               FROM t WHERE len(toks) >= 2),
+        rbc AS (SELECT doc_id, b, count(*) AS c FROM rb GROUP BY 1, 2),
+        rbs AS (SELECT doc_id, max(c) AS top_b FROM rbc GROUP BY 1),
+        rep AS (SELECT rws.doc_id,
+                       round(top_w * 1.0 / n_words, 6) AS top_word_frac,
+                       round(dup_w * 1.0 / n_words, 6) AS dup_word_frac,
+                       round(top_b * 1.0 / (n_words - 1), 6) AS top_bigram_frac
+                FROM rws LEFT JOIN rbs ON rws.doc_id = rbs.doc_id)
+        SELECT base.*, top_word_frac, dup_word_frac, top_bigram_frac
+        FROM base LEFT JOIN rep ON base.doc_id = rep.doc_id
+        ORDER BY base.doc_id
     """
 
     q["grouped_robust_stats"] = """

@@ -351,13 +351,12 @@ def corpus_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def redact_pii(d, text_col: str = "text"):
-    """Scrub PII-shaped spans from a text column (JVM-side
-    ``regexp_replace`` chain — no UDF, one projection) and count what
-    each pattern hit per doc. Patterns apply in the declared order on
-    the progressively-redacted text, so a digit run inside an
-    already-redacted email never double-counts; each ``n_<name>`` is
-    the match count the corresponding replace actually performed."""
+def pii_count_cols(text_col: str = "text"):
+    """Per-pattern PII match-count columns plus the fully-redacted text
+    column. Patterns apply in declared order on the progressively-
+    redacted text, so a digit run inside an already-redacted email
+    never double-counts. Shared by :func:`redact_pii` and
+    :func:`document_attributes`."""
     cur = F.col(text_col)
     counts = []
     for name, pat, token in PII_PATTERNS:
@@ -365,4 +364,65 @@ def redact_pii(d, text_col: str = "text"):
             F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(f"n_{name}")
         )
         cur = F.regexp_replace(cur, pat, token)
+    return counts, cur
+
+
+def redact_pii(d, text_col: str = "text"):
+    """Scrub PII-shaped spans from a text column (JVM-side
+    ``regexp_replace`` chain — no UDF, one projection) and count what
+    each pattern hit per doc; each ``n_<name>`` is the match count the
+    corresponding replace actually performed."""
+    counts, cur = pii_count_cols(text_col)
     return d.select("*", *counts, cur.alias("redacted"))
+
+
+def document_attributes(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document attribute table — the tag-once /
+    filter-many pattern: a single corpus scan emits EVERY curation
+    signal (length/token/punctuation stats, stopword ratio, language
+    guess, PII counts, Gopher repetition fractions) as one row of
+    scalars per document. Write this next to the corpus once; every
+    subsequent curation decision — new thresholds, new rule
+    combinations, ablation sweeps — re-filters the attributes table
+    (tens of bytes/doc) and semi-joins doc_ids back, WITHOUT re-reading
+    text. At 100 TB that turns each rule change from a corpus scan
+    into a metadata query.
+
+    Plan shape: one projection over the corpus (all pure JVM
+    expressions, whatever the signal count) joined on doc_id with the
+    single linear repetition pass — two shuffles total."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    counts, _ = pii_count_cols(text_col)
+    base = d.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0)).alias(
+            "n_punct"
+        ),
+        F.round(stop_hits.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(
+            (F.length(text_col) - n_tokens + 1).cast("double") / n_tokens, 6
+        ).alias("avg_word_len"),
+        lang_guess_col(F.col(text_col)).alias("lang_guess"),
+        *counts,
+    )
+    rep = repetition_signals_for(d, text_col).select(
+        "doc_id", "top_word_frac", "dup_word_frac", "top_bigram_frac"
+    )
+    return base.join(rep, "doc_id", "left")
+
+
+def corpus_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): the full attributes table over the
+    documents corpus, every signal column for every doc."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return document_attributes(d).orderBy("doc_id")

@@ -743,3 +743,48 @@ def test_ivf_recall_report_bounds(spark, sf_dir, tmp_path):
         assert r.k_eff == len(ex_sets[qid]) == 5
         assert r.n_hits == len(ex_sets[qid] & ann_sets.get(qid, set()))
         assert 0 <= r.n_hits <= r.k_eff
+
+
+def test_document_attributes_one_scan_consistency(spark):
+    """The one-pass attributes table must agree with the dedicated
+    single-signal operators it composes, and filtering on it must
+    reproduce filter_corpus' keep set without touching text again."""
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.text import (
+        document_attributes,
+        filter_corpus,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (3, "contact me at jane.doe@example.com or 192.168.0.1 for details of "
+            "the plan that is in it and to a an of"),
+        (4, "tiny"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    at = {r.doc_id: r for r in document_attributes(d).collect()}
+    assert at[1].n_tokens == 13 and at[1].lang_guess == "en"
+    assert at[2].top_word_frac == 1.0 and at[2].dup_word_frac == 1.0
+    assert at[3].n_email == 1 and at[3].n_ipv4 == 1
+    assert at[4].n_chars == 4 and at[4].top_bigram_frac is None
+
+    # attribute-table filtering == filter_corpus (same thresholds),
+    # computed WITHOUT re-reading the text column
+    kept_text = {r.doc_id for r in filter_corpus(d, min_tokens=5, min_chars=20,
+                                                 min_stop_hits=1,
+                                                 max_top_word_frac=0.5,
+                                                 max_dup_word_frac=0.9).collect()}
+    attrs = document_attributes(d)
+    kept_attrs = {
+        r.doc_id
+        for r in attrs.filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("n_chars") >= 20)
+            & (F.col("stopword_ratio") > 0)
+            & (F.col("top_word_frac") <= 0.5)
+            & (F.col("dup_word_frac") <= 0.9)
+        ).collect()
+    }
+    assert kept_attrs == kept_text
