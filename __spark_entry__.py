@@ -525,6 +525,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     (every curation signal in one scan); oracle composes the
         #     per-signal SQL the text_* queries already hash-check
         "corpus_attributes",
+        # mm_binary_near_dup — binary-payload dedup via the generic
+        #     banded hamming join on stub perceptual-hash signatures
+        #     (the decode/DCT step is the documented stub slot)
+        "mm_binary_near_dup",
     }
 )
 
@@ -649,6 +653,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_recall": q_sim_ivf_recall,
         "corpus_dup_clusters": q_dup_clusters,
         "corpus_attributes": _mod("text", "corpus_attributes"),
+        "mm_binary_near_dup": _mod("multimodal", "binary_near_dup"),
         "events_zorder": _mod("layout", "q_events_zorder"),
         "events_snapshot_diff": _mod("snapshot", "q_events_snapshot_diff"),
         "corpus_lm_score": _mod("lm", "q_corpus_lm_score"),
@@ -2208,6 +2213,33 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT base.*, top_word_frac, dup_word_frac, top_bigram_frac
         FROM base LEFT JOIN rep ON base.doc_id = rep.doc_id
         ORDER BY base.doc_id
+    """
+
+    # binary-payload near-dup: payload = encode(text, utf-8), so
+    # md5(payload) == DuckDB's md5(text) (VARCHAR md5 hashes the utf-8
+    # bytes); the 32-bit stub signature is the top 8 hex digits decoded
+    # manually (engine-portable, no hex-cast dialect dependence)
+    _hx8 = (
+        "(ascii(substr(ph,{p},1)) - CASE WHEN ascii(substr(ph,{p},1)) >= 97 "
+        "THEN 87 ELSE 48 END)"
+    )
+    _sig32 = " + ".join(
+        f"CAST({_hx8.format(p=i + 1)} AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    q["mm_binary_near_dup"] = f"""
+        WITH gen AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+        ),
+        h AS (SELECT doc_id, md5(text) AS ph FROM gen),
+        s AS (SELECT doc_id, CAST({_sig32} AS BIGINT) AS phash FROM h)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.phash, b.phash)) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 0
+        ORDER BY id_a, id_b
     """
 
     q["grouped_robust_stats"] = """

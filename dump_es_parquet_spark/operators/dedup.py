@@ -499,28 +499,47 @@ def simhash_pairs_for(
     r04 plan) means only true near-dup rows ever reach the distinct,
     not every band collision."""
     sigs = simhash_signatures(d, barrier=barrier)
-    band_w = SIMHASH_BITS // SIMHASH_BANDS
-    bands = sigs.select(
+    return hamming_band_pairs(sigs, "simhash", SIMHASH_BITS, SIMHASH_BANDS,
+                              max_hamming)
+
+
+def hamming_band_pairs(
+    sigs: DataFrame,
+    sig_col: str = "simhash",
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Generic banded hamming join over ANY ``(doc_id, <sig_col>)``
+    signature frame — the candidate machinery of ``simhash_pairs_for``
+    factored out so other signers plug in (text SimHash here; a
+    perceptual image hash in ``operators/multimodal``; any 64-bit
+    embedding sign sketch). Pigeonhole guarantee: with ``bands`` bands
+    any pair with hamming ≤ bands−1 shares at least one identical
+    band, so ``max_hamming ≤ bands−1`` misses no pair vs the O(n²)
+    plan. The exact ``bit_count`` verify is pushed INTO the join
+    condition (see ``simhash_pairs_for`` for why this beats intra-
+    bucket array expansion in SimHash's dense band space)."""
+    band_w = bits // bands
+    banded = sigs.select(
         "doc_id",
-        "simhash",
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright("simhash", bi * band_w)
+                        F.shiftright(F.col(sig_col), bi * band_w)
                         .bitwiseAND(F.lit((1 << band_w) - 1))
                         .alias("bval"),
                     )
-                    for bi in range(SIMHASH_BANDS)
+                    for bi in range(bands)
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.band", "b.bval")
-    x, y = bands.alias("x"), bands.alias("y")
-    hamming = F.bit_count(
-        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
-    )
+    ).select("doc_id", "_sig", "b.band", "b.bval")
+    x, y = banded.alias("x"), banded.alias("y")
+    hamming = F.bit_count(F.col("x._sig").bitwiseXOR(F.col("y._sig")))
     return (
         x.join(
             y,

@@ -156,3 +156,42 @@ def frame_sample(spark: SparkSession, sf_dir: str, stride: int = 1000) -> DataFr
         )
         .orderBy("doc_id", "frame_no")
     )
+
+
+def phash_stub_col(payload_col: str = "payload", bits: int = 32):
+    """STUB perceptual hash over a binary payload: the top ``bits`` of
+    md5(payload) as an integer signature — deterministic, engine-
+    portable, oracle-checkable. A REAL pHash (decode → grayscale 8×8 →
+    DCT sign bits, via a pandas UDF over the binary column) produces
+    the same ``(doc_id, signature)`` frame shape; everything downstream
+    (banding, hamming verify, transitive collapse) is signer-agnostic.
+    The stub has no perceptual locality — only identical payloads
+    collide — which is exactly what makes it exactly verifiable."""
+    return F.conv(F.substring(F.md5(F.col(payload_col)), 1, bits // 4), 16, 10).cast(
+        "long"
+    )
+
+
+def binary_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 0) -> DataFrame:
+    """Query form (oracle-checked): near-duplicate pairs over BINARY
+    payloads via the generic banded hamming join
+    (``dedup.hamming_band_pairs``) on stub perceptual-hash signatures.
+    The multimodal dedup plumbing end to end — binary column → integer
+    signature → banded candidates → exact hamming verify — with the
+    decode/DCT step stubbed (see ``phash_stub_col``).
+
+    The corpus carries text near-dups but no byte-identical payloads,
+    so (as in the snapshot queries' synthetic generation 2) every 50th
+    document is re-ingested under a shifted id — the duplicate shape a
+    re-crawled image corpus actually produces; the expected pair set is
+    exactly those clones plus any organic collisions."""
+    from dump_es_parquet_spark.operators.dedup import hamming_band_pairs
+
+    base = load(spark, sf_dir, "documents")
+    clones = base.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    d = with_binary_payload(base.unionByName(clones))
+    sigs = d.select("doc_id", phash_stub_col().alias("phash"))
+    return hamming_band_pairs(sigs, "phash", bits=32, bands=4,
+                              max_hamming=max_hamming)

@@ -788,3 +788,23 @@ def test_document_attributes_one_scan_consistency(spark):
         ).collect()
     }
     assert kept_attrs == kept_text
+
+
+def test_hamming_band_pairs_generic_signatures(spark):
+    """The generic banded hamming join (factored out of simhash) finds
+    every pair within max_hamming over an arbitrary signature frame —
+    pigeonhole holds up to bands-1 — and never a pair beyond it."""
+    from dump_es_parquet_spark.operators.dedup import hamming_band_pairs
+
+    sigs = spark.createDataFrame(
+        [
+            (1, 0b10110000_00000000_00000000_00001111),
+            (2, 0b10110000_00000000_00000000_00001110),  # hamming 1 vs id 1
+            (3, 0b10110000_00000000_11111111_00001111),  # hamming 8 vs id 1
+            (4, 0b10110000_00000000_00000000_00001111),  # identical to id 1
+        ],
+        "doc_id long, sig long",
+    )
+    out = {(r.id_a, r.id_b): r.hamming
+           for r in hamming_band_pairs(sigs, "sig", 32, 4, max_hamming=1).collect()}
+    assert out == {(1, 2): 1, (1, 4): 0, (2, 4): 1}
