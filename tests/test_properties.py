@@ -491,3 +491,81 @@ def test_restore_dump_circle_property(spark, tmp_path_factory, rows):
     want = sorted(tuple(str(v) for v in r) for r in df.collect())
     got = sorted(tuple(str(v) for v in r) for r in back.collect())
     assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_union_find_labels_match_reference_closure(spark, edges):
+    """Property: the driver union-find path labels every node with its
+    connected component's minimum, for ANY edge set — checked against
+    a pure-Python reference transitive closure."""
+    from dump_es_parquet_spark.operators.dedup import (
+        _min_labels_driver_union_find,
+    )
+
+    norm = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    if not norm:
+        return
+    pairs = spark.createDataFrame(norm, "id_a long, id_b long")
+    got = {r.node: r.label for r in _min_labels_driver_union_find(pairs).collect()}
+
+    # reference: brute-force closure over adjacency
+    adj: dict[int, set[int]] = {}
+    for a, b in norm:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            n = stack.pop()
+            if n in comp:
+                continue
+            comp.add(n)
+            stack.extend(adj[n])
+        m = min(comp)
+        for n in comp:
+            expected[n] = m
+        seen |= comp
+    assert got == expected
+
+
+def test_union_find_agrees_with_distributed_fixpoint_random(spark, monkeypatch):
+    """The two _component_min_labels paths agree on a fixed adversarial
+    batch of random-ish graphs (long chains, stars, merged rings) —
+    the distributed fixpoint is too slow for per-example Hypothesis,
+    so this pins a handful of shapes explicitly."""
+    import dump_es_parquet_spark.operators.dedup as dd
+
+    graphs = [
+        [(i, i + 1) for i in range(12)],                      # chain
+        [(0, i) for i in range(1, 10)],                       # star
+        [(i, (i + 1) % 8) for i in range(8)] + [(3, 20), (20, 21)],  # ring+tail
+        [(5, 1), (7, 2), (1, 7), (30, 31)],                   # merge order
+    ]
+    for edges in graphs:
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+        )
+        driver = {
+            r.node: r.label for r in dd._min_labels_driver_union_find(pairs).collect()
+        }
+        monkeypatch.setattr(dd, "SMALL_EDGE_UNION_FIND", -1)
+        dist = {r.node: r.label for r in dd._component_min_labels(pairs).collect()}
+        monkeypatch.setattr(dd, "SMALL_EDGE_UNION_FIND", 200_000)
+        assert driver == dist, edges

@@ -430,3 +430,52 @@ def test_upsert_latest_recovers_completed_swap_backup(spark, tmp_path):
     )
     assert _state_rows(spark, state) == {1: ("a2", 2), 2: ("B", 2)}
     assert not os.path.exists(backup)
+
+
+def test_upsert_latest_crash_at_every_rename_never_loses_rows(spark, tmp_path):
+    """Fault injection: kill the merge at EVERY successive rename in
+    the swap loop; after each crash the next (uninjected) merge must
+    recover to the exact correct state — no bucket lost, no stale
+    resurrection, regardless of where the previous attempt died."""
+    import dump_es_parquet_spark.operators.snapshot as snap
+
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(40)], ["id", "v", "gen"]
+    )
+    b2 = spark.createDataFrame(
+        [(i, f"V{i}", 2) for i in range(0, 40, 3)] + [(99, "NEW", 1)],
+        ["id", "v", "gen"],
+    )
+    expected = {i: (f"V{i}", 2) if i % 3 == 0 else (f"v{i}", 1) for i in range(40)}
+    expected[99] = ("NEW", 1)
+
+    real_rename = snap._rename_or_raise
+    crash_point = 0
+    while True:
+        state = str(tmp_path / f"state_{crash_point}")
+        snap.upsert_latest(b1, state, ["id"], ["gen"], n_buckets=4)
+
+        calls = {"n": 0}
+
+        def failing(fs, src, dst, _cp=crash_point):
+            if calls["n"] >= _cp:
+                raise IOError("injected crash")
+            calls["n"] += 1
+            return real_rename(fs, src, dst)
+
+        snap._rename_or_raise = failing
+        try:
+            snap.upsert_latest(b2, state, ["id"], ["gen"], n_buckets=4)
+            crashed = False
+        except IOError:
+            crashed = True
+        finally:
+            snap._rename_or_raise = real_rename
+
+        # whatever the crash point, a clean re-merge must converge
+        snap.upsert_latest(b2, state, ["id"], ["gen"], n_buckets=4)
+        assert _state_rows(spark, state) == expected, f"crash point {crash_point}"
+        if not crashed:  # swap completed without hitting the injection
+            break
+        crash_point += 1
+    assert crash_point >= 2  # the loop actually exercised mid-swap crashes
