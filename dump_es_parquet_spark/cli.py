@@ -126,6 +126,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --restore-from: PUT the index first with "
                    "a mapping derived from the parquet schema (avoids "
                    "ES dynamic-mapping timestamps as text)")
+    p.add_argument("--attributes", default=None, metavar="ID_COL:TEXT_COL",
+                   help="also publish the per-document curation "
+                   "attributes table (token/length stats, language "
+                   "guess, PII counts, repetition fractions) as "
+                   "<out>/<index>_attributes parquet — dump and tag in "
+                   "one pass; indices missing either column are "
+                   "skipped with a warning")
     p.add_argument("--fixture-json", default=argparse.SUPPRESS,
                    help=argparse.SUPPRESS)  # testing hook: mock ES fixture file
     return p
@@ -346,7 +353,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.follow:
         return _follow(spark, args)
-    result = dump(spark, client_factory, args.index, args.out, scan, sink)
+    attributes = None
+    if args.attributes:
+        parts = args.attributes.split(":")
+        if len(parts) != 2 or not all(parts):
+            print("error: --attributes expects ID_COL:TEXT_COL",
+                  file=sys.stderr)
+            return 2
+        attributes = (parts[0], parts[1])
+    result = dump(spark, client_factory, args.index, args.out, scan, sink,
+                  attributes=attributes)
     for line in result.warning_report():
         print(line, file=sys.stderr)
     return 1 if result.errors and not result.indices else 0

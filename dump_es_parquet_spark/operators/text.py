@@ -376,7 +376,9 @@ def redact_pii(d, text_col: str = "text"):
     return d.select("*", *counts, cur.alias("redacted"))
 
 
-def document_attributes(d: DataFrame, text_col: str = "text") -> DataFrame:
+def document_attributes(
+    d: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """One-pass per-document attribute table — the tag-once /
     filter-many pattern: a single corpus scan emits EVERY curation
     signal (length/token/punctuation stats, stopword ratio, language
@@ -391,6 +393,9 @@ def document_attributes(d: DataFrame, text_col: str = "text") -> DataFrame:
     Plan shape: one projection over the corpus (all pure JVM
     expressions, whatever the signal count) joined on doc_id with the
     single linear repetition pass — two shuffles total."""
+    renamed = id_col != "doc_id"
+    if renamed:
+        d = d.withColumnRenamed(id_col, "doc_id")
     toks = tokens_col(text_col)
     n_tokens = F.size(toks)
     stop_hits = F.size(
@@ -418,7 +423,8 @@ def document_attributes(d: DataFrame, text_col: str = "text") -> DataFrame:
     rep = repetition_signals_for(d, text_col).select(
         "doc_id", "top_word_frac", "dup_word_frac", "top_bigram_frac"
     )
-    return base.join(rep, "doc_id", "left")
+    out = base.join(rep, "doc_id", "left")
+    return out.withColumnRenamed("doc_id", id_col) if renamed else out
 
 
 def corpus_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:

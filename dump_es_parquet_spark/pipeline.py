@@ -86,10 +86,19 @@ def dump(
     output_path: str,
     scan: ScanOptions | None = None,
     sink: SinkOptions | None = None,
+    attributes: tuple[str, str] | None = None,
 ) -> DumpResult:
     """The full reference entry point: enumerate indices, scan each,
     coerce (DF modes) or passthrough (raw modes), write partitioned
-    output named per index."""
+    output named per index.
+
+    ``attributes=(id_col, text_col)`` additionally publishes the
+    tag-once curation attributes table (``text.document_attributes``)
+    as ``<out>/<index>_attributes`` parquet for each DF-mode index
+    that carries both columns — dump and tag in one pass over the
+    source, so downstream curation never re-reads text. Indices
+    missing either column are skipped with a warning (the flag applies
+    to a whole index pattern; not every index is a text corpus)."""
     scan = scan or ScanOptions()
     sink = sink or SinkOptions()
     build_df = sink.output in DF_OUTPUTS
@@ -132,6 +141,8 @@ def dump(
                 result.warnings[idx] = {
                     k: v for k, v in obs.get.items() if isinstance(v, int)
                 }
+                if attributes:
+                    _write_attributes(df, output_path, idx, attributes)
             elif sink.output == "stdout":
                 result.indices[idx] = write_stdout(raw)
             else:  # jsonl raw
@@ -147,3 +158,27 @@ def dump(
     for line in result.warning_report():
         logger.warning(line)
     return result
+
+
+def _write_attributes(
+    df, output_path: str, idx: str, attributes: tuple[str, str]
+) -> None:
+    """Publish the per-document attribute table next to a dumped
+    index (see ``dump``'s ``attributes`` parameter)."""
+    import os
+
+    from dump_es_parquet_spark.operators.text import document_attributes
+
+    id_col, text_col = attributes
+    missing = [c for c in (id_col, text_col) if c not in df.columns]
+    if missing:
+        logger.warning(
+            "index %s: --attributes skipped (missing columns %s)", idx, missing
+        )
+        return
+    attrs = document_attributes(
+        df.select(id_col, text_col), text_col=text_col, id_col=id_col
+    )
+    attrs.write.mode("overwrite").parquet(
+        os.path.join(output_path, f"{idx}_attributes")
+    )

@@ -709,3 +709,52 @@ def test_raw_global_order(spark, tmp_path):
     keys = [(r["@timestamp"], r["load"]) for r in recs]
     assert len(recs) == 100
     assert keys == sorted(keys)
+
+
+def test_cli_attributes_publishes_table(spark, tmp_path):
+    """`--attributes ID:TEXT` dumps the index AND publishes the
+    tag-once attributes table beside it in one pass; an index missing
+    the columns dumps normally with the attributes step skipped."""
+    import json
+
+    from dump_es_parquet_spark.cli import main
+
+    docs = [
+        {"did": i, "body": f"the quick document number {i} is a test of "
+                           f"attributes and it contains words"}
+        for i in range(40)
+    ]
+    fixture = {
+        "corpus": {
+            "mapping": {"did": {"type": "long"}, "body": {"type": "text"}},
+            "docs": docs,
+        },
+        "metrics": {  # no text columns — must be skipped, not fail
+            "mapping": {"n": {"type": "integer"}},
+            "docs": [{"n": 1}, {"n": 2}],
+        },
+    }
+    fp = tmp_path / "fixture.json"
+    fp.write_text(json.dumps(fixture))
+    rc = main([
+        "*", "--fixture-json", str(fp), "--out", str(tmp_path),
+        "--slices", "1", "--quiet", "--attributes", "did:body",
+    ])
+    assert rc == 0
+    attrs = spark.read.parquet(str(tmp_path / "corpus_attributes"))
+    assert attrs.count() == 40
+    cols = set(attrs.columns)
+    assert {"did", "n_tokens", "lang_guess", "top_word_frac", "n_email"} <= cols
+    row = attrs.orderBy("did").first()
+    assert row.lang_guess == "en" and row.n_tokens == 14
+    # the non-text index dumped fine, no attributes table
+    assert spark.read.parquet(str(tmp_path / "metrics")).count() == 2
+    import os
+    assert not os.path.exists(str(tmp_path / "metrics_attributes"))
+
+
+def test_cli_attributes_bad_spec_is_usage_error(tmp_path):
+    from dump_es_parquet_spark.cli import main
+
+    assert main(["idx", "--out", str(tmp_path), "--quiet",
+                 "--attributes", "justonecol"]) == 2
