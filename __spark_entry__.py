@@ -132,7 +132,13 @@ def _ivf_index_path(spark, sf_dir):
             write_ivf_index(spark, sf_dir, stage)
             try:
                 os.rename(stage, path)
-            except OSError:  # concurrent builder won the rename
+            except OSError:
+                # only swallow if a concurrent builder really won the
+                # race; any other rename failure must surface
+                if not os.path.exists(
+                    os.path.join(path, "centroids", "_SUCCESS")
+                ):
+                    raise
                 shutil.rmtree(stage, ignore_errors=True)
         except BaseException:
             shutil.rmtree(stage, ignore_errors=True)

@@ -351,8 +351,6 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"restored {n} documents into {args.index}", file=sys.stderr)
         return 0
-    if args.follow:
-        return _follow(spark, args)
     attributes = None
     if args.attributes:
         parts = args.attributes.split(":")
@@ -360,7 +358,16 @@ def main(argv: list[str] | None = None) -> int:
             print("error: --attributes expects ID_COL:TEXT_COL",
                   file=sys.stderr)
             return 2
+        if args.follow:
+            # the follow pipeline's micro-batches would need per-batch
+            # attribute merging — not implemented; fail loudly instead
+            # of silently dumping without the table the user asked for
+            print("error: --attributes is not supported with --follow",
+                  file=sys.stderr)
+            return 2
         attributes = (parts[0], parts[1])
+    if args.follow:
+        return _follow(spark, args)
     result = dump(spark, client_factory, args.index, args.out, scan, sink,
                   attributes=attributes)
     for line in result.warning_report():

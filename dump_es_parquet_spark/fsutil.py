@@ -22,9 +22,11 @@ def publish_json(spark: SparkSession, dir_path: str, name: str, obj) -> None:
     """Atomically publish ``obj`` as ``dir_path/name`` JSON via the
     Hadoop FileSystem for ``dir_path`` (works for local, HDFS, and
     object-store URIs alike)."""
-    Path = spark._jvm.org.apache.hadoop.fs.Path
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
     d = Path(dir_path)
-    fs = d.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs = d.getFileSystem(conf)
     fs.mkdirs(d)
     tmp = Path(f"{dir_path}/.{name}.tmp")
     out = fs.create(tmp, True)
@@ -33,9 +35,18 @@ def publish_json(spark: SparkSession, dir_path: str, name: str, obj) -> None:
     finally:
         out.close()
     final = Path(f"{dir_path}/{name}")
-    fs.delete(final, False)  # Hadoop rename refuses an existing dst
-    if not fs.rename(tmp, final):
-        raise IOError(f"publish rename failed: {tmp} -> {final}")
+    # Atomic overwrite: FileContext.rename(OVERWRITE) replaces an
+    # existing artifact in one operation, so a reader (or a crash)
+    # between publishes always sees old-or-new contents — FileSystem
+    # .rename refuses an existing dst, and delete-then-rename would
+    # open a window with NO artifact at all.
+    Rename = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark._sc._gateway.new_array(Rename, 1)
+    opts[0] = Rename.OVERWRITE
+    ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        final.toUri(), conf
+    )
+    ctx.rename(tmp, final, opts)  # raises on failure
 
 
 def read_json(spark: SparkSession, dir_path: str, name: str) -> dict:

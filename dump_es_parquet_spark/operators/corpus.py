@@ -98,14 +98,23 @@ def curate_and_export(
     chunks = curate(kept, **curate_kwargs)
     # curate drops more documents (quality gate + dedup) after the
     # cap/score filters above — the datacard must count what ships,
-    # so restrict to doc_ids that actually produced chunks.
-    shipped = kept.join(chunks.select("doc_id").distinct(), "doc_id", "left_semi")
-    datacard = write_datacard(
-        shipped.select(
-            *[c for c in ("doc_id", "text", "lang", "source") if c in kept.columns]
-        ),
-        out_path,
-    )
+    # so restrict to doc_ids that actually produced chunks. Cache the
+    # shipped frame: build_datacard runs ~5 separate aggregation
+    # actions over it, and each would otherwise re-execute the whole
+    # curate chain (quality gates + dedup joins + chunk fan-out).
+    shipped = kept.join(
+        chunks.select("doc_id").distinct(), "doc_id", "left_semi"
+    ).cache()
+    try:
+        datacard = write_datacard(
+            shipped.select(
+                *[c for c in ("doc_id", "text", "lang", "source")
+                  if c in kept.columns]
+            ),
+            out_path,
+        )
+    finally:
+        shipped.unpersist()
     manifest = export_shards(
         chunks, f"{out_path}/shards", n_shards, key_col="doc_id",
         token_col="n_chunk_tokens",

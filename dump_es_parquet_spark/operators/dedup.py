@@ -1187,7 +1187,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_signature_store(hist, stage)
             try:
                 os.rename(stage, store)
-            except OSError:  # concurrent builder won the rename
+            except OSError:
+                # only swallow the failure if a concurrent builder
+                # really did win — otherwise (permissions, EXDEV, a
+                # foreign dir squatting on the path) surface it instead
+                # of silently deleting the freshly built store
+                if not os.path.exists(os.path.join(store, "_SUCCESS")):
+                    raise
                 shutil.rmtree(stage, ignore_errors=True)
         except BaseException:
             shutil.rmtree(stage, ignore_errors=True)

@@ -92,6 +92,13 @@ def export_shards(
     return manifest
 
 
-def read_manifest(path: str) -> dict:
+def read_manifest(path: str, spark=None) -> dict:
+    """Read back ``_manifest.json``. Pass ``spark`` to read through the
+    Hadoop FileSystem (required for object-store paths — the artifact
+    is published that way); without it, falls back to local open()."""
+    if spark is not None:
+        from dump_es_parquet_spark.fsutil import read_json
+
+        return read_json(spark, path, MANIFEST)
     with open(os.path.join(path, MANIFEST)) as f:
         return json.load(f)

@@ -258,8 +258,12 @@ def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    theta = theta_overlap(ev, "event_type", "user_id", "click", "purchase").select(
-        F.col("n_intersection").alias("theta_est")
+    # agg(max) guarantees ONE row even when an event type is absent
+    # (theta_overlap's crossJoin of filtered groups yields 0 rows then,
+    # which would otherwise collapse `wide` — and the whole result —
+    # to empty instead of reporting the bound as failed)
+    theta = theta_overlap(ev, "event_type", "user_id", "click", "purchase").agg(
+        F.max("n_intersection").alias("theta_est")
     )
     ua = ev.where(F.col("event_type") == "click").select("user_id").distinct()
     ub = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
@@ -276,10 +280,12 @@ def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def row(metric: str, ok: Column) -> DataFrame:
+        # NULL comparison (an estimate or exact side missing entirely)
+        # reads as bound NOT satisfied — never a silently absent row
         return wide.select(
             F.lit(metric).alias("metric"),
             F.col("n_input"),
-            ok.cast("int").alias("within_bound"),
+            F.coalesce(ok.cast("int"), F.lit(0)).alias("within_bound"),
         )
 
     kll_ok = None

@@ -82,12 +82,17 @@ def upsert_latest(
     Instead the merged buckets are fully written to an
     underscore-prefixed staging dir (invisible to partition discovery),
     then each bucket dir is swapped in two renames with a backup held
-    in between — every crash point leaves each bucket with either its
-    complete old or complete new contents, and the next call's
+    in between — NO crash point loses data: every bucket's complete
+    old or complete new contents survive on disk, and the next merge's
     ``_recover_interrupted_merge`` rolls the swap forward or back
-    before reading state. (On stores without atomic dir rename — raw
-    S3 — front this with a rename-capable layer, the same caveat every
-    rename-committer pipeline carries.)"""
+    before reading state. Reader caveat: between a mid-swap crash and
+    the next merge, a bucket can sit in its ``_backup-`` name and be
+    invisible to partition discovery — a reader that must not observe
+    that window calls :func:`recover_state` first (recovery is
+    idempotent and cheap: one directory listing when nothing is
+    wrong). On stores without atomic dir rename — raw S3 — front this
+    with a rename-capable layer, the same caveat every rename-committer
+    pipeline carries."""
     spark = batch.sparkSession
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
     b = batch.withColumn(BUCKET_COL, bucket)
@@ -144,6 +149,18 @@ def _rename_or_raise(fs, src, dst) -> None:
     surface it, or a failed swap would silently drop a bucket."""
     if not fs.rename(src, dst):
         raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def recover_state(spark: SparkSession, state_path: str) -> None:
+    """Reader-side crash recovery: finish or roll back an interrupted
+    ``upsert_latest`` swap so every bucket is visible again. Call
+    before reading a state table whose writer may have died mid-merge
+    (the next merge would also recover, but a read-only consumer never
+    triggers one). Idempotent; single-writer contract applies — don't
+    run concurrently with a live merge."""
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = Path(state_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    _recover_interrupted_merge(fs, Path, state_path)
 
 
 def _recover_interrupted_merge(fs, Path, state_path: str) -> None:

@@ -94,11 +94,13 @@ def dump(
 
     ``attributes=(id_col, text_col)`` additionally publishes the
     tag-once curation attributes table (``text.document_attributes``)
-    as ``<out>/<index>_attributes`` parquet for each DF-mode index
-    that carries both columns — dump and tag in one pass over the
-    source, so downstream curation never re-reads text. Indices
-    missing either column are skipped with a warning (the flag applies
-    to a whole index pattern; not every index is a text corpus)."""
+    as ``<out>/<index>_attributes`` parquet for each parquet/ORC index
+    that carries both columns — computed from the files the dump just
+    wrote (never a second source scroll), so the table is exactly
+    consistent with the dumped rows and downstream curation never
+    re-reads text. Indices missing either column are skipped with a
+    warning (the flag applies to a whole index pattern; not every
+    index is a text corpus)."""
     scan = scan or ScanOptions()
     sink = sink or SinkOptions()
     build_df = sink.output in DF_OUTPUTS
@@ -142,7 +144,10 @@ def dump(
                     k: v for k, v in obs.get.items() if isinstance(v, int)
                 }
                 if attributes:
-                    _write_attributes(df, output_path, idx, attributes)
+                    _write_attributes(
+                        spark, str(result.indices[idx]), output_path, idx,
+                        sink, attributes,
+                    )
             elif sink.output == "stdout":
                 result.indices[idx] = write_stdout(raw)
             else:  # jsonl raw
@@ -161,14 +166,35 @@ def dump(
 
 
 def _write_attributes(
-    df, output_path: str, idx: str, attributes: tuple[str, str]
+    spark,
+    written_path: str,
+    output_path: str,
+    idx: str,
+    sink: SinkOptions,
+    attributes: tuple[str, str],
 ) -> None:
     """Publish the per-document attribute table next to a dumped
-    index (see ``dump``'s ``attributes`` parameter)."""
+    index (see ``dump``'s ``attributes`` parameter).
+
+    Reads the columnar output the dump just WROTE — not the live
+    frame, whose lineage would re-execute the entire ES scroll: a
+    second scan both doubles source load and can diverge from the
+    dumped rows if the index changes between scrolls. Tagging from the
+    written files is guaranteed consistent with what shipped, and a
+    local parquet/ORC scan is far cheaper than a re-scroll. Raw/text
+    outputs (ndjson/csv) don't round-trip types, so the attributes
+    step is parquet/ORC-only."""
     import os
 
     from dump_es_parquet_spark.operators.text import document_attributes
 
+    if sink.output not in ("parquet", "orc"):
+        logger.warning(
+            "index %s: --attributes requires a columnar output "
+            "(parquet/orc), got %s — skipped", idx, sink.output,
+        )
+        return
+    df = getattr(spark.read, sink.output)(written_path)
     id_col, text_col = attributes
     missing = [c for c in (id_col, text_col) if c not in df.columns]
     if missing:

@@ -65,7 +65,11 @@ def lint_plan(
 #: the join kinds distinguish broadcast (cheap) from shuffled
 #: (SMJ/SHJ) from nested-loop (only ever the audited scalar shape).
 FINGERPRINT_OPS = {
-    "exchange": r"Exchange",
+    # shuffle exchanges ONLY: the bare substring "Exchange" also hits
+    # BroadcastExchange (not a shuffle) and ReusedExchange (no new
+    # shuffle), which would let Spark inserting/removing a reuse node
+    # churn the pin with no real shape change
+    "exchange": r"(?<!Broadcast)(?<!Reused)Exchange",
     "bhj": r"BroadcastHashJoin",
     "smj": r"SortMergeJoin",
     "shj": r"ShuffledHashJoin",
@@ -103,11 +107,13 @@ def _read_schema_widths(plan: str) -> list[int]:
                 depth -= 1
             i += 1
         body = plan[start : i - 1]
+        # parens count toward depth too: decimal(12,2)'s comma is a
+        # type parameter, not a column separator
         depth, ncols = 0, 1 if body.strip() else 0
         for ch in body:
-            if ch == "<":
+            if ch in "<(":
                 depth += 1
-            elif ch == ">":
+            elif ch in ">)":
                 depth -= 1
             elif ch == "," and depth == 0:
                 ncols += 1

@@ -84,9 +84,11 @@ def test_read_schema_width_counts_nested_types():
         "ReadSchema: struct<a:struct<x:int,y:array<string>>,"
         "b:map<string,struct<p:int,q:int>>,c:bigint>\n"
         "FileScan parquet [k] ... ReadSchema: struct<k:int>\n"
-        "FileScan parquet [] ... ReadSchema: struct<>"
+        "FileScan parquet [] ... ReadSchema: struct<>\n"
+        "FileScan parquet [p,q] ... "
+        "ReadSchema: struct<p:decimal(12,2),q:decimal(12,2)>"
     )
-    assert _read_schema_widths(plan) == [3, 1, 0]
+    assert _read_schema_widths(plan) == [3, 1, 0, 2]
 
 
 #: Pinned shuffle/join-shape fingerprints for the most expensive
@@ -99,24 +101,27 @@ def test_read_schema_width_counts_nested_types():
 #: partitions (the conftest environment); a legitimate plan
 #: improvement updates the pin in the same commit that changes it.
 PINNED_FINGERPRINTS = {
-    "corpus_dedup": {"exchange": 10, "bhj": 1, "smj": 1, "bnlj": 2},
-    "sim_knn_graph": {"exchange": 5, "bhj": 2},
-    "corpus_triplets": {"exchange": 13, "bhj": 5, "bnlj": 1},
-    "split_contamination": {"exchange": 12, "bhj": 7},
-    "dedup_ngram_jaccard": {"exchange": 10, "bhj": 5},
-    "dedup_simhash": {"exchange": 3, "bhj": 1},
-    "dedup_minhash_lsh": {"exchange": 5, "bhj": 2},
-    "corpus_packing": {"exchange": 3, "bhj": 1},
-    "q21_waiting_supplier_shape": {"exchange": 10, "bhj": 3, "smj": 1},
-    "q7_nation_volume": {"exchange": 7, "bhj": 5},
+    # "exchange" counts SHUFFLE exchanges only (BroadcastExchange and
+    # ReusedExchange excluded — see plan_lint.FINGERPRINT_OPS)
+    "corpus_dedup": {"exchange": 7, "bhj": 1, "smj": 1, "bnlj": 2},
+    "sim_knn_graph": {"exchange": 3, "bhj": 2},
+    "corpus_triplets": {"exchange": 7, "bhj": 5, "bnlj": 1},
+    "split_contamination": {"exchange": 5, "bhj": 7},
+    "dedup_ngram_jaccard": {"exchange": 5, "bhj": 5},
+    "dedup_simhash": {"exchange": 2, "bhj": 1},
+    "dedup_minhash_lsh": {"exchange": 3, "bhj": 2},
+    "corpus_packing": {"exchange": 2, "bhj": 1},
+    "q21_waiting_supplier_shape": {"exchange": 7, "bhj": 3, "smj": 1},
+    "q7_nation_volume": {"exchange": 2, "bhj": 5},
     # NOT sim_ann_ivf: its in-query Lloyd pipeline calls .cache(), and
     # the compiled shape depends on whether an earlier test already
     # materialized that cache entry — pin the declared serving path
-    # (reads the materialized index; no cache node) instead.
-    "sim_ann_ivf_indexed": {"exchange": 1, "bnlj": 1},
-    "corpus_mix": {"exchange": 4, "bhj": 2},
-    "q18_large_volume": {"exchange": 3, "bhj": 2},
-    "q8_market_share": {"exchange": 9, "bhj": 7},
+    # instead (reads the materialized index; ZERO shuffles, exactly
+    # the partition-pruned serving design).
+    "sim_ann_ivf_indexed": {"bnlj": 1},
+    "corpus_mix": {"exchange": 2, "bhj": 2},
+    "q18_large_volume": {"exchange": 1, "bhj": 2},
+    "q8_market_share": {"exchange": 2, "bhj": 7},
 }
 
 

@@ -758,3 +758,10 @@ def test_cli_attributes_bad_spec_is_usage_error(tmp_path):
 
     assert main(["idx", "--out", str(tmp_path), "--quiet",
                  "--attributes", "justonecol"]) == 2
+
+
+def test_cli_attributes_with_follow_is_error(tmp_path):
+    from dump_es_parquet_spark.cli import main
+
+    assert main(["idx", "--follow", "--out", str(tmp_path), "--quiet",
+                 "--attributes", "a:b"]) == 2

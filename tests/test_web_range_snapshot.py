@@ -479,3 +479,32 @@ def test_upsert_latest_crash_at_every_rename_never_loses_rows(spark, tmp_path):
             break
         crash_point += 1
     assert crash_point >= 2  # the loop actually exercised mid-swap crashes
+
+
+def test_recover_state_reader_side(spark, tmp_path):
+    """A read-only consumer can heal a crashed swap without merging:
+    recover_state restores the hidden bucket, and the full row set is
+    visible again."""
+    import os
+
+    from dump_es_parquet_spark.operators.snapshot import (
+        recover_state,
+        upsert_latest,
+    )
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(20)], ["id", "v", "gen"]
+    )
+    upsert_latest(b1, state, ["id"], ["gen"], n_buckets=4)
+    before = _state_rows(spark, state)
+    bucket = next(d for d in os.listdir(state) if d.startswith("__kbucket="))
+    os.rename(
+        os.path.join(state, bucket),
+        os.path.join(state, f"_backup-b{bucket.split('=')[1]}"),
+    )
+    assert len(_state_rows(spark, state)) < 20  # bucket hidden
+    recover_state(spark, state)
+    assert _state_rows(spark, state) == before
+    recover_state(spark, state)  # idempotent
+    assert _state_rows(spark, state) == before
