@@ -508,29 +508,27 @@ DEMOTED: frozenset[str] = frozenset(
         "q7_nation_volume",
         "q19_disjunctive_brand",
         "text_fingerprint",
-        # sketch_error_bounds — HLL/KLL/Theta estimates checked against
-        #     their own exact answers in one plan, reduced to
-        #     within_bound integers (the estimates themselves aren't
-        #     SQL-portable to DuckDB)
-        "sketch_error_bounds",
-        # corpus_dedup_incremental — append-time dedup of an increment
-        #     against the persisted minhash band/signature store
-        #     (write_signature_store + dedup_incremental), vs a DuckDB
-        #     recompute of estimated-Jaccard history matches +
-        #     exact-verified intra-batch pairs
-        "corpus_dedup_incremental",
-        # sim_ivf_recall — recall@10 of the IVF serving path vs exact
-        #     brute force, oracle-recomputed exactly (deterministic
-        #     Lloyd + rounded-cosine ranking on both engines)
-        "sim_ivf_recall",
-        # corpus_dup_clusters — near_dup_clusters audit mapping reduced
-        #     to a cluster-size histogram, vs the recursive-CTE
-        #     transitive closure with self-labeled singletons
-        "corpus_dup_clusters",
-        # corpus_attributes — the tag-once/filter-many attributes table
-        #     (every curation signal in one scan); oracle composes the
-        #     per-signal SQL the text_* queries already hash-check
-        "corpus_attributes",
+        # Rotated OUT of the declared 50 in round 8 to make room for the
+        # round-7 verification queries (sketch_error_bounds,
+        # corpus_dedup_incremental, sim_ivf_recall, corpus_dup_clusters,
+        # corpus_attributes — VERDICT r07 Next #1: the operators that
+        # make 100 TB dedup/ANN *verifiable*).  Each of these five has a
+        # declared sibling keeping its operator family in the gate:
+        #   q12_priority_split — join + conditional agg; q3/q5/q8/q9/q10
+        #       keep the join family, q1/rollup keep conditional aggs
+        #   q14_promo_revenue — scan+filter+agg ratio; q1 + q18 keep
+        #       scan+filter+agg declared
+        #   setops — INTERSECT/EXCEPT; semi_anti_join keeps the
+        #       semi/anti shuffle family declared
+        #   distinct_agg — count(distinct) mix; q1 + rollup_region_nation
+        #       keep the agg family declared
+        #   scalar_functions — string/date/math scalar battery;
+        #       events_json keeps the scalar/JSON surface declared
+        "q12_priority_split",
+        "q14_promo_revenue",
+        "setops",
+        "distinct_agg",
+        "scalar_functions",
         # mm_binary_near_dup — binary-payload dedup via the generic
         #     banded hamming join on stub perceptual-hash signatures
         #     (the decode/DCT step is the documented stub slot)
