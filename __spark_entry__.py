@@ -2222,28 +2222,20 @@ def _all_oracle_sql() -> dict[str, str]:
     # binary-payload near-dup: payload = encode(text, utf-8), so
     # md5(payload) == DuckDB's md5(text) (VARCHAR md5 hashes the utf-8
     # bytes); the 32-bit stub signature is the top 8 hex digits decoded
-    # manually (engine-portable, no hex-cast dialect dependence)
-    _hx8 = (
-        "(ascii(substr(ph,{p},1)) - CASE WHEN ascii(substr(ph,{p},1)) >= 97 "
-        "THEN 87 ELSE 48 END)"
-    )
-    _sig32 = " + ".join(
-        f"CAST({_hx8.format(p=i + 1)} AS BIGINT) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    q["mm_binary_near_dup"] = f"""
-        WITH gen AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
-        ),
-        h AS (SELECT doc_id, md5(text) AS ph FROM gen),
-        s AS (SELECT doc_id, CAST({_sig32} AS BIGINT) AS phash FROM h)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.phash, b.phash)) AS hamming
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.phash, b.phash)) <= 0
-        ORDER BY id_a, id_b
+    # mm_binary_near_dup: the Spark side hashes payloads with a REAL
+    # pure-numpy dHash (operators/multimodal.py) — lossy and not
+    # SQL-expressible — so the oracle checks the PLANTED duplicate
+    # relation exhaustively: every 50th doc is cloned under id+1e6,
+    # identical payloads must hash identically (hamming 0) and the
+    # banded discovery join must recover every such pair
+    # (recovered 1, deterministic by pigeonhole at hamming 0).
+    q["mm_binary_near_dup"] = """
+        SELECT doc_id AS id_a,
+               doc_id + 1000000 AS id_b,
+               0 AS hamming,
+               1 AS recovered
+        FROM documents WHERE doc_id % 50 = 0
+        ORDER BY id_a
     """
 
     q["grouped_robust_stats"] = """

@@ -158,33 +158,107 @@ def frame_sample(spark: SparkSession, sf_dir: str, stride: int = 1000) -> DataFr
     )
 
 
-def phash_stub_col(payload_col: str = "payload", bits: int = 32):
-    """STUB perceptual hash over a binary payload: the top ``bits`` of
-    md5(payload) as an integer signature — deterministic, engine-
-    portable, oracle-checkable. A REAL pHash (decode → grayscale 8×8 →
-    DCT sign bits, via a pandas UDF over the binary column) produces
-    the same ``(doc_id, signature)`` frame shape; everything downstream
-    (banding, hamming verify, transitive collapse) is signer-agnostic.
-    The stub has no perceptual locality — only identical payloads
-    collide — which is exactly what makes it exactly verifiable."""
-    return F.conv(F.substring(F.md5(F.col(payload_col)), 1, bits // 4), 16, 10).cast(
-        "long"
-    )
+#: dHash geometry: an 8×9 block-mean grid → 8 rows × 8 horizontal
+#: comparisons = 64 sign bits (one ``long`` for the banded hamming join)
+DHASH_ROWS, DHASH_COLS = 8, 9
+
+
+def _make_dhash():
+    """Factory for the per-payload dHash so the returned closure is
+    ``<locals>``-scoped: cloudpickle ships it BY VALUE inside UDFs —
+    executors need no importable copy of this package (the driver
+    harness may run from any cwd without our PYTHONPATH)."""
+
+    def dhash_signature(payload) -> int:
+        """Pure-numpy dHash (difference hash) over the payload's
+        byte-grid — a REAL perceptual hash, replacing the round-7 md5
+        stub (VERDICT r07 Next #3).
+
+        The *decode* step stays the documented stub slot: the raw
+        bytes are taken as the grayscale intensity sequence (a real
+        deployment decodes pixels first; the signature contract —
+        ``long`` in, banded hamming downstream — is unchanged). The
+        hash construction itself is the standard dHash:
+
+        1. resample the intensity sequence to an 8×9 grid of block
+           means (``np.add.reduceat`` over equal-width slices;
+           nearest-sample when the payload is shorter than one byte
+           per cell),
+        2. compare horizontally adjacent cells → 64 sign bits,
+        3. pack big-endian into a signed 64-bit integer.
+
+        Perceptual invariances the md5 stub lacked (property-tested in
+        tests/test_llm_ops.py): a global brightness shift leaves the
+        hash IDENTICAL (constant offsets cancel in the differences),
+        and small translations move few sign bits (block means are
+        stable), so perturbed payloads land within a small hamming
+        radius instead of hashing to unrelated values.
+        """
+        import numpy as np
+
+        cells_n = 8 * 9  # DHASH_ROWS × DHASH_COLS
+        a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+        n = a.size
+        if n == 0:
+            return 0
+        if n >= cells_n:
+            bounds = (np.arange(cells_n) * n) // cells_n
+            sums = np.add.reduceat(a, bounds)
+            counts = np.diff(np.append(bounds, n))
+            cells = sums / counts
+        else:
+            cells = a[(np.arange(cells_n) * n) // cells_n]
+        grid = cells.reshape(8, 9)
+        bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+        return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+    return dhash_signature
+
+
+#: module-level instance for tests / direct callers (same by-value
+#: pickling applies if captured in a closure — the qualname is
+#: ``_make_dhash.<locals>.dhash_signature``, unresolvable by import)
+dhash_signature = _make_dhash()
+
+
+def phash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, phash): Arrow-batched real dHash over binary payloads
+    via ``mapInPandas`` — the decode+hash stage of the multimodal dedup
+    path. Memory is bounded by Arrow batch size, never partition size."""
+    dhash = _make_dhash()
+
+    def _sig(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": pdf["payload"].map(dhash)}
+            )
+
+    return d.mapInPandas(_sig, "doc_id long, phash long")
 
 
 def binary_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 0) -> DataFrame:
-    """Query form (oracle-checked): near-duplicate pairs over BINARY
-    payloads via the generic banded hamming join
-    (``dedup.hamming_band_pairs``) on stub perceptual-hash signatures.
-    The multimodal dedup plumbing end to end — binary column → integer
-    signature → banded candidates → exact hamming verify — with the
-    decode/DCT step stubbed (see ``phash_stub_col``).
+    """Query form (oracle-checked): planted-duplicate recovery over
+    BINARY payloads — real dHash signatures (``phash_signatures``) fed
+    to the generic banded hamming join (``dedup.hamming_band_pairs``).
+    The multimodal dedup plumbing end to end: binary column →
+    Arrow-batched perceptual hash → banded candidates → exact hamming
+    verify.
 
-    The corpus carries text near-dups but no byte-identical payloads,
-    so (as in the snapshot queries' synthetic generation 2) every 50th
-    document is re-ingested under a shifted id — the duplicate shape a
-    re-crawled image corpus actually produces; the expected pair set is
-    exactly those clones plus any organic collisions."""
+    The corpus carries no byte-identical payloads, so (as in the
+    snapshot queries' synthetic generation 2) every 50th document is
+    re-ingested under a shifted id — the duplicate shape a re-crawled
+    image corpus actually produces. Output is one row per planted
+    clone pair: ``(id_a, id_b, hamming, recovered)`` where ``hamming``
+    is the direct signature distance (identical payloads ⇒ identical
+    dHash ⇒ 0) and ``recovered`` flags whether the banded DISCOVERY
+    join surfaced the pair — deterministic by pigeonhole, a hamming-0
+    pair shares every band. Organic near-dup pairs the discovery join
+    also finds are exact-hamming-verified inside ``hamming_band_pairs``
+    (precision 1 by construction) but are not oracle-predictable with
+    a lossy perceptual hash, so the oracle row checks the planted
+    relation exhaustively instead of the open pair set."""
     from dump_es_parquet_spark.operators.dedup import hamming_band_pairs
 
     base = load(spark, sf_dir, "documents")
@@ -192,6 +266,32 @@ def binary_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 0) -> D
         "doc_id", F.col("doc_id") + 1_000_000
     )
     d = with_binary_payload(base.unionByName(clones))
-    sigs = d.select("doc_id", phash_stub_col().alias("phash"))
-    return hamming_band_pairs(sigs, "phash", bits=32, bands=4,
-                              max_hamming=max_hamming)
+    sigs = phash_signatures(d)
+    pairs = hamming_band_pairs(sigs, "phash", bits=64, bands=8,
+                               max_hamming=max_hamming)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    planted = (
+        a.where((F.col("a.doc_id") % 50 == 0) & (F.col("a.doc_id") < 1_000_000))
+        .join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1_000_000)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+    )
+    return (
+        planted.join(
+            pairs.select("id_a", "id_b", F.lit(1).alias("recovered")),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.coalesce("recovered", F.lit(0)).alias("recovered"),
+        )
+        .orderBy("id_a")
+    )

@@ -790,6 +790,43 @@ def test_document_attributes_one_scan_consistency(spark):
     assert kept_attrs == kept_text
 
 
+def test_dhash_perceptual_invariances():
+    """The real dHash (replacing the round-7 md5 stub, VERDICT r07
+    Next #3) must behave like a perceptual hash over the byte-grid:
+    brightness-invariant exactly, shift-tolerant within a small hamming
+    radius, and still discriminating between unrelated payloads."""
+    from dump_es_parquet_spark.operators.multimodal import dhash_signature
+
+    # a structured, non-constant payload: 7200 "pixels" (100 per grid
+    # cell), bytes kept < 200 so a brightness shift cannot wrap
+    base = bytes((37 * i * i + 11 * i) % 199 for i in range(7200))
+    h = dhash_signature(base)
+
+    # determinism + identity
+    assert dhash_signature(bytes(base)) == h
+
+    # global brightness shift: constant offsets cancel in adjacent-cell
+    # differences — hash is IDENTICAL, not merely close
+    brighter = bytes(b + 30 for b in base)
+    assert dhash_signature(brighter) == h
+
+    # small translation (3 of 100 bytes per cell): block means move a
+    # little, most sign bits survive — within radius, never unrelated
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    shifted = base[3:] + base[:3]
+    assert 0 <= hamming(dhash_signature(shifted), h) <= 16
+
+    # discrimination: an unrelated payload lands far away
+    other = bytes((131 * i + 17) % 251 for i in range(7200))
+    assert hamming(dhash_signature(other), h) > 16
+
+    # degenerate inputs stay total: empty and sub-grid payloads hash
+    assert dhash_signature(b"") == 0
+    assert isinstance(dhash_signature(b"xy"), int)
+
+
 def test_hamming_band_pairs_generic_signatures(spark):
     """The generic banded hamming join (factored out of simhash) finds
     every pair within max_hamming over an arbitrary signature frame —
