@@ -249,3 +249,85 @@ def write_stdout(df: DataFrame, limit: int | None = None) -> int:
         if limit is not None and n >= limit:
             break
     return n
+
+
+# ---------------------------------------------------------------------------
+# sink round-trip oracle queries (VERDICT r07 Next #4): the csv/ndjson
+# writers get a cross-engine correctness row — Spark digests the SOURCE
+# frame while the DuckDB oracle digests the FILES this query just wrote,
+# so any encode loss (quoting, escaping, precision, column drift) breaks
+# the hash instead of hiding behind a same-engine read-back.
+
+#: fixed so the static oracle SQL can glob it; each run overwrites it
+#: before its oracle reads it (Spark-then-oracle per query in the
+#: driver, pytest, and tools/check_correctness alike)
+SINK_ORACLE_DIR = "/tmp/spark_graft_sink_oracle"
+
+
+def csv_roundtrip_digest(spark, sf_dir: str) -> DataFrame:
+    """Write orders as partitioned CSV through the real sink
+    (``write(output='csv')``, header + maxRecordsPerFile bounding), then
+    return a 1-row digest of the SOURCE frame. The oracle recomputes
+    the identical digest from ``read_csv`` over the written files —
+    a field built with an embedded comma forces RFC-4180 quoting, the
+    timestamp is pre-formatted to a portable string, and the double sum
+    goes through DECIMAL(18,2) so shortest-repr text round-trips
+    exactly."""
+    from dump_es_parquet_spark.operators.tables import load
+
+    o = load(spark, sf_dir, "orders")
+    frame = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_odate"),
+        # embedded comma => the writer MUST quote; a misquote shifts
+        # columns and breaks every downstream cast in the oracle
+        F.concat_ws(",", "o_orderstatus", "o_orderpriority").alias("qfield"),
+    )
+    write(frame, SINK_ORACLE_DIR, "csv_orders", SinkOptions(output="csv"))
+    return frame.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("price_sum"),
+        F.min("o_odate").alias("min_odate"),
+        F.max("o_odate").alias("max_odate"),
+        F.sum(F.length("qfield")).alias("q_len_sum"),
+    )
+
+
+def ndjson_roundtrip_digest(spark, sf_dir: str) -> DataFrame:
+    """Write documents as partitioned ndjson through the real sink
+    (``write(output='ndjson')``), then return a 1-row digest of the
+    SOURCE frame for the oracle to recompute from ``read_json`` over
+    the written files. A synthesized field carrying quote, newline and
+    tab characters exercises JSON string escaping; a token array
+    exercises JSON list encoding."""
+    from dump_es_parquet_spark.operators.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    frame = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.concat(
+            F.lit('"'), F.col("lang"), F.lit('"\n\t'), F.col("source")
+        ).alias("tricky"),
+        F.split("text", " ").alias("tokens"),
+    )
+    write(frame, SINK_ORACLE_DIR, "ndjson_documents", SinkOptions(output="ndjson"))
+    return frame.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.expr("bit_xor(doc_id)").alias("id_xor"),
+        F.sum(F.length("text")).alias("text_len_sum"),
+        F.sum(F.length("tricky")).alias("tricky_len_sum"),
+        F.sum(F.size("tokens")).alias("token_count_sum"),
+        F.sum("n_chars").alias("n_chars_sum"),
+    )
