@@ -204,11 +204,19 @@ def q_dup_clusters(spark, sf_dir):
     minhash pair SQL, with singletons labeled by themselves."""
     from pyspark.sql import functions as F
 
-    from dump_es_parquet_spark.operators.dedup import near_dup_clusters
+    from dump_es_parquet_spark.operators.dedup import (
+        cached_corpus_signature_store,
+        near_dup_clusters,
+    )
     from dump_es_parquet_spark.operators.tables import load
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    c = near_dup_clusters(d, strategy="minhash", threshold=0.7)
+    # band collisions come from the shared content-keyed signature
+    # store (the artifact corpus_dedup_incremental also rides) instead
+    # of re-hashing the corpus — identical pairs, one signing pass per
+    # testdata generation (VERDICT r07 Next #6)
+    store = cached_corpus_signature_store(spark, sf_dir)
+    c = near_dup_clusters(d, strategy="minhash", threshold=0.7, band_store=store)
     sizes = c.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )

@@ -282,6 +282,33 @@ def minhash_lsh_pairs_for(
     by filtering empty/boilerplate docs before dedup."""
     sig = minhash_signatures(d, barrier)
     bands = minhash_band_table(sig)
+    return _verified_band_pairs(d, bands, threshold, barrier)
+
+
+def minhash_lsh_pairs_from_store(
+    d: DataFrame, store_path: str, threshold: float = 0.7, barrier=_lazy_barrier
+) -> DataFrame:
+    """Identical verified pairs to :func:`minhash_lsh_pairs_for`, with
+    band collisions read from the PERSISTED signature store
+    (:func:`write_signature_store`) instead of re-hashing the corpus —
+    the shared-artifact path: ``corpus_dup_clusters`` rides the same
+    content-keyed store ``corpus_dedup_incremental`` already
+    materializes (VERDICT r07 Next #6), skipping the per-doc
+    md5/shingle/minhash chain entirely. The store holds no shingle
+    arrays (they'd be corpus-sized by design), so the exact-Jaccard
+    verification still reads ``d``'s text — but only candidate pairs
+    reach it, same as the recompute path."""
+    bands = (
+        d.sparkSession.read.parquet(store_path).select("doc_id", "band", "bhash")
+    )
+    return _verified_band_pairs(d, bands, threshold, barrier)
+
+
+def _verified_band_pairs(
+    d: DataFrame, bands: DataFrame, threshold: float, barrier
+) -> DataFrame:
+    """Band table → collision candidates → exact-Jaccard verified
+    pairs: the shared tail of the recompute and store-backed paths."""
     buckets = (
         bands.groupBy("band", "bhash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -358,12 +385,62 @@ def write_signature_store(
     )
 
 
+def cached_corpus_signature_store(spark: SparkSession, sf_dir: str) -> str:
+    """Content-keyed FULL-corpus signature store under the system temp
+    dir — built once per testdata generation (tag = md5 of the source
+    parquet's path/mtime/size, like ``_ivf_index_path``), then shared:
+    ``q_dedup_incremental`` reads it filtered to its history predicate
+    and ``q_dup_clusters`` derives band-collision candidates from it
+    instead of re-hashing the corpus (VERDICT r07 Next #6). At 100 TB
+    this is the production artifact: sign once at ingest, every
+    downstream dedup/cluster/contamination pass joins the store.
+
+    Concurrency: staged build + atomic rename; a lost rename race is
+    swallowed only after verifying the winner's ``_SUCCESS``."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    # 'full' in the name: pre-round-8 stores at the unsuffixed path
+    # held history docs only and must not be picked up here
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_sigstore_full_{tag}")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        d = _par(load(spark, sf_dir, "documents").select("doc_id", "text"))
+        stage = tempfile.mkdtemp(
+            prefix=f"spark_graft_sigstore_full_{tag}_stage_",
+            dir=tempfile.gettempdir(),
+        )
+        try:
+            write_signature_store(d, stage)
+            try:
+                os.rename(stage, store)
+            except OSError:
+                # only swallow the failure if a concurrent builder
+                # really did win — otherwise (permissions, EXDEV, a
+                # foreign dir squatting on the path) surface it instead
+                # of silently deleting the freshly built store
+                if not os.path.exists(os.path.join(store, "_SUCCESS")):
+                    raise
+                shutil.rmtree(stage, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+    return store
+
+
 def dedup_incremental(
     new_d: DataFrame,
     store_path: str,
     threshold: float = 0.7,
     update_store: bool = True,
     barrier=_lazy_barrier,
+    history_filter=None,
 ) -> DataFrame:
     """Dedup an increment against the signature store (and itself).
 
@@ -379,11 +456,20 @@ def dedup_incremental(
     column equality tests on the joined signature rows. One shuffle on
     the increment's doc_id to aggregate matches. When ``update_store``
     is set, kept docs' signatures append to the store (the next
-    increment sees them)."""
+    increment sees them).
+
+    ``history_filter``: optional Column predicate restricting which
+    store rows count as history — lets several queries share one
+    full-corpus store (``cached_corpus_signature_store``) while this
+    path still matches the increment against history only (without it,
+    an increment doc present in a shared store would match its own
+    signature and be dropped as a history duplicate)."""
     spark = new_d.sparkSession
     sig_new = minhash_signatures(new_d, barrier)
     sig_new = barrier(minhash_band_table(sig_new).join(sig_new, "doc_id"))
     hist = spark.read.parquet(store_path)
+    if history_filter is not None:
+        hist = hist.filter(history_filter)
     est = (
         sum(
             F.when(
@@ -906,6 +992,7 @@ def _strategy_min_labels(
     candidates: str,
     n_cells: int,
     nprobe: int,
+    band_store: str | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs for a strategy, collapsed to component
     min-labels — the shared core of ``dedup_corpus`` (drop non-
@@ -923,7 +1010,12 @@ def _strategy_min_labels(
 
     try:
         if strategy == "minhash":
-            raw = minhash_lsh_pairs_for(_par(d), threshold, barrier=_scoped)
+            if band_store is not None:
+                raw = minhash_lsh_pairs_from_store(
+                    _par(d), band_store, threshold, barrier=_scoped
+                )
+            else:
+                raw = minhash_lsh_pairs_for(_par(d), threshold, barrier=_scoped)
         elif strategy == "ngram":
             raw = ngram_jaccard_pairs_for(_par(d), threshold, barrier=_scoped)
         elif strategy == "simhash":
@@ -964,6 +1056,7 @@ def near_dup_clusters(
     candidates: str = "gemm",
     n_cells: int = 8,
     nprobe: int = 2,
+    band_store: str | None = None,
 ) -> DataFrame:
     """Full duplicate-cluster mapping: ``(id_col, cluster_id)`` for
     EVERY document — ``cluster_id`` is the component's minimum id
@@ -974,7 +1067,12 @@ def near_dup_clusters(
     ``strategy='exact'`` clusters by content digest; the near-dup
     strategies share :func:`dedup_corpus`'s verified-pair + transitive
     min-label machinery, so ``dedup_corpus(d, s) ≡ d semi-join (docs
-    whose cluster_id = own id)`` — pinned by tests."""
+    whose cluster_id = own id)`` — pinned by tests.
+
+    ``band_store`` (minhash only): path of a persisted signature store
+    (:func:`write_signature_store` layout) to derive band collisions
+    from instead of re-hashing the corpus — identical pairs by
+    construction, minus the per-doc signature chain."""
     if strategy == "exact":
         from pyspark.sql.window import Window
 
@@ -987,7 +1085,8 @@ def near_dup_clusters(
     if renamed:
         d = d.withColumnRenamed(id_col, internal)
     labels = _strategy_min_labels(
-        d, strategy, threshold, max_hamming, candidates, n_cells, nprobe
+        d, strategy, threshold, max_hamming, candidates, n_cells, nprobe,
+        band_store=band_store,
     )
     out = (
         d.join(labels.withColumnRenamed("node", internal), internal, "left")
@@ -1185,47 +1284,23 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks (estimated Jaccard = matching-minhash fraction ≥ 0.7
     against history; exact-verified pairs intra-batch).
 
-    The store is a content-keyed cached artifact (like the IVF index):
-    built on first call per testdata generation, reused after — so the
-    steady bench number measures the INCREMENT check, which is exactly
-    the cost that recurs in production; history signing is the one-off
-    the store design amortizes away."""
-    import hashlib
-    import os
-    import tempfile
-
+    The store is the SHARED content-keyed full-corpus artifact
+    (``cached_corpus_signature_store``, also ridden by
+    ``q_dup_clusters``): built on first call per testdata generation,
+    reused after — so the steady bench number measures the INCREMENT
+    check, which is exactly the cost that recurs in production;
+    corpus signing is the one-off the store design amortizes away.
+    The history predicate is applied at read time (``history_filter``)
+    so increment docs in the shared store never match themselves."""
     d = _par(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    hist = d.where(F.col("doc_id") % 3 != 0)
     inc = d.where(F.col("doc_id") % 3 == 0)
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
-    store = os.path.join(tempfile.gettempdir(), f"spark_graft_sigstore_{tag}")
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
-        import shutil
-
-        stage = tempfile.mkdtemp(
-            prefix=f"spark_graft_sigstore_{tag}_stage_",
-            dir=tempfile.gettempdir(),
-        )
-        try:
-            write_signature_store(hist, stage)
-            try:
-                os.rename(stage, store)
-            except OSError:
-                # only swallow the failure if a concurrent builder
-                # really did win — otherwise (permissions, EXDEV, a
-                # foreign dir squatting on the path) surface it instead
-                # of silently deleting the freshly built store
-                if not os.path.exists(os.path.join(store, "_SUCCESS")):
-                    raise
-                shutil.rmtree(stage, ignore_errors=True)
-        except BaseException:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
-    out = dedup_incremental(inc, store, update_store=False)
+    store = cached_corpus_signature_store(spark, sf_dir)
+    out = dedup_incremental(
+        inc,
+        store,
+        update_store=False,
+        history_filter=F.col("doc_id") % 3 != 0,
+    )
     return out.agg(
         F.count(F.lit(1)).cast("long").alias("n_increment"),
         F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),

@@ -122,6 +122,18 @@ PINNED_FINGERPRINTS = {
     "corpus_mix": {"exchange": 2, "bhj": 2},
     "q18_large_volume": {"exchange": 1, "bhj": 2},
     "q8_market_share": {"exchange": 2, "bhj": 7},
+    # round-8 pins: the promoted verification queries are now in the
+    # top-10 by bench cost (VERDICT r07 Next #5). corpus_dup_clusters
+    # reads the shared signature store (no signature-chain stages);
+    # fingerprints run against a warm store, which is deterministic
+    # because the store build happens at query-construction time.
+    "corpus_dup_clusters": {"exchange": 5, "smj": 1},
+    "corpus_dedup_incremental": {"exchange": 6, "bhj": 3, "smj": 2},
+    "sim_ivf_recall": {"exchange": 9, "bhj": 1, "smj": 2, "bnlj": 4},
+    # sketch_error_bounds is a chain of 1-row estimate/exact frames —
+    # the bnlj count is the audited 1-row-broadcast family, and the
+    # exchanges are single-row aggregations, not data shuffles
+    "sketch_error_bounds": {"exchange": 36, "bhj": 3, "bnlj": 21},
 }
 
 
