@@ -186,7 +186,8 @@ def main() -> int:
 
 def summary_line(total: float, n_queries: int, n_extra: int, sf: float) -> str:
     """The final, driver-parsed stdout line. MUST stay short (< 300
-    bytes, pinned by tests/test_bench_contract.py) and contain no
+    bytes, pinned by tests/test_bench.py::
+    test_summary_line_is_last_and_short) and contain no
     per-query map — the driver's tail capture keeps only the end of
     stdout, and this line must survive whole."""
     return json.dumps(

@@ -334,6 +334,31 @@ def main(argv: list[str] | None = None) -> int:
         partition_mb=args.max_partition_mb,
         single_file=args.single_file,
     )
+    # validate --attributes BEFORE branching into restore/follow
+    # handling: a malformed spec (or an unsupported mode combination)
+    # must be a usage error everywhere, not silently ignored on the
+    # non-dump paths (ADVICE r07)
+    attributes = None
+    if args.attributes:
+        parts = args.attributes.split(":")
+        if len(parts) != 2 or not all(parts):
+            print("error: --attributes expects ID_COL:TEXT_COL",
+                  file=sys.stderr)
+            return 2
+        if args.restore_from:
+            # restore reads a lake the dump (and its attributes step)
+            # already produced; tagging has nothing to run on here
+            print("error: --attributes is not supported with "
+                  "--restore-from", file=sys.stderr)
+            return 2
+        if args.follow:
+            # the follow pipeline's micro-batches would need per-batch
+            # attribute merging — not implemented; fail loudly instead
+            # of silently dumping without the table the user asked for
+            print("error: --attributes is not supported with --follow",
+                  file=sys.stderr)
+            return 2
+        attributes = (parts[0], parts[1])
     spark = get_spark(master=args.master)
     if args.restore_from:
         # reverse mode: parquet → _bulk into the index (the dump's
@@ -351,21 +376,6 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"restored {n} documents into {args.index}", file=sys.stderr)
         return 0
-    attributes = None
-    if args.attributes:
-        parts = args.attributes.split(":")
-        if len(parts) != 2 or not all(parts):
-            print("error: --attributes expects ID_COL:TEXT_COL",
-                  file=sys.stderr)
-            return 2
-        if args.follow:
-            # the follow pipeline's micro-batches would need per-batch
-            # attribute merging — not implemented; fail loudly instead
-            # of silently dumping without the table the user asked for
-            print("error: --attributes is not supported with --follow",
-                  file=sys.stderr)
-            return 2
-        attributes = (parts[0], parts[1])
     if args.follow:
         return _follow(spark, args)
     result = dump(spark, client_factory, args.index, args.out, scan, sink,

@@ -44,13 +44,15 @@ def export_shards(
     out = df.withColumn(SHARD_COL, shard)
     out.write.partitionBy(SHARD_COL).mode("overwrite").parquet(path)
 
-    # Digest base: integral keys sum/xor directly; anything else (doc
+    # Digest base: INTEGRAL keys sum/xor directly; anything else (doc
     # ids are often strings) goes through xxhash64 first — a straight
     # long cast would turn every string key into NULL and publish a
-    # digest of nothing (ADVICE r06).
+    # digest of nothing (ADVICE r06). Decimals route through xxhash64
+    # too: a fractional or beyond-long-range decimal under cast('long')
+    # reproduces the same silent-NULL digest (ADVICE r07).
     from pyspark.sql import types as T
 
-    if isinstance(df.schema[key_col].dataType, (T.IntegralType, T.DecimalType)):
+    if isinstance(df.schema[key_col].dataType, T.IntegralType):
         key_digest = F.col(key_col).cast("long")
     else:
         key_digest = F.xxhash64(F.col(key_col))

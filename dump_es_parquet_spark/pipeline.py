@@ -106,7 +106,8 @@ def dump(
     build_df = sink.output in DF_OUTPUTS
     result = DumpResult()
 
-    for idx in expand_pattern(client_factory(), index_pattern, scan):
+    indices = expand_pattern(client_factory(), index_pattern, scan)
+    for idx in indices:
         try:
             logger.log(UBER, "Processing index %s", idx)
             eff_scan = scan
@@ -146,7 +147,7 @@ def dump(
                 if attributes:
                     _write_attributes(
                         spark, str(result.indices[idx]), output_path, idx,
-                        sink, attributes,
+                        sink, attributes, all_indices=set(indices),
                     )
             elif sink.output == "stdout":
                 result.indices[idx] = write_stdout(raw)
@@ -172,6 +173,7 @@ def _write_attributes(
     idx: str,
     sink: SinkOptions,
     attributes: tuple[str, str],
+    all_indices: set[str] | None = None,
 ) -> None:
     """Publish the per-document attribute table next to a dumped
     index (see ``dump``'s ``attributes`` parameter).
@@ -205,6 +207,18 @@ def _write_attributes(
     attrs = document_attributes(
         df.select(id_col, text_col), text_col=text_col, id_col=id_col
     )
-    attrs.write.mode("overwrite").parquet(
-        os.path.join(output_path, f"{idx}_attributes")
-    )
+    # a REAL index literally named '<idx>_attributes' matched by the
+    # same pattern would share this path and whichever is processed
+    # last would silently overwrite the other (ADVICE r07) — detect
+    # against the expanded index list and suffix until free
+    attr_name = f"{idx}_attributes"
+    if all_indices and attr_name in all_indices:
+        base = attr_name
+        while attr_name in all_indices:
+            attr_name += "_"
+        logger.warning(
+            "index %s: attributes path <out>/%s collides with index %s "
+            "matched by the same pattern — publishing to <out>/%s instead",
+            idx, base, base, attr_name,
+        )
+    attrs.write.mode("overwrite").parquet(os.path.join(output_path, attr_name))

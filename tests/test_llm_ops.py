@@ -660,6 +660,32 @@ def test_export_shards_string_key_digest(spark, tmp_path):
     assert [s["key_xor"] for s in m3["shards"]] != [s["key_xor"] for s in m1["shards"]]
 
 
+def test_export_shards_decimal_key_digest(spark, tmp_path):
+    """Decimal keys route through xxhash64 like strings (ADVICE r07):
+    a fractional decimal under the old direct cast('long') path yields
+    NULL (or an ANSI cast error) and a digest of nothing. Same data =>
+    identical digests; changed data => xor digest moves."""
+    from decimal import Decimal
+
+    from dump_es_parquet_spark.operators.export import export_shards
+
+    rows = [(Decimal(f"{i}.{i % 10}5"), i) for i in range(40)]
+    d1 = spark.createDataFrame(rows, "k decimal(20,2), n int")
+    m1 = export_shards(d1, str(tmp_path / "a"), 4, key_col="k")
+    for s in m1["shards"]:
+        assert s["key_sum"] is not None and s["key_xor"] is not None
+    m2 = export_shards(
+        spark.createDataFrame(list(reversed(rows)), "k decimal(20,2), n int"),
+        str(tmp_path / "b"), 4, key_col="k",
+    )
+    assert [s["key_xor"] for s in m1["shards"]] == [s["key_xor"] for s in m2["shards"]]
+    d3 = spark.createDataFrame(
+        rows[:39] + [(Decimal("9999.99"), 390)], "k decimal(20,2), n int"
+    )
+    m3 = export_shards(d3, str(tmp_path / "c"), 4, key_col="k")
+    assert [s["key_xor"] for s in m3["shards"]] != [s["key_xor"] for s in m1["shards"]]
+
+
 def test_publish_json_hadoop_fs_roundtrip(spark, tmp_path):
     """fsutil.publish_json goes through the Hadoop FileSystem (so
     object-store URIs work); round-trips via read_json AND plain

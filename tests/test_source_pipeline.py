@@ -765,3 +765,57 @@ def test_cli_attributes_with_follow_is_error(tmp_path):
 
     assert main(["idx", "--follow", "--out", str(tmp_path), "--quiet",
                  "--attributes", "a:b"]) == 2
+
+
+def test_cli_attributes_with_restore_is_error(tmp_path):
+    """--attributes combined with --restore-from must be a usage error
+    (validated BEFORE the restore branch): restore reads an already-
+    tagged lake, so a spec here was previously silently ignored
+    (ADVICE r07) — and a malformed spec must error on this path too."""
+    from dump_es_parquet_spark.cli import main
+
+    assert main(["idx", "--restore-from", str(tmp_path / "lake"),
+                 "--quiet", "--attributes", "a:b"]) == 2
+    assert main(["idx", "--restore-from", str(tmp_path / "lake"),
+                 "--quiet", "--attributes", "justonecol"]) == 2
+
+
+def test_cli_attributes_path_collision_suffixes(spark, tmp_path):
+    """A REAL index literally named '<idx>_attributes' matched by the
+    same pattern previously raced the attributes table for the same
+    output path — whichever was written last silently clobbered the
+    other (ADVICE r07). The attributes table must detect the collision
+    and publish under a suffixed path, leaving the real index's dump
+    intact."""
+    import json
+
+    from dump_es_parquet_spark.cli import main
+
+    docs = [
+        {"did": i, "body": f"the quick document number {i} is a test of "
+                           f"collision handling and it contains words"}
+        for i in range(10)
+    ]
+    fixture = {
+        "corpus": {
+            "mapping": {"did": {"type": "long"}, "body": {"type": "text"}},
+            "docs": docs,
+        },
+        "corpus_attributes": {  # a real index squatting on the path
+            "mapping": {"n": {"type": "integer"}},
+            "docs": [{"n": 1}, {"n": 2}, {"n": 3}],
+        },
+    }
+    fp = tmp_path / "fixture.json"
+    fp.write_text(json.dumps(fixture))
+    rc = main([
+        "*", "--fixture-json", str(fp), "--out", str(tmp_path),
+        "--slices", "1", "--quiet", "--attributes", "did:body",
+    ])
+    assert rc == 0
+    # the real index's dump survived at its own name
+    assert spark.read.parquet(str(tmp_path / "corpus_attributes")).count() == 3
+    # the attributes table landed at the suffixed path
+    attrs = spark.read.parquet(str(tmp_path / "corpus_attributes_"))
+    assert attrs.count() == 10
+    assert "n_tokens" in attrs.columns
