@@ -925,6 +925,7 @@ def dedup_corpus(
     candidates: str = "gemm",
     n_cells: int = 8,
     nprobe: int = 2,
+    band_store: str | None = None,
 ) -> DataFrame:
     """User-facing dedup: returns the corpus with duplicates REMOVED
     (keep the smallest id per duplicate group).
@@ -959,6 +960,12 @@ def dedup_corpus(
     blocks) — long-lived sessions calling dedup repeatedly accumulate
     nothing. The returned frame reads only the corpus and the final
     label checkpoint files.
+
+    ``band_store`` (minhash only): path of a persisted signature store
+    (``write_signature_store`` layout — e.g. the shared
+    ``cached_corpus_signature_store`` artifact) to take band collisions
+    from instead of re-hashing the corpus; identical removal set by
+    construction (same pairs, same verification).
     """
     if strategy == "exact":
         keep = (
@@ -975,7 +982,8 @@ def dedup_corpus(
     if renamed:
         d = d.withColumnRenamed(id_col, internal)
     labels = _strategy_min_labels(
-        d, strategy, threshold, max_hamming, candidates, n_cells, nprobe
+        d, strategy, threshold, max_hamming, candidates, n_cells, nprobe,
+        band_store=band_store,
     )
     dup_ids = labels.filter(F.col("label") != F.col("node")).select(
         F.col("node").alias(internal)
