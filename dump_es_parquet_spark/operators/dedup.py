@@ -514,22 +514,42 @@ def simhash_from_hashes(th, bits: int = SIMHASH_BITS):
     """32-bit SimHash from a pre-computed md5-per-token array column:
     hex digit b of each token's digest votes bit b up/down; hex digit
     ≥ 8 ⟺ ascii(char) ≥ 56 (chars '8','9','a'-'f'). Pure expressions
-    — no explode, no UDF. The folds only read the cached hex strings,
+    — no explode, no UDF. The fold only reads the cached hex strings,
     so each token is hashed exactly once (in the projection that built
-    ``th``), not once per bit."""
+    ``th``), not once per bit.
 
-    def _vote_fn(b):
-        # real closure — default-arg lambdas change the arity Spark
-        # infers for higher-order functions
-        return lambda acc, h: acc + F.when(
-            F.ascii(F.substring(h, b + 1, 1)) >= 56, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(th, F.lit(0), _vote_fn(b))
-        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    return out
+    ONE fold with a ``bits``-wide integer-accumulator array (zip_with
+    per token), not ``bits`` separate ``F.aggregate`` folds: the
+    expression tree is O(1) in ``bits`` instead of O(bits·fold), which
+    halves the measured per-plan cost (codegen compiles one fold) and
+    keeps the same per-token work. Bit-identical output — same votes,
+    same strict ``vote > 0`` tie rule."""
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(bits)),
+                # real closures — default-arg lambdas change the arity
+                # Spark infers for higher-order functions
+                lambda i: F.when(
+                    F.ascii(h.substr(i, F.lit(1))) >= 56, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            weights,
+            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
 
 
 def simhash_col(col="text", bits: int = SIMHASH_BITS):
