@@ -563,6 +563,7 @@ DEMOTED: frozenset[str] = frozenset(
         #     pytest-only sink gap (VERDICT r07 What's missing #3)
         "sink_csv_roundtrip",
         "sink_ndjson_roundtrip",
+        "sink_jsonl_roundtrip",
         # mm_binary_near_dup — binary-payload dedup via the generic
         #     banded hamming join on stub perceptual-hash signatures
         #     (the decode/DCT step is the documented stub slot)
@@ -705,6 +706,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_error_bounds": _mod("profile", "sketch_error_bounds"),
         "sink_csv_roundtrip": _sink("csv_roundtrip_digest"),
         "sink_ndjson_roundtrip": _sink("ndjson_roundtrip_digest"),
+        "sink_jsonl_roundtrip": _sink("jsonl_roundtrip_digest"),
     }
 
 
@@ -2789,6 +2791,18 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(len(tokens)) AS BIGINT) AS token_count_sum,
                CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
         FROM read_json('/tmp/spark_graft_sink_oracle/ndjson_documents/*.json',
+                       format='newline_delimited')
+    """
+
+    # raw jsonl mode: gzip part files decoded directly by DuckDB —
+    # compression + line framing + JSON encoding all second-engine
+    q["sink_jsonl_roundtrip"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               bit_xor(doc_id) AS id_xor,
+               CAST(sum(length(text)) AS BIGINT) AS text_len_sum,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+        FROM read_json('/tmp/spark_graft_sink_oracle/jsonl_documents/*.txt.gz',
                        format='newline_delimited')
     """
 

@@ -300,6 +300,37 @@ def csv_roundtrip_digest(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def jsonl_roundtrip_digest(spark, sf_dir: str) -> DataFrame:
+    """Write documents through the RAW jsonl sink — the schemaless
+    ``[value]`` passthrough mode, gzip-compressed (the reference's
+    intended raw mode, its zstd call being a NameError bug) — then
+    return a 1-row digest of the source columns. The oracle decodes
+    the gzip part files with ``read_json`` directly, so compression,
+    line framing, and JSON encoding are all checked by a second
+    engine."""
+    from dump_es_parquet_spark.operators.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    raw = d.select(
+        F.to_json(
+            F.struct("doc_id", "text", "lang", "source", "n_chars")
+        ).alias("value")
+    )
+    write(
+        raw,
+        SINK_ORACLE_DIR,
+        "jsonl_documents",
+        SinkOptions(output="jsonl", compression="gzip"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.expr("bit_xor(doc_id)").alias("id_xor"),
+        F.sum(F.length("text")).alias("text_len_sum"),
+        F.sum("n_chars").alias("n_chars_sum"),
+    )
+
+
 def ndjson_roundtrip_digest(spark, sf_dir: str) -> DataFrame:
     """Write documents as partitioned ndjson through the real sink
     (``write(output='ndjson')``), then return a 1-row digest of the
