@@ -564,9 +564,10 @@ DEMOTED: frozenset[str] = frozenset(
         "sink_csv_roundtrip",
         "sink_ndjson_roundtrip",
         "sink_jsonl_roundtrip",
-        # mm_binary_near_dup — binary-payload dedup via the generic
-        #     banded hamming join on stub perceptual-hash signatures
-        #     (the decode/DCT step is the documented stub slot)
+        # mm_binary_near_dup — planted-duplicate recovery via the
+        #     generic banded hamming join on REAL pure-numpy dHash
+        #     signatures (brightness-invariant, shift-tolerant; only
+        #     the bytes→pixel decode remains the documented stub slot)
         "mm_binary_near_dup",
     }
 )

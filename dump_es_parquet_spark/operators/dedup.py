@@ -464,6 +464,17 @@ def dedup_incremental(
     path still matches the increment against history only (without it,
     an increment doc present in a shared store would match its own
     signature and be dropped as a history duplicate)."""
+    if update_store and history_filter is not None:
+        # a history_filter means the store is a SHARED artifact (e.g.
+        # cached_corpus_signature_store) read by other queries —
+        # appending increment signatures would duplicate doc_ids in
+        # the cache and corrupt every other rider for the rest of the
+        # generation. Append-on-keep is only safe on a private store.
+        raise ValueError(
+            "update_store=True cannot be combined with history_filter: "
+            "a filtered store is shared — append to a private store, or "
+            "pass update_store=False"
+        )
     spark = new_d.sparkSession
     sig_new = minhash_signatures(new_d, barrier)
     sig_new = barrier(minhash_band_table(sig_new).join(sig_new, "doc_id"))
@@ -541,7 +552,7 @@ def simhash_from_hashes(th, bits: int = SIMHASH_BITS):
             lambda a, b: a + b,
         ),
     )
-    return F.aggregate(
+    out = F.aggregate(
         F.zip_with(
             votes,
             weights,
@@ -550,6 +561,11 @@ def simhash_from_hashes(th, bits: int = SIMHASH_BITS):
         F.lit(0).cast("long"),
         lambda s, x: s + x,
     )
+    # NULL token arrays hashed to 0 in the per-bit-fold form (NULL vote
+    # → otherwise(0) per bit) — keep that contract: null-text docs all
+    # collide at hamming 0 and dedup together instead of silently
+    # escaping the band join as NULL keys
+    return F.coalesce(out, F.lit(0).cast("long"))
 
 
 def simhash_col(col="text", bits: int = SIMHASH_BITS):

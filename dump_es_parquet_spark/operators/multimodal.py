@@ -266,7 +266,11 @@ def binary_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 0) -> D
         "doc_id", F.col("doc_id") + 1_000_000
     )
     d = with_binary_payload(base.unionByName(clones))
-    sigs = phash_signatures(d)
+    # lineage cut: sigs feeds both sides of the banded self-join AND
+    # the planted a/b joins — without the barrier the Arrow-batched
+    # Python dHash would re-run up to 4x per payload (the same
+    # materialize-once pattern dedup's signature builders use)
+    sigs = phash_signatures(d).localCheckpoint(eager=False)
     pairs = hamming_band_pairs(sigs, "phash", bits=64, bands=8,
                                max_hamming=max_hamming)
     a, b = sigs.alias("a"), sigs.alias("b")

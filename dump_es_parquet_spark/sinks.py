@@ -258,9 +258,14 @@ def write_stdout(df: DataFrame, limit: int | None = None) -> int:
 # so any encode loss (quoting, escaping, precision, column drift) breaks
 # the hash instead of hiding behind a same-engine read-back.
 
-#: fixed so the static oracle SQL can glob it; each run overwrites it
-#: before its oracle reads it (Spark-then-oracle per query in the
-#: driver, pytest, and tools/check_correctness alike)
+#: fixed so the static oracle SQL can glob it (DuckDB table functions
+#: take constant paths only — a content-keyed path can't be threaded
+#: into a static string); each run overwrites it before its oracle
+#: reads it, which every harness honors (Spark-then-oracle per query
+#: in the driver, pytest, and tools/check_correctness alike). A
+#: concurrent run at a different scale factor racing the window
+#: between write and oracle-read fails LOUDLY (row-count/digest
+#: mismatch), never silently passes — the digests are sf-dependent.
 SINK_ORACLE_DIR = "/tmp/spark_graft_sink_oracle"
 
 

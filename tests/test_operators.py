@@ -191,6 +191,22 @@ def test_dedup_corpus_simhash(spark):
     assert persisted_ids() - before == set()
 
 
+def test_simhash_null_text_hashes_to_zero(spark):
+    """NULL-text docs must hash to 0 (the pre-round-8 per-bit-fold
+    contract): all null docs collide at hamming 0 and dedup together.
+    The single-fold rewrite initially propagated NULL instead, which
+    would let every null-text doc silently escape the band join."""
+    from dump_es_parquet_spark.operators.dedup import simhash_col
+
+    d = spark.createDataFrame(
+        [(1, None), (2, "hello world tokens here"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.s for r in d.select("doc_id", simhash_col().alias("s")).collect()}
+    assert got[1] == 0 and got[3] == 0
+    assert got[2] not in (None, 0)
+
+
 def test_dedup_corpus_ngram(spark):
     """ngram strategy: removal set == union-find collapse of the exact
     prefix-filtered Jaccard pairs; block manager left clean."""
