@@ -238,6 +238,39 @@ def phash_signatures(d: DataFrame) -> DataFrame:
     return d.mapInPandas(_sig, "doc_id long, phash long")
 
 
+def binary_dup_clusters(
+    d: DataFrame,
+    max_hamming: int = 0,
+    bits: int = 64,
+    bands: int = 8,
+) -> DataFrame:
+    """Duplicate-cluster mapping for BINARY payloads: ``(doc_id,
+    cluster_id)`` for every row of ``d`` (columns ``doc_id, payload``),
+    where ``cluster_id`` is the component minimum over the verified
+    dHash-hamming pair graph — the multimodal counterpart of
+    ``dedup.near_dup_clusters`` (same transitive min-label machinery,
+    same singleton self-labeling), so an image/audio corpus gets the
+    same audit/canonicalization surface as text. Pigeonhole: with
+    ``bands`` bands any pair within ``max_hamming ≤ bands-1`` is
+    found; pairs are exact-hamming verified inside the join."""
+    from dump_es_parquet_spark.operators.dedup import (
+        _component_min_labels,
+        hamming_band_pairs,
+    )
+
+    sigs = phash_signatures(d).localCheckpoint(eager=False)
+    pairs = hamming_band_pairs(
+        sigs, "phash", bits=bits, bands=bands, max_hamming=max_hamming
+    ).select("id_a", "id_b")
+    labels = _component_min_labels(pairs)
+    return d.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+    )
+
+
 def binary_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 0) -> DataFrame:
     """Query form (oracle-checked): planted-duplicate recovery over
     BINARY payloads — real dHash signatures (``phash_signatures``) fed

@@ -853,6 +853,29 @@ def test_dhash_perceptual_invariances():
     assert isinstance(dhash_signature(b"xy"), int)
 
 
+def test_binary_dup_clusters_maps_components(spark):
+    """binary_dup_clusters: every payload gets a cluster_id — clones
+    collapse onto the smallest member id transitively, unrelated
+    payloads stay singletons labeled by themselves (the multimodal
+    counterpart of near_dup_clusters)."""
+    from dump_es_parquet_spark.operators.multimodal import binary_dup_clusters
+
+    base = bytes((37 * i * i + 11 * i) % 199 for i in range(7200))
+    other = bytes((131 * i + 17) % 251 for i in range(7200))
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(base)),          # clone of 1
+        (3, bytearray(other)),         # unrelated singleton
+        (4, bytearray(base)),          # second clone → same component
+        (5, bytearray(bytes(b + 20 for b in base))),  # brightness shift
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.cluster_id
+           for r in binary_dup_clusters(d, max_hamming=0).collect()}
+    # brightness invariance ⇒ doc 5 joins the base component too
+    assert got == {1: 1, 2: 1, 3: 3, 4: 1, 5: 1}
+
+
 def test_hamming_band_pairs_generic_signatures(spark):
     """The generic banded hamming join (factored out of simhash) finds
     every pair within max_hamming over an arbitrary signature frame —
