@@ -166,12 +166,27 @@ def _hyperplanes() -> list[list[float]]:
 
 def hyperplane_bucket(v: Column) -> Column:
     """8-bit random-hyperplane signature: bit j = (v · w_j >= 0).
-    Sequential fold dot products — engine-portable."""
-    out = F.lit(0)
-    for j, w in enumerate(_hyperplanes()):
-        wcol = F.array(*[F.lit(x) for x in w])
-        out = out + F.when(dot(v, wcol) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return out
+    Sequential fold dot products — engine-portable.
+
+    ONE fold over a (planes × weights) zip instead of 8 separate dot
+    folds summed in the tree: the dot expression appears once and is
+    evaluated per plane at runtime, so codegen compiles one fold —
+    the 8-fold form's first-run cost was dominated by compiling 8
+    copies of the dot subtree (same fix as dedup.simhash_from_hashes).
+    Bit-identical: same planes, same ``>= 0`` rule, same int type."""
+    planes = F.array(
+        *[F.array(*[F.lit(x) for x in w]) for w in _hyperplanes()]
+    )
+    weights = F.array(*[F.lit(1 << j) for j in range(HP_PLANES)])
+    return F.aggregate(
+        F.zip_with(
+            planes,
+            weights,
+            lambda w, pw: F.when(dot(v, w) >= 0, pw).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda s, x: s + x,
+    )
 
 
 def ann_hyperplane_lsh(
