@@ -107,12 +107,16 @@ def _ivf_index_path(spark, sf_dir):
     """Build-once cache of the materialized IVF index (a deterministic
     artifact: same seeds, same Lloyd update — so every caller gets the
     identical index). v2 = lists carry the SQ8 columns alongside the
-    flat vectors."""
+    flat vectors; v3 = + PQ codes and codebooks (ann_ivf_indexed_pq)."""
     import hashlib
     import os
     import tempfile
 
-    from dump_es_parquet_spark.operators.similarity import write_ivf_index
+    from dump_es_parquet_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_M,
+        write_ivf_index,
+    )
 
     # key the cached artifact on the source file's identity AND content
     # fingerprint (mtime+size): the test harness regenerates the
@@ -124,7 +128,7 @@ def _ivf_index_path(spark, sf_dir):
         f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
     tmp_root = tempfile.gettempdir()
-    path = os.path.join(tmp_root, f"spark_graft_ivf_v2_{tag}")
+    path = os.path.join(tmp_root, f"spark_graft_ivf_v3_m{PQ_M}x{PQ_CODES}_{tag}")
     # centroids are written last — their _SUCCESS marks a complete index
     if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
         # build in a unique staging dir, then atomically rename into
@@ -135,7 +139,7 @@ def _ivf_index_path(spark, sf_dir):
         # race just discards its staging copy.
         import shutil
 
-        stage = tempfile.mkdtemp(prefix=f"spark_graft_ivf_v2_{tag}_stage_",
+        stage = tempfile.mkdtemp(prefix=f"spark_graft_ivf_v3_m{PQ_M}x{PQ_CODES}_{tag}_stage_",
                                  dir=tmp_root)
         try:
             write_ivf_index(spark, sf_dir, stage)
@@ -161,8 +165,8 @@ def _ivf_index_path(spark, sf_dir):
         for d in os.listdir(tmp_root):
             p = os.path.join(tmp_root, d)
             if (
-                d.startswith(("spark_graft_ivf_v1_", "spark_graft_ivf_v2_"))
-                and d != f"spark_graft_ivf_v2_{tag}"
+                d.startswith(("spark_graft_ivf_v1_", "spark_graft_ivf_v2_", "spark_graft_ivf_v3_"))
+                and d != f"spark_graft_ivf_v3_m{PQ_M}x{PQ_CODES}_{tag}"
                 and os.path.isdir(p)
             ):
                 try:
@@ -194,6 +198,17 @@ def q_sim_ann_ivf_sq8(spark, sf_dir):
     from dump_es_parquet_spark.operators.similarity import ann_ivf_indexed_sq8
 
     return ann_ivf_indexed_sq8(spark, sf_dir, _ivf_index_path(spark, sf_dir))
+
+
+def q_sim_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ serving: ADC (asymmetric-distance) approximate pass over
+    the m=8 product-quantization codes (~16× less list I/O than flat),
+    exact rescore of the top k·24 candidates from the same pruned
+    partitions. Identical answer to the flat path, so it shares its
+    oracle — the fourth physical plan over one materialized index."""
+    from dump_es_parquet_spark.operators.similarity import ann_ivf_indexed_pq
+
+    return ann_ivf_indexed_pq(spark, sf_dir, _ivf_index_path(spark, sf_dir))
 
 
 def q_dup_clusters(spark, sf_dir):
@@ -443,6 +458,11 @@ def _stream_batch_equiv(spark, sf_dir):
 #   sim_ann_ivf_sq8       — IVF-SQ8 serving (int8 approximate pass +
 #                           exact rescore); same answer as the flat
 #                           serving path, same oracle
+#   sim_ann_ivf_pq        — IVF-PQ serving (round 8): ADC over m=8
+#                           product-quantization codes (~16× less list
+#                           I/O), exact rescore sized to recover the
+#                           flat answer; same oracle, fourth physical
+#                           plan over the one materialized index
 #   text_vocab            — vocabulary heavy hitters (map-side-combined
 #                           token counts, TakeOrdered top-k)
 #   corpus_triplets       — contrastive (anchor, positive, negative)
@@ -477,6 +497,7 @@ def _stream_batch_equiv(spark, sf_dir):
 DEMOTED: frozenset[str] = frozenset(
     {
         "sim_ann_ivf_sq8",
+        "sim_ann_ivf_pq",
         "text_vocab",
         "corpus_triplets",
         "corpus_decontaminate",
@@ -602,6 +623,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": _mod("similarity", "ann_ivf"),
         "sim_ann_ivf_indexed": q_sim_ann_ivf_indexed,
         "sim_ann_ivf_sq8": q_sim_ann_ivf_sq8,
+        "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
         "sim_topk_batch": _mod("similarity", "topk_batch"),
         "sim_label_centroids": _mod("similarity", "label_centroids"),
         "grouped_robust_stats": _mod("grouped", "robust_stats"),
@@ -2142,6 +2164,10 @@ def _all_oracle_sql() -> dict[str, str]:
     # the SQ8 serving path rescores to the exact flat answer — one
     # oracle, three physical plans
     q["sim_ann_ivf_sq8"] = q["sim_ann_ivf"]
+    # ... and the PQ serving path too (ADC approximate pass + exact
+    # rescore sized to recover the flat answer) — one oracle, FOUR
+    # physical plans over the same materialized index
+    q["sim_ann_ivf_pq"] = q["sim_ann_ivf"]
 
     q["corpus_packing"] = r"""
         WITH toks AS (

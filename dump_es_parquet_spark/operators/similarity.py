@@ -354,6 +354,86 @@ def ann_ivf(
     )
 
 
+PQ_M = 8  # product-quantization subspaces
+PQ_CODES = 16  # codebook entries per subspace (one int code each)
+
+
+def pq_codebooks_for(
+    e: DataFrame, m: int = PQ_M, kcodes: int = PQ_CODES
+) -> DataFrame:
+    """Product-quantization codebooks ``(sub, code, cv)``: the
+    embedding space splits into ``m`` contiguous subspaces and each
+    gets its own ``kcodes``-entry quantizer, trained with the SAME
+    deterministic Lloyd as the coarse quantizer (md5-seeded, one
+    update, decimal-exact means — ``ivf_centroids_for`` on the sliced
+    subvectors), so the whole PQ artifact is reproducible without RNG.
+    ``m`` is a small constant: the Python loop unions ``m`` bounded
+    plans, it does not scale with the corpus."""
+    dim = e.select(F.size("embedding")).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    out = None
+    for sub in range(m):
+        sv = e.select(
+            "vec_id",
+            F.slice("embedding", sub * dsub + 1, dsub).alias("embedding"),
+        )
+        cb = ivf_centroids_for(sv, kcodes).select(
+            F.lit(sub).alias("sub"), F.col("cid").alias("code"), "cv"
+        )
+        out = cb if out is None else out.unionByName(cb)
+    return out
+
+
+def pq_encode(vecs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Append ``pq_codes`` (array<int>, one code per subspace) to any
+    ``(vec_id, embedding, ...)`` frame: per subspace, the argmin over
+    the broadcast codebook (``min_by`` partial-agg — the same
+    map-side-combining shape as ``_ivf_assign``; only n·m combined
+    rows reach the shuffle, never the n·m·kcodes expansion). The
+    subspace slice derives its offsets from ``size(cv)``, so no dim
+    constant is threaded through."""
+    m = codebooks.agg(F.max("sub")).first()[0] + 1
+    sv = (
+        vecs.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            "embedding",
+        )
+        .join(F.broadcast(codebooks), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            "code",
+            (
+                F.lit(-2.0)
+                * dot(
+                    F.slice(
+                        "embedding",
+                        F.col("sub") * F.size("cv") + F.lit(1),
+                        F.size("cv"),
+                    ),
+                    F.col("cv"),
+                )
+                + dot(F.col("cv"), F.col("cv"))
+            ).alias("dist"),
+        )
+    )
+    codes = (
+        sv.groupBy("vec_id", "sub")
+        .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("pq_codes")
+        )
+    )
+    return vecs.join(codes, "vec_id")
+
+
 def write_ivf_index(
     spark: SparkSession, sf_dir: str, path: str, n_cells: int = IVF_CELLS
 ) -> None:
@@ -364,21 +444,29 @@ def write_ivf_index(
     fraction survives 100 TB (cf. ``ann_ivf`` docstring).
 
     The lists also carry the SQ8 columns (``q_scale``, ``q_codes`` as
-    int8, ``norm``) next to the flat vectors, so the same artifact
-    serves both the flat path (``ann_ivf_indexed``) and the quantized
-    path (``ann_ivf_indexed_sq8``) — parquet column pruning means each
-    path reads only its own columns."""
+    int8, ``norm``) AND the PQ codes (``pq_codes``, ``m`` small ints)
+    next to the flat vectors, so the same artifact serves the flat
+    path (``ann_ivf_indexed``), the scalar-quantized path
+    (``ann_ivf_indexed_sq8``), and the product-quantized path
+    (``ann_ivf_indexed_pq``) — parquet column pruning means each path
+    reads only its own columns. PQ codebooks are written alongside the
+    centroids (both quantizers are frozen artifacts of the index)."""
     from dump_es_parquet_spark.operators.embedding_ops import quantize_int8
 
     e = load(spark, sf_dir, "embeddings")
     cents = ivf_centroids(spark, sf_dir, n_cells)
-    lists = quantize_int8(_ivf_assign(e, cents)).withColumns(
-        {
-            "q_codes": F.transform("q_codes", lambda c: c.cast("byte")),
-            "norm": F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
-        }
+    codebooks = pq_codebooks_for(e)
+    lists = pq_encode(
+        quantize_int8(_ivf_assign(e, cents)).withColumns(
+            {
+                "q_codes": F.transform("q_codes", lambda c: c.cast("byte")),
+                "norm": F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
+            }
+        ),
+        codebooks,
     )
     lists.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -390,26 +478,31 @@ def append_to_ivf_index(new_vecs: DataFrame, path: str) -> None:
     This is how a serving index absorbs a day's crawl between
     retrains (FAISS ``add`` against a frozen quantizer, lake-shaped).
 
-    Operational contract: the quantizer is FROZEN, so sustained
-    appends drift cell balance — watch ``ivf_index_stats`` and rebuild
-    with ``write_ivf_index`` when the imbalance ratio degrades the
-    nprobe scan fraction. Duplicate vec_ids are the caller's problem
-    (run ``dedup_incremental`` first in a curation pipeline)."""
+    Operational contract: BOTH quantizers (coarse cells and PQ
+    codebooks) are FROZEN, so sustained appends drift cell balance —
+    watch ``ivf_index_stats`` and rebuild with ``write_ivf_index``
+    when the imbalance ratio degrades the nprobe scan fraction.
+    Duplicate vec_ids are the caller's problem (run
+    ``dedup_incremental`` first in a curation pipeline)."""
     from dump_es_parquet_spark.operators.embedding_ops import quantize_int8
 
     spark = new_vecs.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
+    codebooks = spark.read.parquet(f"{path}/codebooks")
     # conform to the index's stored vector type (e.g. array<float>
     # corpora) — parquet append is schema-strict per column
     stored_t = spark.read.parquet(f"{path}/lists").schema["embedding"].dataType
     conformed = new_vecs.select(
         "vec_id", F.col("embedding").cast(stored_t).alias("embedding")
     )
-    lists = quantize_int8(_ivf_assign(conformed, cents)).withColumns(
-        {
-            "q_codes": F.transform("q_codes", lambda c: c.cast("byte")),
-            "norm": F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
-        }
+    lists = pq_encode(
+        quantize_int8(_ivf_assign(conformed, cents)).withColumns(
+            {
+                "q_codes": F.transform("q_codes", lambda c: c.cast("byte")),
+                "norm": F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
+            }
+        ),
+        codebooks,
     )
     lists.write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
 
@@ -538,6 +631,115 @@ def ann_ivf_indexed_sq8(
                 * dot(F.col("q_codes"), F.col("qv"))
                 / (F.col("norm") * l2norm(F.col("qv")))
             ).alias("approx_sim"),
+        )
+        .orderBy(F.col("approx_sim").desc(), F.col("vec_id").asc())
+        .limit(k * rescore_factor)
+    )
+    # bounded collect: k·rescore_factor candidate ids → literal filter
+    # for the exact re-read (same class as the nprobe probe collect)
+    cand = [r.vec_id for r in approx.collect()]
+    return (
+        lists.filter(F.col("vec_id").isin(cand))
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").cast("int").alias("cell"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def ann_ivf_indexed_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    rescore_factor: int = 24,
+) -> DataFrame:
+    """Serve IVF top-k from the PRODUCT-QUANTIZED codes of the
+    materialized index — the FAISS IVF-PQ shape, the deepest rung of
+    the compression ladder (flat 8·d bytes → SQ8 d bytes → PQ ``m``
+    small ints): at the default m=8 on d=64 the approximate pass reads
+    ~16× less list data than the flat vectors.
+
+    1. approximate pass (ADC — asymmetric distance computation): each
+       candidate's ``v·q`` is reconstructed as Σ_sub ``cb[sub,
+       code_sub] · q_sub`` — one posexplode of the ``m`` codes, a
+       broadcast join against the (m·kcodes)-row codebook, partial-agg
+       re-sum per candidate. Only ``pq_codes``+``norm`` are read from
+       the probed cells (parquet column pruning); approx cosine =
+       reconstructed dot / (norm·|q|). Keep the top
+       ``k·rescore_factor``.
+    2. exact pass: re-read just those candidates' flat vectors from
+       the same probed partitions and rank by exact cosine.
+
+    PQ reconstruction error is far coarser than SQ8 (16 centroids per
+    8-dim subspace vs per-element scalar codes), hence the larger
+    default ``rescore_factor`` — sized for the WORST case, this
+    synthetic near-uniform corpus whose true neighbors sit 0.001
+    cosine apart (measured: rf=24 makes the result identical to
+    ``ann_ivf_indexed`` at all three test scale factors, pinned by
+    test and by sharing its oracle; rf=8 already matched at the
+    smaller ones). Real embedding corpora with genuine neighbor
+    structure separate candidates by far larger margins and serve
+    exactly at rf 4-8 — the dial trades rescore I/O for ordering
+    robustness on the same plan."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(f"{path}/centroids")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == query_id).select(F.col("embedding").alias("qv"))
+    )
+    probe_rows = (
+        cents.crossJoin(qv)
+        .orderBy(
+            (
+                F.lit(-2.0) * dot(F.col("qv"), F.col("cv"))
+                + dot(F.col("cv"), F.col("cv"))
+            ).asc(),
+            F.col("cid").asc(),
+        )
+        .limit(nprobe)
+        .select("cid")
+        .collect()
+    )
+    probed = [r.cid for r in probe_rows]
+    lists = spark.read.parquet(f"{path}/lists").filter(F.col("cid").isin(probed))
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    parts = (
+        lists.select(
+            "vec_id", "norm", F.posexplode("pq_codes").alias("sub", "code")
+        )
+        .filter(F.col("vec_id") != query_id)
+        .join(F.broadcast(codebooks), ["sub", "code"])
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            "norm",
+            dot(
+                F.col("cv"),
+                F.slice(
+                    "qv", F.col("sub") * F.size("cv") + F.lit(1), F.size("cv")
+                ),
+            ).alias("part"),
+        )
+    )
+    approx = (
+        parts.groupBy("vec_id")
+        .agg(
+            F.sum("part").alias("vq"),
+            F.min("norm").alias("norm"),
+        )
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            (F.col("vq") / (F.col("norm") * l2norm(F.col("qv")))).alias(
+                "approx_sim"
+            ),
         )
         .orderBy(F.col("approx_sim").desc(), F.col("vec_id").asc())
         .limit(k * rescore_factor)

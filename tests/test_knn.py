@@ -69,6 +69,44 @@ def test_knn_graph_every_node_has_k(spark):
     assert len(counts) == 40 and all(r.n == 3 for r in counts)
 
 
+def test_ivf_pq_serving_matches_flat_path(spark, sf_dir, tmp_path):
+    """IVF-PQ serving (ADC over m=8 product-quantization codes + exact
+    rescore at the default rescore_factor) returns the IDENTICAL top-k
+    to the flat serving path on this corpus — the same contract
+    SQ8 serving is pinned to — and the PQ artifact is deterministic:
+    a rebuilt index yields byte-identical codebooks and codes."""
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.similarity import (
+        ann_ivf_indexed,
+        ann_ivf_indexed_pq,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(spark, sf_dir, path)
+    flat = [(r.vec_id, r.cos_sim) for r in
+            ann_ivf_indexed(spark, sf_dir, path, query_id=0, k=10).collect()]
+    pq = [(r.vec_id, r.cos_sim) for r in
+          ann_ivf_indexed_pq(spark, sf_dir, path, query_id=0, k=10).collect()]
+    assert pq == flat
+
+    # determinism: a second build produces identical codebooks + codes
+    path2 = str(tmp_path / "ivf2")
+    write_ivf_index(spark, sf_dir, path2)
+    cb1 = sorted(map(tuple, spark.read.parquet(f"{path}/codebooks").collect()))
+    cb2 = sorted(map(tuple, spark.read.parquet(f"{path2}/codebooks").collect()))
+    assert cb1 == cb2
+    codes1 = {r.vec_id: r.pq_codes for r in
+              spark.read.parquet(f"{path}/lists").select("vec_id", "pq_codes").collect()}
+    codes2 = {r.vec_id: r.pq_codes for r in
+              spark.read.parquet(f"{path2}/lists").select("vec_id", "pq_codes").collect()}
+    assert codes1 == codes2
+    # every vector carries exactly m codes within the codebook range
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c)
+               for c in codes1.values())
+
+
 def test_append_to_ivf_index_serves_new_vectors(spark, sf_dir, tmp_path):
     """Incremental IVF maintenance: appended vectors are discoverable
     by the indexed serving path without a retrain, and pre-existing

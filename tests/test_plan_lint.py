@@ -24,6 +24,7 @@ BNLJ_ALLOWED = frozenset(
         "sim_ann_hyperplane",
         "sim_ann_ivf_indexed",
         "sim_ann_ivf_sq8",
+        "sim_ann_ivf_pq",  # same 1-row query-vector broadcast family
         "sim_ann_ivf",
         "sim_topk_batch",
         "sim_topk_bruteforce",
