@@ -107,74 +107,32 @@ def _ivf_index_path(spark, sf_dir):
     """Build-once cache of the materialized IVF index (a deterministic
     artifact: same seeds, same Lloyd update — so every caller gets the
     identical index). v2 = lists carry the SQ8 columns alongside the
-    flat vectors; v3 = + PQ codes and codebooks (ann_ivf_indexed_pq)."""
-    import hashlib
+    flat vectors; v3 = + PQ codes and codebooks (ann_ivf_indexed_pq).
+    The cache name embeds the quantizer params so a param change can
+    never serve a stale artifact; lifecycle (content key, staged build
+    + atomic rename, race adjudication, stale pruning) is the shared
+    ``dump_es_parquet_spark.artifacts`` machinery."""
     import os
-    import tempfile
 
+    from dump_es_parquet_spark.artifacts import cached_artifact, content_tag
     from dump_es_parquet_spark.operators.similarity import (
         PQ_CODES,
         PQ_M,
         write_ivf_index,
     )
 
-    # key the cached artifact on the source file's identity AND content
-    # fingerprint (mtime+size): the test harness regenerates the
-    # testdata between rounds, and a stale index would serve answers
-    # from the previous generation's vectors.
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
-    tmp_root = tempfile.gettempdir()
-    path = os.path.join(tmp_root, f"spark_graft_ivf_v3_m{PQ_M}x{PQ_CODES}_{tag}")
+    tag = content_tag(os.path.join(sf_dir, "embeddings.parquet"))
     # centroids are written last — their _SUCCESS marks a complete index
-    if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
-        # build in a unique staging dir, then atomically rename into
-        # place: two concurrent sessions that both saw a missing index
-        # would otherwise interleave mode('overwrite') writes into the
-        # SAME directory and serve a torn index. rename() makes readers
-        # see either nothing or a complete artifact; the loser of the
-        # race just discards its staging copy.
-        import shutil
-
-        stage = tempfile.mkdtemp(prefix=f"spark_graft_ivf_v3_m{PQ_M}x{PQ_CODES}_{tag}_stage_",
-                                 dir=tmp_root)
-        try:
-            write_ivf_index(spark, sf_dir, stage)
-            try:
-                os.rename(stage, path)
-            except OSError:
-                # only swallow if a concurrent builder really won the
-                # race; any other rename failure must surface
-                if not os.path.exists(
-                    os.path.join(path, "centroids", "_SUCCESS")
-                ):
-                    raise
-                shutil.rmtree(stage, ignore_errors=True)
-        except BaseException:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
-        # drop stale generations (regenerated testdata leaves old
-        # index dirs behind) — but only dirs idle >1 day, so
-        # concurrently-live indexes for OTHER sf_dirs survive
-        import time
-
-        cutoff = time.time() - 86400
-        for d in os.listdir(tmp_root):
-            p = os.path.join(tmp_root, d)
-            if (
-                d.startswith(("spark_graft_ivf_v1_", "spark_graft_ivf_v2_", "spark_graft_ivf_v3_"))
-                and d != f"spark_graft_ivf_v3_m{PQ_M}x{PQ_CODES}_{tag}"
-                and os.path.isdir(p)
-            ):
-                try:
-                    if os.stat(p).st_mtime < cutoff:
-                        shutil.rmtree(p, ignore_errors=True)
-                except OSError:
-                    pass
-    return path
+    return cached_artifact(
+        f"spark_graft_ivf_v3_m{PQ_M}x{PQ_CODES}_{tag}",
+        os.path.join("centroids", "_SUCCESS"),
+        lambda stage: write_ivf_index(spark, sf_dir, stage),
+        stale_prefixes=(
+            "spark_graft_ivf_v1_",
+            "spark_graft_ivf_v2_",
+            "spark_graft_ivf_v3_",
+        ),
+    )
 
 
 def q_sim_ann_ivf_indexed(spark, sf_dir):

@@ -395,43 +395,27 @@ def cached_corpus_signature_store(spark: SparkSession, sf_dir: str) -> str:
     this is the production artifact: sign once at ingest, every
     downstream dedup/cluster/contamination pass joins the store.
 
-    Concurrency: staged build + atomic rename; a lost rename race is
-    swallowed only after verifying the winner's ``_SUCCESS``."""
-    import hashlib
+    Concurrency/staleness: the shared build-once lifecycle in
+    :mod:`dump_es_parquet_spark.artifacts` (content-keyed name, staged
+    build + atomic rename, winner-marker race adjudication)."""
     import os
-    import shutil
-    import tempfile
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    from dump_es_parquet_spark.artifacts import cached_artifact, content_tag
+
+    tag = content_tag(os.path.join(sf_dir, "documents.parquet"))
+
+    def _build(stage: str) -> None:
+        d = _par(load(spark, sf_dir, "documents").select("doc_id", "text"))
+        write_signature_store(d, stage)
+
     # 'full' in the name: pre-round-8 stores at the unsuffixed path
     # held history docs only and must not be picked up here
-    store = os.path.join(tempfile.gettempdir(), f"spark_graft_sigstore_full_{tag}")
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
-        d = _par(load(spark, sf_dir, "documents").select("doc_id", "text"))
-        stage = tempfile.mkdtemp(
-            prefix=f"spark_graft_sigstore_full_{tag}_stage_",
-            dir=tempfile.gettempdir(),
-        )
-        try:
-            write_signature_store(d, stage)
-            try:
-                os.rename(stage, store)
-            except OSError:
-                # only swallow the failure if a concurrent builder
-                # really did win — otherwise (permissions, EXDEV, a
-                # foreign dir squatting on the path) surface it instead
-                # of silently deleting the freshly built store
-                if not os.path.exists(os.path.join(store, "_SUCCESS")):
-                    raise
-                shutil.rmtree(stage, ignore_errors=True)
-        except BaseException:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
-    return store
+    return cached_artifact(
+        f"spark_graft_sigstore_full_{tag}",
+        "_SUCCESS",
+        _build,
+        stale_prefixes=("spark_graft_sigstore_",),
+    )
 
 
 def dedup_incremental(

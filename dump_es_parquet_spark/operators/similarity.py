@@ -540,6 +540,16 @@ def ann_ivf_indexed(
     ids are a bounded driver-side collect (nprobe rows — same class as
     TakeOrdered's driver merge) inlined as a literal partition filter,
     so the parquet source statically prunes to the probed cells."""
+    qv, lists = _probed_lists(spark, sf_dir, path, query_id, nprobe)
+    return _exact_rank(lists.filter(F.col("vec_id") != query_id), qv, k)
+
+
+def _probed_lists(spark, sf_dir, path, query_id, nprobe):
+    """Shared serving front end for all indexed paths (flat/SQ8/PQ):
+    broadcast the query vector, collect the nprobe nearest cell ids
+    (bounded driver-side collect — same class as TakeOrdered's driver
+    merge), and return the inverted lists statically pruned to those
+    cells."""
     e = load(spark, sf_dir, "embeddings")
     cents = spark.read.parquet(f"{path}/centroids")
     qv = F.broadcast(
@@ -560,9 +570,16 @@ def ann_ivf_indexed(
     )
     probed = [r.cid for r in probe_rows]
     lists = spark.read.parquet(f"{path}/lists").filter(F.col("cid").isin(probed))
+    return qv, lists
+
+
+def _exact_rank(cands: DataFrame, qv: DataFrame, k: int) -> DataFrame:
+    """Shared exact tail: rank candidate list rows by exact cosine
+    against the broadcast query vector — the final pass of every
+    indexed serving path (the quantized paths feed it their rescore
+    candidates; the flat path feeds it the whole probed lists)."""
     return (
-        lists.crossJoin(qv)
-        .filter(F.col("vec_id") != query_id)
+        cands.crossJoin(qv)
         .select(
             "vec_id",
             "label",
@@ -600,26 +617,7 @@ def ann_ivf_indexed_sq8(
     ordering jitter (max quantization error per element is scale/2 ≈
     0.4% of the max coordinate), so the result is identical to
     ``ann_ivf_indexed`` — pinned by test and by sharing its oracle."""
-    e = load(spark, sf_dir, "embeddings")
-    cents = spark.read.parquet(f"{path}/centroids")
-    qv = F.broadcast(
-        e.filter(F.col("vec_id") == query_id).select(F.col("embedding").alias("qv"))
-    )
-    probe_rows = (
-        cents.crossJoin(qv)
-        .orderBy(
-            (
-                F.lit(-2.0) * dot(F.col("qv"), F.col("cv"))
-                + dot(F.col("cv"), F.col("cv"))
-            ).asc(),
-            F.col("cid").asc(),
-        )
-        .limit(nprobe)
-        .select("cid")
-        .collect()
-    )
-    probed = [r.cid for r in probe_rows]
-    lists = spark.read.parquet(f"{path}/lists").filter(F.col("cid").isin(probed))
+    qv, lists = _probed_lists(spark, sf_dir, path, query_id, nprobe)
     approx = (
         lists.select("vec_id", "q_scale", "q_codes", "norm")
         .crossJoin(qv)
@@ -638,18 +636,7 @@ def ann_ivf_indexed_sq8(
     # bounded collect: k·rescore_factor candidate ids → literal filter
     # for the exact re-read (same class as the nprobe probe collect)
     cand = [r.vec_id for r in approx.collect()]
-    return (
-        lists.filter(F.col("vec_id").isin(cand))
-        .crossJoin(qv)
-        .select(
-            "vec_id",
-            "label",
-            F.col("cid").cast("int").alias("cell"),
-            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    return _exact_rank(lists.filter(F.col("vec_id").isin(cand)), qv, k)
 
 
 def ann_ivf_indexed_pq(
@@ -689,26 +676,7 @@ def ann_ivf_indexed_pq(
     structure separate candidates by far larger margins and serve
     exactly at rf 4-8 — the dial trades rescore I/O for ordering
     robustness on the same plan."""
-    e = load(spark, sf_dir, "embeddings")
-    cents = spark.read.parquet(f"{path}/centroids")
-    qv = F.broadcast(
-        e.filter(F.col("vec_id") == query_id).select(F.col("embedding").alias("qv"))
-    )
-    probe_rows = (
-        cents.crossJoin(qv)
-        .orderBy(
-            (
-                F.lit(-2.0) * dot(F.col("qv"), F.col("cv"))
-                + dot(F.col("cv"), F.col("cv"))
-            ).asc(),
-            F.col("cid").asc(),
-        )
-        .limit(nprobe)
-        .select("cid")
-        .collect()
-    )
-    probed = [r.cid for r in probe_rows]
-    lists = spark.read.parquet(f"{path}/lists").filter(F.col("cid").isin(probed))
+    qv, lists = _probed_lists(spark, sf_dir, path, query_id, nprobe)
     codebooks = spark.read.parquet(f"{path}/codebooks")
     parts = (
         lists.select(
@@ -747,18 +715,7 @@ def ann_ivf_indexed_pq(
     # bounded collect: k·rescore_factor candidate ids → literal filter
     # for the exact re-read (same class as the nprobe probe collect)
     cand = [r.vec_id for r in approx.collect()]
-    return (
-        lists.filter(F.col("vec_id").isin(cand))
-        .crossJoin(qv)
-        .select(
-            "vec_id",
-            "label",
-            F.col("cid").cast("int").alias("cell"),
-            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    return _exact_rank(lists.filter(F.col("vec_id").isin(cand)), qv, k)
 
 
 def ann_ivf_indexed_batch(

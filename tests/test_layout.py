@@ -112,3 +112,52 @@ def test_compact_files(spark, sf_dir, tmp_path):
     assert spans  # stats exist; single file spans whole domain, but sorted
     first = spark.read.parquet(out2).limit(1).first()
     assert first.user_id == spark.read.parquet(frag).agg(F.min("user_id")).first()[0]
+
+
+def test_cached_artifact_lifecycle(tmp_path, monkeypatch):
+    """The shared build-once cache (artifacts.cached_artifact): builds
+    when the marker is missing, skips when present, surfaces a rename
+    failure when no winner exists, and prunes only idle stale
+    generations matching the caller's prefixes."""
+    import os
+    import time
+
+    import dump_es_parquet_spark.artifacts as A
+
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    calls = []
+
+    def build(stage):
+        calls.append(stage)
+        os.makedirs(os.path.join(stage, "sub"), exist_ok=True)
+        open(os.path.join(stage, "sub", "_OK"), "w").close()
+
+    p1 = A.cached_artifact("art_x", os.path.join("sub", "_OK"), build)
+    assert os.path.exists(os.path.join(p1, "sub", "_OK")) and len(calls) == 1
+    # second call: marker present, no rebuild
+    assert A.cached_artifact("art_x", os.path.join("sub", "_OK"), build) == p1
+    assert len(calls) == 1
+
+    # a failing build cleans its staging dir and propagates
+    def bad(stage):
+        raise RuntimeError("boom")
+
+    try:
+        A.cached_artifact("art_y", "_OK", bad)
+        raise AssertionError("should have raised")
+    except RuntimeError:
+        pass
+    assert not [d for d in os.listdir(tmp_path) if d.startswith("art_y_stage_")]
+
+    # stale pruning: an idle old generation with the prefix goes, the
+    # fresh one and non-matching dirs stay
+    old = tmp_path / "art_old_gen"
+    old.mkdir()
+    os.utime(old, (time.time() - 2 * A.STALE_AFTER_S,) * 2)
+    keepme = tmp_path / "unrelated"
+    keepme.mkdir()
+    os.utime(keepme, (time.time() - 2 * A.STALE_AFTER_S,) * 2)
+    A.cached_artifact("art_z", os.path.join("sub", "_OK"), build,
+                      stale_prefixes=("art_",))
+    assert not old.exists() and keepme.exists()
+    assert os.path.isdir(tmp_path / "art_x")  # fresh mtime → survives
