@@ -844,20 +844,17 @@ def ivf_recall_report(
     exact = topk_batch(spark, sf_dir, n_queries, k).select("query_id", "vec_id")
     ann = ann_ivf_indexed_batch(
         spark, sf_dir, path, n_queries, k, nprobe
-    ).select("query_id", "vec_id")
-    hits = (
-        exact.join(ann, ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    ).select("query_id", "vec_id", F.lit(1).alias("_hit"))
+    # ONE pass over the ground truth: k_eff and n_hits come from the
+    # same left join + aggregate, so the brute-force half (the corpus
+    # scan) is planned once — the previous two-sided formulation
+    # recomputed it for each aggregate.
     return (
-        exact.groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("k_eff"))
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            "k_eff",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        exact.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_eff"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
         )
         .orderBy("query_id")
     )

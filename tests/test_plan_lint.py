@@ -130,7 +130,9 @@ PINNED_FINGERPRINTS = {
     # because the store build happens at query-construction time.
     "corpus_dup_clusters": {"exchange": 5, "smj": 1},
     "corpus_dedup_incremental": {"exchange": 6, "bhj": 3, "smj": 2},
-    "sim_ivf_recall": {"exchange": 9, "bhj": 1, "smj": 2, "bnlj": 4},
+    # round-8 improvement: k_eff and n_hits come from one left-join
+    # aggregate, so the brute-force ground truth is planned once
+    "sim_ivf_recall": {"exchange": 8, "bhj": 1, "smj": 1, "bnlj": 3},
     # sketch_error_bounds is a chain of 1-row estimate/exact frames —
     # the bnlj count is the audited 1-row-broadcast family, and the
     # exchanges are single-row aggregations, not data shuffles
