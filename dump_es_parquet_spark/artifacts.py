@@ -58,7 +58,15 @@ def cached_artifact(
     means the artifact is complete (write it LAST in ``build``)."""
     tmp_root = tempfile.gettempdir()
     path = os.path.join(tmp_root, name)
-    if not os.path.exists(os.path.join(path, marker)):
+    if os.path.exists(os.path.join(path, marker)):
+        # refresh mtime on every USE, so the stale-pruning cutoff means
+        # idle-since-last-read — a still-live cache for another sf_dir
+        # built days ago must not be reclaimed out from under a reader
+        try:
+            os.utime(path)
+        except OSError:
+            pass
+    else:
         stage = tempfile.mkdtemp(prefix=f"{name}_stage_", dir=tmp_root)
         try:
             build(stage)

@@ -259,10 +259,18 @@ def binary_dup_clusters(
     )
 
     sigs = phash_signatures(d).localCheckpoint(eager=False)
+    # cache: _component_min_labels counts the edge set, then either
+    # collects it (driver union-find) or iterates it (fixpoint) — an
+    # uncached frame would re-execute the banded self-join per access
+    # (the same contract the text path's _scoped barrier satisfies)
     pairs = hamming_band_pairs(
         sigs, "phash", bits=bits, bands=bands, max_hamming=max_hamming
-    ).select("id_a", "id_b")
-    labels = _component_min_labels(pairs)
+    ).select("id_a", "id_b").cache()
+    try:
+        # labels are file-backed or driver-local once this returns
+        labels = _component_min_labels(pairs)
+    finally:
+        pairs.unpersist()
     return d.join(
         labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     ).select(

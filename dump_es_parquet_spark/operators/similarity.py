@@ -386,15 +386,23 @@ def pq_codebooks_for(
     return out
 
 
-def pq_encode(vecs: DataFrame, codebooks: DataFrame) -> DataFrame:
+def pq_encode(vecs: DataFrame, codebooks: DataFrame, m: int | None = None) -> DataFrame:
     """Append ``pq_codes`` (array<int>, one code per subspace) to any
     ``(vec_id, embedding, ...)`` frame: per subspace, the argmin over
     the broadcast codebook (``min_by`` partial-agg — the same
     map-side-combining shape as ``_ivf_assign``; only n·m combined
     rows reach the shuffle, never the n·m·kcodes expansion). The
     subspace slice derives its offsets from ``size(cv)``, so no dim
-    constant is threaded through."""
-    m = codebooks.agg(F.max("sub")).first()[0] + 1
+    constant is threaded through. Pass ``m`` when the caller knows it
+    (the index build does) — deriving it runs a job over ``codebooks``,
+    which EXECUTES the whole training plan if that frame is an
+    unmaterialized Lloyd pipeline.
+
+    Note ``vecs`` appears twice in the returned plan (the subspace
+    explode and the join-back); callers building large frames should
+    cache it — ``write_ivf_index`` does."""
+    if m is None:
+        m = codebooks.agg(F.max("sub")).first()[0] + 1
     sv = (
         vecs.select(
             "vec_id",
@@ -455,19 +463,30 @@ def write_ivf_index(
 
     e = load(spark, sf_dir, "embeddings")
     cents = ivf_centroids(spark, sf_dir, n_cells)
-    codebooks = pq_codebooks_for(e)
-    lists = pq_encode(
-        quantize_int8(_ivf_assign(e, cents)).withColumns(
+    # cache the two frames the build references more than once: the
+    # codebooks (the 8-subspace Lloyd training plan — feeds the encode
+    # join AND its own write) and the assigned+quantized vectors (the
+    # encode's subspace explode AND the join-back). Without the caches
+    # the training pipeline executes up to three times per build.
+    codebooks = pq_codebooks_for(e).cache()
+    vecs = (
+        quantize_int8(_ivf_assign(e, cents))
+        .withColumns(
             {
                 "q_codes": F.transform("q_codes", lambda c: c.cast("byte")),
                 "norm": F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
             }
-        ),
-        codebooks,
+        )
+        .cache()
     )
-    lists.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
-    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    try:
+        lists = pq_encode(vecs, codebooks, m=PQ_M)
+        lists.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
+        codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+        cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    finally:
+        codebooks.unpersist()
+        vecs.unpersist()
 
 
 def append_to_ivf_index(new_vecs: DataFrame, path: str) -> None:
@@ -495,16 +514,21 @@ def append_to_ivf_index(new_vecs: DataFrame, path: str) -> None:
     conformed = new_vecs.select(
         "vec_id", F.col("embedding").cast(stored_t).alias("embedding")
     )
-    lists = pq_encode(
-        quantize_int8(_ivf_assign(conformed, cents)).withColumns(
-            {
-                "q_codes": F.transform("q_codes", lambda c: c.cast("byte")),
-                "norm": F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
-            }
-        ),
-        codebooks,
-    )
-    lists.write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
+    # cache: pq_encode references the assigned+quantized frame twice
+    # (subspace explode + join-back); m derives from the stored
+    # codebooks (tiny parquet scan — the stored index's m wins over
+    # the current PQ_M constant, the quantizer is frozen)
+    vecs = quantize_int8(_ivf_assign(conformed, cents)).withColumns(
+        {
+            "q_codes": F.transform("q_codes", lambda c: c.cast("byte")),
+            "norm": F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
+        }
+    ).cache()
+    try:
+        lists = pq_encode(vecs, codebooks)
+        lists.write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
+    finally:
+        vecs.unpersist()
 
 
 def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:

@@ -291,10 +291,10 @@ def csv_roundtrip_digest(spark, sf_dir: str) -> DataFrame:
         # columns and breaks every downstream cast in the oracle
         F.concat_ws(",", "o_orderstatus", "o_orderpriority").alias("qfield"),
     )
-    # hint skips the pre-write sampling job (rows_per_file) — the row
-    # bound itself is still exercised through maxRecordsPerFile
-    write(frame, SINK_ORACLE_DIR, "csv_orders", SinkOptions(output="csv"),
-          rows_per_file_hint=DEFAULT_MAX_ROWS)
+    # no rows_per_file_hint: the un-hinted path samples row bytes so the
+    # partition_mb size bound stays enforced alongside the row bound —
+    # a fixed hint would silently drop the dual-threshold contract
+    write(frame, SINK_ORACLE_DIR, "csv_orders", SinkOptions(output="csv"))
     return frame.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").alias("key_sum"),
@@ -329,7 +329,6 @@ def jsonl_roundtrip_digest(spark, sf_dir: str) -> DataFrame:
         SINK_ORACLE_DIR,
         "jsonl_documents",
         SinkOptions(output="jsonl", compression="gzip"),
-        rows_per_file_hint=DEFAULT_MAX_ROWS,
     )
     return d.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -361,8 +360,7 @@ def ndjson_roundtrip_digest(spark, sf_dir: str) -> DataFrame:
         ).alias("tricky"),
         F.split("text", " ").alias("tokens"),
     )
-    write(frame, SINK_ORACLE_DIR, "ndjson_documents",
-          SinkOptions(output="ndjson"), rows_per_file_hint=DEFAULT_MAX_ROWS)
+    write(frame, SINK_ORACLE_DIR, "ndjson_documents", SinkOptions(output="ndjson"))
     return frame.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("doc_id").alias("id_sum"),

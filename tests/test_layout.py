@@ -161,3 +161,9 @@ def test_cached_artifact_lifecycle(tmp_path, monkeypatch):
                       stale_prefixes=("art_",))
     assert not old.exists() and keepme.exists()
     assert os.path.isdir(tmp_path / "art_x")  # fresh mtime → survives
+
+    # a cache HIT refreshes mtime, so a days-old but still-read cache
+    # is never "idle" for the pruning cutoff
+    os.utime(tmp_path / "art_x", (time.time() - 2 * A.STALE_AFTER_S,) * 2)
+    A.cached_artifact("art_x", os.path.join("sub", "_OK"), build)
+    assert os.stat(tmp_path / "art_x").st_mtime > time.time() - 60
