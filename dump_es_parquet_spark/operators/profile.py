@@ -279,32 +279,42 @@ def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(exact_overlap))
     )
 
-    def row(metric: str, ok: Column) -> DataFrame:
-        # NULL comparison (an estimate or exact side missing entirely)
-        # reads as bound NOT satisfied — never a silently absent row
-        return wide.select(
-            F.lit(metric).alias("metric"),
-            F.col("n_input"),
-            F.coalesce(ok.cast("int"), F.lit(0)).alias("within_bound"),
-        )
-
     kll_ok = None
     for c, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
         t = F.abs(F.col(f"rank_{c}") - F.lit(q)) <= F.lit(0.02)
         kll_ok = t if kll_ok is None else (kll_ok & t)
-    out = (
-        row(
-            "hll_user_distinct",
-            F.abs(F.col("hll_est") - F.col("hll_exact"))
-            <= 0.05 * F.col("hll_exact"),
-        )
-        .unionByName(row("kll_value_quantile_ranks", kll_ok))
-        .unionByName(
-            row(
-                "theta_user_overlap",
+
+    def flag(ok: Column) -> Column:
+        # NULL comparison (an estimate or exact side missing entirely)
+        # reads as bound NOT satisfied — never a silently absent row
+        return F.coalesce(ok.cast("int"), F.lit(0))
+
+    # ONE metric row per array element, exploded from the single wide
+    # row — a per-metric select-from-wide union would inline the whole
+    # sketch pipeline (several scans of events) once per metric,
+    # tripling the plan (the pre-round-8 form measured exchange=36).
+    metrics = F.array(
+        F.struct(
+            F.lit("hll_user_distinct").alias("metric"),
+            flag(
+                F.abs(F.col("hll_est") - F.col("hll_exact"))
+                <= 0.05 * F.col("hll_exact")
+            ).alias("within_bound"),
+        ),
+        F.struct(
+            F.lit("kll_value_quantile_ranks").alias("metric"),
+            flag(kll_ok).alias("within_bound"),
+        ),
+        F.struct(
+            F.lit("theta_user_overlap").alias("metric"),
+            flag(
                 F.abs(F.col("theta_est") - F.col("theta_exact"))
-                <= 0.05 * F.col("theta_exact"),
-            )
-        )
+                <= 0.05 * F.col("theta_exact")
+            ).alias("within_bound"),
+        ),
     )
-    return out.orderBy("metric")
+    return (
+        wide.select(F.col("n_input"), F.explode(metrics).alias("m"))
+        .select("m.metric", "n_input", "m.within_bound")
+        .orderBy("metric")
+    )
