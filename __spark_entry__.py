@@ -548,6 +548,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     signatures (brightness-invariant, shift-tolerant; only
         #     the bytes→pixel decode remains the documented stub slot)
         "mm_binary_near_dup",
+        # mm_binary_clusters — planted-clone audit of the multimodal
+        #     cluster mapping (binary_dup_clusters): same-cluster +
+        #     canonical-min invariants per planted pair, deterministic
+        #     even though the dHash itself is not SQL-expressible
+        "mm_binary_clusters",
     }
 )
 
@@ -674,6 +679,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dup_clusters": q_dup_clusters,
         "corpus_attributes": _mod("text", "corpus_attributes"),
         "mm_binary_near_dup": _mod("multimodal", "binary_near_dup"),
+        "mm_binary_clusters": _mod("multimodal", "binary_cluster_audit"),
         "events_zorder": _mod("layout", "q_events_zorder"),
         "events_snapshot_diff": _mod("snapshot", "q_events_snapshot_diff"),
         "corpus_lm_score": _mod("lm", "q_corpus_lm_score"),
@@ -2257,6 +2263,20 @@ def _all_oracle_sql() -> dict[str, str]:
                doc_id + 1000000 AS id_b,
                0 AS hamming,
                1 AS recovered
+        FROM documents WHERE doc_id % 50 = 0
+        ORDER BY id_a
+    """
+
+    # mm_binary_clusters: planted-clone audit of binary_dup_clusters —
+    # identical payloads must co-cluster (same_cluster 1) under a
+    # canonical min label (cluster_id ≤ the smaller member, so
+    # canonical_min 1); organic dHash collisions can only lower the
+    # min, never split the planted pair, so both bits are deterministic
+    q["mm_binary_clusters"] = """
+        SELECT doc_id AS id_a,
+               doc_id + 1000000 AS id_b,
+               1 AS same_cluster,
+               1 AS canonical_min
         FROM documents WHERE doc_id % 50 = 0
         ORDER BY id_a
     """

@@ -279,6 +279,48 @@ def binary_dup_clusters(
     )
 
 
+def binary_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): planted-clone audit of
+    ``binary_dup_clusters`` — the multimodal counterpart of the text
+    path's ``corpus_dup_clusters`` verification row.
+
+    The dHash is lossy and not SQL-expressible, so (exactly like
+    ``mm_binary_near_dup``) the oracle checks the PLANTED relation
+    instead of the open cluster map: every 50th document is re-ingested
+    under a shifted id, and for each planted pair the audit asserts
+    both members landed in the SAME cluster (identical payload ⇒
+    identical dHash ⇒ hamming 0 ⇒ edge found by pigeonhole) with a
+    canonical min-label (cluster_id ≤ the smaller member's id — the
+    component minimum cannot exceed any member).  Organic dHash
+    collisions may enlarge a component, but they can only LOWER the
+    min label, never split the planted pair — both invariants stay
+    deterministic."""
+    base = load(spark, sf_dir, "documents")
+    clones = base.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    d = with_binary_payload(base.unionByName(clones))
+    labels = binary_dup_clusters(d, max_hamming=0)
+    a = labels.where(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+    ).select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("cl_a")
+    )
+    b = labels.where(F.col("doc_id") >= 1_000_000).select(
+        F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("cl_b")
+    )
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1_000_000)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("cl_a") == F.col("cl_b")).cast("int").alias("same_cluster"),
+            (F.col("cl_a") <= F.col("id_a")).cast("int").alias("canonical_min"),
+        )
+        .orderBy("id_a")
+    )
+
+
 def binary_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 0) -> DataFrame:
     """Query form (oracle-checked): planted-duplicate recovery over
     BINARY payloads — real dHash signatures (``phash_signatures``) fed
