@@ -553,6 +553,15 @@ DEMOTED: frozenset[str] = frozenset(
         #     canonical-min invariants per planted pair, deterministic
         #     even though the dHash itself is not SQL-expressible
         "mm_binary_clusters",
+        # corpus_bm25 / corpus_hybrid_rrf — lake-side full-text search
+        #     (the ES query the dump's users lose): Lucene BM25 with
+        #     integer micro-scores (driver-side libm idf_ppm + an
+        #     identically-parenthesized tf-saturation tree, so both
+        #     engines floor the same IEEE doubles), and reciprocal-rank
+        #     fusion of the BM25 and cosine rankings — the declared
+        #     joins/sims families keep their own rows
+        "corpus_bm25",
+        "corpus_hybrid_rrf",
     }
 )
 
@@ -694,6 +703,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_csv_roundtrip": _sink("csv_roundtrip_digest"),
         "sink_ndjson_roundtrip": _sink("ndjson_roundtrip_digest"),
         "sink_jsonl_roundtrip": _sink("jsonl_roundtrip_digest"),
+        "corpus_bm25": _mod("retrieval", "q_corpus_bm25"),
+        "corpus_hybrid_rrf": _mod("retrieval", "q_corpus_hybrid_rrf"),
     }
 
 
@@ -2809,6 +2820,73 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
         FROM read_json('/tmp/spark_graft_sink_oracle/jsonl_documents/*.txt.gz',
                        format='newline_delimited')
+    """
+
+    # corpus_bm25 / corpus_hybrid_rrf: BM25 rebuilt in SQL from the
+    # same exact-integer sufficient statistics.  The idf CTE mirrors
+    # retrieval._idf_ppm literally (DuckDB ln == CPython math.log ==
+    # platform libm — pinned by tests/test_llm_ops.py), and the
+    # tf-saturation tree is parenthesized identically to
+    # retrieval._tsat, so every per-term floor lands on the same
+    # double.  Scores are integer micro-units end-to-end.
+    from dump_es_parquet_spark.operators.retrieval import DEFAULT_QUERY, _terms
+
+    terms = _terms(DEFAULT_QUERY)
+    rng = range(len(terms))
+    dfcols = ", ".join(
+        f"CAST(sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    idfcols = ", ".join(
+        f"CAST(floor(1e6 * ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) + 0.5)"
+        f" AS BIGINT) AS idf{i}"
+        for i in rng
+    )
+    tfcols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+    )
+    sterm = " + ".join(
+        f"CAST(floor(CAST(idf{i} AS DOUBLE) * ((tf{i} * 2.2) / (tf{i} + 1.2 *"
+        f" (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))) AS BIGINT)"
+        for i in rng
+    )
+    nm = " + ".join(f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in rng)
+    bm25_cte = f"""
+        d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(len(toks)) AS BIGINT) AS tdl, {dfcols} FROM d),
+        i AS (SELECT (tdl / n) AS avgdl, {idfcols} FROM s),
+        t AS (SELECT doc_id, len(toks) AS dl, {tfcols} FROM d),
+        scored AS (SELECT doc_id, dl, {nm} AS n_matched,
+                          {sterm} AS score_micro FROM t, i)
+    """
+    q["corpus_bm25"] = f"""
+        WITH {bm25_cte}
+        SELECT doc_id, dl, n_matched, score_micro FROM scored
+        WHERE n_matched > 0
+        ORDER BY score_micro DESC, doc_id ASC LIMIT 10
+    """
+    q["corpus_hybrid_rrf"] = f"""
+        WITH {bm25_cte},
+        lexpool AS (SELECT doc_id, score_micro FROM scored WHERE n_matched > 0
+                    ORDER BY score_micro DESC, doc_id ASC LIMIT 50),
+        lex AS (SELECT doc_id, row_number() OVER
+                  (ORDER BY score_micro DESC, doc_id ASC) AS lex_rank FROM lexpool),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        vecpool AS (SELECT vec_id, round({qcos}, 6) AS cos_sim
+                    FROM e e, q WHERE vec_id != 0
+                    ORDER BY cos_sim DESC, vec_id ASC LIMIT 50),
+        vec AS (SELECT vec_id AS doc_id, row_number() OVER
+                  (ORDER BY cos_sim DESC, vec_id ASC) AS vec_rank FROM vecpool),
+        f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank
+              FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        SELECT doc_id, lex_rank, vec_rank,
+               (COALESCE(CAST(floor(1e9 / (60 + lex_rank)) AS BIGINT), 0)
+                + COALESCE(CAST(floor(1e9 / (60 + vec_rank)) AS BIGINT), 0)) AS rrf_micro
+        FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10
     """
 
     return q

@@ -1,0 +1,338 @@
+"""Lake-side full-text retrieval over the dumped corpus: BM25 top-k
+and hybrid lexical+vector fusion (reciprocal-rank fusion).
+
+The reference tool dumps *Elasticsearch* indices — whose core query is
+BM25 ``match`` — into parquet (dump-es-parquet:1-30, the scroll+dump
+loop).  Once the data lives in the lake, users lose that search
+capability; this module restores it Spark-side so the dumped corpus
+stays queryable with the same ranking function ES would have used
+(Lucene BM25: ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``, tf
+saturation with ``k1 = 1.2``, ``b = 0.75``).
+
+Scale design (the part that matters at 100 TB):
+
+- **Single query** (``bm25_topk``): NO inverted index and NO wide
+  shuffle.  Pass 1 is one map-side-combined aggregate producing a
+  single row — ``N``, ``total_dl``, and one ``df`` per query term
+  (``array_contains`` over the token array, no explode).  The driver
+  turns the handful of integers into ppm-scaled idf literals (a
+  bounded collect: 2 + |terms| values).  Pass 2 is one narrow
+  projection per document — ``tf`` via ``F.filter`` over the token
+  array, again no explode — followed by TakeOrderedAndProject
+  (per-partition heaps, no shuffle of the corpus).  Two linear scans
+  of one string column, both whole-stage-codegen.
+- **Query batches** (``bm25_topk_batch``): the classic shape — tokens
+  explode into postings, but only AFTER a broadcast semi-join against
+  the (tiny) query-term set, so the ``(term, doc)`` tf shuffle carries
+  matching rows only.  Per-query top-k via a window over
+  ``(query_id)`` partitions.  df/idf for the union of query terms is
+  collected and converted driver-side exactly like the single-query
+  path (bounded: one row per distinct query term), so both paths
+  score bit-identically.
+- **Hybrid RRF** (``hybrid_rrf``): fuse the BM25 ranking with the
+  cosine ranking from ``operators.similarity`` using reciprocal-rank
+  fusion, ``contrib = floor(1e9 / (60 + rank))``.  Ranks come from
+  bounded candidate pools (top ``pool`` each side), so the rank
+  windows run over ≤ ``pool`` rows — the corpus-side work stays the
+  two scans above plus the similarity module's linear scan.
+
+Cross-engine exactness (why the oracle hashes match): every score is
+an INTEGER by construction.  idf_ppm is computed by the driver with
+``math.log`` — CPython and DuckDB both call the platform libm, so
+``floor(1e6 * ln(x) + 0.5)`` agrees bit-for-bit (pinned by a pytest
+sweep over every df in the corpus); the tf-saturation factor is
+evaluated with the SAME parenthesization in both engines over
+exact-integer inputs, so the IEEE doubles are identical and the
+per-term ``floor(idf * tsat)`` micro-scores — and their order-free
+bigint sum — hash-match exactly.  No float ever reaches the output.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dump_es_parquet_spark.operators.tables import load
+
+#: Lucene defaults. K1_PLUS_1 / ONE_MINUS_B are spelled as LITERALS —
+#: never computed as ``K1 + 1.0`` — because the oracle SQL parses the
+#: literal ``2.2`` and a computed ``1.2 + 1.0`` can round to a
+#: different last ulp (the exact sum sits on a ties-to-even boundary).
+K1 = 1.2
+B = 0.75
+K1_PLUS_1 = 2.2
+ONE_MINUS_B = 0.25
+
+#: RRF constant from the original paper (Cormack et al., 2009).
+RRF_K = 60
+
+#: fixed demo query for the oracle-checked query forms: one rare term
+#: ("dup", df ≈ 5% of docs) and two common ones — exercises the idf
+#: spread on the synthetic corpus.
+DEFAULT_QUERY = "dup filter window"
+
+
+def _terms(query: str) -> list[str]:
+    """Whitespace query terms, first-occurrence order, deduplicated
+    (a repeated query term must not double-count its score)."""
+    out: list[str] = []
+    for t in query.strip().split():
+        if t and t not in out:
+            out.append(t)
+    return out
+
+
+def _idf_ppm(n_docs: int, df: int) -> int:
+    """Lucene BM25 idf in parts-per-million: ``floor(1e6 * ln(1 +
+    (N - df + 0.5)/(df + 0.5)) + 0.5)``.  Integer-exact across
+    engines: the log argument is built from exact int/half arithmetic
+    (identical doubles everywhere) and CPython's ``math.log`` and
+    DuckDB's ``ln`` resolve to the same platform libm."""
+    return math.floor(1e6 * math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) + 0.5)
+
+
+def _tokens_col(text_col: str):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def corpus_term_stats(
+    docs: DataFrame, terms: list[str], text_col: str = "text"
+) -> tuple[int, int, dict[str, int]]:
+    """One map-side-combined aggregate → ``(N, total_dl, {term: df})``.
+    The collect is a single row of ``2 + len(terms)`` integers."""
+    toks = _tokens_col(text_col).alias("toks")
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("total_dl"),
+    ] + [
+        F.sum(F.array_contains("toks", t).cast("long")).alias(f"df_{i}")
+        for i, t in enumerate(terms)
+    ]
+    row = docs.select(toks).agg(*aggs).collect()[0]
+    dfs = {t: row[f"df_{i}"] for i, t in enumerate(terms)}
+    return row["n_docs"], row["total_dl"], dfs
+
+
+def _tsat(tf, dl, avgdl: float):
+    """BM25 tf-saturation as a double-typed Column.  Parenthesization
+    is load-bearing: the oracle SQL spells the identical tree
+    ``(tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))`` so both
+    engines round the same IEEE ops in the same order.  0.25 is the
+    pre-folded ``1 - b`` (exact in binary); ``avgdl`` is the exact
+    driver-computed ``total_dl / N`` double."""
+    tf = tf.cast("double")
+    dl = dl.cast("double")
+    return (tf * F.lit(K1_PLUS_1)) / (
+        tf + F.lit(K1) * (F.lit(ONE_MINUS_B) + F.lit(B) * (dl / F.lit(avgdl)))
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str = DEFAULT_QUERY,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BM25 over ``query``: ``(id, dl, n_matched,
+    score_micro)`` for every document matching ≥ 1 term.  Two linear
+    scans, zero shuffles (see module docstring)."""
+    terms = _terms(query)
+    n_docs, total_dl, dfs = corpus_term_stats(docs, terms, text_col)
+    avgdl = total_dl / n_docs
+    idf = {t: _idf_ppm(n_docs, dfs[t]) for t in terms}
+
+    d = docs.select(F.col(id_col), _tokens_col(text_col).alias("toks"))
+    dl = F.size("toks")
+    # closure factory, NOT a defaulted-arg lambda: a 2-parameter
+    # lambda is treated by F.filter as (element, index)
+    def _eq(term):
+        return lambda x: x == F.lit(term)
+
+    tfs = [F.size(F.filter(F.col("toks"), _eq(t))) for t in terms]
+    # per-term integer micro-score; tf = 0 ⇒ tsat = 0 ⇒ floor = 0, so
+    # no special-casing — absent terms contribute exactly nothing
+    scores = [
+        F.floor(F.lit(float(idf[t])) * _tsat(tf, dl, avgdl)) for t, tf in zip(terms, tfs)
+    ]
+    score = scores[0]
+    for s in scores[1:]:
+        score = score + s
+    matched = sum(((tf > 0).cast("int") for tf in tfs), F.lit(0))
+    return (
+        d.select(
+            F.col(id_col),
+            dl.alias("dl"),
+            matched.alias("n_matched"),
+            score.alias("score_micro"),
+        )
+        .where(F.col("n_matched") > 0)
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """Exact BM25 top-k for one query: scores projection +
+    TakeOrderedAndProject (ties broken by doc_id for determinism)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, query)
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Many queries at once: ``queries`` is ``(query_id, query_text)``;
+    returns per-query top-k ``(query_id, doc_id, score_micro, rank)``.
+
+    Postings explode only AFTER a broadcast semi-join against the
+    distinct query-term set, so the ``(term, doc)`` shuffle carries
+    matching rows only; df/idf for the term union is collected and
+    ppm-converted driver-side (bounded: one row per distinct term
+    across all queries — the same order of magnitude as the broadcast
+    itself), which makes this path score bit-identically to
+    ``bm25_topk``."""
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("query_text")), r"\s+"))).alias(
+            "term"
+        ),
+    ).where(F.col("term") != "")
+    term_set = qterms.select("term").distinct()
+
+    d = docs.select(F.col(id_col), _tokens_col(text_col).alias("toks"))
+    row = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.size("toks")).cast("long").alias("tdl"),
+    ).collect()[0]
+    n_docs, avgdl = row["n"], row["tdl"] / row["n"]
+
+    postings = (
+        d.select(F.col(id_col), F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .join(F.broadcast(term_set), "term")
+        .groupBy("term", id_col, "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    # df per query term — bounded collect (≤ |distinct terms| rows),
+    # converted with the SAME driver-side math.log as the single path
+    dfs = {
+        r["term"]: r["df"]
+        for r in postings.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .collect()
+    }
+    idf_rows = [(t, float(_idf_ppm(n_docs, dfs.get(t, 0)))) for t in dfs]
+    idf = F.broadcast(
+        docs.sparkSession.createDataFrame(idf_rows, "term string, idf_ppm double")
+    )
+    scored = (
+        postings.join(idf, "term")
+        .join(F.broadcast(qterms), "term")
+        .withColumn(
+            "score_term",
+            F.floor(F.col("idf_ppm") * _tsat(F.col("tf"), F.col("dl"), avgdl)),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("score_term").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hybrid_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    query_vec_id: int = 0,
+    k: int = 10,
+    pool: int = 50,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking
+    and the cosine ranking (``similarity.topk_bruteforce`` shape) —
+    the standard first stage of a RAG ingestion/eval pipeline.
+
+    ``contrib = floor(1e9 / (RRF_K + rank))`` per arm (exact-integer
+    inputs ⇒ identical doubles ⇒ identical floors in both engines;
+    a missing arm contributes 0), summed as bigints.  Each arm is
+    first cut to its top-``pool`` candidates, so the rank windows —
+    which have no partition key — run over ≤ ``pool`` driver-bounded
+    rows, never the corpus."""
+    from dump_es_parquet_spark.operators.similarity import cosine
+
+    lex_pool = (
+        bm25_scores(load(spark, sf_dir, "documents"), query)
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(pool)
+    )
+    lex = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()))
+        .alias("lex_rank"),
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("qv"))
+    )
+    vec_pool = (
+        e.crossJoin(q)
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(pool)
+    )
+    vec = vec_pool.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()))
+        .alias("vec_rank"),
+    )
+
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.floor(F.lit(1e9) / (F.lit(RRF_K) + r.cast("double"))), F.lit(0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (contrib(F.col("lex_rank")) + contrib(F.col("vec_rank"))).alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def q_corpus_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): BM25 top-10 for the fixed demo
+    query over ``documents`` — integer micro-scores, see module
+    docstring for the cross-engine exactness argument."""
+    return bm25_topk(spark, sf_dir, DEFAULT_QUERY, k=10)
+
+
+def q_corpus_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): RRF fusion of BM25 and cosine
+    rankings, top-10."""
+    return hybrid_rrf(spark, sf_dir, DEFAULT_QUERY, query_vec_id=0, k=10)

@@ -894,3 +894,115 @@ def test_hamming_band_pairs_generic_signatures(spark):
     out = {(r.id_a, r.id_b): r.hamming
            for r in hamming_band_pairs(sigs, "sig", 32, 4, max_hamming=1).collect()}
     assert out == {(1, 2): 1, (1, 4): 0, (2, 4): 1}
+
+
+def test_bm25_matches_pure_python_reference(spark, sf_dir):
+    """The distributed BM25 scorer agrees with a from-scratch Python
+    implementation of Lucene BM25 on EVERY matched document — formula
+    validation, not self-consistency (the oracle row only sees the
+    top-10)."""
+    import math
+
+    from dump_es_parquet_spark.operators.retrieval import (
+        B,
+        DEFAULT_QUERY,
+        K1,
+        K1_PLUS_1,
+        ONE_MINUS_B,
+        _idf_ppm,
+        _terms,
+        bm25_scores,
+    )
+    from dump_es_parquet_spark.operators.tables import load
+
+    terms = _terms(DEFAULT_QUERY)
+    docs = [
+        (r.doc_id, r.text.strip().split())
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ]
+    n = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n
+    idf = {
+        t: _idf_ppm(n, sum(1 for _, toks in docs if t in toks)) for t in terms
+    }
+
+    def ref_score(toks):
+        dl = len(toks)
+        s = 0
+        for t in terms:
+            tf = toks.count(t)
+            s += math.floor(
+                idf[t]
+                * ((tf * K1_PLUS_1) / (tf + K1 * (ONE_MINUS_B + B * (dl / avgdl))))
+            )
+        return s
+
+    expected = {d: ref_score(toks) for d, toks in docs if any(t in toks for t in terms)}
+    got = {
+        r.doc_id: r.score_micro
+        for r in bm25_scores(load(spark, sf_dir, "documents")).collect()
+    }
+    assert got == expected
+
+
+def test_bm25_batch_matches_single_query_path(spark, sf_dir):
+    """The postings-join batch path scores bit-identically to the
+    zero-shuffle single-query path (both derive idf_ppm driver-side
+    from the same integer stats)."""
+    from dump_es_parquet_spark.operators.retrieval import (
+        DEFAULT_QUERY,
+        bm25_topk,
+        bm25_topk_batch,
+    )
+    from dump_es_parquet_spark.operators.tables import load
+
+    queries = spark.createDataFrame(
+        [(0, DEFAULT_QUERY), (1, "merge scan")], "query_id long, query_text string"
+    )
+    batch = bm25_topk_batch(load(spark, sf_dir, "documents"), queries, k=10)
+    got = [
+        (r.doc_id, r.score_micro) for r in batch.where(F.col("query_id") == 0).collect()
+    ]
+    want = [
+        (r.doc_id, r.score_micro)
+        for r in bm25_topk(spark, sf_dir, DEFAULT_QUERY, k=10).collect()
+    ]
+    assert got == want
+    # the second query scored too, against its own term set
+    assert batch.where(F.col("query_id") == 1).count() == 10
+
+
+def test_idf_ppm_libm_parity_with_duckdb():
+    """CPython math.log and DuckDB ln resolve to the same platform
+    libm: the ppm-scaled Lucene idf is bit-identical for every df in
+    1..N — the invariant the corpus_bm25 oracle leans on."""
+    import duckdb
+
+    from dump_es_parquet_spark.operators.retrieval import _idf_ppm
+
+    n = 2000
+    rows = duckdb.sql(
+        f"SELECT df, CAST(floor(1e6 * ln(1.0 + ({n} - df + 0.5) / (df + 0.5)) + 0.5)"
+        f" AS BIGINT) FROM (SELECT unnest(range(1, {n + 1})) AS df)"
+    ).fetchall()
+    assert all(ppm == _idf_ppm(n, df) for df, ppm in rows)
+
+
+def test_hybrid_rrf_fuses_both_arms(spark, sf_dir):
+    """RRF output: contributions are floor(1e9/(60+rank)) per arm,
+    a doc present in only one pool still surfaces with the other rank
+    NULL, and the top hit beats either single-arm pool bottom."""
+    from dump_es_parquet_spark.operators.retrieval import hybrid_rrf
+
+    rows = hybrid_rrf(spark, sf_dir, k=10).collect()
+    assert len(rows) == 10
+    for r in rows:
+        want = 0
+        if r.lex_rank is not None:
+            want += 1_000_000_000 // (60 + r.lex_rank)
+        if r.vec_rank is not None:
+            want += 1_000_000_000 // (60 + r.vec_rank)
+        assert r.rrf_micro == want
+    # descending, ties by doc_id
+    pairs = [(r.rrf_micro, r.doc_id) for r in rows]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
