@@ -562,6 +562,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     joins/sims families keep their own rows
         "corpus_bm25",
         "corpus_hybrid_rrf",
+        # corpus_highlight — ES highlight parity on the BM25 top-10:
+        #     snippet strings rendered with locate/substr/replace only
+        #     (identical 1-based/clamping semantics in DuckDB), so the
+        #     oracle compares the rendered <em>-tagged bytes exactly
+        "corpus_highlight",
     }
 )
 
@@ -705,6 +710,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_jsonl_roundtrip": _sink("jsonl_roundtrip_digest"),
         "corpus_bm25": _mod("retrieval", "q_corpus_bm25"),
         "corpus_hybrid_rrf": _mod("retrieval", "q_corpus_hybrid_rrf"),
+        "corpus_highlight": _mod("retrieval", "q_corpus_highlight"),
     }
 
 
@@ -2887,6 +2893,30 @@ def _all_oracle_sql() -> dict[str, str]:
                (COALESCE(CAST(floor(1e9 / (60 + lex_rank)) AS BIGINT), 0)
                 + COALESCE(CAST(floor(1e9 / (60 + vec_rank)) AS BIGINT), 0)) AS rrf_micro
         FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10
+    """
+
+    # corpus_highlight: snippets via locate/substr/replace — every
+    # string primitive has identical 1-based + clamping semantics in
+    # DuckDB (strpos/substr/replace), so the rendered bytes match
+    W = 30  # context chars either side (retrieval.highlight default)
+    frags = []
+    for t in terms:
+        pos = f"strpos(text, '{t}')"
+        start = f"greatest(1, {pos} - {W})"
+        frags.append(
+            f"CASE WHEN {pos} > 0 THEN replace(substr(text, {start},"
+            f" ({pos} - {start}) + {len(t) + W}), '{t}', '<em>{t}</em>') END"
+        )
+    frag_list = ",\n               ".join(frags)
+    q["corpus_highlight"] = f"""
+        WITH {bm25_cte},
+        top AS (SELECT doc_id, score_micro FROM scored WHERE n_matched > 0
+                ORDER BY score_micro DESC, doc_id ASC LIMIT 10)
+        SELECT t.doc_id, t.score_micro,
+               concat_ws(' … ',
+               {frag_list}) AS highlights
+        FROM top t JOIN documents d2 USING (doc_id)
+        ORDER BY t.score_micro DESC, t.doc_id ASC
     """
 
     return q

@@ -336,3 +336,71 @@ def q_corpus_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query form (oracle-checked): RRF fusion of BM25 and cosine
     rankings, top-10."""
     return hybrid_rrf(spark, sf_dir, DEFAULT_QUERY, query_vec_id=0, k=10)
+
+
+def highlight(
+    docs: DataFrame,
+    query: str = DEFAULT_QUERY,
+    k: int = 10,
+    window: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES-style ``highlight``: for the BM25 top-``k``, one snippet per
+    matched query term — ``window`` chars of context either side of the
+    term's FIRST occurrence, the term wrapped in ``<em>`` tags, absent
+    terms skipped — joined with `` … `` in query-term order.
+
+    Shape: the k-row top-k frame broadcast-joins back to the corpus
+    scan (one extra linear scan, no shuffle), and the snippet logic is
+    a pure string projection — ``locate``/``substr``/``replace`` only,
+    each with identical 1-based/clamping semantics in DuckDB, so the
+    oracle compares the rendered strings byte-for-byte."""
+    terms = _terms(query)
+    top = bm25_topk_like(docs, query, k, id_col=id_col, text_col=text_col)
+    d = docs.select(F.col(id_col), F.col(text_col))
+    joined = d.join(F.broadcast(top), id_col)
+
+    frags = []
+    for t in terms:
+        pos = F.locate(t, F.col(text_col))
+        start = F.greatest(F.lit(1), pos - window)
+        # through end-of-term + window; substring clamps at the end
+        length = (pos - start) + F.lit(len(t) + window)
+        snip = F.col(text_col).substr(start, length)
+        frags.append(
+            F.when(
+                pos > 0, F.replace(snip, F.lit(t), F.lit(f"<em>{t}</em>"))
+            ).otherwise(F.lit(None).cast("string"))
+        )
+    return (
+        joined.select(
+            F.col(id_col),
+            F.col("score_micro"),
+            F.concat_ws(" … ", *frags).alias("highlights"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    )
+
+
+def bm25_topk_like(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``bm25_topk`` over an arbitrary docs frame (the query-form
+    ``bm25_topk`` loads from a sf_dir); returns ``(id, score_micro)``."""
+    return (
+        bm25_scores(docs, query, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col), "score_micro")
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def q_corpus_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): ES-highlight parity — byte-exact
+    snippet strings for the BM25 top-10."""
+    return highlight(load(spark, sf_dir, "documents"), DEFAULT_QUERY, k=10)

@@ -1006,3 +1006,28 @@ def test_hybrid_rrf_fuses_both_arms(spark, sf_dir):
     # descending, ties by doc_id
     pairs = [(r.rrf_micro, r.doc_id) for r in rows]
     assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_highlight_renders_window_and_tags(spark):
+    """highlight: first occurrence, ±window chars of context, term
+    wrapped in <em>, absent terms skipped, fragments joined in
+    query-term order."""
+    from dump_es_parquet_spark.operators.retrieval import highlight
+
+    text = ("x" * 40) + " dup " + ("y" * 40) + " window tail"
+    d = spark.createDataFrame(
+        [(1, text), (2, "no match terms here at all " * 4)],
+        "doc_id long, text string",
+    )
+    rows = highlight(d, "dup window", k=5, window=10).collect()
+    assert [r.doc_id for r in rows] == [1]
+    frags = rows[0].highlights.split(" … ")
+    assert len(frags) == 2  # both terms present, query order
+    assert "<em>dup</em>" in frags[0] and "<em>window</em>" in frags[1]
+    # ±10 chars of context around the 3-char term -> at most 23 chars
+    # before tagging; the <em></em> wrap adds 9
+    assert len(frags[0]) <= 23 + 9
+    # 10 context chars before the term: positions pos-10..pos-1 are
+    # nine x's and the separating space
+    pre, _, _ = frags[0].partition("<em>")
+    assert pre == "x" * 9 + " "
