@@ -535,6 +535,17 @@ DEMOTED: frozenset[str] = frozenset(
         "setops",
         "distinct_agg",
         "scalar_functions",
+        # Rotated OUT in round 8 (second swap) so the declared set
+        # carries the new lake-side retrieval family (corpus_bm25 +
+        # corpus_hybrid_rrf — the ES capability users lose by dumping).
+        # Families stay declared:
+        #   q2_min_price_part — correlated min-subquery + multi-join;
+        #       q11's correlated HAVING subquery and q3/q5/q8/q9/q10
+        #       keep both shapes in the gate
+        #   q15_top_supplier — view + scalar-max subquery over an agg;
+        #       q11/q18/q22 keep agg-subquery shapes declared
+        "q2_min_price_part",
+        "q15_top_supplier",
         # sink_csv_roundtrip / sink_ndjson_roundtrip — the csv/ndjson
         #     writers' cross-engine rows (round 8): Spark digests the
         #     source frame, the oracle digests the files the query just
@@ -553,15 +564,9 @@ DEMOTED: frozenset[str] = frozenset(
         #     canonical-min invariants per planted pair, deterministic
         #     even though the dHash itself is not SQL-expressible
         "mm_binary_clusters",
-        # corpus_bm25 / corpus_hybrid_rrf — lake-side full-text search
-        #     (the ES query the dump's users lose): Lucene BM25 with
-        #     integer micro-scores (driver-side libm idf_ppm + an
-        #     identically-parenthesized tf-saturation tree, so both
-        #     engines floor the same IEEE doubles), and reciprocal-rank
-        #     fusion of the BM25 and cosine rankings — the declared
-        #     joins/sims families keep their own rows
-        "corpus_bm25",
-        "corpus_hybrid_rrf",
+        # corpus_bm25 / corpus_hybrid_rrf are DECLARED (promoted in the
+        # same round they landed — strict-clean at three scale factors;
+        # q2/q15 rotated out above in exchange).
         # corpus_highlight — ES highlight parity on the BM25 top-10:
         #     snippet strings rendered with locate/substr/replace only
         #     (identical 1-based/clamping semantics in DuckDB), so the
