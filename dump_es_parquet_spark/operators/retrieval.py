@@ -219,12 +219,14 @@ def bm25_topk_batch(
     ).collect()[0]
     n_docs, avgdl = row["n"], row["tdl"] / row["n"]
 
+    # persisted: the frame is consumed twice (df collect below, then
+    # the scoring join) and recomputing it would re-explode the corpus
     postings = (
         d.select(F.col(id_col), F.size("toks").alias("dl"), F.explode("toks").alias("term"))
         .join(F.broadcast(term_set), "term")
         .groupBy("term", id_col, "dl")
         .agg(F.count("*").cast("long").alias("tf"))
-    )
+    ).persist()
     # df per query term — bounded collect (≤ |distinct terms| rows),
     # converted with the SAME driver-side math.log as the single path
     dfs = {
