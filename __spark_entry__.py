@@ -428,6 +428,9 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           deterministic hash-ring negatives
 #   corpus_decontaminate  — benchmark decontamination (GPT-3-style
 #                           shared-k-gram rule vs a held-out set)
+#   corpus_decontaminate_bloom — the same rule for benchmark sets too
+#                           big to broadcast raw: one-row Bloom bitmap
+#                           prefilter + exact verify (identical rows)
 #   events_compact_latest — snapshot compaction (last-write-wins via
 #                           max_by partial agg, not a window sort)
 #   corpus_source_cap     — per-domain/source document cap (unbiased
@@ -459,6 +462,7 @@ DEMOTED: frozenset[str] = frozenset(
         "text_vocab",
         "corpus_triplets",
         "corpus_decontaminate",
+        "corpus_decontaminate_bloom",
         "dedup_spans",
         "corpus_mix",
         "corpus_shuffle",
@@ -679,6 +683,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": _mod("text", "vocab_summary"),
         "corpus_triplets": _mod("triplets", "triplet_summary"),
         "corpus_decontaminate": _mod("spans", "decontaminate_summary"),
+        "corpus_decontaminate_bloom": _mod("spans", "decontaminate_bloom_summary"),
         # — dedup —
         "dedup_exact": _mod("dedup", "exact_dedup"),
         "dedup_ngram_jaccard": _mod("dedup", "ngram_jaccard_pairs"),
@@ -1595,6 +1600,11 @@ def _all_oracle_sql() -> dict[str, str]:
         HAVING count(*) >= 1
         ORDER BY doc_id
     """
+
+    # The bloom variant is a PREFILTER + exact verify — its output is
+    # identical to the exact operator by construction, so the oracle
+    # is literally the same exact-overlap SQL.
+    q["corpus_decontaminate_bloom"] = q["corpus_decontaminate"]
 
     # — span-level dup detection (operators/spans.py, k = 8) —
     q["dedup_spans"] = f"""

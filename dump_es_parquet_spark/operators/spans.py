@@ -142,6 +142,132 @@ def decontaminate(
     )
 
 
+def benchmark_span_bloom(
+    spark: SparkSession,
+    bench_spans: DataFrame,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Compress a benchmark span-hash set into an ``m_bits`` Bloom
+    bitmap, returned as a ONE-row frame ``(bm: array<long>)``.
+
+    Built entirely JVM-side: each span hashes to ``n_hashes`` bit
+    positions (``xxhash64(span_h, seed) mod m``); positions reduce to
+    sparse ``(word, bit_or(mask))`` pairs in one shuffle, then a
+    ``spark.range(m/64)`` left join densifies and a single ordered
+    ``collect_list`` folds the words into one array cell. The bitmap
+    is DATA (one row, ``m/64`` longs ≈ ``m_bits/8`` bytes), never a
+    plan literal — a 2^30-bit filter is a 128 MB row, not a 128 MB
+    expression tree.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    words = m_bits // 64
+    pos_cols = [
+        F.pmod(F.xxhash64("span_h", F.lit(i)), F.lit(m_bits))
+        for i in range(n_hashes)
+    ]
+    sparse = (
+        bench_spans.select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            # SQL shiftleft: the Python wrapper wants a literal int
+            # shift, the SQL form takes a column
+            F.expr("shiftleft(1L, int(pos % 64))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return (
+        spark.range(words)
+        .join(sparse, F.col("id") == F.col("w"), "left")
+        .select("id", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("id", "bits"))),
+                lambda s: s["bits"],
+            ).alias("bm")
+        )
+    )
+
+
+def _bloom_member(span_h: Column, m_bits: int, n_hashes: int) -> Column:
+    """All-``n_hashes``-bits-set test against the broadcast ``bm``
+    array column. Pure Column expressions — stays in codegen."""
+    cond = F.lit(True)
+    one = F.lit(1).cast("long")
+    for i in range(n_hashes):
+        pos = F.pmod(F.xxhash64(span_h, F.lit(i)), F.lit(m_bits))
+        word = (pos / 64).cast("int")
+        # shiftleft via multiplication-free SQL form (column shift)
+        mask = F.call_function("shiftleft", one, (pos % 64).cast("int"))
+        cond = cond & (
+            F.element_at(F.col("bm"), word + 1).bitwiseAND(mask) != 0
+        )
+    return cond
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    k: int = SPAN_K,
+    min_shared: int = 1,
+    hash_fn: str = "md5",
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """`decontaminate` for when the benchmark span set is too big to
+    broadcast RAW — the 100 TB regime where the eval-suite union holds
+    billions of k-token spans (GBs of hash strings) but its Bloom
+    bitmap is MBs.
+
+    Two-stage, exact result: (1) prefilter the corpus span stream
+    against the broadcast bitmap — corpus spans are tested where they
+    are produced, so the non-matching bulk (the overwhelming majority)
+    is never shuffled; (2) exact-verify the bloom survivors with the
+    same span-hash join `decontaminate` uses — false positives die
+    here, so the output is IDENTICAL to the exact operator row-for-row
+    (the oracle reuses the exact SQL). Only survivors + benchmark
+    spans pay the verify shuffle, and that join no longer needs the
+    benchmark side to fit in a broadcast.
+
+    Sizing: false-positive rate ≈ (1 - e^(-hn/m))^h; at n benchmark
+    spans keep ``m_bits ≳ 16·n`` for ~2% with ``n_hashes=4``. The
+    bitmap crossJoin is the audited 1-row-broadcast BNLJ family.
+    """
+    spark = corpus.sparkSession
+    b_spans = span_stream(
+        benchmark, text_col, doc_col, k, hash_fn
+    ).select("span_h").distinct()
+    bm = benchmark_span_bloom(spark, b_spans, m_bits, n_hashes)
+    survivors = (
+        span_stream(corpus, text_col, doc_col, k, hash_fn)
+        .crossJoin(F.broadcast(bm))
+        .filter(_bloom_member(F.col("span_h"), m_bits, n_hashes))
+        .select("doc_id", "span_h")
+    )
+    return (
+        survivors.join(b_spans, "span_h")
+        .select("doc_id", "span_h")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= min_shared)
+    )
+
+
+def decontaminate_bloom_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked against the SAME exact SQL as
+    ``corpus_decontaminate`` — the bloom stage is a prefilter, not an
+    approximation): every 10th document stands in as the benchmark."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return bloom_decontaminate(corpus, bench, m_bits=1 << 18).orderBy("doc_id")
+
+
 def decontaminate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query form (oracle-checked): every 10th document stands in as
     the held-out benchmark; the rest of the corpus is checked against

@@ -1031,3 +1031,92 @@ def test_highlight_renders_window_and_tags(spark):
     # nine x's and the separating space
     pre, _, _ = frags[0].partition("<em>")
     assert pre == "x" * 9 + " "
+
+
+# — Bloom-prefilter decontamination (operators/spans.py) —
+
+
+def test_bloom_decontaminate_identical_to_exact(spark, sf_dir):
+    """The bloom stage is a PREFILTER: verify makes the output
+    row-for-row identical to the exact operator on real testdata."""
+    from dump_es_parquet_spark.operators.spans import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+    from dump_es_parquet_spark.operators.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    exact = sorted(map(tuple, decontaminate(corpus, bench).collect()))
+    bloom = sorted(
+        map(tuple, bloom_decontaminate(corpus, bench, m_bits=1 << 16).collect())
+    )
+    assert bloom == exact and len(exact) > 0
+
+
+def test_bloom_prefilter_never_drops_a_member(spark):
+    """No false negatives by construction: every benchmark span
+    passes its own bitmap, even at an absurdly undersized m (all-
+    collisions regime) — the filter degrades to pass-through, never
+    to a miss."""
+    from dump_es_parquet_spark.operators.spans import (
+        _bloom_member,
+        benchmark_span_bloom,
+        span_stream,
+    )
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = span_stream(d).select("span_h").distinct()
+    for m_bits in (64, 1 << 12):
+        bm = benchmark_span_bloom(spark, spans, m_bits=m_bits, n_hashes=4)
+        kept = (
+            spans.crossJoin(F.broadcast(bm))
+            .filter(_bloom_member(F.col("span_h"), m_bits, 4))
+            .count()
+        )
+        assert kept == spans.count()
+
+
+def test_bloom_prefilter_actually_prunes_non_members(spark):
+    """At a sane m the bitmap rejects the overwhelming majority of
+    non-member spans — the property that saves the shuffle at 100 TB."""
+    from dump_es_parquet_spark.operators.spans import (
+        _bloom_member,
+        benchmark_span_bloom,
+        span_stream,
+    )
+
+    m_bits = 1 << 14
+    bench = spark.createDataFrame(
+        [(i, " ".join(f"b{i}_{j}" for j in range(12))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    other = spark.createDataFrame(
+        [(i, " ".join(f"x{i}_{j}" for j in range(12))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    bm = benchmark_span_bloom(
+        spark, span_stream(bench).select("span_h").distinct(), m_bits=m_bits
+    )
+    o_spans = span_stream(other).select("span_h").distinct()
+    survivors = (
+        o_spans.crossJoin(F.broadcast(bm))
+        .filter(_bloom_member(F.col("span_h"), m_bits, 4))
+        .count()
+    )
+    # ~1000 distinct non-member spans vs 100 benchmark spans in a
+    # 16Kbit filter: fp rate is well under 1%; allow 5% slack
+    assert survivors <= 0.05 * o_spans.count()
+
+
+def test_bloom_bitmap_is_dense_and_data_side(spark):
+    """The bitmap is ONE row of m/64 longs (data, not plan literals),
+    dense even where no benchmark span set any bit in a word."""
+    from dump_es_parquet_spark.operators.spans import benchmark_span_bloom
+
+    spans = spark.createDataFrame([("abc",)], "span_h string")
+    row = benchmark_span_bloom(spark, spans, m_bits=1 << 10, n_hashes=4).head()
+    assert len(row.bm) == (1 << 10) // 64
+    assert sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in row.bm) <= 4

@@ -38,6 +38,7 @@ BNLJ_ALLOWED = frozenset(
         "corpus_triplets",
         "privacy_k_anonymity",  # 1-row totals frame cross-joined
         "sketch_error_bounds",  # chain of 1-row estimate/exact frames
+        "corpus_decontaminate_bloom",  # 1-row bloom-bitmap broadcast
         "sim_ivf_recall",  # query-batch broadcast (same shape as sim_topk_batch)
         "corpus_hybrid_rrf",  # 1-row query-vector broadcast (cosine arm)
     }

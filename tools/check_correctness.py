@@ -78,12 +78,17 @@ def main():
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
-    if "--all" in only:
-        # include the demoted (still-verified) set — the full 93-query
-        # oracle sweep pytest runs, but at an arbitrary sf_dir
+    if "--all" in only or only:
+        # include the demoted (still-verified) set — for --all (the
+        # full oracle sweep pytest runs, at an arbitrary sf_dir) AND
+        # whenever explicit names are given: a demoted name must
+        # resolve, not silently check nothing
         only.discard("--all")
         queries = {**queries, **entry.demoted_queries()}
         oracles = {**oracles, **entry.demoted_oracle_sql()}
+    unknown = only - set(queries)
+    if unknown:
+        raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
