@@ -576,6 +576,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     (identical 1-based/clamping semantics in DuckDB), so the
         #     oracle compares the rendered <em>-tagged bytes exactly
         "corpus_highlight",
+        # corpus_match_phrase — ES match_phrase (slop 0): consecutive-
+        #     token occurrence counts, shuffle-free single-phrase path
+        #     (the positional-postings batch path is pytest-pinned
+        #     equal to it)
+        "corpus_match_phrase",
     }
 )
 
@@ -721,6 +726,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bm25": _mod("retrieval", "q_corpus_bm25"),
         "corpus_hybrid_rrf": _mod("retrieval", "q_corpus_hybrid_rrf"),
         "corpus_highlight": _mod("retrieval", "q_corpus_highlight"),
+        "corpus_match_phrase": _mod("retrieval", "q_corpus_match_phrase"),
     }
 
 
@@ -2932,6 +2938,23 @@ def _all_oracle_sql() -> dict[str, str]:
                {frag_list}) AS highlights
         FROM top t JOIN documents d2 USING (doc_id)
         ORDER BY t.score_micro DESC, t.doc_id ASC
+    """
+
+    # corpus_match_phrase: ES match_phrase (slop 0) — consecutive-token
+    # occurrence counts for the fixed demo bigram ("table hash"); the
+    # Spark side counts starts with an element_at probe filter, the
+    # oracle with the equivalent list comprehension (retrieval.py,
+    # phrase_occurrences)
+    q["corpus_match_phrase"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        occ AS (
+          SELECT doc_id,
+                 len([x FOR x IN range(1, greatest(len(t) - 1, 0) + 1)
+                      IF t[x] = 'table' AND t[x+1] = 'hash']) AS n_occurrences
+          FROM t
+        )
+        SELECT doc_id, n_occurrences FROM occ
+        WHERE n_occurrences > 0 ORDER BY doc_id
     """
 
     return q

@@ -406,3 +406,128 @@ def q_corpus_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query form (oracle-checked): ES-highlight parity — byte-exact
     snippet strings for the BM25 top-10."""
     return highlight(load(spark, sf_dir, "documents"), DEFAULT_QUERY, k=10)
+
+
+#: fixed demo phrase for the oracle-checked query form — a bigram the
+#: synthetic corpus actually repeats (~0.5% of docs).
+DEFAULT_PHRASE = "table hash"
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    phrase: str = DEFAULT_PHRASE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``match_phrase`` (slop 0) for ONE phrase: documents whose
+    token stream contains the phrase terms CONSECUTIVELY, with the
+    exact occurrence count — ``(doc_id, n_occurrences)``.
+
+    Single-phrase scale shape (mirrors ``bm25_topk``): no inverted
+    index, no explode, ZERO shuffles — one linear scan where each doc
+    counts its phrase starts with ``F.filter`` over a start-position
+    sequence and ``element_at`` probes.  Stays in whole-stage codegen;
+    100 TB cost is the parquet scan of one string column.
+    """
+    terms = phrase.strip().split()
+    L = len(terms)
+    if not terms:
+        raise ValueError("empty phrase")
+    d = docs.select(F.col(id_col), _tokens_col(text_col).alias("toks"))
+
+    def _is_start(s):
+        cond = F.lit(True)
+        for j, t in enumerate(terms):
+            # element_at is 1-based; s is a 0-based start position
+            cond = cond & (F.element_at(F.col("toks"), s + j + 1) == F.lit(t))
+        return cond
+
+    # guard: F.sequence(0, negative) would count DOWN, so short docs
+    # (fewer tokens than phrase terms) are pinned to zero occurrences
+    starts = F.sequence(F.lit(0), F.size("toks") - L)
+    occ = F.when(
+        F.size("toks") >= L, F.size(F.filter(starts, _is_start))
+    ).otherwise(F.lit(0))
+    return (
+        d.select(F.col(id_col), occ.alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 0)
+    )
+
+
+def match_phrase_batch(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Many phrases at once via POSITIONAL postings — the Lucene-shape
+    plan: ``phrases`` is ``(phrase_id, phrase_text)``; returns
+    ``(phrase_id, doc_id, n_occurrences)`` for every match.
+
+    Scale shape: tokens posexplode into ``(term, doc, positions)``
+    postings only AFTER a broadcast semi-join against the (tiny)
+    phrase-term set, so the positions shuffle carries matching terms
+    only; each phrase then intersects its terms' position arrays
+    shifted by the term's offset (``array_intersect`` of
+    ``pos(term_j) - j``) — occurrence starts survive every
+    intersection.  One narrow shuffle keyed on doc, all JVM.
+    """
+    split_terms = F.split(F.trim(F.col("phrase_text")), r"\s+")
+    pterm = phrases.select(
+        "phrase_id", F.posexplode(split_terms).alias("offset", "term")
+    ).where(F.col("term") != "")
+    term_set = pterm.select("term").distinct()
+
+    pos_lists = (
+        docs.select(F.col(id_col), F.posexplode(_tokens_col(text_col)).alias("pos", "term"))
+        .join(F.broadcast(term_set), "term")
+        .groupBy(id_col, "term")
+        .agg(F.array_sort(F.collect_list("pos")).alias("poss"))
+        .groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("term", "poss"))).alias("tpos"))
+    )
+    # per (phrase, doc): starts = ∩_j (positions(term_j) − j); a term
+    # absent from the doc yields NULL → coalesce to empty → no match
+    shifted = (
+        pos_lists.crossJoin(F.broadcast(pterm))
+        .select(
+            id_col,
+            "phrase_id",
+            "offset",
+            F.transform(
+                # try_element_at: ANSI-safe NULL (not error) on a term
+                # the doc does not contain
+                F.coalesce(
+                    F.try_element_at(F.col("tpos"), F.col("term")),
+                    F.array().cast("array<int>"),
+                ),
+                lambda p: p - F.col("offset"),
+            ).alias("starts_j"),
+        )
+    )
+    starts = (
+        shifted.groupBy("phrase_id", id_col)
+        .agg(
+            F.aggregate(
+                F.collect_list("starts_j"),
+                F.lit(None).cast("array<int>"),
+                lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                    F.array_intersect(acc, x)
+                ),
+            ).alias("starts")
+        )
+    )
+    return (
+        starts.select(
+            "phrase_id", id_col, F.size("starts").alias("n_occurrences")
+        )
+        .where(F.col("n_occurrences") > 0)
+    )
+
+
+def q_corpus_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): ``match_phrase`` occurrence counts
+    for the fixed demo bigram, ordered by doc_id."""
+    return phrase_occurrences(
+        load(spark, sf_dir, "documents"), DEFAULT_PHRASE
+    ).orderBy("doc_id")
