@@ -2916,17 +2916,23 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10
     """
 
-    # corpus_highlight: snippets via locate/substr/replace — every
+    # corpus_highlight: snippets via strpos/substr/concat — every
     # string primitive has identical 1-based + clamping semantics in
-    # DuckDB (strpos/substr/replace), so the rendered bytes match
+    # DuckDB, so the rendered bytes match.  Token-boundary anchor
+    # (VERDICT r08 #1): locate ' '||t||' ' in ' '||text||' ' — the
+    # padded 1-based hit position IS the token's char start in the
+    # original text — then splice <em> by position (pre‖tag‖post),
+    # mirroring retrieval.highlight exactly
     W = 30  # context chars either side (retrieval.highlight default)
     frags = []
     for t in terms:
-        pos = f"strpos(text, '{t}')"
+        pos = f"strpos(' ' || text || ' ', ' {t} ')"
         start = f"greatest(1, {pos} - {W})"
         frags.append(
-            f"CASE WHEN {pos} > 0 THEN replace(substr(text, {start},"
-            f" ({pos} - {start}) + {len(t) + W}), '{t}', '<em>{t}</em>') END"
+            f"CASE WHEN {pos} > 0 THEN"
+            f" substr(text, {start}, {pos} - {start})"
+            f" || '<em>{t}</em>'"
+            f" || substr(text, {pos} + {len(t)}, {W}) END"
         )
     frag_list = ",\n               ".join(frags)
     q["corpus_highlight"] = f"""

@@ -1033,6 +1033,85 @@ def test_highlight_renders_window_and_tags(spark):
     assert pre == "x" * 9 + " "
 
 
+def test_highlight_never_anchors_on_partial_token(spark):
+    """Token-boundary pin (VERDICT r08 What's wrong #1): querying
+    'dup' must NOT anchor a snippet inside 'duplicate' — the locator
+    matches whole whitespace tokens, exactly like the BM25 scorer."""
+    from dump_es_parquet_spark.operators.retrieval import highlight
+
+    d = spark.createDataFrame(
+        [
+            # 'dup' only as a substring → doc scores 0, no snippet row
+            (1, "duplicate rows need a dedup pass over duplicates"),
+            # substring occurrence FIRST, whole token later: the
+            # snippet must anchor on the whole token, not 'duplicate'
+            (2, "duplicate detection uses dup marks for speed"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = highlight(d, "dup", k=5, window=8).collect()
+    assert [r.doc_id for r in rows] == [2]
+    frag = rows[0].highlights
+    # anchored on the whole token: 8 chars of context before 'dup'
+    # come from '...n uses ' — never the 'duplicate' prefix
+    assert frag == "on uses <em>dup</em> marks f"
+
+
+def test_match_phrase_batch_matches_single_path(spark, sf_dir):
+    """The positional-postings batch path returns exactly the single
+    zero-shuffle path's (doc, count) set per phrase — including a
+    reversed bigram (different result set) and an absent-term phrase
+    (empty, pruned before any array work)."""
+    from dump_es_parquet_spark.operators.retrieval import (
+        DEFAULT_PHRASE,
+        match_phrase_batch,
+        phrase_occurrences,
+    )
+    from dump_es_parquet_spark.operators.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        [
+            (0, DEFAULT_PHRASE),
+            (1, "hash table"),
+            (2, "table hash zz_not_a_token"),
+        ],
+        "phrase_id long, phrase_text string",
+    )
+    got = match_phrase_batch(docs, phrases).collect()
+    by_phrase = {}
+    for r in got:
+        by_phrase.setdefault(r.phrase_id, {})[r.doc_id] = r.n_occurrences
+    for pid, phrase in [(0, DEFAULT_PHRASE), (1, "hash table")]:
+        want = {
+            r.doc_id: r.n_occurrences
+            for r in phrase_occurrences(docs, phrase).collect()
+        }
+        assert by_phrase.get(pid, {}) == want and want
+    # a phrase containing a term absent from the corpus matches nothing
+    assert 2 not in by_phrase
+
+
+def test_match_phrase_batch_repeated_term_and_short_docs(spark):
+    """Edge pins: a phrase with a REPEATED term ('a b a') needs the
+    same posting joined at two offsets; docs shorter than the phrase
+    can never match; overlapping occurrences all count."""
+    from dump_es_parquet_spark.operators.retrieval import match_phrase_batch
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # 'a b a' starts at 0 and 2 → 2
+            (2, "a b"),          # shorter than the phrase
+            (3, "b a a b a"),   # one start (index 2)
+            (4, "c c c"),        # shares no term
+        ],
+        "doc_id long, text string",
+    )
+    p = spark.createDataFrame([(0, "a b a")], "phrase_id long, phrase_text string")
+    got = {r.doc_id: r.n_occurrences for r in match_phrase_batch(d, p).collect()}
+    assert got == {1: 2, 3: 1}
+
+
 # — Bloom-prefilter decontamination (operators/spans.py) —
 
 
