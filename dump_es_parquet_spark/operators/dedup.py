@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -262,8 +262,19 @@ def minhash_band_table(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band", "b.bhash")
 
 
+#: Default intra-bucket expansion cap for the banded candidate
+#: generators. A colliding bucket this large is boilerplate by
+#: definition (identical empty/template content hashing to one
+#: signature); above it, pair expansion degrades to a linear star
+#: anchored at the bucket's minimum id instead of quadratic all-pairs.
+MAX_BUCKET = 4096
+
+
 def minhash_lsh_pairs_for(
-    d: DataFrame, threshold: float = 0.7, barrier=_lazy_barrier
+    d: DataFrame,
+    threshold: float = 0.7,
+    barrier=_lazy_barrier,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Core of ``minhash_lsh_pairs`` over any ``(doc_id, text)``
     frame — shared by the query entry point and ``dedup_corpus``, so
@@ -277,16 +288,20 @@ def minhash_lsh_pairs_for(
     the band table (no self-join, nothing to cache), and candidate
     work is Σ|bucket|² over *colliding* buckets only, which is the
     LSH contract. A degenerate hot bucket (e.g. a corpus of empty
-    texts all hashing identically) would make one task quadratic —
-    that is a property of the signature, not the plan; cap upstream
-    by filtering empty/boilerplate docs before dedup."""
+    texts all hashing identically) is bounded IN the operator
+    (VERDICT r08 Next #3): buckets above ``max_bucket`` degrade to a
+    linear star expansion — see :func:`_verified_band_pairs`."""
     sig = minhash_signatures(d, barrier)
     bands = minhash_band_table(sig)
-    return _verified_band_pairs(d, bands, threshold, barrier)
+    return _verified_band_pairs(d, bands, threshold, barrier, max_bucket)
 
 
 def minhash_lsh_pairs_from_store(
-    d: DataFrame, store_path: str, threshold: float = 0.7, barrier=_lazy_barrier
+    d: DataFrame,
+    store_path: str,
+    threshold: float = 0.7,
+    barrier=_lazy_barrier,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Identical verified pairs to :func:`minhash_lsh_pairs_for`, with
     band collisions read from the PERSISTED signature store
@@ -301,14 +316,32 @@ def minhash_lsh_pairs_from_store(
     bands = (
         d.sparkSession.read.parquet(store_path).select("doc_id", "band", "bhash")
     )
-    return _verified_band_pairs(d, bands, threshold, barrier)
+    return _verified_band_pairs(d, bands, threshold, barrier, max_bucket)
 
 
 def _verified_band_pairs(
-    d: DataFrame, bands: DataFrame, threshold: float, barrier
+    d: DataFrame,
+    bands: DataFrame,
+    threshold: float,
+    barrier,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Band table → collision candidates → exact-Jaccard verified
-    pairs: the shared tail of the recompute and store-backed paths."""
+    pairs: the shared tail of the recompute and store-backed paths.
+
+    Degenerate-bucket guard (VERDICT r08 Next #3): a bucket larger
+    than ``max_bucket`` is boilerplate by construction (that many
+    docs sharing a band signature means identical/near-identical
+    template content), and its all-pairs expansion would be Σ|bucket|²
+    work inside ONE task. Such buckets degrade to a STAR expansion —
+    the bucket's minimum id pairs with every other member, |bucket|−1
+    pairs, evaluated lazily per row (Spark's ``If`` runs only the
+    taken branch). Identical-content buckets — the only realistic way
+    to get one — lose nothing: every member verifies against the
+    anchor at Jaccard 1, so transitive collapse rebuilds the full
+    duplicate cluster. For a MIXED oversized bucket, pair recall
+    within that bucket is anchored (non-exhaustive) — the documented
+    tradeoff, instead of a quadratic task or a silent drop."""
     buckets = (
         bands.groupBy("band", "bhash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -317,7 +350,7 @@ def _verified_band_pairs(
     # ids are sorted, so pairing each element with its successors
     # yields exactly the id_a < id_b pairs the old self-join produced;
     # distinct() dedups pairs colliding in more than one band.
-    pair_structs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             "ids",
             lambda x, i: F.transform(
@@ -325,6 +358,16 @@ def _verified_band_pairs(
                 lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
             ),
         )
+    )
+    # star fallback: ids[0] (the minimum — ids are sorted) × the rest
+    star_pairs = F.transform(
+        F.slice(F.col("ids"), 2, F.size("ids")),
+        lambda y: F.struct(
+            F.element_at(F.col("ids"), 1).alias("id_a"), y.alias("id_b")
+        ),
+    )
+    pair_structs = F.when(F.size("ids") <= max_bucket, all_pairs).otherwise(
+        star_pairs
     )
     cand = (
         buckets.select(F.explode(pair_structs).alias("p"))
@@ -586,7 +629,10 @@ def simhash_pairs(
 
 
 def simhash_pairs_for(
-    d: DataFrame, max_hamming: int = 1, barrier=_lazy_barrier
+    d: DataFrame,
+    max_hamming: int = 1,
+    barrier=_lazy_barrier,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """``simhash_pairs`` over a caller-supplied (doc_id, text) frame —
     the form ``dedup_corpus`` composes with transitive collapse.
@@ -603,10 +649,17 @@ def simhash_pairs_for(
     which is why the array expansion wins THERE. Pushing the
     ``bit_count`` predicate into the join itself (improvement over the
     r04 plan) means only true near-dup rows ever reach the distinct,
-    not every band collision."""
+    not every band collision.
+
+    Note on ``max_bucket`` in a DENSE band space: the cap is a
+    degenerate-content backstop, not a tuning knob — at corpora where
+    the AVERAGE bucket (≈ n/256 here) approaches ``max_bucket``, the
+    right move is more/wider bands (raise ``SIMHASH_BITS``/
+    ``SIMHASH_BANDS``), because Σ|bucket|² is heading quadratic with
+    or without the cap."""
     sigs = simhash_signatures(d, barrier=barrier)
     return hamming_band_pairs(sigs, "simhash", SIMHASH_BITS, SIMHASH_BANDS,
-                              max_hamming)
+                              max_hamming, max_bucket)
 
 
 def hamming_band_pairs(
@@ -615,6 +668,7 @@ def hamming_band_pairs(
     bits: int = SIMHASH_BITS,
     bands: int = SIMHASH_BANDS,
     max_hamming: int = 1,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Generic banded hamming join over ANY ``(doc_id, <sig_col>)``
     signature frame — the candidate machinery of ``simhash_pairs_for``
@@ -625,7 +679,21 @@ def hamming_band_pairs(
     band, so ``max_hamming ≤ bands−1`` misses no pair vs the O(n²)
     plan. The exact ``bit_count`` verify is pushed INTO the join
     condition (see ``simhash_pairs_for`` for why this beats intra-
-    bucket array expansion in SimHash's dense band space)."""
+    bucket array expansion in SimHash's dense band space).
+
+    Degenerate-bucket guard (VERDICT r08 Next #3, same contract as
+    ``_verified_band_pairs``): the SMJ streams a hot (band, bval) key
+    as |bucket|² probe comparisons, so a bucket above ``max_bucket``
+    is degraded to a STAR — only its minimum-id row stays on the
+    probe (x) side, giving |bucket|−1 comparisons. The bucket stats
+    are a map-side-combined aggregate (shuffle volume ≈ #buckets, not
+    the band table) whose oversized survivors — rare by definition —
+    broadcast back onto the probe side, so the guard never re-shuffles
+    corpus-sized data. Identical-signature buckets still yield full
+    clusters via the anchor (every member pairs with the min at
+    hamming 0), and a pair missed in one mixed oversized bucket is
+    still found via any other shared band that stayed under the
+    cap."""
     band_w = bits // bands
     banded = sigs.select(
         "doc_id",
@@ -644,7 +712,18 @@ def hamming_band_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "_sig", "b.band", "b.bval")
-    x, y = banded.alias("x"), banded.alias("y")
+    oversized = (
+        banded.groupBy("band", "bval")
+        .agg(F.count("*").alias("_bsz"), F.min("doc_id").alias("_bmin"))
+        .filter(F.col("_bsz") > max_bucket)
+    )
+    x = (
+        banded.join(F.broadcast(oversized), ["band", "bval"], "left")
+        .filter(F.col("_bmin").isNull() | (F.col("doc_id") == F.col("_bmin")))
+        .drop("_bsz", "_bmin")
+        .alias("x")
+    )
+    y = banded.alias("y")
     hamming = F.bit_count(F.col("x._sig").bitwiseXOR(F.col("y._sig")))
     return (
         x.join(
@@ -946,6 +1025,7 @@ def dedup_corpus(
     n_cells: int = 8,
     nprobe: int = 2,
     band_store: str | None = None,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """User-facing dedup: returns the corpus with duplicates REMOVED
     (keep the smallest id per duplicate group).
@@ -1003,7 +1083,7 @@ def dedup_corpus(
         d = d.withColumnRenamed(id_col, internal)
     labels = _strategy_min_labels(
         d, strategy, threshold, max_hamming, candidates, n_cells, nprobe,
-        band_store=band_store,
+        band_store=band_store, max_bucket=max_bucket,
     )
     dup_ids = labels.filter(F.col("label") != F.col("node")).select(
         F.col("node").alias(internal)
@@ -1021,6 +1101,7 @@ def _strategy_min_labels(
     n_cells: int,
     nprobe: int,
     band_store: str | None = None,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Verified near-dup pairs for a strategy, collapsed to component
     min-labels — the shared core of ``dedup_corpus`` (drop non-
@@ -1040,14 +1121,19 @@ def _strategy_min_labels(
         if strategy == "minhash":
             if band_store is not None:
                 raw = minhash_lsh_pairs_from_store(
-                    _par(d), band_store, threshold, barrier=_scoped
+                    _par(d), band_store, threshold, barrier=_scoped,
+                    max_bucket=max_bucket,
                 )
             else:
-                raw = minhash_lsh_pairs_for(_par(d), threshold, barrier=_scoped)
+                raw = minhash_lsh_pairs_for(
+                    _par(d), threshold, barrier=_scoped, max_bucket=max_bucket
+                )
         elif strategy == "ngram":
             raw = ngram_jaccard_pairs_for(_par(d), threshold, barrier=_scoped)
         elif strategy == "simhash":
-            raw = simhash_pairs_for(_par(d), max_hamming, barrier=_scoped)
+            raw = simhash_pairs_for(
+                _par(d), max_hamming, barrier=_scoped, max_bucket=max_bucket
+            )
         else:
             cents_rows = None
             if candidates == "ivf":
@@ -1085,6 +1171,7 @@ def near_dup_clusters(
     n_cells: int = 8,
     nprobe: int = 2,
     band_store: str | None = None,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Full duplicate-cluster mapping: ``(id_col, cluster_id)`` for
     EVERY document — ``cluster_id`` is the component's minimum id
@@ -1114,7 +1201,7 @@ def near_dup_clusters(
         d = d.withColumnRenamed(id_col, internal)
     labels = _strategy_min_labels(
         d, strategy, threshold, max_hamming, candidates, n_cells, nprobe,
-        band_store=band_store,
+        band_store=band_store, max_bucket=max_bucket,
     )
     out = (
         d.join(labels.withColumnRenamed("node", internal), internal, "left")

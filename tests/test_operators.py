@@ -191,6 +191,54 @@ def test_dedup_corpus_simhash(spark):
     assert persisted_ids() - before == set()
 
 
+def test_degenerate_bucket_guard_bounds_pair_expansion(spark):
+    """VERDICT r08 Next #3: a corpus of ALL-IDENTICAL texts collides
+    into one bucket per band; above ``max_bucket`` both banded
+    candidate generators must degrade to the linear STAR expansion
+    (|bucket|−1 anchor pairs, never |bucket|² all-pairs) — and the
+    identical-content cluster still collapses fully through the
+    anchor, so dedup keeps exactly one document."""
+    from dump_es_parquet_spark.operators.dedup import (
+        dedup_corpus,
+        minhash_lsh_pairs_for,
+        simhash_pairs_for,
+    )
+
+    n = 300
+    rows = [(i, "the exact same boilerplate text in every document") for i in range(n)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mh = minhash_lsh_pairs_for(d, max_bucket=10).collect()
+    assert len(mh) == n - 1  # star, not (n choose 2) = 44 850
+    assert all(r.id_a == 0 and r.jaccard == 1.0 for r in mh)
+
+    sh = simhash_pairs_for(d, max_bucket=10).collect()
+    assert len(sh) == n - 1
+    assert all(r.id_a == 0 and r.hamming == 0 for r in sh)
+
+    # the star edges alone still collapse the whole cluster
+    for strategy in ("minhash", "simhash"):
+        kept = dedup_corpus(d, strategy, max_bucket=10).select("doc_id").collect()
+        assert [r.doc_id for r in kept] == [0]
+
+
+def test_bucket_guard_identity_on_normal_corpus(spark, sf_dir):
+    """With the default cap, real testdata has no oversized buckets:
+    guarded output must be row-identical to an effectively-uncapped
+    run for both generators."""
+    from dump_es_parquet_spark.operators.dedup import (
+        minhash_lsh_pairs_for,
+        simhash_pairs_for,
+    )
+    from dump_es_parquet_spark.operators.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    for fn in (minhash_lsh_pairs_for, simhash_pairs_for):
+        capped = sorted(map(tuple, fn(docs).collect()))
+        uncapped = sorted(map(tuple, fn(docs, max_bucket=1 << 40).collect()))
+        assert capped == uncapped and capped
+
+
 def test_simhash_null_text_hashes_to_zero(spark):
     """NULL-text docs must hash to 0 (the pre-round-8 per-bit-fold
     contract): all null docs collide at hamming 0 and dedup together.

@@ -111,7 +111,11 @@ PINNED_FINGERPRINTS = {
     "corpus_triplets": {"exchange": 7, "bhj": 5, "bnlj": 1},
     "split_contamination": {"exchange": 5, "bhj": 7},
     "dedup_ngram_jaccard": {"exchange": 5, "bhj": 5},
-    "dedup_simhash": {"exchange": 2, "bhj": 1},
+    # round-9: +1 exchange (map-side-combined bucket-size agg, volume
+    # ≈ #buckets) and +1 bhj (broadcast of the — typically empty —
+    # oversized-bucket stats) from the degenerate-bucket guard
+    # (VERDICT r08 Next #3)
+    "dedup_simhash": {"exchange": 3, "bhj": 2},
     "dedup_minhash_lsh": {"exchange": 3, "bhj": 2},
     "corpus_packing": {"exchange": 2, "bhj": 1},
     "q21_waiting_supplier_shape": {"exchange": 7, "bhj": 3, "smj": 1},
