@@ -279,6 +279,29 @@ def binary_dup_clusters(
     )
 
 
+#: Planted-clone id shift shared by both audit query forms. The
+#: oracle SQL hard-codes the same constant, so it must stay static —
+#: ``_checked_clone_offset`` makes a corpus that would collide with it
+#: fail LOUDLY instead of corrupting the audits' a/b id-range filters.
+CLONE_OFFSET = 1_000_000
+
+
+def _checked_clone_offset(base: DataFrame) -> int:
+    """Assert the corpus' ids fit strictly below :data:`CLONE_OFFSET`
+    (ADVICE r08): a doc_id ≥ the offset would silently land in the
+    clone id-range and corrupt the planted-pair partition filters.
+    The max() is a single-row agg answered from parquet column stats
+    — negligible next to the audit's cluster machinery."""
+    max_id = base.agg(F.max("doc_id")).first()[0] or 0
+    if max_id >= CLONE_OFFSET:
+        raise ValueError(
+            f"planted-clone audit requires max(doc_id) < {CLONE_OFFSET}, "
+            f"got {max_id}: raise CLONE_OFFSET (and the audits' oracle "
+            "SQL, which pins the same constant) for this corpus"
+        )
+    return CLONE_OFFSET
+
+
 def binary_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query form (oracle-checked): planted-clone audit of
     ``binary_dup_clusters`` — the multimodal counterpart of the text
@@ -296,21 +319,22 @@ def binary_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     min label, never split the planted pair — both invariants stay
     deterministic."""
     base = load(spark, sf_dir, "documents")
+    off = _checked_clone_offset(base)
     clones = base.where(F.col("doc_id") % 50 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1_000_000
+        "doc_id", F.col("doc_id") + F.lit(off)
     )
     d = with_binary_payload(base.unionByName(clones))
     labels = binary_dup_clusters(d, max_hamming=0)
     a = labels.where(
-        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < CLONE_OFFSET)
     ).select(
         F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("cl_a")
     )
-    b = labels.where(F.col("doc_id") >= 1_000_000).select(
+    b = labels.where(F.col("doc_id") >= CLONE_OFFSET).select(
         F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("cl_b")
     )
     return (
-        a.join(b, F.col("id_b") == F.col("id_a") + 1_000_000)
+        a.join(b, F.col("id_b") == F.col("id_a") + CLONE_OFFSET)
         .select(
             "id_a",
             "id_b",
@@ -345,8 +369,9 @@ def binary_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 0) -> D
     from dump_es_parquet_spark.operators.dedup import hamming_band_pairs
 
     base = load(spark, sf_dir, "documents")
+    off = _checked_clone_offset(base)
     clones = base.where(F.col("doc_id") % 50 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1_000_000
+        "doc_id", F.col("doc_id") + F.lit(off)
     )
     d = with_binary_payload(base.unionByName(clones))
     # lineage cut: sigs feeds both sides of the banded self-join AND
@@ -358,8 +383,8 @@ def binary_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 0) -> D
                                max_hamming=max_hamming)
     a, b = sigs.alias("a"), sigs.alias("b")
     planted = (
-        a.where((F.col("a.doc_id") % 50 == 0) & (F.col("a.doc_id") < 1_000_000))
-        .join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1_000_000)
+        a.where((F.col("a.doc_id") % 50 == 0) & (F.col("a.doc_id") < CLONE_OFFSET))
+        .join(b, F.col("b.doc_id") == F.col("a.doc_id") + CLONE_OFFSET)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
