@@ -428,9 +428,6 @@ def _stream_batch_equiv(spark, sf_dir):
 #                           deterministic hash-ring negatives
 #   corpus_decontaminate  — benchmark decontamination (GPT-3-style
 #                           shared-k-gram rule vs a held-out set)
-#   corpus_decontaminate_bloom — the same rule for benchmark sets too
-#                           big to broadcast raw: one-row Bloom bitmap
-#                           prefilter + exact verify (identical rows)
 #   events_compact_latest — snapshot compaction (last-write-wins via
 #                           max_by partial agg, not a window sort)
 #   corpus_source_cap     — per-domain/source document cap (unbiased
@@ -462,7 +459,6 @@ DEMOTED: frozenset[str] = frozenset(
         "text_vocab",
         "corpus_triplets",
         "corpus_decontaminate",
-        "corpus_decontaminate_bloom",
         "dedup_spans",
         "corpus_mix",
         "corpus_shuffle",
@@ -550,37 +546,48 @@ DEMOTED: frozenset[str] = frozenset(
         #       q11/q18/q22 keep agg-subquery shapes declared
         "q2_min_price_part",
         "q15_top_supplier",
-        # sink_csv_roundtrip / sink_ndjson_roundtrip — the csv/ndjson
-        #     writers' cross-engine rows (round 8): Spark digests the
-        #     source frame, the oracle digests the files the query just
-        #     wrote via read_csv/read_json — closing the last
-        #     pytest-only sink gap (VERDICT r07 What's missing #3)
+        # sink_csv_roundtrip / sink_jsonl_roundtrip — the csv and
+        #     gzip-jsonl writers' cross-engine rows (round 8): Spark
+        #     digests the source frame, the oracle digests the files
+        #     the query just wrote via read_csv/read_json. The ndjson
+        #     sibling is DECLARED since round 9, keeping the sink
+        #     round-trip family in the driver gate
         "sink_csv_roundtrip",
-        "sink_ndjson_roundtrip",
         "sink_jsonl_roundtrip",
         # mm_binary_near_dup — planted-duplicate recovery via the
         #     generic banded hamming join on REAL pure-numpy dHash
         #     signatures (brightness-invariant, shift-tolerant; only
         #     the bytes→pixel decode remains the documented stub slot)
         "mm_binary_near_dup",
-        # mm_binary_clusters — planted-clone audit of the multimodal
-        #     cluster mapping (binary_dup_clusters): same-cluster +
-        #     canonical-min invariants per planted pair, deterministic
-        #     even though the dHash itself is not SQL-expressible
-        "mm_binary_clusters",
         # corpus_bm25 / corpus_hybrid_rrf are DECLARED (promoted in the
         # same round they landed — strict-clean at three scale factors;
         # q2/q15 rotated out above in exchange).
-        # corpus_highlight — ES highlight parity on the BM25 top-10:
-        #     snippet strings rendered with locate/substr/replace only
-        #     (identical 1-based/clamping semantics in DuckDB), so the
-        #     oracle compares the rendered <em>-tagged bytes exactly
-        "corpus_highlight",
-        # corpus_match_phrase — ES match_phrase (slop 0): consecutive-
-        #     token occurrence counts, shuffle-free single-phrase path
-        #     (the positional-postings batch path is pytest-pinned
-        #     equal to it)
-        "corpus_match_phrase",
+        # Rotated OUT of the declared 50 in round 9 so the gate carries
+        # the round-8 verification surface it could not previously see
+        # (corpus_match_phrase, corpus_highlight, mm_binary_clusters,
+        # corpus_decontaminate_bloom, sink_ndjson_roundtrip — VERDICT
+        # r08 Next #1). Each has a declared sibling keeping its
+        # operator family in the gate:
+        #   q22_idle_customers — NOT-EXISTS anti-join + scalar-avg
+        #       subquery; semi_anti_join keeps the semi/anti shuffle
+        #       family declared, q18 keeps agg-subquery shapes
+        #   q11_important_parts — correlated HAVING-fraction subquery;
+        #       q18's grouped-having IN-subquery keeps the shape
+        #   events_json — get_json_object/from_json extraction
+        #       battery; dump_roundtrip's from_json coercion chain IS
+        #       the declared JSON surface (ops #11-18), events_hourly
+        #       keeps the events scan declared
+        #   text_lang_id — n-gram-heuristic language classification;
+        #       text_quality keeps the regexp-classification chain
+        #       declared (same stopword/ratio machinery)
+        #   sim_ann_lsh — random-hyperplane sign-LSH over a literal
+        #       plane set; sim_ann_hyperplane keeps the identical
+        #       sign-sketch surface declared
+        "q22_idle_customers",
+        "q11_important_parts",
+        "events_json",
+        "text_lang_id",
+        "sim_ann_lsh",
     }
 )
 

@@ -88,6 +88,13 @@ def main() -> int:
         # and a late query pays the cleanup in ITS timed window
         # (observed: dedup_minhash_lsh 1.95s run 1, 6s runs 2-3 right
         # after the ngram warm-ups).
+        # clearCache additionally drops SQL-cache entries (.cache()
+        # inside query forms registers by canonicalized plan and
+        # OUTLIVES the frame) — without it a 112-query session
+        # accumulates storage-memory pressure that shows up as driver-
+        # run outliers (dedup_minhash_lsh 3.41s driver vs 1.02s local,
+        # VERDICT r08 Next #5).
+        spark.catalog.clearCache()
         gc.collect()
 
     # After the sweep, each query runs 3x warm; steady-state is the
@@ -133,6 +140,13 @@ def main() -> int:
         except Exception as e:
             out[name] = cold[name] = -1.0
             print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+        finally:
+            # between QUERIES only (never between a query's own runs,
+            # which legitimately share plan-keyed cache entries): a
+            # long session must not carry one query's cached blocks
+            # into the next query's timed window — see warm-up loop
+            spark.catalog.clearCache()
+            gc.collect()
 
     # the ONE stdout line (everything else goes to stderr), flushed
     # before spark.stop() so a slow JVM teardown can't truncate it.

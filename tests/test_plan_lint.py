@@ -145,6 +145,19 @@ PINNED_FINGERPRINTS = {
     # round-8 explode-unpivot keeps the sketch pipeline in the plan
     # ONCE (the per-metric union form measured exchange=36).
     "sketch_error_bounds": {"exchange": 14, "bhj": 1, "bnlj": 7},
+    # round-9 pins: the promoted retrieval/multimodal/decontamination
+    # surface (VERDICT r08 Next #1/#7). corpus_bm25's empty
+    # fingerprint IS the selling point — the scoring pass is a pure
+    # projection + TakeOrderedAndProject, zero shuffles, zero joins
+    # (the df/N stats pass is a separate bounded-collect job).
+    "corpus_bm25": {},
+    # the single exchange is the oracle-determinism orderBy(doc_id) —
+    # the occurrence-count scan itself is shuffle-free
+    "corpus_match_phrase": {"exchange": 1},
+    # top-k broadcast back over one extra corpus scan + final sort
+    "corpus_highlight": {"exchange": 1, "bhj": 1},
+    "mm_binary_clusters": {"exchange": 6, "smj": 3},
+    "corpus_decontaminate_bloom": {"exchange": 7, "bhj": 2, "bnlj": 1},
 }
 
 
