@@ -562,6 +562,16 @@ DEMOTED: frozenset[str] = frozenset(
         # corpus_bm25 / corpus_hybrid_rrf are DECLARED (promoted in the
         # same round they landed — strict-clean at three scale factors;
         # q2/q15 rotated out above in exchange).
+        # corpus_significant_terms — ES significant_terms aggregation
+        #     (JLH, superset background) landed in round 9: one
+        #     word-count-shaped shuffle + 1-row broadcast sizes;
+        #     demoted-green pending the next rotation window
+        "corpus_significant_terms",
+        # corpus_more_like_this — ES more_like_this (round 9): top
+        #     tf×idf source terms → BM25 over the derived query,
+        #     source excluded; same two-scan zero-shuffle envelope as
+        #     corpus_bm25; demoted-green pending the next rotation
+        "corpus_more_like_this",
         # Rotated OUT of the declared 50 in round 9 so the gate carries
         # the round-8 verification surface it could not previously see
         # (corpus_match_phrase, corpus_highlight, mm_binary_clusters,
@@ -734,6 +744,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hybrid_rrf": _mod("retrieval", "q_corpus_hybrid_rrf"),
         "corpus_highlight": _mod("retrieval", "q_corpus_highlight"),
         "corpus_match_phrase": _mod("retrieval", "q_corpus_match_phrase"),
+        "corpus_significant_terms": _mod(
+            "retrieval", "q_corpus_significant_terms"
+        ),
+        "corpus_more_like_this": _mod("retrieval", "q_corpus_more_like_this"),
     }
 
 
@@ -2968,6 +2982,69 @@ def _all_oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, n_occurrences FROM occ
         WHERE n_occurrences > 0 ORDER BY doc_id
+    """
+
+    # corpus_significant_terms: ES significant_terms (JLH heuristic,
+    # superset background) — per-doc DISTINCT term presence counts
+    # split fg/total, scored with the SAME parenthesized double tree
+    # as the Spark side over exact-long inputs (retrieval.py,
+    # significant_terms), so the floored micro-scores hash-match
+    q["corpus_significant_terms"] = f"""
+        WITH t AS (SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS fg,
+                          list_distinct({_TOKS}) AS toks
+                   FROM documents),
+        sizes AS (SELECT CAST(sum(fg) AS BIGINT) AS fg_docs,
+                         CAST(count(*) AS BIGINT) AS n_docs FROM t),
+        terms AS (SELECT term,
+                         CAST(sum(fg) AS BIGINT) AS fg_df,
+                         CAST(count(*) AS BIGINT) AS df
+                  FROM (SELECT fg, unnest(toks) AS term FROM t)
+                  GROUP BY term HAVING sum(fg) >= 3)
+        SELECT term, fg_df, df,
+               CAST(floor(1e6 * (((fg_df / fg_docs) - (df / n_docs))
+                    * ((fg_df / fg_docs) / (df / n_docs)))) AS BIGINT)
+                   AS score_micro
+        FROM terms, sizes
+        ORDER BY score_micro DESC, term ASC LIMIT 20
+    """
+
+    # corpus_more_like_this: ES more_like_this — the oracle re-derives
+    # the SAME query terms relationally (tf-in-source × integer
+    # idf_ppm, ties by term) and scores with the pinned BM25 micro
+    # tree (retrieval.py, more_like_this). The idf inside both the
+    # selection key and the scoring is the shared floor(1e6·ln(…)+0.5)
+    # ppm form, so selection and scores are integer-deterministic.
+    IDF = "CAST(floor(1e6 * ln(1 + (n - df + 0.5) / (df + 0.5)) + 0.5) AS BIGINT)"
+    q["corpus_more_like_this"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(len(toks)) AS BIGINT) AS tdl FROM d),
+        srctf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf_src
+                  FROM (SELECT unnest(toks) AS term FROM d WHERE doc_id = 42)
+                  WHERE term != '' GROUP BY term),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term
+                        FROM d)
+                  WHERE term IN (SELECT term FROM srctf) GROUP BY term),
+        qterms AS (SELECT s.term, {IDF} AS idf_ppm
+                   FROM srctf s JOIN dfreq USING (term), stats
+                   ORDER BY (tf_src * {IDF}) DESC, s.term ASC
+                   LIMIT 10),
+        tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                     FROM d)
+               GROUP BY doc_id, dl, term),
+        scored AS (SELECT t.doc_id, t.dl,
+                          CAST(count(*) AS BIGINT) AS n_matched,
+                          CAST(sum(CAST(floor(CAST(idf_ppm AS DOUBLE)
+                               * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+                                  * (dl / (tdl / n)))))) AS BIGINT))
+                               AS BIGINT) AS score_micro
+                   FROM tf t JOIN qterms USING (term), stats
+                   GROUP BY t.doc_id, t.dl)
+        SELECT doc_id, dl, n_matched, score_micro FROM scored
+        WHERE doc_id != 42 AND n_matched > 0
+        ORDER BY score_micro DESC, doc_id ASC LIMIT 10
     """
 
     return q

@@ -436,9 +436,13 @@ def phrase_occurrences(
 
     Single-phrase scale shape (mirrors ``bm25_topk``): no inverted
     index, no explode, ZERO shuffles — one linear scan where each doc
-    counts its phrase starts with ``F.filter`` over a start-position
-    sequence and ``element_at`` probes.  Stays in whole-stage codegen;
-    100 TB cost is the parquet scan of one string column.
+    counts phrase starts by ``arrays_zip``-ing ``L`` shifted slices of
+    its token array (position ``i`` of the zip holds tokens ``i..i+L-1``)
+    and sizing an ``F.filter`` over the struct equality.  The slice/zip
+    form replaced a ``sequence``+``element_at``-probe filter that was
+    measured ~6× slower at sf0.1 (2.2 s → 0.38 s — the per-element
+    array probing left codegen; slices+zip stay vectorized).  100 TB
+    cost is the parquet scan of one string column.
     """
     terms = phrase.strip().split()
     L = len(terms)
@@ -446,19 +450,22 @@ def phrase_occurrences(
         raise ValueError("empty phrase")
     d = docs.select(F.col(id_col), _tokens_col(text_col).alias("toks"))
 
-    def _is_start(s):
-        cond = F.lit(True)
-        for j, t in enumerate(terms):
-            # element_at is 1-based; s is a 0-based start position
-            cond = cond & (F.element_at(F.col("toks"), s + j + 1) == F.lit(t))
+    # slice j (1-based start j+1) holds the phrase's j-th token for
+    # every candidate start; short docs yield empty slices (length
+    # clamped at 0) and therefore zero occurrences
+    n_starts = F.greatest(F.size("toks") - (L - 1), F.lit(0))
+    slices = [
+        F.slice(F.col("toks"), j + 1, n_starts).alias(f"t{j}") for j in range(L)
+    ]
+    zipped = F.arrays_zip(*slices)
+
+    def _match(s):
+        cond = s["t0"] == F.lit(terms[0])
+        for j, t in enumerate(terms[1:], 1):
+            cond = cond & (s[f"t{j}"] == F.lit(t))
         return cond
 
-    # guard: F.sequence(0, negative) would count DOWN, so short docs
-    # (fewer tokens than phrase terms) are pinned to zero occurrences
-    starts = F.sequence(F.lit(0), F.size("toks") - L)
-    occ = F.when(
-        F.size("toks") >= L, F.size(F.filter(starts, _is_start))
-    ).otherwise(F.lit(0))
+    occ = F.size(F.filter(zipped, _match))
     return (
         d.select(F.col(id_col), occ.alias("n_occurrences"))
         .where(F.col("n_occurrences") > 0)
@@ -537,6 +544,138 @@ def match_phrase_batch(
             "phrase_id", id_col, F.size("starts").alias("n_occurrences")
         )
         .where(F.col("n_occurrences") > 0)
+    )
+
+
+def significant_terms(
+    docs: DataFrame,
+    fg_predicate,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_fg: int = 3,
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation, lake-side: terms
+    overrepresented in a FOREGROUND document set vs the whole corpus
+    (the superset background, ES's default), scored with the JLH
+    heuristic ES defaults to — ``(fg% − bg%) × (fg% / bg%)`` — and
+    returned as the top-``k``: ``(term, fg_df, df, score_micro)``.
+    The capability users lose when an index is dumped to parquet
+    (PARITY #19 family, like BM25): "what terms characterize the
+    documents matching this filter?".
+
+    Scale shape: the word-count classic — per-doc DISTINCT terms
+    explode into one map-side-combined ``groupBy(term)`` carrying two
+    conditional counts (fg presence, total presence), so the single
+    shuffle moves one row per distinct (partition, term). The corpus/
+    foreground sizes are a one-row aggregate cross-joined back as
+    broadcast DATA (the audited 1-row family — nothing collects).
+    ``min_fg`` prunes the long tail before the top-k sort.
+
+    Cross-engine exactness: fg_df/df/sizes are exact longs; both
+    engines evaluate the SAME parenthesization ``1e6 * ((fg_df/F −
+    df/B) * ((fg_df/F) / (df/B)))`` over long→double divisions, so
+    the IEEE doubles — and the floored micro-score — match bit-form.
+    """
+    toks = F.array_distinct(_tokens_col(text_col))
+    d = docs.select(
+        F.when(fg_predicate, 1).otherwise(0).alias("fg"), toks.alias("toks")
+    )
+    sizes = d.agg(
+        F.sum("fg").cast("long").alias("fg_docs"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    terms = (
+        d.select("fg", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(
+            F.sum("fg").cast("long").alias("fg_df"),
+            F.count("*").cast("long").alias("df"),
+        )
+        .filter(F.col("fg_df") >= min_fg)
+    )
+    fgp = F.col("fg_df") / F.col("fg_docs")
+    bgp = F.col("df") / F.col("n_docs")
+    score = F.floor(F.lit(1e6) * ((fgp - bgp) * (fgp / bgp))).cast("long")
+    return (
+        terms.crossJoin(F.broadcast(sizes))
+        .select("term", "fg_df", "df", score.alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def more_like_this(
+    docs: DataFrame,
+    like_id: int,
+    k: int = 10,
+    max_terms: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``more_like_this``: documents most similar to ``like_id``.
+    ES's two-stage semantics reproduced lake-side: (1) select the
+    source doc's ``max_terms`` most *interesting* terms — highest
+    tf×idf within the source doc, ES's term-selection rule — then
+    (2) rank the corpus by BM25 over that derived query, excluding
+    the source doc: ``(doc_id, dl, n_matched, score_micro)``.
+
+    Scale shape: stage 1 collects ONE document's distinct tokens
+    (bounded) and reuses :func:`corpus_term_stats` — a single
+    map-side-combined pass yields df for every source term alongside
+    N/total_dl; selection is then pure driver arithmetic on a handful
+    of integers. Stage 2 is the zero-shuffle ``bm25_scores``
+    projection + TakeOrderedAndProject. Two linear scans total, same
+    envelope as ``bm25_topk``.
+
+    Cross-engine exactness: term selection ranks by the INTEGER
+    product ``tf × idf_ppm`` (ties: term asc) — no floats — and the
+    BM25 stage reuses the pinned micro-score tree, so the oracle can
+    re-derive the same query terms relationally and hash-match."""
+    src = (
+        docs.filter(F.col(id_col) == like_id)
+        .select(_tokens_col(text_col).alias("toks"))
+        .first()
+    )
+    if src is None:
+        raise ValueError(f"more_like_this: no document with {id_col}={like_id}")
+    tf_in_doc: dict[str, int] = {}
+    for t in src["toks"]:
+        if t:
+            tf_in_doc[t] = tf_in_doc.get(t, 0) + 1
+    terms_all = sorted(tf_in_doc)
+    n_docs, total_dl, dfs = corpus_term_stats(docs, terms_all, text_col)
+    # interestingness = tf-in-source × idf (integer ppm); rarest-and-
+    # repeated terms win, exactly ES's boostTerms-free default
+    ranked = sorted(
+        terms_all,
+        key=lambda t: (-tf_in_doc[t] * _idf_ppm(n_docs, dfs[t]), t),
+    )
+    query = " ".join(ranked[:max_terms])
+    return (
+        bm25_scores(docs, query, text_col=text_col, id_col=id_col)
+        .filter(F.col(id_col) != like_id)
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+#: fixed demo source doc for the oracle-checked query form
+MLT_DOC_ID = 42
+
+
+def q_corpus_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): the 10 documents most like doc 42
+    under ES more_like_this semantics (top-10 tf×idf source terms →
+    BM25, source excluded)."""
+    return more_like_this(load(spark, sf_dir, "documents"), MLT_DOC_ID, k=10)
+
+
+def q_corpus_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): top-20 significant terms of the
+    ``source = 'src0'`` slice vs the whole corpus."""
+    return significant_terms(
+        load(spark, sf_dir, "documents"), F.col("source") == "src0", k=20
     )
 
 

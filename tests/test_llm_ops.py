@@ -1092,6 +1092,59 @@ def test_match_phrase_batch_matches_single_path(spark, sf_dir):
     assert 2 not in by_phrase
 
 
+def test_more_like_this_selects_interesting_terms(spark):
+    """more_like_this: query terms are the source doc's top tf×idf
+    terms — a term repeated in the source AND rare in the corpus must
+    dominate ubiquitous filler; the source doc itself is excluded and
+    docs sharing the interesting term outrank docs sharing filler."""
+    from dump_es_parquet_spark.operators.retrieval import more_like_this
+
+    rows = [(42, "rareword rareword the the the")]
+    rows += [(i, "the common filler text here") for i in range(10)]
+    rows += [(90, "rareword elsewhere once"), (91, "rareword again too")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = more_like_this(d, 42, k=5, max_terms=2).collect()
+    ids = [r.doc_id for r in got]
+    assert 42 not in ids
+    # 'rareword' (tf 2, df 3) beats 'the' (tf 3, df 11) on tf×idf, so
+    # with max_terms=2 both are query terms but rareword docs score
+    # far higher than the filler docs matching only 'the'
+    assert set(ids[:2]) == {90, 91}
+    assert all(r.score_micro > 0 for r in got)
+    with pytest.raises(ValueError):
+        more_like_this(d, 9999, k=5)
+
+
+def test_significant_terms_jlh_semantics(spark):
+    """significant_terms: per-doc DISTINCT presence (a term repeated
+    inside one doc counts once), min_fg prunes, JLH ranks a term
+    concentrated in the foreground above a uniform one, and the
+    superset background can never yield fg_df > df."""
+    from dump_es_parquet_spark.operators.retrieval import significant_terms
+
+    rows = []
+    # 5 foreground docs all contain 'signal signal' (distinct-counts
+    # once) and 'common'; 15 background docs contain 'common' only
+    for i in range(5):
+        rows.append((i, "signal signal common filler%d" % i, "fg"))
+    for i in range(5, 20):
+        rows.append((i, "common filler%d" % i, "bg"))
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = significant_terms(
+        d, F.col("source") == "fg", k=10, min_fg=3
+    ).collect()
+    by_term = {r.term: r for r in got}
+    # 'signal': fg 5/5, bg 5/20 -> JLH (1 - .25) * (1/.25) = 3.0
+    assert by_term["signal"].fg_df == 5 and by_term["signal"].df == 5
+    assert by_term["signal"].score_micro == 3_000_000
+    # 'common' is uniform: fg% == bg% == 1 -> score 0
+    assert by_term["common"].score_micro == 0
+    assert got[0].term == "signal"
+    # fillers have fg_df <= 1 < min_fg: pruned
+    assert not any(t.startswith("filler") for t in by_term)
+    assert all(r.fg_df <= r.df for r in got)
+
+
 def test_match_phrase_batch_repeated_term_and_short_docs(spark):
     """Edge pins: a phrase with a REPEATED term ('a b a') needs the
     same posting joined at two offsets; docs shorter than the phrase
