@@ -595,6 +595,50 @@ def simhash_from_hashes(th, bits: int = SIMHASH_BITS):
     return F.coalesce(out, F.lit(0).cast("long"))
 
 
+def simhash_from_longs(th, bits: int = 64):
+    """SimHash from a pre-computed 64-bit-hash-per-token array column —
+    the WIDE scheme (33..64 bits) for corpora where the 32-bit default
+    runs out of band space: at 64 bits / 4 bands the band values live
+    in a 2^16 space, 256× sparser buckets than the default's 2^8 (the
+    scale guidance in ``simhash_pairs_for``'s docstring, made
+    concrete). Bit ``b`` of each token's hash votes bit ``b`` up/down;
+    one fold with a ``bits``-wide accumulator, same strict ``vote >
+    0`` tie rule and NULL→0 contract as the 32-bit form. The per-bit
+    extractors are Python-unrolled literal shifts (``bits`` is a plan
+    constant), so each token's hash is read, not re-hashed, per bit."""
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # shiftleft instead of a 1<<b literal: b=63 overflows a Python→
+    # Spark long literal, the constant-folded shift does not
+    weights = F.array(
+        *[F.shiftleft(F.lit(1).cast("long"), b) for b in range(bits)]
+    )
+    out = F.aggregate(
+        F.zip_with(
+            votes,
+            weights,
+            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    return F.coalesce(out, F.lit(0).cast("long"))
+
+
 def simhash_col(col="text", bits: int = SIMHASH_BITS):
     """Single-expression SimHash of a text column. Convenience form:
     the optimizer cannot CSE through lambda bodies, so this may hash
@@ -613,6 +657,23 @@ def simhash_signatures(
     same trick ``minhash_signatures`` uses), then the bit-vote folds
     read the cached hex strings."""
     toks = F.split(F.trim(F.col(col)), r"\s+")
+    if bits > 32:
+        if bits > 64:
+            raise ValueError("simhash width caps at 64 bits (one long)")
+        # wide scheme: one xxhash64 long per token (the md5-hex scheme
+        # only carries 32 usable digit-MSB votes); the 32-bit default
+        # stays on md5 so the DuckDB oracle mirror is unchanged
+        hashed = barrier(
+            d.select(
+                "doc_id",
+                # real lambda: xxhash64's varargs signature can't be
+                # passed to a higher-order function directly
+                F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
+            )
+        )
+        return hashed.select(
+            "doc_id", simhash_from_longs(F.col("th"), bits).alias("simhash")
+        )
     hashed = barrier(d.select("doc_id", F.transform(toks, F.md5).alias("th")))
     return hashed.select(
         "doc_id", simhash_from_hashes(F.col("th"), bits).alias("simhash")
@@ -633,6 +694,8 @@ def simhash_pairs_for(
     max_hamming: int = 1,
     barrier=_lazy_barrier,
     max_bucket: int = MAX_BUCKET,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
 ) -> DataFrame:
     """``simhash_pairs`` over a caller-supplied (doc_id, text) frame —
     the form ``dedup_corpus`` composes with transitive collapse.
@@ -653,12 +716,15 @@ def simhash_pairs_for(
 
     Note on ``max_bucket`` in a DENSE band space: the cap is a
     degenerate-content backstop, not a tuning knob — at corpora where
-    the AVERAGE bucket (≈ n/256 here) approaches ``max_bucket``, the
-    right move is more/wider bands (raise ``SIMHASH_BITS``/
-    ``SIMHASH_BANDS``), because Σ|bucket|² is heading quadratic with
-    or without the cap."""
-    sigs = simhash_signatures(d, barrier=barrier)
-    return hamming_band_pairs(sigs, "simhash", SIMHASH_BITS, SIMHASH_BANDS,
+    the AVERAGE bucket (≈ n/256 at the 32/4 default) approaches
+    ``max_bucket``, the right move is WIDER bands: pass ``bits=64``
+    (the xxhash64 wide scheme, ``simhash_from_longs``) with
+    ``bands=4`` for 16-bit band values — a 2^16 space, 256× sparser
+    buckets, same pigeonhole guarantee (hamming ≤ bands−1) — because
+    Σ|bucket|² is heading quadratic with or without the cap. The
+    32/4 default stays pinned to the DuckDB-mirrored md5 scheme."""
+    sigs = simhash_signatures(d, bits=bits, barrier=barrier)
+    return hamming_band_pairs(sigs, "simhash", bits, bands,
                               max_hamming, max_bucket)
 
 

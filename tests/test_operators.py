@@ -239,6 +239,67 @@ def test_bucket_guard_identity_on_normal_corpus(spark, sf_dir):
         assert capped == uncapped and capped
 
 
+def test_wide_simhash_64bit_scheme(spark):
+    """bits=64 wide scheme (the 100 TB band-density escape): identical
+    texts collide exactly; the banded join at 64/4 recovers EVERY pair
+    the exact O(n²) signature-hamming comparison finds (pigeonhole,
+    hamming ≤ bands−1); and 16-bit band values are strictly sparser
+    than the 32/4 default's 8-bit bands on the same corpus."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.dedup import (
+        simhash_pairs_for,
+        simhash_signatures,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    rows = [(1, base), (2, base), (3, base.replace("kappa", "lambda"))]
+    rows += [(10 + i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(30)))
+             for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r.doc_id: r.simhash
+            for r in simhash_signatures(d, bits=64).collect()}
+    assert sigs[1] == sigs[2]
+    # exact all-pairs ground truth at hamming <= 3 (= bands - 1)
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs_for(d, max_hamming=3, bits=64, bands=4).collect()
+    }
+    assert got == want and (1, 2) in got
+
+    def n_buckets(bits, bands):
+        s = simhash_signatures(d, bits=bits)
+        w = bits // bands
+        return (
+            s.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.shiftright("simhash", bi * w)
+                            .bitwiseAND(F.lit((1 << w) - 1))
+                            .alias("bval"),
+                        )
+                        for bi in range(bands)
+                    ])
+                ).alias("b")
+            )
+            .select("b.band", "b.bval")
+            .distinct()
+            .count()
+        )
+
+    assert n_buckets(64, 4) > n_buckets(32, 4)
+
+
 def test_simhash_null_text_hashes_to_zero(spark):
     """NULL-text docs must hash to 0 (the pre-round-8 per-bit-fold
     contract): all null docs collide at hamming 0 and dedup together.
