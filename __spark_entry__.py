@@ -572,6 +572,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     source excluded; same two-scan zero-shuffle envelope as
         #     corpus_bm25; demoted-green pending the next rotation
         "corpus_more_like_this",
+        # corpus_fuzzy_match — ES fuzzy query (round 9): zero-shuffle
+        #     linear scan, length-guarded classic levenshtein (the
+        #     engines-agree variant, PARITY-noted vs Lucene Damerau);
+        #     demoted-green pending the next rotation
+        "corpus_fuzzy_match",
         # Rotated OUT of the declared 50 in round 9 so the gate carries
         # the round-8 verification surface it could not previously see
         # (corpus_match_phrase, corpus_highlight, mm_binary_clusters,
@@ -748,6 +753,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "retrieval", "q_corpus_significant_terms"
         ),
         "corpus_more_like_this": _mod("retrieval", "q_corpus_more_like_this"),
+        "corpus_fuzzy_match": _mod("retrieval", "q_corpus_fuzzy_match"),
     }
 
 
@@ -3045,6 +3051,28 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT doc_id, dl, n_matched, score_micro FROM scored
         WHERE doc_id != 42 AND n_matched > 0
         ORDER BY score_micro DESC, doc_id ASC LIMIT 10
+    """
+
+    # corpus_fuzzy_match: ES fuzzy query — classic Levenshtein (the
+    # PARITY-documented stand-in for Lucene's Damerau variant: Spark
+    # and DuckDB agree exactly on the classic definition, which is
+    # what makes this row hash-checkable). Length guard mirrored so
+    # both engines filter identically.
+    q["corpus_fuzzy_match"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        m AS (SELECT doc_id,
+                     array_to_string(list_sort(list_distinct(
+                         list_filter(toks,
+                             x -> abs(len(x) - 4) <= 1
+                                  AND levenshtein(x, 'hask') <= 1))), ' ')
+                         AS matched,
+                     len(list_filter(toks,
+                         x -> abs(len(x) - 4) <= 1
+                              AND levenshtein(x, 'hask') <= 1))
+                         AS n_occurrences
+              FROM t)
+        SELECT doc_id, matched, n_occurrences FROM m
+        WHERE n_occurrences > 0 ORDER BY doc_id
     """
 
     return q

@@ -605,6 +605,67 @@ def significant_terms(
     )
 
 
+def fuzzy_term_match(
+    docs: DataFrame,
+    term: str,
+    max_edits: int = 1,
+    prefix_length: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``fuzzy`` query lake-side: documents containing a token
+    within ``max_edits`` edit distance of ``term`` — ``(doc_id,
+    matched, n_occurrences)`` with ``matched`` the sorted distinct
+    matching tokens. ``prefix_length`` mirrors ES's knob: the first
+    ``p`` chars must match exactly (Lucene's index-prune trick, here a
+    cheap guard that short-circuits the per-token distance call).
+
+    Scale shape: ZERO shuffles — one linear scan; each doc filters its
+    token array with a length guard (``|len(t) − len(term)| ≤ k``, a
+    necessary condition of edit distance ≤ k) before ``levenshtein``,
+    so the quadratic-in-token-length DP runs only on plausible tokens.
+
+    PARITY divergence (documented like the tokenizer note): classic
+    Levenshtein, not Lucene's Damerau variant — Spark has no
+    transposition-aware builtin, and DuckDB's ``levenshtein`` matches
+    Spark's exactly, which is what makes the oracle row possible. A
+    transposition therefore costs 2 edits here vs 1 in ES."""
+    if max_edits < 0:
+        raise ValueError("max_edits must be >= 0")
+    L = len(term)
+    p = min(prefix_length, L)
+
+    def _close(t):
+        cond = F.abs(F.length(t) - L) <= max_edits
+        if p:
+            cond = cond & (t.substr(1, p) == F.lit(term[:p]))
+        return cond & (F.levenshtein(t, F.lit(term)) <= max_edits)
+
+    toks = _tokens_col(text_col)
+    # space-joined (not an array column): the driver's hash gate
+    # canonicalizes rows via a pandas sort, which rejects array cells
+    matched = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.filter(toks, _close)))
+    )
+    occ = F.size(F.filter(toks, _close))
+    return (
+        docs.select(F.col(id_col), matched.alias("matched"), occ.alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 0)
+    )
+
+
+#: fixed demo fuzzy term: one edit away from the corpus' 'hash'
+FUZZY_TERM = "hask"
+
+
+def q_corpus_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): docs with a token within 1 edit of
+    'hask', ordered by doc_id."""
+    return fuzzy_term_match(
+        load(spark, sf_dir, "documents"), FUZZY_TERM, max_edits=1
+    ).orderBy("doc_id")
+
+
 def more_like_this(
     docs: DataFrame,
     like_id: int,

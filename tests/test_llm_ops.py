@@ -1092,6 +1092,39 @@ def test_match_phrase_batch_matches_single_path(spark, sf_dir):
     assert 2 not in by_phrase
 
 
+def test_fuzzy_term_match_edits_and_prefix(spark):
+    """fuzzy_term_match: classic-levenshtein radius, prefix_length
+    pins the exact-match prefix (ES's knob), occurrence counts are
+    token occurrences not doc counts, and max_edits=0 degenerates to
+    exact term match."""
+    from dump_es_parquet_spark.operators.retrieval import fuzzy_term_match
+
+    d = spark.createDataFrame(
+        [
+            (1, "hash hash hasp dash cash"),
+            (2, "mask task flask"),
+            (3, "totally unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in fuzzy_term_match(d, "hask", max_edits=1).collect()}
+    # doc 1: hash(x2) and hasp are 1 substitution from 'hask'; dash
+    # and cash need 2 (both ends differ), so they are out
+    assert got[1].n_occurrences == 3
+    assert got[1].matched == "hash hasp"
+    # doc 2: mask, task (substitution at pos 1-2); flask is 2 edits
+    assert got[2].matched == "mask task" and got[2].n_occurrences == 2
+    assert 3 not in got
+
+    # prefix_length=2: first two chars must equal 'ha' exactly
+    pre = {r.doc_id: r for r in fuzzy_term_match(
+        d, "hask", max_edits=1, prefix_length=2).collect()}
+    assert pre[1].matched == "hash hasp" and 2 not in pre
+
+    exact = fuzzy_term_match(d, "hash", max_edits=0).collect()
+    assert {(r.doc_id, r.n_occurrences) for r in exact} == {(1, 2)}
+
+
 def test_more_like_this_selects_interesting_terms(spark):
     """more_like_this: query terms are the source doc's top tf×idf
     terms — a term repeated in the source AND rare in the corpus must
