@@ -577,6 +577,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     engines-agree variant, PARITY-noted vs Lucene Damerau);
         #     demoted-green pending the next rotation
         "corpus_fuzzy_match",
+        # corpus_span_near — ES match_phrase slop / span_near in-order
+        #     (round 9): zero-shuffle greedy-minimal span scan;
+        #     demoted-green pending the next rotation
+        "corpus_span_near",
         # Rotated OUT of the declared 50 in round 9 so the gate carries
         # the round-8 verification surface it could not previously see
         # (corpus_match_phrase, corpus_highlight, mm_binary_clusters,
@@ -754,6 +758,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "corpus_more_like_this": _mod("retrieval", "q_corpus_more_like_this"),
         "corpus_fuzzy_match": _mod("retrieval", "q_corpus_fuzzy_match"),
+        "corpus_span_near": _mod("retrieval", "q_corpus_span_near"),
     }
 
 
@@ -3073,6 +3078,28 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM t)
         SELECT doc_id, matched, n_occurrences FROM m
         WHERE n_occurrences > 0 ORDER BY doc_id
+    """
+
+    # corpus_span_near: ES match_phrase slop=1 / span_near in-order —
+    # greedy-minimal assignment mirrored exactly: 1-based positions in
+    # SQL vs 0-based in Spark cancel in the (end − p) span width.
+    # list_min over an empty filter is NULL in both engines, so a
+    # missing later term drops the start the same way.
+    q["corpus_span_near"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        pos AS (SELECT doc_id,
+                  [x FOR x IN range(1, len(t) + 1)
+                     IF t[x] = 'table'] AS p1,
+                  [x FOR x IN range(1, len(t) + 1)
+                     IF t[x] = 'hash'] AS p2
+                FROM t),
+        occ AS (SELECT doc_id,
+                  len(list_filter(p1, p ->
+                      list_min(list_filter(p2, q2 -> q2 > p)) - p <= 2))
+                      AS n_spans
+                FROM pos)
+        SELECT doc_id, n_spans FROM occ
+        WHERE n_spans > 0 ORDER BY doc_id
     """
 
     return q

@@ -472,6 +472,77 @@ def phrase_occurrences(
     )
 
 
+def span_near_occurrences(
+    docs: DataFrame,
+    phrase: str = DEFAULT_PHRASE,
+    slop: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``match_phrase`` with ``slop`` / ``span_near(in_order=true)``:
+    documents where the phrase terms appear IN ORDER with total gap ≤
+    ``slop`` — ``(doc_id, n_spans)`` where ``n_spans`` counts start
+    positions from which an in-order assignment exists. ``slop=0``
+    reduces exactly to :func:`phrase_occurrences` (consecutive terms).
+
+    Matching rule (deterministic, greedy-minimal): from each
+    occurrence ``p`` of the first term, each later term takes its
+    SMALLEST position strictly after the previous term's; the span
+    matches iff ``end − p ≤ (L−1) + slop``. Greedy minimizes the span
+    end at every step, so greedy feasibility ⟺ existence of any
+    in-order assignment for that start. Divergence from Lucene's
+    sloppy phrase (documented like the tokenizer note): Lucene's slop
+    pays per-term MOVE costs and allows out-of-order below the cost
+    cap; this is the in-order ``span_near`` reading — the reproducible
+    lake-side semantics.
+
+    Scale shape: ZERO shuffles — one linear scan; per-term position
+    arrays come from an index-aware ``transform`` + ``filter`` (stays
+    vectorized, no ``sequence`` probe expansion), and the greedy chain
+    is an unrolled ``array_min``/``filter`` nest, O(Σ|pos_j|) per
+    start candidate."""
+    terms = phrase.strip().split()
+    L = len(terms)
+    if not terms:
+        raise ValueError("empty phrase")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    d = docs.select(F.col(id_col), _tokens_col(text_col).alias("toks"))
+
+    def _positions(t):
+        # (token, index) structs → filter by token → project 0-based index
+        indexed = F.transform(
+            F.col("toks"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+        )
+        return F.transform(
+            F.filter(indexed, lambda s: s["t"] == F.lit(t)), lambda s: s["i"]
+        )
+
+    def _next_after(poss, after):
+        return F.array_min(F.filter(poss, lambda x: x > after))
+
+    def _span_ok(p):
+        end = p
+        for t in terms[1:]:
+            end = _next_after(_positions(t), end)
+        # NULL end (a term has no later occurrence) fails the filter
+        return (end - p) <= F.lit(L - 1 + slop)
+
+    occ = F.size(F.filter(_positions(terms[0]), _span_ok))
+    return (
+        d.select(F.col(id_col), occ.alias("n_spans"))
+        .where(F.col("n_spans") > 0)
+    )
+
+
+def q_corpus_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): the demo bigram at slop 1 —
+    'table hash' plus 'table ? hash' — ordered by doc_id."""
+    return span_near_occurrences(
+        load(spark, sf_dir, "documents"), DEFAULT_PHRASE, slop=1
+    ).orderBy("doc_id")
+
+
 def match_phrase_batch(
     docs: DataFrame,
     phrases: DataFrame,

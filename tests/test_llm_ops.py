@@ -1092,6 +1092,44 @@ def test_match_phrase_batch_matches_single_path(spark, sf_dir):
     assert 2 not in by_phrase
 
 
+def test_span_near_slop_semantics(spark, sf_dir):
+    """span_near: slop=0 reduces EXACTLY to phrase_occurrences on real
+    testdata; slop widens in-order matches by total gap; order still
+    required; repeated terms need strictly later positions."""
+    from dump_es_parquet_spark.operators.retrieval import (
+        phrase_occurrences,
+        span_near_occurrences,
+    )
+    from dump_es_parquet_spark.operators.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    exact = {(r.doc_id, r.n_occurrences)
+             for r in phrase_occurrences(docs, "table hash").collect()}
+    slop0 = {(r.doc_id, r.n_spans)
+             for r in span_near_occurrences(docs, "table hash", slop=0).collect()}
+    assert slop0 == exact and exact
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b"),        # consecutive
+            (2, "a x b"),      # gap 1
+            (3, "a x y b"),    # gap 2
+            (4, "b a"),        # wrong order
+            (5, "a a"),        # repeated term, strictly-later rule
+        ],
+        "doc_id long, text string",
+    )
+    def spans(phrase, slop):
+        return {r.doc_id: r.n_spans
+                for r in span_near_occurrences(d, phrase, slop=slop).collect()}
+
+    assert spans("a b", 0) == {1: 1}
+    assert spans("a b", 1) == {1: 1, 2: 1}
+    assert spans("a b", 2) == {1: 1, 2: 1, 3: 1}
+    assert 4 not in spans("a b", 5)  # in-order only
+    assert spans("a a", 0) == {5: 1}
+
+
 def test_fuzzy_term_match_edits_and_prefix(spark):
     """fuzzy_term_match: classic-levenshtein radius, prefix_length
     pins the exact-match prefix (ES's knob), occurrence counts are
