@@ -1092,6 +1092,52 @@ def test_match_phrase_batch_matches_single_path(spark, sf_dir):
     assert 2 not in by_phrase
 
 
+def test_public_operators_handle_empty_corpus(spark):
+    """Empty-input hardening (ADVICE r08 found bm25_scores crashing on
+    an empty corpus): every composable *_for / retrieval / dedup /
+    decontamination API must return an empty frame with its normal
+    schema, never raise — driver-side stats math included."""
+    from dump_es_parquet_spark.operators import (
+        dedup,
+        multimodal,
+        retrieval,
+        spans,
+        text,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    phrases = spark.createDataFrame(
+        [(0, "a b")], "phrase_id long, phrase_text string"
+    )
+    for name, fn in {
+        "minhash_lsh_pairs_for": lambda: dedup.minhash_lsh_pairs_for(docs),
+        "simhash_pairs_for": lambda: dedup.simhash_pairs_for(docs),
+        "ngram_jaccard_pairs_for": lambda: dedup.ngram_jaccard_pairs_for(docs),
+        "dedup_corpus": lambda: dedup.dedup_corpus(docs, "minhash"),
+        "near_dup_clusters": lambda: dedup.near_dup_clusters(docs),
+        "embedding_near_dup": lambda: dedup.embedding_near_dup_pairs_for(emb, 0.9),
+        "filter_corpus": lambda: text.filter_corpus(docs),
+        "bm25_scores": lambda: retrieval.bm25_scores(docs),
+        "bm25_topk_batch": lambda: retrieval.bm25_topk_batch(
+            docs, spark.createDataFrame([(0, "x y")],
+                                        "query_id long, query_text string")
+        ),
+        "highlight": lambda: retrieval.highlight(docs),
+        "phrase_occurrences": lambda: retrieval.phrase_occurrences(docs),
+        "span_near_occurrences": lambda: retrieval.span_near_occurrences(docs),
+        "match_phrase_batch": lambda: retrieval.match_phrase_batch(docs, phrases),
+        "fuzzy_term_match": lambda: retrieval.fuzzy_term_match(docs, "x"),
+        "significant_terms": lambda: retrieval.significant_terms(docs, F.lit(True)),
+        "decontaminate": lambda: spans.decontaminate(docs, docs),
+        "bloom_decontaminate": lambda: spans.bloom_decontaminate(docs, docs),
+        "binary_dup_clusters": lambda: multimodal.binary_dup_clusters(
+            multimodal.with_binary_payload(docs)
+        ),
+    }.items():
+        assert fn().count() == 0, name
+
+
 def test_span_near_slop_semantics(spark, sf_dir):
     """span_near: slop=0 reduces EXACTLY to phrase_occurrences on real
     testdata; slop widens in-order matches by total gap; order still
