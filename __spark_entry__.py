@@ -581,6 +581,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     (round 9): zero-shuffle greedy-minimal span scan;
         #     demoted-green pending the next rotation
         "corpus_span_near",
+        # corpus_bm25_served — corpus_bm25's oracle answered from the
+        #     materialized postings store (round 9): term-sorted
+        #     row-group-pruned reads, build-once/serve-many like the
+        #     IVF index; demoted-green pending the next rotation
+        "corpus_bm25_served",
         # Rotated OUT of the declared 50 in round 9 so the gate carries
         # the round-8 verification surface it could not previously see
         # (corpus_match_phrase, corpus_highlight, mm_binary_clusters,
@@ -759,6 +764,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_more_like_this": _mod("retrieval", "q_corpus_more_like_this"),
         "corpus_fuzzy_match": _mod("retrieval", "q_corpus_fuzzy_match"),
         "corpus_span_near": _mod("retrieval", "q_corpus_span_near"),
+        "corpus_bm25_served": _mod("retrieval", "q_corpus_bm25_served"),
     }
 
 
@@ -2926,6 +2932,10 @@ def _all_oracle_sql() -> dict[str, str]:
         WHERE n_matched > 0
         ORDER BY score_micro DESC, doc_id ASC LIMIT 10
     """
+    # corpus_bm25_served answers the SAME oracle from the materialized
+    # postings store (retrieval.bm25_topk_from_store) — bit-identical
+    # scores by construction, so the SQL is shared verbatim
+    q["corpus_bm25_served"] = q["corpus_bm25"]
     q["corpus_hybrid_rrf"] = f"""
         WITH {bm25_cte},
         lexpool AS (SELECT doc_id, score_micro FROM scored WHERE n_matched > 0

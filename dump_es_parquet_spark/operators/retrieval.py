@@ -257,6 +257,150 @@ def bm25_topk_batch(
     )
 
 
+def write_postings_store(
+    docs: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Materialize the inverted index — the build-once/serve-many
+    artifact for repeated lake-side search (the same production shape
+    as the MinHash signature store and the IVF index: sign/index once
+    at ingest, every later query rides the artifact instead of
+    re-scanning the corpus). Layout:
+
+    - ``<path>/postings``: ``(term, doc_id, dl, tf)``, range-
+      partitioned by ``term`` and term-sorted within files, so a
+      query's ``term IN (…)`` filter prunes parquet row groups by
+      min/max stats — a 3-term query reads a few row groups, not the
+      index;
+    - ``<path>/terms``: ``(term, df)`` — the df dictionary (bounded:
+      one row per vocab term);
+    - ``<path>/stats``: one row ``(n_docs, total_dl)``.
+
+    df is derived FROM the written postings (one read-back aggregate),
+    so the corpus explode runs exactly once."""
+    spark = docs.sparkSession
+    d = docs.select(F.col(id_col).alias("doc_id"), _tokens_col(text_col).alias("toks"))
+    postings = (
+        d.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    (
+        postings.repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    (
+        spark.read.parquet(f"{path}/postings")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/terms")
+    )
+    (
+        d.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size("toks")).cast("long").alias("total_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+
+
+def cached_corpus_postings_store(spark: SparkSession, sf_dir: str) -> str:
+    """Content-keyed postings store for the ``documents`` table under
+    the system temp dir — the shared build-once lifecycle
+    (:mod:`dump_es_parquet_spark.artifacts`: staged build + atomic
+    rename + stale pruning), tagged by the source parquet's identity
+    so regenerated testdata misses the old index."""
+    import os
+
+    from dump_es_parquet_spark.artifacts import cached_artifact, content_tag
+
+    tag = content_tag(os.path.join(sf_dir, "documents.parquet"))
+
+    def _build(stage: str) -> None:
+        write_postings_store(load(spark, sf_dir, "documents"), stage)
+        # marker LAST: the stats frame is the final piece the serving
+        # path needs, but completeness is signalled separately
+        with open(os.path.join(stage, "_SUCCESS"), "w"):
+            pass
+
+    return cached_artifact(
+        f"spark_graft_postings_{tag}",
+        "_SUCCESS",
+        _build,
+        stale_prefixes=("spark_graft_postings_",),
+    )
+
+
+def bm25_topk_from_store(
+    spark: SparkSession,
+    store: str,
+    query: str = DEFAULT_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k served FROM the materialized postings store —
+    bit-identical scores to :func:`bm25_topk` (same driver-side
+    ``math.log`` idf, same pinned tsat tree; the bigint per-term
+    micro-scores are summed by a ``groupBy`` instead of a column sum,
+    which is exact because bigint addition is associative).
+
+    Serving cost: the ``term IN (query terms)`` filter reaches the
+    parquet scan of the term-sorted postings (row-group min/max
+    pruning — the 100 TB win: I/O ∝ matched postings, not corpus);
+    the only shuffle is the groupBy over those matched rows, then
+    TakeOrderedAndProject."""
+    terms = _terms(query)
+    srow = spark.read.parquet(f"{store}/stats").first()
+    n_docs, total_dl = srow["n_docs"], srow["total_dl"] or 0
+    avgdl = total_dl / n_docs if n_docs else 1.0
+    # df dictionary rows for the query terms — bounded collect
+    dfs = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{store}/terms")
+        .where(F.col("term").isin(terms))
+        .collect()
+    }
+    idf_rows = [
+        (t, float(_idf_ppm(n_docs, dfs[t]))) for t in terms if dfs.get(t)
+    ]
+    idf = F.broadcast(
+        spark.createDataFrame(idf_rows, "term string, idf_ppm double")
+    )
+    postings = spark.read.parquet(f"{store}/postings").where(
+        F.col("term").isin(terms)
+    )
+    scored = (
+        postings.join(idf, "term")
+        .withColumn(
+            "score_term",
+            F.floor(F.col("idf_ppm") * _tsat(F.col("tf"), F.col("dl"), avgdl)),
+        )
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.count("*").cast("int").alias("n_matched"),
+            F.sum("score_term").alias("score_micro"),
+        )
+    )
+    return (
+        scored.select("doc_id", "dl", "n_matched", "score_micro")
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def q_corpus_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): the SAME oracle as ``corpus_bm25``
+    answered from the materialized postings store — the build-once
+    amortization is measurable in bench (direct vs served)."""
+    store = cached_corpus_postings_store(spark, sf_dir)
+    return bm25_topk_from_store(spark, store, DEFAULT_QUERY, k=10)
+
+
 def hybrid_rrf(
     spark: SparkSession,
     sf_dir: str,

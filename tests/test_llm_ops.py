@@ -1092,6 +1092,35 @@ def test_match_phrase_batch_matches_single_path(spark, sf_dir):
     assert 2 not in by_phrase
 
 
+def test_bm25_store_serving_matches_direct(spark, sf_dir, tmp_path):
+    """The materialized postings store serves bit-identical BM25
+    results to the direct two-scan path for multiple queries, and the
+    query's term filter is PUSHED to the postings parquet scan (the
+    row-group-pruning claim)."""
+    from dump_es_parquet_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_from_store,
+        write_postings_store,
+    )
+    from dump_es_parquet_spark.operators.tables import load
+
+    store = str(tmp_path / "postings_store")
+    write_postings_store(load(spark, sf_dir, "documents"), store)
+    for q in ("dup filter window", "table", "zz_absent_token table"):
+        direct = [
+            (r.doc_id, r.dl, r.n_matched, r.score_micro)
+            for r in bm25_topk(spark, sf_dir, q, k=10).collect()
+        ]
+        served_df = bm25_topk_from_store(spark, store, q, k=10)
+        served = [
+            (r.doc_id, r.dl, r.n_matched, r.score_micro)
+            for r in served_df.collect()
+        ]
+        assert served == direct and direct
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan
+
+
 def test_public_operators_handle_empty_corpus(spark):
     """Empty-input hardening (ADVICE r08 found bm25_scores crashing on
     an empty corpus): every composable *_for / retrieval / dedup /
