@@ -393,6 +393,62 @@ def bm25_topk_from_store(
     )
 
 
+def bm25_topk_batch_from_store(
+    spark: SparkSession,
+    store: str,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """The batch path served from the materialized store: per-query
+    top-k ``(query_id, doc_id, score_micro, rank)`` — scores
+    bit-identical to :func:`bm25_topk_batch` (same driver idf, same
+    tsat tree). The postings scan carries the ``term IN (term union)``
+    pushdown, so store I/O is ∝ matched postings across ALL queries,
+    read once and broadcast-joined to the (tiny) query-term rows."""
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("query_text")), r"\s+"))).alias(
+            "term"
+        ),
+    ).where(F.col("term") != "")
+    terms = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
+
+    srow = spark.read.parquet(f"{store}/stats").first()
+    n_docs, total_dl = srow["n_docs"], srow["total_dl"] or 0
+    avgdl = total_dl / n_docs if n_docs else 1.0
+    dfs = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{store}/terms")
+        .where(F.col("term").isin(terms))
+        .collect()
+    }
+    idf_rows = [(t, float(_idf_ppm(n_docs, dfs[t]))) for t in terms if dfs.get(t)]
+    idf = F.broadcast(
+        spark.createDataFrame(idf_rows, "term string, idf_ppm double")
+    )
+    postings = spark.read.parquet(f"{store}/postings").where(
+        F.col("term").isin(terms)
+    )
+    scored = (
+        postings.join(idf, "term")
+        .join(F.broadcast(qterms), "term")
+        .withColumn(
+            "score_term",
+            F.floor(F.col("idf_ppm") * _tsat(F.col("tf"), F.col("dl"), avgdl)),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_term").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_corpus_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query form (oracle-checked): the SAME oracle as ``corpus_bm25``
     answered from the materialized postings store — the build-once

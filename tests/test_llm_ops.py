@@ -1120,6 +1120,28 @@ def test_bm25_store_serving_matches_direct(spark, sf_dir, tmp_path):
     plan = served_df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "In(term" in plan
 
+    # batch serving: identical to the corpus-scan batch path
+    from dump_es_parquet_spark.operators.retrieval import (
+        bm25_topk_batch,
+        bm25_topk_batch_from_store,
+    )
+
+    qs = spark.createDataFrame(
+        [(0, "dup filter window"), (1, "table"), (2, "zz_absent table")],
+        "query_id long, query_text string",
+    )
+    direct_b = [
+        (r.query_id, r.doc_id, r.score_micro, r.rank)
+        for r in bm25_topk_batch(
+            load(spark, sf_dir, "documents"), qs, k=7
+        ).collect()
+    ]
+    served_b = [
+        (r.query_id, r.doc_id, r.score_micro, r.rank)
+        for r in bm25_topk_batch_from_store(spark, store, qs, k=7).collect()
+    ]
+    assert served_b == direct_b and served_b
+
 
 def test_public_operators_handle_empty_corpus(spark):
     """Empty-input hardening (ADVICE r08 found bm25_scores crashing on
