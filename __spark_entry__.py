@@ -586,6 +586,19 @@ DEMOTED: frozenset[str] = frozenset(
         #     row-group-pruned reads, build-once/serve-many like the
         #     IVF index; demoted-green pending the next rotation
         "corpus_bm25_served",
+        # es_* — the ES _search request compiler (round 9): saved
+        #     search requests replayed on the lake — query DSL →
+        #     NULL-exact Catalyst Column, aggregation trees → ONE
+        #     rollup shuffle with per-level size/min_doc_count pruning,
+        #     composite after-key pagination, per-bucket top_hits.
+        #     All seven demoted-green pending the next rotation window
+        "es_search_hits",
+        "es_aggs_tree",
+        "es_range_buckets",
+        "es_histogram",
+        "es_filters_agg",
+        "es_composite_page",
+        "es_top_hits",
         # Rotated OUT of the declared 50 in round 9 so the gate carries
         # the round-8 verification surface it could not previously see
         # (corpus_match_phrase, corpus_highlight, mm_binary_clusters,
@@ -765,6 +778,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fuzzy_match": _mod("retrieval", "q_corpus_fuzzy_match"),
         "corpus_span_near": _mod("retrieval", "q_corpus_span_near"),
         "corpus_bm25_served": _mod("retrieval", "q_corpus_bm25_served"),
+        # — the ES _search request compiler (round 9): query DSL →
+        #   Catalyst Column, aggregation trees → one ROLLUP shuffle —
+        "es_search_hits": _mod("es_search", "q_es_search_hits"),
+        "es_aggs_tree": _mod("es_search", "q_es_aggs_tree"),
+        "es_range_buckets": _mod("es_search", "q_es_range_buckets"),
+        "es_histogram": _mod("es_search", "q_es_histogram"),
+        "es_filters_agg": _mod("es_search", "q_es_filters_agg"),
+        "es_composite_page": _mod("es_search", "q_es_composite_page"),
+        "es_top_hits": _mod("es_search", "q_es_top_hits"),
     }
 
 
@@ -3110,6 +3132,158 @@ def _all_oracle_sql() -> dict[str, str]:
                 FROM pos)
         SELECT doc_id, n_spans FROM occ
         WHERE n_spans > 0 ORDER BY doc_id
+    """
+
+    # — the ES _search request compiler (operators/es_search.py) —
+    # es_search_hits: the hits side of a saved request — bool query
+    # with NULL-exact must_not (coalesce-to-false, matching ES's
+    # missing-field semantics) and a COUNTED should (msm 1), global
+    # sort + from/size pagination. The sort key (value DESC, event_id)
+    # is unique, so the OFFSET/LIMIT page is deterministic.
+    q["es_search_hits"] = """
+        SELECT event_id, ts, event_type, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+          AND event_type IN ('click', 'view', 'purchase')
+          AND NOT coalesce(user_id = 13, FALSE)
+          AND (CAST(coalesce(value >= 120, FALSE) AS INT)
+               + CAST(coalesce(props LIKE '%8_}', FALSE) AS INT)) >= 1
+        ORDER BY value DESC, event_id ASC
+        LIMIT 25 OFFSET 5
+    """
+
+    # es_aggs_tree: date_histogram(day) > terms(type, size 3) with a
+    # day-level cardinality and leaf avg/max — mirrored as ROLLUP +
+    # GROUPING() level arithmetic + the same per-parent top-3 window
+    # (doc_count DESC, key ASC — ES's tiebreak). Bucket keys are the
+    # epoch-millis longs ES itself returns.
+    q["es_aggs_tree"] = """
+        WITH leaf AS (
+          SELECT epoch_ms(date_trunc('day', ts)) AS by_day,
+                 event_type AS by_type, user_id, value
+          FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        ), rolled AS (
+          SELECT by_day, by_type,
+                 CAST(2 - (GROUPING(by_day) + GROUPING(by_type)) AS INT)
+                     AS level,
+                 count(*) AS doc_count,
+                 CAST(count(DISTINCT user_id) AS DOUBLE) AS uniq_users_a,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(value) AS avg_value_a,
+                 CAST(max(value) AS DOUBLE) AS max_value_a
+          FROM leaf GROUP BY ROLLUP (by_day, by_type)
+        ), l2 AS (
+          SELECT *, row_number() OVER (
+                     PARTITION BY by_day
+                     ORDER BY doc_count DESC, by_type ASC) AS rk
+          FROM rolled WHERE level = 2
+        )
+        SELECT level, by_day, by_type, doc_count,
+               uniq_users_a AS uniq_users,
+               CAST(NULL AS DOUBLE) AS avg_value,
+               CAST(NULL AS DOUBLE) AS max_value
+        FROM rolled WHERE level = 1
+        UNION ALL
+        SELECT level, by_day, by_type, doc_count,
+               CAST(NULL AS DOUBLE), avg_value_a, max_value_a
+        FROM l2 WHERE rk <= 3
+        ORDER BY level, by_day, by_type NULLS FIRST
+    """
+
+    # es_range_buckets: keyed range agg (from-inclusive/to-exclusive)
+    # over the query-filtered frame; cardinality is the EXACT variant
+    # (documented divergence from ES's HLL) and percentiles are exact
+    # linear interpolation (F.percentile ≡ quantile_cont), rounded 6dp.
+    q["es_range_buckets"] = """
+        WITH leaf AS (
+          SELECT CASE WHEN o_totalprice < 100000 THEN 'cheap'
+                      WHEN o_totalprice >= 100000
+                           AND o_totalprice < 300000 THEN 'mid'
+                      WHEN o_totalprice >= 300000 THEN 'big' END
+                     AS price_band,
+                 o_custkey, o_totalprice
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        )
+        SELECT CAST(1 AS INT) AS level, price_band, count(*) AS doc_count,
+               CAST(count(DISTINCT o_custkey) AS DOUBLE) AS uniq_custs,
+               round(quantile_cont(o_totalprice, 0.5), 6) AS price_p50_r6,
+               round(quantile_cont(o_totalprice, 0.9), 6) AS price_p90_r6
+        FROM leaf WHERE price_band IS NOT NULL
+        GROUP BY price_band ORDER BY price_band
+    """
+
+    # es_histogram: numeric histogram, key = floor((v-offset)/interval)
+    # in the SAME long-floor-times-double arithmetic as Spark, with
+    # min_doc_count as HAVING.
+    q["es_histogram"] = """
+        WITH leaf AS (
+          SELECT floor((value - 0.0) / 50.0) * 50.0 + 0.0 AS value_bucket,
+                 value
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT CAST(1 AS INT) AS level, value_bucket, count(*) AS doc_count,
+               CAST(count(value) AS DOUBLE) AS n_values
+        FROM leaf
+        GROUP BY value_bucket HAVING count(*) >= 5
+        ORDER BY value_bucket
+    """
+
+    # es_filters_agg: named filters buckets (a doc may land in both —
+    # explode semantics). Buckets that match zero docs are NOT emitted
+    # (consistent with the no-empty-bucket-synthesis rule), hence the
+    # HAVING guard on each arm.
+    q["es_filters_agg"] = """
+        SELECT CAST(1 AS INT) AS level, 'big_value' AS segment,
+               count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value) AS avg_value
+        FROM events WHERE coalesce(value >= 150, FALSE)
+        HAVING count(*) > 0
+        UNION ALL
+        SELECT CAST(1 AS INT), 'errors', count(*),
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value)
+        FROM events WHERE coalesce(event_type = 'error', FALSE)
+        HAVING count(*) > 0
+        ORDER BY segment
+    """
+
+    # es_composite_page: after-key pagination — the cursor is a row-
+    # value comparison applied BEFORE the groupBy on both engines
+    # (ES's early-termination shape), keys unique so LIMIT is exact.
+    q["es_composite_page"] = """
+        SELECT o_orderpriority AS prio, o_orderstatus AS status,
+               count(*) AS doc_count,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(o_totalprice) AS avg_price
+        FROM orders
+        WHERE (o_orderpriority, o_orderstatus) > ('2-HIGH', 'F')
+        GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 5
+    """
+
+    # es_top_hits: terms(size 10 by doc_count desc, key asc) >
+    # top_hits(2, value desc) — the bucket-prune window runs over the
+    # aggregated counts, the hit window over the kept docs.
+    q["es_top_hits"] = """
+        WITH keep AS (
+          SELECT event_type FROM (
+            SELECT event_type,
+                   row_number() OVER (
+                       ORDER BY count(*) DESC, event_type ASC) AS rk
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY event_type)
+          WHERE rk <= 10
+        ), ranked AS (
+          SELECT event_type AS by_type, event_id, ts, value,
+                 row_number() OVER (
+                     PARTITION BY event_type
+                     ORDER BY value DESC, event_id ASC) AS top_rank
+          FROM events JOIN keep USING (event_type)
+        )
+        SELECT by_type, top_rank, event_id, ts, value
+        FROM ranked WHERE top_rank <= 2
+        ORDER BY by_type, top_rank
     """
 
     return q

@@ -1,0 +1,855 @@
+"""ES ``_search`` request compiler: query DSL → Catalyst ``Column``,
+aggregations DSL → one-shuffle ROLLUP plan.
+
+The reference dumps an index to parquet and stops; every saved
+``_search`` request its users run today silently dies with the
+cluster. This module makes those requests run against the lake
+(PARITY #19 family, like BM25): ``compile_query`` turns the query
+JSON into a boolean ``Column`` (NULL-exact ES semantics), and
+``compile_aggs`` turns a nested aggregation tree into ONE
+``rollup`` shuffle whose grouping-set prefixes ARE the bucket
+levels, followed by per-level ``size`` / ``min_doc_count`` pruning
+over the (tiny, post-aggregate) bucket frame.
+
+Query DSL (``compile_query``):
+
+- ``match_all``, ``term``, ``terms``, ``range`` (gt/gte/lt/lte),
+  ``exists``, ``prefix``, ``wildcard`` (``*``/``?`` → LIKE, with
+  LIKE-metachar escaping), ``regexp`` (implicitly anchored, as ES
+  anchors it), ``match`` (whitespace-analyzed OR — or AND with
+  ``"operator": "and"``), ``match_phrase`` (token-boundary regexp),
+  and ``bool`` with must/filter/should/must_not and
+  ``minimum_should_match``.
+- NULL-exactness: ES ``must_not`` matches docs where the field is
+  MISSING; Spark's ``~(col == v)`` is NULL there and would drop the
+  row. Every negated / counted clause therefore goes through
+  ``coalesce(c, false)`` first, so missing-field behavior matches ES
+  exactly (see tests/test_es_search.py).
+
+Aggregations DSL (``compile_aggs``):
+
+- bucket aggs: ``terms`` (size, order ``_count``/``_key``/metric,
+  min_doc_count), ``date_histogram`` (calendar_interval /
+  fixed_interval; bucket key = epoch millis, exactly the key ES
+  returns), ``histogram`` (interval + offset), ``range`` (keyed,
+  from-inclusive / to-exclusive), ``filters`` (root level only — a
+  doc can land in several buckets, compiled as build-matching-names
+  array → explode, fan-out bounded by the filter count).
+- metric aggs: ``avg`` / ``sum`` (through DECIMAL(18,6) so partial-
+  agg order can't flip float bits — house convention), ``min`` /
+  ``max``, ``value_count``, ``cardinality`` (EXACT count_distinct;
+  ES's is approximate-HLL — the mergeable-sketch variant lives in
+  operators/profile.py, this surface favors oracle-exactness),
+  ``percentiles`` (exact linear-interpolation ``F.percentile`` ≡
+  DuckDB ``quantile_cont``, rounded to 6dp), ``stats`` (count/min/
+  max/sum/avg expansion). Each metric is reported at the level it
+  is attached to (NULL elsewhere), like the ES response tree.
+- ``top_hits`` is supported as the innermost agg of a bucket chain
+  (the common "N example docs per bucket" shape) and compiles to a
+  per-bucket ``row_number`` window.
+
+Scale shape: ONE shuffle over the raw data produces every level at
+once (``rollup`` grouping sets share the exchange; identical
+subtrees reuse it), and all post-processing — per-parent top-``size``
+windows, min_doc_count filters, surviving-parent semi-joins — runs
+on the post-aggregate bucket frame, which is smaller than the input
+by the group cardinality ratio; survivor frames are explicitly
+``broadcast``. Empty buckets are NOT synthesized (ES
+``min_doc_count: 0`` date_histogram gap-filling is out of scope —
+documented divergence).
+
+``composite_agg`` implements the composite/after-key pagination:
+the after-key filter is a struct comparison applied BEFORE the
+groupBy (exactly ES's early-termination shape: later pages never
+re-aggregate earlier key ranges).
+
+Reference: the ES search API the dump loses (dump-es-parquet:222
+fetches with a query but exposes no agg/search surface post-dump).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tables import load
+
+__all__ = [
+    "compile_query",
+    "compile_aggs",
+    "composite_agg",
+    "search",
+]
+
+_BUCKET_KINDS = ("terms", "date_histogram", "histogram", "range", "filters")
+_METRIC_KINDS = (
+    "avg",
+    "sum",
+    "min",
+    "max",
+    "value_count",
+    "cardinality",
+    "percentiles",
+    "stats",
+)
+
+_CALENDAR_UNITS = {
+    "second": "second",
+    "1s": "second",
+    "minute": "minute",
+    "1m": "minute",
+    "hour": "hour",
+    "1h": "hour",
+    "day": "day",
+    "1d": "day",
+    "week": "week",
+    "1w": "week",
+    "month": "month",
+    "1M": "month",
+    "quarter": "quarter",
+    "1q": "quarter",
+    "year": "year",
+    "1y": "year",
+}
+
+_FIXED_UNIT_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+
+
+# ---------------------------------------------------------------------------
+# query DSL
+# ---------------------------------------------------------------------------
+
+
+def _like_escape(s: str) -> str:
+    """Escape LIKE metacharacters so only OUR ``*``/``?`` translate."""
+    return s.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+
+
+def _false_safe(c: Column) -> Column:
+    """Three-valued → two-valued: NULL (missing field) counts as
+    no-match, which is what ES's filter context does."""
+    return F.coalesce(c, F.lit(False))
+
+
+def _tokens(query: str) -> list[str]:
+    out: list[str] = []
+    for t in query.strip().split():
+        if t and t not in out:
+            out.append(t)
+    return out
+
+
+def compile_query(q: dict | None) -> Column:
+    """ES query DSL dict → boolean ``Column`` (filter context: no
+    scoring — scored retrieval is operators/retrieval.py)."""
+    if not q:
+        return F.lit(True)
+    if len(q) != 1:
+        raise ValueError(f"query object must have exactly one key: {sorted(q)}")
+    (kind, body), = q.items()
+
+    if kind == "match_all":
+        return F.lit(True)
+    if kind == "bool":
+        return _compile_bool(body)
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "ids":
+        raise ValueError("ids query needs a doc-id column; filter it directly")
+
+    if kind in ("term", "terms", "range", "prefix", "wildcard", "regexp",
+                "match", "match_phrase"):
+        items = [(f, s) for f, s in body.items() if f != "boost"]
+        if len(items) != 1:
+            raise ValueError(f"{kind} query must name exactly one field")
+        (field, spec), = items
+        col = F.col(field)
+        if kind == "term":
+            v = spec["value"] if isinstance(spec, dict) else spec
+            return col == F.lit(v)
+        if kind == "terms":
+            return col.isin(list(spec))
+        if kind == "range":
+            parts = []
+            for op, v in spec.items():
+                if op == "gt":
+                    parts.append(col > F.lit(v))
+                elif op == "gte":
+                    parts.append(col >= F.lit(v))
+                elif op == "lt":
+                    parts.append(col < F.lit(v))
+                elif op == "lte":
+                    parts.append(col <= F.lit(v))
+                else:
+                    raise ValueError(f"range op {op!r}")
+            out = parts[0]
+            for p in parts[1:]:
+                out = out & p
+            return out
+        if kind == "prefix":
+            v = spec["value"] if isinstance(spec, dict) else spec
+            return col.startswith(v)
+        if kind == "wildcard":
+            v = spec["value"] if isinstance(spec, dict) else spec
+            pat = _like_escape(v).replace("*", "%").replace("?", "_")
+            return col.like(pat)
+        if kind == "regexp":
+            v = spec["value"] if isinstance(spec, dict) else spec
+            # ES regexp is implicitly anchored at both ends
+            return col.rlike(f"^(?:{v})$")
+        if kind == "match":
+            if isinstance(spec, dict):
+                query, op = spec["query"], spec.get("operator", "or")
+            else:
+                query, op = spec, "or"
+            toks = F.split(F.trim(col), r"\s+")
+            tests = [F.array_contains(toks, t) for t in _tokens(str(query))]
+            if not tests:
+                return F.lit(False)
+            out = tests[0]
+            for t in tests[1:]:
+                out = (out & t) if op == "and" else (out | t)
+            return out
+        if kind == "match_phrase":
+            query = spec["query"] if isinstance(spec, dict) else spec
+            toks = [re.escape(t) for t in str(query).split()]
+            if not toks:
+                return F.lit(False)
+            return col.rlike(r"(^|\s)" + r"\s+".join(toks) + r"(\s|$)")
+    raise ValueError(f"unsupported query kind {kind!r}")
+
+
+def _compile_bool(body: dict) -> Column:
+    def clauses(key):
+        v = body.get(key, [])
+        return v if isinstance(v, list) else [v]
+
+    out = F.lit(True)
+    for c in clauses("must") + clauses("filter"):
+        out = out & compile_query(c)
+    for c in clauses("must_not"):
+        out = out & ~_false_safe(compile_query(c))
+    should = clauses("should")
+    if should:
+        msm = body.get(
+            "minimum_should_match",
+            # ES default: 1 if there is nothing else to constrain
+            0 if (clauses("must") or clauses("filter")) else 1,
+        )
+        if int(msm) > 0:
+            hits = sum(
+                (_false_safe(compile_query(c)).cast("int") for c in should),
+                F.lit(0),
+            )
+            out = out & (hits >= F.lit(int(msm)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# aggregations DSL
+# ---------------------------------------------------------------------------
+
+
+class _Level:
+    """One bucket level of the agg tree: its output column name, key
+    expression, pruning knobs, and attached metric aggs."""
+
+    def __init__(self, name, kind, body):
+        self.name, self.kind, self.body = name, kind, body
+        self.metrics: list[tuple[str, dict]] = []  # (agg name, spec)
+        self.top_hits: tuple[str, dict] | None = None
+
+    def key_expr(self) -> Column:
+        b = self.body
+        col = F.col(b["field"]) if "field" in b else None
+        if self.kind == "terms":
+            return col
+        if self.kind == "date_histogram":
+            if "calendar_interval" in b:
+                unit = _CALENDAR_UNITS[b["calendar_interval"]]
+                return F.unix_millis(F.date_trunc(unit, col))
+            ms = _fixed_ms(b["fixed_interval"])
+            return (F.floor(F.unix_millis(col) / F.lit(ms)) * F.lit(ms)).cast(
+                "long"
+            )
+        if self.kind == "histogram":
+            interval = float(b["interval"])
+            offset = float(b.get("offset", 0.0))
+            return (
+                F.floor((col - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
+                + F.lit(offset)
+            )
+        if self.kind == "range":
+            # from-inclusive, to-exclusive; docs outside every range
+            # get a NULL key and are dropped (ES puts them nowhere)
+            expr = None
+            for r in b["ranges"]:
+                cond = F.lit(True)
+                if "from" in r:
+                    cond = cond & (col >= F.lit(r["from"]))
+                if "to" in r:
+                    cond = cond & (col < F.lit(r["to"]))
+                key = r.get(
+                    "key", f"{r.get('from', '*')}-{r.get('to', '*')}"
+                )
+                expr = (
+                    F.when(cond, F.lit(key))
+                    if expr is None
+                    else expr.when(cond, F.lit(key))
+                )
+            return expr
+        raise ValueError(f"bucket kind {self.kind!r}")
+
+
+def _fixed_ms(spec: str) -> int:
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", spec)
+    if not m:
+        raise ValueError(f"fixed_interval {spec!r}")
+    return int(m.group(1)) * _FIXED_UNIT_MS[m.group(2)]
+
+
+def _parse_chain(aggs: dict) -> list[_Level]:
+    """Flatten the nested agg tree into a single bucket chain with
+    per-level metric attachments. Exactly one bucket agg per level
+    (sibling bucket aggs would need independent rollups — run
+    ``compile_aggs`` once per sibling)."""
+    levels: list[_Level] = []
+    node = aggs
+    while node:
+        bucket = None
+        metrics: list[tuple[str, dict]] = []
+        top_hits = None
+        child = None
+        for name, spec in node.items():
+            kinds = [k for k in spec if k in _BUCKET_KINDS]
+            mkinds = [k for k in spec if k in _METRIC_KINDS]
+            if kinds:
+                if bucket is not None:
+                    raise ValueError(
+                        "one bucket agg per level; run sibling buckets "
+                        "as separate compile_aggs calls"
+                    )
+                bucket = _Level(name, kinds[0], spec[kinds[0]])
+                child = spec.get("aggs")
+            elif mkinds:
+                metrics.append((name, spec))
+            elif "top_hits" in spec:
+                top_hits = (name, spec["top_hits"])
+            else:
+                raise ValueError(f"unsupported agg {name!r}: {sorted(spec)}")
+        if bucket is None:
+            # pure-metric level: metrics attach to the PARENT bucket
+            if not levels:
+                raise ValueError(
+                    "top-level metric aggs without a bucket: aggregate "
+                    "directly with df.agg"
+                )
+            levels[-1].metrics.extend(metrics)
+            levels[-1].top_hits = top_hits
+            break
+        if levels and bucket.kind == "filters":
+            raise ValueError("filters agg is supported at the root level only")
+        levels.append(bucket)
+        node = child
+        # metrics found as siblings of this bucket belong to the PARENT
+        if metrics or top_hits:
+            if len(levels) >= 2:
+                levels[-2].metrics.extend(metrics)
+                if top_hits:
+                    levels[-2].top_hits = top_hits
+            elif metrics or top_hits:
+                raise ValueError(
+                    "metrics beside the root bucket have no parent bucket"
+                )
+    return levels
+
+
+def _metric_cols(levels: list[_Level]):
+    """(column name, raw agg expr, attachment level) triples. Nullable
+    numeric metrics are emitted as DOUBLE so the cross-engine pandas
+    dtype is stable (a nullable int64 silently becomes float64)."""
+    out = []
+    for lvl_no, lvl in enumerate(levels, start=1):
+        for name, spec in lvl.metrics:
+            (kind,) = [k for k in spec if k in _METRIC_KINDS]
+            b = spec[kind]
+            col = F.col(b["field"])
+            dec = col.cast("decimal(18,6)")
+            if kind == "avg":
+                e = F.sum(dec).cast("double") / F.count(col)
+                out.append((name, e, lvl_no))
+            elif kind == "sum":
+                out.append((name, F.sum(dec).cast("double"), lvl_no))
+            elif kind == "min":
+                out.append((name, F.min(col).cast("double"), lvl_no))
+            elif kind == "max":
+                out.append((name, F.max(col).cast("double"), lvl_no))
+            elif kind == "value_count":
+                out.append((name, F.count(col).cast("double"), lvl_no))
+            elif kind == "cardinality":
+                out.append(
+                    (name, F.count_distinct(col).cast("double"), lvl_no)
+                )
+            elif kind == "percentiles":
+                for p in b.get("percents", (1, 5, 25, 50, 75, 95, 99)):
+                    out.append(
+                        (
+                            f"{name}_p{int(p)}_r6",
+                            F.round(F.percentile(col, F.lit(p / 100.0)), 6),
+                            lvl_no,
+                        )
+                    )
+            elif kind == "stats":
+                out.append((f"{name}_count", F.count(col).cast("double"), lvl_no))
+                out.append((f"{name}_min", F.min(col).cast("double"), lvl_no))
+                out.append((f"{name}_max", F.max(col).cast("double"), lvl_no))
+                out.append((f"{name}_sum", F.sum(dec).cast("double"), lvl_no))
+                out.append(
+                    (
+                        f"{name}_avg",
+                        F.sum(dec).cast("double") / F.count(col),
+                        lvl_no,
+                    )
+                )
+    return out
+
+
+def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
+    """Compile an ES aggregation tree over ``df`` into a flat bucket
+    frame: ``(level, <key per bucket level>, doc_count, <metrics>)``
+    — one output row per bucket at every level of the ES response
+    (keys below a row's level are NULL, like a ROLLUP row). No
+    level-0 grand-total row is emitted (the ES response has none).
+    """
+    levels = _parse_chain(aggs)
+    if levels and levels[-1].top_hits:
+        return _top_hits_plan(df, levels)
+    n = len(levels)
+    key_names = [lvl.name for lvl in levels]
+
+    base = df
+    if levels[0].kind == "filters":
+        names_arr = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        _false_safe(compile_query(fq)), F.lit(fname)
+                    )
+                    for fname, fq in levels[0].body["filters"].items()
+                ]
+            )
+        )
+        base = base.withColumn(levels[0].name, F.explode(names_arr))
+        key_exprs = [F.col(levels[0].name)] + [
+            lvl.key_expr() for lvl in levels[1:]
+        ]
+    else:
+        key_exprs = [lvl.key_expr() for lvl in levels]
+
+    base = base.select(
+        *[e.alias(nm) for e, nm in zip(key_exprs, key_names)],
+        *[c for c in df.columns if c not in key_names],
+    )
+    # ES drops docs whose bucket key is missing/out-of-range
+    for nm in key_names:
+        base = base.filter(F.col(nm).isNotNull())
+
+    metrics = _metric_cols(levels)
+    rolled = (
+        base.rollup(*key_names)
+        .agg(
+            (F.lit(n) - F.bit_count(F.grouping_id())).cast("int").alias("level"),
+            F.count(F.lit(1)).alias("doc_count"),
+            *[e.alias(nm) for nm, e, _ in metrics],
+        )
+        .filter(F.col("level") >= 1)  # ES responses have no global row
+    )
+
+    # per-level pruning over the compact bucket frame, top-down
+    pruned_frames = []
+    survivors: DataFrame | None = None
+    for i, lvl in enumerate(levels, start=1):
+        rows = rolled.filter(F.col("level") == i)
+        if survivors is not None:
+            rows = rows.join(
+                F.broadcast(survivors), on=key_names[: i - 1], how="left_semi"
+            )
+        mdc = int(lvl.body.get("min_doc_count", 1 if lvl.kind == "terms" else 0))
+        if mdc > 0:
+            rows = rows.filter(F.col("doc_count") >= mdc)
+        if lvl.kind == "terms":
+            size = int(lvl.body.get("size", 10))
+            order = lvl.body.get("order", {"_count": "desc"})
+            (okey, odir), = order.items()
+            if okey == "_count":
+                ocol = F.col("doc_count")
+            elif okey == "_key":
+                ocol = F.col(lvl.name)
+            else:
+                ocol = F.col(okey)  # a sibling metric at this level
+            ocol = ocol.desc() if odir == "desc" else ocol.asc()
+            parent = key_names[: i - 1] or [F.lit(0)]
+            w = Window.partitionBy(*parent).orderBy(
+                ocol, F.col(lvl.name).asc()
+            )
+            rows = (
+                rows.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= size)
+                .drop("_rk")
+            )
+        survivors = rows.select(*key_names[:i])
+        pruned_frames.append(rows)
+
+    out = pruned_frames[0]
+    for f in pruned_frames[1:]:
+        out = out.unionByName(f)
+    # report each metric at its attachment level only (ES tree shape)
+    proj = [
+        F.col("level"),
+        *[F.col(nm) for nm in key_names],
+        F.col("doc_count"),
+        *[
+            F.when(F.col("level") == lvl_no, F.col(nm)).alias(nm)
+            for nm, _, lvl_no in metrics
+        ],
+    ]
+    return out.select(*proj).orderBy(
+        "level", *[F.col(nm).asc_nulls_first() for nm in key_names]
+    )
+
+
+def _top_hits_plan(df: DataFrame, levels: list[_Level]) -> DataFrame:
+    """Bucket chain ending in ``top_hits``: per-bucket example docs
+    via one ``row_number`` window. ``terms`` size pruning still
+    applies (bucket sizes from a groupBy, top buckets kept, docs
+    semi-joined)."""
+    if any(lvl.metrics for lvl in levels):
+        raise ValueError("top_hits cannot mix with sibling metric aggs here")
+    key_names = [lvl.name for lvl in levels]
+    base = df.select(
+        *[lvl.key_expr().alias(lvl.name) for lvl in levels],
+        *[c for c in df.columns if c not in key_names],
+    )
+    for nm in key_names:
+        base = base.filter(F.col(nm).isNotNull())
+
+    leaf = levels[-1]
+    th_name, th = leaf.top_hits
+    size = int(th.get("size", 3))
+    sort = th.get("sort", [])
+    source = th.get("_source", [c for c in df.columns if c not in key_names])
+
+    counts = base.groupBy(*key_names).agg(F.count(F.lit(1)).alias("doc_count"))
+    pruned = counts
+    for i, lvl in enumerate(levels, start=1):
+        if lvl.kind == "terms" and "size" in lvl.body:
+            bsize = int(lvl.body["size"])
+            parent = key_names[: i - 1] or [F.lit(0)]
+            lvl_counts = pruned.groupBy(*key_names[:i]).agg(
+                F.sum("doc_count").alias("_n")
+            )
+            w = Window.partitionBy(*parent).orderBy(
+                F.col("_n").desc(), F.col(lvl.name).asc()
+            )
+            keep = (
+                lvl_counts.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= bsize)
+                .select(*key_names[:i])
+            )
+            pruned = pruned.join(F.broadcast(keep), key_names[:i], "left_semi")
+
+    docs = base.join(F.broadcast(pruned.select(*key_names)), key_names, "left_semi")
+    w = Window.partitionBy(*key_names).orderBy(*_sort_cols(sort))
+    return (
+        docs.withColumn(f"{th_name}_rank", F.row_number().over(w))
+        .filter(F.col(f"{th_name}_rank") <= size)
+        .select(*key_names, f"{th_name}_rank", *source)
+        .orderBy(*key_names, f"{th_name}_rank")
+    )
+
+
+def _sort_cols(sort) -> list[Column]:
+    out = []
+    for s in sort:
+        if isinstance(s, str):
+            out.append(F.col(s).asc())
+            continue
+        (field, spec), = s.items()
+        order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+        out.append(F.col(field).desc() if order == "desc" else F.col(field).asc())
+    return out
+
+
+def composite_agg(
+    df: DataFrame,
+    sources: list,
+    size: int = 10,
+    after: dict | None = None,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation: key-ordered bucket pages. The
+    ``after`` cursor compiles to one struct comparison applied BEFORE
+    the groupBy — later pages never re-shuffle earlier key ranges,
+    exactly ES's early-termination contract. Keys must be NULL-free
+    (composite sources drop missing by default)."""
+    names, fields = [], []
+    for s in sources:
+        if isinstance(s, str):
+            names.append(s)
+            fields.append(s)
+        else:
+            (name, spec), = s.items()
+            names.append(name)
+            fields.append(spec["terms"]["field"])
+    base = df.select(
+        *[F.col(f).alias(n) for f, n in zip(fields, names)],
+        *[c for c in df.columns if c not in names],
+    )
+    for n in names:
+        base = base.filter(F.col(n).isNotNull())
+    if after:
+        base = base.filter(
+            F.struct(*[F.col(n) for n in names])
+            > F.struct(*[F.lit(after[n]) for n in names])
+        )
+    agg_exprs = [F.count(F.lit(1)).alias("doc_count")]
+    for mname, spec in (metrics or {}).items():
+        (kind,) = [k for k in spec if k in _METRIC_KINDS]
+        col = F.col(spec[kind]["field"])
+        if kind == "avg":
+            agg_exprs.append(
+                (F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(col)).alias(mname)
+            )
+        elif kind == "sum":
+            agg_exprs.append(F.sum(col.cast("decimal(18,6)")).cast("double").alias(mname))
+        elif kind == "min":
+            agg_exprs.append(F.min(col).cast("double").alias(mname))
+        elif kind == "max":
+            agg_exprs.append(F.max(col).cast("double").alias(mname))
+        elif kind == "value_count":
+            agg_exprs.append(F.count(col).cast("double").alias(mname))
+        elif kind == "cardinality":
+            agg_exprs.append(F.count_distinct(col).cast("double").alias(mname))
+        else:
+            raise ValueError(f"composite metric {kind!r}")
+    return (
+        base.groupBy(*names)
+        .agg(*agg_exprs)
+        .orderBy(*[F.col(n).asc() for n in names])
+        .limit(int(size))
+    )
+
+
+# ---------------------------------------------------------------------------
+# the request surface
+# ---------------------------------------------------------------------------
+
+
+def search(df: DataFrame, request: dict) -> DataFrame:
+    """Run the hits side of an ES ``_search`` request body: query →
+    filter, ``sort`` → global order, ``from``/``size`` → offset/limit
+    (a global top-k: Spark plans TakeOrderedAndProject when the sort
+    and limit are adjacent), ``_source`` → projection."""
+    out = df.filter(compile_query(request.get("query")))
+    sort = request.get("sort")
+    if sort:
+        out = out.orderBy(*_sort_cols(sort))
+    frm = int(request.get("from", 0))
+    if frm:
+        out = out.offset(frm)
+    out = out.limit(int(request.get("size", 10)))
+    src = request.get("_source")
+    if src:
+        out = out.select(*src)
+    return out
+
+
+def search_aggs(df: DataFrame, request: dict) -> DataFrame:
+    """The aggregations side of a ``_search`` request: the query
+    filters, then the agg tree compiles over the filtered frame."""
+    return compile_aggs(df.filter(compile_query(request.get("query"))), request["aggs"])
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked query forms
+# ---------------------------------------------------------------------------
+
+
+def q_es_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A saved ES search request replayed on the lake: bool query
+    with range/terms filters, a NULL-exact must_not, a counted
+    should (wildcard + range), sort + from/size pagination."""
+    ev = load(spark, sf_dir, "events")
+    return search(
+        ev,
+        {
+            "query": {
+                "bool": {
+                    "filter": [
+                        {"range": {"ts": {"gte": "2024-01-02 00:00:00",
+                                          "lt": "2024-01-20 00:00:00"}}},
+                        {"terms": {"event_type": ["click", "view", "purchase"]}},
+                    ],
+                    "must_not": [{"term": {"user_id": 13}}],
+                    "should": [
+                        {"range": {"value": {"gte": 120}}},
+                        {"wildcard": {"props": "*8?}"}},
+                    ],
+                    "minimum_should_match": 1,
+                }
+            },
+            "sort": [{"value": {"order": "desc"}}, {"event_id": {"order": "asc"}}],
+            "from": 5,
+            "size": 25,
+            "_source": ["event_id", "ts", "event_type", "value"],
+        },
+    )
+
+
+def q_es_aggs_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram(day) > terms(event_type, size 3) with a
+    cardinality metric on the day level and avg/max on the leaf —
+    the classic dashboard agg tree, one rollup shuffle."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "query": {"match_all": {}},
+            "aggs": {
+                "by_day": {
+                    "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                    "aggs": {
+                        "uniq_users": {"cardinality": {"field": "user_id"}},
+                        "by_type": {
+                            "terms": {"field": "event_type", "size": 3},
+                            "aggs": {
+                                "avg_value": {"avg": {"field": "value"}},
+                                "max_value": {"max": {"field": "value"}},
+                            },
+                        },
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed range agg over a queried frame, with exact-variant
+    cardinality and percentiles metrics."""
+    o = load(spark, sf_dir, "orders")
+    return search_aggs(
+        o,
+        {
+            "query": {"range": {"o_orderdate": {"gte": "1995-01-01 00:00:00"}}},
+            "aggs": {
+                "price_band": {
+                    "range": {
+                        "field": "o_totalprice",
+                        "ranges": [
+                            {"key": "cheap", "to": 100000},
+                            {"key": "mid", "from": 100000, "to": 300000},
+                            {"key": "big", "from": 300000},
+                        ],
+                    },
+                    "aggs": {
+                        "uniq_custs": {"cardinality": {"field": "o_custkey"}},
+                        "price": {
+                            "percentiles": {
+                                "field": "o_totalprice",
+                                "percents": [50, 90],
+                            }
+                        },
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram (interval 50) with min_doc_count pruning and
+    a value_count metric."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "value_bucket": {
+                    "histogram": {
+                        "field": "value",
+                        "interval": 50,
+                        "min_doc_count": 5,
+                    },
+                    "aggs": {"n_values": {"value_count": {"field": "value"}}},
+                }
+            },
+        },
+    )
+
+
+def q_es_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named ``filters`` buckets (a doc can match several) with an
+    avg metric: compiled as matching-names array → explode."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "segment": {
+                    "filters": {
+                        "filters": {
+                            "errors": {"term": {"event_type": "error"}},
+                            "big_value": {"range": {"value": {"gte": 150}}},
+                        }
+                    },
+                    "aggs": {"avg_value": {"avg": {"field": "value"}}},
+                }
+            },
+        },
+    )
+
+
+def q_es_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pagination: page 2 (after-key cursor) of the
+    (priority, status) bucket space with an avg metric."""
+    o = load(spark, sf_dir, "orders")
+    return composite_agg(
+        o,
+        sources=[
+            {"prio": {"terms": {"field": "o_orderpriority"}}},
+            {"status": {"terms": {"field": "o_orderstatus"}}},
+        ],
+        size=5,
+        after={"prio": "2-HIGH", "status": "F"},
+        metrics={"avg_price": {"avg": {"field": "o_totalprice"}}},
+    )
+
+
+def q_es_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms > top_hits: the two most valuable events per type."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 10},
+                    "aggs": {
+                        "top": {
+                            "top_hits": {
+                                "size": 2,
+                                "sort": [
+                                    {"value": {"order": "desc"}},
+                                    {"event_id": {"order": "asc"}},
+                                ],
+                                "_source": ["event_id", "ts", "value"],
+                            }
+                        }
+                    },
+                }
+            },
+        },
+    )

@@ -1,0 +1,272 @@
+"""The ES ``_search`` compiler's semantic contracts: NULL-exactness
+of the query DSL (the places a naive ``Column`` translation silently
+diverges from ES), wildcard/regexp translation, the agg tree's
+pruning rules (per-parent size, min_doc_count, descendant drop), and
+composite after-key pagination."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dump_es_parquet_spark.operators.es_search import (
+    compile_aggs,
+    compile_query,
+    composite_agg,
+    search,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, kind="a", tag="red", n=10.0, text="the fast cat"),
+            Row(id=2, kind="a", tag=None, n=20.0, text="slow cat runs"),
+            Row(id=3, kind="b", tag="blue", n=None, text="the slow dog"),
+            Row(id=4, kind="b", tag="red", n=40.0, text=None),
+            Row(id=5, kind="c", tag="red_x", n=50.0, text="cat dog cat"),
+        ]
+    )
+
+
+def _ids(df, q):
+    return sorted(r.id for r in df.filter(compile_query(q)).select("id").collect())
+
+
+# ---------------------------------------------------------------------------
+# query DSL NULL-exactness
+# ---------------------------------------------------------------------------
+
+
+def test_must_not_matches_missing_field(docs):
+    # ES: must_not(term tag=red) matches docs WITHOUT tag (id=2).
+    # A naive ~(col == v) would drop the NULL row.
+    q = {"bool": {"must_not": [{"term": {"tag": "red"}}]}}
+    assert _ids(docs, q) == [2, 3, 5]
+
+
+def test_should_counts_null_as_nomatch(docs):
+    # doc 3 has n NULL: the range clause must count as no-match (not
+    # poison the msm sum to NULL), so doc 3 still matches via tag.
+    q = {
+        "bool": {
+            "should": [{"range": {"n": {"gte": 15}}}, {"term": {"tag": "blue"}}],
+            "minimum_should_match": 1,
+        }
+    }
+    assert _ids(docs, q) == [2, 3, 4, 5]
+
+
+def test_minimum_should_match_two(docs):
+    q = {
+        "bool": {
+            "should": [
+                {"range": {"n": {"gte": 15}}},
+                {"term": {"kind": "b"}},
+                {"term": {"tag": "red"}},
+            ],
+            "minimum_should_match": 2,
+        }
+    }
+    # 1: red only (1) — no; 2: n>=15 (1) — no; 3: kind b (1) — no;
+    # 4: kind b + red + n>=15 (3) — yes; 5: n>=15 + red? tag is red_x — (1) no
+    assert _ids(docs, q) == [4]
+
+
+def test_should_is_optional_beside_filter(docs):
+    # with a filter present, should defaults to msm 0 (pure scoring
+    # in ES; a no-op in filter context)
+    q = {
+        "bool": {
+            "filter": [{"term": {"kind": "a"}}],
+            "should": [{"term": {"tag": "nope"}}],
+        }
+    }
+    assert _ids(docs, q) == [1, 2]
+
+
+def test_wildcard_escapes_like_metachars(docs):
+    # the literal _ in "red_x" must be matched by ? (single char),
+    # while a literal _ in the PATTERN must not act as LIKE's _
+    assert _ids(docs, {"wildcard": {"tag": "red?x"}}) == [5]
+    assert _ids(docs, {"wildcard": {"tag": "red_x"}}) == [5]  # literal _
+    assert _ids(docs, {"wildcard": {"tag": "re*"}}) == [1, 4, 5]
+
+
+def test_regexp_is_anchored(docs):
+    # ES regexp matches the WHOLE term: "red" must not match "red_x"
+    assert _ids(docs, {"regexp": {"tag": "red"}}) == [1, 4]
+    assert _ids(docs, {"regexp": {"tag": "red.*"}}) == [1, 4, 5]
+
+
+def test_match_and_or(docs):
+    assert _ids(docs, {"match": {"text": "cat dog"}}) == [1, 2, 3, 5]
+    assert _ids(
+        docs, {"match": {"text": {"query": "cat dog", "operator": "and"}}}
+    ) == [5]
+
+
+def test_match_phrase_token_boundaries(docs):
+    assert _ids(docs, {"match_phrase": {"text": "slow cat"}}) == [2]
+    # "cat" alone is a phrase of one token; "ca" is not a token
+    assert _ids(docs, {"match_phrase": {"text": "ca"}}) == []
+
+
+def test_exists_prefix_terms_range(docs):
+    assert _ids(docs, {"exists": {"field": "tag"}}) == [1, 3, 4, 5]
+    assert _ids(docs, {"prefix": {"kind": "a"}}) == [1, 2]
+    assert _ids(docs, {"terms": {"kind": ["a", "c"]}}) == [1, 2, 5]
+    assert _ids(docs, {"range": {"n": {"gt": 10, "lte": 40}}}) == [2, 4]
+
+
+# ---------------------------------------------------------------------------
+# aggs
+# ---------------------------------------------------------------------------
+
+
+def test_terms_size_prunes_descendants(spark):
+    # kind 'a' has 4 docs, 'b' 2, 'c' 1 → terms size 2 keeps a, b.
+    # Every level-2 row under 'c' must vanish with its parent.
+    df = spark.createDataFrame(
+        [Row(kind=k, sub=s) for k, s in
+         [("a", "x")] * 3 + [("a", "y")] + [("b", "x")] * 2 + [("c", "z")]]
+    )
+    out = compile_aggs(
+        df,
+        {
+            "by_kind": {
+                "terms": {"field": "kind", "size": 2},
+                "aggs": {"by_sub": {"terms": {"field": "sub"}}},
+            }
+        },
+    ).collect()
+    l1 = {r.by_kind for r in out if r.level == 1}
+    l2 = {(r.by_kind, r.by_sub) for r in out if r.level == 2}
+    assert l1 == {"a", "b"}
+    assert l2 == {("a", "x"), ("a", "y"), ("b", "x")}
+
+
+def test_terms_order_by_key_and_metric(spark):
+    df = spark.createDataFrame(
+        [Row(kind="a", n=1.0), Row(kind="a", n=3.0),
+         Row(kind="b", n=100.0), Row(kind="c", n=5.0)]
+    )
+    by_key = compile_aggs(
+        df,
+        {"k": {"terms": {"field": "kind", "size": 2,
+                         "order": {"_key": "asc"}}}},
+    ).collect()
+    assert [r.k for r in by_key] == ["a", "b"]
+    by_metric = compile_aggs(
+        df,
+        {
+            "k": {
+                "terms": {"field": "kind", "size": 1,
+                          "order": {"m": "desc"}},
+                "aggs": {"m": {"max": {"field": "n"}}},
+            }
+        },
+    ).collect()
+    assert [r.k for r in by_metric] == ["b"]
+
+
+def test_min_doc_count_filters_buckets(spark):
+    df = spark.createDataFrame(
+        [Row(kind="a")] * 3 + [Row(kind="b")]
+    )
+    out = compile_aggs(
+        df, {"k": {"terms": {"field": "kind", "min_doc_count": 2}}}
+    ).collect()
+    assert [r.k for r in out] == ["a"]
+
+
+def test_null_keys_are_dropped(spark):
+    df = spark.createDataFrame(
+        [Row(kind="a", n=1.0), Row(kind=None, n=2.0)]
+    )
+    out = compile_aggs(df, {"k": {"terms": {"field": "kind"}}}).collect()
+    assert [r.k for r in out] == ["a"]
+    assert out[0].doc_count == 1
+
+
+def test_metrics_report_at_attachment_level(spark):
+    df = spark.createDataFrame(
+        [Row(kind="a", sub="x", n=10.0), Row(kind="a", sub="y", n=30.0)]
+    )
+    out = compile_aggs(
+        df,
+        {
+            "k": {
+                "terms": {"field": "kind"},
+                "aggs": {
+                    "k_avg": {"avg": {"field": "n"}},
+                    "s": {"terms": {"field": "sub"},
+                          "aggs": {"s_max": {"max": {"field": "n"}}}},
+                },
+            }
+        },
+    ).collect()
+    lvl1 = [r for r in out if r.level == 1][0]
+    assert lvl1.k_avg == 20.0 and lvl1.s_max is None
+    lvl2 = {r.s: r for r in out if r.level == 2}
+    assert lvl2["x"].s_max == 10.0 and lvl2["x"].k_avg is None
+
+
+def test_filters_agg_multi_membership(spark):
+    df = spark.createDataFrame(
+        [Row(kind="a", n=200.0), Row(kind="a", n=1.0), Row(kind="b", n=300.0)]
+    )
+    out = compile_aggs(
+        df,
+        {
+            "seg": {
+                "filters": {"filters": {
+                    "is_a": {"term": {"kind": "a"}},
+                    "big": {"range": {"n": {"gte": 100}}},
+                }},
+            }
+        },
+    ).collect()
+    counts = {r.seg: r.doc_count for r in out}
+    # the n=200 'a' doc lands in BOTH buckets
+    assert counts == {"is_a": 2, "big": 2}
+
+
+def test_composite_after_key_pagination(spark):
+    df = spark.createDataFrame(
+        [Row(a=a, b=b) for a in ("p", "q") for b in ("1", "2")] * 2
+    )
+    page1 = composite_agg(df, sources=["a", "b"], size=2).collect()
+    assert [(r.a, r.b) for r in page1] == [("p", "1"), ("p", "2")]
+    page2 = composite_agg(
+        df, sources=["a", "b"], size=2,
+        after={"a": page1[-1].a, "b": page1[-1].b},
+    ).collect()
+    assert [(r.a, r.b) for r in page2] == [("q", "1"), ("q", "2")]
+    assert all(r.doc_count == 2 for r in page1 + page2)
+
+
+def test_search_from_size_pagination(docs):
+    req = {
+        "query": {"exists": {"field": "n"}},
+        "sort": [{"n": {"order": "desc"}}],
+        "size": 2,
+        "_source": ["id", "n"],
+    }
+    assert [r.id for r in search(docs, req).collect()] == [5, 4]
+    assert [r.id for r in search(docs, {**req, "from": 2}).collect()] == [2, 1]
+
+
+def test_date_histogram_fixed_interval_key_is_epoch_millis(spark):
+    df = spark.createDataFrame(
+        [Row(ts="2024-01-01 00:10:00"), Row(ts="2024-01-01 00:40:00"),
+         Row(ts="2024-01-01 01:10:00")]
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    out = compile_aggs(
+        df,
+        {"h": {"date_histogram": {"field": "ts", "fixed_interval": "30m"}}},
+    ).collect()
+    base = 1704067200000  # 2024-01-01T00:00:00Z epoch millis
+    assert [(r.h, r.doc_count) for r in out] == [
+        (base, 1), (base + 1_800_000, 1), (base + 3_600_000, 1)
+    ]
