@@ -599,6 +599,7 @@ DEMOTED: frozenset[str] = frozenset(
         "es_filters_agg",
         "es_composite_page",
         "es_top_hits",
+        "es_pipeline_aggs",
         # Rotated OUT of the declared 50 in round 9 so the gate carries
         # the round-8 verification surface it could not previously see
         # (corpus_match_phrase, corpus_highlight, mm_binary_clusters,
@@ -787,6 +788,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_filters_agg": _mod("es_search", "q_es_filters_agg"),
         "es_composite_page": _mod("es_search", "q_es_composite_page"),
         "es_top_hits": _mod("es_search", "q_es_top_hits"),
+        "es_pipeline_aggs": _mod("es_search", "q_es_pipeline_aggs"),
     }
 
 
@@ -3260,6 +3262,62 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE (o_orderpriority, o_orderstatus) > ('2-HIGH', 'F')
         GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 5
+    """
+
+    # es_pipeline_aggs: pipeline aggregations over the bucket frame —
+    # cumulative_sum (through DECIMAL so the running double is
+    # association-free across engines), derivative (lag), bucket_script
+    # (double/long division, identical IEEE), and a sibling max_bucket
+    # over the SURVIVING top-2 terms children (post-pruning, exactly
+    # the buckets an ES response would carry).
+    q["es_pipeline_aggs"] = """
+        WITH leaf AS (
+          SELECT epoch_ms(date_trunc('day', ts)) AS by_day,
+                 event_type AS by_type, value
+          FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        ), l1 AS (
+          SELECT by_day, count(*) AS doc_count,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS daily_value
+          FROM leaf GROUP BY by_day
+        ), l1p AS (
+          SELECT by_day, doc_count, daily_value,
+                 CAST(sum(CAST(daily_value AS DECIMAL(28,6)))
+                      OVER (ORDER BY by_day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS DOUBLE) AS cum_value,
+                 CAST(daily_value - lag(daily_value) OVER (ORDER BY by_day)
+                      AS DOUBLE) AS delta,
+                 daily_value / doc_count AS per_doc
+          FROM l1
+        ), l2 AS (
+          SELECT by_day, by_type, count(*) AS doc_count,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(value) AS avg_value
+          FROM leaf GROUP BY by_day, by_type
+        ), l2k AS (
+          SELECT *, row_number() OVER (
+                     PARTITION BY by_day
+                     ORDER BY doc_count DESC, by_type ASC) AS rk
+          FROM l2
+        ), l2kept AS (
+          SELECT * FROM l2k WHERE rk <= 2
+        ), best AS (
+          SELECT by_day, CAST(max(avg_value) AS DOUBLE) AS best_type_avg
+          FROM l2kept GROUP BY by_day
+        )
+        SELECT CAST(1 AS INT) AS level, l1p.by_day,
+               CAST(NULL AS VARCHAR) AS by_type, doc_count,
+               daily_value, CAST(NULL AS DOUBLE) AS avg_value,
+               cum_value, delta, per_doc, b.best_type_avg
+        FROM l1p LEFT JOIN best b USING (by_day)
+        UNION ALL
+        SELECT CAST(2 AS INT), by_day, by_type, doc_count,
+               CAST(NULL AS DOUBLE), avg_value, CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE)
+        FROM l2kept
+        ORDER BY level, by_day, by_type NULLS FIRST
     """
 
     # es_top_hits: terms(size 10 by doc_count desc, key asc) >

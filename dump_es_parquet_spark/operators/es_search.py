@@ -94,6 +94,17 @@ _METRIC_KINDS = (
     "percentiles",
     "stats",
 )
+# parent pipeline aggs run ACROSS a bucket agg's key-ordered bucket
+# sequence (windows over the compact bucket frame); sibling *_bucket
+# aggs summarize a child bucket's metric onto the parent's rows
+_PIPELINE_PARENT = ("cumulative_sum", "derivative", "bucket_script")
+_PIPELINE_SIBLING = ("max_bucket", "min_bucket", "avg_bucket", "sum_bucket")
+_SIBLING_FN = {
+    "max_bucket": F.max,
+    "min_bucket": F.min,
+    "avg_bucket": F.avg,
+    "sum_bucket": F.sum,
+}
 
 _CALENDAR_UNITS = {
     "second": "second",
@@ -260,6 +271,10 @@ class _Level:
         self.name, self.kind, self.body = name, kind, body
         self.metrics: list[tuple[str, dict]] = []  # (agg name, spec)
         self.top_hits: tuple[str, dict] | None = None
+        # parent pipelines over THIS level's bucket sequence
+        self.pipelines: list[tuple[str, str, dict]] = []  # (name, kind, spec)
+        # sibling *_bucket pipes summarizing the CHILD bucket's metric
+        self.sibling_pipes: list[tuple[str, str, dict]] = []
 
     def key_expr(self) -> Column:
         b = self.body
@@ -320,11 +335,15 @@ def _parse_chain(aggs: dict) -> list[_Level]:
     while node:
         bucket = None
         metrics: list[tuple[str, dict]] = []
+        pipes: list[tuple[str, str, dict]] = []
+        sib_pipes: list[tuple[str, str, dict]] = []
         top_hits = None
         child = None
         for name, spec in node.items():
             kinds = [k for k in spec if k in _BUCKET_KINDS]
             mkinds = [k for k in spec if k in _METRIC_KINDS]
+            pkinds = [k for k in spec if k in _PIPELINE_PARENT]
+            skinds = [k for k in spec if k in _PIPELINE_SIBLING]
             if kinds:
                 if bucket is not None:
                     raise ValueError(
@@ -335,33 +354,46 @@ def _parse_chain(aggs: dict) -> list[_Level]:
                 child = spec.get("aggs")
             elif mkinds:
                 metrics.append((name, spec))
+            elif pkinds:
+                pipes.append((name, pkinds[0], spec[pkinds[0]]))
+            elif skinds:
+                sib_pipes.append((name, skinds[0], spec[skinds[0]]))
             elif "top_hits" in spec:
                 top_hits = (name, spec["top_hits"])
             else:
                 raise ValueError(f"unsupported agg {name!r}: {sorted(spec)}")
         if bucket is None:
-            # pure-metric level: metrics attach to the PARENT bucket
+            # pure-metric level: everything attaches to the PARENT bucket
             if not levels:
                 raise ValueError(
                     "top-level metric aggs without a bucket: aggregate "
                     "directly with df.agg"
                 )
+            if sib_pipes:
+                raise ValueError(
+                    "sibling *_bucket pipeline has no sibling bucket agg "
+                    "in its node"
+                )
             levels[-1].metrics.extend(metrics)
+            levels[-1].pipelines.extend(pipes)
             levels[-1].top_hits = top_hits
             break
         if levels and bucket.kind == "filters":
             raise ValueError("filters agg is supported at the root level only")
         levels.append(bucket)
         node = child
-        # metrics found as siblings of this bucket belong to the PARENT
-        if metrics or top_hits:
+        # metrics/pipelines beside this bucket belong to the PARENT
+        if metrics or top_hits or pipes or sib_pipes:
             if len(levels) >= 2:
                 levels[-2].metrics.extend(metrics)
+                levels[-2].pipelines.extend(pipes)
+                levels[-2].sibling_pipes.extend(sib_pipes)
                 if top_hits:
                     levels[-2].top_hits = top_hits
-            elif metrics or top_hits:
+            else:
                 raise ValueError(
-                    "metrics beside the root bucket have no parent bucket"
+                    "metric/pipeline aggs beside the root bucket have no "
+                    "parent bucket to attach to"
                 )
     return levels
 
@@ -502,9 +534,11 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         survivors = rows.select(*key_names[:i])
         pruned_frames.append(rows)
 
+    pipe_cols = _apply_pipelines(pruned_frames, levels, key_names)
+
     out = pruned_frames[0]
     for f in pruned_frames[1:]:
-        out = out.unionByName(f)
+        out = out.unionByName(f, allowMissingColumns=True)
     # report each metric at its attachment level only (ES tree shape)
     proj = [
         F.col("level"),
@@ -514,10 +548,94 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             F.when(F.col("level") == lvl_no, F.col(nm)).alias(nm)
             for nm, _, lvl_no in metrics
         ],
+        # pipeline columns exist only on their attachment level's frame;
+        # unionByName already NULL-fills the other levels
+        *[F.col(nm) for nm in pipe_cols],
     ]
     return out.select(*proj).orderBy(
         "level", *[F.col(nm).asc_nulls_first() for nm in key_names]
     )
+
+
+def _bucket_path_col(path: str) -> Column:
+    """Resolve an intra-level ``buckets_path``: a sibling metric's
+    column name, or ``_count`` for the bucket's doc count."""
+    return F.col("doc_count") if path == "_count" else F.col(path)
+
+
+def _apply_pipelines(pruned_frames, levels, key_names) -> list[str]:
+    """Mutate the per-level pruned frames with pipeline agg columns;
+    return the added column names (in attachment order).
+
+    Parent pipelines (``cumulative_sum`` / ``derivative`` /
+    ``bucket_script``) are windows/projections over a level's
+    key-ordered bucket sequence, partitioned by the parent prefix —
+    the frames here are post-aggregate bucket frames, so these
+    windows touch rows proportional to the bucket count, never the
+    raw data. Sequential parents only (histogram family), as ES
+    requires. ``cumulative_sum`` accumulates through DECIMAL so the
+    running double is association-free across engines (DuckDB windows
+    may tree-reduce). The first ``derivative`` bucket is NULL (ES
+    omits the key from the response; a flat frame keeps the row).
+
+    Sibling ``*_bucket`` pipes aggregate the CHILD level's surviving
+    buckets (post size/min_doc_count pruning — exactly the buckets in
+    the ES response) back onto the parent rows via one broadcast
+    join on the parent prefix."""
+    added: list[str] = []
+    for i, lvl in enumerate(levels, start=1):
+        if not (lvl.pipelines or lvl.sibling_pipes):
+            continue
+        frame = pruned_frames[i - 1]
+        parent = key_names[: i - 1] or [F.lit(0)]
+        w = Window.partitionBy(*parent).orderBy(F.col(lvl.name).asc())
+        for pname, kind, spec in lvl.pipelines:
+            if kind in ("cumulative_sum", "derivative") and lvl.kind not in (
+                "date_histogram",
+                "histogram",
+            ):
+                raise ValueError(
+                    f"{kind} needs a sequential (histogram-family) parent, "
+                    f"got {lvl.kind}"
+                )
+            if kind == "cumulative_sum":
+                src = _bucket_path_col(spec["buckets_path"])
+                frame = frame.withColumn(
+                    pname,
+                    F.sum(src.cast("decimal(28,6)"))
+                    .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                    .cast("double"),
+                )
+            elif kind == "derivative":
+                src = _bucket_path_col(spec["buckets_path"])
+                frame = frame.withColumn(
+                    pname, (src - F.lag(src).over(w)).cast("double")
+                )
+            elif kind == "bucket_script":
+                script = spec["script"]
+                for var, path in sorted(
+                    spec["buckets_path"].items(), key=lambda kv: -len(kv[0])
+                ):
+                    col_name = "doc_count" if path == "_count" else path
+                    script = script.replace(f"params.{var}", col_name)
+                frame = frame.withColumn(pname, F.expr(script).cast("double"))
+            added.append(pname)
+        for pname, kind, spec in lvl.sibling_pipes:
+            child_name, _, metric = spec["buckets_path"].partition(">")
+            if i >= len(levels) or levels[i].name != child_name:
+                raise ValueError(
+                    f"{kind} buckets_path {spec['buckets_path']!r} must "
+                    f"reference the child bucket agg"
+                )
+            child = pruned_frames[i]
+            src = _bucket_path_col(metric)
+            summary = child.groupBy(*key_names[:i]).agg(
+                _SIBLING_FN[kind](src).cast("double").alias(pname)
+            )
+            frame = frame.join(F.broadcast(summary), key_names[:i], "left")
+            added.append(pname)
+        pruned_frames[i - 1] = frame
+    return added
 
 
 def _top_hits_plan(df: DataFrame, levels: list[_Level]) -> DataFrame:
@@ -806,6 +924,49 @@ def q_es_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         }
                     },
                     "aggs": {"avg_value": {"avg": {"field": "value"}}},
+                }
+            },
+        },
+    )
+
+
+def q_es_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline aggregations over the daily bucket sequence:
+    cumulative_sum + derivative + bucket_script on the
+    date_histogram level, and a sibling max_bucket summarizing the
+    top-2 per-day ``terms`` children — all computed on the compact
+    post-aggregate bucket frame (windows + one broadcast join), never
+    re-touching the raw scan."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_day": {
+                    "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                    "aggs": {
+                        "daily_value": {"sum": {"field": "value"}},
+                        "cum_value": {
+                            "cumulative_sum": {"buckets_path": "daily_value"}
+                        },
+                        "delta": {"derivative": {"buckets_path": "daily_value"}},
+                        "per_doc": {
+                            "bucket_script": {
+                                "buckets_path": {"v": "daily_value",
+                                                 "c": "_count"},
+                                "script": "params.v / params.c",
+                            }
+                        },
+                        "by_type": {
+                            "terms": {"field": "event_type", "size": 2},
+                            "aggs": {
+                                "avg_value": {"avg": {"field": "value"}}
+                            },
+                        },
+                        "best_type_avg": {
+                            "max_bucket": {"buckets_path": "by_type>avg_value"}
+                        },
+                    },
                 }
             },
         },

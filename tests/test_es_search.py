@@ -257,6 +257,117 @@ def test_search_from_size_pagination(docs):
     assert [r.id for r in search(docs, {**req, "from": 2}).collect()] == [2, 1]
 
 
+def test_pipeline_cumulative_and_derivative(spark):
+    df = spark.createDataFrame(
+        [Row(x=float(b), n=v) for b, vs in
+         [(0, [1.0, 2.0]), (1, [4.0]), (2, [10.0, 20.0, 30.0])]
+         for v in vs]
+    )
+    out = compile_aggs(
+        df,
+        {
+            "h": {
+                "histogram": {"field": "x", "interval": 1},
+                "aggs": {
+                    "s": {"sum": {"field": "n"}},
+                    "cum": {"cumulative_sum": {"buckets_path": "s"}},
+                    "d": {"derivative": {"buckets_path": "s"}},
+                    "cum_n": {"cumulative_sum": {"buckets_path": "_count"}},
+                },
+            }
+        },
+    ).collect()
+    assert [(r.s, r.cum, r.d, r.cum_n) for r in out] == [
+        (3.0, 3.0, None, 2.0),
+        (4.0, 7.0, 1.0, 3.0),
+        (60.0, 67.0, 56.0, 6.0),
+    ]
+
+
+def test_pipeline_needs_sequential_parent(spark):
+    df = spark.createDataFrame([Row(kind="a", n=1.0)])
+    with pytest.raises(ValueError, match="sequential"):
+        compile_aggs(
+            df,
+            {
+                "k": {
+                    "terms": {"field": "kind"},
+                    "aggs": {
+                        "s": {"sum": {"field": "n"}},
+                        "c": {"cumulative_sum": {"buckets_path": "s"}},
+                    },
+                }
+            },
+        )
+
+
+def test_bucket_script_substitution(spark):
+    df = spark.createDataFrame(
+        [Row(x=0.0, n=10.0), Row(x=0.5, n=30.0), Row(x=1.0, n=8.0)]
+    )
+    out = compile_aggs(
+        df,
+        {
+            "h": {
+                "histogram": {"field": "x", "interval": 1},
+                "aggs": {
+                    "s": {"sum": {"field": "n"}},
+                    "ratio": {
+                        "bucket_script": {
+                            "buckets_path": {"v": "s", "vc": "_count"},
+                            "script": "params.v / params.vc",
+                        }
+                    },
+                },
+            }
+        },
+    ).collect()
+    # params.vc must not be clobbered by the shorter params.v substitution
+    assert [(r.s, r.ratio) for r in out] == [(40.0, 20.0), (8.0, 8.0)]
+
+
+def test_sibling_max_bucket_over_surviving_children(spark):
+    df = spark.createDataFrame(
+        [Row(day=0.0, kind=k, n=v) for k, v in
+         [("a", 10.0), ("a", 20.0), ("b", 100.0), ("c", 999.0)]]
+    )
+    # terms size 2 keeps a (2 docs) and b (tie with c, key asc wins);
+    # max_bucket must see ONLY the surviving buckets: max(15, 100),
+    # not c's 999
+    out = compile_aggs(
+        df,
+        {
+            "d": {
+                "histogram": {"field": "day", "interval": 1},
+                "aggs": {
+                    "k": {"terms": {"field": "kind", "size": 2},
+                          "aggs": {"m": {"avg": {"field": "n"}}}},
+                    "best": {"max_bucket": {"buckets_path": "k>m"}},
+                },
+            }
+        },
+    ).collect()
+    lvl1 = [r for r in out if r.level == 1][0]
+    assert lvl1.best == 100.0
+    assert {r.k for r in out if r.level == 2} == {"a", "b"}
+
+
+def test_sibling_pipe_without_child_bucket_raises(spark):
+    df = spark.createDataFrame([Row(kind="a", n=1.0)])
+    with pytest.raises(ValueError, match="sibling"):
+        compile_aggs(
+            df,
+            {
+                "k": {
+                    "terms": {"field": "kind"},
+                    "aggs": {
+                        "best": {"max_bucket": {"buckets_path": "x>m"}}
+                    },
+                }
+            },
+        )
+
+
 def test_date_histogram_fixed_interval_key_is_epoch_millis(spark):
     df = spark.createDataFrame(
         [Row(ts="2024-01-01 00:10:00"), Row(ts="2024-01-01 00:40:00"),
