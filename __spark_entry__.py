@@ -600,6 +600,7 @@ DEMOTED: frozenset[str] = frozenset(
         "es_composite_page",
         "es_top_hits",
         "es_pipeline_aggs",
+        "es_query_string",
         # Rotated OUT of the declared 50 in round 9 so the gate carries
         # the round-8 verification surface it could not previously see
         # (corpus_match_phrase, corpus_highlight, mm_binary_clusters,
@@ -789,6 +790,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_composite_page": _mod("es_search", "q_es_composite_page"),
         "es_top_hits": _mod("es_search", "q_es_top_hits"),
         "es_pipeline_aggs": _mod("es_search", "q_es_pipeline_aggs"),
+        "es_query_string": _mod("querystring", "q_es_query_string"),
     }
 
 
@@ -3318,6 +3320,21 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(NULL AS DOUBLE)
         FROM l2kept
         ORDER BY level, by_day, by_type NULLS FIRST
+    """
+
+    # es_query_string: a saved Lucene q= string replayed lake-side —
+    # the parser is the inverse of the Catalyst→query_string pushdown
+    # translator (round-trip pinned in tests/test_querystring.py).
+    # NOT is NULL-exact (matches missing fields); [100 TO 200} is a
+    # half-open range; *k* is a wildcard → LIKE.
+    q["es_query_string"] = """
+        SELECT event_id, ts, event_type, value, user_id FROM events
+        WHERE event_type IN ('click', 'view')
+          AND value >= 100 AND value < 200
+          AND NOT coalesce(user_id = 13, FALSE)
+          AND props IS NOT NULL
+          AND props LIKE '%k%'
+        ORDER BY event_id
     """
 
     # es_top_hits: terms(size 10 by doc_count desc, key asc) >

@@ -1,0 +1,409 @@
+"""Lucene ``query_string`` parser: the INVERSE of the pushdown
+translator (sources/datasource.py ``_translate``) — a saved
+``q=...`` search string compiles to a Catalyst ``Column`` and runs
+against the parquet lake.
+
+The reference forwards its ``--query`` string verbatim to the server
+(``dump-es-parquet:222,385``); once the index is dumped, those saved
+query strings are dead. This parser revives them lake-side, closing
+the loop with the engine's own Catalyst→query_string pushdown: a
+filter that pushes down as a clause parses back to a predicate that
+selects the same rows (pinned by tests/test_querystring.py).
+
+Grammar (the classic-parser subset that round-trips; filter context,
+no scoring):
+
+- ``field:value`` — term equality, typed by the DataFrame schema
+  (numbers, booleans, epoch-millis dates); unescaped ``*``/``?``
+  make it a wildcard (LIKE, with metachar escaping); ``\\x`` escapes
+  are unescaped and stay LITERAL (an escaped ``\\*`` never wildcards)
+- ``field:[a TO b]`` / ``{a TO b}`` — ranges, each end independently
+  inclusive/exclusive, ``*`` = unbounded; epoch-millis numbers on
+  date fields (what the pushdown translator emits)
+- ``field:"a phrase"`` — token-boundary phrase on analyzed text
+- ``field:/regex/`` — implicitly anchored, like the ES regexp query
+- ``field:(a OR b ...)`` — grouped sub-boolean bound to the field
+- ``_exists_:field`` — non-null
+- ``AND`` / ``OR`` / ``NOT`` / ``&&`` / ``||`` / ``+`` / ``-`` /
+  parentheses; AND binds tighter than OR; adjacency = the default
+  operator (OR, ES's default); NOT/``-`` are NULL-exact
+  (``~coalesce(c, false)`` — a negated clause matches missing
+  fields, as on a real server)
+
+Out of scope (raise): fuzzy ``~``, boosts ``^``, leading-wildcard
+bans — boosts don't exist in filter context and fuzziness has its
+own operator (operators/retrieval.fuzzy_term_match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_query_string"]
+
+_SPECIAL = set('()":[]{} ')
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint", "long")
+
+
+class _Tok:
+    __slots__ = ("kind", "val")
+
+    def __init__(self, kind, val=None):
+        self.kind, self.val = kind, val
+
+    def __repr__(self):  # pragma: no cover - debug only
+        return f"<{self.kind} {self.val!r}>"
+
+
+def _tokenize(s: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == " ":
+            i += 1
+            continue
+        if c in "()":
+            toks.append(_Tok("lparen" if c == "(" else "rparen"))
+            i += 1
+            continue
+        if s.startswith("&&", i):
+            toks.append(_Tok("op", "AND"))
+            i += 2
+            continue
+        if s.startswith("||", i):
+            toks.append(_Tok("op", "OR"))
+            i += 2
+            continue
+        if c == ":":
+            toks.append(_Tok("colon"))
+            i += 1
+            continue
+        if c == '"':
+            i += 1
+            buf = []
+            while i < n and s[i] != '"':
+                if s[i] == "\\" and i + 1 < n:
+                    i += 1
+                buf.append(s[i])
+                i += 1
+            if i >= n:
+                raise ValueError("unterminated phrase")
+            i += 1
+            toks.append(_Tok("phrase", "".join(buf)))
+            continue
+        if c == "/" and toks and toks[-1].kind == "colon":
+            i += 1
+            buf = []
+            while i < n and s[i] != "/":
+                if s[i] == "\\" and i + 1 < n and s[i + 1] == "/":
+                    i += 1
+                buf.append(s[i])
+                i += 1
+            if i >= n:
+                raise ValueError("unterminated regex")
+            i += 1
+            toks.append(_Tok("regex", "".join(buf)))
+            continue
+        if c in "[{":
+            inc_lo = c == "["
+            i += 1
+            j = i
+            while j < n and s[j] not in "]}":
+                if s[j] == "\\":
+                    j += 1
+                j += 1
+            if j >= n:
+                raise ValueError("unterminated range")
+            inner = s[i:j]
+            inc_hi = s[j] == "]"
+            i = j + 1
+            parts = inner.split(" TO ")
+            if len(parts) != 2:
+                raise ValueError(f"range must be '[a TO b]': {inner!r}")
+            toks.append(
+                _Tok(
+                    "range",
+                    (
+                        _unescape(parts[0].strip()),
+                        _unescape(parts[1].strip()),
+                        inc_lo,
+                        inc_hi,
+                    ),
+                )
+            )
+            continue
+        if c == "+" :
+            toks.append(_Tok("plus"))
+            i += 1
+            continue
+        if c == "-":
+            toks.append(_Tok("minus"))
+            i += 1
+            continue
+        # term: chars until a special; escapes consumed literally and
+        # FLAGGED so escaped wildcards never act as wildcards
+        buf: list[tuple[str, bool]] = []  # (char, is_literal)
+        while i < n and s[i] not in _SPECIAL:
+            if s[i] == "\\" and i + 1 < n:
+                buf.append((s[i + 1], True))
+                i += 2
+            elif s[i] in "~^":
+                raise ValueError(
+                    f"{s[i]!r} (fuzzy/boost) is not supported in filter "
+                    "context — see operators/retrieval.py"
+                )
+            else:
+                buf.append((s[i], False))
+                i += 1
+        word = "".join(ch for ch, _ in buf)
+        if word in ("AND", "OR", "NOT"):
+            toks.append(_Tok("op", word))
+        else:
+            toks.append(_Tok("term", buf))
+    return toks
+
+
+def _unescape(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            i += 1
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+def _term_text(buf) -> str:
+    return "".join(ch for ch, _ in buf)
+
+
+def _false_safe(c: Column) -> Column:
+    return F.coalesce(c, F.lit(False))
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok], types: dict[str, str],
+                 default_field: str | None):
+        self.toks, self.pos = toks, 0
+        self.types = types
+        self.default_field = default_field
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def take(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of query string")
+        self.pos += 1
+        return t
+
+    # --- boolean structure -------------------------------------------------
+
+    def parse_or(self) -> Column:
+        left = self.parse_and()
+        while True:
+            t = self.peek()
+            if t is None or t.kind == "rparen":
+                return left
+            if t.kind == "op" and t.val == "OR":
+                self.take()
+                left = left | self.parse_and()
+            elif t.kind == "op" and t.val == "AND":
+                # handled by parse_and; only reachable on malformed input
+                raise ValueError("dangling AND")
+            else:
+                # adjacency: the default operator (OR, the ES default)
+                left = left | self.parse_and()
+
+    def parse_and(self) -> Column:
+        left = self.parse_not()
+        while True:
+            t = self.peek()
+            if t is not None and t.kind == "op" and t.val == "AND":
+                self.take()
+                left = left & self.parse_not()
+            else:
+                return left
+
+    def parse_not(self) -> Column:
+        t = self.peek()
+        if t is not None and (
+            (t.kind == "op" and t.val == "NOT") or t.kind == "minus"
+        ):
+            self.take()
+            return ~_false_safe(self.parse_not())
+        if t is not None and t.kind == "plus":
+            self.take()
+            return self.parse_not()
+        return self.parse_clause()
+
+    def parse_clause(self) -> Column:
+        t = self.take()
+        if t.kind == "lparen":
+            inner = self.parse_or()
+            if self.take().kind != "rparen":
+                raise ValueError("expected ')'")
+            return inner
+        if t.kind == "term":
+            nxt = self.peek()
+            if nxt is not None and nxt.kind == "colon":
+                self.take()
+                field = _term_text(t.val)
+                if field == "_exists_":
+                    v = self.take()
+                    if v.kind != "term":
+                        raise ValueError("_exists_ needs a field name")
+                    return F.col(_term_text(v.val)).isNotNull()
+                return self.parse_value(field)
+            return self._leaf_term(self._need_default(), t.val)
+        if t.kind == "phrase":
+            return self._leaf_phrase(self._need_default(), t.val)
+        raise ValueError(f"unexpected token {t!r}")
+
+    def _need_default(self) -> str:
+        if not self.default_field:
+            raise ValueError(
+                "bare term needs default_field (ES 'df' parameter)"
+            )
+        return self.default_field
+
+    # --- field values ------------------------------------------------------
+
+    def parse_value(self, field: str) -> Column:
+        t = self.take()
+        if t.kind == "lparen":
+            # field:(a OR b AND c) — a sub-boolean whose bare terms
+            # bind to THIS field: recurse with it as the default
+            sub = _Parser(self.toks, self.types, field)
+            sub.pos = self.pos
+            inner = sub.parse_or()
+            self.pos = sub.pos
+            if self.take().kind != "rparen":
+                raise ValueError("expected ')'")
+            return inner
+        if t.kind == "range":
+            lo, hi, inc_lo, inc_hi = t.val
+            col = F.col(field)
+            parts = []
+            if lo != "*":
+                b = self._typed_lit(field, lo)
+                parts.append(col >= b if inc_lo else col > b)
+            if hi != "*":
+                b = self._typed_lit(field, hi)
+                parts.append(col <= b if inc_hi else col < b)
+            if not parts:
+                return F.col(field).isNotNull()
+            out = parts[0]
+            for p in parts[1:]:
+                out = out & p
+            return out
+        if t.kind == "phrase":
+            return self._leaf_phrase(field, t.val)
+        if t.kind == "regex":
+            return F.col(field).rlike(f"^(?:{t.val})$")
+        if t.kind == "term":
+            return self._leaf_term(field, t.val)
+        raise ValueError(f"bad value for field {field!r}: {t!r}")
+
+    def _leaf_term(self, field: str, buf) -> Column:
+        has_wild = any(ch in "*?" and not lit for ch, lit in buf)
+        if has_wild:
+            pat = []
+            for ch, lit in buf:
+                if not lit and ch == "*":
+                    pat.append("%")
+                elif not lit and ch == "?":
+                    pat.append("_")
+                elif ch in "%_\\":
+                    pat.append("\\" + ch)
+                else:
+                    pat.append(ch)
+            return F.col(field).like("".join(pat))
+        return F.col(field) == self._typed_lit(field, _term_text(buf))
+
+    def _leaf_phrase(self, field: str, text: str) -> Column:
+        import re as _re
+
+        toks = [_re.escape(t) for t in text.split()]
+        if not toks:
+            return F.lit(False)
+        return F.col(field).rlike(r"(^|\s)" + r"\s+".join(toks) + r"(\s|$)")
+
+    def _typed_lit(self, field: str, text: str):
+        t = self.types.get(field, "string")
+        try:
+            if t in _INT_TYPES:
+                return F.lit(int(text))
+            if t in ("double", "float") or t.startswith("decimal"):
+                return F.lit(float(text))
+            if t == "boolean":
+                if text not in ("true", "false"):
+                    raise ValueError(f"boolean literal {text!r}")
+                return F.lit(text == "true")
+            if t.startswith("timestamp") or t == "date":
+                if _is_number(text):
+                    # the pushdown translator ships date bounds as
+                    # epoch MILLIS (datasource.py _range_literal)
+                    return F.timestamp_millis(F.lit(int(text)))
+                return F.lit(text).cast("timestamp")
+        except ValueError as e:
+            raise ValueError(
+                f"literal {text!r} does not fit {field!r}'s type {t}"
+            ) from e
+        return F.lit(text)
+
+
+def _is_number(s: str) -> bool:
+    try:
+        int(s)
+        return True
+    except ValueError:
+        return False
+
+
+def parse_query_string(
+    qs: str,
+    df_or_types: "DataFrame | dict[str, str] | None" = None,
+    default_field: str | None = None,
+) -> Column:
+    """Parse a Lucene ``query_string`` into a boolean ``Column``.
+
+    ``df_or_types`` supplies field types (a DataFrame, or a
+    ``{field: spark_dtype}`` dict) so literals coerce like the server
+    would — numbers on numeric fields, lowercase booleans, epoch
+    millis on dates. Untyped fields compare as strings.
+    ``default_field`` is ES's ``df`` request parameter (bare terms).
+    """
+    if isinstance(df_or_types, DataFrame):
+        types = dict(df_or_types.dtypes)
+    else:
+        types = dict(df_or_types or {})
+    toks = _tokenize(qs)
+    if not toks:
+        return F.lit(True)
+    p = _Parser(toks, types, default_field)
+    out = p.parse_or()
+    if p.peek() is not None:
+        raise ValueError(f"trailing tokens at {p.peek()!r}")
+    return out
+
+
+def q_es_query_string(spark, sf_dir: str) -> DataFrame:
+    """A saved ``q=`` string replayed on the lake: grouped terms,
+    a half-open numeric range, a NULL-exact NOT, an exists guard and
+    a wildcard — one Catalyst filter, fully pushdown-eligible."""
+    from .tables import load
+
+    ev = load(spark, sf_dir, "events")
+    qs = (
+        "event_type:(click OR view) AND value:[100 TO 200} "
+        "AND NOT user_id:13 AND _exists_:props AND props:*k*"
+    )
+    return (
+        ev.filter(parse_query_string(qs, ev))
+        .select("event_id", "ts", "event_type", "value", "user_id")
+        .orderBy("event_id")
+    )

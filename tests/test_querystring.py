@@ -1,0 +1,234 @@
+"""query_string parser semantics, and the round-trip contract with
+the engine's own Catalyst→query_string pushdown translator: a filter
+the datasource pushes as a clause must parse back to a predicate
+selecting the SAME rows (on milli-grained date data, the grid the
+translator rounds to)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dump_es_parquet_spark.operators.querystring import parse_query_string
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            Row(host="web-1", status="idle", port=9200, load=0.5,
+                ts=dt.datetime(2024, 1, 1, 0, 0, 0),
+                text="the fast cat runs"),
+            Row(host="web-2", status="active", port=9201, load=1.5,
+                ts=dt.datetime(2024, 1, 2, 0, 0, 0),
+                text="slow dog"),
+            Row(host="db-1", status=None, port=9300, load=None,
+                ts=dt.datetime(2024, 1, 3, 0, 0, 0),
+                text=None),
+        ]
+    )
+
+
+def _hosts(frame, qs, **kw):
+    col = parse_query_string(qs, frame, **kw)
+    return sorted(r.host for r in frame.filter(col).select("host").collect())
+
+
+# ---------------------------------------------------------------------------
+# parser semantics
+# ---------------------------------------------------------------------------
+
+
+def test_term_and_typed_literals(frame):
+    assert _hosts(frame, "status:idle") == ["web-1"]
+    assert _hosts(frame, "port:9201") == ["web-2"]
+    assert _hosts(frame, "load:1.5") == ["web-2"]
+
+
+def test_boolean_structure_and_precedence(frame):
+    # AND binds tighter than OR: a OR b AND c == a OR (b AND c)
+    assert _hosts(frame, "status:idle OR status:active AND port:9300") == [
+        "web-1"
+    ]
+    assert _hosts(frame, "(status:idle OR status:active) AND port:9201") == [
+        "web-2"
+    ]
+    # adjacency is the default operator (OR)
+    assert _hosts(frame, "status:idle status:active") == ["web-1", "web-2"]
+    assert _hosts(frame, "status:idle && port:9200") == ["web-1"]
+    assert _hosts(frame, "status:idle || status:active") == ["web-1", "web-2"]
+
+
+def test_not_is_null_exact(frame):
+    # NOT status:idle must match db-1 (status NULL), like ES
+    assert _hosts(frame, "NOT status:idle") == ["db-1", "web-2"]
+    assert _hosts(frame, "-status:idle") == ["db-1", "web-2"]
+    assert _hosts(frame, "+status:idle") == ["web-1"]
+
+
+def test_exists_and_field_group(frame):
+    assert _hosts(frame, "_exists_:status") == ["web-1", "web-2"]
+    assert _hosts(frame, "status:(idle OR active)") == ["web-1", "web-2"]
+    assert _hosts(frame, "host:(web\\-1 OR db\\-1) AND _exists_:load") == [
+        "web-1"
+    ]
+
+
+def test_ranges(frame):
+    assert _hosts(frame, "port:[9200 TO 9201]") == ["web-1", "web-2"]
+    assert _hosts(frame, "port:{9200 TO 9300]") == ["db-1", "web-2"]
+    assert _hosts(frame, "port:[* TO 9200]") == ["web-1"]
+    assert _hosts(frame, "load:[1 TO *]") == ["web-2"]
+
+
+def test_wildcards_and_escapes(frame):
+    assert _hosts(frame, "host:web*") == ["web-1", "web-2"]
+    assert _hosts(frame, "host:web\\-?") == ["web-1", "web-2"]
+    # an ESCAPED star is a literal star, not a wildcard
+    assert _hosts(frame, "host:web\\*") == []
+    assert _hosts(frame, "status:?dle") == ["web-1"]
+
+
+def test_regex_and_phrase(frame):
+    assert _hosts(frame, "host:/web-[0-9]/") == ["web-1", "web-2"]
+    # regexp is whole-term anchored
+    assert _hosts(frame, "host:/web/") == []
+    assert _hosts(frame, 'text:"fast cat"') == ["web-1"]
+    assert _hosts(frame, 'text:"fast runs"') == []
+
+
+def test_date_epoch_millis_and_iso(frame):
+    millis = 1704153600000  # 2024-01-02T00:00:00Z
+    assert _hosts(frame, f"ts:[{millis} TO *]") == ["db-1", "web-2"]
+    assert _hosts(frame, 'ts:[2024\\-01\\-02 TO *]') == ["db-1", "web-2"]
+
+
+def test_default_field_and_errors(frame):
+    assert _hosts(frame, "idle", default_field="status") == ["web-1"]
+    with pytest.raises(ValueError, match="default_field"):
+        parse_query_string("idle", frame)
+    with pytest.raises(ValueError, match="fuzzy|boost"):
+        parse_query_string("status:idle~2", frame)
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_query_string('text:"open', frame)
+
+
+# ---------------------------------------------------------------------------
+# round-trip with the pushdown translator
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def reader():
+    from dump_es_parquet_spark.schema import properties_to_struct
+    from dump_es_parquet_spark.sources.datasource import EsDumpReader
+
+    mapping = {
+        "host": {"type": "keyword"},
+        "status": {"type": "keyword"},
+        "port": {"type": "integer"},
+        "ts": {"type": "date"},
+        "load": {"type": "double"},
+    }
+    schema = properties_to_struct(mapping)
+    return EsDumpReader(
+        schema,
+        {"index": "logs"},
+        pushable={"host", "status", "port", "ts", "load"},
+        field_types={k: v["type"] for k, v in mapping.items()},
+    )
+
+
+@pytest.fixture(scope="module")
+def milli_frame(spark):
+    # milli-grained timestamps: the grid the translator's date
+    # rounding targets
+    rows = [
+        Row(host=f"web-{i % 3}", status="idle" if i % 2 else "active",
+            port=9200 + i % 4, load=i / 10.0,
+            ts=dt.datetime(2024, 1, 1) + dt.timedelta(milliseconds=i * 250))
+        for i in range(40)
+    ]
+    rows.append(Row(host=None, status=None, port=None, load=None, ts=None))
+    return spark.createDataFrame(rows)
+
+
+def _roundtrip(reader, milli_frame, filters, predicate):
+    remaining = list(reader.pushFilters(list(filters)))
+    clauses = reader.pushed_clauses[:]
+    reader.pushed_clauses.clear()
+    assert not remaining, f"translator refused {remaining}"
+    qs = " AND ".join(f"({c})" for c in clauses)
+    got = sorted(
+        r.port if r.port is not None else -1
+        for r in milli_frame.filter(parse_query_string(qs, milli_frame)).collect()
+    )
+    want = sorted(
+        r.port if r.port is not None else -1
+        for r in milli_frame.filter(predicate).collect()
+    )
+    assert got == want and want, (qs, got, want)
+
+
+def test_roundtrip_eq_in_range(reader, milli_frame):
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    _roundtrip(
+        reader, milli_frame,
+        [EqualTo(("status",), "idle")],
+        F.col("status") == "idle",
+    )
+    _roundtrip(
+        reader, milli_frame,
+        [In(("port",), (9200, 9202))],
+        F.col("port").isin(9200, 9202),
+    )
+    # float ranges never push (RANGE_ES_TYPES excludes double) — the
+    # integer range is the shape the translator actually emits
+    _roundtrip(
+        reader, milli_frame,
+        [GreaterThan(("port",), 9201)],
+        F.col("port") > 9201,
+    )
+
+
+def test_roundtrip_not_with_exists_guard(reader, milli_frame):
+    from pyspark.sql.datasource import EqualTo, IsNotNull, Not
+
+    _roundtrip(
+        reader, milli_frame,
+        [IsNotNull(("status",)), Not(EqualTo(("status",), "idle"))],
+        F.col("status").isNotNull() & (F.col("status") != "idle"),
+    )
+
+
+def test_roundtrip_date_range_on_milli_grid(reader, milli_frame):
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    bound = dt.datetime(2024, 1, 1, 0, 0, 4)
+    _roundtrip(
+        reader, milli_frame,
+        [GreaterThanOrEqual(("ts",), bound)],
+        F.col("ts") >= F.lit(bound),
+    )
+    _roundtrip(
+        reader, milli_frame,
+        [LessThan(("ts",), bound)],
+        F.col("ts") < F.lit(bound),
+    )
+
+
+def test_roundtrip_string_prefix_contains(reader, milli_frame):
+    from pyspark.sql.datasource import StringContains, StringStartsWith
+
+    _roundtrip(
+        reader, milli_frame,
+        [StringStartsWith(("host",), "web-")],
+        F.col("host").startswith("web-"),
+    )
+    _roundtrip(
+        reader, milli_frame,
+        [StringContains(("host",), "eb-1")],
+        F.col("host").contains("eb-1"),
+    )
