@@ -601,6 +601,8 @@ DEMOTED: frozenset[str] = frozenset(
         "es_top_hits",
         "es_pipeline_aggs",
         "es_query_string",
+        "es_collapse",
+        "es_search_after",
         # Rotated OUT of the declared 50 in round 9 so the gate carries
         # the round-8 verification surface it could not previously see
         # (corpus_match_phrase, corpus_highlight, mm_binary_clusters,
@@ -791,6 +793,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_top_hits": _mod("es_search", "q_es_top_hits"),
         "es_pipeline_aggs": _mod("es_search", "q_es_pipeline_aggs"),
         "es_query_string": _mod("querystring", "q_es_query_string"),
+        "es_collapse": _mod("es_search", "q_es_collapse"),
+        "es_search_after": _mod("es_search", "q_es_search_after"),
     }
 
 
@@ -3320,6 +3324,37 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(NULL AS DOUBLE)
         FROM l2kept
         ORDER BY level, by_day, by_type NULLS FIRST
+    """
+
+    # es_collapse: ES field collapsing — one top hit per user_id
+    # group, then the global top-20 of the representatives; the sort
+    # key (value DESC, event_id) is unique so both windows/limits are
+    # deterministic.
+    q["es_collapse"] = """
+        WITH ranked AS (
+          SELECT event_id, user_id, event_type, value,
+                 row_number() OVER (
+                     PARTITION BY user_id
+                     ORDER BY value DESC, event_id ASC) AS rk
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        )
+        SELECT event_id, user_id, event_type, value
+        FROM ranked WHERE rk = 1
+        ORDER BY value DESC, event_id ASC LIMIT 20
+    """
+
+    # es_search_after: mixed-direction lexicographic cursor — strictly
+    # after ('click', 150.0, 0) in (type ASC, value DESC, id ASC)
+    # order; the predicate applies BEFORE the top-k on both engines.
+    q["es_search_after"] = """
+        SELECT event_id, event_type, value FROM events
+        WHERE event_type > 'click'
+           OR (event_type = 'click'
+               AND (value < 150.0
+                    OR (value = 150.0 AND event_id > 0)))
+        ORDER BY event_type ASC, value DESC, event_id ASC
+        LIMIT 25
     """
 
     # es_query_string: a saved Lucene q= string replayed lake-side —

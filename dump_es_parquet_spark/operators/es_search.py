@@ -765,13 +765,62 @@ def composite_agg(
 # ---------------------------------------------------------------------------
 
 
+def _sort_fields(sort) -> list[tuple[str, str]]:
+    out = []
+    for s in sort:
+        if isinstance(s, str):
+            out.append((s, "asc"))
+            continue
+        (field, spec), = s.items()
+        order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+        out.append((field, order))
+    return out
+
+
+def _after_predicate(sort, after: list) -> Column:
+    """``search_after`` cursor: strictly-after in the (direction-
+    aware) lexicographic sort order — ``(k1 ≻ a1) OR (k1 = a1 AND
+    (k2 ≻ a2 ...))`` where ``≻`` flips per field direction. Unlike a
+    struct comparison this honors mixed asc/desc sorts, and it
+    filters BEFORE the top-k so later pages never re-sort earlier
+    rows into the heap."""
+    fields = _sort_fields(sort)
+    if len(fields) != len(after):
+        raise ValueError("search_after length must match sort length")
+    pred = F.lit(False)
+    for (field, order), val in reversed(list(zip(fields, after))):
+        col, lit = F.col(field), F.lit(val)
+        strictly = col < lit if order == "desc" else col > lit
+        pred = strictly | ((col == lit) & pred)
+    return pred
+
+
 def search(df: DataFrame, request: dict) -> DataFrame:
     """Run the hits side of an ES ``_search`` request body: query →
     filter, ``sort`` → global order, ``from``/``size`` → offset/limit
     (a global top-k: Spark plans TakeOrderedAndProject when the sort
-    and limit are adjacent), ``_source`` → projection."""
+    and limit are adjacent), ``search_after`` → a pre-sort cursor
+    predicate (deep pagination without the from+size window ES caps
+    at 10k), ``collapse`` → one top hit per collapse-field group (a
+    per-group ``row_number`` before the global top-k), ``_source`` →
+    projection."""
     out = df.filter(compile_query(request.get("query")))
     sort = request.get("sort")
+    after = request.get("search_after")
+    if after:
+        if not sort:
+            raise ValueError("search_after requires a sort")
+        out = out.filter(_after_predicate(sort, after))
+    collapse = request.get("collapse")
+    if collapse:
+        if not sort:
+            raise ValueError("collapse needs a sort to pick the top hit")
+        w = Window.partitionBy(collapse["field"]).orderBy(*_sort_cols(sort))
+        out = (
+            out.withColumn("_chit", F.row_number().over(w))
+            .filter(F.col("_chit") == 1)
+            .drop("_chit")
+        )
     if sort:
         out = out.orderBy(*_sort_cols(sort))
     frm = int(request.get("from", 0))
@@ -926,6 +975,43 @@ def q_es_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "aggs": {"avg_value": {"avg": {"field": "value"}}},
                 }
             },
+        },
+    )
+
+
+def q_es_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing: one top hit per user (by value), then the
+    global top-20 of those representatives — ES's collapse feature,
+    compiled as a per-group row_number before the global top-k."""
+    ev = load(spark, sf_dir, "events")
+    return search(
+        ev,
+        {
+            "query": {"range": {"ts": {"gte": "2024-01-05 00:00:00"}}},
+            "collapse": {"field": "user_id"},
+            "sort": [{"value": {"order": "desc"}}, {"event_id": {"order": "asc"}}],
+            "size": 20,
+            "_source": ["event_id", "user_id", "event_type", "value"],
+        },
+    )
+
+
+def q_es_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep pagination with a mixed-direction search_after cursor
+    (type ASC, value DESC, id ASC): the cursor predicate filters
+    BEFORE the top-k, so page N never re-heaps pages 1..N-1."""
+    ev = load(spark, sf_dir, "events")
+    return search(
+        ev,
+        {
+            "sort": [
+                {"event_type": {"order": "asc"}},
+                {"value": {"order": "desc"}},
+                {"event_id": {"order": "asc"}},
+            ],
+            "search_after": ["click", 150.0, 0],
+            "size": 25,
+            "_source": ["event_id", "event_type", "value"],
         },
     )
 

@@ -368,6 +368,54 @@ def test_sibling_pipe_without_child_bucket_raises(spark):
         )
 
 
+def test_search_after_mixed_direction_cursor(docs):
+    # sort: kind ASC, n DESC — full order over non-null-n docs:
+    # (a,20)=2, (a,10)=1, (b,40)=4, (c,50)=5
+    req = {
+        "query": {"exists": {"field": "n"}},
+        "sort": [{"kind": "asc"}, {"n": {"order": "desc"}}],
+        "size": 10,
+        "_source": ["id"],
+    }
+    full = [r.id for r in search(docs, req).collect()]
+    assert full == [2, 1, 4, 5]
+    page = [
+        r.id
+        for r in search(docs, {**req, "search_after": ["a", 20.0]}).collect()
+    ]
+    assert page == [1, 4, 5]
+
+
+def test_search_after_pages_tile_the_full_order(docs):
+    req = {
+        "query": {"exists": {"field": "n"}},
+        "sort": [{"kind": "asc"}, {"n": {"order": "desc"}}],
+        "size": 2,
+        "_source": ["id", "kind", "n"],
+    }
+    seen, after = [], None
+    for _ in range(4):
+        r = {**req, **({"search_after": after} if after else {})}
+        rows = search(docs, r).collect()
+        if not rows:
+            break
+        seen.extend(x.id for x in rows)
+        after = [rows[-1].kind, rows[-1].n]
+    assert seen == [2, 1, 4, 5]
+
+
+def test_collapse_keeps_top_hit_per_group(docs):
+    req = {
+        "query": {"exists": {"field": "n"}},
+        "collapse": {"field": "kind"},
+        "sort": [{"n": {"order": "desc"}}],
+        "size": 10,
+        "_source": ["id", "kind", "n"],
+    }
+    rows = search(docs, req).collect()
+    assert [(r.kind, r.id) for r in rows] == [("c", 5), ("b", 4), ("a", 2)]
+
+
 def test_date_histogram_fixed_interval_key_is_epoch_millis(spark):
     df = spark.createDataFrame(
         [Row(ts="2024-01-01 00:10:00"), Row(ts="2024-01-01 00:40:00"),
