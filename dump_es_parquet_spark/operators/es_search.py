@@ -48,15 +48,23 @@ Aggregations DSL (``compile_aggs``):
   (the common "N example docs per bucket" shape) and compiles to a
   per-bucket ``row_number`` window.
 
-Scale shape: ONE shuffle over the raw data produces every level at
-once (``rollup`` grouping sets share the exchange; identical
-subtrees reuse it), and all post-processing — per-parent top-``size``
-windows, min_doc_count filters, surviving-parent semi-joins — runs
-on the post-aggregate bucket frame, which is smaller than the input
-by the group cardinality ratio; survivor frames are explicitly
-``broadcast``. Empty buckets are NOT synthesized (ES
-``min_doc_count: 0`` date_histogram gap-filling is out of scope —
-documented divergence).
+Scale shape: ONE scan and ONE data-sized shuffle produce every
+level at once (``rollup`` grouping sets share the Expand; an exact
+``cardinality`` metric adds the unavoidable second distinct-agg
+exchange), and ALL post-processing stays in the same single branch
+as level-masked windows over the compact bucket frame: per-parent
+top-``size`` ranks partition by ``(level, parent prefix)``, and
+ancestor survival propagates to descendants through a ``max`` window
+over the shared key prefix — no per-level frames, no semi-joins, no
+union. The naive per-level formulation (filter ``level == i`` per
+branch) is actively pessimal: Catalyst pushes each level filter
+below the Expand and specializes every branch into its OWN full
+scan (3 scans / 14 exchanges for a 2-level tree, measured; the
+window form is 1 scan / 2 data-sized exchanges). Spark plans
+WindowGroupLimit for the rank caps, so top-``size`` prunes before
+the bucket-frame shuffles too. Empty buckets are NOT synthesized
+(ES ``min_doc_count: 0`` date_histogram gap-filling is out of
+scope — documented divergence).
 
 ``composite_agg`` implements the composite/after-key pagination:
 the after-key filter is a struct comparison applied BEFORE the
@@ -499,18 +507,19 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         .filter(F.col("level") >= 1)  # ES responses have no global row
     )
 
-    # per-level pruning over the compact bucket frame, top-down
-    pruned_frames = []
-    survivors: DataFrame | None = None
+    # Per-level pruning as WINDOWS over the one bucket frame — never
+    # split ``rolled`` into per-level branches: Catalyst pushes a
+    # ``level == i`` filter below the Expand and specializes each
+    # branch into its OWN full scan of the raw data (3 scans for a
+    # 2-level tree, measured), which is exactly the wrong trade at
+    # 100 TB. The single-branch form keeps ONE scan + ONE data-sized
+    # shuffle; every window below partitions the post-aggregate
+    # bucket frame (Spark plans WindowGroupLimit for the rank caps,
+    # so top-``size`` prunes before the tiny shuffles, too).
+    frame = rolled
     for i, lvl in enumerate(levels, start=1):
-        rows = rolled.filter(F.col("level") == i)
-        if survivors is not None:
-            rows = rows.join(
-                F.broadcast(survivors), on=key_names[: i - 1], how="left_semi"
-            )
         mdc = int(lvl.body.get("min_doc_count", 1 if lvl.kind == "terms" else 0))
-        if mdc > 0:
-            rows = rows.filter(F.col("doc_count") >= mdc)
+        cond = F.col("doc_count") >= mdc if mdc > 0 else F.lit(True)
         if lvl.kind == "terms":
             size = int(lvl.body.get("size", 10))
             order = lvl.body.get("order", {"_count": "desc"})
@@ -522,23 +531,35 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             else:
                 ocol = F.col(okey)  # a sibling metric at this level
             ocol = ocol.desc() if odir == "desc" else ocol.asc()
-            parent = key_names[: i - 1] or [F.lit(0)]
-            w = Window.partitionBy(*parent).orderBy(
+            # partitioning by (level, parent prefix) isolates this
+            # level's buckets: rows of other levels rank in their own
+            # partitions and are masked out below
+            w = Window.partitionBy(F.col("level"), *key_names[: i - 1]).orderBy(
                 ocol, F.col(lvl.name).asc()
             )
-            rows = (
-                rows.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") <= size)
-                .drop("_rk")
-            )
-        survivors = rows.select(*key_names[:i])
-        pruned_frames.append(rows)
+            cond = cond & (F.row_number().over(w) <= size)
+        frame = frame.withColumn(
+            f"_keep{i}", F.when(F.col("level") == i, cond.cast("int"))
+        )
+    # a bucket survives iff it AND every ancestor bucket survives;
+    # the ancestor's verdict reaches its descendants through a window
+    # over the shared key prefix (the level-j ancestor is the only
+    # row in that partition with a non-null _keep{j})
+    surv = F.lit(True)
+    for j in range(1, n + 1):
+        frame = frame.withColumn(
+            f"_anc{j}",
+            F.max(F.col(f"_keep{j}")).over(Window.partitionBy(*key_names[:j])),
+        )
+        surv = surv & ((F.col("level") < j) | (F.col(f"_anc{j}") == 1))
+    frame = frame.filter(surv).drop(
+        *[f"_keep{i}" for i in range(1, n + 1)],
+        *[f"_anc{i}" for i in range(1, n + 1)],
+    )
 
-    pipe_cols = _apply_pipelines(pruned_frames, levels, key_names)
+    pipe_cols = _apply_pipelines_windows(frame, levels, key_names)
+    frame = pipe_cols.frame
 
-    out = pruned_frames[0]
-    for f in pruned_frames[1:]:
-        out = out.unionByName(f, allowMissingColumns=True)
     # report each metric at its attachment level only (ES tree shape)
     proj = [
         F.col("level"),
@@ -548,11 +569,9 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             F.when(F.col("level") == lvl_no, F.col(nm)).alias(nm)
             for nm, _, lvl_no in metrics
         ],
-        # pipeline columns exist only on their attachment level's frame;
-        # unionByName already NULL-fills the other levels
-        *[F.col(nm) for nm in pipe_cols],
+        *[F.col(nm) for nm in pipe_cols.names],
     ]
-    return out.select(*proj).orderBy(
+    return frame.select(*proj).orderBy(
         "level", *[F.col(nm).asc_nulls_first() for nm in key_names]
     )
 
@@ -563,32 +582,42 @@ def _bucket_path_col(path: str) -> Column:
     return F.col("doc_count") if path == "_count" else F.col(path)
 
 
-def _apply_pipelines(pruned_frames, levels, key_names) -> list[str]:
-    """Mutate the per-level pruned frames with pipeline agg columns;
-    return the added column names (in attachment order).
+class _PipeResult:
+    __slots__ = ("frame", "names")
+
+    def __init__(self, frame, names):
+        self.frame, self.names = frame, names
+
+
+def _apply_pipelines_windows(frame, levels, key_names) -> _PipeResult:
+    """Pipeline agg columns as level-masked windows over the ONE
+    surviving bucket frame (no per-level branches, no joins).
 
     Parent pipelines (``cumulative_sum`` / ``derivative`` /
-    ``bucket_script``) are windows/projections over a level's
-    key-ordered bucket sequence, partitioned by the parent prefix —
-    the frames here are post-aggregate bucket frames, so these
-    windows touch rows proportional to the bucket count, never the
-    raw data. Sequential parents only (histogram family), as ES
-    requires. ``cumulative_sum`` accumulates through DECIMAL so the
-    running double is association-free across engines (DuckDB windows
-    may tree-reduce). The first ``derivative`` bucket is NULL (ES
-    omits the key from the response; a flat frame keeps the row).
+    ``bucket_script``) window over the partition ``(level, parent
+    prefix)`` — which isolates exactly this level's surviving,
+    key-ordered buckets — and are masked to their attachment level.
+    Sequential parents only (histogram family), as ES requires;
+    ``cumulative_sum`` accumulates through DECIMAL so the running
+    double is association-free across engines (DuckDB windows may
+    tree-reduce). The first ``derivative`` bucket is NULL (ES omits
+    the key; a flat frame keeps the row).
 
     Sibling ``*_bucket`` pipes aggregate the CHILD level's surviving
-    buckets (post size/min_doc_count pruning — exactly the buckets in
-    the ES response) back onto the parent rows via one broadcast
-    join on the parent prefix."""
+    buckets onto the parent row through a window over the shared key
+    prefix — the parent and its children share the partition, the
+    level mask picks whose values feed the aggregate and whose row
+    reports it. Everything here touches rows proportional to the
+    bucket count, never the raw data."""
     added: list[str] = []
+    n = len(levels)
     for i, lvl in enumerate(levels, start=1):
         if not (lvl.pipelines or lvl.sibling_pipes):
             continue
-        frame = pruned_frames[i - 1]
-        parent = key_names[: i - 1] or [F.lit(0)]
-        w = Window.partitionBy(*parent).orderBy(F.col(lvl.name).asc())
+        at_level = F.col("level") == i
+        w = Window.partitionBy(F.col("level"), *key_names[: i - 1]).orderBy(
+            F.col(lvl.name).asc()
+        )
         for pname, kind, spec in lvl.pipelines:
             if kind in ("cumulative_sum", "derivative") and lvl.kind not in (
                 "date_histogram",
@@ -600,42 +629,41 @@ def _apply_pipelines(pruned_frames, levels, key_names) -> list[str]:
                 )
             if kind == "cumulative_sum":
                 src = _bucket_path_col(spec["buckets_path"])
-                frame = frame.withColumn(
-                    pname,
+                col = (
                     F.sum(src.cast("decimal(28,6)"))
                     .over(w.rowsBetween(Window.unboundedPreceding, 0))
-                    .cast("double"),
+                    .cast("double")
                 )
             elif kind == "derivative":
                 src = _bucket_path_col(spec["buckets_path"])
-                frame = frame.withColumn(
-                    pname, (src - F.lag(src).over(w)).cast("double")
-                )
-            elif kind == "bucket_script":
+                col = (src - F.lag(src).over(w)).cast("double")
+            else:  # bucket_script
                 script = spec["script"]
                 for var, path in sorted(
                     spec["buckets_path"].items(), key=lambda kv: -len(kv[0])
                 ):
                     col_name = "doc_count" if path == "_count" else path
                     script = script.replace(f"params.{var}", col_name)
-                frame = frame.withColumn(pname, F.expr(script).cast("double"))
+                col = F.expr(script).cast("double")
+            frame = frame.withColumn(pname, F.when(at_level, col))
             added.append(pname)
         for pname, kind, spec in lvl.sibling_pipes:
             child_name, _, metric = spec["buckets_path"].partition(">")
-            if i >= len(levels) or levels[i].name != child_name:
+            if i >= n or levels[i].name != child_name:
                 raise ValueError(
                     f"{kind} buckets_path {spec['buckets_path']!r} must "
                     f"reference the child bucket agg"
                 )
-            child = pruned_frames[i]
             src = _bucket_path_col(metric)
-            summary = child.groupBy(*key_names[:i]).agg(
-                _SIBLING_FN[kind](src).cast("double").alias(pname)
+            wc = Window.partitionBy(*key_names[:i])
+            val = (
+                _SIBLING_FN[kind](F.when(F.col("level") == i + 1, src))
+                .over(wc)
+                .cast("double")
             )
-            frame = frame.join(F.broadcast(summary), key_names[:i], "left")
+            frame = frame.withColumn(pname, F.when(at_level, val))
             added.append(pname)
-        pruned_frames[i - 1] = frame
-    return added
+    return _PipeResult(frame, added)
 
 
 def _top_hits_plan(df: DataFrame, levels: list[_Level]) -> DataFrame:

@@ -416,6 +416,40 @@ def test_collapse_keeps_top_hit_per_group(docs):
     assert [(r.kind, r.id) for r in rows] == [("c", 5), ("b", 4), ("a", 2)]
 
 
+def test_agg_tree_plans_one_scan(spark):
+    # the whole multi-level tree (pruning + pipelines included) must
+    # compile to ONE scan of the raw data — the per-level-branch
+    # formulation regressed to one scan PER level (Catalyst pushes
+    # level filters below the Expand and specializes each branch)
+    df = spark.createDataFrame(
+        [Row(day=float(i % 3), kind="k" + str(i % 2), n=float(i))
+         for i in range(30)]
+    )
+    out = compile_aggs(
+        df,
+        {
+            "d": {
+                "histogram": {"field": "day", "interval": 1},
+                "aggs": {
+                    "s": {"sum": {"field": "n"}},
+                    "cum": {"cumulative_sum": {"buckets_path": "s"}},
+                    "k": {"terms": {"field": "kind", "size": 1},
+                          "aggs": {"m": {"avg": {"field": "n"}}}},
+                    "best": {"max_bucket": {"buckets_path": "k>m"}},
+                },
+            }
+        },
+    )
+    out.collect()
+    final_plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final_plan.count("Scan ExistingRDD") + final_plan.count(
+        "FileScan"
+    ) == 1, final_plan
+
+
 def test_date_histogram_fixed_interval_key_is_epoch_millis(spark):
     df = spark.createDataFrame(
         [Row(ts="2024-01-01 00:10:00"), Row(ts="2024-01-01 00:40:00"),
