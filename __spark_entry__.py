@@ -588,21 +588,43 @@ DEMOTED: frozenset[str] = frozenset(
         "corpus_bm25_served",
         # es_* — the ES _search request compiler (round 9): saved
         #     search requests replayed on the lake — query DSL →
-        #     NULL-exact Catalyst Column, aggregation trees → ONE
-        #     rollup shuffle with per-level size/min_doc_count pruning,
-        #     composite after-key pagination, per-bucket top_hits.
-        #     All seven demoted-green pending the next rotation window
-        "es_search_hits",
-        "es_aggs_tree",
+        #     NULL-exact Catalyst Column, aggregation trees → one
+        #     scan + one rollup shuffle with level-masked window
+        #     pruning/pipelines, composite after-key pagination,
+        #     per-bucket top_hits.  Four family heads are DECLARED in
+        #     the same round they landed (es_search_hits = query DSL +
+        #     sort/from/size; es_aggs_tree = the agg-tree compiler;
+        #     es_pipeline_aggs = pipeline windows + sibling summary;
+        #     es_query_string = the Lucene q= parser, pinned inverse
+        #     of the pushdown translator); the remaining variants stay
+        #     demoted-green pending the next rotation window
         "es_range_buckets",
         "es_histogram",
         "es_filters_agg",
         "es_composite_page",
         "es_top_hits",
-        "es_pipeline_aggs",
-        "es_query_string",
         "es_collapse",
         "es_search_after",
+        # Rotated OUT of the declared 50 in round 9 (second swap) so
+        # the gate carries the ES _search compiler the round built.
+        # Families stay declared:
+        #   corpus_splits — deterministic hash splits; the sampling
+        #       family stays declared via corpus_stratified (same
+        #       md5-rank window machinery) and corpus_packing
+        #   corpus_temperature — temperature reweighting; same
+        #       weighted-window surface as corpus_stratified (and the
+        #       A-ES weighted form is pytest-verified)
+        #   sim_topk_bruteforce — exact cosine top-k; sim_topk_batch
+        #       IS the batch superset of the same operator (identical
+        #       score fold, same oracle family)
+        #   text_token_count — whitespace+BPE-ish token counts; the
+        #       SAME columns are computed by the declared
+        #       corpus_attributes (document_attributes), and
+        #       text_quality keeps the text-analysis chain declared
+        "corpus_splits",
+        "corpus_temperature",
+        "sim_topk_bruteforce",
+        "text_token_count",
         # Rotated OUT of the declared 50 in round 9 so the gate carries
         # the round-8 verification surface it could not previously see
         # (corpus_match_phrase, corpus_highlight, mm_binary_clusters,

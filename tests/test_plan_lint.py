@@ -159,6 +159,20 @@ PINNED_FINGERPRINTS = {
     "corpus_highlight": {"exchange": 1, "bhj": 1},
     "mm_binary_clusters": {"exchange": 6, "smj": 3},
     "corpus_decontaminate_bloom": {"exchange": 7, "bhj": 2, "bnlj": 1},
+    # round-9 second swap: the promoted ES _search compiler heads.
+    # es_search_hits' empty fingerprint is the point — filter + global
+    # top-k plans as scan → TakeOrderedAndProject, zero shuffles.
+    # es_aggs_tree: 2 data-sized exchanges (rollup + the exact-
+    # cardinality distinct phase) + 2 bucket-frame exchanges (rank /
+    # ancestor windows); the single-branch window form is pinned so a
+    # regression to per-level scans (3 scans / 14 exchanges, measured)
+    # fails CI. es_pipeline_aggs adds one pipeline-window exchange.
+    # es_query_string: the one exchange is the oracle-determinism
+    # orderBy(event_id); the parsed predicate itself is a pure scan.
+    "es_search_hits": {},
+    "es_aggs_tree": {"exchange": 4},
+    "es_pipeline_aggs": {"exchange": 5},
+    "es_query_string": {"exchange": 1},
 }
 
 
