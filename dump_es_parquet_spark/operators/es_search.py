@@ -576,6 +576,102 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     )
 
 
+_STREAM_METRICS = ("avg", "sum", "min", "max", "value_count")
+
+
+def streamable_aggs(
+    frame: DataFrame, aggs: dict, watermark: str = "2 hours"
+) -> DataFrame:
+    """The continuously-maintainable subset of ``compile_aggs``: a
+    ``date_histogram`` root (fixed-width units — the tumbling
+    ``F.window`` shape Structured Streaming manages state for) with
+    any chain of stateless bucket levels below it and leaf-level
+    metrics, emitting LEAF buckets only. On a batch frame the same
+    expression tree runs unchanged and equals ``compile_aggs``' leaf
+    level (cross-checked in tests), so a dashboard agg can be served
+    from the stream and backfilled from the lake with one definition.
+
+    Streaming restrictions, each enforced loudly: no ``terms`` size
+    pruning (a per-parent rank is not incrementally maintainable —
+    prune downstream or in ``foreachBatch``), no exact cardinality /
+    percentiles (not expressible in append-mode state; the mergeable
+    HLL/KLL sketches in operators/profile.py are the streaming
+    answer), no pipeline aggs / top_hits, and calendar units wider
+    than a day (month/quarter/year) have no fixed window width.
+
+    The watermark bounds state: buckets older than the watermark are
+    finalized and evicted, ES's own "a rollup index catches up and
+    seals" behavior."""
+    levels = _parse_chain(aggs)
+    root = levels[0]
+    if root.kind != "date_histogram":
+        raise ValueError("streamable_aggs needs a date_histogram root")
+    for lvl in levels:
+        if lvl.pipelines or lvl.sibling_pipes or lvl.top_hits:
+            raise ValueError("pipeline/top_hits aggs are not streamable")
+        if lvl.kind == "filters":
+            raise ValueError("filters buckets are not streamable")
+        if lvl.kind == "terms" and "size" in lvl.body:
+            raise ValueError(
+                "terms size pruning is not incrementally maintainable; "
+                "drop 'size' (prune downstream or in foreachBatch)"
+            )
+    for lvl in levels[:-1]:
+        if lvl.metrics:
+            raise ValueError(
+                "streamable_aggs emits leaf buckets only; attach "
+                "metrics to the innermost bucket"
+            )
+    b = root.body
+    if "calendar_interval" in b:
+        unit = _CALENDAR_UNITS[b["calendar_interval"]]
+        if unit not in ("second", "minute", "hour", "day", "week"):
+            raise ValueError(f"calendar unit {unit!r} has no fixed width")
+        win = f"1 {unit}"
+    else:
+        win = f"{_fixed_ms(b['fixed_interval'])} milliseconds"
+    time_col = b["field"]
+
+    metrics = []
+    for name, spec in levels[-1].metrics:
+        (kind,) = [k for k in spec if k in _METRIC_KINDS]
+        if kind not in _STREAM_METRICS:
+            raise ValueError(
+                f"{kind} is not append-mode streamable (see "
+                "operators/profile.py for the mergeable-sketch forms)"
+            )
+        col = F.col(spec[kind]["field"])
+        dec = col.cast("decimal(18,6)")
+        e = {
+            "avg": F.sum(dec).cast("double") / F.count(col),
+            "sum": F.sum(dec).cast("double"),
+            "min": F.min(col).cast("double"),
+            "max": F.max(col).cast("double"),
+            "value_count": F.count(col).cast("double"),
+        }[kind]
+        metrics.append(e.alias(name))
+
+    key_names = [lvl.name for lvl in levels[1:]]
+    src = frame.withWatermark(time_col, watermark) if frame.isStreaming else frame
+    base = src.select(
+        F.window(F.col(time_col), win).alias("_win"),
+        *[lvl.key_expr().alias(lvl.name) for lvl in levels[1:]],
+        *[c for c in frame.columns if c not in key_names],
+    ).filter(F.col("_win").isNotNull())
+    for nm in key_names:
+        base = base.filter(F.col(nm).isNotNull())
+    return (
+        base.groupBy("_win", *key_names)
+        .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+        .select(
+            F.unix_millis(F.col("_win.start")).alias(root.name),
+            *key_names,
+            "doc_count",
+            *[nm for nm, _ in levels[-1].metrics],
+        )
+    )
+
+
 def _bucket_path_col(path: str) -> Column:
     """Resolve an intra-level ``buckets_path``: a sibling metric's
     column name, or ``_count`` for the bucket's doc count."""

@@ -416,6 +416,87 @@ def test_collapse_keeps_top_hit_per_group(docs):
     assert [(r.kind, r.id) for r in rows] == [("c", 5), ("b", 4), ("a", 2)]
 
 
+def test_streamable_aggs_stream_equals_batch(spark, sf_dir):
+    from dump_es_parquet_spark.operators.es_search import streamable_aggs
+    from dump_es_parquet_spark.operators.tables import load
+    from dump_es_parquet_spark.streaming.stream import stream_events
+
+    tree = {
+        "by_hour": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type"},
+                    "aggs": {
+                        "sum_value": {"sum": {"field": "value"}},
+                        "avg_value": {"avg": {"field": "value"}},
+                    },
+                }
+            },
+        }
+    }
+    q = (
+        streamable_aggs(stream_events(spark, sf_dir), tree)
+        .writeStream.format("memory")
+        .queryName("t_es_stream_aggs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("t_es_stream_aggs")
+    batch = streamable_aggs(load(spark, sf_dir, "events"), tree)
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b and len(s) > 0
+    # and the batch run of the SAME tree equals compile_aggs' leaf
+    # level (size pruning disabled on both sides)
+    leaf = (
+        compile_aggs(
+            load(spark, sf_dir, "events"),
+            {
+                "by_hour": {
+                    "date_histogram": {"field": "ts",
+                                       "calendar_interval": "hour"},
+                    "aggs": {
+                        "by_type": {
+                            "terms": {"field": "event_type", "size": 10**6},
+                            "aggs": {
+                                "sum_value": {"sum": {"field": "value"}},
+                                "avg_value": {"avg": {"field": "value"}},
+                            },
+                        }
+                    },
+                }
+            },
+        )
+        .filter("level = 2")
+        .select("by_hour", "by_type", "doc_count", "sum_value", "avg_value")
+    )
+    assert sorted(map(tuple, leaf.collect())) == b
+
+
+def test_streamable_aggs_rejects_unmaintainable_shapes(spark):
+    from dump_es_parquet_spark.operators.es_search import streamable_aggs
+
+    df = spark.createDataFrame([Row(ts="2024-01-01 00:00:00", k="a", n=1.0)]) \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "k", "n")
+    with pytest.raises(ValueError, match="date_histogram root"):
+        streamable_aggs(df, {"k": {"terms": {"field": "k"}}})
+    with pytest.raises(ValueError, match="size pruning"):
+        streamable_aggs(df, {
+            "h": {"date_histogram": {"field": "ts", "fixed_interval": "1h"},
+                  "aggs": {"k": {"terms": {"field": "k", "size": 3}}}}})
+    with pytest.raises(ValueError, match="no fixed width"):
+        streamable_aggs(df, {
+            "h": {"date_histogram": {"field": "ts",
+                                     "calendar_interval": "month"}}})
+    with pytest.raises(ValueError, match="streamable"):
+        streamable_aggs(df, {
+            "h": {"date_histogram": {"field": "ts", "fixed_interval": "1h"},
+                  "aggs": {"u": {"cardinality": {"field": "k"}}}}})
+
+
 def test_agg_tree_plans_one_scan(spark):
     # the whole multi-level tree (pruning + pipelines included) must
     # compile to ONE scan of the raw data — the per-level-branch
