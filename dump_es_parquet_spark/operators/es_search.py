@@ -786,8 +786,11 @@ def _top_hits_plan(df: DataFrame, levels: list[_Level]) -> DataFrame:
     counts = base.groupBy(*key_names).agg(F.count(F.lit(1)).alias("doc_count"))
     pruned = counts
     for i, lvl in enumerate(levels, start=1):
-        if lvl.kind == "terms" and "size" in lvl.body:
-            bsize = int(lvl.body["size"])
+        if lvl.kind == "terms":
+            # ES default size 10 applies here too — and without a cap
+            # the kept-bucket broadcast below would ship EVERY key of
+            # a high-cardinality field
+            bsize = int(lvl.body.get("size", 10))
             parent = key_names[: i - 1] or [F.lit(0)]
             lvl_counts = pruned.groupBy(*key_names[:i]).agg(
                 F.sum("doc_count").alias("_n")
