@@ -605,6 +605,12 @@ DEMOTED: frozenset[str] = frozenset(
         "es_top_hits",
         "es_collapse",
         "es_search_after",
+        # es_transform_pivot — ES _transform parity (round 9): the
+        #     batch pivot of the entity-centric continuous aggregation;
+        #     the incremental form (additive bucket-merge with per-
+        #     bucket epoch replay guards) is pinned equal to it in
+        #     tests/test_transform.py. Demoted-green pending rotation
+        "es_transform_pivot",
         # Rotated OUT of the declared 50 in round 9 (second swap) so
         # the gate carries the ES _search compiler the round built.
         # Families stay declared:
@@ -817,6 +823,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_query_string": _mod("querystring", "q_es_query_string"),
         "es_collapse": _mod("es_search", "q_es_collapse"),
         "es_search_after": _mod("es_search", "q_es_search_after"),
+        "es_transform_pivot": _mod("transform", "q_es_transform_pivot"),
     }
 
 
@@ -3377,6 +3384,25 @@ def _all_oracle_sql() -> dict[str, str]:
                     OR (value = 150.0 AND event_id > 0)))
         ORDER BY event_type ASC, value DESC, event_id ASC
         LIMIT 25
+    """
+
+    # es_transform_pivot: the batch form of the ES _transform pivot —
+    # per-user per-day entity rollup; avg goes through the SAME
+    # decimal(28,6)-sum/count split the incremental merge persists,
+    # so batch, continuous, and oracle all compute identical doubles.
+    q["es_transform_pivot"] = """
+        SELECT user_id AS "user",
+               epoch_ms(date_trunc('day', ts)) AS day,
+               count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_value,
+               max(value) AS peak_value,
+               CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / count(value) AS avg_value,
+               count(value) AS n_values
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     # es_query_string: a saved Lucene q= string replayed lake-side —
