@@ -611,6 +611,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     bucket epoch replay guards) is pinned equal to it in
         #     tests/test_transform.py. Demoted-green pending rotation
         "es_transform_pivot",
+        # es_percolate — ES reverse search (round 9): stored queries
+        #     evaluated as one zero-shuffle projection pass, matched
+        #     ids exploded. Demoted-green pending rotation
+        "es_percolate",
         # Rotated OUT of the declared 50 in round 9 (second swap) so
         # the gate carries the ES _search compiler the round built.
         # Families stay declared:
@@ -824,6 +828,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_collapse": _mod("es_search", "q_es_collapse"),
         "es_search_after": _mod("es_search", "q_es_search_after"),
         "es_transform_pivot": _mod("transform", "q_es_transform_pivot"),
+        "es_percolate": _mod("es_search", "q_es_percolate"),
     }
 
 
@@ -3384,6 +3389,32 @@ def _all_oracle_sql() -> dict[str, str]:
                     OR (value = 150.0 AND event_id > 0)))
         ORDER BY event_type ASC, value DESC, event_id ASC
         LIMIT 25
+    """
+
+    # es_percolate: the reverse search — each arm mirrors one stored
+    # query's NULL-safe compiled predicate; the multi_match arm is the
+    # per-field token-membership OR (event_type is single-token, but
+    # the SQL keeps the same list_contains form as the Spark side).
+    q["es_percolate"] = r"""
+        SELECT event_id, 'big_value' AS query_id FROM events
+        WHERE coalesce(value >= 250, FALSE)
+        UNION ALL
+        SELECT event_id, 'quiet_errors' FROM events
+        WHERE coalesce(event_type = 'error', FALSE)
+          AND NOT coalesce(value >= 50, FALSE)
+        UNION ALL
+        SELECT event_id, 'k8_props' FROM events
+        WHERE coalesce(
+                list_contains(regexp_split_to_array(trim(event_type), '\s+'),
+                              'error')
+                OR list_contains(regexp_split_to_array(trim(event_type), '\s+'),
+                                 '87}'), FALSE)
+           OR coalesce(
+                list_contains(regexp_split_to_array(trim(props), '\s+'),
+                              'error')
+                OR list_contains(regexp_split_to_array(trim(props), '\s+'),
+                                 '87}'), FALSE)
+        ORDER BY event_id, query_id
     """
 
     # es_transform_pivot: the batch form of the ES _transform pivot —

@@ -175,6 +175,19 @@ def compile_query(q: dict | None) -> Column:
         return _compile_bool(body)
     if kind == "exists":
         return F.col(body["field"]).isNotNull()
+    if kind == "multi_match":
+        # filter-context multi_match: OR over the per-field matches
+        # (best_fields scoring has no filter meaning; each arm is
+        # NULL-safe so one missing field can't poison the OR)
+        spec = {"query": body["query"], "operator": body.get("operator", "or")}
+        per_field = [
+            _false_safe(compile_query({"match": {f: spec}}))
+            for f in body["fields"]
+        ]
+        out = per_field[0]
+        for c in per_field[1:]:
+            out = out | c
+        return out
     if kind == "ids":
         raise ValueError("ids query needs a doc-id column; filter it directly")
 
@@ -1104,6 +1117,56 @@ def q_es_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         },
     )
+
+
+def percolate(
+    docs: DataFrame, queries: dict[str, dict], id_cols: list[str] | None = None
+) -> DataFrame:
+    """ES percolate — the REVERSE search: which of N stored queries
+    match each incoming document? Compiled as one projection pass:
+    every stored query becomes a NULL-safe boolean expression, the
+    matching query ids collect into an array, and ``explode`` emits
+    one ``(doc, query_id)`` row per hit — zero shuffles, one scan,
+    docs that match nothing disappear (as in the ES response).
+
+    Plan size grows linearly with the stored-query count — fine for
+    the hundreds-of-alert-rules case percolate serves; a corpus of
+    MILLIONS of stored queries would need the inverted route instead
+    (index the queries' terms and pre-filter candidates, which is
+    what ES itself does internally — out of scope here)."""
+    id_cols = id_cols or docs.columns[:1]
+    matched = F.array_compact(
+        F.array(
+            *[
+                F.when(_false_safe(compile_query(q)), F.lit(qid))
+                for qid, q in queries.items()
+            ]
+        )
+    )
+    return docs.select(*id_cols, F.explode(matched).alias("query_id"))
+
+
+def q_es_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three stored alert queries percolated over the events stream:
+    a range, a NULL-exact bool, and a multi_match."""
+    ev = load(spark, sf_dir, "events")
+    return percolate(
+        ev,
+        {
+            "big_value": {"range": {"value": {"gte": 250}}},
+            "quiet_errors": {
+                "bool": {
+                    "filter": [{"term": {"event_type": "error"}}],
+                    "must_not": [{"range": {"value": {"gte": 50}}}],
+                }
+            },
+            "k8_props": {
+                "multi_match": {"query": "error 87}", "fields":
+                                ["event_type", "props"]}
+            },
+        },
+        id_cols=["event_id"],
+    ).orderBy("event_id", "query_id")
 
 
 def q_es_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -112,6 +112,35 @@ def test_match_phrase_token_boundaries(docs):
     assert _ids(docs, {"match_phrase": {"text": "ca"}}) == []
 
 
+def test_multi_match_or_across_fields(docs):
+    # "cat" appears in text of 1,2,5; kind "b" for 3,4 — the OR of
+    # per-field matches, NULL-safe (doc 4 has text NULL)
+    q = {"multi_match": {"query": "cat b", "fields": ["text", "kind"]}}
+    assert _ids(docs, q) == [1, 2, 3, 4, 5]
+    q_and = {"multi_match": {"query": "slow cat", "operator": "and",
+                             "fields": ["text", "kind"]}}
+    assert _ids(docs, q_and) == [2]
+
+
+def test_percolate_reverse_search(docs):
+    from dump_es_parquet_spark.operators.es_search import percolate
+
+    out = percolate(
+        docs,
+        {
+            "reds": {"term": {"tag": "red"}},
+            "no_tag": {"bool": {"must_not": [{"exists": {"field": "tag"}}]}},
+            "cats": {"match": {"text": "cat"}},
+        },
+        id_cols=["id"],
+    ).collect()
+    hits = sorted((r.id, r.query_id) for r in out)
+    assert hits == [
+        (1, "cats"), (1, "reds"), (2, "cats"), (2, "no_tag"),
+        (4, "reds"), (5, "cats"),
+    ]
+
+
 def test_exists_prefix_terms_range(docs):
     assert _ids(docs, {"exists": {"field": "tag"}}) == [1, 3, 4, 5]
     assert _ids(docs, {"prefix": {"kind": "a"}}) == [1, 2]
