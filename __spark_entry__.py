@@ -615,6 +615,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     evaluated as one zero-shuffle projection pass, matched
         #     ids exploded. Demoted-green pending rotation
         "es_percolate",
+        # es_knn_search — the ES 8 knn request section (round 9):
+        #     exact cosine top-k over the pre-filtered frame, SAME
+        #     oracle SQL as sim_topk_bruteforce (the request-dialect
+        #     bridge onto the declared similarity surface)
+        "es_knn_search",
         # Rotated OUT of the declared 50 in round 9 (second swap) so
         # the gate carries the ES _search compiler the round built.
         # Families stay declared:
@@ -829,6 +834,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_after": _mod("es_search", "q_es_search_after"),
         "es_transform_pivot": _mod("transform", "q_es_transform_pivot"),
         "es_percolate": _mod("es_search", "q_es_percolate"),
+        "es_knn_search": _mod("es_search", "q_es_knn_search"),
     }
 
 
@@ -3391,6 +3397,10 @@ def _all_oracle_sql() -> dict[str, str]:
         LIMIT 25
     """
 
+    # es_knn_search: the ES 8 knn request section answers the SAME
+    # oracle as sim_topk_bruteforce (identical cosine fold, identical
+    # round-6 tiebreak ordering) — assigned after both are defined.
+
     # es_percolate: the reverse search — each arm mirrors one stored
     # query's NULL-safe compiled predicate; the multi_match arm is the
     # per-field token-membership OR (event_type is single-token, but
@@ -3474,5 +3484,10 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM ranked WHERE top_rank <= 2
         ORDER BY by_type, top_rank
     """
+
+    # the ES 8 knn request dialect serves the same answer as the
+    # declared brute-force cosine operator — one oracle, two surfaces
+    # (the corpus_bm25_served pattern)
+    q["es_knn_search"] = q["sim_topk_bruteforce"]
 
     return q

@@ -944,7 +944,42 @@ def search(df: DataFrame, request: dict) -> DataFrame:
     at 10k), ``collapse`` → one top hit per collapse-field group (a
     per-group ``row_number`` before the global top-k), ``_source`` →
     projection."""
+    for name, spec in (request.get("runtime_mappings") or {}).items():
+        # runtime fields: ES evaluates Painless at query time; the
+        # lake-side stand-in is a SQL expression (``script_sql``) —
+        # same role (computed, never stored), PARITY #20
+        df = df.withColumn(name, F.expr(spec["script_sql"]))
     out = df.filter(compile_query(request.get("query")))
+    knn = request.get("knn")
+    if knn:
+        # the ES 8 knn section: exact brute-force cosine top-k over
+        # the PRE-filtered frame (both knn.filter and the top-level
+        # query act as pre-filters here — we do not blend lexical
+        # scores; hybrid ranking is operators/retrieval.hybrid_rrf,
+        # and the IVF/PQ index family in operators/similarity.py is
+        # the approximate serving path). One scan,
+        # TakeOrderedAndProject, query vector lives in the plan.
+        from .similarity import cosine
+
+        if knn.get("filter"):
+            out = out.filter(
+                F.coalesce(compile_query(knn["filter"]), F.lit(False))
+            )
+        qv = F.array(*[F.lit(float(x)) for x in knn["query_vector"]])
+        score = cosine(F.col(knn["field"]), qv)
+        if "score_round" in knn:
+            # cross-engine-deterministic ordering near the k boundary:
+            # round the score and break ties on stable columns (the
+            # convention every sim_* oracle row uses)
+            score = F.round(score, int(knn["score_round"]))
+        order = [F.col("_score").desc()] + [
+            F.col(c).asc() for c in knn.get("tiebreak", [])
+        ]
+        out = (
+            out.withColumn("_score", score)
+            .orderBy(*order)
+            .limit(int(knn["k"]))
+        )
     sort = request.get("sort")
     after = request.get("search_after")
     if after:
@@ -1167,6 +1202,36 @@ def q_es_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         id_cols=["event_id"],
     ).orderBy("event_id", "query_id")
+
+
+def q_es_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES 8 ``knn`` search section in the request dialect,
+    answering the SAME oracle as sim_topk_bruteforce: query vector as
+    a literal (the request shape), self excluded via knn.filter, the
+    runtime-field hook exercised by projecting the rounded score.
+    The 1-row collect fetching the query vector is the bounded-
+    collect family (one embedding row at query-construction time)."""
+    from .tables import load as _load
+
+    e = _load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter("vec_id = 0").head()["embedding"]]
+    hits = search(
+        e,
+        {
+            "knn": {
+                "field": "embedding",
+                "query_vector": qv,
+                "k": 10,
+                "filter": {"bool": {"must_not": [{"term": {"vec_id": 0}}]}},
+                "score_round": 6,
+                "tiebreak": ["vec_id"],
+            },
+            "size": 10,
+        },
+    )
+    return hits.select(
+        "vec_id", "label", F.col("_score").alias("cos_sim")
+    ).orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
 
 
 def q_es_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
