@@ -620,6 +620,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     oracle SQL as sim_topk_bruteforce (the request-dialect
         #     bridge onto the declared similarity surface)
         "es_knn_search",
+        # es_suggest_* — the _search suggest section (round 9):
+        #     completion (prefix vocab top-k by df) and term (fuzzy
+        #     corrections ranked distance asc / df desc, the Lucene
+        #     candidate order). Demoted-green pending rotation
+        "es_suggest_completion",
+        "es_suggest_term",
         # Rotated OUT of the declared 50 in round 9 (second swap) so
         # the gate carries the ES _search compiler the round built.
         # Families stay declared:
@@ -835,6 +841,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_transform_pivot": _mod("transform", "q_es_transform_pivot"),
         "es_percolate": _mod("es_search", "q_es_percolate"),
         "es_knn_search": _mod("es_search", "q_es_knn_search"),
+        "es_suggest_completion": _mod("retrieval", "q_es_suggest_completion"),
+        "es_suggest_term": _mod("retrieval", "q_es_suggest_term"),
     }
 
 
@@ -3489,5 +3497,33 @@ def _all_oracle_sql() -> dict[str, str]:
     # declared brute-force cosine operator — one oracle, two surfaces
     # (the corpus_bm25_served pattern)
     q["es_knn_search"] = q["sim_topk_bruteforce"]
+
+    # es_suggest_completion: prefix vocab top-k by document frequency
+    # (per-doc distinct terms, like significant_terms' df)
+    q["es_suggest_completion"] = f"""
+        WITH t AS (SELECT list_distinct({_TOKS}) AS toks FROM documents),
+        v AS (SELECT term, count(*) AS df
+              FROM (SELECT unnest(toks) AS term FROM t)
+              WHERE term LIKE 's%' GROUP BY term)
+        SELECT term, df FROM v ORDER BY df DESC, term ASC LIMIT 10
+    """
+
+    # es_suggest_term: fuzzy corrections for 'port' from the corpus
+    # vocabulary — classic Levenshtein (the PARITY fuzzy caveat),
+    # exact input excluded, Lucene's candidate order (distance asc,
+    # df desc: 'sort' 388 beats 'part' 385 at equal distance)
+    q["es_suggest_term"] = f"""
+        WITH t AS (SELECT list_distinct({_TOKS}) AS toks FROM documents),
+        v AS (SELECT suggestion, count(*) AS df
+              FROM (SELECT unnest(toks) AS suggestion FROM t)
+              GROUP BY suggestion),
+        c AS (SELECT suggestion, df,
+                     CAST(levenshtein(suggestion, 'port') AS INT) AS distance
+              FROM v
+              WHERE abs(len(suggestion) - 4) <= 1 AND suggestion != 'port')
+        SELECT suggestion, distance, df FROM c
+        WHERE distance <= 1
+        ORDER BY distance ASC, df DESC, suggestion ASC LIMIT 5
+    """
 
     return q

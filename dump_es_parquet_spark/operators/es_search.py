@@ -88,10 +88,20 @@ __all__ = [
     "compile_query",
     "compile_aggs",
     "composite_agg",
+    "percolate",
     "search",
+    "search_aggs",
+    "streamable_aggs",
 ]
 
-_BUCKET_KINDS = ("terms", "date_histogram", "histogram", "range", "filters")
+_BUCKET_KINDS = (
+    "terms",
+    "multi_terms",
+    "date_histogram",
+    "histogram",
+    "range",
+    "filters",
+)
 _METRIC_KINDS = (
     "avg",
     "sum",
@@ -104,8 +114,22 @@ _METRIC_KINDS = (
 )
 # parent pipeline aggs run ACROSS a bucket agg's key-ordered bucket
 # sequence (windows over the compact bucket frame); sibling *_bucket
-# aggs summarize a child bucket's metric onto the parent's rows
-_PIPELINE_PARENT = ("cumulative_sum", "derivative", "bucket_script")
+# aggs summarize a child bucket's metric onto the parent's rows;
+# bucket_sort is parsed separately (it PRUNES rather than adds a
+# column — see compile_aggs' second survival pass)
+_PIPELINE_PARENT = (
+    "cumulative_sum",
+    "derivative",
+    "bucket_script",
+    "moving_fn",
+    "serial_diff",
+)
+# the MovingFunctions.* subset that maps onto exact SQL window
+# aggregates (sum/avg accumulate through DECIMAL so they are
+# association-free across engines). ES returns 0.0 (sum) / NaN
+# (unweightedAvg) over an EMPTY window; here an empty window is NULL
+# — the SQL window convention both engines share.
+_MOVING_FNS = ("max", "min", "sum", "unweightedAvg")
 _PIPELINE_SIBLING = ("max_bucket", "min_bucket", "avg_bucket", "sum_bucket")
 _SIBLING_FN = {
     "max_bucket": F.max,
@@ -296,12 +320,26 @@ class _Level:
         self.pipelines: list[tuple[str, str, dict]] = []  # (name, kind, spec)
         # sibling *_bucket pipes summarizing the CHILD bucket's metric
         self.sibling_pipes: list[tuple[str, str, dict]] = []
+        # bucket_sort spec pruning THIS level's buckets (ES: the
+        # bucket_sort sits inside this bucket's aggs and sorts it)
+        self.bucket_sort: dict | None = None
 
     def key_expr(self) -> Column:
         b = self.body
         col = F.col(b["field"]) if "field" in b else None
         if self.kind == "terms":
             return col
+        if self.kind == "multi_terms":
+            # ES drops docs missing ANY component field; concat_ws
+            # would silently skip NULLs, so guard first. The flat
+            # frame carries ES's key_as_string ('|'-joined).
+            cols = [F.col(t["field"]) for t in b["terms"]]
+            nonnull = cols[0].isNotNull()
+            for c in cols[1:]:
+                nonnull = nonnull & c.isNotNull()
+            return F.when(
+                nonnull, F.concat_ws("|", *[c.cast("string") for c in cols])
+            )
         if self.kind == "date_histogram":
             if "calendar_interval" in b:
                 unit = _CALENDAR_UNITS[b["calendar_interval"]]
@@ -359,12 +397,18 @@ def _parse_chain(aggs: dict) -> list[_Level]:
         pipes: list[tuple[str, str, dict]] = []
         sib_pipes: list[tuple[str, str, dict]] = []
         top_hits = None
+        bucket_sort = None
         child = None
         for name, spec in node.items():
             kinds = [k for k in spec if k in _BUCKET_KINDS]
             mkinds = [k for k in spec if k in _METRIC_KINDS]
             pkinds = [k for k in spec if k in _PIPELINE_PARENT]
             skinds = [k for k in spec if k in _PIPELINE_SIBLING]
+            if "bucket_sort" in spec:
+                if bucket_sort is not None:
+                    raise ValueError("one bucket_sort per bucket level")
+                bucket_sort = spec["bucket_sort"]
+                continue
             if kinds:
                 if bucket is not None:
                     raise ValueError(
@@ -398,19 +442,23 @@ def _parse_chain(aggs: dict) -> list[_Level]:
             levels[-1].metrics.extend(metrics)
             levels[-1].pipelines.extend(pipes)
             levels[-1].top_hits = top_hits
+            if bucket_sort is not None:
+                levels[-1].bucket_sort = bucket_sort
             break
         if levels and bucket.kind == "filters":
             raise ValueError("filters agg is supported at the root level only")
         levels.append(bucket)
         node = child
         # metrics/pipelines beside this bucket belong to the PARENT
-        if metrics or top_hits or pipes or sib_pipes:
+        if metrics or top_hits or pipes or sib_pipes or bucket_sort:
             if len(levels) >= 2:
                 levels[-2].metrics.extend(metrics)
                 levels[-2].pipelines.extend(pipes)
                 levels[-2].sibling_pipes.extend(sib_pipes)
                 if top_hits:
                     levels[-2].top_hits = top_hits
+                if bucket_sort is not None:
+                    levels[-2].bucket_sort = bucket_sort
             else:
                 raise ValueError(
                     "metric/pipeline aggs beside the root bucket have no "

@@ -1017,3 +1017,90 @@ def q_corpus_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_occurrences(
         load(spark, sf_dir, "documents"), DEFAULT_PHRASE
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# suggesters (the _search "suggest" section)
+# ---------------------------------------------------------------------------
+
+
+def completion_suggest(
+    docs: DataFrame,
+    prefix: str,
+    size: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES completion suggester, lake-side: corpus terms starting with
+    ``prefix``, ranked by document frequency (desc, term asc) —
+    ``(term, df)``.
+
+    Scale shape: the vocab classic — per-doc DISTINCT terms explode
+    into one map-side-combined ``groupBy(term)``; the prefix filter
+    runs BEFORE the explode output reaches the shuffle (on the
+    exploded column), so the exchange carries one row per distinct
+    matching (partition, term). Top-``size`` is a TakeOrdered."""
+    toks = F.array_distinct(_tokens_col(text_col))
+    return (
+        docs.select(F.explode(toks).alias("term"))
+        .where(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(size)
+    )
+
+
+def term_suggest(
+    docs: DataFrame,
+    term: str,
+    max_edits: int = 1,
+    size: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """ES term suggester: spelling corrections for ``term`` from the
+    corpus vocabulary within ``max_edits`` (classic Levenshtein — the
+    PARITY #19 fuzzy caveat applies), the exact input excluded,
+    ranked the way ES ranks candidates: distance asc, then document
+    frequency desc, then term asc — ``(suggestion, distance, df)``.
+
+    Scale shape: one vocab groupBy (map-side combined); the
+    length-guarded distance runs on the POST-aggregate vocabulary
+    (one row per distinct term), not per occurrence."""
+    L = len(term)
+    toks = F.array_distinct(_tokens_col(text_col))
+    vocab = (
+        docs.select(F.explode(toks).alias("suggestion"))
+        .groupBy("suggestion")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    s = F.col("suggestion")
+    return (
+        vocab.where(
+            (F.abs(F.length(s) - L) <= max_edits) & (s != term)
+        )
+        .withColumn(
+            "distance", F.levenshtein(s, F.lit(term)).cast("int")
+        )
+        .where(F.col("distance") <= max_edits)
+        .orderBy(
+            F.col("distance").asc(), F.col("df").desc(), s.asc()
+        )
+        .limit(size)
+    )
+
+
+def q_es_suggest_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form: completion suggestions for the prefix 's'."""
+    from .tables import load
+
+    return completion_suggest(load(spark, sf_dir, "documents"), "s", size=10)
+
+
+def q_es_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form: spelling corrections for 'port' (1 edit) — both
+    ``sort`` and ``part`` are a substitution away, so the result
+    exercises the ES candidate order's df-desc tie-break."""
+    from .tables import load
+
+    return term_suggest(load(spark, sf_dir, "documents"), "port", max_edits=1)

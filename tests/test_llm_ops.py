@@ -1420,3 +1420,41 @@ def test_bloom_bitmap_is_dense_and_data_side(spark):
     row = benchmark_span_bloom(spark, spans, m_bits=1 << 10, n_hashes=4).head()
     assert len(row.bm) == (1 << 10) // 64
     assert sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in row.bm) <= 4
+
+
+def test_suggesters_completion_and_term(spark):
+    """ES suggest section: completion ranks prefix-matching vocab by
+    document frequency (a term repeated inside one doc counts once);
+    term suggest ranks corrections distance-asc then df-desc (the
+    Lucene candidate order), excludes the exact input, and respects
+    max_edits with the length pre-guard."""
+    from dump_es_parquet_spark.operators.retrieval import (
+        completion_suggest,
+        term_suggest,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "sort sort sort part"),
+            (2, "sort part port"),
+            (3, "sample part"),
+            (4, "other words"),
+        ],
+        "doc_id long, text string",
+    )
+    comp = completion_suggest(d, "s", size=10).collect()
+    # df is per-doc distinct: sort appears in docs 1,2 (df 2) even
+    # though doc 1 repeats it; sample in doc 3 only
+    assert [(r.term, r.df) for r in comp] == [("sort", 2), ("sample", 1)]
+
+    sug = term_suggest(d, "port", max_edits=1).collect()
+    # 'port' itself (doc 2) is excluded; sort (df 2) and part (df 3)
+    # are both distance 1 -> df desc puts part first
+    assert [(r.suggestion, r.distance, r.df) for r in sug] == [
+        ("part", 1, 3),
+        ("sort", 1, 2),
+    ]
+    # max_edits=2 admits 'sample'? no - levenshtein(sample, port)=4;
+    # 'words' is 4 edits too: the radius genuinely gates
+    sug2 = term_suggest(d, "port", max_edits=2).collect()
+    assert {r.suggestion for r in sug2} == {"part", "sort"}
