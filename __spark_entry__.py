@@ -567,25 +567,21 @@ DEMOTED: frozenset[str] = frozenset(
         #     word-count-shaped shuffle + 1-row broadcast sizes;
         #     demoted-green pending the next rotation window
         "corpus_significant_terms",
-        # corpus_more_like_this — ES more_like_this (round 9): top
-        #     tf×idf source terms → BM25 over the derived query,
-        #     source excluded; same two-scan zero-shuffle envelope as
-        #     corpus_bm25; demoted-green pending the next rotation
-        "corpus_more_like_this",
+        # corpus_more_like_this — PROMOTED round 10 (VERDICT r09 Next
+        #     #2): ES more_like_this — top tf×idf source terms → BM25
+        #     over the derived query, source excluded.
         # corpus_fuzzy_match — ES fuzzy query (round 9): zero-shuffle
         #     linear scan, length-guarded classic levenshtein (the
         #     engines-agree variant, PARITY-noted vs Lucene Damerau);
         #     demoted-green pending the next rotation
         "corpus_fuzzy_match",
-        # corpus_span_near — ES match_phrase slop / span_near in-order
-        #     (round 9): zero-shuffle greedy-minimal span scan;
-        #     demoted-green pending the next rotation
-        "corpus_span_near",
-        # corpus_bm25_served — corpus_bm25's oracle answered from the
-        #     materialized postings store (round 9): term-sorted
-        #     row-group-pruned reads, build-once/serve-many like the
-        #     IVF index; demoted-green pending the next rotation
-        "corpus_bm25_served",
+        # corpus_span_near — PROMOTED round 10 (VERDICT r09 Next #2):
+        #     zero-shuffle greedy-minimal span scan, position arrays
+        #     now bound once per row (r09 What's wrong #1 fix).
+        # corpus_bm25_served — PROMOTED round 10 (VERDICT r09 Next
+        #     #2): the build-once/serve-many postings artifact is the
+        #     production story — term-range row-group-pruned serving
+        #     pinned bit-identical to the corpus-scan path.
         # es_* — the ES _search request compiler (round 9): saved
         #     search requests replayed on the lake — query DSL →
         #     NULL-exact Catalyst Column, aggregation trees → one
@@ -605,16 +601,12 @@ DEMOTED: frozenset[str] = frozenset(
         "es_top_hits",
         "es_collapse",
         "es_search_after",
-        # es_transform_pivot — ES _transform parity (round 9): the
-        #     batch pivot of the entity-centric continuous aggregation;
-        #     the incremental form (additive bucket-merge with per-
-        #     bucket epoch replay guards) is pinned equal to it in
-        #     tests/test_transform.py. Demoted-green pending rotation
-        "es_transform_pivot",
-        # es_percolate — ES reverse search (round 9): stored queries
-        #     evaluated as one zero-shuffle projection pass, matched
-        #     ids exploded. Demoted-green pending rotation
-        "es_percolate",
+        # es_transform_pivot — PROMOTED round 10 (VERDICT r09 Next
+        #     #2): batch pivot of the entity-centric transform; the
+        #     incremental additive-merge form stays pinned equal to it
+        #     in tests/test_transform.py.
+        # es_percolate — PROMOTED round 10 (VERDICT r09 Next #2): ES
+        #     reverse search as one zero-shuffle projection pass.
         # es_knn_search — the ES 8 knn request section (round 9):
         #     exact cosine top-k over the pre-filtered frame, SAME
         #     oracle SQL as sim_topk_bruteforce (the request-dialect
@@ -672,6 +664,31 @@ DEMOTED: frozenset[str] = frozenset(
         "events_json",
         "text_lang_id",
         "sim_ann_lsh",
+        # Rotated OUT of the declared 50 in round 10 so the gate
+        # carries the round-9 production surface (corpus_bm25_served,
+        # es_transform_pivot, es_percolate, corpus_span_near,
+        # corpus_more_like_this — VERDICT r09 Next #2).  Each of these
+        # five has a declared sibling keeping its operator family in
+        # the gate:
+        #   q9_nation_profit — multi-join profit rollup; q3/q5/q8/q10
+        #       keep the multi-join family declared, rollup_region_
+        #       nation keeps grouped rollups
+        #   events_top_users — TakeOrdered top-k over an agg; q3/q18
+        #       keep top-k declared, events_hourly keeps the events
+        #       scan
+        #   text_chunking — fixed-stride token chunking; corpus_packing
+        #       (greedy sequence packing) keeps the chunk/pack surface
+        #       declared, text_quality the text chain
+        #   sim_ann_hyperplane — sign-sketch ANN; sim_ann_ivf_indexed
+        #       + sim_ivf_recall keep the ANN serving family declared,
+        #       sim_topk_batch the exact fold
+        #   corpus_highlight — snippet extraction; corpus_match_phrase
+        #       and corpus_bm25 keep the retrieval family declared
+        "q9_nation_profit",
+        "events_top_users",
+        "text_chunking",
+        "sim_ann_hyperplane",
+        "corpus_highlight",
     }
 )
 
