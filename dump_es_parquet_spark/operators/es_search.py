@@ -45,8 +45,16 @@ Aggregations DSL (``compile_aggs``):
   max/sum/avg expansion). Each metric is reported at the level it
   is attached to (NULL elsewhere), like the ES response tree.
 - ``top_hits`` is supported as the innermost agg of a bucket chain
-  (the common "N example docs per bucket" shape) and compiles to a
-  per-bucket ``row_number`` window.
+  ONLY (the common "N example docs per bucket" shape — anywhere else
+  raises) and compiles to a per-bucket ``row_number`` window.
+- pipeline aggs: ``cumulative_sum``, ``derivative``, ``bucket_script``,
+  ``moving_fn`` (the ``MovingFunctions.{max,min,sum,unweightedAvg}``
+  subset, trailing window including the current bucket, no ``shift``),
+  ``serial_diff`` (lag-n difference), sibling ``*_bucket`` summaries,
+  and ``bucket_sort`` (from/size truncation ordered by ``_key`` /
+  ``_count`` / a sibling metric or pipeline column — applied after the
+  other pipelines, descendants of truncated buckets dropped). All are
+  level-masked windows over the compact bucket frame.
 
 Scale shape: ONE scan and ONE data-sized shuffle produce every
 level at once (``rollup`` grouping sets share the Expand; an exact
@@ -464,6 +472,15 @@ def _parse_chain(aggs: dict) -> list[_Level]:
                     "metric/pipeline aggs beside the root bucket have no "
                     "parent bucket to attach to"
                 )
+    # top_hits is supported as the INNERMOST agg of the chain only
+    # (the documented restriction); anywhere else it would be
+    # silently dropped by compile_aggs' leaf check — fail loudly
+    for lvl in levels[:-1]:
+        if lvl.top_hits:
+            raise ValueError(
+                "top_hits is supported only as the innermost agg of a "
+                f"bucket chain; found it under non-leaf bucket {lvl.name!r}"
+            )
     return levels
 
 
@@ -621,6 +638,56 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     pipe_cols = _apply_pipelines_windows(frame, levels, key_names)
     frame = pipe_cols.frame
 
+    # bucket_sort: like every ES pipeline agg it runs AFTER the
+    # non-pipeline aggs (and here after the other pipelines, so it can
+    # sort by their columns) — another level-masked rank window over
+    # the surviving bucket frame, keeping ranks (from, from+size];
+    # descendants of a truncated bucket drop through the same
+    # prefix-window propagation as the first survival pass.  The SORT
+    # half only affects ES's response ordering — this flat frame is
+    # canonically ordered by (level, keys) below — so the observable
+    # effect is the from/size truncation.
+    bs_levels = [i for i, lvl in enumerate(levels, start=1) if lvl.bucket_sort]
+    for i in bs_levels:
+        lvl = levels[i - 1]
+        bs = lvl.bucket_sort
+        ocols = []
+        for s in bs.get("sort", []):
+            if isinstance(s, str):
+                path, order = s, "asc"
+            else:
+                (path, spec), = s.items()
+                order = (
+                    spec.get("order", "asc") if isinstance(spec, dict) else spec
+                )
+            c = F.col(lvl.name) if path == "_key" else _bucket_path_col(path)
+            ocols.append(c.desc() if order == "desc" else c.asc())
+        w = Window.partitionBy(F.col("level"), *key_names[: i - 1]).orderBy(
+            *ocols, F.col(lvl.name).asc()
+        )
+        rk = F.row_number().over(w)
+        frm = int(bs.get("from", 0))
+        keep = rk > frm
+        if "size" in bs:
+            keep = keep & (rk <= frm + int(bs["size"]))
+        frame = frame.withColumn(
+            f"_bs{i}", F.when(F.col("level") == i, keep.cast("int"))
+        )
+    if bs_levels:
+        surv = F.lit(True)
+        for i in bs_levels:
+            frame = frame.withColumn(
+                f"_bsa{i}",
+                F.max(F.col(f"_bs{i}")).over(
+                    Window.partitionBy(*key_names[:i])
+                ),
+            )
+            surv = surv & ((F.col("level") < i) | (F.col(f"_bsa{i}") == 1))
+        frame = frame.filter(surv).drop(
+            *[f"_bs{i}" for i in bs_levels],
+            *[f"_bsa{i}" for i in bs_levels],
+        )
+
     # report each metric at its attachment level only (ES tree shape)
     proj = [
         F.col("level"),
@@ -684,11 +751,19 @@ def streamable_aggs(
                 "metrics to the innermost bucket"
             )
     b = root.body
+    start_time = None
     if "calendar_interval" in b:
         unit = _CALENDAR_UNITS[b["calendar_interval"]]
         if unit not in ("second", "minute", "hour", "day", "week"):
             raise ValueError(f"calendar unit {unit!r} has no fixed width")
         win = f"1 {unit}"
+        if unit == "week":
+            # F.window aligns tumbling windows to the epoch — a
+            # THURSDAY — while compile_aggs' date_trunc('week') (and
+            # ES calendar weeks) start Monday; shift the window grid
+            # 4 days so the batch ≡ stream ≡ compile_aggs contract
+            # holds for weeks too (ADVICE r09)
+            start_time = "4 days"
     else:
         win = f"{_fixed_ms(b['fixed_interval'])} milliseconds"
     time_col = b["field"]
@@ -715,7 +790,7 @@ def streamable_aggs(
     key_names = [lvl.name for lvl in levels[1:]]
     src = frame.withWatermark(time_col, watermark) if frame.isStreaming else frame
     base = src.select(
-        F.window(F.col(time_col), win).alias("_win"),
+        F.window(F.col(time_col), win, win, start_time).alias("_win"),
         *[lvl.key_expr().alias(lvl.name) for lvl in levels[1:]],
         *[c for c in frame.columns if c not in key_names],
     ).filter(F.col("_win").isNotNull())
@@ -776,10 +851,12 @@ def _apply_pipelines_windows(frame, levels, key_names) -> _PipeResult:
             F.col(lvl.name).asc()
         )
         for pname, kind, spec in lvl.pipelines:
-            if kind in ("cumulative_sum", "derivative") and lvl.kind not in (
-                "date_histogram",
-                "histogram",
-            ):
+            if kind in (
+                "cumulative_sum",
+                "derivative",
+                "moving_fn",
+                "serial_diff",
+            ) and lvl.kind not in ("date_histogram", "histogram"):
                 raise ValueError(
                     f"{kind} needs a sequential (histogram-family) parent, "
                     f"got {lvl.kind}"
@@ -794,6 +871,50 @@ def _apply_pipelines_windows(frame, levels, key_names) -> _PipeResult:
             elif kind == "derivative":
                 src = _bucket_path_col(spec["buckets_path"])
                 col = (src - F.lag(src).over(w)).cast("double")
+            elif kind == "moving_fn":
+                # the MovingFunctions.* subset with an exact SQL window
+                # equivalent (_MOVING_FNS); trailing window of `window`
+                # buckets INCLUDING the current one (shift
+                # unsupported — raise rather than mis-shift).  sum /
+                # unweightedAvg accumulate through DECIMAL so partial
+                # order can't flip float bits; an empty window is NULL
+                # in both engines (ES would say 0.0 / NaN — PARITY'd
+                # in the module constant comment).
+                if "shift" in spec:
+                    raise ValueError("moving_fn shift is not supported")
+                m = re.fullmatch(
+                    r"MovingFunctions\.(\w+)\(values\)", spec["script"].strip()
+                )
+                if not m or m.group(1) not in _MOVING_FNS:
+                    raise ValueError(
+                        f"moving_fn script {spec['script']!r}: only "
+                        f"MovingFunctions.{{{','.join(_MOVING_FNS)}}}(values)"
+                    )
+                fn = m.group(1)
+                win_n = int(spec["window"])
+                if win_n < 1:
+                    raise ValueError("moving_fn window must be >= 1")
+                src = _bucket_path_col(spec["buckets_path"])
+                mw = w.rowsBetween(-(win_n - 1), 0)
+                if fn == "max":
+                    col = F.max(src).over(mw).cast("double")
+                elif fn == "min":
+                    col = F.min(src).over(mw).cast("double")
+                elif fn == "sum":
+                    col = (
+                        F.sum(src.cast("decimal(28,6)")).over(mw).cast("double")
+                    )
+                else:  # unweightedAvg
+                    col = (
+                        F.sum(src.cast("decimal(28,6)")).over(mw)
+                        / F.count(src).over(mw)
+                    ).cast("double")
+            elif kind == "serial_diff":
+                lag_n = int(spec.get("lag", 1))
+                if lag_n < 1:
+                    raise ValueError("serial_diff lag must be >= 1")
+                src = _bucket_path_col(spec["buckets_path"])
+                col = (src - F.lag(src, lag_n).over(w)).cast("double")
             else:  # bucket_script
                 script = spec["script"]
                 for var, path in sorted(

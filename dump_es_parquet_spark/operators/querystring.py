@@ -306,6 +306,15 @@ class _Parser:
             return F.col(field).rlike(f"^(?:{t.val})$")
         if t.kind == "term":
             return self._leaf_term(field, t.val)
+        if t.kind == "minus":
+            # value position: a leading '-' is part of the literal
+            # (``value:-5`` is a negative number on a typed numeric
+            # field, matching Kibana behavior), not a prohibit
+            # operator — that form is ``-value:5`` (ADVICE r09)
+            nxt = self.peek()
+            if nxt is not None and nxt.kind == "term":
+                self.take()
+                return self._leaf_term(field, [("-", True)] + nxt.val)
         raise ValueError(f"bad value for field {field!r}: {t!r}")
 
     def _leaf_term(self, field: str, buf) -> Column:

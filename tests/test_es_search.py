@@ -381,6 +381,137 @@ def test_sibling_max_bucket_over_surviving_children(spark):
     assert {r.k for r in out if r.level == 2} == {"a", "b"}
 
 
+def test_bucket_sort_prunes_by_metric_with_from_size(spark):
+    # bucket_sort (ADVICE r09): size/from truncation over the parent's
+    # buckets, ordered by a sibling metric — and the dropped bucket's
+    # DESCENDANTS must drop with it
+    df = spark.createDataFrame(
+        [Row(kind=k, sub=s, n=v) for k, s, v in
+         [("a", "x", 1.0), ("a", "y", 2.0),
+          ("b", "x", 50.0), ("c", "x", 10.0), ("c", "y", 20.0)]]
+    )
+    out = compile_aggs(
+        df,
+        {
+            "k": {
+                "terms": {"field": "kind", "size": 100},
+                "aggs": {
+                    "s": {"sum": {"field": "n"}},
+                    "keep2": {
+                        "bucket_sort": {
+                            "sort": [{"s": {"order": "desc"}}],
+                            "size": 2,
+                        }
+                    },
+                    "sub": {"terms": {"field": "sub", "size": 100}},
+                },
+            }
+        },
+    ).collect()
+    # sums: a=3, b=50, c=30 → keep b and c
+    assert sorted(r.k for r in out if r.level == 1) == ["b", "c"]
+    # a's sub-buckets are gone too
+    assert sorted((r.k, r.sub) for r in out if r.level == 2) == [
+        ("b", "x"), ("c", "x"), ("c", "y")
+    ]
+
+    # from=1: skip the top bucket, keep the rest
+    out2 = compile_aggs(
+        df,
+        {
+            "k": {
+                "terms": {"field": "kind", "size": 100},
+                "aggs": {
+                    "s": {"sum": {"field": "n"}},
+                    "pg": {
+                        "bucket_sort": {
+                            "sort": [{"s": {"order": "desc"}}],
+                            "from": 1,
+                        }
+                    },
+                },
+            }
+        },
+    ).collect()
+    assert sorted(r.k for r in out2 if r.level == 1) == ["a", "c"]
+
+
+def test_moving_fn_and_serial_diff_windows(spark):
+    df = spark.createDataFrame(
+        [Row(x=float(b), n=v) for b, v in
+         [(0, 1.0), (1, 4.0), (2, 2.0), (3, 8.0)]]
+    )
+    out = compile_aggs(
+        df,
+        {
+            "h": {
+                "histogram": {"field": "x", "interval": 1},
+                "aggs": {
+                    "s": {"sum": {"field": "n"}},
+                    "mmax": {
+                        "moving_fn": {
+                            "buckets_path": "s",
+                            "window": 2,
+                            "script": "MovingFunctions.max(values)",
+                        }
+                    },
+                    "mavg": {
+                        "moving_fn": {
+                            "buckets_path": "s",
+                            "window": 2,
+                            "script": "MovingFunctions.unweightedAvg(values)",
+                        }
+                    },
+                    "sd2": {"serial_diff": {"buckets_path": "s", "lag": 2}},
+                },
+            }
+        },
+    ).collect()
+    got = [(r.s, r.mmax, r.mavg, r.sd2) for r in sorted(out, key=lambda r: r.h)]
+    # trailing window of 2 INCLUDING current; serial_diff lag 2
+    assert got == [
+        (1.0, 1.0, 1.0, None),
+        (4.0, 4.0, 2.5, None),
+        (2.0, 4.0, 3.0, 1.0),
+        (8.0, 8.0, 5.0, 4.0),
+    ]
+
+
+def test_moving_fn_rejects_unknown_script_and_shift(spark):
+    df = spark.createDataFrame([Row(x=0.0, n=1.0)])
+    base = {"histogram": {"field": "x", "interval": 1}}
+    with pytest.raises(ValueError, match="MovingFunctions"):
+        compile_aggs(df, {"h": {**base, "aggs": {
+            "s": {"sum": {"field": "n"}},
+            "m": {"moving_fn": {"buckets_path": "s", "window": 2,
+                                "script": "MovingFunctions.stdDev(values)"}},
+        }}})
+    with pytest.raises(ValueError, match="shift"):
+        compile_aggs(df, {"h": {**base, "aggs": {
+            "s": {"sum": {"field": "n"}},
+            "m": {"moving_fn": {"buckets_path": "s", "window": 2, "shift": 1,
+                                "script": "MovingFunctions.max(values)"}},
+        }}})
+
+
+def test_top_hits_on_non_leaf_bucket_raises(spark):
+    # previously stored on the intermediate level and silently dropped
+    df = spark.createDataFrame([Row(kind="a", sub="x", n=1.0)])
+    with pytest.raises(ValueError, match="innermost"):
+        compile_aggs(
+            df,
+            {
+                "k": {
+                    "terms": {"field": "kind"},
+                    "aggs": {
+                        "examples": {"top_hits": {"size": 1}},
+                        "sub": {"terms": {"field": "sub"}},
+                    },
+                }
+            },
+        )
+
+
 def test_sibling_pipe_without_child_bucket_raises(spark):
     df = spark.createDataFrame([Row(kind="a", n=1.0)])
     with pytest.raises(ValueError, match="sibling"):
@@ -503,6 +634,46 @@ def test_streamable_aggs_stream_equals_batch(spark, sf_dir):
         .select("by_hour", "by_type", "doc_count", "sum_value", "avg_value")
     )
     assert sorted(map(tuple, leaf.collect())) == b
+
+
+def test_streamable_aggs_week_aligns_to_monday(spark, sf_dir):
+    # ADVICE r09: F.window aligns '1 week' tumbling windows to the
+    # epoch (a THURSDAY); compile_aggs / ES calendar weeks start
+    # Monday. streamable_aggs must shift the grid so the documented
+    # batch ≡ compile_aggs contract holds for 'week' too.
+    from dump_es_parquet_spark.operators.es_search import streamable_aggs
+    from dump_es_parquet_spark.operators.tables import load
+
+    tree = {
+        "by_week": {
+            "date_histogram": {"field": "ts", "calendar_interval": "week"},
+            "aggs": {"sum_value": {"sum": {"field": "value"}}},
+        }
+    }
+    events = load(spark, sf_dir, "events")
+    batch = streamable_aggs(events, tree)
+    leaf = (
+        compile_aggs(
+            events,
+            {
+                "by_week": {
+                    "date_histogram": {"field": "ts",
+                                       "calendar_interval": "week"},
+                    "aggs": {"sum_value": {"sum": {"field": "value"}}},
+                }
+            },
+        )
+        .filter("level = 1")
+        .select("by_week", "doc_count", "sum_value")
+    )
+    b = sorted(map(tuple, batch.collect()))
+    assert sorted(map(tuple, leaf.collect())) == b and len(b) > 0
+    # and every bucket key is a Monday
+    import datetime as dt
+
+    for ms, _, _ in b:
+        day = dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc)
+        assert day.weekday() == 0, day
 
 
 def test_streamable_aggs_rejects_unmaintainable_shapes(spark):

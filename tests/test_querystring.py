@@ -82,6 +82,25 @@ def test_ranges(frame):
     assert _hosts(frame, "load:[1 TO *]") == ["web-2"]
 
 
+def test_negative_numeric_literals(spark, frame):
+    # ADVICE r09: a minus in VALUE position is part of the literal
+    # (value:-5), not a prohibit operator (-value:5)
+    d = spark.createDataFrame(
+        [Row(host="a", delta=-5), Row(host="b", delta=5), Row(host="c", delta=0)]
+    )
+    def hosts(qs):
+        col = parse_query_string(qs, d)
+        return sorted(r.host for r in d.filter(col).select("host").collect())
+
+    assert hosts("delta:-5") == ["a"]
+    assert hosts("delta:[-5 TO 0]") == ["a", "c"]
+    assert hosts("-delta:5") == ["a", "c"]  # prohibit form unchanged
+    # float too
+    d2 = spark.createDataFrame([Row(host="x", f=-1.5), Row(host="y", f=1.5)])
+    col = parse_query_string("f:-1.5", d2)
+    assert [r.host for r in d2.filter(col).collect()] == ["x"]
+
+
 def test_wildcards_and_escapes(frame):
     assert _hosts(frame, "host:web*") == ["web-1", "web-2"]
     assert _hosts(frame, "host:web\\-?") == ["web-1", "web-2"]
