@@ -596,6 +596,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     demoted-green pending the next rotation window
         "es_range_buckets",
         "es_histogram",
+        # es_date_histogram_gapfill — min_doc_count 0 + extended_bounds
+        #     gap-filling (round 10, VERDICT r09 Next #4): empty hourly
+        #     buckets synthesized by one explode over the bucket frame;
+        #     demoted-green pending the next rotation window (es_aggs_
+        #     tree keeps the date_histogram family declared)
+        "es_date_histogram_gapfill",
         "es_filters_agg",
         "es_composite_page",
         "es_top_hits",
@@ -848,6 +854,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_aggs_tree": _mod("es_search", "q_es_aggs_tree"),
         "es_range_buckets": _mod("es_search", "q_es_range_buckets"),
         "es_histogram": _mod("es_search", "q_es_histogram"),
+        "es_date_histogram_gapfill": _mod(
+            "es_search", "q_es_date_histogram_gapfill"
+        ),
         "es_filters_agg": _mod("es_search", "q_es_filters_agg"),
         "es_composite_page": _mod("es_search", "q_es_composite_page"),
         "es_top_hits": _mod("es_search", "q_es_top_hits"),
@@ -3300,6 +3309,33 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM leaf
         GROUP BY value_bucket HAVING count(*) >= 5
         ORDER BY value_bucket
+    """
+
+    # es_date_histogram_gapfill: min_doc_count 0 + extended_bounds —
+    # the Kibana time-series shape. The grid is the observed hourly
+    # key range EXTENDED by the bounds (LEAST/GREATEST mirror the
+    # frame-anchored fill); empty buckets carry doc_count 0 and NULL
+    # metrics on both engines.
+    q["es_date_histogram_gapfill"] = """
+        WITH b AS (
+          SELECT epoch_ms(date_trunc('hour', ts)) AS k, count(*) AS dc,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+          FROM events
+          WHERE coalesce(event_type = 'purchase', FALSE)
+            AND ts IS NOT NULL
+          GROUP BY 1
+        ),
+        ext AS (
+          SELECT LEAST(1703980800000, MIN(k)) AS lo,
+                 GREATEST(1706742000000, MAX(k)) AS hi FROM b
+        ),
+        grid AS (
+          SELECT unnest(range(lo, hi + 3600000, 3600000)) AS k FROM ext
+        )
+        SELECT CAST(1 AS INT) AS level, g.k AS per_hour,
+               coalesce(b.dc, 0) AS doc_count, b.s AS sum_value
+        FROM grid g LEFT JOIN b ON g.k = b.k
+        ORDER BY per_hour
     """
 
     # es_filters_agg: named filters buckets (a doc may land in both —
