@@ -169,6 +169,45 @@ def q_sim_ann_ivf_pq(spark, sf_dir):
     return ann_ivf_indexed_pq(spark, sf_dir, _ivf_index_path(spark, sf_dir))
 
 
+def q_es_knn_search_ivf(spark, sf_dir):
+    """The ES 8 ``knn`` request with ``num_candidates`` (VERDICT r09
+    Next #5): the ANN phase serves from the materialized IVF index
+    (probed cells = smallest nearest-centroid prefix covering ≥ 400
+    vectors, a static partition filter) and the exact cosine top-k is
+    the rescore. Recall-checked like sim_ivf_recall: the row compares
+    the request-dialect ANN answer against the exact brute-force
+    answer of the SAME request and emits (k_eff, n_hits) — both
+    rankings deterministic (md5-seeded Lloyd, rounded cosine + vec_id
+    tiebreak), so DuckDB recomputes identical integers."""
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.es_search import search
+    from dump_es_parquet_spark.operators.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter("vec_id = 0").head()["embedding"]]
+    req = {
+        "knn": {
+            "field": "embedding",
+            "query_vector": qv,
+            "k": 10,
+            "filter": {"bool": {"must_not": [{"term": {"vec_id": 0}}]}},
+            "score_round": 6,
+            "tiebreak": ["vec_id"],
+        },
+        "size": 10,
+    }
+    ivf_req = {**req, "knn": {**req["knn"], "num_candidates": 400}}
+    ann = search(
+        e, ivf_req, knn_index_path=_ivf_index_path(spark, sf_dir)
+    ).select("vec_id", F.lit(1).alias("_hit"))
+    exact = search(e, req).select("vec_id")
+    return exact.join(ann, "vec_id", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
+    )
+
+
 def q_dup_clusters(spark, sf_dir):
     """Duplicate-cluster audit (``dedup.near_dup_clusters``): the full
     (doc → cluster) mapping reduced to a cluster-size histogram with a
@@ -618,6 +657,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     oracle SQL as sim_topk_bruteforce (the request-dialect
         #     bridge onto the declared similarity surface)
         "es_knn_search",
+        # es_knn_search_ivf — knn.num_candidates → the IVF serving
+        #     path + exact rescore, recall-checked against the exact
+        #     request answer (round 10, VERDICT r09 Next #5);
+        #     demoted-green pending rotation (sim_ann_ivf_indexed +
+        #     sim_ivf_recall keep the IVF serving family declared)
+        "es_knn_search_ivf",
         # es_suggest_* — the _search suggest section (round 9):
         #     completion (prefix vocab top-k by df) and term (fuzzy
         #     corrections ranked distance asc / df desc, the Lucene
@@ -867,6 +912,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_transform_pivot": _mod("transform", "q_es_transform_pivot"),
         "es_percolate": _mod("es_search", "q_es_percolate"),
         "es_knn_search": _mod("es_search", "q_es_knn_search"),
+        "es_knn_search_ivf": q_es_knn_search_ivf,
         "es_suggest_completion": _mod("retrieval", "q_es_suggest_completion"),
         "es_suggest_term": _mod("retrieval", "q_es_suggest_term"),
     }
@@ -2300,6 +2346,77 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM ex x LEFT JOIN ann a
           ON x.query_id = a.query_id AND x.vec_id = a.vec_id
         GROUP BY x.query_id ORDER BY x.query_id
+    """
+
+    # es_knn_search_ivf: the ES 8 knn request with num_candidates —
+    # the IVF serving path recall-checked against the exact answer of
+    # the SAME request (one row: k_eff, n_hits). Same Lloyd CTE chain
+    # as sim_ivf_recall; the probe set is the smallest nearest-
+    # centroid prefix whose cells cover >= 400 vectors (cum_before
+    # < 400), exactly similarity.ivf_candidate_lists' rule.
+    q["es_knn_search_ivf"] = f"""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        hs AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e),
+        seeds AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v AS cv
+                  FROM hs ORDER BY h LIMIT 8),
+        a1 AS (SELECT vec_id, v, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM (SELECT e.vec_id, e.v, s.cid,
+                            -2 * list_dot_product(e.v, s.cv)
+                              + list_dot_product(s.cv, s.cv) AS dist
+                     FROM e CROSS JOIN seeds s) t1),
+        asg1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+        comp AS (SELECT cid, u.dim - 1 AS dim, u.x
+                 FROM asg1,
+                      LATERAL (SELECT unnest(v) AS x,
+                                      generate_subscripts(v, 1) AS dim) u),
+        means AS (SELECT cid, dim,
+                         CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS m
+                  FROM comp GROUP BY cid, dim),
+        cents AS (SELECT cid, list(m ORDER BY dim) AS cv FROM means GROUP BY cid),
+        a2 AS (SELECT vec_id, v, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM (SELECT e.vec_id, e.v, c.cid,
+                            -2 * list_dot_product(e.v, c.cv)
+                              + list_dot_product(c.cv, c.cv) AS dist
+                     FROM e CROSS JOIN cents c) t2),
+        asg2 AS (SELECT vec_id, v, cid FROM a2 WHERE rn = 1),
+        qs AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        cellsz AS (SELECT cid, count(*) AS n FROM asg2 GROUP BY cid),
+        cord AS (SELECT c.cid,
+                        row_number() OVER (
+                          ORDER BY -2 * list_dot_product(q.qv, c.cv)
+                                     + list_dot_product(c.cv, c.cv), c.cid
+                        ) AS rn
+                 FROM cents c CROSS JOIN qs q),
+        cum AS (SELECT o.cid,
+                       coalesce(sum(z.n) OVER (
+                         ORDER BY o.rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cum_before
+                FROM cord o LEFT JOIN cellsz z ON o.cid = z.cid),
+        probes AS (SELECT cid FROM cum WHERE cum_before < 400),
+        ann AS (SELECT vec_id FROM (
+                  SELECT a.vec_id,
+                         row_number() OVER (
+                           ORDER BY {_COS.format(a="a.v", b="q.qv")} DESC,
+                                    a.vec_id ASC) AS rank
+                  FROM asg2 a JOIN probes p ON a.cid = p.cid
+                       CROSS JOIN qs q
+                  WHERE a.vec_id != 0) t WHERE rank <= 10),
+        ex AS (SELECT vec_id FROM (
+                 SELECT e.vec_id,
+                        row_number() OVER (
+                          ORDER BY {_COS.format(a="e.v", b="q.qv")} DESC,
+                                   e.vec_id ASC) AS rank
+                 FROM e CROSS JOIN qs q
+                 WHERE e.vec_id != 0) t WHERE rank <= 10)
+        SELECT CAST(count(*) AS BIGINT) AS k_eff,
+               CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits
+        FROM ex x LEFT JOIN ann a ON x.vec_id = a.vec_id
     """
 
     # the serving path answers the exact same question from the

@@ -1226,7 +1226,9 @@ def _after_predicate(sort, after: list) -> Column:
     return pred
 
 
-def search(df: DataFrame, request: dict) -> DataFrame:
+def search(
+    df: DataFrame, request: dict, knn_index_path: str | None = None
+) -> DataFrame:
     """Run the hits side of an ES ``_search`` request body: query →
     filter, ``sort`` → global order, ``from``/``size`` → offset/limit
     (a global top-k: Spark plans TakeOrderedAndProject when the sort
@@ -1234,21 +1236,48 @@ def search(df: DataFrame, request: dict) -> DataFrame:
     predicate (deep pagination without the from+size window ES caps
     at 10k), ``collapse`` → one top hit per collapse-field group (a
     per-group ``row_number`` before the global top-k), ``_source`` →
-    projection."""
+    projection.
+
+    ``knn`` with ``num_candidates`` + ``knn_index_path`` routes the
+    ANN phase through the materialized IVF index (VERDICT r09 Next
+    #5): the serving frame becomes the probed inverted lists (a
+    static partition filter covering ≥ num_candidates vectors — see
+    ``similarity.ivf_candidate_lists``) and the exact cosine top-k
+    below is the rescore. The lists carry the corpus columns, so
+    query / knn.filter / _source keep working; like ES, the answer
+    is approximate — recall is measured, not assumed
+    (es_knn_search_ivf oracle row). Without ``num_candidates`` the
+    knn section stays the exact brute-force scan."""
     for name, spec in (request.get("runtime_mappings") or {}).items():
         # runtime fields: ES evaluates Painless at query time; the
         # lake-side stand-in is a SQL expression (``script_sql``) —
         # same role (computed, never stored), PARITY #20
         df = df.withColumn(name, F.expr(spec["script_sql"]))
-    out = df.filter(compile_query(request.get("query")))
     knn = request.get("knn")
+    if knn and "num_candidates" in knn:
+        if knn_index_path is None:
+            raise ValueError(
+                "knn.num_candidates needs a materialized IVF index: "
+                "pass knn_index_path (see similarity.write_ivf_index)"
+            )
+        from .similarity import ivf_candidate_lists
+
+        df = ivf_candidate_lists(
+            df.sparkSession,
+            knn_index_path,
+            knn["query_vector"],
+            int(knn["num_candidates"]),
+        )
+        for name, spec in (request.get("runtime_mappings") or {}).items():
+            df = df.withColumn(name, F.expr(spec["script_sql"]))
+    out = df.filter(compile_query(request.get("query")))
     if knn:
         # the ES 8 knn section: exact brute-force cosine top-k over
         # the PRE-filtered frame (both knn.filter and the top-level
         # query act as pre-filters here — we do not blend lexical
-        # scores; hybrid ranking is operators/retrieval.hybrid_rrf,
-        # and the IVF/PQ index family in operators/similarity.py is
-        # the approximate serving path). One scan,
+        # scores; hybrid ranking is operators/retrieval.hybrid_rrf).
+        # With num_candidates the frame is already the probed IVF
+        # lists and this IS the exact rescore. One scan,
         # TakeOrderedAndProject, query vector lives in the plan.
         from .similarity import cosine
 

@@ -552,6 +552,52 @@ def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
     ).orderBy("cid")
 
 
+def ivf_candidate_lists(
+    spark: SparkSession, path: str, query_vector: list, num_candidates: int
+) -> DataFrame:
+    """Probe the materialized IVF index for a LITERAL query vector
+    (the ES 8 ``knn`` request shape — the vector arrives in the
+    request, not as a corpus row): cells in nearest-centroid order,
+    smallest prefix whose inverted lists cover AT LEAST
+    ``num_candidates`` vectors (ES's "number of candidates the ANN
+    phase gathers before rescoring" knob — ours is a floor, the whole
+    probed cells rescore).  Returns the pruned lists: a static
+    ``cid IN (…)`` partition filter, so only the probed cells' files
+    are opened.  Both collects are n_cells-bounded (cell sizes come
+    from ONE cid-only aggregate over the lists — a partition-column
+    scan, no payload I/O)."""
+    if num_candidates < 1:
+        raise ValueError("num_candidates must be >= 1")
+    lists_path = f"{path}/lists"
+    sizes = {
+        r.cid: r.n
+        for r in spark.read.parquet(lists_path)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    order_rows = (
+        spark.read.parquet(f"{path}/centroids")
+        .select(
+            "cid",
+            (
+                F.lit(-2.0) * dot(qv, F.col("cv"))
+                + dot(F.col("cv"), F.col("cv"))
+            ).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("cid").asc())
+        .collect()
+    )
+    probed, cum = [], 0
+    for r in order_rows:
+        if cum >= num_candidates:
+            break
+        probed.append(r.cid)
+        cum += sizes.get(r.cid, 0)
+    return spark.read.parquet(lists_path).filter(F.col("cid").isin(probed))
+
+
 def ann_ivf_indexed(
     spark: SparkSession,
     sf_dir: str,

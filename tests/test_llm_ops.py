@@ -329,6 +329,52 @@ def test_ivf_sq8_equals_flat_serving(spark, sf_dir, tmp_path):
     assert row.norm > 0
 
 
+def test_knn_num_candidates_ivf_route(spark, sf_dir, tmp_path):
+    """ES 8 knn.num_candidates (VERDICT r09 Next #5): the ANN phase
+    serves from the probed IVF lists — a prefix of nearest cells
+    covering >= num_candidates vectors — and without an index path it
+    raises instead of silently answering exactly. A corpus-sized
+    num_candidates makes the route exhaustive, so it must equal the
+    exact brute-force answer of the same request."""
+    import pytest as _pytest
+
+    from dump_es_parquet_spark.operators.es_search import search
+    from dump_es_parquet_spark.operators.similarity import (
+        ivf_candidate_lists,
+        write_ivf_index,
+    )
+    from dump_es_parquet_spark.operators.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter("vec_id = 0").head()["embedding"]]
+    req = {
+        "knn": {"field": "embedding", "query_vector": qv, "k": 5,
+                "score_round": 6, "tiebreak": ["vec_id"],
+                "num_candidates": 10},
+        "size": 5,
+    }
+    with _pytest.raises(ValueError, match="knn_index_path"):
+        search(e, req)
+
+    path = str(tmp_path / "ivf_knn")
+    write_ivf_index(spark, sf_dir, path)
+    n = e.count()
+    # prefix rule: smallest nearest-cell prefix covering the floor
+    few = ivf_candidate_lists(spark, path, qv, 1)
+    assert 0 < few.count() < n  # one cell only
+    all_of_it = ivf_candidate_lists(spark, path, qv, n)
+    assert all_of_it.count() == n  # every cell probed
+
+    exhaustive = {**req, "knn": {**req["knn"], "num_candidates": n}}
+    ann = search(e, exhaustive, knn_index_path=path) \
+        .select("vec_id", "_score").collect()
+    exact_req = {k: v for k, v in req.items()}
+    exact_req["knn"] = {k: v for k, v in req["knn"].items()
+                        if k != "num_candidates"}
+    exact = search(e, exact_req).select("vec_id", "_score").collect()
+    assert [tuple(r) for r in ann] == [tuple(r) for r in exact]
+
+
 _finite32 = st.floats(
     min_value=-1e6, max_value=1e6, allow_nan=False, width=32
 )
