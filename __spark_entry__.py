@@ -621,6 +621,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     #2): the build-once/serve-many postings artifact is the
         #     production story — term-range row-group-pruned serving
         #     pinned bit-identical to the corpus-scan path.
+        # corpus_bm25_standard — the analyzer seam's first step
+        #     (round 10, VERDICT r09 Next #8): BM25 under the standard
+        #     (lowercase + non-alnum-split) analyzer, messy request
+        #     text normalized query-side; demoted-green pending
+        #     rotation (corpus_bm25 keeps the family declared)
+        "corpus_bm25_standard",
         # es_* — the ES _search request compiler (round 9): saved
         #     search requests replayed on the lake — query DSL →
         #     NULL-exact Catalyst Column, aggregation trees → one
@@ -893,6 +899,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fuzzy_match": _mod("retrieval", "q_corpus_fuzzy_match"),
         "corpus_span_near": _mod("retrieval", "q_corpus_span_near"),
         "corpus_bm25_served": _mod("retrieval", "q_corpus_bm25_served"),
+        "corpus_bm25_standard": _mod("retrieval", "q_corpus_bm25_standard"),
         # — the ES _search request compiler (round 9): query DSL →
         #   Catalyst Column, aggregation trees → one ROLLUP shuffle —
         "es_search_hits": _mod("es_search", "q_es_search_hits"),
@@ -3157,6 +3164,22 @@ def _all_oracle_sql() -> dict[str, str]:
     # postings store (retrieval.bm25_topk_from_store) — bit-identical
     # scores by construction, so the SQL is shared verbatim
     q["corpus_bm25_served"] = q["corpus_bm25"]
+
+    # corpus_bm25_standard: the analyzer seam (PARITY #19) — the messy
+    # request text is analyzed DRIVER-side by the same _terms used to
+    # build the Spark plan (so query normalization is the thing under
+    # test), and the document tokenizer is the standard analyzer
+    # spelled in DuckDB: lowercase + split on non-alphanumeric runs,
+    # empties dropped.
+    from dump_es_parquet_spark.operators.retrieval import MESSY_QUERY
+
+    std_terms = _terms(MESSY_QUERY, "standard")
+    assert std_terms == terms, "MESSY_QUERY must normalize to the demo terms"
+    std_toks = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    )
+    q["corpus_bm25_standard"] = q["corpus_bm25"].replace(_TOKS, std_toks)
     q["corpus_hybrid_rrf"] = f"""
         WITH {bm25_cte},
         lexpool AS (SELECT doc_id, score_micro FROM scored WHERE n_matched > 0

@@ -212,14 +212,6 @@ def _false_safe(c: Column) -> Column:
     return F.coalesce(c, F.lit(False))
 
 
-def _tokens(query: str) -> list[str]:
-    out: list[str] = []
-    for t in query.strip().split():
-        if t and t not in out:
-            out.append(t)
-    return out
-
-
 def compile_query(q: dict | None) -> Column:
     """ES query DSL dict → boolean ``Column`` (filter context: no
     scoring — scored retrieval is operators/retrieval.py)."""
@@ -294,10 +286,19 @@ def compile_query(q: dict | None) -> Column:
         if kind == "match":
             if isinstance(spec, dict):
                 query, op = spec["query"], spec.get("operator", "or")
+                analyzer = spec.get("analyzer", "whitespace")
             else:
-                query, op = spec, "or"
-            toks = F.split(F.trim(col), r"\s+")
-            tests = [F.array_contains(toks, t) for t in _tokens(str(query))]
+                query, op, analyzer = spec, "or", "whitespace"
+            # the PARITY #19 analyzer seam, shared with retrieval:
+            # document and query text go through the same tokenizer
+            # (_terms dedupes — a repeated query term tests once)
+            from .retrieval import _terms, _tokens_col
+
+            toks = _tokens_col(field, analyzer)
+            tests = [
+                F.array_contains(toks, t)
+                for t in _terms(str(query), analyzer)
+            ]
             if not tests:
                 return F.lit(False)
             out = tests[0]

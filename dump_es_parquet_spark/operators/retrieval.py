@@ -74,12 +74,34 @@ RRF_K = 60
 DEFAULT_QUERY = "dup filter window"
 
 
-def _terms(query: str) -> list[str]:
-    """Whitespace query terms, first-occurrence order, deduplicated
+#: the analyzer seam (PARITY #19, VERDICT r09 Next #8). 'whitespace'
+#: is the default every existing oracle row runs under; 'standard' is
+#: the ES standard-analyzer stand-in: lowercase + split on any
+#: non-alphanumeric run (ASCII classes — no Unicode word-boundary
+#: rules, no stopword/possessive filters; those stay documented
+#: divergences). Query text and document text MUST go through the
+#: same analyzer — `_terms` takes the same knob.
+ANALYZERS = ("whitespace", "standard")
+
+
+def _analyze(text: str, analyzer: str = "whitespace") -> list[str]:
+    """Driver-side analysis of QUERY text under the same rules as
+    ``_tokens_col`` applies to documents."""
+    if analyzer == "whitespace":
+        return [t for t in text.strip().split() if t]
+    if analyzer == "standard":
+        import re as _re
+
+        return [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+    raise ValueError(f"analyzer {analyzer!r}: one of {ANALYZERS}")
+
+
+def _terms(query: str, analyzer: str = "whitespace") -> list[str]:
+    """Analyzed query terms, first-occurrence order, deduplicated
     (a repeated query term must not double-count its score)."""
     out: list[str] = []
-    for t in query.strip().split():
-        if t and t not in out:
+    for t in _analyze(query, analyzer):
+        if t not in out:
             out.append(t)
     return out
 
@@ -93,16 +115,27 @@ def _idf_ppm(n_docs: int, df: int) -> int:
     return math.floor(1e6 * math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) + 0.5)
 
 
-def _tokens_col(text_col: str):
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+def _tokens_col(text_col: str, analyzer: str = "whitespace"):
+    if analyzer == "whitespace":
+        return F.split(F.trim(F.col(text_col)), r"\s+")
+    if analyzer == "standard":
+        # lowercase + split on non-alphanumeric runs; drop the empty
+        # fragments leading/trailing separators produce
+        return F.array_remove(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), ""
+        )
+    raise ValueError(f"analyzer {analyzer!r}: one of {ANALYZERS}")
 
 
 def corpus_term_stats(
-    docs: DataFrame, terms: list[str], text_col: str = "text"
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    analyzer: str = "whitespace",
 ) -> tuple[int, int, dict[str, int]]:
     """One map-side-combined aggregate → ``(N, total_dl, {term: df})``.
     The collect is a single row of ``2 + len(terms)`` integers."""
-    toks = _tokens_col(text_col).alias("toks")
+    toks = _tokens_col(text_col, analyzer).alias("toks")
     aggs = [
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size("toks")).cast("long").alias("total_dl"),
@@ -136,18 +169,23 @@ def bm25_scores(
     query: str = DEFAULT_QUERY,
     text_col: str = "text",
     id_col: str = "doc_id",
+    analyzer: str = "whitespace",
 ) -> DataFrame:
     """Per-document BM25 over ``query``: ``(id, dl, n_matched,
     score_micro)`` for every document matching ≥ 1 term.  Two linear
-    scans, zero shuffles (see module docstring)."""
-    terms = _terms(query)
-    n_docs, total_dl, dfs = corpus_term_stats(docs, terms, text_col)
+    scans, zero shuffles (see module docstring).  ``analyzer`` is the
+    PARITY #19 seam — query and document text go through the same
+    tokenizer."""
+    terms = _terms(query, analyzer)
+    n_docs, total_dl, dfs = corpus_term_stats(docs, terms, text_col, analyzer)
     # empty-corpus guard: the projection below yields zero rows anyway;
     # avgdl just needs to be a finite double so the plan builds
     avgdl = total_dl / n_docs if n_docs else 1.0
     idf = {t: _idf_ppm(n_docs, dfs[t]) for t in terms}
 
-    d = docs.select(F.col(id_col), _tokens_col(text_col).alias("toks"))
+    d = docs.select(
+        F.col(id_col), _tokens_col(text_col, analyzer).alias("toks")
+    )
     dl = F.size("toks")
     # closure factory, NOT a defaulted-arg lambda: a 2-parameter
     # lambda is treated by F.filter as (element, index)
@@ -180,12 +218,13 @@ def bm25_topk(
     sf_dir: str,
     query: str = DEFAULT_QUERY,
     k: int = 10,
+    analyzer: str = "whitespace",
 ) -> DataFrame:
     """Exact BM25 top-k for one query: scores projection +
     TakeOrderedAndProject (ties broken by doc_id for determinism)."""
     docs = load(spark, sf_dir, "documents")
     return (
-        bm25_scores(docs, query)
+        bm25_scores(docs, query, analyzer=analyzer)
         .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
         .limit(k)
     )
@@ -530,6 +569,20 @@ def q_corpus_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     query over ``documents`` — integer micro-scores, see module
     docstring for the cross-engine exactness argument."""
     return bm25_topk(spark, sf_dir, DEFAULT_QUERY, k=10)
+
+
+#: messy request text for the analyzer-seam oracle row: the standard
+#: analyzer must normalize it to exactly the DEFAULT_QUERY terms.
+MESSY_QUERY = "Dup, FILTER window!"
+
+
+def q_corpus_bm25_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): BM25 top-10 under the ``standard``
+    analyzer (PARITY #19 seam, VERDICT r09 Next #8) — the messy-cased,
+    punctuated request text normalizes to the demo terms, and document
+    text goes through the SAME lowercase+non-alnum-split tokenizer
+    (mirrored in the DuckDB oracle)."""
+    return bm25_topk(spark, sf_dir, MESSY_QUERY, k=10, analyzer="standard")
 
 
 def q_corpus_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1273,6 +1273,47 @@ def test_span_near_slop_semantics(spark, sf_dir):
     assert spans("a a", 0) == {5: 1}
 
 
+def test_standard_analyzer_seam(spark):
+    """PARITY #19 first step (VERDICT r09 Next #8): the 'standard'
+    analyzer lowercases and splits on non-alphanumeric runs, applied
+    identically to documents and query text, shared by retrieval BM25
+    and the es_search match query; 'whitespace' stays the default and
+    unknown analyzers raise."""
+    import pytest as _pytest
+
+    from dump_es_parquet_spark.operators.es_search import compile_query
+    from dump_es_parquet_spark.operators.retrieval import (
+        _analyze,
+        _terms,
+        bm25_scores,
+    )
+
+    assert _analyze("Dup, FILTER window!", "standard") == [
+        "dup", "filter", "window"
+    ]
+    assert _analyze("Dup, FILTER window!") == ["Dup,", "FILTER", "window!"]
+    assert _terms("Cat cat CAT", "standard") == ["cat"]
+    with _pytest.raises(ValueError, match="analyzer"):
+        _analyze("x", "keyword")
+
+    d = spark.createDataFrame(
+        [(1, "The FAST cat. Runs!"), (2, "slow dog")],
+        "doc_id long, text string",
+    )
+    # BM25: messy query matches doc 1 under standard, nothing under
+    # whitespace (no literal 'Cat!' token anywhere)
+    std = bm25_scores(d, "fast Cat!", analyzer="standard").collect()
+    assert [r.doc_id for r in std] == [1] and std[0].n_matched == 2
+    assert bm25_scores(d, "fast Cat!").count() == 0
+
+    # es_search match: per-request analyzer in the spec dict
+    q_std = {"match": {"text": {"query": "FAST cat?", "operator": "and",
+                                "analyzer": "standard"}}}
+    assert [r.doc_id for r in d.filter(compile_query(q_std)).collect()] == [1]
+    q_ws = {"match": {"text": {"query": "FAST cat?", "operator": "and"}}}
+    assert d.filter(compile_query(q_ws)).count() == 0
+
+
 def test_span_near_pathological_doc_bounded(spark):
     """VERDICT r09 What's wrong #1: a doc stuffed with the first term
     (~10⁴ occurrences) must complete in bounded time — the position
