@@ -173,6 +173,37 @@ PINNED_FINGERPRINTS = {
     "es_aggs_tree": {"exchange": 4},
     "es_pipeline_aggs": {"exchange": 5},
     "es_query_string": {"exchange": 1},
+    # round-10 pins: the promoted round-9 serving paths (VERDICT r09
+    # Next #7) and the round-10 additions.
+    # corpus_bm25_served: the postings-store serving path — one
+    # broadcast of the (tiny) per-term stats onto the row-group-pruned
+    # postings read; the exchange is the score aggregation keyed on
+    # doc (volume = matching postings, never the corpus).
+    "corpus_bm25_served": {"exchange": 1, "bhj": 1},
+    # es_transform_pivot: the entity-centric batch pivot — ONE
+    # data-sized groupBy exchange + the oracle-determinism orderBy.
+    "es_transform_pivot": {"exchange": 2},
+    # es_percolate: the zero-shuffle claim — N stored queries as one
+    # projection pass; the single exchange is the oracle-determinism
+    # orderBy, the match scan itself is shuffle-free.
+    "es_percolate": {"exchange": 1},
+    # corpus_span_near: zero-shuffle greedy span scan (position arrays
+    # bound once per row, r09 What's wrong #1); the exchange is the
+    # oracle-determinism orderBy(doc_id).
+    "corpus_span_near": {"exchange": 1},
+    # corpus_more_like_this: two linear scans (term selection, then
+    # BM25), both shuffle-free — the empty fingerprint is the point.
+    "corpus_more_like_this": {},
+    # round-10 rows: gap-filling stays bucket-frame-shaped (rollup +
+    # distinct-cardinality + the gap windows — same class as
+    # es_aggs_tree); the knn IVF recall row is pure probe + rescore +
+    # one broadcast join of ANN hits onto the exact top-k (ZERO
+    # shuffle exchanges); the standard-analyzer BM25 keeps
+    # corpus_bm25's empty fingerprint — the analyzer changes the
+    # tokenizer expression, never the plan shape.
+    "es_date_histogram_gapfill": {"exchange": 4},
+    "es_knn_search_ivf": {"bhj": 1},
+    "corpus_bm25_standard": {},
 }
 
 
