@@ -658,6 +658,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     in tests/test_transform.py.
         # es_percolate — PROMOTED round 10 (VERDICT r09 Next #2): ES
         #     reverse search as one zero-shuffle projection pass.
+        # es_percolate_bulk — the millions-of-rules percolate route
+        #     (round 10, VERDICT r09 What's wrong #3): stored queries
+        #     as conjunct-row DATA, equality rules equi-joined on
+        #     (field, value), plan O(1) in rule count; demoted-green
+        #     pending rotation (es_percolate keeps the family declared)
+        "es_percolate_bulk",
         # es_knn_search — the ES 8 knn request section (round 9):
         #     exact cosine top-k over the pre-filtered frame, SAME
         #     oracle SQL as sim_topk_bruteforce (the request-dialect
@@ -918,6 +924,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_after": _mod("es_search", "q_es_search_after"),
         "es_transform_pivot": _mod("transform", "q_es_transform_pivot"),
         "es_percolate": _mod("es_search", "q_es_percolate"),
+        "es_percolate_bulk": _mod("es_search", "q_es_percolate_bulk"),
         "es_knn_search": _mod("es_search", "q_es_knn_search"),
         "es_knn_search_ivf": q_es_knn_search_ivf,
         "es_suggest_completion": _mod("retrieval", "q_es_suggest_completion"),
@@ -3625,6 +3632,26 @@ def _all_oracle_sql() -> dict[str, str]:
                               'error')
                 OR list_contains(regexp_split_to_array(trim(props), '\s+'),
                                  '87}'), FALSE)
+        ORDER BY event_id, query_id
+    """
+
+    # es_percolate_bulk: the millions-of-rules percolate route — the
+    # SAME 50 (event_type × 50-wide band) rules rebuilt relationally:
+    # the conjunction collapses to one join predicate per rule, which
+    # is exactly what the conjunct-count match computes.
+    q["es_percolate_bulk"] = """
+        WITH types AS (SELECT DISTINCT event_type FROM events
+                       WHERE event_type IS NOT NULL),
+        bands AS (SELECT CAST(g * 50 AS DOUBLE) AS lo
+                  FROM generate_series(0, 9) t(g)),
+        rules AS (SELECT event_type || '_' ||
+                         CAST(CAST(lo AS INT) AS VARCHAR) AS query_id,
+                         event_type, lo
+                  FROM types CROSS JOIN bands)
+        SELECT e.event_id, r.query_id
+        FROM events e JOIN rules r
+          ON e.event_type = r.event_type
+         AND e.value >= r.lo AND e.value < r.lo + 50
         ORDER BY event_id, query_id
     """
 

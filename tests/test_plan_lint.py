@@ -204,6 +204,15 @@ PINNED_FINGERPRINTS = {
     "es_date_histogram_gapfill": {"exchange": 4},
     "es_knn_search_ivf": {"bhj": 1},
     "corpus_bm25_standard": {},
+    # es_percolate_bulk: the conjunct channels (string-eq, numeric-eq,
+    # range, totals) each reference the rule frame, and the query form
+    # BUILDS that frame in-query (distinct event_type → the exchange
+    # repeats); with rules persisted as a table (the production shape)
+    # those collapse to four scans of a tiny parquet. The melt is ONE
+    # stack generator — literal-projection unions constant-fold the
+    # field key and degrade the rule joins to BNLJ (measured) — and
+    # the satisfied-count groupBy is the one data-sized exchange.
+    "es_percolate_bulk": {"exchange": 7, "bhj": 4},
 }
 
 
