@@ -664,6 +664,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     (field, value), plan O(1) in rule count; demoted-green
         #     pending rotation (es_percolate keeps the family declared)
         "es_percolate_bulk",
+        # es_terms_missing_offset — date_histogram `offset` + terms
+        #     `missing` (round 10 DSL parity); demoted-green pending
+        #     rotation (es_aggs_tree keeps the agg-tree family
+        #     declared)
+        "es_terms_missing_offset",
         # es_knn_search — the ES 8 knn request section (round 9):
         #     exact cosine top-k over the pre-filtered frame, SAME
         #     oracle SQL as sim_topk_bruteforce (the request-dialect
@@ -925,6 +930,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_transform_pivot": _mod("transform", "q_es_transform_pivot"),
         "es_percolate": _mod("es_search", "q_es_percolate"),
         "es_percolate_bulk": _mod("es_search", "q_es_percolate_bulk"),
+        "es_terms_missing_offset": _mod(
+            "es_search", "q_es_terms_missing_offset"
+        ),
         "es_knn_search": _mod("es_search", "q_es_knn_search"),
         "es_knn_search_ivf": q_es_knn_search_ivf,
         "es_suggest_completion": _mod("retrieval", "q_es_suggest_completion"),
@@ -3633,6 +3641,30 @@ def _all_oracle_sql() -> dict[str, str]:
                 OR list_contains(regexp_split_to_array(trim(props), '\s+'),
                                  '87}'), FALSE)
         ORDER BY event_id, query_id
+    """
+
+    # es_terms_missing_offset: date_histogram offset (+2h on a 6h
+    # grid, identical long-floor arithmetic) nested with terms
+    # `missing` — the NULL segment coalesces into the '(none)' bucket
+    # on both engines; sum_value reports at its attachment level only.
+    q["es_terms_missing_offset"] = """
+        WITH leaf AS (
+          SELECT CAST(floor((epoch_ms(ts) - 7200000) / 21600000)
+                      * 21600000 + 7200000 AS BIGINT) AS six_hourly,
+                 coalesce(CASE WHEN value >= 100 THEN event_type END,
+                          '(none)') AS by_seg,
+                 value
+          FROM events WHERE ts IS NOT NULL
+        )
+        SELECT CAST(1 AS INT) AS level, six_hourly,
+               CAST(NULL AS VARCHAR) AS by_seg,
+               count(*) AS doc_count, CAST(NULL AS DOUBLE) AS sum_value
+        FROM leaf GROUP BY six_hourly
+        UNION ALL
+        SELECT CAST(2 AS INT), six_hourly, by_seg, count(*),
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        FROM leaf GROUP BY six_hourly, by_seg
+        ORDER BY level, six_hourly NULLS FIRST, by_seg NULLS FIRST
     """
 
     # es_percolate_bulk: the millions-of-rules percolate route — the

@@ -29,8 +29,10 @@ Query DSL (``compile_query``):
 Aggregations DSL (``compile_aggs``):
 
 - bucket aggs: ``terms`` (size, order ``_count``/``_key``/metric,
-  min_doc_count), ``date_histogram`` (calendar_interval /
-  fixed_interval; bucket key = epoch millis, exactly the key ES
+  min_doc_count, ``missing`` substitute bucket), ``date_histogram``
+  (calendar_interval / fixed_interval, signed ``offset`` on fixed
+  grids, ``min_doc_count: 0`` + ``extended_bounds`` gap-filling;
+  bucket key = epoch millis, exactly the key ES
   returns), ``histogram`` (interval + offset), ``range`` (keyed,
   from-inclusive / to-exclusive), ``filters`` (root level only — a
   doc can land in several buckets, compiled as build-matching-names
@@ -187,7 +189,8 @@ def _dh_grid(body: dict) -> tuple[int, int]:
     """(step_ms, grid_offset_ms) of a date_histogram's bucket grid —
     the tiling gap-filling needs. Variable-width calendar units raise."""
     if "fixed_interval" in body:
-        return _fixed_ms(body["fixed_interval"]), 0
+        off = _offset_ms(body["offset"]) if "offset" in body else 0
+        return _fixed_ms(body["fixed_interval"]), off
     unit = _CALENDAR_UNITS[body["calendar_interval"]]
     if unit not in _CALENDAR_WIDTH_MS:
         raise ValueError(
@@ -367,6 +370,10 @@ class _Level:
         b = self.body
         col = F.col(b["field"]) if "field" in b else None
         if self.kind == "terms":
+            # ES `missing`: docs without the field land in a bucket
+            # keyed by the substitute value instead of being dropped
+            if "missing" in b:
+                return F.coalesce(col, F.lit(b["missing"]))
             return col
         if self.kind == "multi_terms":
             # ES drops docs missing ANY component field; concat_ws
@@ -381,12 +388,20 @@ class _Level:
             )
         if self.kind == "date_histogram":
             if "calendar_interval" in b:
+                if "offset" in b:
+                    raise ValueError(
+                        "date_histogram offset is supported with "
+                        "fixed_interval only"
+                    )
                 unit = _CALENDAR_UNITS[b["calendar_interval"]]
                 return F.unix_millis(F.date_trunc(unit, col))
             ms = _fixed_ms(b["fixed_interval"])
-            return (F.floor(F.unix_millis(col) / F.lit(ms)) * F.lit(ms)).cast(
-                "long"
-            )
+            off = _offset_ms(b["offset"]) if "offset" in b else 0
+            return (
+                F.floor((F.unix_millis(col) - F.lit(off)) / F.lit(ms))
+                * F.lit(ms)
+                + F.lit(off)
+            ).cast("long")
         if self.kind == "histogram":
             interval = float(b["interval"])
             offset = float(b.get("offset", 0.0))
@@ -421,6 +436,16 @@ def _fixed_ms(spec: str) -> int:
     if not m:
         raise ValueError(f"fixed_interval {spec!r}")
     return int(m.group(1)) * _FIXED_UNIT_MS[m.group(2)]
+
+
+def _offset_ms(spec: str) -> int:
+    """ES date_histogram ``offset``: a signed duration ('+6h', '-30m')
+    shifting every bucket boundary."""
+    m = re.fullmatch(r"([+-])?(\d+)(ms|s|m|h|d)", str(spec))
+    if not m:
+        raise ValueError(f"offset {spec!r}")
+    ms = int(m.group(2)) * _FIXED_UNIT_MS[m.group(3)]
+    return -ms if m.group(1) == "-" else ms
 
 
 def _parse_chain(aggs: dict) -> list[_Level]:
@@ -890,7 +915,12 @@ def streamable_aggs(
             # holds for weeks too (ADVICE r09)
             start_time = "4 days"
     else:
-        win = f"{_fixed_ms(b['fixed_interval'])} milliseconds"
+        win_ms = _fixed_ms(b["fixed_interval"])
+        win = f"{win_ms} milliseconds"
+        if "offset" in b:
+            # same grid shift compile_aggs applies; modulo keeps
+            # startTime in [0, window) as F.window requires
+            start_time = f"{_offset_ms(b['offset']) % win_ms} milliseconds"
     time_col = b["field"]
 
     metrics = []
@@ -1757,6 +1787,41 @@ def q_es_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         id_cols=["event_id"],
     ).orderBy("event_id", "query_id")
+
+
+def q_es_terms_missing_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram ``offset`` (+2h on a 6h grid) nested with a
+    ``terms`` agg using ``missing`` (round 10): the frame synthesizes
+    a nullable segment column (the testdata has no NULLs), and docs
+    without it land in the '(none)' bucket instead of being dropped —
+    both knobs mirrored literally in the oracle SQL."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "seg", F.when(F.col("value") >= 100, F.col("event_type"))
+    )
+    return compile_aggs(
+        ev,
+        {
+            "six_hourly": {
+                "date_histogram": {
+                    "field": "ts",
+                    "fixed_interval": "6h",
+                    "offset": "+2h",
+                },
+                "aggs": {
+                    "by_seg": {
+                        "terms": {
+                            "field": "seg",
+                            "missing": "(none)",
+                            "size": 1000,
+                        },
+                        "aggs": {
+                            "sum_value": {"sum": {"field": "value"}}
+                        },
+                    }
+                },
+            }
+        },
+    )
 
 
 def q_es_percolate_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -556,6 +556,84 @@ def test_date_histogram_gapfill_default_off_and_variable_width(spark):
         ).collect()
 
 
+def test_date_histogram_offset_and_terms_missing(spark):
+    """ES date_histogram `offset` shifts every bucket boundary; terms
+    `missing` routes NULL-field docs into the substitute bucket
+    instead of dropping them; calendar_interval + offset raises."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            Row(ts=dt.datetime(2024, 1, 1, 1), k="a", n=1.0),
+            Row(ts=dt.datetime(2024, 1, 1, 3), k=None, n=2.0),
+        ]
+    )
+    t0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    h = 3_600_000
+    out = compile_aggs(
+        df,
+        {
+            "g": {
+                "date_histogram": {"field": "ts", "fixed_interval": "2h",
+                                   "offset": "+1h"},
+                "aggs": {"k": {"terms": {"field": "k",
+                                         "missing": "(none)"}}},
+            }
+        },
+    ).collect()
+    # boundaries at 01:00, 03:00 — the 01:00 doc and 03:00 doc land in
+    # different buckets (without offset both would share [00:00,02:00)
+    # / [02:00,04:00) differently)
+    lvl1 = sorted(r.g for r in out if r.level == 1)
+    assert lvl1 == [t0 + h, t0 + 3 * h]
+    lvl2 = sorted((r.g, r.k) for r in out if r.level == 2)
+    assert lvl2 == [(t0 + h, "a"), (t0 + 3 * h, "(none)")]
+
+    with pytest.raises(ValueError, match="fixed_interval only"):
+        compile_aggs(
+            df,
+            {"g": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "hour",
+                                      "offset": "+1h"}}},
+        )
+    # gap-filling respects the shifted grid
+    gap = compile_aggs(
+        df,
+        {
+            "g": {
+                "date_histogram": {"field": "ts", "fixed_interval": "1h",
+                                   "offset": "+30m", "min_doc_count": 0}
+            }
+        },
+    ).collect()
+    halfh = 1_800_000
+    assert [r.g for r in gap] == [
+        t0 + halfh, t0 + halfh + h, t0 + halfh + 2 * h
+    ]
+    assert [r.doc_count for r in gap] == [1, 0, 1]
+
+
+def test_streamable_aggs_fixed_offset_equals_batch(spark, sf_dir):
+    from dump_es_parquet_spark.operators.es_search import streamable_aggs
+    from dump_es_parquet_spark.operators.tables import load
+
+    tree = {
+        "g": {
+            "date_histogram": {"field": "ts", "fixed_interval": "6h",
+                               "offset": "+2h"},
+            "aggs": {"sum_value": {"sum": {"field": "value"}}},
+        }
+    }
+    events = load(spark, sf_dir, "events")
+    batch = sorted(map(tuple, streamable_aggs(events, tree).collect()))
+    leaf = (
+        compile_aggs(events, tree)
+        .filter("level = 1")
+        .select("g", "doc_count", "sum_value")
+    )
+    assert sorted(map(tuple, leaf.collect())) == batch and batch
+
+
 def test_date_histogram_gapfill_per_parent_partition(spark):
     # nested under terms: each parent bucket fills ITS OWN gaps only
     import datetime as dt

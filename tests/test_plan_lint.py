@@ -213,6 +213,9 @@ PINNED_FINGERPRINTS = {
     # field key and degrade the rule joins to BNLJ (measured) — and
     # the satisfied-count groupBy is the one data-sized exchange.
     "es_percolate_bulk": {"exchange": 7, "bhj": 4},
+    # one rollup + two bucket-frame window exchanges; offset/missing
+    # only change key expressions, never the plan class
+    "es_terms_missing_offset": {"exchange": 3},
 }
 
 
