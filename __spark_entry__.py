@@ -627,6 +627,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     text normalized query-side; demoted-green pending
         #     rotation (corpus_bm25 keeps the family declared)
         "corpus_bm25_standard",
+        # corpus_rank_eval — the ES _rank_eval API (round 10):
+        #     precision/recall/MRR/DCG/NDCG@10 of the BM25 batch
+        #     ranking vs a deterministic synthetic qrel — also the
+        #     batch-BM25 path's first oracle row; demoted-green
+        #     pending rotation
+        "corpus_rank_eval",
         # es_* — the ES _search request compiler (round 9): saved
         #     search requests replayed on the lake — query DSL →
         #     NULL-exact Catalyst Column, aggregation trees → one
@@ -911,6 +917,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_span_near": _mod("retrieval", "q_corpus_span_near"),
         "corpus_bm25_served": _mod("retrieval", "q_corpus_bm25_served"),
         "corpus_bm25_standard": _mod("retrieval", "q_corpus_bm25_standard"),
+        "corpus_rank_eval": _mod("retrieval", "q_corpus_rank_eval"),
         # — the ES _search request compiler (round 9): query DSL →
         #   Catalyst Column, aggregation trees → one ROLLUP shuffle —
         "es_search_hits": _mod("es_search", "q_es_search_hits"),
@@ -3179,6 +3186,120 @@ def _all_oracle_sql() -> dict[str, str]:
     # postings store (retrieval.bm25_topk_from_store) — bit-identical
     # scores by construction, so the SQL is shared verbatim
     q["corpus_bm25_served"] = q["corpus_bm25"]
+
+    # corpus_rank_eval: the ES _rank_eval API — DuckDB rebuilds each
+    # saved query's BM25 top-10 from the same exact-integer
+    # statistics (per-query CTE instances of the corpus_bm25 scheme),
+    # joins the same synthetic qrel, and computes
+    # precision/recall/MRR/DCG/NDCG@10 with the identical
+    # round-9dp-then-DECIMAL-sum discipline (log2 resolves to the
+    # same platform libm as CPython math.log2 — the _idf_ppm
+    # argument). Also the batch-BM25 path's first oracle row.
+    from dump_es_parquet_spark.operators.retrieval import RANK_EVAL_QUERIES
+
+    def _bm25_rank_cte(qid: int, qterms: list[str]) -> str:
+        rng_q = range(len(qterms))
+        dfc = ", ".join(
+            f"CAST(sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 "
+            f"END) AS BIGINT) AS df{i}"
+            for i, t in enumerate(qterms)
+        )
+        idfc = ", ".join(
+            f"CAST(floor(1e6 * ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+            f" + 0.5) AS BIGINT) AS idf{i}"
+            for i in rng_q
+        )
+        tfc = ", ".join(
+            f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+            for i, t in enumerate(qterms)
+        )
+        sterm_q = " + ".join(
+            f"CAST(floor(CAST(idf{i} AS DOUBLE) * ((tf{i} * 2.2) / (tf{i} "
+            f"+ 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))) "
+            f"AS BIGINT)"
+            for i in rng_q
+        )
+        nm_q = " + ".join(f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+                          for i in rng_q)
+        return f"""
+        s{qid} AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(len(toks)) AS BIGINT) AS tdl, {dfc}
+                   FROM rd),
+        i{qid} AS (SELECT (tdl / n) AS avgdl, {idfc} FROM s{qid}),
+        t{qid} AS (SELECT doc_id, len(toks) AS dl, {tfc} FROM rd),
+        rk{qid} AS (SELECT CAST({qid} AS BIGINT) AS query_id, doc_id, rank
+                    FROM (SELECT doc_id,
+                                 row_number() OVER (ORDER BY score DESC,
+                                                    doc_id ASC) AS rank
+                          FROM (SELECT doc_id, {nm_q} AS n_matched,
+                                       {sterm_q} AS score
+                                FROM t{qid}, i{qid}) x
+                          WHERE n_matched > 0) y
+                    WHERE rank <= 10)"""
+
+    _rk_ctes = ",".join(
+        _bm25_rank_cte(qid, _terms(qtext)) for qid, qtext in RANK_EVAL_QUERIES
+    )
+    _rk_union = " UNION ALL ".join(
+        f"SELECT * FROM rk{qid}" for qid, _ in RANK_EVAL_QUERIES
+    )
+    q["corpus_rank_eval"] = f"""
+        WITH rd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        {_rk_ctes},
+        ranked AS ({_rk_union}),
+        qrel AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, d.doc_id,
+                        CAST(1 + d.doc_id % 3 AS INT) AS rating
+                 FROM documents d
+                 CROSS JOIN (SELECT unnest(range(0, 3)) AS query_id) q
+                 WHERE d.doc_id % 5 = q.query_id),
+        disc AS (SELECT CAST(g AS INT) AS rank, 1.0 / log2(g + 1) AS disc
+                 FROM generate_series(1, 10) t(g)),
+        hits AS (SELECT r.query_id, r.rank,
+                        coalesce(j.rating, 0) AS rating
+                 FROM ranked r LEFT JOIN qrel j
+                   ON r.query_id = j.query_id AND r.doc_id = j.doc_id),
+        per AS (SELECT h.query_id,
+                       CAST(count(*) AS BIGINT) AS n_retrieved,
+                       CAST(sum(CASE WHEN rating >= 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_rel_topk,
+                       min(CASE WHEN rating >= 2 THEN h.rank END)
+                           AS first_rel,
+                       sum(CAST(round(CAST((1 << rating) - 1 AS DOUBLE)
+                                      * d.disc, 9) AS DECIMAL(28,12)))
+                           AS dcg_dec
+                FROM hits h JOIN disc d ON h.rank = d.rank
+                GROUP BY h.query_id),
+        ideal AS (SELECT query_id,
+                         sum(CAST(round(CAST((1 << rating) - 1 AS DOUBLE)
+                                        * d.disc, 9) AS DECIMAL(28,12)))
+                             AS idcg_dec
+                  FROM (SELECT query_id, rating,
+                               row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rating DESC, doc_id ASC) AS rank
+                        FROM qrel) i JOIN disc d ON i.rank = d.rank
+                  WHERE i.rank <= 10 GROUP BY query_id),
+        totals AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+                   FROM qrel WHERE rating >= 2 GROUP BY query_id),
+        qs AS (SELECT unnest(range(0, 3)) AS query_id)
+        SELECT qs.query_id AS query_id,
+               coalesce(p.n_retrieved, 0) AS n_retrieved,
+               coalesce(p.n_rel_topk, 0) AS n_rel_topk,
+               coalesce(tt.n_relevant, 0) AS n_relevant,
+               round(coalesce(CAST(p.n_rel_topk AS DOUBLE) / p.n_retrieved,
+                              0.0), 6) AS precision_r6,
+               round(coalesce(CAST(p.n_rel_topk AS DOUBLE) / tt.n_relevant,
+                              0.0), 6) AS recall_r6,
+               round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr_r6,
+               round(coalesce(CAST(p.dcg_dec AS DOUBLE), 0.0), 6) AS dcg_r6,
+               round(CASE WHEN CAST(id.idcg_dec AS DOUBLE) > 0
+                          THEN coalesce(CAST(p.dcg_dec AS DOUBLE), 0.0)
+                               / CAST(id.idcg_dec AS DOUBLE)
+                          ELSE 0.0 END, 6) AS ndcg_r6
+        FROM qs LEFT JOIN per p ON qs.query_id = p.query_id
+                LEFT JOIN ideal id ON qs.query_id = id.query_id
+                LEFT JOIN totals tt ON qs.query_id = tt.query_id
+        ORDER BY query_id
+    """
 
     # corpus_bm25_standard: the analyzer seam (PARITY #19) — the messy
     # request text is analyzed DRIVER-side by the same _terms used to

@@ -756,8 +756,10 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     # never a union or self-join of the frame (either would duplicate
     # the underlying rollup scan). Synthesized buckets: doc_count 0,
     # every metric/pipeline column NULL (they are emitted after the
-    # pipeline windows ran, so pipelines see real buckets only —
-    # PARITY #20). The fill is frame-anchored: with no surviving
+    # pipeline windows ran, so pipelines stride over REAL buckets
+    # only — exactly ES's default gap_policy 'skip'; the non-default
+    # insert_zeros is unsupported, PARITY #20). The fill is
+    # frame-anchored: with no surviving
     # bucket at the level (empty input) nothing is synthesized.
     gap_levels = [
         i

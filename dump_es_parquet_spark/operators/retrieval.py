@@ -296,6 +296,121 @@ def bm25_topk_batch(
     )
 
 
+def rank_eval(
+    docs: DataFrame,
+    queries: DataFrame,
+    ratings: DataFrame,
+    k: int = 10,
+    relevant_threshold: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``_rank_eval`` API lake-side: evaluate the BM25 ranking
+    against labeled (query, doc, rating) judgments — the quality gate
+    every retrieval deployment runs before trusting its index.
+    ``queries`` is ``(query_id, query_text)``; ``ratings`` is
+    ``(query_id, <id_col>, rating int)``. Returns one row per query:
+    ``(query_id, n_retrieved, n_rel_topk, n_relevant, precision_r6,
+    recall_r6, mrr_r6, dcg_r6, ndcg_r6)``.
+
+    Metric definitions follow the ES endpoint: precision@k =
+    relevant-retrieved / retrieved (ratings ≥ ``relevant_threshold``
+    count as relevant); recall@k = relevant-retrieved / all-relevant;
+    MRR = 1 / rank of the first relevant hit (0 when none); DCG@k =
+    Σ (2^rating − 1) / log2(rank + 1) (the exponential form ES uses)
+    with NDCG against the ideal ordering of that query's OWN
+    judgments (rating desc, id asc — ties carry equal gain so the tie
+    order cannot change the sum). Queries retrieving nothing still
+    report a row of zeros, as the ES response does.
+
+    Cross-engine exactness: the k discount values ``1/log2(rank+1)``
+    are computed DRIVER-side with CPython ``math.log2`` and joined as
+    literals — the same platform-libm argument as ``_idf_ppm`` — and
+    every DCG term rounds to 9dp then sums through DECIMAL, so
+    partial-agg order can't flip bits. Plan shape: one
+    ``bm25_topk_batch`` (postings explode after a broadcast semi-join
+    against the query-term set) + window/joins over frames bounded by
+    |queries|·k and the judgment count — never the corpus."""
+    spark = docs.sparkSession
+    disc = F.broadcast(
+        spark.createDataFrame(
+            [(r, 1.0 / math.log2(r + 1)) for r in range(1, k + 1)],
+            "rank int, disc double",
+        )
+    )
+    # F.shiftleft takes a literal bit count; the column form goes
+    # through expr (integer-exact 2^rating, like DuckDB's 1 << rating)
+    gain = (
+        (F.expr("shiftleft(1, rating)") - F.lit(1)).cast("double")
+        * F.col("disc")
+    )
+    dterm = F.round(gain, 9).cast("decimal(28,12)")
+    rel = (F.col("rating") >= relevant_threshold).cast("int")
+
+    ranked = bm25_topk_batch(docs, queries, k=k, text_col=text_col,
+                             id_col=id_col)
+    hits = (
+        ranked.join(ratings, ["query_id", id_col], "left")
+        .withColumn("rating", F.coalesce("rating", F.lit(0)))
+        .join(disc, "rank")
+    )
+    per = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+        F.sum(rel).cast("long").alias("n_rel_topk"),
+        F.min(F.when(rel == 1, F.col("rank"))).alias("_first_rel"),
+        F.sum(dterm).alias("_dcg_dec"),
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("rating").desc(), F.col(id_col).asc()
+    )
+    ideal = (
+        ratings.withColumn("rank", F.row_number().over(wi))
+        .where(F.col("rank") <= k)
+        .join(disc, "rank")
+        .groupBy("query_id")
+        .agg(F.sum(dterm).alias("_idcg_dec"))
+    )
+    totals = (
+        ratings.where(F.col("rating") >= relevant_threshold)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_relevant"))
+    )
+    dcg = F.coalesce(F.col("_dcg_dec").cast("double"), F.lit(0.0))
+    idcg = F.col("_idcg_dec").cast("double")
+    return (
+        queries.select("query_id")
+        .join(per, "query_id", "left")
+        .join(ideal, "query_id", "left")
+        .join(totals, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+            F.coalesce("n_rel_topk", F.lit(0)).alias("n_rel_topk"),
+            F.coalesce("n_relevant", F.lit(0)).alias("n_relevant"),
+            F.round(
+                F.coalesce(
+                    F.col("n_rel_topk") / F.col("n_retrieved"), F.lit(0.0)
+                ),
+                6,
+            ).alias("precision_r6"),
+            F.round(
+                F.coalesce(
+                    F.col("n_rel_topk") / F.col("n_relevant"), F.lit(0.0)
+                ),
+                6,
+            ).alias("recall_r6"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("_first_rel"), F.lit(0.0)), 6
+            ).alias("mrr_r6"),
+            F.round(dcg, 6).alias("dcg_r6"),
+            F.round(
+                F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0)), 6
+            ).alias("ndcg_r6"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def write_postings_store(
     docs: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
 ) -> None:
@@ -583,6 +698,40 @@ def q_corpus_bm25_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     text goes through the SAME lowercase+non-alnum-split tokenizer
     (mirrored in the DuckDB oracle)."""
     return bm25_topk(spark, sf_dir, MESSY_QUERY, k=10, analyzer="standard")
+
+
+#: the rank_eval demo request: three saved queries over the corpus
+#: vocabulary, judged by a deterministic synthetic qrel (docs with
+#: doc_id % 5 == query_id are judged, rating 1 + doc_id % 3, so every
+#: query has relevant (≥2) and non-relevant (1) judgments).
+RANK_EVAL_QUERIES = [
+    (0, "dup filter window"),
+    (1, "table hash"),
+    (2, "scan merge sort"),
+]
+
+
+def q_corpus_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): the ES ``_rank_eval`` API over the
+    BM25 batch ranking — precision/recall/MRR/DCG/NDCG@10 for three
+    saved queries against a deterministic synthetic qrel (threshold
+    2). Also the batch BM25 path's first oracle row: DuckDB rebuilds
+    each query's ranking from the same exact-integer statistics."""
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        RANK_EVAL_QUERIES, "query_id long, query_text string"
+    )
+    qids = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("query_id")
+    ratings = (
+        docs.select(F.col("doc_id"), qids)
+        .where(F.col("doc_id") % 5 == F.col("query_id"))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("rating"),
+        )
+    )
+    return rank_eval(docs, queries, ratings, k=10, relevant_threshold=2)
 
 
 def q_corpus_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -216,6 +216,11 @@ PINNED_FINGERPRINTS = {
     # one rollup + two bucket-frame window exchanges; offset/missing
     # only change key expressions, never the plan class
     "es_terms_missing_offset": {"exchange": 3},
+    # corpus_rank_eval: one bm25_topk_batch core (postings explode
+    # after the broadcast term semi-join) + metric joins over frames
+    # bounded by |queries|·k and the qrel size — the smj pair is the
+    # ranked⋈qrel / ideal side, both judgment-sized
+    "corpus_rank_eval": {"exchange": 7, "bhj": 7, "smj": 2},
 }
 
 
