@@ -655,6 +655,10 @@ DEMOTED: frozenset[str] = frozenset(
         "es_date_histogram_gapfill",
         "es_filters_agg",
         "es_composite_page",
+        # es_composite_datehist — composite sources widened past terms
+        #     (round 10): a (date_histogram day grid × terms) source
+        #     pair paged by after-key; demoted-green pending rotation
+        "es_composite_datehist",
         "es_top_hits",
         "es_collapse",
         "es_search_after",
@@ -929,6 +933,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_filters_agg": _mod("es_search", "q_es_filters_agg"),
         "es_composite_page": _mod("es_search", "q_es_composite_page"),
+        "es_composite_datehist": _mod(
+            "es_search", "q_es_composite_datehist"
+        ),
         "es_top_hits": _mod("es_search", "q_es_top_hits"),
         "es_pipeline_aggs": _mod("es_search", "q_es_pipeline_aggs"),
         "es_query_string": _mod("querystring", "q_es_query_string"),
@@ -3645,6 +3652,25 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE (o_orderpriority, o_orderstatus) > ('2-HIGH', 'F')
         GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 5
+    """
+
+    # es_composite_datehist: composite paging over a (day grid ×
+    # event_type) source pair — the date_histogram source key is the
+    # same epoch-millis floor compile_aggs uses; the after tuple
+    # compares BEFORE the groupBy on both engines.
+    q["es_composite_datehist"] = """
+        WITH leaf AS (
+          SELECT CAST(floor(epoch_ms(ts) / 86400000.0) * 86400000
+                      AS BIGINT) AS day,
+                 event_type AS etype, value
+          FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        )
+        SELECT day, etype, count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM leaf
+        WHERE (day, etype) > (1704412800000, 'error')
+        GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 20
     """
 
     # es_pipeline_aggs: pipeline aggregations over the bucket frame —

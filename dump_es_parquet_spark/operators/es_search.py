@@ -1177,18 +1177,31 @@ def composite_agg(
     ``after`` cursor compiles to one struct comparison applied BEFORE
     the groupBy — later pages never re-shuffle earlier key ranges,
     exactly ES's early-termination contract. Keys must be NULL-free
-    (composite sources drop missing by default)."""
-    names, fields = [], []
+    (composite sources drop missing by default).
+
+    Source kinds (round 10 widened past ``terms``): ``terms``,
+    ``histogram`` and ``date_histogram`` — each key expression is the
+    SAME one ``compile_aggs`` uses for the equivalent bucket level
+    (``_Level.key_expr``), so a composite page over a day grid and a
+    date_histogram tree report identical epoch-millis keys."""
+    names, exprs = [], []
     for s in sources:
         if isinstance(s, str):
             names.append(s)
-            fields.append(s)
+            exprs.append(F.col(s))
         else:
             (name, spec), = s.items()
+            kinds = [k for k in spec
+                     if k in ("terms", "histogram", "date_histogram")]
+            if len(kinds) != 1:
+                raise ValueError(
+                    f"composite source {name!r}: one of "
+                    "terms/histogram/date_histogram"
+                )
             names.append(name)
-            fields.append(spec["terms"]["field"])
+            exprs.append(_Level(name, kinds[0], spec[kinds[0]]).key_expr())
     base = df.select(
-        *[F.col(f).alias(n) for f, n in zip(fields, names)],
+        *[e.alias(n) for e, n in zip(exprs, names)],
         *[c for c in df.columns if c not in names],
     )
     for n in names:
@@ -2012,6 +2025,26 @@ def q_es_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         size=5,
         after={"prio": "2-HIGH", "status": "F"},
         metrics={"avg_price": {"avg": {"field": "o_totalprice"}}},
+    )
+
+
+def q_es_composite_datehist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pagination over a (day grid × event_type) bucket
+    space — the classic page-the-whole-index rollup request (round
+    10: composite sources widened past terms). Page 2 via an
+    after-key cursor landing mid-grid; sum metric per bucket."""
+    ev = load(spark, sf_dir, "events")
+    return composite_agg(
+        ev,
+        sources=[
+            {"day": {"date_histogram": {"field": "ts",
+                                        "fixed_interval": "1d"}}},
+            {"etype": {"terms": {"field": "event_type"}}},
+        ],
+        size=20,
+        # 2024-01-05T00:00Z, 'error' — strictly-after lands mid-day-5
+        after={"day": 1704412800000, "etype": "error"},
+        metrics={"sum_value": {"sum": {"field": "value"}}},
     )
 
 

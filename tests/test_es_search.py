@@ -261,6 +261,35 @@ def test_filters_agg_multi_membership(spark):
     assert counts == {"is_a": 2, "big": 2}
 
 
+def test_composite_datehist_source_tiles_pages(spark):
+    """Composite with a date_histogram source (round 10): keys are the
+    same epoch-millis floor compile_aggs uses, and consecutive
+    after-key pages tile the full bucket space without overlap."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 1, d, h), k=k)
+         for d in (1, 2) for h in (0, 12) for k in ("a", "b")]
+    )
+    sources = [
+        {"day": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}}},
+        {"kk": {"terms": {"field": "k"}}},
+    ]
+    page1 = composite_agg(df, sources, size=3).collect()
+    assert len(page1) == 3
+    after = {"day": page1[-1].day, "kk": page1[-1].kk}
+    page2 = composite_agg(df, sources, size=3, after=after).collect()
+    keys = [(r.day, r.kk) for r in page1 + page2]
+    assert keys == sorted(set(keys)) and len(keys) == 4
+    t0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert [k for k, _ in keys] == [t0, t0, t0 + 86400000, t0 + 86400000]
+    # every bucket counts its two hour-rows
+    assert all(r.doc_count == 2 for r in page1 + page2)
+
+    with pytest.raises(ValueError, match="terms/histogram/date_histogram"):
+        composite_agg(df, [{"x": {"range": {"field": "k"}}}])
+
+
 def test_composite_after_key_pagination(spark):
     df = spark.createDataFrame(
         [Row(a=a, b=b) for a in ("p", "q") for b in ("1", "2")] * 2

@@ -221,6 +221,10 @@ PINNED_FINGERPRINTS = {
     # bounded by |queries|·k and the qrel size — the smj pair is the
     # ranked⋈qrel / ideal side, both judgment-sized
     "corpus_rank_eval": {"exchange": 7, "bhj": 7, "smj": 2},
+    # composite over (date_histogram × terms) sources: the after-key
+    # filter lands before the ONE groupBy exchange — a later page
+    # never re-aggregates earlier key ranges
+    "es_composite_datehist": {"exchange": 1},
 }
 
 
