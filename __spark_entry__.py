@@ -659,6 +659,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     (round 10): a (date_histogram day grid × terms) source
         #     pair paged by after-key; demoted-green pending rotation
         "es_composite_datehist",
+        # es_search_highlight — the request highlight section +
+        #     _source include wildcards (round 10); snippets shared
+        #     with the declared corpus_highlight splice; demoted-green
+        #     pending rotation
+        "es_search_highlight",
         "es_top_hits",
         "es_collapse",
         "es_search_after",
@@ -936,6 +941,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_composite_datehist": _mod(
             "es_search", "q_es_composite_datehist"
         ),
+        "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_top_hits": _mod("es_search", "q_es_top_hits"),
         "es_pipeline_aggs": _mod("es_search", "q_es_pipeline_aggs"),
         "es_query_string": _mod("querystring", "q_es_query_string"),
@@ -3373,6 +3379,25 @@ def _all_oracle_sql() -> dict[str, str]:
                {frag_list}) AS highlights
         FROM top t JOIN documents d2 USING (doc_id)
         ORDER BY t.score_micro DESC, t.doc_id ASC
+    """
+
+    # es_search_highlight: the _search request's highlight section —
+    # the SAME snippet fragments as corpus_highlight (frag_list is the
+    # shared generator above), but over the request's own hits page
+    # (match OR filter → sort → size) with _source include wildcards
+    # (doc_id + lang*); highlight terms derive from the match clause.
+    q["es_search_highlight"] = f"""
+        WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks
+                   FROM documents),
+        hits AS (SELECT * FROM t
+                 WHERE list_contains(toks, 'dup')
+                    OR list_contains(toks, 'filter')
+                    OR list_contains(toks, 'window')
+                 ORDER BY doc_id ASC LIMIT 15)
+        SELECT doc_id, lang,
+               concat_ws(' … ',
+               {frag_list}) AS text_snippet
+        FROM hits ORDER BY doc_id
     """
 
     # corpus_match_phrase: ES match_phrase (slop 0) — consecutive-token

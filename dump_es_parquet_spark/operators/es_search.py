@@ -1370,9 +1370,114 @@ def search(
     if frm:
         out = out.offset(frm)
     out = out.limit(int(request.get("size", 10)))
+    # highlight section: snippet columns computed AFTER pagination
+    # (bounded rows — a pure string projection over the page), terms
+    # derived from the request's own query like a real server
+    hl_cols = []
+    hl = request.get("highlight")
+    if hl:
+        window = int(hl.get("fragment_size", 60)) // 2
+        for fld, fspec in hl["fields"].items():
+            terms = _highlight_terms(request.get("query"), fld)
+            if not terms:
+                raise ValueError(
+                    f"highlight field {fld!r}: the query holds no "
+                    "match/match_phrase/term text for it"
+                )
+            from .retrieval import snippet_expr
+
+            hl_cols.append(
+                snippet_expr(fld, terms, window).alias(f"{fld}_snippet")
+            )
     src = request.get("_source")
-    if src:
-        out = out.select(*src)
+    cols = None
+    if isinstance(src, (str, list)):
+        cols = _source_columns(
+            out.columns, [src] if isinstance(src, str) else src, []
+        )
+    elif isinstance(src, dict):
+        cols = _source_columns(
+            out.columns,
+            src.get("includes") or ["*"],
+            src.get("excludes") or [],
+        )
+    elif src is False:
+        raise ValueError("_source: false returns no columns; omit fields "
+                         "you don't want via includes/excludes")
+    if cols is not None or hl_cols:
+        keep = [F.col(c) for c in (cols if cols is not None else out.columns)]
+        out = out.select(*keep, *hl_cols)
+    return out
+
+
+def _source_columns(
+    columns: list[str], includes: list, excludes: list
+) -> list[str]:
+    """ES ``_source`` filtering over the frame's columns: includes
+    then excludes, both with ``*``/``?`` wildcards (fnmatch), include
+    order preserved for exact names (frame order within a wildcard)."""
+    import fnmatch
+
+    cols: list[str] = []
+    for pat in includes:
+        for c in columns:
+            if c not in cols and fnmatch.fnmatchcase(c, pat):
+                cols.append(c)
+    cols = [
+        c
+        for c in cols
+        if not any(fnmatch.fnmatchcase(c, p) for p in excludes)
+    ]
+    if not cols:
+        raise ValueError(
+            f"_source selects no columns (includes={includes}, "
+            f"excludes={excludes})"
+        )
+    return cols
+
+
+def _highlight_terms(q: dict | None, field: str) -> list[str]:
+    """Terms a real server would highlight for ``field``: the text of
+    ``match`` / ``match_phrase`` / ``term`` clauses targeting it,
+    walked through bool must/filter/should (must_not never highlights),
+    analyzed like the match clause itself, first-occurrence order."""
+    from .retrieval import _analyze
+
+    out: list[str] = []
+
+    def _add(ts):
+        for t in ts:
+            if t not in out:
+                out.append(t)
+
+    def _walk(node):
+        if not node:
+            return
+        (kind,) = node.keys()
+        body = node[kind]
+        if kind == "bool":
+            for key in ("must", "filter", "should"):
+                v = body.get(key, [])
+                for c in v if isinstance(v, list) else [v]:
+                    _walk(c)
+            return
+        if kind in ("match", "match_phrase", "term"):
+            items = [(f, s) for f, s in body.items() if f != "boost"]
+            if len(items) != 1 or items[0][0] != field:
+                return
+            spec = items[0][1]
+            if kind == "term":
+                v = spec["value"] if isinstance(spec, dict) else spec
+                _add([str(v)])
+                return
+            if isinstance(spec, dict):
+                text = spec["query"]
+                analyzer = spec.get("analyzer", "whitespace")
+            else:
+                text, analyzer = spec, "whitespace"
+            _add(_analyze(str(text), analyzer))
+
+    _walk(q)
     return out
 
 
@@ -2025,6 +2130,25 @@ def q_es_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         size=5,
         after={"prio": "2-HIGH", "status": "F"},
         metrics={"avg_price": {"avg": {"field": "o_totalprice"}}},
+    )
+
+
+def q_es_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``highlight`` section + ``_source`` include wildcards on a
+    saved request (round 10): match-filtered hits page, snippet terms
+    derived from the request's own match clause, ``doc_id``/``lang*``
+    projected. Snippets are the SAME splice corpus_highlight pins —
+    byte-exact vs the oracle."""
+    d = load(spark, sf_dir, "documents")
+    return search(
+        d,
+        {
+            "query": {"match": {"text": {"query": "dup filter window"}}},
+            "sort": [{"doc_id": "asc"}],
+            "size": 15,
+            "_source": {"includes": ["doc_id", "lang*"]},
+            "highlight": {"fields": {"text": {}}, "fragment_size": 60},
+        },
     )
 
 

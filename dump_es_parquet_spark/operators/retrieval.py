@@ -774,11 +774,30 @@ def highlight(
     d = docs.select(F.col(id_col), F.col(text_col))
     joined = d.join(F.broadcast(top), id_col)
 
+    return (
+        joined.select(
+            F.col(id_col),
+            F.col("score_micro"),
+            snippet_expr(text_col, terms, window).alias("highlights"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    )
+
+
+def snippet_expr(text_col: str, terms: list[str], window: int = 30) -> Column:
+    """The highlight splice as a reusable Column (shared by
+    :func:`highlight` and the ``_search`` request's ``highlight``
+    section): per term, ``window`` chars of context either side of
+    the first WHOLE-TOKEN occurrence with that occurrence wrapped in
+    ``<em>`` tags, absent terms skipped, fragments joined by `` … ``
+    in term order. Pure ``locate``/``substr``/``concat`` — identical
+    1-based/clamping semantics in DuckDB."""
     padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
     frags = []
     for t in terms:
         # 1-based char start of the first whole-token occurrence in
-        # the ORIGINAL text (0 if the token is absent) — see docstring
+        # the ORIGINAL text (0 if the token is absent) — see the
+        # highlight() docstring for the pad/shift argument
         pos = F.locate(f" {t} ", padded)
         start = F.greatest(F.lit(1), pos - window)
         pre = F.col(text_col).substr(start, pos - start)
@@ -788,14 +807,7 @@ def highlight(
                 pos > 0, F.concat(pre, F.lit(f"<em>{t}</em>"), post)
             ).otherwise(F.lit(None).cast("string"))
         )
-    return (
-        joined.select(
-            F.col(id_col),
-            F.col("score_micro"),
-            F.concat_ws(" … ", *frags).alias("highlights"),
-        )
-        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
-    )
+    return F.concat_ws(" … ", *frags)
 
 
 def bm25_topk_like(

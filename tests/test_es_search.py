@@ -304,6 +304,41 @@ def test_composite_after_key_pagination(spark):
     assert all(r.doc_count == 2 for r in page1 + page2)
 
 
+def test_search_source_wildcards_and_highlight(docs):
+    """_source include/exclude wildcards and the highlight section:
+    snippet terms come from the request's own match clause; must_not
+    text never highlights; a highlight field with no query text
+    raises."""
+    req = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": "cat"}}],
+                "must_not": [{"match": {"text": "slow"}}],
+            }
+        },
+        "sort": [{"id": "asc"}],
+        "size": 10,
+        "_source": {"includes": ["id", "t*"], "excludes": ["tag"]},
+        "highlight": {"fields": {"text": {}}, "fragment_size": 20},
+    }
+    from dump_es_parquet_spark.operators.es_search import search
+
+    out = search(docs, req)
+    assert out.columns == ["id", "text", "text_snippet"]
+    rows = out.collect()
+    # docs with 'cat' but not 'slow': 1 and 5
+    assert [r.id for r in rows] == [1, 5]
+    # only 'cat' (the must text) is tagged — 'slow' never highlights
+    assert all("<em>cat</em>" in r.text_snippet for r in rows)
+    assert not any("slow" in (r.text_snippet or "") and "<em>slow" in r.text_snippet for r in rows)
+
+    with pytest.raises(ValueError, match="no\\s+match"):
+        search(docs, {"query": {"term": {"kind": "a"}},
+                      "highlight": {"fields": {"text": {}}}})
+    with pytest.raises(ValueError, match="selects no columns"):
+        search(docs, {"_source": ["nope*"]})
+
+
 def test_search_from_size_pagination(docs):
     req = {
         "query": {"exists": {"field": "n"}},

@@ -225,6 +225,9 @@ PINNED_FINGERPRINTS = {
     # filter lands before the ONE groupBy exchange — a later page
     # never re-aggregates earlier key ranges
     "es_composite_datehist": {"exchange": 1},
+    # filter → TakeOrdered → pure string-splice projection: the empty
+    # fingerprint is the point (highlight adds zero plan weight)
+    "es_search_highlight": {},
 }
 
 
