@@ -664,6 +664,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     with the declared corpus_highlight splice; demoted-green
         #     pending rotation
         "es_search_highlight",
+        # es_geo_queries — geo_bounding_box + geo_distance on a
+        #     struct geo_point column (round 10); haversine tree
+        #     spelled identically in both engines; demoted-green
+        #     pending rotation
+        "es_geo_queries",
         "es_top_hits",
         "es_collapse",
         "es_search_after",
@@ -942,6 +947,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "es_search", "q_es_composite_datehist"
         ),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
+        "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
         "es_top_hits": _mod("es_search", "q_es_top_hits"),
         "es_pipeline_aggs": _mod("es_search", "q_es_pipeline_aggs"),
         "es_query_string": _mod("querystring", "q_es_query_string"),
@@ -3837,6 +3843,29 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         FROM leaf GROUP BY six_hourly, by_seg
         ORDER BY level, six_hourly NULLS FIRST, by_seg NULLS FIRST
+    """
+
+    # es_geo_queries: geo_bounding_box + geo_distance — coordinates
+    # synthesized from events, haversine spelled as the IDENTICAL
+    # tree (a = sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2); d = 2R·asin(√a),
+    # R = 6371008.7714); membership gaps are meters, ulp noise mm.
+    q["es_geo_queries"] = """
+        WITH g AS (
+          SELECT event_id,
+                 value / 10.0 - 24.5 AS lat,
+                 CAST((event_id % 360) - 180 + 0.5 AS DOUBLE) AS lon
+          FROM events
+        )
+        SELECT event_id, lat, lon FROM g
+        WHERE lat <= 20.0 AND lat >= -20.0
+          AND lon >= -60.0 AND lon <= 60.0
+          AND 2 * 6371008.7714 * asin(sqrt(
+                sin(radians(lat - 0.0) / 2.0) * sin(radians(lat - 0.0) / 2.0)
+                + cos(radians(lat)) * cos(radians(0.0))
+                  * sin(radians(lon - 0.0) / 2.0)
+                  * sin(radians(lon - 0.0) / 2.0)
+              )) <= 2000000.0
+        ORDER BY event_id LIMIT 100
     """
 
     # es_percolate_bulk: the millions-of-rules percolate route — the

@@ -247,6 +247,40 @@ def compile_query(q: dict | None) -> Column:
         return out
     if kind == "ids":
         raise ValueError("ids query needs a doc-id column; filter it directly")
+    if kind == "geo_bounding_box":
+        # geo_point = a struct<lat double, lon double> column (the
+        # natural parquet dump shape). Plain lat/lon box; the
+        # dateline-wrapping form (left > right) raises rather than
+        # silently matching the complement.
+        (field, spec), = [
+            (f, s) for f, s in body.items() if f != "validation_method"
+        ]
+        tl, br = spec["top_left"], spec["bottom_right"]
+        if float(tl["lon"]) > float(br["lon"]):
+            raise ValueError("dateline-wrapping bounding box unsupported")
+        lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+        return (
+            (lat <= F.lit(float(tl["lat"])))
+            & (lat >= F.lit(float(br["lat"])))
+            & (lon >= F.lit(float(tl["lon"])))
+            & (lon <= F.lit(float(br["lon"])))
+        )
+    if kind == "geo_distance":
+        # haversine arc distance on the mean-radius sphere — the
+        # parenthesization is load-bearing (the oracle SQL spells the
+        # identical tree so both engines round the same IEEE ops)
+        dist_m = _distance_m(body["distance"])
+        (field, spec), = [
+            (f, s)
+            for f, s in body.items()
+            if f not in ("distance", "distance_type", "validation_method")
+        ]
+        return _haversine_m(
+            F.col(f"{field}.lat"),
+            F.col(f"{field}.lon"),
+            float(spec["lat"]),
+            float(spec["lon"]),
+        ) <= F.lit(dist_m)
 
     if kind in ("term", "terms", "range", "prefix", "wildcard", "regexp",
                 "match", "match_phrase"):
@@ -436,6 +470,35 @@ def _fixed_ms(spec: str) -> int:
     if not m:
         raise ValueError(f"fixed_interval {spec!r}")
     return int(m.group(1)) * _FIXED_UNIT_MS[m.group(2)]
+
+
+#: mean earth radius in meters — the sphere ES/Lucene's haversine uses
+EARTH_RADIUS_M = 6371008.7714
+
+
+def _distance_m(spec: str) -> float:
+    """ES distance string → meters ('100km', '250m', '10mi')."""
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*(km|mi|m)", str(spec))
+    if not m:
+        raise ValueError(f"distance {spec!r}")
+    mult = {"m": 1.0, "km": 1000.0, "mi": 1609.344}[m.group(2)]
+    return float(m.group(1)) * mult
+
+
+def _haversine_m(lat: Column, lon: Column, clat: float, clon: float) -> Column:
+    """Haversine meters from each row's (lat, lon) to a literal
+    center. Tree: a = sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2);
+    d = 2R·asin(√a) — spelled identically in the oracle SQL."""
+    dphi = F.radians(lat - F.lit(clat)) / F.lit(2.0)
+    dlmb = F.radians(lon - F.lit(clon)) / F.lit(2.0)
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(lat))
+        * F.cos(F.radians(F.lit(clat)))
+        * F.sin(dlmb)
+        * F.sin(dlmb)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
 def _offset_ms(spec: str) -> int:
@@ -2130,6 +2193,59 @@ def q_es_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         size=5,
         after={"prio": "2-HIGH", "status": "F"},
         metrics={"avg_price": {"avg": {"field": "o_totalprice"}}},
+    )
+
+
+def q_es_geo_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geo_bounding_box`` + ``geo_distance`` on a struct-typed
+    geo_point column (round 10): coordinates synthesized
+    deterministically from events (lat from value, lon from the
+    always-dense event_id so every SF yields hits) (the testdata carries no geo
+    fields), both predicates ANDed in one bool filter, first 100 hits
+    by event_id. The haversine tree is spelled identically in the
+    oracle SQL; membership is threshold-robust (point-to-threshold
+    gaps are meters, engine ulp noise is millimeters)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "loc",
+        F.struct(
+            (F.col("value") / F.lit(10.0) - F.lit(24.5)).alias("lat"),
+            (
+                (F.col("event_id") % F.lit(360)) - F.lit(180) + F.lit(0.5)
+            ).cast("double").alias("lon"),
+        ),
+    )
+    return search(
+        ev,
+        {
+            "query": {
+                "bool": {
+                    "filter": [
+                        {
+                            "geo_bounding_box": {
+                                "loc": {
+                                    "top_left": {"lat": 20.0, "lon": -60.0},
+                                    "bottom_right": {"lat": -20.0,
+                                                     "lon": 60.0},
+                                }
+                            }
+                        },
+                        {
+                            "geo_distance": {
+                                "distance": "2000km",
+                                "loc": {"lat": 0.0, "lon": 0.0},
+                            }
+                        },
+                    ]
+                }
+            },
+            "sort": [{"event_id": "asc"}],
+            "size": 100,
+            "_source": ["event_id", "loc"],
+        },
+    ).select(
+        "event_id",
+        F.col("loc.lat").alias("lat"),
+        F.col("loc.lon").alias("lon"),
     )
 
 

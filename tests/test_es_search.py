@@ -304,6 +304,44 @@ def test_composite_after_key_pagination(spark):
     assert all(r.doc_count == 2 for r in page1 + page2)
 
 
+def test_geo_queries_box_and_distance(spark):
+    """geo_bounding_box / geo_distance on a struct geo_point column:
+    box edges inclusive, haversine ≈ 111.2 km per degree of latitude,
+    dateline-wrapping boxes and malformed distances raise."""
+    pts = spark.createDataFrame(
+        [Row(id=i, loc=Row(lat=float(lat), lon=float(lon)))
+         for i, (lat, lon) in enumerate(
+             [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (0.0, 3.0), (20.0, 0.0)])]
+    )
+
+    def ids(q):
+        return sorted(r.id for r in pts.filter(compile_query(q)).collect())
+
+    box = {"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 2.0, "lon": -1.0},
+        "bottom_right": {"lat": 0.0, "lon": 1.0}}}}
+    assert ids(box) == [0, 1, 2]  # edges inclusive; lon 3 and lat 20 out
+
+    # one degree of latitude is ~111.19 km on the mean-radius sphere
+    near = {"geo_distance": {"distance": "112km",
+                             "loc": {"lat": 0.0, "lon": 0.0}}}
+    assert ids(near) == [0, 1]
+    nearer = {"geo_distance": {"distance": "111km",
+                               "loc": {"lat": 0.0, "lon": 0.0}}}
+    assert ids(nearer) == [0]
+    miles = {"geo_distance": {"distance": "70mi",
+                              "loc": {"lat": 0.0, "lon": 0.0}}}
+    assert ids(miles) == [0, 1]  # 70 mi ≈ 112.7 km
+
+    with pytest.raises(ValueError, match="dateline"):
+        ids({"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 2.0, "lon": 170.0},
+            "bottom_right": {"lat": 0.0, "lon": -170.0}}}})
+    with pytest.raises(ValueError, match="distance"):
+        ids({"geo_distance": {"distance": "12 parsecs",
+                              "loc": {"lat": 0.0, "lon": 0.0}}})
+
+
 def test_search_source_wildcards_and_highlight(docs):
     """_source include/exclude wildcards and the highlight section:
     snippet terms come from the request's own match clause; must_not

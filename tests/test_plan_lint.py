@@ -228,6 +228,9 @@ PINNED_FINGERPRINTS = {
     # filter → TakeOrdered → pure string-splice projection: the empty
     # fingerprint is the point (highlight adds zero plan weight)
     "es_search_highlight": {},
+    # geo predicates are plain double-math filters on the scan —
+    # scan → TakeOrderedAndProject, zero shuffles, zero joins
+    "es_geo_queries": {},
 }
 
 
