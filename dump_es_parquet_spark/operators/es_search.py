@@ -52,7 +52,8 @@ Aggregations DSL (``compile_aggs``):
 - pipeline aggs: ``cumulative_sum``, ``derivative``, ``bucket_script``,
   ``moving_fn`` (the ``MovingFunctions.{max,min,sum,unweightedAvg}``
   subset, trailing window including the current bucket, no ``shift``),
-  ``serial_diff`` (lag-n difference), sibling ``*_bucket`` summaries,
+  ``serial_diff`` (lag-n difference), sibling ``*_bucket`` summaries
+  (max/min/avg/sum + the 5-column ``stats_bucket``),
   and ``bucket_sort`` (from/size truncation ordered by ``_key`` /
   ``_count`` / a sibling metric or pipeline column — applied after the
   other pipelines, descendants of truncated buckets dropped). All are
@@ -142,7 +143,13 @@ _PIPELINE_PARENT = (
 # (unweightedAvg) over an EMPTY window; here an empty window is NULL
 # — the SQL window convention both engines share.
 _MOVING_FNS = ("max", "min", "sum", "unweightedAvg")
-_PIPELINE_SIBLING = ("max_bucket", "min_bucket", "avg_bucket", "sum_bucket")
+_PIPELINE_SIBLING = (
+    "max_bucket",
+    "min_bucket",
+    "avg_bucket",
+    "sum_bucket",
+    "stats_bucket",
+)
 _SIBLING_FN = {
     "max_bucket": F.max,
     "min_bucket": F.min,
@@ -1154,11 +1161,29 @@ def _apply_pipelines_windows(frame, levels, key_names) -> _PipeResult:
                 )
             src = _bucket_path_col(metric)
             wc = Window.partitionBy(*key_names[:i])
-            val = (
-                _SIBLING_FN[kind](F.when(F.col("level") == i + 1, src))
-                .over(wc)
-                .cast("double")
-            )
+            child_vals = F.when(F.col("level") == i + 1, src)
+            if kind == "stats_bucket":
+                # the 5-column summary over the SURVIVING children —
+                # sum/avg through DECIMAL like the stats metric agg
+                dec = child_vals.cast("decimal(28,6)")
+                parts = [
+                    ("count", F.count(child_vals).over(wc).cast("double")),
+                    ("min", F.min(child_vals).over(wc).cast("double")),
+                    ("max", F.max(child_vals).over(wc).cast("double")),
+                    ("sum", F.sum(dec).over(wc).cast("double")),
+                    (
+                        "avg",
+                        F.sum(dec).over(wc).cast("double")
+                        / F.count(child_vals).over(wc),
+                    ),
+                ]
+                for sub, expr in parts:
+                    frame = frame.withColumn(
+                        f"{pname}_{sub}", F.when(at_level, expr)
+                    )
+                    added.append(f"{pname}_{sub}")
+                continue
+            val = _SIBLING_FN[kind](child_vals).over(wc).cast("double")
             frame = frame.withColumn(pname, F.when(at_level, val))
             added.append(pname)
     return _PipeResult(frame, added)

@@ -792,6 +792,36 @@ def test_top_hits_on_non_leaf_bucket_raises(spark):
         )
 
 
+def test_stats_bucket_summary_over_children(spark):
+    """stats_bucket: the 5-column sibling summary over the SURVIVING
+    child buckets, reported on the parent row."""
+    df = spark.createDataFrame(
+        [Row(day=0.0, kind=k, n=v) for k, v in
+         [("a", 10.0), ("a", 20.0), ("b", 100.0)]]
+    )
+    out = compile_aggs(
+        df,
+        {
+            "d": {
+                "histogram": {"field": "day", "interval": 1},
+                "aggs": {
+                    "k": {"terms": {"field": "kind"},
+                          "aggs": {"m": {"avg": {"field": "n"}}}},
+                    "st": {"stats_bucket": {"buckets_path": "k>m"}},
+                },
+            }
+        },
+    ).collect()
+    lvl1 = [r for r in out if r.level == 1][0]
+    # child avgs: a=15, b=100
+    assert (lvl1.st_count, lvl1.st_min, lvl1.st_max,
+            lvl1.st_sum, lvl1.st_avg) == (2.0, 15.0, 100.0, 115.0, 57.5)
+    # children report NULL summary (level-masked)
+    for r in out:
+        if r.level == 2:
+            assert r.st_count is None
+
+
 def test_sibling_pipe_without_child_bucket_raises(spark):
     df = spark.createDataFrame([Row(kind="a", n=1.0)])
     with pytest.raises(ValueError, match="sibling"):
