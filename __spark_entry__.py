@@ -669,6 +669,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     spelled identically in both engines; demoted-green
         #     pending rotation
         "es_geo_queries",
+        # es_filter_missing_range — the single-bucket aggs (missing)
+        #     chained with date_range windows (round 10); demoted-green
+        #     pending rotation (es_aggs_tree keeps agg trees declared)
+        "es_filter_missing_range",
         "es_top_hits",
         "es_collapse",
         "es_search_after",
@@ -948,6 +952,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
+        "es_filter_missing_range": _mod(
+            "es_search", "q_es_filter_missing_range"
+        ),
         "es_top_hits": _mod("es_search", "q_es_top_hits"),
         "es_pipeline_aggs": _mod("es_search", "q_es_pipeline_aggs"),
         "es_query_string": _mod("querystring", "q_es_query_string"),
@@ -3843,6 +3850,36 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         FROM leaf GROUP BY six_hourly, by_seg
         ORDER BY level, six_hourly NULLS FIRST, by_seg NULLS FIRST
+    """
+
+    # es_filter_missing_range: single-bucket missing agg (docs lacking
+    # the synthesized nullable segment) chained with date_range
+    # windows — the CASE chain mirrors the F.when order (ranges are
+    # mutually exclusive, so order is cosmetic), avg masked to its
+    # attachment level.
+    q["es_filter_missing_range"] = """
+        WITH leaf AS (
+          SELECT 'no_seg' AS no_seg,
+                 CASE WHEN epoch_ms(ts) < 1704931200000 THEN 'early'
+                      WHEN epoch_ms(ts) >= 1704931200000
+                           AND epoch_ms(ts) < 1705795200000 THEN 'mid'
+                      WHEN epoch_ms(ts) >= 1705795200000 THEN 'late' END
+                     AS era,
+                 value
+          FROM events
+          WHERE (CASE WHEN value >= 100 THEN event_type END) IS NULL
+            AND ts IS NOT NULL
+        )
+        SELECT CAST(1 AS INT) AS level, no_seg,
+               CAST(NULL AS VARCHAR) AS era,
+               count(*) AS doc_count, CAST(NULL AS DOUBLE) AS avg_value
+        FROM leaf GROUP BY no_seg
+        UNION ALL
+        SELECT CAST(2 AS INT), no_seg, era, count(*),
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value)
+        FROM leaf WHERE era IS NOT NULL GROUP BY no_seg, era
+        ORDER BY level, no_seg NULLS FIRST, era NULLS FIRST
     """
 
     # es_geo_queries: geo_bounding_box + geo_distance — coordinates

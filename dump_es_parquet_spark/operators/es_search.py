@@ -33,10 +33,13 @@ Aggregations DSL (``compile_aggs``):
   (calendar_interval / fixed_interval, signed ``offset`` on fixed
   grids, ``min_doc_count: 0`` + ``extended_bounds`` gap-filling;
   bucket key = epoch millis, exactly the key ES
-  returns), ``histogram`` (interval + offset), ``range`` (keyed,
-  from-inclusive / to-exclusive), ``filters`` (root level only — a
-  doc can land in several buckets, compiled as build-matching-names
-  array → explode, fan-out bounded by the filter count).
+  returns), ``histogram`` (interval + offset), ``range`` /
+  ``date_range`` (keyed, from-inclusive / to-exclusive; date bounds
+  are epoch-millis ints), ``filter`` (ONE bucket holding a full
+  query-DSL body) and ``missing`` (docs lacking the field),
+  ``filters`` (root level only — a doc can land in several buckets,
+  compiled as build-matching-names array → explode, fan-out bounded
+  by the filter count).
 - metric aggs: ``avg`` / ``sum`` (through DECIMAL(18,6) so partial-
   agg order can't flip float bits — house convention), ``min`` /
   ``max``, ``value_count``, ``cardinality`` (EXACT count_distinct;
@@ -113,7 +116,10 @@ _BUCKET_KINDS = (
     "date_histogram",
     "histogram",
     "range",
+    "date_range",
     "filters",
+    "filter",
+    "missing",
 )
 _METRIC_KINDS = (
     "avg",
@@ -450,9 +456,19 @@ class _Level:
                 F.floor((col - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
                 + F.lit(offset)
             )
-        if self.kind == "range":
+        if self.kind in ("range", "date_range"):
             # from-inclusive, to-exclusive; docs outside every range
-            # get a NULL key and are dropped (ES puts them nowhere)
+            # get a NULL key and are dropped (ES puts them nowhere).
+            # date_range compares on epoch millis (bounds are ints,
+            # like every date key this module emits)
+            if self.kind == "date_range":
+                for r in b["ranges"]:
+                    for bk in ("from", "to"):
+                        if bk in r and not isinstance(r[bk], int):
+                            raise ValueError(
+                                "date_range bounds must be epoch millis ints"
+                            )
+                col = F.unix_millis(col)
             expr = None
             for r in b["ranges"]:
                 cond = F.lit(True)
@@ -469,6 +485,15 @@ class _Level:
                     else expr.when(cond, F.lit(key))
                 )
             return expr
+        if self.kind == "filter":
+            # ES single-filter sub-aggregation: one bucket holding the
+            # matching docs (the body IS a query DSL dict); non-matching
+            # docs get a NULL key and drop from this subtree
+            return F.when(_false_safe(compile_query(b)), F.lit(self.name))
+        if self.kind == "missing":
+            # docs LACKING the field — the complement of the terms
+            # `missing` substitute
+            return F.when(F.col(b["field"]).isNull(), F.lit(self.name))
         raise ValueError(f"bucket kind {self.kind!r}")
 
 
@@ -2218,6 +2243,45 @@ def q_es_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         size=5,
         after={"prio": "2-HIGH", "status": "F"},
         metrics={"avg_price": {"avg": {"field": "o_totalprice"}}},
+    )
+
+
+def q_es_filter_missing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-bucket aggs + date_range in one chain (round 10):
+    ``missing`` (docs lacking the synthesized nullable segment) →
+    ``date_range`` (three epoch-millis windows over January) with an
+    avg metric — both single-bucket keys and the window keys appear
+    in the flat frame exactly as ES's response tree nests them."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "seg", F.when(F.col("value") >= 100, F.col("event_type"))
+    )
+    jan11 = 1704931200000  # 2024-01-11T00:00Z
+    jan21 = 1705795200000  # 2024-01-21T00:00Z
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "no_seg": {
+                    "missing": {"field": "seg"},
+                    "aggs": {
+                        "era": {
+                            "date_range": {
+                                "field": "ts",
+                                "ranges": [
+                                    {"key": "early", "to": jan11},
+                                    {"key": "mid", "from": jan11,
+                                     "to": jan21},
+                                    {"key": "late", "from": jan21},
+                                ],
+                            },
+                            "aggs": {
+                                "avg_value": {"avg": {"field": "value"}}
+                            },
+                        }
+                    },
+                }
+            },
+        },
     )
 
 

@@ -792,6 +792,62 @@ def test_top_hits_on_non_leaf_bucket_raises(spark):
         )
 
 
+def test_filter_missing_and_date_range_buckets(spark):
+    """The single-bucket aggs (filter, missing) and date_range: filter
+    holds a full query DSL body, missing is the complement of the
+    terms `missing` substitute, date_range buckets on epoch-millis
+    bounds (from-inclusive / to-exclusive; non-int bounds raise)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            Row(ts=t0, kind="a", n=10.0),
+            Row(ts=dt.datetime(2024, 1, 2), kind=None, n=200.0),
+            Row(ts=dt.datetime(2024, 1, 3), kind="b", n=300.0),
+        ]
+    )
+    out = compile_aggs(
+        df,
+        {
+            "big": {
+                "filter": {"range": {"n": {"gte": 100}}},
+                "aggs": {"s": {"sum": {"field": "n"}}},
+            }
+        },
+    ).collect()
+    assert [(r.big, r.doc_count, r.s) for r in out] == [("big", 2, 500.0)]
+
+    out2 = compile_aggs(
+        df, {"no_kind": {"missing": {"field": "kind"}}}
+    ).collect()
+    assert [(r.no_kind, r.doc_count) for r in out2] == [("no_kind", 1)]
+
+    ms0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+              .timestamp() * 1000)
+    day = 86_400_000
+    out3 = compile_aggs(
+        df,
+        {
+            "era": {
+                "date_range": {
+                    "field": "ts",
+                    "ranges": [
+                        {"key": "early", "to": ms0 + day},
+                        {"key": "late", "from": ms0 + day},
+                    ],
+                }
+            }
+        },
+    ).collect()
+    assert sorted((r.era, r.doc_count) for r in out3) == [
+        ("early", 1), ("late", 2)
+    ]
+    with pytest.raises(ValueError, match="epoch millis"):
+        compile_aggs(df, {"e": {"date_range": {
+            "field": "ts", "ranges": [{"from": "2024-01-01"}]}}}).collect()
+
+
 def test_stats_bucket_summary_over_children(spark):
     """stats_bucket: the 5-column sibling summary over the SURVIVING
     child buckets, reported on the parent row."""

@@ -231,6 +231,9 @@ PINNED_FINGERPRINTS = {
     # geo predicates are plain double-math filters on the scan —
     # scan → TakeOrderedAndProject, zero shuffles, zero joins
     "es_geo_queries": {},
+    # missing → date_range chain: same bucket-frame class as the
+    # other agg trees (rollup + two window exchanges)
+    "es_filter_missing_range": {"exchange": 3},
 }
 
 
