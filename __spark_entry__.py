@@ -673,6 +673,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     chained with date_range windows (round 10); demoted-green
         #     pending rotation (es_aggs_tree keeps agg trees declared)
         "es_filter_missing_range",
+        # es_metric_variants — weighted_avg + top_metrics (round 10);
+        #     demoted-green pending rotation (es_aggs_tree keeps the
+        #     metric family declared)
+        "es_metric_variants",
         "es_top_hits",
         "es_collapse",
         "es_search_after",
@@ -955,6 +959,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_filter_missing_range": _mod(
             "es_search", "q_es_filter_missing_range"
         ),
+        "es_metric_variants": _mod("es_search", "q_es_metric_variants"),
         "es_top_hits": _mod("es_search", "q_es_top_hits"),
         "es_pipeline_aggs": _mod("es_search", "q_es_pipeline_aggs"),
         "es_query_string": _mod("querystring", "q_es_query_string"),
@@ -3850,6 +3855,24 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         FROM leaf GROUP BY six_hourly, by_seg
         ORDER BY level, six_hourly NULLS FIRST, by_seg NULLS FIRST
+    """
+
+    # es_metric_variants: weighted_avg (Σ(v·w)/Σw, both sums exact
+    # decimals, double division) and top_metrics (the metric at each
+    # bucket's ts-desc top doc — lexicographic max over a named
+    # (s, m) struct so sort ties break on the metric in BOTH engines).
+    q["es_metric_variants"] = """
+        SELECT CAST(1 AS INT) AS level, event_type AS by_type,
+               count(*) AS doc_count,
+               CAST(sum(CAST(user_id AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS w_user,
+               CAST((max(CASE WHEN ts IS NOT NULL AND value IS NOT NULL
+                              THEN struct_pack(s := ts, m := value)
+                         END)).m AS DOUBLE) AS latest_value
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY event_type ORDER BY by_type
     """
 
     # es_filter_missing_range: single-bucket missing agg (docs lacking

@@ -47,7 +47,10 @@ Aggregations DSL (``compile_aggs``):
   operators/profile.py, this surface favors oracle-exactness),
   ``percentiles`` (exact linear-interpolation ``F.percentile`` ≡
   DuckDB ``quantile_cont``, rounded to 6dp), ``stats`` (count/min/
-  max/sum/avg expansion). Each metric is reported at the level it
+  max/sum/avg expansion), ``weighted_avg`` (Σ(v·w)/Σw, exact decimal
+  sums), ``top_metrics`` (the metric at the bucket's top-sorted doc;
+  lexicographic struct max/min pins sort ties to the metric value in
+  both engines). Each metric is reported at the level it
   is attached to (NULL elsewhere), like the ES response tree.
 - ``top_hits`` is supported as the innermost agg of a bucket chain
   ONLY (the common "N example docs per bucket" shape — anywhere else
@@ -130,6 +133,8 @@ _METRIC_KINDS = (
     "cardinality",
     "percentiles",
     "stats",
+    "weighted_avg",
+    "top_metrics",
 )
 # parent pipeline aggs run ACROSS a bucket agg's key-ordered bucket
 # sequence (windows over the compact bucket frame); sibling *_bucket
@@ -644,6 +649,32 @@ def _metric_cols(levels: list[_Level]):
         for name, spec in lvl.metrics:
             (kind,) = [k for k in spec if k in _METRIC_KINDS]
             b = spec[kind]
+            if kind == "weighted_avg":
+                # Σ(v·w)/Σw, both sums through DECIMAL (the products
+                # are exact decimal×decimal), division in double
+                v = F.col(b["value"]["field"]).cast("decimal(18,6)")
+                w = F.col(b["weight"]["field"]).cast("decimal(18,6)")
+                e = F.sum(v * w).cast("double") / F.sum(w).cast("double")
+                out.append((name, e, lvl_no))
+                continue
+            if kind == "top_metrics":
+                # the metric value at the bucket's top-sorted doc —
+                # lexicographic max/min over a (sort, metric) struct,
+                # so sort ties break on the metric value
+                # DETERMINISTICALLY in both engines (plain max_by /
+                # arg_max tie-break arbitrarily)
+                m = F.col(b["metrics"]["field"])
+                (sfield, sdir), = b["sort"].items()
+                s = F.col(sfield)
+                # NULL-field structs compare engine-differently: rows
+                # missing either side drop from the aggregate instead
+                pair = F.when(
+                    s.isNotNull() & m.isNotNull(),
+                    F.struct(s.alias("s"), m.alias("m")),
+                )
+                agg = F.max(pair) if sdir == "desc" else F.min(pair)
+                out.append((name, agg["m"].cast("double"), lvl_no))
+                continue
             col = F.col(b["field"])
             dec = col.cast("decimal(18,6)")
             if kind == "avg":
@@ -2243,6 +2274,39 @@ def q_es_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         size=5,
         after={"prio": "2-HIGH", "status": "F"},
         metrics={"avg_price": {"avg": {"field": "o_totalprice"}}},
+    )
+
+
+def q_es_metric_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted_avg + top_metrics per event_type (round 10):
+    value-weighted mean of user_id (exact decimal sums) and the value
+    at each bucket's LATEST event (top_metrics sorted by ts desc —
+    the 'current reading per group' request), ties pinned by the
+    metric struct so both engines agree."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 100},
+                    "aggs": {
+                        "w_user": {
+                            "weighted_avg": {
+                                "value": {"field": "user_id"},
+                                "weight": {"field": "value"},
+                            }
+                        },
+                        "latest_value": {
+                            "top_metrics": {
+                                "metrics": {"field": "value"},
+                                "sort": {"ts": "desc"},
+                            }
+                        },
+                    },
+                }
+            },
+        },
     )
 
 

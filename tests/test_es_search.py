@@ -792,6 +792,41 @@ def test_top_hits_on_non_leaf_bucket_raises(spark):
         )
 
 
+def test_weighted_avg_and_top_metrics(spark):
+    """weighted_avg = Σ(v·w)/Σw; top_metrics returns the metric at
+    the top-sorted doc, sort ties broken by the metric value (the
+    struct-max discipline both engines share); NULL sort/metric rows
+    drop from the aggregate."""
+    df = spark.createDataFrame(
+        [
+            Row(k="a", v=10.0, w=1.0, s=1.0),
+            Row(k="a", v=40.0, w=3.0, s=2.0),
+            Row(k="b", v=5.0, w=2.0, s=2.0),   # tie on s...
+            Row(k="b", v=9.0, w=2.0, s=2.0),   # ...max picks v=9
+            Row(k="b", v=99.0, w=None, s=None),  # drops from top_metrics
+        ]
+    )
+    out = {r.k: r for r in compile_aggs(
+        df,
+        {
+            "k": {
+                "terms": {"field": "k"},
+                "aggs": {
+                    "wa": {"weighted_avg": {"value": {"field": "v"},
+                                            "weight": {"field": "w"}}},
+                    "top": {"top_metrics": {"metrics": {"field": "v"},
+                                            "sort": {"s": "desc"}}},
+                },
+            }
+        },
+    ).collect()}
+    assert out["a"].wa == (10 * 1 + 40 * 3) / 4.0  # 32.5
+    assert out["a"].top == 40.0
+    assert out["b"].top == 9.0  # tie on s=2.0 → larger metric
+    # weighted_avg ignores NULL weights' products (NULL product drops)
+    assert out["b"].wa == (5 * 2 + 9 * 2) / 4.0
+
+
 def test_filter_missing_and_date_range_buckets(spark):
     """The single-bucket aggs (filter, missing) and date_range: filter
     holds a full query DSL body, missing is the complement of the

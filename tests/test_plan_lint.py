@@ -234,6 +234,9 @@ PINNED_FINGERPRINTS = {
     # missing → date_range chain: same bucket-frame class as the
     # other agg trees (rollup + two window exchanges)
     "es_filter_missing_range": {"exchange": 3},
+    # weighted_avg/top_metrics are plain aggregate expressions in the
+    # one rollup — same exchange class as es_aggs_tree
+    "es_metric_variants": {"exchange": 4},
 }
 
 
