@@ -677,6 +677,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     demoted-green pending rotation (es_aggs_tree keeps the
         #     metric family declared)
         "es_metric_variants",
+        # es_extended_stats — population variance/std/±2σ bounds from
+        #     exact decimal moments (round 10); demoted-green pending
+        #     rotation
+        "es_extended_stats",
         "es_top_hits",
         "es_collapse",
         "es_search_after",
@@ -960,6 +964,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "es_search", "q_es_filter_missing_range"
         ),
         "es_metric_variants": _mod("es_search", "q_es_metric_variants"),
+        "es_extended_stats": _mod("es_search", "q_es_extended_stats"),
         "es_top_hits": _mod("es_search", "q_es_top_hits"),
         "es_pipeline_aggs": _mod("es_search", "q_es_pipeline_aggs"),
         "es_query_string": _mod("querystring", "q_es_query_string"),
@@ -3873,6 +3878,36 @@ def _all_oracle_sql() -> dict[str, str]:
                          END)).m AS DOUBLE) AS latest_value
         FROM events WHERE event_type IS NOT NULL
         GROUP BY event_type ORDER BY by_type
+    """
+
+    # es_extended_stats: exact decimal moments (Σv, Σv² — the products
+    # are exact decimal×decimal) feed one FIXED double tree:
+    # var = (n·Σv² − (Σv)²)/n², std = sqrt(var) (correctly rounded per
+    # IEEE 754 in both engines), bounds = avg ± 2·std.
+    q["es_extended_stats"] = """
+        WITH m AS (
+          SELECT event_type AS by_type, count(*) AS doc_count,
+                 count(value) AS n,
+                 CAST(count(value) AS DOUBLE) AS n_d,
+                 CAST(min(value) AS DOUBLE) AS v_min,
+                 CAST(max(value) AS DOUBLE) AS v_max,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s_d,
+                 round(CAST(sum(CAST(value AS DECIMAL(18,6))
+                          * CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                     AS s2_d
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY event_type
+        )
+        SELECT CAST(1 AS INT) AS level, by_type, doc_count,
+               n_d AS v_count, v_min, v_max, s_d AS v_sum,
+               s_d / n AS v_avg, s2_d AS v_sos,
+               (n_d * s2_d - s_d * s_d) / (n_d * n_d) AS v_var,
+               sqrt((n_d * s2_d - s_d * s_d) / (n_d * n_d)) AS v_std,
+               s_d / n + 2.0 * sqrt((n_d * s2_d - s_d * s_d)
+                                    / (n_d * n_d)) AS v_std_upper,
+               s_d / n - 2.0 * sqrt((n_d * s2_d - s_d * s_d)
+                                    / (n_d * n_d)) AS v_std_lower
+        FROM m ORDER BY by_type
     """
 
     # es_filter_missing_range: single-bucket missing agg (docs lacking

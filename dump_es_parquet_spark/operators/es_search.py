@@ -135,6 +135,7 @@ _METRIC_KINDS = (
     "stats",
     "weighted_avg",
     "top_metrics",
+    "extended_stats",
 )
 # parent pipeline aggs run ACROSS a bucket agg's key-ordered bucket
 # sequence (windows over the compact bucket frame); sibling *_bucket
@@ -712,6 +713,41 @@ def _metric_cols(levels: list[_Level]):
                         F.sum(dec).cast("double") / F.count(col),
                         lvl_no,
                     )
+                )
+            elif kind == "extended_stats":
+                # stats + sum_of_squares / population variance / std /
+                # ±sigma bounds. Exact decimal sufficient statistics
+                # (Σv, Σv² — decimal×decimal products are exact) feed
+                # one FIXED double tree, so engines can't disagree:
+                # var = (n·Σv² − (Σv)²)/n², std = √var (sqrt is
+                # correctly rounded per IEEE 754 everywhere), bounds =
+                # avg ± sigma·std (ES default sigma 2).
+                sigma = float(b.get("sigma", 2.0))
+                dec2 = col.cast("decimal(18,6)") * col.cast("decimal(18,6)")
+                n_d = F.count(col).cast("double")
+                s_d = F.sum(dec).cast("double")
+                # Σv² goes through round(·, 4) — exact for ≤2dp inputs
+                # — because DuckDB's wide-decimal→double cast is not
+                # correctly rounded (off by an ulp at 1e8 magnitudes);
+                # every derived double consumes the ROUNDED moment so
+                # both engines run the identical IEEE tree end-to-end
+                s2_d = F.round(F.sum(dec2).cast("double"), 4)
+                avg_d = s_d / F.count(col)
+                var_d = (n_d * s2_d - s_d * s_d) / (n_d * n_d)
+                std_d = F.sqrt(var_d)
+                out.append((f"{name}_count", F.count(col).cast("double"), lvl_no))
+                out.append((f"{name}_min", F.min(col).cast("double"), lvl_no))
+                out.append((f"{name}_max", F.max(col).cast("double"), lvl_no))
+                out.append((f"{name}_sum", s_d, lvl_no))
+                out.append((f"{name}_avg", avg_d, lvl_no))
+                out.append((f"{name}_sos", s2_d, lvl_no))
+                out.append((f"{name}_var", var_d, lvl_no))
+                out.append((f"{name}_std", std_d, lvl_no))
+                out.append(
+                    (f"{name}_std_upper", avg_d + F.lit(sigma) * std_d, lvl_no)
+                )
+                out.append(
+                    (f"{name}_std_lower", avg_d - F.lit(sigma) * std_d, lvl_no)
                 )
     return out
 
@@ -2303,6 +2339,28 @@ def q_es_metric_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "sort": {"ts": "desc"},
                             }
                         },
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extended_stats per event_type (round 10): population variance,
+    std and ±2σ bounds from exact decimal moments through one fixed
+    double tree — the same exact-moments discipline as the anomaly
+    detector (engine stddev built-ins disagree in float bits; exact
+    sufficient statistics don't)."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 100},
+                    "aggs": {
+                        "v": {"extended_stats": {"field": "value"}}
                     },
                 }
             },

@@ -792,6 +792,25 @@ def test_top_hits_on_non_leaf_bucket_raises(spark):
         )
 
 
+def test_extended_stats_exact_moments(spark):
+    """extended_stats: population variance/std/±σ bounds from exact
+    decimal moments — hand-checked on values whose moments are exact."""
+    df = spark.createDataFrame(
+        [Row(k="a", v=v) for v in (2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0)]
+    )
+    out = compile_aggs(
+        df,
+        {"k": {"terms": {"field": "k"},
+               "aggs": {"v": {"extended_stats": {"field": "v",
+                                                 "sigma": 1.0}}}}},
+    ).collect()[0]
+    # classic example: mean 5, population variance 4, std 2
+    assert (out.v_count, out.v_min, out.v_max, out.v_sum) == (8.0, 2.0, 9.0, 40.0)
+    assert out.v_avg == 5.0 and out.v_var == 4.0 and out.v_std == 2.0
+    assert out.v_sos == 232.0
+    assert (out.v_std_lower, out.v_std_upper) == (3.0, 7.0)
+
+
 def test_weighted_avg_and_top_metrics(spark):
     """weighted_avg = Σ(v·w)/Σw; top_metrics returns the metric at
     the top-sorted doc, sort ties broken by the metric value (the

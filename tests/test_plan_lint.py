@@ -237,6 +237,7 @@ PINNED_FINGERPRINTS = {
     # weighted_avg/top_metrics are plain aggregate expressions in the
     # one rollup — same exchange class as es_aggs_tree
     "es_metric_variants": {"exchange": 4},
+    "es_extended_stats": {"exchange": 4},
 }
 
 
