@@ -85,9 +85,46 @@ def plan_fingerprint(df: DataFrame) -> dict[str, int]:
     broadcast join to sort-merge passes every correctness test and
     only shows up as bench slowdown; pinning the counts turns it into
     a test diff instead."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    out = {k: len(re.findall(pat, plan)) for k, pat in FINGERPRINT_OPS.items()}
-    return {k: v for k, v in out.items() if v}
+    counts = dict.fromkeys(FINGERPRINT_OPS, 0)
+    _walk_plan(df._jdf.queryExecution().executedPlan(), counts)
+    return {k: v for k, v in counts.items() if v}
+
+
+#: physical-node class → fingerprint key. BroadcastExchangeExec and
+#: ReusedExchangeExec are deliberately absent (not shuffles / no new
+#: shuffle), matching the string-regex exclusions this walk replaced.
+_NODE_KINDS = {
+    "ShuffleExchangeExec": "exchange",
+    "BroadcastHashJoinExec": "bhj",
+    "SortMergeJoinExec": "smj",
+    "ShuffledHashJoinExec": "shj",
+    "BroadcastNestedLoopJoinExec": "bnlj",
+}
+
+
+def _walk_plan(node, counts) -> None:
+    """Count fingerprint nodes by walking the plan TREE (round 11;
+    was a regex over the plan STRING). The string form double-counts
+    persisted frames: an ``InMemoryRelation`` PRINTS the plan that
+    originally built the cached rows, so every ``InMemoryTableScan``
+    consumer re-counted the build plan's exchanges — in the tree the
+    relation is a leaf, exactly matching what executes. Subquery
+    plans (scalar/IN) hang off expressions, not children, and are
+    walked explicitly; an un-executed AQE node exposes the plan it
+    will start from via ``initialPlan``."""
+    cls = node.getClass().getSimpleName()
+    kind = _NODE_KINDS.get(cls)
+    if kind:
+        counts[kind] += 1
+    if cls == "AdaptiveSparkPlanExec":
+        _walk_plan(node.initialPlan(), counts)
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        _walk_plan(ch.apply(i), counts)
+    sq = node.subqueries()
+    for i in range(sq.size()):
+        _walk_plan(sq.apply(i), counts)
 
 
 def _read_schema_widths(plan: str) -> list[int]:

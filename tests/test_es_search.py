@@ -1096,6 +1096,116 @@ def test_percolate_bulk_matches_and_agrees_with_percolate(spark):
     ]
 
 
+def test_percolate_bulk_should_minimum_should_match(spark):
+    """Round 11 (VERDICT r10 Next #7): a should list with
+    minimum_should_match becomes ONE count-threshold group — mixed
+    must/should rules must agree with percolate()'s full-DSL answer,
+    including the ES default msm (1 alone, 0 beside must/filter)."""
+    from dump_es_parquet_spark.operators.es_search import (
+        percolate,
+        percolate_bulk,
+        queries_to_conjuncts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(id=1, kind="a", city="x", n=10.0),
+            Row(id=2, kind="a", city="y", n=200.0),
+            Row(id=3, kind="b", city="x", n=150.0),
+            Row(id=4, kind="a", city="z", n=None),
+        ]
+    )
+    rules = {
+        # must + should(msm=1): kind=a AND (city=x OR n>=100)
+        "a_and_or": {"bool": {
+            "must": [{"term": {"kind": "a"}}],
+            "should": [{"term": {"city": "x"}},
+                       {"range": {"n": {"gte": 100}}}],
+            "minimum_should_match": 1,
+        }},
+        # pure should, msm=2 of 3
+        "two_of_three": {"bool": {
+            "should": [{"term": {"city": "x"}},
+                       {"term": {"kind": "b"}},
+                       {"range": {"n": {"gte": 100}}}],
+            "minimum_should_match": 2,
+        }},
+        # should beside a filter with NO explicit msm: ES default 0 —
+        # the should list imposes nothing in filter context
+        "filter_only": {"bool": {
+            "filter": [{"term": {"kind": "b"}}],
+            "should": [{"term": {"city": "zzz"}}],
+        }},
+    }
+    conj = queries_to_conjuncts(spark, rules)
+    got = sorted(
+        (r.id, r.query_id)
+        for r in percolate_bulk(docs, conj, id_cols=["id"]).collect()
+    )
+    want = sorted(
+        (r.id, r.query_id)
+        for r in percolate(docs, rules, id_cols=["id"]).collect()
+    )
+    assert got == want == [
+        (1, "a_and_or"), (2, "a_and_or"),
+        (3, "filter_only"), (3, "two_of_three"),
+    ]
+    # a multi-bound range inside should is ONE clause — refuse to
+    # split it into two countable rows
+    with pytest.raises(ValueError, match="multi-bound"):
+        queries_to_conjuncts(
+            spark,
+            {"q": {"bool": {"should": [
+                {"range": {"n": {"gte": 1, "lt": 2}}},
+                {"term": {"kind": "a"}},
+            ], "minimum_should_match": 1}}},
+        )
+
+
+def test_percolate_bulk_range_merge_strictness(spark):
+    """The binned route merges must-range conjuncts per (query,
+    field): the binding bound must win with its strictness (gt 5 +
+    gte 5 → >5), and an unsatisfiable merged interval (lo > hi, or
+    touching with a strict end) must kill the query, not crash."""
+    from dump_es_parquet_spark.operators.es_search import (
+        percolate,
+        percolate_bulk,
+        queries_to_conjuncts,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(id=1, n=5.0), Row(id=2, n=6.0), Row(id=3, n=7.0)]
+    )
+    rules = {
+        # gt 5 AND gte 5 AND lte 6 → (5, 6]
+        "strict_lo": {"bool": {"must": [
+            {"range": {"n": {"gt": 5}}},
+            {"range": {"n": {"gte": 5}}},
+            {"range": {"n": {"lte": 6}}},
+        ]}},
+        # touching bounds, non-strict both ends → exactly 6
+        "point": {"bool": {"must": [
+            {"range": {"n": {"gte": 6}}},
+            {"range": {"n": {"lte": 6}}},
+        ]}},
+        # empty: gte 7 AND lt 6
+        "empty": {"bool": {"must": [
+            {"range": {"n": {"gte": 7}}},
+            {"range": {"n": {"lt": 6}}},
+        ]}},
+    }
+    conj = queries_to_conjuncts(spark, rules)
+    got = sorted(
+        (r.id, r.query_id)
+        for r in percolate_bulk(docs, conj, id_cols=["id"]).collect()
+    )
+    want = sorted(
+        (r.id, r.query_id)
+        for r in percolate(docs, rules, id_cols=["id"]).collect()
+    )
+    assert got == want == [(2, "point"), (2, "strict_lo")]
+
+
 def test_percolate_bulk_guards(spark):
     from dump_es_parquet_spark.operators.es_search import (
         percolate_bulk,

@@ -204,15 +204,18 @@ PINNED_FINGERPRINTS = {
     "es_date_histogram_gapfill": {"exchange": 4},
     "es_knn_search_ivf": {"bhj": 1},
     "corpus_bm25_standard": {},
-    # es_percolate_bulk: the conjunct channels (string-eq, numeric-eq,
-    # range, totals) each reference the rule frame, and the query form
-    # BUILDS that frame in-query (distinct event_type → the exchange
-    # repeats); with rules persisted as a table (the production shape)
-    # those collapse to four scans of a tiny parquet. The melt is ONE
-    # stack generator — literal-projection unions constant-fold the
-    # field key and degrade the rule joins to BNLJ (measured) — and
-    # the satisfied-count groupBy is the one data-sized exchange.
-    "es_percolate_bulk": {"exchange": 7, "bhj": 4},
+    # es_percolate_bulk (round 11 rework — VERDICT r10 What's wrong
+    # #1): the rule frame and its merged intervals are PERSISTED, so
+    # the channels read InMemoryTableScans instead of re-planning the
+    # rule subtree; two-sided range rules take the binned (field,
+    # bin) equi-join (3 of the bhj: widths onto melt, intervals onto
+    # points, totals), string-eq rules the (field, value) equi-join.
+    # The melt is ONE stack generator — literal-projection unions
+    # constant-fold the field key and degrade the rule joins to BNLJ
+    # (measured). Exchanges: the satisfied-count groupBy (the one
+    # data-sized shuffle), the widths/merged rule-frame aggs, and the
+    # oracle-determinism orderBy.
+    "es_percolate_bulk": {"exchange": 6, "bhj": 5},
     # one rollup + two bucket-frame window exchanges; offset/missing
     # only change key expressions, never the plan class
     "es_terms_missing_offset": {"exchange": 3},
