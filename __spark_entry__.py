@@ -3869,9 +3869,14 @@ def _all_oracle_sql() -> dict[str, str]:
     q["es_metric_variants"] = """
         SELECT CAST(1 AS INT) AS level, event_type AS by_type,
                count(*) AS doc_count,
-               CAST(sum(CAST(user_id AS DECIMAL(18,6))
-                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                   / CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               CAST(sum(CASE WHEN user_id IS NOT NULL
+                              AND value IS NOT NULL
+                         THEN CAST(user_id AS DECIMAL(18,6))
+                              * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN user_id IS NOT NULL
+                                   AND value IS NOT NULL
+                              THEN CAST(value AS DECIMAL(18,6)) END)
+                          AS DOUBLE)
                    AS w_user,
                CAST((max(CASE WHEN ts IS NOT NULL AND value IS NOT NULL
                               THEN struct_pack(s := ts, m := value)
@@ -3901,12 +3906,16 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT CAST(1 AS INT) AS level, by_type, doc_count,
                n_d AS v_count, v_min, v_max, s_d AS v_sum,
                s_d / n AS v_avg, s2_d AS v_sos,
-               (n_d * s2_d - s_d * s_d) / (n_d * n_d) AS v_var,
-               sqrt((n_d * s2_d - s_d * s_d) / (n_d * n_d)) AS v_std,
-               s_d / n + 2.0 * sqrt((n_d * s2_d - s_d * s_d)
-                                    / (n_d * n_d)) AS v_std_upper,
-               s_d / n - 2.0 * sqrt((n_d * s2_d - s_d * s_d)
-                                    / (n_d * n_d)) AS v_std_lower
+               greatest((n_d * s2_d - s_d * s_d) / (n_d * n_d), 0.0)
+                   AS v_var,
+               sqrt(greatest((n_d * s2_d - s_d * s_d) / (n_d * n_d), 0.0))
+                   AS v_std,
+               s_d / n + 2.0 * sqrt(greatest(
+                   (n_d * s2_d - s_d * s_d) / (n_d * n_d), 0.0))
+                   AS v_std_upper,
+               s_d / n - 2.0 * sqrt(greatest(
+                   (n_d * s2_d - s_d * s_d) / (n_d * n_d), 0.0))
+                   AS v_std_lower
         FROM m ORDER BY by_type
     """
 

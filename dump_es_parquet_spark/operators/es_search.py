@@ -652,10 +652,18 @@ def _metric_cols(levels: list[_Level]):
             b = spec[kind]
             if kind == "weighted_avg":
                 # Σ(v·w)/Σw, both sums through DECIMAL (the products
-                # are exact decimal×decimal), division in double
+                # are exact decimal×decimal), division in double.
+                # BOTH sums run over rows where value AND weight are
+                # present: ES ignores docs missing either field — an
+                # unmasked denominator would count a NULL-value doc's
+                # weight the numerator skipped (ADVICE r10 #2)
                 v = F.col(b["value"]["field"]).cast("decimal(18,6)")
                 w = F.col(b["weight"]["field"]).cast("decimal(18,6)")
-                e = F.sum(v * w).cast("double") / F.sum(w).cast("double")
+                both = v.isNotNull() & w.isNotNull()
+                e = (
+                    F.sum(F.when(both, v * w)).cast("double")
+                    / F.sum(F.when(both, w)).cast("double")
+                )
                 out.append((name, e, lvl_no))
                 continue
             if kind == "top_metrics":
@@ -733,7 +741,13 @@ def _metric_cols(levels: list[_Level]):
                 # both engines run the identical IEEE tree end-to-end
                 s2_d = F.round(F.sum(dec2).cast("double"), 4)
                 avg_d = s_d / F.count(col)
-                var_d = (n_d * s2_d - s_d * s_d) / (n_d * n_d)
+                # clamp: the rounded Σv² can push (n·Σv² − (Σv)²)
+                # slightly NEGATIVE on near-constant buckets, turning
+                # std/bounds into NaN where ES reports 0 — greatest(·,
+                # 0) in BOTH engines (ADVICE r10 #3)
+                var_d = F.greatest(
+                    (n_d * s2_d - s_d * s_d) / (n_d * n_d), F.lit(0.0)
+                )
                 std_d = F.sqrt(var_d)
                 out.append((f"{name}_count", F.count(col).cast("double"), lvl_no))
                 out.append((f"{name}_min", F.min(col).cast("double"), lvl_no))
@@ -788,9 +802,6 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         *[e.alias(nm) for e, nm in zip(key_exprs, key_names)],
         *[c for c in df.columns if c not in key_names],
     )
-    # ES drops docs whose bucket key is missing/out-of-range
-    for nm in key_names:
-        base = base.filter(F.col(nm).isNotNull())
 
     metrics = _metric_cols(levels)
     rolled = (
@@ -802,6 +813,21 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         )
         .filter(F.col("level") >= 1)  # ES responses have no global row
     )
+    # ES drops a doc from a bucket LEVEL when its key there is
+    # missing / out-of-range / filter-rejected — but the doc still
+    # counts in every ANCESTOR bucket (a parent's doc_count/metrics
+    # cover all its docs regardless of how children partition them).
+    # Pre-filtering the RAW frame would therefore corrupt ancestor
+    # levels whenever a non-root level can yield NULL keys — nested
+    # filter/missing/range, terms over a nullable field (ADVICE r10
+    # #1, the one wrong-answer class found) — so rows flow through
+    # the rollup and only RESULT rows whose own grouping set holds a
+    # NULL key are dropped: at level L exactly keys 1..L are grouped,
+    # keys above L are the rollup's own NULLs and stay exempt.
+    for i in range(1, n + 1):
+        rolled = rolled.filter(
+            (F.col("level") < i) | F.col(key_names[i - 1]).isNotNull()
+        )
 
     # Per-level pruning as WINDOWS over the one bucket frame — never
     # split ``rolled`` into per-level branches: Catalyst pushes a
@@ -934,6 +960,26 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     ]
     for i in gap_levels:
         lvl = levels[i - 1]
+        # positional-window pipelines and bucket_sort at a gap-filled
+        # level would diverge from ES: with min_doc_count 0 ES strides
+        # moving_fn/serial_diff windows over EMPTY buckets as
+        # positions and bucket_sort ranks them, while this fill
+        # synthesizes the empties AFTER those windows ran over real
+        # buckets only (matching gap_policy 'skip' VALUES but not
+        # POSITIONS) — raise rather than silently shift (ADVICE r10
+        # #4; PARITY #20). cumulative_sum/derivative/bucket_script are
+        # value-based and unaffected.
+        positional = [
+            pn for pn, pk, _ in lvl.pipelines
+            if pk in ("moving_fn", "serial_diff")
+        ]
+        if positional or lvl.bucket_sort:
+            raise ValueError(
+                "gap-filled date_histogram level cannot carry "
+                "moving_fn/serial_diff/bucket_sort: empty buckets "
+                "would occupy window positions in ES but not here "
+                f"(level {lvl.name!r}, PARITY #20)"
+            )
         step, goff = _dh_grid(lvl.body)
         eb = lvl.body.get("extended_bounds") or {}
         for bk in eb:

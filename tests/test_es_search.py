@@ -902,6 +902,79 @@ def test_filter_missing_and_date_range_buckets(spark):
             "field": "ts", "ranges": [{"from": "2024-01-01"}]}}}).collect()
 
 
+def test_nested_null_keys_keep_ancestor_counts(spark):
+    """ADVICE r10 #1 (high): a doc rejected by a NON-ROOT filter /
+    missing / range / nullable-terms level must still count in every
+    ancestor bucket's doc_count and metrics — ES parents cover all
+    their docs regardless of how children partition them. The old
+    pre-rollup NULL-key drop reported terms>filter parent = 1 where
+    ES says 2."""
+    df = spark.createDataFrame(
+        [
+            Row(kind="a", n=10.0),
+            Row(kind="a", n=200.0),
+            Row(kind="b", n=None),
+        ]
+    )
+    out = compile_aggs(
+        df,
+        {
+            "k": {
+                "terms": {"field": "kind"},
+                "aggs": {
+                    "s": {"sum": {"field": "n"}},
+                    "big": {
+                        "filter": {"range": {"n": {"gte": 100}}},
+                        "aggs": {"bs": {"sum": {"field": "n"}}},
+                    },
+                },
+            }
+        },
+    ).collect()
+    lvl1 = sorted((r.k, r.doc_count, r.s) for r in out if r.level == 1)
+    # parent 'a' counts BOTH docs (10 fails the child filter), its
+    # sum covers both; 'b' has one doc with NULL n
+    assert lvl1 == [("a", 2, 210.0), ("b", 1, None)]
+    lvl2 = sorted((r.k, r.big, r.doc_count, r.bs) for r in out if r.level == 2)
+    assert lvl2 == [("a", "big", 1, 200.0)]
+
+    # nested missing: docs HAVING the field still count in the parent
+    out2 = compile_aggs(
+        df,
+        {
+            "k": {
+                "terms": {"field": "kind"},
+                "aggs": {"no_n": {"missing": {"field": "n"}}},
+            }
+        },
+    ).collect()
+    assert sorted((r.k, r.doc_count) for r in out2 if r.level == 1) == [
+        ("a", 2), ("b", 1)
+    ]
+    assert sorted((r.k, r.doc_count) for r in out2 if r.level == 2) == [
+        ("b", 1)
+    ]
+
+    # nested terms over a nullable field: the NULL-kind doc is in no
+    # level-2 bucket but counts at level 1
+    df3 = spark.createDataFrame(
+        [Row(kind="a", n=1.0), Row(kind=None, n=2.0)]
+    ).withColumn("g", F.lit("all"))
+    out3 = compile_aggs(
+        df3,
+        {
+            "g": {
+                "terms": {"field": "g"},
+                "aggs": {"k": {"terms": {"field": "kind"}}},
+            }
+        },
+    ).collect()
+    assert [(r.g, r.doc_count) for r in out3 if r.level == 1] == [("all", 2)]
+    assert sorted((r.k, r.doc_count) for r in out3 if r.level == 2) == [
+        ("a", 1)
+    ]
+
+
 def test_stats_bucket_summary_over_children(spark):
     """stats_bucket: the 5-column sibling summary over the SURVIVING
     child buckets, reported on the parent row."""
