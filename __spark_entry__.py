@@ -669,6 +669,24 @@ DEMOTED: frozenset[str] = frozenset(
         #     spelled identically in both engines; demoted-green
         #     pending rotation
         "es_geo_queries",
+        # es_nested_query — the ES nested query (round 11, VERDICT
+        #     r10 Next #4): exists(arr, x -> inner) over array-mode
+        #     struct columns, same-object semantics pytest-pinned;
+        #     demoted-green pending rotation (es_search_hits keeps
+        #     the query-DSL family declared)
+        "es_nested_query",
+        # es_geohash_grid — geohash_grid buckets + geo_centroid
+        #     metric (round 11, VERDICT r10 Next #6): the unrolled
+        #     bit-interleave spelled identically in both engines;
+        #     demoted-green pending rotation (es_geo_queries keeps
+        #     the geo family visible)
+        "es_geohash_grid",
+        # es_date_histogram_gapfill_month — calendar-interval (month)
+        #     gap-filling (round 11, VERDICT r10 Next #5): the grid
+        #     steps by INTERVAL 1 MONTH timestamp sequences;
+        #     demoted-green pending rotation (the hourly gapfill row
+        #     is the promoted family head)
+        "es_date_histogram_gapfill_month",
         # es_filter_missing_range — the single-bucket aggs (missing)
         #     chained with date_range windows (round 10); demoted-green
         #     pending rotation (es_aggs_tree keeps agg trees declared)
@@ -960,6 +978,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
+        "es_geohash_grid": _mod("es_search", "q_es_geohash_grid"),
+        "es_nested_query": _mod("es_search", "q_es_nested_query"),
+        "es_date_histogram_gapfill_month": _mod(
+            "es_search", "q_es_date_histogram_gapfill_month"
+        ),
         "es_filter_missing_range": _mod(
             "es_search", "q_es_filter_missing_range"
         ),
@@ -993,6 +1016,60 @@ list_distinct([array_to_string(t[x+1:x+3], ' ')
 """
 
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+
+def _geohash_grid_sql(precision: int) -> str:
+    """DuckDB mirror of es_search._geohash_expr for the synthesized
+    events coordinates: the same floor-scaled cell indices, the same
+    unrolled lon-first bit interleave, the same base-32 chars."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    nbits = 5 * precision
+    n_lon = (nbits + 1) // 2
+    n_lat = nbits // 2
+    terms = []
+    for j in range(nbits):
+        if j % 2 == 0:
+            src, bi = "lon_i", n_lon - 1 - j // 2
+        else:
+            src, bi = "lat_i", n_lat - 1 - j // 2
+        terms.append(f"((({src} >> {bi}) & 1) << {nbits - 1 - j})")
+    morton = " | ".join(terms)
+    chars = " || ".join(
+        f"substr('{b32}', CAST((morton >> {5 * (precision - 1 - c)}) & 31 "
+        "AS INT) + 1, 1)"
+        for c in range(precision)
+    )
+    return f"""
+        WITH g AS (
+          SELECT value / 10.0 - 24.5 AS lat,
+                 CAST((event_id % 360) - 180 + 0.5 AS DOUBLE) AS lon
+          FROM events
+        ),
+        i AS (
+          SELECT lat, lon,
+                 least(CAST(floor((lon + 180.0) / 360.0
+                            * {float(2 ** n_lon)}) AS BIGINT),
+                       {2 ** n_lon - 1}) AS lon_i,
+                 least(CAST(floor((lat + 90.0) / 180.0
+                            * {float(2 ** n_lat)}) AS BIGINT),
+                       {2 ** n_lat - 1}) AS lat_i
+          FROM g
+          WHERE lat IS NOT NULL AND lon IS NOT NULL
+            AND lat >= -90.0 AND lat <= 90.0
+            AND lon >= -180.0 AND lon <= 180.0
+        ),
+        m AS (SELECT lat, lon, {morton} AS morton FROM i),
+        k AS (SELECT lat, lon, {chars} AS cells FROM m)
+        SELECT CAST(1 AS INT) AS level, cells, count(*) AS doc_count,
+               CAST(sum(CAST(lat AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL
+                           THEN 1 END) AS centroid_lat,
+               CAST(sum(CAST(lon AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL
+                           THEN 1 END) AS centroid_lon
+        FROM k GROUP BY cells ORDER BY cells
+    """
 
 
 def _all_oracle_sql() -> dict[str, str]:
@@ -3669,6 +3746,36 @@ def _all_oracle_sql() -> dict[str, str]:
         ORDER BY per_hour
     """
 
+    # es_date_histogram_gapfill_month: the variable-width calendar
+    # grid — months enumerate by INTERVAL 1 MONTH generate_series in
+    # both engines; bounds truncate onto month starts; synthesized
+    # rows carry doc_count 0 / NULL metrics like the hourly fill.
+    q["es_date_histogram_gapfill_month"] = """
+        WITH b AS (
+          SELECT epoch_ms(date_trunc('month', ts)) AS k, count(*) AS dc,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+          FROM events
+          WHERE coalesce(event_type = 'purchase', FALSE)
+            AND ts IS NOT NULL
+          GROUP BY 1
+        ),
+        ext AS (
+          SELECT LEAST(TIMESTAMP '2023-07-01',
+                       make_timestamp(MIN(k) * 1000)) AS lo,
+                 GREATEST(TIMESTAMP '2024-06-01',
+                          make_timestamp(MAX(k) * 1000)) AS hi
+          FROM b
+        ),
+        grid AS (
+          SELECT epoch_ms(unnest(generate_series(
+                   lo, hi, INTERVAL 1 MONTH))) AS k FROM ext
+        )
+        SELECT CAST(1 AS INT) AS level, g.k AS per_month,
+               coalesce(b.dc, 0) AS doc_count, b.s AS sum_value
+        FROM grid g LEFT JOIN b ON g.k = b.k
+        ORDER BY per_month
+    """
+
     # es_filters_agg: named filters buckets (a doc may land in both —
     # explode semantics). Buckets that match zero docs are NOT emitted
     # (consistent with the no-empty-bucket-synthesis rule), hence the
@@ -3953,6 +4060,37 @@ def _all_oracle_sql() -> dict[str, str]:
     # synthesized from events, haversine spelled as the IDENTICAL
     # tree (a = sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2); d = 2R·asin(√a),
     # R = 6371008.7714); membership gaps are meters, ulp noise mm.
+    # es_nested_query: the ES nested query — BOTH conditions must hold
+    # on the SAME array<struct> object; list_filter(...) mirrors
+    # exists(arr, x -> ...) exactly (a lambda NULL keeps nothing in
+    # either engine), and the synthesized attrs array is spelled
+    # identically.
+    q["es_nested_query"] = """
+        WITH e AS (
+          SELECT event_id, event_type, value,
+                 list_value(
+                   struct_pack(k := 'type', v := event_type),
+                   struct_pack(k := 'band',
+                               v := 'b' || CAST(CAST(floor(value / 100)
+                                                AS INT) AS VARCHAR))
+                 ) AS attrs
+          FROM events
+        )
+        SELECT event_id, event_type, value FROM e
+        WHERE len(list_filter(attrs,
+                  a -> a.k = 'type' AND a.v = 'error')) > 0
+          AND len(list_filter(attrs,
+                  a -> a.k = 'band' AND a.v LIKE 'b2%')) > 0
+        ORDER BY event_id LIMIT 200
+    """
+
+    # es_geohash_grid: the generated SQL unrolls the IDENTICAL
+    # geohash bit-interleave the Spark expression uses (floor-scaled
+    # cell indices, lon-first alternation, base-32 chars), so both
+    # engines round the same IEEE ops; centroid = exact-decimal mean
+    # pair over present points.
+    q["es_geohash_grid"] = _geohash_grid_sql(precision=3)
+
     q["es_geo_queries"] = """
         WITH g AS (
           SELECT event_id,

@@ -648,14 +648,59 @@ def test_date_histogram_gapfill_default_off_and_variable_width(spark):
                                          "calendar_interval": "hour"}}},
     ).collect()
     assert len(plain) == 2
-    # variable-width calendar units cannot tile a grid: loud error
-    with pytest.raises(ValueError, match="fixed-width"):
-        compile_aggs(
-            df,
-            {"m": {"date_histogram": {"field": "ts",
-                                      "calendar_interval": "month",
-                                      "min_doc_count": 0}}},
-        ).collect()
+
+
+def test_date_histogram_gapfill_month_and_quarter(spark):
+    """Round 11 (VERDICT r10 Next #5): the variable-width calendar
+    units fill by INTERVAL-n-MONTH sequences — interior gaps between
+    real buckets AND extended_bounds edges, bounds truncated onto
+    the unit grid; synthesized rows carry doc_count 0 / NULL
+    metrics."""
+    import datetime as dt
+
+    def ms(y, m):
+        return int(dt.datetime(y, m, 1, tzinfo=dt.timezone.utc)
+                   .timestamp() * 1000)
+
+    df = spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 1, 5), n=1.0),
+         Row(ts=dt.datetime(2024, 4, 20), n=2.0)]
+    )
+    out = compile_aggs(
+        df,
+        {"m": {"date_histogram": {"field": "ts",
+                                  "calendar_interval": "month",
+                                  "min_doc_count": 0,
+                                  # mid-November 2023 .. mid-June 2024:
+                                  # bounds truncate onto month starts
+                                  "extended_bounds": {
+                                      "min": ms(2023, 11) + 86_400_000,
+                                      "max": ms(2024, 6) + 86_400_000,
+                                  }},
+               "aggs": {"s": {"sum": {"field": "n"}}}}},
+    ).collect()
+    got = [(r.m, r.doc_count, r.s) for r in out]
+    assert got == [
+        (ms(2023, 11), 0, None), (ms(2023, 12), 0, None),
+        (ms(2024, 1), 1, 1.0),
+        (ms(2024, 2), 0, None), (ms(2024, 3), 0, None),
+        (ms(2024, 4), 1, 2.0),
+        (ms(2024, 5), 0, None), (ms(2024, 6), 0, None),
+    ]
+    # quarter: Q1/Q3 real, Q2 interior gap; no bounds
+    df2 = spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 2, 5), n=1.0),
+         Row(ts=dt.datetime(2024, 8, 20), n=2.0)]
+    )
+    out2 = compile_aggs(
+        df2,
+        {"q": {"date_histogram": {"field": "ts",
+                                  "calendar_interval": "quarter",
+                                  "min_doc_count": 0}}},
+    ).collect()
+    assert [(r.q, r.doc_count) for r in out2] == [
+        (ms(2024, 1), 1), (ms(2024, 4), 0), (ms(2024, 7), 1)
+    ]
 
 
 def test_date_histogram_offset_and_terms_missing(spark):
@@ -900,6 +945,142 @@ def test_filter_missing_and_date_range_buckets(spark):
     with pytest.raises(ValueError, match="epoch millis"):
         compile_aggs(df, {"e": {"date_range": {
             "field": "ts", "ranges": [{"from": "2024-01-01"}]}}}).collect()
+
+
+def _geohash_ref(lat, lon, precision):
+    """Pure-python textbook geohash (bisection) to pin the unrolled
+    bit-interleave expression against."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+    bits, out, even = 0, [], True
+    n = 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits = (bits << 1) | 1
+                lon_lo = mid
+            else:
+                bits <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits = (bits << 1) | 1
+                lat_lo = mid
+            else:
+                bits <<= 1
+                lat_hi = mid
+        even = not even
+        n += 1
+        if n == 5:
+            out.append(b32[bits])
+            bits, n = 0, 0
+    return "".join(out)
+
+
+def test_geohash_grid_and_geo_centroid(spark):
+    """geohash_grid (round 11, VERDICT r10 Next #6): the unrolled
+    bit-interleave must reproduce the textbook geohash — including
+    the canonical u4pruydqqvj example — and geo_centroid reports the
+    exact-decimal mean pair, ignoring docs missing the point."""
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    pts = [
+        (57.64911, 10.40744),   # canonical: u4pruydqqvj
+        (0.0, 0.0), (-89.9, -179.9), (89.9, 179.9),
+        (48.8583, 2.2945), (-33.8568, 151.2153),
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, loc=Row(lat=la, lon=lo)) for i, (la, lo) in enumerate(pts)]
+    )
+    for p in (1, 5, 11):
+        got = {
+            r.i: r.cell
+            for r in df.select(
+                "i",
+                compile_aggs.__globals__["_geohash_expr"](
+                    F.col("loc.lat"), F.col("loc.lon"), p
+                ).alias("cell"),
+            ).collect()
+        }
+        for i, (la, lo) in enumerate(pts):
+            assert got[i] == _geohash_ref(la, lo, p), (p, la, lo)
+    assert _geohash_ref(57.64911, 10.40744, 11) == "u4pruydqqvj"
+
+    # bucket + centroid: two cells, NULL point ignored by the
+    # centroid but counted nowhere (NULL key drops the doc from the
+    # level; no ancestor here)
+    df2 = spark.createDataFrame(
+        [
+            Row(loc=Row(lat=10.0, lon=10.0)),
+            Row(loc=Row(lat=10.2, lon=10.2)),
+            Row(loc=Row(lat=-50.0, lon=-50.0)),
+            Row(loc=Row(lat=None, lon=None)),
+        ]
+    )
+    out = compile_aggs(
+        df2,
+        {"cells": {
+            "geohash_grid": {"field": "loc", "precision": 1},
+            "aggs": {"c": {"geo_centroid": {"field": "loc"}}},
+        }},
+    ).collect()
+    got2 = sorted((r.cells, r.doc_count, r.c_lat, r.c_lon) for r in out)
+    assert got2 == [
+        ("4", 1, -50.0, -50.0),
+        ("s", 2, 10.1, 10.1),
+    ]
+
+
+def test_nested_query_same_object_semantics(spark):
+    """The nested query's reason to exist: conditions must hold on
+    the SAME array object. A doc whose array contains k='band' on one
+    object and v='error' on ANOTHER must NOT match — the flattened
+    cross-match would. NULL/missing arrays match nothing; analyzer-
+    seam kinds and nested-inside-nested raise."""
+    from dump_es_parquet_spark.operators.es_search import compile_query
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, attrs=[Row(k="type", v="error"),
+                             Row(k="band", v="b2")]),
+            Row(id=2, attrs=[Row(k="type", v="click"),
+                             Row(k="band", v="error")]),
+            Row(id=3, attrs=[]),
+            Row(id=4, attrs=None),
+        ]
+    )
+    q = {"nested": {"path": "attrs", "query": {"bool": {"must": [
+        {"term": {"attrs.k": "type"}},
+        {"term": {"attrs.v": "error"}},
+    ]}}}}
+    got = sorted(r.id for r in df.filter(compile_query(q)).collect())
+    assert got == [1]  # doc 2 cross-matches only when flattened
+    # a flat formulation over the exploded values WOULD match doc 2:
+    flat = df.filter(
+        F.exists("attrs", lambda x: x["k"] == "type")
+        & F.exists("attrs", lambda x: x["v"] == "error")
+    )
+    assert sorted(r.id for r in flat.collect()) == [1, 2]
+    # range + exists inside the scope; must_not NULL-exactness
+    q2 = {"nested": {"path": "attrs", "query": {"bool": {
+        "must": [{"exists": {"field": "attrs.v"}}],
+        "must_not": [{"term": {"attrs.v": "b2"}}],
+    }}}}
+    got2 = sorted(r.id for r in df.filter(compile_query(q2)).collect())
+    assert got2 == [1, 2]
+    with pytest.raises(ValueError, match="must live under path"):
+        df.filter(compile_query(
+            {"nested": {"path": "attrs",
+                        "query": {"term": {"other.k": "x"}}}}
+        )).collect()
+    with pytest.raises(ValueError, match="analyzer"):
+        compile_query({"nested": {"path": "attrs",
+                                  "query": {"match": {"attrs.v": "x"}}}})
+    with pytest.raises(ValueError, match="nested-inside-nested"):
+        compile_query({"nested": {"path": "attrs", "query": {
+            "nested": {"path": "attrs.sub", "query": {"match_all": {}}}}}})
 
 
 def test_nested_null_keys_keep_ancestor_counts(spark):

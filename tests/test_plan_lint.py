@@ -202,6 +202,10 @@ PINNED_FINGERPRINTS = {
     # corpus_bm25's empty fingerprint — the analyzer changes the
     # tokenizer expression, never the plan shape.
     "es_date_histogram_gapfill": {"exchange": 4},
+    # month grid steps by INTERVAL-1-MONTH sequences — date math in
+    # the same windows/explode, identical plan class as the hourly
+    # fill
+    "es_date_histogram_gapfill_month": {"exchange": 4},
     "es_knn_search_ivf": {"bhj": 1},
     "corpus_bm25_standard": {},
     # es_percolate_bulk (round 11 rework — VERDICT r10 What's wrong
@@ -234,6 +238,15 @@ PINNED_FINGERPRINTS = {
     # geo predicates are plain double-math filters on the scan —
     # scan → TakeOrderedAndProject, zero shuffles, zero joins
     "es_geo_queries": {},
+    # nested query: exists() higher-order predicates are plain
+    # filters on the scan → TakeOrderedAndProject; the empty
+    # fingerprint is the point (same-object semantics add zero
+    # plan weight)
+    "es_nested_query": {},
+    # geohash_grid: the bit-interleave is a pure projection — one
+    # rollup + the survival-window exchange + the oracle orderBy,
+    # the same bucket-frame class as every other agg tree
+    "es_geohash_grid": {"exchange": 3},
     # missing → date_range chain: same bucket-frame class as the
     # other agg trees (rollup + two window exchanges)
     "es_filter_missing_range": {"exchange": 3},
