@@ -627,6 +627,13 @@ DEMOTED: frozenset[str] = frozenset(
         #     text normalized query-side; demoted-green pending
         #     rotation (corpus_bm25 keeps the family declared)
         "corpus_bm25_standard",
+        # corpus_bm25_stopwords — the analyzer seam's second step
+        #     (round 11, VERDICT r10 Next #8): standard tokenizer +
+        #     Lucene _english_ stopwords + a 2-char length floor,
+        #     query and documents filtered identically (dl/avgdl/
+        #     scores all shift — the corpus carries 'a'/'the');
+        #     demoted-green pending rotation
+        "corpus_bm25_stopwords",
         # corpus_rank_eval — the ES _rank_eval API (round 10):
         #     precision/recall/MRR/DCG/NDCG@10 of the BM25 batch
         #     ranking vs a deterministic synthetic qrel — also the
@@ -961,6 +968,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_span_near": _mod("retrieval", "q_corpus_span_near"),
         "corpus_bm25_served": _mod("retrieval", "q_corpus_bm25_served"),
         "corpus_bm25_standard": _mod("retrieval", "q_corpus_bm25_standard"),
+        "corpus_bm25_stopwords": _mod(
+            "retrieval", "q_corpus_bm25_stopwords"
+        ),
         "corpus_rank_eval": _mod("retrieval", "q_corpus_rank_eval"),
         # — the ES _search request compiler (round 9): query DSL →
         #   Catalyst Column, aggregation trees → one ROLLUP shuffle —
@@ -3429,6 +3439,27 @@ def _all_oracle_sql() -> dict[str, str]:
         " x -> x <> '')"
     )
     q["corpus_bm25_standard"] = q["corpus_bm25"].replace(_TOKS, std_toks)
+
+    # corpus_bm25_stopwords: the full analyzer SPEC (round 11) — the
+    # DuckDB tokenizer chains the identical post-filters (drop
+    # empties, length >= 2, NOT IN the Lucene English stopword list);
+    # query terms driver-analyzed through the same spec.
+    from dump_es_parquet_spark.operators.retrieval import (
+        ENGLISH_STOPWORDS,
+        STOPWORDS_ANALYZER,
+        STOPWORDS_QUERY,
+    )
+
+    stop_terms = _terms(STOPWORDS_QUERY, STOPWORDS_ANALYZER)
+    assert stop_terms == terms, (
+        "STOPWORDS_QUERY must normalize to the demo terms"
+    )
+    _stoplist = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    stop_toks = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+        f" x -> x <> '' AND length(x) >= 2 AND NOT list_contains([{_stoplist}], x))"
+    )
+    q["corpus_bm25_stopwords"] = q["corpus_bm25"].replace(_TOKS, stop_toks)
     q["corpus_hybrid_rrf"] = f"""
         WITH {bm25_cte},
         lexpool AS (SELECT doc_id, score_micro FROM scored WHERE n_matched > 0

@@ -1363,6 +1363,52 @@ def test_standard_analyzer_seam(spark):
     assert d.filter(compile_query(q_ws)).count() == 0
 
 
+def test_analyzer_spec_stopwords_and_length_floor(spark):
+    """PARITY #19 second step (round 11, VERDICT r10 Next #8): the
+    dict analyzer spec filters stopwords (_english_ = the Lucene
+    list) and short tokens AFTER tokenization, identically on query
+    text and document token streams — document lengths shrink, so
+    the filters are score-bearing, not cosmetic."""
+    import pytest as _pytest
+
+    from dump_es_parquet_spark.operators.retrieval import (
+        STOPWORDS_ANALYZER,
+        _analyze,
+        _terms,
+        _tokens_col,
+        bm25_scores,
+    )
+
+    spec = STOPWORDS_ANALYZER
+    assert _analyze("The DUP of a Filter... into the Window!", spec) == [
+        "dup", "filter", "window"
+    ]
+    # explicit list + floor
+    assert _analyze("go to x1 stop", {"type": "standard",
+                                      "stopwords": ["stop"],
+                                      "min_token_length": 2}) == [
+        "go", "to", "x1"
+    ]
+    assert _terms("the the dup", spec) == ["dup"]
+    with _pytest.raises(ValueError, match="spec key"):
+        _analyze("x", {"type": "standard", "stemmer": "porter"})
+
+    d = spark.createDataFrame(
+        [(1, "the fast cat runs a lot"), (2, "fast dog")],
+        "doc_id long, text string",
+    )
+    toks = d.select(_tokens_col("text", spec).alias("t")).collect()
+    assert sorted(map(tuple, (r.t for r in toks))) == [
+        ("fast", "cat", "runs", "lot"), ("fast", "dog"),
+    ] or sorted(r.t for r in toks) == [
+        ["fast", "cat", "runs", "lot"], ["fast", "dog"]
+    ]
+    # dl under the spec excludes 'the'/'a': doc 1 dl=4 not 6
+    rows = {r.doc_id: r.dl for r in bm25_scores(d, "fast", analyzer=spec)
+            .collect()}
+    assert rows == {1: 4, 2: 2}
+
+
 def test_span_near_pathological_doc_bounded(spark):
     """VERDICT r09 What's wrong #1: a doc stuffed with the first term
     (~10⁴ occurrences) must complete in bounded time — the position

@@ -208,6 +208,9 @@ PINNED_FINGERPRINTS = {
     "es_date_histogram_gapfill_month": {"exchange": 4},
     "es_knn_search_ivf": {"bhj": 1},
     "corpus_bm25_standard": {},
+    # the analyzer SPEC (stopwords + length floor) is a token-array
+    # filter expression — plan shape identical to the bm25 family
+    "corpus_bm25_stopwords": {},
     # es_percolate_bulk (round 11 rework — VERDICT r10 What's wrong
     # #1): the rule frame and its merged intervals are PERSISTED, so
     # the channels read InMemoryTableScans instead of re-planning the
