@@ -634,12 +634,8 @@ DEMOTED: frozenset[str] = frozenset(
         #     scores all shift — the corpus carries 'a'/'the');
         #     demoted-green pending rotation
         "corpus_bm25_stopwords",
-        # corpus_rank_eval — the ES _rank_eval API (round 10):
-        #     precision/recall/MRR/DCG/NDCG@10 of the BM25 batch
-        #     ranking vs a deterministic synthetic qrel — also the
-        #     batch-BM25 path's first oracle row; demoted-green
-        #     pending rotation
-        "corpus_rank_eval",
+        # corpus_rank_eval — PROMOTED round 11 (VERDICT r10 Next #3):
+        #     the ES _rank_eval API over the batch-BM25 ranking.
         # es_* — the ES _search request compiler (round 9): saved
         #     search requests replayed on the lake — query DSL →
         #     NULL-exact Catalyst Column, aggregation trees → one
@@ -654,12 +650,9 @@ DEMOTED: frozenset[str] = frozenset(
         #     demoted-green pending the next rotation window
         "es_range_buckets",
         "es_histogram",
-        # es_date_histogram_gapfill — min_doc_count 0 + extended_bounds
-        #     gap-filling (round 10, VERDICT r09 Next #4): empty hourly
-        #     buckets synthesized by one explode over the bucket frame;
-        #     demoted-green pending the next rotation window (es_aggs_
-        #     tree keeps the date_histogram family declared)
-        "es_date_histogram_gapfill",
+        # es_date_histogram_gapfill — PROMOTED round 11 (VERDICT r10
+        #     Next #3): the Kibana time-series shape, empty buckets by
+        #     one explode over the bucket frame.
         "es_filters_agg",
         "es_composite_page",
         # es_composite_datehist — composite sources widened past terms
@@ -702,10 +695,9 @@ DEMOTED: frozenset[str] = frozenset(
         #     demoted-green pending rotation (es_aggs_tree keeps the
         #     metric family declared)
         "es_metric_variants",
-        # es_extended_stats — population variance/std/±2σ bounds from
-        #     exact decimal moments (round 10); demoted-green pending
-        #     rotation
-        "es_extended_stats",
+        # es_extended_stats — PROMOTED round 11 (VERDICT r10 Next
+        #     #3): the exact-moments-into-one-fixed-double-tree
+        #     discipline, now variance-clamped (ADVICE r10).
         "es_top_hits",
         "es_collapse",
         "es_search_after",
@@ -715,12 +707,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     in tests/test_transform.py.
         # es_percolate — PROMOTED round 10 (VERDICT r09 Next #2): ES
         #     reverse search as one zero-shuffle projection pass.
-        # es_percolate_bulk — the millions-of-rules percolate route
-        #     (round 10, VERDICT r09 What's wrong #3): stored queries
-        #     as conjunct-row DATA, equality rules equi-joined on
-        #     (field, value), plan O(1) in rule count; demoted-green
-        #     pending rotation (es_percolate keeps the family declared)
-        "es_percolate_bulk",
+        # es_percolate_bulk — PROMOTED round 11 after the r10 What's
+        #     wrong #1 rework (persisted rule frames, binned two-sided
+        #     range rules, should groups): the millions-of-rules
+        #     reverse-search route, plan O(1) in rule count.
         # es_terms_missing_offset — date_histogram `offset` + terms
         #     `missing` (round 10 DSL parity); demoted-green pending
         #     rotation (es_aggs_tree keeps the agg-tree family
@@ -731,12 +721,9 @@ DEMOTED: frozenset[str] = frozenset(
         #     oracle SQL as sim_topk_bruteforce (the request-dialect
         #     bridge onto the declared similarity surface)
         "es_knn_search",
-        # es_knn_search_ivf — knn.num_candidates → the IVF serving
-        #     path + exact rescore, recall-checked against the exact
-        #     request answer (round 10, VERDICT r09 Next #5);
-        #     demoted-green pending rotation (sim_ann_ivf_indexed +
-        #     sim_ivf_recall keep the IVF serving family declared)
-        "es_knn_search_ivf",
+        # es_knn_search_ivf — PROMOTED round 11 (VERDICT r10 Next
+        #     #3): the ES 8 knn request served from the materialized
+        #     IVF index, recall-checked against the exact answer.
         # es_suggest_* — the _search suggest section (round 9):
         #     completion (prefix vocab top-k by df) and term (fuzzy
         #     corrections ranked distance asc / df desc, the Lucene
@@ -814,6 +801,32 @@ DEMOTED: frozenset[str] = frozenset(
         "text_chunking",
         "sim_ann_hyperplane",
         "corpus_highlight",
+        # Rotated OUT of the declared 50 in round 11 so the gate
+        # carries the round-10 production heads (es_date_histogram_
+        # gapfill, es_knn_search_ivf, corpus_rank_eval,
+        # es_extended_stats, es_percolate_bulk — VERDICT r10 Next #3).
+        # Each of these five has a declared sibling keeping its
+        # operator family in the gate:
+        #   corpus_more_like_this — MLT derives a query then runs the
+        #       same BM25 core; corpus_bm25 / corpus_span_near /
+        #       corpus_match_phrase keep the retrieval family declared
+        #   sim_topk_batch — batch exact cosine fold; sim_ann_ivf_
+        #       indexed + sim_ivf_recall keep similarity declared and
+        #       the promoted es_knn_search_ivf adds the request route
+        #   events_value_bands — the binned range join's demo row;
+        #       asof_events_orders keeps the keyless-join family
+        #       declared and percolate_bulk now exercises the binned
+        #       route inside a declared row
+        #   corpus_attributes — per-doc attribute battery;
+        #       corpus_filter and corpus_packing keep the text-
+        #       attribute chain declared (same token/ratio machinery)
+        #   text_quality — quality-ratio filters; corpus_filter keeps
+        #       the quality-gate surface declared
+        "corpus_more_like_this",
+        "sim_topk_batch",
+        "events_value_bands",
+        "corpus_attributes",
+        "text_quality",
     }
 )
 
