@@ -675,12 +675,21 @@ DEMOTED: frozenset[str] = frozenset(
         #     demoted-green pending rotation (es_search_hits keeps
         #     the query-DSL family declared)
         "es_nested_query",
+        # es_nested_agg — the nested AGGREGATION twin (round 11):
+        #     array column replaced by exploded structs at the root,
+        #     doc_count counts objects; demoted-green pending rotation
+        "es_nested_agg",
         # es_geohash_grid — geohash_grid buckets + geo_centroid
         #     metric (round 11, VERDICT r10 Next #6): the unrolled
         #     bit-interleave spelled identically in both engines;
         #     demoted-green pending rotation (es_geo_queries keeps
         #     the geo family visible)
         "es_geohash_grid",
+        # es_geotile_grid — Web-Mercator z/x/y tiles, Kibana maps'
+        #     default bucket (round 11); 12-decimal-rounded Mercator
+        #     fraction kills the tan/ln ulp boundary risk in both
+        #     engines; demoted-green pending rotation
+        "es_geotile_grid",
         # es_date_histogram_gapfill_month — calendar-interval (month)
         #     gap-filling (round 11, VERDICT r10 Next #5): the grid
         #     steps by INTERVAL 1 MONTH timestamp sequences;
@@ -1002,7 +1011,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
         "es_geohash_grid": _mod("es_search", "q_es_geohash_grid"),
+        "es_geotile_grid": _mod("es_search", "q_es_geotile_grid"),
         "es_nested_query": _mod("es_search", "q_es_nested_query"),
+        "es_nested_agg": _mod("es_search", "q_es_nested_agg"),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
         ),
@@ -4134,6 +4145,72 @@ def _all_oracle_sql() -> dict[str, str]:
     # engines round the same IEEE ops; centroid = exact-decimal mean
     # pair over present points.
     q["es_geohash_grid"] = _geohash_grid_sql(precision=3)
+
+    # es_geotile_grid: the identical Web-Mercator tree — x from the
+    # scaled longitude, y from the 12-decimal-rounded Mercator
+    # fraction (tan/ln may differ by an ulp across engines; rounding
+    # before the floor removes the boundary risk), both clamped into
+    # [0, 2^z-1]; lat clamped to ±85.05112878 before projecting.
+    q["es_geotile_grid"] = """
+        WITH g AS (
+          SELECT value / 10.0 - 24.5 AS lat,
+                 CAST((event_id % 360) - 180 + 0.5 AS DOUBLE) AS lon
+          FROM events
+        ),
+        t AS (
+          SELECT lat, lon,
+                 greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64.0)
+                                   AS BIGINT), 63)) AS tx,
+                 greatest(0, least(CAST(floor(round(
+                     (1.0 - ln(tan(radians(greatest(-85.05112878,
+                                  least(85.05112878, lat))))
+                               + 1.0 / cos(radians(greatest(-85.05112878,
+                                  least(85.05112878, lat)))))
+                            / pi()) / 2.0 * 64.0, 12)) AS BIGINT), 63)) AS ty
+          FROM g
+          WHERE lat IS NOT NULL AND lon IS NOT NULL
+            AND lat >= -90.0 AND lat <= 90.0
+            AND lon >= -180.0 AND lon <= 180.0
+        )
+        SELECT CAST(1 AS INT) AS level,
+               '6/' || CAST(tx AS VARCHAR) || '/' || CAST(ty AS VARCHAR)
+                   AS tiles,
+               count(*) AS doc_count,
+               CAST(sum(CAST(lat AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL
+                           THEN 1 END) AS centroid_lat,
+               CAST(sum(CAST(lon AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL
+                           THEN 1 END) AS centroid_lon
+        FROM t GROUP BY 2 ORDER BY tiles
+    """
+
+    # es_nested_agg: unnest(attrs) re-bases rows onto objects; the
+    # level-1 row counts objects, level-2 terms over the object key
+    # with an exact-decimal avg of the object weight.
+    q["es_nested_agg"] = """
+        WITH e AS (
+          SELECT list_value(
+                   struct_pack(k := 'type', v := event_type, w := value),
+                   struct_pack(k := 'band',
+                               v := 'b' || CAST(CAST(floor(value / 100)
+                                                AS INT) AS VARCHAR),
+                               w := value * 2.0)
+                 ) AS attrs
+          FROM events
+        ),
+        x AS (SELECT unnest(attrs) AS a FROM e)
+        SELECT CAST(1 AS INT) AS level, 'objs' AS objs,
+               CAST(NULL AS VARCHAR) AS by_k,
+               count(*) AS doc_count, CAST(NULL AS DOUBLE) AS avg_w
+        FROM x
+        UNION ALL
+        SELECT CAST(2 AS INT), 'objs', a.k, count(*),
+               CAST(sum(CAST(a.w AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(a.w)
+        FROM x GROUP BY a.k
+        ORDER BY level, objs NULLS FIRST, by_k NULLS FIRST
+    """
 
     q["es_geo_queries"] = """
         WITH g AS (

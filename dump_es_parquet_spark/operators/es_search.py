@@ -94,6 +94,7 @@ fetches with a query but exposes no agg/search surface post-dump).
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -124,6 +125,8 @@ _BUCKET_KINDS = (
     "filter",
     "missing",
     "geohash_grid",
+    "geotile_grid",
+    "nested",
 )
 _METRIC_KINDS = (
     "avg",
@@ -279,7 +282,7 @@ def compile_query(q: dict | None, _scope=None) -> Column:
     nested scope the term/terms/range/exists/prefix/wildcard/regexp/
     match_phrase/bool kinds work; analyzer-seam kinds (match,
     multi_match) and geo raise — their tokenizer plumbing is
-    name-based (PARITY #21)."""
+    name-based (PARITY #22)."""
     if not q:
         return F.lit(True)
     if len(q) != 1:
@@ -303,7 +306,7 @@ def compile_query(q: dict | None, _scope=None) -> Column:
     if kind == "multi_match":
         if _scope is not None:
             raise ValueError(
-                "multi_match inside nested is not supported (PARITY #21)"
+                "multi_match inside nested is not supported (PARITY #22)"
             )
         # filter-context multi_match: OR over the per-field matches
         # (best_fields scoring has no filter meaning; each arm is
@@ -400,7 +403,7 @@ def compile_query(q: dict | None, _scope=None) -> Column:
             if _scope is not None:
                 raise ValueError(
                     "match inside nested is not supported — the analyzer "
-                    "seam is name-based (PARITY #21); use match_phrase/"
+                    "seam is name-based (PARITY #22); use match_phrase/"
                     "term/wildcard"
                 )
             if isinstance(spec, dict):
@@ -571,6 +574,20 @@ class _Level:
                 F.col(b["field"] + ".lon"),
                 int(b.get("precision", 5)),
             )
+        if self.kind == "nested":
+            # single bucket over the EXPLODED nested objects (the
+            # root handling in compile_aggs replaced the array column
+            # with one struct per row); doc_count therefore counts
+            # OBJECTS, exactly ES's nested-agg doc_count
+            return F.lit(self.name)
+        if self.kind == "geotile_grid":
+            # Kibana maps' default bucket: Web-Mercator z/x/y tile
+            # keys, exactly ES's "z/x/y" strings
+            return _geotile_expr(
+                F.col(b["field"] + ".lat"),
+                F.col(b["field"] + ".lon"),
+                int(b.get("precision", 7)),
+            )
         raise ValueError(f"bucket kind {self.kind!r}")
 
 
@@ -670,6 +687,61 @@ def _geohash_expr(lat: Column, lon: Column, precision: int) -> Column:
     return F.when(valid, F.concat(*chars))
 
 
+def _geotile_expr(lat: Column, lon: Column, zoom: int) -> Column:
+    """Web-Mercator tile key ``"z/x/y"`` (the OSM/slippy scheme ES's
+    ``geotile_grid`` emits): ``x = ⌊(lon+180)/360·2^z⌋``, ``y`` from
+    the Mercator projection of the latitude. The Mercator fraction is
+    rounded to 12 decimals BEFORE the floor in both engines: tan/ln
+    may differ by an ulp between JVM Math and libm, and an ulp at a
+    tile boundary would flip the floor — 12-decimal rounding removes
+    that while being far finer than any real coordinate. Latitudes
+    beyond the Mercator limit (±85.05113°) clamp into the edge tiles
+    as ES does; NULL/out-of-range points get a NULL key."""
+    if not 0 <= zoom <= 29:
+        raise ValueError("geotile precision must be in 0..29")
+    n = F.lit(float(2 ** zoom))
+    max_i = F.lit(2 ** zoom - 1)
+    zero = F.lit(0).cast("long")
+    x = F.greatest(
+        zero,
+        F.least(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n).cast("long"),
+            max_i,
+        ),
+    )
+    # clamp BEFORE projecting: tan/1-over-cos explode numerically at
+    # the poles (ln of a near-zero/negative sum → NaN), and ES puts
+    # polar docs in the edge tiles anyway
+    lat_c = F.greatest(
+        F.lit(-85.05112878), F.least(F.lit(85.05112878), lat)
+    )
+    rad = F.radians(lat_c)
+    merc = F.round(
+        (
+            F.lit(1.0)
+            - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi)
+        )
+        / F.lit(2.0)
+        * n,
+        12,
+    )
+    y = F.greatest(zero, F.least(F.floor(merc).cast("long"), max_i))
+    valid = (
+        lat.isNotNull()
+        & lon.isNotNull()
+        & (lat >= F.lit(-90.0))
+        & (lat <= F.lit(90.0))
+        & (lon >= F.lit(-180.0))
+        & (lon <= F.lit(180.0))
+    )
+    return F.when(
+        valid,
+        F.concat_ws(
+            "/", F.lit(str(zoom)), x.cast("string"), y.cast("string")
+        ),
+    )
+
+
 def _offset_ms(spec: str) -> int:
     """ES date_histogram ``offset``: a signed duration ('+6h', '-30m')
     shifting every bucket boundary."""
@@ -741,8 +813,10 @@ def _parse_chain(aggs: dict) -> list[_Level]:
             if bucket_sort is not None:
                 levels[-1].bucket_sort = bucket_sort
             break
-        if levels and bucket.kind == "filters":
-            raise ValueError("filters agg is supported at the root level only")
+        if levels and bucket.kind in ("filters", "nested"):
+            raise ValueError(
+                f"{bucket.kind} agg is supported at the root level only"
+            )
         levels.append(bucket)
         node = child
         # metrics/pipelines beside this bucket belong to the PARENT
@@ -927,6 +1001,18 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     key_names = [lvl.name for lvl in levels]
 
     base = df
+    if levels[0].kind == "nested":
+        # ES nested AGGREGATION (round 11, pairing the round-11
+        # nested QUERY): aggregate over the array's objects. The
+        # array column is REPLACED by one exploded struct per row, so
+        # sub-level field paths ("attrs.k") resolve naturally;
+        # parents with empty/NULL arrays contribute no objects.
+        # Root-only (the explode re-bases row identity from docs to
+        # objects; ES's reverse_nested escape hatch is out of scope —
+        # PARITY #22). Sub-aggs may reference nested fields only,
+        # like ES without reverse_nested.
+        path = levels[0].body["path"]
+        base = base.withColumn(path, F.explode(F.col(path)))
     if levels[0].kind == "filters":
         names_arr = F.array_compact(
             F.array(
@@ -2981,6 +3067,80 @@ def q_es_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "geohash_grid": {"field": "loc", "precision": 3},
                     "aggs": {
                         "centroid": {"geo_centroid": {"field": "loc"}}
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geotile_grid`` buckets (round 11) — Kibana maps' default
+    aggregation: Web-Mercator z/x/y tile keys at zoom 6 with a
+    geo_centroid metric, coordinates synthesized exactly like
+    es_geo_queries; the oracle SQL spells the identical projection
+    tree (12-decimal-rounded Mercator fraction before the floor)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "loc",
+        F.struct(
+            (F.col("value") / F.lit(10.0) - F.lit(24.5)).alias("lat"),
+            (
+                (F.col("event_id") % F.lit(360)) - F.lit(180) + F.lit(0.5)
+            ).cast("double").alias("lon"),
+        ),
+    )
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "tiles": {
+                    "geotile_grid": {"field": "loc", "precision": 6},
+                    "aggs": {
+                        "centroid": {"geo_centroid": {"field": "loc"}}
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``nested`` AGGREGATION (round 11) over the synthesized
+    ``array<struct<k,v,w>>`` attributes: one nested bucket whose
+    doc_count counts OBJECTS (2 per event), then terms over the
+    object key with an exact-decimal avg of the object weight — the
+    agg-side twin of es_nested_query."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "attrs",
+        F.array(
+            F.struct(
+                F.lit("type").alias("k"),
+                F.col("event_type").alias("v"),
+                F.col("value").alias("w"),
+            ),
+            F.struct(
+                F.lit("band").alias("k"),
+                F.concat(
+                    F.lit("b"),
+                    F.floor(F.col("value") / 100).cast("int").cast("string"),
+                ).alias("v"),
+                (F.col("value") * F.lit(2.0)).alias("w"),
+            ),
+        ),
+    )
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "objs": {
+                    "nested": {"path": "attrs"},
+                    "aggs": {
+                        "by_k": {
+                            "terms": {"field": "attrs.k", "size": 10},
+                            "aggs": {
+                                "avg_w": {"avg": {"field": "attrs.w"}}
+                            },
+                        }
                     },
                 }
             },

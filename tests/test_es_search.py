@@ -1033,6 +1033,84 @@ def test_geohash_grid_and_geo_centroid(spark):
     ]
 
 
+def test_nested_agg_counts_objects(spark):
+    """The nested AGGREGATION re-bases rows onto array objects:
+    doc_count counts OBJECTS, empty/NULL arrays contribute nothing,
+    sub-aggs reference nested fields via their full path; non-root
+    use raises (no reverse_nested escape)."""
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    df = spark.createDataFrame(
+        [
+            Row(g="x", attrs=[Row(k="a", w=10.0), Row(k="b", w=20.0)]),
+            Row(g="y", attrs=[Row(k="a", w=30.0)]),
+            Row(g="z", attrs=[]),
+            Row(g="w", attrs=None),
+        ]
+    )
+    out = compile_aggs(
+        df,
+        {"objs": {"nested": {"path": "attrs"},
+                  "aggs": {"by_k": {"terms": {"field": "attrs.k"},
+                                    "aggs": {"aw": {"avg": {"field":
+                                                            "attrs.w"}}}}}}},
+    ).collect()
+    assert [(r.objs, r.doc_count) for r in out if r.level == 1] == [
+        ("objs", 3)
+    ]
+    assert sorted((r.by_k, r.doc_count, r.aw) for r in out
+                  if r.level == 2) == [("a", 2, 20.0), ("b", 1, 20.0)]
+    with pytest.raises(ValueError, match="root level only"):
+        compile_aggs(
+            df,
+            {"byg": {"terms": {"field": "g"},
+                     "aggs": {"objs": {"nested": {"path": "attrs"}}}}},
+        )
+
+
+def test_geotile_grid_keys(spark):
+    """geotile_grid must emit the OSM/slippy z/x/y keys — pinned
+    against the textbook formula and the canonical Eiffel-Tower tile
+    10/518/352; polar latitudes clamp into the edge tiles instead of
+    producing NaN."""
+    import math as _m
+
+    from dump_es_parquet_spark.operators.es_search import _geotile_expr
+
+    def ref(lat, lon, z):
+        n = 2 ** z
+        x = max(0, min(int((lon + 180.0) / 360.0 * n), n - 1))
+        lat = max(-85.05112878, min(85.05112878, lat))
+        r = _m.radians(lat)
+        merc = round(
+            (1.0 - _m.log(_m.tan(r) + 1.0 / _m.cos(r)) / _m.pi) / 2.0 * n,
+            12,
+        )
+        y = max(0, min(int(_m.floor(merc)), n - 1))
+        return f"{z}/{x}/{y}"
+
+    pts = [
+        (48.8583, 2.2945), (0.0, 0.0), (90.0, 0.0), (-90.0, 179.9),
+        (-33.8568, 151.2153), (85.3, -179.9),
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, loc=Row(lat=la, lon=lo)) for i, (la, lo) in enumerate(pts)]
+    )
+    for z in (0, 6, 10):
+        got = {
+            r.i: r.t
+            for r in df.select(
+                "i",
+                _geotile_expr(
+                    F.col("loc.lat"), F.col("loc.lon"), z
+                ).alias("t"),
+            ).collect()
+        }
+        for i, (la, lo) in enumerate(pts):
+            assert got[i] == ref(la, lo, z), (z, la, lo, got[i])
+    assert ref(48.8583, 2.2945, 10) == "10/518/352"
+
+
 def test_nested_query_same_object_semantics(spark):
     """The nested query's reason to exist: conditions must hold on
     the SAME array object. A doc whose array contains k='band' on one

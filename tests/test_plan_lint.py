@@ -250,6 +250,11 @@ PINNED_FINGERPRINTS = {
     # rollup + the survival-window exchange + the oracle orderBy,
     # the same bucket-frame class as every other agg tree
     "es_geohash_grid": {"exchange": 3},
+    # geotile: same pure-projection bucket class as geohash
+    "es_geotile_grid": {"exchange": 3},
+    # nested agg: one explode (Generate) before the same rollup +
+    # window + orderBy class — the re-basing adds no exchange
+    "es_nested_agg": {"exchange": 3},
     # missing → date_range chain: same bucket-frame class as the
     # other agg trees (rollup + two window exchanges)
     "es_filter_missing_range": {"exchange": 3},
