@@ -2246,13 +2246,13 @@ def queries_to_conjuncts(spark: SparkSession, queries: dict) -> DataFrame:
     persisted in conjunct-row form directly."""
     rows = []
     for qid, q in queries.items():
-        # (leaf, group_id, min_match, in_should)
-        leaves: list[tuple[dict, int, int, bool]] = []
+        # (leaf, group_id, min_match, in_should, negated)
+        leaves: list[tuple[dict, int, int, bool, bool]] = []
         gid = 0
         if "bool" in q:
             b = q["bool"]
             bad = [k for k in b
-                   if k not in ("must", "filter", "should",
+                   if k not in ("must", "filter", "should", "must_not",
                                 "minimum_should_match")]
             if bad:
                 raise ValueError(
@@ -2262,8 +2262,23 @@ def queries_to_conjuncts(spark: SparkSession, queries: dict) -> DataFrame:
             for key in ("must", "filter"):
                 v = b.get(key, [])
                 for leaf in (v if isinstance(v, list) else [v]):
-                    leaves.append((leaf, gid, 1, False))
+                    leaves.append((leaf, gid, 1, False, False))
                     gid += 1
+            mn = b.get("must_not", [])
+            mn = mn if isinstance(mn, list) else [mn]
+            if mn and not (b.get("must") or b.get("filter")
+                           or b.get("should")):
+                # a pure-negation rule matches (docs − matching) —
+                # O(docs × rules) output with no candidate structure;
+                # the full-DSL path handles it at its linear-plan cost
+                raise ValueError(
+                    f"percolate_bulk query {qid!r}: must_not-only rules "
+                    "have no positive conjunct to anchor matching; use "
+                    "percolate() for the full DSL"
+                )
+            for leaf in mn:
+                leaves.append((leaf, gid, 1, False, True))
+                gid += 1
             should = b.get("should", [])
             should = should if isinstance(should, list) else [should]
             if should:
@@ -2280,13 +2295,13 @@ def queries_to_conjuncts(spark: SparkSession, queries: dict) -> DataFrame:
                     sg = gid
                     gid += 1
                     for leaf in should:
-                        leaves.append((leaf, sg, msm, True))
+                        leaves.append((leaf, sg, msm, True, False))
         else:
-            leaves.append((q, 0, 1, False))
+            leaves.append((q, 0, 1, False, False))
         if not leaves:
             raise ValueError(f"percolate_bulk query {qid!r}: no conjuncts")
         cid = 0
-        for leaf, g, mm, in_should in leaves:
+        for leaf, g, mm, in_should, neg in leaves:
             (kind,) = leaf.keys()
             body = leaf[kind]
             if kind == "term":
@@ -2295,25 +2310,32 @@ def queries_to_conjuncts(spark: SparkSession, queries: dict) -> DataFrame:
                 if isinstance(v, bool):
                     raise ValueError("boolean term values unsupported")
                 if isinstance(v, (int, float)):
-                    rows.append((qid, cid, field, "eq", None, float(v), g, mm))
+                    rows.append(
+                        (qid, cid, field, "eq", None, float(v), g, mm, neg)
+                    )
                 else:
-                    rows.append((qid, cid, field, "eq", str(v), None, g, mm))
+                    rows.append(
+                        (qid, cid, field, "eq", str(v), None, g, mm, neg)
+                    )
                 cid += 1
             elif kind == "range":
                 (field, spec), = body.items()
-                if in_should and len(spec) > 1:
-                    # one should CLAUSE = one countable unit; splitting
-                    # a two-bound range into two group rows would let a
-                    # half-match count toward the threshold
+                if (in_should or neg) and len(spec) > 1:
+                    # one should/must_not CLAUSE = one unit; splitting
+                    # a two-bound range into two rows would let a
+                    # half-match count toward the threshold (should)
+                    # or kill on a half-match (must_not)
                     raise ValueError(
                         f"percolate_bulk query {qid!r}: a multi-bound "
-                        "range inside should is one clause, not two — "
-                        "split the rule or use percolate()"
+                        "range inside should/must_not is one clause, "
+                        "not two — split the rule or use percolate()"
                     )
                 for op, v in spec.items():
                     if op not in ("gt", "gte", "lt", "lte"):
                         raise ValueError(f"range op {op!r}")
-                    rows.append((qid, cid, field, op, None, float(v), g, mm))
+                    rows.append(
+                        (qid, cid, field, op, None, float(v), g, mm, neg)
+                    )
                     cid += 1
             else:
                 raise ValueError(
@@ -2323,7 +2345,8 @@ def queries_to_conjuncts(spark: SparkSession, queries: dict) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "query_id string, conjunct_id int, field string, "
-        "op string, sval string, nval double, group_id int, min_match int",
+        "op string, sval string, nval double, group_id int, "
+        "min_match int, negated boolean",
     )
 
 
@@ -2389,6 +2412,8 @@ def percolate_bulk(
         conjuncts = conjuncts.withColumn("group_id", F.col("conjunct_id"))
     if "min_match" not in conjuncts.columns:
         conjuncts = conjuncts.withColumn("min_match", F.lit(1))
+    if "negated" not in conjuncts.columns:
+        conjuncts = conjuncts.withColumn("negated", F.lit(False))
     # materialize ONCE: every channel below (validation, eq_s, eq_n,
     # merged ranges, widths, totals) re-reads the cached blocks.
     # Stays persisted for the result's lifetime (LRU-evictable).
@@ -2399,15 +2424,20 @@ def percolate_bulk(
     # bad-op check, group-stage detection, channel emptiness — every
     # later consumer reads the cache
     is_eq = F.col("op") == "eq"
+    pos = ~F.col("negated")
     st = conjuncts.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.count_distinct("query_id", "group_id").alias("_ng"),
-        F.max("min_match").alias("_mm"),
+        F.count(F.when(pos, F.lit(1))).alias("_n"),
+        F.count_distinct(
+            F.when(pos, F.struct("query_id", "group_id"))
+        ).alias("_ng"),
+        F.max(F.when(pos, F.col("min_match"))).alias("_mm"),
         F.min("min_match").alias("_mm0"),
         F.max(~F.col("op").isin(*_BULK_OPS)).alias("_bad"),
-        F.max(is_eq & F.col("sval").isNotNull()).alias("_eq_s"),
-        F.max(is_eq & F.col("nval").isNotNull()).alias("_eq_n"),
-        F.max(~is_eq).alias("_rng"),
+        F.max(pos & is_eq & F.col("sval").isNotNull()).alias("_eq_s"),
+        F.max(pos & is_eq & F.col("nval").isNotNull()).alias("_eq_n"),
+        F.max(pos & ~is_eq).alias("_rng"),
+        F.max(~pos & F.col("sval").isNotNull()).alias("_neg_s"),
+        F.max(~pos & F.col("nval").isNotNull()).alias("_neg_n"),
         F.collect_set("field").alias("_fields"),
     ).collect()[0]  # bounded: one row (fields ∩ schema ≤ schema width)
     if st._bad or (st._mm0 or 1) < 1:
@@ -2418,6 +2448,21 @@ def percolate_bulk(
             f"unsupported conjunct op/min_match {bad[0].op!r}/"
             f"{bad[0].min_match!r}"
         )
+    if st._neg_s or st._neg_n:
+        # a must_not-only rule has no positive conjunct to anchor the
+        # count-to-total match — it would silently never fire
+        orphan = (
+            conjuncts.groupBy("query_id")
+            .agg(F.max(pos).alias("_hp"))
+            .filter(~F.col("_hp"))
+            .limit(1)
+            .collect()
+        )
+        if orphan:
+            raise ValueError(
+                f"percolate_bulk query {orphan[0].query_id!r} is "
+                "must_not-only; use percolate() for the full DSL"
+            )
 
     doc_types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
     numeric_t = ("int", "bigint", "smallint", "tinyint", "float", "double",
@@ -2464,7 +2509,7 @@ def percolate_bulk(
     leaf_sat = []
     if s_fields and st._eq_s:
         eq_s = conjuncts.filter(
-            is_eq & F.col("sval").isNotNull()
+            pos & is_eq & F.col("sval").isNotNull()
         ).select("query_id", "group_id", "field", "sval")
         melt_s = _melt(s_fields, "string", "sval")
         leaf_sat.append(
@@ -2472,7 +2517,7 @@ def percolate_bulk(
                 *id_cols, "query_id", "group_id"
             )
         )
-    rng = conjuncts.filter(~is_eq).select(
+    rng = conjuncts.filter(pos & ~is_eq).select(
         "query_id", "group_id", "field", "op", "nval", "min_match"
     )
     # group-satisfaction channel from merged must-range intervals:
@@ -2485,7 +2530,7 @@ def percolate_bulk(
         )
     if n_fields and st._eq_n:
         eq_n = conjuncts.filter(
-            is_eq & F.col("nval").isNotNull()
+            pos & is_eq & F.col("nval").isNotNull()
         ).select("query_id", "group_id", "field", "nval")
         leaf_sat.append(
             melt_n.withColumnRenamed("v", "nval")
@@ -2498,9 +2543,9 @@ def percolate_bulk(
         if grouped:
             # inside a multi-leaf group, range leaves are ALTERNATIVES
             # — only singleton (must) groups merge as conjunctions
-            gsz = conjuncts.groupBy("query_id", "group_id").agg(
-                F.count(F.lit(1)).alias("_gsz")
-            )
+            gsz = conjuncts.filter(pos).groupBy(
+                "query_id", "group_id"
+            ).agg(F.count(F.lit(1)).alias("_gsz"))
             mergeable = mergeable.join(
                 _rb(gsz), ["query_id", "group_id"]
             ).filter(F.col("_gsz") == 1)
@@ -2623,7 +2668,7 @@ def percolate_bulk(
     if leaf_sat:
         leaves = _union(leaf_sat)
         if grouped:
-            gmeta = conjuncts.select(
+            gmeta = conjuncts.filter(pos).select(
                 "query_id", "group_id", "min_match"
             ).distinct()
             resolved = (
@@ -2641,15 +2686,58 @@ def percolate_bulk(
         group_sat.append(resolved)
     satisfied = _union(group_sat)
 
-    totals = conjuncts.groupBy("query_id").agg(
+    totals = conjuncts.filter(pos).groupBy("query_id").agg(
         F.count_distinct("group_id").alias("_n_req")
     )
-    return (
+    matched = (
         satisfied.groupBy(*id_cols, "query_id")
         .agg(F.sum("_gw").alias("_n_sat"))
         .join(_rb(totals), "query_id")
         .filter(F.col("_n_sat") == F.col("_n_req"))
         .select(*id_cols, "query_id")
+    )
+    if not (st._neg_s or st._neg_n):
+        return matched
+    # must_not conjuncts (round 11): each negated leaf KILLS any
+    # (doc, query) pair it matches — computed with the same melt
+    # channels (per-leaf; no merging or counting, any hit kills) and
+    # removed by ONE left_anti join. A doc whose field is missing
+    # never matches the leaf and therefore survives, exactly ES's
+    # must_not NULL semantics.
+    kill = []
+    if s_fields and st._neg_s:
+        neg_s = conjuncts.filter(
+            ~pos & F.col("sval").isNotNull()
+        ).select("query_id", "field", "sval")
+        kill.append(
+            _melt(s_fields, "string", "sval")
+            .join(_rb(neg_s), ["field", "sval"])
+            .select(*id_cols, "query_id")
+        )
+    if n_fields and st._neg_n:
+        neg_n = conjuncts.filter(~pos & F.col("nval").isNotNull()).select(
+            "query_id", "field", "op", "nval"
+        )
+        nm = _melt(n_fields, "double", "nval").withColumnRenamed(
+            "nval", "v"
+        )
+        nv, nb = F.col("v"), F.col("nval")
+        nok = (
+            F.when(F.col("op") == "eq", nv == nb)
+            .when(F.col("op") == "gt", nv > nb)
+            .when(F.col("op") == "gte", nv >= nb)
+            .when(F.col("op") == "lt", nv < nb)
+            .otherwise(nv <= nb)
+        )
+        kill.append(
+            nm.join(_rb(neg_n), "field")
+            .filter(nok)
+            .select(*id_cols, "query_id")
+        )
+    if not kill:
+        return matched
+    return matched.join(
+        _union(kill), [*id_cols, "query_id"], "left_anti"
     )
 
 

@@ -1494,6 +1494,63 @@ def test_percolate_bulk_should_minimum_should_match(spark):
         )
 
 
+def test_percolate_bulk_must_not(spark):
+    """Round 11: must_not conjuncts kill (doc, query) pairs via one
+    left_anti join — agreement with percolate()'s full-DSL answer,
+    including ES's NULL semantics (a missing field never matches the
+    negated leaf, so the doc survives). must_not-only rules raise."""
+    from dump_es_parquet_spark.operators.es_search import (
+        percolate,
+        percolate_bulk,
+        queries_to_conjuncts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(id=1, kind="a", n=10.0),
+            Row(id=2, kind="a", n=200.0),
+            Row(id=3, kind="a", n=None),
+            Row(id=4, kind=None, n=5.0),
+        ]
+    )
+    rules = {
+        # kind=a AND NOT n >= 100: doc 1 yes, doc 2 killed, doc 3
+        # survives (NULL n never matches the negation)
+        "a_small": {"bool": {
+            "must": [{"term": {"kind": "a"}}],
+            "must_not": [{"range": {"n": {"gte": 100}}}],
+        }},
+        # n < 100 AND NOT kind = a: only doc 4 (NULL kind survives)
+        "not_a": {"bool": {
+            "filter": [{"range": {"n": {"lt": 100}}}],
+            "must_not": [{"term": {"kind": "a"}}],
+        }},
+    }
+    conj = queries_to_conjuncts(spark, rules)
+    got = sorted(
+        (r.id, r.query_id)
+        for r in percolate_bulk(docs, conj, id_cols=["id"]).collect()
+    )
+    want = sorted(
+        (r.id, r.query_id)
+        for r in percolate(docs, rules, id_cols=["id"]).collect()
+    )
+    assert got == want == [(1, "a_small"), (3, "a_small"), (4, "not_a")]
+    with pytest.raises(ValueError, match="must_not-only"):
+        queries_to_conjuncts(
+            spark,
+            {"q": {"bool": {"must_not": [{"term": {"kind": "a"}}]}}},
+        )
+    with pytest.raises(ValueError, match="multi-bound"):
+        queries_to_conjuncts(
+            spark,
+            {"q": {"bool": {
+                "must": [{"term": {"kind": "a"}}],
+                "must_not": [{"range": {"n": {"gte": 1, "lt": 2}}}],
+            }}},
+        )
+
+
 def test_percolate_bulk_range_merge_strictness(spark):
     """The binned route merges must-range conjuncts per (query,
     field): the binding bound must win with its strictness (gt 5 +
