@@ -18,8 +18,11 @@ Query DSL (``compile_query``):
   LIKE-metachar escaping), ``regexp`` (implicitly anchored, as ES
   anchors it), ``match`` (whitespace-analyzed OR — or AND with
   ``"operator": "and"``), ``match_phrase`` (token-boundary regexp),
-  and ``bool`` with must/filter/should/must_not and
-  ``minimum_should_match``.
+  ``bool`` with must/filter/should/must_not and
+  ``minimum_should_match``, the geo pair (``geo_bounding_box`` /
+  ``geo_distance`` — round 10), and ``nested`` (round 11:
+  ``exists(path, x -> inner)`` — same-object semantics over
+  array-mode columns).
 - NULL-exactness: ES ``must_not`` matches docs where the field is
   MISSING; Spark's ``~(col == v)`` is NULL there and would drop the
   row. Every negated / counted clause therefore goes through
@@ -39,7 +42,10 @@ Aggregations DSL (``compile_aggs``):
   query-DSL body) and ``missing`` (docs lacking the field),
   ``filters`` (root level only — a doc can land in several buckets,
   compiled as build-matching-names array → explode, fan-out bounded
-  by the filter count).
+  by the filter count), ``nested`` (root level — the array column is
+  replaced by exploded structs, doc_count counts objects), and the
+  map-dashboard grids ``geohash_grid`` / ``geotile_grid`` (round 11:
+  pure bit-interleave / Web-Mercator projections).
 - metric aggs: ``avg`` / ``sum`` (through DECIMAL(18,6) so partial-
   agg order can't flip float bits — house convention), ``min`` /
   ``max``, ``value_count``, ``cardinality`` (EXACT count_distinct;
@@ -48,7 +54,8 @@ Aggregations DSL (``compile_aggs``):
   ``percentiles`` (exact linear-interpolation ``F.percentile`` ≡
   DuckDB ``quantile_cont``, rounded to 6dp), ``stats`` (count/min/
   max/sum/avg expansion), ``weighted_avg`` (Σ(v·w)/Σw, exact decimal
-  sums), ``top_metrics`` (the metric at the bucket's top-sorted doc;
+  sums, NULL-masked per ES), ``geo_centroid`` (exact-decimal mean
+  pair), ``top_metrics`` (the metric at the bucket's top-sorted doc;
   lexicographic struct max/min pins sort ties to the metric value in
   both engines). Each metric is reported at the level it
   is attached to (NULL elsewhere), like the ES response tree.
@@ -79,9 +86,12 @@ below the Expand and specializes every branch into its OWN full
 scan (3 scans / 14 exchanges for a 2-level tree, measured; the
 window form is 1 scan / 2 data-sized exchanges). Spark plans
 WindowGroupLimit for the rank caps, so top-``size`` prunes before
-the bucket-frame shuffles too. Empty buckets are NOT synthesized
-(ES ``min_doc_count: 0`` date_histogram gap-filling is out of
-scope — documented divergence).
+the bucket-frame shuffles too. date_histogram gap-filling
+(``min_doc_count: 0`` + ``extended_bounds``) synthesizes empty
+buckets with one explode over the bucket frame — fixed-width grids
+by long arithmetic, month/quarter/year by INTERVAL-n-MONTH
+sequences (round 11); positional pipelines at a gap level raise
+(PARITY #20).
 
 ``composite_agg`` implements the composite/after-key pagination:
 the after-key filter is a struct comparison applied BEFORE the
@@ -1690,11 +1700,12 @@ def composite_agg(
         else:
             (name, spec), = s.items()
             kinds = [k for k in spec
-                     if k in ("terms", "histogram", "date_histogram")]
+                     if k in ("terms", "histogram", "date_histogram",
+                              "geotile_grid", "geohash_grid")]
             if len(kinds) != 1:
                 raise ValueError(
-                    f"composite source {name!r}: one of "
-                    "terms/histogram/date_histogram"
+                    f"composite source {name!r}: one of terms/histogram/"
+                    "date_histogram/geotile_grid/geohash_grid"
                 )
             names.append(name)
             exprs.append(_Level(name, kinds[0], spec[kinds[0]]).key_expr())

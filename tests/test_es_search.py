@@ -290,6 +290,33 @@ def test_composite_datehist_source_tiles_pages(spark):
         composite_agg(df, [{"x": {"range": {"field": "k"}}}])
 
 
+def test_composite_geotile_source(spark):
+    """Round 11: composite sources accept the geo grid kinds through
+    the same _Level.key_expr as agg trees — a paged map query."""
+    from dump_es_parquet_spark.operators.es_search import composite_agg
+
+    df = spark.createDataFrame(
+        [Row(loc=Row(lat=10.0 + 5 * i, lon=20.0 + 25 * i), n=float(i))
+         for i in range(4)]  # 25°-spaced lons → 4 distinct 22.5° tiles
+    )
+    page = composite_agg(
+        df,
+        [{"tile": {"geotile_grid": {"field": "loc", "precision": 4}}}],
+        size=3,
+    ).collect()
+    assert [r.tile for r in page] == sorted(r.tile for r in page)
+    assert len(page) == 3 and all(r.doc_count == 1 for r in page)
+    assert all(r.tile.startswith("4/") for r in page)
+    after = {"tile": page[-1].tile}
+    page2 = composite_agg(
+        df,
+        [{"tile": {"geotile_grid": {"field": "loc", "precision": 4}}}],
+        size=3,
+        after=after,
+    ).collect()
+    assert len(page2) == 1 and page2[0].tile > after["tile"]
+
+
 def test_composite_after_key_pagination(spark):
     df = spark.createDataFrame(
         [Row(a=a, b=b) for a in ("p", "q") for b in ("1", "2")] * 2
