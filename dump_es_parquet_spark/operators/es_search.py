@@ -1024,16 +1024,29 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         path = levels[0].body["path"]
         base = base.withColumn(path, F.explode(F.col(path)))
     if levels[0].kind == "filters":
+        fbody = levels[0].body
         names_arr = F.array_compact(
             F.array(
                 *[
                     F.when(
                         _false_safe(compile_query(fq)), F.lit(fname)
                     )
-                    for fname, fq in levels[0].body["filters"].items()
+                    for fname, fq in fbody["filters"].items()
                 ]
             )
         )
+        # ES other_bucket (round 11): docs matching NO filter land in
+        # one extra bucket instead of vanishing — the empty
+        # matched-names array becomes the other-bucket singleton
+        if fbody.get("other_bucket") or "other_bucket_key" in fbody:
+            other = str(fbody.get("other_bucket_key", "_other_"))
+            if other in fbody["filters"]:
+                raise ValueError(
+                    f"other_bucket_key {other!r} collides with a filter name"
+                )
+            names_arr = F.when(
+                F.size(names_arr) == 0, F.array(F.lit(other))
+            ).otherwise(names_arr)
         base = base.withColumn(levels[0].name, F.explode(names_arr))
         key_exprs = [F.col(levels[0].name)] + [
             lvl.key_expr() for lvl in levels[1:]
@@ -1195,7 +1208,7 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     gap_levels = [
         i
         for i, lvl in enumerate(levels, start=1)
-        if lvl.kind == "date_histogram"
+        if lvl.kind in ("date_histogram", "histogram")
         and (
             lvl.body.get("min_doc_count") == 0
             or "extended_bounds" in lvl.body
@@ -1218,29 +1231,79 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         ]
         if positional or lvl.bucket_sort:
             raise ValueError(
-                "gap-filled date_histogram level cannot carry "
+                "a gap-filled histogram level cannot carry "
                 "moving_fn/serial_diff/bucket_sort: empty buckets "
                 "would occupy window positions in ES but not here "
                 f"(level {lvl.name!r}, PARITY #20)"
             )
-        grid = _dh_grid(lvl.body)
         eb = lvl.body.get("extended_bounds") or {}
         for bk in eb:
             if bk not in ("min", "max"):
                 raise ValueError(f"extended_bounds key {bk!r}")
-            if not isinstance(eb[bk], int):
-                raise ValueError(
-                    "extended_bounds values must be epoch millis ints"
-                )
-        key = F.col(lvl.name).cast("long")
+        if lvl.kind == "histogram":
+            # numeric histogram (round 11): the grid is float
+            # arithmetic on the same key expression the bucket level
+            # used — synthesized keys are key + i·interval, spelled
+            # identically in the oracle
+            grid = ("float", float(lvl.body["interval"]),
+                    float(lvl.body.get("offset", 0.0)))
+            key = F.col(lvl.name).cast("double")
+        else:
+            grid = _dh_grid(lvl.body)
+            for bk in eb:
+                if not isinstance(eb[bk], int):
+                    raise ValueError(
+                        "extended_bounds values must be epoch millis ints"
+                    )
+            key = F.col(lvl.name).cast("long")
         part = [F.col("level"), *[F.col(k) for k in key_names[: i - 1]]]
         wseq = Window.partitionBy(*part).orderBy(key.asc())
         wall = Window.partitionBy(*part)
         nxt = F.lead(key).over(wseq)
         rn = F.row_number().over(wseq)
         cnt = F.count(F.lit(1)).over(wall)
-        empty = F.array().cast("array<long>")
-        if grid[0] == "fixed":
+        empty = F.array().cast(
+            "array<double>" if grid[0] == "float" else "array<long>"
+        )
+        if grid[0] == "float":
+            _, step, goff = grid
+            stp = F.lit(step)
+            nsteps = F.round((nxt - key) / stp).cast("long")
+            gaps = F.when(
+                nxt.isNotNull() & (nsteps > 1),
+                F.transform(
+                    F.sequence(F.lit(1), nsteps - 1),
+                    lambda j: key + j.cast("double") * stp,
+                ),
+            ).otherwise(empty)
+            pre, post = empty, empty
+            if "min" in eb:
+                lo = (
+                    math.floor((float(eb["min"]) - goff) / step) * step
+                    + goff
+                )
+                npre = F.round((key - F.lit(lo)) / stp).cast("long")
+                pre = F.when(
+                    (rn == 1) & (key > F.lit(lo)),
+                    F.transform(
+                        F.sequence(F.lit(1), npre),
+                        lambda j: key - j.cast("double") * stp,
+                    ),
+                ).otherwise(empty)
+            if "max" in eb:
+                hi = (
+                    math.floor((float(eb["max"]) - goff) / step) * step
+                    + goff
+                )
+                npost = F.round((F.lit(hi) - key) / stp).cast("long")
+                post = F.when(
+                    (rn == cnt) & (key < F.lit(hi)),
+                    F.transform(
+                        F.sequence(F.lit(1), npost),
+                        lambda j: key + j.cast("double") * stp,
+                    ),
+                ).otherwise(empty)
+        elif grid[0] == "fixed":
             _, step, goff = grid
             # interior gaps: keys strictly between this bucket and
             # the next

@@ -677,6 +677,66 @@ def test_date_histogram_gapfill_default_off_and_variable_width(spark):
     assert len(plain) == 2
 
 
+def test_filters_other_bucket(spark):
+    """Round 11: ES filters `other_bucket` — docs matching NO filter
+    land in one extra bucket (named by other_bucket_key) instead of
+    vanishing; a doc matching several filters still explodes into
+    each, never into the other bucket; name collisions raise."""
+    df = spark.createDataFrame(
+        [Row(k="a", n=10.0), Row(k="b", n=200.0), Row(k="c", n=50.0)]
+    )
+    spec = {
+        "seg": {
+            "filters": {
+                "filters": {
+                    "is_a": {"term": {"k": "a"}},
+                    "big": {"range": {"n": {"gte": 40}}},
+                },
+                "other_bucket_key": "rest",
+            },
+            "aggs": {"s": {"sum": {"field": "n"}}},
+        }
+    }
+    out = compile_aggs(df, spec).collect()
+    assert sorted((r.seg, r.doc_count, r.s) for r in out) == [
+        ("big", 2, 250.0), ("is_a", 1, 10.0),
+    ]
+    # add a no-match doc: it lands in 'rest'
+    df2 = df.union(spark.createDataFrame([Row(k="z", n=1.0)]))
+    out2 = compile_aggs(df2, spec).collect()
+    assert sorted((r.seg, r.doc_count, r.s) for r in out2) == [
+        ("big", 2, 250.0), ("is_a", 1, 10.0), ("rest", 1, 1.0),
+    ]
+    with pytest.raises(ValueError, match="collides"):
+        compile_aggs(df, {"seg": {"filters": {
+            "filters": {"is_a": {"term": {"k": "a"}}},
+            "other_bucket_key": "is_a"}}})
+
+
+def test_histogram_gapfill_numeric(spark):
+    """Round 11: numeric histogram gap-fill — interior gaps and
+    extended_bounds on a float grid (interval 25, offset 5);
+    synthesized buckets carry doc_count 0 / NULL metrics."""
+    df = spark.createDataFrame(
+        [Row(v=10.0, n=1.0), Row(v=112.0, n=2.0)]
+    )
+    out = compile_aggs(
+        df,
+        {"b": {"histogram": {"field": "v", "interval": 25.0,
+                             "offset": 5.0, "min_doc_count": 0,
+                             "extended_bounds": {"min": -40, "max": 150}},
+               "aggs": {"s": {"sum": {"field": "n"}}}}},
+    ).collect()
+    got = [(r.b, r.doc_count, r.s) for r in out]
+    assert got == [
+        (-45.0, 0, None), (-20.0, 0, None),
+        (5.0, 1, 1.0),
+        (30.0, 0, None), (55.0, 0, None), (80.0, 0, None),
+        (105.0, 1, 2.0),
+        (130.0, 0, None),
+    ]
+
+
 def test_date_histogram_gapfill_month_and_quarter(spark):
     """Round 11 (VERDICT r10 Next #5): the variable-width calendar
     units fill by INTERVAL-n-MONTH sequences — interior gaps between
