@@ -1101,19 +1101,23 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         if lvl.kind == "terms":
             size = int(lvl.body.get("size", 10))
             order = lvl.body.get("order", {"_count": "desc"})
-            (okey, odir), = order.items()
-            if okey == "_count":
-                ocol = F.col("doc_count")
-            elif okey == "_key":
-                ocol = F.col(lvl.name)
-            else:
-                ocol = F.col(okey)  # a sibling metric at this level
-            ocol = ocol.desc() if odir == "desc" else ocol.asc()
+            # ES accepts one criterion or a tie-breaking LIST of them
+            crits = order if isinstance(order, list) else [order]
+            ocols = []
+            for crit in crits:
+                (okey, odir), = crit.items()
+                if okey == "_count":
+                    ocol = F.col("doc_count")
+                elif okey == "_key":
+                    ocol = F.col(lvl.name)
+                else:
+                    ocol = F.col(okey)  # a sibling metric at this level
+                ocols.append(ocol.desc() if odir == "desc" else ocol.asc())
             # partitioning by (level, parent prefix) isolates this
             # level's buckets: rows of other levels rank in their own
             # partitions and are masked out below
             w = Window.partitionBy(F.col("level"), *key_names[: i - 1]).orderBy(
-                ocol, F.col(lvl.name).asc()
+                *ocols, F.col(lvl.name).asc()
             )
             cond = cond & (F.row_number().over(w) <= size)
         frame = frame.withColumn(
@@ -1571,8 +1575,18 @@ def _apply_pipelines_windows(frame, levels, key_names) -> _PipeResult:
                     f"{kind} needs a sequential (histogram-family) parent, "
                     f"got {lvl.kind}"
                 )
+            # ES gap_policy (round 11): 'skip' is the SQL-NULL window
+            # behavior this module already pins (NULL source values
+            # drop from sums/windows); 'insert_zeros' coalesces the
+            # source to 0 before the window
+            gp = spec.get("gap_policy", "skip")
+            if gp not in ("skip", "insert_zeros"):
+                raise ValueError(f"gap_policy {gp!r}")
+            zeroed = gp == "insert_zeros"
             if kind == "cumulative_sum":
                 src = _bucket_path_col(spec["buckets_path"])
+                if zeroed:
+                    src = F.coalesce(src, F.lit(0.0))
                 col = (
                     F.sum(src.cast("decimal(28,6)"))
                     .over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -1580,6 +1594,8 @@ def _apply_pipelines_windows(frame, levels, key_names) -> _PipeResult:
                 )
             elif kind == "derivative":
                 src = _bucket_path_col(spec["buckets_path"])
+                if zeroed:
+                    src = F.coalesce(src, F.lit(0.0))
                 col = (src - F.lag(src).over(w)).cast("double")
             elif kind == "moving_fn":
                 # the MovingFunctions.* subset with an exact SQL window
@@ -1605,6 +1621,8 @@ def _apply_pipelines_windows(frame, levels, key_names) -> _PipeResult:
                 if win_n < 1:
                     raise ValueError("moving_fn window must be >= 1")
                 src = _bucket_path_col(spec["buckets_path"])
+                if zeroed:
+                    src = F.coalesce(src, F.lit(0.0))
                 mw = w.rowsBetween(-(win_n - 1), 0)
                 if fn == "max":
                     col = F.max(src).over(mw).cast("double")
@@ -1624,6 +1642,8 @@ def _apply_pipelines_windows(frame, levels, key_names) -> _PipeResult:
                 if lag_n < 1:
                     raise ValueError("serial_diff lag must be >= 1")
                 src = _bucket_path_col(spec["buckets_path"])
+                if zeroed:
+                    src = F.coalesce(src, F.lit(0.0))
                 col = (src - F.lag(src, lag_n).over(w)).cast("double")
             else:  # bucket_script
                 script = spec["script"]
@@ -1631,6 +1651,8 @@ def _apply_pipelines_windows(frame, levels, key_names) -> _PipeResult:
                     spec["buckets_path"].items(), key=lambda kv: -len(kv[0])
                 ):
                     col_name = "doc_count" if path == "_count" else path
+                    if zeroed:
+                        col_name = f"coalesce({col_name}, 0.0)"
                     script = script.replace(f"params.{var}", col_name)
                 col = F.expr(script).cast("double")
             frame = frame.withColumn(pname, F.when(at_level, col))

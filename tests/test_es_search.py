@@ -677,6 +677,57 @@ def test_date_histogram_gapfill_default_off_and_variable_width(spark):
     assert len(plain) == 2
 
 
+def test_pipeline_gap_policy_insert_zeros(spark):
+    """Round 11: pipeline gap_policy — 'skip' is the pinned SQL-NULL
+    behavior; 'insert_zeros' coalesces the source to 0 before the
+    window (cumulative_sum keeps accumulating, derivative measures
+    against 0), incl. bucket_script params; unknown policies raise."""
+    df = spark.createDataFrame(
+        [Row(d=0.0, n=10.0), Row(d=1.0, n=None), Row(d=2.0, n=30.0)]
+    )
+    aggs = {
+        "b": {"histogram": {"field": "d", "interval": 1},
+              "aggs": {
+                  "m": {"avg": {"field": "n"}},
+                  "cs": {"cumulative_sum": {"buckets_path": "m",
+                                            "gap_policy": "insert_zeros"}},
+                  "dv": {"derivative": {"buckets_path": "m",
+                                        "gap_policy": "insert_zeros"}},
+                  "bs": {"bucket_script": {
+                      "buckets_path": {"v": "m"},
+                      "script": "params.v * 2",
+                      "gap_policy": "insert_zeros"}},
+              }},
+    }
+    out = {r.b: (r.cs, r.dv, r.bs) for r in compile_aggs(df, aggs).collect()}
+    assert out == {
+        0.0: (10.0, None, 20.0),
+        1.0: (10.0, -10.0, 0.0),
+        2.0: (40.0, 30.0, 60.0),
+    }
+    with pytest.raises(ValueError, match="gap_policy"):
+        compile_aggs(df, {"b": {"histogram": {"field": "d", "interval": 1},
+                                "aggs": {"cs": {"cumulative_sum": {
+                                    "buckets_path": "_count",
+                                    "gap_policy": "keep"}}}}}).collect()
+
+
+def test_terms_order_list(spark):
+    """Round 11: terms `order` as a tie-breaking LIST of criteria."""
+    df = spark.createDataFrame(
+        [Row(k="a", n=1.0), Row(k="b", n=9.0), Row(k="c", n=5.0),
+         Row(k="c", n=5.0)]
+    )
+    out = compile_aggs(
+        df,
+        {"t": {"terms": {"field": "k", "size": 2,
+                         "order": [{"_count": "desc"}, {"m": "desc"}]},
+               "aggs": {"m": {"max": {"field": "n"}}}}},
+    ).collect()
+    # counts: c=2, a=1, b=1 → tie a/b broken by max(n) desc → b
+    assert sorted(r.t for r in out) == ["b", "c"]
+
+
 def test_filters_other_bucket(spark):
     """Round 11: ES filters `other_bucket` — docs matching NO filter
     land in one extra bucket (named by other_bucket_key) instead of
@@ -1747,6 +1798,43 @@ def test_streamable_aggs_week_aligns_to_monday(spark, sf_dir):
     for ms, _, _ in b:
         day = dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc)
         assert day.weekday() == 0, day
+
+
+def test_streamable_aggs_geo_grid_sub_bucket(spark):
+    """Round 11: the geo grid kinds are stateless key expressions, so
+    a live map dashboard (date_histogram root → geotile cells) is
+    streamable and equals compile_aggs' leaf level on a batch frame."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.es_search import streamable_aggs
+
+    df = spark.createDataFrame(
+        [
+            Row(ts=dt.datetime(2024, 1, 1, 0, 5),
+                loc=Row(lat=10.0, lon=20.0), n=1.0),
+            Row(ts=dt.datetime(2024, 1, 1, 0, 25),
+                loc=Row(lat=10.2, lon=20.2), n=2.0),
+            Row(ts=dt.datetime(2024, 1, 1, 1, 5),
+                loc=Row(lat=-50.0, lon=-120.0), n=3.0),
+        ]
+    )
+    aggs = {
+        "per_hour": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {
+                "cell": {"geotile_grid": {"field": "loc", "precision": 4},
+                         "aggs": {"s": {"sum": {"field": "n"}}}},
+            },
+        }
+    }
+    got = sorted(
+        map(tuple, streamable_aggs(df, aggs).collect())
+    )
+    leaf = compile_aggs(df, aggs).filter("level = 2").select(
+        "per_hour", "cell", "doc_count", "s"
+    )
+    assert got == sorted(map(tuple, leaf.collect()))
+    assert len(got) == 2 and got[0][2] + got[1][2] == 3
 
 
 def test_streamable_aggs_rejects_unmaintainable_shapes(spark):
