@@ -690,6 +690,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     fraction kills the tan/ln ulp boundary risk in both
         #     engines; demoted-green pending rotation
         "es_geotile_grid",
+        # es_geo_distance_rings — distance-ring buckets over the same
+        #     haversine tree as the geo query class, geo_centroid per
+        #     ring (round 11); demoted-green pending rotation
+        "es_geo_distance_rings",
         # es_date_histogram_gapfill_month — calendar-interval (month)
         #     gap-filling (round 11, VERDICT r10 Next #5): the grid
         #     steps by INTERVAL 1 MONTH timestamp sequences;
@@ -1012,6 +1016,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
         "es_geohash_grid": _mod("es_search", "q_es_geohash_grid"),
         "es_geotile_grid": _mod("es_search", "q_es_geotile_grid"),
+        "es_geo_distance_rings": _mod(
+            "es_search", "q_es_geo_distance_rings"
+        ),
         "es_nested_query": _mod("es_search", "q_es_nested_query"),
         "es_nested_agg": _mod("es_search", "q_es_nested_agg"),
         "es_date_histogram_gapfill_month": _mod(
@@ -4210,6 +4217,44 @@ def _all_oracle_sql() -> dict[str, str]:
                    / count(a.w)
         FROM x GROUP BY a.k
         ORDER BY level, objs NULLS FIRST, by_k NULLS FIRST
+    """
+
+    # es_geo_distance_rings: the identical haversine tree feeding a
+    # range-agg CASE chain (from-inclusive / to-exclusive meters);
+    # centroid = exact-decimal mean pair per ring.
+    q["es_geo_distance_rings"] = """
+        WITH g AS (
+          SELECT value / 10.0 - 24.5 AS lat,
+                 CAST((event_id % 360) - 180 + 0.5 AS DOUBLE) AS lon
+          FROM events
+        ),
+        d AS (
+          SELECT lat, lon,
+                 2 * 6371008.7714 * asin(sqrt(
+                   sin(radians(lat - 0.0) / 2.0)
+                     * sin(radians(lat - 0.0) / 2.0)
+                   + cos(radians(lat)) * cos(radians(0.0))
+                     * sin(radians(lon - 0.0) / 2.0)
+                     * sin(radians(lon - 0.0) / 2.0)
+                 )) AS dist
+          FROM g
+        ),
+        k AS (
+          SELECT lat, lon,
+                 CASE WHEN dist < 2000000.0 THEN 'near'
+                      WHEN dist >= 2000000.0 AND dist < 8000000.0 THEN 'mid'
+                      WHEN dist >= 8000000.0 THEN 'far' END AS rings
+          FROM d
+        )
+        SELECT CAST(1 AS INT) AS level, rings, count(*) AS doc_count,
+               CAST(sum(CAST(lat AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL
+                           THEN 1 END) AS centroid_lat,
+               CAST(sum(CAST(lon AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL
+                           THEN 1 END) AS centroid_lon
+        FROM k WHERE rings IS NOT NULL
+        GROUP BY rings ORDER BY rings
     """
 
     q["es_geo_queries"] = """

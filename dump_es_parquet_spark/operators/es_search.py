@@ -136,6 +136,7 @@ _BUCKET_KINDS = (
     "missing",
     "geohash_grid",
     "geotile_grid",
+    "geo_distance",
     "nested",
 )
 _METRIC_KINDS = (
@@ -598,6 +599,34 @@ class _Level:
                 F.col(b["field"] + ".lon"),
                 int(b.get("precision", 7)),
             )
+        if self.kind == "geo_distance":
+            # distance-ring buckets: the range-agg CASE chain over the
+            # same haversine tree the geo_distance QUERY uses (from-
+            # inclusive / to-exclusive meters, ES's defaults); docs
+            # outside every ring get a NULL key
+            origin = b["origin"]
+            dist = _haversine_m(
+                F.col(b["field"] + ".lat"),
+                F.col(b["field"] + ".lon"),
+                float(origin["lat"]),
+                float(origin["lon"]),
+            )
+            expr = None
+            for r in b["ranges"]:
+                cond = F.lit(True)
+                if "from" in r:
+                    cond = cond & (dist >= F.lit(float(r["from"])))
+                if "to" in r:
+                    cond = cond & (dist < F.lit(float(r["to"])))
+                key = r.get(
+                    "key", f"{r.get('from', '*')}-{r.get('to', '*')}"
+                )
+                expr = (
+                    F.when(cond, F.lit(key))
+                    if expr is None
+                    else expr.when(cond, F.lit(key))
+                )
+            return expr
         raise ValueError(f"bucket kind {self.kind!r}")
 
 
@@ -2076,9 +2105,15 @@ def _highlight_terms(q: dict | None, field: str) -> list[str]:
 
 
 def search_aggs(df: DataFrame, request: dict) -> DataFrame:
-    """The aggregations side of a ``_search`` request: the query
-    filters, then the agg tree compiles over the filtered frame."""
-    return compile_aggs(df.filter(compile_query(request.get("query"))), request["aggs"])
+    """The aggregations side of a ``_search`` request: runtime fields
+    materialize first (round 11 — previously only the hits side
+    honored ``runtime_mappings``), the query filters, then the agg
+    tree compiles over the filtered frame."""
+    for name, spec in (request.get("runtime_mappings") or {}).items():
+        df = df.withColumn(name, F.expr(spec["script_sql"]))
+    return compile_aggs(
+        df.filter(compile_query(request.get("query"))), request["aggs"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3325,6 +3360,44 @@ def q_es_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "avg_w": {"avg": {"field": "attrs.w"}}
                             },
                         }
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geo_distance`` ring buckets (round 11) — distance-from-
+    origin CASE chain over the same haversine tree the geo query
+    class uses, with a geo_centroid metric per ring; completes the
+    geo agg family (grids + centroid + rings)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "loc",
+        F.struct(
+            (F.col("value") / F.lit(10.0) - F.lit(24.5)).alias("lat"),
+            (
+                (F.col("event_id") % F.lit(360)) - F.lit(180) + F.lit(0.5)
+            ).cast("double").alias("lon"),
+        ),
+    )
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "rings": {
+                    "geo_distance": {
+                        "field": "loc",
+                        "origin": {"lat": 0.0, "lon": 0.0},
+                        "ranges": [
+                            {"key": "near", "to": 2_000_000},
+                            {"key": "mid", "from": 2_000_000,
+                             "to": 8_000_000},
+                            {"key": "far", "from": 8_000_000},
+                        ],
+                    },
+                    "aggs": {
+                        "centroid": {"geo_centroid": {"field": "loc"}}
                     },
                 }
             },

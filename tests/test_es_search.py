@@ -677,6 +677,26 @@ def test_date_histogram_gapfill_default_off_and_variable_width(spark):
     assert len(plain) == 2
 
 
+def test_search_aggs_runtime_mappings(spark):
+    """Round 11: the aggs side of a request honors runtime_mappings —
+    a runtime field can be both queried and bucketed on."""
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    df = spark.createDataFrame(
+        [Row(n=5.0), Row(n=15.0), Row(n=25.0)]
+    )
+    out = search_aggs(
+        df,
+        {
+            "runtime_mappings": {"band": {"script_sql": "floor(n / 10)"}},
+            "query": {"range": {"band": {"gte": 1}}},
+            "aggs": {"by_band": {"terms": {"field": "band",
+                                           "order": {"_key": "asc"}}}},
+        },
+    ).collect()
+    assert [(r.by_band, r.doc_count) for r in out] == [(1, 1), (2, 1)]
+
+
 def test_pipeline_gap_policy_insert_zeros(spark):
     """Round 11: pipeline gap_policy — 'skip' is the pinned SQL-NULL
     behavior; 'insert_zeros' coalesces the source to 0 before the

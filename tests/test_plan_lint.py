@@ -255,6 +255,9 @@ PINNED_FINGERPRINTS = {
     # nested agg: one explode (Generate) before the same rollup +
     # window + orderBy class — the re-basing adds no exchange
     "es_nested_agg": {"exchange": 3},
+    # geo_distance rings: haversine CASE chain is a pure projection —
+    # same bucket-frame class
+    "es_geo_distance_rings": {"exchange": 3},
     # missing → date_range chain: same bucket-frame class as the
     # other agg trees (rollup + two window exchanges)
     "es_filter_missing_range": {"exchange": 3},
