@@ -694,6 +694,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     haversine tree as the geo query class, geo_centroid per
         #     ring (round 11); demoted-green pending rotation
         "es_geo_distance_rings",
+        # es_auto_date_histogram — Kibana's adaptive time bucketing
+        #     (round 11): ladder-chosen interval from one bounded
+        #     min/max collect, the choice itself hash-verified via a
+        #     literal column; demoted-green pending rotation
+        "es_auto_date_histogram",
         # es_date_histogram_gapfill_month — calendar-interval (month)
         #     gap-filling (round 11, VERDICT r10 Next #5): the grid
         #     steps by INTERVAL 1 MONTH timestamp sequences;
@@ -1018,6 +1023,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_geotile_grid": _mod("es_search", "q_es_geotile_grid"),
         "es_geo_distance_rings": _mod(
             "es_search", "q_es_geo_distance_rings"
+        ),
+        "es_auto_date_histogram": _mod(
+            "es_search", "q_es_auto_date_histogram"
         ),
         "es_nested_query": _mod("es_search", "q_es_nested_query"),
         "es_nested_agg": _mod("es_search", "q_es_nested_agg"),
@@ -4217,6 +4225,23 @@ def _all_oracle_sql() -> dict[str, str]:
                    / count(a.w)
         FROM x GROUP BY a.k
         ORDER BY level, objs NULLS FIRST, by_k NULLS FIRST
+    """
+
+    # es_auto_date_histogram: the ~31-day January window at every SF
+    # picks '7d' from the ladder (day -> ~31 > 10 buckets; 7d -> <=
+    # 10); epoch-anchored fixed grid, the chosen label emitted as a
+    # literal column so a drifted choice hash-fails loudly.
+    q["es_auto_date_histogram"] = """
+        SELECT CAST(1 AS INT) AS level,
+               CAST(floor(epoch_ms(ts) / 604800000) * 604800000
+                    AS BIGINT) AS per_auto,
+               count(*) AS doc_count,
+               '7d' AS per_auto_interval,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        WHERE coalesce(event_type = 'view', FALSE) AND ts IS NOT NULL
+        GROUP BY 2 ORDER BY per_auto
     """
 
     # es_geo_distance_rings: the identical haversine tree feeding a

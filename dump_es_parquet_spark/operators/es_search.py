@@ -138,6 +138,7 @@ _BUCKET_KINDS = (
     "geotile_grid",
     "geo_distance",
     "nested",
+    "auto_date_histogram",
 )
 _METRIC_KINDS = (
     "avg",
@@ -152,6 +153,7 @@ _METRIC_KINDS = (
     "top_metrics",
     "extended_stats",
     "geo_centroid",
+    "_literal",
 )
 # parent pipeline aggs run ACROSS a bucket agg's key-ordered bucket
 # sequence (windows over the compact bucket frame); sibling *_bucket
@@ -542,7 +544,8 @@ class _Level:
             # from-inclusive, to-exclusive; docs outside every range
             # get a NULL key and are dropped (ES puts them nowhere).
             # date_range compares on epoch millis (bounds are ints,
-            # like every date key this module emits)
+            # like every date key this module emits).
+            _ranges_disjoint_or_raise(self.body["ranges"], self.kind)
             if self.kind == "date_range":
                 for r in b["ranges"]:
                     for bk in ("from", "to"):
@@ -604,6 +607,7 @@ class _Level:
             # same haversine tree the geo_distance QUERY uses (from-
             # inclusive / to-exclusive meters, ES's defaults); docs
             # outside every ring get a NULL key
+            _ranges_disjoint_or_raise(b["ranges"], self.kind)
             origin = b["origin"]
             dist = _haversine_m(
                 F.col(b["field"] + ".lat"),
@@ -628,6 +632,74 @@ class _Level:
                 )
             return expr
         raise ValueError(f"bucket kind {self.kind!r}")
+
+
+def _ranges_disjoint_or_raise(ranges, kind: str) -> None:
+    """ES puts a doc in EVERY range it fits — overlapping ranges
+    would need a multi-membership explode that double-counts
+    ancestors in the one-rollup plan, so they raise instead of
+    silently first-matching (round 11; the CASE chains are
+    single-membership)."""
+    for r in ranges:
+        for bk in ("from", "to"):
+            if bk in r and not isinstance(r[bk], (int, float)):
+                return  # non-numeric bound: the kind's own check raises
+    ordered = sorted(
+        ranges,
+        key=lambda r: (
+            float("-inf") if "from" not in r else float(r["from"])
+        ),
+    )
+    for a, b in zip(ordered, ordered[1:]):
+        a_to = float(a["to"]) if "to" in a else float("inf")
+        b_from = float(b["from"]) if "from" in b else float("-inf")
+        if b_from < a_to:
+            raise ValueError(
+                f"{kind} ranges overlap "
+                f"({a.get('key', a)!r} / {b.get('key', b)!r}): ES "
+                "multi-membership is not expressible in the single-"
+                "rollup plan — split into a filters agg"
+            )
+
+
+#: ES auto_date_histogram interval ladder (public rounding table):
+#: the chooser walks it coarser until the estimated bucket count fits
+#: the target. Entries: ("fixed", interval_string) or
+#: ("calendar", unit) — month/quarter/year count with conservative
+#: approximate widths (31/92/366 days), like ES's own estimator.
+_AUTO_DH_LADDER = (
+    ("fixed", "1s"), ("fixed", "5s"), ("fixed", "10s"), ("fixed", "30s"),
+    ("fixed", "1m"), ("fixed", "5m"), ("fixed", "10m"), ("fixed", "30m"),
+    ("fixed", "1h"), ("fixed", "3h"), ("fixed", "12h"),
+    ("calendar", "day"), ("fixed", "7d"),
+    ("calendar", "month"), ("calendar", "quarter"), ("calendar", "year"),
+)
+_AUTO_DH_APPROX_MS = {
+    "day": 86_400_000,
+    "month": 31 * 86_400_000,
+    "quarter": 92 * 86_400_000,
+    "year": 366 * 86_400_000,
+}
+
+
+def _auto_dh_choice(lo_ms: int, hi_ms: int, target: int):
+    """Smallest ladder interval whose epoch-grid bucket count over
+    [lo, hi] is ≤ target. Returns (body_fragment, interval_label)."""
+    for kind, spec in _AUTO_DH_LADDER:
+        if kind == "fixed":
+            w = _fixed_ms(spec)
+            n = (hi_ms // w) - (lo_ms // w) + 1
+            if n <= target:
+                return {"fixed_interval": spec}, spec
+        else:
+            w = _AUTO_DH_APPROX_MS[spec]
+            n = (hi_ms - lo_ms) // w + 1
+            if n <= target:
+                return {"calendar_interval": spec}, spec
+    raise ValueError(
+        f"auto_date_histogram: span {hi_ms - lo_ms} ms exceeds the "
+        f"ladder at target {target} (coarsest unit is 'year')"
+    )
 
 
 def _fixed_ms(spec: str) -> int:
@@ -894,6 +966,11 @@ def _metric_cols(levels: list[_Level]):
         for name, spec in lvl.metrics:
             (kind,) = [k for k in spec if k in _METRIC_KINDS]
             b = spec[kind]
+            if kind == "_literal":
+                # internal: a constant reported at this level (the
+                # auto_date_histogram chosen interval)
+                out.append((name, F.max(F.lit(b["value"])), lvl_no))
+                continue
             if kind == "weighted_avg":
                 # Σ(v·w)/Σw, both sums through DECIMAL (the products
                 # are exact decimal×decimal), division in double.
@@ -1040,6 +1117,34 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     key_names = [lvl.name for lvl in levels]
 
     base = df
+    for lvl in levels:
+        if lvl.kind == "auto_date_histogram":
+            # ES's adaptive Kibana default (round 11): the interval
+            # is DATA-DEPENDENT — one bounded min/max collect over
+            # the (already filtered) frame picks the smallest ladder
+            # interval fitting the buckets target, then the level IS
+            # a regular date_histogram at that interval; the choice
+            # is reported as a literal `<name>_interval` column so
+            # the oracle hash verifies it. The extra scan is
+            # parquet-statistics-cheap (min/max pushdown).
+            field = lvl.body["field"]
+            target = int(lvl.body.get("buckets", 10))
+            if target < 1:
+                raise ValueError("auto_date_histogram buckets must be >= 1")
+            row = df.agg(
+                F.unix_millis(F.min(field)).alias("lo"),
+                F.unix_millis(F.max(field)).alias("hi"),
+            ).first()
+            if row.lo is None:
+                body, label = {"fixed_interval": "1h"}, "1h"  # empty frame
+            else:
+                body, label = _auto_dh_choice(row.lo, row.hi, target)
+            lvl.kind = "date_histogram"
+            lvl.body = {"field": field, **body}
+            lvl.metrics.insert(
+                0,
+                (f"{lvl.name}_interval", {"_literal": {"value": label}}),
+            )
     if levels[0].kind == "nested":
         # ES nested AGGREGATION (round 11, pairing the round-11
         # nested QUERY): aggregate over the array's objects. The
@@ -3361,6 +3466,28 @@ def q_es_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                             },
                         }
                     },
+                }
+            },
+        },
+    )
+
+
+def q_es_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``auto_date_histogram`` (round 11) — Kibana Lens/Discover's
+    default time bucketing: the interval is chosen from the ES
+    rounding ladder to fit the buckets target (default 10). The
+    generators' ~31-day January window picks ``7d`` at every SF —
+    reported as the ``per_auto_interval`` literal column, so the
+    oracle hash VERIFIES the choice, not just the grid."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "query": {"term": {"event_type": "view"}},
+            "aggs": {
+                "per_auto": {
+                    "auto_date_histogram": {"field": "ts"},
+                    "aggs": {"sum_value": {"sum": {"field": "value"}}},
                 }
             },
         },

@@ -677,6 +677,80 @@ def test_date_histogram_gapfill_default_off_and_variable_width(spark):
     assert len(plain) == 2
 
 
+def test_auto_date_histogram_ladder(spark):
+    """Round 11: auto_date_histogram picks the smallest ladder
+    interval fitting the buckets target, reports it as a literal
+    column, and equals the explicit date_histogram at that interval."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.es_search import (
+        _auto_dh_choice,
+        compile_aggs,
+    )
+
+    h = 3_600_000
+    # pure-chooser cases: (span_ms, target) -> label
+    assert _auto_dh_choice(0, 9 * 1000, 10)[1] == "1s"
+    assert _auto_dh_choice(0, 50 * 1000, 10)[1] == "10s"
+    assert _auto_dh_choice(0, 4 * h, 10)[1] == "30m"
+    assert _auto_dh_choice(0, 20 * h, 10)[1] == "3h"
+    assert _auto_dh_choice(0, 9 * 24 * h, 10)[1] == "day"
+    assert _auto_dh_choice(0, 30 * 24 * h, 10)[1] == "7d"
+    assert _auto_dh_choice(0, 200 * 24 * h, 10)[1] == "month"
+    assert _auto_dh_choice(0, 3000 * 24 * h, 10)[1] == "year"
+    with pytest.raises(ValueError, match="ladder"):
+        _auto_dh_choice(0, 400 * 366 * 24 * h, 10)
+
+    df = spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 1, 1 + 3 * i), n=float(i))
+         for i in range(9)]  # 25-day span -> 7d at target 10, day at 40
+    )
+    out = compile_aggs(
+        df,
+        {"a": {"auto_date_histogram": {"field": "ts"},
+               "aggs": {"s": {"sum": {"field": "n"}}}}},
+    ).collect()
+    assert all(r.a_interval == "7d" for r in out)
+    explicit = compile_aggs(
+        df,
+        {"a": {"date_histogram": {"field": "ts", "fixed_interval": "7d"},
+               "aggs": {"s": {"sum": {"field": "n"}}}}},
+    ).select("a", "doc_count", "s").collect()
+    assert sorted((r.a, r.doc_count, r.s) for r in out) == sorted(
+        map(tuple, explicit)
+    )
+    out2 = compile_aggs(
+        df,
+        {"a": {"auto_date_histogram": {"field": "ts", "buckets": 40}}},
+    ).collect()
+    assert all(r.a_interval == "day" for r in out2) and len(out2) == 9
+
+
+def test_range_overlap_raises(spark):
+    """Round 11: ES puts a doc in EVERY range it fits; overlapping
+    ranges would silently first-match in the CASE chain, so they
+    raise (range, date_range and geo_distance alike); touching
+    ranges (to == next from) stay fine."""
+    df = spark.createDataFrame([Row(v=5.0)])
+    with pytest.raises(ValueError, match="overlap"):
+        compile_aggs(df, {"b": {"range": {"field": "v", "ranges": [
+            {"key": "a", "to": 10}, {"key": "b", "from": 5},
+        ]}}})
+    # touching is fine (from-inclusive / to-exclusive)
+    out = compile_aggs(df, {"b": {"range": {"field": "v", "ranges": [
+        {"key": "a", "to": 5}, {"key": "b", "from": 5},
+    ]}}}).collect()
+    assert [(r.b, r.doc_count) for r in out] == [("b", 1)]
+    with pytest.raises(ValueError, match="overlap"):
+        compile_aggs(
+            df.withColumn("loc", F.struct(F.lit(0.0).alias("lat"),
+                                          F.lit(0.0).alias("lon"))),
+            {"b": {"geo_distance": {
+                "field": "loc", "origin": {"lat": 0, "lon": 0},
+                "ranges": [{"key": "a", "to": 100.0},
+                           {"key": "b", "from": 50.0}]}}})
+
+
 def test_search_aggs_runtime_mappings(spark):
     """Round 11: the aggs side of a request honors runtime_mappings —
     a runtime field can be both queried and bucketed on."""

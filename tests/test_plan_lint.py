@@ -258,6 +258,10 @@ PINNED_FINGERPRINTS = {
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
+    # auto_date_histogram: the interval choice happens at plan-build
+    # time (one bounded min/max collect); the plan itself IS a plain
+    # date_histogram tree
+    "es_auto_date_histogram": {"exchange": 3},
     # missing → date_range chain: same bucket-frame class as the
     # other agg trees (rollup + two window exchanges)
     "es_filter_missing_range": {"exchange": 3},
