@@ -346,12 +346,20 @@ def compile_query(q: dict | None, _scope=None) -> Column:
             (f, s) for f, s in body.items() if f != "validation_method"
         ]
         tl, br = spec["top_left"], spec["bottom_right"]
-        if float(tl["lon"]) > float(br["lon"]):
-            raise ValueError("dateline-wrapping bounding box unsupported")
         lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+        lat_ok = (lat <= F.lit(float(tl["lat"]))) & (
+            lat >= F.lit(float(br["lat"]))
+        )
+        if float(tl["lon"]) > float(br["lon"]):
+            # dateline-wrapping box (left > right, round 11): the
+            # longitude band is the UNION of the two half-bands ES
+            # defines for a crossing box
+            return lat_ok & (
+                (lon >= F.lit(float(tl["lon"])))
+                | (lon <= F.lit(float(br["lon"])))
+            )
         return (
-            (lat <= F.lit(float(tl["lat"])))
-            & (lat >= F.lit(float(br["lat"])))
+            lat_ok
             & (lon >= F.lit(float(tl["lon"])))
             & (lon <= F.lit(float(br["lon"])))
         )
@@ -518,6 +526,17 @@ class _Level:
                 nonnull, F.concat_ws("|", *[c.cast("string") for c in cols])
             )
         if self.kind == "date_histogram":
+            # ES `missing`: docs without the field bucket at the
+            # substitute timestamp instead of dropping (round 11);
+            # the substitute is an ISO string or epoch-millis int
+            if "missing" in b:
+                m = b["missing"]
+                sub = (
+                    F.timestamp_millis(F.lit(int(m)))
+                    if isinstance(m, int)
+                    else F.to_timestamp(F.lit(str(m)))
+                )
+                col = F.coalesce(col, sub)
             if "calendar_interval" in b:
                 if "offset" in b:
                     raise ValueError(
@@ -534,6 +553,8 @@ class _Level:
                 + F.lit(off)
             ).cast("long")
         if self.kind == "histogram":
+            if "missing" in b:
+                col = F.coalesce(col, F.lit(float(b["missing"])))
             interval = float(b["interval"])
             offset = float(b.get("offset", 0.0))
             return (
@@ -2457,8 +2478,9 @@ def percolate(
 
 
 #: ops percolate_bulk understands; 'eq' carries one of sval/nval,
-#: the four inequalities carry nval.
-_BULK_OPS = ("eq", "gt", "gte", "lt", "lte")
+#: the four inequalities carry nval, 'exists' carries neither
+#: (round 11 — satisfied by any non-NULL value of the field).
+_BULK_OPS = ("eq", "gt", "gte", "lt", "lte", "exists")
 
 
 def queries_to_conjuncts(spark: SparkSession, queries: dict) -> DataFrame:
@@ -2573,6 +2595,12 @@ def queries_to_conjuncts(spark: SparkSession, queries: dict) -> DataFrame:
                         (qid, cid, field, op, None, float(v), g, mm, neg)
                     )
                     cid += 1
+            elif kind == "exists":
+                rows.append(
+                    (qid, cid, body["field"], "exists", None, None, g,
+                     mm, neg)
+                )
+                cid += 1
             else:
                 raise ValueError(
                     f"percolate_bulk query {qid!r}: {kind!r} is not "
@@ -2671,9 +2699,11 @@ def percolate_bulk(
         F.max(~F.col("op").isin(*_BULK_OPS)).alias("_bad"),
         F.max(pos & is_eq & F.col("sval").isNotNull()).alias("_eq_s"),
         F.max(pos & is_eq & F.col("nval").isNotNull()).alias("_eq_n"),
-        F.max(pos & ~is_eq).alias("_rng"),
+        F.max(pos & ~is_eq & (F.col("op") != "exists")).alias("_rng"),
+        F.max(pos & (F.col("op") == "exists")).alias("_ex"),
         F.max(~pos & F.col("sval").isNotNull()).alias("_neg_s"),
         F.max(~pos & F.col("nval").isNotNull()).alias("_neg_n"),
+        F.max(~pos & (F.col("op") == "exists")).alias("_neg_ex"),
         F.collect_set("field").alias("_fields"),
     ).collect()[0]  # bounded: one row (fields ∩ schema ≤ schema width)
     if st._bad or (st._mm0 or 1) < 1:
@@ -2684,7 +2714,7 @@ def percolate_bulk(
             f"unsupported conjunct op/min_match {bad[0].op!r}/"
             f"{bad[0].min_match!r}"
         )
-    if st._neg_s or st._neg_n:
+    if st._neg_s or st._neg_n or st._neg_ex:
         # a must_not-only rule has no positive conjunct to anchor the
         # count-to-total match — it would silently never fire
         orphan = (
@@ -2753,9 +2783,22 @@ def percolate_bulk(
                 *id_cols, "query_id", "group_id"
             )
         )
-    rng = conjuncts.filter(pos & ~is_eq).select(
-        "query_id", "group_id", "field", "op", "nval", "min_match"
-    )
+    rng = conjuncts.filter(
+        pos & ~is_eq & (F.col("op") != "exists")
+    ).select("query_id", "group_id", "field", "op", "nval", "min_match")
+    if st._ex:
+        # exists conjuncts: any non-NULL melt row for the field
+        # satisfies the leaf — a field is in exactly ONE melt channel
+        ex = conjuncts.filter(
+            pos & (F.col("op") == "exists")
+        ).select("query_id", "group_id", "field")
+        for flds, cast_t in ((s_fields, "string"), (n_fields, "double")):
+            if flds:
+                leaf_sat.append(
+                    _melt(flds, cast_t, "_v")
+                    .join(_rb(ex), "field")
+                    .select(*id_cols, "query_id", "group_id")
+                )
     # group-satisfaction channel from merged must-range intervals:
     # (ids…, query_id, _gw) rows, _gw = how many singleton groups the
     # merged interval certifies at once
@@ -2932,7 +2975,7 @@ def percolate_bulk(
         .filter(F.col("_n_sat") == F.col("_n_req"))
         .select(*id_cols, "query_id")
     )
-    if not (st._neg_s or st._neg_n):
+    if not (st._neg_s or st._neg_n or st._neg_ex):
         return matched
     # must_not conjuncts (round 11): each negated leaf KILLS any
     # (doc, query) pair it matches — computed with the same melt
@@ -2970,6 +3013,17 @@ def percolate_bulk(
             .filter(nok)
             .select(*id_cols, "query_id")
         )
+    if st._neg_ex:
+        nex = conjuncts.filter(
+            ~pos & (F.col("op") == "exists")
+        ).select("query_id", "field")
+        for flds, cast_t in ((s_fields, "string"), (n_fields, "double")):
+            if flds:
+                kill.append(
+                    _melt(flds, cast_t, "_v")
+                    .join(_rb(nex), "field")
+                    .select(*id_cols, "query_id")
+                )
     if not kill:
         return matched
     return matched.join(

@@ -1726,6 +1726,77 @@ def test_percolate_bulk_should_minimum_should_match(spark):
         )
 
 
+def test_percolate_bulk_exists_and_dateline_and_missing(spark):
+    """Round 11 batch: exists conjuncts (must / should / must_not)
+    agree with percolate(); dateline-wrapping geo_bounding_box is
+    the union of the two half-bands; histogram/date_histogram
+    `missing` buckets NULL-field docs at the substitute."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.es_search import (
+        compile_query,
+        percolate,
+        percolate_bulk,
+        queries_to_conjuncts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(id=1, kind="a", n=10.0),
+            Row(id=2, kind=None, n=20.0),
+            Row(id=3, kind="b", n=None),
+        ]
+    )
+    rules = {
+        "has_kind": {"bool": {"must": [{"exists": {"field": "kind"}},
+                                       {"range": {"n": {"gte": 0}}}]}},
+        "no_n": {"bool": {"filter": [{"exists": {"field": "kind"}}],
+                          "must_not": [{"exists": {"field": "n"}}]}},
+    }
+    conj = queries_to_conjuncts(spark, rules)
+    got = sorted(
+        (r.id, r.query_id)
+        for r in percolate_bulk(docs, conj, id_cols=["id"]).collect()
+    )
+    want = sorted(
+        (r.id, r.query_id)
+        for r in percolate(docs, rules, id_cols=["id"]).collect()
+    )
+    assert got == want == [(1, "has_kind"), (3, "no_n")]
+
+    # dateline wrap: lon in [170, 180] ∪ [-180, -170]
+    g = spark.createDataFrame(
+        [Row(id=1, loc=Row(lat=0.0, lon=175.0)),
+         Row(id=2, loc=Row(lat=0.0, lon=-175.0)),
+         Row(id=3, loc=Row(lat=0.0, lon=0.0))]
+    )
+    q = {"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 10.0, "lon": 170.0},
+        "bottom_right": {"lat": -10.0, "lon": -170.0}}}}
+    assert sorted(r.id for r in g.filter(compile_query(q)).collect()) == [
+        1, 2
+    ]
+
+    # histogram / date_histogram missing substitutes
+    h = spark.createDataFrame(
+        [Row(v=12.0, ts=dt.datetime(2024, 1, 1, 5)),
+         Row(v=None, ts=None)]
+    )
+    out = compile_aggs(h, {"b": {"histogram": {
+        "field": "v", "interval": 10, "missing": 55.0}}}).collect()
+    assert sorted((r.b, r.doc_count) for r in out) == [(10.0, 1), (50.0, 1)]
+    out2 = compile_aggs(h, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day",
+        "missing": "2024-02-01 00:00:00"}}}).collect()
+    feb1 = int(dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc)
+               .timestamp() * 1000)
+    jan1 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+               .timestamp() * 1000)
+    assert sorted((r.d, r.doc_count) for r in out2) == [
+        (jan1, 1), (feb1, 1)
+    ]
+
+
 def test_percolate_bulk_must_not(spark):
     """Round 11: must_not conjuncts kill (doc, query) pairs via one
     left_anti join — agreement with percolate()'s full-DSL answer,
