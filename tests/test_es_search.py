@@ -334,7 +334,8 @@ def test_composite_after_key_pagination(spark):
 def test_geo_queries_box_and_distance(spark):
     """geo_bounding_box / geo_distance on a struct geo_point column:
     box edges inclusive, haversine ≈ 111.2 km per degree of latitude,
-    dateline-wrapping boxes and malformed distances raise."""
+    dateline-wrapping boxes match the two half-bands (round 11 —
+    previously raised), malformed distances raise."""
     pts = spark.createDataFrame(
         [Row(id=i, loc=Row(lat=float(lat), lon=float(lon)))
          for i, (lat, lon) in enumerate(
@@ -360,10 +361,10 @@ def test_geo_queries_box_and_distance(spark):
                               "loc": {"lat": 0.0, "lon": 0.0}}}
     assert ids(miles) == [0, 1]  # 70 mi ≈ 112.7 km
 
-    with pytest.raises(ValueError, match="dateline"):
-        ids({"geo_bounding_box": {"loc": {
-            "top_left": {"lat": 2.0, "lon": 170.0},
-            "bottom_right": {"lat": 0.0, "lon": -170.0}}}})
+    # dateline wrap: none of the fixture lons sit in [170,180]∪[-180,-170]
+    assert ids({"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 2.0, "lon": 170.0},
+        "bottom_right": {"lat": 0.0, "lon": -170.0}}}}) == []
     with pytest.raises(ValueError, match="distance"):
         ids({"geo_distance": {"distance": "12 parsecs",
                               "loc": {"lat": 0.0, "lon": 0.0}}})
