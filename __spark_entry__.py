@@ -627,13 +627,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     text normalized query-side; demoted-green pending
         #     rotation (corpus_bm25 keeps the family declared)
         "corpus_bm25_standard",
-        # corpus_bm25_stopwords — the analyzer seam's second step
-        #     (round 11, VERDICT r10 Next #8): standard tokenizer +
-        #     Lucene _english_ stopwords + a 2-char length floor,
-        #     query and documents filtered identically (dl/avgdl/
-        #     scores all shift — the corpus carries 'a'/'the');
-        #     demoted-green pending rotation
-        "corpus_bm25_stopwords",
+        # corpus_bm25_stopwords — PROMOTED round 12 (VERDICT r11 Next
+        #     #2): the analyzer seam's second step — standard
+        #     tokenizer + Lucene _english_ stopwords + a 2-char
+        #     length floor, query and documents filtered identically.
         # corpus_rank_eval — PROMOTED round 11 (VERDICT r10 Next #3):
         #     the ES _rank_eval API over the batch-BM25 ranking.
         # es_* — the ES _search request compiler (round 9): saved
@@ -669,22 +666,18 @@ DEMOTED: frozenset[str] = frozenset(
         #     spelled identically in both engines; demoted-green
         #     pending rotation
         "es_geo_queries",
-        # es_nested_query — the ES nested query (round 11, VERDICT
-        #     r10 Next #4): exists(arr, x -> inner) over array-mode
-        #     struct columns, same-object semantics pytest-pinned;
-        #     demoted-green pending rotation (es_search_hits keeps
-        #     the query-DSL family declared)
-        "es_nested_query",
+        # es_nested_query — PROMOTED round 12 (VERDICT r11 Next #2):
+        #     the ES nested query — exists(arr, x -> inner) over
+        #     array-mode struct columns, same-object semantics
+        #     pytest-pinned.
         # es_nested_agg — the nested AGGREGATION twin (round 11):
         #     array column replaced by exploded structs at the root,
         #     doc_count counts objects; demoted-green pending rotation
         "es_nested_agg",
-        # es_geohash_grid — geohash_grid buckets + geo_centroid
-        #     metric (round 11, VERDICT r10 Next #6): the unrolled
-        #     bit-interleave spelled identically in both engines;
-        #     demoted-green pending rotation (es_geo_queries keeps
-        #     the geo family visible)
-        "es_geohash_grid",
+        # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
+        #     geohash_grid buckets + geo_centroid metric — the
+        #     unrolled bit-interleave spelled identically in both
+        #     engines (the map-dashboard shape).
         # es_geotile_grid — Web-Mercator z/x/y tiles, Kibana maps'
         #     default bucket (round 11); 12-decimal-rounded Mercator
         #     fraction kills the tan/ln ulp boundary risk in both
@@ -694,17 +687,13 @@ DEMOTED: frozenset[str] = frozenset(
         #     haversine tree as the geo query class, geo_centroid per
         #     ring (round 11); demoted-green pending rotation
         "es_geo_distance_rings",
-        # es_auto_date_histogram — Kibana's adaptive time bucketing
-        #     (round 11): ladder-chosen interval from one bounded
-        #     min/max collect, the choice itself hash-verified via a
-        #     literal column; demoted-green pending rotation
-        "es_auto_date_histogram",
-        # es_date_histogram_gapfill_month — calendar-interval (month)
-        #     gap-filling (round 11, VERDICT r10 Next #5): the grid
-        #     steps by INTERVAL 1 MONTH timestamp sequences;
-        #     demoted-green pending rotation (the hourly gapfill row
-        #     is the promoted family head)
-        "es_date_histogram_gapfill_month",
+        # es_auto_date_histogram — PROMOTED round 12 (VERDICT r11
+        #     Next #2): Kibana's adaptive time bucketing — ladder-
+        #     chosen interval from one bounded min/max collect.
+        # es_date_histogram_gapfill_month — PROMOTED round 12
+        #     (VERDICT r11 Next #2): calendar-interval (month)
+        #     gap-filling — the grid steps by INTERVAL 1 MONTH
+        #     timestamp sequences.
         # es_filter_missing_range — the single-bucket aggs (missing)
         #     chained with date_range windows (round 10); demoted-green
         #     pending rotation (es_aggs_tree keeps agg trees declared)
@@ -713,9 +702,6 @@ DEMOTED: frozenset[str] = frozenset(
         #     demoted-green pending rotation (es_aggs_tree keeps the
         #     metric family declared)
         "es_metric_variants",
-        # es_extended_stats — PROMOTED round 11 (VERDICT r10 Next
-        #     #3): the exact-moments-into-one-fixed-double-tree
-        #     discipline, now variance-clamped (ADVICE r10).
         "es_top_hits",
         "es_collapse",
         "es_search_after",
@@ -845,6 +831,35 @@ DEMOTED: frozenset[str] = frozenset(
         "events_value_bands",
         "corpus_attributes",
         "text_quality",
+        # Rotated OUT of the declared 50 in round 12 so the gate
+        # carries the round-11 heads (es_nested_query, es_geohash_grid,
+        # es_auto_date_histogram, corpus_bm25_stopwords,
+        # es_date_histogram_gapfill_month — VERDICT r11 Next #2).
+        # Each of these five has a declared sibling keeping its
+        # operator family in the gate:
+        #   es_extended_stats — exact-moments metric battery;
+        #       es_metric_variants held the family before promotion
+        #       and es_aggs_tree keeps metric aggs declared (was
+        #       promoted r11; its moment tree is unchanged and still
+        #       pytest+demoted-oracle verified)
+        "es_extended_stats",
+        #   corpus_match_phrase — exact phrase positions;
+        #       corpus_span_near keeps the positional (slop) family
+        #       declared, corpus_bm25 the retrieval chain
+        "corpus_match_phrase",
+        #   dedup_ngram_jaccard — ngram-Jaccard near-dup pairs;
+        #       dedup_minhash_lsh + dedup_simhash + corpus_dedup keep
+        #       the near-dup family declared (same shingle machinery)
+        "dedup_ngram_jaccard",
+        #   events_hourly — tumbling-window counts; events_sessionize
+        #       keeps the events/streaming family declared and
+        #       test_streaming pins batch≡stream for the window shape
+        "events_hourly",
+        #   sink_ndjson_roundtrip — ndjson writer round-trip; the
+        #       parquet sink is the oracle's input everywhere and the
+        #       csv/jsonl siblings stay demoted-green (sink family
+        #       fully pytest-covered incl. real-file digests)
+        "sink_ndjson_roundtrip",
     }
 )
 
