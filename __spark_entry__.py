@@ -674,6 +674,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     array column replaced by exploded structs at the root,
         #     doc_count counts objects; demoted-green pending rotation
         "es_nested_agg",
+        # es_reverse_nested — non-root nested + reverse_nested
+        #     (round 12, VERDICT r11 Next #3): terms > nested > terms
+        #     with ancestor doc/metric masking and a distinct-parent
+        #     doc_count; demoted-green pending rotation
+        #     (es_nested_query keeps the nested family declared)
+        "es_reverse_nested",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1044,6 +1050,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_nested_query": _mod("es_search", "q_es_nested_query"),
         "es_nested_agg": _mod("es_search", "q_es_nested_agg"),
+        "es_reverse_nested": _mod("es_search", "q_es_reverse_nested"),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
         ),
@@ -4240,6 +4247,46 @@ def _all_oracle_sql() -> dict[str, str]:
                    / count(a.w)
         FROM x GROUP BY a.k
         ORDER BY level, objs NULLS FIRST, by_k NULLS FIRST
+    """
+
+    # es_reverse_nested (round 12): non-root nested — ancestor levels
+    # count/aggregate PARENT docs (the unnest must not multiply them),
+    # nested levels count objects, reverse_nested counts distinct
+    # parents per leaf bucket. The variable-length attrs array
+    # (1 object, +1 when value >= 100) is spelled identically.
+    q["es_reverse_nested"] = """
+        WITH e AS (
+          SELECT event_id, event_type, value,
+                 CASE WHEN value >= 100 THEN list_value(
+                        struct_pack(k := 'type', w := value),
+                        struct_pack(k := 'band', w := value * 2.0))
+                 ELSE list_value(struct_pack(k := 'type', w := value))
+                 END AS attrs
+          FROM events WHERE event_type IS NOT NULL
+        ),
+        x AS (SELECT event_id, event_type, unnest(attrs) AS a FROM e)
+        SELECT CAST(1 AS INT) AS level, event_type AS by_type,
+               CAST(NULL AS VARCHAR) AS objs,
+               CAST(NULL AS VARCHAR) AS by_k,
+               count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value,
+               CAST(NULL AS DOUBLE) AS avg_w,
+               CAST(NULL AS DOUBLE) AS parents_doc_count
+        FROM e GROUP BY event_type
+        UNION ALL
+        SELECT CAST(2 AS INT), event_type, 'objs', CAST(NULL AS VARCHAR),
+               count(*), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE)
+        FROM x GROUP BY event_type
+        UNION ALL
+        SELECT CAST(3 AS INT), event_type, 'objs', a.k, count(*),
+               CAST(NULL AS DOUBLE),
+               CAST(sum(CAST(a.w AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(a.w),
+               CAST(count(DISTINCT event_id) AS DOUBLE)
+        FROM x GROUP BY event_type, a.k
+        ORDER BY level, by_type, by_k NULLS FIRST
     """
 
     # es_auto_date_histogram: the ~31-day January window at every SF

@@ -42,8 +42,11 @@ Aggregations DSL (``compile_aggs``):
   query-DSL body) and ``missing`` (docs lacking the field),
   ``filters`` (root level only — a doc can land in several buckets,
   compiled as build-matching-names array → explode, fan-out bounded
-  by the filter count), ``nested`` (root level — the array column is
-  replaced by exploded structs, doc_count counts objects), and the
+  by the filter count), ``nested`` (round 12: at ANY chain depth —
+  one posexplode_outer re-bases rows onto objects while ancestor
+  levels keep parent-DOC counts/metrics via a representative-row
+  mask; ``reverse_nested`` re-bases a bucket's doc_count onto
+  distinct parents), and the
   map-dashboard grids ``geohash_grid`` / ``geotile_grid`` (round 11:
   pure bit-interleave / Web-Mercator projections).
 - metric aggs: ``avg`` / ``sum`` (through DECIMAL(18,6) so partial-
@@ -153,6 +156,7 @@ _METRIC_KINDS = (
     "top_metrics",
     "extended_stats",
     "geo_centroid",
+    "reverse_nested",
     "_literal",
 )
 # parent pipeline aggs run ACROSS a bucket agg's key-ordered bucket
@@ -610,11 +614,16 @@ class _Level:
                 int(b.get("precision", 5)),
             )
         if self.kind == "nested":
-            # single bucket over the EXPLODED nested objects (the
-            # root handling in compile_aggs replaced the array column
-            # with one struct per row); doc_count therefore counts
-            # OBJECTS, exactly ES's nested-agg doc_count
-            return F.lit(self.name)
+            # single bucket over the EXPLODED nested objects (compile_
+            # aggs replaced the array column with one posexplode_outer
+            # struct per row — round 12: at ANY chain depth, parent
+            # keys carried); doc_count counts OBJECTS, exactly ES's
+            # nested-agg doc_count. Docs with a NULL/empty array keep
+            # their outer-exploded row for ancestor counting but get a
+            # NULL key here (no objects → no nested bucket membership)
+            return F.when(
+                F.col(b["path"]).isNotNull(), F.lit(self.name)
+            )
         if self.kind == "geotile_grid":
             # Kibana maps' default bucket: Web-Mercator z/x/y tile
             # keys, exactly ES's "z/x/y" strings
@@ -945,10 +954,17 @@ def _parse_chain(aggs: dict) -> list[_Level]:
             if bucket_sort is not None:
                 levels[-1].bucket_sort = bucket_sort
             break
-        if levels and bucket.kind in ("filters", "nested"):
+        if levels and bucket.kind == "filters":
             raise ValueError(
-                f"{bucket.kind} agg is supported at the root level only"
+                "filters agg is supported at the root level only"
             )
+        if bucket.kind == "nested" and any(
+            lv.kind == "nested" for lv in levels
+        ):
+            # one re-basing per chain: nested-inside-nested would need
+            # a second explode whose doc identity the count machinery
+            # can't track (PARITY #22)
+            raise ValueError("one nested level per agg chain")
         levels.append(bucket)
         node = child
         # metrics/pipelines beside this bucket belong to the PARENT
@@ -978,15 +994,57 @@ def _parse_chain(aggs: dict) -> list[_Level]:
     return levels
 
 
-def _metric_cols(levels: list[_Level]):
+def _metric_cols(levels: list[_Level], nested_i: int | None = None):
     """(column name, raw agg expr, attachment level) triples. Nullable
     numeric metrics are emitted as DOUBLE so the cross-engine pandas
-    dtype is stable (a nullable int64 silently becomes float64)."""
+    dtype is stable (a nullable int64 silently becomes float64).
+
+    ``nested_i``: 1-based index of the chain's nested level, if any
+    (round 12). Levels ABOVE it aggregate PARENT-DOC fields over a
+    frame the object explode multiplied, so their metric inputs are
+    masked to the one representative row per parent (``_nested_rep``)
+    — an unmasked sum would count each doc once per object."""
     out = []
     for lvl_no, lvl in enumerate(levels, start=1):
+        mask = (
+            F.col("_nested_rep")
+            if nested_i is not None and lvl_no < nested_i
+            else None
+        )
+
+        def _m(c, _mask=mask):
+            return F.when(_mask, c) if _mask is not None else c
+
         for name, spec in lvl.metrics:
             (kind,) = [k for k in spec if k in _METRIC_KINDS]
             b = spec[kind]
+            if kind == "reverse_nested":
+                # ES reverse_nested (round 12, VERDICT r11 Next #3):
+                # inside the nested scope, re-base onto PARENT docs —
+                # doc_count = distinct parents contributing ≥1 object
+                # to this bucket. Back-to-root form only; sub-aggs
+                # over parent fields would need a second rollup.
+                if b:
+                    raise ValueError(
+                        "reverse_nested supports the back-to-root form "
+                        "({}) only"
+                    )
+                if "aggs" in spec:
+                    raise ValueError(
+                        "reverse_nested sub-aggregations are not "
+                        "supported (doc_count only)"
+                    )
+                if nested_i is None or lvl_no < nested_i:
+                    raise ValueError(
+                        "reverse_nested must sit at or below the "
+                        "chain's nested level"
+                    )
+                out.append((
+                    f"{name}_doc_count",
+                    F.count_distinct(F.col("_nested_parent")).cast("double"),
+                    lvl_no,
+                ))
+                continue
             if kind == "_literal":
                 # internal: a constant reported at this level (the
                 # auto_date_histogram chosen interval)
@@ -999,8 +1057,8 @@ def _metric_cols(levels: list[_Level]):
                 # present: ES ignores docs missing either field — an
                 # unmasked denominator would count a NULL-value doc's
                 # weight the numerator skipped (ADVICE r10 #2)
-                v = F.col(b["value"]["field"]).cast("decimal(18,6)")
-                w = F.col(b["weight"]["field"]).cast("decimal(18,6)")
+                v = _m(F.col(b["value"]["field"])).cast("decimal(18,6)")
+                w = _m(F.col(b["weight"]["field"])).cast("decimal(18,6)")
                 both = v.isNotNull() & w.isNotNull()
                 e = (
                     F.sum(F.when(both, v * w)).cast("double")
@@ -1014,9 +1072,9 @@ def _metric_cols(levels: list[_Level]):
                 # so sort ties break on the metric value
                 # DETERMINISTICALLY in both engines (plain max_by /
                 # arg_max tie-break arbitrarily)
-                m = F.col(b["metrics"]["field"])
+                m = _m(F.col(b["metrics"]["field"]))
                 (sfield, sdir), = b["sort"].items()
-                s = F.col(sfield)
+                s = _m(F.col(sfield))
                 # NULL-field structs compare engine-differently: rows
                 # missing either side drop from the aggregate instead
                 pair = F.when(
@@ -1030,8 +1088,8 @@ def _metric_cols(levels: list[_Level]):
                 # exact-decimal mean PAIR over docs where the point
                 # is fully present (ES ignores docs missing the
                 # field); flat columns {name}_lat / {name}_lon
-                latc = F.col(b["field"] + ".lat")
-                lonc = F.col(b["field"] + ".lon")
+                latc = _m(F.col(b["field"] + ".lat"))
+                lonc = _m(F.col(b["field"] + ".lon"))
                 ok = latc.isNotNull() & lonc.isNotNull()
                 cnt = F.count(F.when(ok, F.lit(1)))
                 for sub, c_ in (("lat", latc), ("lon", lonc)):
@@ -1042,7 +1100,7 @@ def _metric_cols(levels: list[_Level]):
                         lvl_no,
                     ))
                 continue
-            col = F.col(b["field"])
+            col = _m(F.col(b["field"]))
             dec = col.cast("decimal(18,6)")
             if kind == "avg":
                 e = F.sum(dec).cast("double") / F.count(col)
@@ -1166,18 +1224,54 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 0,
                 (f"{lvl.name}_interval", {"_literal": {"value": label}}),
             )
-    if levels[0].kind == "nested":
-        # ES nested AGGREGATION (round 11, pairing the round-11
-        # nested QUERY): aggregate over the array's objects. The
-        # array column is REPLACED by one exploded struct per row, so
-        # sub-level field paths ("attrs.k") resolve naturally;
-        # parents with empty/NULL arrays contribute no objects.
-        # Root-only (the explode re-bases row identity from docs to
-        # objects; ES's reverse_nested escape hatch is out of scope —
-        # PARITY #22). Sub-aggs may reference nested fields only,
-        # like ES without reverse_nested.
-        path = levels[0].body["path"]
-        base = base.withColumn(path, F.explode(F.col(path)))
+    # ES nested AGGREGATION (round 11 root-only; round 12 at ANY chain
+    # depth + reverse_nested — VERDICT r11 Next #3): aggregate over
+    # the array's objects. The array column is REPLACED by one
+    # posexplode_outer struct per row, so sub-level field paths
+    # ("attrs.k") resolve naturally AND parent keys ride along on
+    # every object row. Docs with NULL/empty arrays keep one
+    # NULL-object row: it carries the doc into ancestor counts, gets
+    # a NULL key at the nested level, and drops there (no objects →
+    # no nested bucket). Levels ABOVE the nested level would be
+    # object-multiplied, so their doc_count counts only the one
+    # REPRESENTATIVE row per parent (_nested_rep = first/only
+    # position) and their metric inputs are masked the same way in
+    # _metric_cols. reverse_nested (back-to-root doc_count) counts
+    # distinct pre-explode parent ids.
+    nested_i = next(
+        (i for i, lv in enumerate(levels, start=1) if lv.kind == "nested"),
+        None,
+    )
+    needs_parent = any(
+        "reverse_nested" in spec for lv in levels for _, spec in lv.metrics
+    )
+    if needs_parent and nested_i is None:
+        raise ValueError(
+            "reverse_nested requires a nested level in the agg chain"
+        )
+    if nested_i is not None:
+        path = levels[nested_i - 1].body["path"]
+        if needs_parent:
+            # unique per pre-explode row WITHIN one plan execution —
+            # all reverse_nested needs (its values never surface, only
+            # the per-bucket distinct count does)
+            base = base.withColumn(
+                "_nested_parent", F.monotonically_increasing_id()
+            )
+        base = (
+            base.select(
+                "*",
+                F.posexplode_outer(F.col(path)).alias(
+                    "_nested_pos", "_nested_obj"
+                ),
+            )
+            .drop(path)
+            .withColumnRenamed("_nested_obj", path)
+            .withColumn(
+                "_nested_rep",
+                F.col("_nested_pos").isNull() | (F.col("_nested_pos") == 0),
+            )
+        )
     if levels[0].kind == "filters":
         fbody = levels[0].body
         names_arr = F.array_compact(
@@ -1209,21 +1303,48 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     else:
         key_exprs = [lvl.key_expr() for lvl in levels]
 
+    nested_extra = []
+    if nested_i is not None:
+        nested_extra.append("_nested_rep")
+        if needs_parent:
+            nested_extra.append("_nested_parent")
     base = base.select(
         *[e.alias(nm) for e, nm in zip(key_exprs, key_names)],
         *[c for c in df.columns if c not in key_names],
+        *nested_extra,
     )
 
-    metrics = _metric_cols(levels)
+    metrics = _metric_cols(levels, nested_i)
+    if nested_i is not None and nested_i > 1:
+        # two counts from the same pass: ancestor levels count parent
+        # DOCS (one representative row each), the nested level and
+        # below count OBJECT rows — resolved per result row below
+        count_aggs = [
+            F.count(F.lit(1)).alias("_cnt_obj"),
+            F.count(F.when(F.col("_nested_rep"), F.lit(1))).alias(
+                "_cnt_doc"
+            ),
+        ]
+    else:
+        count_aggs = [F.count(F.lit(1)).alias("doc_count")]
     rolled = (
         base.rollup(*key_names)
         .agg(
             (F.lit(n) - F.bit_count(F.grouping_id())).cast("int").alias("level"),
-            F.count(F.lit(1)).alias("doc_count"),
+            *count_aggs,
             *[e.alias(nm) for nm, e, _ in metrics],
         )
         .filter(F.col("level") >= 1)  # ES responses have no global row
     )
+    if nested_i is not None and nested_i > 1:
+        rolled = rolled.withColumn(
+            "doc_count",
+            F.when(
+                F.col("level") < nested_i, F.col("_cnt_doc")
+            ).otherwise(F.col("_cnt_obj")),
+        ).select(
+            *key_names, "level", "doc_count", *[nm for nm, _, _ in metrics]
+        )
     # ES drops a doc from a bucket LEVEL when its key there is
     # missing / out-of-range / filter-rejected — but the doc still
     # counts in every ANCESTOR bucket (a parent's doc_count/metrics
@@ -3525,6 +3646,60 @@ def q_es_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "avg_w": {"avg": {"field": "attrs.w"}}
                             },
                         }
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-root ``nested`` + ``reverse_nested`` (round 12, VERDICT
+    r11 Next #3) — the "per category, per nested attribute" shape
+    real nested mappings aggregate: terms over the parent event_type,
+    a parent-field sum (must count each DOC once, not once per
+    object), then nested over a VARIABLE-LENGTH synthesized attrs
+    array (1 object, +1 when value >= 100), terms over the object
+    key with an exact-decimal avg of the object weight, and a
+    reverse_nested doc_count re-basing each leaf bucket onto its
+    distinct parent docs."""
+    ev = load(spark, sf_dir, "events")
+    one = F.array(
+        F.struct(F.lit("type").alias("k"), F.col("value").alias("w"))
+    )
+    two = F.array(
+        F.struct(F.lit("type").alias("k"), F.col("value").alias("w")),
+        F.struct(
+            F.lit("band").alias("k"),
+            (F.col("value") * F.lit(2.0)).alias("w"),
+        ),
+    )
+    ev = ev.withColumn(
+        "attrs", F.when(F.col("value") >= 100, two).otherwise(one)
+    )
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 10},
+                    "aggs": {
+                        "sum_value": {"sum": {"field": "value"}},
+                        "objs": {
+                            "nested": {"path": "attrs"},
+                            "aggs": {
+                                "by_k": {
+                                    "terms": {"field": "attrs.k",
+                                              "size": 10},
+                                    "aggs": {
+                                        "avg_w": {
+                                            "avg": {"field": "attrs.w"}
+                                        },
+                                        "parents": {"reverse_nested": {}},
+                                    },
+                                }
+                            },
+                        },
                     },
                 }
             },

@@ -1269,8 +1269,8 @@ def test_geohash_grid_and_geo_centroid(spark):
 def test_nested_agg_counts_objects(spark):
     """The nested AGGREGATION re-bases rows onto array objects:
     doc_count counts OBJECTS, empty/NULL arrays contribute nothing,
-    sub-aggs reference nested fields via their full path; non-root
-    use raises (no reverse_nested escape)."""
+    sub-aggs reference nested fields via their full path;
+    nested-inside-nested raises (one re-basing per chain)."""
     from dump_es_parquet_spark.operators.es_search import compile_aggs
 
     df = spark.createDataFrame(
@@ -1293,11 +1293,68 @@ def test_nested_agg_counts_objects(spark):
     ]
     assert sorted((r.by_k, r.doc_count, r.aw) for r in out
                   if r.level == 2) == [("a", 2, 20.0), ("b", 1, 20.0)]
-    with pytest.raises(ValueError, match="root level only"):
+    with pytest.raises(ValueError, match="one nested level"):
         compile_aggs(
             df,
-            {"byg": {"terms": {"field": "g"},
-                     "aggs": {"objs": {"nested": {"path": "attrs"}}}}},
+            {"objs": {"nested": {"path": "attrs"},
+                      "aggs": {"again": {"nested": {"path": "attrs"}}}}},
+        )
+
+
+def test_nested_agg_non_root_and_reverse_nested(spark):
+    """Round 12 (VERDICT r11 Next #3): nested under terms — the
+    "per category, per attribute" shape real nested mappings exist
+    for. Ancestor levels count PARENT DOCS and aggregate parent
+    fields once per doc (the object explode must not multiply them);
+    the nested level and below count OBJECTS; reverse_nested
+    re-bases a bucket's doc_count onto distinct parents."""
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, cat="a", val=10.0,
+                attrs=[Row(k="x", v=1.0), Row(k="y", v=2.0)]),
+            Row(id=2, cat="a", val=20.0, attrs=[Row(k="x", v=3.0)]),
+            Row(id=3, cat="b", val=30.0, attrs=[]),
+            Row(id=4, cat="b", val=40.0,
+                attrs=[Row(k="y", v=4.0), Row(k="y", v=5.0)]),
+            Row(id=5, cat=None, val=50.0, attrs=None),
+        ]
+    )
+    out = compile_aggs(
+        df,
+        {"by_cat": {"terms": {"field": "cat", "size": 10}, "aggs": {
+            "sum_val": {"sum": {"field": "val"}},
+            "objs": {"nested": {"path": "attrs"}, "aggs": {
+                "by_k": {"terms": {"field": "attrs.k", "size": 10},
+                         "aggs": {
+                             "avg_v": {"avg": {"field": "attrs.v"}},
+                             "parents": {"reverse_nested": {}},
+                         }},
+            }},
+        }}},
+    ).collect()
+    # ancestor: parent docs, parent-field sum NOT object-multiplied
+    assert sorted((r.by_cat, r.doc_count, r.sum_val) for r in out
+                  if r.level == 1) == [("a", 2, 30.0), ("b", 2, 70.0)]
+    # nested level: objects per category (empty array → none)
+    assert sorted((r.by_cat, r.doc_count) for r in out
+                  if r.level == 2) == [("a", 3), ("b", 2)]
+    # leaf: objects per key; reverse_nested = distinct parent docs
+    assert sorted(
+        (r.by_cat, r.by_k, r.doc_count, r.avg_v, r.parents_doc_count)
+        for r in out if r.level == 3
+    ) == [
+        ("a", "x", 2, 2.0, 2.0),
+        ("a", "y", 1, 2.0, 1.0),
+        ("b", "y", 2, 4.5, 1.0),
+    ]
+    # reverse_nested outside a nested scope fails loudly
+    with pytest.raises(ValueError, match="reverse_nested"):
+        compile_aggs(
+            df,
+            {"by_cat": {"terms": {"field": "cat"},
+                        "aggs": {"p": {"reverse_nested": {}}}}},
         )
 
 

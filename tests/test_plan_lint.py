@@ -255,6 +255,12 @@ PINNED_FINGERPRINTS = {
     # nested agg: one explode (Generate) before the same rollup +
     # window + orderBy class — the re-basing adds no exchange
     "es_nested_agg": {"exchange": 3},
+    # non-root nested + reverse_nested (round 12): the posexplode
+    # Generate still adds no exchange; reverse_nested's exact
+    # distinct-parent count adds the unavoidable two-phase distinct
+    # exchanges on top of the rollup + window class (same family as
+    # an exact cardinality metric)
+    "es_reverse_nested": {"exchange": 5},
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
