@@ -680,6 +680,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     doc_count; demoted-green pending rotation
         #     (es_nested_query keeps the nested family declared)
         "es_reverse_nested",
+        # es_multi_rare_terms — multi_terms (composite '|'-joined
+        #     key) + rare_terms (doc_count ceiling) buckets (round
+        #     12, VERDICT r11 Next #4); demoted-green pending
+        #     rotation (es_aggs_tree keeps the bucket family
+        #     declared)
+        "es_multi_rare_terms",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1051,6 +1057,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_nested_query": _mod("es_search", "q_es_nested_query"),
         "es_nested_agg": _mod("es_search", "q_es_nested_agg"),
         "es_reverse_nested": _mod("es_search", "q_es_reverse_nested"),
+        "es_multi_rare_terms": _mod("es_search", "q_es_multi_rare_terms"),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
         ),
@@ -4287,6 +4294,33 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT event_id) AS DOUBLE)
         FROM x GROUP BY event_type, a.k
         ORDER BY level, by_type, by_k NULLS FIRST
+    """
+
+    # es_multi_rare_terms (round 12): multi_terms = '|'-joined
+    # composite key (docs missing any component dropped, per ES);
+    # rare_terms = HAVING count(*) <= max_doc_count inside the
+    # parent bucket — the doc_count-ceiling twin of terms.
+    q["es_multi_rare_terms"] = """
+        WITH e AS (
+          SELECT CASE WHEN event_type IS NOT NULL AND value IS NOT NULL
+                 THEN event_type || '|' || 'b' ||
+                      CAST(CAST(floor(value / 100) AS INT) AS VARCHAR)
+                 END AS type_band,
+                 user_id, value
+          FROM events
+        )
+        SELECT CAST(1 AS INT) AS level, type_band,
+               CAST(NULL AS BIGINT) AS rare_users,
+               count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM e WHERE type_band IS NOT NULL GROUP BY type_band
+        UNION ALL
+        SELECT CAST(2 AS INT), type_band, user_id, count(*),
+               CAST(NULL AS DOUBLE)
+        FROM e WHERE type_band IS NOT NULL
+        GROUP BY type_band, user_id HAVING count(*) <= 1
+        ORDER BY level, type_band, rare_users NULLS FIRST
     """
 
     # es_auto_date_histogram: the ~31-day January window at every SF

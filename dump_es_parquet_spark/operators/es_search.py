@@ -32,7 +32,13 @@ Query DSL (``compile_query``):
 Aggregations DSL (``compile_aggs``):
 
 - bucket aggs: ``terms`` (size, order ``_count``/``_key``/metric,
-  min_doc_count, ``missing`` substitute bucket), ``date_histogram``
+  min_doc_count, ``missing`` substitute bucket), ``multi_terms``
+  (composite '|'-joined key over several fields, docs missing ANY
+  component dropped per ES; same size/order/min_doc_count knobs as
+  terms — round 12), ``rare_terms`` (terms kept when their doc_count
+  is AT MOST ``max_doc_count`` — a ceiling instead of a rank cap;
+  exact, where ES's CuckooFilter is approximate — round 12),
+  ``date_histogram``
   (calendar_interval / fixed_interval, signed ``offset`` on fixed
   grids, ``min_doc_count: 0`` + ``extended_bounds`` gap-filling;
   bucket key = epoch millis, exactly the key ES
@@ -130,6 +136,7 @@ __all__ = [
 _BUCKET_KINDS = (
     "terms",
     "multi_terms",
+    "rare_terms",
     "date_histogram",
     "histogram",
     "range",
@@ -512,9 +519,12 @@ class _Level:
     def key_expr(self) -> Column:
         b = self.body
         col = F.col(b["field"]) if "field" in b else None
-        if self.kind == "terms":
+        if self.kind in ("terms", "rare_terms"):
             # ES `missing`: docs without the field land in a bucket
-            # keyed by the substitute value instead of being dropped
+            # keyed by the substitute value instead of being dropped.
+            # rare_terms keys exactly like terms — the difference is
+            # the pruning rule (doc_count <= max_doc_count instead of
+            # a top-size rank cap), applied in compile_aggs
             if "missing" in b:
                 return F.coalesce(col, F.lit(b["missing"]))
             return col
@@ -1372,9 +1382,22 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     # so top-``size`` prunes before the tiny shuffles, too).
     frame = rolled
     for i, lvl in enumerate(levels, start=1):
-        mdc = int(lvl.body.get("min_doc_count", 1 if lvl.kind == "terms" else 0))
+        mdc = int(
+            lvl.body.get(
+                "min_doc_count",
+                1 if lvl.kind in ("terms", "multi_terms") else 0,
+            )
+        )
         cond = F.col("doc_count") >= mdc if mdc > 0 else F.lit(True)
-        if lvl.kind == "terms":
+        if lvl.kind == "rare_terms":
+            # ES rare_terms: keep terms appearing in at most
+            # max_doc_count docs (default 1) — a doc_count CEILING
+            # instead of terms' top-size rank cap; no window needed
+            # (ES's CuckooFilter approximation is exact here)
+            cond = cond & (
+                F.col("doc_count") <= int(lvl.body.get("max_doc_count", 1))
+            )
+        if lvl.kind in ("terms", "multi_terms"):
             size = int(lvl.body.get("size", 10))
             order = lvl.body.get("order", {"_count": "desc"})
             # ES accepts one criterion or a tie-breaking LIST of them
@@ -3699,6 +3722,50 @@ def q_es_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     },
                                 }
                             },
+                        },
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_multi_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multi_terms`` + ``rare_terms`` buckets (round 12, VERDICT
+    r11 Next #4): a composite (event_type × value-band) multi_terms
+    level — '|'-joined key, docs missing any component dropped, sized
+    past the pair cardinality so every pair survives — holding a
+    parent sum and a ``rare_terms`` sub-level keeping the users with
+    AT MOST one event in that (type, band) context: the long-tail
+    shape rare_terms exists for (globally every user has ~50 events —
+    rarity only emerges inside a bucket)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "band",
+        F.concat(
+            F.lit("b"),
+            F.floor(F.col("value") / 100).cast("int").cast("string"),
+        ),
+    )
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "type_band": {
+                    "multi_terms": {
+                        "terms": [
+                            {"field": "event_type"},
+                            {"field": "band"},
+                        ],
+                        "size": 100,
+                        "order": {"_key": "asc"},
+                    },
+                    "aggs": {
+                        "sum_value": {"sum": {"field": "value"}},
+                        "rare_users": {
+                            "rare_terms": {
+                                "field": "user_id",
+                                "max_doc_count": 1,
+                            }
                         },
                     },
                 }

@@ -261,6 +261,11 @@ PINNED_FINGERPRINTS = {
     # exchanges on top of the rollup + window class (same family as
     # an exact cardinality metric)
     "es_reverse_nested": {"exchange": 5},
+    # multi_terms + rare_terms (round 12): composite-key terms and
+    # the doc_count-ceiling variant are pure key-expression /
+    # pruning-condition changes — the same one-rollup + window
+    # bucket-frame class (rollup + rank/survival windows + orderBy)
+    "es_multi_rare_terms": {"exchange": 4},
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
