@@ -686,6 +686,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     rotation (es_aggs_tree keeps the bucket family
         #     declared)
         "es_multi_rare_terms",
+        # es_range_overlap — overlapping range buckets via the
+        #     multi-membership explode with un-multiplied ancestors
+        #     (round 12, VERDICT r11 Next #5); demoted-green pending
+        #     rotation (es_aggs_tree keeps the bucket family declared)
+        "es_range_overlap",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1058,6 +1063,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_nested_agg": _mod("es_search", "q_es_nested_agg"),
         "es_reverse_nested": _mod("es_search", "q_es_reverse_nested"),
         "es_multi_rare_terms": _mod("es_search", "q_es_multi_rare_terms"),
+        "es_range_overlap": _mod("es_search", "q_es_range_overlap"),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
         ),
@@ -4321,6 +4327,36 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM e WHERE type_band IS NOT NULL
         GROUP BY type_band, user_id HAVING count(*) <= 1
         ORDER BY level, type_band, rare_users NULLS FIRST
+    """
+
+    # es_range_overlap (round 12): ES multi-membership — a doc lands
+    # in EVERY matching range (unnest of the per-doc matching-keys
+    # list); ancestor doc_count/sum come from the UN-exploded docs.
+    q["es_range_overlap"] = """
+        WITH e AS (
+          SELECT event_type, value,
+                 list_filter([
+                   CASE WHEN value >= 0 AND value < 200 THEN 'low' END,
+                   CASE WHEN value >= 100 AND value < 300 THEN 'mid' END,
+                   CASE WHEN value >= 250 THEN 'high' END
+                 ], x -> x IS NOT NULL) AS bl
+          FROM events WHERE event_type IS NOT NULL
+        ),
+        x AS (SELECT event_type, value, unnest(bl) AS bands FROM e)
+        SELECT CAST(1 AS INT) AS level, event_type AS by_type,
+               CAST(NULL AS VARCHAR) AS bands,
+               count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value,
+               CAST(NULL AS DOUBLE) AS avg_value
+        FROM e GROUP BY event_type
+        UNION ALL
+        SELECT CAST(2 AS INT), event_type, bands, count(*),
+               CAST(NULL AS DOUBLE),
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value)
+        FROM x GROUP BY event_type, bands
+        ORDER BY level, by_type, bands NULLS FIRST
     """
 
     # es_auto_date_histogram: the ~31-day January window at every SF

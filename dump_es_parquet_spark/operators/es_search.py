@@ -579,26 +579,15 @@ class _Level:
             # from-inclusive, to-exclusive; docs outside every range
             # get a NULL key and are dropped (ES puts them nowhere).
             # date_range compares on epoch millis (bounds are ints,
-            # like every date key this module emits).
+            # like every date key this module emits). The CASE chain
+            # is single-membership — compile_aggs routes OVERLAPPING
+            # ranges through the multi-membership explode instead
+            # (round 12) and never calls key_expr for them; the other
+            # key_expr consumers (composite, streaming, top_hits)
+            # still raise on overlap.
             _ranges_disjoint_or_raise(self.body["ranges"], self.kind)
-            if self.kind == "date_range":
-                for r in b["ranges"]:
-                    for bk in ("from", "to"):
-                        if bk in r and not isinstance(r[bk], int):
-                            raise ValueError(
-                                "date_range bounds must be epoch millis ints"
-                            )
-                col = F.unix_millis(col)
             expr = None
-            for r in b["ranges"]:
-                cond = F.lit(True)
-                if "from" in r:
-                    cond = cond & (col >= F.lit(r["from"]))
-                if "to" in r:
-                    cond = cond & (col < F.lit(r["to"]))
-                key = r.get(
-                    "key", f"{r.get('from', '*')}-{r.get('to', '*')}"
-                )
+            for cond, key in self.range_members():
                 expr = (
                     F.when(cond, F.lit(key))
                     if expr is None
@@ -646,25 +635,11 @@ class _Level:
             # distance-ring buckets: the range-agg CASE chain over the
             # same haversine tree the geo_distance QUERY uses (from-
             # inclusive / to-exclusive meters, ES's defaults); docs
-            # outside every ring get a NULL key
+            # outside every ring get a NULL key. Overlapping rings
+            # take compile_aggs' multi-membership explode (round 12).
             _ranges_disjoint_or_raise(b["ranges"], self.kind)
-            origin = b["origin"]
-            dist = _haversine_m(
-                F.col(b["field"] + ".lat"),
-                F.col(b["field"] + ".lon"),
-                float(origin["lat"]),
-                float(origin["lon"]),
-            )
             expr = None
-            for r in b["ranges"]:
-                cond = F.lit(True)
-                if "from" in r:
-                    cond = cond & (dist >= F.lit(float(r["from"])))
-                if "to" in r:
-                    cond = cond & (dist < F.lit(float(r["to"])))
-                key = r.get(
-                    "key", f"{r.get('from', '*')}-{r.get('to', '*')}"
-                )
+            for cond, key in self.range_members():
                 expr = (
                     F.when(cond, F.lit(key))
                     if expr is None
@@ -673,17 +648,54 @@ class _Level:
             return expr
         raise ValueError(f"bucket kind {self.kind!r}")
 
+    def range_members(self) -> list[tuple[Column, str]]:
+        """(membership condition, bucket key) per range of a
+        range-family level (``range`` / ``date_range`` /
+        ``geo_distance``) — shared by the single-membership CASE
+        chain (disjoint ranges) and the multi-membership explode
+        (overlapping ranges, round 12: ES puts a doc in EVERY range
+        it fits)."""
+        b = self.body
+        if self.kind == "geo_distance":
+            origin = b["origin"]
+            val = _haversine_m(
+                F.col(b["field"] + ".lat"),
+                F.col(b["field"] + ".lon"),
+                float(origin["lat"]),
+                float(origin["lon"]),
+            )
+            lit = float
+        else:
+            val = F.col(b["field"])
+            if self.kind == "date_range":
+                for r in b["ranges"]:
+                    for bk in ("from", "to"):
+                        if bk in r and not isinstance(r[bk], int):
+                            raise ValueError(
+                                "date_range bounds must be epoch millis ints"
+                            )
+                val = F.unix_millis(val)
+            lit = lambda v: v  # noqa: E731 — raw literal, per-kind typing
+        out = []
+        for r in b["ranges"]:
+            cond = F.lit(True)
+            if "from" in r:
+                cond = cond & (val >= F.lit(lit(r["from"])))
+            if "to" in r:
+                cond = cond & (val < F.lit(lit(r["to"])))
+            key = r.get("key", f"{r.get('from', '*')}-{r.get('to', '*')}")
+            out.append((cond, key))
+        return out
 
-def _ranges_disjoint_or_raise(ranges, kind: str) -> None:
-    """ES puts a doc in EVERY range it fits — overlapping ranges
-    would need a multi-membership explode that double-counts
-    ancestors in the one-rollup plan, so they raise instead of
-    silently first-matching (round 11; the CASE chains are
-    single-membership)."""
+
+def _ranges_overlap(ranges) -> bool:
+    """True when any two ranges share points (from-inclusive /
+    to-exclusive) — ES then puts a doc in EVERY matching range, which
+    a single-membership CASE chain cannot express."""
     for r in ranges:
         for bk in ("from", "to"):
             if bk in r and not isinstance(r[bk], (int, float)):
-                return  # non-numeric bound: the kind's own check raises
+                return False  # non-numeric bound: the kind's own check raises
     ordered = sorted(
         ranges,
         key=lambda r: (
@@ -694,12 +706,22 @@ def _ranges_disjoint_or_raise(ranges, kind: str) -> None:
         a_to = float(a["to"]) if "to" in a else float("inf")
         b_from = float(b["from"]) if "from" in b else float("-inf")
         if b_from < a_to:
-            raise ValueError(
-                f"{kind} ranges overlap "
-                f"({a.get('key', a)!r} / {b.get('key', b)!r}): ES "
-                "multi-membership is not expressible in the single-"
-                "rollup plan — split into a filters agg"
-            )
+            return True
+    return False
+
+
+def _ranges_disjoint_or_raise(ranges, kind: str) -> None:
+    """Guard for the SINGLE-membership consumers of a range key
+    (composite pagination, streamable aggs, top_hits plans): a CASE
+    chain silently first-matches overlapping ranges, so they raise.
+    ``compile_aggs`` itself supports overlap via the multi-membership
+    explode (round 12) and bypasses key_expr for such levels."""
+    if _ranges_overlap(ranges):
+        raise ValueError(
+            f"{kind} ranges overlap: ES multi-membership is supported "
+            "by compile_aggs/search_aggs only — composite/streaming/"
+            "top_hits plans are single-membership"
+        )
 
 
 #: ES auto_date_histogram interval ladder (public rounding table):
@@ -1004,21 +1026,22 @@ def _parse_chain(aggs: dict) -> list[_Level]:
     return levels
 
 
-def _metric_cols(levels: list[_Level], nested_i: int | None = None):
+def _metric_cols(levels: list[_Level], explode_i: int | None = None):
     """(column name, raw agg expr, attachment level) triples. Nullable
     numeric metrics are emitted as DOUBLE so the cross-engine pandas
     dtype is stable (a nullable int64 silently becomes float64).
 
-    ``nested_i``: 1-based index of the chain's nested level, if any
-    (round 12). Levels ABOVE it aggregate PARENT-DOC fields over a
-    frame the object explode multiplied, so their metric inputs are
-    masked to the one representative row per parent (``_nested_rep``)
-    — an unmasked sum would count each doc once per object."""
+    ``explode_i``: 1-based index of the chain's multi-membership level
+    (nested object explode, or an overlapping-range explode — round
+    12), if any. Levels ABOVE it aggregate PARENT-DOC fields over a
+    frame the explode multiplied, so their metric inputs are masked to
+    the one representative row per parent (``_nested_rep``) — an
+    unmasked sum would count each doc once per membership."""
     out = []
     for lvl_no, lvl in enumerate(levels, start=1):
         mask = (
             F.col("_nested_rep")
-            if nested_i is not None and lvl_no < nested_i
+            if explode_i is not None and lvl_no < explode_i
             else None
         )
 
@@ -1044,7 +1067,7 @@ def _metric_cols(levels: list[_Level], nested_i: int | None = None):
                         "reverse_nested sub-aggregations are not "
                         "supported (doc_count only)"
                     )
-                if nested_i is None or lvl_no < nested_i:
+                if explode_i is None or lvl_no < explode_i:
                     raise ValueError(
                         "reverse_nested must sit at or below the "
                         "chain's nested level"
@@ -1252,6 +1275,24 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         (i for i, lv in enumerate(levels, start=1) if lv.kind == "nested"),
         None,
     )
+    # overlapping range-family levels (round 12): ES puts a doc in
+    # EVERY matching range — multi-membership, same re-basing problem
+    # as nested, solved by the same posexplode_outer machinery (one
+    # row per membership, a representative row per doc for ancestors)
+    overlap_is = [
+        i
+        for i, lv in enumerate(levels, start=1)
+        if lv.kind in ("range", "date_range", "geo_distance")
+        and _ranges_overlap(lv.body["ranges"])
+    ]
+    if len(overlap_is) > 1 or (overlap_is and nested_i is not None):
+        raise ValueError(
+            "one multi-membership level (nested or overlapping "
+            "ranges) per agg chain"
+        )
+    explode_i = nested_i if nested_i is not None else (
+        overlap_is[0] if overlap_is else None
+    )
     needs_parent = any(
         "reverse_nested" in spec for lv in levels for _, spec in lv.metrics
     )
@@ -1259,6 +1300,7 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         raise ValueError(
             "reverse_nested requires a nested level in the agg chain"
         )
+    overlap_key = None
     if nested_i is not None:
         path = levels[nested_i - 1].body["path"]
         if needs_parent:
@@ -1282,6 +1324,24 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 F.col("_nested_pos").isNull() | (F.col("_nested_pos") == 0),
             )
         )
+    elif explode_i is not None:
+        # overlapping ranges: explode the MATCHING-KEYS array (the
+        # filters-agg pattern, but outer so non-matching docs still
+        # carry one NULL-key row into ancestor counts); this level's
+        # key comes from the exploded column instead of key_expr's
+        # single-membership CASE
+        members = levels[explode_i - 1].range_members()
+        arr = F.array_compact(
+            F.array(*[F.when(c, F.lit(k)) for c, k in members])
+        )
+        base = base.select(
+            "*",
+            F.posexplode_outer(arr).alias("_nested_pos", "_mm_key"),
+        ).withColumn(
+            "_nested_rep",
+            F.col("_nested_pos").isNull() | (F.col("_nested_pos") == 0),
+        )
+        overlap_key = F.col("_mm_key")
     if levels[0].kind == "filters":
         fbody = levels[0].body
         names_arr = F.array_compact(
@@ -1308,13 +1368,21 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             ).otherwise(names_arr)
         base = base.withColumn(levels[0].name, F.explode(names_arr))
         key_exprs = [F.col(levels[0].name)] + [
-            lvl.key_expr() for lvl in levels[1:]
+            overlap_key
+            if (overlap_key is not None and i == explode_i)
+            else lvl.key_expr()
+            for i, lvl in enumerate(levels[1:], start=2)
         ]
     else:
-        key_exprs = [lvl.key_expr() for lvl in levels]
+        key_exprs = [
+            overlap_key
+            if (overlap_key is not None and i == explode_i)
+            else lvl.key_expr()
+            for i, lvl in enumerate(levels, start=1)
+        ]
 
     nested_extra = []
-    if nested_i is not None:
+    if explode_i is not None:
         nested_extra.append("_nested_rep")
         if needs_parent:
             nested_extra.append("_nested_parent")
@@ -1324,8 +1392,8 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         *nested_extra,
     )
 
-    metrics = _metric_cols(levels, nested_i)
-    if nested_i is not None and nested_i > 1:
+    metrics = _metric_cols(levels, explode_i)
+    if explode_i is not None and explode_i > 1:
         # two counts from the same pass: ancestor levels count parent
         # DOCS (one representative row each), the nested level and
         # below count OBJECT rows — resolved per result row below
@@ -1346,11 +1414,11 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         )
         .filter(F.col("level") >= 1)  # ES responses have no global row
     )
-    if nested_i is not None and nested_i > 1:
+    if explode_i is not None and explode_i > 1:
         rolled = rolled.withColumn(
             "doc_count",
             F.when(
-                F.col("level") < nested_i, F.col("_cnt_doc")
+                F.col("level") < explode_i, F.col("_cnt_doc")
             ).otherwise(F.col("_cnt_obj")),
         ).select(
             *key_names, "level", "doc_count", *[nm for nm, _, _ in metrics]
@@ -3766,6 +3834,43 @@ def q_es_multi_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "field": "user_id",
                                 "max_doc_count": 1,
                             }
+                        },
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping ``range`` buckets (round 12, VERDICT r11 Next #5)
+    — ES puts a doc in EVERY matching range, a real Kibana request
+    shape round 11 refused: three value bands where [100,200) belongs
+    to both 'low' and 'mid' and [250,300) to both 'mid' and 'high',
+    under a terms level whose doc_count and sum metric must stay
+    UN-multiplied (the pre-explode representative rows)."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 10},
+                    "aggs": {
+                        "sum_value": {"sum": {"field": "value"}},
+                        "bands": {
+                            "range": {
+                                "field": "value",
+                                "ranges": [
+                                    {"key": "low", "from": 0, "to": 200},
+                                    {"key": "mid", "from": 100,
+                                     "to": 300},
+                                    {"key": "high", "from": 250},
+                                ],
+                            },
+                            "aggs": {
+                                "avg_value": {"avg": {"field": "value"}}
+                            },
                         },
                     },
                 }

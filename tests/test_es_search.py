@@ -727,29 +727,21 @@ def test_auto_date_histogram_ladder(spark):
     assert all(r.a_interval == "day" for r in out2) and len(out2) == 9
 
 
-def test_range_overlap_raises(spark):
-    """Round 11: ES puts a doc in EVERY range it fits; overlapping
-    ranges would silently first-match in the CASE chain, so they
-    raise (range, date_range and geo_distance alike); touching
-    ranges (to == next from) stay fine."""
+def test_range_overlap_multi_membership(spark):
+    """Round 11 raised on overlapping ranges; round 12 (VERDICT r11
+    Next #5) supports them — ES puts a doc in EVERY range it fits,
+    compiled as a multi-membership explode. Touching ranges
+    (to == next from) stay single-membership (the CASE fast path)."""
     df = spark.createDataFrame([Row(v=5.0)])
-    with pytest.raises(ValueError, match="overlap"):
-        compile_aggs(df, {"b": {"range": {"field": "v", "ranges": [
-            {"key": "a", "to": 10}, {"key": "b", "from": 5},
-        ]}}})
-    # touching is fine (from-inclusive / to-exclusive)
+    out = compile_aggs(df, {"b": {"range": {"field": "v", "ranges": [
+        {"key": "a", "to": 10}, {"key": "b", "from": 5},
+    ]}}}).collect()
+    assert sorted((r.b, r.doc_count) for r in out) == [("a", 1), ("b", 1)]
+    # touching is fine (from-inclusive / to-exclusive) — one bucket
     out = compile_aggs(df, {"b": {"range": {"field": "v", "ranges": [
         {"key": "a", "to": 5}, {"key": "b", "from": 5},
     ]}}}).collect()
     assert [(r.b, r.doc_count) for r in out] == [("b", 1)]
-    with pytest.raises(ValueError, match="overlap"):
-        compile_aggs(
-            df.withColumn("loc", F.struct(F.lit(0.0).alias("lat"),
-                                          F.lit(0.0).alias("lon"))),
-            {"b": {"geo_distance": {
-                "field": "loc", "origin": {"lat": 0, "lon": 0},
-                "ranges": [{"key": "a", "to": 100.0},
-                           {"key": "b", "from": 50.0}]}}})
 
 
 def test_search_aggs_runtime_mappings(spark):
@@ -1356,6 +1348,70 @@ def test_nested_agg_non_root_and_reverse_nested(spark):
             {"by_cat": {"terms": {"field": "cat"},
                         "aggs": {"p": {"reverse_nested": {}}}}},
         )
+
+
+def test_overlapping_ranges_multi_membership(spark):
+    """Round 12 (VERDICT r11 Next #5): ES puts a doc in EVERY range
+    it fits — overlapping ranges now take a multi-membership explode
+    instead of raising. Ancestor doc_counts and metrics must come
+    from the pre-explode frame (one representative row per doc), and
+    the single-membership consumers (composite) still raise."""
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    df = spark.createDataFrame(
+        [
+            Row(g="a", n=5.0, v=1.0),
+            Row(g="a", n=15.0, v=2.0),   # lands in BOTH bands
+            Row(g="a", n=25.0, v=3.0),
+            Row(g="b", n=15.0, v=4.0),
+            Row(g="b", n=None, v=5.0),   # no band, still counts in g=b
+        ]
+    )
+    ranges = [
+        {"key": "low", "from": 0, "to": 20},
+        {"key": "mid", "from": 10, "to": 30},
+    ]
+    out = compile_aggs(
+        df,
+        {"byg": {"terms": {"field": "g"}, "aggs": {
+            "sum_v": {"sum": {"field": "v"}},
+            "bands": {"range": {"field": "n", "ranges": ranges},
+                      "aggs": {"avg_n": {"avg": {"field": "n"}}}},
+        }}},
+    ).collect()
+    # ancestors: parent docs and parent-field sums, NOT membership-
+    # multiplied (the ADVICE-r10 uncorrupted-ancestor pattern)
+    assert sorted((r.byg, r.doc_count, r.sum_v) for r in out
+                  if r.level == 1) == [("a", 3, 6.0), ("b", 2, 9.0)]
+    # multi-membership: n=15 in both low and mid
+    assert sorted((r.byg, r.bands, r.doc_count, r.avg_n) for r in out
+                  if r.level == 2) == [
+        ("a", "low", 2, 10.0), ("a", "mid", 2, 20.0),
+        ("b", "low", 1, 15.0), ("b", "mid", 1, 15.0),
+    ]
+    # geo_distance overlapping rings take the same route
+    gdf = spark.createDataFrame(
+        [Row(id=1, loc=Row(lat=0.0, lon=0.0)),
+         Row(id=2, loc=Row(lat=0.0, lon=5.0))]
+    )
+    gout = compile_aggs(
+        gdf,
+        {"rings": {"geo_distance": {
+            "field": "loc", "origin": {"lat": 0.0, "lon": 0.0},
+            "ranges": [{"key": "r1", "to": 300000.0},
+                       {"key": "r2", "to": 1000000.0}],
+        }}},
+    ).collect()
+    assert sorted((r.rings, r.doc_count) for r in gout) == [
+        ("r1", 1), ("r2", 2)
+    ]
+    # the single-membership key path (composite/streaming/top_hits
+    # consumers) still raises on overlap
+    from dump_es_parquet_spark.operators.es_search import _Level
+
+    with pytest.raises(ValueError, match="overlap"):
+        _Level("bands", "range",
+               {"field": "n", "ranges": ranges}).key_expr()
 
 
 def test_multi_terms_and_rare_terms(spark):

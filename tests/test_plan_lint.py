@@ -266,6 +266,10 @@ PINNED_FINGERPRINTS = {
     # pruning-condition changes — the same one-rollup + window
     # bucket-frame class (rollup + rank/survival windows + orderBy)
     "es_multi_rare_terms": {"exchange": 4},
+    # overlapping ranges (round 12): the multi-membership explode is
+    # one Generate on the scan side — no extra exchange over the
+    # one-rollup bucket-frame class
+    "es_range_overlap": {"exchange": 4},
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
