@@ -680,6 +680,14 @@ DEMOTED: frozenset[str] = frozenset(
         #     doc_count; demoted-green pending rotation
         #     (es_nested_query keeps the nested family declared)
         "es_reverse_nested",
+        # corpus_bm25_stemmed — the analyzer seam's third step
+        #     (round 12, VERDICT r11 Next #6): standard tokenizer +
+        #     the Harman S-stemmer (Lucene minimal_english), load-
+        #     bearing over a deterministically pluralized corpus
+        #     slice; demoted-green pending rotation
+        #     (corpus_bm25_stopwords keeps the analyzer family
+        #     declared)
+        "corpus_bm25_stemmed",
         # es_multi_rare_terms — multi_terms (composite '|'-joined
         #     key) + rare_terms (doc_count ceiling) buckets (round
         #     12, VERDICT r11 Next #4); demoted-green pending
@@ -1034,6 +1042,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bm25_stopwords": _mod(
             "retrieval", "q_corpus_bm25_stopwords"
         ),
+        "corpus_bm25_stemmed": _mod("retrieval", "q_corpus_bm25_stemmed"),
         "corpus_rank_eval": _mod("retrieval", "q_corpus_rank_eval"),
         # — the ES _search request compiler (round 9): query DSL →
         #   Catalyst Column, aggregation trees → one ROLLUP shuffle —
@@ -3534,6 +3543,48 @@ def _all_oracle_sql() -> dict[str, str]:
         f" x -> x <> '' AND length(x) >= 2 AND NOT list_contains([{_stoplist}], x))"
     )
     q["corpus_bm25_stopwords"] = q["corpus_bm25"].replace(_TOKS, stop_toks)
+
+    # corpus_bm25_stemmed: the analyzer seam's third step (round 12)
+    # — the Harman S-stemmer (Lucene minimal_english) as the SAME
+    # three ordered regexp rules, over the SAME deterministically
+    # pluralized corpus slice the Spark query builds (doc_id % 3 == 0
+    # gets dup→dups / filter→filters / window→windows); query terms
+    # driver-analyzed through the same spec.
+    from dump_es_parquet_spark.operators.retrieval import (
+        STEMMED_ANALYZER,
+        STEMMED_QUERY,
+    )
+
+    stem_terms = _terms(STEMMED_QUERY, STEMMED_ANALYZER)
+    assert stem_terms == terms, (
+        "STEMMED_QUERY must stem back to the demo terms"
+    )
+    stem_toks = (
+        "list_transform(" + std_toks + ", t -> CASE"
+        " WHEN regexp_matches(t, '.ies$')"
+        " AND NOT regexp_matches(t, '[ea]ies$')"
+        " THEN regexp_replace(t, 'ies$', 'y')"
+        " WHEN regexp_matches(t, '[us]s$') THEN t"
+        " WHEN regexp_matches(t, '[iaoe]es$') THEN t"
+        " WHEN regexp_matches(t, '..s$')"
+        " THEN regexp_replace(t, 's$', '')"
+        " ELSE t END)"
+    )
+    pdocs_cte = (
+        "pdocs AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN"
+        " regexp_replace(regexp_replace(regexp_replace(text,"
+        " 'dup', 'dups', 'g'), 'filter', 'filters', 'g'),"
+        " 'window', 'windows', 'g') ELSE text END AS text"
+        " FROM documents)"
+    )
+    q["corpus_bm25_stemmed"] = f"""
+        WITH {pdocs_cte},
+        {bm25_cte.replace(_TOKS, stem_toks)
+                 .replace("FROM documents", "FROM pdocs")}
+        SELECT doc_id, dl, n_matched, score_micro FROM scored
+        WHERE n_matched > 0
+        ORDER BY score_micro DESC, doc_id ASC LIMIT 10
+    """
     q["corpus_hybrid_rrf"] = f"""
         WITH {bm25_cte},
         lexpool AS (SELECT doc_id, score_micro FROM scored WHERE n_matched > 0

@@ -97,26 +97,84 @@ ENGLISH_STOPWORDS = (
 )
 
 
-def _analyzer_spec(analyzer) -> tuple[str, tuple, int]:
+#: the seam's stemmer stage (round 12, VERDICT r11 Next #6): the
+#: published Harman S-stemmer ("How Effective Is Suffixing?", JASIS
+#: 1991) — the rule set behind Lucene/ES's ``minimal_english``
+#: filter — expressed as three ordered regexp rules applied AFTER
+#: stopword/length filters, identically to query and document text
+#: (and spelled identically in the DuckDB oracle SQL). Full Porter
+#: is NOT expressible without a UDF — documented bound, PARITY #19.
+STEMMERS = ("minimal_english",)
+
+
+def _s_stem_py(t: str) -> str:
+    """Driver-side (query text) twin of ``_s_stem_col``. The rules
+    mirror Lucene's EnglishMinimalStemmer exactly: words under 3
+    chars or not ending in 's' unchanged; "us"/"ss" endings exempt;
+    ``Xies → Xy`` when the char before "ies" exists and is not a/e;
+    other i/a/o/e-before-"es" endings exempt (they terminate — no
+    fall-through to the plain strip); everything else drops the
+    final 's'."""
+    if len(t) < 3 or not t.endswith("s"):
+        return t
+    if t[-2] in ("u", "s"):
+        return t
+    if t[-2] == "e":
+        if len(t) > 3 and t[-3] == "i" and t[-4] not in ("a", "e"):
+            return t[:-3] + "y"
+        if t[-3] in ("i", "a", "o", "e"):
+            return t
+    return t[:-1]
+
+
+def _s_stem_col(x):
+    """One token through the S-stemmer, as a Catalyst expression —
+    the SAME ordered rules as ``_s_stem_py`` (exemption whens return
+    the token unchanged so they cannot fall through to the strip)."""
+    return (
+        F.when(
+            x.rlike(".ies$") & ~x.rlike("[ea]ies$"),
+            F.regexp_replace(x, "ies$", "y"),
+        )
+        .when(x.rlike("[us]s$"), x)
+        .when(x.rlike("[iaoe]es$"), x)
+        .when(x.rlike("..s$"), F.regexp_replace(x, "s$", ""))
+        .otherwise(x)
+    )
+
+
+def _analyzer_spec(analyzer) -> tuple[str, tuple, int, str | None]:
     """Normalize the seam knob: a bare string, or a dict carrying
-    post-tokenization filters → (type, stopwords, min_token_length)."""
+    post-tokenization filters →
+    (type, stopwords, min_token_length, stemmer)."""
     if isinstance(analyzer, str):
-        return analyzer, (), 0
+        return analyzer, (), 0, None
     typ = analyzer.get("type", "standard")
     stop = analyzer.get("stopwords", ())
     if stop == "_english_":
         stop = ENGLISH_STOPWORDS
     bad = [k for k in analyzer
-           if k not in ("type", "stopwords", "min_token_length")]
+           if k not in ("type", "stopwords", "min_token_length", "stemmer")]
     if bad:
         raise ValueError(f"analyzer spec key {bad[0]!r}")
-    return typ, tuple(stop), int(analyzer.get("min_token_length", 0))
+    stemmer = analyzer.get("stemmer")
+    if stemmer is not None and stemmer not in STEMMERS:
+        raise ValueError(
+            f"stemmer {stemmer!r}: one of {STEMMERS} (full Porter "
+            "needs a UDF — PARITY #19)"
+        )
+    return (
+        typ,
+        tuple(stop),
+        int(analyzer.get("min_token_length", 0)),
+        stemmer,
+    )
 
 
 def _analyze(text: str, analyzer="whitespace") -> list[str]:
     """Driver-side analysis of QUERY text under the same rules as
     ``_tokens_col`` applies to documents."""
-    typ, stop, minlen = _analyzer_spec(analyzer)
+    typ, stop, minlen, stemmer = _analyzer_spec(analyzer)
     if typ == "whitespace":
         toks = [t for t in text.strip().split() if t]
     elif typ == "standard":
@@ -125,7 +183,10 @@ def _analyze(text: str, analyzer="whitespace") -> list[str]:
         toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
     else:
         raise ValueError(f"analyzer {typ!r}: one of {ANALYZERS}")
-    return [t for t in toks if len(t) >= minlen and t not in stop]
+    toks = [t for t in toks if len(t) >= minlen and t not in stop]
+    if stemmer:
+        toks = [_s_stem_py(t) for t in toks]
+    return toks
 
 
 def _terms(query: str, analyzer="whitespace") -> list[str]:
@@ -148,7 +209,7 @@ def _idf_ppm(n_docs: int, df: int) -> int:
 
 
 def _tokens_col(text_col: str, analyzer="whitespace"):
-    typ, stop, minlen = _analyzer_spec(analyzer)
+    typ, stop, minlen, stemmer = _analyzer_spec(analyzer)
     if typ == "whitespace":
         toks = F.split(F.trim(F.col(text_col)), r"\s+")
     elif typ == "standard":
@@ -169,6 +230,9 @@ def _tokens_col(text_col: str, analyzer="whitespace"):
             return cond
 
         toks = F.filter(toks, _keep)
+    if stemmer:
+        # AFTER stop/length filters, like Lucene's chain order
+        toks = F.transform(toks, _s_stem_col)
     return toks
 
 
@@ -770,6 +834,49 @@ def q_corpus_bm25_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored token-for-token in the DuckDB oracle."""
     return bm25_topk(
         spark, sf_dir, STOPWORDS_QUERY, k=10, analyzer=STOPWORDS_ANALYZER
+    )
+
+
+#: plural-laden request text: under standard + minimal_english
+#: stemming it normalizes to the demo terms — and the pluralized
+#: document stream (see q_corpus_bm25_stemmed) re-joins the same
+#: postings, so a broken stemmer visibly changes every score
+STEMMED_QUERY = "Dups; FILTERS... windows!"
+
+#: the round-12 analyzer spec (VERDICT r11 Next #6): standard
+#: tokenizer + the Harman S-stemmer (Lucene minimal_english)
+STEMMED_ANALYZER = {"type": "standard", "stemmer": "minimal_english"}
+
+
+def q_corpus_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): BM25 under the stemming analyzer
+    spec (round 12, VERDICT r11 Next #6) — standard tokenizer + the
+    Harman S-stemmer (the `minimal_english` rule set), applied to
+    query and documents identically. The synthetic corpus carries no
+    plurals, so a third of the documents are deterministically
+    PLURALIZED first (dup→dups, filter→filters, window→windows for
+    doc_id % 3 == 0 — spelled identically in the DuckDB oracle);
+    stemming maps them back onto the demo terms, so the stemmer is
+    load-bearing for every score: without it those documents lose
+    all their matches."""
+    docs = load(spark, sf_dir, "documents")
+    plural = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "dup", "dups"),
+            "filter",
+            "filters",
+        ),
+        "window",
+        "windows",
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, plural).otherwise(F.col("text")),
+    )
+    return (
+        bm25_scores(docs, STEMMED_QUERY, analyzer=STEMMED_ANALYZER)
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(10)
     )
 
 

@@ -1390,8 +1390,12 @@ def test_analyzer_spec_stopwords_and_length_floor(spark):
         "go", "to", "x1"
     ]
     assert _terms("the the dup", spec) == ["dup"]
-    with _pytest.raises(ValueError, match="spec key"):
+    # round 12: "stemmer" is now a valid key — but only the
+    # regexp-expressible minimal_english rule set (Porter needs a UDF)
+    with _pytest.raises(ValueError, match="stemmer"):
         _analyze("x", {"type": "standard", "stemmer": "porter"})
+    with _pytest.raises(ValueError, match="spec key"):
+        _analyze("x", {"type": "standard", "lemmatizer": "wordnet"})
 
     d = spark.createDataFrame(
         [(1, "the fast cat runs a lot"), (2, "fast dog")],
@@ -1407,6 +1411,54 @@ def test_analyzer_spec_stopwords_and_length_floor(spark):
     rows = {r.doc_id: r.dl for r in bm25_scores(d, "fast", analyzer=spec)
             .collect()}
     assert rows == {1: 4, 2: 2}
+
+
+def test_analyzer_minimal_english_stemmer(spark):
+    """PARITY #19 third step (round 12, VERDICT r11 Next #6): the
+    Harman S-stemmer (Lucene minimal_english) as three ordered regexp
+    rules, identical on query text and document token streams, and
+    score-bearing: a pluralized document must re-join the singular
+    query's postings."""
+    from dump_es_parquet_spark.operators.retrieval import (
+        STEMMED_ANALYZER,
+        _analyze,
+        _s_stem_py,
+        _tokens_col,
+        bm25_scores,
+    )
+
+    # the Lucene EnglishMinimalStemmer rule set, rule by rule
+    assert _s_stem_py("ponies") == "pony"      # ies → y
+    assert _s_stem_py("beies") == "beies"      # e before ies exempt
+    assert _s_stem_py("baies") == "baies"      # a before ies exempt
+    assert _s_stem_py("ies") == "ies"          # too short for ies rule
+    assert _s_stem_py("tables") == "table"     # es → e
+    assert _s_stem_py("goes") == "goes"        # oes exempt
+    assert _s_stem_py("sees") == "sees"        # ees exempt
+    assert _s_stem_py("windows") == "window"   # plain s strip
+    assert _s_stem_py("glass") == "glass"      # ss exempt
+    assert _s_stem_py("focus") == "focus"      # us exempt
+    assert _s_stem_py("is") == "is"            # < 3 chars unchanged
+    assert _s_stem_py("dup") == "dup"          # no trailing s
+    assert _analyze("Dups; FILTERS... windows!", STEMMED_ANALYZER) == [
+        "dup", "filter", "window"
+    ]
+    # document side: the Catalyst expression applies the same rules
+    d = spark.createDataFrame(
+        [(1, "windows and ponies"), (2, "window glass")],
+        "doc_id long, text string",
+    )
+    toks = {
+        r.doc_id: list(r.t)
+        for r in d.select(
+            "doc_id", _tokens_col("text", STEMMED_ANALYZER).alias("t")
+        ).collect()
+    }
+    assert toks == {1: ["window", "and", "pony"], 2: ["window", "glass"]}
+    # score-bearing: both docs match the singular query term
+    hits = {r.doc_id for r in
+            bm25_scores(d, "window", analyzer=STEMMED_ANALYZER).collect()}
+    assert hits == {1, 2}
 
 
 def test_span_near_pathological_doc_bounded(spark):

@@ -211,6 +211,9 @@ PINNED_FINGERPRINTS = {
     # the analyzer SPEC (stopwords + length floor) is a token-array
     # filter expression — plan shape identical to the bm25 family
     "corpus_bm25_stopwords": {},
+    # the stemmer stage (round 12) is a token-array transform
+    # expression — still the zero-shuffle bm25 projection plan
+    "corpus_bm25_stemmed": {},
     # es_percolate_bulk (round 11 rework — VERDICT r10 What's wrong
     # #1): the rule frame and its merged intervals are PERSISTED, so
     # the channels read InMemoryTableScans instead of re-planning the
