@@ -2122,6 +2122,68 @@ def test_percolate_bulk_two_bound_must_range_is_conjunction(spark):
     ]
 
 
+def test_percolate_bulk_prefix_conjuncts(spark):
+    """Round 12 (VERDICT r11 Next #7): prefix conjuncts — matched
+    through per-field fixed-length prefix bins — must agree with
+    percolate()'s full-DSL answer in must, should, and must_not
+    positions; an empty prefix normalizes to exists."""
+    from dump_es_parquet_spark.operators.es_search import (
+        percolate,
+        percolate_bulk,
+        queries_to_conjuncts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(id=1, host="web-01", kind="a"),
+            Row(id=2, host="web-02", kind="b"),
+            Row(id=3, host="db-01", kind="a"),
+            Row(id=4, host="w", kind="a"),          # shorter than bin
+            Row(id=5, host=None, kind="a"),
+        ]
+    )
+    rules = {
+        # bare prefix
+        "web": {"prefix": {"host": "web-"}},
+        # dict value form + term beside it
+        "web_a": {"bool": {"must": [
+            {"prefix": {"host": {"value": "web"}}},
+            {"term": {"kind": "a"}},
+        ]}},
+        # mixed-length prefixes on ONE field: bin length = shortest
+        "w_any": {"prefix": {"host": "w"}},
+        # should with msm=1: db prefix OR kind=b
+        "db_or_b": {"bool": {"should": [
+            {"prefix": {"host": "db-"}},
+            {"term": {"kind": "b"}},
+        ], "minimum_should_match": 1}},
+        # must_not prefix kills
+        "a_not_web": {"bool": {"must": [{"term": {"kind": "a"}}],
+                               "must_not": [{"prefix": {"host": "web"}}]}},
+        # empty prefix == exists
+        "has_host": {"prefix": {"host": ""}},
+    }
+    conj = queries_to_conjuncts(spark, rules)
+    assert conj.filter(
+        (F.col("query_id") == "has_host") & (F.col("op") == "exists")
+    ).count() == 1
+    got = sorted(
+        (r.id, r.query_id)
+        for r in percolate_bulk(docs, conj, id_cols=["id"]).collect()
+    )
+    want = sorted(
+        (r.id, r.query_id)
+        for r in percolate(docs, rules, id_cols=["id"]).collect()
+    )
+    assert got == want == [
+        (1, "has_host"), (1, "w_any"), (1, "web"), (1, "web_a"),
+        (2, "db_or_b"), (2, "has_host"), (2, "w_any"), (2, "web"),
+        (3, "a_not_web"), (3, "db_or_b"), (3, "has_host"),
+        (4, "a_not_web"), (4, "has_host"), (4, "w_any"),
+        (5, "a_not_web"),  # NULL host never matches must_not → survives
+    ]
+
+
 def test_percolate_bulk_min_match_zero_rejected(spark):
     """ADVICE r11 (low): an externally supplied conjuncts frame with
     min_match=0 must raise, not silently render the query
