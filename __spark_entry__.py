@@ -699,6 +699,13 @@ DEMOTED: frozenset[str] = frozenset(
         #     (round 12, VERDICT r11 Next #5); demoted-green pending
         #     rotation (es_aggs_tree keeps the bucket family declared)
         "es_range_overlap",
+        # es_gapfill_moving_fn — positional pipelines (moving_fn /
+        #     serial_diff) computed AFTER the gap fill so empty
+        #     buckets occupy window positions (round 12, VERDICT r11
+        #     Next #8); demoted-green pending rotation
+        #     (es_date_histogram_gapfill keeps the fill family
+        #     declared, es_pipeline_aggs the pipeline family)
+        "es_gapfill_moving_fn",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1073,6 +1080,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_reverse_nested": _mod("es_search", "q_es_reverse_nested"),
         "es_multi_rare_terms": _mod("es_search", "q_es_multi_rare_terms"),
         "es_range_overlap": _mod("es_search", "q_es_range_overlap"),
+        "es_gapfill_moving_fn": _mod("es_search", "q_es_gapfill_moving_fn"),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
         ),
@@ -3900,6 +3908,40 @@ def _all_oracle_sql() -> dict[str, str]:
                coalesce(b.dc, 0) AS doc_count, b.s AS sum_value
         FROM grid g LEFT JOIN b ON g.k = b.k
         ORDER BY per_hour
+    """
+
+    # es_gapfill_moving_fn (round 12): the SAME filled grid, then the
+    # positional pipelines AS WINDOWS OVER THE GRID — empty hours
+    # occupy positions, their NULL sums drop from the aggregates
+    # (gap_policy 'skip'); moving sum through DECIMAL(28,6) like the
+    # Spark window, serial_diff = value − lag-1 position's value.
+    q["es_gapfill_moving_fn"] = """
+        WITH b AS (
+          SELECT epoch_ms(date_trunc('hour', ts)) AS k, count(*) AS dc,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+          FROM events
+          WHERE coalesce(event_type = 'purchase', FALSE)
+            AND ts IS NOT NULL
+          GROUP BY 1
+        ),
+        ext AS (
+          SELECT LEAST(1703980800000, MIN(k)) AS lo,
+                 GREATEST(1706742000000, MAX(k)) AS hi FROM b
+        ),
+        grid AS (
+          SELECT unnest(range(lo, hi + 3600000, 3600000)) AS k FROM ext
+        ),
+        filled AS (
+          SELECT g.k, coalesce(b.dc, 0) AS dc, b.s
+          FROM grid g LEFT JOIN b ON g.k = b.k
+        )
+        SELECT CAST(1 AS INT) AS level, k AS per_hour,
+               dc AS doc_count, s AS sum_value,
+               CAST(sum(CAST(s AS DECIMAL(28,6))) OVER
+                    (ORDER BY k ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS mov3,
+               CAST(s - lag(s) OVER (ORDER BY k) AS DOUBLE) AS diff1
+        FROM filled ORDER BY per_hour
     """
 
     # es_date_histogram_gapfill_month: the variable-width calendar

@@ -99,8 +99,10 @@ the bucket-frame shuffles too. date_histogram gap-filling
 (``min_doc_count: 0`` + ``extended_bounds``) synthesizes empty
 buckets with one explode over the bucket frame — fixed-width grids
 by long arithmetic, month/quarter/year by INTERVAL-n-MONTH
-sequences (round 11); positional pipelines at a gap level raise
-(PARITY #20).
+sequences (round 11); positional pipelines (moving_fn/serial_diff)
+and bucket_sort at a gap level run AFTER the fill so empty buckets
+occupy window positions/ranks like ES's min_doc_count-0 response
+(round 12, PARITY #20).
 
 ``composite_agg`` implements the composite/after-key pagination:
 the after-key filter is a struct comparison applied BEFORE the
@@ -1506,7 +1508,25 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         *[f"_anc{i}" for i in range(1, n + 1)],
     )
 
-    pipe_cols = _apply_pipelines_windows(frame, levels, key_names)
+    # gap levels shape the pipeline/bucket_sort ordering below, so
+    # resolve them first: a gap-filled level's POSITIONAL pipelines
+    # (moving_fn / serial_diff) and bucket_sort run AFTER the fill
+    # (round 12, VERDICT r11 Next #8) so empty buckets occupy window
+    # positions / ranks exactly as ES's min_doc_count-0 response
+    gap_levels = [
+        i
+        for i, lvl in enumerate(levels, start=1)
+        if lvl.kind in ("date_histogram", "histogram")
+        and (
+            lvl.body.get("min_doc_count") == 0
+            or "extended_bounds" in lvl.body
+        )
+    ]
+    gap_set = set(gap_levels)
+
+    pipe_cols = _apply_pipelines_windows(
+        frame, levels, key_names, defer_positional=gap_set
+    )
     frame = pipe_cols.frame
 
     # bucket_sort: like every ES pipeline agg it runs AFTER the
@@ -1517,47 +1537,63 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     # prefix-window propagation as the first survival pass.  The SORT
     # half only affects ES's response ordering — this flat frame is
     # canonically ordered by (level, keys) below — so the observable
-    # effect is the from/size truncation.
+    # effect is the from/size truncation.  Gap-filled levels sort
+    # AFTER the fill (see below) so empty buckets rank too.
     bs_levels = [i for i, lvl in enumerate(levels, start=1) if lvl.bucket_sort]
-    for i in bs_levels:
-        lvl = levels[i - 1]
-        bs = lvl.bucket_sort
-        ocols = []
-        for s in bs.get("sort", []):
-            if isinstance(s, str):
-                path, order = s, "asc"
-            else:
-                (path, spec), = s.items()
-                order = (
-                    spec.get("order", "asc") if isinstance(spec, dict) else spec
+
+    def _apply_bucket_sort(frame, idxs):
+        for i in idxs:
+            lvl = levels[i - 1]
+            bs = lvl.bucket_sort
+            ocols = []
+            for s in bs.get("sort", []):
+                if isinstance(s, str):
+                    path, order = s, "asc"
+                else:
+                    (path, spec), = s.items()
+                    order = (
+                        spec.get("order", "asc")
+                        if isinstance(spec, dict)
+                        else spec
+                    )
+                c = (
+                    F.col(lvl.name)
+                    if path == "_key"
+                    else _bucket_path_col(path)
                 )
-            c = F.col(lvl.name) if path == "_key" else _bucket_path_col(path)
-            ocols.append(c.desc() if order == "desc" else c.asc())
-        w = Window.partitionBy(F.col("level"), *key_names[: i - 1]).orderBy(
-            *ocols, F.col(lvl.name).asc()
-        )
-        rk = F.row_number().over(w)
-        frm = int(bs.get("from", 0))
-        keep = rk > frm
-        if "size" in bs:
-            keep = keep & (rk <= frm + int(bs["size"]))
-        frame = frame.withColumn(
-            f"_bs{i}", F.when(F.col("level") == i, keep.cast("int"))
-        )
-    if bs_levels:
-        surv = F.lit(True)
-        for i in bs_levels:
+                ocols.append(c.desc() if order == "desc" else c.asc())
+            w = Window.partitionBy(
+                F.col("level"), *key_names[: i - 1]
+            ).orderBy(*ocols, F.col(lvl.name).asc())
+            rk = F.row_number().over(w)
+            frm = int(bs.get("from", 0))
+            keep = rk > frm
+            if "size" in bs:
+                keep = keep & (rk <= frm + int(bs["size"]))
             frame = frame.withColumn(
-                f"_bsa{i}",
-                F.max(F.col(f"_bs{i}")).over(
-                    Window.partitionBy(*key_names[:i])
-                ),
+                f"_bs{i}", F.when(F.col("level") == i, keep.cast("int"))
             )
-            surv = surv & ((F.col("level") < i) | (F.col(f"_bsa{i}") == 1))
-        frame = frame.filter(surv).drop(
-            *[f"_bs{i}" for i in bs_levels],
-            *[f"_bsa{i}" for i in bs_levels],
-        )
+        if idxs:
+            surv = F.lit(True)
+            for i in idxs:
+                frame = frame.withColumn(
+                    f"_bsa{i}",
+                    F.max(F.col(f"_bs{i}")).over(
+                        Window.partitionBy(*key_names[:i])
+                    ),
+                )
+                surv = surv & (
+                    (F.col("level") < i) | (F.col(f"_bsa{i}") == 1)
+                )
+            frame = frame.filter(surv).drop(
+                *[f"_bs{i}" for i in idxs],
+                *[f"_bsa{i}" for i in idxs],
+            )
+        return frame
+
+    frame = _apply_bucket_sort(
+        frame, [i for i in bs_levels if i not in gap_set]
+    )
 
     # date_histogram gap-filling (ES `min_doc_count: 0` +
     # `extended_bounds`) — ON only when the request says min_doc_count
@@ -1570,43 +1606,18 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     # a per-row synthesized-key array emits the empty buckets —
     # never a union or self-join of the frame (either would duplicate
     # the underlying rollup scan). Synthesized buckets: doc_count 0,
-    # every metric/pipeline column NULL (they are emitted after the
-    # pipeline windows ran, so pipelines stride over REAL buckets
-    # only — exactly ES's default gap_policy 'skip'; the non-default
-    # insert_zeros is unsupported, PARITY #20). The fill is
-    # frame-anchored: with no surviving
-    # bucket at the level (empty input) nothing is synthesized.
-    gap_levels = [
-        i
-        for i, lvl in enumerate(levels, start=1)
-        if lvl.kind in ("date_histogram", "histogram")
-        and (
-            lvl.body.get("min_doc_count") == 0
-            or "extended_bounds" in lvl.body
-        )
-    ]
+    # every metric column NULL. Value-based pipelines
+    # (cumulative_sum/derivative/bucket_script) ran BEFORE the fill —
+    # exactly ES's default gap_policy 'skip', which continues from
+    # the last AVAILABLE value; positional pipelines
+    # (moving_fn/serial_diff) and bucket_sort were DEFERRED and run
+    # after the fill below, so their windows stride the empty buckets
+    # as positions like ES's min_doc_count-0 response (round 12 —
+    # the r11 raise removed; PARITY #20). The fill is frame-anchored:
+    # with no surviving bucket at the level (empty input) nothing is
+    # synthesized.
     for i in gap_levels:
         lvl = levels[i - 1]
-        # positional-window pipelines and bucket_sort at a gap-filled
-        # level would diverge from ES: with min_doc_count 0 ES strides
-        # moving_fn/serial_diff windows over EMPTY buckets as
-        # positions and bucket_sort ranks them, while this fill
-        # synthesizes the empties AFTER those windows ran over real
-        # buckets only (matching gap_policy 'skip' VALUES but not
-        # POSITIONS) — raise rather than silently shift (ADVICE r10
-        # #4; PARITY #20). cumulative_sum/derivative/bucket_script are
-        # value-based and unaffected.
-        positional = [
-            pn for pn, pk, _ in lvl.pipelines
-            if pk in ("moving_fn", "serial_diff")
-        ]
-        if positional or lvl.bucket_sort:
-            raise ValueError(
-                "a gap-filled histogram level cannot carry "
-                "moving_fn/serial_diff/bucket_sort: empty buckets "
-                "would occupy window positions in ES but not here "
-                f"(level {lvl.name!r}, PARITY #20)"
-            )
         eb = lvl.body.get("extended_bounds") or {}
         for bk in eb:
             if bk not in ("min", "max"):
@@ -1764,6 +1775,23 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             ],
         )
 
+    # deferred positional pipelines (round 12): the same window
+    # machinery, re-run over the FILLED frame — empty buckets now
+    # occupy positions (their NULL metric values drop from the
+    # aggregates, ES's gap_policy 'skip'; insert_zeros coalesces
+    # them to 0)
+    deferred_names: list[str] = []
+    if pipe_cols.deferred:
+        lv2 = [_Level(lvl.name, lvl.kind, lvl.body) for lvl in levels]
+        for idx, pn, pk, sp in pipe_cols.deferred:
+            lv2[idx - 1].pipelines.append((pn, pk, sp))
+        post = _apply_pipelines_windows(frame, lv2, key_names)
+        frame = post.frame
+        deferred_names = post.names
+    # gap-filled levels' bucket_sort ranks the filled grid (empty
+    # buckets included, like ES) and may sort by a deferred pipeline
+    frame = _apply_bucket_sort(frame, [i for i in bs_levels if i in gap_set])
+
     # report each metric at its attachment level only (ES tree shape)
     proj = [
         F.col("level"),
@@ -1773,7 +1801,7 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             F.when(F.col("level") == lvl_no, F.col(nm)).alias(nm)
             for nm, _, lvl_no in metrics
         ],
-        *[F.col(nm) for nm in pipe_cols.names],
+        *[F.col(nm) for nm in pipe_cols.names + deferred_names],
     ]
     return frame.select(*proj).orderBy(
         "level", *[F.col(nm).asc_nulls_first() for nm in key_names]
@@ -1896,13 +1924,15 @@ def _bucket_path_col(path: str) -> Column:
 
 
 class _PipeResult:
-    __slots__ = ("frame", "names")
+    __slots__ = ("frame", "names", "deferred")
 
-    def __init__(self, frame, names):
-        self.frame, self.names = frame, names
+    def __init__(self, frame, names, deferred=()):
+        self.frame, self.names, self.deferred = frame, names, deferred
 
 
-def _apply_pipelines_windows(frame, levels, key_names) -> _PipeResult:
+def _apply_pipelines_windows(
+    frame, levels, key_names, defer_positional=frozenset()
+) -> _PipeResult:
     """Pipeline agg columns as level-masked windows over the ONE
     surviving bucket frame (no per-level branches, no joins).
 
@@ -1921,8 +1951,16 @@ def _apply_pipelines_windows(frame, levels, key_names) -> _PipeResult:
     prefix — the parent and its children share the partition, the
     level mask picks whose values feed the aggregate and whose row
     reports it. Everything here touches rows proportional to the
-    bucket count, never the raw data."""
+    bucket count, never the raw data.
+
+    ``defer_positional`` (round 12, VERDICT r11 Next #8): level
+    indices whose POSITIONAL pipelines (moving_fn / serial_diff) are
+    NOT computed here — compile_aggs re-runs this function over the
+    gap-FILLED frame for them, so their windows stride empty buckets
+    as positions exactly as ES does with min_doc_count 0. The
+    skipped specs come back in ``_PipeResult.deferred``."""
     added: list[str] = []
+    deferred: list[tuple[int, str, str, dict]] = []
     n = len(levels)
     for i, lvl in enumerate(levels, start=1):
         if not (lvl.pipelines or lvl.sibling_pipes):
@@ -1932,6 +1970,12 @@ def _apply_pipelines_windows(frame, levels, key_names) -> _PipeResult:
             F.col(lvl.name).asc()
         )
         for pname, kind, spec in lvl.pipelines:
+            if i in defer_positional and kind in (
+                "moving_fn",
+                "serial_diff",
+            ):
+                deferred.append((i, pname, kind, spec))
+                continue
             if kind in (
                 "cumulative_sum",
                 "derivative",
@@ -2058,7 +2102,7 @@ def _apply_pipelines_windows(frame, levels, key_names) -> _PipeResult:
             val = _SIBLING_FN[kind](child_vals).over(wc).cast("double")
             frame = frame.withColumn(pname, F.when(at_level, val))
             added.append(pname)
-    return _PipeResult(frame, added)
+    return _PipeResult(frame, added, deferred)
 
 
 def _top_hits_plan(df: DataFrame, levels: list[_Level]) -> DataFrame:
@@ -2601,6 +2645,49 @@ def q_es_date_histogram_gapfill(
                         },
                     },
                     "aggs": {"sum_value": {"sum": {"field": "value"}}},
+                }
+            },
+        },
+    )
+
+
+def q_es_gapfill_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional pipelines over a gap-filled grid (round 12, VERDICT
+    r11 Next #8): the hourly purchase series with ``min_doc_count: 0``
+    + ``extended_bounds``, a trailing-3 ``moving_fn`` sum and a lag-1
+    ``serial_diff`` computed AFTER the fill — empty hours occupy
+    window positions (their NULL sums drop from the aggregates, ES's
+    gap_policy 'skip'), so a bucket following a gap differs from the
+    pre-fill reading the r11 raise guarded against."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "query": {"term": {"event_type": "purchase"}},
+            "aggs": {
+                "per_hour": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "calendar_interval": "hour",
+                        "min_doc_count": 0,
+                        "extended_bounds": {
+                            "min": 1703980800000,
+                            "max": 1706742000000,
+                        },
+                    },
+                    "aggs": {
+                        "sum_value": {"sum": {"field": "value"}},
+                        "mov3": {
+                            "moving_fn": {
+                                "buckets_path": "sum_value",
+                                "window": 3,
+                                "script": "MovingFunctions.sum(values)",
+                            }
+                        },
+                        "diff1": {
+                            "serial_diff": {"buckets_path": "sum_value"}
+                        },
+                    },
                 }
             },
         },

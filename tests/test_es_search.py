@@ -607,6 +607,56 @@ def test_moving_fn_and_serial_diff_windows(spark):
     ]
 
 
+def test_gapfill_positional_pipelines_stride_empties(spark):
+    """Round 12 (VERDICT r11 Next #8): moving_fn / serial_diff /
+    bucket_sort at a gap-filled level run AFTER the fill, so empty
+    buckets occupy window POSITIONS (their NULL values drop from the
+    aggregates — ES's gap_policy 'skip') — the r11 raise removed."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 10), 10.0),
+        (dt.datetime(2024, 1, 1, 0, 30), 20.0),
+        (dt.datetime(2024, 1, 1, 1, 5), 30.0),
+        (dt.datetime(2024, 1, 1, 4, 0), 40.0),  # hours 2-3 are gaps
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    aggs = {"h": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1h", "min_doc_count": 0},
+        "aggs": {
+            "s": {"sum": {"field": "v"}},
+            "mv": {"moving_fn": {"buckets_path": "s", "window": 3,
+                                 "script": "MovingFunctions.sum(values)"}},
+            "sd": {"serial_diff": {"buckets_path": "s", "lag": 1}},
+        }}}
+    out = {r.h: (r.doc_count, r.s, r.mv, r.sd)
+           for r in compile_aggs(df, aggs).collect()}
+    h0 = 1704067200000
+    H = 3600000
+    assert len(out) == 5
+    # hour 4's trailing-3 window covers two EMPTY positions → 40, not
+    # 30+30+40 (which the pre-fill windows produced)
+    assert out[h0 + 4 * H] == (1, 40.0, 40.0, None)
+    # a gap position carries the window over its empty self
+    assert out[h0 + 2 * H] == (0, None, 60.0, None)
+    assert out[h0 + 3 * H] == (0, None, 30.0, None)
+    # serial_diff at hour 1 sees hour 0 (real): 30 - 30 = 0
+    assert out[h0 + 1 * H] == (1, 30.0, 60.0, 0.0)
+    # bucket_sort at a gap level ranks the FILLED grid: top-3 by
+    # _key asc keeps hours 0,1,2 — including the empty hour 2
+    bs = {"h": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1h", "min_doc_count": 0},
+        "aggs": {
+            "s": {"sum": {"field": "v"}},
+            "trunc": {"bucket_sort": {"sort": [{"_key": "asc"}],
+                                      "size": 3}},
+        }}}
+    kept = sorted(r.h for r in compile_aggs(df, bs).collect())
+    assert kept == [h0, h0 + H, h0 + 2 * H]
+
+
 def test_moving_fn_rejects_unknown_script_and_shift(spark):
     df = spark.createDataFrame([Row(x=0.0, n=1.0)])
     base = {"histogram": {"field": "x", "interval": 1}}

@@ -273,6 +273,12 @@ PINNED_FINGERPRINTS = {
     # one Generate on the scan side — no extra exchange over the
     # one-rollup bucket-frame class
     "es_range_overlap": {"exchange": 4},
+    # positional pipelines over the gap-filled grid (round 12): the
+    # deferred moving_fn/serial_diff windows re-partition the FILLED
+    # bucket frame once — still the bucket-frame exchange class of
+    # the plain gapfill row (4 = rollup + distinct-cardinality +
+    # gap/pipeline windows + orderBy)
+    "es_gapfill_moving_fn": {"exchange": 4},
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
