@@ -706,6 +706,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     (es_date_histogram_gapfill keeps the fill family
         #     declared, es_pipeline_aggs the pipeline family)
         "es_gapfill_moving_fn",
+        # es_nested_match — match (operator and) inside a nested
+        #     scope, same-object token semantics (round 12, VERDICT
+        #     r11 What's missing #2); demoted-green pending rotation
+        #     (es_nested_query keeps the nested family declared)
+        "es_nested_match",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1081,6 +1086,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_multi_rare_terms": _mod("es_search", "q_es_multi_rare_terms"),
         "es_range_overlap": _mod("es_search", "q_es_range_overlap"),
         "es_gapfill_moving_fn": _mod("es_search", "q_es_gapfill_moving_fn"),
+        "es_nested_match": _mod("es_search", "q_es_nested_match"),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
         ),
@@ -4280,6 +4286,31 @@ def _all_oracle_sql() -> dict[str, str]:
           AND len(list_filter(attrs,
                   a -> a.k = 'band' AND a.v LIKE 'b2%')) > 0
         ORDER BY event_id LIMIT 200
+    """
+
+    # es_nested_match (round 12): match (operator and) inside a
+    # nested scope — whitespace tokens of the SAME object's text
+    # must contain BOTH query terms; the synthesized two-token note
+    # is spelled identically.
+    q["es_nested_match"] = r"""
+        WITH e AS (
+          SELECT event_id, event_type, value,
+                 list_value(
+                   struct_pack(k := 'note',
+                               v := event_type || ' b' ||
+                                    CAST(CAST(floor(value / 100)
+                                         AS INT) AS VARCHAR)),
+                   struct_pack(k := 'tag', v := event_type)
+                 ) AS attrs
+          FROM events
+        )
+        SELECT event_id, event_type, value FROM e
+        WHERE len(list_filter(attrs, a ->
+                list_contains(regexp_split_to_array(trim(a.v), '\s+'),
+                              'error')
+            AND list_contains(regexp_split_to_array(trim(a.v), '\s+'),
+                              'b2'))) > 0
+        ORDER BY event_id LIMIT 100
     """
 
     # es_geohash_grid: the generated SQL unrolls the IDENTICAL

@@ -306,9 +306,9 @@ def compile_query(q: dict | None, _scope=None) -> Column:
     schema.py); the default first-element collapse cannot answer
     nested queries and the missing column fails loudly. Inside the
     nested scope the term/terms/range/exists/prefix/wildcard/regexp/
-    match_phrase/bool kinds work; analyzer-seam kinds (match,
-    multi_match) and geo raise — their tokenizer plumbing is
-    name-based (PARITY #22)."""
+    match/multi_match/match_phrase/bool kinds work (round 12: the
+    analyzer seam tokenizes COLUMNS, so the struct element analyzes
+    like any text field); geo kinds raise (PARITY #22)."""
     if not q:
         return F.lit(True)
     if len(q) != 1:
@@ -330,16 +330,14 @@ def compile_query(q: dict | None, _scope=None) -> Column:
     if kind == "exists":
         return _scoped_col(body["field"], _scope).isNotNull()
     if kind == "multi_match":
-        if _scope is not None:
-            raise ValueError(
-                "multi_match inside nested is not supported (PARITY #22)"
-            )
         # filter-context multi_match: OR over the per-field matches
         # (best_fields scoring has no filter meaning; each arm is
-        # NULL-safe so one missing field can't poison the OR)
+        # NULL-safe so one missing field can't poison the OR).
+        # Works inside nested scope too (round 12 — the analyzer
+        # seam takes columns, PARITY #22 narrowed)
         spec = {"query": body["query"], "operator": body.get("operator", "or")}
         per_field = [
-            _false_safe(compile_query({"match": {f: spec}}))
+            _false_safe(compile_query({"match": {f: spec}}, _scope))
             for f in body["fields"]
         ]
         out = per_field[0]
@@ -434,12 +432,6 @@ def compile_query(q: dict | None, _scope=None) -> Column:
             # ES regexp is implicitly anchored at both ends
             return col.rlike(f"^(?:{v})$")
         if kind == "match":
-            if _scope is not None:
-                raise ValueError(
-                    "match inside nested is not supported — the analyzer "
-                    "seam is name-based (PARITY #22); use match_phrase/"
-                    "term/wildcard"
-                )
             if isinstance(spec, dict):
                 query, op = spec["query"], spec.get("operator", "or")
                 analyzer = spec.get("analyzer", "whitespace")
@@ -447,10 +439,13 @@ def compile_query(q: dict | None, _scope=None) -> Column:
                 query, op, analyzer = spec, "or", "whitespace"
             # the PARITY #19 analyzer seam, shared with retrieval:
             # document and query text go through the same tokenizer
-            # (_terms dedupes — a repeated query term tests once)
+            # (_terms dedupes — a repeated query term tests once).
+            # Round 12: the seam takes a COLUMN, so match works
+            # inside nested scope too (the struct element tokenizes
+            # like any text column — PARITY #22 narrowed)
             from .retrieval import _terms, _tokens_col
 
-            toks = _tokens_col(field, analyzer)
+            toks = _tokens_col(col, analyzer)
             tests = [
                 F.array_contains(toks, t)
                 for t in _terms(str(query), analyzer)
@@ -3802,6 +3797,41 @@ def q_es_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
             "sort": [{"event_id": "asc"}],
             "size": 200,
+            "_source": ["event_id", "event_type", "value"],
+        },
+    )
+
+
+def q_es_nested_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``match`` (operator and) inside a ``nested`` scope (round 12,
+    VERDICT r11 What's missing #2): the attrs objects carry a
+    two-token note text; the query requires BOTH tokens on the SAME
+    object's text — a doc whose tokens span two objects must not
+    match (the seam tokenizes the struct element column)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "attrs",
+        F.array(
+            F.struct(
+                F.lit("note").alias("k"),
+                F.concat(
+                    F.col("event_type"),
+                    F.lit(" b"),
+                    F.floor(F.col("value") / 100).cast("int").cast("string"),
+                ).alias("v"),
+            ),
+            F.struct(
+                F.lit("tag").alias("k"), F.col("event_type").alias("v")
+            ),
+        ),
+    )
+    return search(
+        ev,
+        {
+            "query": {"nested": {"path": "attrs", "query": {"match": {
+                "attrs.v": {"query": "error b2", "operator": "and"},
+            }}}},
+            "sort": [{"event_id": "asc"}],
+            "size": 100,
             "_source": ["event_id", "event_type", "value"],
         },
     )

@@ -51,7 +51,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dump_es_parquet_spark.operators.tables import load
@@ -208,15 +208,20 @@ def _idf_ppm(n_docs: int, df: int) -> int:
     return math.floor(1e6 * math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) + 0.5)
 
 
-def _tokens_col(text_col: str, analyzer="whitespace"):
+def _tokens_col(text_col, analyzer="whitespace"):
+    """Tokenize a document text column under the analyzer spec.
+    ``text_col`` is a column NAME or (round 12) a ``Column`` — the
+    latter lets a ``nested`` query scope tokenize a struct element
+    (``x["sub"]``), which has no name to resolve."""
     typ, stop, minlen, stemmer = _analyzer_spec(analyzer)
+    src = text_col if isinstance(text_col, Column) else F.col(text_col)
     if typ == "whitespace":
-        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        toks = F.split(F.trim(src), r"\s+")
     elif typ == "standard":
         # lowercase + split on non-alphanumeric runs; drop the empty
         # fragments leading/trailing separators produce
         toks = F.array_remove(
-            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), ""
+            F.split(F.lower(src), r"[^a-z0-9]+"), ""
         )
     else:
         raise ValueError(f"analyzer {typ!r}: one of {ANALYZERS}")

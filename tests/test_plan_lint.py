@@ -249,6 +249,10 @@ PINNED_FINGERPRINTS = {
     # fingerprint is the point (same-object semantics add zero
     # plan weight)
     "es_nested_query": {},
+    # match inside nested scope (round 12): the analyzer tokenizes
+    # the struct element inside the same exists() lambda — still a
+    # pure filter on the scan, zero shuffles
+    "es_nested_match": {},
     # geohash_grid: the bit-interleave is a pure projection — one
     # rollup + the survival-window exchange + the oracle orderBy,
     # the same bucket-frame class as every other agg tree
