@@ -711,6 +711,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     r11 What's missing #2); demoted-green pending rotation
         #     (es_nested_query keeps the nested family declared)
         "es_nested_match",
+        # es_filters_under_terms — the filters agg at a non-root
+        #     level via the multi-membership explode, overlapping
+        #     named filters + other_bucket, ancestors un-multiplied
+        #     (round 12); demoted-green pending rotation
+        #     (es_filters_agg keeps the filters family)
+        "es_filters_under_terms",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1087,6 +1093,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_range_overlap": _mod("es_search", "q_es_range_overlap"),
         "es_gapfill_moving_fn": _mod("es_search", "q_es_gapfill_moving_fn"),
         "es_nested_match": _mod("es_search", "q_es_nested_match"),
+        "es_filters_under_terms": _mod(
+            "es_search", "q_es_filters_under_terms"
+        ),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
         ),
@@ -4424,6 +4433,41 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT event_id) AS DOUBLE)
         FROM x GROUP BY event_type, a.k
         ORDER BY level, by_type, by_k NULLS FIRST
+    """
+
+    # es_filters_under_terms (round 12): non-root filters — the
+    # per-doc matching-names list unnests (multi-membership), empty
+    # lists become the other bucket; ancestor counts/sums from the
+    # un-exploded events.
+    q["es_filters_under_terms"] = """
+        WITH e AS (
+          SELECT event_type, value,
+                 CASE WHEN len(m) = 0 THEN ['_other_'] ELSE m END AS m
+          FROM (
+            SELECT event_type, value,
+                   list_filter([
+                     CASE WHEN value >= 300 THEN 'big' END,
+                     CASE WHEN value >= 150 AND value < 400 THEN 'mid' END,
+                     CASE WHEN event_type = 'error' THEN 'err' END
+                   ], x -> x IS NOT NULL) AS m
+            FROM events
+          ) WHERE event_type IS NOT NULL
+        ),
+        x AS (SELECT event_type, value, unnest(m) AS cls FROM e)
+        SELECT CAST(1 AS INT) AS level, event_type AS by_type,
+               CAST(NULL AS VARCHAR) AS cls,
+               count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value,
+               CAST(NULL AS DOUBLE) AS avg_value
+        FROM e GROUP BY event_type
+        UNION ALL
+        SELECT CAST(2 AS INT), event_type, cls, count(*),
+               CAST(NULL AS DOUBLE),
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value)
+        FROM x GROUP BY event_type, cls
+        ORDER BY level, by_type, cls NULLS FIRST
     """
 
     # es_multi_rare_terms (round 12): multi_terms = '|'-joined

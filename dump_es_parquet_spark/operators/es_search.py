@@ -46,9 +46,11 @@ Aggregations DSL (``compile_aggs``):
   ``date_range`` (keyed, from-inclusive / to-exclusive; date bounds
   are epoch-millis ints), ``filter`` (ONE bucket holding a full
   query-DSL body) and ``missing`` (docs lacking the field),
-  ``filters`` (root level only — a doc can land in several buckets,
-  compiled as build-matching-names array → explode, fan-out bounded
-  by the filter count), ``nested`` (round 12: at ANY chain depth —
+  ``filters`` (round 12: at ANY chain depth — a doc can land in
+  several buckets, compiled as build-matching-names array → explode,
+  fan-out bounded by the filter count; non-root levels protect
+  ancestor counts via the multi-membership machinery), ``nested``
+  (round 12: at ANY chain depth —
   one posexplode_outer re-bases rows onto objects while ancestor
   levels keep parent-DOC counts/metrics via a representative-row
   mask; ``reverse_nested`` re-bases a bucket's doc_count onto
@@ -685,6 +687,31 @@ class _Level:
         return out
 
 
+def _filters_names_arr(fbody: dict) -> Column:
+    """The per-doc MATCHING-FILTER-NAMES array of a ``filters`` agg —
+    one entry per filter whose full query-DSL body the doc satisfies;
+    ES ``other_bucket`` turns the empty array into the other-bucket
+    singleton so unmatched docs land somewhere. Shared by the root
+    inner-explode path and the non-root multi-membership explode
+    (round 12)."""
+    arr = F.array_compact(
+        F.array(
+            *[
+                F.when(_false_safe(compile_query(fq)), F.lit(fname))
+                for fname, fq in fbody["filters"].items()
+            ]
+        )
+    )
+    if fbody.get("other_bucket") or "other_bucket_key" in fbody:
+        other = str(fbody.get("other_bucket_key", "_other_"))
+        if other in fbody["filters"]:
+            raise ValueError(
+                f"other_bucket_key {other!r} collides with a filter name"
+            )
+        arr = F.when(F.size(arr) == 0, F.array(F.lit(other))).otherwise(arr)
+    return arr
+
+
 def _ranges_overlap(ranges) -> bool:
     """True when any two ranges share points (from-inclusive /
     to-exclusive) — ES then puts a doc in EVERY matching range, which
@@ -983,10 +1010,6 @@ def _parse_chain(aggs: dict) -> list[_Level]:
             if bucket_sort is not None:
                 levels[-1].bucket_sort = bucket_sort
             break
-        if levels and bucket.kind == "filters":
-            raise ValueError(
-                "filters agg is supported at the root level only"
-            )
         if bucket.kind == "nested" and any(
             lv.kind == "nested" for lv in levels
         ):
@@ -1272,23 +1295,32 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         (i for i, lv in enumerate(levels, start=1) if lv.kind == "nested"),
         None,
     )
-    # overlapping range-family levels (round 12): ES puts a doc in
-    # EVERY matching range — multi-membership, same re-basing problem
-    # as nested, solved by the same posexplode_outer machinery (one
-    # row per membership, a representative row per doc for ancestors)
-    overlap_is = [
+    # multi-membership levels (round 12): a doc can land in SEVERAL
+    # buckets of one level — overlapping range-family buckets (ES
+    # puts a doc in EVERY matching range) and non-root ``filters``
+    # (a doc matches any subset of the filters). Same re-basing
+    # problem as nested, solved by the same posexplode_outer
+    # machinery (one row per membership, a representative row per
+    # doc for ancestor counts/metrics). Root-level filters keep
+    # their original inner-explode path below (no ancestors to
+    # protect — and that path composes with ONE deeper
+    # multi-membership level).
+    mm_is = [
         i
         for i, lv in enumerate(levels, start=1)
-        if lv.kind in ("range", "date_range", "geo_distance")
-        and _ranges_overlap(lv.body["ranges"])
+        if (
+            lv.kind in ("range", "date_range", "geo_distance")
+            and _ranges_overlap(lv.body["ranges"])
+        )
+        or (lv.kind == "filters" and i > 1)
     ]
-    if len(overlap_is) > 1 or (overlap_is and nested_i is not None):
+    if len(mm_is) > 1 or (mm_is and nested_i is not None):
         raise ValueError(
-            "one multi-membership level (nested or overlapping "
-            "ranges) per agg chain"
+            "one multi-membership level (nested, overlapping ranges, "
+            "or non-root filters) per agg chain"
         )
     explode_i = nested_i if nested_i is not None else (
-        overlap_is[0] if overlap_is else None
+        mm_is[0] if mm_is else None
     )
     needs_parent = any(
         "reverse_nested" in spec for lv in levels for _, spec in lv.metrics
@@ -1322,15 +1354,19 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             )
         )
     elif explode_i is not None:
-        # overlapping ranges: explode the MATCHING-KEYS array (the
-        # filters-agg pattern, but outer so non-matching docs still
-        # carry one NULL-key row into ancestor counts); this level's
-        # key comes from the exploded column instead of key_expr's
-        # single-membership CASE
-        members = levels[explode_i - 1].range_members()
-        arr = F.array_compact(
-            F.array(*[F.when(c, F.lit(k)) for c, k in members])
-        )
+        # explode the MATCHING-KEYS array (the filters-agg pattern,
+        # but outer so non-matching docs still carry one NULL-key row
+        # into ancestor counts); this level's key comes from the
+        # exploded column instead of key_expr's single-membership CASE
+        mm_lvl = levels[explode_i - 1]
+        if mm_lvl.kind == "filters":
+            arr = _filters_names_arr(mm_lvl.body)
+        else:
+            arr = F.array_compact(
+                F.array(
+                    *[F.when(c, F.lit(k)) for c, k in mm_lvl.range_members()]
+                )
+            )
         base = base.select(
             "*",
             F.posexplode_outer(arr).alias("_nested_pos", "_mm_key"),
@@ -1340,30 +1376,12 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         )
         overlap_key = F.col("_mm_key")
     if levels[0].kind == "filters":
-        fbody = levels[0].body
-        names_arr = F.array_compact(
-            F.array(
-                *[
-                    F.when(
-                        _false_safe(compile_query(fq)), F.lit(fname)
-                    )
-                    for fname, fq in fbody["filters"].items()
-                ]
-            )
+        # root filters: no ancestors to protect — the original inner
+        # explode (docs matching nothing vanish unless other_bucket
+        # synthesizes their row)
+        base = base.withColumn(
+            levels[0].name, F.explode(_filters_names_arr(levels[0].body))
         )
-        # ES other_bucket (round 11): docs matching NO filter land in
-        # one extra bucket instead of vanishing — the empty
-        # matched-names array becomes the other-bucket singleton
-        if fbody.get("other_bucket") or "other_bucket_key" in fbody:
-            other = str(fbody.get("other_bucket_key", "_other_"))
-            if other in fbody["filters"]:
-                raise ValueError(
-                    f"other_bucket_key {other!r} collides with a filter name"
-                )
-            names_arr = F.when(
-                F.size(names_arr) == 0, F.array(F.lit(other))
-            ).otherwise(names_arr)
-        base = base.withColumn(levels[0].name, F.explode(names_arr))
         key_exprs = [F.col(levels[0].name)] + [
             overlap_key
             if (overlap_key is not None and i == explode_i)
@@ -3987,6 +4005,43 @@ def q_es_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         "parents": {"reverse_nested": {}},
                                     },
                                 }
+                            },
+                        },
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_filters_under_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-root ``filters`` agg (round 12): per event_type, three
+    OVERLAPPING named filter buckets (big/mid by value range, errors
+    by term) plus ``other_bucket`` — a doc can match several filters
+    (multi-membership explode), unmatched docs land in ``_other_``,
+    and the terms ancestor's doc_count/sum stay un-multiplied."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 10},
+                    "aggs": {
+                        "sum_value": {"sum": {"field": "value"}},
+                        "cls": {
+                            "filters": {
+                                "filters": {
+                                    "big": {"range": {"value": {"gte": 300}}},
+                                    "mid": {"range": {"value": {
+                                        "gte": 150, "lt": 400}}},
+                                    "err": {"term": {
+                                        "event_type": "error"}},
+                                },
+                                "other_bucket": True,
+                            },
+                            "aggs": {
+                                "avg_value": {"avg": {"field": "value"}}
                             },
                         },
                     },

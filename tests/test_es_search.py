@@ -1464,6 +1464,66 @@ def test_overlapping_ranges_multi_membership(spark):
                {"field": "n", "ranges": ranges}).key_expr()
 
 
+def test_filters_agg_under_terms(spark):
+    """Round 12: the filters agg works at ANY chain depth through the
+    multi-membership explode — a doc matching several filters lands
+    in each bucket, other_bucket catches the rest, and ancestor
+    doc_counts/metrics stay un-multiplied."""
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    df = spark.createDataFrame(
+        [
+            Row(g="a", n=5.0, v=1.0),
+            Row(g="a", n=150.0, v=2.0),   # matches big AND mid
+            Row(g="b", n=150.0, v=3.0),
+            Row(g="b", n=None, v=4.0),    # matches nothing → other
+        ]
+    )
+    out = compile_aggs(
+        df,
+        {"byg": {"terms": {"field": "g"}, "aggs": {
+            "sum_v": {"sum": {"field": "v"}},
+            "cls": {"filters": {"filters": {
+                "big": {"range": {"n": {"gte": 100}}},
+                "mid": {"range": {"n": {"gte": 50, "lte": 200}}},
+            }, "other_bucket": True},
+                "aggs": {"avg_n": {"avg": {"field": "n"}}}},
+        }}},
+    ).collect()
+    assert sorted((r.byg, r.doc_count, r.sum_v) for r in out
+                  if r.level == 1) == [("a", 2, 3.0), ("b", 2, 7.0)]
+    assert sorted((r.byg, r.cls, r.doc_count) for r in out
+                  if r.level == 2) == [
+        ("a", "_other_", 1), ("a", "big", 1), ("a", "mid", 1),
+        ("b", "_other_", 1), ("b", "big", 1), ("b", "mid", 1),
+    ]
+    # without other_bucket the no-match doc drops from the level but
+    # still counts in its ancestor
+    out2 = compile_aggs(
+        df,
+        {"byg": {"terms": {"field": "g"}, "aggs": {
+            "cls": {"filters": {"filters": {
+                "big": {"range": {"n": {"gte": 100}}},
+            }}},
+        }}},
+    ).collect()
+    assert sorted((r.byg, r.doc_count) for r in out2
+                  if r.level == 1) == [("a", 2), ("b", 2)]
+    assert sorted((r.byg, r.cls, r.doc_count) for r in out2
+                  if r.level == 2) == [("a", "big", 1), ("b", "big", 1)]
+    # two NON-ROOT multi-membership levels in one chain raise
+    with pytest.raises(ValueError, match="one multi-membership"):
+        compile_aggs(
+            df,
+            {"byg": {"terms": {"field": "g"}, "aggs": {
+                "cls": {"filters": {"filters": {
+                    "big": {"range": {"n": {"gte": 100}}}}},
+                    "aggs": {"cls2": {"filters": {"filters": {
+                        "small": {"range": {"n": {"lt": 100}}}}},
+                    }}}}}},
+        )
+
+
 def test_multi_terms_and_rare_terms(spark):
     """Round 12 (VERDICT r11 Next #4): multi_terms drops docs missing
     ANY component, joins keys with '|', and honors terms' size/order

@@ -283,6 +283,9 @@ PINNED_FINGERPRINTS = {
     # the plain gapfill row (4 = rollup + distinct-cardinality +
     # gap/pipeline windows + orderBy)
     "es_gapfill_moving_fn": {"exchange": 4},
+    # non-root filters (round 12): the multi-membership explode is
+    # one scan-side Generate — same one-rollup bucket-frame class
+    "es_filters_under_terms": {"exchange": 4},
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
