@@ -2802,9 +2802,10 @@ def queries_to_conjuncts(spark: SparkSession, queries: dict) -> DataFrame:
     ``percolate_bulk`` matches on: ``(query_id, conjunct_id, field,
     op, sval, nval, group_id, min_match)``, one row per leaf.
     Supported query shapes — the alert-rule class: a ``term`` /
-    ``range`` / ``exists`` / ``prefix`` leaf (round 12: an empty
-    prefix normalizes to ``exists``), or a ``bool`` whose
-    ``must``/``filter`` lists hold
+    ``terms`` (IN = one eq-row group per leaf) / ``range`` /
+    ``exists`` / ``prefix`` / prefix-shaped ``wildcard`` ("lit*")
+    leaf (round 12: an empty prefix normalizes to ``exists``), or a
+    ``bool`` whose ``must``/``filter`` lists hold
     such leaves, plus (round 11) a ``should`` list of such leaves with
     ``minimum_should_match`` — the should list becomes ONE group whose
     ``min_match`` is the threshold (a satisfied group counts once
@@ -2931,10 +2932,52 @@ def queries_to_conjuncts(spark: SparkSession, queries: dict) -> DataFrame:
                      mm, neg)
                 )
                 cid += 1
-            elif kind == "prefix":
+            elif kind == "terms":
+                # a terms leaf = IN over the values: every value is
+                # an eq row SHARING the leaf's group with min_match 1
+                # (any value hit satisfies the group — a scalar doc
+                # field can match at most one value, so the leaf
+                # contributes at most one hit to a should threshold)
+                (field, vals), = body.items()
+                if not isinstance(vals, (list, tuple)) or not vals:
+                    raise ValueError(
+                        f"percolate_bulk query {qid!r}: terms needs a "
+                        "non-empty value list"
+                    )
+                for v in vals:
+                    if isinstance(v, bool):
+                        raise ValueError("boolean term values unsupported")
+                    if isinstance(v, (int, float)):
+                        rows.append(
+                            (qid, cid, field, "eq", None, float(v), g,
+                             mm, neg)
+                        )
+                    else:
+                        rows.append(
+                            (qid, cid, field, "eq", str(v), None, g,
+                             mm, neg)
+                        )
+                    cid += 1
+            elif kind in ("prefix", "wildcard"):
                 (field, spec), = body.items()
                 p = spec["value"] if isinstance(spec, dict) else spec
                 p = str(p)
+                if kind == "wildcard":
+                    # only the prefix-anchored shape ("lit*") has a
+                    # conjunct reading; general patterns need the
+                    # full-DSL path
+                    if (
+                        not p.endswith("*")
+                        or "*" in p[:-1]
+                        or "?" in p
+                    ):
+                        raise ValueError(
+                            f"percolate_bulk query {qid!r}: only "
+                            "prefix-shaped wildcards (lit*) are "
+                            "conjunct-expressible; use percolate() "
+                            "for the full DSL"
+                        )
+                    p = p[:-1]
                 if p:
                     rows.append(
                         (qid, cid, field, "prefix", p, None, g, mm, neg)

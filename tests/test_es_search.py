@@ -2329,6 +2329,70 @@ def test_percolate_bulk_prefix_conjuncts(spark):
     ]
 
 
+def test_percolate_bulk_terms_and_wildcard_conjuncts(spark):
+    """Round 12: a terms leaf normalizes to an IN group (eq rows
+    sharing one min_match-1 group); a prefix-shaped wildcard ("lit*")
+    normalizes to a prefix conjunct; general wildcards raise.
+    Agreement with percolate() across must/should/must_not."""
+    from dump_es_parquet_spark.operators.es_search import (
+        percolate,
+        percolate_bulk,
+        queries_to_conjuncts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(id=1, kind="a", host="web-01", n=10.0),
+            Row(id=2, kind="b", host="web-02", n=20.0),
+            Row(id=3, kind="c", host="db-01", n=30.0),
+            Row(id=4, kind=None, host="web-03", n=40.0),
+        ]
+    )
+    rules = {
+        # bare terms (IN)
+        "ab": {"terms": {"kind": ["a", "b"]}},
+        # terms in must beside a range
+        "ab_small": {"bool": {"must": [
+            {"terms": {"kind": ["a", "b"]}},
+            {"range": {"n": {"lt": 15}}},
+        ]}},
+        # numeric terms
+        "n_in": {"terms": {"n": [20, 30]}},
+        # terms inside should with msm=2: needs kind-IN AND web host
+        "two": {"bool": {"should": [
+            {"terms": {"kind": ["b", "c"]}},
+            {"wildcard": {"host": "web-*"}},
+        ], "minimum_should_match": 2}},
+        # must_not terms kills any listed value
+        "not_ab": {"bool": {"must": [{"exists": {"field": "kind"}}],
+                            "must_not": [{"terms": {"kind": ["a", "b"]}}]}},
+        # prefix-shaped wildcard
+        "webw": {"wildcard": {"host": "web-*"}},
+    }
+    conj = queries_to_conjuncts(spark, rules)
+    got = sorted(
+        (r.id, r.query_id)
+        for r in percolate_bulk(docs, conj, id_cols=["id"]).collect()
+    )
+    want = sorted(
+        (r.id, r.query_id)
+        for r in percolate(docs, rules, id_cols=["id"]).collect()
+    )
+    assert got == want == [
+        (1, "ab"), (1, "ab_small"), (1, "webw"),
+        (2, "ab"), (2, "n_in"), (2, "two"), (2, "webw"),
+        (3, "n_in"), (3, "not_ab"),
+        (4, "webw"),
+    ]
+    # general wildcards are not conjunct-expressible
+    with pytest.raises(ValueError, match="full DSL"):
+        queries_to_conjuncts(spark, {"q": {"wildcard": {"host": "w*b"}}})
+    with pytest.raises(ValueError, match="full DSL"):
+        queries_to_conjuncts(spark, {"q": {"wildcard": {"host": "we?-*"}}})
+    with pytest.raises(ValueError, match="non-empty"):
+        queries_to_conjuncts(spark, {"q": {"terms": {"kind": []}}})
+
+
 def test_percolate_bulk_min_match_zero_rejected(spark):
     """ADVICE r11 (low): an externally supplied conjuncts frame with
     min_match=0 must raise, not silently render the query
