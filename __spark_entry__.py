@@ -717,6 +717,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     (round 12); demoted-green pending rotation
         #     (es_filters_agg keeps the filters family)
         "es_filters_under_terms",
+        # es_terms_include_exclude — terms include regex + exclude
+        #     list applied before ranking (round 12); demoted-green
+        #     pending rotation (es_aggs_tree keeps terms declared)
+        "es_terms_include_exclude",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1095,6 +1099,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_nested_match": _mod("es_search", "q_es_nested_match"),
         "es_filters_under_terms": _mod(
             "es_search", "q_es_filters_under_terms"
+        ),
+        "es_terms_include_exclude": _mod(
+            "es_search", "q_es_terms_include_exclude"
         ),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
@@ -4468,6 +4475,21 @@ def _all_oracle_sql() -> dict[str, str]:
                    / count(value)
         FROM x GROUP BY event_type, cls
         ORDER BY level, by_type, cls NULLS FIRST
+    """
+
+    # es_terms_include_exclude (round 12): include regex (anchored)
+    # + exclude list filter the candidate terms before ranking.
+    q["es_terms_include_exclude"] = """
+        SELECT CAST(1 AS INT) AS level, event_type AS by_type,
+               count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        WHERE event_type IS NOT NULL
+          AND regexp_matches(event_type, '^(?:(c|e|p).*)$')
+          AND event_type <> 'error'
+        GROUP BY event_type
+        ORDER BY by_type
     """
 
     # es_multi_rare_terms (round 12): multi_terms = '|'-joined

@@ -32,7 +32,9 @@ Query DSL (``compile_query``):
 Aggregations DSL (``compile_aggs``):
 
 - bucket aggs: ``terms`` (size, order ``_count``/``_key``/metric,
-  min_doc_count, ``missing`` substitute bucket), ``multi_terms``
+  min_doc_count, ``missing`` substitute bucket, ``include``/
+  ``exclude`` value lists or anchored regex applied BEFORE ranking —
+  round 12), ``multi_terms``
   (composite '|'-joined key over several fields, docs missing ANY
   component dropped per ES; same size/order/min_doc_count knobs as
   terms — round 12), ``rare_terms`` (terms kept when their doc_count
@@ -523,9 +525,32 @@ class _Level:
             # keyed by the substitute value instead of being dropped.
             # rare_terms keys exactly like terms — the difference is
             # the pruning rule (doc_count <= max_doc_count instead of
-            # a top-size rank cap), applied in compile_aggs
+            # a top-size rank cap), applied in compile_aggs.
+            # `include`/`exclude` (round 12): value lists or an
+            # implicitly-anchored regex, applied BEFORE ranking (ES
+            # filters the candidate terms, then the survivors compete
+            # for size) — a rejected key becomes NULL, so the doc
+            # drops from this level but still counts in ancestors
+            # (the NULL-key machinery)
             if "missing" in b:
-                return F.coalesce(col, F.lit(b["missing"]))
+                col = F.coalesce(col, F.lit(b["missing"]))
+            inc, exc = b.get("include"), b.get("exclude")
+            keep = None
+            if inc is not None:
+                keep = (
+                    col.isin(list(inc))
+                    if isinstance(inc, (list, tuple))
+                    else col.cast("string").rlike(f"^(?:{inc})$")
+                )
+            if exc is not None:
+                drop = (
+                    col.isin(list(exc))
+                    if isinstance(exc, (list, tuple))
+                    else col.cast("string").rlike(f"^(?:{exc})$")
+                )
+                keep = ~drop if keep is None else keep & ~drop
+            if keep is not None:
+                return F.when(_false_safe(keep), col)
             return col
         if self.kind == "multi_terms":
             # ES drops docs missing ANY component field; concat_ws
@@ -2337,6 +2362,14 @@ def search(
         for name, spec in (request.get("runtime_mappings") or {}).items():
             df = df.withColumn(name, F.expr(spec["script_sql"]))
     out = df.filter(compile_query(request.get("query")))
+    if request.get("post_filter"):
+        # ES post_filter: narrows the HITS after aggregations were
+        # computed (aggregations are separate calls here —
+        # search_aggs — so for the hits side it composes as one more
+        # filter before sort/size, exactly its ES effect)
+        out = out.filter(
+            _false_safe(compile_query(request["post_filter"]))
+        )
     if knn:
         # the ES 8 knn section: exact brute-force cosine top-k over
         # the PRE-filtered frame (both knn.filter and the top-level
@@ -4050,6 +4083,36 @@ def q_es_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 }
                             },
                         },
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_terms_include_exclude(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """terms ``include``/``exclude`` (round 12) — the Kibana
+    "filter the legend" knobs: an anchored include regex keeps the
+    c/e/p event types, an exclude list then drops 'error'; rejected
+    keys go NULL so the excluded docs still count in the request-
+    level totals (no ancestor here — single level), and survivors
+    compete for size AFTER the filter, like ES."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {
+                        "field": "event_type",
+                        "size": 10,
+                        "include": "(c|e|p).*",
+                        "exclude": ["error"],
+                    },
+                    "aggs": {
+                        "sum_value": {"sum": {"field": "value"}}
                     },
                 }
             },

@@ -1464,6 +1464,68 @@ def test_overlapping_ranges_multi_membership(spark):
                {"field": "n", "ranges": ranges}).key_expr()
 
 
+def test_terms_include_exclude_and_post_filter(spark):
+    """Round 12: terms include/exclude (value lists or an anchored
+    regex) filter the candidate terms BEFORE ranking — excluded keys
+    go NULL so the doc drops from the level but still counts in
+    ancestors; post_filter narrows the hits side after the query."""
+    from dump_es_parquet_spark.operators.es_search import (
+        compile_aggs,
+        search,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=i, k=k, n=float(i)) for i, k in enumerate(
+            ["alpha", "alpha", "beta", "beta", "beta", "gamma", "delta"]
+        )]
+    )
+    # regex include: only a* and d* keys compete for size
+    out = compile_aggs(
+        df, {"byk": {"terms": {"field": "k", "include": "(a|d).*"}}}
+    ).collect()
+    assert sorted((r.byk, r.doc_count) for r in out) == [
+        ("alpha", 2), ("delta", 1)
+    ]
+    # list exclude
+    out2 = compile_aggs(
+        df,
+        {"byk": {"terms": {"field": "k", "exclude": ["beta", "gamma"]}}},
+    ).collect()
+    assert sorted((r.byk, r.doc_count) for r in out2) == [
+        ("alpha", 2), ("delta", 1)
+    ]
+    # include BEFORE ranking: size=1 picks the best SURVIVING key
+    out3 = compile_aggs(
+        df,
+        {"byk": {"terms": {"field": "k", "size": 1,
+                           "include": ["alpha", "delta"]}}},
+    ).collect()
+    assert [(r.byk, r.doc_count) for r in out3] == [("alpha", 2)]
+    # exclusion at a non-root level keeps the ancestor count intact
+    out4 = compile_aggs(
+        df,
+        {"even": {"filter": {"range": {"n": {"lt": 5}}}, "aggs": {
+            "byk": {"terms": {"field": "k", "exclude": ["alpha"]}}}}},
+    ).collect()
+    assert [(r.even, r.doc_count) for r in out4 if r.level == 1] == [
+        ("even", 5)
+    ]
+    assert sorted((r.byk, r.doc_count) for r in out4
+                  if r.level == 2) == [("beta", 3)]
+    # post_filter narrows hits after the query, before sort/size
+    hits = search(
+        df,
+        {
+            "query": {"range": {"n": {"lt": 6}}},
+            "post_filter": {"term": {"k": "beta"}},
+            "sort": [{"id": "asc"}],
+            "size": 2,
+            "_source": ["id", "k"],
+        },
+    ).collect()
+    assert [(r.id, r.k) for r in hits] == [(2, "beta"), (3, "beta")]
+
+
 def test_filters_agg_under_terms(spark):
     """Round 12: the filters agg works at ANY chain depth through the
     multi-membership explode — a doc matching several filters lands

@@ -286,6 +286,9 @@ PINNED_FINGERPRINTS = {
     # non-root filters (round 12): the multi-membership explode is
     # one scan-side Generate — same one-rollup bucket-frame class
     "es_filters_under_terms": {"exchange": 4},
+    # terms include/exclude (round 12): a key-expression WHEN wrap —
+    # same one-rollup bucket-frame class
+    "es_terms_include_exclude": {"exchange": 4},
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
