@@ -721,6 +721,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     list applied before ranking (round 12); demoted-green
         #     pending rotation (es_aggs_tree keeps terms declared)
         "es_terms_include_exclude",
+        # es_date_histogram_tz — date_histogram time_zone as a fixed
+        #     offset, local-midnight day buckets + gap-fill on the
+        #     shifted grid (round 12); demoted-green pending rotation
+        #     (the gapfill rows keep the date_histogram family)
+        "es_date_histogram_tz",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1103,6 +1108,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_terms_include_exclude": _mod(
             "es_search", "q_es_terms_include_exclude"
         ),
+        "es_date_histogram_tz": _mod("es_search", "q_es_date_histogram_tz"),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
         ),
@@ -3930,6 +3936,38 @@ def _all_oracle_sql() -> dict[str, str]:
                coalesce(b.dc, 0) AS doc_count, b.s AS sum_value
         FROM grid g LEFT JOIN b ON g.k = b.k
         ORDER BY per_hour
+    """
+
+    # es_date_histogram_tz (round 12): +05:30 local-midnight day
+    # buckets — key = floor((t + off) / day) * day - off, so every
+    # key ≡ -off (mod day); the gap grid and the extended-bounds
+    # alignment run on the same shifted arithmetic (grid offset
+    # goff = (-off) mod day, bounds aligned to it).
+    q["es_date_histogram_tz"] = """
+        WITH b AS (
+          SELECT CAST(floor((epoch_ms(ts) + 19800000.0) / 86400000)
+                      AS BIGINT) * 86400000 - 19800000 AS k,
+                 count(*) AS dc,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+          FROM events
+          WHERE coalesce(event_type = 'purchase', FALSE)
+            AND ts IS NOT NULL
+          GROUP BY 1
+        ),
+        ext AS (
+          SELECT LEAST(((1703980800000 - 66600000) // 86400000)
+                       * 86400000 + 66600000, MIN(k)) AS lo,
+                 GREATEST(((1706742000000 - 66600000) // 86400000)
+                          * 86400000 + 66600000, MAX(k)) AS hi
+          FROM b
+        ),
+        grid AS (
+          SELECT unnest(range(lo, hi + 86400000, 86400000)) AS k FROM ext
+        )
+        SELECT CAST(1 AS INT) AS level, g.k AS per_day,
+               coalesce(b.dc, 0) AS doc_count, b.s AS sum_value
+        FROM grid g LEFT JOIN b ON g.k = b.k
+        ORDER BY per_day
     """
 
     # es_gapfill_moving_fn (round 12): the SAME filled grid, then the

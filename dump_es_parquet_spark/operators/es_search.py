@@ -42,9 +42,11 @@ Aggregations DSL (``compile_aggs``):
   exact, where ES's CuckooFilter is approximate — round 12),
   ``date_histogram``
   (calendar_interval / fixed_interval, signed ``offset`` on fixed
-  grids, ``min_doc_count: 0`` + ``extended_bounds`` gap-filling;
-  bucket key = epoch millis, exactly the key ES
-  returns), ``histogram`` (interval + offset), ``range`` /
+  grids, ``time_zone`` as a fixed ±HH:MM offset on calendar grids —
+  round 12, IANA names raise — ``min_doc_count: 0`` +
+  ``extended_bounds`` gap-filling; bucket key = epoch millis,
+  exactly the key ES returns), ``histogram`` (interval + offset),
+  ``range`` /
   ``date_range`` (keyed, from-inclusive / to-exclusive; date bounds
   are epoch-millis ints), ``filter`` (ONE bucket holding a full
   query-DSL body) and ``missing`` (docs lacking the field),
@@ -245,21 +247,43 @@ _WEEK_EPOCH_OFFSET_MS = 4 * 86_400_000  # epoch Thursday → Monday grid
 _MONTH_UNITS = {"month": 1, "quarter": 3, "year": 12}
 
 
+def _tz_offset_ms(tz: str) -> int:
+    """ES ``time_zone`` as a FIXED UTC offset in millis (round 12).
+    Accepts ``UTC``/``Z`` and ``±HH:MM`` — the deterministic subset
+    both engines compute with pure arithmetic; IANA named zones need
+    DST rules whose tzdb versions can differ across engines, so they
+    raise (PARITY #20)."""
+    if tz in ("UTC", "Z", "+00:00", "-00:00"):
+        return 0
+    m = re.fullmatch(r"([+-])(\d{2}):(\d{2})", tz)
+    if not m:
+        raise ValueError(
+            f"time_zone {tz!r}: fixed offsets (±HH:MM / UTC) only — "
+            "IANA named zones need DST rules the oracle contract "
+            "cannot pin across engines (PARITY #20)"
+        )
+    sign = 1 if m.group(1) == "+" else -1
+    return sign * (int(m.group(2)) * 3_600_000 + int(m.group(3)) * 60_000)
+
+
 def _dh_grid(body: dict):
     """The tiling spec of a date_histogram's bucket grid — what
     gap-filling steps by. ``("fixed", step_ms, grid_offset_ms)`` for
-    fixed-width grids, ``("months", n, unit)`` for the
+    fixed-width grids, ``("months", n, unit, tz_off_ms)`` for the
     variable-width calendar units (month/quarter/year), whose grid
     is enumerable by INTERVAL-n-MONTH timestamp sequences even
-    without a fixed width."""
+    without a fixed width. ``time_zone`` (round 12) shifts the grid
+    anchor: a bucket key k satisfies (k + tz_off) ≡ unit boundary."""
     if "fixed_interval" in body:
         off = _offset_ms(body["offset"]) if "offset" in body else 0
         return "fixed", _fixed_ms(body["fixed_interval"]), off
     unit = _CALENDAR_UNITS[body["calendar_interval"]]
+    tz_off = _tz_offset_ms(body["time_zone"]) if "time_zone" in body else 0
     if unit in _MONTH_UNITS:
-        return "months", _MONTH_UNITS[unit], unit
+        return "months", _MONTH_UNITS[unit], unit, tz_off
     off = _WEEK_EPOCH_OFFSET_MS if unit == "week" else 0
-    return "fixed", _CALENDAR_WIDTH_MS[unit], off
+    width = _CALENDAR_WIDTH_MS[unit]
+    return "fixed", width, (off - tz_off) % width
 
 
 # ---------------------------------------------------------------------------
@@ -582,7 +606,27 @@ class _Level:
                         "fixed_interval only"
                     )
                 unit = _CALENDAR_UNITS[b["calendar_interval"]]
+                if "time_zone" in b:
+                    # ES time_zone (round 12): bucket at the LOCAL
+                    # unit boundary, key = that boundary's UTC epoch
+                    # millis — truncate the offset-shifted instant,
+                    # shift back. Fixed offsets only (_tz_offset_ms).
+                    off = _tz_offset_ms(b["time_zone"])
+                    if off:
+                        shifted = F.timestamp_millis(
+                            F.unix_millis(col) + F.lit(off)
+                        )
+                        return (
+                            F.unix_millis(F.date_trunc(unit, shifted))
+                            - F.lit(off)
+                        )
                 return F.unix_millis(F.date_trunc(unit, col))
+            if "time_zone" in b:
+                raise ValueError(
+                    "date_histogram time_zone is supported with "
+                    "calendar_interval only — epoch-anchored fixed "
+                    "grids take `offset` instead"
+                )
             ms = _fixed_ms(b["fixed_interval"])
             off = _offset_ms(b["offset"]) if "offset" in b else 0
             return (
@@ -1751,13 +1795,17 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             # windows, the same one explode; only the successor
             # arithmetic moves from long addition to date math.
             # Bounds truncate onto the grid via date_trunc(unit).
-            _, months, unit = grid
+            # time_zone (round 12): the LOCAL month grid — sequences
+            # run on tz-shifted instants, keys map back by -tz_off.
+            _, months, unit, tz_off = grid
             iv = F.expr(f"INTERVAL '{months}' MONTH")
-            kts = F.timestamp_millis(key)
-            nts = F.timestamp_millis(nxt)
+            kts = F.timestamp_millis(key + F.lit(tz_off))
+            nts = F.timestamp_millis(nxt + F.lit(tz_off))
 
             def _ms(arr):
-                return F.transform(arr, lambda t: F.unix_millis(t))
+                return F.transform(
+                    arr, lambda t: F.unix_millis(t) - F.lit(tz_off)
+                )
 
             gaps = F.when(
                 nxt.isNotNull() & (nts > kts + iv),
@@ -1766,7 +1814,7 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             pre, post = empty, empty
             if "min" in eb:
                 lo_ts = F.date_trunc(
-                    unit, F.timestamp_millis(F.lit(eb["min"]))
+                    unit, F.timestamp_millis(F.lit(eb["min"] + tz_off))
                 )
                 pre = F.when(
                     (rn == 1) & (kts > lo_ts),
@@ -1774,7 +1822,7 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 ).otherwise(empty)
             if "max" in eb:
                 hi_ts = F.date_trunc(
-                    unit, F.timestamp_millis(F.lit(eb["max"]))
+                    unit, F.timestamp_millis(F.lit(eb["max"] + tz_off))
                 )
                 post = F.when(
                     (rn == cnt) & (kts < hi_ts),
@@ -1894,6 +1942,13 @@ def streamable_aggs(
             )
     b = root.body
     start_time = None
+    if "time_zone" in b:
+        # a tz'd window grid would need startTime plumbing that the
+        # batch≡stream pin doesn't cover yet — loud, not silent
+        raise ValueError(
+            "streamable_aggs does not support date_histogram "
+            "time_zone; use the batch compile_aggs path"
+        )
     if "calendar_interval" in b:
         unit = _CALENDAR_UNITS[b["calendar_interval"]]
         if unit not in ("second", "minute", "hour", "day", "week"):
@@ -2734,6 +2789,36 @@ def q_es_gapfill_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "serial_diff": {"buckets_path": "sum_value"}
                         },
                     },
+                }
+            },
+        },
+    )
+
+
+def q_es_date_histogram_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram ``time_zone`` (round 12) — the Kibana
+    browser-timezone default as a fixed offset: daily purchase
+    buckets at +05:30 LOCAL midnights (keys = those boundaries' UTC
+    epoch millis, so every key ≡ -offset mod day), gap-filled over
+    extended bounds on the SHIFTED grid."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "query": {"term": {"event_type": "purchase"}},
+            "aggs": {
+                "per_day": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "calendar_interval": "day",
+                        "time_zone": "+05:30",
+                        "min_doc_count": 0,
+                        "extended_bounds": {
+                            "min": 1703980800000,
+                            "max": 1706742000000,
+                        },
+                    },
+                    "aggs": {"sum_value": {"sum": {"field": "value"}}},
                 }
             },
         },

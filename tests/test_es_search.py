@@ -607,6 +607,69 @@ def test_moving_fn_and_serial_diff_windows(spark):
     ]
 
 
+def test_date_histogram_time_zone_fixed_offset(spark):
+    """Round 12: date_histogram ``time_zone`` (fixed ±HH:MM offsets —
+    the Kibana browser-tz default): buckets at LOCAL unit boundaries,
+    keys = those boundaries' UTC epoch millis. Day + month units;
+    gap-fill composes (day grid shifts by -offset); IANA names and
+    fixed_interval+time_zone raise."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    # 2024-01-01T22:00Z is already Jan 2 in +05:30 (03:30 local)
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 0), 1.0),
+        (dt.datetime(2024, 1, 1, 22, 0), 2.0),
+        (dt.datetime(2024, 1, 4, 1, 0), 3.0),   # local Jan 3 is a gap
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    off = int(5.5 * 3_600_000)
+    day = 86_400_000
+
+    def day_key(d, h):
+        t = int(dt.datetime(2024, 1, d, h).timestamp() * 1000)
+        return ((t + off) // day) * day - off
+
+    out = {r.d: r.doc_count for r in compile_aggs(
+        df, {"d": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "day",
+                                      "time_zone": "+05:30"}}}
+    ).collect()}
+    assert out == {day_key(1, 10): 1, day_key(1, 22): 1,
+                   day_key(4, 1): 1}
+    assert day_key(1, 22) != day_key(1, 10)  # 22:00Z crossed local midnight
+    # gap-fill on the shifted grid: the local Jan-3 day is empty
+    filled = sorted(r.d for r in compile_aggs(
+        df, {"d": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "day",
+                                      "time_zone": "+05:30",
+                                      "min_doc_count": 0}}}
+    ).collect())
+    assert filled == [day_key(1, 10), day_key(1, 22),
+                      day_key(1, 22) + day, day_key(4, 1)]
+    assert all((k + off) % day == 0 for k in filled)
+    # month boundary in local time: 2024-01-31T20:00Z is Feb 1 in +05:30
+    mdf = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 31, 20, 0), 1.0)], "ts timestamp, v double"
+    )
+    mout = [r.m for r in compile_aggs(
+        mdf, {"m": {"date_histogram": {"field": "ts",
+                                       "calendar_interval": "month",
+                                       "time_zone": "+05:30"}}}
+    ).collect()]
+    feb1_local = int(dt.datetime(2024, 2, 1).timestamp() * 1000) - off
+    assert mout == [feb1_local]
+    with pytest.raises(ValueError, match="fixed offsets"):
+        compile_aggs(df, {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "time_zone": "America/New_York"}}}).collect()
+    with pytest.raises(ValueError, match="calendar_interval only"):
+        compile_aggs(df, {"d": {"date_histogram": {
+            "field": "ts", "fixed_interval": "1d",
+            "time_zone": "+05:30"}}}).collect()
+
+
 def test_gapfill_positional_pipelines_stride_empties(spark):
     """Round 12 (VERDICT r11 Next #8): moving_fn / serial_diff /
     bucket_sort at a gap-filled level run AFTER the fill, so empty

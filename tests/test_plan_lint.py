@@ -289,6 +289,10 @@ PINNED_FINGERPRINTS = {
     # terms include/exclude (round 12): a key-expression WHEN wrap —
     # same one-rollup bucket-frame class
     "es_terms_include_exclude": {"exchange": 4},
+    # date_histogram time_zone (round 12): a shifted key expression +
+    # the same gapfill windows — same bucket-frame exchange class as
+    # the other gapfill rows
+    "es_date_histogram_tz": {"exchange": 4},
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
