@@ -726,6 +726,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
+        # es_adjacency_matrix — the Kibana graph agg (filter buckets
+        #     + pair intersections via the multi-membership explode)
+        #     with exact percentile_ranks metrics (round 12);
+        #     demoted-green pending rotation
+        "es_adjacency_matrix",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1109,6 +1114,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "es_search", "q_es_terms_include_exclude"
         ),
         "es_date_histogram_tz": _mod("es_search", "q_es_date_histogram_tz"),
+        "es_adjacency_matrix": _mod("es_search", "q_es_adjacency_matrix"),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
         ),
@@ -3968,6 +3974,38 @@ def _all_oracle_sql() -> dict[str, str]:
                coalesce(b.dc, 0) AS doc_count, b.s AS sum_value
         FROM grid g LEFT JOIN b ON g.k = b.k
         ORDER BY per_day
+    """
+
+    # es_adjacency_matrix (round 12): filter cohorts + pair
+    # intersections via unnest of the matching-keys list (pairs in
+    # alphabetical order, '&'-joined); percentile_ranks = the exact
+    # empirical CDF percent, 100*count(v<=t)/count(v) rounded 6dp.
+    q["es_adjacency_matrix"] = """
+        WITH p AS (
+          SELECT value,
+                 coalesce(event_type = 'error', FALSE) AS f_err,
+                 coalesce(value >= 200, FALSE) AS f_big,
+                 coalesce(ts >= TIMESTAMP '2024-01-20 00:00:00', FALSE)
+                     AS f_late
+          FROM events
+        ),
+        x AS (
+          SELECT value, unnest(list_filter([
+              CASE WHEN f_big THEN 'big' END,
+              CASE WHEN f_err THEN 'err' END,
+              CASE WHEN f_late THEN 'late' END,
+              CASE WHEN f_big AND f_err THEN 'big&err' END,
+              CASE WHEN f_big AND f_late THEN 'big&late' END,
+              CASE WHEN f_err AND f_late THEN 'err&late' END
+            ], y -> y IS NOT NULL)) AS adj
+          FROM p
+        )
+        SELECT CAST(1 AS INT) AS level, adj, count(*) AS doc_count,
+               round(100.0 * count(CASE WHEN value <= 100 THEN 1 END)
+                     / count(value), 6) AS pranks_pr0_r6,
+               round(100.0 * count(CASE WHEN value <= 250 THEN 1 END)
+                     / count(value), 6) AS pranks_pr1_r6
+        FROM x GROUP BY adj ORDER BY adj
     """
 
     # es_gapfill_moving_fn (round 12): the SAME filled grid, then the

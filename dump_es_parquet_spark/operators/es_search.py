@@ -151,6 +151,7 @@ _BUCKET_KINDS = (
     "date_range",
     "filters",
     "filter",
+    "adjacency_matrix",
     "missing",
     "geohash_grid",
     "geotile_grid",
@@ -166,6 +167,7 @@ _METRIC_KINDS = (
     "value_count",
     "cardinality",
     "percentiles",
+    "percentile_ranks",
     "stats",
     "weighted_avg",
     "top_metrics",
@@ -1248,6 +1250,28 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
                             lvl_no,
                         )
                     )
+            elif kind == "percentile_ranks":
+                # EXACT percentile ranks (round 12): the percent of
+                # bucket values <= each threshold — ES's t-digest
+                # interpolates between neighbors, this reports the
+                # exact empirical CDF (same divergence class as the
+                # exact `percentiles`/`cardinality` contract); NULL
+                # values drop from numerator and denominator alike
+                for i, t in enumerate(b["values"]):
+                    out.append(
+                        (
+                            f"{name}_pr{i}_r6",
+                            F.round(
+                                F.lit(100.0)
+                                * F.count(
+                                    F.when(col <= F.lit(float(t)), F.lit(1))
+                                )
+                                / F.count(col),
+                                6,
+                            ),
+                            lvl_no,
+                        )
+                    )
             elif kind == "stats":
                 out.append((f"{name}_count", F.count(col).cast("double"), lvl_no))
                 out.append((f"{name}_min", F.min(col).cast("double"), lvl_no))
@@ -1382,6 +1406,11 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             and _ranges_overlap(lv.body["ranges"])
         )
         or (lv.kind == "filters" and i > 1)
+        # adjacency_matrix (round 12) is inherently multi-member —
+        # every doc lands in each matching filter AND each matching
+        # pair intersection — so it always takes the explode, root
+        # included
+        or lv.kind == "adjacency_matrix"
     ]
     if len(mm_is) > 1 or (mm_is and nested_i is not None):
         raise ValueError(
@@ -1430,6 +1459,28 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         mm_lvl = levels[explode_i - 1]
         if mm_lvl.kind == "filters":
             arr = _filters_names_arr(mm_lvl.body)
+        elif mm_lvl.kind == "adjacency_matrix":
+            # ES adjacency_matrix (the Kibana graph agg): one bucket
+            # per matching filter plus one per matching PAIR
+            # intersection, keys "a" and "a&b" (alphabetical pair
+            # order, configurable separator) — ≤ n(n+1)/2 entries,
+            # bounded by the filter count like the filters agg
+            preds = {
+                fn: _false_safe(compile_query(fq))
+                for fn, fq in mm_lvl.body["filters"].items()
+            }
+            names = sorted(preds)
+            sep = str(mm_lvl.body.get("separator", "&"))
+            entries = [F.when(preds[nm2], F.lit(nm2)) for nm2 in names]
+            for a_i in range(len(names)):
+                for b_i in range(a_i + 1, len(names)):
+                    entries.append(
+                        F.when(
+                            preds[names[a_i]] & preds[names[b_i]],
+                            F.lit(names[a_i] + sep + names[b_i]),
+                        )
+                    )
+            arr = F.array_compact(F.array(*entries))
         else:
             arr = F.array_compact(
                 F.array(
@@ -4198,6 +4249,40 @@ def q_es_terms_include_exclude(
                     },
                     "aggs": {
                         "sum_value": {"sum": {"field": "value"}}
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``adjacency_matrix`` (round 12) — the Kibana graph agg: three
+    event cohorts (errors, big values, late window) with every pair
+    intersection, each bucket carrying an exact ``percentile_ranks``
+    metric (percent of bucket values <= 100/250 — the empirical CDF,
+    where ES's t-digest interpolates)."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "adj": {
+                    "adjacency_matrix": {
+                        "filters": {
+                            "err": {"term": {"event_type": "error"}},
+                            "big": {"range": {"value": {"gte": 200}}},
+                            "late": {"range": {"ts": {
+                                "gte": "2024-01-20 00:00:00"}}},
+                        }
+                    },
+                    "aggs": {
+                        "pranks": {
+                            "percentile_ranks": {
+                                "field": "value",
+                                "values": [100, 250],
+                            }
+                        }
                     },
                 }
             },

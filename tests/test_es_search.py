@@ -1527,6 +1527,57 @@ def test_overlapping_ranges_multi_membership(spark):
                {"field": "n", "ranges": ranges}).key_expr()
 
 
+def test_adjacency_matrix_and_percentile_ranks(spark):
+    """Round 12: adjacency_matrix = one bucket per matching filter
+    plus one per matching PAIR intersection (Kibana graph shape),
+    via the multi-membership explode — ancestors un-multiplied when
+    nested under terms; percentile_ranks = the exact empirical CDF
+    percent at each threshold."""
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    df = spark.createDataFrame(
+        [
+            Row(g="x", a=True, b=True, c=False, v=1.0),
+            Row(g="x", a=True, b=False, c=False, v=2.0),
+            Row(g="y", a=False, b=True, c=True, v=3.0),
+            Row(g="y", a=False, b=False, c=False, v=4.0),
+        ]
+    )
+    filters = {
+        "A": {"term": {"a": True}},
+        "B": {"term": {"b": True}},
+        "C": {"term": {"c": True}},
+    }
+    out = compile_aggs(
+        df, {"adj": {"adjacency_matrix": {"filters": filters}}}
+    ).collect()
+    assert sorted((r.adj, r.doc_count) for r in out) == [
+        ("A", 2), ("A&B", 1), ("B", 2), ("B&C", 1), ("C", 1)
+    ]
+    # custom separator + under terms: parent counts stay per-doc
+    out2 = compile_aggs(
+        df,
+        {"byg": {"terms": {"field": "g"}, "aggs": {
+            "adj": {"adjacency_matrix": {"filters": filters,
+                                         "separator": "|"}}}}},
+    ).collect()
+    assert sorted((r.byg, r.doc_count) for r in out2
+                  if r.level == 1) == [("x", 2), ("y", 2)]
+    assert sorted((r.byg, r.adj, r.doc_count) for r in out2
+                  if r.level == 2) == [
+        ("x", "A", 2), ("x", "A|B", 1), ("x", "B", 1),
+        ("y", "B", 1), ("y", "B|C", 1), ("y", "C", 1),
+    ]
+    # percentile_ranks: exact percent of values <= threshold
+    pr = compile_aggs(
+        df,
+        {"all": {"filter": {"match_all": {}}, "aggs": {
+            "pr": {"percentile_ranks": {"field": "v",
+                                        "values": [2, 3.5]}}}}},
+    ).collect()[0]
+    assert (pr.pr_pr0_r6, pr.pr_pr1_r6) == (50.0, 75.0)
+
+
 def test_terms_include_exclude_and_post_filter(spark):
     """Round 12: terms include/exclude (value lists or an anchored
     regex) filter the candidate terms BEFORE ranking — excluded keys

@@ -293,6 +293,10 @@ PINNED_FINGERPRINTS = {
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
     "es_date_histogram_tz": {"exchange": 4},
+    # adjacency_matrix (round 12): the pair-intersection explode is
+    # one Generate on the scan — one rollup + survival window +
+    # orderBy, the standard bucket-frame class
+    "es_adjacency_matrix": {"exchange": 3},
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
