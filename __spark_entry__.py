@@ -731,6 +731,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     with exact percentile_ranks metrics (round 12);
         #     demoted-green pending rotation
         "es_adjacency_matrix",
+        # es_geo_bounds_string_stats — geo_bounds box + string_stats
+        #     length metrics (round 12); demoted-green pending
+        #     rotation (es_metric_variants keeps the metric family)
+        "es_geo_bounds_string_stats",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1115,6 +1119,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_date_histogram_tz": _mod("es_search", "q_es_date_histogram_tz"),
         "es_adjacency_matrix": _mod("es_search", "q_es_adjacency_matrix"),
+        "es_geo_bounds_string_stats": _mod(
+            "es_search", "q_es_geo_bounds_string_stats"
+        ),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
         ),
@@ -3974,6 +3981,35 @@ def _all_oracle_sql() -> dict[str, str]:
                coalesce(b.dc, 0) AS doc_count, b.s AS sum_value
         FROM grid g LEFT JOIN b ON g.k = b.k
         ORDER BY per_day
+    """
+
+    # es_geo_bounds_string_stats (round 12): bounding box = plain
+    # min/max pairs over present points; string_stats = length
+    # aggregates with the avg through DECIMAL.
+    q["es_geo_bounds_string_stats"] = """
+        WITH g AS (
+          SELECT event_type,
+                 value / 10.0 - 24.5 AS lat,
+                 CAST((event_id % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                 props
+          FROM events WHERE event_type IS NOT NULL
+        )
+        SELECT CAST(1 AS INT) AS level, event_type AS by_type,
+               count(*) AS doc_count,
+               CAST(max(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL
+                        THEN lat END) AS DOUBLE) AS box_top,
+               CAST(min(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL
+                        THEN lat END) AS DOUBLE) AS box_bottom,
+               CAST(min(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL
+                        THEN lon END) AS DOUBLE) AS box_left,
+               CAST(max(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL
+                        THEN lon END) AS DOUBLE) AS box_right,
+               CAST(count(length(props)) AS DOUBLE) AS props_len_count,
+               CAST(min(length(props)) AS DOUBLE) AS props_len_min_length,
+               CAST(max(length(props)) AS DOUBLE) AS props_len_max_length,
+               CAST(sum(CAST(length(props) AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(length(props)) AS props_len_avg_length
+        FROM g GROUP BY event_type ORDER BY by_type
     """
 
     # es_adjacency_matrix (round 12): filter cohorts + pair

@@ -173,6 +173,8 @@ _METRIC_KINDS = (
     "top_metrics",
     "extended_stats",
     "geo_centroid",
+    "geo_bounds",
+    "string_stats",
     "reverse_nested",
     "_literal",
 )
@@ -1207,6 +1209,58 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
                 )
                 agg = F.max(pair) if sdir == "desc" else F.min(pair)
                 out.append((name, agg["m"].cast("double"), lvl_no))
+                continue
+            if kind == "geo_bounds":
+                # the bucket's bounding box (round 12): top_left =
+                # (max lat, min lon), bottom_right = (min lat, max
+                # lon) over fully-present points. Non-wrapping: ES
+                # can emit a dateline-crossing box when wrap_longitude
+                # is true and the points justify it — that heuristic
+                # is not reproducible from plain min/max, so this is
+                # the wrap_longitude=false reading (documented).
+                latc = _m(F.col(b["field"] + ".lat"))
+                lonc = _m(F.col(b["field"] + ".lon"))
+                ok = latc.isNotNull() & lonc.isNotNull()
+                for sub, e in (
+                    ("top", F.max(F.when(ok, latc))),
+                    ("bottom", F.min(F.when(ok, latc))),
+                    ("left", F.min(F.when(ok, lonc))),
+                    ("right", F.max(F.when(ok, lonc))),
+                ):
+                    out.append((f"{name}_{sub}", e.cast("double"), lvl_no))
+                continue
+            if kind == "string_stats":
+                # count / min_length / max_length / avg_length over
+                # the bucket's non-NULL strings, avg through DECIMAL
+                # (round 12). ES additionally reports Shannon entropy
+                # — a per-character distribution that is not a plain
+                # aggregate expression in the one-rollup plan, so the
+                # entropy column is intentionally absent (documented
+                # bound; request `show_distribution` raises).
+                if b.get("show_distribution"):
+                    raise ValueError(
+                        "string_stats show_distribution/entropy needs "
+                        "a per-character histogram the one-rollup "
+                        "plan cannot express"
+                    )
+                ln = _m(F.length(F.col(b["field"])))
+                out.append(
+                    (f"{name}_count", F.count(ln).cast("double"), lvl_no)
+                )
+                out.append(
+                    (f"{name}_min_length", F.min(ln).cast("double"), lvl_no)
+                )
+                out.append(
+                    (f"{name}_max_length", F.max(ln).cast("double"), lvl_no)
+                )
+                out.append(
+                    (
+                        f"{name}_avg_length",
+                        F.sum(ln.cast("decimal(18,6)")).cast("double")
+                        / F.count(ln),
+                        lvl_no,
+                    )
+                )
                 continue
             if kind == "geo_centroid":
                 # exact-decimal mean PAIR over docs where the point
@@ -4249,6 +4303,38 @@ def q_es_terms_include_exclude(
                     },
                     "aggs": {
                         "sum_value": {"sum": {"field": "value"}}
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_geo_bounds_string_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``geo_bounds`` + ``string_stats`` metrics (round 12): per
+    event_type, the bounding box of the synthesized coordinates (the
+    es_geo_queries pattern) and length statistics of the props JSON
+    string — both exact aggregate expressions in the one rollup."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "loc",
+        F.struct(
+            (F.col("value") / F.lit(10.0) - F.lit(24.5)).alias("lat"),
+            (
+                (F.col("event_id") % F.lit(360)) - F.lit(180) + F.lit(0.5)
+            ).cast("double").alias("lon"),
+        ),
+    )
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 10},
+                    "aggs": {
+                        "box": {"geo_bounds": {"field": "loc"}},
+                        "props_len": {"string_stats": {"field": "props"}},
                     },
                 }
             },

@@ -1527,6 +1527,41 @@ def test_overlapping_ranges_multi_membership(spark):
                {"field": "n", "ranges": ranges}).key_expr()
 
 
+def test_geo_bounds_and_string_stats(spark):
+    """Round 12: geo_bounds = the bucket's bounding box (max/min
+    lat, min/max lon — the wrap_longitude=false reading);
+    string_stats = count/min/max/avg length over non-NULL strings
+    (entropy is a documented omission — show_distribution raises)."""
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    df = spark.createDataFrame(
+        [
+            Row(g="x", loc=Row(lat=10.0, lon=-20.0), s="abc"),
+            Row(g="x", loc=Row(lat=-5.0, lon=30.0), s="defgh"),
+            Row(g="x", loc=None, s=None),
+        ]
+    )
+    out = compile_aggs(
+        df,
+        {"byg": {"terms": {"field": "g"}, "aggs": {
+            "box": {"geo_bounds": {"field": "loc"}},
+            "ss": {"string_stats": {"field": "s"}},
+        }}},
+    ).collect()[0]
+    assert (out.box_top, out.box_bottom, out.box_left, out.box_right) == (
+        10.0, -5.0, -20.0, 30.0
+    )
+    assert (out.ss_count, out.ss_min_length, out.ss_max_length,
+            out.ss_avg_length) == (2.0, 3.0, 5.0, 4.0)
+    with pytest.raises(ValueError, match="show_distribution"):
+        compile_aggs(
+            df,
+            {"byg": {"terms": {"field": "g"}, "aggs": {
+                "ss": {"string_stats": {"field": "s",
+                                        "show_distribution": True}}}}},
+        )
+
+
 def test_adjacency_matrix_and_percentile_ranks(spark):
     """Round 12: adjacency_matrix = one bucket per matching filter
     plus one per matching PAIR intersection (Kibana graph shape),

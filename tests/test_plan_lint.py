@@ -297,6 +297,9 @@ PINNED_FINGERPRINTS = {
     # one Generate on the scan — one rollup + survival window +
     # orderBy, the standard bucket-frame class
     "es_adjacency_matrix": {"exchange": 3},
+    # geo_bounds + string_stats (round 12): plain aggregate
+    # expressions in the one rollup — standard bucket-frame class
+    "es_geo_bounds_string_stats": {"exchange": 4},
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
