@@ -735,6 +735,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     length metrics (round 12); demoted-green pending
         #     rotation (es_metric_variants keeps the metric family)
         "es_geo_bounds_string_stats",
+        # es_matrix_stats — per-pair covariance/correlation with the
+        #     exact-moments discipline, listwise deletion (round 12);
+        #     demoted-green pending rotation (es_extended_stats keeps
+        #     the moments family verified)
+        "es_matrix_stats",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1122,6 +1127,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_geo_bounds_string_stats": _mod(
             "es_search", "q_es_geo_bounds_string_stats"
         ),
+        "es_matrix_stats": _mod("es_search", "q_es_matrix_stats"),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
         ),
@@ -4010,6 +4016,72 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(length(props) AS DECIMAL(18,6))) AS DOUBLE)
                    / count(length(props)) AS props_len_avg_length
         FROM g GROUP BY event_type ORDER BY by_type
+    """
+
+    # es_matrix_stats (round 12): the extended_stats discipline for
+    # pairs — exact decimal Σx/Σy, product sums rounded at 4dp after
+    # the double cast, population var/cov from the fixed tree,
+    # corr = cov / sqrt(vx * vy) (NULL on zero variance).
+    q["es_matrix_stats"] = """
+        WITH e AS (
+          SELECT event_type, value,
+                 value * 0.5 + CAST(event_id % 97 AS DOUBLE) AS v2
+          FROM events WHERE event_type IS NOT NULL
+        ),
+        m AS (
+          SELECT event_type,
+                 count(*) AS n_all,
+                 count(CASE WHEN value IS NOT NULL AND v2 IS NOT NULL
+                       THEN 1 END) AS n,
+                 round(CAST(sum(CASE WHEN value IS NOT NULL
+                     AND v2 IS NOT NULL
+                     THEN CAST(value AS DECIMAL(18,6)) END)
+                     AS DOUBLE), 4) AS sx,
+                 round(CAST(sum(CASE WHEN value IS NOT NULL
+                     AND v2 IS NOT NULL
+                     THEN CAST(v2 AS DECIMAL(18,6)) END)
+                     AS DOUBLE), 4) AS sy,
+                 round(CAST(sum(CASE WHEN value IS NOT NULL
+                     AND v2 IS NOT NULL
+                     THEN CAST(value AS DECIMAL(18,6))
+                          * CAST(value AS DECIMAL(18,6)) END)
+                     AS DOUBLE), 4) AS sxx,
+                 round(CAST(sum(CASE WHEN value IS NOT NULL
+                     AND v2 IS NOT NULL
+                     THEN CAST(v2 AS DECIMAL(18,6))
+                          * CAST(v2 AS DECIMAL(18,6)) END)
+                     AS DOUBLE), 4) AS syy,
+                 round(CAST(sum(CASE WHEN value IS NOT NULL
+                     AND v2 IS NOT NULL
+                     THEN CAST(value AS DECIMAL(18,6))
+                          * CAST(v2 AS DECIMAL(18,6)) END)
+                     AS DOUBLE), 4) AS sxy
+          FROM e GROUP BY event_type
+        ),
+        v AS (
+          SELECT event_type, n_all, n, sx, sy,
+                 greatest((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)),
+                          0.0) AS vx,
+                 greatest((CAST(n AS DOUBLE) * syy - sy * sy)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)),
+                          0.0) AS vy,
+                 (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov
+          FROM m
+        )
+        SELECT CAST(1 AS INT) AS level, event_type AS by_type,
+               n_all AS doc_count,
+               CAST(n AS DOUBLE) AS mx_count,
+               round(sx / n, 6) AS mx_value_mean_r6,
+               round(vx, 6) AS mx_value_var_r6,
+               round(sy / n, 6) AS mx_v2_mean_r6,
+               round(vy, 6) AS mx_v2_var_r6,
+               round(cov, 6) AS mx_value_v2_cov_r6,
+               round(CASE WHEN vx > 0 AND vy > 0
+                     THEN cov / sqrt(vx * vy) END, 6)
+                   AS mx_value_v2_corr_r6
+        FROM v ORDER BY by_type
     """
 
     # es_adjacency_matrix (round 12): filter cohorts + pair

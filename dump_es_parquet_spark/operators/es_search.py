@@ -175,6 +175,7 @@ _METRIC_KINDS = (
     "geo_centroid",
     "geo_bounds",
     "string_stats",
+    "matrix_stats",
     "reverse_nested",
     "_literal",
 )
@@ -1209,6 +1210,74 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
                 )
                 agg = F.max(pair) if sdir == "desc" else F.min(pair)
                 out.append((name, agg["m"].cast("double"), lvl_no))
+                continue
+            if kind == "matrix_stats":
+                # ES matrix_stats (round 12): per-field mean/variance
+                # + per-pair covariance/correlation, LISTWISE deletion
+                # (a row missing ANY of the fields is excluded — ES's
+                # contract). The extended_stats discipline: exact
+                # decimal sufficient statistics (Σx, and Σx², Σxy via
+                # exact decimal×decimal products, their double casts
+                # rounded at 4dp against DuckDB's wide-decimal cast
+                # ulp), then one FIXED double tree — population
+                # var/cov, corr = cov/√(vx·vy) (NULL when either
+                # variance is 0). Skewness/kurtosis need Σx³/Σx⁴
+                # beyond DECIMAL(38) exactness — documented omission.
+                fields = list(b["fields"])
+                fcols = [_m(F.col(f)) for f in fields]
+                ok = fcols[0].isNotNull()
+                for c_ in fcols[1:]:
+                    ok = ok & c_.isNotNull()
+                decs = [
+                    F.when(ok, c_).cast("decimal(18,6)") for c_ in fcols
+                ]
+                n_c = F.count(F.when(ok, F.lit(1)))
+                n_d = n_c.cast("double")
+                out.append((f"{name}_count", n_c.cast("double"), lvl_no))
+                # the plain sums round at 4dp too: sx·sy products
+                # amplify the DuckDB wide-decimal→double cast ulp at
+                # larger SFs (the extended_stats Σv² discipline,
+                # applied to every moment here). An EXACT decimal
+                # moment can land on the 4dp HALF boundary where the
+                # engines' round() rules differ (observed: Σxy
+                # …81235), so every DERIVED output additionally
+                # reports at 6dp (`_r6`, the percentiles convention)
+                # — a derived double essentially never lands exactly
+                # on a half point.
+                s_d = [
+                    F.round(F.sum(d_).cast("double"), 4) for d_ in decs
+                ]
+                var_d = []
+                for f, d_, s_ in zip(fields, decs, s_d):
+                    s2 = F.round(F.sum(d_ * d_).cast("double"), 4)
+                    v_ = F.greatest(
+                        (n_d * s2 - s_ * s_) / (n_d * n_d), F.lit(0.0)
+                    )
+                    var_d.append(v_)
+                    out.append(
+                        (f"{name}_{f}_mean_r6",
+                         F.round(s_ / n_c, 6), lvl_no)
+                    )
+                    out.append(
+                        (f"{name}_{f}_var_r6", F.round(v_, 6), lvl_no)
+                    )
+                for i in range(len(fields)):
+                    for j in range(i + 1, len(fields)):
+                        sxy = F.round(
+                            F.sum(decs[i] * decs[j]).cast("double"), 4
+                        )
+                        cov = (n_d * sxy - s_d[i] * s_d[j]) / (n_d * n_d)
+                        corr = F.when(
+                            (var_d[i] > 0) & (var_d[j] > 0),
+                            cov / F.sqrt(var_d[i] * var_d[j]),
+                        )
+                        pair = f"{name}_{fields[i]}_{fields[j]}"
+                        out.append(
+                            (f"{pair}_cov_r6", F.round(cov, 6), lvl_no)
+                        )
+                        out.append(
+                            (f"{pair}_corr_r6", F.round(corr, 6), lvl_no)
+                        )
                 continue
             if kind == "geo_bounds":
                 # the bucket's bounding box (round 12): top_left =
@@ -4335,6 +4404,31 @@ def q_es_geo_bounds_string_stats(
                     "aggs": {
                         "box": {"geo_bounds": {"field": "loc"}},
                         "props_len": {"string_stats": {"field": "props"}},
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``matrix_stats`` (round 12): per event_type, the correlation
+    structure of (value, a synthesized value-coupled second field) —
+    listwise deletion, population moments through the exact-decimal
+    discipline, corr = cov/√(vx·vy) spelled identically in DuckDB."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "v2",
+        (F.col("value") * F.lit(0.5)
+         + (F.col("event_id") % F.lit(97)).cast("double")),
+    )
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 10},
+                    "aggs": {
+                        "mx": {"matrix_stats": {"fields": ["value", "v2"]}}
                     },
                 }
             },

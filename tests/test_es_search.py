@@ -1527,6 +1527,33 @@ def test_overlapping_ranges_multi_membership(spark):
                {"field": "n", "ranges": ranges}).key_expr()
 
 
+def test_matrix_stats_listwise_and_population(spark):
+    """Round 12: matrix_stats — listwise deletion (rows missing ANY
+    field excluded), population variance/covariance, correlation =
+    cov/sqrt(vx*vy); zero-variance pairs report NULL corr."""
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 4.0, 5.0, 4.0, 6.0]
+    rows = [Row(g="a", x=x, y=y) for x, y in zip(xs, ys)]
+    rows.append(Row(g="a", x=9.0, y=None))     # listwise-dropped
+    rows.append(Row(g="b", x=7.0, y=1.0))      # single row → var 0
+    df = spark.createDataFrame(rows)
+    out = {r.byg: r for r in compile_aggs(
+        df,
+        {"byg": {"terms": {"field": "g"}, "aggs": {
+            "mx": {"matrix_stats": {"fields": ["x", "y"]}}}}},
+    ).collect()}
+    a = out["a"]
+    assert (a.mx_count, a.mx_x_mean_r6, a.mx_x_var_r6) == (5.0, 3.0, 2.0)
+    assert a.mx_x_y_cov_r6 == 1.6
+    assert a.mx_x_y_corr_r6 == 0.852803  # = numpy corrcoef at 6dp
+    b = out["b"]
+    assert (b.mx_count, b.mx_x_var_r6, b.mx_x_y_corr_r6) == (
+        1.0, 0.0, None
+    )
+
+
 def test_geo_bounds_and_string_stats(spark):
     """Round 12: geo_bounds = the bucket's bounding box (max/min
     lat, min/max lon — the wrap_longitude=false reading);

@@ -300,6 +300,9 @@ PINNED_FINGERPRINTS = {
     # geo_bounds + string_stats (round 12): plain aggregate
     # expressions in the one rollup — standard bucket-frame class
     "es_geo_bounds_string_stats": {"exchange": 4},
+    # matrix_stats (round 12): pair moments are plain aggregate
+    # expressions in the one rollup — standard bucket-frame class
+    "es_matrix_stats": {"exchange": 4},
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
