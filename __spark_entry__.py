@@ -740,6 +740,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     demoted-green pending rotation (es_extended_stats keeps
         #     the moments family verified)
         "es_matrix_stats",
+        # es_bucket_selector — the alerting HAVING pipeline +
+        #     normalize percent_of_sum shares (round 12);
+        #     demoted-green pending rotation (es_pipeline_aggs keeps
+        #     the pipeline family declared)
+        "es_bucket_selector",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1128,6 +1133,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "es_search", "q_es_geo_bounds_string_stats"
         ),
         "es_matrix_stats": _mod("es_search", "q_es_matrix_stats"),
+        "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
         ),
@@ -4016,6 +4022,30 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(length(props) AS DECIMAL(18,6))) AS DOUBLE)
                    / count(length(props)) AS props_len_avg_length
         FROM g GROUP BY event_type ORDER BY by_type
+    """
+
+    # es_bucket_selector (round 12): the HAVING pipeline — normalize
+    # shares computed over ALL buckets first (decimal-summed total),
+    # then the selector's predicate prunes.
+    q["es_bucket_selector"] = """
+        WITH b AS (
+          SELECT epoch_ms(date_trunc('hour', ts)) AS k,
+                 count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+          FROM events
+          WHERE coalesce(event_type = 'error', FALSE) AND ts IS NOT NULL
+          GROUP BY 1
+        ),
+        w AS (
+          SELECT k, n, s,
+                 round(s / CAST(sum(CAST(s AS DECIMAL(28,6))) OVER ()
+                               AS DOUBLE), 6) AS share
+          FROM b
+        )
+        SELECT CAST(1 AS INT) AS level, k AS per_hour,
+               n AS doc_count, s AS sum_value, share
+        FROM w WHERE n >= 2 AND s > n * 80
+        ORDER BY per_hour
     """
 
     # es_matrix_stats (round 12): the extended_stats discipline for

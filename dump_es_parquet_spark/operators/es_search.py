@@ -84,7 +84,13 @@ Aggregations DSL (``compile_aggs``):
   (max/min/avg/sum + the 5-column ``stats_bucket``),
   and ``bucket_sort`` (from/size truncation ordered by ``_key`` /
   ``_count`` / a sibling metric or pipeline column — applied after the
-  other pipelines, descendants of truncated buckets dropped). All are
+  other pipelines, descendants of truncated buckets dropped),
+  ``bucket_selector`` (round 12 — the HAVING clause: a script over
+  buckets_path columns prunes this level's buckets and their
+  descendants, evaluated after the other pipelines and before
+  bucket_sort), and ``normalize`` (round 12 — rescale_0_1 /
+  rescale_0_100 / percent_of_sum windows over the level's buckets at
+  6dp; z-score/softmax raise). All are
   level-masked windows over the compact bucket frame.
 
 Scale shape: ONE scan and ONE data-sized shuffle produce every
@@ -190,7 +196,14 @@ _PIPELINE_PARENT = (
     "bucket_script",
     "moving_fn",
     "serial_diff",
+    "normalize",
 )
+
+#: the ES `normalize` pipeline's rescale methods expressible as pure
+#: arithmetic over the level partition's min/max/sum windows (round
+#: 12); z-score/softmax involve std/exp trees left out of the oracle
+#: contract — they raise.
+_NORMALIZE_METHODS = ("rescale_0_1", "rescale_0_100", "percent_of_sum")
 # the MovingFunctions.* subset that maps onto exact SQL window
 # aggregates (sum/avg accumulate through DECIMAL so they are
 # association-free across engines). ES returns 0.0 (sum) / NaN
@@ -545,6 +558,10 @@ class _Level:
         # bucket_sort spec pruning THIS level's buckets (ES: the
         # bucket_sort sits inside this bucket's aggs and sorts it)
         self.bucket_sort: dict | None = None
+        # bucket_selector specs — the HAVING clause for buckets
+        # (round 12): each drops this level's buckets whose script
+        # is not true, descendants with them
+        self.selectors: list[dict] = []
 
     def key_expr(self) -> Column:
         b = self.body
@@ -1037,6 +1054,7 @@ def _parse_chain(aggs: dict) -> list[_Level]:
         sib_pipes: list[tuple[str, str, dict]] = []
         top_hits = None
         bucket_sort = None
+        selectors: list[dict] = []
         child = None
         for name, spec in node.items():
             kinds = [k for k in spec if k in _BUCKET_KINDS]
@@ -1047,6 +1065,9 @@ def _parse_chain(aggs: dict) -> list[_Level]:
                 if bucket_sort is not None:
                     raise ValueError("one bucket_sort per bucket level")
                 bucket_sort = spec["bucket_sort"]
+                continue
+            if "bucket_selector" in spec:
+                selectors.append(spec["bucket_selector"])
                 continue
             if kinds:
                 if bucket is not None:
@@ -1083,6 +1104,7 @@ def _parse_chain(aggs: dict) -> list[_Level]:
             levels[-1].top_hits = top_hits
             if bucket_sort is not None:
                 levels[-1].bucket_sort = bucket_sort
+            levels[-1].selectors.extend(selectors)
             break
         if bucket.kind == "nested" and any(
             lv.kind == "nested" for lv in levels
@@ -1094,7 +1116,7 @@ def _parse_chain(aggs: dict) -> list[_Level]:
         levels.append(bucket)
         node = child
         # metrics/pipelines beside this bucket belong to the PARENT
-        if metrics or top_hits or pipes or sib_pipes or bucket_sort:
+        if metrics or top_hits or pipes or sib_pipes or bucket_sort or selectors:
             if len(levels) >= 2:
                 levels[-2].metrics.extend(metrics)
                 levels[-2].pipelines.extend(pipes)
@@ -1103,6 +1125,7 @@ def _parse_chain(aggs: dict) -> list[_Level]:
                     levels[-2].top_hits = top_hits
                 if bucket_sort is not None:
                     levels[-2].bucket_sort = bucket_sort
+                levels[-2].selectors.extend(selectors)
             else:
                 raise ValueError(
                     "metric/pipeline aggs beside the root bucket have no "
@@ -1847,6 +1870,62 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             )
         return frame
 
+    # bucket_selector (round 12): the HAVING clause for buckets —
+    # runs after the other pipelines (so scripts can reference their
+    # columns) and BEFORE bucket_sort (ES prunes, then the survivors
+    # compete for from/size); a dropped bucket takes its descendants
+    # through the same prefix-window propagation. Like bucket_sort,
+    # gap-filled levels select AFTER the fill (ES evaluates empty
+    # buckets too — their NULL metric values read as no-match under
+    # the default gap_policy 'skip', 0 under insert_zeros).
+    sel_levels = [
+        i for i, lvl in enumerate(levels, start=1) if lvl.selectors
+    ]
+
+    def _apply_bucket_selector(frame, idxs):
+        for i in idxs:
+            lvl = levels[i - 1]
+            keep = F.lit(True)
+            for spec in lvl.selectors:
+                gp = spec.get("gap_policy", "skip")
+                if gp not in ("skip", "insert_zeros"):
+                    raise ValueError(f"gap_policy {gp!r}")
+                script = spec["script"]
+                for var, path in sorted(
+                    spec["buckets_path"].items(),
+                    key=lambda kv: -len(kv[0]),
+                ):
+                    col_name = "doc_count" if path == "_count" else path
+                    if gp == "insert_zeros":
+                        col_name = f"coalesce({col_name}, 0.0)"
+                    script = script.replace(f"params.{var}", col_name)
+                keep = keep & F.coalesce(
+                    F.expr(script).cast("boolean"), F.lit(False)
+                )
+            frame = frame.withColumn(
+                f"_sel{i}", F.when(F.col("level") == i, keep.cast("int"))
+            )
+        if idxs:
+            surv = F.lit(True)
+            for i in idxs:
+                frame = frame.withColumn(
+                    f"_sela{i}",
+                    F.max(F.col(f"_sel{i}")).over(
+                        Window.partitionBy(*key_names[:i])
+                    ),
+                )
+                surv = surv & (
+                    (F.col("level") < i) | (F.col(f"_sela{i}") == 1)
+                )
+            frame = frame.filter(surv).drop(
+                *[f"_sel{i}" for i in idxs],
+                *[f"_sela{i}" for i in idxs],
+            )
+        return frame
+
+    frame = _apply_bucket_selector(
+        frame, [i for i in sel_levels if i not in gap_set]
+    )
     frame = _apply_bucket_sort(
         frame, [i for i in bs_levels if i not in gap_set]
     )
@@ -2048,8 +2127,12 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         post = _apply_pipelines_windows(frame, lv2, key_names)
         frame = post.frame
         deferred_names = post.names
-    # gap-filled levels' bucket_sort ranks the filled grid (empty
-    # buckets included, like ES) and may sort by a deferred pipeline
+    # gap-filled levels' selectors evaluate the filled grid (empty
+    # buckets included), then bucket_sort ranks the survivors — both
+    # may reference a deferred pipeline's column
+    frame = _apply_bucket_selector(
+        frame, [i for i in sel_levels if i in gap_set]
+    )
     frame = _apply_bucket_sort(frame, [i for i in bs_levels if i in gap_set])
 
     # report each metric at its attachment level only (ES tree shape)
@@ -2323,6 +2406,44 @@ def _apply_pipelines_windows(
                 if zeroed:
                     src = F.coalesce(src, F.lit(0.0))
                 col = (src - F.lag(src, lag_n).over(w)).cast("double")
+            elif kind == "normalize":
+                # ES normalize (round 12): rescale a metric across
+                # the level's buckets — min/max/sum windows over the
+                # whole (level, parent-prefix) partition, reported
+                # at 6dp. Methods beyond pure arithmetic (z-score,
+                # softmax — std/exp trees) raise.
+                method = spec["method"]
+                if method not in _NORMALIZE_METHODS:
+                    raise ValueError(
+                        f"normalize method {method!r}: one of "
+                        f"{_NORMALIZE_METHODS}"
+                    )
+                src = _bucket_path_col(spec["buckets_path"])
+                if zeroed:
+                    src = F.coalesce(src, F.lit(0.0))
+                wp = Window.partitionBy(
+                    F.col("level"), *key_names[: i - 1]
+                )
+                if method == "percent_of_sum":
+                    tot = (
+                        F.sum(src.cast("decimal(28,6)"))
+                        .over(wp)
+                        .cast("double")
+                    )
+                    col = F.round(src / tot, 6)
+                else:
+                    mn, mx = F.min(src).over(wp), F.max(src).over(wp)
+                    scale = 100.0 if method == "rescale_0_100" else 1.0
+                    col = F.when(
+                        mx > mn,
+                        F.round(
+                            (src - mn) / (mx - mn) * F.lit(scale), 6
+                        ),
+                    ).otherwise(
+                        # degenerate range: every present value maps
+                        # to 0 (documented choice; 0/0 is undefined)
+                        F.when(src.isNotNull(), F.lit(0.0))
+                    )
             else:  # bucket_script
                 script = spec["script"]
                 for var, path in sorted(
@@ -4404,6 +4525,50 @@ def q_es_geo_bounds_string_stats(
                     "aggs": {
                         "box": {"geo_bounds": {"field": "loc"}},
                         "props_len": {"string_stats": {"field": "props"}},
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bucket_selector`` + ``normalize`` (round 12) — the alerting
+    HAVING shape: hourly error buckets kept only when they hold ≥ 2
+    events at an above-average value sum (s > n·80), each surviving
+    bucket reporting its percent_of_sum share (computed over ALL
+    buckets BEFORE selection, ES's pipeline order; selective AND
+    non-empty at every SF — 3/66/4 survivors)."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "query": {"term": {"event_type": "error"}},
+            "aggs": {
+                "per_hour": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "calendar_interval": "hour",
+                    },
+                    "aggs": {
+                        "sum_value": {"sum": {"field": "value"}},
+                        "keep": {
+                            "bucket_selector": {
+                                "buckets_path": {
+                                    "n": "_count",
+                                    "s": "sum_value",
+                                },
+                                "script":
+                                    "params.n >= 2 AND "
+                                    "params.s > params.n * 80",
+                            }
+                        },
+                        "share": {
+                            "normalize": {
+                                "buckets_path": "sum_value",
+                                "method": "percent_of_sum",
+                            }
+                        },
                     },
                 }
             },

@@ -1527,6 +1527,63 @@ def test_overlapping_ranges_multi_membership(spark):
                {"field": "n", "ranges": ranges}).key_expr()
 
 
+def test_bucket_selector_and_normalize(spark):
+    """Round 12: bucket_selector = HAVING for buckets (script over
+    buckets_path columns, descendants dropped with their bucket,
+    evaluated AFTER the other pipelines like ES); normalize =
+    rescale_0_1/0_100/percent_of_sum windows over the level's
+    buckets, computed BEFORE selection prunes."""
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    df = spark.createDataFrame(
+        [Row(g=k, v=float(i)) for i, k in enumerate(
+            ["a", "a", "a", "b", "b", "c"])]
+    )
+    out = compile_aggs(
+        df,
+        {"byg": {"terms": {"field": "g"}, "aggs": {
+            "sv": {"sum": {"field": "v"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"n": "_count"},
+                "script": "params.n >= 2"}},
+            "share": {"normalize": {"buckets_path": "sv",
+                                    "method": "percent_of_sum"}},
+            "scaled": {"normalize": {"buckets_path": "sv",
+                                     "method": "rescale_0_100"}},
+        }}},
+    ).collect()
+    got = sorted((r.byg, r.doc_count, r.share, r.scaled) for r in out)
+    # c (1 doc) dropped by the selector — but its sv=5 participated
+    # in the normalize windows computed before selection (ES order)
+    assert got == [("a", 3, 0.2, 0.0), ("b", 2, 0.466667, 100.0)]
+    # selector under a parent: descendants of dropped buckets go too
+    df2 = spark.createDataFrame(
+        [Row(g="x", h="p", v=1.0), Row(g="x", h="q", v=2.0),
+         Row(g="y", h="p", v=3.0)]
+    )
+    out2 = compile_aggs(
+        df2,
+        {"byg": {"terms": {"field": "g"}, "aggs": {
+            "keep": {"bucket_selector": {
+                "buckets_path": {"n": "_count"},
+                "script": "params.n >= 2"}},
+            "byh": {"terms": {"field": "h"}},
+        }}},
+    ).collect()
+    assert sorted((r.level, r.byg, r.byh) for r in out2) == [
+        (1, "x", None), (2, "x", "p"), (2, "x", "q")
+    ]
+    # unsupported normalize methods raise
+    with pytest.raises(ValueError, match="normalize method"):
+        compile_aggs(
+            df,
+            {"byg": {"terms": {"field": "g"}, "aggs": {
+                "sv": {"sum": {"field": "v"}},
+                "z": {"normalize": {"buckets_path": "sv",
+                                    "method": "z-score"}}}}},
+        )
+
+
 def test_matrix_stats_listwise_and_population(spark):
     """Round 12: matrix_stats — listwise deletion (rows missing ANY
     field excluded), population variance/covariance, correlation =

@@ -303,6 +303,10 @@ PINNED_FINGERPRINTS = {
     # matrix_stats (round 12): pair moments are plain aggregate
     # expressions in the one rollup — standard bucket-frame class
     "es_matrix_stats": {"exchange": 4},
+    # bucket_selector + normalize (round 12): one extra bucket-frame
+    # window exchange (the whole-level normalize partition) over the
+    # rollup + survival + orderBy class
+    "es_bucket_selector": {"exchange": 5},
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
