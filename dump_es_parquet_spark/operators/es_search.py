@@ -3205,19 +3205,28 @@ def percolate(
 #: ops percolate_bulk understands; 'eq' carries one of sval/nval,
 #: the four inequalities carry nval, 'exists' carries neither
 #: (round 11 — satisfied by any non-NULL value of the field),
-#: 'prefix' carries sval = the required string prefix (round 12 —
-#: matched through per-field fixed-length prefix bins).
-_BULK_OPS = ("eq", "gt", "gte", "lt", "lte", "exists", "prefix")
+#: 'prefix' carries sval = the required string prefix, 'token'
+#: carries sval = an analyzed token the doc's text field must
+#: contain (round 12 — the match-query conjunct: log-alerting's
+#: "message contains X" shape, matched through a token-exploded
+#: melt).
+_BULK_OPS = ("eq", "gt", "gte", "lt", "lte", "exists", "prefix", "token")
 
 
-def queries_to_conjuncts(spark: SparkSession, queries: dict) -> DataFrame:
+def queries_to_conjuncts(
+    spark: SparkSession, queries: dict, analyzer="whitespace"
+) -> DataFrame:
     """Normalize stored queries into the CONJUNCT-ROW form
     ``percolate_bulk`` matches on: ``(query_id, conjunct_id, field,
     op, sval, nval, group_id, min_match)``, one row per leaf.
     Supported query shapes — the alert-rule class: a ``term`` /
     ``terms`` (IN = one eq-row group per leaf) / ``range`` /
-    ``exists`` / ``prefix`` / prefix-shaped ``wildcard`` ("lit*")
-    leaf (round 12: an empty prefix normalizes to ``exists``), or a
+    ``exists`` / ``prefix`` / prefix-shaped ``wildcard`` ("lit*") /
+    ``match`` leaf (round 12: an empty prefix normalizes to
+    ``exists``; a match leaf becomes TOKEN conjuncts under
+    ``analyzer`` — operator ``and`` one singleton group per token,
+    ``or`` one any-token group; pass the SAME analyzer to
+    ``percolate_bulk``), or a
     ``bool`` whose ``must``/``filter`` lists hold
     such leaves, plus (round 11) a ``should`` list of such leaves with
     ``minimum_should_match`` — the should list becomes ONE group whose
@@ -3371,6 +3380,62 @@ def queries_to_conjuncts(spark: SparkSession, queries: dict) -> DataFrame:
                              mm, neg)
                         )
                     cid += 1
+            elif kind == "match":
+                # the log-alerting shape ("message contains X"):
+                # query text analyzed under the call-level analyzer
+                # into TOKEN conjuncts. operator 'and': every token
+                # its own singleton group (the range-bound pattern);
+                # 'or': all tokens share the leaf's group — any one
+                # satisfies it. A multi-token match inside should /
+                # an and-match inside must_not has no flat-group
+                # reading — raise with the full-DSL pointer.
+                from .retrieval import _terms as _q_terms
+
+                (field, spec), = body.items()
+                if isinstance(spec, dict):
+                    bad_k = set(spec) - {"query", "operator"}
+                    if bad_k:
+                        raise ValueError(
+                            f"percolate_bulk query {qid!r}: match key "
+                            f"{sorted(bad_k)[0]!r} (per-leaf analyzers "
+                            "are not supported — pass analyzer= to "
+                            "queries_to_conjuncts/percolate_bulk)"
+                        )
+                    qtext = spec["query"]
+                    op_ = spec.get("operator", "or")
+                else:
+                    qtext, op_ = spec, "or"
+                toks = _q_terms(str(qtext), analyzer)
+                if not toks:
+                    raise ValueError(
+                        f"percolate_bulk query {qid!r}: match query "
+                        "analyzed to zero tokens"
+                    )
+                if len(toks) > 1 and (in_should or (neg and op_ == "and")):
+                    # should counts CLAUSES and must_not kills on the
+                    # WHOLE clause: a multi-token match in should (or
+                    # an and-match in must_not) needs group nesting
+                    # the flat conjunct frame doesn't have
+                    raise ValueError(
+                        f"percolate_bulk query {qid!r}: a multi-token "
+                        "match inside should/must_not is one clause; "
+                        "use percolate() for the full DSL"
+                    )
+                first = True
+                for t in toks:
+                    if op_ == "and" and not neg:
+                        if first:
+                            tg = g
+                            first = False
+                        else:
+                            tg = gid
+                            gid += 1
+                    else:
+                        tg = g
+                    rows.append(
+                        (qid, cid, field, "token", t, None, tg, mm, neg)
+                    )
+                    cid += 1
             elif kind in ("prefix", "wildcard"):
                 (field, spec), = body.items()
                 p = spec["value"] if isinstance(spec, dict) else spec
@@ -3417,7 +3482,10 @@ def queries_to_conjuncts(spark: SparkSession, queries: dict) -> DataFrame:
 
 
 def percolate_bulk(
-    docs: DataFrame, conjuncts: DataFrame, id_cols: list[str] | None = None
+    docs: DataFrame,
+    conjuncts: DataFrame,
+    id_cols: list[str] | None = None,
+    analyzer="whitespace",
 ) -> DataFrame:
     """Percolate at MILLIONS-of-rules scale: stored queries live as
     DATA (conjunct rows — see :func:`queries_to_conjuncts`), so the
@@ -3467,6 +3535,14 @@ def percolate_bulk(
       wrong #1b).  Genuinely ONE-SIDED intervals keep the field
       broadcast: they match O(data) docs by definition, so candidate
       pruning cannot help them.
+    - TOKEN conjuncts (round 12 — normalized from ``match`` rules,
+      the "message contains X" alert class) explode each referenced
+      text field's DISTINCT analyzed tokens once (``analyzer`` must
+      match the one the rules were normalized under) and equi-join
+      on ``(field, token)`` — candidates ARE matches, exactly the
+      equality channel's shape; shuffle volume is distinct doc
+      tokens + token rules. The distinct guard matters: a repeated
+      token must not double-count a leaf toward its group threshold.
     - PREFIX conjuncts (round 12) are the string range [p, p‖0xFF):
       they take the binned route's string analog — per-field
       FIXED-LENGTH prefix bins (bin length = the field's shortest
@@ -3524,6 +3600,8 @@ def percolate_bulk(
         ),
         F.max(pos & (F.col("op") == "exists")).alias("_ex"),
         F.max(pos & (F.col("op") == "prefix")).alias("_pf"),
+        F.max(pos & (F.col("op") == "token")).alias("_tok"),
+        F.max(~pos & (F.col("op") == "token")).alias("_neg_tok"),
         F.max(
             ~pos & is_eq & F.col("sval").isNotNull()
         ).alias("_neg_s"),
@@ -3540,7 +3618,7 @@ def percolate_bulk(
             f"unsupported conjunct op/min_match {bad[0].op!r}/"
             f"{bad[0].min_match!r}"
         )
-    if st._neg_s or st._neg_n or st._neg_ex or st._neg_pf:
+    if st._neg_s or st._neg_n or st._neg_ex or st._neg_pf or st._neg_tok:
         # a must_not-only rule has no positive conjunct to anchor the
         # count-to-total match — it would silently never fire
         orphan = (
@@ -3657,6 +3735,42 @@ def percolate_bulk(
             pts.join(_rb(pfb), ["field", "_pbin"])
             .filter(F.col("_pv").startswith(F.col("sval")))
             .select(*id_cols, "query_id", "group_id")
+        )
+    if st._tok or st._neg_tok:
+        # token conjuncts match TEXT fields only — a token rule on a
+        # numeric field would silently never match
+        bad_tok = (
+            conjuncts.filter(
+                (F.col("op") == "token") & F.col("field").isin(*n_fields)
+            ).limit(1).collect()
+            if n_fields
+            else []
+        )
+        if bad_tok:
+            raise ValueError(
+                f"token (match) rules need a string field; "
+                f"{bad_tok[0].field!r} is numeric"
+            )
+    if s_fields and st._tok:
+        from .retrieval import _tokens_col as _tc
+
+        tok = conjuncts.filter(
+            pos & (F.col("op") == "token")
+        ).select("query_id", "group_id", "field", "sval")
+        # melt text fields once, explode their DISTINCT tokens (a
+        # repeated token must count a leaf once), equi-join on
+        # (field, token) — the equality channel's shape
+        toks_rows = _melt(s_fields, "string", "_txt").select(
+            *id_cols,
+            "field",
+            F.explode(
+                F.array_distinct(_tc(F.col("_txt"), analyzer))
+            ).alias("sval"),
+        )
+        leaf_sat.append(
+            toks_rows.join(_rb(tok), ["field", "sval"]).select(
+                *id_cols, "query_id", "group_id"
+            )
         )
     # group-satisfaction channel from merged must-range intervals:
     # (ids…, query_id, _gw) rows, _gw = how many singleton groups the
@@ -3837,7 +3951,9 @@ def percolate_bulk(
         .filter(F.col("_n_sat") == F.col("_n_req"))
         .select(*id_cols, "query_id")
     )
-    if not (st._neg_s or st._neg_n or st._neg_ex or st._neg_pf):
+    if not (
+        st._neg_s or st._neg_n or st._neg_ex or st._neg_pf or st._neg_tok
+    ):
         return _with_handles(matched)
     # must_not conjuncts (round 11): each negated leaf KILLS any
     # (doc, query) pair it matches — computed with the same melt
@@ -3866,6 +3982,25 @@ def percolate_bulk(
             _melt(s_fields, "string", "_pv")
             .join(_rb(neg_pf), "field")
             .filter(F.col("_pv").startswith(F.col("sval")))
+            .select(*id_cols, "query_id")
+        )
+    if s_fields and st._neg_tok:
+        # negated token ("must_not contain X"): any token hit kills
+        from .retrieval import _tokens_col as _tc
+
+        neg_tok = conjuncts.filter(
+            ~pos & (F.col("op") == "token")
+        ).select("query_id", "field", "sval")
+        kill.append(
+            _melt(s_fields, "string", "_txt")
+            .select(
+                *id_cols,
+                "field",
+                F.explode(
+                    F.array_distinct(_tc(F.col("_txt"), analyzer))
+                ).alias("sval"),
+            )
+            .join(_rb(neg_tok), ["field", "sval"])
             .select(*id_cols, "query_id")
         )
     if n_fields and st._neg_n:

@@ -2688,6 +2688,68 @@ def test_percolate_bulk_terms_and_wildcard_conjuncts(spark):
         queries_to_conjuncts(spark, {"q": {"terms": {"kind": []}}})
 
 
+def test_percolate_bulk_match_token_conjuncts(spark):
+    """Round 12: match rules normalize to TOKEN conjuncts — the
+    "message contains X" alert class: operator and = one singleton
+    group per token, or = any-token group; repeated doc tokens count
+    a leaf ONCE (the distinct guard); must_not match kills on any
+    token; should with a multi-token match raises."""
+    from dump_es_parquet_spark.operators.es_search import (
+        percolate,
+        percolate_bulk,
+        queries_to_conjuncts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "disk error on boot", "prod"),
+            (2, "disk full full full", "prod"),   # repeated token
+            (3, "clean run", "dev"),
+            (4, None, "prod"),
+        ],
+        "id int, msg string, env string",
+    )
+    rules = {
+        "derr": {"match": {"msg": {"query": "disk error",
+                                   "operator": "and"}}},
+        "any": {"match": {"msg": "error clean"}},
+        "prod_disk": {"bool": {"must": [
+            {"term": {"env": "prod"}},
+            {"match": {"msg": "disk"}},
+        ], "must_not": [{"match": {"msg": "full"}}]}},
+        # single-token match inside should composes
+        "dev_or_clean": {"bool": {"should": [
+            {"term": {"env": "dev"}},
+            {"match": {"msg": "clean"}},
+        ], "minimum_should_match": 1}},
+    }
+    conj = queries_to_conjuncts(spark, rules)
+    got = sorted(
+        (r.id, r.query_id)
+        for r in percolate_bulk(docs, conj, id_cols=["id"]).collect()
+    )
+    want = sorted(
+        (r.id, r.query_id)
+        for r in percolate(docs, rules, id_cols=["id"]).collect()
+    )
+    assert got == want == [
+        (1, "any"), (1, "derr"), (1, "prod_disk"),
+        (3, "any"), (3, "dev_or_clean"),
+    ]
+    # and-match: each token its own group (the band pattern)
+    derr = conj.filter(F.col("query_id") == "derr")
+    assert derr.select("group_id").distinct().count() == 2
+    # multi-token match inside should raises
+    with pytest.raises(ValueError, match="one clause"):
+        queries_to_conjuncts(spark, {"q": {"bool": {"should": [
+            {"match": {"msg": "a b"}}], "minimum_should_match": 1}}})
+    # token rules on numeric fields fail loudly
+    ndocs = spark.createDataFrame([(1, 5.0)], "id int, n double")
+    nconj = queries_to_conjuncts(spark, {"q": {"match": {"n": "5"}}})
+    with pytest.raises(ValueError, match="string field"):
+        percolate_bulk(ndocs, nconj, id_cols=["id"]).collect()
+
+
 def test_percolate_bulk_min_match_zero_rejected(spark):
     """ADVICE r11 (low): an externally supplied conjuncts frame with
     min_match=0 must raise, not silently render the query
@@ -2737,8 +2799,10 @@ def test_percolate_bulk_guards(spark):
         queries_to_conjuncts(
             spark, {"q": {"bool": {"must_not": [{"term": {"k": "x"}}]}}}
         )
+    # match is conjunct-expressible since round 12 (token rows);
+    # regexp remains full-DSL-only
     with pytest.raises(ValueError, match="full DSL"):
-        queries_to_conjuncts(spark, {"q": {"match": {"k": "x y"}}})
+        queries_to_conjuncts(spark, {"q": {"regexp": {"k": "x.*y"}}})
     # a rule on a non-scalar field type raises instead of never
     # matching
     docs = spark.createDataFrame(
