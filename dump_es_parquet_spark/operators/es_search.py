@@ -3436,6 +3436,49 @@ def queries_to_conjuncts(
                         (qid, cid, field, "token", t, None, tg, mm, neg)
                     )
                     cid += 1
+            elif kind == "geo_bounding_box":
+                # a box rule is TWO numeric bands — lat ∈ [br.lat,
+                # tl.lat], lon ∈ [tl.lon, br.lon] — each bound its own
+                # singleton group, so both bands take the binned
+                # two-sided range route over the struct's dotted
+                # sub-fields (round 12). Dateline-wrapping boxes (an
+                # OR of two lon bands) and should/must_not positions
+                # have no flat-group reading — full-DSL path.
+                if in_should or neg:
+                    raise ValueError(
+                        f"percolate_bulk query {qid!r}: geo_bounding_"
+                        "box inside should/must_not is one clause; "
+                        "use percolate() for the full DSL"
+                    )
+                (field, spec), = [
+                    (f_, s_) for f_, s_ in body.items()
+                    if f_ != "validation_method"
+                ]
+                tl, br = spec["top_left"], spec["bottom_right"]
+                if float(tl["lon"]) > float(br["lon"]):
+                    raise ValueError(
+                        f"percolate_bulk query {qid!r}: dateline-"
+                        "wrapping boxes need an OR of two lon bands; "
+                        "use percolate() for the full DSL"
+                    )
+                bounds = [
+                    (f"{field}.lat", "gte", float(br["lat"])),
+                    (f"{field}.lat", "lte", float(tl["lat"])),
+                    (f"{field}.lon", "gte", float(tl["lon"])),
+                    (f"{field}.lon", "lte", float(br["lon"])),
+                ]
+                first = True
+                for bf, bop, bv in bounds:
+                    if first:
+                        bg = g
+                        first = False
+                    else:
+                        bg = gid
+                        gid += 1
+                    rows.append(
+                        (qid, cid, bf, bop, None, bv, bg, mm, neg)
+                    )
+                    cid += 1
             elif kind in ("prefix", "wildcard"):
                 (field, spec), = body.items()
                 p = spec["value"] if isinstance(spec, dict) else spec
@@ -3635,11 +3678,30 @@ def percolate_bulk(
             )
 
     doc_types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+
+    def _path_type(path: str) -> str | None:
+        # dotted rule fields resolve through struct columns (round 12
+        # — the geo_bounding_box conjuncts reference "loc.lat"); the
+        # melt's F.col(path) extracts the same element
+        from pyspark.sql.types import StructType
+
+        cur = docs.schema
+        for part in path.split("."):
+            if not isinstance(cur, StructType) or part not in cur.names:
+                return None
+            cur = cur[part].dataType
+        return cur.simpleString()
+
     numeric_t = ("int", "bigint", "smallint", "tinyint", "float", "double",
                  "decimal")
     # should groups (or multi-leaf groups) need the per-group
     # threshold stage; the all-must common case skips it
     grouped = (st._mm or 0) > 1 or st._ng < st._n
+    for f in st._fields:
+        if f not in doc_types and "." in f:
+            t = _path_type(f)
+            if t is not None:
+                doc_types[f] = t
     referenced = {f for f in st._fields if f in doc_types}
     # regime switch on the EXACT rule-row count just collected: a
     # small rule frame is explicitly broadcast everywhere it meets a

@@ -2750,6 +2750,57 @@ def test_percolate_bulk_match_token_conjuncts(spark):
         percolate_bulk(ndocs, nconj, id_cols=["id"]).collect()
 
 
+def test_percolate_bulk_geo_box_conjuncts(spark):
+    """Round 12: a geo_bounding_box rule normalizes to TWO numeric
+    bands over the struct's dotted sub-fields (lat/lon, each bound a
+    singleton group → the binned two-sided route); dotted paths
+    resolve through the doc schema; dateline-wrapping boxes and
+    should/must_not positions raise."""
+    from dump_es_parquet_spark.operators.es_search import (
+        percolate,
+        percolate_bulk,
+        queries_to_conjuncts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(id=1, loc=Row(lat=10.0, lon=20.0), kind="a"),
+            Row(id=2, loc=Row(lat=50.0, lon=20.0), kind="a"),
+            Row(id=3, loc=Row(lat=10.0, lon=90.0), kind="a"),
+            Row(id=4, loc=None, kind="a"),
+        ]
+    )
+    rules = {
+        "box": {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 30.0, "lon": 0.0},
+            "bottom_right": {"lat": 0.0, "lon": 45.0}}}},
+        "box_a": {"bool": {"must": [
+            {"term": {"kind": "a"}},
+            {"geo_bounding_box": {"loc": {
+                "top_left": {"lat": 90.0, "lon": 10.0},
+                "bottom_right": {"lat": -90.0, "lon": 30.0}}}},
+        ]}},
+    }
+    conj = queries_to_conjuncts(spark, rules)
+    # the box is four singleton groups (two mergeable bands)
+    assert conj.filter(F.col("query_id") == "box").select(
+        "group_id"
+    ).distinct().count() == 4
+    got = sorted(
+        (r.id, r.query_id)
+        for r in percolate_bulk(docs, conj, id_cols=["id"]).collect()
+    )
+    want = sorted(
+        (r.id, r.query_id)
+        for r in percolate(docs, rules, id_cols=["id"]).collect()
+    )
+    assert got == want == [(1, "box"), (1, "box_a"), (2, "box_a")]
+    with pytest.raises(ValueError, match="dateline"):
+        queries_to_conjuncts(spark, {"q": {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 10.0, "lon": 170.0},
+            "bottom_right": {"lat": 0.0, "lon": -170.0}}}}})
+
+
 def test_percolate_bulk_min_match_zero_rejected(spark):
     """ADVICE r11 (low): an externally supplied conjuncts frame with
     min_match=0 must raise, not silently render the query
