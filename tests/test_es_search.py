@@ -2838,6 +2838,97 @@ def test_percolate_bulk_exposes_persist_handles(spark):
         h.unpersist()
 
 
+def test_percolate_bulk_randomized_agreement(spark):
+    """Round 12: seeded randomized agreement percolate_bulk ≡
+    percolate over the whole conjunct-expressible grammar (term /
+    terms / 1-2-bound ranges / exists / prefix / prefix-wildcard /
+    match or+and / geo boxes / bool must+must_not+should with
+    minimum_should_match) against docs with NULLs — the test class
+    that catches grouping bugs like the r11 two-bound-band OR (each
+    trial is tiny; 10 seeded trials sweep many shape combinations)."""
+    import random
+
+    from dump_es_parquet_spark.operators.es_search import (
+        percolate,
+        percolate_bulk,
+        queries_to_conjuncts,
+    )
+
+    rnd = random.Random(1207)
+    vocab = ["disk", "error", "boot", "net", "slow", "ok"]
+    kinds = ["a", "b", "c", None]
+    hosts = ["web-01", "web-02", "db-01", "db-02", None]
+
+    def rand_leaf(must_pos: bool):
+        r = rnd.random()
+        if r < 0.15:
+            return {"term": {"k": rnd.choice(["a", "b", "c"])}}
+        if r < 0.3:
+            return {"terms": {"k": rnd.sample(["a", "b", "c"], 2)}}
+        if r < 0.5:
+            lo = rnd.randint(0, 8) * 10
+            spec = {}
+            if rnd.random() < 0.7:
+                spec[rnd.choice(["gte", "gt"])] = lo
+            if (must_pos and rnd.random() < 0.7) or not spec:
+                spec[rnd.choice(["lte", "lt"])] = lo + rnd.randint(1, 5) * 10
+            return {"range": {"n": spec}}
+        if r < 0.6:
+            return {"exists": {"field": rnd.choice(["k", "h", "n"])}}
+        if r < 0.75:
+            return {"prefix": {"h": rnd.choice(["web", "web-0", "db", "d"])}}
+        if r < 0.85:
+            return {"wildcard": {"h": rnd.choice(["web*", "db-*"])}}
+        q = " ".join(rnd.sample(vocab, rnd.randint(1, 2 if must_pos else 1)))
+        spec = {"query": q}
+        if must_pos and rnd.random() < 0.5 and " " in q:
+            spec["operator"] = "and"
+        return {"match": {"msg": spec}}
+
+    for trial in range(10):
+        docs = spark.createDataFrame(
+            [
+                Row(
+                    id=i,
+                    k=rnd.choice(kinds),
+                    h=rnd.choice(hosts),
+                    n=(None if rnd.random() < 0.15
+                       else float(rnd.randint(0, 100))),
+                    msg=(None if rnd.random() < 0.15
+                         else " ".join(rnd.sample(vocab, 3))),
+                )
+                for i in range(10)
+            ]
+        )
+        rules = {}
+        for qi in range(5):
+            shape = rnd.random()
+            if shape < 0.3:
+                rules[f"r{qi}"] = rand_leaf(True)
+            else:
+                must = [rand_leaf(True) for _ in range(rnd.randint(1, 2))]
+                b = {"must": must}
+                if shape < 0.55:
+                    b["must_not"] = [rand_leaf(False)]
+                if shape > 0.8:
+                    should = [rand_leaf(False) for _ in range(2)]
+                    b["should"] = should
+                    b["minimum_should_match"] = rnd.randint(1, 2)
+                rules[f"r{qi}"] = {"bool": b}
+        conj = queries_to_conjuncts(spark, rules)
+        got = sorted(
+            (r.id, r.query_id)
+            for r in percolate_bulk(docs, conj, id_cols=["id"]).collect()
+        )
+        want = sorted(
+            (r.id, r.query_id)
+            for r in percolate(docs, rules, id_cols=["id"]).collect()
+        )
+        assert got == want, (
+            f"trial {trial}: bulk {got} != full {want}; rules={rules}"
+        )
+
+
 def test_percolate_bulk_guards(spark):
     from dump_es_parquet_spark.operators.es_search import (
         percolate_bulk,

@@ -1461,6 +1461,37 @@ def test_analyzer_minimal_english_stemmer(spark):
     assert hits == {1, 2}
 
 
+def test_stemmer_column_equals_python_randomized(spark):
+    """The Catalyst S-stemmer expression and its driver-side Python
+    twin must agree on arbitrary tokens (they analyze documents and
+    queries respectively — a divergence silently breaks scoring)."""
+    import random
+
+    from dump_es_parquet_spark.operators.retrieval import (
+        _s_stem_col,
+        _s_stem_py,
+    )
+    from pyspark.sql import functions as SF
+
+    rnd = random.Random(7)
+    alphabet = "abeiousy"  # dense in the rule set's trigger letters
+    toks = list({
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randint(1, 7)))
+        for _ in range(300)
+    })
+    # force suffix coverage
+    toks += [t + sfx for t in ("pon", "b", "go", "se", "ta", "")
+             for sfx in ("ies", "es", "s", "ss", "us", "")]
+    toks = sorted(set(t for t in toks if t))
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    got = {
+        r.t: r.s
+        for r in df.select("t", _s_stem_col(SF.col("t")).alias("s")).collect()
+    }
+    for t in toks:
+        assert got[t] == _s_stem_py(t), (t, got[t], _s_stem_py(t))
+
+
 def test_span_near_pathological_doc_bounded(spark):
     """VERDICT r09 What's wrong #1: a doc stuffed with the first term
     (~10⁴ occurrences) must complete in bounded time — the position
