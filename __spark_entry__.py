@@ -745,6 +745,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     demoted-green pending rotation (es_pipeline_aggs keeps
         #     the pipeline family declared)
         "es_bucket_selector",
+        # es_significant_terms — root significant_terms over a
+        #     keyword field via one flag-column scan, JLH micro
+        #     scores (round 12); demoted-green pending rotation
+        #     (corpus_significant_terms keeps the text twin verified)
+        "es_significant_terms",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1134,6 +1139,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_matrix_stats": _mod("es_search", "q_es_matrix_stats"),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
+        "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
         "es_date_histogram_gapfill_month": _mod(
             "es_search", "q_es_date_histogram_gapfill_month"
         ),
@@ -4046,6 +4052,44 @@ def _all_oracle_sql() -> dict[str, str]:
                n AS doc_count, s AS sum_value, share
         FROM w WHERE n >= 2 AND s > n * 80
         ORDER BY per_hour
+    """
+
+    # es_significant_terms (round 12): one flag-column pass — per-key
+    # conditional counts + one-row sizes; the JLH tree is the exact
+    # parenthesization the corpus twin pins, floored to micro longs.
+    q["es_significant_terms"] = """
+        WITH d AS (
+          SELECT CASE WHEN coalesce(value >= 80, FALSE)
+                 THEN 1 ELSE 0 END AS fg,
+                 'b' || CAST(CAST(floor(value / 50) AS INT) AS VARCHAR)
+                     AS sig_band
+          FROM events
+        ),
+        s AS (
+          SELECT CAST(sum(fg) AS BIGINT) AS fgd,
+                 CAST(count(*) AS BIGINT) AS nd
+          FROM d
+        ),
+        c AS (
+          SELECT sig_band,
+                 CAST(sum(fg) AS BIGINT) AS doc_count,
+                 CAST(count(*) AS BIGINT) AS bg_count
+          FROM d WHERE sig_band IS NOT NULL
+          GROUP BY sig_band HAVING sum(fg) >= 2
+        ),
+        j AS (
+          SELECT sig_band, doc_count, bg_count,
+                 CAST(floor(1e6 * (((doc_count / CAST(fgd AS DOUBLE))
+                        - (bg_count / CAST(nd AS DOUBLE)))
+                      * ((doc_count / CAST(fgd AS DOUBLE))
+                         / (bg_count / CAST(nd AS DOUBLE)))))
+                      AS BIGINT) AS score_micro
+          FROM c, s
+        )
+        SELECT CAST(1 AS INT) AS level, sig_band, doc_count, bg_count,
+               score_micro
+        FROM j WHERE score_micro > 0
+        ORDER BY score_micro DESC, sig_band ASC LIMIT 10
     """
 
     # es_matrix_stats (round 12): the extended_stats discipline for

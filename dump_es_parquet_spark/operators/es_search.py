@@ -2886,11 +2886,84 @@ def search_aggs(df: DataFrame, request: dict) -> DataFrame:
     """The aggregations side of a ``_search`` request: runtime fields
     materialize first (round 11 — previously only the hits side
     honored ``runtime_mappings``), the query filters, then the agg
-    tree compiles over the filtered frame."""
+    tree compiles over the filtered frame.
+
+    ``significant_terms`` (round 12): a root-level
+    ``{"significant_terms": {"field": f, ...}}`` agg needs the
+    UNFILTERED frame too (the query defines the FOREGROUND, the
+    whole frame is ES's default superset background), so it takes a
+    dedicated one-scan plan here — a flag column instead of two
+    passes — scoring with the same JLH micro-integers the corpus op
+    pins (``retrieval.significant_terms``)."""
     for name, spec in (request.get("runtime_mappings") or {}).items():
         df = df.withColumn(name, F.expr(spec["script_sql"]))
+    aggs = request.get("aggs") or {}
+    if len(aggs) == 1:
+        (aname, aspec), = aggs.items()
+        if "significant_terms" in aspec:
+            if "aggs" in aspec:
+                raise ValueError(
+                    "significant_terms sub-aggregations are not "
+                    "supported (term buckets only)"
+                )
+            return _significant_terms_keyword(
+                df,
+                aname,
+                aspec["significant_terms"],
+                compile_query(request.get("query")),
+            )
     return compile_aggs(
         df.filter(compile_query(request.get("query"))), request["aggs"]
+    )
+
+
+def _significant_terms_keyword(
+    df: DataFrame, name: str, body: dict, fg_pred: Column
+) -> DataFrame:
+    """Root significant_terms over a KEYWORD field: one scan carries
+    a foreground flag, groupBy(field) emits (fg_df, df) conditional
+    counts, the one-row (fg_docs, n_docs) sizes broadcast back, and
+    the JLH score — ``1e6·((fg% − bg%)·(fg%/bg%))`` floored to micro
+    integers, the exact parenthesization the corpus twin pins —
+    ranks the top-``size``. Flat columns: ``(level, <name>,
+    doc_count, bg_count, score_micro)`` with doc_count = fg_df, like
+    the ES response."""
+    fg = F.when(_false_safe(fg_pred), 1).otherwise(0)
+    d = df.select(fg.alias("_fg"), F.col(body["field"]).alias(name))
+    sizes = d.agg(
+        F.sum("_fg").cast("long").alias("_fgd"),
+        F.count(F.lit(1)).cast("long").alias("_nd"),
+    )
+    min_fg = int(body.get("min_doc_count", 3))
+    size = int(body.get("size", 10))
+    counts = (
+        d.filter(F.col(name).isNotNull())
+        .groupBy(name)
+        .agg(
+            F.sum("_fg").cast("long").alias("doc_count"),
+            F.count(F.lit(1)).cast("long").alias("bg_count"),
+        )
+        .filter(F.col("doc_count") >= min_fg)
+    )
+    fgp = F.col("doc_count") / F.col("_fgd")
+    bgp = F.col("bg_count") / F.col("_nd")
+    score = F.floor(F.lit(1e6) * ((fgp - bgp) * (fgp / bgp))).cast(
+        "long"
+    )
+    return (
+        counts.join(F.broadcast(sizes))
+        .withColumn("score_micro", score)
+        .filter(F.col("score_micro") > 0)
+        .drop("_fgd", "_nd")
+        .orderBy(F.col("score_micro").desc(), F.col(name).asc())
+        .limit(size)
+        .select(
+            F.lit(1).cast("int").alias("level"),
+            name,
+            "doc_count",
+            "bg_count",
+            "score_micro",
+        )
     )
 
 
@@ -4767,6 +4840,40 @@ def q_es_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
                             }
                         },
                     },
+                }
+            },
+        },
+    )
+
+
+def q_es_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root ``significant_terms`` over a keyword field (round 12):
+    which value BANDS (runtime keyword, floor(value/50)) are
+    overrepresented among the value >= 80 foreground vs the whole
+    stream — bands fully inside the foreground score high, the
+    straddling band partially, low bands drop on negative JLH; one
+    flag-column scan, JLH micro scores (the generator's value
+    distribution is type-uniform, so a synthesized band keyword
+    carries the signal deterministically at every SF)."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "runtime_mappings": {
+                "band": {
+                    "script_sql":
+                        "concat('b', cast(cast(floor(value / 50) as int)"
+                        " as string))"
+                }
+            },
+            "query": {"range": {"value": {"gte": 80}}},
+            "aggs": {
+                "sig_band": {
+                    "significant_terms": {
+                        "field": "band",
+                        "size": 10,
+                        "min_doc_count": 2,
+                    }
                 }
             },
         },

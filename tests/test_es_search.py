@@ -1527,6 +1527,34 @@ def test_overlapping_ranges_multi_membership(spark):
                {"field": "n", "ranges": ranges}).key_expr()
 
 
+def test_significant_terms_keyword_jlh(spark):
+    """Round 12: root significant_terms over a keyword field — one
+    flag-column scan, JLH = (fg% − bg%)·(fg%/bg%) in micro longs,
+    min_doc_count on the FOREGROUND count, negative-signal buckets
+    dropped; sub-aggs raise."""
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    rows = ([Row(t="error", host="h-err")] * 6
+            + [Row(t="error", host="h-mix")] * 3
+            + [Row(t="ok", host="h-mix")] * 8
+            + [Row(t="ok", host="h-ok")] * 8
+            + [Row(t="ok", host="h-err")] * 1)
+    df = spark.createDataFrame(rows)
+    out = search_aggs(df, {
+        "query": {"term": {"t": "error"}},
+        "aggs": {"sig_hosts": {"significant_terms": {
+            "field": "host", "size": 5, "min_doc_count": 2}}},
+    }).collect()
+    # h-err: fg 6/9 vs bg 7/26 → JLH (.667−.269)·(.667/.269) ≈ .984;
+    # h-mix is UNDER-represented (negative) and h-ok has fg 0
+    assert [(r.sig_hosts, r.doc_count, r.bg_count, r.score_micro)
+            for r in out] == [("h-err", 6, 7, 984126)]
+    with pytest.raises(ValueError, match="sub-agg"):
+        search_aggs(df, {"aggs": {"s": {
+            "significant_terms": {"field": "host"},
+            "aggs": {"m": {"value_count": {"field": "t"}}}}}})
+
+
 def test_bucket_selector_and_normalize(spark):
     """Round 12: bucket_selector = HAVING for buckets (script over
     buckets_path columns, descendants dropped with their bucket,

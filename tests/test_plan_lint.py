@@ -21,6 +21,9 @@ QUERIES = {**entry.queries(), **entry.demoted_queries()}
 #: here requires the same audit.
 BNLJ_ALLOWED = frozenset(
     {
+        # root significant_terms joins the 1-ROW sizes frame back
+        # onto the term counts — the audited 1-row-broadcast family
+        "es_significant_terms",
         "sim_ann_hyperplane",
         "sim_ann_ivf_indexed",
         "sim_ann_ivf_sq8",
@@ -307,6 +310,10 @@ PINNED_FINGERPRINTS = {
     # window exchange (the whole-level normalize partition) over the
     # rollup + survival + orderBy class
     "es_bucket_selector": {"exchange": 5},
+    # root significant_terms (round 12): one flag-column groupBy
+    # exchange + the top-k sort; the bnlj is the audited 1-row
+    # sizes broadcast (the corpus twin's family)
+    "es_significant_terms": {"exchange": 2, "bnlj": 1},
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
