@@ -1527,6 +1527,86 @@ def test_overlapping_ranges_multi_membership(spark):
                {"field": "n", "ranges": ranges}).key_expr()
 
 
+def test_multi_membership_ancestor_invariance_randomized(spark):
+    """Round 12 property: adding ANY multi-membership child level
+    (nested / overlapping ranges / non-root filters /
+    adjacency_matrix) must leave the parent level's rows EXACTLY as
+    they are without it — seeded random docs with NULLs and
+    variable-length arrays, ancestor rows compared bit-for-bit. This
+    is the invariant the representative-row machinery exists for
+    (ADVICE r10 #1's wrong-answer class, generalized)."""
+    import random
+
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    rnd = random.Random(31)
+    for trial in range(4):
+        rows = []
+        for i in range(24):
+            arr = (
+                None
+                if rnd.random() < 0.15
+                else [
+                    Row(k=rnd.choice("xyz"), w=float(rnd.randint(0, 9)))
+                    for _ in range(rnd.randint(0, 3))
+                ]
+            )
+            rows.append(
+                Row(
+                    g=rnd.choice(["a", "b", None]),
+                    n=(None if rnd.random() < 0.2
+                       else float(rnd.randint(0, 100))),
+                    v=float(rnd.randint(0, 50)),
+                    attrs=arr,
+                )
+            )
+        df = spark.createDataFrame(rows)
+        parent = {"terms": {"field": "g", "size": 10}}
+        parent_metrics = {
+            "sv": {"sum": {"field": "v"}},
+            "av": {"avg": {"field": "n"}},
+            "cd": {"cardinality": {"field": "n"}},
+        }
+        base = compile_aggs(
+            df, {"byg": {**parent, "aggs": dict(parent_metrics)}}
+        )
+        base_rows = sorted(
+            map(tuple, base.filter(F.col("level") == 1)
+                .select("byg", "doc_count", "sv", "av", "cd").collect())
+        )
+        children = {
+            "nested": {"objs": {"nested": {"path": "attrs"}, "aggs": {
+                "byk": {"terms": {"field": "attrs.k"}}}}},
+            "overlap": {"bands": {"range": {"field": "n", "ranges": [
+                {"key": "lo", "from": 0, "to": 60},
+                {"key": "mid", "from": 40, "to": 80},
+                {"key": "hi", "from": 70},
+            ]}}},
+            "filters": {"cls": {"filters": {"filters": {
+                "big": {"range": {"n": {"gte": 50}}},
+                "band": {"range": {"n": {"gte": 30, "lte": 70}}},
+            }, "other_bucket": True}}},
+            "adjacency": {"adj": {"adjacency_matrix": {"filters": {
+                "A": {"range": {"n": {"gte": 40}}},
+                "B": {"range": {"v": {"gte": 25}}},
+            }}}},
+        }
+        for cname, child in children.items():
+            out = compile_aggs(
+                df,
+                {"byg": {**parent, "aggs": {**parent_metrics, **child}}},
+            )
+            got = sorted(
+                map(tuple, out.filter(F.col("level") == 1)
+                    .select("byg", "doc_count", "sv", "av", "cd")
+                    .collect())
+            )
+            assert got == base_rows, (
+                f"trial {trial} child {cname}: ancestors changed "
+                f"{got} != {base_rows}"
+            )
+
+
 def test_significant_terms_keyword_jlh(spark):
     """Round 12: root significant_terms over a keyword field — one
     flag-column scan, JLH = (fg% − bg%)·(fg%/bg%) in micro longs,
