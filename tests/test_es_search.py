@@ -1527,6 +1527,56 @@ def test_overlapping_ranges_multi_membership(spark):
                {"field": "n", "ranges": ranges}).key_expr()
 
 
+def test_gapfill_grid_completeness_randomized(spark):
+    """Round 12 property: for seeded random SPARSE hourly series, the
+    gap-filled date_histogram emits every grid key between the
+    extended bounds exactly once, real buckets keep their counts,
+    synthesized ones report doc_count 0 / NULL metrics — and the
+    same holds on a +05:30-shifted grid (every key ≡ -offset mod
+    width)."""
+    import datetime as dt
+    import random
+
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    rnd = random.Random(77)
+    H = 3_600_000
+    base = dt.datetime(2024, 1, 1)
+    for trial in range(3):
+        hours = sorted(rnd.sample(range(0, 72), rnd.randint(3, 8)))
+        rows = [
+            (base + dt.timedelta(hours=h, minutes=rnd.randint(0, 59)),
+             float(rnd.randint(1, 9)))
+            for h in hours for _ in range(rnd.randint(1, 3))
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        eb = {"min": int(base.timestamp() * 1000) - 5 * H,
+              "max": int(base.timestamp() * 1000) + 80 * H}
+        for tz, off in ((None, 0), ("+05:30", int(5.5 * H))):
+            body = {"field": "ts", "calendar_interval": "hour",
+                    "min_doc_count": 0, "extended_bounds": eb}
+            if tz:
+                body["time_zone"] = tz
+            out = compile_aggs(
+                df, {"h": {"date_histogram": body,
+                           "aggs": {"sv": {"sum": {"field": "v"}}}}}
+            ).collect()
+            keys = [r.h for r in out]
+            assert len(keys) == len(set(keys)), "duplicate grid keys"
+            assert all((k + off) % H == 0 for k in keys)
+            lo_grid = ((eb["min"] + off) // H) * H - off
+            hi_grid = ((eb["max"] + off) // H) * H - off
+            assert min(keys) == lo_grid and max(keys) == hi_grid
+            assert keys == sorted(keys) and len(keys) == (
+                (hi_grid - lo_grid) // H + 1
+            ), "grid has holes"
+            total_docs = sum(r.doc_count for r in out)
+            assert total_docs == len(rows)
+            for r in out:
+                if r.doc_count == 0:
+                    assert r.sv is None
+
+
 def test_multi_membership_ancestor_invariance_randomized(spark):
     """Round 12 property: adding ANY multi-membership child level
     (nested / overlapping ranges / non-root filters /
