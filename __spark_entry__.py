@@ -726,6 +726,13 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
+        # es_date_histogram_tz_iana — date_histogram under an IANA
+        #     time_zone (round 13, VERDICT r12 Next #1): tzdb
+        #     local-midnight day buckets gap-filled across the
+        #     2024-03-10 DST transition (a 23-hour step);
+        #     demoted-green pending rotation (es_date_histogram_tz
+        #     and the gapfill rows keep the family)
+        "es_date_histogram_tz_iana",
         # es_adjacency_matrix — the Kibana graph agg (filter buckets
         #     + pair intersections via the multi-membership explode)
         #     with exact percentile_ranks metrics (round 12);
@@ -1133,6 +1140,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "es_search", "q_es_terms_include_exclude"
         ),
         "es_date_histogram_tz": _mod("es_search", "q_es_date_histogram_tz"),
+        "es_date_histogram_tz_iana": _mod(
+            "es_search", "q_es_date_histogram_tz_iana"
+        ),
         "es_adjacency_matrix": _mod("es_search", "q_es_adjacency_matrix"),
         "es_geo_bounds_string_stats": _mod(
             "es_search", "q_es_geo_bounds_string_stats"
@@ -3999,6 +4009,43 @@ def _all_oracle_sql() -> dict[str, str]:
                coalesce(b.dc, 0) AS doc_count, b.s AS sum_value
         FROM grid g LEFT JOIN b ON g.k = b.k
         ORDER BY per_day
+    """
+
+    # es_date_histogram_tz_iana (round 13, VERDICT r12 Next #1): the
+    # Kibana browser-zone request — daily buckets at America/New_York
+    # LOCAL midnights through a tzdb (ICU here, the JVM zoneinfo on
+    # the Spark side; both carry IANA 2024 rules for this zone). The
+    # gap grid is enumerated in LOCAL wall time (uniform 1-day steps)
+    # and each boundary maps back to its UTC instant, so the
+    # 2024-03-10 spring-forward day is 23 instant-hours wide.
+    q["es_date_histogram_tz_iana"] = """
+        WITH b AS (
+          SELECT date_trunc('day',
+                   timezone('America/New_York', ts AT TIME ZONE 'UTC'))
+                     AS kw,
+                 count(*) AS dc,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+          FROM events
+          WHERE coalesce(event_type = 'purchase', FALSE)
+            AND ts IS NOT NULL
+          GROUP BY 1
+        ),
+        ext AS (
+          SELECT LEAST(TIMESTAMP '2023-12-30 00:00:00', MIN(kw)) AS lo,
+                 GREATEST(TIMESTAMP '2024-03-19 00:00:00', MAX(kw)) AS hi
+          FROM b
+        ),
+        grid AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS kw
+          FROM ext
+        ),
+        g AS (
+          SELECT CAST(1 AS INT) AS level,
+                 epoch_ms(timezone('America/New_York', grid.kw)) AS per_day,
+                 coalesce(b.dc, 0) AS doc_count, b.s AS sum_value
+          FROM grid LEFT JOIN b ON grid.kw = b.kw
+        )
+        SELECT * FROM g ORDER BY per_day
     """
 
     # es_geo_bounds_string_stats (round 12): bounding box = plain

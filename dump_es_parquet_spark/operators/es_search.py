@@ -265,23 +265,48 @@ _WEEK_EPOCH_OFFSET_MS = 4 * 86_400_000  # epoch Thursday → Monday grid
 _MONTH_UNITS = {"month": 1, "quarter": 3, "year": 12}
 
 
-def _tz_offset_ms(tz: str) -> int:
-    """ES ``time_zone`` as a FIXED UTC offset in millis (round 12).
-    Accepts ``UTC``/``Z`` and ``±HH:MM`` — the deterministic subset
-    both engines compute with pure arithmetic; IANA named zones need
-    DST rules whose tzdb versions can differ across engines, so they
-    raise (PARITY #20)."""
+def _tz_parse(tz: str):
+    """ES ``time_zone`` → ``("fixed", offset_ms)`` for ±HH:MM / UTC,
+    ``("iana", name)`` for tzdb-named zones (round 13, VERDICT r12
+    Next #1 — Kibana sends the browser's IANA zone on essentially
+    every date_histogram).  Fixed offsets beyond ±18:00 raise like
+    ES/java.time does (round-13 ADVICE); names are validated against
+    the local tzdb so a typo'd zone fails loudly, not as a nonsense
+    grid."""
     if tz in ("UTC", "Z", "+00:00", "-00:00"):
-        return 0
+        return "fixed", 0
     m = re.fullmatch(r"([+-])(\d{2}):(\d{2})", tz)
-    if not m:
+    if m:
+        h, mi = int(m.group(2)), int(m.group(3))
+        if h > 18 or mi > 59 or (h == 18 and mi > 0):
+            raise ValueError(
+                f"time_zone {tz!r}: fixed offsets must lie in "
+                "[-18:00, +18:00] (java.time rule ES follows)"
+            )
+        sign = 1 if m.group(1) == "+" else -1
+        return "fixed", sign * (h * 3_600_000 + mi * 60_000)
+    try:
+        import zoneinfo
+
+        zoneinfo.ZoneInfo(tz)
+    except Exception:
         raise ValueError(
-            f"time_zone {tz!r}: fixed offsets (±HH:MM / UTC) only — "
-            "IANA named zones need DST rules the oracle contract "
-            "cannot pin across engines (PARITY #20)"
+            f"time_zone {tz!r}: not a fixed ±HH:MM offset and not a "
+            "known IANA zone name"
+        ) from None
+    return "iana", tz
+
+
+def _tz_offset_ms(tz: str) -> int:
+    """``time_zone`` as a FIXED UTC offset in millis — the callers
+    that cannot express DST (fixed epoch grids) route through this
+    and raise on IANA names."""
+    kind, v = _tz_parse(tz)
+    if kind != "fixed":
+        raise ValueError(
+            f"time_zone {tz!r}: this grid needs a fixed ±HH:MM offset"
         )
-    sign = 1 if m.group(1) == "+" else -1
-    return sign * (int(m.group(2)) * 3_600_000 + int(m.group(3)) * 60_000)
+    return v
 
 
 def _dh_grid(body: dict):
@@ -296,7 +321,24 @@ def _dh_grid(body: dict):
         off = _offset_ms(body["offset"]) if "offset" in body else 0
         return "fixed", _fixed_ms(body["fixed_interval"]), off
     unit = _CALENDAR_UNITS[body["calendar_interval"]]
-    tz_off = _tz_offset_ms(body["time_zone"]) if "time_zone" in body else 0
+    tzk, tzv = (
+        _tz_parse(body["time_zone"]) if "time_zone" in body else ("fixed", 0)
+    )
+    if tzk == "iana":
+        # IANA zone (round 13): DST makes day/week widths variable
+        # in instant space — the grid is enumerable only in LOCAL
+        # wall time, stepped by calendar intervals and mapped back
+        # per-boundary. Sub-day units keep fixed instant widths but
+        # their keys are not on ONE epoch grid across a transition,
+        # so gap-filling them under a named zone raises (PARITY #20).
+        if unit not in ("day", "week") and unit not in _MONTH_UNITS:
+            raise ValueError(
+                f"date_histogram gap-fill with calendar_interval "
+                f"{unit!r} under an IANA time_zone is not supported — "
+                "sub-day grids shift at DST transitions (PARITY #20)"
+            )
+        return "local", unit, tzv
+    tz_off = tzv
     if unit in _MONTH_UNITS:
         return "months", _MONTH_UNITS[unit], unit, tz_off
     off = _WEEK_EPOCH_OFFSET_MS if unit == "week" else 0
@@ -629,11 +671,39 @@ class _Level:
                     )
                 unit = _CALENDAR_UNITS[b["calendar_interval"]]
                 if "time_zone" in b:
-                    # ES time_zone (round 12): bucket at the LOCAL
-                    # unit boundary, key = that boundary's UTC epoch
-                    # millis — truncate the offset-shifted instant,
-                    # shift back. Fixed offsets only (_tz_offset_ms).
-                    off = _tz_offset_ms(b["time_zone"])
+                    # ES time_zone: bucket at the LOCAL unit
+                    # boundary, key = that boundary's UTC epoch
+                    # millis. Fixed offsets (round 12) truncate the
+                    # offset-shifted instant and shift back; IANA
+                    # zones (round 13, VERDICT r12 Next #1) go
+                    # through the tzdb so DST-transition days come
+                    # out 23/25 h wide like ES's response.
+                    tzk, tzv = _tz_parse(b["time_zone"])
+                    if tzk == "iana":
+                        if unit in ("second", "minute", "hour"):
+                            # sub-day: offsets are whole minutes, so
+                            # truncation is exact per-instant offset
+                            # arithmetic (ES TimeIntervalRounding) —
+                            # no wall round-trip, so fall-back
+                            # overlap hours keep distinct keys.
+                            ms = F.unix_millis(col)
+                            ioff = (
+                                F.unix_millis(
+                                    F.from_utc_timestamp(col, tzv)
+                                )
+                                - ms
+                            )
+                            w = F.lit(_CALENDAR_WIDTH_MS[unit])
+                            return (
+                                F.floor((ms + ioff) / w) * w - ioff
+                            ).cast("long")
+                        local = F.from_utc_timestamp(col, tzv)
+                        return F.unix_millis(
+                            F.to_utc_timestamp(
+                                F.date_trunc(unit, local), tzv
+                            )
+                        )
+                    off = tzv
                     if off:
                         shifted = F.timestamp_millis(
                             F.unix_millis(col) + F.lit(off)
@@ -2041,6 +2111,59 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                     (rn == cnt) & (key < F.lit(hi)),
                     F.sequence(key + F.lit(step), F.lit(hi), F.lit(step)),
                 ).otherwise(empty)
+        elif grid[0] == "local":
+            # IANA time_zone (round 13, VERDICT r12 Next #1): the
+            # grid lives in LOCAL wall time, where calendar days are
+            # uniformly 24 wall-hours — sequences step wall
+            # timestamps and every boundary maps back to its UTC
+            # instant through the tzdb, so a grid spanning a DST
+            # transition steps 23/25 instant-hours exactly as ES's
+            # min_doc_count-0 response does. Same windows, same one
+            # explode as every other grid kind.
+            _, unit, tzname = grid
+            iv = F.expr(
+                {
+                    "day": "INTERVAL '1' DAY",
+                    "week": "INTERVAL '7' DAY",
+                }.get(unit)
+                or f"INTERVAL '{_MONTH_UNITS[unit]}' MONTH"
+            )
+            kts = F.from_utc_timestamp(F.timestamp_millis(key), tzname)
+            nts = F.from_utc_timestamp(F.timestamp_millis(nxt), tzname)
+
+            def _ms(arr):
+                return F.transform(
+                    arr,
+                    lambda t: F.unix_millis(F.to_utc_timestamp(t, tzname)),
+                )
+
+            gaps = F.when(
+                nxt.isNotNull() & (nts > kts + iv),
+                _ms(F.sequence(kts + iv, nts - iv, iv)),
+            ).otherwise(empty)
+            pre, post = empty, empty
+            if "min" in eb:
+                lo_ts = F.date_trunc(
+                    unit,
+                    F.from_utc_timestamp(
+                        F.timestamp_millis(F.lit(eb["min"])), tzname
+                    ),
+                )
+                pre = F.when(
+                    (rn == 1) & (kts > lo_ts),
+                    _ms(F.sequence(lo_ts, kts - iv, iv)),
+                ).otherwise(empty)
+            if "max" in eb:
+                hi_ts = F.date_trunc(
+                    unit,
+                    F.from_utc_timestamp(
+                        F.timestamp_millis(F.lit(eb["max"])), tzname
+                    ),
+                )
+                post = F.when(
+                    (rn == cnt) & (kts < hi_ts),
+                    _ms(F.sequence(kts + iv, hi_ts, iv)),
+                ).otherwise(empty)
         else:
             # month/quarter/year (round 11): no fixed width, but the
             # grid is exactly enumerable by INTERVAL-n-MONTH timestamp
@@ -3184,6 +3307,45 @@ def q_es_date_histogram_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "extended_bounds": {
                             "min": 1703980800000,
                             "max": 1706742000000,
+                        },
+                    },
+                    "aggs": {"sum_value": {"sum": {"field": "value"}}},
+                }
+            },
+        },
+    )
+
+
+def q_es_date_histogram_tz_iana(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """date_histogram under an IANA ``time_zone`` (round 13, VERDICT
+    r12 Next #1) — the literal Kibana request shape: the browser
+    zone ``America/New_York`` on a daily series. Buckets anchor at
+    LOCAL midnights (keys = their UTC epoch millis: 05:00Z under
+    EST, 04:00Z under EDT) and the gap grid is extended through the
+    2024-03-10 spring-forward transition, whose local day is 23
+    instant-hours wide — the step the fixed-offset path cannot
+    express."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "query": {"term": {"event_type": "purchase"}},
+            "aggs": {
+                "per_day": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "calendar_interval": "day",
+                        "time_zone": "America/New_York",
+                        "min_doc_count": 0,
+                        "extended_bounds": {
+                            # 2023-12-31T00:00Z .. 2024-03-20T00:00Z —
+                            # strictly wider than the generators'
+                            # Jan-2024 window at every SF, with the
+                            # DST boundary inside the filled range
+                            "min": 1703980800000,
+                            "max": 1710892800000,
                         },
                     },
                     "aggs": {"sum_value": {"sum": {"field": "value"}}},

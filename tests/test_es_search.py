@@ -660,14 +660,89 @@ def test_date_histogram_time_zone_fixed_offset(spark):
     ).collect()]
     feb1_local = int(dt.datetime(2024, 2, 1).timestamp() * 1000) - off
     assert mout == [feb1_local]
-    with pytest.raises(ValueError, match="fixed offsets"):
+    with pytest.raises(ValueError, match="not a known IANA zone"):
         compile_aggs(df, {"d": {"date_histogram": {
             "field": "ts", "calendar_interval": "day",
-            "time_zone": "America/New_York"}}}).collect()
+            "time_zone": "Not/A_Zone"}}}).collect()
+    with pytest.raises(ValueError, match=r"\[-18:00, \+18:00\]"):
+        compile_aggs(df, {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "time_zone": "+99:99"}}}).collect()
     with pytest.raises(ValueError, match="calendar_interval only"):
         compile_aggs(df, {"d": {"date_histogram": {
             "field": "ts", "fixed_interval": "1d",
             "time_zone": "+05:30"}}}).collect()
+
+
+def test_date_histogram_time_zone_iana(spark):
+    """Round 13 (VERDICT r12 Next #1): date_histogram under an IANA
+    ``time_zone`` — local-calendar day buckets through the tzdb, the
+    spring-forward local day 23 instant-hours wide, gap-fill stepping
+    the LOCAL grid; sub-day units keep exact per-instant offsets so
+    the fall-back overlap hours stay distinct buckets."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    def utc_ms(*a):
+        return int(
+            dt.datetime(*a, tzinfo=dt.timezone.utc).timestamp() * 1000
+        )
+
+    H = 3_600_000
+    # NY: EST = UTC-5 through 2024-03-10 02:00 local, then EDT = UTC-4
+    mar9 = utc_ms(2024, 3, 9, 5)    # Mar 9 00:00 EST
+    mar10 = utc_ms(2024, 3, 10, 5)  # Mar 10 00:00 EST
+    mar11 = utc_ms(2024, 3, 11, 4)  # Mar 11 00:00 EDT — 23 h after mar10
+    assert mar11 - mar10 == 23 * H
+    rows = [
+        (dt.datetime(2024, 3, 9, 12, 0), 1.0),   # Mar 9 07:00 EST
+        (dt.datetime(2024, 3, 10, 6, 30), 2.0),  # Mar 10 01:30 EST
+        (dt.datetime(2024, 3, 11, 3, 0), 3.0),   # Mar 10 23:00 EDT!
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    body = {"field": "ts", "calendar_interval": "day",
+            "time_zone": "America/New_York"}
+    out = {r.d: r.doc_count for r in compile_aggs(
+        df, {"d": {"date_histogram": dict(body)}}).collect()}
+    assert out == {mar9: 1, mar10: 2}
+    # gap-fill: extended bounds Mar 7 .. Mar 13 (UTC instants inside
+    # those local days) — the grid steps 24,24,24,23,24,24 hours
+    filled = sorted(r.d for r in compile_aggs(
+        df, {"d": {"date_histogram": {
+            **body, "min_doc_count": 0,
+            "extended_bounds": {"min": utc_ms(2024, 3, 7, 12),
+                                "max": utc_ms(2024, 3, 13, 12)},
+        }}}).collect())
+    assert filled == [
+        utc_ms(2024, 3, 7, 5), utc_ms(2024, 3, 8, 5), mar9, mar10,
+        mar11, utc_ms(2024, 3, 12, 4), utc_ms(2024, 3, 13, 4),
+    ]
+    # hour unit at the 2024-11-03 fall-back: 01:30 EDT and 01:30 EST
+    # are DISTINCT instants and must stay distinct hour buckets
+    fb = spark.createDataFrame(
+        [(dt.datetime(2024, 11, 3, 5, 30), 1.0),   # 01:30 EDT
+         (dt.datetime(2024, 11, 3, 6, 30), 2.0)],  # 01:30 EST
+        "ts timestamp, v double",
+    )
+    hout = sorted(r.h for r in compile_aggs(
+        fb, {"h": {"date_histogram": {
+            "field": "ts", "calendar_interval": "hour",
+            "time_zone": "America/New_York"}}}).collect())
+    assert hout == [utc_ms(2024, 11, 3, 5), utc_ms(2024, 11, 3, 6)]
+    # month under IANA: 2024-03-01 00:00 EST anchor despite the
+    # mid-month transition
+    mout = [r.m for r in compile_aggs(
+        df, {"m": {"date_histogram": {
+            "field": "ts", "calendar_interval": "month",
+            "time_zone": "America/New_York"}}}).collect()]
+    assert mout == [utc_ms(2024, 3, 1, 5)]
+    # sub-day gap-fill under a named zone raises (grid shifts at DST)
+    with pytest.raises(ValueError, match="sub-day grids"):
+        compile_aggs(fb, {"h": {"date_histogram": {
+            "field": "ts", "calendar_interval": "hour",
+            "time_zone": "America/New_York",
+            "min_doc_count": 0}}}).collect()
 
 
 def test_gapfill_positional_pipelines_stride_empties(spark):

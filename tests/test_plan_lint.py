@@ -296,6 +296,10 @@ PINNED_FINGERPRINTS = {
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
     "es_date_histogram_tz": {"exchange": 4},
+    # date_histogram under an IANA time_zone (round 13): tzdb key
+    # expression + local-wall gapfill sequences — still a fixed JVM
+    # expression tree, same bucket-frame class as the other gapfills
+    "es_date_histogram_tz_iana": {"exchange": 4},
     # adjacency_matrix (round 12): the pair-intersection explode is
     # one Generate on the scan — one rollup + survival window +
     # orderBy, the standard bucket-frame class
