@@ -614,9 +614,22 @@ DEMOTED: frozenset[str] = frozenset(
         #     engines-agree variant, PARITY-noted vs Lucene Damerau);
         #     demoted-green pending the next rotation
         "corpus_fuzzy_match",
-        # corpus_span_near — PROMOTED round 10 (VERDICT r09 Next #2):
-        #     zero-shuffle greedy-minimal span scan, position arrays
-        #     now bound once per row (r09 What's wrong #1 fix).
+        # corpus_span_near — zero-shuffle greedy-minimal span scan
+        #     (promoted r10, rotated back OUT round 13 per VERDICT
+        #     r12 Next #2 — the phrase/span family stays
+        #     demoted-green via corpus_match_phrase and the declared
+        #     corpus_bm25 rows keep retrieval in the gate)
+        "corpus_span_near",
+        # sim_ivf_recall — IVF recall-vs-exact audit (promoted r8,
+        #     rotated back OUT round 13 per VERDICT r12 Next #2 —
+        #     the IVF family keeps es_knn_search_ivf and
+        #     sim_ann_ivf_indexed declared)
+        "sim_ivf_recall",
+        # dedup_embedding — embedding-cosine near-dup (promoted r6,
+        #     rotated back OUT round 13 per VERDICT r12 Next #2 —
+        #     dedup keeps dedup_exact, dedup_minhash_lsh,
+        #     dedup_simhash and corpus_dedup declared)
+        "dedup_embedding",
         # corpus_bm25_served — PROMOTED round 10 (VERDICT r09 Next
         #     #2): the build-once/serve-many postings artifact is the
         #     production story — term-range row-group-pruned serving
@@ -674,31 +687,19 @@ DEMOTED: frozenset[str] = frozenset(
         #     array column replaced by exploded structs at the root,
         #     doc_count counts objects; demoted-green pending rotation
         "es_nested_agg",
-        # es_reverse_nested — non-root nested + reverse_nested
-        #     (round 12, VERDICT r11 Next #3): terms > nested > terms
-        #     with ancestor doc/metric masking and a distinct-parent
-        #     doc_count; demoted-green pending rotation
-        #     (es_nested_query keeps the nested family declared)
-        "es_reverse_nested",
-        # corpus_bm25_stemmed — the analyzer seam's third step
-        #     (round 12, VERDICT r11 Next #6): standard tokenizer +
-        #     the Harman S-stemmer (Lucene minimal_english), load-
-        #     bearing over a deterministically pluralized corpus
-        #     slice; demoted-green pending rotation
-        #     (corpus_bm25_stopwords keeps the analyzer family
-        #     declared)
-        "corpus_bm25_stemmed",
-        # es_multi_rare_terms — multi_terms (composite '|'-joined
-        #     key) + rare_terms (doc_count ceiling) buckets (round
-        #     12, VERDICT r11 Next #4); demoted-green pending
-        #     rotation (es_aggs_tree keeps the bucket family
-        #     declared)
-        "es_multi_rare_terms",
-        # es_range_overlap — overlapping range buckets via the
-        #     multi-membership explode with un-multiplied ancestors
-        #     (round 12, VERDICT r11 Next #5); demoted-green pending
-        #     rotation (es_aggs_tree keeps the bucket family declared)
-        "es_range_overlap",
+        # es_reverse_nested — PROMOTED round 13 (VERDICT r12 Next
+        #     #2): non-root nested + reverse_nested with ancestor
+        #     doc/metric masking and a distinct-parent doc_count.
+        # corpus_bm25_stemmed — PROMOTED round 13 (VERDICT r12 Next
+        #     #2): the analyzer seam's third step — standard
+        #     tokenizer + the Harman S-stemmer (Lucene
+        #     minimal_english).
+        # es_multi_rare_terms — PROMOTED round 13 (VERDICT r12 Next
+        #     #2): multi_terms composite keys + rare_terms doc_count
+        #     ceiling.
+        # es_range_overlap — PROMOTED round 13 (VERDICT r12 Next
+        #     #2): overlapping range buckets via the
+        #     multi-membership explode with un-multiplied ancestors.
         # es_gapfill_moving_fn — positional pipelines (moving_fn /
         #     serial_diff) computed AFTER the gap fill so empty
         #     buckets occupy window positions (round 12, VERDICT r11
@@ -742,11 +743,9 @@ DEMOTED: frozenset[str] = frozenset(
         #     length metrics (round 12); demoted-green pending
         #     rotation (es_metric_variants keeps the metric family)
         "es_geo_bounds_string_stats",
-        # es_matrix_stats — per-pair covariance/correlation with the
-        #     exact-moments discipline, listwise deletion (round 12);
-        #     demoted-green pending rotation (es_extended_stats keeps
-        #     the moments family verified)
-        "es_matrix_stats",
+        # es_matrix_stats — PROMOTED round 13 (VERDICT r12 Next #2):
+        #     per-pair covariance/correlation with the exact-moments
+        #     discipline, listwise deletion.
         # es_bucket_selector — the alerting HAVING pipeline +
         #     normalize percent_of_sum shares (round 12);
         #     demoted-green pending rotation (es_pipeline_aggs keeps
@@ -770,13 +769,19 @@ DEMOTED: frozenset[str] = frozenset(
         #     haversine tree as the geo query class, geo_centroid per
         #     ring (round 11); demoted-green pending rotation
         "es_geo_distance_rings",
-        # es_auto_date_histogram — PROMOTED round 12 (VERDICT r11
-        #     Next #2): Kibana's adaptive time bucketing — ladder-
-        #     chosen interval from one bounded min/max collect.
-        # es_date_histogram_gapfill_month — PROMOTED round 12
-        #     (VERDICT r11 Next #2): calendar-interval (month)
-        #     gap-filling — the grid steps by INTERVAL 1 MONTH
-        #     timestamp sequences.
+        # es_auto_date_histogram — Kibana's adaptive time bucketing,
+        #     ladder-chosen interval from one bounded min/max collect
+        #     (promoted r12, rotated back OUT round 13 per VERDICT
+        #     r12 Next #2 — es_date_histogram_gapfill +
+        #     es_date_histogram_tz keep the date_histogram family
+        #     declared); stays oracle-verified in the judge sweep
+        "es_auto_date_histogram",
+        # es_date_histogram_gapfill_month — calendar-interval (month)
+        #     gap-filling by INTERVAL-1-MONTH sequences (promoted
+        #     r12, rotated back OUT round 13 per VERDICT r12 Next #2
+        #     — the gapfill family keeps es_date_histogram_gapfill
+        #     declared and es_gapfill_moving_fn judge-verified)
+        "es_date_histogram_gapfill_month",
         # es_filter_missing_range — the single-bucket aggs (missing)
         #     chained with date_range windows (round 10); demoted-green
         #     pending rotation (es_aggs_tree keeps agg trees declared)
