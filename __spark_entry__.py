@@ -756,6 +756,14 @@ DEMOTED: frozenset[str] = frozenset(
         #     scores (round 12); demoted-green pending rotation
         #     (corpus_significant_terms keeps the text twin verified)
         "es_significant_terms",
+        # es_significant_terms_per_bucket — terms >
+        #     significant_terms (round 13, VERDICT r12 Next #3): the
+        #     per-bucket significance shape — global background,
+        #     bucket foreground, parent-sizes join replacing the
+        #     root path's 1-row broadcast; demoted-green pending
+        #     rotation (es_significant_terms keeps the root path
+        #     verified, corpus_significant_terms the text twin)
+        "es_significant_terms_per_bucket",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1153,6 +1161,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "es_search", "q_es_geo_bounds_string_stats"
         ),
         "es_matrix_stats": _mod("es_search", "q_es_matrix_stats"),
+        "es_significant_terms_per_bucket": _mod(
+            "es_search", "q_es_significant_terms_per_bucket"
+        ),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
         "es_date_histogram_gapfill_month": _mod(
@@ -4142,6 +4153,64 @@ def _all_oracle_sql() -> dict[str, str]:
                score_micro
         FROM j WHERE score_micro > 0
         ORDER BY score_micro DESC, sig_band ASC LIMIT 10
+    """
+
+    # es_significant_terms_per_bucket (round 13, VERDICT r12 Next
+    # #3): terms > significant_terms — per-parent foreground counts
+    # vs the whole-index background; the JLH tree is
+    # character-identical to the root row's, per-bucket rank by
+    # (score desc, term asc) capped at 5.
+    q["es_significant_terms_per_bucket"] = """
+        WITH d AS (
+          SELECT CASE WHEN coalesce(value >= 40, FALSE)
+                 THEN 1 ELSE 0 END AS fg,
+                 event_type AS by_type,
+                 'b' || CAST(CAST(floor(value / 50) AS INT) AS VARCHAR)
+                     AS sig_band
+          FROM events
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        bg AS (
+          SELECT sig_band, CAST(count(*) AS BIGINT) AS bg_count
+          FROM d WHERE sig_band IS NOT NULL GROUP BY sig_band
+        ),
+        fgrows AS (
+          SELECT * FROM d WHERE fg = 1 AND by_type IS NOT NULL
+        ),
+        ps AS (
+          SELECT by_type, CAST(count(*) AS BIGINT) AS fgd,
+                 row_number() OVER (ORDER BY count(*) DESC, by_type ASC)
+                   AS pr
+          FROM fgrows GROUP BY by_type
+        ),
+        cnt AS (
+          SELECT by_type, sig_band,
+                 CAST(count(*) AS BIGINT) AS doc_count
+          FROM fgrows WHERE sig_band IS NOT NULL
+          GROUP BY by_type, sig_band HAVING count(*) >= 2
+        ),
+        sc AS (
+          SELECT c.by_type, c.sig_band, c.doc_count, bg.bg_count,
+                 CAST(floor(1e6 * (((c.doc_count / CAST(ps.fgd AS DOUBLE))
+                        - (bg.bg_count / CAST(nd.n AS DOUBLE)))
+                      * ((c.doc_count / CAST(ps.fgd AS DOUBLE))
+                         / (bg.bg_count / CAST(nd.n AS DOUBLE)))))
+                      AS BIGINT) AS score_micro
+          FROM cnt c
+          JOIN ps ON c.by_type = ps.by_type AND ps.pr <= 10
+          JOIN bg ON c.sig_band = bg.sig_band
+          CROSS JOIN nd
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY by_type
+                   ORDER BY score_micro DESC, sig_band ASC) AS rk
+          FROM sc WHERE score_micro > 0
+        )
+        SELECT CAST(2 AS INT) AS level, by_type, sig_band, doc_count,
+               bg_count, score_micro
+        FROM r WHERE rk <= 5
+        ORDER BY by_type ASC, rk ASC
     """
 
     # es_matrix_stats (round 12): the extended_stats discipline for

@@ -3035,6 +3035,29 @@ def search_aggs(df: DataFrame, request: dict) -> DataFrame:
                 aspec["significant_terms"],
                 compile_query(request.get("query")),
             )
+        # terms > significant_terms (round 13, VERDICT r12 Next #3):
+        # the Kibana "unusual terms per service" shape — per parent
+        # bucket the FOREGROUND is that bucket's query hits, the
+        # BACKGROUND stays the whole index (ES's default superset)
+        if (
+            "terms" in aspec
+            and len(aspec.get("aggs") or {}) == 1
+            and "significant_terms" in next(iter(aspec["aggs"].values()))
+        ):
+            (sname, sspec), = aspec["aggs"].items()
+            if "aggs" in sspec:
+                raise ValueError(
+                    "significant_terms sub-aggregations are not "
+                    "supported (term buckets only)"
+                )
+            return _significant_terms_under_terms(
+                df,
+                aname,
+                aspec["terms"],
+                sname,
+                sspec["significant_terms"],
+                compile_query(request.get("query")),
+            )
     return compile_aggs(
         df.filter(compile_query(request.get("query"))), request["aggs"]
     )
@@ -3082,6 +3105,94 @@ def _significant_terms_keyword(
         .limit(size)
         .select(
             F.lit(1).cast("int").alias("level"),
+            name,
+            "doc_count",
+            "bg_count",
+            "score_micro",
+        )
+    )
+
+
+def _significant_terms_under_terms(
+    df: DataFrame,
+    pname: str,
+    pbody: dict,
+    name: str,
+    body: dict,
+    fg_pred: Column,
+) -> DataFrame:
+    """``terms > significant_terms`` (round 13, VERDICT r12 Next #3):
+    per parent bucket, which terms are overrepresented vs the whole
+    index. One scan feeds two word-count-shaped groupBys — per-term
+    GLOBAL background counts over the unfiltered frame, and
+    per-(parent, term) foreground counts over the query hits — and
+    the root path's 1-row sizes broadcast becomes a bucket-frame-
+    sized parent-sizes join (broadcast: it is capped by the parent
+    terms cardinality). The JLH tree is character-identical to the
+    root/corpus pins: ``1e6·((fg% − bg%)·(fg%/bg%))`` floored to
+    micro longs, per-bucket top-``size`` by (score desc, term asc).
+    Flat columns: ``(level=2, <parent>, <name>, doc_count, bg_count,
+    score_micro)`` ordered by parent then rank, like the ES
+    response's nested buckets read off in order."""
+    fg = F.when(_false_safe(fg_pred), 1).otherwise(0)
+    d = df.select(
+        fg.alias("_fg"),
+        F.col(pbody["field"]).alias(pname),
+        F.col(body["field"]).alias(name),
+    )
+    # background: the whole index — per-term counts + the 1-row total
+    bg = (
+        d.filter(F.col(name).isNotNull())
+        .groupBy(name)
+        .agg(F.count(F.lit(1)).cast("long").alias("bg_count"))
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+    # foreground: the parent buckets' query hits (NULL parent keys
+    # drop per ES terms semantics; NULL terms still count in sizes)
+    fgrows = d.filter((F.col("_fg") == 1) & F.col(pname).isNotNull())
+    psize = int(pbody.get("size", 10))
+    psizes = (
+        fgrows.groupBy(pname)
+        .agg(F.count(F.lit(1)).cast("long").alias("_fgd"))
+        .withColumn(
+            "_prank",
+            F.row_number().over(
+                Window.orderBy(F.col("_fgd").desc(), F.col(pname).asc())
+            ),
+        )
+        .filter(F.col("_prank") <= psize)
+        .drop("_prank")
+    )
+    min_fg = int(body.get("min_doc_count", 3))
+    size = int(body.get("size", 10))
+    counts = (
+        fgrows.filter(F.col(name).isNotNull())
+        .groupBy(pname, name)
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .filter(F.col("doc_count") >= min_fg)
+    )
+    fgp = F.col("doc_count") / F.col("_fgd")
+    bgp = F.col("bg_count") / F.col("_nd")
+    score = F.floor(F.lit(1e6) * ((fgp - bgp) * (fgp / bgp))).cast("long")
+    return (
+        counts.join(F.broadcast(psizes), pname)
+        .join(bg, name)
+        .join(F.broadcast(nd))
+        .withColumn("score_micro", score)
+        .filter(F.col("score_micro") > 0)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(pname).orderBy(
+                    F.col("score_micro").desc(), F.col(name).asc()
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= size)
+        .orderBy(F.col(pname).asc(), F.col("_rk").asc())
+        .select(
+            F.lit(2).cast("int").alias("level"),
+            pname,
             name,
             "doc_count",
             "bg_count",
@@ -5036,6 +5147,44 @@ def q_es_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "size": 10,
                         "min_doc_count": 2,
                     }
+                }
+            },
+        },
+    )
+
+
+def q_es_significant_terms_per_bucket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``terms > significant_terms`` (round 13, VERDICT r12 Next #3)
+    — the Kibana "unusual terms per service" shape: per event_type
+    bucket, which value BANDS are overrepresented among its
+    value ≥ 40 hits vs the WHOLE stream (ES's default index
+    background); per-bucket JLH micro scores, top 5."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "runtime_mappings": {
+                "band": {
+                    "script_sql":
+                        "concat('b', cast(cast(floor(value / 50) as int)"
+                        " as string))"
+                }
+            },
+            "query": {"range": {"value": {"gte": 40}}},
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 10},
+                    "aggs": {
+                        "sig_band": {
+                            "significant_terms": {
+                                "field": "band",
+                                "size": 5,
+                                "min_doc_count": 2,
+                            }
+                        }
+                    },
                 }
             },
         },

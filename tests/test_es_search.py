@@ -1760,6 +1760,61 @@ def test_significant_terms_keyword_jlh(spark):
             "aggs": {"m": {"value_count": {"field": "t"}}}}}})
 
 
+def test_significant_terms_under_terms(spark):
+    """Round 13 (VERDICT r12 Next #3): terms > significant_terms —
+    per parent bucket the foreground is that bucket's query hits,
+    the background stays the WHOLE index; per-bucket JLH micro
+    scores, parent size cap, NULL parents dropped, NULL terms
+    counted in bucket sizes but never as term buckets."""
+    import math
+
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    rows = (
+        # svc a: errors concentrate on host hx (4/5 fg vs 6/20 bg)
+        [Row(svc="a", t="error", host="hx")] * 4
+        + [Row(svc="a", t="error", host=None)] * 1
+        + [Row(svc="a", t="ok", host="hy")] * 5
+        # svc b: errors concentrate on hy (3/3 fg vs 8/20 bg)
+        + [Row(svc="b", t="error", host="hy")] * 3
+        + [Row(svc="b", t="ok", host="hx")] * 2
+        + [Row(svc="b", t="ok", host="hz")] * 4
+        # a NULL parent error row: drops from parents, stays in bg
+        + [Row(svc=None, t="error", host="hx")] * 1
+    )
+    df = spark.createDataFrame(rows)
+    out = search_aggs(df, {
+        "query": {"term": {"t": "error"}},
+        "aggs": {"by_svc": {"terms": {"field": "svc", "size": 10},
+                            "aggs": {"sig_host": {"significant_terms": {
+                                "field": "host", "size": 5,
+                                "min_doc_count": 2}}}}},
+    }).collect()
+    got = [(r.by_svc, r.sig_host, r.doc_count, r.bg_count,
+            r.score_micro) for r in out]
+
+    def jlh(fg, fgd, bg, nd):
+        fgp, bgp = fg / fgd, bg / nd
+        return math.floor(1e6 * ((fgp - bgp) * (fgp / bgp)))
+
+    # svc a: 5 fg docs (the NULL-host one counts in the size), hx
+    # fg 4 ≥ min_doc_count; svc b: 3 fg docs, hy fg 3. Backgrounds
+    # are INDEX-wide: hx 7 of 20 docs, hy 8 of 20.
+    assert got == [
+        ("a", "hx", 4, 7, jlh(4, 5, 7, 20)),
+        ("b", "hy", 3, 8, jlh(3, 3, 8, 20)),
+    ]
+    # parent size cap: size 1 keeps only the largest fg bucket (a)
+    capped = search_aggs(df, {
+        "query": {"term": {"t": "error"}},
+        "aggs": {"by_svc": {"terms": {"field": "svc", "size": 1},
+                            "aggs": {"sig_host": {"significant_terms": {
+                                "field": "host",
+                                "min_doc_count": 2}}}}},
+    }).collect()
+    assert [(r.by_svc, r.sig_host) for r in capped] == [("a", "hx")]
+
+
 def test_bucket_selector_and_normalize(spark):
     """Round 12: bucket_selector = HAVING for buckets (script over
     buckets_path columns, descendants dropped with their bucket,

@@ -24,6 +24,9 @@ BNLJ_ALLOWED = frozenset(
         # root significant_terms joins the 1-ROW sizes frame back
         # onto the term counts — the audited 1-row-broadcast family
         "es_significant_terms",
+        # per-bucket significant_terms: the same 1-ROW index-size
+        # frame cross-joined onto the (parent, term) counts
+        "es_significant_terms_per_bucket",
         "sim_ann_hyperplane",
         "sim_ann_ivf_indexed",
         "sim_ann_ivf_sq8",
@@ -318,6 +321,13 @@ PINNED_FINGERPRINTS = {
     # exchange + the top-k sort; the bnlj is the audited 1-row
     # sizes broadcast (the corpus twin's family)
     "es_significant_terms": {"exchange": 2, "bnlj": 1},
+    # per-bucket significant_terms (round 13): two word-count
+    # groupBys (global bg + per-parent fg) + the parent-sizes rank
+    # and per-bucket rank windows + orderBy; parent sizes and the
+    # 1-row index size ride broadcasts (2 bhj + the audited bnlj)
+    "es_significant_terms_per_bucket": {
+        "exchange": 6, "bhj": 2, "bnlj": 1
+    },
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
     "es_geo_distance_rings": {"exchange": 3},
