@@ -764,6 +764,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     rotation (es_significant_terms keeps the root path
         #     verified, corpus_significant_terms the text twin)
         "es_significant_terms_per_bucket",
+        # es_nested_inner_hits — nested query inner_hits (round 13,
+        #     VERDICT r12 Next #4): matched object offsets per hit
+        #     via an index-keeping transform/filter projection over
+        #     the paginated rows; demoted-green pending rotation
+        #     (es_nested_query keeps the nested family declared)
+        "es_nested_inner_hits",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1163,6 +1169,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_matrix_stats": _mod("es_search", "q_es_matrix_stats"),
         "es_significant_terms_per_bucket": _mod(
             "es_search", "q_es_significant_terms_per_bucket"
+        ),
+        "es_nested_inner_hits": _mod(
+            "es_search", "q_es_nested_inner_hits"
         ),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
@@ -4211,6 +4220,33 @@ def _all_oracle_sql() -> dict[str, str]:
                bg_count, score_micro
         FROM r WHERE rk <= 5
         ORDER BY by_type ASC, rk ASC
+    """
+
+    # es_nested_inner_hits (round 13, VERDICT r12 Next #4): the two
+    # synthesized attrs objects' match conditions restated per
+    # offset — object 0 (type, event_type) matches v='error';
+    # object 1 (band, 'b'+floor(value/100)) matches the b1 prefix,
+    # i.e. value in [100, 200). Hits paginate BEFORE offsets emit.
+    q["es_nested_inner_hits"] = """
+        WITH e AS (
+          SELECT event_id, event_type, value,
+                 coalesce(event_type = 'error', FALSE) AS m0,
+                 coalesce(CAST(floor(value / 100) AS INT) = 1, FALSE)
+                   AS m1
+          FROM events
+        ),
+        hits AS (
+          SELECT * FROM e WHERE m0 OR m1
+          ORDER BY event_id ASC LIMIT 300
+        )
+        SELECT event_id, event_type, value, hit_offset FROM (
+          SELECT event_id, event_type, value, 0 AS hit_offset
+          FROM hits WHERE m0
+          UNION ALL
+          SELECT event_id, event_type, value, 1 AS hit_offset
+          FROM hits WHERE m1
+        )
+        ORDER BY event_id ASC, hit_offset ASC
     """
 
     # es_matrix_stats (round 12): the extended_stats discipline for

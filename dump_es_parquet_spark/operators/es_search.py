@@ -380,6 +380,30 @@ def _scoped_col(field: str, scope) -> Column:
     return col
 
 
+def _collect_inner_hits(q) -> list[tuple[str, dict, dict]]:
+    """Walk a query tree for ``nested`` clauses carrying an
+    ``inner_hits`` section (round 13, VERDICT r12 Next #4) —
+    ES reports WHICH nested objects matched each hit; each clause
+    yields ``(path, inner_query, inner_hits_spec)``."""
+    out: list[tuple[str, dict, dict]] = []
+
+    def _walk(node):
+        if isinstance(node, list):
+            for v in node:
+                _walk(v)
+            return
+        if not isinstance(node, dict):
+            return
+        b = node.get("nested")
+        if isinstance(b, dict) and "inner_hits" in b:
+            out.append((b["path"], b["query"], b["inner_hits"] or {}))
+        for v in node.values():
+            _walk(v)
+
+    _walk(q or {})
+    return out
+
+
 def compile_query(q: dict | None, _scope=None) -> Column:
     """ES query DSL dict → boolean ``Column`` (filter context: no
     scoring — scored retrieval is operators/retrieval.py).
@@ -2913,6 +2937,32 @@ def search(
             hl_cols.append(
                 snippet_expr(fld, terms, window).alias(f"{fld}_snippet")
             )
+    # nested inner_hits (round 13, VERDICT r12 Next #4): per hit, the
+    # OFFSETS of the nested objects matching each inner_hits-carrying
+    # nested clause — the exists predicate's lambda re-applied as an
+    # index-keeping transform/filter, capped at the section's size
+    # (ES default 3). A pure projection over the paginated rows, like
+    # highlight; the hit matched the clause, so the array is
+    # non-empty for a lone nested query (inside bool/should it can
+    # legitimately come out empty).
+    def _offset_lambda(iq: dict, path: str):
+        # a real closure: PySpark validates higher-order-function
+        # lambdas by parameter count, so default-arg binding is out
+        return lambda x, i: F.when(
+            _false_safe(compile_query(iq, _scope=(path, x))), i
+        ).otherwise(F.lit(None).cast("int"))
+
+    ih_cols = []
+    for path, iq, ispec in _collect_inner_hits(request.get("query")):
+        nm = ispec.get("name", path)
+        isz = int(ispec.get("size", 3))
+        matched = F.filter(
+            F.transform(F.col(path), _offset_lambda(iq, path)),
+            lambda v: v.isNotNull(),
+        )
+        ih_cols.append(
+            F.slice(matched, 1, isz).alias(f"{nm}_inner_hits")
+        )
     src = request.get("_source")
     cols = None
     if isinstance(src, (str, list)):
@@ -2928,9 +2978,9 @@ def search(
     elif src is False:
         raise ValueError("_source: false returns no columns; omit fields "
                          "you don't want via includes/excludes")
-    if cols is not None or hl_cols:
+    if cols is not None or hl_cols or ih_cols:
         keep = [F.col(c) for c in (cols if cols is not None else out.columns)]
-        out = out.select(*keep, *hl_cols)
+        out = out.select(*keep, *hl_cols, *ih_cols)
     return out
 
 
@@ -4816,6 +4866,58 @@ def q_es_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size": 200,
             "_source": ["event_id", "event_type", "value"],
         },
+    )
+
+
+def q_es_nested_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested query ``inner_hits`` (round 13, VERDICT r12 Next #4):
+    WHICH objects matched — the attrs objects are (type,
+    event_type) at offset 0 and (band, 'b'+floor(value/100)) at
+    offset 1; the should-query matches v='error' (offset 0 on error
+    docs) or a b1 prefix (offset 1 on value∈[100,200) docs), so
+    docs satisfying both emit BOTH offsets. Flat oracle shape:
+    matched offsets exploded to one row per (hit, offset)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "attrs",
+        F.array(
+            F.struct(
+                F.lit("type").alias("k"), F.col("event_type").alias("v")
+            ),
+            F.struct(
+                F.lit("band").alias("k"),
+                F.concat(
+                    F.lit("b"),
+                    F.floor(F.col("value") / 100).cast("int").cast("string"),
+                ).alias("v"),
+            ),
+        ),
+    )
+    hits = search(
+        ev,
+        {
+            "query": {
+                "nested": {
+                    "path": "attrs",
+                    "query": {"bool": {
+                        "should": [
+                            {"term": {"attrs.v": "error"}},
+                            {"prefix": {"attrs.v": "b1"}},
+                        ],
+                        "minimum_should_match": 1,
+                    }},
+                    "inner_hits": {},
+                }
+            },
+            "sort": [{"event_id": "asc"}],
+            "size": 300,
+            "_source": ["event_id", "event_type", "value"],
+        },
+    )
+    return hits.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.explode("attrs_inner_hits").alias("hit_offset"),
     )
 
 

@@ -299,6 +299,10 @@ PINNED_FINGERPRINTS = {
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
     "es_date_histogram_tz": {"exchange": 4},
+    # nested inner_hits (round 13): a TakeOrdered page + an
+    # index-keeping transform/filter projection + one explode — no
+    # exchange at all
+    "es_nested_inner_hits": {},
     # date_histogram under an IANA time_zone (round 13): tzdb key
     # expression + local-wall gapfill sequences — still a fixed JVM
     # expression tree, same bucket-frame class as the other gapfills
