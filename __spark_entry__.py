@@ -770,6 +770,13 @@ DEMOTED: frozenset[str] = frozenset(
         #     the paginated rows; demoted-green pending rotation
         #     (es_nested_query keeps the nested family declared)
         "es_nested_inner_hits",
+        # es_moving_fn_extended — the widened MovingFunctions set
+        #     (round 13, VERDICT r12 Next #5): stdDev /
+        #     linearWeightedAvg / ewma over a gap-filled hourly
+        #     grid; demoted-green pending rotation
+        #     (es_gapfill_moving_fn keeps the positional-pipeline
+        #     family verified, es_pipeline_aggs declared)
+        "es_moving_fn_extended",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1172,6 +1179,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_nested_inner_hits": _mod(
             "es_search", "q_es_nested_inner_hits"
+        ),
+        "es_moving_fn_extended": _mod(
+            "es_search", "q_es_moving_fn_extended"
         ),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
@@ -4379,6 +4389,66 @@ def _all_oracle_sql() -> dict[str, str]:
                     AS DOUBLE) AS mov3,
                CAST(s - lag(s) OVER (ORDER BY k) AS DOUBLE) AS diff1
         FROM filled ORDER BY per_hour
+    """
+
+    # es_moving_fn_extended (round 13, VERDICT r12 Next #5): the
+    # widened MovingFunctions set over the gap-filled hourly grid.
+    # stdDev = the extended_stats moment discipline in a trailing
+    # window (decimal sums, 4dp double casts, clamped population
+    # tree, 6dp output); linearWeightedAvg / ewma fold the window's
+    # non-NULL values in order (list_filter + list_transform /
+    # list_reduce mirror Spark's collect_list + aggregate), the
+    # per-step IEEE ops spelled identically.
+    q["es_moving_fn_extended"] = """
+        WITH b AS (
+          SELECT epoch_ms(date_trunc('hour', ts)) AS k, count(*) AS dc,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+          FROM events
+          WHERE coalesce(event_type = 'purchase', FALSE)
+            AND ts IS NOT NULL
+          GROUP BY 1
+        ),
+        ext AS (
+          SELECT LEAST(1703980800000, MIN(k)) AS lo,
+                 GREATEST(1706742000000, MAX(k)) AS hi FROM b
+        ),
+        grid AS (
+          SELECT unnest(range(lo, hi + 3600000, 3600000)) AS k FROM ext
+        ),
+        filled AS (
+          SELECT g.k, coalesce(b.dc, 0) AS dc, b.s
+          FROM grid g LEFT JOIN b ON g.k = b.k
+        ),
+        win AS (
+          SELECT k, dc, s,
+                 CAST(count(s) OVER mw AS DOUBLE) AS n_d,
+                 CAST(sum(CAST(s AS DECIMAL(28,6))) OVER mw AS DOUBLE)
+                   AS sx,
+                 round(CAST(sum(CAST(s AS DECIMAL(19,6))
+                                * CAST(s AS DECIMAL(19,6))) OVER mw
+                            AS DOUBLE), 4) AS sxx,
+                 list_filter(list(s) OVER mw, x -> x IS NOT NULL)
+                   AS vals
+          FROM filled
+          WINDOW mw AS (ORDER BY k
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(1 AS INT) AS level, k AS per_hour,
+               dc AS doc_count, s AS sum_value,
+               round(sqrt(greatest((n_d * sxx - sx * sx) / (n_d * n_d),
+                                   0.0)), 6) AS mstd,
+               CASE WHEN len(vals) > 0 THEN
+                 round(round(CAST(list_reduce(
+                         list_transform(vals,
+                           (x, i) -> CAST(x AS DECIMAL(18,6)) * i),
+                         (a, v) -> a + v) AS DOUBLE), 4)
+                       / (len(vals) * (len(vals) + 1) / 2), 6)
+               END AS lwa,
+               CASE WHEN len(vals) > 0 THEN
+                 round(list_reduce(vals,
+                         (a, v) -> (v * 0.3) + (a * 0.7)), 6)
+               END AS ew
+        FROM win ORDER BY per_hour
     """
 
     # es_date_histogram_gapfill_month: the variable-width calendar

@@ -745,6 +745,64 @@ def test_date_histogram_time_zone_iana(spark):
             "min_doc_count": 0}}}).collect()
 
 
+def test_moving_fn_extended_functions(spark):
+    """Round 13 (VERDICT r12 Next #5): MovingFunctions.stdDev /
+    linearWeightedAvg / ewma — trailing window over the grid, gap
+    buckets' NULLs dropping from every function's values array;
+    unknown scripts (holt) and bad alphas still raise."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(hours=h), float(v))
+            for h, v in [(0, 2), (1, 4), (3, 8), (4, 1)]]  # hour 2 gap
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {r.h: r for r in compile_aggs(df, {"h": {
+        "date_histogram": {"field": "ts", "calendar_interval": "hour",
+                           "min_doc_count": 0},
+        "aggs": {
+            "sv": {"sum": {"field": "v"}},
+            "mstd": {"moving_fn": {"buckets_path": "sv", "window": 3,
+                     "script": "MovingFunctions.stdDev(values, "
+                               "MovingFunctions.unweightedAvg(values))"}},
+            "lwa": {"moving_fn": {"buckets_path": "sv", "window": 3,
+                    "script":
+                        "MovingFunctions.linearWeightedAvg(values)"}},
+            "ew": {"moving_fn": {"buckets_path": "sv", "window": 3,
+                   "script": "MovingFunctions.ewma(values, 0.3)"}},
+        }}}).collect()}
+    H = 3_600_000
+    k0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    got = [(out[k0 + i * H].mstd, out[k0 + i * H].lwa, out[k0 + i * H].ew)
+           for i in range(5)]
+    # hand-computed: windows of the non-NULL values
+    # h0 [2] | h1 [2,4] | h2(gap) [2,4] | h3 [4,8] | h4 [8,1]
+    assert got == [
+        (0.0, 2.0, 2.0),
+        (1.0, round(10 / 3, 6), 2.6),         # lwa (2·1+4·2)/3
+        (1.0, round(10 / 3, 6), 2.6),         # gap: same values array
+        (2.0, round(20 / 3, 6), 5.2),         # ewma 8·.3+4·.7
+        (3.5, round(10 / 3, 6), 5.9),         # std √((64+1)/2−4.5²)
+    ]
+    with pytest.raises(ValueError, match="moving_fn script"):
+        compile_aggs(df, {"h": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {"sv": {"sum": {"field": "v"}},
+                     "bad": {"moving_fn": {"buckets_path": "sv",
+                             "window": 3,
+                             "script": "MovingFunctions.holt(values, "
+                                       "0.3, 0.1)"}}}}})
+    with pytest.raises(ValueError, match="alpha"):
+        compile_aggs(df, {"h": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {"sv": {"sum": {"field": "v"}},
+                     "bad": {"moving_fn": {"buckets_path": "sv",
+                             "window": 3,
+                             "script":
+                                 "MovingFunctions.ewma(values, 1.5)"}}}}})
+
+
 def test_gapfill_positional_pipelines_stride_empties(spark):
     """Round 12 (VERDICT r11 Next #8): moving_fn / serial_diff /
     bucket_sort at a gap-filled level run AFTER the fill, so empty

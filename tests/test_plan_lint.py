@@ -289,6 +289,9 @@ PINNED_FINGERPRINTS = {
     # the plain gapfill row (4 = rollup + distinct-cardinality +
     # gap/pipeline windows + orderBy)
     "es_gapfill_moving_fn": {"exchange": 4},
+    # the widened MovingFunctions set (round 13): collected-array
+    # folds are plain window/projection expressions — same class
+    "es_moving_fn_extended": {"exchange": 4},
     # non-root filters (round 12): the multi-membership explode is
     # one scan-side Generate — same one-rollup bucket-frame class
     "es_filters_under_terms": {"exchange": 4},
