@@ -777,6 +777,13 @@ DEMOTED: frozenset[str] = frozenset(
         #     (es_gapfill_moving_fn keeps the positional-pipeline
         #     family verified, es_pipeline_aggs declared)
         "es_moving_fn_extended",
+        # es_percolate_phrase — match_phrase percolate rules
+        #     (round 13, VERDICT r12 Next #6): adjacency on
+        #     longest-token candidates, rules routed through the
+        #     normalizer, must_not phrase load-bearing;
+        #     demoted-green pending rotation (es_percolate_bulk
+        #     keeps the bulk family declared)
+        "es_percolate_phrase",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1182,6 +1189,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_moving_fn_extended": _mod(
             "es_search", "q_es_moving_fn_extended"
+        ),
+        "es_percolate_phrase": _mod(
+            "es_search", "q_es_percolate_phrase"
         ),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
@@ -4257,6 +4267,38 @@ def _all_oracle_sql() -> dict[str, str]:
           FROM hits WHERE m1
         )
         ORDER BY event_id ASC, hit_offset ASC
+    """
+
+    # es_percolate_phrase (round 13, VERDICT r12 Next #6): phrase
+    # adjacency = the sentinel-joined token sequence contains
+    # ' phrase ' — the whitespace analyzer restated as one
+    # regexp_split + join; the four rule shapes restated as UNION
+    # ALL arms (bare / +range / +must_not / should-of-two).
+    q["es_percolate_phrase"] = """
+        WITH d AS (
+          SELECT doc_id, n_chars,
+                 ' ' || array_to_string(
+                     regexp_split_to_array(trim(text), '\\s+'), ' ')
+                     || ' ' AS seq
+          FROM documents WHERE text IS NOT NULL
+        ),
+        m AS (
+          SELECT doc_id, 'p_table_scan' AS query_id FROM d
+            WHERE contains(seq, ' table scan ')
+          UNION ALL
+          SELECT doc_id, 'p_hash_join' FROM d
+            WHERE contains(seq, ' hash join ')
+              AND coalesce(n_chars >= 200, FALSE)
+          UNION ALL
+          SELECT doc_id, 'p_sort_merge' FROM d
+            WHERE contains(seq, ' sort merge ')
+              AND NOT contains(seq, ' window scan ')
+          UNION ALL
+          SELECT doc_id, 'p_batch_or_vector' FROM d
+            WHERE contains(seq, ' batch stream ')
+               OR contains(seq, ' vector scan ')
+        )
+        SELECT doc_id, query_id FROM m ORDER BY doc_id, query_id
     """
 
     # es_matrix_stats (round 12): the extended_stats discipline for

@@ -3760,7 +3760,9 @@ def percolate(
 #: contain (round 12 — the match-query conjunct: log-alerting's
 #: "message contains X" shape, matched through a token-exploded
 #: melt).
-_BULK_OPS = ("eq", "gt", "gte", "lt", "lte", "exists", "prefix", "token")
+_BULK_OPS = (
+    "eq", "gt", "gte", "lt", "lte", "exists", "prefix", "token", "phrase"
+)
 
 
 def queries_to_conjuncts(
@@ -3776,7 +3778,11 @@ def queries_to_conjuncts(
     ``exists``; a match leaf becomes TOKEN conjuncts under
     ``analyzer`` — operator ``and`` one singleton group per token,
     ``or`` one any-token group; pass the SAME analyzer to
-    ``percolate_bulk``), or a
+    ``percolate_bulk``), a ``match_phrase`` leaf (round 13, VERDICT
+    r12 Next #6 — the "contains this exact phrase" alert class: ONE
+    phrase conjunct whose sval is the space-joined analyzed token
+    sequence; being a single row it composes in must, should AND
+    must_not positions; ``slop`` other than 0 raises), or a
     ``bool`` whose ``must``/``filter`` lists hold
     such leaves, plus (round 11) a ``should`` list of such leaves with
     ``minimum_should_match`` — the should list becomes ONE group whose
@@ -3986,6 +3992,43 @@ def queries_to_conjuncts(
                         (qid, cid, field, "token", t, None, tg, mm, neg)
                     )
                     cid += 1
+            elif kind == "match_phrase":
+                # the "contains this exact phrase" alert (round 13,
+                # VERDICT r12 Next #6): ONE conjunct row — sval is
+                # the space-joined analyzed token sequence, adjacency
+                # checked channel-side on the doc's own token
+                # sequence. A single row per leaf composes in must /
+                # should / must_not without group nesting.
+                from .retrieval import _terms as _q_terms
+
+                (field, spec), = body.items()
+                if isinstance(spec, dict):
+                    if int(spec.get("slop", 0)) != 0:
+                        raise ValueError(
+                            f"percolate_bulk query {qid!r}: match_"
+                            "phrase slop is not supported; use "
+                            "percolate() for the full DSL"
+                        )
+                    bad_k = set(spec) - {"query", "slop"}
+                    if bad_k:
+                        raise ValueError(
+                            f"percolate_bulk query {qid!r}: match_"
+                            f"phrase key {sorted(bad_k)[0]!r}"
+                        )
+                    qtext = spec["query"]
+                else:
+                    qtext = spec
+                toks = _q_terms(str(qtext), analyzer)
+                if not toks:
+                    raise ValueError(
+                        f"percolate_bulk query {qid!r}: match_phrase "
+                        "analyzed to zero tokens"
+                    )
+                rows.append(
+                    (qid, cid, field, "phrase", " ".join(toks), None,
+                     g, mm, neg)
+                )
+                cid += 1
             elif kind == "geo_bounding_box":
                 # a box rule is TWO numeric bands — lat ∈ [br.lat,
                 # tl.lat], lon ∈ [tl.lon, br.lon] — each bound its own
@@ -4145,6 +4188,12 @@ def percolate_bulk(
       but such a rule matches O(data/alphabet) docs by definition —
       candidates stay output-bound, the one-sided-interval argument.
       Empty prefixes normalize to `exists` conjuncts.
+    - PHRASE conjuncts (round 13 — normalized from ``match_phrase``
+      rules, the "contains this exact phrase" alert class) join the
+      doc-token melt on the phrase's LONGEST token, then ONE
+      contains() over the doc's sentinel-joined token sequence
+      decides adjacency — position checks only on candidate pairs,
+      the token channel's shuffle shape.
     - a query matches when its satisfied-group weight equals its
       group total: ONE groupBy ``(doc, query)`` over satisfied rows +
       a rule-sized join against per-query totals.  Only when should
@@ -4195,6 +4244,8 @@ def percolate_bulk(
         F.max(pos & (F.col("op") == "prefix")).alias("_pf"),
         F.max(pos & (F.col("op") == "token")).alias("_tok"),
         F.max(~pos & (F.col("op") == "token")).alias("_neg_tok"),
+        F.max(pos & (F.col("op") == "phrase")).alias("_ph"),
+        F.max(~pos & (F.col("op") == "phrase")).alias("_neg_ph"),
         F.max(
             ~pos & is_eq & F.col("sval").isNotNull()
         ).alias("_neg_s"),
@@ -4211,7 +4262,8 @@ def percolate_bulk(
             f"unsupported conjunct op/min_match {bad[0].op!r}/"
             f"{bad[0].min_match!r}"
         )
-    if st._neg_s or st._neg_n or st._neg_ex or st._neg_pf or st._neg_tok:
+    if (st._neg_s or st._neg_n or st._neg_ex or st._neg_pf
+            or st._neg_tok or st._neg_ph):
         # a must_not-only rule has no positive conjunct to anchor the
         # count-to-total match — it would silently never fire
         orphan = (
@@ -4348,19 +4400,20 @@ def percolate_bulk(
             .filter(F.col("_pv").startswith(F.col("sval")))
             .select(*id_cols, "query_id", "group_id")
         )
-    if st._tok or st._neg_tok:
-        # token conjuncts match TEXT fields only — a token rule on a
-        # numeric field would silently never match
+    if st._tok or st._neg_tok or st._ph or st._neg_ph:
+        # token/phrase conjuncts match TEXT fields only — such a rule
+        # on a numeric field would silently never match
         bad_tok = (
             conjuncts.filter(
-                (F.col("op") == "token") & F.col("field").isin(*n_fields)
+                F.col("op").isin("token", "phrase")
+                & F.col("field").isin(*n_fields)
             ).limit(1).collect()
             if n_fields
             else []
         )
         if bad_tok:
             raise ValueError(
-                f"token (match) rules need a string field; "
+                f"token (match) / phrase rules need a string field; "
                 f"{bad_tok[0].field!r} is numeric"
             )
     if s_fields and st._tok:
@@ -4383,6 +4436,47 @@ def percolate_bulk(
             toks_rows.join(_rb(tok), ["field", "sval"]).select(
                 *id_cols, "query_id", "group_id"
             )
+        )
+    if s_fields and st._ph:
+        # PHRASE conjuncts (round 13, VERDICT r12 Next #6): the
+        # candidate key is the phrase's LONGEST token (a selectivity
+        # heuristic needing no doc stats), equi-joined against the
+        # doc's distinct tokens — the token channel's shape — and
+        # adjacency then decided by ONE contains() over the doc's
+        # sentinel-joined token sequence (' t1 t2 … ' ⊇ ' phrase '
+        # ⟺ the tokens run consecutively). Position checks cost
+        # only candidate pairs; the plan stays O(1) in rules.
+        from .retrieval import _tokens_col as _tc
+
+        ph = conjuncts.filter(
+            pos & (F.col("op") == "phrase")
+        ).select("query_id", "group_id", "field", "sval").withColumn(
+            "_ctok",
+            F.aggregate(
+                F.split(F.col("sval"), " "),
+                F.lit(""),
+                lambda acc, x: F.when(
+                    F.length(x) > F.length(acc), x
+                ).otherwise(acc),
+            ),
+        )
+        _ph_toks = _tc(F.col("_txt"), analyzer)
+        ph_rows = _melt(s_fields, "string", "_txt").select(
+            *id_cols,
+            "field",
+            F.concat(
+                F.lit(" "), F.array_join(_ph_toks, " "), F.lit(" ")
+            ).alias("_seq"),
+            F.explode(F.array_distinct(_ph_toks)).alias("_ctok"),
+        )
+        leaf_sat.append(
+            ph_rows.join(_rb(ph), ["field", "_ctok"])
+            .filter(
+                F.col("_seq").contains(
+                    F.concat(F.lit(" "), F.col("sval"), F.lit(" "))
+                )
+            )
+            .select(*id_cols, "query_id", "group_id")
         )
     # group-satisfaction channel from merged must-range intervals:
     # (ids…, query_id, _gw) rows, _gw = how many singleton groups the
@@ -4564,7 +4658,8 @@ def percolate_bulk(
         .select(*id_cols, "query_id")
     )
     if not (
-        st._neg_s or st._neg_n or st._neg_ex or st._neg_pf or st._neg_tok
+        st._neg_s or st._neg_n or st._neg_ex or st._neg_pf
+        or st._neg_tok or st._neg_ph
     ):
         return _with_handles(matched)
     # must_not conjuncts (round 11): each negated leaf KILLS any
@@ -4613,6 +4708,34 @@ def percolate_bulk(
                 ).alias("sval"),
             )
             .join(_rb(neg_tok), ["field", "sval"])
+            .select(*id_cols, "query_id")
+        )
+    if s_fields and st._neg_ph:
+        # negated phrase ("must_not contain this phrase"): any
+        # adjacency hit kills — per-leaf field broadcast like the
+        # other kill channels (no counting), contains() deciding
+        from .retrieval import _tokens_col as _tc
+
+        neg_ph = conjuncts.filter(
+            ~pos & (F.col("op") == "phrase")
+        ).select("query_id", "field", "sval")
+        kill.append(
+            _melt(s_fields, "string", "_txt")
+            .select(
+                *id_cols,
+                "field",
+                F.concat(
+                    F.lit(" "),
+                    F.array_join(_tc(F.col("_txt"), analyzer), " "),
+                    F.lit(" "),
+                ).alias("_seq"),
+            )
+            .join(_rb(neg_ph), "field")
+            .filter(
+                F.col("_seq").contains(
+                    F.concat(F.lit(" "), F.col("sval"), F.lit(" "))
+                )
+            )
             .select(*id_cols, "query_id")
         )
     if n_fields and st._neg_n:
@@ -4708,6 +4831,35 @@ def q_es_terms_missing_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 },
             }
         },
+    )
+
+
+def q_es_percolate_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``match_phrase`` percolate rules (round 13, VERDICT r12 Next
+    #6) — the "contains this exact phrase" alert class, routed
+    THROUGH the normalizer: a bare phrase rule, a phrase+range must
+    pair, a phrase with a must_not phrase (load-bearing: the corpus
+    has docs matching both), and a should-of-phrases — adjacency
+    decided on longest-token candidates only."""
+    docs = load(spark, sf_dir, "documents")
+    rules = {
+        "p_table_scan": {"match_phrase": {"text": "table scan"}},
+        "p_hash_join": {"bool": {"must": [
+            {"match_phrase": {"text": {"query": "hash join"}}},
+            {"range": {"n_chars": {"gte": 200}}},
+        ]}},
+        "p_sort_merge": {"bool": {
+            "must": [{"match_phrase": {"text": "sort merge"}}],
+            "must_not": [{"match_phrase": {"text": "window scan"}}],
+        }},
+        "p_batch_or_vector": {"bool": {"should": [
+            {"match_phrase": {"text": "batch stream"}},
+            {"match_phrase": {"text": "vector scan"}},
+        ], "minimum_should_match": 1}},
+    }
+    cj = queries_to_conjuncts(spark, rules)
+    return percolate_bulk(docs, cj, ["doc_id"]).orderBy(
+        "doc_id", "query_id"
     )
 
 

@@ -3244,6 +3244,57 @@ def test_percolate_bulk_exposes_persist_handles(spark):
         h.unpersist()
 
 
+def test_percolate_bulk_phrase_conjuncts(spark):
+    """Round 13 (VERDICT r12 Next #6): ``match_phrase`` rules — ONE
+    phrase conjunct per leaf, adjacency decided by the sentinel-
+    joined token sequence on longest-token candidates; composes in
+    must / should / must_not; slop and numeric fields raise."""
+    from dump_es_parquet_spark.operators.es_search import (
+        percolate,
+        percolate_bulk,
+        queries_to_conjuncts,
+    )
+
+    docs = spark.createDataFrame([
+        Row(id=1, msg="disk error on node a", sev=3.0),
+        Row(id=2, msg="error disk full", sev=1.0),
+        Row(id=3, msg="disk ok error elsewhere", sev=2.0),
+        Row(id=4, msg=None, sev=5.0),
+        Row(id=5, msg="disk error", sev=None),
+    ])
+    rules = {
+        "r_must": {"match_phrase": {"msg": "disk error"}},
+        "r_dict": {"bool": {"must": [
+            {"match_phrase": {"msg": {"query": "disk error",
+                                      "slop": 0}}},
+            {"range": {"sev": {"gte": 2}}}]}},
+        "r_should": {"bool": {"should": [
+            {"match_phrase": {"msg": "disk full"}},
+            {"term": {"sev": 5.0}}], "minimum_should_match": 1}},
+        "r_not": {"bool": {
+            "must": [{"range": {"sev": {"gte": 1}}}],
+            "must_not": [{"match_phrase": {"msg": "disk ok"}}]}},
+        "r_single": {"match_phrase": {"msg": "elsewhere"}},
+    }
+    cj = queries_to_conjuncts(spark, rules)
+    got = sorted((r.id, r.query_id)
+                 for r in percolate_bulk(docs, cj, ["id"]).collect())
+    want = sorted((r.id, r.query_id)
+                  for r in percolate(docs, rules, ["id"]).collect())
+    assert got == want
+    # adjacency is load-bearing: doc 3 has both tokens NON-adjacent
+    assert (3, "r_must") not in got and (1, "r_must") in got
+    with pytest.raises(ValueError, match="slop"):
+        queries_to_conjuncts(spark, {"r": {"match_phrase": {
+            "msg": {"query": "disk error", "slop": 2}}}})
+    with pytest.raises(ValueError, match="zero tokens"):
+        queries_to_conjuncts(spark, {"r": {"match_phrase": {
+            "msg": "   "}}})
+    with pytest.raises(ValueError, match="need a string field"):
+        percolate_bulk(docs, queries_to_conjuncts(spark, {
+            "r": {"match_phrase": {"sev": "1 2"}}}), ["id"]).collect()
+
+
 def test_percolate_bulk_randomized_agreement(spark):
     """Round 12: seeded randomized agreement percolate_bulk ≡
     percolate over the whole conjunct-expressible grammar (term /
@@ -3285,6 +3336,12 @@ def test_percolate_bulk_randomized_agreement(spark):
             return {"prefix": {"h": rnd.choice(["web", "web-0", "db", "d"])}}
         if r < 0.85:
             return {"wildcard": {"h": rnd.choice(["web*", "db-*"])}}
+        if r < 0.92:
+            # match_phrase (round 13): single conjunct row — legal in
+            # every position, including multi-token inside should /
+            # must_not (unlike match)
+            return {"match_phrase": {
+                "msg": " ".join(rnd.sample(vocab, rnd.randint(1, 2)))}}
         q = " ".join(rnd.sample(vocab, rnd.randint(1, 2 if must_pos else 1)))
         spec = {"query": q}
         if must_pos and rnd.random() < 0.5 and " " in q:

@@ -302,6 +302,12 @@ PINNED_FINGERPRINTS = {
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
     "es_date_histogram_tz": {"exchange": 4},
+    # match_phrase percolate rules (round 13): the phrase channel's
+    # longest-token candidate join + the must_not kill channel ride
+    # rule-frame broadcasts (12 bhj across validation/channel/total
+    # consumers of the persisted conjunct frame); exchanges are the
+    # melt/groupBy/orderBy class, O(1) in rules
+    "es_percolate_phrase": {"exchange": 7, "bhj": 12},
     # nested inner_hits (round 13): a TakeOrdered page + an
     # index-keeping transform/filter projection + one explode — no
     # exchange at all
