@@ -784,6 +784,13 @@ DEMOTED: frozenset[str] = frozenset(
         #     demoted-green pending rotation (es_percolate_bulk
         #     keeps the bulk family declared)
         "es_percolate_phrase",
+        # es_normalize_zscore — normalize z-score + softmax-over-z
+        #     (round 13, VERDICT r12 Next #7): the moment discipline
+        #     in a level window, exp 12dp-rounded before the exact
+        #     sum; demoted-green pending rotation
+        #     (es_bucket_selector keeps normalize verified,
+        #     es_pipeline_aggs the pipeline family declared)
+        "es_normalize_zscore",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1192,6 +1199,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_percolate_phrase": _mod(
             "es_search", "q_es_percolate_phrase"
+        ),
+        "es_normalize_zscore": _mod(
+            "es_search", "q_es_normalize_zscore"
         ),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
@@ -4299,6 +4309,49 @@ def _all_oracle_sql() -> dict[str, str]:
                OR contains(seq, ' vector scan ')
         )
         SELECT doc_id, query_id FROM m ORDER BY doc_id, query_id
+    """
+
+    # es_normalize_zscore (round 13, VERDICT r12 Next #7): z-score
+    # through the extended_stats window-moment discipline (19,6
+    # decimals keep the squares in int128), softmax over the ROUNDED
+    # z values — exp outputs 12dp-rounded, summed exactly, the 6dp
+    # output tree engine-independent.
+    q["es_normalize_zscore"] = """
+        WITH b AS (
+          SELECT epoch_ms(date_trunc('hour', ts)) AS k, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+          FROM events
+          WHERE coalesce(event_type = 'error', FALSE) AND ts IS NOT NULL
+          GROUP BY 1
+        ),
+        w AS (
+          SELECT k, n, s,
+                 CAST(count(s) OVER () AS DOUBLE) AS n_d,
+                 CAST(sum(CAST(s AS DECIMAL(28,6))) OVER () AS DOUBLE)
+                   AS sx,
+                 round(CAST(sum(CAST(s AS DECIMAL(19,6))
+                                * CAST(s AS DECIMAL(19,6))) OVER ()
+                            AS DOUBLE), 4) AS sxx
+          FROM b
+        ),
+        z AS (
+          SELECT k, n, s,
+                 CASE WHEN greatest((n_d * sxx - sx * sx)
+                                    / (n_d * n_d), 0.0) > 0
+                      THEN round((s - sx / n_d)
+                                 / sqrt(greatest((n_d * sxx - sx * sx)
+                                                 / (n_d * n_d), 0.0)), 6)
+                 END AS zv
+          FROM w
+        ),
+        e AS (
+          SELECT *, round(exp(zv - max(zv) OVER ()), 12) AS ex FROM z
+        )
+        SELECT CAST(1 AS INT) AS level, k AS per_hour, n AS doc_count,
+               s AS sum_value, zv AS z,
+               round(ex / CAST(sum(CAST(ex AS DECIMAL(18,12))) OVER ()
+                               AS DOUBLE), 6) AS sm
+        FROM e ORDER BY per_hour
     """
 
     # es_matrix_stats (round 12): the extended_stats discipline for

@@ -203,7 +203,13 @@ _PIPELINE_PARENT = (
 #: arithmetic over the level partition's min/max/sum windows (round
 #: 12); z-score/softmax involve std/exp trees left out of the oracle
 #: contract — they raise.
-_NORMALIZE_METHODS = ("rescale_0_1", "rescale_0_100", "percent_of_sum")
+_NORMALIZE_METHODS = (
+    "rescale_0_1",
+    "rescale_0_100",
+    "percent_of_sum",
+    "z-score",
+    "softmax",
+)
 # the MovingFunctions.* subset that maps onto exact SQL window
 # aggregates (sum/avg accumulate through DECIMAL so they are
 # association-free across engines). ES returns 0.0 (sum) / NaN
@@ -2650,11 +2656,11 @@ def _apply_pipelines_windows(
                     src = F.coalesce(src, F.lit(0.0))
                 col = (src - F.lag(src, lag_n).over(w)).cast("double")
             elif kind == "normalize":
-                # ES normalize (round 12): rescale a metric across
-                # the level's buckets — min/max/sum windows over the
+                # ES normalize (round 12; round 13 adds z-score +
+                # softmax — VERDICT r12 Next #7): rescale a metric
+                # across the level's buckets — windows over the
                 # whole (level, parent-prefix) partition, reported
-                # at 6dp. Methods beyond pure arithmetic (z-score,
-                # softmax — std/exp trees) raise.
+                # at 6dp.
                 method = spec["method"]
                 if method not in _NORMALIZE_METHODS:
                     raise ValueError(
@@ -2674,6 +2680,57 @@ def _apply_pipelines_windows(
                         .cast("double")
                     )
                     col = F.round(src / tot, 6)
+                elif method == "z-score":
+                    # (x − mean)/σ over the level's buckets — the
+                    # extended_stats moment discipline (exact
+                    # decimal Σv/Σv², 4dp double casts, clamped
+                    # population tree); a zero-variance level
+                    # reports NULL (ES would divide by zero)
+                    n_d = F.count(src).over(wp).cast("double")
+                    sx = (
+                        F.sum(src.cast("decimal(28,6)"))
+                        .over(wp)
+                        .cast("double")
+                    )
+                    sxx = F.round(
+                        F.sum(
+                            src.cast("decimal(18,6)")
+                            * src.cast("decimal(18,6)")
+                        )
+                        .over(wp)
+                        .cast("double"),
+                        4,
+                    )
+                    var = F.greatest(
+                        (n_d * sxx - sx * sx) / (n_d * n_d),
+                        F.lit(0.0),
+                    )
+                    col = F.when(
+                        var > 0,
+                        F.round((src - sx / n_d) / F.sqrt(var), 6),
+                    )
+                elif method == "softmax":
+                    # exp is libm (not correctly rounded) — the
+                    # established rule: shift by the level max
+                    # (softmax is shift-invariant) so exp ∈ (0, 1],
+                    # round each exp at 12dp (one window), then the
+                    # rounded values are plain data: their exact
+                    # decimal sum and the 6dp output tree are
+                    # engine-independent. Two windows = one extra
+                    # projection; exp lives in a TEMP column so the
+                    # sum window need not nest inside it.
+                    mx = F.max(src).over(wp)
+                    tmp = f"_sm_{pname}"
+                    frame = frame.withColumn(
+                        tmp,
+                        F.when(at_level, F.round(F.exp(src - mx), 12)),
+                    )
+                    tot = (
+                        F.sum(F.col(tmp).cast("decimal(18,12)"))
+                        .over(wp)
+                        .cast("double")
+                    )
+                    col = F.round(F.col(tmp) / tot, 6)
                 else:
                     mn, mx = F.min(src).over(wp), F.max(src).over(wp)
                     scale = 100.0 if method == "rescale_0_100" else 1.0
@@ -4830,6 +4887,45 @@ def q_es_terms_missing_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 },
             }
+        },
+    )
+
+
+def q_es_normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``normalize`` z-score + softmax (round 13, VERDICT r12 Next
+    #7): hourly error-sum buckets, z = (x − mean)/σ over the level
+    (the extended_stats moment discipline), and softmax over the
+    z-SCORES (buckets_path chaining onto the sibling pipeline — raw
+    sums would be max-dominated; z values spread the exponentials),
+    the exp outputs 12dp-rounded before the exact-decimal sum."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "query": {"term": {"event_type": "error"}},
+            "aggs": {
+                "per_hour": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "calendar_interval": "hour",
+                    },
+                    "aggs": {
+                        "sum_value": {"sum": {"field": "value"}},
+                        "z": {
+                            "normalize": {
+                                "buckets_path": "sum_value",
+                                "method": "z-score",
+                            }
+                        },
+                        "sm": {
+                            "normalize": {
+                                "buckets_path": "z",
+                                "method": "softmax",
+                            }
+                        },
+                    },
+                }
+            },
         },
     )
 

@@ -1902,6 +1902,37 @@ def test_bucket_selector_and_normalize(spark):
     # c (1 doc) dropped by the selector — but its sv=5 participated
     # in the normalize windows computed before selection (ES order)
     assert got == [("a", 3, 0.2, 0.0), ("b", 2, 0.466667, 100.0)]
+    # round 13 (VERDICT r12 Next #7): z-score + softmax (the latter
+    # chained onto the z column via buckets_path)
+    import math
+
+    zout = compile_aggs(
+        df,
+        {"byg": {"terms": {"field": "g"}, "aggs": {
+            "sv": {"sum": {"field": "v"}},
+            "z": {"normalize": {"buckets_path": "sv",
+                                "method": "z-score"}},
+            "sm": {"normalize": {"buckets_path": "z",
+                                 "method": "softmax"}},
+        }}},
+    ).collect()
+    zgot = sorted((r.byg, r.z, r.sm) for r in zout)
+    vals = {"a": 3.0, "b": 7.0, "c": 5.0}
+    mean = 5.0
+    std = math.sqrt(sum(x * x for x in vals.values()) / 3 - mean * mean)
+    zs = {k: round((x - mean) / std, 6) for k, x in vals.items()}
+    mx = max(zs.values())
+    es = {k: round(math.exp(z - mx), 12) for k, z in zs.items()}
+    tot = sum(es.values())
+    assert zgot == [(k, zs[k], round(es[k] / tot, 6))
+                    for k in ("a", "b", "c")]
+    # zero-variance level: z-score reports NULL
+    flat = spark.createDataFrame([Row(g="x", v=2.0), Row(g="y", v=2.0)])
+    zf = compile_aggs(flat, {"byg": {"terms": {"field": "g"}, "aggs": {
+        "sv": {"sum": {"field": "v"}},
+        "z": {"normalize": {"buckets_path": "sv",
+                            "method": "z-score"}}}}}).collect()
+    assert [r.z for r in zf] == [None, None]
     # selector under a parent: descendants of dropped buckets go too
     df2 = spark.createDataFrame(
         [Row(g="x", h="p", v=1.0), Row(g="x", h="q", v=2.0),
@@ -1926,7 +1957,7 @@ def test_bucket_selector_and_normalize(spark):
             {"byg": {"terms": {"field": "g"}, "aggs": {
                 "sv": {"sum": {"field": "v"}},
                 "z": {"normalize": {"buckets_path": "sv",
-                                    "method": "z-score"}}}}},
+                                    "method": "mean"}}}}},
         )
 
 

@@ -302,6 +302,10 @@ PINNED_FINGERPRINTS = {
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
     "es_date_histogram_tz": {"exchange": 4},
+    # normalize z-score + softmax-over-z (round 13): moment windows
+    # + the temp exp projection share the level partition — same
+    # bucket-frame class as the other pipeline rows
+    "es_normalize_zscore": {"exchange": 4},
     # match_phrase percolate rules (round 13): the phrase channel's
     # longest-token candidate join + the must_not kill channel ride
     # rule-frame broadcasts (12 bhj across validation/channel/total
