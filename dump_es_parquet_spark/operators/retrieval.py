@@ -104,7 +104,158 @@ ENGLISH_STOPWORDS = (
 #: stopword/length filters, identically to query and document text
 #: (and spelled identically in the DuckDB oracle SQL). Full Porter
 #: is NOT expressible without a UDF — documented bound, PARITY #19.
-STEMMERS = ("minimal_english",)
+STEMMERS = ("minimal_english", "porter")
+
+
+# --- the full Porter stemmer (round 13, VERDICT r12 Next #8) --------
+# Porter, "An algorithm for suffix stripping", Program 14(3), 1980 —
+# the published algorithm behind Lucene/ES's ``english``/``porter``
+# stemmer filters. NOT expressible as a Catalyst expression (the
+# measure function recurses over the word), so the column path runs
+# it as an Arrow-BATCHED pandas UDF over the token arrays
+# (ArrowEvalPython — the engine's allowed Python class; never
+# row-at-a-time BatchEvalPython), and the driver-side query path
+# calls the same Python function, so query and document text agree
+# by construction. Cross-engine oracle note: DuckDB's fts extension
+# (``stem(w, 'porter')``) is not installable in this container (no
+# network), so there is no hash-checked oracle row for porter —
+# the stemmer is pinned instead by the published algorithm's own
+# vocabulary examples (tests/test_retrieval.py) and by the
+# column-path ≡ python-twin randomized test. minimal_english stays
+# the oracle-checked default.
+
+_P_VOWELS = "aeiou"
+
+
+def _p_is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _P_VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _p_is_cons(w, i - 1)
+    return True
+
+
+def _p_measure(w: str) -> int:
+    """The number of VC sequences in ``w`` (Porter's m)."""
+    m, i, n = 0, 0, len(w)
+    while i < n and _p_is_cons(w, i):
+        i += 1
+    while i < n:
+        while i < n and not _p_is_cons(w, i):
+            i += 1
+        if i == n:
+            break
+        m += 1
+        while i < n and _p_is_cons(w, i):
+            i += 1
+    return m
+
+
+def _p_has_vowel(w: str) -> bool:
+    return any(not _p_is_cons(w, i) for i in range(len(w)))
+
+
+def _p_ends_cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    if (
+        _p_is_cons(w, len(w) - 3)
+        and not _p_is_cons(w, len(w) - 2)
+        and _p_is_cons(w, len(w) - 1)
+    ):
+        return w[-1] not in "wxy"
+    return False
+
+
+def _p_double_cons(w: str) -> bool:
+    return (
+        len(w) >= 2 and w[-1] == w[-2] and _p_is_cons(w, len(w) - 1)
+    )
+
+
+_P_STEP2 = (
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+    ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+    ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+    ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+    ("biliti", "ble"),
+)
+_P_STEP3 = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+)
+_P_STEP4 = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+    "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+    "ous", "ive", "ize",
+)
+
+
+def porter_stem(w: str) -> str:
+    """One lowercase token through the original Porter algorithm."""
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _p_measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        stem = None
+        if w.endswith("ed") and _p_has_vowel(w[:-2]):
+            stem = w[:-2]
+        elif w.endswith("ing") and _p_has_vowel(w[:-3]):
+            stem = w[:-3]
+        if stem is not None:
+            w = stem
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _p_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _p_measure(w) == 1 and _p_ends_cvc(w):
+                w += "e"
+    # step 1c
+    if w.endswith("y") and _p_has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in _P_STEP2:
+        if w.endswith(suf):
+            if _p_measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in _P_STEP3:
+        if w.endswith(suf):
+            if _p_measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in _P_STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _p_measure(stem) > 1:
+                if suf == "ion" and (not stem or stem[-1] not in "st"):
+                    break
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = _p_measure(w[:-1])
+        if m > 1 or (m == 1 and not _p_ends_cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _p_measure(w) > 1 and _p_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
 
 
 def _s_stem_py(t: str) -> str:
@@ -140,6 +291,21 @@ def _s_stem_col(x):
         .when(x.rlike("[iaoe]es$"), x)
         .when(x.rlike("..s$"), F.regexp_replace(x, "s$", ""))
         .otherwise(x)
+    )
+
+
+from pyspark.sql.types import ArrayType, StringType
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _porter_tokens_udf(tok_arrays):
+    """Arrow-batched Porter over token arrays: one pd.Series of
+    lists in, one out — the vectorized (never row-at-a-time) shape
+    the engine allows for Python stages."""
+    return tok_arrays.map(
+        lambda toks: None
+        if toks is None
+        else [porter_stem(t) for t in toks]
     )
 
 
@@ -184,7 +350,9 @@ def _analyze(text: str, analyzer="whitespace") -> list[str]:
     else:
         raise ValueError(f"analyzer {typ!r}: one of {ANALYZERS}")
     toks = [t for t in toks if len(t) >= minlen and t not in stop]
-    if stemmer:
+    if stemmer == "porter":
+        toks = [porter_stem(t) for t in toks]
+    elif stemmer:
         toks = [_s_stem_py(t) for t in toks]
     return toks
 
@@ -235,7 +403,14 @@ def _tokens_col(text_col, analyzer="whitespace"):
             return cond
 
         toks = F.filter(toks, _keep)
-    if stemmer:
+    if stemmer == "porter":
+        # full Porter (round 13): not a Catalyst expression — an
+        # Arrow-BATCHED pandas UDF over the token arrays (shows as
+        # ArrowEvalPython, the engine's allowed Python class; the
+        # lint's BatchEvalPython ban is untouched). Same Python
+        # function as the driver-side query path.
+        toks = _porter_tokens_udf(toks)
+    elif stemmer:
         # AFTER stop/length filters, like Lucene's chain order
         toks = F.transform(toks, _s_stem_col)
     return toks
