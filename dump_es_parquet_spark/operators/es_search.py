@@ -88,9 +88,12 @@ Aggregations DSL (``compile_aggs``):
   ``bucket_selector`` (round 12 — the HAVING clause: a script over
   buckets_path columns prunes this level's buckets and their
   descendants, evaluated after the other pipelines and before
-  bucket_sort), and ``normalize`` (round 12 — rescale_0_1 /
-  rescale_0_100 / percent_of_sum windows over the level's buckets at
-  6dp; z-score/softmax raise). All are
+  bucket_sort; round 13 ADVICE — under the default gap_policy
+  'skip' a bucket whose buckets_path value is NULL is RETAINED
+  without evaluating the script, ES's BucketSelectorPipelineAggregator
+  behavior), and ``normalize`` (round 12 — rescale_0_1 /
+  rescale_0_100 / percent_of_sum; round 13 — z-score and softmax —
+  windows over the level's buckets at 6dp). All are
   level-masked windows over the compact bucket frame.
 
 Scale shape: ONE scan and ONE data-sized shuffle produce every
@@ -1975,9 +1978,11 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     # columns) and BEFORE bucket_sort (ES prunes, then the survivors
     # compete for from/size); a dropped bucket takes its descendants
     # through the same prefix-window propagation. Like bucket_sort,
-    # gap-filled levels select AFTER the fill (ES evaluates empty
-    # buckets too — their NULL metric values read as no-match under
-    # the default gap_policy 'skip', 0 under insert_zeros).
+    # gap-filled levels select AFTER the fill (empty buckets'
+    # NULL metric values RETAIN the bucket unevaluated under the
+    # default gap_policy 'skip' — ES's BucketSelectorPipeline-
+    # Aggregator behavior, round-13 ADVICE fix — and read as 0
+    # under insert_zeros).
     sel_levels = [
         i for i, lvl in enumerate(levels, start=1) if lvl.selectors
     ]
@@ -1991,6 +1996,7 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 if gp not in ("skip", "insert_zeros"):
                     raise ValueError(f"gap_policy {gp!r}")
                 script = spec["script"]
+                srcs = []
                 for var, path in sorted(
                     spec["buckets_path"].items(),
                     key=lambda kv: -len(kv[0]),
@@ -1998,10 +2004,30 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                     col_name = "doc_count" if path == "_count" else path
                     if gp == "insert_zeros":
                         col_name = f"coalesce({col_name}, 0.0)"
-                    script = script.replace(f"params.{var}", col_name)
-                keep = keep & F.coalesce(
+                    else:
+                        srcs.append(col_name)
+                    script = re.sub(
+                        rf"params\.{re.escape(var)}\b", col_name, script
+                    )
+                if re.search(r"\bparams\.", script):
+                    raise ValueError(
+                        f"bucket_selector script {spec['script']!r}: "
+                        "undeclared params.* variable (round-13 ADVICE)"
+                    )
+                pred = F.coalesce(
                     F.expr(script).cast("boolean"), F.lit(False)
                 )
+                if srcs:
+                    # ES GapPolicy.SKIP: a bucket whose buckets_path
+                    # value is missing is RETAINED without evaluating
+                    # the script (BucketSelectorPipelineAggregator) —
+                    # round-13 ADVICE fix; insert_zeros coalesced the
+                    # sources above so it evaluates normally
+                    any_null = F.expr(srcs[0]).isNull()
+                    for c in srcs[1:]:
+                        any_null = any_null | F.expr(c).isNull()
+                    pred = F.when(any_null, F.lit(True)).otherwise(pred)
+                keep = keep & pred
             frame = frame.withColumn(
                 f"_sel{i}", F.when(F.col("level") == i, keep.cast("int"))
             )
@@ -2752,7 +2778,14 @@ def _apply_pipelines_windows(
                     col_name = "doc_count" if path == "_count" else path
                     if zeroed:
                         col_name = f"coalesce({col_name}, 0.0)"
-                    script = script.replace(f"params.{var}", col_name)
+                    script = re.sub(
+                        rf"params\.{re.escape(var)}\b", col_name, script
+                    )
+                if re.search(r"\bparams\.", script):
+                    raise ValueError(
+                        f"bucket_script script {spec['script']!r}: "
+                        "undeclared params.* variable (round-13 ADVICE)"
+                    )
                 col = F.expr(script).cast("double")
             frame = frame.withColumn(pname, F.when(at_level, col))
             added.append(pname)

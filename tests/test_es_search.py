@@ -1926,6 +1926,52 @@ def test_bucket_selector_and_normalize(spark):
     tot = sum(es.values())
     assert zgot == [(k, zs[k], round(es[k] / tot, 6))
                     for k in ("a", "b", "c")]
+    # round-13 ADVICE: under gap_policy 'skip' a bucket whose
+    # buckets_path value is NULL is RETAINED without evaluating the
+    # script (ES BucketSelectorPipelineAggregator); insert_zeros
+    # coalesces and evaluates; undeclared params.* raise; a var that
+    # prefixes another (params.s / params.s2) substitutes by word
+    # boundary
+    import datetime as dt
+
+    gdf = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0), 5.0),
+         (dt.datetime(2024, 1, 1, 2), 1.0)],
+        "ts timestamp, v double",
+    )
+    body = {"field": "ts", "calendar_interval": "hour",
+            "min_doc_count": 0}
+    sel = {"buckets_path": {"s": "sv"}, "script": "params.s >= 5"}
+    kept = compile_aggs(gdf, {"h": {
+        "date_histogram": dict(body),
+        "aggs": {"sv": {"sum": {"field": "v"}},
+                 "keep": {"bucket_selector": dict(sel)}}}}).collect()
+    assert sorted((r.sv is None, r.sv) for r in kept) == [
+        (False, 5.0), (True, None)]  # the empty hour survives skip
+    zkept = compile_aggs(gdf, {"h": {
+        "date_histogram": dict(body),
+        "aggs": {"sv": {"sum": {"field": "v"}},
+                 "keep": {"bucket_selector": {
+                     **sel, "gap_policy": "insert_zeros"}}}}}).collect()
+    assert [r.sv for r in zkept] == [5.0]  # gap reads 0, evaluated
+    with pytest.raises(ValueError, match="undeclared params"):
+        compile_aggs(gdf, {"h": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "hour"},
+            "aggs": {"sv": {"sum": {"field": "v"}},
+                     "keep": {"bucket_selector": {
+                         "buckets_path": {"s": "sv"},
+                         "script": "params.s >= 5 AND params.oops > 0",
+                     }}}}}).collect()
+    wb = compile_aggs(gdf, {"h": {
+        "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+        "aggs": {"sv": {"sum": {"field": "v"}},
+                 "s2v": {"max": {"field": "v"}},
+                 "keep": {"bucket_selector": {
+                     "buckets_path": {"s2": "s2v", "s": "sv"},
+                     "script": "params.s2 >= 1 AND params.s >= 1",
+                 }}}}}).collect()
+    assert len(wb) == 2  # params.s2 not clobbered into "sv2"
     # zero-variance level: z-score reports NULL
     flat = spark.createDataFrame([Row(g="x", v=2.0), Row(g="y", v=2.0)])
     zf = compile_aggs(flat, {"byg": {"terms": {"field": "g"}, "aggs": {
