@@ -1392,8 +1392,11 @@ def test_analyzer_spec_stopwords_and_length_floor(spark):
     assert _terms("the the dup", spec) == ["dup"]
     # round 12: "stemmer" is now a valid key — but only the
     # regexp-expressible minimal_english rule set (Porter needs a UDF)
+    # round 13: porter is a valid opt-in stage; unknown names raise
+    assert _analyze("generalizations",
+                    {"type": "standard", "stemmer": "porter"}) == ["gener"]
     with _pytest.raises(ValueError, match="stemmer"):
-        _analyze("x", {"type": "standard", "stemmer": "porter"})
+        _analyze("x", {"type": "standard", "stemmer": "snowball"})
     with _pytest.raises(ValueError, match="spec key"):
         _analyze("x", {"type": "standard", "lemmatizer": "wordnet"})
 
