@@ -791,6 +791,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     (es_bucket_selector keeps normalize verified,
         #     es_pipeline_aggs the pipeline family declared)
         "es_normalize_zscore",
+        # es_diversified_sampler — sampler/diversified_sampler over
+        #     a deterministic explicit-sort sample (round 13, the r12
+        #     "smaller bounds" list); demoted-green pending rotation
+        #     (es_aggs_tree keeps the bucket family declared)
+        "es_diversified_sampler",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1202,6 +1207,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_normalize_zscore": _mod(
             "es_search", "q_es_normalize_zscore"
+        ),
+        "es_diversified_sampler": _mod(
+            "es_search", "q_es_diversified_sampler"
         ),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
@@ -4352,6 +4360,34 @@ def _all_oracle_sql() -> dict[str, str]:
                round(ex / CAST(sum(CAST(ex AS DECIMAL(18,12))) OVER ()
                                AS DOUBLE), 6) AS sm
         FROM e ORDER BY per_hour
+    """
+
+    # es_diversified_sampler (round 13): the per-user cap is one
+    # field-partitioned row_number (missing user_id never
+    # deduplicated), the sample the global top-200 under the
+    # explicit (value desc nulls-last, event_id asc) order — a total
+    # order, so the cut is deterministic; sub-aggs run over it.
+    q["es_diversified_sampler"] = """
+        WITH ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY value DESC NULLS LAST, event_id ASC) AS r
+          FROM events
+        ),
+        base AS (
+          SELECT * FROM ranked WHERE user_id IS NULL OR r <= 2
+        ),
+        sample AS (
+          SELECT * FROM base
+          ORDER BY value DESC NULLS LAST, event_id ASC LIMIT 200
+        )
+        SELECT CAST(1 AS INT) AS level, event_type AS by_type,
+               count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value) AS avg_value
+        FROM sample WHERE event_type IS NOT NULL
+        GROUP BY event_type
+        ORDER BY by_type
     """
 
     # es_matrix_stats (round 12): the extended_stats discipline for

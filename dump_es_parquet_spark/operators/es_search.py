@@ -210,6 +210,7 @@ _NORMALIZE_METHODS = (
     "rescale_0_1",
     "rescale_0_100",
     "percent_of_sum",
+    "mean",
     "z-score",
     "softmax",
 )
@@ -2706,6 +2707,22 @@ def _apply_pipelines_windows(
                         .cast("double")
                     )
                     col = F.round(src / tot, 6)
+                elif method == "mean":
+                    # ES's mean method: (x − mean)/(max − min) —
+                    # decimal mean like percent_of_sum's total, the
+                    # rescale family's degenerate-range convention
+                    n_d = F.count(src).over(wp)
+                    mean_d = (
+                        F.sum(src.cast("decimal(28,6)"))
+                        .over(wp)
+                        .cast("double")
+                        / n_d
+                    )
+                    mn, mx = F.min(src).over(wp), F.max(src).over(wp)
+                    col = F.when(
+                        mx > mn,
+                        F.round((src - mean_d) / (mx - mn), 6),
+                    ).otherwise(F.when(src.isNotNull(), F.lit(0.0)))
                 elif method == "z-score":
                     # (x − mean)/σ over the level's buckets — the
                     # extended_stats moment discipline (exact
@@ -3294,6 +3311,46 @@ def search_aggs(df: DataFrame, request: dict) -> DataFrame:
                 sspec["significant_terms"],
                 compile_query(request.get("query")),
             )
+        # sampler / diversified_sampler (round 13 — the r12 "smaller
+        # bounds" list): compute sub-aggs over a bounded, DETERMINISTIC
+        # sample. ES samples per shard by score — meaningless on a
+        # lake — so the body must carry an explicit `sort` (engine
+        # extension, PARITY #20); the sample is the global top
+        # shard_size under it (one TakeOrdered, no shuffle), after
+        # diversified's per-field-value cap (one field-partitioned
+        # row_number; docs MISSING the field are never deduplicated,
+        # like ES). The sampler bucket's own row is not emitted — the
+        # returned frame is the sub-tree over the sampled docs.
+        if "sampler" in aspec or "diversified_sampler" in aspec:
+            skind = (
+                "sampler" if "sampler" in aspec else "diversified_sampler"
+            )
+            body = aspec[skind]
+            if "aggs" not in aspec:
+                raise ValueError(f"{skind} needs sub-aggregations")
+            if "sort" not in body:
+                raise ValueError(
+                    f"{skind} needs an explicit 'sort' — ES samples "
+                    "per-shard by score, which has no deterministic "
+                    "lake-side reading (PARITY #20)"
+                )
+            order = _sort_cols(body["sort"])
+            base = df.filter(compile_query(request.get("query")))
+            if skind == "diversified_sampler":
+                fld = body["field"]
+                cap = int(body.get("max_docs_per_value", 1))
+                if cap < 1:
+                    raise ValueError("max_docs_per_value must be >= 1")
+                w = Window.partitionBy(fld).orderBy(*order)
+                base = (
+                    base.withColumn("_dsr", F.row_number().over(w))
+                    .filter(F.col(fld).isNull() | (F.col("_dsr") <= cap))
+                    .drop("_dsr")
+                )
+            sample = base.orderBy(*order).limit(
+                int(body.get("shard_size", 100))
+            )
+            return compile_aggs(sample, aspec["aggs"])
     return compile_aggs(
         df.filter(compile_query(request.get("query"))), request["aggs"]
     )
@@ -5720,6 +5777,39 @@ def q_es_significant_terms_per_bucket(
                                 "size": 5,
                                 "min_doc_count": 2,
                             }
+                        }
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``diversified_sampler`` (round 13): per-type averages over a
+    deterministic top-200 sample — at most 2 docs per user (docs
+    missing user_id are never deduplicated, per ES), ordered by
+    (value desc, event_id asc) — the explicit sort the lake-side
+    reading requires (PARITY #20)."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "sample": {
+                    "diversified_sampler": {
+                        "field": "user_id",
+                        "max_docs_per_value": 2,
+                        "shard_size": 200,
+                        "sort": [{"value": {"order": "desc"}},
+                                 {"event_id": {"order": "asc"}}],
+                    },
+                    "aggs": {
+                        "by_type": {
+                            "terms": {"field": "event_type", "size": 10},
+                            "aggs": {
+                                "avg_value": {"avg": {"field": "value"}}
+                            },
                         }
                     },
                 }

@@ -1818,6 +1818,57 @@ def test_significant_terms_keyword_jlh(spark):
             "aggs": {"m": {"value_count": {"field": "t"}}}}}})
 
 
+def test_sampler_and_diversified_sampler(spark):
+    """Round 13: sampler / diversified_sampler — sub-aggs over a
+    deterministic explicit-sort sample; the diversified per-value
+    cap never deduplicates docs MISSING the field (ES rule); a body
+    without sort raises (per-shard score sampling has no lake
+    reading)."""
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    rows = [
+        Row(id=1, u=1, t="a", v=9.0),
+        Row(id=2, u=1, t="a", v=8.0),
+        Row(id=3, u=1, t="a", v=7.0),   # third doc of u=1: capped out
+        Row(id=4, u=2, t="b", v=6.0),
+        Row(id=5, u=None, t="b", v=5.0),
+        Row(id=6, u=None, t="b", v=4.0),  # missing u: never deduped
+        Row(id=7, u=3, t="a", v=1.0),     # below the top-5 cut
+    ]
+    df = spark.createDataFrame(rows)
+    req = {"aggs": {"sample": {
+        "diversified_sampler": {
+            "field": "u", "max_docs_per_value": 2, "shard_size": 5,
+            "sort": [{"v": {"order": "desc"}}, {"id": {"order": "asc"}}],
+        },
+        "aggs": {"by_t": {"terms": {"field": "t"},
+                          "aggs": {"sv": {"sum": {"field": "v"}}}}},
+    }}}
+    out = sorted((r.by_t, r.doc_count, r.sv)
+                 for r in search_aggs(df, req).collect())
+    # survivors of the cap: ids 1,2 (u=1), 4 (u=2), 5,6 (u missing),
+    # 7 (u=3) → top-5 by (v desc, id): 1,2,4,5,6
+    assert out == [("a", 2, 17.0), ("b", 3, 15.0)]
+    # plain sampler: no cap, top-5 = ids 1,2,3,4,5
+    req2 = {"aggs": {"sample": {
+        "sampler": {"shard_size": 5,
+                    "sort": [{"v": {"order": "desc"}},
+                             {"id": {"order": "asc"}}]},
+        "aggs": {"by_t": {"terms": {"field": "t"},
+                          "aggs": {"sv": {"sum": {"field": "v"}}}}},
+    }}}
+    out2 = sorted((r.by_t, r.doc_count, r.sv)
+                  for r in search_aggs(df, req2).collect())
+    assert out2 == [("a", 3, 24.0), ("b", 2, 11.0)]
+    with pytest.raises(ValueError, match="explicit 'sort'"):
+        search_aggs(df, {"aggs": {"s": {
+            "sampler": {"shard_size": 5},
+            "aggs": {"by_t": {"terms": {"field": "t"}}}}}})
+    with pytest.raises(ValueError, match="sub-agg"):
+        search_aggs(df, {"aggs": {"s": {
+            "sampler": {"shard_size": 5, "sort": ["id"]}}}})
+
+
 def test_significant_terms_under_terms(spark):
     """Round 13 (VERDICT r12 Next #3): terms > significant_terms —
     per parent bucket the foreground is that bucket's query hits,
@@ -1972,6 +2023,14 @@ def test_bucket_selector_and_normalize(spark):
                      "script": "params.s2 >= 1 AND params.s >= 1",
                  }}}}}).collect()
     assert len(wb) == 2  # params.s2 not clobbered into "sv2"
+    # ES's mean method (round 13): (x − mean)/(max − min)
+    mout = compile_aggs(df, {"byg": {"terms": {"field": "g"}, "aggs": {
+        "sv": {"sum": {"field": "v"}},
+        "m": {"normalize": {"buckets_path": "sv",
+                            "method": "mean"}}}}}).collect()
+    # sv = a:3, b:7, c:5 → mean 5, range 4
+    assert sorted((r.byg, r.m) for r in mout) == [
+        ("a", -0.5), ("b", 0.5), ("c", 0.0)]
     # zero-variance level: z-score reports NULL
     flat = spark.createDataFrame([Row(g="x", v=2.0), Row(g="y", v=2.0)])
     zf = compile_aggs(flat, {"byg": {"terms": {"field": "g"}, "aggs": {
@@ -2003,7 +2062,7 @@ def test_bucket_selector_and_normalize(spark):
             {"byg": {"terms": {"field": "g"}, "aggs": {
                 "sv": {"sum": {"field": "v"}},
                 "z": {"normalize": {"buckets_path": "sv",
-                                    "method": "mean"}}}}},
+                                    "method": "quantile"}}}}},
         )
 
 

@@ -302,6 +302,10 @@ PINNED_FINGERPRINTS = {
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
     "es_date_histogram_tz": {"exchange": 4},
+    # diversified_sampler (round 13): the per-user cap window + the
+    # global TakeOrdered sample feed the usual bucket rollup — one
+    # extra exchange over the agg-tree class
+    "es_diversified_sampler": {"exchange": 5},
     # normalize z-score + softmax-over-z (round 13): moment windows
     # + the temp exp projection share the level partition — same
     # bucket-frame class as the other pipeline rows
