@@ -796,6 +796,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     "smaller bounds" list); demoted-green pending rotation
         #     (es_aggs_tree keeps the bucket family declared)
         "es_diversified_sampler",
+        # es_string_stats_entropy — string_stats Shannon entropy via
+        #     the dedicated char-histogram path (round 13, the r12
+        #     "smaller bounds" list); demoted-green pending rotation
+        #     (es_geo_bounds_string_stats keeps the in-rollup stats
+        #     verified)
+        "es_string_stats_entropy",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1210,6 +1216,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_diversified_sampler": _mod(
             "es_search", "q_es_diversified_sampler"
+        ),
+        "es_string_stats_entropy": _mod(
+            "es_search", "q_es_string_stats_entropy"
         ),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
@@ -4360,6 +4369,49 @@ def _all_oracle_sql() -> dict[str, str]:
                round(ex / CAST(sum(CAST(ex AS DECIMAL(18,12))) OVER ()
                                AS DOUBLE), 6) AS sm
         FROM e ORDER BY per_hour
+    """
+
+    # es_string_stats_entropy (round 13): the char histogram is one
+    # unnest(regexp_extract_all(v, '.')) + groupBy; entropy terms
+    # follow the libm discipline — round(p*log2(p), 12) each, exact
+    # decimal sum, 6dp output; charless buckets report 0.0 like ES.
+    q["es_string_stats_entropy"] = """
+        WITH d AS (
+          SELECT event_type AS by_type, props AS v FROM events
+          WHERE event_type IS NOT NULL
+        ),
+        stats AS (
+          SELECT by_type, count(*) AS doc_count,
+                 CAST(count(v) AS DOUBLE) AS props_stats_count,
+                 CAST(min(length(v)) AS DOUBLE)
+                   AS props_stats_min_length,
+                 CAST(max(length(v)) AS DOUBLE)
+                   AS props_stats_max_length,
+                 CAST(sum(CAST(length(v) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(v) AS props_stats_avg_length
+          FROM d GROUP BY by_type
+        ),
+        ch AS (
+          SELECT by_type, c, count(*) AS m FROM (
+            SELECT by_type, unnest(regexp_extract_all(v, '.')) AS c
+            FROM d WHERE v IS NOT NULL
+          ) GROUP BY by_type, c
+        ),
+        ent AS (
+          SELECT by_type,
+                 round(CAST(-sum(CAST(round((m / n) * log2(m / n), 12)
+                                      AS DECIMAL(18,12))) AS DOUBLE), 6)
+                   AS props_stats_entropy
+          FROM (SELECT by_type, m,
+                       sum(m) OVER (PARTITION BY by_type) AS n FROM ch)
+          GROUP BY by_type
+        )
+        SELECT CAST(1 AS INT) AS level, s.by_type, s.doc_count,
+               props_stats_count, props_stats_min_length,
+               props_stats_max_length, props_stats_avg_length,
+               coalesce(e.props_stats_entropy, 0.0) AS props_stats_entropy
+        FROM stats s LEFT JOIN ent e ON s.by_type = e.by_type
+        ORDER BY s.by_type
     """
 
     # es_diversified_sampler (round 13): the per-user cap is one

@@ -1430,14 +1430,24 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
                 # the bucket's non-NULL strings, avg through DECIMAL
                 # (round 12). ES additionally reports Shannon entropy
                 # — a per-character distribution that is not a plain
-                # aggregate expression in the one-rollup plan, so the
-                # entropy column is intentionally absent (documented
-                # bound; request `show_distribution` raises).
+                # aggregate expression in the one-rollup plan; the
+                # entropy column is absent HERE, available via
+                # `entropy: true` on a root terms level (round 13 —
+                # the dedicated two-groupBy path in search_aggs).
+                # show_distribution's probability MAP has no
+                # flat-frame shape anywhere and raises.
                 if b.get("show_distribution"):
                     raise ValueError(
-                        "string_stats show_distribution/entropy needs "
-                        "a per-character histogram the one-rollup "
-                        "plan cannot express"
+                        "string_stats show_distribution (per-char "
+                        "probability map) has no flat-frame shape; "
+                        "entropy: true on a root terms level gives "
+                        "the entropy column"
+                    )
+                if b.get("entropy"):
+                    raise ValueError(
+                        "string_stats entropy needs the dedicated "
+                        "char-histogram path: a SINGLE root terms "
+                        "level with string_stats as its only sub-agg"
                     )
                 ln = _m(F.length(F.col(b["field"])))
                 out.append(
@@ -3311,6 +3321,28 @@ def search_aggs(df: DataFrame, request: dict) -> DataFrame:
                 sspec["significant_terms"],
                 compile_query(request.get("query")),
             )
+        # terms > string_stats with entropy (round 13 — the r12
+        # "smaller bounds" list): ES's string_stats always reports
+        # Shannon entropy, which needs a per-(bucket, char) histogram
+        # — a second word-count-shaped shuffle the one-rollup plan
+        # cannot carry, so an explicit `"entropy": true` routes this
+        # dedicated two-groupBy path (the in-rollup string_stats
+        # keeps the 4 length stats without it)
+        if (
+            "terms" in aspec
+            and len(aspec.get("aggs") or {}) == 1
+            and "string_stats"
+            in (_ss := next(iter(aspec["aggs"].values())))
+            and _ss["string_stats"].get("entropy")
+        ):
+            (sname, sspec), = aspec["aggs"].items()
+            return _string_stats_entropy_under_terms(
+                df.filter(compile_query(request.get("query"))),
+                aname,
+                aspec["terms"],
+                sname,
+                sspec["string_stats"],
+            )
         # sampler / diversified_sampler (round 13 — the r12 "smaller
         # bounds" list): compute sub-aggs over a bounded, DETERMINISTIC
         # sample. ES samples per shard by score — meaningless on a
@@ -3402,6 +3434,101 @@ def _significant_terms_keyword(
             "doc_count",
             "bg_count",
             "score_micro",
+        )
+    )
+
+
+def _string_stats_entropy_under_terms(
+    df: DataFrame, pname: str, pbody: dict, name: str, body: dict
+) -> DataFrame:
+    """``terms > string_stats`` with Shannon entropy (round 13): the
+    4 length stats come from one groupBy; the entropy needs the
+    per-(bucket, char) histogram — one char explode + one
+    word-count-shaped groupBy — then ``-Σ p·log2(p)`` with the libm
+    discipline (each term 12dp-rounded, exact-decimal sum, 6dp
+    output; Spark's log2 and DuckDB's log2 agree post-rounding).
+    Chars come from ``regexp_extract_all(v, '.')`` in both engines —
+    newlines are not counted (documented bound; ES counts every
+    char). A bucket with no characters reports entropy 0.0 like ES.
+    Flat columns: ``(level=1, <parent>, doc_count, <name>_count,
+    <name>_min_length, <name>_max_length, <name>_avg_length,
+    <name>_entropy)``."""
+    if body.get("show_distribution"):
+        raise ValueError(
+            "string_stats show_distribution (per-char probability "
+            "map) has no flat-frame shape"
+        )
+    fld = F.col(body["field"])
+    d = df.select(
+        F.col(pbody["field"]).alias(pname), fld.alias("_v")
+    ).filter(F.col(pname).isNotNull())
+    psize = int(pbody.get("size", 10))
+    stats = (
+        d.groupBy(pname)
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.count("_v").cast("double").alias(f"{name}_count"),
+            F.min(F.length("_v")).cast("double").alias(
+                f"{name}_min_length"
+            ),
+            F.max(F.length("_v")).cast("double").alias(
+                f"{name}_max_length"
+            ),
+            (
+                F.sum(F.length("_v").cast("decimal(18,6)")).cast("double")
+                / F.count("_v")
+            ).alias(f"{name}_avg_length"),
+        )
+        .withColumn(
+            "_prank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("doc_count").desc(), F.col(pname).asc()
+                )
+            ),
+        )
+        .filter(F.col("_prank") <= psize)
+        .drop("_prank")
+    )
+    ch = (
+        d.filter(F.col("_v").isNotNull())
+        .select(
+            pname,
+            F.explode(F.expr("regexp_extract_all(_v, '.', 0)")).alias(
+                "_c"
+            ),
+        )
+        .groupBy(pname, "_c")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    wb = Window.partitionBy(pname)
+    n_tot = F.sum("_m").over(wb)
+    p = F.col("_m") / n_tot
+    term = F.round(p * F.log2(p), 12)
+    ent = (
+        ch.withColumn("_t", term.cast("decimal(18,12)"))
+        .groupBy(pname)
+        .agg(
+            (-F.sum("_t")).cast("double").alias("_ent_raw")
+        )
+        .select(pname, F.round("_ent_raw", 6).alias(f"{name}_entropy"))
+    )
+    return (
+        stats.join(ent, pname, "left")
+        .withColumn(
+            f"{name}_entropy",
+            F.coalesce(F.col(f"{name}_entropy"), F.lit(0.0)),
+        )
+        .orderBy(F.col(pname).asc())
+        .select(
+            F.lit(1).cast("int").alias("level"),
+            pname,
+            "doc_count",
+            f"{name}_count",
+            f"{name}_min_length",
+            f"{name}_max_length",
+            f"{name}_avg_length",
+            f"{name}_entropy",
         )
     )
 
@@ -5776,6 +5903,35 @@ def q_es_significant_terms_per_bucket(
                                 "field": "band",
                                 "size": 5,
                                 "min_doc_count": 2,
+                            }
+                        }
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_string_stats_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``string_stats`` with Shannon entropy (round 13): per
+    event_type, the length stats + the character-distribution
+    entropy of the props JSON blobs — the ES response field the
+    in-rollup string_stats omits, via the dedicated two-groupBy
+    path (``entropy: true``)."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 10},
+                    "aggs": {
+                        "props_stats": {
+                            "string_stats": {
+                                "field": "props",
+                                "entropy": True,
                             }
                         }
                     },

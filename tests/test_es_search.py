@@ -1818,6 +1818,32 @@ def test_significant_terms_keyword_jlh(spark):
             "aggs": {"m": {"value_count": {"field": "t"}}}}}})
 
 
+def test_string_stats_entropy(spark):
+    """Round 13: string_stats ``entropy: true`` — Shannon entropy of
+    the bucket's character distribution via the dedicated
+    char-histogram path; a bucket with only NULL/empty values
+    reports 0.0 like ES."""
+    import math
+
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    df = spark.createDataFrame([
+        Row(g="x", s="ab"), Row(g="x", s="bba"),
+        Row(g="y", s=None), Row(g="y", s=""),
+    ])
+    out = {r.byg: r for r in search_aggs(df, {"aggs": {"byg": {
+        "terms": {"field": "g"},
+        "aggs": {"st": {"string_stats": {"field": "s",
+                                         "entropy": True}}}}}}).collect()}
+    # x: chars a:2 b:3 → -(0.4·log2 0.4 + 0.6·log2 0.6)
+    want = round(-sum(
+        round(p * math.log2(p), 12) for p in (2 / 5, 3 / 5)), 6)
+    assert (out["x"].doc_count, out["x"].st_count, out["x"].st_min_length,
+            out["x"].st_max_length, out["x"].st_avg_length,
+            out["x"].st_entropy) == (2, 2.0, 2.0, 3.0, 2.5, want)
+    assert out["y"].st_entropy == 0.0 and out["y"].st_count == 1.0
+
+
 def test_sampler_and_diversified_sampler(spark):
     """Round 13: sampler / diversified_sampler — sub-aggs over a
     deterministic explicit-sort sample; the diversified per-value

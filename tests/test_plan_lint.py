@@ -302,6 +302,9 @@ PINNED_FINGERPRINTS = {
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
     "es_date_histogram_tz": {"exchange": 4},
+    # string_stats entropy (round 13): stats groupBy + the
+    # char-histogram groupBy, entropy frame broadcast back (bhj)
+    "es_string_stats_entropy": {"exchange": 3, "bhj": 1},
     # diversified_sampler (round 13): the per-user cap window + the
     # global TakeOrdered sample feed the usual bucket rollup — one
     # extra exchange over the agg-tree class
