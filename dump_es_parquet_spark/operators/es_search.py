@@ -78,8 +78,10 @@ Aggregations DSL (``compile_aggs``):
   ONLY (the common "N example docs per bucket" shape — anywhere else
   raises) and compiles to a per-bucket ``row_number`` window.
 - pipeline aggs: ``cumulative_sum``, ``derivative``, ``bucket_script``,
-  ``moving_fn`` (the ``MovingFunctions.{max,min,sum,unweightedAvg}``
-  subset, trailing window including the current bucket, no ``shift``),
+  ``moving_fn`` (``MovingFunctions.{max,min,sum,unweightedAvg,
+  stdDev,linearWeightedAvg,ewma}`` — round 13 widened; trailing
+  window including the current bucket, no ``shift``, holt a
+  documented bound),
   ``serial_diff`` (lag-n difference), sibling ``*_bucket`` summaries
   (max/min/avg/sum + the 5-column ``stats_bucket``),
   and ``bucket_sort`` (from/size truncation ordered by ``_key`` /
@@ -92,9 +94,13 @@ Aggregations DSL (``compile_aggs``):
   'skip' a bucket whose buckets_path value is NULL is RETAINED
   without evaluating the script, ES's BucketSelectorPipelineAggregator
   behavior), and ``normalize`` (round 12 — rescale_0_1 /
-  rescale_0_100 / percent_of_sum; round 13 — z-score and softmax —
+  rescale_0_100 / percent_of_sum; round 13 — mean, z-score and
+  softmax, completing ES's method list —
   windows over the level's buckets at 6dp). All are
-  level-masked windows over the compact bucket frame.
+  level-masked windows over the compact bucket frame. Dedicated
+  root paths in ``search_aggs`` (round 13): terms >
+  significant_terms, sampler/diversified_sampler (explicit-sort
+  deterministic sample), terms > string_stats with entropy.
 
 Scale shape: ONE scan and ONE data-sized shuffle produce every
 level at once (``rollup`` grouping sets share the Expand; an exact
