@@ -448,9 +448,29 @@ def compile_query(q: dict | None, _scope=None) -> Column:
     if kind == "bool":
         return _compile_bool(body, _scope)
     if kind == "nested":
-        if _scope is not None:
-            raise ValueError("nested-inside-nested is not supported")
         path, inner = body["path"], body["query"]
+        if _scope is not None:
+            # nested-inside-nested QUERY (round 13, closing the
+            # PARITY #22 bound): ES spells the inner path ABSOLUTE
+            # ("a.b" inside path "a") — resolve it relative to the
+            # outer element and recurse; same-object semantics hold
+            # at every depth. (The AGGREGATION side keeps its
+            # one-re-basing-per-chain bound.)
+            opath, x = _scope
+            if not path.startswith(opath + "."):
+                raise ValueError(
+                    f"nested path {path!r} must live under the outer "
+                    f"nested path {opath!r}"
+                )
+            sub = x
+            for part in path[len(opath) + 1:].split("."):
+                sub = sub[part]
+            return F.exists(
+                sub,
+                lambda y: _false_safe(
+                    compile_query(inner, _scope=(path, y))
+                ),
+            )
         return F.exists(
             F.col(path),
             lambda x: _false_safe(compile_query(inner, _scope=(path, x))),

@@ -2461,9 +2461,30 @@ def test_nested_query_same_object_semantics(spark):
             {"nested": {"path": "attrs",
                         "query": {"term": {"other.k": "x"}}}}
         )).collect()
-    with pytest.raises(ValueError, match="nested-inside-nested"):
-        compile_query({"nested": {"path": "attrs", "query": {
-            "nested": {"path": "attrs.sub", "query": {"match_all": {}}}}}})
+    # nested-inside-nested (round 13, PARITY #22 bound closed on the
+    # QUERY side): absolute inner paths, same-object semantics at
+    # BOTH depths — outer object must pair its own k with an inner
+    # object satisfying the whole inner query
+    nn = spark.createDataFrame([
+        Row(id=1, attrs=[Row(k="a", sub=[Row(v="hit"), Row(v="x")]),
+                         Row(k="b", sub=[Row(v="y")])]),
+        # k="a" and v="hit" live on DIFFERENT outer objects: no match
+        Row(id=2, attrs=[Row(k="a", sub=[Row(v="y")]),
+                         Row(k="b", sub=[Row(v="hit")])]),
+        Row(id=3, attrs=[Row(k="a", sub=None)]),
+        Row(id=4, attrs=None),
+    ])
+    qn = {"nested": {"path": "attrs", "query": {"bool": {"must": [
+        {"term": {"attrs.k": "a"}},
+        {"nested": {"path": "attrs.sub",
+                    "query": {"term": {"attrs.sub.v": "hit"}}}},
+    ]}}}}
+    assert sorted(r.id for r in nn.filter(compile_query(qn)).collect()) \
+        == [1]
+    with pytest.raises(ValueError, match="must live under the outer"):
+        nn.filter(compile_query({"nested": {"path": "attrs", "query": {
+            "nested": {"path": "other.sub",
+                       "query": {"match_all": {}}}}}})).collect()
 
 
 def test_nested_inner_hits(spark):
