@@ -403,18 +403,32 @@ def _collect_inner_hits(q) -> list[tuple[str, dict, dict]]:
     yields ``(path, inner_query, inner_hits_spec)``."""
     out: list[tuple[str, dict, dict]] = []
 
-    def _walk(node):
+    def _walk(node, in_nested=False):
         if isinstance(node, list):
             for v in node:
-                _walk(v)
+                _walk(v, in_nested)
             return
         if not isinstance(node, dict):
             return
         b = node.get("nested")
-        if isinstance(b, dict) and "inner_hits" in b:
-            out.append((b["path"], b["query"], b["inner_hits"] or {}))
+        if isinstance(b, dict):
+            if "inner_hits" in b:
+                if in_nested:
+                    # an inner nested clause's inner_hits would need
+                    # per-outer-object offset pairs — no flat column
+                    # shape; the OUTER clause can carry inner_hits
+                    raise ValueError(
+                        "inner_hits on a nested query INSIDE another "
+                        "nested query is not supported"
+                    )
+                out.append((b["path"], b["query"], b["inner_hits"] or {}))
+            _walk(b.get("query"), True)
+            for k, v in node.items():
+                if k != "nested":
+                    _walk(v, in_nested)
+            return
         for v in node.values():
-            _walk(v)
+            _walk(v, in_nested)
 
     _walk(q or {})
     return out

@@ -2545,6 +2545,14 @@ def test_nested_inner_hits(spark):
     out3 = search(df, req3).collect()
     assert [(r.id, r.attrs_inner_hits) for r in out3] == [
         (1, [0, 2, 3]), (2, [1]), (3, [])]
+    # inner_hits on a nested-inside-nested clause has no flat shape
+    with pytest.raises(ValueError, match="INSIDE another"):
+        search(df, {"query": {"nested": {
+            "path": "attrs",
+            "query": {"nested": {"path": "attrs.sub",
+                                 "query": {"match_all": {}},
+                                 "inner_hits": {}}},
+        }}})
 
 
 def test_nested_match_and_multi_match(spark):
