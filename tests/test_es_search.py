@@ -2546,13 +2546,16 @@ def test_nested_inner_hits(spark):
     assert [(r.id, r.attrs_inner_hits) for r in out3] == [
         (1, [0, 2, 3]), (2, [1]), (3, [])]
     # inner_hits on a nested-inside-nested clause has no flat shape
+    nn = spark.createDataFrame(
+        [Row(id=1, attrs=[Row(k="a", sub=[Row(v="hit")])])])
     with pytest.raises(ValueError, match="INSIDE another"):
-        search(df, {"query": {"nested": {
+        search(nn, {"query": {"nested": {
             "path": "attrs",
             "query": {"nested": {"path": "attrs.sub",
-                                 "query": {"match_all": {}},
+                                 "query": {"term": {"attrs.sub.v":
+                                                    "hit"}},
                                  "inner_hits": {}}},
-        }}})
+        }}}).collect()
 
 
 def test_nested_match_and_multi_match(spark):
