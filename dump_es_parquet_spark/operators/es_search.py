@@ -325,6 +325,33 @@ def _tz_offset_ms(tz: str) -> int:
     return v
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _tz_offset_phases_ms(tz: str, width: int) -> frozenset[int]:
+    """The set of ``offset mod width`` phases a zone uses across
+    1970–2100, sampled twice a month (finer than any real-world
+    transition cadence). One driver-side pass over ~3k zoneinfo
+    lookups — plan-time only."""
+    import datetime as _dt
+    import zoneinfo
+
+    z = zoneinfo.ZoneInfo(tz)
+    phases: set[int] = set()
+    for year in range(1970, 2101):
+        for month in range(1, 13):
+            for day in (1, 15):
+                t = _dt.datetime(
+                    year, month, day, tzinfo=_dt.timezone.utc
+                )
+                off = z.utcoffset(t)
+                phases.add(
+                    int(off.total_seconds() * 1000) % width
+                )
+    return frozenset(phases)
+
+
 def _dh_grid(body: dict):
     """The tiling spec of a date_histogram's bucket grid — what
     gap-filling steps by. ``("fixed", step_ms, grid_offset_ms)`` for
@@ -344,15 +371,27 @@ def _dh_grid(body: dict):
         # IANA zone (round 13): DST makes day/week widths variable
         # in instant space — the grid is enumerable only in LOCAL
         # wall time, stepped by calendar intervals and mapped back
-        # per-boundary. Sub-day units keep fixed instant widths but
-        # their keys are not on ONE epoch grid across a transition,
-        # so gap-filling them under a named zone raises (PARITY #20).
+        # per-boundary. Sub-day units keep fixed instant widths;
+        # their keys stay on ONE epoch grid iff every UTC offset the
+        # zone ever uses is CONGRUENT mod the unit width (true for
+        # hour buckets in every whole-hour-shift zone — the Kibana
+        # hourly series — and for minute/second everywhere, offsets
+        # being whole minutes): then the grid is plain fixed
+        # arithmetic with the shared phase. Zones with sub-unit DST
+        # shifts (e.g. Australia/Lord_Howe's 30-minute jump under
+        # hour buckets) leave the grid and raise (PARITY #20).
         if unit not in ("day", "week") and unit not in _MONTH_UNITS:
-            raise ValueError(
-                f"date_histogram gap-fill with calendar_interval "
-                f"{unit!r} under an IANA time_zone is not supported — "
-                "sub-day grids shift at DST transitions (PARITY #20)"
-            )
+            width = _CALENDAR_WIDTH_MS[unit]
+            phases = _tz_offset_phases_ms(tzv, width)
+            if len(phases) > 1:
+                raise ValueError(
+                    f"date_histogram gap-fill with calendar_interval "
+                    f"{unit!r} under time_zone {tzv!r} is not "
+                    "supported — the zone's DST shift is not a "
+                    f"multiple of the {unit} width, so bucket keys "
+                    "leave any single epoch grid (PARITY #20)"
+                )
+            return "fixed", width, (-next(iter(phases))) % width
         return "local", unit, tzv
     tz_off = tzv
     if unit in _MONTH_UNITS:

@@ -737,11 +737,36 @@ def test_date_histogram_time_zone_iana(spark):
             "field": "ts", "calendar_interval": "month",
             "time_zone": "America/New_York"}}}).collect()]
     assert mout == [utc_ms(2024, 3, 1, 5)]
-    # sub-day gap-fill under a named zone raises (grid shifts at DST)
-    with pytest.raises(ValueError, match="sub-day grids"):
-        compile_aggs(fb, {"h": {"date_histogram": {
+    # sub-day gap-fill under a named zone: allowed when every offset
+    # the zone uses is congruent mod the unit width (whole-hour-shift
+    # zones — hourly keys stay on ONE epoch grid across DST); a
+    # half-hour-offset zone shifts the grid phase; Lord Howe's
+    # 30-minute DST jump leaves any single grid and raises
+    filled_h = sorted(r.h for r in compile_aggs(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 3, 10, 5, 30), 1.0),    # 00:30 EST
+             (dt.datetime(2024, 3, 10, 9, 30), 2.0)],   # 05:30 EDT
+            "ts timestamp, v double"),
+        {"h": {"date_histogram": {
             "field": "ts", "calendar_interval": "hour",
             "time_zone": "America/New_York",
+            "min_doc_count": 0}}}).collect())
+    assert len(filled_h) == 5 and {
+        filled_h[i + 1] - filled_h[i] for i in range(4)} == {H}
+    kolk = sorted(r.h for r in compile_aggs(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 0, 10), 1.0),
+             (dt.datetime(2024, 1, 1, 2, 40), 2.0)],
+            "ts timestamp, v double"),
+        {"h": {"date_histogram": {
+            "field": "ts", "calendar_interval": "hour",
+            "time_zone": "Asia/Kolkata",
+            "min_doc_count": 0}}}).collect())
+    assert len(kolk) == 4 and {k % H for k in kolk} == {1_800_000}
+    with pytest.raises(ValueError, match="single epoch grid"):
+        compile_aggs(fb, {"h": {"date_histogram": {
+            "field": "ts", "calendar_interval": "hour",
+            "time_zone": "Australia/Lord_Howe",
             "min_doc_count": 0}}}).collect()
 
 
