@@ -802,6 +802,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     (es_geo_bounds_string_stats keeps the in-rollup stats
         #     verified)
         "es_string_stats_entropy",
+        # es_significant_text — the analyzed-token significant_terms
+        #     sibling as a request shape over the corpus operator
+        #     (round 13); demoted-green pending rotation
+        #     (corpus_significant_terms keeps the operator verified,
+        #     es_significant_terms the keyword path)
+        "es_significant_text",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1219,6 +1225,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_string_stats_entropy": _mod(
             "es_search", "q_es_string_stats_entropy"
+        ),
+        "es_significant_text": _mod(
+            "es_search", "q_es_significant_text"
         ),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
@@ -4369,6 +4378,32 @@ def _all_oracle_sql() -> dict[str, str]:
                round(ex / CAST(sum(CAST(ex AS DECIMAL(18,12))) OVER ()
                                AS DOUBLE), 6) AS sm
         FROM e ORDER BY per_hour
+    """
+
+    # es_significant_text (round 13): the corpus significant_terms
+    # tree with the request's flat column names — long/long
+    # divisions, the pinned JLH parenthesization, floored micro.
+    q["es_significant_text"] = f"""
+        WITH t AS (SELECT CASE WHEN coalesce(n_chars >= 400, FALSE)
+                          THEN 1 ELSE 0 END AS fg,
+                          list_distinct({_TOKS}) AS toks
+                   FROM documents),
+        sizes AS (SELECT CAST(sum(fg) AS BIGINT) AS fg_docs,
+                         CAST(count(*) AS BIGINT) AS n_docs FROM t),
+        terms AS (SELECT term,
+                         CAST(sum(fg) AS BIGINT) AS fg_df,
+                         CAST(count(*) AS BIGINT) AS df
+                  FROM (SELECT fg, unnest(toks) AS term FROM t)
+                  GROUP BY term HAVING sum(fg) >= 3)
+        SELECT CAST(1 AS INT) AS level, term AS sig_words,
+               fg_df AS doc_count, df AS bg_count,
+               CAST(floor(1e6 * (((fg_df / fg_docs) - (df / n_docs))
+                    * ((fg_df / fg_docs) / (df / n_docs)))) AS BIGINT)
+                   AS score_micro
+        FROM terms, sizes
+        WHERE CAST(floor(1e6 * (((fg_df / fg_docs) - (df / n_docs))
+                   * ((fg_df / fg_docs) / (df / n_docs)))) AS BIGINT) > 0
+        ORDER BY score_micro DESC, sig_words ASC LIMIT 15
     """
 
     # es_string_stats_entropy (round 13): the char histogram is one

@@ -1420,6 +1420,7 @@ def significant_terms(
     id_col: str = "doc_id",
     k: int = 20,
     min_fg: int = 3,
+    analyzer="whitespace",
 ) -> DataFrame:
     """ES ``significant_terms`` aggregation, lake-side: terms
     overrepresented in a FOREGROUND document set vs the whole corpus
@@ -1443,7 +1444,7 @@ def significant_terms(
     df/B) * ((fg_df/F) / (df/B)))`` over long→double divisions, so
     the IEEE doubles — and the floored micro-score — match bit-form.
     """
-    toks = F.array_distinct(_tokens_col(text_col))
+    toks = F.array_distinct(_tokens_col(text_col, analyzer))
     d = docs.select(
         F.when(fg_predicate, 1).otherwise(0).alias("fg"), toks.alias("toks")
     )

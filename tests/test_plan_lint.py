@@ -48,6 +48,7 @@ BNLJ_ALLOWED = frozenset(
         "sim_ivf_recall",  # query-batch broadcast (same shape as sim_topk_batch)
         "corpus_hybrid_rrf",  # 1-row query-vector broadcast (cosine arm)
         "corpus_significant_terms",  # 1-row fg/corpus-sizes broadcast
+        "es_significant_text",  # the same operator behind the request shape
     }
 )
 
@@ -302,6 +303,10 @@ PINNED_FINGERPRINTS = {
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
     "es_date_histogram_tz": {"exchange": 4},
+    # significant_text (round 13): the corpus significant_terms
+    # plan behind the request shape — word-count groupBy + top-k
+    # sort, 1-row sizes bnlj
+    "es_significant_text": {"exchange": 2, "bnlj": 1},
     # string_stats entropy (round 13): stats groupBy + the
     # char-histogram groupBy, entropy frame broadcast back (bhj)
     "es_string_stats_entropy": {"exchange": 3, "bhj": 1},
