@@ -808,6 +808,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     (corpus_significant_terms keeps the operator verified,
         #     es_significant_terms the keyword path)
         "es_significant_text",
+        # es_cumulative_cardinality — running distinct count over a
+        #     gap-filled hourly grid (round 13): exact first-bucket
+        #     attribution where ES merges HLL sketches;
+        #     demoted-green pending rotation (es_pipeline_aggs keeps
+        #     the pipeline family declared)
+        "es_cumulative_cardinality",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1228,6 +1234,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_significant_text": _mod(
             "es_search", "q_es_significant_text"
+        ),
+        "es_cumulative_cardinality": _mod(
+            "es_search", "q_es_cumulative_cardinality"
         ),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
@@ -4378,6 +4387,48 @@ def _all_oracle_sql() -> dict[str, str]:
                round(ex / CAST(sum(CAST(ex AS DECIMAL(18,12))) OVER ()
                                AS DOUBLE), 6) AS sm
         FROM e ORDER BY per_hour
+    """
+
+    # es_cumulative_cardinality (round 13): cum(k) = running sum of
+    # per-bucket NEW values (each user counts at its first bucket) —
+    # exact where ES merges HLL sketches; gap-filled hours carry the
+    # running value forward via coalesce(nw, 0).
+    q["es_cumulative_cardinality"] = """
+        WITH b AS (
+          SELECT epoch_ms(date_trunc('hour', ts)) AS k, count(*) AS dc,
+                 CAST(count(DISTINCT user_id) AS DOUBLE) AS u
+          FROM events
+          WHERE coalesce(event_type = 'purchase', FALSE)
+            AND ts IS NOT NULL
+          GROUP BY 1
+        ),
+        ext AS (
+          SELECT LEAST(1703980800000, MIN(k)) AS lo,
+                 GREATEST(1706742000000, MAX(k)) AS hi FROM b
+        ),
+        grid AS (
+          SELECT unnest(range(lo, hi + 3600000, 3600000)) AS k FROM ext
+        ),
+        filled AS (
+          SELECT g.k, coalesce(b.dc, 0) AS dc, b.u
+          FROM grid g LEFT JOIN b ON g.k = b.k
+        ),
+        firsts AS (
+          SELECT fk AS k, count(*) AS nw FROM (
+            SELECT user_id,
+                   min(epoch_ms(date_trunc('hour', ts))) AS fk
+            FROM events
+            WHERE coalesce(event_type = 'purchase', FALSE)
+              AND ts IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY user_id
+          ) GROUP BY fk
+        )
+        SELECT CAST(1 AS INT) AS level, f.k AS per_hour,
+               f.dc AS doc_count, f.u AS u,
+               CAST(sum(coalesce(fs.nw, 0))
+                    OVER (ORDER BY f.k) AS BIGINT) AS cum_u
+        FROM filled f LEFT JOIN firsts fs ON f.k = fs.k
+        ORDER BY per_hour
     """
 
     # es_significant_text (round 13): the corpus significant_terms

@@ -3452,6 +3452,24 @@ def search_aggs(df: DataFrame, request: dict) -> DataFrame:
                 sname,
                 sspec["string_stats"],
             )
+        # cumulative_cardinality (round 13): Kibana's "total unique
+        # users over time". ES computes it by merging HLL sketches
+        # cumulatively; with this engine's EXACT cardinality the
+        # exact reading is: a value contributes at its FIRST bucket,
+        # so cum(k) = Σ_{j≤k} |{v : first_bucket(v) = j}| — one
+        # groupBy(value) for first buckets, one bucket-frame-sized
+        # count, a running sum joined back onto the regular frame
+        # (gap-filled buckets carry the running value forward).
+        # Single-level sequential chains only.
+        if any(
+            "cumulative_cardinality" in (sub or {})
+            for sub in (aspec.get("aggs") or {}).values()
+        ):
+            return _cumulative_cardinality_plan(
+                df.filter(compile_query(request.get("query"))),
+                aname,
+                aspec,
+            )
         # sampler / diversified_sampler (round 13 — the r12 "smaller
         # bounds" list): compute sub-aggs over a bounded, DETERMINISTIC
         # sample. ES samples per shard by score — meaningless on a
@@ -3545,6 +3563,82 @@ def _significant_terms_keyword(
             "score_micro",
         )
     )
+
+
+def _cumulative_cardinality_plan(
+    df: DataFrame, aname: str, aspec: dict
+) -> DataFrame:
+    """``cumulative_cardinality`` under a single sequential root
+    level (round 13): the regular frame comes from ``compile_aggs``
+    with the pipeline pruned out; each referenced exact-cardinality
+    field contributes one groupBy(value)→first-bucket pass whose
+    per-bucket new-value counts running-sum over the joined frame —
+    so every bucket (including gap-filled empties) reports the
+    running distinct count exactly as ES's merged-sketch response,
+    but exact."""
+    subaggs = aspec.get("aggs") or {}
+    pipes = {
+        n: s["cumulative_cardinality"]
+        for n, s in subaggs.items()
+        if "cumulative_cardinality" in s
+    }
+    lvl = _parse_chain({aname: {
+        k: v for k, v in aspec.items() if k != "aggs"
+    }})[0]
+    if lvl.kind not in ("date_histogram", "histogram"):
+        raise ValueError(
+            "cumulative_cardinality needs a sequential "
+            "(histogram-family) parent"
+        )
+    if any(
+        any(k in _BUCKET_KINDS for k in s)
+        for n, s in subaggs.items()
+        if n not in pipes
+    ):
+        # the running-sum window orders the WHOLE frame by the root
+        # key — a deeper bucket level would interleave its rows
+        raise ValueError(
+            "cumulative_cardinality supports single-level chains "
+            "only (no bucket sub-aggregations beside it)"
+        )
+    rest = {
+        aname: {
+            **{k: v for k, v in aspec.items() if k != "aggs"},
+            "aggs": {
+                n: s for n, s in subaggs.items() if n not in pipes
+            },
+        }
+    }
+    frame = compile_aggs(df, rest)
+    key = lvl.key_expr()
+    w = Window.orderBy(F.col(aname).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    for pname, spec in pipes.items():
+        path = spec["buckets_path"]
+        card = subaggs.get(path) or {}
+        if "cardinality" not in card:
+            raise ValueError(
+                f"cumulative_cardinality buckets_path {path!r} must "
+                "reference a sibling cardinality agg"
+            )
+        fld = card["cardinality"]["field"]
+        firsts = (
+            df.select(key.alias(aname), F.col(fld).alias("_v"))
+            .filter(F.col(aname).isNotNull() & F.col("_v").isNotNull())
+            .groupBy("_v")
+            .agg(F.min(aname).alias(aname))
+            .groupBy(aname)
+            .agg(F.count(F.lit(1)).alias(f"_new_{pname}"))
+        )
+        frame = frame.join(F.broadcast(firsts), aname, "left")
+        frame = frame.withColumn(
+            pname,
+            F.sum(F.coalesce(F.col(f"_new_{pname}"), F.lit(0)))
+            .over(w)
+            .cast("long"),
+        ).drop(f"_new_{pname}")
+    return frame.orderBy(F.col(aname).asc())
 
 
 def _string_stats_entropy_under_terms(
@@ -6014,6 +6108,43 @@ def q_es_significant_terms_per_bucket(
                                 "min_doc_count": 2,
                             }
                         }
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_cumulative_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``cumulative_cardinality`` (round 13): total unique purchase
+    users over the gap-filled hourly grid — the Kibana running-
+    distinct dashboard, exact where ES merges HLL sketches; empty
+    hours carry the running value forward."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "query": {"term": {"event_type": "purchase"}},
+            "aggs": {
+                "per_hour": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "calendar_interval": "hour",
+                        "min_doc_count": 0,
+                        "extended_bounds": {
+                            "min": 1703980800000,
+                            "max": 1706742000000,
+                        },
+                    },
+                    "aggs": {
+                        "u": {"cardinality": {"field": "user_id"}},
+                        "cum_u": {
+                            "cumulative_cardinality": {
+                                "buckets_path": "u"
+                            }
+                        },
                     },
                 }
             },

@@ -1869,6 +1869,56 @@ def test_string_stats_entropy(spark):
     assert out["y"].st_entropy == 0.0 and out["y"].st_count == 1.0
 
 
+def test_cumulative_cardinality(spark):
+    """Round 13: cumulative_cardinality — each value counts at its
+    FIRST bucket, the running sum carried across gap-filled empties;
+    non-sequential parents and deeper bucket chains raise."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 10), 1),
+        (dt.datetime(2024, 1, 1, 0, 40), 2),
+        (dt.datetime(2024, 1, 1, 1, 10), 1),   # repeat: no new user
+        (dt.datetime(2024, 1, 1, 3, 10), 3),   # hour 2 is a gap
+        (dt.datetime(2024, 1, 1, 3, 20), 1),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, uid long")
+    req = {"aggs": {"per_hour": {
+        "date_histogram": {"field": "ts", "calendar_interval": "hour",
+                           "min_doc_count": 0},
+        "aggs": {"u": {"cardinality": {"field": "uid"}},
+                 "cum_u": {"cumulative_cardinality":
+                           {"buckets_path": "u"}}},
+    }}}
+    out = sorted(search_aggs(df, req).collect(),
+                 key=lambda r: r.per_hour)
+    assert [(r.doc_count, r.u, r.cum_u) for r in out] == [
+        (2, 2.0, 2), (1, 1.0, 2), (0, None, 2), (2, 2.0, 3)]
+    with pytest.raises(ValueError, match="sequential"):
+        search_aggs(df, {"aggs": {"g": {
+            "terms": {"field": "uid"},
+            "aggs": {"u": {"cardinality": {"field": "uid"}},
+                     "c": {"cumulative_cardinality":
+                           {"buckets_path": "u"}}}}}})
+    with pytest.raises(ValueError, match="single-level"):
+        search_aggs(df, {"aggs": {"per_hour": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "hour"},
+            "aggs": {"u": {"cardinality": {"field": "uid"}},
+                     "c": {"cumulative_cardinality":
+                           {"buckets_path": "u"}},
+                     "sub": {"terms": {"field": "uid"}}}}}})
+    with pytest.raises(ValueError, match="sibling cardinality"):
+        search_aggs(df, {"aggs": {"per_hour": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "hour"},
+            "aggs": {"u": {"value_count": {"field": "uid"}},
+                     "c": {"cumulative_cardinality":
+                           {"buckets_path": "u"}}}}}})
+
+
 def test_sampler_and_diversified_sampler(spark):
     """Round 13: sampler / diversified_sampler — sub-aggs over a
     deterministic explicit-sort sample; the diversified per-value

@@ -303,6 +303,11 @@ PINNED_FINGERPRINTS = {
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
     "es_date_histogram_tz": {"exchange": 4},
+    # cumulative_cardinality (round 13): the regular gap-filled
+    # frame + one groupBy(value) first-bucket pass + its bucket-
+    # frame count, broadcast back; running sum is a bucket-frame
+    # window
+    "es_cumulative_cardinality": {"exchange": 7, "bhj": 1},
     # significant_text (round 13): the corpus significant_terms
     # plan behind the request shape — word-count groupBy + top-k
     # sort, 1-row sizes bnlj
