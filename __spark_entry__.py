@@ -814,6 +814,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     demoted-green pending rotation (es_pipeline_aggs keeps
         #     the pipeline family declared)
         "es_cumulative_cardinality",
+        # es_boxplot_derivative_unit — boxplot quartiles (exact
+        #     percentile class) + derivative unit normalization
+        #     (round 13); demoted-green pending rotation
+        #     (es_metric_variants/es_pipeline_aggs keep the families)
+        "es_boxplot_derivative_unit",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1237,6 +1242,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_cumulative_cardinality": _mod(
             "es_search", "q_es_cumulative_cardinality"
+        ),
+        "es_boxplot_derivative_unit": _mod(
+            "es_search", "q_es_boxplot_derivative_unit"
         ),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
@@ -4387,6 +4395,34 @@ def _all_oracle_sql() -> dict[str, str]:
                round(ex / CAST(sum(CAST(ex AS DECIMAL(18,12))) OVER ()
                                AS DOUBLE), 6) AS sm
         FROM e ORDER BY per_hour
+    """
+
+    # es_boxplot_derivative_unit (round 13): quartiles through
+    # quantile_cont (the exact-percentiles convention, 6dp);
+    # normalized derivative = value / (key delta / unit_ms), both
+    # divisions long/long -> double, identical trees.
+    q["es_boxplot_derivative_unit"] = """
+        WITH b AS (
+          SELECT epoch_ms(date_trunc('hour', ts)) AS k, count(*) AS dc,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                 CAST(min(value) AS DOUBLE) AS bx_min,
+                 round(quantile_cont(value, 0.25), 6) AS bx_q1_r6,
+                 round(quantile_cont(value, 0.5), 6) AS bx_q2_r6,
+                 round(quantile_cont(value, 0.75), 6) AS bx_q3_r6,
+                 CAST(max(value) AS DOUBLE) AS bx_max
+          FROM events
+          WHERE coalesce(event_type = 'purchase', FALSE)
+            AND ts IS NOT NULL
+          GROUP BY 1
+        )
+        SELECT CAST(1 AS INT) AS level, k AS per_hour,
+               dc AS doc_count, s AS sum_value,
+               bx_min, bx_q1_r6, bx_q2_r6, bx_q3_r6, bx_max,
+               CAST(s - lag(s) OVER (ORDER BY k) AS DOUBLE) AS dv,
+               round((s - lag(s) OVER (ORDER BY k))
+                     / ((k - lag(k) OVER (ORDER BY k)) / 1800000), 6)
+                   AS dv_normalized_r6
+        FROM b ORDER BY per_hour
     """
 
     # es_cumulative_cardinality (round 13): cum(k) = running sum of

@@ -183,6 +183,7 @@ _METRIC_KINDS = (
     "cardinality",
     "percentiles",
     "percentile_ranks",
+    "boxplot",
     "stats",
     "weighted_avg",
     "top_metrics",
@@ -1589,6 +1590,26 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
                             lvl_no,
                         )
                     )
+            elif kind == "boxplot":
+                # ES boxplot (round 13 — Kibana Lens's distribution
+                # tile): min/q1/q2/q3/max, the quartiles through the
+                # same EXACT linear interpolation as `percentiles`
+                # (ES uses t-digest — the established exactness
+                # divergence class)
+                out.append(
+                    (f"{name}_min", F.min(col).cast("double"), lvl_no)
+                )
+                for lbl, p in (("q1", 0.25), ("q2", 0.5), ("q3", 0.75)):
+                    out.append(
+                        (
+                            f"{name}_{lbl}_r6",
+                            F.round(F.percentile(col, F.lit(p)), 6),
+                            lvl_no,
+                        )
+                    )
+                out.append(
+                    (f"{name}_max", F.max(col).cast("double"), lvl_no)
+                )
             elif kind == "percentile_ranks":
                 # EXACT percentile ranks (round 12): the percent of
                 # bucket values <= each threshold — ES's t-digest
@@ -2627,6 +2648,29 @@ def _apply_pipelines_windows(
                 if zeroed:
                     src = F.coalesce(src, F.lit(0.0))
                 col = (src - F.lag(src).over(w)).cast("double")
+                if "unit" in spec:
+                    # ES's normalized_value (round 13): the
+                    # derivative per x-axis `unit` — value divided by
+                    # the actual key delta in that unit, so it stays
+                    # correct across DST-variable calendar buckets
+                    if lvl.kind != "date_histogram":
+                        raise ValueError(
+                            "derivative unit needs a date_histogram "
+                            "parent"
+                        )
+                    unit_ms = _fixed_ms(spec["unit"])
+                    kcol = F.col(lvl.name).cast("long")
+                    delta = kcol - F.lag(kcol).over(w)
+                    frame = frame.withColumn(
+                        f"{pname}_normalized_r6",
+                        F.when(
+                            at_level,
+                            F.round(
+                                col / (delta / F.lit(unit_ms)), 6
+                            ),
+                        ),
+                    )
+                    added.append(f"{pname}_normalized_r6")
             elif kind == "moving_fn":
                 # the MovingFunctions.* set (round 13 widens to
                 # stdDev / linearWeightedAvg / ewma — VERDICT r12
@@ -6108,6 +6152,40 @@ def q_es_significant_terms_per_bucket(
                                 "min_doc_count": 2,
                             }
                         }
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_boxplot_derivative_unit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``boxplot`` + ``derivative`` with ``unit`` (round 13): hourly
+    purchase-value quartile boxes and the sum's per-30-minute rate —
+    the normalized_value divides by the ACTUAL key delta, so hours
+    following a gap normalize over the wider span."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "query": {"term": {"event_type": "purchase"}},
+            "aggs": {
+                "per_hour": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "calendar_interval": "hour",
+                    },
+                    "aggs": {
+                        "sum_value": {"sum": {"field": "value"}},
+                        "bx": {"boxplot": {"field": "value"}},
+                        "dv": {
+                            "derivative": {
+                                "buckets_path": "sum_value",
+                                "unit": "30m",
+                            }
+                        },
                     },
                 }
             },

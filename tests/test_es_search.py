@@ -1869,6 +1869,42 @@ def test_string_stats_entropy(spark):
     assert out["y"].st_entropy == 0.0 and out["y"].st_count == 1.0
 
 
+def test_boxplot_and_derivative_unit(spark):
+    """Round 13: boxplot = exact quartiles in the one rollup;
+    derivative unit = value / (actual key delta / unit) so a bucket
+    after a gap normalizes over the wider span; unit on a
+    non-date_histogram parent raises."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    rows = [(dt.datetime(2024, 1, 1, 0, 0), 2.0),
+            (dt.datetime(2024, 1, 1, 0, 30), 4.0),
+            (dt.datetime(2024, 1, 1, 2, 15), 9.0),
+            (dt.datetime(2024, 1, 2, 0, 0), 1.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = sorted(compile_aggs(df, {"h": {
+        "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+        "aggs": {"sv": {"sum": {"field": "v"}},
+                 "b": {"boxplot": {"field": "v"}},
+                 "d": {"derivative": {"buckets_path": "sv",
+                                      "unit": "1h"}}}}}).collect(),
+        key=lambda r: r.h)
+    got = [(r.sv, r.b_min, r.b_q1_r6, r.b_q2_r6, r.b_q3_r6, r.b_max,
+            r.d, r.d_normalized_r6) for r in out]
+    assert got == [
+        (6.0, 2.0, 2.5, 3.0, 3.5, 4.0, None, None),
+        (9.0, 9.0, 9.0, 9.0, 9.0, 9.0, 3.0, 1.5),     # 2-hour gap
+        (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -8.0, round(-8 / 22, 6)),
+    ]
+    with pytest.raises(ValueError, match="date_histogram parent"):
+        compile_aggs(df, {"g": {
+            "histogram": {"field": "v", "interval": 1},
+            "aggs": {"c": {"value_count": {"field": "v"}},
+                     "d": {"derivative": {"buckets_path": "c",
+                                          "unit": "1h"}}}}})
+
+
 def test_cumulative_cardinality(spark):
     """Round 13: cumulative_cardinality — each value counts at its
     FIRST bucket, the running sum carried across gap-filled empties;

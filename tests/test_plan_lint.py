@@ -303,6 +303,10 @@ PINNED_FINGERPRINTS = {
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
     "es_date_histogram_tz": {"exchange": 4},
+    # boxplot + derivative unit (round 13): quartiles are plain
+    # aggregate expressions in the one rollup, the normalized
+    # column one more lag over the same window — the agg-tree class
+    "es_boxplot_derivative_unit": {"exchange": 4},
     # cumulative_cardinality (round 13): the regular gap-filled
     # frame + one groupBy(value) first-bucket pass + its bucket-
     # frame count, broadcast back; running sum is a bucket-frame
