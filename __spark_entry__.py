@@ -819,6 +819,16 @@ DEMOTED: frozenset[str] = frozenset(
         #     (round 13); demoted-green pending rotation
         #     (es_metric_variants/es_pipeline_aggs keep the families)
         "es_boxplot_derivative_unit",
+        # es_rate_mad — the rate agg (actual calendar bucket length
+        #     as the divisor) + exact median_absolute_deviation
+        #     (round 13); demoted-green pending rotation (the metric
+        #     family keeps es_metric_variants judge-verified)
+        "es_rate_mad",
+        # es_bucket_summaries — percentiles_bucket +
+        #     extended_stats_bucket sibling pipes (round 13);
+        #     demoted-green pending rotation (es_pipeline_aggs keeps
+        #     the sibling-pipe family declared)
+        "es_bucket_summaries",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1246,6 +1256,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_boxplot_derivative_unit": _mod(
             "es_search", "q_es_boxplot_derivative_unit"
         ),
+        "es_rate_mad": _mod("es_search", "q_es_rate_mad"),
+        "es_bucket_summaries": _mod("es_search", "q_es_bucket_summaries"),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
         "es_date_histogram_gapfill_month": _mod(
@@ -4423,6 +4435,101 @@ def _all_oracle_sql() -> dict[str, str]:
                      / ((k - lag(k) OVER (ORDER BY k)) / 1800000), 6)
                    AS dv_normalized_r6
         FROM b ORDER BY per_hour
+    """
+
+    # es_rate_mad (round 13): rate divisors are IEEE divisions of
+    # exactly-representable ints — (actual_bucket_ms / unit_ms),
+    # actual month length by date arithmetic from the bucket key;
+    # MAD = median(abs(v - median(v))) per bucket, both medians the
+    # quantile_cont interpolation the exact-percentiles rows pin.
+    q["es_rate_mad"] = """
+        WITH b AS (
+          SELECT epoch_ms(date_trunc('month', o_orderdate)) AS k,
+                 count(*) AS dc,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                      AS DOUBLE) AS s
+          FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+        ),
+        m AS (
+          SELECT k, round(median(abs(v - md)), 6) AS mad FROM (
+            SELECT epoch_ms(date_trunc('month', o_orderdate)) AS k,
+                   CAST(o_totalprice AS DOUBLE) AS v,
+                   median(CAST(o_totalprice AS DOUBLE)) OVER (
+                     PARTITION BY date_trunc('month', o_orderdate)
+                   ) AS md
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          ) GROUP BY k
+        )
+        SELECT CAST(1 AS INT) AS level, b.k AS per_month,
+               b.dc AS doc_count,
+               round(b.s / (CAST(date_diff('day',
+                     CAST(epoch_ms(b.k) AS DATE),
+                     CAST(epoch_ms(b.k) AS DATE) + INTERVAL 1 MONTH)
+                     * 86400000 AS DOUBLE) / 86400000.0), 6)
+                   AS price_per_day_r6,
+               round(b.dc / (CAST(date_diff('day',
+                     CAST(epoch_ms(b.k) AS DATE),
+                     CAST(epoch_ms(b.k) AS DATE) + INTERVAL 1 MONTH)
+                     * 86400000 AS DOUBLE) / 604800000.0), 6)
+                   AS orders_per_week_r6,
+               m.mad AS mad_price_r6
+        FROM b LEFT JOIN m ON b.k = m.k ORDER BY per_month
+    """
+
+    # es_bucket_summaries (round 13): percentiles_bucket = exact
+    # quantile_cont over the child buckets' metric values;
+    # extended_stats_bucket = the extended_stats moment discipline
+    # (exact decimal sums, 4dp Σv² cast, clamped population tree)
+    # over the same values.
+    q["es_bucket_summaries"] = """
+        WITH leaf AS (
+          SELECT event_type AS by_type,
+                 epoch_ms(date_trunc('day', ts)) AS per_day, value
+          FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ), l2 AS (
+          SELECT by_type, per_day, count(*) AS dc,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+          FROM leaf GROUP BY 1, 2
+        ), l1 AS (
+          SELECT by_type, count(*) AS dc FROM leaf GROUP BY 1
+        ), pipes AS (
+          SELECT by_type,
+                 round(quantile_cont(sv, 0.25), 6) AS p25,
+                 round(quantile_cont(sv, 0.50), 6) AS p50,
+                 round(quantile_cont(sv, 0.75), 6) AS p75,
+                 CAST(count(sv) AS DOUBLE) AS n,
+                 CAST(min(sv) AS DOUBLE) AS mn,
+                 CAST(max(sv) AS DOUBLE) AS mx,
+                 CAST(sum(CAST(sv AS DECIMAL(28,6))) AS DOUBLE) AS s,
+                 CAST(sum(CAST(sv AS DECIMAL(28,6))) AS DOUBLE)
+                     / count(sv) AS avg,
+                 round(CAST(sum(CAST(sv AS DECIMAL(28,6))
+                                * CAST(sv AS DECIMAL(28,6)))
+                            AS DOUBLE), 4) AS sos
+          FROM l2 GROUP BY by_type
+        ), pipes2 AS (
+          SELECT *,
+                 greatest((n * sos - s * s) / (n * n), 0.0) AS var
+          FROM pipes
+        )
+        SELECT CAST(1 AS INT) AS level, l1.by_type,
+               CAST(NULL AS BIGINT) AS per_day, l1.dc AS doc_count,
+               CAST(NULL AS DOUBLE) AS sv,
+               p.p25 AS pb_p25_r6, p.p50 AS pb_p50_r6,
+               p.p75 AS pb_p75_r6,
+               p.n AS esb_count, p.mn AS esb_min, p.mx AS esb_max,
+               p.s AS esb_sum, p.avg AS esb_avg, p.sos AS esb_sos,
+               p.var AS esb_var, sqrt(p.var) AS esb_std,
+               p.avg + 2.0 * sqrt(p.var) AS esb_std_upper,
+               p.avg - 2.0 * sqrt(p.var) AS esb_std_lower
+        FROM l1 JOIN pipes2 p USING (by_type)
+        UNION ALL
+        SELECT CAST(2 AS INT), by_type, per_day, dc, sv,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL
+        FROM l2
+        ORDER BY level, by_type, per_day
     """
 
     # es_cumulative_cardinality (round 13): cum(k) = running sum of

@@ -184,6 +184,8 @@ _METRIC_KINDS = (
     "percentiles",
     "percentile_ranks",
     "boxplot",
+    "rate",
+    "median_absolute_deviation",
     "stats",
     "weighted_avg",
     "top_metrics",
@@ -233,6 +235,8 @@ _PIPELINE_SIBLING = (
     "avg_bucket",
     "sum_bucket",
     "stats_bucket",
+    "extended_stats_bucket",
+    "percentiles_bucket",
 )
 _SIBLING_FN = {
     "max_bucket": F.max,
@@ -1399,6 +1403,142 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
                     / F.sum(F.when(both, w)).cast("double")
                 )
                 out.append((name, e, lvl_no))
+                continue
+            if kind == "rate":
+                # ES rate (round 13): per-`unit` rate of a field sum
+                # (default), a value_count, or the doc count inside a
+                # date_histogram bucket — value = total / (bucket
+                # length expressed in `unit`). Calendar buckets use
+                # their ACTUAL length (a monthly bucket under unit
+                # "day" divides by that month's 28/29/30/31), derived
+                # from the bucket KEY by date arithmetic — exact
+                # under fixed ±HH:MM offsets (no DST ⇒ constant
+                # sub-month widths); IANA zones raise loudly. The
+                # divisor tree is one-or-two IEEE divisions of
+                # exactly-representable ints, spelled identically in
+                # the oracle.
+                if lvl.kind != "date_histogram":
+                    raise ValueError(
+                        "rate needs a date_histogram parent level"
+                    )
+                pbody = lvl.body
+                tkind, tz_off = _tz_parse(pbody.get("time_zone", "UTC"))
+                if tkind != "fixed":
+                    raise ValueError(
+                        "rate under an IANA time_zone is not supported "
+                        "(fixed ±HH:MM offsets only)"
+                    )
+                if "fixed_interval" in pbody:
+                    wms, wmonths = _fixed_ms(pbody["fixed_interval"]), None
+                else:
+                    punit = _CALENDAR_UNITS[pbody["calendar_interval"]]
+                    if punit in _MONTH_UNITS:
+                        wms, wmonths = None, _MONTH_UNITS[punit]
+                    else:
+                        wms, wmonths = _CALENDAR_WIDTH_MS[punit], None
+                if "field" in b:
+                    rmode = b.get("mode", "sum")
+                    rcol = _m(F.col(b["field"]))
+                    if rmode == "sum":
+                        total = F.sum(rcol.cast("decimal(18,6)")).cast(
+                            "double"
+                        )
+                    elif rmode == "value_count":
+                        total = F.count(rcol).cast("double")
+                    else:
+                        raise ValueError(f"rate mode {rmode!r}")
+                else:
+                    total = F.count(_m(F.lit(1))).cast("double")
+                unit = b.get("unit")
+                if unit is None:
+                    # ES default: the histogram's own interval — the
+                    # divisor is 1 by construction
+                    out.append((f"{name}_r6", F.round(total, 6), lvl_no))
+                    continue
+                uname = _CALENDAR_UNITS[unit]
+                if uname in _MONTH_UNITS:
+                    if wmonths is None or wmonths % _MONTH_UNITS[uname]:
+                        raise ValueError(
+                            f"rate unit {unit!r} needs a month-family "
+                            "date_histogram interval it divides"
+                        )
+                    div = F.lit(float(wmonths // _MONTH_UNITS[uname]))
+                else:
+                    ums = _CALENDAR_WIDTH_MS[uname]
+                    if wms is not None:
+                        # constant-width bucket: one IEEE division of
+                        # exact ints (Python's / and SQL's / agree
+                        # bit-for-bit on correctly-rounded doubles)
+                        div = F.lit(float(wms) / float(ums))
+                    else:
+                        # month-family bucket: day count from the
+                        # key's LOCAL boundary date (constant within
+                        # the group; max() makes it aggregate-legal)
+                        d = F.to_date(
+                            F.timestamp_millis(
+                                F.col(lvl.name).cast("long")
+                                + F.lit(tz_off)
+                            )
+                        )
+                        days = F.datediff(
+                            F.add_months(d, wmonths), d
+                        ).cast("long")
+                        div = F.max(
+                            (days * F.lit(86_400_000)).cast("double")
+                            / F.lit(float(ums))
+                        )
+                out.append(
+                    (f"{name}_r6", F.round(total / div, 6), lvl_no)
+                )
+                continue
+            if kind == "median_absolute_deviation":
+                # ES median_absolute_deviation (round 13): exact
+                # median(|x − median(x)|) where ES approximates via
+                # t-digest (the established exactness divergence
+                # class — percentiles/cardinality). One sorted
+                # collect per bucket feeds a pure expression tree:
+                # the inner median interpolates lo + 0.5·(hi − lo)
+                # exactly as quantile_cont/percentile do (the
+                # hash-green convention), the deviations transform +
+                # re-sort, the outer median repeats it. The per-
+                # bucket value buffer is the same memory class as
+                # the exact `percentiles` contract. Each sorted
+                # array is LET-BOUND through a one-element-array
+                # transform so it is evaluated once per group — a
+                # raw reference inside the deviation lambda would
+                # re-sort the collect buffer per element (quadratic,
+                # observed at sf0.1 before the binding).
+                arr = F.sort_array(
+                    F.collect_list(_m(F.col(b["field"])).cast("double"))
+                )
+
+                def _let(c, fn):
+                    return F.transform(F.array(c), fn)[0]
+
+                def _arr_median(a):
+                    nn = F.size(a)
+                    lo = F.element_at(a, ((nn + 1) / 2).cast("int"))
+                    hi = F.element_at(a, (nn / 2 + 1).cast("int"))
+                    return F.when(
+                        nn % 2 == 1, lo
+                    ).otherwise(lo + F.lit(0.5) * (hi - lo))
+
+                mad = _let(
+                    arr,
+                    lambda a: F.when(
+                        F.size(a) > 0,
+                        _let(
+                            F.sort_array(
+                                F.transform(
+                                    a,
+                                    lambda x: F.abs(x - _arr_median(a)),
+                                )
+                            ),
+                            lambda d: F.round(_arr_median(d), 6),
+                        ),
+                    ),
+                )
+                out.append((f"{name}_r6", mad, lvl_no))
                 continue
             if kind == "top_metrics":
                 # the metric value at the bucket's top-sorted doc —
@@ -2969,6 +3109,67 @@ def _apply_pipelines_windows(
                         f"{pname}_{sub}", F.when(at_level, expr)
                     )
                     added.append(f"{pname}_{sub}")
+                continue
+            if kind == "extended_stats_bucket":
+                # the extended_stats moment discipline (exact decimal
+                # Σv/Σv² with 4dp double casts, fixed population
+                # tree, negative clamp, IEEE-exact √) over the
+                # SURVIVING child buckets' metric values — round 13
+                sigma = float(spec.get("sigma", 2.0))
+                dec = child_vals.cast("decimal(28,6)")
+                n_d = F.count(child_vals).over(wc).cast("double")
+                s_d = F.sum(dec).over(wc).cast("double")
+                s2_d = F.round(
+                    F.sum(
+                        child_vals.cast("decimal(18,6)")
+                        * child_vals.cast("decimal(18,6)")
+                    )
+                    .over(wc)
+                    .cast("double"),
+                    4,
+                )
+                avg_d = s_d / F.count(child_vals).over(wc)
+                var_d = F.greatest(
+                    (n_d * s2_d - s_d * s_d) / (n_d * n_d), F.lit(0.0)
+                )
+                std_d = F.sqrt(var_d)
+                parts = [
+                    ("count", n_d),
+                    ("min", F.min(child_vals).over(wc).cast("double")),
+                    ("max", F.max(child_vals).over(wc).cast("double")),
+                    ("sum", s_d),
+                    ("avg", avg_d),
+                    ("sos", s2_d),
+                    ("var", var_d),
+                    ("std", std_d),
+                    ("std_upper", avg_d + F.lit(sigma) * std_d),
+                    ("std_lower", avg_d - F.lit(sigma) * std_d),
+                ]
+                for sub, expr in parts:
+                    frame = frame.withColumn(
+                        f"{pname}_{sub}", F.when(at_level, expr)
+                    )
+                    added.append(f"{pname}_{sub}")
+                continue
+            if kind == "percentiles_bucket":
+                # EXACT percentiles over the surviving child buckets'
+                # metric values (ES uses t-digest — the established
+                # exactness divergence class), one window percentile
+                # per requested percent — round 13
+                for p in spec.get("percents", (1, 5, 25, 50, 75, 95, 99)):
+                    frame = frame.withColumn(
+                        f"{pname}_p{int(p)}_r6",
+                        F.when(
+                            at_level,
+                            F.round(
+                                F.percentile(
+                                    child_vals, F.lit(p / 100.0)
+                                ).over(wc),
+                                6,
+                            ),
+                        ),
+                    )
+                    added.append(f"{pname}_p{int(p)}_r6")
                 continue
             val = _SIBLING_FN[kind](child_vals).over(wc).cast("double")
             frame = frame.withColumn(pname, F.when(at_level, val))
@@ -6664,6 +6865,86 @@ def q_es_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "_source": ["event_id", "ts", "value"],
                             }
                         }
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_rate_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rate`` + ``median_absolute_deviation`` (round 13): monthly
+    order volume as a per-DAY revenue rate and a per-WEEK order rate
+    — the divisor is each month's ACTUAL day count (28/29/30/31,
+    leap Februaries included), the Kibana "daily rate" time-series
+    shape — plus the exact MAD of the month's order values (ES
+    approximates via t-digest; the established exactness divergence
+    class)."""
+    orders = load(spark, sf_dir, "orders")
+    return search_aggs(
+        orders,
+        {
+            "aggs": {
+                "per_month": {
+                    "date_histogram": {
+                        "field": "o_orderdate",
+                        "calendar_interval": "month",
+                    },
+                    "aggs": {
+                        "price_per_day": {
+                            "rate": {
+                                "field": "o_totalprice",
+                                "unit": "day",
+                            }
+                        },
+                        "orders_per_week": {"rate": {"unit": "week"}},
+                        "mad_price": {
+                            "median_absolute_deviation": {
+                                "field": "o_totalprice"
+                            }
+                        },
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_bucket_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentiles_bucket`` + ``extended_stats_bucket`` (round 13):
+    per event type, summarize the daily revenue-sum distribution —
+    exact quartiles (ES t-digest's divergence class) and the
+    extended_stats moment tree over the surviving day buckets. The
+    sibling-pipe window family stats_bucket pins, widened to the
+    remaining two *_bucket kinds."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 10},
+                    "aggs": {
+                        "per_day": {
+                            "date_histogram": {
+                                "field": "ts",
+                                "fixed_interval": "1d",
+                            },
+                            "aggs": {
+                                "sv": {"sum": {"field": "value"}}
+                            },
+                        },
+                        "pb": {
+                            "percentiles_bucket": {
+                                "buckets_path": "per_day>sv",
+                                "percents": [25, 50, 75],
+                            }
+                        },
+                        "esb": {
+                            "extended_stats_bucket": {
+                                "buckets_path": "per_day>sv"
+                            }
+                        },
                     },
                 }
             },

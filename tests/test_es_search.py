@@ -1905,6 +1905,121 @@ def test_boxplot_and_derivative_unit(spark):
                                           "unit": "1h"}}}}})
 
 
+def test_rate_and_mad(spark):
+    """Round 13: rate divides the bucket total by the bucket's
+    ACTUAL length in `unit` (leap February = 29 days), doc-count
+    mode without a field, value_count mode; MAD is the exact
+    median of absolute deviations (odd + even counts, NULLs
+    dropped). Non-date_histogram parents and IANA zones raise."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    rows = [
+        (dt.datetime(2024, 1, 3), 2.0),
+        (dt.datetime(2024, 1, 9), 4.0),
+        (dt.datetime(2024, 1, 20), 12.0),
+        (dt.datetime(2024, 2, 5), 5.0),
+        (dt.datetime(2024, 2, 6), None),
+        (dt.datetime(2024, 2, 7), 11.0),
+        (dt.datetime(2024, 2, 8), 1.0),
+        (dt.datetime(2024, 2, 9), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = sorted(
+        compile_aggs(df, {"m": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "month"},
+            "aggs": {
+                "per_day": {"rate": {"field": "v", "unit": "day"}},
+                "docs_per_week": {"rate": {"unit": "week"}},
+                "vals_per_day": {"rate": {"field": "v", "unit": "day",
+                                          "mode": "value_count"}},
+                "mad": {"median_absolute_deviation": {"field": "v"}},
+            }}}).collect(),
+        key=lambda r: r.m,
+    )
+    jan, feb = out
+    # January: 31 days; sum 18, 3 docs, 3 values
+    assert jan.per_day_r6 == round(18.0 / 31, 6)
+    assert jan.docs_per_week_r6 == round(3.0 / (31 * 86400000 / 604800000.0), 6)
+    assert jan.vals_per_day_r6 == round(3.0 / 31, 6)
+    # January values 2,4,12 → median 4, devs (0,2,8) → MAD 2
+    assert jan.mad_r6 == 2.0
+    # February 2024: LEAP — 29 days; 5 docs, 4 non-NULL values sum 20
+    assert feb.per_day_r6 == round(20.0 / 29, 6)
+    assert feb.docs_per_week_r6 == round(5.0 / (29 * 86400000 / 604800000.0), 6)
+    assert feb.vals_per_day_r6 == round(4.0 / 29, 6)
+    # February values 1,3,5,11 → median 4, devs (1,1,3,7) → MAD 2
+    assert feb.mad_r6 == 2.0
+    with pytest.raises(ValueError, match="date_histogram parent"):
+        compile_aggs(df, {"g": {
+            "histogram": {"field": "v", "interval": 1},
+            "aggs": {"r": {"rate": {"unit": "day"}}}}})
+    with pytest.raises(ValueError, match="IANA"):
+        compile_aggs(df, {"m": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "month",
+                               "time_zone": "America/New_York"},
+            "aggs": {"r": {"rate": {"unit": "day"}}}}})
+    with pytest.raises(ValueError, match="month-family"):
+        compile_aggs(df, {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+            "aggs": {"r": {"rate": {"unit": "month"}}}}})
+
+
+def test_percentiles_and_extended_stats_bucket(spark):
+    """Round 13: the two remaining sibling *_bucket pipes —
+    percentiles_bucket (exact interpolation over the child buckets'
+    values) and extended_stats_bucket (the moment tree) report on
+    the PARENT row; a dangling buckets_path still raises."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1), 1.0),
+        ("a", dt.datetime(2024, 1, 2), 3.0),
+        ("a", dt.datetime(2024, 1, 3), 5.0),
+        ("a", dt.datetime(2024, 1, 4), 7.0),
+        ("b", dt.datetime(2024, 1, 1), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "t string, ts timestamp, v double")
+    out = compile_aggs(df, {"by_t": {
+        "terms": {"field": "t", "size": 10},
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+                "aggs": {"sv": {"sum": {"field": "v"}}},
+            },
+            "pb": {"percentiles_bucket": {"buckets_path": "per_day>sv",
+                                          "percents": [50, 75]}},
+            "esb": {"extended_stats_bucket": {
+                "buckets_path": "per_day>sv"}},
+        }}}).collect()
+    a = next(r for r in out if r.level == 1 and r.by_t == "a")
+    b = next(r for r in out if r.level == 1 and r.by_t == "b")
+    # a's daily sums: 1,3,5,7 → p50 = 4, p75 = 5.5
+    assert (a.pb_p50_r6, a.pb_p75_r6) == (4.0, 5.5)
+    assert (a.esb_count, a.esb_min, a.esb_max, a.esb_sum, a.esb_avg) == (
+        4.0, 1.0, 7.0, 16.0, 4.0)
+    # Σv² = 1+9+25+49 = 84; var = (4·84 − 256)/16 = 5; std = √5
+    assert (a.esb_sos, a.esb_var) == (84.0, 5.0)
+    assert a.esb_std == 5.0 ** 0.5
+    assert a.esb_std_upper == 4.0 + 2.0 * 5.0 ** 0.5
+    assert (b.pb_p50_r6, b.esb_var, b.esb_std) == (10.0, 0.0, 0.0)
+    # child rows carry no pipe values
+    assert all(r.pb_p50_r6 is None for r in out if r.level == 2)
+    with pytest.raises(ValueError, match="child bucket agg"):
+        compile_aggs(df, {"by_t": {
+            "terms": {"field": "t", "size": 10},
+            "aggs": {
+                "per_day": {"date_histogram": {"field": "ts",
+                                               "fixed_interval": "1d"}},
+                "pb": {"percentiles_bucket": {
+                    "buckets_path": "nope>sv"}}}}})
+
+
 def test_cumulative_cardinality(spark):
     """Round 13: cumulative_cardinality — each value counts at its
     FIRST bucket, the running sum carried across gap-filled empties;

@@ -307,6 +307,15 @@ PINNED_FINGERPRINTS = {
     # aggregate expressions in the one rollup, the normalized
     # column one more lag over the same window — the agg-tree class
     "es_boxplot_derivative_unit": {"exchange": 4},
+    # rate + median_absolute_deviation (round 13): plain aggregate
+    # expressions (the MAD collect included) in the one rollup —
+    # no pipelines, so one window pass fewer than the 4-exchange
+    # agg-tree rows
+    "es_rate_mad": {"exchange": 3},
+    # percentiles_bucket + extended_stats_bucket (round 13): window
+    # aggregates over the shared key-prefix partition — the
+    # stats_bucket sibling-pipe class, same bucket-frame exchanges
+    "es_bucket_summaries": {"exchange": 4},
     # cumulative_cardinality (round 13): the regular gap-filled
     # frame + one groupBy(value) first-bucket pass + its bucket-
     # frame count, broadcast back; running sum is a bucket-frame
