@@ -829,6 +829,16 @@ DEMOTED: frozenset[str] = frozenset(
         #     demoted-green pending rotation (es_pipeline_aggs keeps
         #     the sibling-pipe family declared)
         "es_bucket_summaries",
+        # es_moving_percentiles — the exact union-of-raw-values
+        #     reading of ES's merged-digest moving percentiles over
+        #     a gap-filled grid (round 13); demoted-green pending
+        #     rotation (es_gapfill_moving_fn keeps the positional-
+        #     pipeline family verified)
+        "es_moving_percentiles",
+        # es_global_agg — the query-ignoring global scope (round
+        #     13); demoted-green pending rotation (es_aggs_tree
+        #     keeps the agg-tree family declared)
+        "es_global_agg",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1258,6 +1268,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_rate_mad": _mod("es_search", "q_es_rate_mad"),
         "es_bucket_summaries": _mod("es_search", "q_es_bucket_summaries"),
+        "es_moving_percentiles": _mod(
+            "es_search", "q_es_moving_percentiles"
+        ),
+        "es_global_agg": _mod("es_search", "q_es_global_agg"),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
         "es_date_histogram_gapfill_month": _mod(
@@ -4435,6 +4449,59 @@ def _all_oracle_sql() -> dict[str, str]:
                      / ((k - lag(k) OVER (ORDER BY k)) / 1800000), 6)
                    AS dv_normalized_r6
         FROM b ORDER BY per_hour
+    """
+
+    # es_moving_percentiles (round 13): the exact merged-window
+    # reading — per grid hour, quantile_cont over the UNION of the
+    # trailing 4 hours' raw purchase values (the engine's
+    # interpolation tree is quantile_cont's); interior gap hours
+    # come from the min..max grid and contribute nothing.
+    q["es_moving_percentiles"] = """
+        WITH b AS (
+          SELECT epoch_ms(date_trunc('hour', ts)) AS k, count(*) AS dc,
+                 round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6)
+                     AS p50,
+                 round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6)
+                     AS p90
+          FROM events
+          WHERE coalesce(event_type = 'purchase', FALSE)
+            AND ts IS NOT NULL
+          GROUP BY 1
+        ),
+        ext AS (SELECT min(k) AS lo, max(k) AS hi FROM b),
+        grid AS (
+          SELECT unnest(range(lo, hi + 3600000, 3600000)) AS k FROM ext
+        ),
+        pairs AS (
+          SELECT g.k, CAST(e.value AS DOUBLE) AS v
+          FROM grid g JOIN events e
+            ON coalesce(e.event_type = 'purchase', FALSE)
+           AND e.ts IS NOT NULL AND e.value IS NOT NULL
+           AND epoch_ms(date_trunc('hour', e.ts))
+               BETWEEN g.k - 3 * 3600000 AND g.k
+        ),
+        mp AS (
+          SELECT k, round(quantile_cont(v, 0.5), 6) AS mp50,
+                 round(quantile_cont(v, 0.9), 6) AS mp90
+          FROM pairs GROUP BY k
+        )
+        SELECT CAST(1 AS INT) AS level, g.k AS per_hour,
+               coalesce(b.dc, 0) AS doc_count,
+               b.p50 AS pct_p50_r6, b.p90 AS pct_p90_r6,
+               mp.mp50 AS mp_p50_r6, mp.mp90 AS mp_p90_r6
+        FROM grid g LEFT JOIN b USING (k) LEFT JOIN mp USING (k)
+        ORDER BY per_hour
+    """
+
+    # es_global_agg (round 13): the global scope ignores the
+    # request's query — the oracle aggregates the UNFILTERED frame.
+    q["es_global_agg"] = """
+        SELECT CAST(1 AS INT) AS level, event_type AS by_type,
+               count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value) AS avg_value
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY event_type ORDER BY by_type
     """
 
     # es_rate_mad (round 13): rate divisors are IEEE divisions of

@@ -209,6 +209,7 @@ _PIPELINE_PARENT = (
     "moving_fn",
     "serial_diff",
     "normalize",
+    "moving_percentiles",
 )
 
 #: the ES `normalize` pipeline's rescale methods expressible as pure
@@ -1825,6 +1826,38 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
                 out.append(
                     (f"{name}_std_lower", avg_d - F.lit(sigma) * std_d, lvl_no)
                 )
+        # moving_percentiles (round 13): the window merges the RAW
+        # value multisets of the trailing buckets (ES merges the
+        # buckets' t-digests; the exact reading needs the values),
+        # so each referenced percentiles agg ALSO collects its
+        # bucket's values into a hidden array column — dropped from
+        # the final projection, NULL on gap-synthesized rows (their
+        # empty buckets contribute nothing, exactly ES's merge of an
+        # empty digest).
+        seen_hidden: set[str] = set()
+        for _pn, _pk, _ps in lvl.pipelines:
+            if _pk != "moving_percentiles":
+                continue
+            path = _ps["buckets_path"]
+            mspec = dict(lvl.metrics).get(path)
+            if not mspec or "percentiles" not in mspec:
+                raise ValueError(
+                    "moving_percentiles buckets_path must reference a "
+                    "sibling percentiles agg at the same level"
+                )
+            hid = f"_hmp{lvl_no}_{path}"
+            if hid in seen_hidden:
+                continue
+            seen_hidden.add(hid)
+            out.append((
+                hid,
+                F.collect_list(
+                    _m(F.col(mspec["percentiles"]["field"])).cast(
+                        "double"
+                    )
+                ),
+                lvl_no,
+            ))
     return out
 
 
@@ -2552,6 +2585,10 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     deferred_names: list[str] = []
     if pipe_cols.deferred:
         lv2 = [_Level(lvl.name, lvl.kind, lvl.body) for lvl in levels]
+        for src_lvl, dst_lvl in zip(levels, lv2):
+            # deferred moving_percentiles re-resolves its percents
+            # from the sibling percentiles spec
+            dst_lvl.metrics = list(src_lvl.metrics)
         for idx, pn, pk, sp in pipe_cols.deferred:
             lv2[idx - 1].pipelines.append((pn, pk, sp))
         post = _apply_pipelines_windows(frame, lv2, key_names)
@@ -2565,7 +2602,9 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     )
     frame = _apply_bucket_sort(frame, [i for i in bs_levels if i in gap_set])
 
-    # report each metric at its attachment level only (ES tree shape)
+    # report each metric at its attachment level only (ES tree
+    # shape); the _hmp* value arrays were moving_percentiles
+    # plumbing, not response fields
     proj = [
         F.col("level"),
         *[F.col(nm) for nm in key_names],
@@ -2573,6 +2612,7 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         *[
             F.when(F.col("level") == lvl_no, F.col(nm)).alias(nm)
             for nm, _, lvl_no in metrics
+            if not nm.startswith("_hmp")
         ],
         *[F.col(nm) for nm in pipe_cols.names + deferred_names],
     ]
@@ -2697,6 +2737,19 @@ def streamable_aggs(
     )
 
 
+def _arr_quantile_col(a: Column, p: float) -> Column:
+    """quantile_cont over a SORTED array column — the same
+    ``lower + frac·(upper − lower)`` tree Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` run, so merged-window percentiles
+    stay hash-comparable across engines (round 13)."""
+    nn = F.size(a)
+    pos = (nn - F.lit(1)).cast("double") * F.lit(p)
+    k = F.floor(pos).cast("int")
+    lo = F.element_at(a, k + F.lit(1))
+    hi = F.element_at(a, F.least(k + F.lit(2), nn))
+    return lo + (pos - k.cast("double")) * (hi - lo)
+
+
 def _bucket_path_col(path: str) -> Column:
     """Resolve an intra-level ``buckets_path``: a sibling metric's
     column name, or ``_count`` for the bucket's doc count."""
@@ -2753,6 +2806,7 @@ def _apply_pipelines_windows(
             if i in defer_positional and kind in (
                 "moving_fn",
                 "serial_diff",
+                "moving_percentiles",
             ):
                 deferred.append((i, pname, kind, spec))
                 continue
@@ -2761,6 +2815,7 @@ def _apply_pipelines_windows(
                 "derivative",
                 "moving_fn",
                 "serial_diff",
+                "moving_percentiles",
             ) and lvl.kind not in ("date_histogram", "histogram"):
                 raise ValueError(
                     f"{kind} needs a sequential (histogram-family) parent, "
@@ -2955,6 +3010,67 @@ def _apply_pipelines_windows(
                 if zeroed:
                     src = F.coalesce(src, F.lit(0.0))
                 col = (src - F.lag(src, lag_n).over(w)).cast("double")
+            elif kind == "moving_percentiles":
+                # ES moving_percentiles (round 13): merge the
+                # trailing `window` buckets' percentile sketches —
+                # here the EXACT reading: the union of those
+                # buckets' raw value multisets (the hidden _hmp
+                # arrays _metric_cols collected), flattened + sorted
+                # ONCE into a temp column, then one quantile_cont
+                # interpolation per percent of the referenced
+                # percentiles agg. Empty/gap buckets carry NULL
+                # arrays and drop from the merge (ES: empty digest).
+                # Memory is window × bucket-values per row — the
+                # exact-percentiles buffer class, window-bounded.
+                if "shift" in spec:
+                    raise ValueError(
+                        "moving_percentiles shift is not supported"
+                    )
+                win_n = int(spec["window"])
+                if win_n < 1:
+                    raise ValueError(
+                        "moving_percentiles window must be >= 1"
+                    )
+                path = spec["buckets_path"]
+                mspec = dict(lvl.metrics).get(path)
+                if not mspec or "percentiles" not in mspec:
+                    raise ValueError(
+                        "moving_percentiles buckets_path must "
+                        "reference a sibling percentiles agg at the "
+                        "same level"
+                    )
+                percents = mspec["percentiles"].get(
+                    "percents", (1, 5, 25, 50, 75, 95, 99)
+                )
+                mw = w.rowsBetween(-(win_n - 1), 0)
+                tmp = f"_mp_{pname}"
+                frame = frame.withColumn(
+                    tmp,
+                    F.when(
+                        at_level,
+                        F.sort_array(
+                            F.flatten(
+                                F.collect_list(
+                                    F.col(f"_hmp{i}_{path}")
+                                ).over(mw)
+                            )
+                        ),
+                    ),
+                )
+                for p in percents:
+                    cn = f"{pname}_p{int(p)}_r6"
+                    ta = F.col(tmp)
+                    frame = frame.withColumn(
+                        cn,
+                        F.when(
+                            at_level & (F.size(ta) > 0),
+                            F.round(
+                                _arr_quantile_col(ta, p / 100.0), 6
+                            ),
+                        ),
+                    )
+                    added.append(cn)
+                continue
             elif kind == "normalize":
                 # ES normalize (round 12; round 13 adds z-score +
                 # softmax — VERDICT r12 Next #7): rescale a metric
@@ -3725,6 +3841,18 @@ def search_aggs(df: DataFrame, request: dict) -> DataFrame:
         # row_number; docs MISSING the field are never deduplicated,
         # like ES). The sampler bucket's own row is not emitted — the
         # returned frame is the sub-tree over the sampled docs.
+        # global (round 13): the query-IGNORING scope — Kibana's
+        # "overall numbers next to the filtered ones". The sub-tree
+        # compiles over the UNFILTERED frame (runtime mappings
+        # already applied above); like the sampler buckets, the
+        # global bucket's own single row is not emitted — the
+        # returned frame IS the sub-tree.
+        if "global" in aspec:
+            if aspec["global"]:
+                raise ValueError("global takes no parameters ({})")
+            if "aggs" not in aspec:
+                raise ValueError("global needs sub-aggregations")
+            return compile_aggs(df, aspec["aggs"])
         if "sampler" in aspec or "diversified_sampler" in aspec:
             skind = (
                 "sampler" if "sampler" in aspec else "diversified_sampler"
@@ -6945,6 +7073,70 @@ def q_es_bucket_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "buckets_path": "per_day>sv"
                             }
                         },
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``moving_percentiles`` (round 13): trailing-4-hour p50/p90 of
+    purchase values over the gap-filled hourly grid — the exact
+    union-of-raw-values reading of ES's merged t-digests; empty
+    hours occupy window positions and contribute nothing."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "query": {"term": {"event_type": "purchase"}},
+            "aggs": {
+                "per_hour": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "calendar_interval": "hour",
+                        "min_doc_count": 0,
+                    },
+                    "aggs": {
+                        "pct": {
+                            "percentiles": {
+                                "field": "value",
+                                "percents": [50, 90],
+                            }
+                        },
+                        "mp": {
+                            "moving_percentiles": {
+                                "buckets_path": "pct",
+                                "window": 4,
+                            }
+                        },
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``global`` (round 13): per-type doc counts and value averages
+    over the WHOLE index while the request's query narrows the hits
+    — the Kibana "overall vs filtered" comparison scope; the query
+    must leave the numbers untouched."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "query": {"term": {"event_type": "purchase"}},
+            "aggs": {
+                "all_docs": {
+                    "global": {},
+                    "aggs": {
+                        "by_type": {
+                            "terms": {"field": "event_type", "size": 10},
+                            "aggs": {
+                                "avg_value": {"avg": {"field": "value"}}
+                            },
+                        }
                     },
                 }
             },

@@ -2020,6 +2020,70 @@ def test_percentiles_and_extended_stats_bucket(spark):
                     "buckets_path": "nope>sv"}}}}})
 
 
+def test_moving_percentiles_and_global(spark):
+    """Round 13: moving_percentiles merges the trailing buckets' RAW
+    value multisets (gap-filled empties occupy positions and
+    contribute nothing); global compiles its sub-tree over the
+    UNFILTERED frame. Dangling paths / parameters raise."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.es_search import (
+        compile_aggs,
+        search_aggs,
+    )
+
+    rows = [(dt.datetime(2024, 1, 1, 0), 1.0),
+            (dt.datetime(2024, 1, 1, 0), 3.0),
+            (dt.datetime(2024, 1, 1, 1), 5.0),
+            (dt.datetime(2024, 1, 1, 3), 7.0),
+            (dt.datetime(2024, 1, 1, 3), 9.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = sorted(
+        compile_aggs(df, {"h": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "hour",
+                               "min_doc_count": 0},
+            "aggs": {
+                "pct": {"percentiles": {"field": "v",
+                                        "percents": [50, 100]}},
+                "mp": {"moving_percentiles": {"buckets_path": "pct",
+                                              "window": 2}},
+            }}}).collect(),
+        key=lambda r: r.h,
+    )
+    got = [(r.doc_count, r.pct_p50_r6, r.mp_p50_r6, r.mp_p100_r6)
+           for r in out]
+    assert got == [
+        (2, 2.0, 2.0, 3.0),   # {1,3}
+        (1, 5.0, 3.0, 5.0),   # {1,3} ∪ {5}
+        (0, None, 5.0, 5.0),  # gap hour: window = {5} only
+        (2, 8.0, 8.0, 9.0),   # {7,9} (gap hour contributed nothing)
+    ]
+    # the hidden _hmp plumbing never reaches the output schema
+    assert not [c for c in out[0].asDict() if c.startswith("_hmp")]
+    with pytest.raises(ValueError, match="sibling percentiles"):
+        compile_aggs(df, {"h": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "hour"},
+            "aggs": {"sv": {"sum": {"field": "v"}},
+                     "mp": {"moving_percentiles": {
+                         "buckets_path": "sv", "window": 2}}}}})
+
+    gdf = df.withColumn("t", (df.v > 4).cast("string"))
+    g = search_aggs(gdf, {
+        "query": {"range": {"v": {"gte": 100}}},  # matches nothing
+        "aggs": {"all": {"global": {}, "aggs": {
+            "by_t": {"terms": {"field": "t", "size": 10},
+                     "aggs": {"av": {"avg": {"field": "v"}}}}}}}})
+    assert sorted((r.by_t, r.doc_count, r.av) for r in g.collect()) == [
+        ("false", 2, 2.0), ("true", 3, 7.0)]
+    with pytest.raises(ValueError, match="no parameters"):
+        search_aggs(gdf, {"aggs": {"all": {
+            "global": {"field": "t"}, "aggs": {}}}})
+    with pytest.raises(ValueError, match="sub-aggregations"):
+        search_aggs(gdf, {"aggs": {"all": {"global": {}}}})
+
+
 def test_cumulative_cardinality(spark):
     """Round 13: cumulative_cardinality — each value counts at its
     FIRST bucket, the running sum carried across gap-filled empties;

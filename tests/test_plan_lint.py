@@ -316,6 +316,13 @@ PINNED_FINGERPRINTS = {
     # aggregates over the shared key-prefix partition — the
     # stats_bucket sibling-pipe class, same bucket-frame exchanges
     "es_bucket_summaries": {"exchange": 4},
+    # moving_percentiles (round 13): the hidden value arrays ride
+    # the one rollup; merge+sort is a bucket-frame window — the
+    # gapfill-pipeline exchange class
+    "es_moving_percentiles": {"exchange": 4},
+    # global (round 13): the sub-tree over the unfiltered scan —
+    # the plain agg-tree class
+    "es_global_agg": {"exchange": 4},
     # cumulative_cardinality (round 13): the regular gap-filled
     # frame + one groupBy(value) first-bucket pass + its bucket-
     # frame count, broadcast back; running sum is a bucket-frame
