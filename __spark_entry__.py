@@ -839,6 +839,17 @@ DEMOTED: frozenset[str] = frozenset(
         #     13); demoted-green pending rotation (es_aggs_tree
         #     keeps the agg-tree family declared)
         "es_global_agg",
+        # es_string_stats_distribution — show_distribution as
+        #     per-(bucket, char) probability rows (round 13);
+        #     demoted-green pending rotation (the char-histogram
+        #     family keeps es_string_stats_entropy verified)
+        "es_string_stats_distribution",
+        # es_transform_latest — ES's second transform type: the
+        #     most recent doc per entity via one struct-max shuffle
+        #     (round 13); demoted-green pending rotation
+        #     (es_transform_pivot keeps the transform family
+        #     declared)
+        "es_transform_latest",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1272,6 +1283,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "es_search", "q_es_moving_percentiles"
         ),
         "es_global_agg": _mod("es_search", "q_es_global_agg"),
+        "es_string_stats_distribution": _mod(
+            "es_search", "q_es_string_stats_distribution"
+        ),
+        "es_transform_latest": _mod(
+            "transform", "q_es_transform_latest"
+        ),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
         "es_date_histogram_gapfill_month": _mod(
@@ -4708,6 +4725,46 @@ def _all_oracle_sql() -> dict[str, str]:
                coalesce(e.props_stats_entropy, 0.0) AS props_stats_entropy
         FROM stats s LEFT JOIN ent e ON s.by_type = e.by_type
         ORDER BY s.by_type
+    """
+
+    # es_transform_latest (round 13): the latest transform — per
+    # user the most recent event under (ts desc, event_id desc);
+    # the tiebreak makes the pick engine-independent.
+    q["es_transform_latest"] = """
+        SELECT user_id, ts, event_id, event_type, value, props FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_id IS NOT NULL
+        ) WHERE rn = 1 ORDER BY user_id
+    """
+
+    # es_string_stats_distribution (round 13): the per-char
+    # probability map as rows — the entropy oracle's char histogram,
+    # each char's count over the bucket total (long/long → double).
+    q["es_string_stats_distribution"] = """
+        WITH d AS (
+          SELECT event_type AS by_type, props AS v FROM events
+          WHERE event_type IS NOT NULL
+        ),
+        parents AS (
+          SELECT by_type, count(*) AS doc_count FROM d GROUP BY 1
+        ),
+        ch AS (
+          SELECT by_type, c, count(*) AS m FROM (
+            SELECT by_type, unnest(regexp_extract_all(v, '.')) AS c
+            FROM d WHERE v IS NOT NULL
+          ) GROUP BY by_type, c
+        )
+        SELECT CAST(1 AS INT) AS level, p.by_type, p.doc_count,
+               ch.c AS props_stats_char,
+               CAST(ch.m AS DOUBLE) AS props_stats_char_count,
+               round(ch.m / sum(ch.m) OVER (PARTITION BY ch.by_type),
+                     6) AS props_stats_prob_r6
+        FROM ch JOIN parents p USING (by_type)
+        ORDER BY by_type, props_stats_char
     """
 
     # es_diversified_sampler (round 13): the per-user cap is one

@@ -1659,10 +1659,10 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
                 # flat-frame shape anywhere and raises.
                 if b.get("show_distribution"):
                     raise ValueError(
-                        "string_stats show_distribution (per-char "
-                        "probability map) has no flat-frame shape; "
-                        "entropy: true on a root terms level gives "
-                        "the entropy column"
+                        "string_stats show_distribution needs the "
+                        "dedicated per-(bucket, char) path: a SINGLE "
+                        "root terms level with string_stats as its "
+                        "only sub-agg (round 13)"
                     )
                 if b.get("entropy"):
                     raise ValueError(
@@ -3803,9 +3803,24 @@ def search_aggs(df: DataFrame, request: dict) -> DataFrame:
             and len(aspec.get("aggs") or {}) == 1
             and "string_stats"
             in (_ss := next(iter(aspec["aggs"].values())))
-            and _ss["string_stats"].get("entropy")
+            and (
+                _ss["string_stats"].get("entropy")
+                or _ss["string_stats"].get("show_distribution")
+            )
         ):
             (sname, sspec), = aspec["aggs"].items()
+            # show_distribution (round 13): ES's per-char probability
+            # MAP as one row per (bucket, char) — a different output
+            # grain, so it takes precedence and omits the length
+            # stats/entropy columns (documented flat reading)
+            if sspec["string_stats"].get("show_distribution"):
+                return _string_stats_distribution_under_terms(
+                    df.filter(compile_query(request.get("query"))),
+                    aname,
+                    aspec["terms"],
+                    sname,
+                    sspec["string_stats"],
+                )
             return _string_stats_entropy_under_terms(
                 df.filter(compile_query(request.get("query"))),
                 aname,
@@ -4029,11 +4044,6 @@ def _string_stats_entropy_under_terms(
     Flat columns: ``(level=1, <parent>, doc_count, <name>_count,
     <name>_min_length, <name>_max_length, <name>_avg_length,
     <name>_entropy)``."""
-    if body.get("show_distribution"):
-        raise ValueError(
-            "string_stats show_distribution (per-char probability "
-            "map) has no flat-frame shape"
-        )
     fld = F.col(body["field"])
     d = df.select(
         F.col(pbody["field"]).alias(pname), fld.alias("_v")
@@ -4105,6 +4115,71 @@ def _string_stats_entropy_under_terms(
             f"{name}_max_length",
             f"{name}_avg_length",
             f"{name}_entropy",
+        )
+    )
+
+
+def _string_stats_distribution_under_terms(
+    df: DataFrame, pname: str, pbody: dict, name: str, body: dict
+) -> DataFrame:
+    """``terms > string_stats`` with ``show_distribution`` (round
+    13): ES returns a per-character probability MAP per bucket; the
+    flat-frame reading is one row per (bucket, character) — the same
+    char-histogram groupBy the entropy path runs, each char's
+    probability = its count / the bucket's total chars. Chars come
+    from ``regexp_extract_all(v, '.')`` (newlines uncounted, the
+    entropy path's documented bound). Columns: ``(level=1,
+    <parent>, doc_count, <name>_char, <name>_char_count,
+    <name>_prob_r6)``, ordered by (parent, char)."""
+    fld = F.col(body["field"])
+    d = df.select(
+        F.col(pbody["field"]).alias(pname), fld.alias("_v")
+    ).filter(F.col(pname).isNotNull())
+    psize = int(pbody.get("size", 10))
+    parents = (
+        d.groupBy(pname)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .withColumn(
+            "_prank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("doc_count").desc(), F.col(pname).asc()
+                )
+            ),
+        )
+        .filter(F.col("_prank") <= psize)
+        .drop("_prank")
+    )
+    ch = (
+        d.filter(F.col("_v").isNotNull())
+        .select(
+            pname,
+            F.explode(F.expr("regexp_extract_all(_v, '.', 0)")).alias(
+                f"{name}_char"
+            ),
+        )
+        .groupBy(pname, f"{name}_char")
+        .agg(F.count(F.lit(1)).alias(f"{name}_char_count"))
+    )
+    wb = Window.partitionBy(pname)
+    prob = F.col(f"{name}_char_count") / F.sum(
+        f"{name}_char_count"
+    ).over(wb)
+    return (
+        parents.join(ch, pname, "inner")
+        .withColumn(f"{name}_prob_r6", F.round(prob, 6))
+        .withColumn(
+            f"{name}_char_count",
+            F.col(f"{name}_char_count").cast("double"),
+        )
+        .orderBy(F.col(pname).asc(), F.col(f"{name}_char").asc())
+        .select(
+            F.lit(1).cast("int").alias("level"),
+            pname,
+            "doc_count",
+            f"{name}_char",
+            f"{name}_char_count",
+            f"{name}_prob_r6",
         )
     )
 
@@ -7136,6 +7211,35 @@ def q_es_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "aggs": {
                                 "avg_value": {"avg": {"field": "value"}}
                             },
+                        }
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_string_stats_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``string_stats`` with ``show_distribution`` (round 13): the
+    per-character probability map of the props JSON blobs per event
+    type, flattened to one row per (bucket, char) — the ES response
+    field the in-rollup form refuses, via the dedicated
+    char-histogram path."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 10},
+                    "aggs": {
+                        "props_stats": {
+                            "string_stats": {
+                                "field": "props",
+                                "show_distribution": True,
+                            }
                         }
                     },
                 }

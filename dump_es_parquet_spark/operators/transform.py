@@ -283,3 +283,65 @@ def q_es_transform_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return transform_pivot(ev, GROUP_BY, AGGREGATIONS).orderBy("user", "day")
+
+
+def transform_latest(
+    df: DataFrame,
+    unique_key: list[str],
+    sort: str,
+    tiebreak: str,
+) -> DataFrame:
+    """ES's second transform type, ``latest`` (round 13): per
+    ``unique_key`` entity, the MOST RECENT document by ``sort`` —
+    the "current state per customer" pattern (ES: `"latest":
+    {"unique_key": [...], "sort": "ts"}`).
+
+    ES breaks sort ties by internal doc order, which has no
+    deterministic lake reading, so (like the sampler's sort rule) a
+    ``tiebreak`` column unique within (entity, sort) is REQUIRED.
+    One shuffle: max over a (sort, tiebreak, payload...) struct whose
+    lexicographic order never reaches the payload — partial
+    aggregation keeps one candidate row per entity per map task
+    (never a raw-data sort, unlike the window form). Docs missing
+    the entity key or the sort field drop, ES-style; entities whose
+    docs all lack ``sort`` are not emitted."""
+    for c in (*unique_key, sort, tiebreak):
+        if c not in df.columns:
+            raise ValueError(f"transform_latest: no column {c!r}")
+    rest = [
+        c for c in df.columns
+        if c not in (*unique_key, sort, tiebreak)
+    ]
+    pair = F.when(
+        F.col(sort).isNotNull() & F.col(tiebreak).isNotNull(),
+        F.struct(
+            F.col(sort), F.col(tiebreak), *[F.col(c) for c in rest]
+        ),
+    )
+    keys_present = F.lit(True)
+    for k in unique_key:
+        keys_present = keys_present & F.col(k).isNotNull()
+    out = (
+        df.filter(keys_present)
+        .groupBy(*unique_key)
+        .agg(F.max(pair).alias("_latest"))
+        .filter(F.col("_latest").isNotNull())
+    )
+    return out.select(
+        *unique_key,
+        *[
+            F.col(f"_latest.{c}").alias(c)
+            for c in (sort, tiebreak, *rest)
+        ],
+    )
+
+
+def q_es_transform_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``latest`` transform: each user's most recent event — sort on
+    ts, event_id as the deterministic tie-break."""
+    from .tables import load
+
+    ev = load(spark, sf_dir, "events")
+    return transform_latest(
+        ev, ["user_id"], "ts", "event_id"
+    ).orderBy("user_id")

@@ -1869,6 +1869,39 @@ def test_string_stats_entropy(spark):
     assert out["y"].st_entropy == 0.0 and out["y"].st_count == 1.0
 
 
+def test_string_stats_show_distribution(spark):
+    """Round 13: show_distribution flattens ES's per-char probability
+    map to one row per (bucket, char); probabilities sum to 1 within
+    a bucket; inside the one-rollup plan it still raises with the
+    routing pointer."""
+    from dump_es_parquet_spark.operators.es_search import (
+        compile_aggs,
+        search_aggs,
+    )
+
+    df = spark.createDataFrame([
+        Row(g="x", s="ab"), Row(g="x", s="bba"),
+        Row(g="y", s="cc"),
+    ])
+    out = search_aggs(df, {"aggs": {"byg": {
+        "terms": {"field": "g"},
+        "aggs": {"st": {"string_stats": {
+            "field": "s", "show_distribution": True}}}}}}).collect()
+    got = {(r.byg, r.st_char): (r.doc_count, r.st_char_count,
+                                r.st_prob_r6) for r in out}
+    assert got == {
+        ("x", "a"): (2, 2.0, 0.4),
+        ("x", "b"): (2, 3.0, 0.6),
+        ("y", "c"): (1, 2.0, 1.0),
+    }
+    with pytest.raises(ValueError, match="dedicated per-"):
+        compile_aggs(df, {"byg": {
+            "terms": {"field": "g"},
+            "aggs": {"n": {"value_count": {"field": "s"}},
+                     "st": {"string_stats": {
+                         "field": "s", "show_distribution": True}}}}})
+
+
 def test_boxplot_and_derivative_unit(spark):
     """Round 13: boxplot = exact quartiles in the one rollup;
     derivative unit = value / (actual key delta / unit) so a bucket

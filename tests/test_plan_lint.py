@@ -323,6 +323,13 @@ PINNED_FINGERPRINTS = {
     # global (round 13): the sub-tree over the unfiltered scan —
     # the plain agg-tree class
     "es_global_agg": {"exchange": 4},
+    # string_stats show_distribution (round 13): the entropy path's
+    # char-histogram groupBy + the parent-rank frame broadcast back
+    "es_string_stats_distribution": {"exchange": 4, "bhj": 1},
+    # latest transform (round 13): one struct-max groupBy (partial
+    # agg on the map side) + the presentation sort — never a
+    # raw-data window sort
+    "es_transform_latest": {"exchange": 2},
     # cumulative_cardinality (round 13): the regular gap-filled
     # frame + one groupBy(value) first-bucket pass + its bucket-
     # frame count, broadcast back; running sum is a bucket-frame

@@ -77,3 +77,37 @@ def test_unmergeable_aggs_refused(spark):
             {"k": {"terms": {"field": "k"}}},
             {"u": {"cardinality": {"field": "n"}}},
         )
+
+
+def test_transform_latest(spark):
+    """Round 13: the latest transform — most recent doc per entity
+    under (sort, tiebreak); docs missing the key or sort drop;
+    missing columns raise."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.transform import (
+        transform_latest,
+    )
+
+    t = dt.datetime
+    rows = [
+        ("u1", t(2024, 1, 1), 1, "a"),
+        ("u1", t(2024, 1, 3), 2, "b"),
+        ("u1", t(2024, 1, 3), 3, "c"),   # sort tie → higher id wins
+        ("u2", t(2024, 1, 2), 4, "d"),
+        (None, t(2024, 1, 9), 5, "e"),   # no key → dropped
+        ("u3", None, 6, "f"),            # no sort → entity absent
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, id long, payload string"
+    )
+    got = {
+        r.k: (r.ts, r.id, r.payload)
+        for r in transform_latest(df, ["k"], "ts", "id").collect()
+    }
+    assert got == {
+        "u1": (t(2024, 1, 3), 3, "c"),
+        "u2": (t(2024, 1, 2), 4, "d"),
+    }
+    with pytest.raises(ValueError, match="no column"):
+        transform_latest(df, ["k"], "nope", "id")
