@@ -850,6 +850,13 @@ DEMOTED: frozenset[str] = frozenset(
         #     (es_transform_pivot keeps the transform family
         #     declared)
         "es_transform_latest",
+        # es_has_child / es_has_parent / es_children_agg — the
+        #     join-field family's two-table lake reading (round 13);
+        #     demoted-green pending rotation (the join family keeps
+        #     q3/q5/semi_anti_join declared)
+        "es_has_child",
+        "es_has_parent",
+        "es_children_agg",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1289,6 +1296,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_transform_latest": _mod(
             "transform", "q_es_transform_latest"
         ),
+        "es_has_child": _mod("es_search", "q_es_has_child"),
+        "es_has_parent": _mod("es_search", "q_es_has_parent"),
+        "es_children_agg": _mod("es_search", "q_es_children_agg"),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
         "es_significant_terms": _mod("es_search", "q_es_significant_terms"),
         "es_date_histogram_gapfill_month": _mod(
@@ -4725,6 +4735,56 @@ def _all_oracle_sql() -> dict[str, str]:
                coalesce(e.props_stats_entropy, 0.0) AS props_stats_entropy
         FROM stats s LEFT JOIN ent e ON s.by_type = e.by_type
         ORDER BY s.by_type
+    """
+
+    # es_has_child / es_has_parent / es_children_agg (round 13): the
+    # join-field family over the natural orders↔lineitem pair.
+    q["es_has_child"] = """
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        FROM orders o JOIN (
+          SELECT l_orderkey FROM lineitem
+          WHERE coalesce(l_returnflag = 'R', FALSE)
+            AND l_orderkey IS NOT NULL
+          GROUP BY l_orderkey HAVING count(*) >= 2
+        ) c ON o.o_orderkey = c.l_orderkey
+        ORDER BY o.o_orderkey
+    """
+    q["es_has_parent"] = """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+        FROM lineitem l
+        WHERE l.l_orderkey IN (
+          SELECT o_orderkey FROM orders
+          WHERE coalesce(o_orderpriority = '1-URGENT', FALSE)
+            AND o_orderkey IS NOT NULL
+        )
+        ORDER BY l.l_orderkey, l.l_linenumber
+    """
+    q["es_children_agg"] = """
+        WITH p AS (
+          SELECT o_orderpriority AS by_priority,
+                 count(*) AS doc_count
+          FROM orders WHERE o_orderpriority IS NOT NULL
+          GROUP BY 1
+        ),
+        c AS (
+          SELECT o.o_orderpriority AS by_priority,
+                 count(*) AS items_doc_count,
+                 CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6)))
+                      AS DOUBLE) AS sum_qty,
+                 CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(l.l_extendedprice)
+                     AS avg_price
+          FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderpriority IS NOT NULL
+            AND o.o_orderkey IS NOT NULL
+          GROUP BY 1
+        )
+        SELECT CAST(1 AS INT) AS level, p.by_priority, p.doc_count,
+               coalesce(c.items_doc_count, 0) AS items_doc_count,
+               c.sum_qty, c.avg_price
+        FROM p LEFT JOIN c USING (by_priority)
+        ORDER BY by_priority
     """
 
     # es_transform_latest (round 13): the latest transform — per

@@ -7246,3 +7246,205 @@ def q_es_string_stats_distribution(
             },
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# join-field family (round 13): has_child / has_parent queries and the
+# children aggregation
+# ---------------------------------------------------------------------------
+
+def has_child_filter(
+    parent_df: DataFrame,
+    child_df: DataFrame,
+    parent_key: str,
+    child_key: str,
+    child_query: dict | None,
+    min_children: int = 1,
+    max_children: int | None = None,
+) -> DataFrame:
+    """ES ``has_child`` query (round 13): parents whose matching-child
+    count lies in ``[min_children, max_children]`` — ES's join-field
+    docs live in ONE index; the lake dump splits the doc types into
+    two tables, so the two-frame form IS the faithful reading
+    (documented engine shape, like the sampler's sort rule).
+
+    One child-side filtered groupBy(child_key) builds the per-parent
+    match counts (data-sized but pre-aggregated — one row per parent
+    key reaches the join), then one equi-join onto the parents:
+    inner for min_children >= 1 (a semi-join with a count guard),
+    LEFT + coalesce for min_children 0 (childless parents match, as
+    ES's spec says). Scoring (score_mode) is out of scope in filter
+    context, like the rest of the query DSL here."""
+    if min_children < 0:
+        raise ValueError("min_children must be >= 0")
+    counts = (
+        child_df.filter(_false_safe(compile_query(child_query)))
+        .filter(F.col(child_key).isNotNull())
+        .groupBy(F.col(child_key).alias("_ck"))
+        .agg(F.count(F.lit(1)).alias("_n_children"))
+    )
+    if min_children == 0:
+        joined = parent_df.join(
+            counts, parent_df[parent_key] == counts["_ck"], "left"
+        ).withColumn(
+            "_n_children", F.coalesce(F.col("_n_children"), F.lit(0))
+        )
+    else:
+        joined = parent_df.join(
+            counts, parent_df[parent_key] == counts["_ck"], "inner"
+        )
+    cond = F.col("_n_children") >= min_children
+    if max_children is not None:
+        cond = cond & (F.col("_n_children") <= max_children)
+    return joined.filter(cond).drop("_ck", "_n_children")
+
+
+def has_parent_filter(
+    child_df: DataFrame,
+    parent_df: DataFrame,
+    child_key: str,
+    parent_key: str,
+    parent_query: dict | None,
+) -> DataFrame:
+    """ES ``has_parent`` query (round 13): children whose parent
+    matches the inner query — one semi-join against the filtered
+    parent keys (the matching-parents frame carries ONLY the key
+    column to the join)."""
+    keys = (
+        parent_df.filter(_false_safe(compile_query(parent_query)))
+        .select(F.col(parent_key).alias("_pk"))
+        .filter(F.col("_pk").isNotNull())
+    )
+    return child_df.join(
+        keys, child_df[child_key] == keys["_pk"], "left_semi"
+    )
+
+
+def children_aggs(
+    parent_df: DataFrame,
+    child_df: DataFrame,
+    parent_key: str,
+    child_key: str,
+    terms_name: str,
+    terms_body: dict,
+    children_name: str,
+    child_aggs: dict,
+) -> DataFrame:
+    """ES ``children`` aggregation (round 13): a parent-side terms
+    bucket whose sub-tree re-bases onto the bucket's CHILD docs —
+    ``terms(parent field) > children > metrics(child fields)``.
+
+    Two bucket-frame-sized aggregates from two scans (the doc types
+    live in different tables lake-side): the parent groupBy gives the
+    bucket's PARENT doc_count; the child side joins each child to its
+    parent's bucket key (one equi-join whose build side is the
+    2-column parent (key, bucket) projection), then one groupBy gives
+    the ``children`` doc_count and the child metrics; the two frames
+    join on the bucket key (bucket-sized). Flat columns: ``(level=1,
+    <terms_name>, doc_count, <children_name>_doc_count,
+    <child metric columns>)``."""
+    tfield = terms_body["field"]
+    size = int(terms_body.get("size", 10))
+    parents = (
+        parent_df.filter(F.col(tfield).isNotNull())
+        .groupBy(F.col(tfield).alias(terms_name))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .withColumn(
+            "_prank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("doc_count").desc(), F.col(terms_name).asc()
+                )
+            ),
+        )
+        .filter(F.col("_prank") <= size)
+        .drop("_prank")
+    )
+    pk = parent_df.select(
+        F.col(parent_key).alias("_pk"), F.col(tfield).alias(terms_name)
+    ).filter(F.col(terms_name).isNotNull() & F.col("_pk").isNotNull())
+    joined = child_df.join(
+        pk, child_df[child_key] == pk["_pk"], "inner"
+    )
+    lvl = _Level(children_name, "filter", {})
+    lvl.metrics = list(child_aggs.items())
+    mcols = [(nm, e) for nm, e, _ in _metric_cols([lvl])]
+    children = joined.groupBy(terms_name).agg(
+        F.count(F.lit(1)).alias(f"{children_name}_doc_count"),
+        *[e.alias(nm) for nm, e in mcols],
+    )
+    return (
+        parents.join(children, terms_name, "left")
+        .withColumn(
+            f"{children_name}_doc_count",
+            F.coalesce(
+                F.col(f"{children_name}_doc_count"), F.lit(0)
+            ),
+        )
+        .orderBy(F.col(terms_name).asc())
+        .select(
+            F.lit(1).cast("int").alias("level"),
+            terms_name,
+            "doc_count",
+            f"{children_name}_doc_count",
+            *[nm for nm, _ in mcols],
+        )
+    )
+
+
+def q_es_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``has_child``: orders with at least TWO returned line items
+    (l_returnflag 'R'), plus the childless-parents form pinned in
+    tests — the join-field family's lake reading (two tables, one
+    pre-aggregated counts join)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    out = has_child_filter(
+        orders,
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        {"term": {"l_returnflag": "R"}},
+        min_children=2,
+    )
+    return out.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).orderBy("o_orderkey")
+
+
+def q_es_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``has_parent``: line items whose order is URGENT — one
+    semi-join against the filtered parent keys."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    out = has_parent_filter(
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        {"term": {"o_orderpriority": "1-URGENT"}},
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def q_es_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``children`` aggregation: per order priority, the parent doc
+    count and the child line items' count / quantity sum / average
+    extended price."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return children_aggs(
+        orders,
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        "by_priority",
+        {"field": "o_orderpriority", "size": 10},
+        "items",
+        {
+            "sum_qty": {"sum": {"field": "l_quantity"}},
+            "avg_price": {"avg": {"field": "l_extendedprice"}},
+        },
+    )

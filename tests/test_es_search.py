@@ -4111,3 +4111,55 @@ def test_date_histogram_fixed_interval_key_is_epoch_millis(spark):
     assert [(r.h, r.doc_count) for r in out] == [
         (base, 1), (base + 1_800_000, 1), (base + 3_600_000, 1)
     ]
+
+
+def test_join_field_family(spark):
+    """Round 13: has_child (min/max child-count window, min_children 0
+    keeps childless parents), has_parent (semi-join), and the
+    children aggregation (parent doc_count vs child-side metrics)."""
+    from dump_es_parquet_spark.operators.es_search import (
+        children_aggs,
+        has_child_filter,
+        has_parent_filter,
+    )
+
+    parents = spark.createDataFrame(
+        [(1, "hi"), (2, "hi"), (3, "lo"), (4, "lo")],
+        "pid long, prio string",
+    )
+    children = spark.createDataFrame(
+        [(1, "R", 10.0), (1, "R", 20.0), (1, "N", 5.0),
+         (2, "R", 7.0), (3, "N", 1.0)],
+        "cid long, flag string, qty double",
+    )
+    q_r = {"term": {"flag": "R"}}
+    got = sorted(
+        r.pid for r in has_child_filter(
+            parents, children, "pid", "cid", q_r, min_children=2
+        ).collect()
+    )
+    assert got == [1]
+    # min_children 0 + max_children 0: parents with NO matching child
+    got0 = sorted(
+        r.pid for r in has_child_filter(
+            parents, children, "pid", "cid", q_r,
+            min_children=0, max_children=0,
+        ).collect()
+    )
+    assert got0 == [3, 4]
+    got_p = sorted(
+        (r.cid, r.qty) for r in has_parent_filter(
+            children, parents, "cid", "pid",
+            {"term": {"prio": "lo"}},
+        ).collect()
+    )
+    assert got_p == [(3, 1.0)]
+    agg = {r.by_prio: r for r in children_aggs(
+        parents, children, "pid", "cid",
+        "by_prio", {"field": "prio", "size": 10},
+        "items", {"sum_qty": {"sum": {"field": "qty"}}},
+    ).collect()}
+    assert (agg["hi"].doc_count, agg["hi"].items_doc_count,
+            agg["hi"].sum_qty) == (2, 4, 42.0)
+    assert (agg["lo"].doc_count, agg["lo"].items_doc_count,
+            agg["lo"].sum_qty) == (2, 1, 1.0)

@@ -330,6 +330,16 @@ PINNED_FINGERPRINTS = {
     # agg on the map side) + the presentation sort — never a
     # raw-data window sort
     "es_transform_latest": {"exchange": 2},
+    # join-field family (round 13): has_child = one pre-aggregated
+    # counts groupBy + one equi-join (broadcast at this SF; the
+    # counts frame is one row per parent KEY, never raw children);
+    # has_parent = a semi-join against the filtered key projection;
+    # children_agg = two bucket aggregates + the child→parent-key
+    # equi-join (SMJ — both sides data-sized at scale, the right
+    # shape) + the bucket-frame join
+    "es_has_child": {"exchange": 2, "bhj": 1},
+    "es_has_parent": {"exchange": 1, "bhj": 1},
+    "es_children_agg": {"exchange": 4, "bhj": 1, "smj": 1},
     # cumulative_cardinality (round 13): the regular gap-filled
     # frame + one groupBy(value) first-bucket pass + its bucket-
     # frame count, broadcast back; running sum is a bucket-frame
