@@ -857,6 +857,11 @@ DEMOTED: frozenset[str] = frozenset(
         "es_has_child",
         "es_has_parent",
         "es_children_agg",
+        # es_reverse_nested_aggs — reverse_nested WITH parent-field
+        #     sub-aggs via the per-(bucket, parent) representative
+        #     mask (round 13); demoted-green pending rotation
+        #     (es_reverse_nested keeps the family declared)
+        "es_reverse_nested_aggs",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1297,6 +1302,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "transform", "q_es_transform_latest"
         ),
         "es_has_child": _mod("es_search", "q_es_has_child"),
+        "es_reverse_nested_aggs": _mod(
+            "es_search", "q_es_reverse_nested_aggs"
+        ),
         "es_has_parent": _mod("es_search", "q_es_has_parent"),
         "es_children_agg": _mod("es_search", "q_es_children_agg"),
         "es_bucket_selector": _mod("es_search", "q_es_bucket_selector"),
@@ -4735,6 +4743,53 @@ def _all_oracle_sql() -> dict[str, str]:
                coalesce(e.props_stats_entropy, 0.0) AS props_stats_entropy
         FROM stats s LEFT JOIN ent e ON s.by_type = e.by_type
         ORDER BY s.by_type
+    """
+
+    # es_reverse_nested_aggs (round 13): parent-field sub-aggs under
+    # reverse_nested — the oracle dedups (bucket, parent) pairs
+    # before aggregating parent fields, exactly the representative-
+    # row mask's semantics.
+    q["es_reverse_nested_aggs"] = """
+        WITH e AS (
+          SELECT event_id, value, user_id,
+                 CASE WHEN value >= 100 THEN list_value(
+                        struct_pack(k := 'type', w := value),
+                        struct_pack(k := 'band', w := value * 2.0))
+                 ELSE list_value(struct_pack(k := 'type', w := value))
+                 END AS attrs
+          FROM events
+        ),
+        x AS (
+          SELECT event_id, value, user_id, unnest(attrs) AS a FROM e
+        ),
+        pd AS (
+          SELECT DISTINCT a.k AS by_k, event_id, value, user_id FROM x
+        ),
+        rn AS (
+          SELECT by_k, CAST(count(*) AS DOUBLE) AS pdc,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(value) AS pav,
+                 CAST(count(DISTINCT user_id) AS DOUBLE) AS pnu
+          FROM pd GROUP BY by_k
+        ),
+        l2 AS (
+          SELECT a.k AS by_k, count(*) AS doc_count,
+                 CAST(sum(CAST(a.w AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(a.w) AS avg_w
+          FROM x GROUP BY a.k
+        )
+        SELECT CAST(1 AS INT) AS level, 'objs' AS objs,
+               CAST(NULL AS VARCHAR) AS by_k,
+               (SELECT count(*) FROM x) AS doc_count,
+               CAST(NULL AS DOUBLE) AS avg_w,
+               CAST(NULL AS DOUBLE) AS parents_doc_count,
+               CAST(NULL AS DOUBLE) AS parents_avg_value,
+               CAST(NULL AS DOUBLE) AS parents_n_users
+        UNION ALL
+        SELECT CAST(2 AS INT), 'objs', l2.by_k, l2.doc_count,
+               l2.avg_w, rn.pdc, rn.pav, rn.pnu
+        FROM l2 JOIN rn USING (by_k)
+        ORDER BY level, by_k NULLS FIRST
     """
 
     # es_has_child / es_has_parent / es_children_agg (round 13): the

@@ -1368,11 +1368,6 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
                         "reverse_nested supports the back-to-root form "
                         "({}) only"
                     )
-                if "aggs" in spec:
-                    raise ValueError(
-                        "reverse_nested sub-aggregations are not "
-                        "supported (doc_count only)"
-                    )
                 if explode_i is None or lvl_no < explode_i:
                     raise ValueError(
                         "reverse_nested must sit at or below the "
@@ -1383,6 +1378,50 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
                     F.count_distinct(F.col("_nested_parent")).cast("double"),
                     lvl_no,
                 ))
+                # round 13 (closing the r12 doc_count-only bound):
+                # sub-aggs over PARENT fields — each parent must
+                # count ONCE per bucket even when several of its
+                # objects land there, so duplicate-sensitive inputs
+                # mask to the per-(bucket, parent) representative
+                # row compile_aggs marked (`_rnrep<level>`, one
+                # raw-data-sized window — added only when requested)
+                for sname, sspec in (spec.get("aggs") or {}).items():
+                    (skind,) = [k for k in sspec if k in _METRIC_KINDS]
+                    if skind not in (
+                        "avg", "sum", "min", "max",
+                        "value_count", "cardinality",
+                    ):
+                        raise ValueError(
+                            f"reverse_nested sub-agg {skind!r}: the "
+                            "simple parent-field metrics only "
+                            "(avg/sum/min/max/value_count/"
+                            "cardinality)"
+                        )
+                    sc = F.when(
+                        F.col(f"_rnrep{lvl_no}"),
+                        F.col(sspec[skind]["field"]),
+                    )
+                    if skind == "avg":
+                        se = (
+                            F.sum(sc.cast("decimal(18,6)")).cast(
+                                "double"
+                            )
+                            / F.count(sc)
+                        )
+                    elif skind == "sum":
+                        se = F.sum(sc.cast("decimal(18,6)")).cast(
+                            "double"
+                        )
+                    elif skind == "min":
+                        se = F.min(sc).cast("double")
+                    elif skind == "max":
+                        se = F.max(sc).cast("double")
+                    elif skind == "value_count":
+                        se = F.count(sc).cast("double")
+                    else:  # cardinality — dedup-insensitive, but the
+                        # mask keeps the input class uniform
+                        se = F.count_distinct(sc).cast("double")
+                    out.append((f"{name}_{sname}", se, lvl_no))
                 continue
             if kind == "_literal":
                 # internal: a constant reported at this level (the
@@ -2059,6 +2098,29 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         *[c for c in df.columns if c not in key_names],
         *nested_extra,
     )
+
+    # reverse_nested sub-aggs (round 13): a per-(bucket-key-prefix,
+    # parent) representative row for each level that asks — one
+    # raw-data-sized window per such level (added ONLY when sub-aggs
+    # are requested; the plain doc_count form stays window-free).
+    # Partition keys include the nested level's key, so every row in
+    # a partition already shares the full bucket path — the order is
+    # immaterial beyond picking exactly one row.
+    for rn_i in sorted({
+        lvl_no
+        for lvl_no, lv in enumerate(levels, start=1)
+        for _, sp in lv.metrics
+        if "reverse_nested" in sp and sp.get("aggs")
+    }):
+        base = base.withColumn(
+            f"_rnrep{rn_i}",
+            F.row_number().over(
+                Window.partitionBy(
+                    *key_names[:rn_i], "_nested_parent"
+                ).orderBy(F.col("_nested_parent").asc())
+            )
+            == 1,
+        )
 
     metrics = _metric_cols(levels, explode_i)
     if explode_i is not None and explode_i > 1:
@@ -7446,5 +7508,60 @@ def q_es_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "sum_qty": {"sum": {"field": "l_quantity"}},
             "avg_price": {"avg": {"field": "l_extendedprice"}},
+        },
+    )
+
+
+def q_es_reverse_nested_aggs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``reverse_nested`` WITH sub-aggregations (round 13, closing
+    the r12 doc_count-only bound): per nested attribute key, re-base
+    onto the distinct parent docs and aggregate PARENT fields — each
+    parent counts once even when several of its objects land in the
+    bucket (the per-(bucket, parent) representative mask)."""
+    ev = load(spark, sf_dir, "events")
+    one = F.array(
+        F.struct(F.lit("type").alias("k"), F.col("value").alias("w"))
+    )
+    two = F.array(
+        F.struct(F.lit("type").alias("k"), F.col("value").alias("w")),
+        F.struct(
+            F.lit("band").alias("k"),
+            (F.col("value") * F.lit(2.0)).alias("w"),
+        ),
+    )
+    ev = ev.withColumn(
+        "attrs", F.when(F.col("value") >= 100, two).otherwise(one)
+    )
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "objs": {
+                    "nested": {"path": "attrs"},
+                    "aggs": {
+                        "by_k": {
+                            "terms": {"field": "attrs.k", "size": 10},
+                            "aggs": {
+                                "avg_w": {"avg": {"field": "attrs.w"}},
+                                "parents": {
+                                    "reverse_nested": {},
+                                    "aggs": {
+                                        "avg_value": {
+                                            "avg": {"field": "value"}
+                                        },
+                                        "n_users": {
+                                            "cardinality": {
+                                                "field": "user_id"
+                                            }
+                                        },
+                                    },
+                                },
+                            },
+                        }
+                    },
+                }
+            },
         },
     )

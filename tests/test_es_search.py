@@ -4163,3 +4163,37 @@ def test_join_field_family(spark):
             agg["hi"].sum_qty) == (2, 4, 42.0)
     assert (agg["lo"].doc_count, agg["lo"].items_doc_count,
             agg["lo"].sum_qty) == (2, 1, 1.0)
+
+
+def test_reverse_nested_subaggs(spark):
+    """Round 13 (closing the r12 doc_count-only bound):
+    reverse_nested sub-aggs aggregate PARENT fields with each parent
+    counted once per bucket, however many of its objects land there;
+    unsupported sub-agg kinds raise."""
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    df = spark.createDataFrame([
+        (1, 10.0, "a", [Row(k="x"), Row(k="x"), Row(k="y")]),
+        (2, 20.0, "b", [Row(k="x")]),
+        (3, 99.0, "c", None),
+    ], "id long, v double, u string, attrs array<struct<k string>>")
+    req = {"objs": {
+        "nested": {"path": "attrs"},
+        "aggs": {"by_k": {"terms": {"field": "attrs.k", "size": 10},
+            "aggs": {"parents": {"reverse_nested": {},
+                "aggs": {"avg_v": {"avg": {"field": "v"}},
+                         "sum_v": {"sum": {"field": "v"}},
+                         "users": {"cardinality": {"field": "u"}}}}}}}}}
+    out = {r.by_k: r for r in compile_aggs(df, req).collect()
+           if r.level == 2}
+    # x holds 3 objects from 2 parents: p1 twice must not double-count
+    assert (out["x"].doc_count, out["x"].parents_doc_count,
+            out["x"].parents_avg_v, out["x"].parents_sum_v,
+            out["x"].parents_users) == (3, 2.0, 15.0, 30.0, 2.0)
+    assert (out["y"].parents_doc_count, out["y"].parents_sum_v) == (
+        1.0, 10.0)
+    with pytest.raises(ValueError, match="simple parent-field"):
+        compile_aggs(df, {"objs": {
+            "nested": {"path": "attrs"},
+            "aggs": {"parents": {"reverse_nested": {},
+                "aggs": {"p": {"percentiles": {"field": "v"}}}}}}})

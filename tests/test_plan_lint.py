@@ -340,6 +340,10 @@ PINNED_FINGERPRINTS = {
     "es_has_child": {"exchange": 2, "bhj": 1},
     "es_has_parent": {"exchange": 1, "bhj": 1},
     "es_children_agg": {"exchange": 4, "bhj": 1, "smj": 1},
+    # reverse_nested sub-aggs (round 13): the agg-tree class + ONE
+    # raw-data window for the per-(bucket, parent) representative
+    # mask (added only when sub-aggs are requested)
+    "es_reverse_nested_aggs": {"exchange": 5},
     # cumulative_cardinality (round 13): the regular gap-filled
     # frame + one groupBy(value) first-bucket pass + its bucket-
     # frame count, broadcast back; running sum is a bucket-frame
