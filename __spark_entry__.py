@@ -862,6 +862,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     mask (round 13); demoted-green pending rotation
         #     (es_reverse_nested keeps the family declared)
         "es_reverse_nested_aggs",
+        # es_frequent_item_sets — exact apriori over basket arrays
+        #     (ES's sampled-eclat closed-itemset agg, the every-
+        #     frequent-itemset exact reading — round 13);
+        #     demoted-green pending rotation
+        "es_frequent_item_sets",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1304,6 +1309,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_has_child": _mod("es_search", "q_es_has_child"),
         "es_reverse_nested_aggs": _mod(
             "es_search", "q_es_reverse_nested_aggs"
+        ),
+        "es_frequent_item_sets": _mod(
+            "es_search", "q_es_frequent_item_sets"
         ),
         "es_has_parent": _mod("es_search", "q_es_has_parent"),
         "es_children_agg": _mod("es_search", "q_es_children_agg"),
@@ -4743,6 +4751,45 @@ def _all_oracle_sql() -> dict[str, str]:
                coalesce(e.props_stats_entropy, 0.0) AS props_stats_entropy
         FROM stats s LEFT JOIN ent e ON s.by_type = e.by_type
         ORDER BY s.by_type
+    """
+
+    # es_frequent_item_sets (round 13): exact apriori — pair counts
+    # over unpruned baskets equal the pruned counts for every
+    # surviving pair (a pair with an infrequent member can't reach
+    # min support), so the oracle skips the prune; ceil(ms·n) runs
+    # in double in BOTH engines (the same representation artifacts).
+    q["es_frequent_item_sets"] = """
+        WITH b AS (
+          SELECT l_orderkey AS k,
+                 list_sort(list_distinct(list(p_brand))) AS items
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY l_orderkey
+        ),
+        n AS (SELECT count(*) AS nd FROM b),
+        md AS (
+          SELECT CAST(ceil(0.01 * nd) AS BIGINT) AS m, nd FROM n
+        ),
+        s1 AS (
+          SELECT u AS items, 1 AS set_size, count(*) AS doc_count
+          FROM (SELECT k, unnest(items) AS u FROM b) GROUP BY u
+        ),
+        p2 AS (
+          SELECT i1 || '|' || i2 AS items, 2 AS set_size,
+                 count(*) AS doc_count
+          FROM (
+            SELECT t.k, t.i1, unnest(t.items) AS i2 FROM (
+              SELECT k, unnest(items) AS i1, items FROM b
+            ) t
+          ) WHERE i1 < i2 GROUP BY 1
+        ),
+        u AS (
+          SELECT * FROM s1 UNION ALL SELECT * FROM p2
+        )
+        SELECT u.items, u.set_size, u.doc_count,
+               round(u.doc_count / md.nd, 6) AS support_r6
+        FROM u, md
+        WHERE u.doc_count >= greatest(md.m, 1)
+        ORDER BY u.doc_count DESC, u.items ASC LIMIT 40
     """
 
     # es_reverse_nested_aggs (round 13): parent-field sub-aggs under

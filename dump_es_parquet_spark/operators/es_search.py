@@ -7565,3 +7565,166 @@ def q_es_reverse_nested_aggs(
             },
         },
     )
+
+
+def frequent_item_sets(
+    df: DataFrame,
+    items_col: str,
+    min_support: float = 0.1,
+    max_size: int = 2,
+    min_set_size: int = 1,
+    size: int = 50,
+) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation (round 13) — x-pack ML's
+    association mining ("items bought together") — as EXACT apriori
+    over an ``array<string>`` basket column.
+
+    Level-wise: distinct items per doc explode once and count
+    (support = doc freq / total docs); pairs and triples enumerate
+    ordered combinations of each doc's FREQUENT-SINGLETON-filtered
+    distinct items via self-explodes with ``a < b`` guards — O(k²)/
+    O(k³) rows per doc where k is the basket width AFTER the
+    singleton prune, never a cross-doc product. ``max_size`` > 3
+    raises (each extra size is another bounded explode).
+
+    Divergences, documented: ES runs sampled eclat and keeps only
+    CLOSED itemsets — this exact reading emits EVERY itemset at or
+    above ``min_support`` (a superset: an itemset ES drops as
+    non-closed appears here with the same doc_count as its closure);
+    ES's per-field `fields` spec collapses to the single
+    pre-assembled basket column (build multi-field baskets with
+    ``concat``/``array_union`` upstream). Output: one row per
+    itemset — ``(items '|'-joined in lexicographic order, set_size,
+    doc_count, support_r6)``, support-ranked top ``size`` with the
+    key as tie-break."""
+    if not 0.0 < min_support <= 1.0:
+        raise ValueError("min_support must be in (0, 1]")
+    if max_size > 3:
+        raise ValueError(
+            "frequent_item_sets supports itemset sizes up to 3"
+        )
+    if not 1 <= min_set_size <= max_size:
+        raise ValueError("need 1 <= min_set_size <= max_size")
+    base = df.select(
+        F.array_sort(
+            F.array_distinct(F.col(items_col))
+        ).alias("_items")
+    ).filter(F.size("_items") > 0)
+    base = base.persist()
+    n_docs = base.count()
+    if n_docs == 0:
+        base.unpersist()
+    min_docs = int(math.ceil(min_support * n_docs)) if n_docs else 0
+    single = (
+        base.select(F.explode("_items").alias("i1"))
+        .groupBy("i1")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") >= F.lit(max(min_docs, 1)))
+    )
+    freq1 = single.select("i1").persist()
+    frames = []
+    if min_set_size <= 1:
+        frames.append(
+            single.select(
+                F.col("i1").alias("items"),
+                F.lit(1).alias("set_size"),
+                "doc_count",
+            )
+        )
+    if max_size >= 2 and n_docs:
+        # prune each basket to frequent singletons FIRST (apriori):
+        # the combination explodes run over the narrowed arrays
+        fr = F.broadcast(freq1.agg(
+            F.collect_set("i1").alias("_f1")
+        ))
+        pruned = base.crossJoin(fr).select(
+            F.array_sort(
+                F.array_intersect(F.col("_items"), F.col("_f1"))
+            ).alias("_items")
+        ).filter(F.size("_items") >= 2).persist()
+        pairs = (
+            pruned.select(
+                F.explode("_items").alias("i1"), "_items"
+            )
+            .select(
+                "i1", F.explode("_items").alias("i2")
+            )
+            .filter(F.col("i1") < F.col("i2"))
+            .groupBy("i1", "i2")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .filter(F.col("doc_count") >= F.lit(max(min_docs, 1)))
+        )
+        if min_set_size <= 2:
+            frames.append(
+                pairs.select(
+                    F.concat_ws("|", "i1", "i2").alias("items"),
+                    F.lit(2).alias("set_size"),
+                    "doc_count",
+                )
+            )
+        if max_size >= 3:
+            triples = (
+                pruned.filter(F.size("_items") >= 3)
+                .select(F.explode("_items").alias("i1"), "_items")
+                .select(
+                    "i1", F.explode("_items").alias("i2"), "_items"
+                )
+                .filter(F.col("i1") < F.col("i2"))
+                .select(
+                    "i1", "i2", F.explode("_items").alias("i3")
+                )
+                .filter(F.col("i2") < F.col("i3"))
+                .groupBy("i1", "i2", "i3")
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .filter(
+                    F.col("doc_count") >= F.lit(max(min_docs, 1))
+                )
+            )
+            frames.append(
+                triples.select(
+                    F.concat_ws("|", "i1", "i2", "i3").alias("items"),
+                    F.lit(3).alias("set_size"),
+                    "doc_count",
+                )
+            )
+    if not frames:  # empty input with min_set_size >= 2
+        return df.sparkSession.createDataFrame(
+            [],
+            "items string, set_size int, doc_count long, "
+            "support_r6 double",
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    w = Window.orderBy(
+        F.col("doc_count").desc(), F.col("items").asc()
+    )
+    return (
+        out.withColumn(
+            "support_r6",
+            F.round(F.col("doc_count") / F.lit(n_docs or 1), 6),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= size)
+        .drop("_rk")
+        .orderBy(F.col("doc_count").desc(), F.col("items").asc())
+    )
+
+
+def q_es_frequent_item_sets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``frequent_item_sets`` over per-order part-brand baskets
+    (lineitem ⋈ part → collect_set of brands per order): singleton +
+    pair itemsets at 1% support — the "brands bought together"
+    shape."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    baskets = (
+        li.join(part, li["l_partkey"] == part["p_partkey"], "inner")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("brands"))
+    )
+    return frequent_item_sets(
+        baskets, "brands", min_support=0.01, max_size=2, size=40
+    )

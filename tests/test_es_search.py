@@ -4197,3 +4197,35 @@ def test_reverse_nested_subaggs(spark):
             "nested": {"path": "attrs"},
             "aggs": {"parents": {"reverse_nested": {},
                 "aggs": {"p": {"percentiles": {"field": "v"}}}}}}})
+
+
+def test_frequent_item_sets(spark):
+    """Round 13: exact apriori — singleton/pair/triple supports over
+    dedup'd baskets; the singleton prune never changes a surviving
+    pair's count; bad params raise."""
+    from dump_es_parquet_spark.operators.es_search import (
+        frequent_item_sets,
+    )
+
+    df = spark.createDataFrame([
+        (["a", "b", "c"],), (["a", "b"],), (["a", "b", "b"],),
+        (["a", "c"],), (["z"],),
+    ], "items array<string>")
+    out = {(r.items, r.set_size): (r.doc_count, r.support_r6)
+           for r in frequent_item_sets(
+               df, "items", min_support=0.4, max_size=3
+           ).collect()}
+    # n=5, min_docs=2: a:4 b:3 c:2 frequent; z:1 not
+    assert out[("a", 1)] == (4, 0.8)
+    assert out[("b", 1)] == (3, 0.6)
+    assert out[("c", 1)] == (2, 0.4)
+    assert ("z", 1) not in out
+    # pairs: a|b 3 (duplicate b in one basket counts once), a|c 2
+    assert out[("a|b", 2)] == (3, 0.6)
+    assert out[("a|c", 2)] == (2, 0.4)
+    assert ("b|c", 2) not in out  # support 1
+    assert ("a|b|c", 3) not in out  # support 1 < 2
+    with pytest.raises(ValueError, match="up to 3"):
+        frequent_item_sets(df, "items", max_size=4)
+    with pytest.raises(ValueError, match="min_support"):
+        frequent_item_sets(df, "items", min_support=0.0)

@@ -49,6 +49,10 @@ BNLJ_ALLOWED = frozenset(
         "corpus_hybrid_rrf",  # 1-row query-vector broadcast (cosine arm)
         "corpus_significant_terms",  # 1-row fg/corpus-sizes broadcast
         "es_significant_text",  # the same operator behind the request shape
+        # apriori's frequent-singleton SET is one collected row
+        # cross-joined onto the basket frame for the prune — the
+        # same 1-row-broadcast family
+        "es_frequent_item_sets",
     }
 )
 
@@ -344,6 +348,11 @@ PINNED_FINGERPRINTS = {
     # raw-data window for the per-(bucket, parent) representative
     # mask (added only when sub-aggs are requested)
     "es_reverse_nested_aggs": {"exchange": 5},
+    # frequent_item_sets (round 13): basket groupBy + the level
+    # groupBys over the persisted basket frame (the singleton-set
+    # 1-row bnlj lives inside the cached build plan, which the tree
+    # walk counts once at build, not per consumer)
+    "es_frequent_item_sets": {"exchange": 2},
     # cumulative_cardinality (round 13): the regular gap-filled
     # frame + one groupBy(value) first-bucket pass + its bucket-
     # frame count, broadcast back; running sum is a bucket-frame
