@@ -72,7 +72,12 @@ Aggregations DSL (``compile_aggs``):
   sums, NULL-masked per ES), ``geo_centroid`` (exact-decimal mean
   pair), ``top_metrics`` (the metric at the bucket's top-sorted doc;
   lexicographic struct max/min pins sort ties to the metric value in
-  both engines). Each metric is reported at the level it
+  both engines), ``boxplot`` (exact quartiles), ``rate`` (round 13 —
+  total / the bucket's ACTUAL length in ``unit``: calendar months
+  divide by their real day count; fixed offsets only), and
+  ``median_absolute_deviation`` (round 13 — EXACT
+  median(|x − median|) from one let-bound sorted collect, where ES
+  runs t-digest). Each metric is reported at the level it
   is attached to (NULL elsewhere), like the ES response tree.
 - ``top_hits`` is supported as the innermost agg of a bucket chain
   ONLY (the common "N example docs per bucket" shape — anywhere else
@@ -82,8 +87,15 @@ Aggregations DSL (``compile_aggs``):
   stdDev,linearWeightedAvg,ewma}`` — round 13 widened; trailing
   window including the current bucket, no ``shift``, holt a
   documented bound),
-  ``serial_diff`` (lag-n difference), sibling ``*_bucket`` summaries
-  (max/min/avg/sum + the 5-column ``stats_bucket``),
+  ``serial_diff`` (lag-n difference), ``moving_percentiles``
+  (round 13 — the exact union-of-raw-values reading of ES's merged
+  window digests: hidden per-bucket value arrays ride the rollup,
+  one flatten+sort window, quantile_cont interpolation per percent;
+  deferred past gap-fill like the other positional pipelines),
+  sibling ``*_bucket`` summaries
+  (max/min/avg/sum + the 5-column ``stats_bucket``; round 13 —
+  ``extended_stats_bucket`` through the moment discipline and exact
+  ``percentiles_bucket``),
   and ``bucket_sort`` (from/size truncation ordered by ``_key`` /
   ``_count`` / a sibling metric or pipeline column — applied after the
   other pipelines, descendants of truncated buckets dropped),
@@ -100,7 +112,14 @@ Aggregations DSL (``compile_aggs``):
   level-masked windows over the compact bucket frame. Dedicated
   root paths in ``search_aggs`` (round 13): terms >
   significant_terms, sampler/diversified_sampler (explicit-sort
-  deterministic sample), terms > string_stats with entropy.
+  deterministic sample), terms > string_stats with entropy or
+  show_distribution (per-(bucket, char) probability rows), and
+  ``global`` (the query-IGNORING scope — the sub-tree compiles over
+  the unfiltered frame). Standalone round-13 functions: the
+  join-field family (``has_child_filter`` / ``has_parent_filter`` /
+  ``children_aggs`` — ES parent/child semantics over the two-table
+  lake split) and ``frequent_item_sets`` (exact apriori over basket
+  arrays; ES's sampled-eclat closed-itemset agg).
 
 Scale shape: ONE scan and ONE data-sized shuffle produce every
 level at once (``rollup`` grouping sets share the Expand; an exact
