@@ -56,11 +56,18 @@ def main() -> int:
     import __spark_entry__ as entry
     from dump_es_parquet_spark.session import get_spark
 
+    # Heap sized to the workload, NOT the box: a 100g heap measured
+    # 4-10x slower with 3x run-to-run variance on hosts whose
+    # transparent_hugepage is `madvise` (heap expansion + G1 young
+    # sweeps page-fault tens of GB in 4 KiB pages; with THP `always`
+    # the same heap was free). sf0.1 peaks well under 16g — verified:
+    # dedup_minhash_lsh steady 28.6s @100g vs 1.6s @16g on the same
+    # host, identical plans.
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "100g"},
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
     )
 
     # One untimed warm-up sweep over ALL queries first: the early
