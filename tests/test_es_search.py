@@ -4229,3 +4229,165 @@ def test_frequent_item_sets(spark):
         frequent_item_sets(df, "items", max_size=4)
     with pytest.raises(ValueError, match="min_support"):
         frequent_item_sets(df, "items", min_support=0.0)
+
+
+def test_moving_percentiles_randomized(spark):
+    """Round 13 property: for seeded random sparse hourly series, the
+    moving_percentiles window over the gap-filled grid equals a
+    Python brute force over the union of the trailing buckets' raw
+    value multisets (quantile_cont interpolation), empty buckets
+    occupying positions and contributing nothing."""
+    import datetime as dt
+    import random
+
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    def q_cont(vals, p):
+        a = sorted(vals)
+        pos = (len(a) - 1) * p
+        k = int(pos)
+        lo = a[k]
+        hi = a[min(k + 1, len(a) - 1)]
+        return lo + (pos - k) * (hi - lo)
+
+    rnd = random.Random(1313)
+    base = dt.datetime(2024, 3, 1)
+    for trial in range(3):
+        hours = sorted(rnd.sample(range(0, 36), rnd.randint(4, 9)))
+        per_hour = {
+            h: [float(rnd.randint(-50, 50)) for _ in range(rnd.randint(1, 4))]
+            for h in hours
+        }
+        rows = [
+            (base + dt.timedelta(hours=h, minutes=rnd.randint(0, 59)), v)
+            for h, vs in per_hour.items() for v in vs
+        ]
+        win = rnd.randint(2, 5)
+        percents = sorted(rnd.sample([1, 25, 50, 75, 90, 99], 2))
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        out = sorted(
+            compile_aggs(df, {"h": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "hour",
+                                   "min_doc_count": 0},
+                "aggs": {
+                    "pct": {"percentiles": {"field": "v",
+                                            "percents": percents}},
+                    "mp": {"moving_percentiles": {
+                        "buckets_path": "pct", "window": win}},
+                }}}).collect(),
+            key=lambda r: r.h,
+        )
+        grid = list(range(min(hours), max(hours) + 1))
+        assert [r.h for r in out] == [
+            int((base + dt.timedelta(hours=h)).timestamp() * 1000)
+            for h in grid
+        ]
+        for pos, h in enumerate(grid):
+            merged = [
+                v
+                for hh in grid[max(0, pos - win + 1): pos + 1]
+                for v in per_hour.get(hh, [])
+            ]
+            row = out[pos]
+            for p in percents:
+                got = getattr(row, f"mp_p{p}_r6")
+                if not merged:
+                    assert got is None, (trial, h, p)
+                else:
+                    assert got == round(q_cont(merged, p / 100), 6), (
+                        trial, h, p, merged)
+
+
+def test_rate_and_mad_randomized(spark):
+    """Round 13 property: for seeded random multi-year monthly data
+    (leap Februaries included), rate equals total / actual bucket
+    length in `unit` and MAD equals the brute-force median of
+    absolute deviations, both per Python reimplementations."""
+    import calendar
+    import datetime as dt
+    import random
+
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    def med(a):
+        a = sorted(a)
+        n = len(a)
+        lo = a[(n + 1) // 2 - 1]
+        hi = a[n // 2]
+        return lo if n % 2 == 1 else lo + 0.5 * (hi - lo)
+
+    rnd = random.Random(4242)
+    for trial in range(3):
+        months = sorted(
+            rnd.sample([(y, m) for y in (1999, 2000) for m in range(1, 13)],
+                       rnd.randint(3, 7))
+        )
+        data = {
+            ym: [float(rnd.randint(1, 500)) for _ in range(rnd.randint(1, 9))]
+            for ym in months
+        }
+        rows = [
+            (dt.datetime(y, m, rnd.randint(1, 28)), v)
+            for (y, m), vs in data.items() for v in vs
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        out = {
+            (dt.datetime.utcfromtimestamp(r.m / 1000).year,
+             dt.datetime.utcfromtimestamp(r.m / 1000).month): r
+            for r in compile_aggs(df, {"m": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "month"},
+                "aggs": {
+                    "r_day": {"rate": {"field": "v", "unit": "day"}},
+                    "r_week": {"rate": {"unit": "week"}},
+                    "mad": {"median_absolute_deviation": {"field": "v"}},
+                }}}).collect()
+        }
+        for (y, m), vs in data.items():
+            row = out[(y, m)]
+            days = calendar.monthrange(y, m)[1]
+            assert row.r_day_r6 == round(
+                sum(vs) / ((days * 86400000) / 86400000.0), 6)
+            assert row.r_week_r6 == round(
+                len(vs) / ((days * 86400000) / 604800000.0), 6)
+            mm = med(vs)
+            assert row.mad_r6 == round(med([abs(v - mm) for v in vs]), 6)
+
+
+def test_frequent_item_sets_randomized(spark):
+    """Round 13 property: for seeded random baskets, every emitted
+    itemset's doc_count equals the brute-force subset count and
+    NOTHING at or above min_support is missing (sizes 1-3)."""
+    import itertools
+    import math as _math
+    import random
+
+    from dump_es_parquet_spark.operators.es_search import (
+        frequent_item_sets,
+    )
+
+    rnd = random.Random(909)
+    alphabet = list("abcdefg")
+    for trial in range(2):
+        baskets = [
+            sorted(set(rnd.sample(alphabet, rnd.randint(1, 5))))
+            for _ in range(rnd.randint(8, 14))
+        ]
+        ms = rnd.choice([0.2, 0.3])
+        df = spark.createDataFrame([(b,) for b in baskets],
+                                   "items array<string>")
+        got = {
+            (r.items, r.set_size): r.doc_count
+            for r in frequent_item_sets(
+                df, "items", min_support=ms, max_size=3, size=1000
+            ).collect()
+        }
+        min_docs = max(int(_math.ceil(ms * len(baskets))), 1)
+        want = {}
+        for sz in (1, 2, 3):
+            for combo in itertools.combinations(alphabet, sz):
+                n = sum(1 for b in baskets if set(combo) <= set(b))
+                if n >= min_docs:
+                    want[("|".join(combo), sz)] = n
+        assert got == want, (trial, ms, len(baskets))
