@@ -4391,3 +4391,77 @@ def test_frequent_item_sets_randomized(spark):
                 if n >= min_docs:
                     want[("|".join(combo), sz)] = n
         assert got == want, (trial, ms, len(baskets))
+
+
+def test_join_and_reverse_nested_randomized(spark):
+    """Round 13 property: seeded random parent/child tables — the
+    has_child survivor set equals the brute-force per-parent matching
+    count filter for random (min, max) windows; reverse_nested
+    parent-field sums equal the brute-force distinct-parent sums per
+    bucket."""
+    import random
+
+    from dump_es_parquet_spark.operators.es_search import (
+        compile_aggs,
+        has_child_filter,
+    )
+
+    rnd = random.Random(2718)
+    for trial in range(2):
+        n_parents = rnd.randint(6, 12)
+        parents = [(p, float(rnd.randint(1, 99))) for p in range(n_parents)]
+        children = [
+            (rnd.randrange(n_parents), rnd.choice(["R", "N"]))
+            for _ in range(rnd.randint(10, 30))
+        ]
+        pdf = spark.createDataFrame(parents, "pid long, pv double")
+        cdf = spark.createDataFrame(children, "cid long, flag string")
+        mn = rnd.randint(0, 2)
+        mx = rnd.choice([None, mn + rnd.randint(0, 2)])
+        got = sorted(
+            r.pid for r in has_child_filter(
+                pdf, cdf, "pid", "cid", {"term": {"flag": "R"}},
+                min_children=mn, max_children=mx,
+            ).collect()
+        )
+        counts = {p: 0 for p, _ in parents}
+        for c, f in children:
+            if f == "R":
+                counts[c] += 1
+        want = sorted(
+            p for p, n in counts.items()
+            if n >= mn and (mx is None or n <= mx)
+        )
+        assert got == want, (trial, mn, mx)
+
+        # reverse_nested sub-agg sums: objects = children re-packed
+        # onto their parents as an array column
+        by_parent = {p: [] for p, _ in parents}
+        for c, f in children:
+            by_parent[c].append(f)
+        rows = [
+            (p, pv, [(f,) for f in by_parent[p]] or None)
+            for p, pv in parents
+        ]
+        ndf = spark.createDataFrame(
+            rows, "pid long, pv double, objs array<struct<f string>>"
+        )
+        out = {
+            r.by_f: (r.back_doc_count, r.back_sum_pv)
+            for r in compile_aggs(ndf, {"o": {
+                "nested": {"path": "objs"},
+                "aggs": {"by_f": {"terms": {"field": "objs.f"},
+                    "aggs": {"back": {"reverse_nested": {},
+                        "aggs": {"sum_pv": {
+                            "sum": {"field": "pv"}}}}}}}}}).collect()
+            if r.level == 2
+        }
+        pv_of = dict(parents)
+        for flag in ("R", "N"):
+            ps = {p for p, fs in by_parent.items() if flag in fs}
+            if not ps:
+                assert flag not in out
+                continue
+            assert out[flag] == (
+                float(len(ps)), float(sum(pv_of[p] for p in ps))
+            ), (trial, flag)
