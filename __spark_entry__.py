@@ -867,6 +867,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     frequent-itemset exact reading — round 13);
         #     demoted-green pending rotation
         "es_frequent_item_sets",
+        # es_significant_terms_bgfilter — background_filter narrows
+        #     the JLH background to a slice (round 13);
+        #     demoted-green pending rotation (es_significant_terms
+        #     keeps the family verified)
+        "es_significant_terms_bgfilter",
         # es_geohash_grid — PROMOTED round 12 (VERDICT r11 Next #2):
         #     geohash_grid buckets + geo_centroid metric — the
         #     unrolled bit-interleave spelled identically in both
@@ -1312,6 +1317,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_frequent_item_sets": _mod(
             "es_search", "q_es_frequent_item_sets"
+        ),
+        "es_significant_terms_bgfilter": _mod(
+            "es_search", "q_es_significant_terms_bgfilter"
         ),
         "es_has_parent": _mod("es_search", "q_es_has_parent"),
         "es_children_agg": _mod("es_search", "q_es_children_agg"),
@@ -4751,6 +4759,48 @@ def _all_oracle_sql() -> dict[str, str]:
                coalesce(e.props_stats_entropy, 0.0) AS props_stats_entropy
         FROM stats s LEFT JOIN ent e ON s.by_type = e.by_type
         ORDER BY s.by_type
+    """
+
+    # es_significant_terms_bgfilter (round 13): the background_filter
+    # slice replaces count(*) with a second flag sum in both the
+    # sizes row and the per-term counts; bands absent from the slice
+    # drop (bg_count > 0 guard).
+    q["es_significant_terms_bgfilter"] = """
+        WITH d AS (
+          SELECT CASE WHEN coalesce(value >= 120, FALSE)
+                 THEN 1 ELSE 0 END AS fg,
+                 CASE WHEN coalesce(value >= 40, FALSE)
+                 THEN 1 ELSE 0 END AS bg,
+                 'b' || CAST(CAST(floor(value / 50) AS INT) AS VARCHAR)
+                     AS sig_band
+          FROM events
+        ),
+        s AS (
+          SELECT CAST(sum(fg) AS BIGINT) AS fgd,
+                 CAST(sum(bg) AS BIGINT) AS nd
+          FROM d
+        ),
+        c AS (
+          SELECT sig_band,
+                 CAST(sum(fg) AS BIGINT) AS doc_count,
+                 CAST(sum(bg) AS BIGINT) AS bg_count
+          FROM d WHERE sig_band IS NOT NULL
+          GROUP BY sig_band
+          HAVING sum(fg) >= 2 AND sum(bg) > 0
+        ),
+        j AS (
+          SELECT sig_band, doc_count, bg_count,
+                 CAST(floor(1e6 * (((doc_count / CAST(fgd AS DOUBLE))
+                        - (bg_count / CAST(nd AS DOUBLE)))
+                      * ((doc_count / CAST(fgd AS DOUBLE))
+                         / (bg_count / CAST(nd AS DOUBLE)))))
+                      AS BIGINT) AS score_micro
+          FROM c, s
+        )
+        SELECT CAST(1 AS INT) AS level, sig_band, doc_count, bg_count,
+               score_micro
+        FROM j WHERE score_micro > 0
+        ORDER BY score_micro DESC, sig_band ASC LIMIT 10
     """
 
     # es_frequent_item_sets (round 13): exact apriori — pair counts

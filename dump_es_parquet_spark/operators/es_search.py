@@ -3994,12 +3994,26 @@ def _significant_terms_keyword(
     integers, the exact parenthesization the corpus twin pins —
     ranks the top-``size``. Flat columns: ``(level, <name>,
     doc_count, bg_count, score_micro)`` with doc_count = fg_df, like
-    the ES response."""
+    the ES response.
+
+    ``background_filter`` (round 13): ES's "compare against THIS
+    slice, not the whole index" knob (the Kibana filtered-dashboard
+    shape) — when present, bg counts/sizes aggregate only docs
+    matching it (same one-scan flag-column plan, a second flag)."""
     fg = F.when(_false_safe(fg_pred), 1).otherwise(0)
-    d = df.select(fg.alias("_fg"), F.col(body["field"]).alias(name))
+    bgf = body.get("background_filter")
+    bg = (
+        F.when(_false_safe(compile_query(bgf)), 1).otherwise(0)
+        if bgf is not None
+        else F.lit(1)
+    )
+    d = df.select(
+        fg.alias("_fg"), bg.alias("_bg"),
+        F.col(body["field"]).alias(name),
+    )
     sizes = d.agg(
         F.sum("_fg").cast("long").alias("_fgd"),
-        F.count(F.lit(1)).cast("long").alias("_nd"),
+        F.sum("_bg").cast("long").alias("_nd"),
     )
     min_fg = int(body.get("min_doc_count", 3))
     size = int(body.get("size", 10))
@@ -4008,9 +4022,12 @@ def _significant_terms_keyword(
         .groupBy(name)
         .agg(
             F.sum("_fg").cast("long").alias("doc_count"),
-            F.count(F.lit(1)).cast("long").alias("bg_count"),
+            F.sum("_bg").cast("long").alias("bg_count"),
         )
-        .filter(F.col("doc_count") >= min_fg)
+        # a term absent from the background slice has no defined
+        # JLH percentage (ES expects the foreground to be a subset
+        # of the background) — it drops rather than scoring inf
+        .filter((F.col("doc_count") >= min_fg) & (F.col("bg_count") > 0))
     )
     fgp = F.col("doc_count") / F.col("_fgd")
     bgp = F.col("bg_count") / F.col("_nd")
@@ -7626,7 +7643,12 @@ def frequent_item_sets(
         raise ValueError("need 1 <= min_set_size <= max_size")
     base = df.select(
         F.array_sort(
-            F.array_distinct(F.col(items_col))
+            F.array_distinct(
+                # a NULL element is not an item (ES ignores missing
+                # values); dropping it here keeps the explode from
+                # emitting a NULL itemset row
+                F.filter(F.col(items_col), lambda x: x.isNotNull())
+            )
         ).alias("_items")
     ).filter(F.size("_items") > 0)
     base = base.persist()
@@ -7746,4 +7768,40 @@ def q_es_frequent_item_sets(
     )
     return frequent_item_sets(
         baskets, "brands", min_support=0.01, max_size=2, size=40
+    )
+
+
+def q_es_significant_terms_bgfilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``significant_terms`` with ``background_filter`` (round 13):
+    which value bands characterize the value >= 120 foreground
+    AGAINST the value >= 40 slice (not the whole index) — Kibana's
+    filtered-dashboard comparison; bands below the background floor
+    vanish from bg_count, shifting every percentage."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "runtime_mappings": {
+                "band": {
+                    "script_sql":
+                        "concat('b', cast(cast(floor(value / 50) as int)"
+                        " as string))"
+                }
+            },
+            "query": {"range": {"value": {"gte": 120}}},
+            "aggs": {
+                "sig_band": {
+                    "significant_terms": {
+                        "field": "band",
+                        "size": 10,
+                        "min_doc_count": 2,
+                        "background_filter": {
+                            "range": {"value": {"gte": 40}}
+                        },
+                    }
+                }
+            },
+        },
     )

@@ -308,6 +308,11 @@ def transform_latest(
     for c in (*unique_key, sort, tiebreak):
         if c not in df.columns:
             raise ValueError(f"transform_latest: no column {c!r}")
+    if "_latest" in df.columns:
+        raise ValueError(
+            "transform_latest: the input frame may not carry a "
+            "'_latest' column (internal struct name)"
+        )
     rest = [
         c for c in df.columns
         if c not in (*unique_key, sort, tiebreak)

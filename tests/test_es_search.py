@@ -4465,3 +4465,60 @@ def test_join_and_reverse_nested_randomized(spark):
             assert out[flag] == (
                 float(len(ps)), float(sum(pv_of[p] for p in ps))
             ), (trial, flag)
+
+
+def test_frequent_item_sets_null_items(spark):
+    """Round 13 edge: a NULL element inside a basket is not an item —
+    no NULL itemset row is emitted and other counts are unchanged."""
+    from dump_es_parquet_spark.operators.es_search import (
+        frequent_item_sets,
+    )
+
+    df = spark.createDataFrame(
+        [(["a", None, "b"],), (["a", None],), ([None],)],
+        "items array<string>",
+    )
+    got = {(r.items, r.set_size): r.doc_count
+           for r in frequent_item_sets(
+               df, "items", min_support=0.5, max_size=2).collect()}
+    # 2 non-empty baskets after NULL drop: a:2, b:1 (<1? min_docs =
+    # ceil(0.5*2)=1 so b kept), a|b:1
+    assert got == {("a", 1): 2, ("b", 1): 1, ("a|b", 2): 1}
+    assert all(k[0] is not None for k in got)
+
+
+def test_significant_terms_background_filter(spark):
+    """Round 13: background_filter narrows the JLH background to a
+    slice — bg_count counts slice docs only, terms absent from the
+    slice drop (no inf scores), and omitting the key reproduces the
+    whole-index background exactly."""
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    rows = [("t1", 9.0)] * 4 + [("t1", 1.0)] + [("t2", 9.0)] * 2 + \
+        [("t2", 5.0)] * 5 + [("t3", 1.0)] * 6
+    df = spark.createDataFrame(rows, "t string, v double")
+    req = {
+        "query": {"range": {"v": {"gte": 8}}},
+        "aggs": {"sig": {"significant_terms": {
+            "field": "t", "min_doc_count": 1,
+            "background_filter": {"range": {"v": {"gte": 4}}}}}},
+    }
+    out = {r.sig: r for r in search_aggs(df, req).collect()}
+    # background slice (v>=4): t1 4 of 11; t2 drops on NEGATIVE JLH
+    # (fg 2/6 < bg 7/11); t3 is absent from the slice entirely
+    assert set(out) == {"t1"}
+    assert out["t1"].bg_count == 4
+    fgd, nd = 6, 11
+    fgp, bgp = 4 / fgd, 4 / nd
+    import math
+    assert out["t1"].score_micro == math.floor(
+        1e6 * ((fgp - bgp) * (fgp / bgp)))
+    # without the key: the old whole-index background (nd = 18)
+    req2 = {k: v for k, v in req.items()}
+    req2["aggs"] = {"sig": {"significant_terms": {
+        "field": "t", "min_doc_count": 1}}}
+    out2 = {r.sig: r for r in search_aggs(df, req2).collect()}
+    assert set(out2) == {"t1"} and out2["t1"].bg_count == 5
+    fgp2, bgp2 = 4 / 6, 5 / 18
+    assert out2["t1"].score_micro == math.floor(
+        1e6 * ((fgp2 - bgp2) * (fgp2 / bgp2)))

@@ -53,6 +53,9 @@ BNLJ_ALLOWED = frozenset(
         # cross-joined onto the basket frame for the prune — the
         # same 1-row-broadcast family
         "es_frequent_item_sets",
+        # the background_filter variant joins the same 1-ROW sizes
+        # frame as its parent row
+        "es_significant_terms_bgfilter",
     }
 )
 
@@ -353,6 +356,9 @@ PINNED_FINGERPRINTS = {
     # 1-row bnlj lives inside the cached build plan, which the tree
     # walk counts once at build, not per consumer)
     "es_frequent_item_sets": {"exchange": 2},
+    # significant_terms background_filter (round 13): the parent
+    # row's one-scan flag-column plan, one more flag — same shape
+    "es_significant_terms_bgfilter": {"exchange": 2, "bnlj": 1},
     # cumulative_cardinality (round 13): the regular gap-filled
     # frame + one groupBy(value) first-bucket pass + its bucket-
     # frame count, broadcast back; running sum is a bucket-frame
