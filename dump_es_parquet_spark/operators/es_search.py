@@ -7662,7 +7662,7 @@ def frequent_item_sets(
         .agg(F.count(F.lit(1)).alias("doc_count"))
         .filter(F.col("doc_count") >= F.lit(max(min_docs, 1)))
     )
-    freq1 = single.select("i1").persist()
+    freq1 = single.select("i1")
     frames = []
     if min_set_size <= 1:
         frames.append(
