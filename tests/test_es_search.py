@@ -4522,3 +4522,130 @@ def test_significant_terms_background_filter(spark):
     fgp2, bgp2 = 4 / 6, 5 / 18
     assert out2["t1"].score_micro == math.floor(
         1e6 * ((fgp2 - bgp2) * (fgp2 / bgp2)))
+
+
+def test_bucket_summaries_pruning_randomized(spark):
+    """Round 13 property: percentiles_bucket / extended_stats_bucket
+    summarize only the SURVIVING children — with a terms size cap on
+    the child level, the window must see exactly the kept buckets'
+    values (seeded brute force recomputes the survivor set)."""
+    import random
+
+    from dump_es_parquet_spark.operators.es_search import compile_aggs
+
+    def q_cont(vals, p):
+        a = sorted(vals)
+        pos = (len(a) - 1) * p
+        k = int(pos)
+        hi = a[min(k + 1, len(a) - 1)]
+        return a[k] + (pos - k) * (hi - a[k])
+
+    rnd = random.Random(555)
+    for trial in range(3):
+        rows = []
+        groups = ["g1", "g2"]
+        subkeys = [f"s{i}" for i in range(rnd.randint(4, 7))]
+        for g in groups:
+            for s in subkeys:
+                for _ in range(rnd.randint(0, 4)):
+                    rows.append((g, s, float(rnd.randint(1, 40))))
+        if not rows:
+            continue
+        size = rnd.randint(2, 3)
+        df = spark.createDataFrame(rows, "g string, s string, v double")
+        out = compile_aggs(df, {"by_g": {
+            "terms": {"field": "g", "size": 10},
+            "aggs": {
+                "by_s": {"terms": {"field": "s", "size": size},
+                         "aggs": {"sv": {"sum": {"field": "v"}}}},
+                "pb": {"percentiles_bucket": {"buckets_path": "by_s>sv",
+                                              "percents": [50]}},
+                "esb": {"extended_stats_bucket": {
+                    "buckets_path": "by_s>sv"}},
+            }}}).collect()
+        for g in groups:
+            # brute force: terms keeps top-`size` by (count desc, key)
+            per_s = {}
+            for gg, s, v in rows:
+                if gg == g:
+                    per_s.setdefault(s, []).append(v)
+            kept = sorted(
+                per_s, key=lambda s: (-len(per_s[s]), s)
+            )[:size]
+            sums = [round(sum(per_s[s]), 10) for s in kept]
+            row = next(r for r in out if r.level == 1 and r.by_g == g)
+            if not sums:
+                assert row.pb_p50_r6 is None
+                continue
+            assert row.pb_p50_r6 == round(q_cont(sums, 0.5), 6), (
+                trial, g, sums)
+            assert row.esb_count == float(len(sums))
+            assert row.esb_sum == round(sum(sums), 10), (trial, g)
+            assert row.esb_min == min(sums) and row.esb_max == max(sums)
+
+
+def test_transform_latest_randomized(spark):
+    """Round 13 property: transform_latest equals the brute-force
+    (sort, tiebreak) argmax per entity on seeded random data with
+    NULL keys/sorts sprinkled in."""
+    import datetime as dt
+    import random
+
+    from dump_es_parquet_spark.operators.transform import (
+        transform_latest,
+    )
+
+    rnd = random.Random(31415)
+    base = dt.datetime(2024, 1, 1)
+    for trial in range(3):
+        rows = []
+        for i in range(rnd.randint(10, 25)):
+            k = rnd.choice(["a", "b", "c", None])
+            ts = (None if rnd.random() < 0.15
+                  else base + dt.timedelta(hours=rnd.randint(0, 5)))
+            rows.append((k, ts, i, float(rnd.randint(0, 99))))
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, id long, v double")
+        got = {r.k: (r.ts, r.id, r.v)
+               for r in transform_latest(df, ["k"], "ts", "id").collect()}
+        want = {}
+        for k, ts, i, v in rows:
+            if k is None or ts is None:
+                continue
+            if k not in want or (ts, i) > (want[k][0], want[k][1]):
+                want[k] = (ts, i, v)
+        assert got == want, trial
+
+
+def test_show_distribution_randomized(spark):
+    """Round 13 property: per bucket the emitted char probabilities
+    match a Python Counter and sum to 1 (at rounding tolerance)."""
+    import collections
+    import random
+
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    rnd = random.Random(888)
+    for trial in range(2):
+        rows = [
+            (rnd.choice(["x", "y"]),
+             "".join(rnd.choice("abc ") for _ in range(rnd.randint(1, 9))))
+            for _ in range(rnd.randint(5, 15))
+        ]
+        df = spark.createDataFrame(rows, "g string, s string")
+        out = search_aggs(df, {"aggs": {"byg": {
+            "terms": {"field": "g"},
+            "aggs": {"st": {"string_stats": {
+                "field": "s", "show_distribution": True}}}}}}).collect()
+        per_g = {}
+        for g, s in rows:
+            per_g.setdefault(g, collections.Counter()).update(
+                c for c in s if c != "\n")
+        for g, cnt in per_g.items():
+            tot = sum(cnt.values())
+            mine = {r.st_char: (r.st_char_count, r.st_prob_r6)
+                    for r in out if r.byg == g}
+            assert mine == {
+                c: (float(n), round(n / tot, 6)) for c, n in cnt.items()
+            }, (trial, g)
+            assert abs(sum(p for _, p in mine.values()) - 1.0) < 1e-4
