@@ -727,13 +727,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
-        # es_date_histogram_tz_iana — date_histogram under an IANA
-        #     time_zone (round 13, VERDICT r12 Next #1): tzdb
-        #     local-midnight day buckets gap-filled across the
-        #     2024-03-10 DST transition (a 23-hour step);
-        #     demoted-green pending rotation (es_date_histogram_tz
-        #     and the gapfill rows keep the family)
-        "es_date_histogram_tz_iana",
+        # es_date_histogram_tz_iana — PROMOTED round 14 (VERDICT r13
+        #     Next #2): date_histogram under an IANA time_zone —
+        #     tzdb local-midnight day buckets gap-filled across the
+        #     2024-03-10 DST transition (a 23-hour step), the
+        #     cross-engine tzdb pin.
         # es_adjacency_matrix — the Kibana graph agg (filter buckets
         #     + pair intersections via the multi-membership explode)
         #     with exact percentile_ranks metrics (round 12);
@@ -756,14 +754,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     scores (round 12); demoted-green pending rotation
         #     (corpus_significant_terms keeps the text twin verified)
         "es_significant_terms",
-        # es_significant_terms_per_bucket — terms >
-        #     significant_terms (round 13, VERDICT r12 Next #3): the
-        #     per-bucket significance shape — global background,
-        #     bucket foreground, parent-sizes join replacing the
-        #     root path's 1-row broadcast; demoted-green pending
-        #     rotation (es_significant_terms keeps the root path
-        #     verified, corpus_significant_terms the text twin)
-        "es_significant_terms_per_bucket",
+        # es_significant_terms_per_bucket — PROMOTED round 14
+        #     (VERDICT r13 Next #2): the per-bucket significance
+        #     shape — global background, bucket foreground,
+        #     parent-sizes join replacing the root path's 1-row
+        #     broadcast (es_significant_terms keeps the root path
+        #     demoted-green, corpus_significant_terms the text twin).
         # es_nested_inner_hits — nested query inner_hits (round 13,
         #     VERDICT r12 Next #4): matched object offsets per hit
         #     via an index-keeping transform/filter projection over
@@ -777,13 +773,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     (es_gapfill_moving_fn keeps the positional-pipeline
         #     family verified, es_pipeline_aggs declared)
         "es_moving_fn_extended",
-        # es_percolate_phrase — match_phrase percolate rules
-        #     (round 13, VERDICT r12 Next #6): adjacency on
-        #     longest-token candidates, rules routed through the
-        #     normalizer, must_not phrase load-bearing;
-        #     demoted-green pending rotation (es_percolate_bulk
-        #     keeps the bulk family declared)
-        "es_percolate_phrase",
+        # es_percolate_phrase — PROMOTED round 14 (VERDICT r13
+        #     Next #1+#2): match_phrase percolate rules — adjacency
+        #     on longest-token candidates, must_not phrase
+        #     load-bearing — promoted AFTER the round-14 fix that
+        #     binds the doc tokenizer once per melted row (the r13
+        #     `weak` plan), making the fixed plan load-bearing.
         # es_normalize_zscore — normalize z-score + softmax-over-z
         #     (round 13, VERDICT r12 Next #7): the moment discipline
         #     in a level window, exp 12dp-rounded before the exact
@@ -850,11 +845,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     (es_transform_pivot keeps the transform family
         #     declared)
         "es_transform_latest",
-        # es_has_child / es_has_parent / es_children_agg — the
-        #     join-field family's two-table lake reading (round 13);
-        #     demoted-green pending rotation (the join family keeps
-        #     q3/q5/semi_anti_join declared)
-        "es_has_child",
+        # es_has_child — PROMOTED round 14 (VERDICT r13 Next #2):
+        #     the join-field family's two-table lake reading — one
+        #     pre-aggregated child-counts groupBy + one equi-join.
+        #     es_has_parent / es_children_agg stay demoted-green
+        #     (the promoted row keeps the family declared).
         "es_has_parent",
         "es_children_agg",
         # es_reverse_nested_aggs — reverse_nested WITH parent-field
@@ -862,11 +857,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     mask (round 13); demoted-green pending rotation
         #     (es_reverse_nested keeps the family declared)
         "es_reverse_nested_aggs",
-        # es_frequent_item_sets — exact apriori over basket arrays
-        #     (ES's sampled-eclat closed-itemset agg, the every-
-        #     frequent-itemset exact reading — round 13);
-        #     demoted-green pending rotation
-        "es_frequent_item_sets",
+        # es_frequent_item_sets — PROMOTED round 14 (VERDICT r13
+        #     Next #2): exact apriori over basket arrays (ES's
+        #     sampled-eclat closed-itemset agg, the every-frequent-
+        #     itemset exact reading).
         # es_significant_terms_bgfilter — background_filter narrows
         #     the JLH background to a slice (round 13);
         #     demoted-green pending rotation (es_significant_terms
@@ -1064,6 +1058,30 @@ DEMOTED: frozenset[str] = frozenset(
         #       csv/jsonl siblings stay demoted-green (sink family
         #       fully pytest-covered incl. real-file digests)
         "sink_ndjson_roundtrip",
+        # --- round 14 (VERDICT r13 Next #2): five surface-duplicates
+        #     demoted so the round-13 dialect rows above could rotate
+        #     into the declared 50; every family keeps a declared row.
+        #   es_percolate — the bare single-query percolate;
+        #       es_percolate_bulk (the O(1)-in-rules reverse-search
+        #       plan) and es_percolate_phrase (the round-14 bound-
+        #       tokenizer plan) keep the percolate family declared
+        "es_percolate",
+        #   es_date_histogram_gapfill — UTC-grid gap-fill;
+        #       es_date_histogram_tz_iana gap-fills with extended
+        #       bounds on the harder LOCAL-wall grid across a DST
+        #       transition, so the UTC row is strictly subsumed
+        "es_date_histogram_gapfill",
+        #   corpus_bm25_stopwords — stop-filter-only analyzer;
+        #       corpus_bm25_stemmed runs the full stop+length+stem
+        #       analyzer spec over the same BM25 plan
+        "corpus_bm25_stopwords",
+        #   dedup_simhash — 64-bit SimHash banding; the dedup family
+        #       keeps 5 declared rows (exact, minhash_lsh, corpus,
+        #       incremental, clusters)
+        "dedup_simhash",
+        #   q5_local_supplier_volume — the TPC-H multi-join shape;
+        #       TPC-H keeps 5 declared rows (q1/q3/q8/q10/q18)
+        "q5_local_supplier_volume",
     }
 )
 
