@@ -727,6 +727,14 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
+        # es_terms_partition — terms include {partition,
+        #     num_partitions} (round 14, VERDICT r13 Next #3): the
+        #     high-cardinality walk recipe via the portable md5
+        #     bucket, union-of-partitions pinned in pytest;
+        #     demoted-green pending rotation
+        #     (es_terms_include_exclude keeps the include family
+        #     declared)
+        "es_terms_partition",
         # es_date_histogram_tz_iana — PROMOTED round 14 (VERDICT r13
         #     Next #2): date_histogram under an IANA time_zone —
         #     tzdb local-midnight day buckets gap-filled across the
@@ -1277,6 +1285,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_terms_include_exclude": _mod(
             "es_search", "q_es_terms_include_exclude"
+        ),
+        "es_terms_partition": _mod(
+            "es_search", "q_es_terms_partition"
         ),
         "es_date_histogram_tz": _mod("es_search", "q_es_date_histogram_tz"),
         "es_date_histogram_tz_iana": _mod(
@@ -5741,6 +5752,35 @@ def _all_oracle_sql() -> dict[str, str]:
           AND event_type <> 'error'
         GROUP BY event_type
         ORDER BY by_type
+    """
+
+    # es_terms_partition (round 14, VERDICT r13 Next #3): the
+    # include partition object — a deterministic hash-mod filter on
+    # the term BEFORE ranking, the md5 ascii-hex bucket spelled
+    # exactly like corpus_splits (sampling.hash_bucket's portable
+    # form; ES's own partition hash is implementation-defined, so
+    # the engine documents md5 as its partition function, PARITY
+    # #24). partition 1 of 3 over user_id.
+    q["es_terms_partition"] = """
+        WITH h AS (
+          SELECT user_id, value,
+                 md5(CAST(user_id AS VARCHAR)) AS hh
+          FROM events WHERE user_id IS NOT NULL
+        ), dig AS (
+          SELECT user_id, value,
+                 (ascii(substr(hh,1,1)) - CASE WHEN ascii(substr(hh,1,1)) >= 97 THEN 87 ELSE 48 END) * 4096
+               + (ascii(substr(hh,2,1)) - CASE WHEN ascii(substr(hh,2,1)) >= 97 THEN 87 ELSE 48 END) * 256
+               + (ascii(substr(hh,3,1)) - CASE WHEN ascii(substr(hh,3,1)) >= 97 THEN 87 ELSE 48 END) * 16
+               + (ascii(substr(hh,4,1)) - CASE WHEN ascii(substr(hh,4,1)) >= 97 THEN 87 ELSE 48 END) AS v
+          FROM h
+        )
+        SELECT CAST(1 AS INT) AS level, user_id AS by_user,
+               count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM dig WHERE v % 3 = 1
+        GROUP BY user_id
+        ORDER BY by_user
     """
 
     # es_multi_rare_terms (round 12): multi_terms = '|'-joined

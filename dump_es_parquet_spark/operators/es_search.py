@@ -762,7 +762,38 @@ class _Level:
                 col = F.coalesce(col, F.lit(b["missing"]))
             inc, exc = b.get("include"), b.get("exclude")
             keep = None
-            if inc is not None:
+            if isinstance(inc, dict):
+                # `include: {partition: N, num_partitions: M}`
+                # (round 14, VERDICT r13 Next #3) — ES's documented
+                # recipe for walking ALL unique values of a
+                # high-cardinality field across M requests: each
+                # request sees only the terms whose hash lands in
+                # its partition, applied BEFORE ranking like the
+                # other include forms, so the M answers union to the
+                # full term set (the pin test). ES partitions by its
+                # internal ordinal hash (implementation-defined);
+                # the engine's documented reading is the portable
+                # md5 bucket (sampling.hash_bucket — the split
+                # machinery's primitive, spelled identically in the
+                # DuckDB oracle), which keeps the partition function
+                # stable across engines and versions. PARITY #24.
+                extra = set(inc) - {"partition", "num_partitions"}
+                if extra:
+                    raise ValueError(
+                        f"include partition object: unknown keys "
+                        f"{sorted(extra)}"
+                    )
+                p, m = int(inc["partition"]), int(inc["num_partitions"])
+                if m <= 0 or not (0 <= p < m):
+                    raise ValueError(
+                        f"include partition needs "
+                        f"0 <= partition < num_partitions, got "
+                        f"partition={p} num_partitions={m}"
+                    )
+                from .sampling import hash_bucket
+
+                keep = hash_bucket(col, m) == F.lit(p)
+            elif inc is not None:
                 keep = (
                     col.isin(list(inc))
                     if isinstance(inc, (list, tuple))
@@ -6543,6 +6574,40 @@ def q_es_terms_include_exclude(
                         "size": 10,
                         "include": "(c|e|p).*",
                         "exclude": ["error"],
+                    },
+                    "aggs": {
+                        "sum_value": {"sum": {"field": "value"}}
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_terms_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """terms ``include: {partition, num_partitions}`` (round 14,
+    VERDICT r13 Next #3) — ES's documented recipe for walking all
+    unique values of a high-cardinality field across M requests:
+    partition 1 of 3 over ``user_id``, sized past the partition's
+    cardinality so every surviving term ranks in (the walk needs
+    each request to return its whole slice). The partition function
+    is the engine's portable md5 bucket (PARITY #24); the pin test
+    unions all three partitions against the unpartitioned answer."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_user": {
+                    "terms": {
+                        "field": "user_id",
+                        "size": 1000,
+                        "include": {
+                            "partition": 1,
+                            "num_partitions": 3,
+                        },
                     },
                     "aggs": {
                         "sum_value": {"sum": {"field": "value"}}

@@ -4649,3 +4649,69 @@ def test_show_distribution_randomized(spark):
                 c: (float(n), round(n / tot, 6)) for c, n in cnt.items()
             }, (trial, g)
             assert abs(sum(p for _, p in mine.values()) - 1.0) < 1e-4
+
+
+def test_terms_partition_union_is_unpartitioned(spark):
+    """Round 14 (VERDICT r13 Next #3): the ES high-cardinality walk
+    pin — the UNION of all ``include: {partition, num_partitions}``
+    slices equals the unpartitioned terms answer exactly (every term
+    in exactly one partition, counts/metrics unchanged), for both
+    string and numeric keys and composing with exclude."""
+    import random
+
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    rng = random.Random(1414)
+    rows = [
+        (f"u{rng.randrange(40)}", float(rng.randrange(100)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "user string, v double")
+
+    def run(extra_include=None, exclude=None):
+        terms = {"field": "user", "size": 1000}
+        if extra_include is not None:
+            terms["include"] = extra_include
+        if exclude is not None:
+            terms["exclude"] = exclude
+        out = search_aggs(
+            df,
+            {"aggs": {"by": {
+                "terms": terms,
+                "aggs": {"sv": {"sum": {"field": "v"}}},
+            }}},
+        ).collect()
+        return {r.by: (r.doc_count, r.sv) for r in out}
+
+    for m in (1, 3, 7):
+        parts = [
+            run({"partition": p, "num_partitions": m}) for p in range(m)
+        ]
+        # disjoint …
+        seen = [k for d in parts for k in d]
+        assert len(seen) == len(set(seen)), m
+        # … and exhaustive with identical counts/metrics
+        merged = {k: v for d in parts for k, v in d.items()}
+        assert merged == run(), m
+
+    # composes with exclude (applied alongside, like the other forms)
+    full_noex = run()
+    excluded = sorted(full_noex)[:5]
+    parts = [
+        run({"partition": p, "num_partitions": 4}, exclude=excluded)
+        for p in range(4)
+    ]
+    merged = {k: v for d in parts for k, v in d.items()}
+    assert merged == {
+        k: v for k, v in full_noex.items() if k not in excluded
+    }
+
+    # validation raises
+    for bad in (
+        {"partition": 3, "num_partitions": 3},
+        {"partition": -1, "num_partitions": 3},
+        {"partition": 0, "num_partitions": 0},
+        {"partition": 0, "num_partitions": 2, "typo": 1},
+    ):
+        with pytest.raises(ValueError):
+            run(bad)

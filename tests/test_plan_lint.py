@@ -306,6 +306,10 @@ PINNED_FINGERPRINTS = {
     # terms include/exclude (round 12): a key-expression WHEN wrap —
     # same one-rollup bucket-frame class
     "es_terms_include_exclude": {"exchange": 4},
+    # terms include {partition, num_partitions} (round 14): the md5
+    # hash-mod filter is one more key-expression wrap — same
+    # one-rollup bucket-frame class, no extra shuffle
+    "es_terms_partition": {"exchange": 4},
     # date_histogram time_zone (round 12): a shifted key expression +
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
