@@ -727,6 +727,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
+        # es_top_hits_nonleaf — top_hits under a NON-LEAF bucket
+        #     (round 14, VERDICT r13 Next #4): the bucket/doc union
+        #     frame, terms prune load-bearing for both halves;
+        #     demoted-green pending rotation (es_top_hits keeps the
+        #     leaf form verified)
+        "es_top_hits_nonleaf",
         # es_terms_partition — terms include {partition,
         #     num_partitions} (round 14, VERDICT r13 Next #3): the
         #     high-cardinality walk recipe via the portable md5
@@ -1288,6 +1294,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_terms_partition": _mod(
             "es_search", "q_es_terms_partition"
+        ),
+        "es_top_hits_nonleaf": _mod(
+            "es_search", "q_es_top_hits_nonleaf"
         ),
         "es_date_histogram_tz": _mod("es_search", "q_es_date_histogram_tz"),
         "es_date_histogram_tz_iana": _mod(
@@ -5990,6 +5999,56 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT by_type, top_rank, event_id, ts, value
         FROM ranked WHERE top_rank <= 2
         ORDER BY by_type, top_rank
+    """
+
+    # es_top_hits_nonleaf (round 14, VERDICT r13 Next #4): top_hits
+    # under a non-leaf bucket — the union frame: regular bucket rows
+    # (terms > weekly date_histogram + sum metric) plus doc-shaped
+    # rank rows at the carrying terms level; the terms size-3 prune
+    # (3 of 5 types) is load-bearing for both halves.
+    q["es_top_hits_nonleaf"] = """
+        WITH keep AS (
+          SELECT event_type FROM (
+            SELECT event_type, row_number() OVER (
+                       ORDER BY count(*) DESC, event_type ASC) AS rk
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY event_type)
+          WHERE rk <= 3
+        ), l1 AS (
+          SELECT CAST(1 AS INT) AS level, event_type AS by_type,
+                 CAST(NULL AS BIGINT) AS weekly,
+                 count(*) AS doc_count,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_value,
+                 CAST(NULL AS INT) AS top2_rank,
+                 CAST(NULL AS BIGINT) AS event_id,
+                 CAST(NULL AS DOUBLE) AS value
+          FROM events JOIN keep USING (event_type)
+          GROUP BY event_type
+        ), l2 AS (
+          SELECT CAST(2 AS INT), event_type,
+                 (epoch_ms(ts) // 604800000) * 604800000,
+                 count(*), CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+                 CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+          FROM events JOIN keep USING (event_type)
+          WHERE ts IS NOT NULL
+          GROUP BY 2, 3
+        ), docs AS (
+          SELECT CAST(1 AS INT), event_type, CAST(NULL AS BIGINT),
+                 CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                 rk, event_id, value
+          FROM (
+            SELECT event_type, event_id, value,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC, event_id ASC) AS INT) AS rk
+            FROM events JOIN keep USING (event_type))
+          WHERE rk <= 2
+        )
+        SELECT * FROM l1
+        UNION ALL SELECT * FROM l2
+        UNION ALL SELECT * FROM docs
+        ORDER BY 1, 2, 3, 6
     """
 
     # the ES 8 knn request dialect serves the same answer as the

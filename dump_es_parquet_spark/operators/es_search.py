@@ -79,9 +79,12 @@ Aggregations DSL (``compile_aggs``):
   median(|x − median|) from one let-bound sorted collect, where ES
   runs t-digest). Each metric is reported at the level it
   is attached to (NULL elsewhere), like the ES response tree.
-- ``top_hits`` is supported as the innermost agg of a bucket chain
-  ONLY (the common "N example docs per bucket" shape — anywhere else
-  raises) and compiles to a per-bucket ``row_number`` window.
+- ``top_hits`` compiles to a per-bucket ``row_number`` window. As the
+  innermost agg of the chain (the common "N example docs per bucket"
+  shape) the result is the doc-shaped frame; under a NON-LEAF bucket
+  (round 14 — "the docs AND the sub-buckets") the result is the
+  regular bucket frame UNIONED with rank-bearing doc rows at the
+  carrying level. One top_hits section per chain.
 - pipeline aggs: ``cumulative_sum``, ``derivative``, ``bucket_script``,
   ``moving_fn`` (``MovingFunctions.{max,min,sum,unweightedAvg,
   stdDev,linearWeightedAvg,ewma}`` — round 13 widened; trailing
@@ -1370,15 +1373,11 @@ def _parse_chain(aggs: dict) -> list[_Level]:
                     "metric/pipeline aggs beside the root bucket have no "
                     "parent bucket to attach to"
                 )
-    # top_hits is supported as the INNERMOST agg of the chain only
-    # (the documented restriction); anywhere else it would be
-    # silently dropped by compile_aggs' leaf check — fail loudly
-    for lvl in levels[:-1]:
-        if lvl.top_hits:
-            raise ValueError(
-                "top_hits is supported only as the innermost agg of a "
-                f"bucket chain; found it under non-leaf bucket {lvl.name!r}"
-            )
+    # top_hits may sit at ANY single level of the chain (round 14,
+    # VERDICT r13 Next #4 lifts the r10 innermost-only bound):
+    # compile_aggs dispatches the leaf form to _top_hits_plan and
+    # the non-leaf form to _top_hits_nonleaf_plan; multiple top_hits
+    # sections raise there.
     return levels
 
 
@@ -1958,6 +1957,17 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     level-0 grand-total row is emitted (the ES response has none).
     """
     levels = _parse_chain(aggs)
+    th_is = [i for i, lv in enumerate(levels, start=1) if lv.top_hits]
+    if len(th_is) > 1:
+        raise ValueError("one top_hits section per agg chain")
+    if th_is and th_is[0] < len(levels):
+        # top_hits under a NON-LEAF bucket (round 14, VERDICT r13
+        # Next #4 — "top N docs per service, with the daily
+        # sub-buckets too"): the response is the regular flat bucket
+        # frame UNIONED with doc-shaped rows at the carrying level —
+        # rank + _source columns non-NULL on doc rows, doc_count /
+        # metrics non-NULL on bucket rows.
+        return _top_hits_nonleaf_plan(df, levels, th_is[0], aggs)
     if levels and levels[-1].top_hits:
         return _top_hits_plan(df, levels)
     n = len(levels)
@@ -3455,6 +3465,69 @@ def _top_hits_plan(df: DataFrame, levels: list[_Level]) -> DataFrame:
         .filter(F.col(f"{th_name}_rank") <= size)
         .select(*key_names, f"{th_name}_rank", *source)
         .orderBy(*key_names, f"{th_name}_rank")
+    )
+
+
+def _strip_top_hits(node: dict) -> dict:
+    """The aggs tree minus its ``top_hits`` sections (non-destructive)
+    — the bucket-frame half of the non-leaf top_hits union plan."""
+    out = {}
+    for name, spec in node.items():
+        if isinstance(spec, dict) and "top_hits" in spec:
+            continue
+        spec2 = dict(spec)
+        if isinstance(spec2.get("aggs"), dict):
+            sub = _strip_top_hits(spec2["aggs"])
+            if sub:
+                spec2["aggs"] = sub
+            else:
+                spec2.pop("aggs")
+        out[name] = spec2
+    return out
+
+
+def _top_hits_nonleaf_plan(
+    df: DataFrame, levels: list[_Level], th_i: int, aggs: dict
+) -> DataFrame:
+    """``top_hits`` under a NON-LEAF bucket (round 14, VERDICT r13
+    Next #4 — lifts the r10 innermost-only bound): "top N docs per
+    service, and the daily sub-buckets too". The response is one
+    frame of two row shapes, distinguishable by which columns are
+    non-NULL — the REGULAR flat bucket frame (every level's
+    doc_count + metrics, computed by the ordinary rollup plan over
+    the tree with the top_hits section stripped) unioned with
+    DOC-shaped rows at the carrying level: ``level`` = the carrier's
+    1-based level, the carrier's key prefix set (deeper keys NULL),
+    ``<name>_rank`` + ``_source`` columns non-NULL. The doc half
+    reuses _top_hits_plan over bare copies of the prefix levels, so
+    its terms-size survival rule (doc_count desc, key asc per
+    parent) matches the bucket half's by construction — the same
+    counts from the same frame."""
+    carrier = levels[th_i - 1]
+    buckets = compile_aggs(df, _strip_top_hits(aggs))
+    # bare prefix copies: metrics/pipes of the original levels belong
+    # to the BUCKET half (and _top_hits_plan refuses frames with
+    # sibling metrics)
+    prefix = [_Level(lv.name, lv.kind, lv.body) for lv in levels[:th_i]]
+    prefix[-1].top_hits = carrier.top_hits
+    docs = _top_hits_plan(df, prefix)
+    key_names = [lv.name for lv in levels]
+    clash = sorted(
+        (set(docs.columns) - {"level", *key_names})
+        & set(buckets.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"top_hits _source/rank columns collide with bucket-frame "
+            f"columns {clash}; rename via _source or the agg names"
+        )
+    th_name, _ = carrier.top_hits
+    return (
+        buckets.unionByName(
+            docs.withColumn("level", F.lit(th_i).cast("int")),
+            allowMissingColumns=True,
+        )
+        .orderBy("level", *key_names, f"{th_name}_rank")
     )
 
 
@@ -7271,6 +7344,46 @@ def q_es_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "_source": ["event_id", "ts", "value"],
                             }
                         }
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_top_hits_nonleaf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``top_hits`` under a NON-LEAF bucket (round 14, VERDICT r13
+    Next #4): per event type (top 3 of 5 — the terms prune is
+    load-bearing), the weekly sub-buckets AND the type's two most
+    valuable events, plus a sibling sum metric — the union frame of
+    bucket rows and rank-bearing doc rows."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 3},
+                    "aggs": {
+                        "weekly": {
+                            "date_histogram": {
+                                "field": "ts",
+                                "fixed_interval": "7d",
+                            }
+                        },
+                        "sum_value": {"sum": {"field": "value"}},
+                        "top2": {
+                            "top_hits": {
+                                "size": 2,
+                                "sort": [
+                                    {"value": {"order": "desc"}},
+                                    {"event_id": {"order": "asc"}},
+                                ],
+                                "_source": ["event_id", "value"],
+                            }
+                        },
                     },
                 }
             },

@@ -1315,17 +1315,85 @@ def test_date_histogram_gapfill_per_parent_partition(spark):
     ]
 
 
-def test_top_hits_on_non_leaf_bucket_raises(spark):
-    # previously stored on the intermediate level and silently dropped
-    df = spark.createDataFrame([Row(kind="a", sub="x", n=1.0)])
-    with pytest.raises(ValueError, match="innermost"):
+def test_top_hits_on_non_leaf_bucket(spark):
+    """Round 14 (VERDICT r13 Next #4, lifting the r10 innermost-only
+    bound): top_hits beside a deeper bucket returns the union frame —
+    regular bucket rows for every level PLUS rank-bearing doc rows at
+    the carrying level, each half NULL on the other's columns."""
+    df = spark.createDataFrame(
+        [
+            Row(kind="a", sub="x", n=3.0, id=1),
+            Row(kind="a", sub="x", n=9.0, id=2),
+            Row(kind="a", sub="y", n=1.0, id=3),
+            Row(kind="b", sub="x", n=5.0, id=4),
+        ]
+    )
+    out = compile_aggs(
+        df,
+        {
+            "k": {
+                "terms": {"field": "kind"},
+                "aggs": {
+                    "examples": {
+                        "top_hits": {
+                            "size": 1,
+                            "sort": [{"n": "desc"}, {"id": "asc"}],
+                            "_source": ["id"],
+                        }
+                    },
+                    "sub": {"terms": {"field": "sub"}},
+                    "sn": {"sum": {"field": "n"}},
+                },
+            }
+        },
+    ).collect()
+    bucket1 = {(r.k, r.doc_count, r.sn)
+               for r in out if r.level == 1 and r.examples_rank is None}
+    assert bucket1 == {("a", 3, 13.0), ("b", 1, 5.0)}
+    bucket2 = {(r.k, r.sub, r.doc_count) for r in out if r.level == 2}
+    assert bucket2 == {("a", "x", 2), ("a", "y", 1), ("b", "x", 1)}
+    docs = {(r.k, r.examples_rank, r.id)
+            for r in out if r.examples_rank is not None}
+    assert docs == {("a", 1, 2), ("b", 1, 4)}
+    # doc rows carry NULLs on the bucket half and vice versa
+    assert all(r.doc_count is None and r.sn is None and r.sub is None
+               for r in out if r.examples_rank is not None)
+    assert all(r.id is None for r in out if r.examples_rank is None)
+
+    # two top_hits sections in one chain raise
+    with pytest.raises(ValueError, match="one top_hits"):
         compile_aggs(
             df,
             {
                 "k": {
                     "terms": {"field": "kind"},
                     "aggs": {
-                        "examples": {"top_hits": {"size": 1}},
+                        "e1": {"top_hits": {"size": 1}},
+                        "sub": {
+                            "terms": {"field": "sub"},
+                            "aggs": {"e2": {"top_hits": {"size": 1}}},
+                        },
+                    },
+                }
+            },
+        )
+    # a _source column colliding with a bucket-frame column (here: a
+    # metric named like the source column) raises
+    with pytest.raises(ValueError, match="collide"):
+        compile_aggs(
+            df,
+            {
+                "k": {
+                    "terms": {"field": "kind"},
+                    "aggs": {
+                        "examples": {
+                            "top_hits": {
+                                "size": 1,
+                                "sort": [{"id": "asc"}],
+                                "_source": ["id"],
+                            }
+                        },
+                        "id": {"sum": {"field": "n"}},
                         "sub": {"terms": {"field": "sub"}},
                     },
                 }

@@ -310,6 +310,11 @@ PINNED_FINGERPRINTS = {
     # hash-mod filter is one more key-expression wrap — same
     # one-rollup bucket-frame class, no extra shuffle
     "es_terms_partition": {"exchange": 4},
+    # top_hits under a non-leaf bucket (round 14): the union of the
+    # regular bucket plan (the agg-tree class) and the doc half's
+    # count/prune/rank windows; the 2 bhj are the kept-bucket and
+    # survivor semi-join broadcasts — both bucket-frame-sized
+    "es_top_hits_nonleaf": {"exchange": 9, "bhj": 2},
     # date_histogram time_zone (round 12): a shifted key expression +
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
