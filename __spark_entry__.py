@@ -727,6 +727,13 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
+        # es_significant_heuristics — chi_square / gnd /
+        #     mutual_information / percentage significance scoring
+        #     (round 14, VERDICT r13 Next #5) over the JLH row's
+        #     counts frame; demoted-green pending rotation
+        #     (es_significant_terms_per_bucket keeps the family
+        #     declared)
+        "es_significant_heuristics",
         # es_top_hits_nonleaf — top_hits under a NON-LEAF bucket
         #     (round 14, VERDICT r13 Next #4): the bucket/doc union
         #     frame, terms prune load-bearing for both halves;
@@ -1297,6 +1304,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_top_hits_nonleaf": _mod(
             "es_search", "q_es_top_hits_nonleaf"
+        ),
+        "es_significant_heuristics": _mod(
+            "es_search", "q_es_significant_heuristics"
         ),
         "es_date_histogram_tz": _mod("es_search", "q_es_date_histogram_tz"),
         "es_date_histogram_tz_iana": _mod(
@@ -5999,6 +6009,101 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT by_type, top_rank, event_id, ts, value
         FROM ranked WHERE top_rank <= 2
         ORDER BY by_type, top_rank
+    """
+
+    # es_significant_heuristics (round 14, VERDICT r13 Next #5): the
+    # non-JLH significance heuristics over the SAME counts frame as
+    # the JLH row — chi_square / gnd / mutual_information /
+    # percentage as documented score trees over the background-is-
+    # superset 2x2 contingency (spelled identically here: left-assoc
+    # doubles, MI cells and the GND exp 12dp-rounded per the entropy/
+    # softmax libm discipline, micro floor, per-heuristic top-10 by
+    # (score desc, band asc) — load-bearing at sf0.1's 12 bands).
+    q["es_significant_heuristics"] = """
+        WITH d AS (
+          SELECT CASE WHEN coalesce(value >= 80, FALSE)
+                 THEN 1 ELSE 0 END AS fg,
+                 'b' || CAST(CAST(floor(value / 50) AS INT) AS VARCHAR)
+                     AS sig_band
+          FROM events
+        ),
+        s AS (
+          SELECT CAST(sum(fg) AS BIGINT) AS fgd,
+                 CAST(count(*) AS BIGINT) AS nd
+          FROM d
+        ),
+        c AS (
+          SELECT sig_band,
+                 CAST(sum(fg) AS BIGINT) AS doc_count,
+                 CAST(count(*) AS BIGINT) AS bg_count
+          FROM d WHERE sig_band IS NOT NULL
+          GROUP BY sig_band HAVING sum(fg) >= 2
+        ),
+        m AS (
+          SELECT sig_band, doc_count, bg_count, n11, n01, n10, n00, n,
+                 n11 + n10 AS n1_, n11 + n01 AS n_1,
+                 n01 + n00 AS n0_, n10 + n00 AS n_0
+          FROM (
+            SELECT sig_band, doc_count, bg_count,
+                   CAST(doc_count AS DOUBLE) AS n11,
+                   CAST(bg_count AS DOUBLE) - CAST(doc_count AS DOUBLE)
+                       AS n01,
+                   CAST(fgd AS DOUBLE) - CAST(doc_count AS DOUBLE)
+                       AS n10,
+                   (CAST(nd AS DOUBLE) - CAST(bg_count AS DOUBLE))
+                     - (CAST(fgd AS DOUBLE) - CAST(doc_count AS DOUBLE))
+                       AS n00,
+                   CAST(nd AS DOUBLE) AS n
+            FROM c, s WHERE bg_count > 0)
+        ),
+        scored AS (
+          SELECT 'chi_square' AS heuristic, sig_band, doc_count,
+                 bg_count,
+                 (n * pow(n11 * n00 - n01 * n10, 2.0))
+                   / (((n_1 * n1_) * n0_) * n_0) AS score
+          FROM m
+          UNION ALL
+          SELECT 'gnd', sig_band, doc_count, bg_count,
+                 CASE WHEN ln(n) <> least(ln(n1_), ln(n_1)) THEN
+                   round(exp(-((greatest(ln(n1_), ln(n_1)) - ln(n11))
+                         / (ln(n) - least(ln(n1_), ln(n_1))))), 12)
+                 END
+          FROM m
+          UNION ALL
+          SELECT 'mutual_information', sig_band, doc_count, bg_count,
+                 ((CASE WHEN n11 > 0 THEN round((n11 / n)
+                       * log2((n11 * n) / (n1_ * n_1)), 12)
+                     ELSE 0.0 END
+                  + CASE WHEN n01 > 0 THEN round((n01 / n)
+                        * log2((n01 * n) / (n0_ * n_1)), 12)
+                      ELSE 0.0 END)
+                  + CASE WHEN n10 > 0 THEN round((n10 / n)
+                        * log2((n10 * n) / (n1_ * n_0)), 12)
+                      ELSE 0.0 END)
+                  + CASE WHEN n00 > 0 THEN round((n00 / n)
+                        * log2((n00 * n) / (n0_ * n_0)), 12)
+                      ELSE 0.0 END
+          FROM m
+          UNION ALL
+          SELECT 'percentage', sig_band, doc_count, bg_count,
+                 CAST(doc_count AS DOUBLE) / CAST(bg_count AS DOUBLE)
+          FROM m
+        ),
+        micro AS (
+          SELECT heuristic, sig_band, doc_count, bg_count,
+                 CAST(floor(1e6 * score) AS BIGINT) AS score_micro
+          FROM scored
+          WHERE CAST(floor(1e6 * score) AS BIGINT) > 0
+        )
+        SELECT CAST(1 AS INT) AS level, sig_band, doc_count, bg_count,
+               score_micro, heuristic
+        FROM (
+          SELECT *, row_number() OVER (
+                     PARTITION BY heuristic
+                     ORDER BY score_micro DESC, sig_band ASC) AS rk
+          FROM micro)
+        WHERE rk <= 10
+        ORDER BY heuristic, sig_band
     """
 
     # es_top_hits_nonleaf (round 14, VERDICT r13 Next #4): top_hits

@@ -4088,6 +4088,110 @@ def search_aggs(df: DataFrame, request: dict) -> DataFrame:
     )
 
 
+_SIG_HEURISTICS = (
+    "jlh", "chi_square", "mutual_information", "gnd", "percentage",
+)
+
+
+def _sig_heuristic(body: dict) -> tuple[str, dict]:
+    """The significance heuristic a significant_terms/_text body
+    requests (round 14, VERDICT r13 Next #5): one of the ES one-key
+    knobs — ``jlh`` (the default, and what an empty body means),
+    ``chi_square``, ``mutual_information``, ``gnd``, ``percentage``.
+    At most one; ``background_is_superset: false`` raises (the whole
+    counts frame assumes the superset background, like the rest of
+    the family)."""
+    keys = [k for k in _SIG_HEURISTICS if k in body]
+    if len(keys) > 1:
+        raise ValueError(
+            f"one significance heuristic per agg, got {keys}"
+        )
+    heur = keys[0] if keys else "jlh"
+    opts = body.get(heur) or {}
+    if opts.get("background_is_superset") is False:
+        raise ValueError(
+            "background_is_superset=false is not supported: the "
+            "one-scan counts frame builds the superset background"
+        )
+    return heur, opts
+
+
+def _sig_score_expr(heur: str, opts: dict) -> Column:
+    """The heuristic's score tree over the shared counts columns
+    (``doc_count`` = fg term docs, ``bg_count`` = bg term docs,
+    ``_fgd`` = foreground size, ``_nd`` = background size) — every
+    path (root keyword, per-bucket, text) scores through this one
+    function, floored to micro longs by the caller (the family's
+    hash-exactness discipline). Formulas are the published readings
+    over the background-is-superset 2×2 contingency (N11 = fg,
+    N01 = bg − fg, N10 = fgSize − fg, N00 = N − bg − N10):
+
+    - ``jlh``: (fg% − bg%)·(fg%/bg%) — the pinned corpus tree.
+    - ``chi_square``: N·(N11·N00 − N01·N10)² / (N1_·N_1·N0_·N_0),
+      the textbook 2×2 statistic.
+    - ``mutual_information``: Σ over the 4 cells of
+      (Nxy/N)·log2(Nxy·N / (Nx_·N_y)), empty cells contributing 0.
+    - ``gnd``: exp(−d), d = (max(ln N1_, ln N_1) − ln N11) /
+      (ln N − min(ln N1_, ln N_1)) — the Google Normalized Distance
+      inverted to a similarity; the degenerate everywhere-term
+      (denominator 0) scores NULL and drops.
+    - ``percentage``: fg/bg.
+
+    ``include_negatives: false`` (chi_square / mutual_information)
+    drops anti-correlated terms — fg share below the rest-of-index
+    share — by scoring them NULL. ES's exact guard/smoothing
+    constants are not reproducible offline; these documented trees
+    are pinned cross-engine instead (PARITY #20)."""
+    fg = F.col("doc_count").cast("double")
+    bg = F.col("bg_count").cast("double")
+    fgs = F.col("_fgd").cast("double")
+    n = F.col("_nd").cast("double")
+    if heur == "jlh":
+        fgp, bgp = fg / fgs, bg / n
+        return (fgp - bgp) * (fgp / bgp)
+    if heur == "percentage":
+        return fg / bg
+    n11 = fg
+    n01 = bg - fg
+    n10 = fgs - fg
+    n00 = n - bg - n10
+    n1_ = n11 + n10
+    n_1 = n11 + n01
+    n0_ = n01 + n00
+    n_0 = n10 + n00
+    if heur == "gnd":
+        # libm discipline (the entropy/softmax precedent): the exp
+        # output rounds to 12dp before the micro floor so both
+        # engines' libm agree past the boundary
+        d = (
+            F.greatest(F.log(n1_), F.log(n_1)) - F.log(n11)
+        ) / (F.log(n) - F.least(F.log(n1_), F.log(n_1)))
+        return F.when(F.log(n) != F.least(F.log(n1_), F.log(n_1)),
+                      F.round(F.exp(-d), 12))
+    if heur == "chi_square":
+        score = (
+            n * F.pow(n11 * n00 - n01 * n10, F.lit(2.0))
+        ) / (n_1 * n1_ * n0_ * n_0)
+    elif heur == "mutual_information":
+        # each cell 12dp-rounded before the 4-term sum (the entropy
+        # row's exact libm discipline)
+        def _cell(nxy, nx_, n_y):
+            return F.when(
+                nxy > 0,
+                F.round((nxy / n) * F.log2((nxy * n) / (nx_ * n_y)), 12),
+            ).otherwise(F.lit(0.0))
+
+        score = (
+            _cell(n11, n1_, n_1) + _cell(n01, n0_, n_1)
+            + _cell(n10, n1_, n_0) + _cell(n00, n0_, n_0)
+        )
+    else:
+        raise ValueError(f"unknown significance heuristic {heur!r}")
+    if opts.get("include_negatives") is False:
+        return F.when(n11 / n_1 >= n10 / n_0, score)
+    return score
+
+
 def _significant_terms_keyword(
     df: DataFrame, name: str, body: dict, fg_pred: Column
 ) -> DataFrame:
@@ -4133,9 +4237,8 @@ def _significant_terms_keyword(
         # of the background) — it drops rather than scoring inf
         .filter((F.col("doc_count") >= min_fg) & (F.col("bg_count") > 0))
     )
-    fgp = F.col("doc_count") / F.col("_fgd")
-    bgp = F.col("bg_count") / F.col("_nd")
-    score = F.floor(F.lit(1e6) * ((fgp - bgp) * (fgp / bgp))).cast(
+    heur, hopts = _sig_heuristic(body)
+    score = F.floor(F.lit(1e6) * _sig_score_expr(heur, hopts)).cast(
         "long"
     )
     return (
@@ -4444,9 +4547,8 @@ def _significant_terms_under_terms(
         .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
         .filter(F.col("doc_count") >= min_fg)
     )
-    fgp = F.col("doc_count") / F.col("_fgd")
-    bgp = F.col("bg_count") / F.col("_nd")
-    score = F.floor(F.lit(1e6) * ((fgp - bgp) * (fgp / bgp))).cast("long")
+    heur, hopts = _sig_heuristic(body)
+    score = F.floor(F.lit(1e6) * _sig_score_expr(heur, hopts)).cast("long")
     return (
         counts.join(F.broadcast(psizes), pname)
         .join(bg, name)
@@ -6799,6 +6901,48 @@ def q_es_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         },
     )
+
+
+def q_es_significant_heuristics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The non-JLH significance heuristics (round 14, VERDICT r13
+    Next #5): the root significant_terms request (value bands,
+    value ≥ 80 foreground) scored under ``chi_square``,
+    ``mutual_information``, ``gnd`` and ``percentage`` — four
+    one-key variants of the same counts frame, unioned with a
+    ``heuristic`` label. Same micro-floor discipline as the JLH
+    pins; MI/GND follow the entropy/softmax 12dp libm rounding."""
+    ev = load(spark, sf_dir, "events")
+    out = None
+    for heur in (
+        "chi_square", "gnd", "mutual_information", "percentage"
+    ):
+        r = search_aggs(
+            ev,
+            {
+                "runtime_mappings": {
+                    "band": {
+                        "script_sql":
+                            "concat('b', cast(cast(floor(value / 50)"
+                            " as int) as string))"
+                    }
+                },
+                "query": {"range": {"value": {"gte": 80}}},
+                "aggs": {
+                    "sig_band": {
+                        "significant_terms": {
+                            "field": "band",
+                            "size": 10,
+                            "min_doc_count": 2,
+                            heur: {},
+                        }
+                    }
+                },
+            },
+        ).withColumn("heuristic", F.lit(heur))
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("heuristic", "sig_band")
 
 
 def q_es_significant_terms_per_bucket(

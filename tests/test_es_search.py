@@ -4783,3 +4783,85 @@ def test_terms_partition_union_is_unpartitioned(spark):
     ):
         with pytest.raises(ValueError):
             run(bad)
+
+
+def test_significance_heuristics_hand_checked(spark):
+    """Round 14 (VERDICT r13 Next #5): the non-JLH score trees on a
+    hand-computed 2x2 contingency. Frame: 10 docs, fg = 4 (v >= 6),
+    term 'a' in 3 fg docs and 5 docs overall -> N11=3, N01=2, N10=1,
+    N00=4, N=10."""
+    import math
+
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    rows = (
+        [("a", 9.0)] * 3 + [("b", 9.0)]          # fg: 3x a, 1x b
+        + [("a", 1.0)] * 2 + [("b", 1.0)] * 4    # bg-only
+    )
+    df = spark.createDataFrame(rows, "t string, v double")
+
+    def run(heur, opts=None):
+        out = search_aggs(
+            df,
+            {
+                "query": {"range": {"v": {"gte": 6}}},
+                "aggs": {"sig": {"significant_terms": {
+                    "field": "t", "min_doc_count": 1,
+                    heur: (opts or {}),
+                }}},
+            },
+        ).collect()
+        return {r.sig: r.score_micro for r in out}
+
+    n11, n01, n10, n00, n = 3.0, 2.0, 1.0, 4.0, 10.0
+    n1_, n_1, n0_, n_0 = 4.0, 5.0, 6.0, 5.0
+    chi = (n * (n11 * n00 - n01 * n10) ** 2) / (n_1 * n1_ * n0_ * n_0)
+    assert run("chi_square")["a"] == math.floor(1e6 * chi)
+    assert run("percentage")["a"] == math.floor(1e6 * (3.0 / 5.0))
+    mi = sum(
+        round((nxy / n) * math.log2((nxy * n) / (nx * ny)), 12)
+        for nxy, nx, ny in [(n11, n1_, n_1), (n01, n0_, n_1),
+                            (n10, n1_, n_0), (n00, n0_, n_0)]
+    )
+    assert run("mutual_information")["a"] == math.floor(1e6 * mi)
+    d = (max(math.log(n1_), math.log(n_1)) - math.log(n11)) / (
+        math.log(n) - min(math.log(n1_), math.log(n_1))
+    )
+    assert run("gnd")["a"] == math.floor(1e6 * round(math.exp(-d), 12))
+
+    # include_negatives=false drops anti-correlated terms: 'b' has
+    # fg share 1/5 < 4/5 rest share -> NULL score -> gone, while
+    # include_negatives default keeps its (positive) chi/mi score
+    assert "b" in run("chi_square")
+    assert "b" not in run("chi_square", {"include_negatives": False})
+    assert "b" not in run("mutual_information",
+                          {"include_negatives": False})
+    # 'a' is positively correlated and survives the flag
+    assert "a" in run("chi_square", {"include_negatives": False})
+
+    # two heuristics in one body raise; non-superset raises
+    with pytest.raises(ValueError, match="one significance"):
+        search_aggs(df, {"aggs": {"sig": {"significant_terms": {
+            "field": "t", "gnd": {}, "percentage": {}}}}})
+    with pytest.raises(ValueError, match="superset"):
+        search_aggs(df, {"aggs": {"sig": {"significant_terms": {
+            "field": "t",
+            "chi_square": {"background_is_superset": False}}}}})
+
+    # the per-bucket path routes through the same tree: one parent
+    # bucket of the whole frame reproduces the root chi score
+    per = search_aggs(
+        df.withColumn("p", F.lit("x")),
+        {
+            "query": {"range": {"v": {"gte": 6}}},
+            "aggs": {"by_p": {
+                "terms": {"field": "p"},
+                "aggs": {"sig": {"significant_terms": {
+                    "field": "t", "min_doc_count": 1,
+                    "chi_square": {},
+                }}},
+            }},
+        },
+    ).collect()
+    assert {r.sig: r.score_micro for r in per}["a"] == \
+        math.floor(1e6 * chi)

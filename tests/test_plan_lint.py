@@ -56,6 +56,9 @@ BNLJ_ALLOWED = frozenset(
         # the background_filter variant joins the same 1-ROW sizes
         # frame as its parent row
         "es_significant_terms_bgfilter",
+        # the four-heuristic union (round 14): the SAME audited 1-row
+        # sizes broadcast, once per unioned heuristic branch
+        "es_significant_heuristics",
     }
 )
 
@@ -315,6 +318,10 @@ PINNED_FINGERPRINTS = {
     # count/prune/rank windows; the 2 bhj are the kept-bucket and
     # survivor semi-join broadcasts — both bucket-frame-sized
     "es_top_hits_nonleaf": {"exchange": 9, "bhj": 2},
+    # the four-heuristic significance union (round 14): the root
+    # flag-column plan x4 — per-branch word-count groupBy + top-k
+    # sort, the audited 1-row sizes bnlj each
+    "es_significant_heuristics": {"exchange": 8, "bnlj": 4},
     # date_histogram time_zone (round 12): a shifted key expression +
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
