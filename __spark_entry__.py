@@ -727,6 +727,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
+        # es_suggest_phrase — the phrase suggester ("did you mean"
+        #     over multi-word input, round 14, VERDICT r13 Next #6):
+        #     per-token vocab candidates + stupid-backoff bigram-LM
+        #     re-rank; demoted-green pending rotation
+        #     (es_suggest_term keeps the suggester family verified)
+        "es_suggest_phrase",
         # es_significant_heuristics — chi_square / gnd /
         #     mutual_information / percentage significance scoring
         #     (round 14, VERDICT r13 Next #5) over the JLH row's
@@ -1396,6 +1402,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_knn_search_ivf": q_es_knn_search_ivf,
         "es_suggest_completion": _mod("retrieval", "q_es_suggest_completion"),
         "es_suggest_term": _mod("retrieval", "q_es_suggest_term"),
+        "es_suggest_phrase": _mod("retrieval", "q_es_suggest_phrase"),
     }
 
 
@@ -6175,6 +6182,93 @@ def _all_oracle_sql() -> dict[str, str]:
     # vocabulary — classic Levenshtein (the PARITY fuzzy caveat),
     # exact input excluded, Lucene's candidate order (distance asc,
     # df desc: 'sort' 388 beats 'part' 385 at equal distance)
+    # es_suggest_phrase (round 14, VERDICT r13 Next #6): per-token
+    # vocab candidates (the term_suggest machinery, distance 0
+    # included) cross-joined into phrases and re-ranked by the
+    # stupid-backoff bigram LM — score = sum of round(ln(p), 12) per
+    # position (the libm discipline), micro-floored. 'sart' is one
+    # edit from BOTH sort and part, 'aig' from BOTH agg and big, so
+    # the four-combo re-rank is load-bearing.
+    q["es_suggest_phrase"] = f"""
+        WITH tf AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c1
+          FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+          GROUP BY w
+        ),
+        tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM tf),
+        cand0 AS (
+          SELECT w AS w0, c1 AS c0 FROM (
+            SELECT w, c1, row_number() OVER (
+                       ORDER BY levenshtein(w, 'the') ASC, c1 DESC,
+                                w ASC) AS rk
+            FROM tf WHERE abs(len(w) - 3) <= 1
+              AND levenshtein(w, 'the') <= 1)
+          WHERE rk <= 5
+        ),
+        cand1 AS (
+          SELECT w AS w1, c1 AS k1 FROM (
+            SELECT w, c1, row_number() OVER (
+                       ORDER BY levenshtein(w, 'sart') ASC, c1 DESC,
+                                w ASC) AS rk
+            FROM tf WHERE abs(len(w) - 4) <= 1
+              AND levenshtein(w, 'sart') <= 1)
+          WHERE rk <= 5
+        ),
+        cand2 AS (
+          SELECT w AS w2, c1 AS k2 FROM (
+            SELECT w, c1, row_number() OVER (
+                       ORDER BY levenshtein(w, 'aig') ASC, c1 DESC,
+                                w ASC) AS rk
+            FROM tf WHERE abs(len(w) - 3) <= 1
+              AND levenshtein(w, 'aig') <= 1)
+          WHERE rk <= 5
+        ),
+        pr AS (
+          SELECT tk[i] AS p1, tk[i + 1] AS p2 FROM (
+            SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+            FROM (SELECT {_TOKS} AS tk FROM documents)
+            WHERE len(tk) >= 2)
+        ),
+        b1 AS (
+          SELECT p1, p2, CAST(count(*) AS BIGINT) AS b
+          FROM pr WHERE p1 IN (SELECT w0 FROM cand0)
+            AND p2 IN (SELECT w1 FROM cand1)
+          GROUP BY p1, p2
+        ),
+        b2 AS (
+          SELECT p1, p2, CAST(count(*) AS BIGINT) AS b
+          FROM pr WHERE p1 IN (SELECT w1 FROM cand1)
+            AND p2 IN (SELECT w2 FROM cand2)
+          GROUP BY p1, p2
+        ),
+        combo AS (SELECT * FROM cand0, cand1, cand2, tot),
+        scored AS (
+          SELECT w0 || ' ' || w1 || ' ' || w2 AS suggestion,
+                 CAST(floor(1e6 * (
+                   round(ln(CAST(c0 AS DOUBLE) / CAST(t AS DOUBLE)),
+                         12)
+                 + round(ln(CASE WHEN b1.b IS NOT NULL
+                       THEN CAST(b1.b AS DOUBLE) / CAST(c0 AS DOUBLE)
+                       ELSE 0.4 * CAST(k1 AS DOUBLE)
+                            / CAST(t AS DOUBLE) END), 12)
+                 + round(ln(CASE WHEN b2.b IS NOT NULL
+                       THEN CAST(b2.b AS DOUBLE) / CAST(k1 AS DOUBLE)
+                       ELSE 0.4 * CAST(k2 AS DOUBLE)
+                            / CAST(t AS DOUBLE) END), 12)
+                 )) AS BIGINT) AS score_micro
+          FROM combo
+          LEFT JOIN b1 ON b1.p1 = combo.w0 AND b1.p2 = combo.w1
+          LEFT JOIN b2 ON b2.p1 = combo.w1 AND b2.p2 = combo.w2
+        )
+        SELECT rank, suggestion, score_micro FROM (
+          SELECT CAST(row_number() OVER (
+                     ORDER BY score_micro DESC, suggestion ASC)
+                 AS INT) AS rank, suggestion, score_micro
+          FROM scored)
+        WHERE rank <= 5
+        ORDER BY rank
+    """
+
     q["es_suggest_term"] = f"""
         WITH t AS (SELECT list_distinct({_TOKS}) AS toks FROM documents),
         v AS (SELECT suggestion, count(*) AS df

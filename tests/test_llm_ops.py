@@ -1849,3 +1849,53 @@ def test_suggesters_completion_and_term(spark):
     # 'words' is 4 edits too: the radius genuinely gates
     sug2 = term_suggest(d, "port", max_edits=2).collect()
     assert {r.suggestion for r in sug2} == {"part", "sort"}
+
+
+def test_phrase_suggest_hand_checked(spark):
+    """Round 14 (VERDICT r13 Next #6): the phrase suggester on a
+    corpus where every LM quantity is hand-countable. Corpus tokens:
+    doc1/doc2 'the fast cat', doc3 'a last hat hat' -> T=10;
+    c1: the=2 fast=2 cat=2 hat=2 a=1 last=1; bigrams:
+    (the,fast)=2 (fast,cat)=2 (a,last)=1 (last,hat)=1 (hat,hat)=1.
+    'mast' is one edit from both fast and last, 'cat' from hat ->
+    four candidate phrases, every backoff shape exercised, no score
+    ties."""
+    import math
+
+    from dump_es_parquet_spark.operators.retrieval import (
+        phrase_suggest,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "the fast cat"), (2, "the fast cat"), (3, "a last hat hat")],
+        "doc_id long, text string",
+    )
+    out = phrase_suggest(d, "the mast cat", max_edits=1).collect()
+    got = [(r.rank, r.suggestion, r.score_micro) for r in out]
+    assert [g[1] for g in got] == [
+        "the fast cat",   # real bigrams all the way
+        "the fast hat",   # one backoff (fast,hat)
+        "the last hat",   # backoff (the,last), real (last,hat)
+        "the last cat",   # two backoffs
+    ]
+
+    def score(ws, bigrams, c1, t=10):
+        s = round(math.log(c1[ws[0]] / t), 12)
+        for a, b in zip(ws, ws[1:]):
+            if (a, b) in bigrams:
+                s += round(math.log(bigrams[(a, b)] / c1[a]), 12)
+            else:
+                s += round(math.log(0.4 * c1[b] / t), 12)
+        return math.floor(1e6 * s)
+
+    c1 = {"the": 2, "fast": 2, "cat": 2, "hat": 2, "a": 1, "last": 1}
+    bg = {("the", "fast"): 2, ("fast", "cat"): 2, ("a", "last"): 1,
+          ("last", "hat"): 1, ("hat", "hat"): 1}
+    for rank, sugg, micro in got:
+        assert micro == score(sugg.split(), bg, c1), sugg
+
+    # a position with no candidate within max_edits -> empty frame
+    assert phrase_suggest(d, "the zzzzzz cat").count() == 0
+    # single-word input raises (that's the term suggester's job)
+    with pytest.raises(ValueError, match="multi-word"):
+        phrase_suggest(d, "cat")

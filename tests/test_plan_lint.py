@@ -322,6 +322,11 @@ PINNED_FINGERPRINTS = {
     # flag-column plan x4 — per-branch word-count groupBy + top-k
     # sort, the audited 1-row sizes bnlj each
     "es_significant_heuristics": {"exchange": 8, "bnlj": 4},
+    # phrase suggester (round 14): the candidate-pair-filtered
+    # bigram word-count groupBy (+ its pre-shuffle isin filter) and
+    # the literal phrase frame's two broadcast pair joins; candidate
+    # generation is per_token-bounded collects at plan-build time
+    "es_suggest_phrase": {"exchange": 2, "bhj": 2},
     # date_histogram time_zone (round 12): a shifted key expression +
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
