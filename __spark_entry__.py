@@ -727,6 +727,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
+        # es_geo_shape — polygon/envelope geo_shape queries
+        #     (round 14, VERDICT r13 Next #7): non-convex parity
+        #     ray-cast as a fixed expression tree, planar reading
+        #     (PARITY #25); demoted-green pending rotation
+        #     (es_geo_queries keeps the geo family verified)
+        "es_geo_shape",
         # es_suggest_phrase — the phrase suggester ("did you mean"
         #     over multi-word input, round 14, VERDICT r13 Next #6):
         #     per-token vocab candidates + stupid-backoff bigram-LM
@@ -1284,6 +1290,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
+        "es_geo_shape": _mod("es_search", "q_es_geo_shape"),
         "es_geohash_grid": _mod("es_search", "q_es_geohash_grid"),
         "es_geotile_grid": _mod("es_search", "q_es_geotile_grid"),
         "es_geo_distance_rings": _mod(
@@ -5919,6 +5926,42 @@ def _all_oracle_sql() -> dict[str, str]:
                            THEN 1 END) AS centroid_lon
         FROM k WHERE rings IS NOT NULL
         GROUP BY rings ORDER BY rings
+    """
+
+    # es_geo_shape (round 14, VERDICT r13 Next #7): the non-convex
+    # polygon's parity ray-cast spelled edge-for-edge like the Spark
+    # expression tree (horizontal edges skipped, ring order, integer
+    # crossing sum), the envelope as plain bounds — planar reading,
+    # PARITY #25.
+    q["es_geo_shape"] = """
+        WITH g AS (
+          SELECT event_id,
+                 value / 10.0 - 24.5 AS lat,
+                 CAST((event_id % 360) - 180 + 0.5 AS DOUBLE) AS lon
+          FROM events
+        )
+        SELECT event_id, lat, lon FROM g
+        WHERE (
+            CASE WHEN (((-10.0) > lat) <> ((25.0) > lat))
+                  AND (lon < ((-20.0) - (-20.0)) * (lat - (-10.0))
+                             / ((25.0) - (-10.0)) + (-20.0))
+                 THEN 1 ELSE 0 END
+          + CASE WHEN (((25.0) > lat) <> ((5.0) > lat))
+                  AND (lon < ((-60.0) - (-20.0)) * (lat - (25.0))
+                             / ((5.0) - (25.0)) + (-20.0))
+                 THEN 1 ELSE 0 END
+          + CASE WHEN (((5.0) > lat) <> ((25.0) > lat))
+                  AND (lon < ((-100.0) - (-60.0)) * (lat - (5.0))
+                             / ((25.0) - (5.0)) + (-60.0))
+                 THEN 1 ELSE 0 END
+          + CASE WHEN (((25.0) > lat) <> ((-10.0) > lat))
+                  AND (lon < ((-100.0) - (-100.0)) * (lat - (25.0))
+                             / ((-10.0) - (25.0)) + (-100.0))
+                 THEN 1 ELSE 0 END
+          ) % 2 = 1
+          AND lat <= 22.0 AND lat >= -8.0
+          AND lon >= -95.0 AND lon <= -25.0
+        ORDER BY event_id LIMIT 200
     """
 
     q["es_geo_queries"] = """

@@ -575,7 +575,9 @@ def compile_query(q: dict | None, _scope=None) -> Column:
         return out
     if kind == "ids":
         raise ValueError("ids query needs a doc-id column; filter it directly")
-    if kind in ("geo_bounding_box", "geo_distance") and _scope is not None:
+    if kind in (
+        "geo_bounding_box", "geo_distance", "geo_shape"
+    ) and _scope is not None:
         raise ValueError("geo queries inside nested are not supported")
     if kind == "geo_bounding_box":
         # geo_point = a struct<lat double, lon double> column (the
@@ -619,6 +621,83 @@ def compile_query(q: dict | None, _scope=None) -> Column:
             float(spec["lat"]),
             float(spec["lon"]),
         ) <= F.lit(dist_m)
+    if kind == "geo_shape":
+        # geo_shape over a geo_point column (round 14, VERDICT r13
+        # Next #7 — the Kibana draw-a-polygon filter): point-in-shape
+        # with the PLANAR lat/lon reading (ES's geo_shape indexes
+        # great-circle edge geometry; for filter-sized shapes away
+        # from poles/dateline the two agree — PARITY #25 documents
+        # the edge divergence). `envelope` reuses the bounding-box
+        # tree (GeoJSON corner order: [minLon, maxLat], [maxLon,
+        # minLat], dateline wrap as the half-band union); `polygon`
+        # is the textbook ray-cast as a FIXED expression tree over
+        # the literal outer ring — per-edge crossing flags summed,
+        # odd = inside (non-convex handled by parity; boundary
+        # points are planar-undefined) — spelled identically in the
+        # oracle SQL. Holes / multi-ring / other relations raise.
+        (field, spec), = [
+            (f, s)
+            for f, s in body.items()
+            if f not in ("relation", "ignore_unmapped")
+        ]
+        if spec.get("relation", "intersects") != "intersects":
+            raise ValueError(
+                "geo_shape: only the intersects relation has a "
+                "point-column reading (disjoint/within/contains "
+                "need indexed shapes)"
+            )
+        shape = spec["shape"]
+        lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+        if shape["type"] == "envelope":
+            (l_, t_), (r_, b_) = shape["coordinates"]
+            lat_ok = (lat <= F.lit(float(t_))) & (
+                lat >= F.lit(float(b_))
+            )
+            if float(l_) > float(r_):
+                return lat_ok & (
+                    (lon >= F.lit(float(l_)))
+                    | (lon <= F.lit(float(r_)))
+                )
+            return (
+                lat_ok
+                & (lon >= F.lit(float(l_)))
+                & (lon <= F.lit(float(r_)))
+            )
+        if shape["type"] != "polygon":
+            raise ValueError(
+                f"geo_shape type {shape['type']!r}: envelope or "
+                "polygon"
+            )
+        rings = shape["coordinates"]
+        if len(rings) != 1:
+            raise ValueError(
+                "geo_shape polygon holes (inner rings) are not "
+                "supported"
+            )
+        ring = [(float(x), float(y)) for x, y in rings[0]]
+        if ring[0] == ring[-1]:
+            ring = ring[:-1]  # GeoJSON closes the ring; edges re-close
+        if len(ring) < 3:
+            raise ValueError("geo_shape polygon needs >= 3 vertices")
+        crossings = None
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+            if y1 == y2:
+                continue  # horizontal edge: never crosses the ray
+            edge = (
+                ((F.lit(y1) > lat) != (F.lit(y2) > lat))
+                & (
+                    lon
+                    < (F.lit(x2) - F.lit(x1))
+                    * (lat - F.lit(y1))
+                    / (F.lit(y2) - F.lit(y1))
+                    + F.lit(x1)
+                )
+            )
+            c = F.when(edge, 1).otherwise(0)
+            crossings = c if crossings is None else crossings + c
+        if crossings is None:  # all edges horizontal: zero area
+            return F.lit(False)
+        return (crossings % F.lit(2)) == F.lit(1)
 
     if kind in ("term", "terms", "range", "prefix", "wildcard", "regexp",
                 "match", "match_phrase"):
@@ -7373,6 +7452,73 @@ def q_es_geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             },
         },
+    )
+
+
+def q_es_geo_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geo_shape`` queries (round 14, VERDICT r13 Next #7): a
+    NON-CONVEX polygon (an M-shape whose top-middle notch excludes a
+    lat/lon band the convex hull would keep — the parity ray-cast is
+    load-bearing) ANDed with an ``envelope``, over the synthesized
+    geo_point struct of the es_geo_queries pattern; zero-shuffle
+    scan + TakeOrdered page."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "loc",
+        F.struct(
+            (F.col("value") / F.lit(10.0) - F.lit(24.5)).alias("lat"),
+            (
+                (F.col("event_id") % F.lit(360)) - F.lit(180) + F.lit(0.5)
+            ).cast("double").alias("lon"),
+        ),
+    )
+    return search(
+        ev,
+        {
+            "query": {
+                "bool": {
+                    "filter": [
+                        {
+                            "geo_shape": {
+                                "loc": {
+                                    "shape": {
+                                        "type": "polygon",
+                                        "coordinates": [[
+                                            [-100.0, -10.0],
+                                            [-20.0, -10.0],
+                                            [-20.0, 25.0],
+                                            [-60.0, 5.0],
+                                            [-100.0, 25.0],
+                                            [-100.0, -10.0],
+                                        ]],
+                                    }
+                                }
+                            }
+                        },
+                        {
+                            "geo_shape": {
+                                "loc": {
+                                    "shape": {
+                                        "type": "envelope",
+                                        "coordinates": [
+                                            [-95.0, 22.0],
+                                            [-25.0, -8.0],
+                                        ],
+                                    },
+                                    "relation": "intersects",
+                                }
+                            }
+                        },
+                    ]
+                }
+            },
+            "sort": [{"event_id": "asc"}],
+            "size": 200,
+            "_source": ["event_id", "loc"],
+        },
+    ).select(
+        "event_id",
+        F.col("loc.lat").alias("lat"),
+        F.col("loc.lon").alias("lon"),
     )
 
 

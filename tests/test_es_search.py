@@ -4865,3 +4865,66 @@ def test_significance_heuristics_hand_checked(spark):
     ).collect()
     assert {r.sig: r.score_micro for r in per}["a"] == \
         math.floor(1e6 * chi)
+
+
+def test_geo_shape_polygon_and_envelope(spark):
+    """Round 14 (VERDICT r13 Next #7): point-in-polygon by parity
+    ray-cast on a hand-checked NON-CONVEX arrow polygon
+    (0,0)-(4,0)-(4,4)-(2,1.5)-(0,4): points in the top-middle notch
+    are OUTSIDE though the convex hull holds them; envelope = plain
+    bounds; guards raise."""
+    rows = [
+        (1, 1.0, 1.0, True),    # deep inside
+        (2, 2.0, 3.0, False),   # in the notch (convex hull would keep)
+        (3, 2.0, 1.0, True),    # below the notch tip
+        (4, 5.0, 1.0, False),   # right of the polygon
+        (5, 3.5, 3.0, True),    # right lobe
+        (6, 0.5, 3.5, False),   # left of the left lobe's slant
+        (7, -1.0, 2.0, False),  # left of everything
+    ]
+    df = spark.createDataFrame(
+        [(i, lon, lat) for i, lon, lat, _ in rows],
+        "id long, lon double, lat double",
+    ).withColumn("loc", F.struct(F.col("lat"), F.col("lon")))
+    poly = {"geo_shape": {"loc": {"shape": {
+        "type": "polygon",
+        "coordinates": [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0],
+                         [2.0, 1.5], [0.0, 4.0], [0.0, 0.0]]],
+    }}}}
+    got = {r.id for r in df.filter(compile_query(poly)).collect()}
+    assert got == {i for i, _, _, inside in rows if inside}
+
+    env = {"geo_shape": {"loc": {"shape": {
+        "type": "envelope", "coordinates": [[0.0, 3.5], [2.0, 0.5]],
+    }}}}
+    got = {r.id for r in df.filter(compile_query(env)).collect()}
+    assert got == {1, 2, 3, 6}
+    # dateline-wrapping envelope (left > right): the half-band union
+    wrap = {"geo_shape": {"loc": {"shape": {
+        "type": "envelope", "coordinates": [[3.0, 4.0], [-0.5, 0.0]],
+    }}}}
+    got = {r.id for r in df.filter(compile_query(wrap)).collect()}
+    assert got == {4, 5, 7}  # lon >= 3 or lon <= -0.5, lat in [0, 4]
+
+    for bad, msg in (
+        ({"type": "polygon", "coordinates": [[[0, 0], [1, 0],
+          [1, 1], [0, 0]], [[0, 0], [1, 0], [0, 1], [0, 0]]]},
+         "holes"),
+        ({"type": "point", "coordinates": [0, 0]}, "envelope or"),
+        ({"type": "polygon", "coordinates": [[[0, 0], [1, 0],
+          [0, 0]]]}, ">= 3"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            compile_query({"geo_shape": {"loc": {"shape": bad}}})
+    with pytest.raises(ValueError, match="intersects"):
+        compile_query({"geo_shape": {"loc": {
+            "shape": {"type": "envelope",
+                      "coordinates": [[0.0, 1.0], [1.0, 0.0]]},
+            "relation": "within"}}})
+    # zero-area all-horizontal ring matches nothing
+    flat = {"geo_shape": {"loc": {"shape": {
+        "type": "polygon",
+        "coordinates": [[[0.0, 1.0], [2.0, 1.0], [4.0, 1.0],
+                         [0.0, 1.0]]],
+    }}}}
+    assert df.filter(compile_query(flat)).count() == 0

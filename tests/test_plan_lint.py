@@ -322,6 +322,10 @@ PINNED_FINGERPRINTS = {
     # flag-column plan x4 — per-branch word-count groupBy + top-k
     # sort, the audited 1-row sizes bnlj each
     "es_significant_heuristics": {"exchange": 8, "bnlj": 4},
+    # geo_shape polygon + envelope (round 14): the ray-cast is a
+    # fixed expression tree on the scan, the page a TakeOrdered —
+    # the empty fingerprint IS the point (zero shuffles)
+    "es_geo_shape": {},
     # phrase suggester (round 14): the candidate-pair-filtered
     # bigram word-count groupBy (+ its pre-shuffle isin filter) and
     # the literal phrase frame's two broadcast pair joins; candidate
