@@ -5257,7 +5257,45 @@ def _all_oracle_sql() -> dict[str, str]:
                CASE WHEN len(vals) > 0 THEN
                  round(list_reduce(vals,
                          (a, v) -> (v * 0.3) + (a * 0.7)), 6)
-               END AS ew
+               END AS ew,
+               CASE WHEN len(vals) > 0 THEN
+                 list_transform(
+                   [{'s': vals[1], 'b': CAST(0.0 AS DOUBLE)}], a1 ->
+                   list_transform([{
+                     's': CASE WHEN len(vals) >= 2
+                          THEN vals[2] * CAST(0.3 AS DOUBLE)
+                               + (a1.s + a1.b) * CAST(0.7 AS DOUBLE)
+                          ELSE a1.s END,
+                     'b': CASE WHEN len(vals) >= 2
+                          THEN (vals[2] * CAST(0.3 AS DOUBLE)
+                                + (a1.s + a1.b) * CAST(0.7 AS DOUBLE)
+                                - a1.s) * CAST(0.1 AS DOUBLE)
+                               + a1.b * CAST(0.9 AS DOUBLE)
+                          ELSE a1.b END}], a2 ->
+                   list_transform([{
+                     's': CASE WHEN len(vals) >= 3
+                          THEN vals[3] * CAST(0.3 AS DOUBLE)
+                               + (a2.s + a2.b) * CAST(0.7 AS DOUBLE)
+                          ELSE a2.s END,
+                     'b': CASE WHEN len(vals) >= 3
+                          THEN (vals[3] * CAST(0.3 AS DOUBLE)
+                                + (a2.s + a2.b) * CAST(0.7 AS DOUBLE)
+                                - a2.s) * CAST(0.1 AS DOUBLE)
+                               + a2.b * CAST(0.9 AS DOUBLE)
+                          ELSE a2.b END}], a3 ->
+                   list_transform([{
+                     's': CASE WHEN len(vals) >= 4
+                          THEN vals[4] * CAST(0.3 AS DOUBLE)
+                               + (a3.s + a3.b) * CAST(0.7 AS DOUBLE)
+                          ELSE a3.s END,
+                     'b': CASE WHEN len(vals) >= 4
+                          THEN (vals[4] * CAST(0.3 AS DOUBLE)
+                                + (a3.s + a3.b) * CAST(0.7 AS DOUBLE)
+                                - a3.s) * CAST(0.1 AS DOUBLE)
+                               + a3.b * CAST(0.9 AS DOUBLE)
+                          ELSE a3.b END}], a4 ->
+                     a4.s)[1])[1])[1])[1]
+               END AS ho
         FROM win ORDER BY per_hour
     """
 

@@ -87,9 +87,9 @@ Aggregations DSL (``compile_aggs``):
   carrying level. One top_hits section per chain.
 - pipeline aggs: ``cumulative_sum``, ``derivative``, ``bucket_script``,
   ``moving_fn`` (``MovingFunctions.{max,min,sum,unweightedAvg,
-  stdDev,linearWeightedAvg,ewma}`` — round 13 widened; trailing
-  window including the current bucket, no ``shift``, holt a
-  documented bound),
+  stdDev,linearWeightedAvg,ewma,holt}`` — round 13 widened, round 14
+  adds ``holt(values, alpha, beta)``; trailing window including the
+  current bucket, no ``shift``, custom Painless a documented bound),
   ``serial_diff`` (lag-n difference), ``moving_percentiles``
   (round 13 — the exact union-of-raw-values reading of ES's merged
   window digests: hidden per-bucket value arrays ride the rollup,
@@ -3070,7 +3070,8 @@ def _apply_pipelines_windows(
             elif kind == "moving_fn":
                 # the MovingFunctions.* set (round 13 widens to
                 # stdDev / linearWeightedAvg / ewma — VERDICT r12
-                # Next #5; `holt` stays a documented bound); trailing
+                # Next #5; round 14 adds `holt`, leaving only custom
+                # Painless as the documented bound); trailing
                 # window of `window` buckets INCLUDING the current
                 # one (shift unsupported — raise rather than
                 # mis-shift). sum / unweightedAvg / the stdDev
@@ -3087,7 +3088,7 @@ def _apply_pipelines_windows(
                 if "shift" in spec:
                     raise ValueError("moving_fn shift is not supported")
                 script = spec["script"].strip()
-                alpha = None
+                alpha = hbeta = None
                 m = re.fullmatch(r"MovingFunctions\.(\w+)\(values\)", script)
                 m_std = re.fullmatch(
                     r"MovingFunctions\.stdDev\(\s*values\s*,\s*"
@@ -3099,6 +3100,11 @@ def _apply_pipelines_windows(
                     r"([0-9.eE+-]+)\s*\)",
                     script,
                 )
+                m_holt = re.fullmatch(
+                    r"MovingFunctions\.holt\(\s*values\s*,\s*"
+                    r"([0-9.eE+-]+)\s*,\s*([0-9.eE+-]+)\s*\)",
+                    script,
+                )
                 if m and m.group(1) in _MOVING_FNS:
                     fn = m.group(1)
                 elif m_std:
@@ -3108,13 +3114,22 @@ def _apply_pipelines_windows(
                     alpha = float(m_ewma.group(1))
                     if not 0.0 < alpha <= 1.0:
                         raise ValueError("ewma alpha must be in (0, 1]")
+                elif m_holt:
+                    fn = "holt"
+                    alpha = float(m_holt.group(1))
+                    hbeta = float(m_holt.group(2))
+                    if not 0.0 < alpha <= 1.0:
+                        raise ValueError("holt alpha must be in (0, 1]")
+                    if not 0.0 <= hbeta <= 1.0:
+                        raise ValueError("holt beta must be in [0, 1]")
                 else:
                     raise ValueError(
                         f"moving_fn script {spec['script']!r}: only "
                         f"MovingFunctions.{{{','.join(_MOVING_FNS)}}}"
                         "(values), MovingFunctions.stdDev(values, "
-                        "MovingFunctions.unweightedAvg(values)) and "
-                        "MovingFunctions.ewma(values, alpha)"
+                        "MovingFunctions.unweightedAvg(values)), "
+                        "MovingFunctions.ewma(values, alpha) and "
+                        "MovingFunctions.holt(values, alpha, beta)"
                     )
                 win_n = int(spec["window"])
                 if win_n < 1:
@@ -3184,7 +3199,7 @@ def _apply_pipelines_windows(
                             6,
                         ),
                     )
-                else:  # ewma
+                elif fn == "ewma":
                     # ES's fold: seed = first value, then
                     # avg = v·α + avg·(1−α) — a strict left fold
                     # whose per-step IEEE ops are spelled in the
@@ -3201,6 +3216,80 @@ def _apply_pipelines_windows(
                                 + acc * F.lit(beta),
                             ),
                             6,
+                        ),
+                    )
+                else:  # holt (round 14, closing the r13 bound)
+                    # Holt double exponential smoothing over the
+                    # window's ordered non-NULL values, SINGLE-PASS
+                    # seeding s₁ = v₁, b₁ = 0 (ES's HoltLinearModel
+                    # seeds the trend from the first step's
+                    # difference — a one-step transient that decays
+                    # geometrically; documented in PARITY #20), then
+                    #   s ← α·v + (1−α)(s + b)
+                    #   b ← β(s_new − s) + (1−β)·b
+                    # returning the final level s. NOT a struct
+                    # list_reduce: DuckDB 1.0's struct accumulator
+                    # mis-evaluates cross-field references in
+                    # multi-step folds (builder-verified), so the
+                    # recurrence unrolls as a window-bounded CHAIN of
+                    # singleton transform-lambda bindings (the
+                    # span_near precedent) — one constant-size level
+                    # per window position, carried unchanged past
+                    # len(values), spelled identically in the oracle.
+                    if win_n > 32:
+                        raise ValueError(
+                            "holt windows above 32 are not supported "
+                            "(the recurrence unrolls per position)"
+                        )
+                    vals = F.collect_list(src).over(mw)
+                    n_sz = F.size(vals)
+                    a_, cb_ = F.lit(alpha), F.lit(1.0 - alpha)
+                    b_, db_ = F.lit(hbeta), F.lit(1.0 - hbeta)
+
+                    def _holt_level(k, prev):
+                        if k > win_n:
+                            return prev["s"]
+                        sk = (
+                            F.element_at(vals, k) * a_
+                            + (prev["s"] + prev["b"]) * cb_
+                        )
+                        nxt = F.struct(
+                            F.when(n_sz >= k, sk)
+                            .otherwise(prev["s"]).alias("s"),
+                            F.when(
+                                n_sz >= k,
+                                (sk - prev["s"]) * b_
+                                + prev["b"] * db_,
+                            ).otherwise(prev["b"]).alias("b"),
+                        )
+                        return F.element_at(
+                            F.transform(
+                                F.array(nxt),
+                                lambda a: _holt_level(k + 1, a),
+                            ),
+                            1,
+                        )
+
+                    seed = F.struct(
+                        F.element_at(vals, 1).alias("s"),
+                        F.lit(0.0).alias("b"),
+                    )
+                    # NO output rounding: both engines fold the
+                    # identical IEEE ops, so the raw doubles agree
+                    # bit-for-bit — while a 6dp round DISAGREES on
+                    # this fold's outputs (2dp inputs x these
+                    # multipliers land on scaled-half boundaries
+                    # where DuckDB's scaled-floor double round and
+                    # Spark's decimal HALF_UP split; builder-verified
+                    # on 123.12323549999999)
+                    col = F.when(
+                        n_sz > 0,
+                        F.element_at(
+                            F.transform(
+                                F.array(seed),
+                                lambda a: _holt_level(2, a),
+                            ),
+                            1,
                         ),
                     )
             elif kind == "serial_diff":
@@ -4853,10 +4942,12 @@ def q_es_gapfill_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_es_moving_fn_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The widened ``MovingFunctions`` set (round 13, VERDICT r12
-    Next #5) over a gap-filled hourly grid: trailing-4 ``stdDev``
-    (the extended_stats moment discipline in a window),
-    ``linearWeightedAvg`` (weights 1..k over the window's non-NULL
-    values) and ``ewma`` (α=0.3 left fold) — empty hours occupy
+    Next #5; round 14 adds holt) over a gap-filled hourly grid:
+    trailing-4 ``stdDev`` (the extended_stats moment discipline in a
+    window), ``linearWeightedAvg`` (weights 1..k over the window's
+    non-NULL values), ``ewma`` (α=0.3 left fold) and ``holt``
+    (α=0.3, β=0.1 double exponential smoothing, raw-double output —
+    see the branch comment on the 6dp boundary) — empty hours occupy
     positions, their NULLs dropping from every function's values
     array (gap_policy skip)."""
     ev = load(spark, sf_dir, "events")
@@ -4900,6 +4991,14 @@ def q_es_moving_fn_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "window": 4,
                                 "script":
                                     "MovingFunctions.ewma(values, 0.3)",
+                            }
+                        },
+                        "ho": {
+                            "moving_fn": {
+                                "buckets_path": "sum_value",
+                                "window": 4,
+                                "script": "MovingFunctions.holt"
+                                          "(values, 0.3, 0.1)",
                             }
                         },
                     },

@@ -774,7 +774,7 @@ def test_moving_fn_extended_functions(spark):
     """Round 13 (VERDICT r12 Next #5): MovingFunctions.stdDev /
     linearWeightedAvg / ewma — trailing window over the grid, gap
     buckets' NULLs dropping from every function's values array;
-    unknown scripts (holt) and bad alphas still raise."""
+    unknown scripts (custom Painless) and bad alphas still raise."""
     import datetime as dt
 
     from dump_es_parquet_spark.operators.es_search import compile_aggs
@@ -811,13 +811,15 @@ def test_moving_fn_extended_functions(spark):
         (3.5, round(10 / 3, 6), 5.9),         # std √((64+1)/2−4.5²)
     ]
     with pytest.raises(ValueError, match="moving_fn script"):
+        # custom Painless stays the documented bound (holt landed
+        # round 14 — test_moving_fn_holt_randomized pins it)
         compile_aggs(df, {"h": {
             "date_histogram": {"field": "ts", "calendar_interval": "hour"},
             "aggs": {"sv": {"sum": {"field": "v"}},
                      "bad": {"moving_fn": {"buckets_path": "sv",
                              "window": 3,
-                             "script": "MovingFunctions.holt(values, "
-                                       "0.3, 0.1)"}}}}})
+                             "script": "values.stream().map(v -> v*2)"
+                                       ".sum()"}}}}})
     with pytest.raises(ValueError, match="alpha"):
         compile_aggs(df, {"h": {
             "date_histogram": {"field": "ts", "calendar_interval": "hour"},
@@ -4928,3 +4930,81 @@ def test_geo_shape_polygon_and_envelope(spark):
                          [0.0, 1.0]]],
     }}}}
     assert df.filter(compile_query(flat)).count() == 0
+
+
+def test_moving_fn_holt_randomized(spark):
+    """Round 14: MovingFunctions.holt column == the Python reference
+    fold (single-pass seeding s1=v1, b1=0) on randomized data with
+    gaps, windows 1/3/5, several (alpha, beta) incl. the degenerate
+    beta=0 (== ewma with that alpha) and alpha=1."""
+    import random
+
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    rng = random.Random(1441)
+    t0 = 1704067200000
+    rows = [
+        (t0 + h * 3600000, round(rng.uniform(1, 500), 2))
+        for h in range(40) if rng.random() < 0.7  # gaps
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "ms long, value double"
+    ).withColumn("ts", F.timestamp_millis(F.col("ms")))
+
+    def holt_ref(vals, a, b):
+        if not vals:
+            return None
+        s, tr = vals[0], 0.0
+        for v in vals[1:]:
+            s2 = v * a + (s + tr) * (1.0 - a)
+            tr = (s2 - s) * b + tr * (1.0 - b)
+            s = s2
+        return s
+
+    for win, a, b in ((1, 0.3, 0.1), (3, 0.5, 0.25), (5, 0.7, 0.0),
+                      (4, 1.0, 0.4)):
+        out = search_aggs(
+            df,
+            {"aggs": {"h": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "hour",
+                                   "min_doc_count": 0},
+                "aggs": {
+                    "sv": {"sum": {"field": "value"}},
+                    "ho": {"moving_fn": {
+                        "buckets_path": "sv", "window": win,
+                        "script": f"MovingFunctions.holt(values, "
+                                  f"{a}, {b})"}},
+                },
+            }}},
+        ).orderBy("h").collect()
+        series = [r.sv for r in out]
+        for i, r in enumerate(out):
+            window_vals = [v for v in series[max(0, i - win + 1): i + 1]
+                           if v is not None]
+            ref = holt_ref(window_vals, a, b)
+            assert (r.ho is None and ref is None) or r.ho == ref, (
+                win, a, b, i, r.ho, ref)
+
+    # validation raises
+    for bad in ("MovingFunctions.holt(values, 1.5, 0.1)",
+                "MovingFunctions.holt(values, 0.3, 1.5)"):
+        with pytest.raises(ValueError, match="holt"):
+            search_aggs(df, {"aggs": {"h": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "hour"},
+                "aggs": {"sv": {"sum": {"field": "value"}},
+                         "ho": {"moving_fn": {
+                             "buckets_path": "sv", "window": 3,
+                             "script": bad}}},
+            }}})
+    with pytest.raises(ValueError, match="32"):
+        search_aggs(df, {"aggs": {"h": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "hour"},
+            "aggs": {"sv": {"sum": {"field": "value"}},
+                     "ho": {"moving_fn": {
+                         "buckets_path": "sv", "window": 33,
+                         "script":
+                         "MovingFunctions.holt(values, 0.3, 0.1)"}}},
+        }}})
