@@ -727,6 +727,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
+        # es_rate_iana — rate under an IANA time_zone (round 14,
+        #     closing the r13 bound): tzdb month boundaries + local
+        #     day-count divisors; demoted-green pending rotation
+        #     (es_rate_mad keeps the rate family verified)
+        "es_rate_iana",
         # es_geo_shape — polygon/envelope geo_shape queries
         #     (round 14, VERDICT r13 Next #7): non-convex parity
         #     ray-cast as a fixed expression tree, planar reading
@@ -1361,6 +1366,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "es_search", "q_es_boxplot_derivative_unit"
         ),
         "es_rate_mad": _mod("es_search", "q_es_rate_mad"),
+        "es_rate_iana": _mod("es_search", "q_es_rate_iana"),
         "es_bucket_summaries": _mod("es_search", "q_es_bucket_summaries"),
         "es_moving_percentiles": _mod(
             "es_search", "q_es_moving_percentiles"
@@ -4622,6 +4628,43 @@ def _all_oracle_sql() -> dict[str, str]:
     # actual month length by date arithmetic from the bucket key;
     # MAD = median(abs(v - median(v))) per bucket, both medians the
     # quantile_cont interpolation the exact-percentiles rows pin.
+    # es_rate_iana (round 14, closing the r13 "rate under IANA
+    # zones" bound): monthly buckets at America/New_York local
+    # boundaries; divisor = that local month's real day count (the
+    # r13 day-count reading, the local date now resolved through
+    # the tzdb in both engines).
+    q["es_rate_iana"] = """
+        WITH b AS (
+          SELECT event_type AS by_type,
+                 date_trunc('month',
+                   timezone('America/New_York', ts AT TIME ZONE 'UTC'))
+                     AS kw,
+                 count(*) AS dc,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+          FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT CAST(1 AS INT) AS level, by_type,
+               CAST(NULL AS BIGINT) AS per_month,
+               CAST(sum(dc) AS BIGINT) AS doc_count,
+               CAST(NULL AS DOUBLE) AS value_per_day_r6,
+               CAST(NULL AS DOUBLE) AS events_per_week_r6
+        FROM b GROUP BY by_type
+        UNION ALL
+        SELECT CAST(2 AS INT), by_type,
+               epoch_ms(timezone('America/New_York', kw)),
+               dc,
+               round(s / (CAST(date_diff('day', CAST(kw AS DATE),
+                     CAST(kw AS DATE) + INTERVAL 1 MONTH)
+                     * 86400000 AS DOUBLE) / 86400000.0), 6),
+               round(dc / (CAST(date_diff('day', CAST(kw AS DATE),
+                     CAST(kw AS DATE) + INTERVAL 1 MONTH)
+                     * 86400000 AS DOUBLE) / 604800000.0), 6)
+        FROM b
+        ORDER BY 1, 2, 3
+    """
+
     q["es_rate_mad"] = """
         WITH b AS (
           SELECT epoch_ms(date_trunc('month', o_orderdate)) AS k,

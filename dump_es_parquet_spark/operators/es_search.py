@@ -1591,11 +1591,6 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
                     )
                 pbody = lvl.body
                 tkind, tz_off = _tz_parse(pbody.get("time_zone", "UTC"))
-                if tkind != "fixed":
-                    raise ValueError(
-                        "rate under an IANA time_zone is not supported "
-                        "(fixed ±HH:MM offsets only)"
-                    )
                 if "fixed_interval" in pbody:
                     wms, wmonths = _fixed_ms(pbody["fixed_interval"]), None
                 else:
@@ -1641,13 +1636,30 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
                     else:
                         # month-family bucket: day count from the
                         # key's LOCAL boundary date (constant within
-                        # the group; max() makes it aggregate-legal)
-                        d = F.to_date(
-                            F.timestamp_millis(
+                        # the group; max() makes it aggregate-legal).
+                        # Round 14 (the r13 "rate under IANA zones"
+                        # bound): IANA zones resolve the local date
+                        # through the tzdb — the SAME real-local-days
+                        # reading as the fixed-offset path (divisor =
+                        # that month's 28/29/30/31 local days × the
+                        # fixed sub-day unit width; a DST transition
+                        # inside the month does NOT shave its hour
+                        # off the divisor — the day-count reading,
+                        # consistent with round 13's convention and
+                        # spelled identically in the oracle).
+                        if tkind == "fixed":
+                            key_local = F.timestamp_millis(
                                 F.col(lvl.name).cast("long")
                                 + F.lit(tz_off)
                             )
-                        )
+                        else:
+                            key_local = F.from_utc_timestamp(
+                                F.timestamp_millis(
+                                    F.col(lvl.name).cast("long")
+                                ),
+                                tz_off,
+                            )
+                        d = F.to_date(key_local)
                         days = F.datediff(
                             F.add_months(d, wmonths), d
                         ).cast("long")
@@ -7811,6 +7823,46 @@ def q_es_rate_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "field": "o_totalprice"
                             }
                         },
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_rate_iana(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rate`` under an IANA ``time_zone`` (round 14, closing the
+    r13 bound): per event type, monthly buckets at America/New_York
+    LOCAL boundaries (UTC events near month edges land in the other
+    local month — the tzdb is load-bearing twice: the key AND the
+    divisor's local day count), value summed per local-calendar DAY
+    and events counted per week."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 10},
+                    "aggs": {
+                        "per_month": {
+                            "date_histogram": {
+                                "field": "ts",
+                                "calendar_interval": "month",
+                                "time_zone": "America/New_York",
+                            },
+                            "aggs": {
+                                "value_per_day": {
+                                    "rate": {
+                                        "field": "value",
+                                        "unit": "day",
+                                    }
+                                },
+                                "events_per_week": {
+                                    "rate": {"unit": "week"}
+                                },
+                            },
+                        }
                     },
                 }
             },

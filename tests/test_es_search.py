@@ -2059,12 +2059,22 @@ def test_rate_and_mad(spark):
         compile_aggs(df, {"g": {
             "histogram": {"field": "v", "interval": 1},
             "aggs": {"r": {"rate": {"unit": "day"}}}}})
-    with pytest.raises(ValueError, match="IANA"):
-        compile_aggs(df, {"m": {
-            "date_histogram": {"field": "ts",
-                               "calendar_interval": "month",
-                               "time_zone": "America/New_York"},
-            "aggs": {"r": {"rate": {"unit": "day"}}}}})
+    # rate under an IANA time_zone works since round 14 (the local
+    # boundary date resolves through the tzdb): a doc at Jan 1
+    # 02:00 UTC is still DECEMBER in New_York, so its month divides
+    # by 31 December days
+    out = compile_aggs(df.limit(0).union(spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 2, 0,
+                      tzinfo=dt.timezone.utc), 10.0)],
+        df.schema)), {"m": {
+        "date_histogram": {"field": "ts",
+                           "calendar_interval": "month",
+                           "time_zone": "America/New_York"},
+        "aggs": {"r": {"rate": {"field": "v", "unit": "day"}}}}}
+    ).collect()
+    dec_key = int(dt.datetime(
+        2023, 12, 1, 5, 0, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert [(r.m, r.r_r6) for r in out] == [(dec_key, round(10 / 31, 6))]
     with pytest.raises(ValueError, match="month-family"):
         compile_aggs(df, {"h": {
             "date_histogram": {"field": "ts", "fixed_interval": "1d"},

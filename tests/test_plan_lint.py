@@ -322,6 +322,10 @@ PINNED_FINGERPRINTS = {
     # flag-column plan x4 — per-branch word-count groupBy + top-k
     # sort, the audited 1-row sizes bnlj each
     "es_significant_heuristics": {"exchange": 8, "bnlj": 4},
+    # rate under an IANA time_zone (round 14): the tzdb key + local
+    # day-count divisor are plain expressions in the one rollup —
+    # the agg-tree class
+    "es_rate_iana": {"exchange": 4},
     # geo_shape polygon + envelope (round 14): the ray-cast is a
     # fixed expression tree on the scan, the page a TakeOrdered —
     # the empty fingerprint IS the point (zero shuffles)
