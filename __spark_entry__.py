@@ -727,6 +727,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
+        # es_has_child_inner_hits — has_child + inner_hits
+        #     (round 14, closing PARITY #23's bound): per-parent
+        #     top-N matching children under an explicit sort;
+        #     demoted-green pending rotation (es_has_child keeps the
+        #     join-field family declared)
+        "es_has_child_inner_hits",
         # es_rate_iana — rate under an IANA time_zone (round 14,
         #     closing the r13 bound): tzdb month boundaries + local
         #     day-count divisors; demoted-green pending rotation
@@ -1379,6 +1385,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "transform", "q_es_transform_latest"
         ),
         "es_has_child": _mod("es_search", "q_es_has_child"),
+        "es_has_child_inner_hits": _mod(
+            "es_search", "q_es_has_child_inner_hits"
+        ),
         "es_reverse_nested_aggs": _mod(
             "es_search", "q_es_reverse_nested_aggs"
         ),
@@ -4996,6 +5005,32 @@ def _all_oracle_sql() -> dict[str, str]:
 
     # es_has_child / es_has_parent / es_children_agg (round 13): the
     # join-field family over the natural orders↔lineitem pair.
+    # es_has_child_inner_hits (round 14, closing PARITY #23's
+    # inner_hits bound): per qualifying order (>= 2 returned items),
+    # its two highest-value returned line items under the section's
+    # explicit sort.
+    q["es_has_child_inner_hits"] = """
+        WITH matched AS (
+          SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+          FROM lineitem WHERE coalesce(l_returnflag = 'R', FALSE)
+        ),
+        keep AS (
+          SELECT l_orderkey FROM matched
+          GROUP BY l_orderkey HAVING count(*) >= 2
+        ),
+        ranked AS (
+          SELECT m.*, CAST(row_number() OVER (
+                     PARTITION BY m.l_orderkey
+                     ORDER BY l_extendedprice DESC, l_linenumber ASC)
+                 AS INT) AS top_returns_rank
+          FROM matched m JOIN keep USING (l_orderkey)
+        )
+        SELECT l_orderkey, top_returns_rank, l_linenumber,
+               l_extendedprice, l_quantity
+        FROM ranked WHERE top_returns_rank <= 2
+        ORDER BY l_orderkey, top_returns_rank
+    """
+
     q["es_has_child"] = """
         SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
         FROM orders o JOIN (

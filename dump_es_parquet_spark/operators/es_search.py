@@ -8056,6 +8056,64 @@ def has_child_filter(
     return joined.filter(cond).drop("_ck", "_n_children")
 
 
+def has_child_inner_hits(
+    parent_df: DataFrame,
+    child_df: DataFrame,
+    parent_key: str,
+    child_key: str,
+    child_query: dict | None,
+    inner_hits: dict | None = None,
+    min_children: int = 1,
+    max_children: int | None = None,
+) -> DataFrame:
+    """``has_child`` WITH an ``inner_hits`` section (round 14,
+    closing PARITY #23's bound): per matching parent, the section's
+    top-``size`` matching children — one row per reported child,
+    ``(child_key, <name>_rank, <_source columns>)``, ordered by
+    parent then rank like the ES response read off in order.
+
+    The section needs an EXPLICIT ``sort`` (ES's default ``_score``
+    inner order has no deterministic lake reading — the sampler's
+    rule); a ``min_children: 0`` parent with zero matching children
+    contributes no rows here (its hit still matches the filter form
+    — this frame is the inner_hits CONTENT, child-shaped by
+    definition).
+
+    Scale shape: the matched-parents frame from has_child_filter
+    projects to its KEY column for one semi-join against the
+    filtered children (both sides data-sized → SMJ, the right
+    shape); the rank window partitions by the child's parent key —
+    no global sort, ``size`` rows per parent survive."""
+    ih = dict(inner_hits or {})
+    size = int(ih.get("size", 3))
+    sort = ih.get("sort")
+    if not sort:
+        raise ValueError(
+            "inner_hits on has_child needs an explicit sort (ES's "
+            "default _score order has no deterministic lake reading)"
+        )
+    name = ih.get("name", "inner")
+    source = ih.get(
+        "_source", [c for c in child_df.columns if c != child_key]
+    )
+    parents = has_child_filter(
+        parent_df, child_df, parent_key, child_key,
+        child_query, min_children, max_children,
+    ).select(F.col(parent_key).alias("_pk"))
+    matched = (
+        child_df.filter(_false_safe(compile_query(child_query)))
+        .join(parents, F.col(child_key) == F.col("_pk"), "left_semi")
+    )
+    rank = f"{name}_rank"
+    w = Window.partitionBy(child_key).orderBy(*_sort_cols(sort))
+    return (
+        matched.withColumn(rank, F.row_number().over(w).cast("int"))
+        .filter(F.col(rank) <= size)
+        .select(child_key, rank, *source)
+        .orderBy(child_key, rank)
+    )
+
+
 def has_parent_filter(
     child_df: DataFrame,
     parent_df: DataFrame,
@@ -8167,6 +8225,35 @@ def q_es_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     ).orderBy("o_orderkey")
+
+
+def q_es_has_child_inner_hits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``has_child`` + ``inner_hits`` (round 14, closing PARITY
+    #23's bound): for each order with at least two returned line
+    items, its two highest-value returned items — explicit sort
+    (extendedprice desc, linenumber asc), named section."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return has_child_inner_hits(
+        orders,
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        {"term": {"l_returnflag": "R"}},
+        {
+            "size": 2,
+            "name": "top_returns",
+            "sort": [
+                {"l_extendedprice": "desc"},
+                {"l_linenumber": "asc"},
+            ],
+            "_source": ["l_linenumber", "l_extendedprice",
+                        "l_quantity"],
+        },
+        min_children=2,
+    )
 
 
 def q_es_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:

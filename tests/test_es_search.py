@@ -5018,3 +5018,36 @@ def test_moving_fn_holt_randomized(spark):
                          "script":
                          "MovingFunctions.holt(values, 0.3, 0.1)"}}},
         }}})
+
+
+def test_has_child_inner_hits(spark):
+    """Round 14 (PARITY #23 bound): per matching parent the top-N
+    matching children; explicit sort required; min_children gates
+    which parents report at all."""
+    from dump_es_parquet_spark.operators.es_search import (
+        has_child_inner_hits,
+    )
+
+    parents = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "pk long, name string"
+    )
+    children = spark.createDataFrame(
+        [(1, 10.0, "x"), (1, 30.0, "x"), (1, 20.0, "x"),
+         (2, 5.0, "x"), (2, 7.0, "y"), (3, 1.0, "y")],
+        "fk long, v double, tag string",
+    )
+    out = has_child_inner_hits(
+        parents, children, "pk", "fk", {"term": {"tag": "x"}},
+        {"size": 2, "name": "kids", "sort": [{"v": "desc"}],
+         "_source": ["v"]},
+        min_children=2,
+    ).collect()
+    # parent 1 has 3 'x' children (top 2 by v: 30, 20); parent 2 has
+    # only ONE 'x' child -> fails min_children=2; parent 3 none
+    assert [(r.fk, r.kids_rank, r.v) for r in out] == [
+        (1, 1, 30.0), (1, 2, 20.0)]
+
+    with pytest.raises(ValueError, match="explicit sort"):
+        has_child_inner_hits(
+            parents, children, "pk", "fk", {"term": {"tag": "x"}},
+            {"size": 2})

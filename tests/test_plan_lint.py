@@ -322,6 +322,10 @@ PINNED_FINGERPRINTS = {
     # flag-column plan x4 — per-branch word-count groupBy + top-k
     # sort, the audited 1-row sizes bnlj each
     "es_significant_heuristics": {"exchange": 8, "bnlj": 4},
+    # has_child + inner_hits (round 14): the filter form's counts
+    # groupBy + equi-join (broadcast at this SF), the matched-parent
+    # key semi-join, and the per-parent rank window — no global sort
+    "es_has_child_inner_hits": {"exchange": 3, "bhj": 2},
     # rate under an IANA time_zone (round 14): the tzdb key + local
     # day-count divisor are plain expressions in the one rollup —
     # the agg-tree class
