@@ -727,6 +727,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
+        # es_categorize_text — token-skeleton log categorization
+        #     (round 14, the x-pack ML agg under a documented
+        #     deterministic reading — PARITY #26); demoted-green
+        #     pending rotation
+        "es_categorize_text",
         # es_has_child_inner_hits — has_child + inner_hits
         #     (round 14, closing PARITY #23's bound): per-parent
         #     top-N matching children under an explicit sort;
@@ -1373,6 +1378,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_rate_mad": _mod("es_search", "q_es_rate_mad"),
         "es_rate_iana": _mod("es_search", "q_es_rate_iana"),
+        "es_categorize_text": _mod(
+            "es_search", "q_es_categorize_text"
+        ),
         "es_bucket_summaries": _mod("es_search", "q_es_bucket_summaries"),
         "es_moving_percentiles": _mod(
             "es_search", "q_es_moving_percentiles"
@@ -4637,6 +4645,43 @@ def _all_oracle_sql() -> dict[str, str]:
     # actual month length by date arithmetic from the bucket key;
     # MAD = median(abs(v - median(v))) per bucket, both medians the
     # quantile_cont interpolation the exact-percentiles rows pin.
+    # es_categorize_text (round 14): token-skeleton log
+    # categorization — digit-bearing tokens wildcard to '*', the
+    # skeleton buckets like terms (count desc, key asc, size 8).
+    q["es_categorize_text"] = r"""
+        WITH m AS (
+          SELECT concat_ws(' ', 'user', CAST(user_id AS VARCHAR),
+                   event_type, 'value',
+                   CAST(CAST(value AS INT) AS VARCHAR),
+                   CASE WHEN value > 400
+                        THEN 'ALERT threshold 400 exceeded' END)
+                     AS msg,
+                 value
+          FROM events
+        ),
+        s AS (
+          SELECT array_to_string(list_transform(
+                   regexp_split_to_array(trim(msg), '\s+'),
+                   t -> CASE WHEN regexp_matches(t, '[0-9]')
+                             THEN '*' ELSE t END), ' ') AS cats,
+                 value
+          FROM m WHERE msg IS NOT NULL
+        ),
+        c AS (
+          SELECT cats, count(*) AS doc_count,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(value) AS avg_value
+          FROM s GROUP BY cats
+        )
+        SELECT CAST(1 AS INT) AS level, cats, doc_count, avg_value
+        FROM (
+          SELECT *, row_number() OVER (
+                     ORDER BY doc_count DESC, cats ASC) AS rk
+          FROM c)
+        WHERE rk <= 8
+        ORDER BY cats
+    """
+
     # es_rate_iana (round 14, closing the r13 "rate under IANA
     # zones" bound): monthly buckets at America/New_York local
     # boundaries; divisor = that local month's real day count (the

@@ -42,10 +42,13 @@ Aggregations DSL (``compile_aggs``):
   exact, where ES's CuckooFilter is approximate — round 12),
   ``date_histogram``
   (calendar_interval / fixed_interval, signed ``offset`` on fixed
-  grids, ``time_zone`` as a fixed ±HH:MM offset on calendar grids —
-  round 12, IANA names raise — ``min_doc_count: 0`` +
+  grids, ``time_zone`` as a fixed ±HH:MM offset — round 12 — or an
+  IANA tzdb name — round 13, local-boundary buckets with 23/25-hour
+  DST days — ``min_doc_count: 0`` +
   ``extended_bounds`` gap-filling; bucket key = epoch millis,
   exactly the key ES returns), ``histogram`` (interval + offset),
+  ``categorize_text`` (round 14: token-skeleton log categorization,
+  digit-bearing tokens wildcarded — PARITY #26),
   ``range`` /
   ``date_range`` (keyed, from-inclusive / to-exclusive; date bounds
   are epoch-millis ints), ``filter`` (ONE bucket holding a full
@@ -195,6 +198,7 @@ _BUCKET_KINDS = (
     "geo_distance",
     "nested",
     "auto_date_histogram",
+    "categorize_text",
 )
 _METRIC_KINDS = (
     "avg",
@@ -891,6 +895,28 @@ class _Level:
             if keep is not None:
                 return F.when(_false_safe(keep), col)
             return col
+        if self.kind == "categorize_text":
+            # ES's categorize_text (x-pack ML log categorization —
+            # round 14): bucket semi-structured messages by their
+            # TOKEN SKELETON. ES's algorithm is an online drain-like
+            # tree (shard- and order-dependent — no deterministic
+            # lake reading, the sampler's class), so the engine
+            # documents its reading: whitespace tokens, every token
+            # containing a digit replaced by '*', space-joined — the
+            # "variable parts wildcarded" template Kibana renders.
+            # The key composes with the whole agg machinery (size
+            # ranking like terms, sub-aggs, pipelines). PARITY #26.
+            toks = F.split(F.trim(col), r"\s+")
+            skel = F.array_join(
+                F.transform(
+                    toks,
+                    lambda t: F.when(
+                        t.rlike("[0-9]"), F.lit("*")
+                    ).otherwise(t),
+                ),
+                " ",
+            )
+            return F.when(col.isNotNull(), skel)
         if self.kind == "multi_terms":
             # ES drops docs missing ANY component field; concat_ws
             # would silently skip NULLs, so guard first. The flat
@@ -2346,7 +2372,7 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             cond = cond & (
                 F.col("doc_count") <= int(lvl.body.get("max_doc_count", 1))
             )
-        if lvl.kind in ("terms", "multi_terms"):
+        if lvl.kind in ("terms", "multi_terms", "categorize_text"):
             size = int(lvl.body.get("size", 10))
             order = lvl.body.get("order", {"_count": "desc"})
             # ES accepts one criterion or a tie-breaking LIST of them
@@ -7823,6 +7849,44 @@ def q_es_rate_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "field": "o_totalprice"
                             }
                         },
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_categorize_text(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``categorize_text`` (round 14): log-like messages synthesized
+    from events ('user N <type> value V', high values appending an
+    ALERT suffix) bucket by their token skeleton — digit-bearing
+    tokens wildcarded to '*' — with a per-category doc count and avg
+    value; ~10 categories, size 8 so the count-desc rank bites."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "msg",
+        F.concat_ws(
+            " ",
+            F.lit("user"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.lit("value"),
+            F.col("value").cast("int"),
+            F.when(
+                F.col("value") > 400,
+                F.lit("ALERT threshold 400 exceeded"),
+            ),
+        ),
+    )
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "cats": {
+                    "categorize_text": {"field": "msg", "size": 8},
+                    "aggs": {
+                        "avg_value": {"avg": {"field": "value"}}
                     },
                 }
             },

@@ -5051,3 +5051,42 @@ def test_has_child_inner_hits(spark):
         has_child_inner_hits(
             parents, children, "pk", "fk", {"term": {"tag": "x"}},
             {"size": 2})
+
+
+def test_categorize_text_skeleton(spark):
+    """Round 14 (PARITY #26): digit-bearing tokens wildcard to '*',
+    pure-word tokens survive, categories rank like terms and carry
+    sub-metrics; NULL messages drop."""
+    df = spark.createDataFrame(
+        [
+            ("connection from 10.0.0.1 failed", 1.0),
+            ("connection from 10.0.0.2 failed", 2.0),
+            ("user u42 logged in", 3.0),
+            ("user u7 logged in", 4.0),
+            ("connection from 10.0.0.3 failed", 5.0),
+            (None, 9.0),
+        ],
+        "msg string, v double",
+    )
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    out = search_aggs(
+        df,
+        {"aggs": {"cats": {
+            "categorize_text": {"field": "msg", "size": 10},
+            "aggs": {"sv": {"sum": {"field": "v"}}},
+        }}},
+    ).collect()
+    got = {r.cats: (r.doc_count, r.sv) for r in out}
+    assert got == {
+        "connection from * failed": (3, 8.0),
+        "user * logged in": (2, 7.0),
+    }
+    # size cap ranks count desc, key asc
+    out = search_aggs(
+        df,
+        {"aggs": {"cats": {
+            "categorize_text": {"field": "msg", "size": 1},
+        }}},
+    ).collect()
+    assert [r.cats for r in out] == ["connection from * failed"]

@@ -322,6 +322,9 @@ PINNED_FINGERPRINTS = {
     # flag-column plan x4 — per-branch word-count groupBy + top-k
     # sort, the audited 1-row sizes bnlj each
     "es_significant_heuristics": {"exchange": 8, "bnlj": 4},
+    # categorize_text (round 14): the skeleton is a key expression —
+    # the one-rollup bucket-frame class
+    "es_categorize_text": {"exchange": 4},
     # has_child + inner_hits (round 14): the filter form's counts
     # groupBy + equi-join (broadcast at this SF), the matched-parent
     # key semi-join, and the per-parent rank window — no global sort
