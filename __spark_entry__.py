@@ -727,6 +727,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
+        # es_retriever_rrf — the ES 8.14 retriever.rrf request
+        #     dialect over hybrid_rrf with non-default
+        #     rank_constant/window/size/vector knobs (round 14);
+        #     demoted-green pending rotation (corpus_hybrid_rrf
+        #     keeps the fusion engine declared)
+        "es_retriever_rrf",
         # es_categorize_text — token-skeleton log categorization
         #     (round 14, the x-pack ML agg under a documented
         #     deterministic reading — PARITY #26); demoted-green
@@ -1275,6 +1281,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_jsonl_roundtrip": _sink("jsonl_roundtrip_digest"),
         "corpus_bm25": _mod("retrieval", "q_corpus_bm25"),
         "corpus_hybrid_rrf": _mod("retrieval", "q_corpus_hybrid_rrf"),
+        "es_retriever_rrf": _mod("retrieval", "q_es_retriever_rrf"),
         "corpus_highlight": _mod("retrieval", "q_corpus_highlight"),
         "corpus_match_phrase": _mod("retrieval", "q_corpus_match_phrase"),
         "corpus_significant_terms": _mod(
@@ -3942,6 +3949,32 @@ def _all_oracle_sql() -> dict[str, str]:
                (COALESCE(CAST(floor(1e9 / (60 + lex_rank)) AS BIGINT), 0)
                 + COALESCE(CAST(floor(1e9 / (60 + vec_rank)) AS BIGINT), 0)) AS rrf_micro
         FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10
+    """
+
+    # es_retriever_rrf (round 14): the ES 8.14 retriever.rrf request
+    # dialect over the SAME fusion engine, with NON-default knobs —
+    # rank_constant 40, window 30, size 8, query vector 3 — so the
+    # parameter plumbing is load-bearing.
+    q["es_retriever_rrf"] = f"""
+        WITH {bm25_cte},
+        lexpool AS (SELECT doc_id, score_micro FROM scored WHERE n_matched > 0
+                    ORDER BY score_micro DESC, doc_id ASC LIMIT 30),
+        lex AS (SELECT doc_id, row_number() OVER
+                  (ORDER BY score_micro DESC, doc_id ASC) AS lex_rank FROM lexpool),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 3),
+        vecpool AS (SELECT vec_id, round({qcos}, 6) AS cos_sim
+                    FROM e e, q WHERE vec_id != 3
+                    ORDER BY cos_sim DESC, vec_id ASC LIMIT 30),
+        vec AS (SELECT vec_id AS doc_id, row_number() OVER
+                  (ORDER BY cos_sim DESC, vec_id ASC) AS vec_rank FROM vecpool),
+        f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank
+              FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        SELECT doc_id, lex_rank, vec_rank,
+               (COALESCE(CAST(floor(1e9 / (40 + lex_rank)) AS BIGINT), 0)
+                + COALESCE(CAST(floor(1e9 / (40 + vec_rank)) AS BIGINT), 0)) AS rrf_micro
+        FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 8
     """
 
     # corpus_highlight: snippets via strpos/substr/concat — every

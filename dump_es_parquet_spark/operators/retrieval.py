@@ -907,6 +907,7 @@ def hybrid_rrf(
     query_vec_id: int = 0,
     k: int = 10,
     pool: int = 50,
+    rrf_k: int = RRF_K,
 ) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking
     and the cosine ranking (``similarity.topk_bruteforce`` shape) —
@@ -953,7 +954,7 @@ def hybrid_rrf(
     )
 
     contrib = lambda r: F.coalesce(  # noqa: E731
-        F.floor(F.lit(1e9) / (F.lit(RRF_K) + r.cast("double"))), F.lit(0)
+        F.floor(F.lit(1e9) / (F.lit(rrf_k) + r.cast("double"))), F.lit(0)
     )
     return (
         lex.join(vec, "doc_id", "full_outer")
@@ -965,6 +966,85 @@ def hybrid_rrf(
         )
         .orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def retriever_rrf(
+    spark: SparkSession, sf_dir: str, request: dict
+) -> DataFrame:
+    """The ES 8.14+ ``retriever`` request section, ``rrf`` flavor
+    (round 14): ``{"retriever": {"rrf": {"retrievers": [...],
+    "rank_constant": c, "rank_window_size": w}}, "size": k}`` —
+    the request-dialect surface over :func:`hybrid_rrf` (the
+    corpus_bm25_served pattern: one engine, two surfaces). Exactly
+    one ``standard`` retriever (its query a single ``match`` on the
+    documents text column — the analyzed BM25 arm) and one ``knn``
+    retriever (``query_vector_id`` naming the embeddings-table
+    vector — the cosine arm) are supported; other retriever trees
+    raise loudly. ``rank_constant`` defaults to ES's 60,
+    ``rank_window_size`` to 50 per arm."""
+    body = request.get("retriever") or {}
+    if set(body) != {"rrf"}:
+        raise ValueError("retriever: only the rrf flavor is supported")
+    rrf = body["rrf"]
+    arms = rrf.get("retrievers") or []
+    std = [a["standard"] for a in arms if "standard" in a]
+    knn = [a["knn"] for a in arms if "knn" in a]
+    if len(std) != 1 or len(knn) != 1 or len(arms) != 2:
+        raise ValueError(
+            "retriever.rrf needs exactly one standard and one knn "
+            "child retriever"
+        )
+    (qkind, qbody), = std[0]["query"].items()
+    if qkind != "match":
+        raise ValueError(
+            "the standard retriever's query must be a match (the "
+            "BM25 arm)"
+        )
+    (field, spec), = qbody.items()
+    text = spec["query"] if isinstance(spec, dict) else spec
+    if field != "text":
+        raise ValueError("the BM25 arm matches the documents text column")
+    if "query_vector_id" not in knn[0]:
+        raise ValueError(
+            "the knn arm takes query_vector_id (an embeddings-table "
+            "vector; literal query_vector serving is search()'s knn "
+            "section)"
+        )
+    return hybrid_rrf(
+        spark,
+        sf_dir,
+        query=str(text),
+        query_vec_id=int(knn[0]["query_vector_id"]),
+        k=int(request.get("size", 10)),
+        pool=int(rrf.get("rank_window_size", 50)),
+        rrf_k=int(rrf.get("rank_constant", RRF_K)),
+    )
+
+
+def q_es_retriever_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form (oracle-checked): the retriever.rrf dialect with
+    NON-default knobs — rank_constant 40, window 30, size 8, query
+    vector 3 — so the parameter plumbing is load-bearing, not an
+    alias of the corpus_hybrid_rrf row."""
+    return retriever_rrf(
+        spark,
+        sf_dir,
+        {
+            "retriever": {
+                "rrf": {
+                    "retrievers": [
+                        {"standard": {"query": {"match": {
+                            "text": DEFAULT_QUERY}}}},
+                        {"knn": {"field": "embedding",
+                                 "query_vector_id": 3}},
+                    ],
+                    "rank_constant": 40,
+                    "rank_window_size": 30,
+                }
+            },
+            "size": 8,
+        },
     )
 
 

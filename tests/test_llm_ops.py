@@ -1899,3 +1899,45 @@ def test_phrase_suggest_hand_checked(spark):
     # single-word input raises (that's the term suggester's job)
     with pytest.raises(ValueError, match="multi-word"):
         phrase_suggest(d, "cat")
+
+
+def test_retriever_rrf_dialect(spark, sf_dir):
+    """Round 14: the ES 8.14 retriever.rrf request routes to
+    hybrid_rrf with the section's knobs; malformed trees raise."""
+    from dump_es_parquet_spark.operators.retrieval import (
+        DEFAULT_QUERY,
+        hybrid_rrf,
+        retriever_rrf,
+    )
+
+    req = {
+        "retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"match": {
+                    "text": DEFAULT_QUERY}}}},
+                {"knn": {"field": "embedding", "query_vector_id": 2}},
+            ],
+            "rank_constant": 25,
+            "rank_window_size": 20,
+        }},
+        "size": 5,
+    }
+    got = retriever_rrf(spark, sf_dir, req).collect()
+    want = hybrid_rrf(spark, sf_dir, DEFAULT_QUERY, query_vec_id=2,
+                      k=5, pool=20, rrf_k=25).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 5
+
+    for bad in (
+        {"retriever": {"knn": {}}},
+        {"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"text": "x"}}}}]}}},
+        {"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"term": {"text": "x"}}}},
+            {"knn": {"query_vector_id": 0}}]}}},
+        {"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"text": "x"}}}},
+            {"knn": {"query_vector": [0.1, 0.2]}}]}}},
+    ):
+        with pytest.raises(ValueError):
+            retriever_rrf(spark, sf_dir, bad)

@@ -47,6 +47,7 @@ BNLJ_ALLOWED = frozenset(
         "corpus_decontaminate_bloom",  # 1-row bloom-bitmap broadcast
         "sim_ivf_recall",  # query-batch broadcast (same shape as sim_topk_batch)
         "corpus_hybrid_rrf",  # 1-row query-vector broadcast (cosine arm)
+        "es_retriever_rrf",  # the same fusion plan behind the request dialect
         "corpus_significant_terms",  # 1-row fg/corpus-sizes broadcast
         "es_significant_text",  # the same operator behind the request shape
         # apriori's frequent-singleton SET is one collected row
