@@ -744,6 +744,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     demoted-green pending rotation (es_has_child keeps the
         #     join-field family declared)
         "es_has_child_inner_hits",
+        # es_has_parent_inner_hits — has_parent + inner_hits
+        #     (round 14, PARITY #23): the one-parent splice join;
+        #     demoted-green pending rotation
+        "es_has_parent_inner_hits",
         # es_rate_iana — rate under an IANA time_zone (round 14,
         #     closing the r13 bound): tzdb month boundaries + local
         #     day-count divisors; demoted-green pending rotation
@@ -1402,6 +1406,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_has_child": _mod("es_search", "q_es_has_child"),
         "es_has_child_inner_hits": _mod(
             "es_search", "q_es_has_child_inner_hits"
+        ),
+        "es_has_parent_inner_hits": _mod(
+            "es_search", "q_es_has_parent_inner_hits"
         ),
         "es_reverse_nested_aggs": _mod(
             "es_search", "q_es_reverse_nested_aggs"
@@ -5107,6 +5114,18 @@ def _all_oracle_sql() -> dict[str, str]:
                l_extendedprice, l_quantity
         FROM ranked WHERE top_returns_rank <= 2
         ORDER BY l_orderkey, top_returns_rank
+    """
+
+    # es_has_parent_inner_hits (round 14, PARITY #23): each urgent
+    # order's line items with the parent's columns spliced on — a
+    # child has exactly one parent, so the section is one equi-join.
+    q["es_has_parent_inner_hits"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               o_orderpriority AS order_o_orderpriority,
+               o_totalprice AS order_o_totalprice
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE coalesce(o_orderpriority = '1-URGENT', FALSE)
+        ORDER BY l_orderkey, l_linenumber
     """
 
     q["es_has_child"] = """

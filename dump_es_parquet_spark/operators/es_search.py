@@ -8199,6 +8199,46 @@ def has_parent_filter(
     )
 
 
+def has_parent_inner_hits(
+    child_df: DataFrame,
+    parent_df: DataFrame,
+    child_key: str,
+    parent_key: str,
+    parent_query: dict | None,
+    inner_hits: dict | None = None,
+    source: list | None = None,
+) -> DataFrame:
+    """``has_parent`` WITH an ``inner_hits`` section (round 14,
+    PARITY #23): each matching child hit carries its matched
+    PARENT's ``_source`` columns — a child has exactly one parent,
+    so the section is a one-row splice and the frame is one
+    equi-join of the filtered parent projection onto the has_parent
+    hits (the semi-join's keys frame widened to the requested
+    columns), parent columns prefixed ``<name>_``. ``source``
+    projects the child side."""
+    ih = dict(inner_hits or {})
+    name = ih.get("name", "parent")
+    psource = ih.get("_source")
+    if not psource:
+        raise ValueError(
+            "inner_hits on has_parent needs an explicit _source list "
+            "(the parent columns to splice onto each child hit)"
+        )
+    parents = parent_df.filter(
+        _false_safe(compile_query(parent_query))
+    ).select(
+        F.col(parent_key).alias("_pk"),
+        *[F.col(c).alias(f"{name}_{c}") for c in psource],
+    )
+    out = child_df.join(
+        parents, child_df[child_key] == parents["_pk"], "inner"
+    ).drop("_pk")
+    cols = source if source is not None else [
+        c for c in child_df.columns
+    ]
+    return out.select(*cols, *[f"{name}_{c}" for c in psource])
+
+
 def children_aggs(
     parent_df: DataFrame,
     child_df: DataFrame,
@@ -8334,6 +8374,26 @@ def q_es_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "l_orderkey", "l_linenumber", "l_quantity"
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def q_es_has_parent_inner_hits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``has_parent`` + ``inner_hits`` (round 14, PARITY #23): line
+    items of URGENT orders, each hit carrying its order's priority
+    and total price."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return has_parent_inner_hits(
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        {"term": {"o_orderpriority": "1-URGENT"}},
+        {"name": "order", "_source": ["o_orderpriority",
+                                      "o_totalprice"]},
+        source=["l_orderkey", "l_linenumber", "l_quantity"],
     ).orderBy("l_orderkey", "l_linenumber")
 
 

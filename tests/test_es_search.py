@@ -5090,3 +5090,29 @@ def test_categorize_text_skeleton(spark):
         }}},
     ).collect()
     assert [r.cats for r in out] == ["connection from * failed"]
+
+
+def test_has_parent_inner_hits(spark):
+    """Round 14 (PARITY #23): each matching child carries its
+    parent's _source columns; non-matching parents' children drop;
+    a missing _source list raises."""
+    from dump_es_parquet_spark.operators.es_search import (
+        has_parent_inner_hits,
+    )
+
+    parents = spark.createDataFrame(
+        [(1, "gold", 9.0), (2, "base", 1.0)],
+        "pk long, tier string, score double",
+    )
+    children = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "fk long, cname string"
+    )
+    out = has_parent_inner_hits(
+        children, parents, "fk", "pk", {"term": {"tier": "gold"}},
+        {"name": "p", "_source": ["tier", "score"]},
+    ).collect()
+    assert sorted((r.fk, r.cname, r.p_tier, r.p_score) for r in out) \
+        == [(1, "a", "gold", 9.0), (1, "b", "gold", 9.0)]
+    with pytest.raises(ValueError, match="_source"):
+        has_parent_inner_hits(
+            children, parents, "fk", "pk", {"term": {"tier": "gold"}})

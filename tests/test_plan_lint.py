@@ -326,6 +326,10 @@ PINNED_FINGERPRINTS = {
     # categorize_text (round 14): the skeleton is a key expression —
     # the one-rollup bucket-frame class
     "es_categorize_text": {"exchange": 4},
+    # has_parent + inner_hits (round 14): ONE equi-join of the
+    # filtered parent projection (broadcast at this SF) + the
+    # presentation sort
+    "es_has_parent_inner_hits": {"exchange": 1, "bhj": 1},
     # has_child + inner_hits (round 14): the filter form's counts
     # groupBy + equi-join (broadcast at this SF), the matched-parent
     # key semi-join, and the per-parent rank window — no global sort
