@@ -727,6 +727,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
+        # es_nested_inside_nested — two-level nested aggregation
+        #     chains (round 14, lifting the r12/PARITY #22 bound):
+        #     stacked representative masks re-base doc → outer →
+        #     inner; demoted-green pending rotation (es_nested_agg /
+        #     es_reverse_nested keep the family declared)
+        "es_nested_inside_nested",
         # es_retriever_rrf — the ES 8.14 retriever.rrf request
         #     dialect over hybrid_rrf with non-default
         #     rank_constant/window/size/vector knobs (round 14);
@@ -1391,6 +1397,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_rate_iana": _mod("es_search", "q_es_rate_iana"),
         "es_categorize_text": _mod(
             "es_search", "q_es_categorize_text"
+        ),
+        "es_nested_inside_nested": _mod(
+            "es_search", "q_es_nested_inside_nested"
         ),
         "es_bucket_summaries": _mod("es_search", "q_es_bucket_summaries"),
         "es_moving_percentiles": _mod(
@@ -4685,6 +4694,57 @@ def _all_oracle_sql() -> dict[str, str]:
     # actual month length by date arithmetic from the bucket key;
     # MAD = median(abs(v - median(v))) per bucket, both medians the
     # quantile_cont interpolation the exact-percentiles rows pin.
+    # es_nested_inside_nested (round 14, lifting the r12/PARITY #22
+    # one-nested bound): the five-level frame rebuilt as one UNION
+    # per level — L1 counts DOCS (+ the doc-masked sum), L2/L3 count
+    # OUTER objects (empty-inner outer objects included), L4/L5
+    # count INNER objects (unnest drops empty inner arrays exactly
+    # as the NULL-key machinery does).
+    q["es_nested_inside_nested"] = """
+        WITH rows_ AS (
+          SELECT event_type AS ty, value,
+                 [{'k': 'tags',
+                   'inner': [{'t': 'lo', 'v': value},
+                             {'t': 'hi', 'v': value * 2.0}]},
+                  {'k': 'b' || CAST(CAST(floor(value / 100) AS INT)
+                               AS VARCHAR),
+                   'inner': CASE WHEN value > 250
+                            THEN [{'t': 'big', 'v': value}]
+                            ELSE [] END}] AS p
+          FROM events WHERE event_type IS NOT NULL
+        ),
+        o AS (SELECT ty, value, unnest(p) AS ob FROM rows_),
+        i AS (SELECT ty, ob.k AS k, unnest(ob.inner) AS io FROM o)
+        SELECT CAST(1 AS INT) AS level, ty AS by_type,
+               CAST(NULL AS VARCHAR) AS outer_objs,
+               CAST(NULL AS VARCHAR) AS by_k,
+               CAST(NULL AS VARCHAR) AS inner_objs,
+               CAST(NULL AS VARCHAR) AS by_t,
+               count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value,
+               CAST(NULL AS DOUBLE) AS sum_v
+        FROM rows_ GROUP BY ty
+        UNION ALL
+        SELECT CAST(2 AS INT), ty, 'outer_objs', NULL, NULL, NULL,
+               count(*), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM o GROUP BY ty
+        UNION ALL
+        SELECT CAST(3 AS INT), ty, 'outer_objs', ob.k, NULL, NULL,
+               count(*), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM o GROUP BY ty, ob.k
+        UNION ALL
+        SELECT CAST(4 AS INT), ty, 'outer_objs', k, 'inner_objs', NULL,
+               count(*), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM i GROUP BY ty, k
+        UNION ALL
+        SELECT CAST(5 AS INT), ty, 'outer_objs', k, 'inner_objs', io.t,
+               count(*), CAST(NULL AS DOUBLE),
+               CAST(sum(CAST(io.v AS DECIMAL(18,6))) AS DOUBLE)
+        FROM i GROUP BY ty, k, io.t
+        ORDER BY 1, 2, 4, 6
+    """
+
     # es_categorize_text (round 14): token-skeleton log
     # categorization — digit-bearing tokens wildcard to '*', the
     # skeleton buckets like terms (count desc, key asc, size 8).

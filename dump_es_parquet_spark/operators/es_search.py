@@ -1453,13 +1453,15 @@ def _parse_chain(aggs: dict) -> list[_Level]:
                 levels[-1].bucket_sort = bucket_sort
             levels[-1].selectors.extend(selectors)
             break
-        if bucket.kind == "nested" and any(
-            lv.kind == "nested" for lv in levels
-        ):
-            # one re-basing per chain: nested-inside-nested would need
-            # a second explode whose doc identity the count machinery
-            # can't track (PARITY #22)
-            raise ValueError("one nested level per agg chain")
+        if bucket.kind == "nested" and sum(
+            1 for lv in levels if lv.kind == "nested"
+        ) >= 2:
+            # round 14 lifts the one-nested bound to TWO re-basings
+            # (outer + inner explode with stacked representative
+            # masks — PARITY #22); a third would stack another
+            # explode the same way but no ES mapping realistically
+            # nests three levels deep — keep it a loud bound
+            raise ValueError("at most two nested levels per agg chain")
         levels.append(bucket)
         node = child
         # metrics/pipelines beside this bucket belong to the PARENT
@@ -1486,7 +1488,11 @@ def _parse_chain(aggs: dict) -> list[_Level]:
     return levels
 
 
-def _metric_cols(levels: list[_Level], explode_i: int | None = None):
+def _metric_cols(
+    levels: list[_Level],
+    explode_i: int | None = None,
+    explode_i2: int | None = None,
+):
     """(column name, raw agg expr, attachment level) triples. Nullable
     numeric metrics are emitted as DOUBLE so the cross-engine pandas
     dtype is stable (a nullable int64 silently becomes float64).
@@ -1496,7 +1502,11 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
     12), if any. Levels ABOVE it aggregate PARENT-DOC fields over a
     frame the explode multiplied, so their metric inputs are masked to
     the one representative row per parent (``_nested_rep``) — an
-    unmasked sum would count each doc once per membership."""
+    unmasked sum would count each doc once per membership.
+    ``explode_i2`` (round 14, nested-inside-nested): the inner nested
+    explode's level — masks STACK, so a level above both explodes
+    masks to ``rep & rep2`` (one row per doc) and a level between
+    them to ``rep2`` (one row per outer object)."""
     out = []
     for lvl_no, lvl in enumerate(levels, start=1):
         mask = (
@@ -1504,6 +1514,9 @@ def _metric_cols(levels: list[_Level], explode_i: int | None = None):
             if explode_i is not None and lvl_no < explode_i
             else None
         )
+        if explode_i2 is not None and lvl_no < explode_i2:
+            rep2 = F.col("_nested_rep2")
+            mask = rep2 if mask is None else (mask & rep2)
 
         def _m(c, _mask=mask):
             return F.when(_mask, c) if _mask is not None else c
@@ -2133,10 +2146,17 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     # position) and their metric inputs are masked the same way in
     # _metric_cols. reverse_nested (back-to-root doc_count) counts
     # distinct pre-explode parent ids.
-    nested_i = next(
-        (i for i, lv in enumerate(levels, start=1) if lv.kind == "nested"),
-        None,
-    )
+    nested_is = [
+        i for i, lv in enumerate(levels, start=1) if lv.kind == "nested"
+    ]
+    nested_i = nested_is[0] if nested_is else None
+    # nested-inside-nested (round 14, lifting the r12/PARITY #22
+    # bound): a SECOND explode re-bases rows onto inner objects; the
+    # representative masks stack — levels above the outer level mask
+    # to rep1 & rep2 (one row per DOC), levels between the two mask
+    # to rep2 (one row per OUTER object), levels at/below the inner
+    # level count inner-object rows
+    nested_i2 = nested_is[1] if len(nested_is) > 1 else None
     # multi-membership levels (round 12): a doc can land in SEVERAL
     # buckets of one level — overlapping range-family buckets (ES
     # puts a doc in EVERY matching range) and non-root ``filters``
@@ -2200,6 +2220,43 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 F.col("_nested_pos").isNull() | (F.col("_nested_pos") == 0),
             )
         )
+        if nested_i2 is not None:
+            # the inner path is ABSOLUTE (outer.sub — the round-13
+            # query-side convention) and must name a DIRECT array
+            # field of the outer struct; the exploded inner object
+            # SPLICES back into the outer struct via withField so
+            # deeper field paths ("p1.p2.k") keep resolving
+            # naturally. Outer NULL rows splice into a NULL struct
+            # and keep their one ancestor-carrying row (pos2 NULL).
+            path2 = levels[nested_i2 - 1].body["path"]
+            if not path2.startswith(path + "."):
+                raise ValueError(
+                    f"inner nested path {path2!r} must be an absolute "
+                    f"path under the outer level's {path!r}"
+                )
+            sub = path2[len(path) + 1:]
+            if "." in sub:
+                raise ValueError(
+                    "the inner nested path must name a direct field "
+                    "of the outer path's struct"
+                )
+            base = (
+                base.select(
+                    "*",
+                    F.posexplode_outer(F.col(path2)).alias(
+                        "_nested_pos2", "_nested_obj2"
+                    ),
+                )
+                .withColumn(
+                    path, F.col(path).withField(sub, F.col("_nested_obj2"))
+                )
+                .drop("_nested_obj2")
+                .withColumn(
+                    "_nested_rep2",
+                    F.col("_nested_pos2").isNull()
+                    | (F.col("_nested_pos2") == 0),
+                )
+            )
     elif explode_i is not None:
         # explode the MATCHING-KEYS array (the filters-agg pattern,
         # but outer so non-matching docs still carry one NULL-key row
@@ -2268,6 +2325,8 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     nested_extra = []
     if explode_i is not None:
         nested_extra.append("_nested_rep")
+        if nested_i2 is not None:
+            nested_extra.append("_nested_rep2")
         if needs_parent:
             nested_extra.append("_nested_parent")
     base = base.select(
@@ -2299,8 +2358,26 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             == 1,
         )
 
-    metrics = _metric_cols(levels, explode_i)
-    if explode_i is not None and explode_i > 1:
+    metrics = _metric_cols(levels, explode_i, nested_i2)
+    if nested_i2 is not None:
+        # three counts from the same pass (round 14): levels above
+        # the outer nested level count DOCS (rep1 & rep2 — one row
+        # per doc), levels between the explodes count OUTER objects
+        # (rep2 — one row per outer object), the inner level and
+        # below count inner-object rows — resolved per result row
+        count_aggs = [
+            F.count(F.lit(1)).alias("_cnt_obj2"),
+            F.count(F.when(F.col("_nested_rep2"), F.lit(1))).alias(
+                "_cnt_obj"
+            ),
+            F.count(
+                F.when(
+                    F.col("_nested_rep") & F.col("_nested_rep2"),
+                    F.lit(1),
+                )
+            ).alias("_cnt_doc"),
+        ]
+    elif explode_i is not None and explode_i > 1:
         # two counts from the same pass: ancestor levels count parent
         # DOCS (one representative row each), the nested level and
         # below count OBJECT rows — resolved per result row below
@@ -2321,7 +2398,16 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         )
         .filter(F.col("level") >= 1)  # ES responses have no global row
     )
-    if explode_i is not None and explode_i > 1:
+    if nested_i2 is not None:
+        rolled = rolled.withColumn(
+            "doc_count",
+            F.when(F.col("level") < explode_i, F.col("_cnt_doc"))
+            .when(F.col("level") < nested_i2, F.col("_cnt_obj"))
+            .otherwise(F.col("_cnt_obj2")),
+        ).select(
+            *key_names, "level", "doc_count", *[nm for nm, _, _ in metrics]
+        )
+    elif explode_i is not None and explode_i > 1:
         rolled = rolled.withColumn(
             "doc_count",
             F.when(
@@ -7848,6 +7934,105 @@ def q_es_rate_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "median_absolute_deviation": {
                                 "field": "o_totalprice"
                             }
+                        },
+                    },
+                }
+            },
+        },
+    )
+
+
+def q_es_nested_inside_nested(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nested-inside-nested AGGREGATION (round 14, lifting the
+    r12/PARITY #22 one-nested bound): terms > nested > terms >
+    nested > terms over a synthesized two-level array — each event
+    carries two outer objects ('tags' with two inner entries, a
+    value band whose inner array is EMPTY unless value > 250, so the
+    empty-inner carry is load-bearing), doc counts re-basing
+    doc → outer object → inner object and the level-1 sum masked to
+    one row per doc through BOTH explodes."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "p",
+        F.array(
+            F.struct(
+                F.lit("tags").alias("k"),
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("t"),
+                        F.col("value").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("t"),
+                        (F.col("value") * F.lit(2.0)).alias("v"),
+                    ),
+                ).alias("inner"),
+            ),
+            F.struct(
+                F.concat(
+                    F.lit("b"),
+                    F.floor(F.col("value") / 100)
+                    .cast("int").cast("string"),
+                ).alias("k"),
+                F.when(
+                    F.col("value") > 250,
+                    F.array(
+                        F.struct(
+                            F.lit("big").alias("t"),
+                            F.col("value").alias("v"),
+                        )
+                    ),
+                )
+                .otherwise(
+                    F.array().cast(
+                        "array<struct<t string, v double>>"
+                    )
+                )
+                .alias("inner"),
+            ),
+        ),
+    )
+    return search_aggs(
+        ev,
+        {
+            "aggs": {
+                "by_type": {
+                    "terms": {"field": "event_type", "size": 10},
+                    "aggs": {
+                        "sum_value": {"sum": {"field": "value"}},
+                        "outer_objs": {
+                            "nested": {"path": "p"},
+                            "aggs": {
+                                "by_k": {
+                                    "terms": {"field": "p.k",
+                                              "size": 10},
+                                    "aggs": {
+                                        "inner_objs": {
+                                            "nested": {
+                                                "path": "p.inner"
+                                            },
+                                            "aggs": {
+                                                "by_t": {
+                                                    "terms": {
+                                                        "field":
+                                                        "p.inner.t",
+                                                        "size": 10,
+                                                    },
+                                                    "aggs": {
+                                                        "sum_v": {
+                                                            "sum": {
+                                                                "field":
+                                                                "p.inner.v"
+                                                            }
+                                                        }
+                                                    },
+                                                }
+                                            },
+                                        }
+                                    },
+                                }
+                            },
                         },
                     },
                 }

@@ -1626,7 +1626,11 @@ def test_nested_agg_counts_objects(spark):
     ]
     assert sorted((r.by_k, r.doc_count, r.aw) for r in out
                   if r.level == 2) == [("a", 2, 20.0), ("b", 1, 20.0)]
-    with pytest.raises(ValueError, match="one nested level"):
+    # a second nested level must name an inner array INSIDE the
+    # outer path (two-level chains work since round 14 —
+    # test_nested_inside_nested_aggregation); re-nesting the SAME
+    # path is not an inner array and raises
+    with pytest.raises(ValueError, match="absolute path under"):
         compile_aggs(
             df,
             {"objs": {"nested": {"path": "attrs"},
@@ -5116,3 +5120,85 @@ def test_has_parent_inner_hits(spark):
     with pytest.raises(ValueError, match="_source"):
         has_parent_inner_hits(
             children, parents, "fk", "pk", {"term": {"tier": "gold"}})
+
+
+def test_nested_inside_nested_aggregation(spark):
+    """Round 14 (lifting the r12/PARITY #22 one-nested bound):
+    terms > nested > terms > nested > terms — doc counts per level
+    re-base doc -> outer object -> inner object, ancestor metrics
+    mask to one row per doc through BOTH explodes, and empty inner
+    arrays / NULL outer arrays still carry their ancestors."""
+    rows = [
+        ("g", 10.0, [
+            {"k": "a", "inner": [{"t": "x", "v": 1.0},
+                                 {"t": "y", "v": 2.0}]},
+            {"k": "b", "inner": [{"t": "x", "v": 3.0}]},
+        ]),
+        ("g", 20.0, [{"k": "a", "inner": []}]),
+        ("h", 30.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "ext string, val double, p array<struct<k string, "
+        "inner array<struct<t string, v double>>>>",
+    )
+    out = compile_aggs(
+        df,
+        {
+            "by_ext": {
+                "terms": {"field": "ext"},
+                "aggs": {
+                    "sum_val": {"sum": {"field": "val"}},
+                    "outer": {
+                        "nested": {"path": "p"},
+                        "aggs": {
+                            "by_k": {
+                                "terms": {"field": "p.k"},
+                                "aggs": {
+                                    "inner": {
+                                        "nested": {"path": "p.inner"},
+                                        "aggs": {
+                                            "by_t": {
+                                                "terms": {
+                                                    "field": "p.inner.t"
+                                                },
+                                                "aggs": {
+                                                    "sum_v": {"sum": {
+                                                        "field":
+                                                        "p.inner.v"
+                                                    }}
+                                                },
+                                            }
+                                        },
+                                    }
+                                },
+                            }
+                        },
+                    },
+                },
+            }
+        },
+    ).collect()
+    l1 = {r.by_ext: (r.doc_count, r.sum_val) for r in out if r.level == 1}
+    assert l1 == {"g": (2, 30.0), "h": (1, 30.0)}  # DOC counts + sums
+    l2 = {r.by_ext: r.doc_count for r in out if r.level == 2}
+    assert l2 == {"g": 3}  # OUTER objects; h's NULL array drops here
+    l3 = {(r.by_ext, r.by_k): r.doc_count for r in out if r.level == 3}
+    assert l3 == {("g", "a"): 2, ("g", "b"): 1}  # outer objects per k
+    l4 = {(r.by_ext, r.by_k): r.doc_count for r in out if r.level == 4}
+    assert l4 == {("g", "a"): 2, ("g", "b"): 1}  # INNER objects
+    l5 = {(r.by_ext, r.by_k, r.by_t): (r.doc_count, r.sum_v)
+          for r in out if r.level == 5}
+    assert l5 == {
+        ("g", "a", "x"): (1, 1.0), ("g", "a", "y"): (1, 2.0),
+        ("g", "b", "x"): (1, 3.0),
+    }
+
+    # three nested levels raise; a non-absolute inner path raises
+    with pytest.raises(ValueError, match="two nested"):
+        compile_aggs(df, {"o": {"nested": {"path": "p"}, "aggs": {
+            "i": {"nested": {"path": "p.inner"}, "aggs": {
+                "x": {"nested": {"path": "p.inner.t"}}}}}}})
+    with pytest.raises(ValueError, match="absolute"):
+        compile_aggs(df, {"o": {"nested": {"path": "p"}, "aggs": {
+            "i": {"nested": {"path": "inner"}}}}})

@@ -326,6 +326,10 @@ PINNED_FINGERPRINTS = {
     # categorize_text (round 14): the skeleton is a key expression —
     # the one-rollup bucket-frame class
     "es_categorize_text": {"exchange": 4},
+    # nested-inside-nested aggregation (round 14): TWO scan-side
+    # Generates feed the same one-rollup bucket-frame class — no
+    # extra shuffle over the single-nested rows
+    "es_nested_inside_nested": {"exchange": 4},
     # has_parent + inner_hits (round 14): ONE equi-join of the
     # filtered parent projection (broadcast at this SF) + the
     # presentation sort
