@@ -1431,6 +1431,12 @@ def _parse_chain(aggs: dict) -> list[_Level]:
             elif skinds:
                 sib_pipes.append((name, skinds[0], spec[skinds[0]]))
             elif "top_hits" in spec:
+                if top_hits is not None:
+                    # same-node duplicates would silently last-win;
+                    # the cross-level duplicate raises in compile_aggs
+                    raise ValueError(
+                        "one top_hits section per agg node"
+                    )
                 top_hits = (name, spec["top_hits"])
             else:
                 raise ValueError(f"unsupported agg {name!r}: {sorted(spec)}")
@@ -1619,11 +1625,12 @@ def _metric_cols(
                 # their ACTUAL length (a monthly bucket under unit
                 # "day" divides by that month's 28/29/30/31), derived
                 # from the bucket KEY by date arithmetic — exact
-                # under fixed ±HH:MM offsets (no DST ⇒ constant
-                # sub-month widths); IANA zones raise loudly. The
-                # divisor tree is one-or-two IEEE divisions of
-                # exactly-representable ints, spelled identically in
-                # the oracle.
+                # under fixed ±HH:MM offsets, and (round 14) under
+                # IANA zones, whose local boundary date resolves
+                # through the tzdb with the same real-local-days
+                # reading. The divisor tree is one-or-two IEEE
+                # divisions of exactly-representable ints, spelled
+                # identically in the oracle.
                 if lvl.kind != "date_histogram":
                     raise ValueError(
                         "rate needs a date_histogram parent level"
@@ -3796,6 +3803,35 @@ def _top_hits_nonleaf_plan(
     parent) matches the bucket half's by construction — the same
     counts from the same frame."""
     carrier = levels[th_i - 1]
+    # the doc half reuses _top_hits_plan, whose terms survival rule
+    # is the DEFAULT one (count desc, key asc; no min_doc_count, no
+    # bucket_sort/bucket_selector, single-membership kinds) — a
+    # prefix level pruned differently in the bucket half would make
+    # the two halves disagree on which carrier buckets exist
+    # (review-confirmed with order: {_key: desc}), so anything the
+    # doc half cannot reproduce raises loudly
+    for lv in levels[:th_i]:
+        if lv.kind in ("nested", "filters", "adjacency_matrix") or (
+            lv.kind in ("range", "date_range", "geo_distance")
+            and _ranges_overlap(lv.body["ranges"])
+        ):
+            raise ValueError(
+                f"top_hits under a non-leaf bucket: carrier-prefix "
+                f"level {lv.name!r} ({lv.kind}) is multi-membership "
+                "— the doc half cannot re-base"
+            )
+        if (
+            lv.body.get("order") is not None
+            or int(lv.body.get("min_doc_count", 1) or 0) > 1
+            or lv.bucket_sort is not None
+            or lv.selectors
+        ):
+            raise ValueError(
+                f"top_hits under a non-leaf bucket: carrier-prefix "
+                f"level {lv.name!r} uses a non-default survival rule "
+                "(order/min_doc_count/bucket_sort/bucket_selector) "
+                "the doc half's pruning does not reproduce"
+            )
     buckets = compile_aggs(df, _strip_top_hits(aggs))
     # bare prefix copies: metrics/pipes of the original levels belong
     # to the BUCKET half (and _top_hits_plan refuses frames with
@@ -4228,6 +4264,21 @@ def search_aggs(df: DataFrame, request: dict) -> DataFrame:
                     "supported (term buckets only)"
                 )
             body = aspec["significant_text"]
+            # the text path delegates to the corpus operator, which
+            # scores JLH only — a heuristic/background knob would be
+            # silently ignored (review-confirmed), so raise loudly
+            # like the rest of the dialect
+            bad = [
+                k for k in (*_SIG_HEURISTICS, "background_filter")
+                if k in body and k != "jlh"
+            ]
+            if bad:
+                raise ValueError(
+                    f"significant_text supports the JLH default "
+                    f"only (the corpus operator's scoring); got "
+                    f"{bad} — use significant_terms for the "
+                    "heuristic/background knobs"
+                )
             from .retrieval import significant_terms as _sig_text
 
             out = _sig_text(
@@ -4411,10 +4462,11 @@ def _sig_heuristic(body: dict) -> tuple[str, dict]:
 def _sig_score_expr(heur: str, opts: dict) -> Column:
     """The heuristic's score tree over the shared counts columns
     (``doc_count`` = fg term docs, ``bg_count`` = bg term docs,
-    ``_fgd`` = foreground size, ``_nd`` = background size) — every
-    path (root keyword, per-bucket, text) scores through this one
+    ``_fgd`` = foreground size, ``_nd`` = background size) — the
+    root-keyword and per-bucket paths score through this one
     function, floored to micro longs by the caller (the family's
-    hash-exactness discipline). Formulas are the published readings
+    hash-exactness discipline); significant_text delegates to the
+    corpus operator's JLH and raises on heuristic knobs. Formulas are the published readings
     over the background-is-superset 2×2 contingency (N11 = fg,
     N01 = bg − fg, N10 = fgSize − fg, N00 = N − bg − N10):
 
@@ -8345,6 +8397,16 @@ def has_child_inner_hits(
     source = ih.get(
         "_source", [c for c in child_df.columns if c != child_key]
     )
+    # the output leads with (child_key, rank) — a _source repeating
+    # the key, or a rank-named source column, would emit duplicate
+    # columns and break the orderBy with an ambiguous reference
+    # (review finding; the _top_hits_nonleaf_plan clash-guard class)
+    clash = sorted({child_key, f"{name}_rank"} & set(source))
+    if clash:
+        raise ValueError(
+            f"inner_hits _source collides with the output's key/rank "
+            f"columns: {clash}"
+        )
     parents = has_child_filter(
         parent_df, child_df, parent_key, child_key,
         child_query, min_children, max_children,
@@ -8409,6 +8471,15 @@ def has_parent_inner_hits(
             "inner_hits on has_parent needs an explicit _source list "
             "(the parent columns to splice onto each child hit)"
         )
+    cols = source if source is not None else [
+        c for c in child_df.columns
+    ]
+    clash = sorted(set(cols) & {f"{name}_{c}" for c in psource})
+    if clash:
+        raise ValueError(
+            f"inner_hits prefixed parent columns collide with child "
+            f"columns: {clash} — rename via the section's name"
+        )
     parents = parent_df.filter(
         _false_safe(compile_query(parent_query))
     ).select(
@@ -8418,9 +8489,6 @@ def has_parent_inner_hits(
     out = child_df.join(
         parents, child_df[child_key] == parents["_pk"], "inner"
     ).drop("_pk")
-    cols = source if source is not None else [
-        c for c in child_df.columns
-    ]
     return out.select(*cols, *[f"{name}_{c}" for c in psource])
 
 

@@ -1816,6 +1816,13 @@ def phrase_suggest(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c1"))
     )
+    # the vocab frame feeds L+1 actions (the total + one candidate
+    # scan per position) — persist so the corpus tokenize + word
+    # count shuffle runs ONCE, not per action (review finding);
+    # vocabulary-sized, released before the scoring plan returns
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     total = tf.agg(F.sum("c1").cast("long").alias("t")).first().t or 0
     cands = []  # per position: [(word, c1), ...] — per_token-bounded
     for t in terms:
@@ -1832,8 +1839,11 @@ def phrase_suggest(
             .collect()
         )
         if not rows:
+            tf.unpersist()
             return spark.createDataFrame([], out_schema)
         cands.append([(r.w, r.c1) for r in rows])
+    tf.unpersist()  # candidates collected; the scoring plan below
+    # reads only the literal frames and the bigram counts
     import itertools
 
     combos = [

@@ -5202,3 +5202,60 @@ def test_nested_inside_nested_aggregation(spark):
     with pytest.raises(ValueError, match="absolute"):
         compile_aggs(df, {"o": {"nested": {"path": "p"}, "aggs": {
             "i": {"nested": {"path": "inner"}}}}})
+
+
+def test_round14_review_guards(spark):
+    """Round-14 self-review fixes: silent-wrong paths now raise —
+    (a) non-leaf top_hits under a custom terms survival rule (the
+    doc half prunes by the default count-desc rule only), (b) two
+    top_hits sections in ONE node (previously last-wins-dropped),
+    (c) significant_text with a heuristic knob (previously silently
+    JLH), (d) inner_hits _source collisions."""
+    from dump_es_parquet_spark.operators.es_search import (
+        has_child_inner_hits,
+        has_parent_inner_hits,
+        search_aggs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(kind="a", sub="x", n=1.0, id=1),
+         Row(kind="b", sub="y", n=2.0, id=2)]
+    )
+    with pytest.raises(ValueError, match="survival rule"):
+        compile_aggs(df, {"k": {
+            "terms": {"field": "kind", "order": {"_key": "desc"}},
+            "aggs": {
+                "e": {"top_hits": {"size": 1, "sort": [{"id": "asc"}],
+                                   "_source": ["id"]}},
+                "sub": {"terms": {"field": "sub"}},
+            }}})
+    with pytest.raises(ValueError, match="survival rule"):
+        compile_aggs(df, {"k": {
+            "terms": {"field": "kind", "min_doc_count": 2},
+            "aggs": {
+                "e": {"top_hits": {"size": 1, "sort": [{"id": "asc"}],
+                                   "_source": ["id"]}},
+                "sub": {"terms": {"field": "sub"}},
+            }}})
+    with pytest.raises(ValueError, match="per agg node"):
+        compile_aggs(df, {"k": {
+            "terms": {"field": "kind"},
+            "aggs": {
+                "t1": {"top_hits": {"size": 1, "sort": [{"id": "asc"}]}},
+                "t2": {"top_hits": {"size": 1, "sort": [{"id": "desc"}]}},
+                "sub": {"terms": {"field": "sub"}},
+            }}})
+    docs = spark.createDataFrame([("w w", )], "text string")
+    with pytest.raises(ValueError, match="JLH default"):
+        search_aggs(docs, {"aggs": {"s": {"significant_text": {
+            "field": "text", "chi_square": {}}}}})
+    parents = spark.createDataFrame([(1, "g")], "pk long, t string")
+    children = spark.createDataFrame([(1, 2.0)], "fk long, v double")
+    with pytest.raises(ValueError, match="collides"):
+        has_child_inner_hits(
+            parents, children, "pk", "fk", None,
+            {"sort": [{"v": "asc"}], "_source": ["fk", "v"]})
+    with pytest.raises(ValueError, match="collide"):
+        has_parent_inner_hits(
+            children, parents, "fk", "pk", None,
+            {"name": "p", "_source": ["t"]}, source=["fk", "p_t"])
