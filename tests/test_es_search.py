@@ -5259,3 +5259,90 @@ def test_round14_review_guards(spark):
         has_parent_inner_hits(
             children, parents, "fk", "pk", None,
             {"name": "p", "_source": ["t"]}, source=["fk", "p_t"])
+
+
+def test_nested_inside_nested_randomized(spark):
+    """Round-14 property pin: the five-level two-explode frame
+    equals a pure-Python reference on randomized docs with NULL
+    outer arrays, empty outer arrays, and empty inner arrays — doc
+    counts re-base doc -> outer -> inner at every level and the
+    level-1 sum never multiplies through either explode."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(14014)
+    for trial in range(3):
+        docs = []
+        for i in range(60):
+            ext = rng.choice(["g", "h", "j"])
+            val = float(rng.randrange(1, 50))
+            shape = rng.random()
+            if shape < 0.15:
+                p = None
+            elif shape < 0.3:
+                p = []
+            else:
+                p = []
+                for _ in range(rng.randrange(1, 4)):
+                    inner = [
+                        {"t": rng.choice(["x", "y"]),
+                         "v": float(rng.randrange(1, 9))}
+                        for _ in range(rng.randrange(0, 3))
+                    ]
+                    p.append({"k": rng.choice(["a", "b"]),
+                              "inner": inner})
+            docs.append((ext, val, p))
+        df = spark.createDataFrame(
+            docs,
+            "ext string, val double, p array<struct<k string, "
+            "inner array<struct<t string, v double>>>>",
+        )
+        out = compile_aggs(
+            df,
+            {"by_ext": {"terms": {"field": "ext", "size": 10},
+                        "aggs": {
+                "sv": {"sum": {"field": "val"}},
+                "o": {"nested": {"path": "p"}, "aggs": {
+                    "by_k": {"terms": {"field": "p.k", "size": 10},
+                             "aggs": {
+                        "i": {"nested": {"path": "p.inner"},
+                              "aggs": {
+                            "by_t": {"terms": {"field": "p.inner.t",
+                                               "size": 10},
+                                     "aggs": {
+                                "sv2": {"sum": {"field":
+                                                "p.inner.v"}}}},
+                        }},
+                    }},
+                }},
+            }}},
+        ).collect()
+
+        l1c, l1s = defaultdict(int), defaultdict(float)
+        l2, l3, l4 = (defaultdict(int), defaultdict(int),
+                      defaultdict(int))
+        l5c, l5s = defaultdict(int), defaultdict(float)
+        for ext, val, p in docs:
+            l1c[ext] += 1
+            l1s[ext] += val
+            for ob in (p or []):
+                l2[ext] += 1
+                l3[(ext, ob["k"])] += 1
+                for io in ob["inner"]:
+                    l4[(ext, ob["k"])] += 1
+                    l5c[(ext, ob["k"], io["t"])] += 1
+                    l5s[(ext, ob["k"], io["t"])] += io["v"]
+        assert {r.by_ext: r.doc_count for r in out if r.level == 1} \
+            == dict(l1c), trial
+        assert {r.by_ext: r.sv for r in out if r.level == 1} \
+            == {k: round(v, 10) for k, v in l1s.items()}, trial
+        assert {r.by_ext: r.doc_count for r in out if r.level == 2} \
+            == dict(l2), trial
+        assert {(r.by_ext, r.by_k): r.doc_count
+                for r in out if r.level == 3} == dict(l3), trial
+        got4 = {(r.by_ext, r.by_k): r.doc_count
+                for r in out if r.level == 4}
+        assert got4 == dict(l4), trial
+        got5 = {(r.by_ext, r.by_k, r.by_t): (r.doc_count, r.sv2)
+                for r in out if r.level == 5}
+        assert got5 == {k: (c, l5s[k]) for k, c in l5c.items()}, trial
