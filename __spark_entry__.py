@@ -727,6 +727,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     shifted grid (round 12); demoted-green pending rotation
         #     (the gapfill rows keep the date_histogram family)
         "es_date_histogram_tz",
+        # es_composite_missing — composite missing_bucket + a
+        #     null-bearing after cursor (round 14); demoted-green
+        #     pending rotation (es_composite_page/datehist keep the
+        #     composite family verified)
+        "es_composite_missing",
         # es_nested_inside_nested — two-level nested aggregation
         #     chains (round 14, lifting the r12/PARITY #22 bound):
         #     stacked representative masks re-base doc → outer →
@@ -1318,6 +1323,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_filters_agg": _mod("es_search", "q_es_filters_agg"),
         "es_composite_page": _mod("es_search", "q_es_composite_page"),
+        "es_composite_missing": _mod(
+            "es_search", "q_es_composite_missing"
+        ),
         "es_composite_datehist": _mod(
             "es_search", "q_es_composite_datehist"
         ),
@@ -5587,6 +5595,26 @@ def _all_oracle_sql() -> dict[str, str]:
     # es_composite_page: after-key pagination — the cursor is a row-
     # value comparison applied BEFORE the groupBy on both engines
     # (ES's early-termination shape), keys unique so LIMIT is exact.
+    # es_composite_missing (round 14): missing_bucket keeps NULL
+    # keys (sorted FIRST — spelled NULLS FIRST for DuckDB, Spark's
+    # asc default) and the after cursor carries null for the terms
+    # source: strictly-after = non-null type, OR null type past the
+    # cursor's band.
+    q["es_composite_missing"] = """
+        WITH d AS (
+          SELECT CASE WHEN value >= 15 THEN event_type END AS ty,
+                 floor(value / 100) * 100 AS band, value
+          FROM events
+        )
+        SELECT ty, band, count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value) AS avg_value
+        FROM d
+        WHERE (ty IS NOT NULL) OR (ty IS NULL AND band > 0.0)
+        GROUP BY ty, band
+        ORDER BY ty ASC NULLS FIRST, band ASC LIMIT 6
+    """
+
     q["es_composite_page"] = """
         SELECT o_orderpriority AS prio, o_orderstatus AS status,
                count(*) AS doc_count,

@@ -3889,7 +3889,7 @@ def composite_agg(
     SAME one ``compile_aggs`` uses for the equivalent bucket level
     (``_Level.key_expr``), so a composite page over a day grid and a
     date_histogram tree report identical epoch-millis keys."""
-    names, exprs = [], []
+    names, exprs, keep_null = [], [], set()
     for s in sources:
         if isinstance(s, str):
             names.append(s)
@@ -3904,19 +3904,44 @@ def composite_agg(
                     f"composite source {name!r}: one of terms/histogram/"
                     "date_histogram/geotile_grid/geohash_grid"
                 )
+            body = dict(spec[kinds[0]])
+            # ES `missing_bucket: true` (round 14): docs lacking the
+            # source field keep a NULL key instead of dropping; NULL
+            # sorts FIRST (ES's asc missing order — Spark's asc
+            # default, spelled NULLS FIRST in the oracle) and the
+            # after cursor may carry null for such a source
+            if body.pop("missing_bucket", False):
+                keep_null.add(name)
             names.append(name)
-            exprs.append(_Level(name, kinds[0], spec[kinds[0]]).key_expr())
+            exprs.append(_Level(name, kinds[0], body).key_expr())
     base = df.select(
         *[e.alias(n) for e, n in zip(exprs, names)],
         *[c for c in df.columns if c not in names],
     )
     for n in names:
-        base = base.filter(F.col(n).isNotNull())
+        if n not in keep_null:
+            base = base.filter(F.col(n).isNotNull())
     if after:
-        base = base.filter(
-            F.struct(*[F.col(n) for n in names])
-            > F.struct(*[F.lit(after[n]) for n in names])
-        )
+        if keep_null or any(after.get(n) is None for n in names):
+            # NULL-aware lexicographic cursor (a struct comparison
+            # returns NULL past a null field): strictly-after under
+            # nulls-first per key, NULL verdicts coalesced to false
+            pred = F.lit(False)
+            eq = F.lit(True)
+            for n in names:
+                k, a = F.col(n), after[n]
+                if a is None:
+                    gt, this_eq = k.isNotNull(), k.isNull()
+                else:
+                    gt, this_eq = k > F.lit(a), k == F.lit(a)
+                pred = pred | (eq & gt)
+                eq = eq & this_eq
+            base = base.filter(F.coalesce(pred, F.lit(False)))
+        else:
+            base = base.filter(
+                F.struct(*[F.col(n) for n in names])
+                > F.struct(*[F.lit(after[n]) for n in names])
+            )
     agg_exprs = [F.count(F.lit(1)).alias("doc_count")]
     for mname, spec in (metrics or {}).items():
         (kind,) = [k for k in spec if k in _METRIC_KINDS]
@@ -6691,6 +6716,32 @@ def q_es_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         size=5,
         after={"prio": "2-HIGH", "status": "F"},
         metrics={"avg_price": {"avg": {"field": "o_totalprice"}}},
+    )
+
+
+def q_es_composite_missing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Composite ``missing_bucket`` (round 14): a terms source whose
+    low-value docs carry NULL type keys — ``missing_bucket: true``
+    keeps them as NULL-keyed buckets sorted FIRST, and the page-2
+    cursor itself carries ``null`` for that source (the NULL-aware
+    lexicographic after predicate is load-bearing: page 2 starts
+    inside the null-key range)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "t",
+        F.when(F.col("value") >= 15, F.col("event_type")),
+    )
+    return composite_agg(
+        ev,
+        sources=[
+            {"ty": {"terms": {"field": "t", "missing_bucket": True}}},
+            {"band": {"histogram": {"field": "value",
+                                    "interval": 100}}},
+        ],
+        size=6,
+        after={"ty": None, "band": 0.0},
+        metrics={"avg_value": {"avg": {"field": "value"}}},
     )
 
 

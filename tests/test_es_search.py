@@ -5346,3 +5346,34 @@ def test_nested_inside_nested_randomized(spark):
         got5 = {(r.by_ext, r.by_k, r.by_t): (r.doc_count, r.sv2)
                 for r in out if r.level == 5}
         assert got5 == {k: (c, l5s[k]) for k, c in l5c.items()}, trial
+
+
+def test_composite_missing_bucket_paging(spark):
+    """Round 14: missing_bucket keeps NULL keys sorted FIRST and the
+    after cursor pages through them — the union of all pages equals
+    the whole keyed space exactly once (the composite walk pin),
+    null cursor included."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("a", 1.0), ("a", 2.0), ("b", 1.0)],
+        "t string, v double",
+    )
+    srcs = [{"ty": {"terms": {"field": "t", "missing_bucket": True}}},
+            {"band": {"histogram": {"field": "v", "interval": 1}}}]
+    pages, after = [], None
+    while True:
+        page = composite_agg(df, srcs, size=2, after=after).collect()
+        if not page:
+            break
+        pages.extend((r.ty, r.band, r.doc_count) for r in page)
+        last = page[-1]
+        after = {"ty": last.ty, "band": last.band}
+        if len(page) < 2:
+            break
+    assert pages == [
+        (None, 1.0, 1), (None, 2.0, 1),
+        ("a", 1.0, 1), ("a", 2.0, 1), ("b", 1.0, 1),
+    ]
+    # without missing_bucket the NULL-key docs drop (the default)
+    srcs2 = [{"ty": {"terms": {"field": "t"}}},
+             {"band": {"histogram": {"field": "v", "interval": 1}}}]
+    assert composite_agg(df, srcs2, size=10).count() == 3

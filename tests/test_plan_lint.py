@@ -326,6 +326,10 @@ PINNED_FINGERPRINTS = {
     # categorize_text (round 14): the skeleton is a key expression —
     # the one-rollup bucket-frame class
     "es_categorize_text": {"exchange": 4},
+    # composite missing_bucket (round 14): the null-aware cursor is
+    # a scan filter — one groupBy exchange + TakeOrdered, the
+    # composite page class
+    "es_composite_missing": {"exchange": 1},
     # nested-inside-nested aggregation (round 14): TWO scan-side
     # Generates feed the same one-rollup bucket-frame class — no
     # extra shuffle over the single-nested rows
