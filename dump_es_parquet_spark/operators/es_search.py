@@ -3879,10 +3879,12 @@ def composite_agg(
     metrics: dict | None = None,
 ) -> DataFrame:
     """ES ``composite`` aggregation: key-ordered bucket pages. The
-    ``after`` cursor compiles to one struct comparison applied BEFORE
-    the groupBy — later pages never re-shuffle earlier key ranges,
-    exactly ES's early-termination contract. Keys must be NULL-free
-    (composite sources drop missing by default).
+    ``after`` cursor compiles to one comparison applied BEFORE the
+    groupBy — later pages never re-shuffle earlier key ranges,
+    exactly ES's early-termination contract. Composite sources drop
+    missing keys by default; ``missing_bucket: true`` (round 14)
+    keeps them as NULL-keyed buckets sorted FIRST, the cursor
+    turning NULL-aware lexicographic.
 
     Source kinds (round 10 widened past ``terms``): ``terms``,
     ``histogram`` and ``date_histogram`` — each key expression is the
