@@ -5377,3 +5377,120 @@ def test_composite_missing_bucket_paging(spark):
     srcs2 = [{"ty": {"terms": {"field": "t"}}},
              {"band": {"histogram": {"field": "v", "interval": 1}}}]
     assert composite_agg(df, srcs2, size=10).count() == 3
+
+
+def test_geo_shape_polygon_randomized(spark):
+    """Round-14 property pin: the parity ray-cast column equals a
+    pure-Python ray-cast on random (often non-convex) polygons and
+    random points — same edge rule (horizontal edges skipped, strict
+    lon < intersect), so boundary conventions agree by construction."""
+    import random
+
+    rng = random.Random(1450)
+    for trial in range(4):
+        nv = rng.randrange(3, 8)
+        ring = [(round(rng.uniform(-50, 50), 3),
+                 round(rng.uniform(-50, 50), 3)) for _ in range(nv)]
+        pts = [(i, round(rng.uniform(-60, 60), 3),
+                round(rng.uniform(-60, 60), 3)) for i in range(120)]
+
+        def py_inside(x, y):
+            c = 0
+            for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+                if y1 == y2:
+                    continue
+                if ((y1 > y) != (y2 > y)) and (
+                    x < (x2 - x1) * (y - y1) / (y2 - y1) + x1
+                ):
+                    c += 1
+            return c % 2 == 1
+
+        df = spark.createDataFrame(
+            pts, "id long, lon double, lat double"
+        ).withColumn("loc", F.struct(F.col("lat"), F.col("lon")))
+        q = {"geo_shape": {"loc": {"shape": {
+            "type": "polygon",
+            "coordinates": [[list(v) for v in ring] + [list(ring[0])]],
+        }}}}
+        got = {r.id for r in df.filter(compile_query(q)).collect()}
+        want = {i for i, x, y in pts if py_inside(x, y)}
+        assert got == want, (trial, got ^ want)
+
+
+def test_terms_partition_matches_python_md5(spark):
+    """Round-14 property pin: the include-partition hash is the
+    documented portable md5 bucket — the Spark column assignment
+    equals hashlib.md5 in Python for string AND numeric keys."""
+    import hashlib
+
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    def py_bucket(key, m):
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        return int(h[:4], 16) % m
+
+    vals = [f"u{i}" for i in range(30)] + list(range(100, 130))
+    df = spark.createDataFrame([(str(v),) for v in vals], "k string")
+    m = 5
+    got = {}
+    for p in range(m):
+        out = search_aggs(df, {"aggs": {"b": {"terms": {
+            "field": "k", "size": 1000,
+            "include": {"partition": p, "num_partitions": m}}}}}
+        ).collect()
+        for r in out:
+            got[r.b] = p
+    assert got == {str(v): py_bucket(v, m) for v in vals}
+
+
+def test_categorize_text_randomized(spark):
+    """Round-14 property pin: the skeleton column equals the Python
+    reference (whitespace split, digit-bearing tokens -> '*') on
+    random messages mixing words, numbers, hex-ish ids and blanks."""
+    import random
+    import re as _re
+    from collections import Counter
+
+    rng = random.Random(1451)
+    words = ["conn", "from", "failed", "user", "login", "ok",
+             "retry", "x9y", "10.0.0.7", "id42", "plain"]
+    msgs = []
+    for _ in range(200):
+        n = rng.randrange(1, 6)
+        msgs.append(" ".join(rng.choice(words) for _ in range(n)))
+
+    def py_skel(m):
+        return " ".join(
+            "*" if _re.search(r"[0-9]", t) else t
+            for t in _re.split(r"\s+", m.strip())
+        )
+
+    want = Counter(py_skel(m) for m in msgs)
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    df = spark.createDataFrame([(m,) for m in msgs], "msg string")
+    out = search_aggs(df, {"aggs": {"c": {"categorize_text": {
+        "field": "msg", "size": 1000}}}}).collect()
+    assert {r.c: r.doc_count for r in out} == dict(want)
+
+
+def test_holt_alpha1_beta0_degenerates_to_last_value(spark):
+    """Round-14 edge pin: alpha=1, beta=0 makes holt return the
+    window's LAST non-NULL value exactly (s <- v each step, trend
+    frozen at 0) — a closed-form check independent of the fold."""
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    df = spark.createDataFrame(
+        [(1704067200000 + h * 3600000, float(v))
+         for h, v in enumerate([5, 9, 2, 7, 3])],
+        "ms long, value double",
+    ).withColumn("ts", F.timestamp_millis(F.col("ms")))
+    out = search_aggs(df, {"aggs": {"h": {
+        "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+        "aggs": {"sv": {"sum": {"field": "value"}},
+                 "ho": {"moving_fn": {
+                     "buckets_path": "sv", "window": 3,
+                     "script": "MovingFunctions.holt(values, 1.0, 0.0)"
+                 }}},
+    }}}).orderBy("h").collect()
+    assert [r.ho for r in out] == [5.0, 9.0, 2.0, 7.0, 3.0]
