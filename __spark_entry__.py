@@ -687,9 +687,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     array column replaced by exploded structs at the root,
         #     doc_count counts objects; demoted-green pending rotation
         "es_nested_agg",
-        # es_reverse_nested — PROMOTED round 13 (VERDICT r12 Next
-        #     #2): non-root nested + reverse_nested with ancestor
-        #     doc/metric masking and a distinct-parent doc_count.
+        # es_reverse_nested — promoted r13, rotated back OUT round
+        #     15 (VERDICT r14 Next #1): the promoted
+        #     es_nested_inside_nested is the harder nested row
+        #     (es_reverse_nested_aggs stays demoted-green)
+        "es_reverse_nested",
         # corpus_bm25_stemmed — PROMOTED round 13 (VERDICT r12 Next
         #     #2): the analyzer seam's third step — standard
         #     tokenizer + the Harman S-stemmer (Lucene
@@ -732,23 +734,22 @@ DEMOTED: frozenset[str] = frozenset(
         #     pending rotation (es_composite_page/datehist keep the
         #     composite family verified)
         "es_composite_missing",
-        # es_nested_inside_nested — two-level nested aggregation
-        #     chains (round 14, lifting the r12/PARITY #22 bound):
-        #     stacked representative masks re-base doc → outer →
-        #     inner; demoted-green pending rotation (es_nested_agg /
-        #     es_reverse_nested keep the family declared)
-        "es_nested_inside_nested",
+        # es_nested_inside_nested — PROMOTED round 15 (VERDICT r14
+        #     Next #1): two-level nested aggregation chains with
+        #     stacked representative masks re-basing doc → outer →
+        #     inner (the hardest nested row; es_reverse_nested
+        #     rotates out in exchange, es_reverse_nested_aggs stays
+        #     demoted-green).
         # es_retriever_rrf — the ES 8.14 retriever.rrf request
         #     dialect over hybrid_rrf with non-default
         #     rank_constant/window/size/vector knobs (round 14);
         #     demoted-green pending rotation (corpus_hybrid_rrf
         #     keeps the fusion engine declared)
         "es_retriever_rrf",
-        # es_categorize_text — token-skeleton log categorization
-        #     (round 14, the x-pack ML agg under a documented
-        #     deterministic reading — PARITY #26); demoted-green
-        #     pending rotation
-        "es_categorize_text",
+        # es_categorize_text — PROMOTED round 15 (VERDICT r14 Next
+        #     #1): token-skeleton log categorization (the x-pack ML
+        #     agg under the documented deterministic reading —
+        #     PARITY #26), size/order/sub-agg composition like terms.
         # es_has_child_inner_hits — has_child + inner_hits
         #     (round 14, closing PARITY #23's bound): per-parent
         #     top-N matching children under an explicit sort;
@@ -770,25 +771,22 @@ DEMOTED: frozenset[str] = frozenset(
         #     (PARITY #25); demoted-green pending rotation
         #     (es_geo_queries keeps the geo family verified)
         "es_geo_shape",
-        # es_suggest_phrase — the phrase suggester ("did you mean"
-        #     over multi-word input, round 14, VERDICT r13 Next #6):
-        #     per-token vocab candidates + stupid-backoff bigram-LM
-        #     re-rank; demoted-green pending rotation
-        #     (es_suggest_term keeps the suggester family verified)
-        "es_suggest_phrase",
-        # es_significant_heuristics — chi_square / gnd /
-        #     mutual_information / percentage significance scoring
-        #     (round 14, VERDICT r13 Next #5) over the JLH row's
-        #     counts frame; demoted-green pending rotation
-        #     (es_significant_terms_per_bucket keeps the family
-        #     declared)
-        "es_significant_heuristics",
-        # es_top_hits_nonleaf — top_hits under a NON-LEAF bucket
-        #     (round 14, VERDICT r13 Next #4): the bucket/doc union
-        #     frame, terms prune load-bearing for both halves;
-        #     demoted-green pending rotation (es_top_hits keeps the
-        #     leaf form verified)
-        "es_top_hits_nonleaf",
+        # es_suggest_phrase — PROMOTED round 15 (VERDICT r14 Next
+        #     #1, AFTER the Next #2 beam rewrite that replaced the
+        #     r14 per_token^L driver-side product literal): per-token
+        #     vocab candidates + stupid-backoff bigram-LM re-rank via
+        #     an exact Viterbi beam, so the promoted row makes the
+        #     fixed plan load-bearing.
+        # es_significant_heuristics — PROMOTED round 15 (VERDICT r14
+        #     Next #1): chi_square / gnd / mutual_information /
+        #     percentage significance scoring over the JLH row's
+        #     counts frame (es_significant_terms_per_bucket rotates
+        #     out in exchange — the heuristics row covers the
+        #     per-bucket join shape on a harder score tree).
+        # es_top_hits_nonleaf — PROMOTED round 15 (VERDICT r14 Next
+        #     #1): top_hits under a NON-LEAF bucket — the bucket/doc
+        #     union frame, terms prune load-bearing for both halves
+        #     (es_top_hits keeps the leaf form demoted-green).
         # es_terms_partition — terms include {partition,
         #     num_partitions} (round 14, VERDICT r13 Next #3): the
         #     high-cardinality walk recipe via the portable md5
@@ -811,9 +809,40 @@ DEMOTED: frozenset[str] = frozenset(
         #     length metrics (round 12); demoted-green pending
         #     rotation (es_metric_variants keeps the metric family)
         "es_geo_bounds_string_stats",
-        # es_matrix_stats — PROMOTED round 13 (VERDICT r12 Next #2):
-        #     per-pair covariance/correlation with the exact-moments
-        #     discipline, listwise deletion.
+        # es_matrix_stats — promoted r13, rotated back OUT round 15
+        #     (VERDICT r14 Next #1): es_extended_stats +
+        #     grouped_robust_stats keep the moment-discipline family
+        "es_matrix_stats",
+        # mm_binary_metadata — rotated OUT round 15 (VERDICT r14
+        #     Next #1): mm_binary_clusters is the load-bearing
+        #     multimodal row (same binary/metadata plumbing plus the
+        #     dHash clone audit)
+        "mm_binary_metadata",
+        # q8_market_share — rotated OUT round 15 (VERDICT r14 Next
+        #     #1): TPC-H keeps q1/q3/q10/q18 declared
+        "q8_market_share",
+        # --- round 15 (VERDICT r14 Next #3-#8): the six new dialect
+        #     rows land demoted-green pending the next rotation
+        #     window (pytest oracle-verifies them at sf0.001; the
+        #     judge sweep at sf0.01).
+        # es_compound_filter — constant_score / dis_max / boosting
+        #     filter-context reductions nested in one bool
+        "es_compound_filter",
+        # es_simple_query_string — the lenient search-box grammar
+        #     (never raises on input text; property-pinned)
+        "es_simple_query_string",
+        # es_match_prefix — match_phrase_prefix + match_bool_prefix
+        #     (search-as-you-type), one tagged union row
+        "es_match_prefix",
+        # es_ip_range — CIDR term/terms/range on string ip columns +
+        #     the ip_range aggregation (masks + from/to bands)
+        "es_ip_range",
+        # es_terms_set — size(array_intersect) >=
+        #     minimum_should_match_field over array-mode columns
+        "es_terms_set",
+        # es_composite_geotile — the composite geotile_grid source
+        #     (map-tile walk), keys identical to es_geotile_grid's
+        "es_composite_geotile",
         # es_bucket_selector — the alerting HAVING pipeline +
         #     normalize percent_of_sum shares (round 12);
         #     demoted-green pending rotation (es_pipeline_aggs keeps
@@ -824,12 +853,13 @@ DEMOTED: frozenset[str] = frozenset(
         #     scores (round 12); demoted-green pending rotation
         #     (corpus_significant_terms keeps the text twin verified)
         "es_significant_terms",
-        # es_significant_terms_per_bucket — PROMOTED round 14
-        #     (VERDICT r13 Next #2): the per-bucket significance
-        #     shape — global background, bucket foreground,
-        #     parent-sizes join replacing the root path's 1-row
-        #     broadcast (es_significant_terms keeps the root path
-        #     demoted-green, corpus_significant_terms the text twin).
+        # es_significant_terms_per_bucket — promoted r14, rotated
+        #     back OUT round 15 (VERDICT r14 Next #1): the promoted
+        #     es_significant_heuristics row covers the per-bucket
+        #     join shape on a harder score tree
+        #     (es_significant_terms keeps the root path
+        #     demoted-green, corpus_significant_terms the text twin)
+        "es_significant_terms_per_bucket",
         # es_nested_inner_hits — nested query inner_hits (round 13,
         #     VERDICT r12 Next #4): matched object offsets per hit
         #     via an index-keeping transform/filter projection over
@@ -1328,6 +1358,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_composite_datehist": _mod(
             "es_search", "q_es_composite_datehist"
+        ),
+        # — round 15 (VERDICT r14 Next #3-#8): compound filter-context
+        #   wrappers, the lenient search-box grammar, the
+        #   search-as-you-type prefix matches, ip/CIDR + ip_range,
+        #   terms_set, and the composite map-tile walk —
+        "es_compound_filter": _mod("es_search", "q_es_compound_filter"),
+        "es_simple_query_string": _mod(
+            "querystring", "q_es_simple_query_string"
+        ),
+        "es_match_prefix": _mod("es_search", "q_es_match_prefix"),
+        "es_ip_range": _mod("es_search", "q_es_ip_range"),
+        "es_terms_set": _mod("es_search", "q_es_terms_set"),
+        "es_composite_geotile": _mod(
+            "es_search", "q_es_composite_geotile"
         ),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
@@ -5642,6 +5686,163 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM leaf
         WHERE (day, etype) > (1704412800000, 'error')
         GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 20
+    """
+
+    # es_compound_filter (round 15): the compound scoring wrappers'
+    # filter-context reductions — dis_max = NULL-safe OR of its
+    # queries, constant_score = its filter, boosting = its positive
+    # clause (under must_not here) — spelled as the identical
+    # COALESCE tree.
+    q["es_compound_filter"] = """
+        SELECT event_id, event_type, value, user_id FROM events
+        WHERE (coalesce(event_type = 'click', FALSE)
+               OR coalesce(value >= 900, FALSE))
+          AND value >= 10
+          AND NOT coalesce(user_id = 13, FALSE)
+        ORDER BY event_id ASC LIMIT 150
+    """
+
+    # es_simple_query_string (round 15): '(merge | vector) + scan* )
+    # -"slow join"' under the lenient left-to-right fold — the
+    # unmatched ')' drops, the trailing-* is a token prefix, the
+    # negated phrase ORs in as "all docs not matching" (the Lucene
+    # SimpleQueryParser quirk, documented in the parser docstring).
+    q["es_simple_query_string"] = r"""
+        WITH d AS (
+          SELECT doc_id, lang, n_chars, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        )
+        SELECT doc_id, lang, n_chars FROM d
+        WHERE ((coalesce(list_contains(toks, 'merge'), FALSE)
+                OR coalesce(list_contains(toks, 'vector'), FALSE))
+               AND coalesce(
+                   len(list_filter(toks, t -> t LIKE 'scan%')) > 0,
+                   FALSE))
+           OR NOT coalesce(
+                  regexp_matches(text, '(^|\s)slow\s+join(\s|$)'),
+                  FALSE)
+        ORDER BY doc_id LIMIT 150
+    """
+
+    # es_match_prefix (round 15): match_phrase_prefix = the phrase
+    # regexp with NO trailing boundary on the last token;
+    # match_bool_prefix (operator and) = full-token containment plus
+    # a token-prefix exists; per-arm size before the tagged union.
+    q["es_match_prefix"] = r"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        )
+        SELECT * FROM (
+          SELECT doc_id, 'phrase_prefix' AS form FROM d
+          WHERE regexp_matches(text, '(^|\s)slow\s+jo')
+          ORDER BY doc_id LIMIT 100
+        )
+        UNION ALL
+        SELECT * FROM (
+          SELECT doc_id, 'bool_prefix' AS form FROM d
+          WHERE list_contains(toks, 'merge')
+            AND len(list_filter(toks, t -> t LIKE 'vec%')) > 0
+          ORDER BY doc_id LIMIT 100
+        )
+        ORDER BY form, doc_id
+    """
+
+    # es_ip_range (round 15): the synthesized dotted-quad column
+    # converts through the IDENTICAL octet-split long tree (TRY_CAST
+    # mirrors try_cast); the /9 term filter and the band CASE chain
+    # use the normalized numeric bounds (mask 10.0.0.0/10 =
+    # [167772160, 171966464), from/to bands from the same
+    # _ip_to_long arithmetic); avg through the exact-decimal tree.
+    q["es_ip_range"] = """
+        WITH e AS (
+          SELECT value,
+                 '10.' || CAST((user_id % 4) * 64 AS INT)
+                 || '.' || CAST(user_id % 256 AS INT)
+                 || '.' || CAST(event_id % 256 AS INT) AS ip
+          FROM events
+        ),
+        n AS (
+          SELECT value,
+                 TRY_CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+               + TRY_CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+               + TRY_CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+               + TRY_CAST(string_split(ip, '.')[4] AS BIGINT) AS ipn
+          FROM e
+        ),
+        b AS (
+          SELECT value,
+                 CASE
+                   WHEN ipn >= 167772160 AND ipn < 171966464
+                     THEN '10.0.0.0/10'
+                   WHEN ipn >= 171966464 AND ipn < 171999232
+                     THEN '10.64.0.0-10.64.128.0'
+                   WHEN ipn >= 171999232 THEN '10.64.128.0-*'
+                 END AS bands
+          FROM n
+          WHERE coalesce(ipn >= 167772160 AND ipn < 176160768, FALSE)
+        )
+        SELECT CAST(1 AS INT) AS level, bands, count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value) AS avg_v
+        FROM b WHERE bands IS NOT NULL
+        GROUP BY bands ORDER BY bands
+    """
+
+    # es_terms_set (round 15): at least `req` of the literal terms in
+    # the per-doc tags array — list_intersect mirrors Spark's
+    # set-semantics array_intersect over the identically synthesized
+    # array.
+    q["es_terms_set"] = """
+        WITH e AS (
+          SELECT event_id, event_type, value,
+                 CAST(event_id % 2 + 1 AS INT) AS req,
+                 list_value(
+                   event_type,
+                   'b' || CAST(CAST(floor(value / 100) AS INT)
+                               AS VARCHAR)
+                 ) AS tags
+          FROM events
+        )
+        SELECT event_id, event_type, value, req FROM e
+        WHERE len(list_intersect(tags, ['click', 'error', 'b2'])) >= req
+        ORDER BY event_id LIMIT 120
+    """
+
+    # es_composite_geotile (round 15): page 2 of the zoom-6 tile walk
+    # — the IDENTICAL Web-Mercator tree as es_geotile_grid (the one
+    # key expression), the after cursor a string compare applied
+    # BEFORE the group, avg through the exact-decimal tree.
+    q["es_composite_geotile"] = """
+        WITH g AS (
+          SELECT value, value / 10.0 - 24.5 AS lat,
+                 CAST((event_id % 360) - 180 + 0.5 AS DOUBLE) AS lon
+          FROM events
+        ),
+        t AS (
+          SELECT value,
+                 '6/' || CAST(greatest(0, least(
+                     CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT),
+                     63)) AS VARCHAR)
+                 || '/' || CAST(greatest(0, least(CAST(floor(round(
+                     (1.0 - ln(tan(radians(greatest(-85.05112878,
+                                  least(85.05112878, lat))))
+                               + 1.0 / cos(radians(greatest(-85.05112878,
+                                  least(85.05112878, lat)))))
+                            / pi()) / 2.0 * 64.0, 12)) AS BIGINT),
+                     63)) AS VARCHAR) AS tile
+          FROM g
+          WHERE lat IS NOT NULL AND lon IS NOT NULL
+            AND lat >= -90.0 AND lat <= 90.0
+            AND lon >= -180.0 AND lon <= 180.0
+        )
+        SELECT tile, count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value) AS avg_v
+        FROM t WHERE tile > '6/17/31'
+        GROUP BY tile ORDER BY tile LIMIT 12
     """
 
     # es_pipeline_aggs: pipeline aggregations over the bucket frame —

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_query_string"]
+__all__ = ["parse_query_string", "parse_simple_query_string"]
 
 _SPECIAL = set('()":[]{} ')
 _INT_TYPES = ("tinyint", "smallint", "int", "bigint", "long")
@@ -400,6 +400,156 @@ def parse_query_string(
     return out
 
 
+def parse_simple_query_string(
+    qs: str,
+    term_leaf,
+    prefix_leaf,
+    phrase_leaf,
+    default_operator: str = "or",
+) -> Column | None:
+    """ES ``simple_query_string`` (round 15, VERDICT r14 Next #4):
+    the fault-tolerant sibling applications embed in user-facing
+    search boxes. Grammar: ``+`` = AND, ``|`` = OR, ``-`` at clause
+    start = NOT (NULL-exact, like the classic parser), ``"..."``
+    phrases, a trailing unescaped ``*`` = prefix, parentheses,
+    ``\\x`` escapes. NEVER raises on input text: like Lucene's
+    SimpleQueryParser it drops what it cannot use — dangling
+    operators, unmatched ``)``, empty groups — and an unterminated
+    quote drops the quote character and keeps scanning. Clauses fold
+    LEFT-TO-RIGHT with no precedence (Lucene's SimpleQueryParser
+    combines as it scans; the classic parser's AND-binds-tighter
+    rule does NOT apply here), adjacency = ``default_operator``
+    (ES default OR).
+
+    Leaf semantics come from the caller (``term_leaf(text)``,
+    ``prefix_leaf(text)``, ``phrase_leaf(text)`` → Column), so the
+    ES request arm can OR them over its ``fields`` list. Returns
+    None when nothing parses (ES's MatchNoDocsQuery — the caller
+    decides the empty reading). Divergence (PARITY #19's family):
+    ``~N`` fuzzy/slop suffixes are not modeled — ``~`` parses as a
+    literal character."""
+    toks = _sqs_tokens(qs)
+    pos = 0
+
+    def parse_group() -> Column | None:
+        nonlocal pos
+        acc = None
+        pending_op: str | None = None
+        pending_not = False
+
+        def attach(clause: Column | None):
+            nonlocal acc, pending_op, pending_not
+            if clause is None:
+                pending_op, pending_not = None, False
+                return
+            if pending_not:
+                clause = ~_false_safe(clause)
+            op = pending_op or default_operator
+            if acc is None:
+                acc = clause
+            elif op == "and":
+                acc = acc & clause
+            else:
+                acc = acc | clause
+            pending_op, pending_not = None, False
+
+        while pos < len(toks):
+            kind, val = toks[pos]
+            pos += 1
+            if kind == "or":
+                pending_op = "or" if acc is not None else None
+            elif kind == "and":
+                pending_op = "and" if acc is not None else None
+            elif kind == "not":
+                pending_not = not pending_not
+            elif kind == "rparen":
+                # closes this group; at top level the caller loop
+                # just continues (the unmatched ')' drops)
+                return acc
+            elif kind == "lparen":
+                attach(parse_group())
+            elif kind == "phrase":
+                attach(phrase_leaf(val) if val.strip() else None)
+            else:  # term
+                text, is_prefix = val
+                if not text:
+                    attach(None)
+                elif is_prefix:
+                    attach(prefix_leaf(text))
+                else:
+                    attach(term_leaf(text))
+        return acc
+
+    out = parse_group()
+    while pos < len(toks):  # top-level text after an unmatched ')'
+        more = parse_group()
+        if more is not None:
+            out = more if out is None else (
+                out & more if default_operator == "and" else out | more
+            )
+    return out
+
+
+def _sqs_tokens(s: str) -> list[tuple[str, object]]:
+    """Lenient simple_query_string scanner — cannot fail. Terms keep
+    per-char escape flags long enough to decide whether a trailing
+    ``*`` is the prefix operator or an escaped literal."""
+    toks: list[tuple[str, object]] = []
+    buf: list[tuple[str, bool]] = []
+    i, n = 0, len(s)
+
+    def flush():
+        if not buf:
+            return
+        is_prefix = len(buf) > 0 and buf[-1] == ("*", False)
+        chars = buf[:-1] if is_prefix else list(buf)
+        toks.append(("term", ("".join(c for c, _ in chars), is_prefix)))
+        buf.clear()
+
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            buf.append((s[i + 1], True))
+            i += 2
+            continue
+        if c.isspace():
+            flush()
+            i += 1
+            continue
+        if c in "()|+":
+            flush()
+            toks.append((
+                {"(": "lparen", ")": "rparen", "|": "or", "+": "and"}[c],
+                None,
+            ))
+            i += 1
+            continue
+        if c == "-" and not buf:
+            toks.append(("not", None))
+            i += 1
+            continue
+        if c == '"':
+            flush()
+            j = i + 1
+            pb: list[str] = []
+            while j < n and s[j] != '"':
+                if s[j] == "\\" and j + 1 < n:
+                    j += 1
+                pb.append(s[j])
+                j += 1
+            if j < n:
+                toks.append(("phrase", "".join(pb)))
+                i = j + 1
+            else:
+                # unterminated quote: drop the quote char, keep going
+                i += 1
+            continue
+        buf.append((c, False))
+        i += 1
+    flush()
+    return toks
+
+
 def q_es_query_string(spark, sf_dir: str) -> DataFrame:
     """A saved ``q=`` string replayed on the lake: grouped terms,
     a half-open numeric range, a NULL-exact NOT, an exists guard and
@@ -415,4 +565,29 @@ def q_es_query_string(spark, sf_dir: str) -> DataFrame:
         ev.filter(parse_query_string(qs, ev))
         .select("event_id", "ts", "event_type", "value", "user_id")
         .orderBy("event_id")
+    )
+
+
+def q_es_simple_query_string(spark, sf_dir: str) -> DataFrame:
+    """``simple_query_string`` (round 15, VERDICT r14 Next #4)
+    replayed on the documents corpus: a grouped OR, an explicit
+    ``+`` AND, a trailing-``*`` prefix, a NULL-exact ``-`` NOT of a
+    quoted phrase — plus a junk fragment (an unmatched ``)``) that
+    the lenient grammar drops, exactly why applications use this
+    query for user-facing search boxes."""
+    from pyspark.sql import functions as F
+
+    from .es_search import compile_query
+    from .tables import load
+
+    d = load(spark, sf_dir, "documents")
+    q = {"simple_query_string": {
+        "query": '(merge | vector) + scan* ) -"slow join"',
+        "fields": ["text"],
+    }}
+    return (
+        d.filter(F.coalesce(compile_query(q), F.lit(False)))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .limit(150)
     )

@@ -9,6 +9,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from dump_es_parquet_spark.operators.es_search import (
+    _false_safe,
     compile_aggs,
     compile_query,
     composite_agg,
@@ -5261,6 +5262,49 @@ def test_round14_review_guards(spark):
             {"name": "p", "_source": ["t"]}, source=["fk", "p_t"])
 
 
+def test_round15_review_guards(spark):
+    """Round-15 ADVICE fixes: (a) non-leaf top_hits under a
+    rare_terms / multi_terms / categorize_text carrier-prefix level
+    raises — the bucket half prunes those kinds (max_doc_count
+    ceiling / size rank) but the doc half reproduces only the terms
+    rule, so letting them through would break the halves-agree
+    invariant; (b) chi_square on a degenerate contingency (a zero
+    margin — here fg = the whole frame, so N0_ = 0) DROPS the term
+    by explicit convention (the gnd precedent) instead of through
+    an accidental NULL division."""
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    df = spark.createDataFrame(
+        [Row(kind="a", sub="x", n=1.0, id=1),
+         Row(kind="b", sub="y", n=2.0, id=2)]
+    )
+    th = {"e": {"top_hits": {"size": 1, "sort": [{"id": "asc"}],
+                             "_source": ["id"]}},
+          "sub": {"terms": {"field": "sub"}}}
+    for prefix in (
+        {"rare_terms": {"field": "kind"}},
+        {"multi_terms": {"terms": [{"field": "kind"},
+                                   {"field": "sub"}]}},
+        {"categorize_text": {"field": "kind"}},
+    ):
+        with pytest.raises(ValueError, match="does not reproduce"):
+            compile_aggs(df, {"k": {**prefix, "aggs": th}})
+
+    rows = [("a", 9.0)] * 3 + [("b", 9.0)] + [("b", 1.0)] * 2
+    sdf = spark.createDataFrame(rows, "t string, v double")
+    run = lambda q: search_aggs(  # noqa: E731
+        sdf,
+        {"query": q, "aggs": {"sig": {"significant_terms": {
+            "field": "t", "min_doc_count": 1, "chi_square": {},
+        }}}},
+    ).collect()
+    # non-degenerate: both margins positive, 'a' scores and survives
+    assert any(r.sig == "a" for r in run({"range": {"v": {"gte": 6}}}))
+    # degenerate: fg = everything -> N0_ = 0 for every term -> all
+    # rows drop by the documented convention, no error, no NULL rows
+    assert run({"match_all": {}}) == []
+
+
 def test_nested_inside_nested_randomized(spark):
     """Round-14 property pin: the five-level two-explode frame
     equals a pure-Python reference on randomized docs with NULL
@@ -5494,3 +5538,200 @@ def test_holt_alpha1_beta0_degenerates_to_last_value(spark):
                  }}},
     }}}).orderBy("h").collect()
     assert [r.ho for r in out] == [5.0, 9.0, 2.0, 7.0, 3.0]
+
+
+# --- round 15: compound wrappers, prefix matches, terms_set, ip/CIDR
+
+
+def test_compound_filter_context_reductions(spark):
+    """Round 15 (VERDICT r14 Next #3): constant_score → its filter,
+    dis_max → NULL-safe OR of its queries, boosting → its positive
+    clause — the exact filter-context reductions, composing inside
+    bool."""
+    df = spark.createDataFrame(
+        [(1, "quick brown fox", "a", 5.0),
+         (2, "quick brow", "b", 1.0),
+         (3, "slow brown foxtrot", "a", 9.0),
+         (4, None, None, None)],
+        "id int, text string, k string, v double")
+
+    def ids(q):
+        return sorted(
+            r.id for r in df.filter(_false_safe(compile_query(q))).collect()
+        )
+
+    assert ids({"constant_score": {
+        "filter": {"term": {"k": "a"}}, "boost": 2.0}}) == [1, 3]
+    assert ids({"dis_max": {"queries": [
+        {"term": {"k": "b"}}, {"range": {"v": {"gte": 9}}}],
+        "tie_breaker": 0.7}}) == [2, 3]
+    # a NULL field in one dis_max arm cannot poison the OR
+    assert ids({"dis_max": {"queries": [
+        {"term": {"text": "quick brow"}},
+        {"term": {"k": "a"}}]}}) == [1, 2, 3]
+    # boosting filters by positive ONLY (negative demotes scores)
+    assert ids({"boosting": {"positive": {"term": {"k": "a"}},
+                             "negative": {"range": {"v": {"gte": 9}}},
+                             "negative_boost": 0.5}}) == [1, 3]
+    # composition inside bool
+    assert ids({"bool": {
+        "must": [{"dis_max": {"queries": [
+            {"term": {"k": "a"}}, {"term": {"k": "b"}}]}}],
+        "must_not": [{"constant_score": {
+            "filter": {"term": {"k": "b"}}}}]}}) == [1, 3]
+    with pytest.raises(ValueError, match="at least one"):
+        ids({"dis_max": {"queries": []}})
+
+
+def test_match_prefix_queries(spark):
+    """Round 15 (VERDICT r14 Next #5): match_phrase_prefix anchors
+    every token at a boundary with the LAST one a prefix;
+    match_bool_prefix is token containment + a last-token prefix
+    under the match operator."""
+    df = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "quick brow"),
+         (3, "slow brown foxtrot"), (4, None)],
+        "id int, text string")
+
+    def ids(q):
+        return sorted(
+            r.id for r in df.filter(_false_safe(compile_query(q))).collect()
+        )
+
+    assert ids({"match_phrase_prefix": {"text": {"query": "quick bro"}}}) \
+        == [1, 2]
+    # full tokens still need boundaries; the last is a pure prefix
+    assert ids({"match_phrase_prefix": {"text": "brown fox"}}) == [1, 3]
+    assert ids({"match_phrase_prefix": {"text": "rown fox"}}) == []
+    assert ids({"match_bool_prefix": {"text": {
+        "query": "brown fo", "operator": "and"}}}) == [1, 3]
+    assert ids({"match_bool_prefix": {"text": {
+        "query": "slow fo", "operator": "or"}}}) == [1, 3]
+    # empty query matches nothing, both kinds
+    assert ids({"match_phrase_prefix": {"text": "  "}}) == []
+    assert ids({"match_bool_prefix": {"text": "  "}}) == []
+
+
+def test_terms_set_query(spark):
+    """Round 15 (VERDICT r14 Next #7): per-doc minimum from
+    minimum_should_match_field; the script form raises with the
+    Painless pointer."""
+    df = spark.createDataFrame(
+        [(1, ["x", "y"], 2), (2, ["x"], 1), (3, ["y", "z"], 2),
+         (4, None, 1), (5, ["x", "y", "z"], None)],
+        "id int, tags array<string>, req int")
+
+    def ids(q):
+        return sorted(
+            r.id for r in df.filter(_false_safe(compile_query(q))).collect()
+        )
+
+    assert ids({"terms_set": {"tags": {
+        "terms": ["x", "y"],
+        "minimum_should_match_field": "req"}}}) == [1, 2]
+    # NULL array / NULL minimum → no match, never an error
+    assert 4 not in ids({"terms_set": {"tags": {
+        "terms": ["x"], "minimum_should_match_field": "req"}}})
+    with pytest.raises(ValueError, match="minimum_should_match_field"):
+        compile_query({"terms_set": {"tags": {
+            "terms": ["x"],
+            "minimum_should_match_script": {"source": "params..."}}}})
+
+
+def test_ip_cidr_and_ip_range(spark):
+    """Round 15 (VERDICT r14 Next #6): CIDR terms, dotted-quad range
+    bounds ordering NUMERICALLY, malformed ips matching nothing,
+    IPv6 raising loudly, and the ip_range agg (mask + from/to keys,
+    overlap through the multi-membership explode)."""
+    from dump_es_parquet_spark.operators.es_search import (
+        _cidr_bounds,
+        _ip_to_long,
+        search_aggs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.0.0.200"), (3, "10.1.3.4"),
+         (4, "192.168.1.1"), (5, "9.255.255.255"), (6, None),
+         (7, "garbage")],
+        "id int, ip string")
+
+    def ids(q):
+        return sorted(
+            r.id for r in df.filter(_false_safe(compile_query(q))).collect()
+        )
+
+    assert ids({"term": {"ip": "10.0.0.0/8"}}) == [1, 2, 3]
+    assert ids({"term": {"ip": "10.0.0.0/24"}}) == [1, 2]
+    assert ids({"term": {"ip": "10.0.0.5"}}) == [1]  # plain equality
+    assert ids({"terms": {"ip": ["192.168.0.0/16", "9.255.255.255"]}}) \
+        == [4, 5]
+    # numeric ordering: '9.x' sorts ABOVE '10.x' as a string but not
+    # as an address
+    assert ids({"range": {"ip": {"gte": "10.0.0.0",
+                                 "lt": "10.1.0.0"}}}) == [1, 2]
+    assert ids({"range": {"ip": {"gte": "9.0.0.0",
+                                 "lte": "10.0.0.200"}}}) == [1, 2, 5]
+    # a CIDR range bound takes its band edge
+    assert ids({"range": {"ip": {"gte": "10.0.0.0/8",
+                                 "lte": "10.255.255.255"}}}) == [1, 2, 3]
+    for bad in ("2001:db8::/32", "10.0.0.300/8", "10.0.0/8"):
+        with pytest.raises(ValueError):
+            compile_query({"term": {"ip": bad}})
+    # the non-base address masks down to its network (ES behavior)
+    assert _cidr_bounds("10.0.0.7/8") == (
+        _ip_to_long("10.0.0.0"), _ip_to_long("11.0.0.0"))
+
+    out = search_aggs(df, {"aggs": {"bands": {"ip_range": {
+        "field": "ip", "ranges": [
+            {"to": "10.0.0.100"},
+            {"from": "10.0.0.100", "to": "10.2.0.0"},
+            {"mask": "192.168.0.0/16"},
+        ]}}}}).collect()
+    assert {r.bands: r.doc_count for r in out} == {
+        "*-10.0.0.100": 2, "10.0.0.100-10.2.0.0": 2,
+        "192.168.0.0/16": 1}
+    # OVERLAPPING ip_range buckets: a doc lands in EVERY matching
+    # band (the multi-membership explode, like range/date_range)
+    out2 = search_aggs(df, {"aggs": {"bands": {"ip_range": {
+        "field": "ip", "ranges": [
+            {"mask": "10.0.0.0/8", "key": "wide"},
+            {"mask": "10.0.0.0/24", "key": "narrow"},
+        ]}}}}).collect()
+    got = {r.bands: r.doc_count for r in out2 if r.bands is not None}
+    assert got == {"wide": 3, "narrow": 2}
+    # composite/streaming-class consumers stay single-membership:
+    # key_expr raises on the overlap
+    from dump_es_parquet_spark.operators.es_search import _Level
+
+    with pytest.raises(ValueError, match="overlap"):
+        _Level("b", "ip_range", {"field": "ip", "ranges": [
+            {"mask": "10.0.0.0/8"}, {"mask": "10.0.0.0/24"},
+        ]}).key_expr()
+
+
+def test_composite_geotile_source(spark):
+    """Round 15 (VERDICT r14 Next #8): the composite geotile_grid
+    source pages the tile space — pages are disjoint, exhaustive,
+    and the keys are IDENTICAL to the geotile_grid agg's (the one
+    key expression)."""
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    df = spark.createDataFrame(
+        [(i, float(i % 50) - 25.0, float(i * 11 % 360) - 180.0)
+         for i in range(80)],
+        "id int, lat double, lon double",
+    ).withColumn("loc", F.struct(F.col("lat"), F.col("lon")))
+    src = [{"tile": {"geotile_grid": {"field": "loc", "precision": 3}}}]
+    pages, after = [], None
+    for _ in range(20):
+        page = composite_agg(df, src, size=4, after=after).collect()
+        if not page:
+            break
+        pages.append(page)
+        after = {"tile": page[-1].tile}
+    walked = {r.tile: r.doc_count for p in pages for r in p}
+    assert len(walked) == sum(len(p) for p in pages)  # disjoint
+    agg = search_aggs(df, {"aggs": {"t": {"geotile_grid": {
+        "field": "loc", "precision": 3,
+        "size": 10_000}}}}).collect()
+    assert walked == {r.t: r.doc_count for r in agg}  # exhaustive, same keys

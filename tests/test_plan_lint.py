@@ -350,11 +350,15 @@ PINNED_FINGERPRINTS = {
     # fixed expression tree on the scan, the page a TakeOrdered —
     # the empty fingerprint IS the point (zero shuffles)
     "es_geo_shape": {},
-    # phrase suggester (round 14): the candidate-pair-filtered
-    # bigram word-count groupBy (+ its pre-shuffle isin filter) and
-    # the literal phrase frame's two broadcast pair joins; candidate
-    # generation is per_token-bounded collects at plan-build time
-    "es_suggest_phrase": {"exchange": 2, "bhj": 2},
+    # phrase suggester (round 15 beam rewrite — the r14 `weak` fix):
+    # per beam step one candidate-pair-filtered bigram groupBy + one
+    # broadcast join of the literal transition frame onto it + one
+    # broadcast join onto the running prefix frame + one
+    # per-last-word beam window (tiny, ≤ per_token partitions); the
+    # L=3 oracle row = 2 steps -> 4 exchanges, 4 BHJs, and the
+    # frame is never larger than beam·per_token rows (the r14
+    # per_token^L product literal is gone)
+    "es_suggest_phrase": {"exchange": 4, "bhj": 4},
     # date_histogram time_zone (round 12): a shifted key expression +
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
@@ -481,6 +485,22 @@ PINNED_FINGERPRINTS = {
     # one rollup — same exchange class as es_aggs_tree
     "es_metric_variants": {"exchange": 4},
     "es_extended_stats": {"exchange": 4},
+    # — round 15 dialect rows —
+    # compound wrappers / simple_query_string / the prefix matches /
+    # terms_set reduce to plain Catalyst filters on the scan + a
+    # TakeOrdered page: the empty fingerprint IS the point (zero
+    # shuffles — the query-DSL class)
+    "es_compound_filter": {},
+    "es_simple_query_string": {},
+    "es_match_prefix": {},
+    "es_terms_set": {},
+    # ip_range: the octet-split key + CIDR filter are plain
+    # expressions in the one rollup — the agg-tree class minus the
+    # pipeline window
+    "es_ip_range": {"exchange": 3},
+    # composite geotile source: one groupBy over the tile key with
+    # the after filter below it — the composite page class
+    "es_composite_geotile": {"exchange": 1},
 }
 
 

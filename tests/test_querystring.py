@@ -251,3 +251,98 @@ def test_roundtrip_string_prefix_contains(reader, milli_frame):
         [StringContains(("host",), "eb-1")],
         F.col("host").contains("eb-1"),
     )
+
+
+# --- round 15: simple_query_string (VERDICT r14 Next #4)
+
+
+def _sqs_filter(df, q, default_operator="or"):
+    from dump_es_parquet_spark.operators.es_search import compile_query
+
+    body = {"query": q, "fields": ["text"],
+            "default_operator": default_operator}
+    return df.filter(
+        F.coalesce(compile_query({"simple_query_string": body}),
+                   F.lit(False))
+    )
+
+
+def test_simple_query_string_semantics(spark, frame):
+    def hosts(q, **kw):
+        return sorted(r.host for r in _sqs_filter(frame, q, **kw).collect())
+
+    all_hosts = sorted(r.host for r in frame.collect())
+    # token match, AND/OR operators, grouping, prefix, phrase, NOT
+    assert hosts("fast") == ["web-1"]
+    assert hosts("fast | slow") == ["web-1", "web-2"]
+    assert hosts("slow + dog") == ["web-2"]
+    assert hosts("the cat", default_operator="and") == ["web-1"]
+    assert hosts('"fast cat"') == ["web-1"]
+    assert hosts("ru*") == ["web-1"]
+    # the Lucene SimpleQueryParser quirk: with default OR a negated
+    # clause ORs in as "all docs not matching" — NULL-exact, so a
+    # NULL-text row matches the NOT arm
+    got = hosts("fast -dog")
+    assert got == sorted(set(all_hosts) - {"web-2"})
+    # with AND the NOT arm excludes
+    assert hosts("cat -runs", default_operator="and") == []
+    assert hosts("cat -slow", default_operator="and") == ["web-1"]
+
+
+def test_simple_query_string_lenient_and_empty(spark, frame):
+    """Malformed input never raises — pieces the grammar cannot use
+    drop (the ES contract for user-facing search boxes); an empty or
+    all-junk query matches nothing (MatchNoDocsQuery)."""
+    def hosts(q, **kw):
+        return sorted(r.host for r in _sqs_filter(frame, q, **kw).collect())
+
+    assert hosts("") == []
+    assert hosts(")))") == []
+    assert hosts("- | +") == []
+    # an unterminated quote drops the quote char and keeps scanning
+    assert hosts('"fast cat') == ["web-1"]
+    # an unmatched ')' drops; the fold continues
+    assert hosts("fast ) | slow") == ["web-1", "web-2"]
+    # escaped operator chars are literal: no token '*' exists
+    assert hosts("\\*") == []
+
+
+def test_simple_query_string_never_raises_property(spark, frame):
+    """Property pin (VERDICT r14 Next #4): random garbage from the
+    full operator alphabet never raises — every string compiles to a
+    plan and filters."""
+    import random
+
+    rng = random.Random(15015)
+    alphabet = 'ab c"()|+-\\* ~^:[]{}/'
+    for _ in range(60):
+        s = "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 24))
+        )
+        _sqs_filter(frame, s).count()  # must not raise
+
+
+def test_simple_query_string_matches_query_string(spark, frame):
+    """Well-formed input ≡ the classic query_string parse (VERDICT
+    r14 Next #4): on single-token text values the analyzed-match
+    leaf equals the term-equality leaf, so translated operator pairs
+    select the same rows."""
+    kw = frame.withColumn("text", F.col("status"))
+    pairs = [
+        ("idle", "status:idle"),
+        ("idle | active", "status:(idle OR active)"),
+        ("idle + active", "status:(idle AND active)"),
+        ("-idle", "NOT status:idle"),
+        ("(idle | active) + -idle", "(status:idle OR status:active) "
+                                    "AND NOT status:idle"),
+        ("idl*", "status:idl*"),
+    ]
+    for sqs, qs in pairs:
+        a = sorted(r.host for r in _sqs_filter(kw, sqs).collect())
+        b = sorted(
+            r.host
+            for r in kw.filter(
+                F.coalesce(parse_query_string(qs, kw), F.lit(False))
+            ).collect()
+        )
+        assert a == b, (sqs, qs, a, b)
