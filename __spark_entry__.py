@@ -843,6 +843,12 @@ DEMOTED: frozenset[str] = frozenset(
         # es_composite_geotile — the composite geotile_grid source
         #     (map-tile walk), keys identical to es_geotile_grid's
         "es_composite_geotile",
+        # esql_events_rollup / esql_docs_tokens — the ES|QL compiler
+        #     (round 15): WHERE/EVAL/STATS..BY/SORT/LIMIT and the
+        #     SPLIT+MV_EXPAND token pipeline; demoted-green pending
+        #     rotation
+        "esql_events_rollup",
+        "esql_docs_tokens",
         # es_bucket_selector — the alerting HAVING pipeline +
         #     normalize percent_of_sum shares (round 12);
         #     demoted-green pending rotation (es_pipeline_aggs keeps
@@ -1373,6 +1379,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_composite_geotile": _mod(
             "es_search", "q_es_composite_geotile"
         ),
+        # — round 15: the ES|QL pipe-language compiler (ES 8.11+'s
+        #   modern request dialect replayed on the lake) —
+        "esql_events_rollup": _mod("esql", "q_esql_events_rollup"),
+        "esql_docs_tokens": _mod("esql", "q_esql_docs_tokens"),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
         "es_geo_shape": _mod("es_search", "q_es_geo_shape"),
@@ -5843,6 +5853,41 @@ def _all_oracle_sql() -> dict[str, str]:
                    / count(value) AS avg_v
         FROM t WHERE tile > '6/17/31'
         GROUP BY tile ORDER BY tile LIMIT 12
+    """
+
+    # esql_events_rollup (round 15): the ES|QL dashboard rollup —
+    # DATE_TRUNC day keys, FLOOR band keys (Spark floor(double) is a
+    # LONG, so the oracle casts), SUM over an exact integer cents
+    # expression, the exact-decimal AVG tree, exact COUNT_DISTINCT.
+    q["esql_events_rollup"] = """
+        WITH e AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(floor(value / 100) AS BIGINT) AS band,
+                 CAST(floor(value * 100) AS BIGINT) AS cents,
+                 value, user_id
+          FROM events
+          WHERE value IS NOT NULL
+            AND event_type IN ('click', 'view', 'error')
+        )
+        SELECT day, band, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value) AS avg_v,
+               count(DISTINCT user_id) AS users
+        FROM e GROUP BY day, band ORDER BY day, band LIMIT 200
+    """
+
+    # esql_docs_tokens (round 15): SPLIT + MV_EXPAND re-base rows
+    # onto tokens (string_split + unnest), LIKE wildcard filter,
+    # grouped counts under a deterministic SORT.
+    q["esql_docs_tokens"] = """
+        WITH t AS (
+          SELECT unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        )
+        SELECT tok, count(*) AS n FROM t
+        WHERE tok LIKE 's%' AND length(tok) >= 4
+        GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 15
     """
 
     # es_pipeline_aggs: pipeline aggregations over the bucket frame —

@@ -501,6 +501,41 @@ def _ip_col_to_long(col: Column) -> Column:
     )
 
 
+def _date_range_entry_normalized(r: dict) -> dict:
+    """One ``date_range`` entry → epoch-millis int bounds. Ints pass
+    through; ISO-8601 strings parse as UTC when naive (the session
+    zone); ``now``-relative date math raises — a replayed request
+    must pin its instants (the sampler's determinism class)."""
+    import datetime as _dt
+
+    out = dict(r)
+    for bk in ("from", "to"):
+        v = r.get(bk)
+        if v is None or isinstance(v, int):
+            continue
+        s = str(v)
+        if "now" in s:
+            raise ValueError(
+                "date_range 'now' math has no deterministic lake "
+                "reading — pin the instant"
+            )
+        try:
+            d = _dt.datetime.fromisoformat(s)
+        except ValueError as e:
+            raise ValueError(
+                f"date_range bound {s!r}: epoch millis int or "
+                "ISO-8601 string"
+            ) from e
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        out[bk] = int(d.timestamp() * 1000)
+    if "key" not in r and any(
+        isinstance(r.get(bk), str) for bk in ("from", "to")
+    ):
+        out["key"] = f"{r.get('from', '*')}-{r.get('to', '*')}"
+    return out
+
+
 def _ip_ranges_normalized(ranges: list[dict]) -> list[dict]:
     """``ip_range`` agg ranges → numeric long from/to with the ES
     response key: a ``mask`` entry expands to its CIDR band keyed by
@@ -682,13 +717,34 @@ def compile_query(q: dict | None, _scope=None) -> Column:
         return _scoped_col(body["field"], _scope).isNotNull()
     if kind == "multi_match":
         # filter-context multi_match: OR over the per-field matches
-        # (best_fields scoring has no filter meaning; each arm is
-        # NULL-safe so one missing field can't poison the OR).
-        # Works inside nested scope too (round 12 — the analyzer
-        # seam takes columns, PARITY #22 narrowed)
-        spec = {"query": body["query"], "operator": body.get("operator", "or")}
+        # (best_fields/most_fields/cross_fields scoring has no
+        # filter meaning — in filter context all three match the
+        # same union; each arm is NULL-safe so one missing field
+        # can't poison the OR). Works inside nested scope too
+        # (round 12 — the analyzer seam takes columns, PARITY #22
+        # narrowed). Round 15 widens `type`: phrase /
+        # phrase_prefix / bool_prefix route each field arm through
+        # the corresponding match kind.
+        mm_type = body.get("type", "best_fields")
+        inner_kind = {
+            "best_fields": "match",
+            "most_fields": "match",
+            "cross_fields": "match",
+            "phrase": "match_phrase",
+            "phrase_prefix": "match_phrase_prefix",
+            "bool_prefix": "match_bool_prefix",
+        }.get(mm_type)
+        if inner_kind is None:
+            raise ValueError(f"multi_match type {mm_type!r}")
+        if inner_kind in ("match", "match_bool_prefix"):
+            spec = {
+                "query": body["query"],
+                "operator": body.get("operator", "or"),
+            }
+        else:
+            spec = {"query": body["query"]}
         per_field = [
-            _false_safe(compile_query({"match": {f: spec}}, _scope))
+            _false_safe(compile_query({inner_kind: {f: spec}}, _scope))
             for f in body["fields"]
         ]
         out = per_field[0]
@@ -749,6 +805,19 @@ def compile_query(q: dict | None, _scope=None) -> Column:
             default_operator=body.get("default_operator", "or").lower(),
         )
         return F.lit(False) if parsed is None else parsed
+    if kind == "wrapper":
+        # {"wrapper": {"query": "<base64 of a query JSON>"}} — the
+        # escape hatch clients use to smuggle a query through
+        # string-typed config (round 15): decode and recurse; the
+        # inner query gets the full dialect including nested scope
+        import base64
+        import json as _json
+
+        try:
+            inner = _json.loads(base64.b64decode(body["query"]))
+        except Exception as e:
+            raise ValueError(f"wrapper query does not decode: {e}") from e
+        return compile_query(inner, _scope)
     if kind == "ids":
         raise ValueError("ids query needs a doc-id column; filter it directly")
     if kind in (
@@ -877,7 +946,7 @@ def compile_query(q: dict | None, _scope=None) -> Column:
 
     if kind in ("term", "terms", "range", "prefix", "wildcard", "regexp",
                 "match", "match_phrase", "match_phrase_prefix",
-                "match_bool_prefix", "terms_set"):
+                "match_bool_prefix", "terms_set", "fuzzy"):
         items = [(f, s) for f, s in body.items() if f != "boost"]
         if len(items) != 1:
             raise ValueError(f"{kind} query must name exactly one field")
@@ -900,6 +969,12 @@ def compile_query(q: dict | None, _scope=None) -> Column:
                 lo, hi = _cidr_bounds(v)
                 ipv = _ip_col_to_long(col)
                 return (ipv >= F.lit(lo)) & (ipv < F.lit(hi))
+            if isinstance(spec, dict) and spec.get("case_insensitive"):
+                # ES 7.10+ case_insensitive flag (round 15): ASCII
+                # lower on both sides — Spark and DuckDB lower()
+                # agree on ASCII; locale-specific folds are not
+                # modeled
+                return F.lower(col) == F.lit(str(v).lower())
             return col == F.lit(v)
         if kind == "terms":
             vals = list(spec)
@@ -964,15 +1039,52 @@ def compile_query(q: dict | None, _scope=None) -> Column:
             return out
         if kind == "prefix":
             v = spec["value"] if isinstance(spec, dict) else spec
+            if isinstance(spec, dict) and spec.get("case_insensitive"):
+                return F.lower(col).startswith(str(v).lower())
             return col.startswith(v)
         if kind == "wildcard":
             v = spec["value"] if isinstance(spec, dict) else spec
             pat = _like_escape(v).replace("*", "%").replace("?", "_")
+            if isinstance(spec, dict) and spec.get("case_insensitive"):
+                return F.lower(col).like(pat.lower())
             return col.like(pat)
         if kind == "regexp":
             v = spec["value"] if isinstance(spec, dict) else spec
             # ES regexp is implicitly anchored at both ends
+            if isinstance(spec, dict) and spec.get("case_insensitive"):
+                return col.rlike(f"(?i)^(?:{v})$")
             return col.rlike(f"^(?:{v})$")
+        if kind == "fuzzy":
+            # fuzzy term query (round 15): whole-value classic
+            # Levenshtein on the column — the keyword reading; ES
+            # AUTO fuzziness = 0/1/2 by term length (<3 / 3-5 / >5),
+            # prefix_length pins the leading chars. The necessary
+            # length-delta pre-filter keeps the O(n·m) levenshtein
+            # off most rows. Divergences (the PARITY #19 suggester
+            # family): classic distance (Lucene's default adds
+            # Damerau transpositions), and text fields want the
+            # token-level operator (retrieval.fuzzy_term_match).
+            v = str(spec["value"] if isinstance(spec, dict) else spec)
+            fz = (
+                spec.get("fuzziness", "AUTO")
+                if isinstance(spec, dict)
+                else "AUTO"
+            )
+            if isinstance(fz, str) and fz.upper() == "AUTO":
+                d = 0 if len(v) < 3 else (1 if len(v) <= 5 else 2)
+            else:
+                d = int(fz)
+            plen = (
+                int(spec.get("prefix_length", 0))
+                if isinstance(spec, dict)
+                else 0
+            )
+            cond = (
+                F.abs(F.length(col) - F.lit(len(v))) <= F.lit(d)
+            ) & (F.levenshtein(col, F.lit(v)) <= F.lit(d))
+            if plen > 0:
+                cond = col.startswith(v[:plen]) & cond
+            return cond
         if kind == "match":
             if isinstance(spec, dict):
                 query, op = spec["query"], spec.get("operator", "or")
@@ -1102,6 +1214,18 @@ class _Level:
     expression, pruning knobs, and attached metric aggs."""
 
     def __init__(self, name, kind, body):
+        if kind == "date_range":
+            # round 15: ISO-8601 string bounds are the common Kibana
+            # shape — normalize ONCE to epoch millis (naive strings
+            # read as UTC, the engine's session zone) with the
+            # original strings kept in the default key, so overlap
+            # detection and the CASE chain run on plain numbers like
+            # every other date key this module emits; `now`-math
+            # raises (no deterministic lake reading)
+            body = dict(body)
+            body["ranges"] = [
+                _date_range_entry_normalized(r) for r in body["ranges"]
+            ]
         if kind == "ip_range":
             # normalize ONCE (round 15, VERDICT r14 Next #6): masks
             # and dotted-quad bounds become numeric long from/to with

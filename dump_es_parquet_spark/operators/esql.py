@@ -1,0 +1,905 @@
+"""ES|QL → DataFrame compiler (round 15): the pipe query language
+ES 8.11+ ships as its modern request dialect. The reference forwards
+request bodies verbatim to the server (``dump-es-parquet:222,385``);
+once the index is dumped, saved ES|QL queries are as dead as saved
+``_search`` bodies — this module replays them on the parquet lake,
+the same lake-side story as ``operators/es_search.py`` for the
+classic DSL.
+
+Supported (the practical analyst subset, each compiling to the
+DataFrame op it is):
+
+- ``FROM index [, index...]`` — the source table(s); multiple
+  sources union by name (the engine's schema-evolution union
+  discipline applies upstream).
+- ``| WHERE <expr>`` — a boolean expression over the full operator
+  grammar below; three-valued NULL semantics exactly as ES|QL (a
+  NULL verdict drops the row).
+- ``| EVAL name = expr, ...`` — computed columns, later assignments
+  seeing earlier ones (ES|QL's left-to-right binding).
+- ``| STATS agg [, agg...] [BY key [, key...]]`` — grouped
+  aggregation; ``BY`` keys may be ``name = expr`` forms. Aggregates:
+  COUNT(*)/COUNT(x), SUM, MIN, MAX, AVG (the engine's exact-decimal
+  tree, association-free across engines), COUNT_DISTINCT, MEDIAN and
+  PERCENTILE(x, p) (exact linear interpolation — ES|QL uses t-digest,
+  the PARITY #20 percentile divergence).
+- ``| SORT key [ASC|DESC] [NULLS FIRST|LAST], ...``
+- ``| LIMIT n``
+- ``| KEEP a, b`` / ``| DROP a, b`` / ``| RENAME a AS b, ...``
+- ``| MV_EXPAND col`` — explode_outer over a multi-value column.
+- ``| ROW name = literal, ...`` — a literal one-row source (no FROM).
+- ``| DISSECT col "%{a} [%{b}] %{c}"`` — delimiter-based extraction
+  as ONE anchored regex (non-greedy holes = dissect's
+  leftmost-delimiter rule; non-matching rows get NULL fields;
+  append/pad/reference modifiers raise).
+- ``BUCKET(col, span)`` inside STATS BY — calendar spans truncate
+  like DATE_TRUNC, numeric spans floor to the band start; the 4-arg
+  adaptive form raises (server-side width heuristics).
+
+Expression grammar: ``== != < <= > >= + - * / %``, ``AND OR NOT``,
+``IN (v, ...)``, ``LIKE "wild*card?"`` (ES|QL wildcards), ``RLIKE
+"regex"``, ``IS [NOT] NULL``, parentheses, unary minus, string /
+numeric / boolean / NULL literals, backquoted identifiers, and a
+curated function table (see ``_FUNCTIONS``) including ``CASE`` and
+``CIDR_MATCH`` (the round-15 octet-split ip tree).
+
+Out of scope, each raising loudly with the reason: ``GROK`` (needs
+the server's pattern library — DISSECT covers the delimiter shape),
+``ENRICH`` / ``LOOKUP`` (server-side policies), ``METADATA`` fields
+(``_id``/``_index`` die with the cluster), ``NOW()`` and date-math
+relative to now (no deterministic lake reading — pin the instant),
+and aggregate ``VALUES``/``TOP`` (multi-value results have no stable
+oracle shape yet).
+
+Determinism: ES|QL results are unordered unless SORT is given —
+callers wanting hash-stable output must end with SORT (the oracle
+rows do).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["esql"]
+
+
+# --- tokenizer ----------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>//[^\n]*)
+  | (?P<pipe>\|)
+  | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<bquote>`[^`]*`)
+  | (?P<op>==|!=|<=|>=|<|>|\+|-|\*|/|%|,|\(|\)|=|\.)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "FROM", "ROW", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT",
+    "KEEP", "DROP", "RENAME", "AS", "MV_EXPAND", "AND", "OR", "NOT",
+    "IN", "LIKE", "RLIKE", "IS", "NULL", "TRUE", "FALSE", "ASC",
+    "DESC", "NULLS", "FIRST", "LAST",
+}
+
+_UNSUPPORTED_COMMANDS = {
+    "GROK": "grok needs the server's pattern library; DISSECT covers "
+            "the delimiter-based shape",
+    "ENRICH": "enrich policies live server-side",
+    "LOOKUP": "lookup joins live server-side",
+    "METADATA": "_id/_index metadata dies with the cluster",
+    "SHOW": "cluster introspection has no lake meaning",
+    "INLINESTATS": "not modeled; use STATS",
+}
+
+
+class _Tok:
+    __slots__ = ("kind", "val")
+
+    def __init__(self, kind: str, val):
+        self.kind, self.val = kind, val
+
+    def __repr__(self):  # pragma: no cover — debug only
+        return f"<{self.kind} {self.val!r}>"
+
+
+def _tokenize(s: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            raise ValueError(f"ES|QL: cannot tokenize at {s[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind in ("ws", "comment"):
+            continue
+        if kind == "num":
+            toks.append(_Tok("num", float(text) if
+                             ("." in text or "e" in text or "E" in text)
+                             else int(text)))
+        elif kind == "str":
+            toks.append(_Tok("str", _unescape(text[1:-1])))
+        elif kind == "bquote":
+            toks.append(_Tok("ident", text[1:-1]))
+        elif kind == "word":
+            up = text.upper()
+            if up in _KEYWORDS:
+                toks.append(_Tok("kw", up))
+            else:
+                toks.append(_Tok("ident", text))
+        elif kind == "pipe":
+            toks.append(_Tok("pipe", "|"))
+        else:
+            toks.append(_Tok("op", text))
+    return toks
+
+
+def _unescape(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            c = s[i + 1]
+            out.append({"n": "\n", "t": "\t", "r": "\r"}.get(c, c))
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+# --- expression parser (Pratt, over DataFrame columns) ------------------
+
+def _fn_substring(args):
+    if len(args) == 2:
+        # to-end form: SUBSTRING(s, start) — 1-based like ES|QL
+        return F.substring(args[0], args[1].cast("int"), 2 ** 31 - 1)
+    return F.substring(args[0], args[1].cast("int"), args[2].cast("int"))
+
+
+def _fn_round(args):
+    if len(args) == 1:
+        return F.round(args[0], 0)
+    # the second arg must be a literal int (Spark's round signature)
+    raise ValueError(
+        "ROUND(x, d): pass d inline as a literal via ROUND_TO "
+        "semantics — use EVAL with ROUND(x) or pre-scale; the "
+        "two-arg form needs a literal digit count"
+    )
+
+
+def _fn_case(args):
+    if len(args) < 2:
+        raise ValueError("CASE needs at least (condition, value)")
+    pairs, default = args, None
+    if len(args) % 2 == 1:
+        pairs, default = args[:-1], args[-1]
+    out = None
+    for i in range(0, len(pairs), 2):
+        cond, val = pairs[i], pairs[i + 1]
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return out.otherwise(default) if default is not None else out
+
+
+def _fn_cidr_match(args):
+    # CIDR_MATCH(ip, "block", ...) — blocks must be string literals;
+    # reuses the round-15 octet-split band tree
+    from .es_search import _cidr_bounds, _ip_col_to_long
+
+    if len(args) < 2:
+        raise ValueError("CIDR_MATCH(ip, block, ...)")
+    ipv = _ip_col_to_long(args[0])
+    out = None
+    for blk in args[1:]:
+        lit = _literal_string_of(blk)
+        lo, hi = _cidr_bounds(lit)
+        band = (ipv >= F.lit(lo)) & (ipv < F.lit(hi))
+        out = band if out is None else out | band
+    return out
+
+
+#: string-literal registry for functions whose argument must be a
+#: plan-time constant (CIDR_MATCH blocks, DATE_TRUNC units): maps
+#: id(Column) → (Column, text). Holding the Column reference keeps
+#: its id from being reused while the entry lives; esql() clears the
+#: registry at entry so it never grows across calls.
+_LIT_STRINGS: dict[int, tuple[Column, str]] = {}
+
+
+def _lit_str(s: str) -> Column:
+    c = F.lit(s)
+    _LIT_STRINGS[id(c)] = (c, s)
+    return c
+
+
+def _literal_string_of(c: Column) -> str:
+    try:
+        return _LIT_STRINGS[id(c)][1]
+    except KeyError:
+        raise ValueError(
+            "this argument must be a string literal"
+        ) from None
+
+
+def _fn_date_trunc(args):
+    # ES|QL spells DATE_TRUNC(1 day, ts) or DATE_TRUNC("1 day", ts);
+    # the parser routes the interval through a string literal
+    unit = _literal_string_of(args[0]).strip().lower()
+    unit = re.sub(r"^1\s+", "", unit).rstrip("s")
+    allowed = {"second", "minute", "hour", "day", "week", "month",
+               "quarter", "year"}
+    if unit not in allowed:
+        raise ValueError(f"DATE_TRUNC unit {unit!r}")
+    return F.date_trunc(unit, args[1])
+
+
+def _banned_now(_args):
+    raise ValueError(
+        "NOW() has no deterministic lake reading — pin the instant"
+    )
+
+
+def _fn_bucket(args):
+    """``BUCKET(col, span)`` — ES|QL's STATS grouping helper: a
+    calendar span (``1 day`` routed through the interval literal)
+    truncates like DATE_TRUNC; a numeric span floors to the band
+    START (``BUCKET(v, 100)`` → 0, 100, 200...), keyed like the
+    histogram agg. The 4-arg adaptive form (target bucket count +
+    min/max) is server-side heuristics — raise."""
+    if len(args) != 2:
+        raise ValueError(
+            "BUCKET(col, span): the 4-arg adaptive form picks its "
+            "width from server-side heuristics — pass the span"
+        )
+    try:
+        _literal_string_of(args[1])
+    except ValueError:
+        span = args[1]
+        return F.floor(args[0] / span) * span
+    return _fn_date_trunc([args[1], args[0]])
+
+
+_FUNCTIONS = {
+    "ABS": lambda a: F.abs(a[0]),
+    "CEIL": lambda a: F.ceil(a[0]),
+    "FLOOR": lambda a: F.floor(a[0]),
+    "SQRT": lambda a: F.sqrt(a[0]),
+    "POW": lambda a: F.pow(a[0], a[1]),
+    "LOG": lambda a: F.log(a[0]) if len(a) == 1 else F.log(a[0], a[1]),
+    "LOG10": lambda a: F.log10(a[0]),
+    "EXP": lambda a: F.exp(a[0]),
+    "ROUND": _fn_round,
+    "LENGTH": lambda a: F.length(a[0]),
+    "SUBSTRING": _fn_substring,
+    "TO_LOWER": lambda a: F.lower(a[0]),
+    "TO_UPPER": lambda a: F.upper(a[0]),
+    "TRIM": lambda a: F.trim(a[0]),
+    "LTRIM": lambda a: F.ltrim(a[0]),
+    "RTRIM": lambda a: F.rtrim(a[0]),
+    "REPLACE": lambda a: F.regexp_replace(a[0], a[1], a[2]),
+    "STARTS_WITH": lambda a: a[0].startswith(a[1]),
+    "ENDS_WITH": lambda a: a[0].endswith(a[1]),
+    "CONCAT": lambda a: F.concat(*a),
+    "SPLIT": lambda a: F.split(a[0], a[1]),
+    "COALESCE": lambda a: F.coalesce(*a),
+    "GREATEST": lambda a: F.greatest(*a),
+    "LEAST": lambda a: F.least(*a),
+    "CASE": _fn_case,
+    "CIDR_MATCH": _fn_cidr_match,
+    "DATE_TRUNC": _fn_date_trunc,
+    "DATE_EXTRACT": lambda a: F.date_part(a[0], a[1]),
+    "TO_STRING": lambda a: a[0].cast("string"),
+    "TO_INTEGER": lambda a: a[0].try_cast("int"),
+    "TO_LONG": lambda a: a[0].try_cast("long"),
+    "TO_DOUBLE": lambda a: a[0].try_cast("double"),
+    "TO_DATETIME": lambda a: a[0].cast("timestamp"),
+    "MV_COUNT": lambda a: F.size(a[0]),
+    "MV_MIN": lambda a: F.array_min(a[0]),
+    "MV_MAX": lambda a: F.array_max(a[0]),
+    "BUCKET": _fn_bucket,
+    "NOW": _banned_now,
+}
+
+#: STATS aggregates. AVG takes the engine's exact-decimal tree (sum
+#: through DECIMAL(18,6), divide by the non-null count) so the double
+#: is association-free across engines — the es_search metric
+#: discipline. MEDIAN/PERCENTILE are exact interpolation (ES|QL:
+#: t-digest — the documented divergence).
+_AGGS = {
+    "COUNT", "SUM", "MIN", "MAX", "AVG", "COUNT_DISTINCT", "MEDIAN",
+    "PERCENTILE",
+}
+
+
+class _ExprParser:
+    def __init__(self, toks: list[_Tok], pos: int, allow_aggs=False):
+        self.toks, self.pos = toks, pos
+        self.allow_aggs = allow_aggs
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def at(self, kind: str, val=None) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == kind and (
+            val is None or t.val == val
+        )
+
+    def take(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise ValueError("ES|QL: unexpected end of expression")
+        self.pos += 1
+        return t
+
+    def expect(self, kind: str, val=None) -> _Tok:
+        t = self.take()
+        if t.kind != kind or (val is not None and t.val != val):
+            raise ValueError(f"ES|QL: expected {val or kind}, got {t!r}")
+        return t
+
+    # precedence: OR < AND < NOT < comparison/IN/LIKE/IS < add < mul
+    def parse(self) -> Column:
+        return self._or()
+
+    def _or(self) -> Column:
+        left = self._and()
+        while self.at("kw", "OR"):
+            self.take()
+            left = left | self._and()
+        return left
+
+    def _and(self) -> Column:
+        left = self._not()
+        while self.at("kw", "AND"):
+            self.take()
+            left = left & self._not()
+        return left
+
+    def _not(self) -> Column:
+        if self.at("kw", "NOT"):
+            self.take()
+            return ~self._not()
+        return self._cmp()
+
+    def _cmp(self) -> Column:
+        left = self._add()
+        t = self.peek()
+        if t is None:
+            return left
+        if t.kind == "op" and t.val in ("==", "!=", "<", "<=", ">", ">="):
+            self.take()
+            right = self._add()
+            return {
+                "==": lambda a, b: a == b,
+                "!=": lambda a, b: a != b,
+                "<": lambda a, b: a < b,
+                "<=": lambda a, b: a <= b,
+                ">": lambda a, b: a > b,
+                ">=": lambda a, b: a >= b,
+            }[t.val](left, right)
+        if t.kind == "kw" and t.val == "IN":
+            self.take()
+            self.expect("op", "(")
+            vals = [self._add()]
+            while self.at("op", ","):
+                self.take()
+                vals.append(self._add())
+            self.expect("op", ")")
+            out = left == vals[0]
+            for v in vals[1:]:
+                out = out | (left == v)
+            return out
+        if t.kind == "kw" and t.val in ("LIKE", "RLIKE"):
+            self.take()
+            pat = self.expect("str").val
+            if t.val == "RLIKE":
+                return left.rlike(f"^(?:{pat})$")
+            esc = (pat.replace("\\", "\\\\").replace("%", r"\%")
+                   .replace("_", r"\_").replace("*", "%")
+                   .replace("?", "_"))
+            return left.like(esc)
+        if t.kind == "kw" and t.val == "IS":
+            self.take()
+            neg = False
+            if self.at("kw", "NOT"):
+                self.take()
+                neg = True
+            self.expect("kw", "NULL")
+            return left.isNotNull() if neg else left.isNull()
+        return left
+
+    def _add(self) -> Column:
+        left = self._mul()
+        while self.at("op", "+") or self.at("op", "-"):
+            op = self.take().val
+            right = self._mul()
+            left = left + right if op == "+" else left - right
+        return left
+
+    def _mul(self) -> Column:
+        left = self._unary()
+        while self.at("op", "*") or self.at("op", "/") or self.at("op", "%"):
+            op = self.take().val
+            right = self._unary()
+            left = (left * right if op == "*"
+                    else left / right if op == "/" else left % right)
+        return left
+
+    def _unary(self) -> Column:
+        if self.at("op", "-"):
+            self.take()
+            return -self._unary()
+        return self._primary()
+
+    def _primary(self) -> Column:
+        t = self.take()
+        if t.kind == "op" and t.val == "(":
+            inner = self._or()
+            self.expect("op", ")")
+            return inner
+        if t.kind == "num":
+            # "1 day"-style intervals reach DATE_TRUNC as a following
+            # ident — rejoin them into a string literal
+            if self.at("ident") and str(self.toks[self.pos].val).lower() in (
+                "second", "seconds", "minute", "minutes", "hour",
+                "hours", "day", "days", "week", "weeks", "month",
+                "months", "quarter", "quarters", "year", "years",
+            ):
+                unit = self.take().val
+                return _lit_str(f"{t.val} {unit}")
+            return F.lit(t.val)
+        if t.kind == "str":
+            return _lit_str(t.val)
+        if t.kind == "kw" and t.val in ("TRUE", "FALSE"):
+            return F.lit(t.val == "TRUE")
+        if t.kind == "kw" and t.val == "NULL":
+            return F.lit(None)
+        if t.kind == "ident":
+            name = t.val
+            if self.at("op", "("):
+                return self._call(name)
+            # dotted path (struct field access)
+            while self.at("op", "."):
+                self.take()
+                name += "." + self.expect("ident").val
+            return F.col(name)
+        raise ValueError(f"ES|QL: unexpected token {t!r}")
+
+    def _call(self, name: str) -> Column:
+        up = name.upper()
+        self.expect("op", "(")
+        args: list[Column] = []
+        star = False
+        if self.at("op", "*"):
+            self.take()
+            star = True
+        elif not self.at("op", ")"):
+            args.append(self._or())
+            while self.at("op", ","):
+                self.take()
+                args.append(self._or())
+        self.expect("op", ")")
+        if up in _AGGS:
+            if not self.allow_aggs:
+                raise ValueError(
+                    f"ES|QL: aggregate {up} outside STATS"
+                )
+            return self._agg(up, args, star)
+        fn = _FUNCTIONS.get(up)
+        if fn is None:
+            raise ValueError(f"ES|QL: unknown function {name!r}")
+        return fn(args)
+
+    def _agg(self, up: str, args: list[Column], star: bool) -> Column:
+        if up == "COUNT":
+            if star or not args:
+                return F.count(F.lit(1))
+            return F.count(args[0])
+        if up == "SUM":
+            return F.sum(args[0])
+        if up == "MIN":
+            return F.min(args[0])
+        if up == "MAX":
+            return F.max(args[0])
+        if up == "AVG":
+            # the engine's exact-decimal avg tree (association-free
+            # doubles across engines — the es_search discipline)
+            return (
+                F.sum(args[0].cast("decimal(18,6)")).cast("double")
+                / F.count(args[0])
+            )
+        if up == "COUNT_DISTINCT":
+            # exact (ES|QL approximates; the PARITY cardinality
+            # divergence — exactness makes oracle rows hash-checkable)
+            return F.count_distinct(args[0])
+        if up == "MEDIAN":
+            return F.percentile(args[0], F.lit(0.5))
+        if up == "PERCENTILE":
+            frac = args[1]
+            return F.percentile(args[0], frac / F.lit(100.0))
+        raise ValueError(up)  # pragma: no cover
+
+
+# --- command compiler ----------------------------------------------------
+
+def esql(tables, query: str) -> DataFrame:
+    """Compile and run an ES|QL query against the lake.
+
+    ``tables``: a ``{name: DataFrame}`` dict (FROM resolves here), or
+    a single DataFrame (then FROM accepts any single name)."""
+    _LIT_STRINGS.clear()
+    toks = _tokenize(query)
+    if not toks:
+        raise ValueError("ES|QL: empty query")
+    # split on top-level pipes
+    stages: list[list[_Tok]] = [[]]
+    for t in toks:
+        if t.kind == "pipe":
+            stages.append([])
+        else:
+            stages[-1].append(t)
+    df = _source(stages[0], tables)
+    for stage in stages[1:]:
+        if not stage:
+            raise ValueError("ES|QL: empty pipe stage")
+        df = _command(df, stage)
+    return df
+
+
+def _source(stage: list[_Tok], tables) -> DataFrame:
+    if not stage or stage[0].kind != "kw":
+        raise ValueError("ES|QL: query must start with FROM or ROW")
+    head = stage[0].val
+    if head == "ROW":
+        # ROW name = literal, ... — a one-row literal source
+        p = _ExprParser(stage, 1)
+        names, cols = _assignments(p)
+        if p.peek() is not None:
+            raise ValueError(f"ES|QL: trailing tokens at {p.peek()!r}")
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        one = spark.range(1).drop("id")
+        return one.select(*[c.alias(n) for n, c in zip(names, cols)])
+    if head != "FROM":
+        raise ValueError(
+            f"ES|QL: query must start with FROM or ROW, got {head}"
+        )
+    names = []
+    i = 1
+    while i < len(stage):
+        t = stage[i]
+        if t.kind == "ident":
+            names.append(t.val)
+            i += 1
+            if i < len(stage) and stage[i].kind == "op" and stage[i].val == ",":
+                i += 1
+                continue
+            break
+        raise ValueError(f"ES|QL: FROM expects index names, got {t!r}")
+    if i < len(stage):
+        extra = stage[i]
+        if extra.kind == "kw" and extra.val == "METADATA" or (
+            extra.kind == "ident" and extra.val.upper() == "METADATA"
+        ):
+            raise ValueError(
+                "ES|QL METADATA: " + _UNSUPPORTED_COMMANDS["METADATA"]
+            )
+        raise ValueError(f"ES|QL: trailing tokens after FROM: {extra!r}")
+    if isinstance(tables, DataFrame):
+        if len(names) != 1:
+            raise ValueError("single-frame esql() accepts one FROM name")
+        return tables
+    missing = [n for n in names if n not in tables]
+    if missing:
+        raise ValueError(f"ES|QL: unknown index {missing[0]!r}")
+    df = tables[names[0]]
+    for n in names[1:]:
+        df = df.unionByName(tables[n], allowMissingColumns=True)
+    return df
+
+
+def _assignments(p: _ExprParser) -> tuple[list[str], list[Column]]:
+    """``name = expr [, name = expr...]`` — later EVAL assignments
+    see earlier ones via select-chaining in the caller."""
+    names, cols = [], []
+    while True:
+        name = p.expect("ident").val
+        p.expect("op", "=")
+        cols.append(p._or())
+        names.append(name)
+        if p.at("op", ","):
+            p.take()
+            continue
+        return names, cols
+
+
+def _command(df: DataFrame, stage: list[_Tok]) -> DataFrame:
+    head = stage[0]
+    if head.kind == "ident" and head.val.upper() in _UNSUPPORTED_COMMANDS:
+        up = head.val.upper()
+        raise ValueError(f"ES|QL {up}: {_UNSUPPORTED_COMMANDS[up]}")
+    if head.kind == "kw" and head.val == "WHERE":
+        p = _ExprParser(stage, 1)
+        cond = p.parse()
+        if p.peek() is not None:
+            raise ValueError(f"ES|QL: trailing tokens at {p.peek()!r}")
+        return df.filter(cond)
+    if head.kind == "kw" and head.val == "EVAL":
+        p = _ExprParser(stage, 1)
+        # left-to-right binding: each assignment lands before the
+        # next parses... parsing is name-agnostic (columns resolve
+        # lazily), so chaining withColumn gives the ES|QL scoping
+        pos = 1
+        out = df
+        while True:
+            p = _ExprParser(stage, pos)
+            name = p.expect("ident").val
+            p.expect("op", "=")
+            col = p._or()
+            out = out.withColumn(name, col)
+            if p.at("op", ","):
+                pos = p.pos + 1
+                continue
+            if p.peek() is not None:
+                raise ValueError(
+                    f"ES|QL: trailing tokens at {p.peek()!r}"
+                )
+            return out
+    if head.kind == "kw" and head.val == "STATS":
+        return _stats(df, stage)
+    if head.kind == "kw" and head.val == "SORT":
+        p = _ExprParser(stage, 1)
+        keys = []
+        while True:
+            c = p.parse()
+            desc = False
+            if p.at("kw", "ASC") or p.at("kw", "DESC"):
+                desc = p.take().val == "DESC"
+            nulls = None
+            if p.at("kw", "NULLS"):
+                p.take()
+                t = p.take()
+                if t.kind != "kw" or t.val not in ("FIRST", "LAST"):
+                    raise ValueError("ES|QL: NULLS FIRST or NULLS LAST")
+                nulls = t.val
+            if desc:
+                c = (c.desc_nulls_first() if nulls == "FIRST"
+                     else c.desc_nulls_last() if nulls == "LAST"
+                     else c.desc())
+            else:
+                c = (c.asc_nulls_first() if nulls == "FIRST"
+                     else c.asc_nulls_last() if nulls == "LAST"
+                     else c.asc())
+            keys.append(c)
+            if p.at("op", ","):
+                p.take()
+                continue
+            if p.peek() is not None:
+                raise ValueError(f"ES|QL: trailing tokens at {p.peek()!r}")
+            break
+        return df.orderBy(*keys)
+    if head.kind == "kw" and head.val == "LIMIT":
+        if len(stage) != 2 or stage[1].kind != "num":
+            raise ValueError("ES|QL: LIMIT <n>")
+        return df.limit(int(stage[1].val))
+    if head.kind == "kw" and head.val in ("KEEP", "DROP"):
+        names = _name_list(stage[1:])
+        if head.val == "KEEP":
+            return df.select(*names)
+        return df.drop(*names)
+    if head.kind == "kw" and head.val == "RENAME":
+        out = df
+        i = 1
+        while i < len(stage):
+            if stage[i].kind != "ident":
+                raise ValueError("ES|QL: RENAME old AS new")
+            old = stage[i].val
+            if not (i + 2 < len(stage) and stage[i + 1].kind == "kw"
+                    and stage[i + 1].val == "AS"
+                    and stage[i + 2].kind == "ident"):
+                raise ValueError("ES|QL: RENAME old AS new")
+            out = out.withColumnRenamed(old, stage[i + 2].val)
+            i += 3
+            if i < len(stage) and stage[i].kind == "op" and stage[i].val == ",":
+                i += 1
+        return out
+    if head.kind == "ident" and head.val.upper() == "DISSECT":
+        # DISSECT col "pattern": %{key} captures non-greedy up to the
+        # next literal chunk (the trailing key captures to end),
+        # %{} / %{?name} skip — the whole pattern compiles to ONE
+        # anchored (?s) regex, leftmost-delimiter semantics exactly
+        # like ES dissect; a non-matching row gets NULL fields
+        # (ES|QL behavior). Modifiers +/->/*/& and APPEND_SEPARATOR
+        # raise (multi-pass append logic, not modeled).
+        if (len(stage) != 3 or stage[1].kind != "ident"
+                or stage[2].kind != "str"):
+            raise ValueError('ES|QL: DISSECT <column> "pattern"')
+        col = F.col(stage[1].val)
+        pat, keys = _dissect_regex(stage[2].val)
+        matched = col.rlike(pat)
+        out = df
+        for gi, key in keys:
+            out = out.withColumn(
+                key, F.when(matched, F.regexp_extract(col, pat, gi))
+            )
+        return out
+    if head.kind == "kw" and head.val == "MV_EXPAND":
+        names = _name_list(stage[1:])
+        if len(names) != 1:
+            raise ValueError("ES|QL: MV_EXPAND <one column>")
+        n = names[0]
+        others = [c for c in df.columns if c != n]
+        return df.select(*others, F.explode_outer(F.col(n)).alias(n))
+    raise ValueError(f"ES|QL: unknown command {head.val!r}")
+
+
+def _dissect_regex(pattern: str) -> tuple[str, list[tuple[int, str]]]:
+    """ES dissect pattern → (anchored regex, [(group index, key)]).
+    Literal chunks escape verbatim; every placeholder becomes a
+    group — non-greedy except the last, so each key captures up to
+    the LEFTMOST occurrence of the following literal (dissect's
+    delimiter rule). ``%{}`` and ``%{?name}`` are skips (grouped but
+    not emitted); other modifiers raise."""
+    parts = re.split(r"(%\{[^}]*\})", pattern)
+    regex: list[str] = ["(?s)^"]
+    keys: list[tuple[int, str]] = []
+    gi = 0
+    holes = [i for i, p in enumerate(parts)
+             if p.startswith("%{") and p.endswith("}")]
+    if not holes:
+        raise ValueError("ES|QL DISSECT: pattern has no %{key} holes")
+    last_hole = holes[-1]
+    for i, p in enumerate(parts):
+        if not p:
+            continue
+        if p.startswith("%{") and p.endswith("}"):
+            name = p[2:-1]
+            if name.startswith("?"):
+                name = ""  # named skip
+            if any(m in name for m in ("+", "->", "*", "&", "/")):
+                raise ValueError(
+                    f"ES|QL DISSECT modifier in {p!r}: append/pad/"
+                    "reference modifiers are not modeled"
+                )
+            gi += 1
+            regex.append("(.*)" if i == last_hole else "(.*?)")
+            if name:
+                keys.append((gi, name))
+        else:
+            regex.append(re.escape(p))
+    regex.append("$")
+    if not keys:
+        raise ValueError("ES|QL DISSECT: every hole is a skip")
+    return "".join(regex), keys
+
+
+def _name_list(toks: list[_Tok]) -> list[str]:
+    names = []
+    i = 0
+    while i < len(toks):
+        if toks[i].kind != "ident":
+            raise ValueError(f"ES|QL: expected column name, got {toks[i]!r}")
+        names.append(toks[i].val)
+        i += 1
+        if i < len(toks):
+            if toks[i].kind == "op" and toks[i].val == ",":
+                i += 1
+            else:
+                raise ValueError(f"ES|QL: expected ',', got {toks[i]!r}")
+    return names
+
+
+def _stats(df: DataFrame, stage: list[_Tok]) -> DataFrame:
+    # split the stage at a top-level BY
+    depth = 0
+    by_at = None
+    for i, t in enumerate(stage):
+        if t.kind == "op" and t.val == "(":
+            depth += 1
+        elif t.kind == "op" and t.val == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "kw" and t.val == "BY":
+            by_at = i
+            break
+    agg_toks = stage[1:by_at] if by_at is not None else stage[1:]
+    by_toks = stage[by_at + 1:] if by_at is not None else []
+
+    def _named_exprs(toks: list[_Tok], allow_aggs: bool):
+        out: list[tuple[str | None, Column]] = []
+        pos = 0
+        while pos < len(toks):
+            name = None
+            if (pos + 1 < len(toks) and toks[pos].kind == "ident"
+                    and toks[pos + 1].kind == "op"
+                    and toks[pos + 1].val == "="):
+                name = toks[pos].val
+                pos += 2
+            p = _ExprParser(toks, pos, allow_aggs=allow_aggs)
+            col = p._or()
+            pos = p.pos
+            if name is None:
+                # default name: the expression's source text is not
+                # kept — require explicit names for hash-stable
+                # output (ES|QL's auto-names quote the source text)
+                raise ValueError(
+                    "ES|QL STATS/BY: name each expression "
+                    "(`name = expr`) — auto-named columns are not "
+                    "modeled"
+                )
+            out.append((name, col))
+            if pos < len(toks):
+                if toks[pos].kind == "op" and toks[pos].val == ",":
+                    pos += 1
+                else:
+                    raise ValueError(
+                        f"ES|QL: expected ',', got {toks[pos]!r}"
+                    )
+        return out
+
+    aggs = _named_exprs(agg_toks, allow_aggs=True)
+    if not aggs:
+        raise ValueError("ES|QL: STATS needs at least one aggregate")
+    keys = _named_exprs(by_toks, allow_aggs=False) if by_toks else []
+    agg_cols = [c.alias(n) for n, c in aggs]
+    if keys:
+        keyed = df.select(
+            *[c.alias(n) for n, c in keys],
+            *[c for c in df.columns if c not in [n for n, _ in keys]],
+        )
+        return keyed.groupBy(*[n for n, _ in keys]).agg(*agg_cols)
+    return df.agg(*agg_cols)
+
+
+def q_esql_events_rollup(spark, sf_dir: str) -> DataFrame:
+    """Oracle row (round 15): a saved ES|QL dashboard query replayed
+    on the lake — WHERE / left-to-right EVAL / STATS..BY with the
+    exact-decimal AVG and an exact COUNT_DISTINCT / SORT / LIMIT.
+    SUM goes through an integer expression (FLOOR cents) so both
+    engines add exactly."""
+    from .tables import load
+
+    return esql(
+        {"events": load(spark, sf_dir, "events")},
+        """
+        FROM events
+        | WHERE value IS NOT NULL AND event_type IN ("click", "view", "error")
+        | EVAL day = DATE_TRUNC(1 day, ts),
+               band = FLOOR(value / 100),
+               cents = TO_LONG(FLOOR(value * 100))
+        | STATS n = COUNT(*), total_cents = SUM(cents),
+                avg_v = AVG(value), users = COUNT_DISTINCT(user_id)
+            BY day = day, band = band
+        | SORT day, band
+        | LIMIT 200
+        """,
+    )
+
+
+def q_esql_docs_tokens(spark, sf_dir: str) -> DataFrame:
+    """Oracle row (round 15): the text-pipeline shape — SPLIT +
+    MV_EXPAND re-bases rows onto tokens, LIKE filters by wildcard,
+    STATS counts per token with an explicit deterministic SORT."""
+    from .tables import load
+
+    return esql(
+        {"documents": load(spark, sf_dir, "documents")},
+        """
+        FROM documents
+        | EVAL toks = SPLIT(text, " ")
+        | MV_EXPAND toks
+        | WHERE toks LIKE "s*" AND LENGTH(toks) >= 4
+        | STATS n = COUNT(*) BY tok = toks
+        | SORT n DESC, tok ASC
+        | LIMIT 15
+        """,
+    )

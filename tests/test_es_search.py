@@ -1509,9 +1509,15 @@ def test_filter_missing_and_date_range_buckets(spark):
     assert sorted((r.era, r.doc_count) for r in out3) == [
         ("early", 1), ("late", 2)
     ]
-    with pytest.raises(ValueError, match="epoch millis"):
+    # round 15: ISO-8601 string bounds WORK (normalized to epoch
+    # millis once, the original string in the default key) — the
+    # pre-r15 raise is upgraded; junk strings still raise
+    out4 = compile_aggs(df, {"e": {"date_range": {
+        "field": "ts", "ranges": [{"from": "2024-01-02"}]}}}).collect()
+    assert [(r.e, r.doc_count) for r in out4] == [("2024-01-02-*", 2)]
+    with pytest.raises(ValueError, match="epoch millis|ISO"):
         compile_aggs(df, {"e": {"date_range": {
-            "field": "ts", "ranges": [{"from": "2024-01-01"}]}}}).collect()
+            "field": "ts", "ranges": [{"from": "not-a-date"}]}}}).collect()
 
 
 def _geohash_ref(lat, lon, precision):
@@ -5735,3 +5741,102 @@ def test_composite_geotile_source(spark):
         "field": "loc", "precision": 3,
         "size": 10_000}}}}).collect()
     assert walked == {r.t: r.doc_count for r in agg}  # exhaustive, same keys
+
+
+def test_wrapper_case_insensitive_fuzzy(spark):
+    """Round 15 extras: the `wrapper` query decodes its base64 JSON
+    and recurses; the ES 7.10+ `case_insensitive` flag on
+    term/prefix/wildcard/regexp (ASCII lower, both sides); the
+    `fuzzy` query as whole-value classic Levenshtein with AUTO
+    fuzziness (0/1/2 by term length) and prefix_length."""
+    import base64
+    import json
+
+    df = spark.createDataFrame(
+        [(1, "Click", "fast"), (2, "click", "fist"),
+         (3, "VIEW", "feast"), (4, None, None)],
+        "id int, k string, w string")
+
+    def ids(q):
+        return sorted(
+            r.id for r in df.filter(_false_safe(compile_query(q))).collect()
+        )
+
+    b64 = base64.b64encode(
+        json.dumps({"term": {"k": "click"}}).encode()
+    ).decode()
+    assert ids({"wrapper": {"query": b64}}) == [2]
+    with pytest.raises(ValueError, match="decode"):
+        compile_query({"wrapper": {"query": "not-base64-json!!"}})
+
+    assert ids({"term": {"k": {"value": "click",
+                               "case_insensitive": True}}}) == [1, 2]
+    assert ids({"prefix": {"k": {"value": "cl",
+                                 "case_insensitive": True}}}) == [1, 2]
+    assert ids({"wildcard": {"k": {"value": "v*w",
+                                   "case_insensitive": True}}}) == [3]
+    assert ids({"regexp": {"k": {"value": "cl.*",
+                                 "case_insensitive": True}}}) == [1, 2]
+    assert ids({"regexp": {"k": "cl.*"}}) == [2]  # default stays exact
+
+    # AUTO = 1 for a 4-char term; 'feast' is one insertion away
+    assert ids({"fuzzy": {"w": {"value": "fast"}}}) == [1, 2, 3]
+    assert ids({"fuzzy": {"w": {"value": "fast", "fuzziness": 0}}}) == [1]
+    assert ids({"fuzzy": {"w": {"value": "fast", "fuzziness": 2,
+                                "prefix_length": 2}}}) == [1]
+    assert ids({"fuzzy": {"w": "of"}}) == []  # AUTO = 0 below 3 chars
+
+
+def test_multi_match_types_and_date_range_iso(spark):
+    """Round 15: multi_match `type` routes field arms through the
+    matching kind (phrase / phrase_prefix / bool_prefix; the three
+    scoring-only types match identically in filter context);
+    date_range accepts ISO-8601 string bounds (normalized to epoch
+    millis once, original strings in the default key) and raises on
+    `now` math."""
+    import datetime as dt
+
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    df = spark.createDataFrame(
+        [(1, "quick brown fox", "fox den"), (2, "quick brow", None),
+         (3, "slow brown foxtrot", "quick nap")],
+        "id int, a string, b string")
+
+    def ids(q):
+        return sorted(
+            r.id for r in df.filter(_false_safe(compile_query(q))).collect()
+        )
+
+    assert ids({"multi_match": {"query": "brown fox",
+                                "fields": ["a", "b"],
+                                "type": "phrase"}}) == [1]
+    assert ids({"multi_match": {"query": "brown fox",
+                                "fields": ["a", "b"],
+                                "type": "phrase_prefix"}}) == [1, 3]
+    assert ids({"multi_match": {"query": "quick bro",
+                                "fields": ["a", "b"],
+                                "type": "bool_prefix",
+                                "operator": "and"}}) == [1, 2]
+    assert ids({"multi_match": {"query": "quick fox",
+                                "fields": ["a", "b"],
+                                "type": "cross_fields"}}) == [1, 2, 3]
+    with pytest.raises(ValueError, match="multi_match type"):
+        compile_query({"multi_match": {"query": "x", "fields": ["a"],
+                                       "type": "nope"}})
+
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i, 12, 0, 0)) for i in range(6)],
+        "id int, ts timestamp")
+    out = search_aggs(ev, {"aggs": {"r": {"date_range": {
+        "field": "ts", "ranges": [
+            {"to": "2024-01-03T00:00:00"},
+            {"from": "2024-01-03T00:00:00", "to": "2024-01-05"},
+        ]}}}}).collect()
+    got = {r.r: r.doc_count for r in out}
+    assert got == {"*-2024-01-03T00:00:00": 2,
+                   "2024-01-03T00:00:00-2024-01-05": 2}
+    with pytest.raises(ValueError, match="now"):
+        search_aggs(ev, {"aggs": {"r": {"date_range": {
+            "field": "ts",
+            "ranges": [{"from": "now-1d"}]}}}}).collect()

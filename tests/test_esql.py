@@ -1,0 +1,243 @@
+"""ES|QL compiler semantics (round 15): command coverage, the
+expression grammar's precedence and NULL behavior, left-to-right
+EVAL binding, STATS discipline (exact-decimal AVG, exact
+COUNT_DISTINCT), the loud out-of-scope raises, and a randomized
+WHERE pin against a pure-Python evaluator."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401 — fixtures
+
+from dump_es_parquet_spark.operators.esql import esql
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    ev = spark.createDataFrame(
+        [(1, "click", 10.0, dt.datetime(2024, 1, 1, 5), "10.0.0.5",
+          ["a", "b"]),
+         (2, "view", 25.0, dt.datetime(2024, 1, 1, 9), "10.0.1.9",
+          ["a"]),
+         (3, "click", None, dt.datetime(2024, 1, 2, 7), "192.168.0.1",
+          None),
+         (4, "error", 99.5, dt.datetime(2024, 1, 2, 8), None, ["c"])],
+        "id int, etype string, value double, ts timestamp, ip string, "
+        "tags array<string>")
+    return {"events": ev}
+
+
+def test_esql_commands(tables):
+    r = esql(tables, 'FROM events | WHERE etype == "click" AND '
+                     'value >= 5 | KEEP id, value | SORT id').collect()
+    assert [(x.id, x.value) for x in r] == [(1, 10.0)]
+
+    r = esql(tables, '''FROM events
+        | EVAL day = DATE_TRUNC(1 day, ts),
+               v2 = COALESCE(value, 0.0) * 2
+        | STATS n = COUNT(*), total = SUM(v2), avg_v = AVG(value)
+            BY day = day
+        | SORT day''').collect()
+    assert [x.n for x in r] == [2, 2]
+    assert abs(r[0].total - 70.0) < 1e-9
+    assert abs(r[0].avg_v - 17.5) < 1e-9  # NULL value skipped
+
+    # EVAL binds left-to-right: the second assignment sees the first
+    r = esql(tables, 'FROM events | EVAL a = id * 10, b = a + id '
+                     '| WHERE id == 2 | KEEP b').collect()
+    assert r[0].b == 22
+
+    r = esql(tables, 'FROM events | MV_EXPAND tags '
+                     '| WHERE tags IS NOT NULL '
+                     '| STATS n = COUNT(*) BY t = tags | SORT t').collect()
+    assert [(x.t, x.n) for x in r] == [("a", 2), ("b", 1), ("c", 1)]
+
+    r = esql(tables, 'FROM events | RENAME etype AS kind '
+                     '| WHERE kind IN ("view", "error") | SORT id '
+                     '| KEEP id, kind').collect()
+    assert [(x.id, x.kind) for x in r] == [(2, "view"), (4, "error")]
+
+    r = esql(tables, 'ROW x = 5, msg = "hi" | EVAL y = x * 2').collect()
+    assert (r[0].x, r[0].msg, r[0].y) == (5, "hi", 10)
+
+    r = esql(tables, 'FROM events | DROP tags, ip | LIMIT 1')
+    assert "tags" not in r.columns and "ip" not in r.columns
+
+    # SORT with NULLS FIRST/LAST and DESC
+    r = esql(tables, 'FROM events | SORT value DESC NULLS LAST '
+                     '| KEEP id').collect()
+    assert [x.id for x in r] == [4, 2, 1, 3]
+    r = esql(tables, 'FROM events | SORT value ASC NULLS FIRST '
+                     '| KEEP id').collect()
+    assert [x.id for x in r] == [3, 1, 2, 4]
+
+
+def test_esql_expressions(tables):
+    def ids(where):
+        r = esql(tables, f"FROM events | WHERE {where} | SORT id "
+                         "| KEEP id").collect()
+        return [x.id for x in r]
+
+    # precedence: AND binds tighter than OR; NOT tighter than AND
+    assert ids('etype == "view" OR etype == "click" AND value >= 5') \
+        == [1, 2]
+    assert ids('NOT etype == "click" AND value > 20') == [2, 4]
+    # arithmetic precedence and unary minus
+    assert ids('value * 2 - 1 > 48 AND value < 100') == [2, 4]
+    assert ids('-value < -90') == [4]
+    # LIKE wildcards are * and ?; RLIKE anchors both ends
+    assert ids('etype LIKE "c*"') == [1, 3]
+    assert ids('etype LIKE "v?ew"') == [2]
+    assert ids('etype RLIKE "cl.ck|err.r"') == [1, 3, 4]
+    # IS NULL / IS NOT NULL; three-valued drop
+    assert ids('value IS NULL') == [3]
+    assert ids('value != 10') == [2, 4]  # NULL verdict drops row 3
+    # functions
+    assert ids('STARTS_WITH(TO_UPPER(etype), "CL")') == [1, 3]
+    assert ids('LENGTH(SUBSTRING(etype, 1, 2)) == 2') == [1, 2, 3, 4]
+    assert ids('CIDR_MATCH(ip, "10.0.0.0/16")') == [1, 2]
+    # CASE: row 2 (25.0) takes the FALSE branch; rows 1/3 fall to the
+    # default (row 3's NULL conditions skip like Spark CASE WHEN)
+    assert ids('CASE(value >= 50, TRUE, value >= 20, FALSE, TRUE)') \
+        == [1, 3, 4]
+
+
+def test_esql_case_null_default(tables):
+    # pin the CASE+NULL reading explicitly: NULL conditions fall
+    # through to the default (Spark's CASE WHEN, same as ES|QL)
+    r = esql(tables, 'FROM events | EVAL c = CASE(value >= 50, 1, 2) '
+                     '| SORT id | KEEP id, c').collect()
+    assert [(x.id, x.c) for x in r] == [(1, 2), (2, 2), (3, 2), (4, 1)]
+
+
+def test_esql_raises(tables):
+    for bad, msg in [
+        ('FROM events | GROK etype "%{WORD:a}"', "GROK"),
+        ('FROM events | ENRICH policy', "ENRICH"),
+        ('FROM events | EVAL t = NOW()', "deterministic"),
+        ('FROM events METADATA _id', "METADATA"),
+        ('FROM nope', "unknown index"),
+        ('FROM events | STATS COUNT(*)', "name each"),
+        ('FROM events | WHERE SUM(value) > 1', "outside STATS"),
+        ('FROM events | LIMIT x', "LIMIT"),
+        ('WHERE id == 1', "must start with FROM"),
+        ('FROM events | NOPECMD x', "unknown"),
+    ]:
+        with pytest.raises(ValueError, match="") as ei:
+            esql(tables, bad)
+        assert msg.lower() in str(ei.value).lower(), (bad, ei.value)
+
+
+def test_esql_where_randomized_vs_python(spark):
+    """Property pin: randomized WHERE expressions over int columns
+    agree with a pure-Python three-valued evaluator."""
+    import random
+
+    rng = random.Random(15150)
+    rows = [
+        (i,
+         rng.choice([None, rng.randrange(-5, 6)]),
+         rng.choice([None, rng.randrange(-5, 6)]))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id int, a int, b int")
+    tables = {"t": df}
+
+    def py_eval(a, b, expr):
+        # three-valued mini-evaluator for the generated shapes
+        def cmp(x, op, y):
+            if x is None or y is None:
+                return None
+            return {"<": x < y, ">": x > y, "==": x == y,
+                    "!=": x != y}[op]
+
+        def conj(x, y):
+            if x is False or y is False:
+                return False
+            if x is None or y is None:
+                return None
+            return x and y
+
+        def disj(x, y):
+            if x is True or y is True:
+                return True
+            if x is None or y is None:
+                return None
+            return x or y
+
+        kind, parts = expr
+        if kind == "cmp":
+            lhs, op, lit = parts
+            return cmp(a if lhs == "a" else b, op, lit)
+        if kind == "and":
+            return conj(py_eval(a, b, parts[0]), py_eval(a, b, parts[1]))
+        if kind == "or":
+            return disj(py_eval(a, b, parts[0]), py_eval(a, b, parts[1]))
+        if kind == "not":
+            v = py_eval(a, b, parts[0])
+            return None if v is None else not v
+        raise AssertionError(kind)
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.4:
+            lhs = rng.choice(["a", "b"])
+            op = rng.choice(["<", ">", "==", "!="])
+            lit = rng.randrange(-5, 6)
+            return ("cmp", (lhs, op, lit)), f"{lhs} {op} {lit}"
+        k = rng.choice(["and", "or", "not"])
+        e1, s1 = gen(depth - 1)
+        if k == "not":
+            return ("not", (e1,)), f"NOT ({s1})"
+        e2, s2 = gen(depth - 1)
+        return (k, (e1, e2)), f"({s1}) {k.upper()} ({s2})"
+
+    for _ in range(25):
+        expr, text = gen(3)
+        got = sorted(
+            r.id for r in esql(
+                tables, f"FROM t | WHERE {text} | KEEP id"
+            ).collect()
+        )
+        want = sorted(
+            i for i, a, b in rows if py_eval(a, b, expr) is True
+        )
+        assert got == want, text
+
+
+def test_esql_bucket_and_dissect(spark, tables):
+    """Round 15: BUCKET (calendar truncation / numeric band starts)
+    and DISSECT (delimiter extraction as one anchored regex,
+    non-matching rows NULL, modifiers raise)."""
+    r = esql(tables, '''FROM events
+        | STATS n = COUNT(*) BY d = BUCKET(ts, 1 day),
+                                b = BUCKET(COALESCE(value, 0.0), 50)
+        | SORT d, b''').collect()
+    assert [(str(x.d)[:10], x.b, x.n) for x in r] == [
+        ("2024-01-01", 0.0, 2), ("2024-01-02", 0.0, 1),
+        ("2024-01-02", 50.0, 1)]
+    with pytest.raises(ValueError, match="adaptive"):
+        esql(tables, 'FROM events | STATS n = COUNT(*) '
+                     'BY b = BUCKET(value, 10, 0, 100)')
+
+    logs = spark.createDataFrame(
+        [(1, "10.0.0.1 [2024-01-01] GET /idx 200"),
+         (2, "malformed line"),
+         (3, "10.9.9.9 [2024-02-02] PUT /x 503")],
+        "id int, line string")
+    r = esql({"logs": logs},
+             'FROM logs | DISSECT line '
+             '"%{ip} [%{day}] %{?verb} %{path} %{status}" '
+             '| SORT id | KEEP id, ip, day, path, status').collect()
+    assert [(x.id, x.ip, x.day, x.path, x.status) for x in r] == [
+        (1, "10.0.0.1", "2024-01-01", "/idx", "200"),
+        (2, None, None, None, None),
+        (3, "10.9.9.9", "2024-02-02", "/x", "503")]
+    # %{?name} is a named skip: grouped for matching, never emitted
+    assert "rest" not in esql(
+        {"logs": logs},
+        'FROM logs | DISSECT line "%{ip} %{?rest}" | LIMIT 1'
+    ).columns
+    with pytest.raises(ValueError, match="modifier"):
+        esql({"logs": logs}, 'FROM logs | DISSECT line "%{+a} %{b}"')
+    with pytest.raises(ValueError, match="pattern library"):
+        esql({"logs": logs}, 'FROM logs | GROK line "%{WORD:a}"')

@@ -351,14 +351,14 @@ PINNED_FINGERPRINTS = {
     # the empty fingerprint IS the point (zero shuffles)
     "es_geo_shape": {},
     # phrase suggester (round 15 beam rewrite — the r14 `weak` fix):
-    # per beam step one candidate-pair-filtered bigram groupBy + one
-    # broadcast join of the literal transition frame onto it + one
-    # broadcast join onto the running prefix frame + one
+    # the scoring plan has NO aggregation — per beam step one
+    # broadcast hash join of the literal transition frame (bigram
+    # counts folded in driver-side, the rule-frame class) + one
     # per-last-word beam window (tiny, ≤ per_token partitions); the
-    # L=3 oracle row = 2 steps -> 4 exchanges, 4 BHJs, and the
-    # frame is never larger than beam·per_token rows (the r14
+    # L=3 oracle row = 2 steps -> 2 window exchanges, 2 BHJs, and
+    # the frame is never larger than beam·per_token rows (the r14
     # per_token^L product literal is gone)
-    "es_suggest_phrase": {"exchange": 4, "bhj": 4},
+    "es_suggest_phrase": {"exchange": 2, "bhj": 2},
     # date_histogram time_zone (round 12): a shifted key expression +
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
@@ -501,6 +501,13 @@ PINNED_FINGERPRINTS = {
     # composite geotile source: one groupBy over the tile key with
     # the after filter below it — the composite page class
     "es_composite_geotile": {"exchange": 1},
+    # ES|QL (round 15): the dashboard rollup is scan → filter →
+    # EVAL expressions → ONE groupBy + the final sort; the token
+    # pipeline is scan → explode → filter → one groupBy (TakeOrdered
+    # page) — both the plans the equivalent hand-written DataFrame
+    # code would produce (the compiler adds nothing)
+    "esql_events_rollup": {"exchange": 2},
+    "esql_docs_tokens": {"exchange": 1},
 }
 
 
