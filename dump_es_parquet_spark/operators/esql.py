@@ -32,6 +32,11 @@ DataFrame op it is):
   as ONE anchored regex (non-greedy holes = dissect's
   leftmost-delimiter rule; non-matching rows get NULL fields;
   append/pad/reference modifiers raise).
+- ``| GROK col "%{IP:ip} %{NUMBER:status:int}"`` — regex extraction
+  through the bundled core Logstash pattern set (public grok
+  pattern content), unanchored like grok, typed captures via
+  int/long/float/double suffixes; unknown patterns raise with the
+  bundled list.
 - ``BUCKET(col, span)`` inside STATS BY — calendar spans truncate
   like DATE_TRUNC, numeric spans floor to the band start; the 4-arg
   adaptive form raises (server-side width heuristics).
@@ -43,8 +48,7 @@ numeric / boolean / NULL literals, backquoted identifiers, and a
 curated function table (see ``_FUNCTIONS``) including ``CASE`` and
 ``CIDR_MATCH`` (the round-15 octet-split ip tree).
 
-Out of scope, each raising loudly with the reason: ``GROK`` (needs
-the server's pattern library — DISSECT covers the delimiter shape),
+Out of scope, each raising loudly with the reason:
 ``ENRICH`` / ``LOOKUP`` (server-side policies), ``METADATA`` fields
 (``_id``/``_index`` die with the cluster), ``NOW()`` and date-math
 relative to now (no deterministic lake reading — pin the instant),
@@ -89,9 +93,43 @@ _KEYWORDS = {
     "DESC", "NULLS", "FIRST", "LAST",
 }
 
+#: the core public Logstash grok patterns (the log-analytics staple
+#: set; grok pattern files are public Elastic/Logstash content). Each
+#: body is capture-free — %{X:name} wraps it in the capture group.
+_GROK_PATTERNS = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "POSINT": r"\b\d+\b",
+    "NUMBER": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}"
+                r"(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}"
+                         r"(?::\d{2}(?:\.\d+)?)?"
+                         r"(?:Z|[+-]\d{2}:?\d{2})?",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|"
+                r"[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|"
+                r"WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|"
+                r"[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|"
+                r"[Ss]evere|SEVERE|[Ee]merg(?:ency)?|EMERG(?:ENCY)?)",
+    "QUOTEDSTRING": r'"(?:[^"\\]|\\.)*"',
+}
+
+_GROK_TYPES = {
+    "int": "long", "long": "long",
+    "float": "double", "double": "double",
+}
+
 _UNSUPPORTED_COMMANDS = {
-    "GROK": "grok needs the server's pattern library; DISSECT covers "
-            "the delimiter-based shape",
     "ENRICH": "enrich policies live server-side",
     "LOOKUP": "lookup joins live server-side",
     "METADATA": "_id/_index metadata dies with the cluster",
@@ -144,11 +182,21 @@ def _tokenize(s: str) -> list[_Tok]:
 
 
 def _unescape(s: str) -> str:
+    """String-literal escapes: ``\\n \\t \\r \\" \\\\`` translate;
+    any OTHER backslash sequence is preserved verbatim so
+    regex-bearing literals (GROK/DISSECT/RLIKE patterns full of
+    ``\\[`` / ``\\d``) survive one level of quoting — the lenient
+    reading of ES|QL's escape rules."""
     out, i = [], 0
     while i < len(s):
         if s[i] == "\\" and i + 1 < len(s):
             c = s[i + 1]
-            out.append({"n": "\n", "t": "\t", "r": "\r"}.get(c, c))
+            if c in ("n", "t", "r"):
+                out.append({"n": "\n", "t": "\t", "r": "\r"}[c])
+            elif c in ('"', "\\"):
+                out.append(c)
+            else:
+                out.append("\\" + c)
             i += 2
         else:
             out.append(s[i])
@@ -733,6 +781,29 @@ def _command(df: DataFrame, stage: list[_Tok]) -> DataFrame:
                 key, F.when(matched, F.regexp_extract(col, pat, gi))
             )
         return out
+    if head.kind == "ident" and head.val.upper() == "GROK":
+        # GROK col "pattern": %{PATTERN:name[:type]} captures through
+        # the bundled core Logstash pattern set (_GROK_PATTERNS —
+        # grok pattern files are public content); literal text
+        # between holes is RAW regex, exactly grok's contract; the
+        # match is UNANCHORED like grok (anchor with ^$ explicitly);
+        # a non-matching row gets NULL fields; int/long/float/double
+        # type suffixes try_cast. Patterns outside the bundled set
+        # raise with the list (custom pattern definitions and
+        # pattern_definitions maps are not modeled).
+        if (len(stage) != 3 or stage[1].kind != "ident"
+                or stage[2].kind != "str"):
+            raise ValueError('ES|QL: GROK <column> "pattern"')
+        col = F.col(stage[1].val)
+        pat, keys = _grok_regex(stage[2].val)
+        matched = col.rlike(pat)
+        out = df
+        for gi, key, typ in keys:
+            c = F.when(matched, F.regexp_extract(col, pat, gi))
+            if typ:
+                c = c.try_cast(typ)
+            out = out.withColumn(key, c)
+        return out
     if head.kind == "kw" and head.val == "MV_EXPAND":
         names = _name_list(stage[1:])
         if len(names) != 1:
@@ -780,6 +851,51 @@ def _dissect_regex(pattern: str) -> tuple[str, list[tuple[int, str]]]:
     regex.append("$")
     if not keys:
         raise ValueError("ES|QL DISSECT: every hole is a skip")
+    return "".join(regex), keys
+
+
+def _grok_regex(pattern: str) -> tuple[str, list[tuple[int, str, str | None]]]:
+    """Grok pattern → (java regex, [(group index, key, cast type)]).
+    ``%{PATTERN}`` matches without capturing, ``%{PATTERN:name}``
+    captures, ``%{PATTERN:name:int}`` casts; inter-hole text is raw
+    regex (grok's contract — escape regex metachars yourself)."""
+    parts = re.split(r"(%\{[^}]*\})", pattern)
+    regex: list[str] = []
+    keys: list[tuple[int, str, str | None]] = []
+    gi = 0
+    for p in parts:
+        if not p:
+            continue
+        if p.startswith("%{") and p.endswith("}"):
+            bits = p[2:-1].split(":")
+            pname = bits[0]
+            body = _GROK_PATTERNS.get(pname)
+            if body is None:
+                raise ValueError(
+                    f"ES|QL GROK pattern {pname!r}: the bundled set is "
+                    f"{sorted(_GROK_PATTERNS)} (custom pattern "
+                    "definitions are not modeled)"
+                )
+            if len(bits) == 1:
+                regex.append(f"(?:{body})")
+                continue
+            if len(bits) > 3:
+                raise ValueError(f"ES|QL GROK hole {p!r}")
+            typ = None
+            if len(bits) == 3:
+                typ = _GROK_TYPES.get(bits[2])
+                if typ is None:
+                    raise ValueError(
+                        f"ES|QL GROK type {bits[2]!r}: one of "
+                        f"{sorted(_GROK_TYPES)}"
+                    )
+            gi += 1
+            regex.append(f"({body})")
+            keys.append((gi, bits[1], typ))
+        else:
+            regex.append(p)
+    if not keys:
+        raise ValueError("ES|QL GROK: no named captures in pattern")
     return "".join(regex), keys
 
 

@@ -112,7 +112,6 @@ def test_esql_case_null_default(tables):
 
 def test_esql_raises(tables):
     for bad, msg in [
-        ('FROM events | GROK etype "%{WORD:a}"', "GROK"),
         ('FROM events | ENRICH policy', "ENRICH"),
         ('FROM events | EVAL t = NOW()', "deterministic"),
         ('FROM events METADATA _id', "METADATA"),
@@ -239,5 +238,23 @@ def test_esql_bucket_and_dissect(spark, tables):
     ).columns
     with pytest.raises(ValueError, match="modifier"):
         esql({"logs": logs}, 'FROM logs | DISSECT line "%{+a} %{b}"')
-    with pytest.raises(ValueError, match="pattern library"):
-        esql({"logs": logs}, 'FROM logs | GROK line "%{WORD:a}"')
+    # GROK: the bundled core pattern set, typed captures, unanchored
+    glogs = spark.createDataFrame(
+        [(1, "10.0.0.1 [2024-01-01T10:00:00] GET /idx 200 0.25"),
+         (2, "malformed line"),
+         (3, "10.9.9.9 [2024-02-02T11:30:00] PUT /x 503 1.5")],
+        "id int, line string")
+    r = esql({"logs": glogs},
+             'FROM logs | GROK line '
+             '"%{IP:ip} \\[%{TIMESTAMP_ISO8601:t}\\] '
+             '%{WORD} %{NOTSPACE:path} %{NUMBER:status:int} '
+             '%{NUMBER:dur:float}" '
+             '| SORT id | KEEP id, ip, path, status, dur').collect()
+    assert [(x.id, x.ip, x.path, x.status, x.dur) for x in r] == [
+        (1, "10.0.0.1", "/idx", 200, 0.25),
+        (2, None, None, None, None),
+        (3, "10.9.9.9", "/x", 503, 1.5)]
+    with pytest.raises(ValueError, match="bundled set"):
+        esql({"logs": logs}, 'FROM logs | GROK line "%{NOPE:a}"')
+    with pytest.raises(ValueError, match="no named"):
+        esql({"logs": logs}, 'FROM logs | GROK line "%{WORD}"')
