@@ -18,7 +18,10 @@ DataFrame op it is):
 - ``| EVAL name = expr, ...`` — computed columns, later assignments
   seeing earlier ones (ES|QL's left-to-right binding).
 - ``| STATS agg [, agg...] [BY key [, key...]]`` — grouped
-  aggregation; ``BY`` keys may be ``name = expr`` forms. Aggregates:
+  aggregation; ``BY`` keys may be ``name = expr`` forms; each
+  aggregate may carry its own ``WHERE cond`` filter (the 8.13
+  per-aggregate mask — F.when feeds NULLs the aggregate skips).
+  Aggregates:
   COUNT(*)/COUNT(x), SUM, MIN, MAX, AVG (the engine's exact-decimal
   tree, association-free across engines), COUNT_DISTINCT, MEDIAN and
   PERCENTILE(x, p) (exact linear interpolation — ES|QL uses t-digest,
@@ -368,9 +371,14 @@ _AGGS = {
 
 
 class _ExprParser:
-    def __init__(self, toks: list[_Tok], pos: int, allow_aggs=False):
+    def __init__(self, toks: list[_Tok], pos: int, allow_aggs=False,
+                 agg_filter: Column | None = None):
         self.toks, self.pos = toks, pos
         self.allow_aggs = allow_aggs
+        # STATS `agg WHERE cond` (ES|QL 8.13): every aggregate input
+        # masks through the condition (NULLs skip, so F.when is the
+        # exact per-aggregate filter)
+        self.agg_filter = agg_filter
 
     def peek(self) -> _Tok | None:
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -548,8 +556,16 @@ class _ExprParser:
         return fn(args)
 
     def _agg(self, up: str, args: list[Column], star: bool) -> Column:
+        if self.agg_filter is not None:
+            # WHERE-masked aggregate: non-matching rows feed NULL,
+            # which every aggregate below skips (COUNT(*) counts the
+            # mask itself)
+            if args:
+                args = [F.when(self.agg_filter, args[0]), *args[1:]]
         if up == "COUNT":
             if star or not args:
+                if self.agg_filter is not None:
+                    return F.count(F.when(self.agg_filter, F.lit(1)))
                 return F.count(F.lit(1))
             return F.count(args[0])
         if up == "SUM":
@@ -940,9 +956,22 @@ def _stats(df: DataFrame, stage: list[_Tok]) -> DataFrame:
                     and toks[pos + 1].val == "="):
                 name = toks[pos].val
                 pos += 2
+            start = pos
             p = _ExprParser(toks, pos, allow_aggs=allow_aggs)
             col = p._or()
             pos = p.pos
+            if (allow_aggs and pos < len(toks)
+                    and toks[pos].kind == "kw"
+                    and toks[pos].val == "WHERE"):
+                # `agg WHERE cond` (ES|QL 8.13): parse the condition,
+                # then RE-parse the aggregate expression with the
+                # filter bound so every aggregate input masks
+                cp = _ExprParser(toks, pos + 1, allow_aggs=False)
+                cond = cp._or()
+                p2 = _ExprParser(toks, start, allow_aggs=True,
+                                 agg_filter=cond)
+                col = p2._or()
+                pos = cp.pos
             if name is None:
                 # default name: the expression's source text is not
                 # kept — require explicit names for hash-stable

@@ -258,3 +258,19 @@ def test_esql_bucket_and_dissect(spark, tables):
         esql({"logs": logs}, 'FROM logs | GROK line "%{NOPE:a}"')
     with pytest.raises(ValueError, match="no named"):
         esql({"logs": logs}, 'FROM logs | GROK line "%{WORD}"')
+
+
+def test_esql_stats_where(tables):
+    """ES|QL 8.13 per-aggregate WHERE: each aggregate masks its own
+    rows; siblings with different conditions coexist in one STATS."""
+    r = esql(tables, '''FROM events
+        | STATS clicks = COUNT(*) WHERE etype == "click",
+                big = SUM(value) WHERE value > 20,
+                all_n = COUNT(*),
+                avg_click = AVG(value) WHERE etype == "click"
+            BY d = BUCKET(ts, 1 day)
+        | SORT d''').collect()
+    assert [(str(x.d)[:10], x.clicks, x.big, x.all_n, x.avg_click)
+            for x in r] == [
+        ("2024-01-01", 1, 25.0, 2, 10.0),
+        ("2024-01-02", 1, 99.5, 2, None)]
