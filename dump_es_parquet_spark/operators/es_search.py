@@ -489,15 +489,21 @@ def _ip_col_to_long(col: Column) -> Column:
     """Dotted-quad string column → long, as a plain expression tree
     (octet split, spelled identically in the DuckDB oracle); a
     malformed or NULL value yields NULL, which every consumer treats
-    as no-match / no-bucket."""
+    as no-match / no-bucket. Validity is part of the tree (round-15
+    self-review): without the shape+range guard, ``1.2.3.4.5`` would
+    silently parse as 1.2.3.4 and ``300.1.1.1`` would overflow into a
+    WRONG band instead of matching nothing."""
     parts = F.split(col, r"\.")
     # try_cast: a malformed octet (or a non-ip string under ANSI
     # mode) yields NULL instead of a runtime cast error
-    return (
-        parts.getItem(0).try_cast("long") * F.lit(16777216)
-        + parts.getItem(1).try_cast("long") * F.lit(65536)
-        + parts.getItem(2).try_cast("long") * F.lit(256)
-        + parts.getItem(3).try_cast("long")
+    octs = [parts.getItem(i).try_cast("long") for i in range(4)]
+    ok = col.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    for o in octs:
+        ok = ok & (o <= F.lit(255))
+    return F.when(
+        ok,
+        octs[0] * F.lit(16777216) + octs[1] * F.lit(65536)
+        + octs[2] * F.lit(256) + octs[3],
     )
 
 
@@ -765,6 +771,12 @@ def compile_query(q: dict | None, _scope=None) -> Column:
         from .retrieval import _tokens_col
 
         fields = [f.split("^")[0] for f in body["fields"]]
+        if not fields:
+            raise ValueError(
+                "simple_query_string needs a non-empty fields list "
+                "(the ES default '*' has no lake reading — name the "
+                "text columns)"
+            )
         analyzer = body.get("analyzer", "whitespace")
         cols = [_scoped_col(f, _scope) for f in fields]
 

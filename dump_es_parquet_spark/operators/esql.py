@@ -909,6 +909,15 @@ def _grok_regex(pattern: str) -> tuple[str, list[tuple[int, str, str | None]]]:
             regex.append(f"({body})")
             keys.append((gi, bits[1], typ))
         else:
+            # a bare capturing group in the literal text would shift
+            # every hole's group index and silently mis-assign
+            # captures — require (?:...) (round-15 self-review)
+            if re.search(r"(?<!\\)\((?!\?)", p):
+                raise ValueError(
+                    f"ES|QL GROK: literal text {p!r} contains a "
+                    "capturing group — use (?:...) so hole captures "
+                    "keep their indices"
+                )
             regex.append(p)
     if not keys:
         raise ValueError("ES|QL GROK: no named captures in pattern")

@@ -5667,6 +5667,17 @@ def test_ip_cidr_and_ip_range(spark):
         )
 
     assert ids({"term": {"ip": "10.0.0.0/8"}}) == [1, 2, 3]
+    # malformed column values match NOTHING — the shape+range guard
+    # is part of the octet tree (without it '1.2.3.4.5' parses as
+    # 1.2.3.4 and '300.1.1.1' overflows into a wrong band)
+    bad = spark.createDataFrame(
+        [(10, "1.2.3.4.5"), (11, "300.1.1.1"), (12, "1.2.3"),
+         (13, "01.2.3.4")],
+        "id int, ip string")
+    hits = bad.filter(_false_safe(compile_query(
+        {"range": {"ip": {"gte": "0.0.0.0", "lte": "255.255.255.255"}}}
+    ))).collect()
+    assert [r.id for r in hits] == [13]  # leading zero is still 4 octets
     assert ids({"term": {"ip": "10.0.0.0/24"}}) == [1, 2]
     assert ids({"term": {"ip": "10.0.0.5"}}) == [1]  # plain equality
     assert ids({"terms": {"ip": ["192.168.0.0/16", "9.255.255.255"]}}) \

@@ -258,6 +258,8 @@ def test_esql_bucket_and_dissect(spark, tables):
         esql({"logs": logs}, 'FROM logs | GROK line "%{NOPE:a}"')
     with pytest.raises(ValueError, match="no named"):
         esql({"logs": logs}, 'FROM logs | GROK line "%{WORD}"')
+    with pytest.raises(ValueError, match="capturing group"):
+        esql({"logs": logs}, 'FROM logs | GROK line "(x) %{WORD:a}"')
 
 
 def test_esql_stats_where(tables):
