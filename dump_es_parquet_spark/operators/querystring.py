@@ -473,7 +473,9 @@ def parse_simple_query_string(
             else:  # term
                 text, is_prefix = val
                 if not text:
-                    attach(None)
+                    # a bare unescaped `*` is Lucene's
+                    # MatchAllDocsQuery; an empty fragment drops
+                    attach(F.lit(True) if is_prefix else None)
                 elif is_prefix:
                     attach(prefix_leaf(text))
                 else:

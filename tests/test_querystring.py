@@ -299,6 +299,8 @@ def test_simple_query_string_lenient_and_empty(spark, frame):
     assert hosts("") == []
     assert hosts(")))") == []
     assert hosts("- | +") == []
+    # a bare `*` is MatchAllDocsQuery (Lucene SimpleQueryParser)
+    assert hosts("*") == sorted(r.host for r in frame.collect())
     # an unterminated quote drops the quote char and keeps scanning
     assert hosts('"fast cat') == ["web-1"]
     # an unmatched ')' drops; the fold continues
