@@ -36,3 +36,18 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """One-shot convenience: register views, run the query."""
     register_tables(spark, sf_dir)
     return spark.sql(query)
+
+
+def esql_query(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """One-shot ES|QL convenience (round 15): the 8.11+ pipe
+    language over the same lake tables the SQL face exposes —
+    ``FROM`` names resolve to the testdata tables, so a saved ES|QL
+    query replays with no setup:
+
+        esql_query(spark, sf_dir,
+                   "FROM events | WHERE value >= 100 "
+                   "| STATS n = COUNT(*) BY t = event_type | SORT t")
+    """
+    from dump_es_parquet_spark.operators.esql import esql
+
+    return esql({t: load(spark, sf_dir, t) for t in TABLES}, query)

@@ -276,3 +276,21 @@ def test_esql_stats_where(tables):
             for x in r] == [
         ("2024-01-01", 1, 25.0, 2, 10.0),
         ("2024-01-02", 1, 99.5, 2, None)]
+
+
+def test_esql_sql_surface(spark, sf_dir):
+    """The one-shot esql_query face resolves FROM names to the lake
+    tables and agrees with the equivalent spark.sql plan."""
+    from dump_es_parquet_spark.sql_surface import esql_query, sql
+
+    a = esql_query(
+        spark, sf_dir,
+        "FROM events | WHERE value >= 100 "
+        "| STATS n = COUNT(*) BY t = event_type | SORT t",
+    ).collect()
+    b = sql(
+        spark, sf_dir,
+        "SELECT event_type AS t, count(*) AS n FROM events "
+        "WHERE value >= 100 GROUP BY 1 ORDER BY 1",
+    ).collect()
+    assert [(r.t, r.n) for r in a] == [(r.t, r.n) for r in b]
