@@ -1006,11 +1006,21 @@ def _stats(df: DataFrame, stage: list[_Tok]) -> DataFrame:
     keys = _named_exprs(by_toks, allow_aggs=False) if by_toks else []
     agg_cols = [c.alias(n) for n, c in aggs]
     if keys:
+        # key expressions evaluate under TEMP names over the ORIGINAL
+        # frame, so a BY alias that shadows an input column (BY value
+        # = FLOOR(value / 100)) cannot change what the aggregates
+        # read — the aggregates and the keys both see the input row,
+        # exactly ES|QL's evaluation order; the temps rename to the
+        # requested key names after the groupBy
+        temps = [f"__by{i}" for i in range(len(keys))]
         keyed = df.select(
-            *[c.alias(n) for n, c in keys],
-            *[c for c in df.columns if c not in [n for n, _ in keys]],
+            *[c.alias(t) for t, (_, c) in zip(temps, keys)],
+            *df.columns,
         )
-        return keyed.groupBy(*[n for n, _ in keys]).agg(*agg_cols)
+        out = keyed.groupBy(*temps).agg(*agg_cols)
+        for t, (n, _) in zip(temps, keys):
+            out = out.withColumnRenamed(t, n)
+        return out
     return df.agg(*agg_cols)
 
 

@@ -294,3 +294,17 @@ def test_esql_sql_surface(spark, sf_dir):
         "WHERE value >= 100 GROUP BY 1 ORDER BY 1",
     ).collect()
     assert [(r.t, r.n) for r in a] == [(r.t, r.n) for r in b]
+
+
+def test_esql_by_alias_shadowing_input_column(tables):
+    """A BY alias that shadows an input column must not change what
+    the aggregates read — keys and aggregates both evaluate over the
+    input row (ES|QL's evaluation order; keys compute under temp
+    names internally)."""
+    r = esql(tables, '''FROM events
+        | STATS total = SUM(value), n = COUNT(value)
+            BY value = FLOOR(COALESCE(value, 0.0) / 50)
+        | SORT value''').collect()
+    # bands: floor(v/50) -> 10->0, 25->0, NULL->0, 99.5->1
+    assert [(x.value, x.total, x.n) for x in r] == [
+        (0, 35.0, 2), (1, 99.5, 1)]
