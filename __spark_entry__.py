@@ -843,6 +843,10 @@ DEMOTED: frozenset[str] = frozenset(
         # es_composite_geotile — the composite geotile_grid source
         #     (map-tile walk), keys identical to es_geotile_grid's
         "es_composite_geotile",
+        # es_count — the _count API (one scan, one count) over a
+        #     bool mixing dis_max + fuzzy; demoted-green pending
+        #     rotation
+        "es_count",
         # esql_events_rollup / esql_docs_tokens — the ES|QL compiler
         #     (round 15): WHERE/EVAL/STATS..BY/SORT/LIMIT and the
         #     SPLIT+MV_EXPAND token pipeline; demoted-green pending
@@ -1381,6 +1385,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # — round 15: the ES|QL pipe-language compiler (ES 8.11+'s
         #   modern request dialect replayed on the lake) —
+        "es_count": _mod("es_search", "q_es_count"),
         "esql_events_rollup": _mod("esql", "q_esql_events_rollup"),
         "esql_docs_tokens": _mod("esql", "q_esql_docs_tokens"),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
@@ -5853,6 +5858,18 @@ def _all_oracle_sql() -> dict[str, str]:
                    / count(value) AS avg_v
         FROM t WHERE tile > '6/17/31'
         GROUP BY tile ORDER BY tile LIMIT 12
+    """
+
+    # es_count (round 15): the _count API — the dis_max arms spell
+    # their NULL-safe OR, fuzzy spells the identical length-guarded
+    # levenshtein tree (both engines' classic distance).
+    q["es_count"] = """
+        SELECT count(*) AS total FROM events
+        WHERE (coalesce(event_type = 'view', FALSE)
+               OR coalesce(abs(length(event_type) - 5) <= 1
+                           AND levenshtein(event_type, 'clack') <= 1,
+                           FALSE))
+          AND NOT coalesce(value < 5, FALSE)
     """
 
     # esql_events_rollup (round 15): the ES|QL dashboard rollup —

@@ -9613,3 +9613,36 @@ def q_es_composite_geotile(spark: SparkSession, sf_dir: str) -> DataFrame:
         after={"tile": "6/17/31"},
         metrics={"avg_v": {"avg": {"field": "value"}}},
     )
+
+
+def search_count(df: DataFrame, request: dict) -> DataFrame:
+    """The ES ``_count`` API (and the ``size: 0, track_total_hits:
+    true`` request shape — round 15): how many documents match the
+    query, as a one-row ``(total long)`` frame. One scan, one
+    partial+final count — no sort, no pagination machinery. Keys
+    other than ``query`` raise (the _count API accepts only a
+    query)."""
+    extra = set(request) - {"query"}
+    if extra:
+        raise ValueError(
+            f"_count request accepts only 'query', got {sorted(extra)}"
+        )
+    return df.filter(compile_query(request.get("query"))).agg(
+        F.count(F.lit(1)).alias("total")
+    )
+
+
+def q_es_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle row (round 15): the _count API over a bool query
+    mixing the round's compound wrappers — one scan, one count."""
+    ev = load(spark, sf_dir, "events")
+    return search_count(
+        ev,
+        {"query": {"bool": {
+            "must": [{"dis_max": {"queries": [
+                {"term": {"event_type": "view"}},
+                {"fuzzy": {"event_type": {"value": "clack"}}},
+            ]}}],
+            "must_not": [{"range": {"value": {"lt": 5}}}],
+        }}},
+    )

@@ -5851,3 +5851,18 @@ def test_multi_match_types_and_date_range_iso(spark):
         search_aggs(ev, {"aggs": {"r": {"date_range": {
             "field": "ts",
             "ranges": [{"from": "now-1d"}]}}}}).collect()
+
+
+def test_search_count_api(spark):
+    """Round 15: the _count API — one-row (total long); keys beyond
+    `query` raise (the API accepts only a query)."""
+    from dump_es_parquet_spark.operators.es_search import search_count
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", None), (3, "a", 9.0)],
+        "id int, k string, v double")
+    out = search_count(df, {"query": {"term": {"k": "a"}}}).collect()
+    assert [(r.total,) for r in out] == [(2,)]
+    assert search_count(df, {}).collect()[0].total == 3  # match_all
+    with pytest.raises(ValueError, match="only 'query'"):
+        search_count(df, {"query": {"term": {"k": "a"}}, "size": 5})

@@ -502,6 +502,9 @@ PINNED_FINGERPRINTS = {
     # composite geotile source: one groupBy over the tile key with
     # the after filter below it — the composite page class
     "es_composite_geotile": {"exchange": 1},
+    # the _count API (round 15): one scan, one partial+final count
+    # — a single exchange carrying one row per task
+    "es_count": {"exchange": 1},
     # ES|QL (round 15): the dashboard rollup is scan → filter →
     # EVAL expressions → ONE groupBy + the final sort; the token
     # pipeline is scan → explode → filter → one groupBy (TakeOrdered
