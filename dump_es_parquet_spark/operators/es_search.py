@@ -459,6 +459,25 @@ _IPV4_RE = re.compile(r"^\d{1,3}(?:\.\d{1,3}){3}$")
 _CIDR_RE = re.compile(r"^\d{1,3}(?:\.\d{1,3}){3}/\d{1,2}$")
 
 
+def _is_cidr_like(v: str) -> bool:
+    """True when a '/'-bearing term value should take the CIDR
+    reading: a valid IPv4 mask, OR an address-shaped string (hex
+    groups with ':' — IPv6, which then raises loudly inside
+    ``_cidr_bounds``). A path-like term ('foo/bar') stays plain
+    string equality — terms on keyword fields legitimately contain
+    slashes (round-15 self-review)."""
+    if "/" not in v:
+        return False
+    if _CIDR_RE.match(v):
+        return True
+    addr = v.split("/", 1)[0]
+    return (
+        ":" in addr
+        and re.fullmatch(r"[0-9A-Fa-f:.]+", addr) is not None
+        and v.split("/", 1)[1].isdigit()
+    )
+
+
 def _ip_to_long(s: str) -> int:
     """Driver-side dotted-quad → unsigned-32 long; octet-validated."""
     if ":" in s:
@@ -966,18 +985,15 @@ def compile_query(q: dict | None, _scope=None) -> Column:
         col = _scoped_col(field, _scope)
         if kind == "term":
             v = spec["value"] if isinstance(spec, dict) else spec
-            if isinstance(v, str) and "/" in v:
+            if isinstance(v, str) and _is_cidr_like(v):
                 # CIDR value on an ip field (round 15, VERDICT r14
                 # Next #6, the log-analytics staple): the dump holds
                 # ip as string, so the mask keys off the value shape
                 # — the band compare runs on the octet-split long
                 # tree, spelled identically in the oracle. IPv6
-                # raises inside _cidr_bounds.
-                if not _CIDR_RE.match(v) and ":" not in v:
-                    raise ValueError(
-                        f"term value {v!r} looks like a CIDR mask "
-                        "but is not a valid IPv4 one"
-                    )
+                # masks raise inside _cidr_bounds; a '/'-bearing
+                # value that is NOT address-shaped (a path term like
+                # 'foo/bar') stays plain string equality.
                 lo, hi = _cidr_bounds(v)
                 ipv = _ip_col_to_long(col)
                 return (ipv >= F.lit(lo)) & (ipv < F.lit(hi))
@@ -993,7 +1009,8 @@ def compile_query(q: dict | None, _scope=None) -> Column:
             if not vals:
                 return F.lit(False)
             cidrs = [
-                v for v in vals if isinstance(v, str) and "/" in v
+                v for v in vals
+                if isinstance(v, str) and _is_cidr_like(v)
             ]
             plain = [v for v in vals if v not in cidrs]
             out = col.isin(plain) if plain else None

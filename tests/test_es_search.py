@@ -5691,9 +5691,19 @@ def test_ip_cidr_and_ip_range(spark):
     # a CIDR range bound takes its band edge
     assert ids({"range": {"ip": {"gte": "10.0.0.0/8",
                                  "lte": "10.255.255.255"}}}) == [1, 2, 3]
-    for bad in ("2001:db8::/32", "10.0.0.300/8", "10.0.0/8"):
+    for bad in ("2001:db8::/32", "10.0.0.300/8"):
         with pytest.raises(ValueError):
             compile_query({"term": {"ip": bad}})
+    # a '/'-bearing value that is NOT address-shaped stays plain
+    # string equality — keyword terms legitimately contain slashes
+    paths = spark.createDataFrame(
+        [(1, "foo/bar"), (2, "10.0.0/8"), (3, "GET /x")],
+        "id int, p string")
+    assert sorted(r.id for r in paths.filter(_false_safe(
+        compile_query({"term": {"p": "foo/bar"}}))).collect()) == [1]
+    assert sorted(r.id for r in paths.filter(_false_safe(
+        compile_query({"terms": {"p": ["10.0.0/8", "GET /x"]}}))
+    ).collect()) == [2, 3]
     # the non-base address masks down to its network (ES behavior)
     assert _cidr_bounds("10.0.0.7/8") == (
         _ip_to_long("10.0.0.0"), _ip_to_long("11.0.0.0"))
