@@ -28,7 +28,8 @@ DataFrame op it is):
   the PARITY #20 percentile divergence).
 - ``| SORT key [ASC|DESC] [NULLS FIRST|LAST], ...``
 - ``| LIMIT n``
-- ``| KEEP a, b`` / ``| DROP a, b`` / ``| RENAME a AS b, ...``
+- ``| KEEP a, tmp*`` / ``| DROP a, *_raw`` (wildcards expand in
+  pattern order; a plain missing name errors) / ``| RENAME a AS b``
 - ``| MV_EXPAND col`` — explode_outer over a multi-value column.
 - ``| ROW name = literal, ...`` — a literal one-row source (no FROM).
 - ``| DISSECT col "%{a} [%{b}] %{c}"`` — delimiter-based extraction
@@ -757,7 +758,26 @@ def _command(df: DataFrame, stage: list[_Tok]) -> DataFrame:
             raise ValueError("ES|QL: LIMIT <n>")
         return df.limit(int(stage[1].val))
     if head.kind == "kw" and head.val in ("KEEP", "DROP"):
-        names = _name_list(stage[1:])
+        # ES|QL KEEP/DROP accept * wildcards; patterns expand against
+        # the frame's columns in pattern order (a pattern matching
+        # nothing is fine, a PLAIN missing name errors like ES|QL)
+        import fnmatch
+
+        pats = _pattern_list(stage[1:])
+        names: list[str] = []
+        for p in pats:
+            if "*" in p:
+                names.extend(
+                    c for c in df.columns
+                    if fnmatch.fnmatchcase(c, p) and c not in names
+                )
+            else:
+                if p not in df.columns:
+                    raise ValueError(
+                        f"ES|QL {head.val}: unknown column {p!r}"
+                    )
+                if p not in names:
+                    names.append(p)
         if head.val == "KEEP":
             return df.select(*names)
         return df.drop(*names)
@@ -922,6 +942,30 @@ def _grok_regex(pattern: str) -> tuple[str, list[tuple[int, str, str | None]]]:
     if not keys:
         raise ValueError("ES|QL GROK: no named captures in pattern")
     return "".join(regex), keys
+
+
+def _pattern_list(toks: list[_Tok]) -> list[str]:
+    """Comma-separated column names where each item may mix idents
+    and ``*`` wildcards (``tmp*``, ``*_id``) — the tokenizer splits
+    them, this glues them back into patterns."""
+    pats: list[str] = []
+    cur: list[str] = []
+    for t in toks:
+        if t.kind == "op" and t.val == ",":
+            if not cur:
+                raise ValueError("ES|QL: empty name in list")
+            pats.append("".join(cur))
+            cur = []
+        elif t.kind == "ident":
+            cur.append(t.val)
+        elif t.kind == "op" and t.val == "*":
+            cur.append("*")
+        else:
+            raise ValueError(f"ES|QL: expected column name, got {t!r}")
+    if not cur:
+        raise ValueError("ES|QL: empty name in list")
+    pats.append("".join(cur))
+    return pats
 
 
 def _name_list(toks: list[_Tok]) -> list[str]:

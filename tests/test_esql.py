@@ -308,3 +308,17 @@ def test_esql_by_alias_shadowing_input_column(tables):
     # bands: floor(v/50) -> 10->0, 25->0, NULL->0, 99.5->1
     assert [(x.value, x.total, x.n) for x in r] == [
         (0, 35.0, 2), (1, 99.5, 1)]
+
+
+def test_esql_keep_drop_wildcards(tables):
+    """KEEP/DROP accept * wildcards, expanding in pattern order; a
+    plain missing name errors, a pattern matching nothing is fine."""
+    r = esql(tables, 'FROM events | EVAL tmp_a = 1, tmp_b = 2 '
+                     '| KEEP id, tmp* | LIMIT 1')
+    assert r.columns == ["id", "tmp_a", "tmp_b"]
+    r = esql(tables, 'FROM events | DROP t*, value | LIMIT 1')
+    assert r.columns == ["id", "etype", "ip"]
+    r = esql(tables, 'FROM events | KEEP id, nope* | LIMIT 1')
+    assert r.columns == ["id"]
+    with pytest.raises(ValueError, match="unknown column"):
+        esql(tables, 'FROM events | KEEP id, nope')
