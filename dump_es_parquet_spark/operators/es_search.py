@@ -517,8 +517,8 @@ def _ip_col_to_long(col: Column) -> Column:
     # yields NULL even under ANSI mode (getItem would throw if the
     # optimizer reorders the guard's conjuncts); the shape check is
     # STRUCTURAL (exactly 4 dot-parts, each a long in [0, 255])
-    # rather than a per-row regex — same verdict, ~half the scan
-    # cost at sf0.1 (measured)
+    # rather than a per-row regex — same verdict without a regex
+    # engine in the scan's hot loop
     octs = [F.get(parts, i).try_cast("long") for i in range(4)]
     ok = F.size(parts) == F.lit(4)
     for o in octs:
