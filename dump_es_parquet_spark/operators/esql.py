@@ -1048,6 +1048,14 @@ def _stats(df: DataFrame, stage: list[_Tok]) -> DataFrame:
     if not aggs:
         raise ValueError("ES|QL: STATS needs at least one aggregate")
     keys = _named_exprs(by_toks, allow_aggs=False) if by_toks else []
+    names = [n for n, _ in aggs] + [n for n, _ in keys]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        # a BY key named like an aggregate (or any repeat) would
+        # silently emit duplicate columns after the temp rename
+        raise ValueError(
+            f"ES|QL STATS: duplicate output name {dupes[0]!r}"
+        )
     agg_cols = [c.alias(n) for n, c in aggs]
     if keys:
         # key expressions evaluate under TEMP names over the ORIGINAL

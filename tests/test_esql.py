@@ -121,6 +121,8 @@ def test_esql_raises(tables):
         ('FROM events | LIMIT x', "LIMIT"),
         ('WHERE id == 1', "must start with FROM"),
         ('FROM events | NOPECMD x', "unknown"),
+        ('FROM events | STATS n = COUNT(*) BY n = etype',
+         "duplicate output name"),
     ]:
         with pytest.raises(ValueError, match="") as ei:
             esql(tables, bad)
