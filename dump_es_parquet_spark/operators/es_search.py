@@ -469,7 +469,15 @@ def _is_cidr_like(v: str) -> bool:
     if "/" not in v:
         return False
     if _CIDR_RE.match(v):
-        return True
+        # the regex is shape-only (\d{1,3} octets, \d{1,2} prefix) —
+        # enforce the VALUE ranges here so '300.1.1.1/8' or
+        # '1.2.3.4/99' stays plain string equality (the docstring's
+        # contract) instead of raising inside _cidr_bounds
+        addr, _, plen = v.partition("/")
+        return (
+            int(plen) <= 32
+            and all(int(p) <= 255 for p in addr.split("."))
+        )
     addr = v.split("/", 1)[0]
     return (
         ":" in addr
@@ -791,7 +799,7 @@ def compile_query(q: dict | None, _scope=None) -> Column:
         # the token-boundary regexp. An empty/unusable query matches
         # nothing (ES's MatchNoDocsQuery).
         from .querystring import parse_simple_query_string
-        from .retrieval import _tokens_col
+        from .retrieval import _analyze, _analyzer_spec, _tokens_col
 
         fields = [f.split("^")[0] for f in body["fields"]]
         if not fields:
@@ -801,6 +809,7 @@ def compile_query(q: dict | None, _scope=None) -> Column:
                 "text columns)"
             )
         analyzer = body.get("analyzer", "whitespace")
+        default_op = body.get("default_operator", "or").lower()
         cols = [_scoped_col(f, _scope) for f in fields]
 
         def _over_fields(mk) -> Column:
@@ -810,24 +819,69 @@ def compile_query(q: dict | None, _scope=None) -> Column:
             return out
 
         def term_leaf(t):
-            return _over_fields(
-                lambda c: F.array_contains(_tokens_col(c, analyzer), t)
-            )
+            # the QUERY side runs through the same analyzer as the
+            # documents (the match discipline — round-16 fix: the raw
+            # fragment vs analyzed doc tokens silently matched
+            # nothing under any normalizing analyzer). A fragment the
+            # analyzer splits folds under default_operator (Lucene
+            # SimpleQueryParser's createBooleanQuery); one it drops
+            # entirely (stopword) detaches like any unusable clause.
+            qtoks = _analyze(t, analyzer)
+            if not qtoks:
+                return None
+
+            def mk(c):
+                toks = _tokens_col(c, analyzer)
+                out = F.array_contains(toks, qtoks[0])
+                for q in qtoks[1:]:
+                    nxt = F.array_contains(toks, q)
+                    out = (out & nxt) if default_op == "and" else (out | nxt)
+                return out
+
+            return _over_fields(mk)
 
         def prefix_leaf(t):
+            # Lucene normalizes prefix text through the analyzer's
+            # multi-term-aware filters ONLY (lowercase — never
+            # stopwords/stemming), so apply the tokenizer's case rule
+            typ = _analyzer_spec(analyzer)[0]
+            pre = t.lower() if typ == "standard" else t
             return _over_fields(
                 lambda c: F.exists(
                     _tokens_col(c, analyzer),
-                    lambda tok: tok.startswith(F.lit(t)),
+                    lambda tok: tok.startswith(F.lit(pre)),
                 )
             )
 
         def phrase_leaf(text):
             import re as _re
 
+            # the phrase's token-boundary regexp under the analyzer's
+            # SEPARATOR CLASS: whitespace keeps the classic \s+ form;
+            # standard lowercases and treats any non-alnum run as the
+            # boundary. Stopword/stemmer specs would need positional
+            # token matching — raise with the pointer (a request-spec
+            # bound, not input text: the grammar itself never raises)
+            typ, stop, minlen, stemmer = _analyzer_spec(analyzer)
+            if stop or minlen or stemmer:
+                raise ValueError(
+                    "simple_query_string phrases under a stopword/"
+                    "length/stemmer analyzer need positional token "
+                    "matching (use match_phrase / span_near)"
+                )
+            qtoks = _analyze(text, analyzer)
+            if not qtoks:
+                return None
+            if typ == "standard":
+                pat = (
+                    r"(^|[^a-z0-9])"
+                    + r"[^a-z0-9]+".join(_re.escape(t) for t in qtoks)
+                    + r"([^a-z0-9]|$)"
+                )
+                return _over_fields(lambda c: F.lower(c).rlike(pat))
             pat = (
                 r"(^|\s)"
-                + r"\s+".join(_re.escape(t) for t in text.split())
+                + r"\s+".join(_re.escape(t) for t in qtoks)
                 + r"(\s|$)"
             )
             return _over_fields(lambda c: c.rlike(pat))
@@ -837,7 +891,7 @@ def compile_query(q: dict | None, _scope=None) -> Column:
             term_leaf,
             prefix_leaf,
             phrase_leaf,
-            default_operator=body.get("default_operator", "or").lower(),
+            default_operator=default_op,
         )
         return F.lit(False) if parsed is None else parsed
     if kind == "wrapper":

@@ -143,10 +143,13 @@ _UNSUPPORTED_COMMANDS = {
 
 
 class _Tok:
-    __slots__ = ("kind", "val")
+    __slots__ = ("kind", "val", "start", "end")
 
-    def __init__(self, kind: str, val):
+    def __init__(self, kind: str, val, start: int = -1, end: int = -1):
+        # source spans let KEEP/DROP tell `tmp*` (adjacent tokens —
+        # one pattern) from `a b` (a missing comma) apart
         self.kind, self.val = kind, val
+        self.start, self.end = start, end
 
     def __repr__(self):  # pragma: no cover — debug only
         return f"<{self.kind} {self.val!r}>"
@@ -159,7 +162,7 @@ def _tokenize(s: str) -> list[_Tok]:
         m = _TOKEN_RE.match(s, pos)
         if not m:
             raise ValueError(f"ES|QL: cannot tokenize at {s[pos:pos+20]!r}")
-        pos = m.end()
+        start, pos = m.start(), m.end()
         kind = m.lastgroup
         text = m.group()
         if kind in ("ws", "comment"):
@@ -167,21 +170,21 @@ def _tokenize(s: str) -> list[_Tok]:
         if kind == "num":
             toks.append(_Tok("num", float(text) if
                              ("." in text or "e" in text or "E" in text)
-                             else int(text)))
+                             else int(text), start, pos))
         elif kind == "str":
-            toks.append(_Tok("str", _unescape(text[1:-1])))
+            toks.append(_Tok("str", _unescape(text[1:-1]), start, pos))
         elif kind == "bquote":
-            toks.append(_Tok("ident", text[1:-1]))
+            toks.append(_Tok("ident", text[1:-1], start, pos))
         elif kind == "word":
             up = text.upper()
             if up in _KEYWORDS:
-                toks.append(_Tok("kw", up))
+                toks.append(_Tok("kw", up, start, pos))
             else:
-                toks.append(_Tok("ident", text))
+                toks.append(_Tok("ident", text, start, pos))
         elif kind == "pipe":
-            toks.append(_Tok("pipe", "|"))
+            toks.append(_Tok("pipe", "|", start, pos))
         else:
-            toks.append(_Tok("op", text))
+            toks.append(_Tok("op", text, start, pos))
     return toks
 
 
@@ -811,12 +814,16 @@ def _command(df: DataFrame, stage: list[_Tok]) -> DataFrame:
         col = F.col(stage[1].val)
         pat, keys = _dissect_regex(stage[2].val)
         matched = col.rlike(pat)
-        out = df
-        for gi, key in keys:
-            out = out.withColumn(
-                key, F.when(matched, F.regexp_extract(col, pat, gi))
-            )
-        return out
+        # all captures in ONE select so every extract (and the match
+        # guard) reads the ORIGINAL column even when a capture key
+        # equals the source column name — overwriting the input is
+        # legal ES|QL, and a chained withColumn would re-resolve the
+        # source against the just-overwritten value
+        return _select_with_captures(
+            df,
+            {key: F.when(matched, F.regexp_extract(col, pat, gi))
+             for gi, key in keys},
+        )
     if head.kind == "ident" and head.val.upper() == "GROK":
         # GROK col "pattern": %{PATTERN:name[:type]} captures through
         # the bundled core Logstash pattern set (_GROK_PATTERNS —
@@ -833,13 +840,13 @@ def _command(df: DataFrame, stage: list[_Tok]) -> DataFrame:
         col = F.col(stage[1].val)
         pat, keys = _grok_regex(stage[2].val)
         matched = col.rlike(pat)
-        out = df
+        # one select, same reason as DISSECT: a capture key equal to
+        # the source column must not poison later captures
+        caps: dict[str, Column] = {}
         for gi, key, typ in keys:
             c = F.when(matched, F.regexp_extract(col, pat, gi))
-            if typ:
-                c = c.try_cast(typ)
-            out = out.withColumn(key, c)
-        return out
+            caps[key] = c.try_cast(typ) if typ else c
+        return _select_with_captures(df, caps)
     if head.kind == "kw" and head.val == "MV_EXPAND":
         names = _name_list(stage[1:])
         if len(names) != 1:
@@ -848,6 +855,20 @@ def _command(df: DataFrame, stage: list[_Tok]) -> DataFrame:
         others = [c for c in df.columns if c != n]
         return df.select(*others, F.explode_outer(F.col(n)).alias(n))
     raise ValueError(f"ES|QL: unknown command {head.val!r}")
+
+
+def _select_with_captures(df: DataFrame, caps: dict[str, Column]) -> DataFrame:
+    """Apply DISSECT/GROK captures in ONE projection: replaced
+    columns keep their position, new captures append in pattern
+    order — the withColumn contract, without withColumn's
+    re-resolution hazard when a capture overwrites its own source."""
+    replaced = dict(caps)
+    exprs = [
+        replaced.pop(c).alias(c) if c in replaced else F.col(c)
+        for c in df.columns
+    ]
+    exprs.extend(e.alias(k) for k, e in replaced.items())
+    return df.select(*exprs)
 
 
 def _dissect_regex(pattern: str) -> tuple[str, list[tuple[int, str]]]:
@@ -947,9 +968,23 @@ def _grok_regex(pattern: str) -> tuple[str, list[tuple[int, str, str | None]]]:
 def _pattern_list(toks: list[_Tok]) -> list[str]:
     """Comma-separated column names where each item may mix idents
     and ``*`` wildcards (``tmp*``, ``*_id``) — the tokenizer splits
-    them, this glues them back into patterns."""
+    them, this glues them back into patterns. Only TEXTUALLY
+    ADJACENT tokens glue (source spans): ``KEEP a b`` is a missing
+    comma and errors like ES|QL's parser, never the pattern ``ab``."""
     pats: list[str] = []
     cur: list[str] = []
+    prev_end = -1
+
+    def _extend(piece: str, t: _Tok):
+        nonlocal prev_end
+        if cur and t.start != prev_end:
+            raise ValueError(
+                "ES|QL: missing comma between names "
+                f"(before {t.val!r})"
+            )
+        cur.append(piece)
+        prev_end = t.end
+
     for t in toks:
         if t.kind == "op" and t.val == ",":
             if not cur:
@@ -957,9 +992,9 @@ def _pattern_list(toks: list[_Tok]) -> list[str]:
             pats.append("".join(cur))
             cur = []
         elif t.kind == "ident":
-            cur.append(t.val)
+            _extend(t.val, t)
         elif t.kind == "op" and t.val == "*":
-            cur.append("*")
+            _extend("*", t)
         else:
             raise ValueError(f"ES|QL: expected column name, got {t!r}")
     if not cur:

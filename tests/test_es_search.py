@@ -5691,9 +5691,19 @@ def test_ip_cidr_and_ip_range(spark):
     # a CIDR range bound takes its band edge
     assert ids({"range": {"ip": {"gte": "10.0.0.0/8",
                                  "lte": "10.255.255.255"}}}) == [1, 2, 3]
-    for bad in ("2001:db8::/32", "10.0.0.300/8"):
-        with pytest.raises(ValueError):
-            compile_query({"term": {"ip": bad}})
+    with pytest.raises(ValueError):
+        compile_query({"term": {"ip": "2001:db8::/32"}})
+    # shape-like but VALUE-invalid masks (octet >255, prefix >32) are
+    # NOT addresses — they stay plain string equality per the
+    # _is_cidr_like contract (round 16, ADVICE): a keyword value like
+    # '300.1.1.1/8' must neither raise nor take a numeric band
+    weird = spark.createDataFrame(
+        [(1, "300.1.1.1/8"), (2, "1.2.3.4/99"), (3, "10.0.0.300/8")],
+        "id int, ip string")
+    for wid, v in ((1, "300.1.1.1/8"), (2, "1.2.3.4/99"),
+                   (3, "10.0.0.300/8")):
+        assert sorted(r.id for r in weird.filter(_false_safe(
+            compile_query({"term": {"ip": v}}))).collect()) == [wid]
     # a '/'-bearing value that is NOT address-shaped stays plain
     # string equality — keyword terms legitimately contain slashes
     paths = spark.createDataFrame(

@@ -324,3 +324,39 @@ def test_esql_keep_drop_wildcards(tables):
     assert r.columns == ["id"]
     with pytest.raises(ValueError, match="unknown column"):
         esql(tables, 'FROM events | KEEP id, nope')
+
+
+def test_esql_capture_overwriting_source_column(spark):
+    """Round 16 (ADVICE): a GROK/DISSECT capture key may legally
+    equal the SOURCE column — every later capture (and the match
+    guard) must still read the original value, not the overwritten
+    one. All captures land in one projection."""
+    logs = spark.createDataFrame(
+        [(1, "alpha 42"), (2, "beta 7")], "id int, line string")
+    r = esql({"logs": logs},
+             'FROM logs | GROK line "%{WORD:line} %{NUMBER:n:int}" '
+             '| SORT id').collect()
+    assert [(x.line, x.n) for x in r] == [("alpha", 42), ("beta", 7)]
+    r = esql({"logs": logs},
+             'FROM logs | DISSECT line "%{line} %{rest}" '
+             '| SORT id').collect()
+    assert [(x.line, x.rest) for x in r] == [
+        ("alpha", "42"), ("beta", "7")]
+    # replaced column keeps its position; new captures append
+    assert esql({"logs": logs},
+                'FROM logs | DISSECT line "%{line} %{rest}" | LIMIT 1'
+                ).columns == ["id", "line", "rest"]
+
+
+def test_esql_keep_missing_comma_errors(tables):
+    """Round 16 (ADVICE): non-adjacent idents in KEEP/DROP are a
+    missing comma — never silently glued into one pattern (`KEEP a
+    b` must not select a column named `ab`)."""
+    with pytest.raises(ValueError, match="missing comma"):
+        esql(tables, 'FROM events | EVAL idetype = 1 | KEEP id etype')
+    with pytest.raises(ValueError, match="missing comma"):
+        esql(tables, 'FROM events | DROP id etype')
+    # adjacent tokens still glue: tmp* is one pattern
+    r = esql(tables, 'FROM events | EVAL tmp_a = 1 | KEEP id, tmp* '
+                     '| LIMIT 1')
+    assert r.columns == ["id", "tmp_a"]

@@ -348,3 +348,48 @@ def test_simple_query_string_matches_query_string(spark, frame):
             ).collect()
         )
         assert a == b, (sqs, qs, a, b)
+
+
+def test_simple_query_string_analyzer(spark, frame):
+    """Round 16 (ADVICE): the QUERY side runs through the same
+    analyzer as the documents — under 'standard' (lowercase +
+    non-alnum split) a mixed-case or punctuated query must match
+    the analyzed doc tokens; prefixes take the analyzer's case
+    normalization; phrases use the analyzer's separator class."""
+    docs = spark.createDataFrame(
+        [("a", "Merge the branches"), ("b", "fast-path merge done"),
+         ("c", "nothing here"), ("d", None)],
+        "id string, text string")
+
+    def ids(q, **body):
+        from dump_es_parquet_spark.operators.es_search import compile_query
+        b = {"query": q, "fields": ["text"], "analyzer": "standard"}
+        b.update(body)
+        return sorted(r.id for r in docs.filter(F.coalesce(
+            compile_query({"simple_query_string": b}), F.lit(False)
+        )).collect())
+
+    assert ids("Merge") == ["a", "b"]          # case-folded both sides
+    assert ids("MERGE + done") == ["b"]
+    assert ids("merg*") == ["a", "b"]          # prefix lowercased
+    assert ids("Merg*") == ["a", "b"]
+    assert ids('"fast path"') == ["b"]         # '-' is a separator
+    assert ids('"Merge The"') == ["a"]
+    # a fragment the standard analyzer SPLITS folds under
+    # default_operator (Lucene createBooleanQuery)
+    assert ids("fast-path") == ["b"]           # or: either token — b has both
+    assert ids("fast-nothing", default_operator="and") == []
+    assert ids("fast-nothing") == ["b", "c"]   # or-fold matches either
+    # a stopword/stemmer analyzer spec: terms analyze away cleanly…
+    from dump_es_parquet_spark.operators.es_search import compile_query
+    b = {"query": "the", "fields": ["text"],
+         "analyzer": {"type": "standard", "stopwords": ["the"]}}
+    assert docs.filter(F.coalesce(
+        compile_query({"simple_query_string": b}), F.lit(False)
+    )).count() == 0
+    # …but a PHRASE under such a spec raises with the pointer
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positional"):
+        compile_query({"simple_query_string": {
+            "query": '"fast path"', "fields": ["text"],
+            "analyzer": {"type": "standard", "stopwords": ["the"]}}})
