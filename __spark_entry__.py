@@ -679,7 +679,8 @@ DEMOTED: frozenset[str] = frozenset(
         #     spelled identically in both engines; demoted-green
         #     pending rotation
         "es_geo_queries",
-        # es_nested_query — PROMOTED round 12 (VERDICT r11 Next #2):
+        # es_nested_query — PROMOTED round 12, rotated back OUT
+        #     round 16 (see the round-16 demotion block below):
         #     the ES nested query — exists(arr, x -> inner) over
         #     array-mode struct columns, same-object semantics
         #     pytest-pinned.
@@ -692,11 +693,13 @@ DEMOTED: frozenset[str] = frozenset(
         #     es_nested_inside_nested is the harder nested row
         #     (es_reverse_nested_aggs stays demoted-green)
         "es_reverse_nested",
-        # corpus_bm25_stemmed — PROMOTED round 13 (VERDICT r12 Next
+        # corpus_bm25_stemmed — PROMOTED round 13, rotated back OUT
+        #     round 16 (see below) (VERDICT r12 Next
         #     #2): the analyzer seam's third step — standard
         #     tokenizer + the Harman S-stemmer (Lucene
         #     minimal_english).
-        # es_multi_rare_terms — PROMOTED round 13 (VERDICT r12 Next
+        # es_multi_rare_terms — PROMOTED round 13, rotated back OUT
+        #     round 16 (see below) (VERDICT r12 Next
         #     #2): multi_terms composite keys + rare_terms doc_count
         #     ceiling.
         # es_range_overlap — PROMOTED round 13 (VERDICT r12 Next
@@ -822,24 +825,28 @@ DEMOTED: frozenset[str] = frozenset(
         #     #1): TPC-H keeps q1/q3/q10/q18 declared
         "q8_market_share",
         # --- round 15 (VERDICT r14 Next #3-#8): the six new dialect
-        #     rows land demoted-green pending the next rotation
-        #     window (pytest oracle-verifies them at sf0.001; the
-        #     judge sweep at sf0.01).
-        # es_compound_filter — constant_score / dis_max / boosting
-        #     filter-context reductions nested in one bool
-        "es_compound_filter",
-        # es_simple_query_string — the lenient search-box grammar
-        #     (never raises on input text; property-pinned)
-        "es_simple_query_string",
+        #     rows landed demoted-green; round 16 PROMOTED five of
+        #     the round-15 surface (the standing rotation rhythm —
+        #     no r15 verdict shipped, so the builder applied the r14
+        #     verdict's promotion pattern: make the new plans
+        #     load-bearing, prefer rows carrying this round's fixes).
+        # es_compound_filter — PROMOTED round 16: constant_score /
+        #     dis_max / boosting filter-context reductions nested in
+        #     one bool (VERDICT r14 Next #3).
+        # es_simple_query_string — PROMOTED round 16: the lenient
+        #     search-box grammar (never raises on input text;
+        #     property-pinned) — promoted WITH the round-16 ADVICE
+        #     fix that analyzes query-side fragments, so the fixed
+        #     plan is load-bearing.
         # es_match_prefix — match_phrase_prefix + match_bool_prefix
         #     (search-as-you-type), one tagged union row
         "es_match_prefix",
-        # es_ip_range — CIDR term/terms/range on string ip columns +
-        #     the ip_range aggregation (masks + from/to bands)
-        "es_ip_range",
-        # es_terms_set — size(array_intersect) >=
-        #     minimum_should_match_field over array-mode columns
-        "es_terms_set",
+        # es_ip_range — PROMOTED round 16: CIDR term/terms/range on
+        #     string ip columns + the ip_range aggregation — promoted
+        #     WITH the round-16 ADVICE fix validating octet/prefix
+        #     ranges in _is_cidr_like.
+        # es_terms_set — PROMOTED round 16: size(array_intersect) >=
+        #     minimum_should_match_field over array-mode columns.
         # es_composite_geotile — the composite geotile_grid source
         #     (map-tile walk), keys identical to es_geotile_grid's
         "es_composite_geotile",
@@ -847,11 +854,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     bool mixing dis_max + fuzzy; demoted-green pending
         #     rotation
         "es_count",
-        # esql_events_rollup / esql_docs_tokens — the ES|QL compiler
-        #     (round 15): WHERE/EVAL/STATS..BY/SORT/LIMIT and the
-        #     SPLIT+MV_EXPAND token pipeline; demoted-green pending
-        #     rotation
-        "esql_events_rollup",
+        # esql_events_rollup — PROMOTED round 16: the ES|QL compiler
+        #     head (WHERE/EVAL/STATS..BY/SORT/LIMIT — the biggest
+        #     round-15 surface).
+        # esql_docs_tokens — the SPLIT+MV_EXPAND token pipeline;
+        #     demoted-green pending rotation (esql_events_rollup
+        #     keeps the ES|QL compiler declared)
         "esql_docs_tokens",
         # es_bucket_selector — the alerting HAVING pipeline +
         #     normalize percent_of_sum shares (round 12);
@@ -883,7 +891,8 @@ DEMOTED: frozenset[str] = frozenset(
         #     (es_gapfill_moving_fn keeps the positional-pipeline
         #     family verified, es_pipeline_aggs declared)
         "es_moving_fn_extended",
-        # es_percolate_phrase — PROMOTED round 14 (VERDICT r13
+        # es_percolate_phrase — PROMOTED round 14, rotated back OUT
+        #     round 16 (see below) (VERDICT r13
         #     Next #1+#2): match_phrase percolate rules — adjacency
         #     on longest-token candidates, must_not phrase
         #     load-bearing — promoted AFTER the round-14 fix that
@@ -1192,6 +1201,33 @@ DEMOTED: frozenset[str] = frozenset(
         #   q5_local_supplier_volume — the TPC-H multi-join shape;
         #       TPC-H keeps 5 declared rows (q1/q3/q8/q10/q18)
         "q5_local_supplier_volume",
+        # --- round 16: five surface-duplicates demoted so the
+        #     round-15 dialect rows above (es_compound_filter,
+        #     es_simple_query_string, es_ip_range, es_terms_set,
+        #     esql_events_rollup) could rotate into the declared 50;
+        #     every family keeps a declared row.
+        #   q10_returned_items — join + group-agg shape; TPC-H keeps
+        #       q1/q3/q18 declared (q8/q5/q10 now all demoted-green)
+        "q10_returned_items",
+        #   corpus_bm25_stemmed — the stop+length+stem analyzer BM25;
+        #       corpus_bm25 + corpus_bm25_served keep the BM25 family
+        #       declared (standard/stopwords/stemmed all sweep-green)
+        "corpus_bm25_stemmed",
+        #   es_nested_query — the basic nested query;
+        #       es_nested_inside_nested is the harder nested row and
+        #       stays declared (es_nested_agg/match/inner_hits
+        #       sweep-green)
+        "es_nested_query",
+        #   es_percolate_phrase — promoted r14 to make the
+        #       bound-tokenizer fix load-bearing, two green rounds
+        #       since; es_percolate_bulk keeps the reverse-search
+        #       plan declared
+        "es_percolate_phrase",
+        #   es_multi_rare_terms — multi_terms + rare_terms variants;
+        #       es_aggs_tree + es_categorize_text +
+        #       es_frequent_item_sets keep the terms-family ranking
+        #       discipline declared
+        "es_multi_rare_terms",
     }
 )
 
