@@ -1228,6 +1228,12 @@ DEMOTED: frozenset[str] = frozenset(
         #       es_frequent_item_sets keep the terms-family ranking
         #       discipline declared
         "es_multi_rare_terms",
+        # --- round 16: new rows land demoted-green pending the next
+        #     rotation window (the standing rhythm).
+        # esql_lookup_enrich — LOOKUP JOIN (ES 8.18) + ENRICH as
+        #     broadcast dimension joins (esql_events_rollup keeps
+        #     the ES|QL compiler declared)
+        "esql_lookup_enrich",
     }
 )
 
@@ -1424,6 +1430,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_count": _mod("es_search", "q_es_count"),
         "esql_events_rollup": _mod("esql", "q_esql_events_rollup"),
         "esql_docs_tokens": _mod("esql", "q_esql_docs_tokens"),
+        # — round 16: LOOKUP JOIN (ES 8.18) + ENRICH as broadcast
+        #   dimension joins —
+        "esql_lookup_enrich": _mod("esql", "q_esql_lookup_enrich"),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
         "es_geo_shape": _mod("es_search", "q_es_geo_shape"),
@@ -5941,6 +5950,24 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT tok, count(*) AS n FROM t
         WHERE tok LIKE 's%' AND length(tok) >= 4
         GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 15
+    """
+
+    # esql_lookup_enrich (round 16): LOOKUP JOIN + ENRICH — two
+    # broadcast left joins against dimension tables, exact-integer
+    # SUM (Spark sum(LONG) is LONG; DuckDB sum(BIGINT) is HUGEINT,
+    # so the oracle casts).
+    q["esql_lookup_enrich"] = """
+        WITH c AS (
+          SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+                 c_nationkey
+          FROM customer
+        )
+        SELECT n.n_name AS nation, r.r_name AS region,
+               count(*) AS n, CAST(sum(cents) AS BIGINT) AS acct_cents
+        FROM c
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY nation, region ORDER BY nation
     """
 
     # es_pipeline_aggs: pipeline aggregations over the bucket frame —

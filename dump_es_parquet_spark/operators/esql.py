@@ -52,12 +52,28 @@ numeric / boolean / NULL literals, backquoted identifiers, and a
 curated function table (see ``_FUNCTIONS``) including ``CASE`` and
 ``CIDR_MATCH`` (the round-15 octet-split ip tree).
 
+- ``| LOOKUP JOIN <lookup_index> ON <field>`` (ES 8.18 GA) — the
+  lookup index resolves from the same ``tables`` dict as FROM; a
+  BROADCAST left join (ES constrains lookup indexes to
+  ``index.mode=lookup`` single-shard — the dimension-table class, so
+  broadcast is the 100 TB plan). Multiple matches multiply rows
+  (real join semantics); non-key lookup columns SHADOW same-named
+  left columns (NULL where unmatched), per the ES field-precedence
+  rule.
+- ``| ENRICH <policy> ON <match_field> [WITH [new =] field, ...]``
+  — the lake reading of a MATERIALIZED enrich index: the policy
+  name resolves from ``tables``; broadcast left join adding the
+  requested enrich fields. ES's enrich takes ``max_matches=1`` — a
+  policy table with duplicate match keys raises loudly (one bounded
+  1-row validation collect) instead of silently picking one.
+
 Out of scope, each raising loudly with the reason:
-``ENRICH`` / ``LOOKUP`` (server-side policies), ``METADATA`` fields
-(``_id``/``_index`` die with the cluster), ``NOW()`` and date-math
-relative to now (no deterministic lake reading — pin the instant),
-and aggregate ``VALUES``/``TOP`` (multi-value results have no stable
-oracle shape yet).
+``METADATA`` fields (``_id``/``_index`` die with the cluster),
+``INLINESTATS`` (retracted from 8.x; tech-preview semantics are not
+stable enough to pin), ``NOW()`` and date-math relative to now (no
+deterministic lake reading — pin the instant), and aggregate
+``VALUES``/``TOP`` (multi-value results have no stable oracle shape
+yet).
 
 Determinism: ES|QL results are unordered unless SORT is given —
 callers wanting hash-stable output must end with SORT (the oracle
@@ -134,11 +150,10 @@ _GROK_TYPES = {
 }
 
 _UNSUPPORTED_COMMANDS = {
-    "ENRICH": "enrich policies live server-side",
-    "LOOKUP": "lookup joins live server-side",
     "METADATA": "_id/_index metadata dies with the cluster",
     "SHOW": "cluster introspection has no lake meaning",
-    "INLINESTATS": "not modeled; use STATS",
+    "INLINESTATS": "retracted from ES 8.x; tech-preview semantics "
+                   "are not stable enough to pin — use STATS",
 }
 
 
@@ -619,7 +634,7 @@ def esql(tables, query: str) -> DataFrame:
     for stage in stages[1:]:
         if not stage:
             raise ValueError("ES|QL: empty pipe stage")
-        df = _command(df, stage)
+        df = _command(df, stage, tables)
     return df
 
 
@@ -691,11 +706,13 @@ def _assignments(p: _ExprParser) -> tuple[list[str], list[Column]]:
         return names, cols
 
 
-def _command(df: DataFrame, stage: list[_Tok]) -> DataFrame:
+def _command(df: DataFrame, stage: list[_Tok], tables=None) -> DataFrame:
     head = stage[0]
     if head.kind == "ident" and head.val.upper() in _UNSUPPORTED_COMMANDS:
         up = head.val.upper()
         raise ValueError(f"ES|QL {up}: {_UNSUPPORTED_COMMANDS[up]}")
+    if head.kind == "ident" and head.val.upper() in ("LOOKUP", "ENRICH"):
+        return _lookup_or_enrich(df, stage, tables)
     if head.kind == "kw" and head.val == "WHERE":
         p = _ExprParser(stage, 1)
         cond = p.parse()
@@ -855,6 +872,120 @@ def _command(df: DataFrame, stage: list[_Tok]) -> DataFrame:
         others = [c for c in df.columns if c != n]
         return df.select(*others, F.explode_outer(F.col(n)).alias(n))
     raise ValueError(f"ES|QL: unknown command {head.val!r}")
+
+
+def _resolve_lookup_table(tables, name: str) -> DataFrame:
+    if tables is None or isinstance(tables, DataFrame):
+        raise ValueError(
+            f"ES|QL: lookup index {name!r} needs the {{name: DataFrame}} "
+            "tables form of esql()"
+        )
+    if name not in tables:
+        raise ValueError(f"ES|QL: unknown lookup index {name!r}")
+    return tables[name]
+
+
+def _lookup_or_enrich(df: DataFrame, stage: list[_Tok], tables) -> DataFrame:
+    """``LOOKUP JOIN idx ON key`` / ``ENRICH policy ON key [WITH
+    [new =] field, ...]`` — both are BROADCAST left joins against a
+    dimension-class table (ES constrains lookup indexes to
+    ``index.mode=lookup`` single-shard and enrich indexes are
+    policy-materialized — bounded by construction, so broadcast is
+    the 100 TB plan: zero shuffle on the fact side).
+
+    LOOKUP JOIN: multiple matches multiply rows (real join
+    semantics); non-key lookup columns SHADOW same-named left
+    columns (NULL where unmatched) — the ES field-precedence rule.
+    ENRICH: ES applies ``max_matches=1`` — a policy table with
+    duplicate match keys raises loudly instead of silently picking
+    one (the validation is ONE bounded limit(1) collect over the
+    dimension-sized table)."""
+    up = stage[0].val.upper()
+    if up == "LOOKUP":
+        if not (len(stage) == 5 and stage[1].kind == "ident"
+                and stage[1].val.upper() == "JOIN"
+                and stage[2].kind == "ident"
+                and stage[3].kind == "ident"
+                and stage[3].val.upper() == "ON"
+                and stage[4].kind == "ident"):
+            raise ValueError("ES|QL: LOOKUP JOIN <index> ON <field>")
+        lkp = _resolve_lookup_table(tables, stage[2].val)
+        key = stage[4].val
+        if key not in df.columns or key not in lkp.columns:
+            raise ValueError(
+                f"ES|QL LOOKUP JOIN: field {key!r} must exist on both "
+                "sides (RENAME/EVAL the left key first)"
+            )
+        shadowed = [c for c in df.columns
+                    if c != key and c in lkp.columns]
+        return df.drop(*shadowed).join(
+            F.broadcast(lkp), on=key, how="left"
+        )
+    # ENRICH policy ON key [WITH [new =] field, ...]
+    if len(stage) < 4 or stage[1].kind != "ident":
+        raise ValueError(
+            "ES|QL: ENRICH <policy> ON <field> [WITH fields] — the "
+            "bare form needs the policy's match_field, which lives "
+            "server-side; name it with ON"
+        )
+    lkp = _resolve_lookup_table(tables, stage[1].val)
+    i = 2
+    if not (stage[i].kind == "ident" and stage[i].val.upper() == "ON"
+            and i + 1 < len(stage) and stage[i + 1].kind == "ident"):
+        raise ValueError("ES|QL: ENRICH <policy> ON <field> [WITH ...]")
+    key = stage[i + 1].val
+    i += 2
+    picks: list[tuple[str, str]] = []  # (out name, lookup column)
+    if i < len(stage):
+        if not (stage[i].kind == "ident" and stage[i].val.upper() == "WITH"):
+            raise ValueError("ES|QL ENRICH: expected WITH")
+        i += 1
+        while i < len(stage):
+            if stage[i].kind != "ident":
+                raise ValueError(
+                    f"ES|QL ENRICH WITH: expected field, got {stage[i]!r}"
+                )
+            if (i + 2 < len(stage) and stage[i + 1].kind == "op"
+                    and stage[i + 1].val == "="
+                    and stage[i + 2].kind == "ident"):
+                picks.append((stage[i].val, stage[i + 2].val))
+                i += 3
+            else:
+                picks.append((stage[i].val, stage[i].val))
+                i += 1
+            if i < len(stage) and stage[i].kind == "op" and stage[i].val == ",":
+                i += 1
+    else:
+        picks = [(c, c) for c in lkp.columns if c != key]
+    if key not in df.columns or key not in lkp.columns:
+        raise ValueError(
+            f"ES|QL ENRICH: match field {key!r} must exist on both "
+            "sides (RENAME/EVAL the left key first)"
+        )
+    for out, src in picks:
+        if src not in lkp.columns:
+            raise ValueError(f"ES|QL ENRICH: {src!r} not in the policy table")
+        if out == key:
+            raise ValueError(
+                f"ES|QL ENRICH: output name {out!r} collides with the "
+                "match field"
+            )
+    if len({out for out, _ in picks}) != len(picks):
+        raise ValueError("ES|QL ENRICH: duplicate WITH output name")
+    # max_matches=1: duplicate match keys in the policy table are a
+    # request error, not a silent pick — ONE limit(1) collect over
+    # the dimension-sized policy table (bounded: ≤1 row returned)
+    dup = (lkp.groupBy(key).count().filter(F.col("count") > 1)
+           .limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"ES|QL ENRICH: policy table has duplicate match key "
+            f"{dup[0][0]!r} (ES enrich is max_matches=1)"
+        )
+    proj = lkp.select(key, *[F.col(src).alias(out) for out, src in picks])
+    shadowed = [c for c in df.columns
+                if c != key and c in [out for out, _ in picks]]
+    return df.drop(*shadowed).join(F.broadcast(proj), on=key, how="left")
 
 
 def _select_with_captures(df: DataFrame, caps: dict[str, Column]) -> DataFrame:
@@ -1152,5 +1283,34 @@ def q_esql_docs_tokens(spark, sf_dir: str) -> DataFrame:
         | STATS n = COUNT(*) BY tok = toks
         | SORT n DESC, tok ASC
         | LIMIT 15
+        """,
+    )
+
+
+def q_esql_lookup_enrich(spark, sf_dir: str) -> DataFrame:
+    """Oracle row (round 16): LOOKUP JOIN + ENRICH — the lake
+    reading of ES 8.18 lookup joins and materialized enrich
+    policies. Customer facts pick up the nation dimension via a
+    broadcast LOOKUP JOIN (key renamed to match, ES|QL's own
+    recipe), then the region name via an ENRICH policy with a WITH
+    rename; exact-integer SUM keeps the rollup hash-stable."""
+    from .tables import load
+
+    return esql(
+        {
+            "customer": load(spark, sf_dir, "customer"),
+            "nation": load(spark, sf_dir, "nation"),
+            "region": load(spark, sf_dir, "region"),
+        },
+        """
+        FROM customer
+        | EVAL cents = TO_LONG(FLOOR(c_acctbal * 100))
+        | RENAME c_nationkey AS n_nationkey
+        | LOOKUP JOIN nation ON n_nationkey
+        | EVAL r_regionkey = n_regionkey
+        | ENRICH region ON r_regionkey WITH region_name = r_name
+        | STATS n = COUNT(*), acct_cents = SUM(cents)
+            BY nation = n_name, region = region_name
+        | SORT nation
         """,
     )

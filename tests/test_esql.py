@@ -360,3 +360,66 @@ def test_esql_keep_missing_comma_errors(tables):
     r = esql(tables, 'FROM events | EVAL tmp_a = 1 | KEEP id, tmp* '
                      '| LIMIT 1')
     assert r.columns == ["id", "tmp_a"]
+
+
+def test_esql_lookup_join(spark, tables):
+    """Round 16: LOOKUP JOIN — broadcast left join against a lookup
+    index from the same tables dict; multiple matches multiply rows;
+    non-key lookup columns shadow same-named left columns (NULL
+    where unmatched); a key missing on either side raises."""
+    lkp = spark.createDataFrame(
+        [("click", "ui", 1), ("view", "read", 2), ("view", "scan", 3)],
+        "etype string, kind string, pri int")
+    t = dict(tables, lookups=lkp)
+    r = esql(t, 'FROM events | LOOKUP JOIN lookups ON etype '
+                '| SORT id, pri | KEEP id, etype, kind, pri').collect()
+    # id=2 (view) matches TWO lookup rows; error matches none
+    assert [(x.id, x.kind, x.pri) for x in r] == [
+        (1, "ui", 1), (2, "read", 2), (2, "scan", 3),
+        (3, "ui", 1), (4, None, None)]
+    # shadowing: a lookup column named like a LEFT column replaces it
+    lk2 = spark.createDataFrame(
+        [("click", 999.0)], "etype string, value double")
+    r = esql(dict(tables, lk=lk2),
+             'FROM events | LOOKUP JOIN lk ON etype | SORT id '
+             '| KEEP id, value').collect()
+    assert [(x.id, x.value) for x in r] == [
+        (1, 999.0), (2, None), (3, 999.0), (4, None)]
+    with pytest.raises(ValueError, match="both"):
+        esql(t, 'FROM events | LOOKUP JOIN lookups ON nope')
+    with pytest.raises(ValueError, match="unknown lookup"):
+        esql(t, 'FROM events | LOOKUP JOIN missing ON etype')
+    # the join is a BROADCAST hash join — no shuffle on the fact side
+    plan = esql(t, 'FROM events | LOOKUP JOIN lookups ON etype') \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_esql_enrich(spark, tables):
+    """Round 16: ENRICH — the materialized-policy broadcast join;
+    WITH picks/renames enrich fields; duplicate match keys raise
+    (ES enrich is max_matches=1); bare ENRICH (no ON) raises since
+    the policy's match_field lives server-side."""
+    pol = spark.createDataFrame(
+        [("click", "Clicks", 1.5), ("view", "Views", 2.5)],
+        "etype string, label string, weight double")
+    t = dict(tables, policy=pol)
+    r = esql(t, 'FROM events | ENRICH policy ON etype '
+                'WITH name = label | SORT id | KEEP id, name').collect()
+    assert [(x.id, x.name) for x in r] == [
+        (1, "Clicks"), (2, "Views"), (3, "Clicks"), (4, None)]
+    # bare WITH-less form adds every non-key policy column
+    r = esql(t, 'FROM events | ENRICH policy ON etype | SORT id '
+                '| KEEP id, label, weight').collect()
+    assert [(x.id, x.label, x.weight) for x in r] == [
+        (1, "Clicks", 1.5), (2, "Views", 2.5), (3, "Clicks", 1.5),
+        (4, None, None)]
+    dup = spark.createDataFrame(
+        [("click", "a"), ("click", "b")], "etype string, label string")
+    with pytest.raises(ValueError, match="max_matches"):
+        esql(dict(tables, p=dup),
+             'FROM events | ENRICH p ON etype WITH label').collect()
+    with pytest.raises(ValueError, match="ON"):
+        esql(t, 'FROM events | ENRICH policy')
+    with pytest.raises(ValueError, match="not in the policy"):
+        esql(t, 'FROM events | ENRICH policy ON etype WITH nope')

@@ -512,6 +512,12 @@ PINNED_FINGERPRINTS = {
     # code would produce (the compiler adds nothing)
     "esql_events_rollup": {"exchange": 2},
     "esql_docs_tokens": {"exchange": 1},
+    # — round 16 —
+    # LOOKUP JOIN + ENRICH: TWO BroadcastHashJoins (the dimension
+    # tables ride broadcasts — zero shuffle on the fact side; the
+    # ENRICH duplicate-key validation happens at plan-build time) +
+    # the STATS rollup and final sort
+    "esql_lookup_enrich": {"exchange": 2, "bhj": 2},
 }
 
 
