@@ -1234,6 +1234,14 @@ DEMOTED: frozenset[str] = frozenset(
         #     broadcast dimension joins (esql_events_rollup keeps
         #     the ES|QL compiler declared)
         "esql_lookup_enrich",
+        # es_ip_prefix — the /N subnet rollup over the CIDR octet
+        #     tree (es_ip_range keeps the ip family declared)
+        "es_ip_prefix",
+        # es_random_sampler — sub-aggs over a deterministic portable-
+        #     hash sample with 1/p-scaled doc_count (PARITY #35;
+        #     es_diversified_sampler keeps the sampler family
+        #     sweep-green)
+        "es_random_sampler",
     }
 )
 
@@ -1431,8 +1439,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_events_rollup": _mod("esql", "q_esql_events_rollup"),
         "esql_docs_tokens": _mod("esql", "q_esql_docs_tokens"),
         # — round 16: LOOKUP JOIN (ES 8.18) + ENRICH as broadcast
-        #   dimension joins —
+        #   dimension joins; ip_prefix subnet rollup; random_sampler —
         "esql_lookup_enrich": _mod("esql", "q_esql_lookup_enrich"),
+        "es_ip_prefix": _mod("es_search", "q_es_ip_prefix"),
+        "es_random_sampler": _mod("es_search", "q_es_random_sampler"),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
         "es_geo_shape": _mod("es_search", "q_es_geo_shape"),
@@ -5849,6 +5859,72 @@ def _all_oracle_sql() -> dict[str, str]:
                    / count(value) AS avg_v
         FROM b WHERE bands IS NOT NULL
         GROUP BY bands ORDER BY bands
+    """
+
+    # es_ip_prefix (round 16): the /10 subnet rollup — the same
+    # octet-split long tree as es_ip_range, network base recovered by
+    # integer floor/mod arithmetic (width 2^22 = 4194304), key as the
+    # dotted quad + '/10'.
+    q["es_ip_prefix"] = """
+        WITH e AS (
+          SELECT value,
+                 '10.' || CAST((user_id % 4) * 64 AS INT)
+                 || '.' || CAST(user_id % 256 AS INT)
+                 || '.' || CAST(event_id % 256 AS INT) AS ip
+          FROM events
+        ),
+        n AS (
+          SELECT value,
+                 TRY_CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+               + TRY_CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+               + TRY_CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+               + TRY_CAST(string_split(ip, '.')[4] AS BIGINT) AS ipn
+          FROM e
+        ),
+        b AS (
+          SELECT value,
+                 CAST(floor(ipn / 4194304) AS BIGINT) * 4194304 AS base
+          FROM n WHERE ipn IS NOT NULL
+        )
+        SELECT CAST(1 AS INT) AS level,
+               CAST(CAST(floor(base / 16777216) AS BIGINT) % 256
+                    AS VARCHAR)
+               || '.' || CAST(CAST(floor(base / 65536) AS BIGINT) % 256
+                              AS VARCHAR)
+               || '.' || CAST(CAST(floor(base / 256) AS BIGINT) % 256
+                              AS VARCHAR)
+               || '.' || CAST(CAST(floor(base / 1) AS BIGINT) % 256
+                              AS VARCHAR)
+               || '/10' AS subnets,
+               count(*) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value) AS avg_v
+        FROM b GROUP BY subnets ORDER BY subnets
+    """
+
+    # es_random_sampler (round 16): the deterministic 25% sample via
+    # the portable md5 bucket (the es_terms_partition spelling),
+    # terms sub-agg over the sample, doc_count scaled by 1/0.25 with
+    # ES's rounding, avg unscaled.
+    q["es_random_sampler"] = """
+        WITH h AS (
+          SELECT event_type, value,
+                 md5('42:' || CAST(event_id AS VARCHAR)) AS hh
+          FROM events
+        ), dig AS (
+          SELECT event_type, value,
+                 (ascii(substr(hh,1,1)) - CASE WHEN ascii(substr(hh,1,1)) >= 97 THEN 87 ELSE 48 END) * 4096
+               + (ascii(substr(hh,2,1)) - CASE WHEN ascii(substr(hh,2,1)) >= 97 THEN 87 ELSE 48 END) * 256
+               + (ascii(substr(hh,3,1)) - CASE WHEN ascii(substr(hh,3,1)) >= 97 THEN 87 ELSE 48 END) * 16
+               + (ascii(substr(hh,4,1)) - CASE WHEN ascii(substr(hh,4,1)) >= 97 THEN 87 ELSE 48 END) AS v
+          FROM h
+        )
+        SELECT CAST(1 AS INT) AS level, event_type AS types,
+               CAST(round(count(*) / 0.25) AS BIGINT) AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value) AS avg_v
+        FROM dig WHERE v % 10000 < 2500 AND event_type IS NOT NULL
+        GROUP BY event_type ORDER BY types
     """
 
     # es_terms_set (round 15): at least `req` of the literal terms in

@@ -190,6 +190,7 @@ _BUCKET_KINDS = (
     "range",
     "date_range",
     "ip_range",
+    "ip_prefix",
     "filters",
     "filter",
     "adjacency_matrix",
@@ -1538,6 +1539,45 @@ class _Level:
                     else expr.when(cond, F.lit(key))
                 )
             return expr
+        if self.kind == "ip_prefix":
+            # ES ip_prefix (round 16): buckets by the first
+            # prefix_length bits of the address — the subnet rollup
+            # of the log-analytics family. The key is the NETWORK
+            # BASE as a dotted quad (ES's bucket key), optionally
+            # suffixed "/len" under append_prefix_length; the octet
+            # math reuses the CIDR tree (integer-exact, spelled
+            # identically in the DuckDB oracle). Malformed/NULL ips
+            # get a NULL key (dropped here, counted in ancestors —
+            # the range-family convention). is_ipv6 raises: 128-bit
+            # math has no exact long tree (the ip family's
+            # documented bound).
+            if b.get("is_ipv6"):
+                raise ValueError(
+                    "ip_prefix is_ipv6: 128-bit math has no exact "
+                    "long tree (the ip family's documented bound)"
+                )
+            plen = int(b["prefix_length"])
+            if not (0 <= plen <= 32):
+                raise ValueError(
+                    f"ip_prefix prefix_length {plen} out of [0, 32]"
+                )
+            width = 1 << (32 - plen)
+            base = (
+                F.floor(_ip_col_to_long(col) / F.lit(width))
+                * F.lit(width)
+            )
+            quad = F.concat_ws(
+                ".",
+                *[
+                    (F.floor(base / F.lit(d)) % F.lit(256)).cast("string")
+                    for d in (16777216, 65536, 256, 1)
+                ],
+            )
+            if b.get("append_prefix_length"):
+                quad = F.concat(quad, F.lit(f"/{plen}"))
+            # concat_ws skips NULLs — gate on the base so malformed
+            # ips drop instead of keying an '' bucket
+            return F.when(base.isNotNull(), quad)
         if self.kind == "filter":
             # ES single-filter sub-aggregation: one bucket holding the
             # matching docs (the body IS a query DSL dict); non-matching
@@ -4950,6 +4990,55 @@ def search_aggs(df: DataFrame, request: dict) -> DataFrame:
             if "aggs" not in aspec:
                 raise ValueError("global needs sub-aggregations")
             return compile_aggs(df, aspec["aggs"])
+        # random_sampler (round 16): probability sampling whose
+        # sub-aggs approximate the full data at a fraction of the
+        # scan cost — ES's recipe for dashboards over huge indices.
+        # ES samples RANDOMLY per shard (seed reproduces only a
+        # given shard layout) — no deterministic lake reading, so
+        # like sampler's `sort` the body must carry an explicit
+        # `field` doc-identity column (engine extension, PARITY
+        # #35): a doc is sampled iff its portable md5 bucket of
+        # (seed, field) lands under probability (quantized to
+        # 1/10000 — the hash_bucket primitive, spelled identically
+        # in the DuckDB oracle). doc_count columns in the sub-tree
+        # scale by 1/probability with ES's rounding; metric values
+        # stay unscaled (means/extrema are unbiased under uniform
+        # sampling, ES behavior).
+        if "random_sampler" in aspec:
+            body = aspec["random_sampler"]
+            if "aggs" not in aspec:
+                raise ValueError("random_sampler needs sub-aggregations")
+            p = float(body["probability"])
+            if not (0.0 < p <= 0.5 or p == 1.0):
+                raise ValueError(
+                    "random_sampler probability must be in (0, 0.5] "
+                    "or exactly 1 (the ES contract)"
+                )
+            if "field" not in body:
+                raise ValueError(
+                    "random_sampler needs an explicit 'field' "
+                    "doc-identity column — ES samples randomly per "
+                    "shard, which has no deterministic lake reading "
+                    "(PARITY #35)"
+                )
+            from .sampling import hash_bucket
+
+            base = df.filter(compile_query(request.get("query")))
+            if p < 1.0:
+                key = F.concat(
+                    F.lit(str(body.get("seed", 0)) + ":"),
+                    F.col(body["field"]).cast("string"),
+                )
+                base = base.filter(
+                    hash_bucket(key) < F.lit(int(round(p * 10_000)))
+                )
+            out = compile_aggs(base, aspec["aggs"])
+            if p < 1.0 and "doc_count" in out.columns:
+                out = out.withColumn(
+                    "doc_count",
+                    F.round(F.col("doc_count") / F.lit(p)).cast("long"),
+                )
+            return out
         if "sampler" in aspec or "diversified_sampler" in aspec:
             skind = (
                 "sampler" if "sampler" in aspec else "diversified_sampler"
@@ -9621,6 +9710,62 @@ def q_es_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                 },
                 "aggs": {"avg_v": {"avg": {"field": "value"}}},
+            }},
+        },
+    )
+
+
+def q_es_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ip_prefix`` aggregation (round 16): subnet rollup of the
+    synthetic dotted-quad column at /10 with the prefix appended to
+    the key, an exact-decimal avg per subnet — the log-analytics
+    "which networks are talking" shape."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            ((F.col("user_id") % F.lit(4)) * F.lit(64))
+            .cast("int").cast("string"),
+            (F.col("user_id") % F.lit(256)).cast("int").cast("string"),
+            (F.col("event_id") % F.lit(256)).cast("int").cast("string"),
+        ),
+    )
+    return search_aggs(
+        ev,
+        {
+            "aggs": {"subnets": {
+                "ip_prefix": {
+                    "field": "ip",
+                    "prefix_length": 10,
+                    "append_prefix_length": True,
+                },
+                "aggs": {"avg_v": {"avg": {"field": "value"}}},
+            }},
+        },
+    )
+
+
+def q_es_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``random_sampler`` aggregation (round 16): sub-aggs over a
+    deterministic 25% portable-hash sample (the engine's reading of
+    ES's per-shard random sampler — PARITY #35), doc_count scaled
+    back by 1/probability with ES's rounding, the avg metric
+    unscaled (unbiased under uniform sampling)."""
+    ev = load(spark, sf_dir, "events")
+    return search_aggs(
+        ev,
+        {
+            "aggs": {"sample": {
+                "random_sampler": {
+                    "probability": 0.25,
+                    "seed": 42,
+                    "field": "event_id",
+                },
+                "aggs": {"types": {
+                    "terms": {"field": "event_type"},
+                    "aggs": {"avg_v": {"avg": {"field": "value"}}},
+                }},
             }},
         },
     )

@@ -5886,3 +5886,81 @@ def test_search_count_api(spark):
     assert search_count(df, {}).collect()[0].total == 3  # match_all
     with pytest.raises(ValueError, match="only 'query'"):
         search_count(df, {"query": {"term": {"k": "a"}}, "size": 5})
+
+
+def test_ip_prefix_agg(spark):
+    """Round 16: ip_prefix buckets by the network base of the first
+    prefix_length bits — dotted-quad keys (optionally '/len'-
+    suffixed), malformed/NULL ips dropped, is_ipv6 and out-of-range
+    prefix lengths raise."""
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    df = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.0.3.200"), (3, "10.0.16.4"),
+         (4, "192.168.1.1"), (5, None), (6, "garbage"),
+         (7, "300.1.1.1")],
+        "id int, ip string")
+    out = search_aggs(df, {"aggs": {"nets": {"ip_prefix": {
+        "field": "ip", "prefix_length": 20,
+    }}}}).collect()
+    assert {r.nets: r.doc_count for r in out} == {
+        "10.0.0.0": 2, "10.0.16.0": 1, "192.168.0.0": 1}
+    out = search_aggs(df, {"aggs": {"nets": {"ip_prefix": {
+        "field": "ip", "prefix_length": 8,
+        "append_prefix_length": True,
+    }}}}).collect()
+    assert {r.nets: r.doc_count for r in out} == {
+        "10.0.0.0/8": 3, "192.0.0.0/8": 1}
+    # /0 is one everything-bucket; /32 is per-address
+    out = search_aggs(df, {"aggs": {"nets": {"ip_prefix": {
+        "field": "ip", "prefix_length": 0}}}}).collect()
+    assert {r.nets: r.doc_count for r in out} == {"0.0.0.0": 4}
+    with pytest.raises(ValueError, match="is_ipv6"):
+        search_aggs(df, {"aggs": {"n": {"ip_prefix": {
+            "field": "ip", "prefix_length": 64, "is_ipv6": True}}}})
+    with pytest.raises(ValueError, match="out of"):
+        search_aggs(df, {"aggs": {"n": {"ip_prefix": {
+            "field": "ip", "prefix_length": 33}}}})
+
+
+def test_random_sampler_agg(spark):
+    """Round 16: random_sampler — deterministic portable-hash sample
+    (PARITY #35), doc_count scaled by 1/probability with rounding,
+    metrics unscaled; p=1 is exact identity; the ES probability
+    contract and the field requirement raise."""
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(400)],
+        "id int, t string, v double")
+    req = {"aggs": {"s": {
+        "random_sampler": {"probability": 0.5, "seed": 7, "field": "id"},
+        "aggs": {"types": {"terms": {"field": "t"}}},
+    }}}
+    a = {(r.types, r.doc_count) for r in search_aggs(df, req).collect()}
+    b = {(r.types, r.doc_count) for r in search_aggs(df, req).collect()}
+    assert a == b  # deterministic across runs
+    # scaled counts approximate the full data (800 total after 2x)
+    total = sum(dc for _, dc in a)
+    assert abs(total - 400) < 80
+    # p=1: identity with the unsampled plan
+    req1 = {"aggs": {"s": {
+        "random_sampler": {"probability": 1.0, "field": "id"},
+        "aggs": {"types": {"terms": {"field": "t"}}},
+    }}}
+    exact = {(r.types, r.doc_count)
+             for r in search_aggs(df, {"aggs": {
+                 "types": {"terms": {"field": "t"}}}}).collect()}
+    assert {(r.types, r.doc_count)
+            for r in search_aggs(df, req1).collect()} == exact
+    with pytest.raises(ValueError, match="probability"):
+        search_aggs(df, {"aggs": {"s": {
+            "random_sampler": {"probability": 0.7, "field": "id"},
+            "aggs": {"n": {"terms": {"field": "t"}}}}}})
+    with pytest.raises(ValueError, match="field"):
+        search_aggs(df, {"aggs": {"s": {
+            "random_sampler": {"probability": 0.5},
+            "aggs": {"n": {"terms": {"field": "t"}}}}}})
+    with pytest.raises(ValueError, match="sub-aggregations"):
+        search_aggs(df, {"aggs": {"s": {
+            "random_sampler": {"probability": 0.5, "field": "id"}}}})

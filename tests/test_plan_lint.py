@@ -518,6 +518,13 @@ PINNED_FINGERPRINTS = {
     # ENRICH duplicate-key validation happens at plan-build time) +
     # the STATS rollup and final sort
     "esql_lookup_enrich": {"exchange": 2, "bhj": 2},
+    # ip_prefix: the subnet key is a pure octet-arithmetic projection
+    # — the agg-tree class (rollup + the two frame windows)
+    "es_ip_prefix": {"exchange": 3},
+    # random_sampler: the sample predicate is a plain md5 filter ON
+    # THE SCAN (no pre-shuffle); the sub-tree is the agg-tree class +
+    # the scaled-doc_count projection
+    "es_random_sampler": {"exchange": 4},
 }
 
 
