@@ -1242,6 +1242,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     es_diversified_sampler keeps the sampler family
         #     sweep-green)
         "es_random_sampler",
+        # es_combined_features — combined_fields term-centric match
+        #     + rank_feature/distance_feature exists() reductions
+        #     (PARITY #37; es_search_hits keeps the query-DSL page
+        #     family declared)
+        "es_combined_features",
     }
 )
 
@@ -1443,6 +1448,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_lookup_enrich": _mod("esql", "q_esql_lookup_enrich"),
         "es_ip_prefix": _mod("es_search", "q_es_ip_prefix"),
         "es_random_sampler": _mod("es_search", "q_es_random_sampler"),
+        "es_combined_features": _mod(
+            "es_search", "q_es_combined_features"
+        ),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
         "es_geo_shape": _mod("es_search", "q_es_geo_shape"),
@@ -5900,6 +5908,37 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                    / count(value) AS avg_v
         FROM b GROUP BY subnets ORDER BY subnets
+    """
+
+    # es_combined_features (round 16): combined_fields is the
+    # term-centric fold — each term tests containment in the text OR
+    # source token arrays, at least 2 of 3 terms must land
+    # (minimum_should_match); rank_feature reduces to the exists()
+    # filter meaning (doc_id % 7 != 0 rows carry the feature);
+    # distance_feature's field is never NULL so its exists() is
+    # vacuous (scoring-only, the PARITY #37 reduction).
+    q["es_combined_features"] = """
+        WITH d AS (
+          SELECT doc_id, source, n_chars,
+                 string_split(text, ' ') AS toks,
+                 string_split(source, ' ') AS stoks
+          FROM documents
+        ), m AS (
+          SELECT doc_id, source, n_chars,
+                 CAST(coalesce(list_contains(toks, 'merge'), FALSE)
+                      OR coalesce(list_contains(stoks, 'merge'), FALSE)
+                      AS INT)
+               + CAST(coalesce(list_contains(toks, 'src3'), FALSE)
+                      OR coalesce(list_contains(stoks, 'src3'), FALSE)
+                      AS INT)
+               + CAST(coalesce(list_contains(toks, 'window'), FALSE)
+                      OR coalesce(list_contains(stoks, 'window'), FALSE)
+                      AS INT) AS hits
+          FROM d
+        )
+        SELECT doc_id, source, n_chars FROM m
+        WHERE hits >= 2 AND doc_id % 7 != 0
+        ORDER BY doc_id LIMIT 200
     """
 
     # es_random_sampler (round 16): the deterministic 25% sample via

@@ -723,6 +723,61 @@ def compile_query(q: dict | None, _scope=None) -> Column:
         # filters — ES returns negative-matching docs, just ranked
         # lower
         return compile_query(body["positive"], _scope)
+    if kind == "combined_fields":
+        # round 16: the ES 7.13+ term-centric multi-field match (the
+        # BM25F successor to cross_fields). Filter-context reduction:
+        # each analyzed query term matches if it appears in ANY of
+        # the fields (ES treats the fields as one combined text
+        # field), the per-TERM verdicts folding under `operator` /
+        # an integer `minimum_should_match`. Scoring (per-field
+        # weights, the ^boost suffixes) has no filter meaning —
+        # boosts are accepted and ignored, the multi_match
+        # discipline. PARITY #37.
+        from .retrieval import _terms, _tokens_col
+
+        analyzer = body.get("analyzer", "whitespace")
+        terms = _terms(str(body["query"]), analyzer)
+        if not terms:
+            return F.lit(False)
+        cols = [
+            _scoped_col(f.split("^")[0], _scope) for f in body["fields"]
+        ]
+        if not cols:
+            raise ValueError("combined_fields needs a fields list")
+        toks = [_tokens_col(c, analyzer) for c in cols]
+        per_term = []
+        for t in terms:
+            arm = _false_safe(F.array_contains(toks[0], t))
+            for tk in toks[1:]:
+                arm = arm | _false_safe(F.array_contains(tk, t))
+            per_term.append(arm)
+        msm = body.get("minimum_should_match")
+        op = body.get("operator", "or")
+        if msm is not None:
+            if op == "and":
+                raise ValueError(
+                    "combined_fields minimum_should_match applies "
+                    "to operator or (the ES contract)"
+                )
+            n = int(msm)  # percent forms raise via int()
+            hits = per_term[0].cast("int")
+            for a in per_term[1:]:
+                hits = hits + a.cast("int")
+            return hits >= F.lit(n)
+        out = per_term[0]
+        for a in per_term[1:]:
+            out = (out & a) if op == "and" else (out | a)
+        return out
+    if kind in ("rank_feature", "distance_feature"):
+        # round 16: both are SCORING features — rank_feature boosts
+        # by a static signal, distance_feature by closeness to an
+        # origin — and in ES both match exactly the docs that HAVE a
+        # value for the field (Lucene's RankFeatureQuery /
+        # DistanceFeatureQuery). The filter-context reduction is
+        # therefore exists(field), exact — pivot/origin/saturation
+        # knobs only shape _score and are accepted and ignored.
+        # PARITY #37.
+        return _scoped_col(body["field"], _scope).isNotNull()
     if kind == "nested":
         path, inner = body["path"], body["query"]
         if _scope is not None:
@@ -9804,6 +9859,47 @@ def q_es_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sort": [{"event_id": "asc"}],
             "size": 120,
             "_source": ["event_id", "event_type", "value", "req"],
+        },
+    )
+
+
+def q_es_combined_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``combined_fields`` + ``rank_feature`` + ``distance_feature``
+    (round 16, PARITY #37): the term-centric multi-field match —
+    'src3' only exists in the source field, 'merge'/'window' in the
+    text, so the minimum_should_match=2 fold genuinely crosses
+    fields — with the two scoring features reduced to their exact
+    exists() filter meaning over a synthetic indexed_at date."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "indexed_at",
+        F.timestamp_millis(
+            F.lit(1704067200000)
+            + (F.col("doc_id") % F.lit(90)) * F.lit(86400000)
+        ),
+    ).withColumn(
+        "n_chars_opt",
+        F.when(F.col("doc_id") % F.lit(7) != 0, F.col("n_chars")),
+    )
+    return search(
+        docs,
+        {
+            "query": {"bool": {
+                "must": [{"combined_fields": {
+                    "query": "merge src3 window",
+                    "fields": ["text", "source^2"],
+                    "minimum_should_match": 2,
+                }}],
+                "filter": [
+                    {"rank_feature": {"field": "n_chars_opt",
+                                      "saturation": {"pivot": 100}}},
+                    {"distance_feature": {"field": "indexed_at",
+                                          "pivot": "7d",
+                                          "origin": "2024-02-01T00:00:00Z"}},
+                ],
+            }},
+            "sort": [{"doc_id": "asc"}],
+            "size": 200,
+            "_source": ["doc_id", "source", "n_chars"],
         },
     )
 

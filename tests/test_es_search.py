@@ -5964,3 +5964,48 @@ def test_random_sampler_agg(spark):
     with pytest.raises(ValueError, match="sub-aggregations"):
         search_aggs(df, {"aggs": {"s": {
             "random_sampler": {"probability": 0.5, "field": "id"}}}})
+
+
+def test_combined_fields_and_feature_queries(spark):
+    """Round 16 (PARITY #37): combined_fields is term-centric — a
+    term matches if it appears in ANY field; operator and / integer
+    minimum_should_match fold per-TERM verdicts; analyzer applies to
+    both sides. rank_feature/distance_feature reduce to exists()."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "web", 5),
+         (2, "alpha", "beta", None),
+         (3, "gamma", "web", 7),
+         (4, None, "alpha beta", 2)],
+        "id int, title string, body string, feat int")
+
+    def ids(q):
+        return sorted(
+            r.id for r in df.filter(_false_safe(compile_query(q))).collect()
+        )
+
+    cf = {"combined_fields": {
+        "query": "alpha beta", "fields": ["title", "body"],
+        "operator": "and"}}
+    # id=2 crosses fields: alpha in title, beta in body
+    assert ids(cf) == [1, 2, 4]
+    cf_or = {"combined_fields": {
+        "query": "alpha gamma", "fields": ["title", "body"]}}
+    assert ids(cf_or) == [1, 2, 3, 4]
+    msm = {"combined_fields": {
+        "query": "alpha beta gamma", "fields": ["title", "body"],
+        "minimum_should_match": 2}}
+    assert ids(msm) == [1, 2, 4]
+    # analyzer normalizes the query side too (the round-16 sqs fix
+    # discipline)
+    up = {"combined_fields": {
+        "query": "ALPHA Beta", "fields": ["title", "body"],
+        "operator": "and", "analyzer": "standard"}}
+    assert ids(up) == [1, 2, 4]
+    with pytest.raises(ValueError, match="operator or"):
+        compile_query({"combined_fields": {
+            "query": "a b", "fields": ["title"],
+            "operator": "and", "minimum_should_match": 2}})
+    # the scoring features match exactly the docs carrying a value
+    assert ids({"rank_feature": {"field": "feat"}}) == [1, 3, 4]
+    assert ids({"distance_feature": {
+        "field": "feat", "pivot": 3, "origin": 0}}) == [1, 3, 4]

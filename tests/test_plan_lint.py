@@ -525,6 +525,10 @@ PINNED_FINGERPRINTS = {
     # THE SCAN (no pre-shuffle); the sub-tree is the agg-tree class +
     # the scaled-doc_count projection
     "es_random_sampler": {"exchange": 4},
+    # combined_fields + the feature-query exists() reductions are
+    # plain Catalyst filters + a TakeOrdered page — the zero-shuffle
+    # query-DSL class
+    "es_combined_features": {},
 }
 
 
