@@ -1247,6 +1247,9 @@ DEMOTED: frozenset[str] = frozenset(
         #     (PARITY #37; es_search_hits keeps the query-DSL page
         #     family declared)
         "es_combined_features",
+        # es_terms_lookup — the terms LOOKUP form resolved by a
+        #     bounded 1-doc fetch + literal rewrite (PARITY #38)
+        "es_terms_lookup",
     }
 )
 
@@ -1451,6 +1454,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_combined_features": _mod(
             "es_search", "q_es_combined_features"
         ),
+        "es_terms_lookup": _mod("es_search", "q_es_terms_lookup"),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
         "es_geo_shape": _mod("es_search", "q_es_geo_shape"),
@@ -5908,6 +5912,16 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                    / count(value) AS avg_v
         FROM b GROUP BY subnets ORDER BY subnets
+    """
+
+    # es_terms_lookup (round 16): the VIP-list membership — the
+    # oracle spells the fetched-array semantics as the equivalent
+    # IN-subquery over the same segments rollup.
+    q["es_terms_lookup"] = """
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        ORDER BY c_custkey LIMIT 150
     """
 
     # es_combined_features (round 16): combined_fields is the

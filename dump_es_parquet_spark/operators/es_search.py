@@ -661,6 +661,64 @@ def _collect_inner_hits(q) -> list[tuple[str, dict, dict]]:
     return out
 
 
+def resolve_terms_lookups(node, lookups: dict | None):
+    """The ``terms`` LOOKUP form (round 16): ``{"terms": {field:
+    {"index": ..., "id": ..., "id_field": ..., "path": ...}}}`` —
+    ES fetches the named doc and rewrites to a regular terms query;
+    this is that rewrite on the lake. The lookup index resolves from
+    ``lookups`` (the search entry points' kwarg — another dumped
+    table); ``id_field`` names the doc-id column (engine extension,
+    the `ids`-query bound: lake rows carry no ``_id``); ``path`` is
+    a dotted struct path to the terms array (or scalar). One bounded
+    collect per lookup: ES's own GET-one-doc, limit(2) to make a
+    duplicate id LOUD; a missing doc matches nothing (ES behavior).
+    PARITY #38."""
+    if isinstance(node, list):
+        return [resolve_terms_lookups(x, lookups) for x in node]
+    if not isinstance(node, dict):
+        return node
+    if "terms" in node and isinstance(node["terms"], dict):
+        body = node["terms"]
+        items = [(f, v) for f, v in body.items() if f != "boost"]
+        if (len(items) == 1 and isinstance(items[0][1], dict)
+                and {"index", "id", "path"} <= set(items[0][1])):
+            field, spec = items[0]
+            if lookups is None or spec["index"] not in lookups:
+                raise ValueError(
+                    f"terms lookup index {spec['index']!r}: pass the "
+                    "table via the lookups= kwarg"
+                )
+            if "id_field" not in spec:
+                raise ValueError(
+                    "terms lookup needs 'id_field' naming the doc-id "
+                    "column — lake rows carry no _id (the ids-query "
+                    "bound, PARITY #38)"
+                )
+            tbl = lookups[spec["index"]]
+            src = F.col(spec["path"].split(".")[0])
+            for part in spec["path"].split(".")[1:]:
+                src = src[part]
+            # bounded: ≤2 rows (the GET-one-doc fetch; 2 proves dupes)
+            rows = (
+                tbl.filter(F.col(spec["id_field"]) == F.lit(spec["id"]))
+                .select(src.alias("_terms")).limit(2).collect()
+            )
+            if len(rows) > 1:
+                raise ValueError(
+                    f"terms lookup id {spec['id']!r} is ambiguous in "
+                    f"{spec['index']!r} ({spec['id_field']!r} not unique)"
+                )
+            if not rows:
+                vals = []  # missing doc → matches nothing, like ES
+            else:
+                v = rows[0]["_terms"]
+                vals = list(v) if isinstance(v, (list, tuple)) else (
+                    [] if v is None else [v]
+                )
+            return {"terms": {field: vals}}
+    return {k: resolve_terms_lookups(v, lookups) for k, v in node.items()}
+
+
 def compile_query(q: dict | None, _scope=None) -> Column:
     """ES query DSL dict → boolean ``Column`` (filter context: no
     scoring — scored retrieval is operators/retrieval.py).
@@ -4630,7 +4688,8 @@ def _after_predicate(sort, after: list) -> Column:
 
 
 def search(
-    df: DataFrame, request: dict, knn_index_path: str | None = None
+    df: DataFrame, request: dict, knn_index_path: str | None = None,
+    lookups: dict | None = None,
 ) -> DataFrame:
     """Run the hits side of an ES ``_search`` request body: query →
     filter, ``sort`` → global order, ``from``/``size`` → offset/limit
@@ -4650,7 +4709,12 @@ def search(
     query / knn.filter / _source keep working; like ES, the answer
     is approximate — recall is measured, not assumed
     (es_knn_search_ivf oracle row). Without ``num_candidates`` the
-    knn section stays the exact brute-force scan."""
+    knn section stays the exact brute-force scan.
+
+    ``lookups`` resolves ``terms`` lookup bodies to literal lists
+    before compilation (resolve_terms_lookups, PARITY #38)."""
+    if lookups is not None:
+        request = resolve_terms_lookups(request, lookups)
     for name, spec in (request.get("runtime_mappings") or {}).items():
         # runtime fields: ES evaluates Painless at query time; the
         # lake-side stand-in is a SQL expression (``script_sql``) —
@@ -4870,7 +4934,9 @@ def _highlight_terms(q: dict | None, field: str) -> list[str]:
     return out
 
 
-def search_aggs(df: DataFrame, request: dict) -> DataFrame:
+def search_aggs(
+    df: DataFrame, request: dict, lookups: dict | None = None
+) -> DataFrame:
     """The aggregations side of a ``_search`` request: runtime fields
     materialize first (round 11 — previously only the hits side
     honored ``runtime_mappings``), the query filters, then the agg
@@ -4883,6 +4949,8 @@ def search_aggs(df: DataFrame, request: dict) -> DataFrame:
     dedicated one-scan plan here — a flag column instead of two
     passes — scoring with the same JLH micro-integers the corpus op
     pins (``retrieval.significant_terms``)."""
+    if lookups is not None:
+        request = resolve_terms_lookups(request, lookups)
     for name, spec in (request.get("runtime_mappings") or {}).items():
         df = df.withColumn(name, F.expr(spec["script_sql"]))
     aggs = request.get("aggs") or {}
@@ -9904,6 +9972,35 @@ def q_es_combined_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_es_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``terms`` lookup form (round 16, PARITY #38): the VIP-list
+    pattern — the membership array lives in a doc of ANOTHER index
+    (here a segments rollup of nation), fetched once (bounded 1-doc
+    collect, ES's own GET) and rewritten to a literal terms query
+    before compilation."""
+    segments = (
+        load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.collect_list("n_nationkey").alias("members"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    return search(
+        cust,
+        {
+            "query": {"terms": {"c_nationkey": {
+                "index": "segments",
+                "id": 1,
+                "id_field": "n_regionkey",
+                "path": "members",
+            }}},
+            "sort": [{"c_custkey": "asc"}],
+            "size": 150,
+            "_source": ["c_custkey", "c_nationkey", "c_acctbal"],
+        },
+        lookups={"segments": segments},
+    )
+
+
 def q_es_composite_geotile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite ``geotile_grid`` source (round 15, VERDICT r14 Next
     #8 — the map-tile walk): page 2 of the zoom-6 tile space over
@@ -9931,13 +10028,17 @@ def q_es_composite_geotile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def search_count(df: DataFrame, request: dict) -> DataFrame:
+def search_count(
+    df: DataFrame, request: dict, lookups: dict | None = None
+) -> DataFrame:
     """The ES ``_count`` API (and the ``size: 0, track_total_hits:
     true`` request shape — round 15): how many documents match the
     query, as a one-row ``(total long)`` frame. One scan, one
     partial+final count — no sort, no pagination machinery. Keys
     other than ``query`` raise (the _count API accepts only a
     query)."""
+    if lookups is not None:
+        request = resolve_terms_lookups(request, lookups)
     extra = set(request) - {"query"}
     if extra:
         raise ValueError(

@@ -6009,3 +6009,60 @@ def test_combined_fields_and_feature_queries(spark):
     assert ids({"rank_feature": {"field": "feat"}}) == [1, 3, 4]
     assert ids({"distance_feature": {
         "field": "feat", "pivot": 3, "origin": 0}}) == [1, 3, 4]
+
+
+def test_terms_lookup_resolution(spark):
+    """Round 16 (PARITY #38): the terms LOOKUP form — fetched from
+    another table by id and rewritten to a literal terms query;
+    missing doc matches nothing; duplicate ids, a missing lookups=
+    table, and a missing id_field raise; a scalar path wraps to a
+    one-term list; literal terms bodies pass through untouched."""
+    from dump_es_parquet_spark.operators.es_search import (
+        resolve_terms_lookups,
+        search,
+    )
+
+    lkp = spark.createDataFrame(
+        [("vip", [1, 3], 7), ("emea", [2], 8)],
+        "seg string, ids array<int>, one int")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "uid int, v string")
+    req = {
+        "query": {"bool": {"filter": [{"terms": {"uid": {
+            "index": "segs", "id": "vip", "id_field": "seg",
+            "path": "ids"}}}]}},
+        "sort": [{"uid": "asc"}], "_source": ["uid"],
+    }
+    out = search(df, req, lookups={"segs": lkp}).collect()
+    assert [r.uid for r in out] == [1, 3]
+    # scalar path → one-term list
+    r = resolve_terms_lookups(
+        {"terms": {"uid": {"index": "segs", "id": "emea",
+                           "id_field": "seg", "path": "one"}}},
+        {"segs": lkp})
+    assert r == {"terms": {"uid": [8]}}
+    # missing doc → empty terms (matches nothing)
+    r = resolve_terms_lookups(
+        {"terms": {"uid": {"index": "segs", "id": "nope",
+                           "id_field": "seg", "path": "ids"}}},
+        {"segs": lkp})
+    assert r == {"terms": {"uid": []}}
+    dup = lkp.union(lkp)
+    with pytest.raises(ValueError, match="ambiguous"):
+        resolve_terms_lookups(
+            {"terms": {"uid": {"index": "segs", "id": "vip",
+                               "id_field": "seg", "path": "ids"}}},
+            {"segs": dup})
+    with pytest.raises(ValueError, match="lookups="):
+        resolve_terms_lookups(
+            {"terms": {"uid": {"index": "other", "id": "x",
+                               "id_field": "seg", "path": "ids"}}},
+            {"segs": lkp})
+    with pytest.raises(ValueError, match="id_field"):
+        resolve_terms_lookups(
+            {"terms": {"uid": {"index": "segs", "id": "vip",
+                               "path": "ids"}}},
+            {"segs": lkp})
+    # a literal terms body is untouched (no false lookup sniffing)
+    lit = {"terms": {"uid": [1, 2]}}
+    assert resolve_terms_lookups(lit, {"segs": lkp}) == lit

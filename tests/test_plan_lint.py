@@ -529,6 +529,10 @@ PINNED_FINGERPRINTS = {
     # plain Catalyst filters + a TakeOrdered page — the zero-shuffle
     # query-DSL class
     "es_combined_features": {},
+    # terms lookup: after the bounded 1-doc fetch the compiled plan
+    # IS a literal terms query — zero shuffle, the pushdown-eligible
+    # filter class (the fetch's groupBy runs at plan-build time)
+    "es_terms_lookup": {},
 }
 
 
