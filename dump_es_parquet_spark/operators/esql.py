@@ -276,6 +276,82 @@ def _fn_cidr_match(args):
     return out
 
 
+def _fn_ip_prefix(args):
+    # IP_PREFIX(ip, prefixLengthV4[, prefixLengthV6]) — the network
+    # base as a dotted-quad string through the round-15 octet tree
+    # (IPv4 only: a v6-shaped value yields NULL like any malformed
+    # ip; the v6 prefix argument is accepted and ignored — the ip
+    # family's documented 128-bit bound)
+    from .es_search import _ip_col_to_long
+
+    if len(args) not in (2, 3):
+        raise ValueError("IP_PREFIX(ip, prefix_v4[, prefix_v6])")
+    plen = int(_literal_number_of(args[1]))
+    if not (0 <= plen <= 32):
+        raise ValueError(f"IP_PREFIX v4 length {plen} out of [0, 32]")
+    width = 1 << (32 - plen)
+    base = F.floor(_ip_col_to_long(args[0]) / F.lit(width)) * F.lit(width)
+    quad = F.concat_ws(
+        ".",
+        *[(F.floor(base / F.lit(d)) % F.lit(256)).cast("string")
+          for d in (16777216, 65536, 256, 1)],
+    )
+    return F.when(base.isNotNull(), quad)
+
+
+def _fn_mv_sum(args):
+    # NULL elements skip (ES|QL multi-value semantics); an empty or
+    # all-NULL array yields NULL
+    vals = F.filter(args[0], lambda x: x.isNotNull())
+    return F.when(
+        F.size(vals) > 0,
+        F.aggregate(
+            vals, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        ),
+    )
+
+
+def _fn_mv_avg(args):
+    vals = F.filter(args[0], lambda x: x.isNotNull())
+    return F.when(F.size(vals) > 0, _fn_mv_sum(args) / F.size(vals))
+
+
+def _fn_date_diff(args):
+    # DATE_DIFF("unit", start, end) — the unit must be a plan-time
+    # literal; Spark's timestampdiff truncates toward the epoch
+    # difference in whole units, matching ES|QL's integer contract
+    unit = _literal_string_of(args[0]).strip().lower()
+    units = {
+        "year": "YEAR", "month": "MONTH", "week": "WEEK",
+        "day": "DAY", "hour": "HOUR", "minute": "MINUTE",
+        "second": "SECOND",
+    }
+    if unit not in units:
+        raise ValueError(f"DATE_DIFF unit {unit!r}: one of {sorted(units)}")
+    return F.timestamp_diff(units[unit], args[1], args[2])
+
+
+def _fn_date_format(args):
+    # DATE_FORMAT("pattern", date) — java DateTimeFormatter patterns,
+    # the subset Spark's date_format shares
+    if len(args) != 2:
+        raise ValueError('DATE_FORMAT("pattern", date)')
+    return F.date_format(args[1], _literal_string_of(args[0]))
+
+
+def _literal_number_of(c) -> float:
+    """Plan-time numeric literal, via the same registry discipline
+    as string literals (IP_PREFIX lengths must be constants — the
+    subnet width is computed at plan time)."""
+    try:
+        return _LIT_NUMS[id(c)][1]
+    except KeyError:
+        raise ValueError(
+            "this argument must be a numeric literal"
+        ) from None
+
+
 #: string-literal registry for functions whose argument must be a
 #: plan-time constant (CIDR_MATCH blocks, DATE_TRUNC units): maps
 #: id(Column) → (Column, text). Holding the Column reference keeps
@@ -287,6 +363,16 @@ _LIT_STRINGS: dict[int, tuple[Column, str]] = {}
 def _lit_str(s: str) -> Column:
     c = F.lit(s)
     _LIT_STRINGS[id(c)] = (c, s)
+    return c
+
+
+#: numeric twin of _LIT_STRINGS (same lifetime discipline)
+_LIT_NUMS: dict[int, tuple[Column, float]] = {}
+
+
+def _lit_num(v) -> Column:
+    c = F.lit(v)
+    _LIT_NUMS[id(c)] = (c, float(v))
     return c
 
 
@@ -374,6 +460,39 @@ _FUNCTIONS = {
     "MV_COUNT": lambda a: F.size(a[0]),
     "MV_MIN": lambda a: F.array_min(a[0]),
     "MV_MAX": lambda a: F.array_max(a[0]),
+    "MV_SUM": _fn_mv_sum,
+    "MV_AVG": _fn_mv_avg,
+    "MV_FIRST": lambda a: F.try_element_at(a[0], F.lit(1)),
+    "MV_LAST": lambda a: F.try_element_at(a[0], F.lit(-1)),
+    "MV_DEDUPE": lambda a: F.array_distinct(a[0]),
+    "MV_SORT": lambda a: F.sort_array(a[0]),
+    "MV_CONCAT": lambda a: F.array_join(a[0], _literal_string_of(a[1])),
+    "LEFT": lambda a: F.left(a[0], a[1]),
+    "RIGHT": lambda a: F.right(a[0], a[1]),
+    "LOCATE": lambda a: (
+        F.locate(_literal_string_of(a[1]), a[0])
+        if len(a) == 2
+        else F.locate(_literal_string_of(a[1]), a[0],
+                      int(_literal_number_of(a[2])))
+    ),
+    "REVERSE": lambda a: F.reverse(a[0]),
+    "REPEAT": lambda a: F.repeat(a[0], a[1]),
+    "SIGNUM": lambda a: F.signum(a[0]),
+    "CBRT": lambda a: F.cbrt(a[0]),
+    "SIN": lambda a: F.sin(a[0]),
+    "COS": lambda a: F.cos(a[0]),
+    "TAN": lambda a: F.tan(a[0]),
+    "ASIN": lambda a: F.asin(a[0]),
+    "ACOS": lambda a: F.acos(a[0]),
+    "ATAN": lambda a: F.atan(a[0]),
+    "ATAN2": lambda a: F.atan2(a[0], a[1]),
+    "PI": lambda a: F.lit(__import__("math").pi),
+    "TAU": lambda a: F.lit(2 * __import__("math").pi),
+    "E": lambda a: F.lit(__import__("math").e),
+    "DATE_DIFF": _fn_date_diff,
+    "DATE_FORMAT": _fn_date_format,
+    "TO_BOOLEAN": lambda a: a[0].try_cast("boolean"),
+    "IP_PREFIX": _fn_ip_prefix,
     "BUCKET": _fn_bucket,
     "NOW": _banned_now,
 }
@@ -531,7 +650,7 @@ class _ExprParser:
             ):
                 unit = self.take().val
                 return _lit_str(f"{t.val} {unit}")
-            return F.lit(t.val)
+            return _lit_num(t.val)
         if t.kind == "str":
             return _lit_str(t.val)
         if t.kind == "kw" and t.val in ("TRUE", "FALSE"):
@@ -620,6 +739,7 @@ def esql(tables, query: str) -> DataFrame:
     ``tables``: a ``{name: DataFrame}`` dict (FROM resolves here), or
     a single DataFrame (then FROM accepts any single name)."""
     _LIT_STRINGS.clear()
+    _LIT_NUMS.clear()
     toks = _tokenize(query)
     if not toks:
         raise ValueError("ES|QL: empty query")

@@ -423,3 +423,43 @@ def test_esql_enrich(spark, tables):
         esql(t, 'FROM events | ENRICH policy')
     with pytest.raises(ValueError, match="not in the policy"):
         esql(t, 'FROM events | ENRICH policy ON etype WITH nope')
+
+
+def test_esql_function_table_round16(spark):
+    """Round 16: the widened function table — string/math/date/mv
+    helpers and IP_PREFIX through the octet tree."""
+    df = spark.createDataFrame(
+        [(1, "hello world", "10.0.3.200",
+          dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 11),
+          [3.0, None, 1.0]),
+         (2, "abc", "garbage",
+          dt.datetime(2024, 1, 1), dt.datetime(2024, 3, 1), []),
+         ],
+        "id int, s string, ip string, t0 timestamp, t1 timestamp, "
+        "xs array<double>")
+    r = esql({"t": df}, '''FROM t
+        | EVAL l = LEFT(s, 3), r = RIGHT(s, 3),
+               pos = LOCATE(s, "o"),
+               rev = REVERSE(s),
+               net = IP_PREFIX(ip, 20),
+               dd = DATE_DIFF("day", t0, t1),
+               fmt = DATE_FORMAT("yyyy-MM", t1),
+               ms = MV_SUM(xs), ma = MV_AVG(xs),
+               mf = MV_FIRST(xs), ml = MV_LAST(xs),
+               sg = SIGNUM(0 - id)
+        | SORT id''').collect()
+    a, b = r
+    assert (a.l, a.r, a.pos, a.rev) == ("hel", "rld", 5, "dlrow olleh")
+    assert a.net == "10.0.0.0" and b.net is None
+    assert (a.dd, b.dd) == (10, 60)
+    assert (a.fmt, b.fmt) == ("2024-01", "2024-03")
+    assert (a.ms, a.ma, a.mf, a.ml) == (4.0, 2.0, 3.0, 1.0)
+    assert b.ms is None and b.ma is None and b.mf is None
+    assert a.sg == -1.0
+    # literal-argument guards raise at compile time
+    with pytest.raises(ValueError, match="numeric literal"):
+        esql({"t": df}, 'FROM t | EVAL x = IP_PREFIX(ip, id)')
+    with pytest.raises(ValueError, match="out of"):
+        esql({"t": df}, 'FROM t | EVAL x = IP_PREFIX(ip, 40)')
+    with pytest.raises(ValueError, match="DATE_DIFF unit"):
+        esql({"t": df}, 'FROM t | EVAL x = DATE_DIFF("fortnight", t0, t1)')
