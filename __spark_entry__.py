@@ -1250,6 +1250,11 @@ DEMOTED: frozenset[str] = frozenset(
         # es_terms_lookup — the terms LOOKUP form resolved by a
         #     bounded 1-doc fetch + literal rewrite (PARITY #38)
         "es_terms_lookup",
+        # es_intervals — position-rule matching: ordered max_gaps
+        #     match (the span_near greedy reading) + prefix/wildcard
+        #     /any_of leaves (PARITY #39; corpus_match_phrase keeps
+        #     the positional family sweep-green)
+        "es_intervals",
     }
 )
 
@@ -1455,6 +1460,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "es_search", "q_es_combined_features"
         ),
         "es_terms_lookup": _mod("es_search", "q_es_terms_lookup"),
+        "es_intervals": _mod("es_search", "q_es_intervals"),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
         "es_geo_shape": _mod("es_search", "q_es_geo_shape"),
@@ -5912,6 +5918,32 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                    / count(value) AS avg_v
         FROM b GROUP BY subnets ORDER BY subnets
+    """
+
+    # es_intervals (round 16): the ordered max_gaps chain over
+    # 1-based token positions (greedy-minimal next-position steps —
+    # the corpus_span_near spelling: L-1+max_gaps = 3), the any_of
+    # leaves as token-LIKE existence tests, msm-1 counted should.
+    q["es_intervals"] = """
+        WITH t AS (
+          SELECT doc_id, n_chars, string_split(text, ' ') AS t
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, n_chars, t,
+                 [x FOR x IN range(1, len(t) + 1)
+                    IF t[x] = 'fast'] AS p1,
+                 [x FOR x IN range(1, len(t) + 1)
+                    IF t[x] = 'table'] AS p2
+          FROM t
+        )
+        SELECT doc_id, n_chars FROM pos
+        WHERE len(list_filter(p1, p ->
+                coalesce(list_min(list_filter(p2, q2 -> q2 > p)) - p
+                         <= 3, FALSE))) > 0
+          AND (len(list_filter(t, x -> x LIKE 'wind%')) > 0
+               OR len(list_filter(t, x -> x LIKE 'mer_e')) > 0)
+        ORDER BY doc_id LIMIT 120
     """
 
     # es_terms_lookup (round 16): the VIP-list membership — the

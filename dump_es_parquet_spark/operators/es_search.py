@@ -661,6 +661,100 @@ def _collect_inner_hits(q) -> list[tuple[str, dict, dict]]:
     return out
 
 
+def _intervals_expr(col: Column, rule: dict) -> Column:
+    """One intervals RULE → boolean Column (see the `intervals` arm
+    of compile_query; PARITY #39)."""
+    kinds = [k for k in rule
+             if k in ("match", "prefix", "wildcard", "any_of",
+                      "all_of", "fuzzy")]
+    if len(kinds) != 1:
+        raise ValueError(
+            f"an intervals rule takes exactly one kind, got {kinds}"
+        )
+    k = kinds[0]
+    from .retrieval import _analyze, _tokens_col
+
+    if k == "any_of":
+        subs = rule["any_of"]["intervals"]
+        if not subs:
+            raise ValueError("any_of needs intervals")
+        out = _false_safe(_intervals_expr(col, subs[0]))
+        for s in subs[1:]:
+            out = out | _false_safe(_intervals_expr(col, s))
+        return out
+    if k == "prefix":
+        analyzer = rule["prefix"].get("analyzer", "whitespace")
+        pre = str(rule["prefix"]["prefix"])
+        return F.exists(
+            _tokens_col(col, analyzer),
+            lambda t: t.startswith(F.lit(pre)),
+        )
+    if k == "wildcard":
+        analyzer = rule["wildcard"].get("analyzer", "whitespace")
+        pat = _like_escape(str(rule["wildcard"]["pattern"]))
+        pat = pat.replace("*", "%").replace("?", "_")
+        return F.exists(
+            _tokens_col(col, analyzer),
+            lambda t: t.like(pat),
+        )
+    if k != "match":
+        raise ValueError(
+            f"intervals {k!r}: all_of composition / fuzzy expansion "
+            "are not modeled (use match/prefix/wildcard/any_of)"
+        )
+    body = rule["match"]
+    analyzer = body.get("analyzer", "whitespace")
+    terms = _analyze(str(body["query"]), analyzer)
+    if not terms:
+        return F.lit(False)
+    toks = _tokens_col(col, analyzer)
+    if len(terms) == 1:
+        return F.array_contains(toks, terms[0])
+    if not body.get("ordered"):
+        raise ValueError(
+            "multi-term intervals match needs ordered:true — "
+            "unordered matching takes Lucene's interval "
+            "minimization, which has no expression-tree reading "
+            "(PARITY #39)"
+        )
+    max_gaps = int(body.get("max_gaps", -1))
+    L = len(terms)
+
+    def _positions(t):
+        indexed = F.transform(
+            toks, lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+        )
+        return F.transform(
+            F.filter(indexed, lambda s: s["t"] == F.lit(t)),
+            lambda s: s["i"],
+        )
+
+    # the span_near binding discipline: every term's position array
+    # computed ONCE per row inside a singleton transform lambda
+    bound = F.array(
+        F.struct(
+            *[_positions(t).alias(f"p{j}") for j, t in enumerate(terms)]
+        )
+    )
+
+    def _any_span(s):
+        def _next_after(poss, after):
+            return F.array_min(F.filter(poss, lambda x: x > after))
+
+        def _span_ok(p):
+            end = p
+            for j in range(1, L):
+                end = _next_after(s[f"p{j}"], end)
+            if max_gaps < 0:
+                # unlimited gaps: any completed in-order chain counts
+                return end.isNotNull()
+            return (end - p) <= F.lit(L - 1 + max_gaps)
+
+        return F.exists(s["p0"], _span_ok)
+
+    return F.element_at(F.transform(bound, _any_span), 1)
+
+
 def resolve_terms_lookups(node, lookups: dict | None):
     """The ``terms`` LOOKUP form (round 16): ``{"terms": {field:
     {"index": ..., "id": ..., "id_field": ..., "path": ...}}}`` —
@@ -826,6 +920,20 @@ def compile_query(q: dict | None, _scope=None) -> Column:
         for a in per_term[1:]:
             out = (out & a) if op == "and" else (out | a)
         return out
+    if kind == "intervals":
+        # round 16: the intervals query — position-rule matching in
+        # filter context (minimal intervals / scoring are moot: the
+        # verdict is "does ANY satisfying interval exist"). Rules:
+        # `match` (multi-term requires ordered:true — unordered
+        # needs Lucene's interval minimization, a documented bound;
+        # max_gaps -1 = unlimited), `prefix`, `wildcard`, `any_of`
+        # (OR of sub-rules). `all_of`/`fuzzy` raise loudly. The
+        # ordered-match chain is the span_near greedy-minimal
+        # reading over ONCE-BOUND per-term position arrays
+        # (retrieval.span_near_occurrences' technique and its
+        # documented Lucene divergence). PARITY #39.
+        (field, rule), = ((f, r) for f, r in body.items())
+        return _intervals_expr(_scoped_col(field, _scope), rule)
     if kind in ("rank_feature", "distance_feature"):
         # round 16: both are SCORING features — rank_feature boosts
         # by a static signal, distance_feature by closeness to an
@@ -9998,6 +10106,36 @@ def q_es_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_source": ["c_custkey", "c_nationkey", "c_acctbal"],
         },
         lookups={"segments": segments},
+    )
+
+
+def q_es_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``intervals`` query (round 16, PARITY #39): an ordered
+    max_gaps match ('fast … table' within 2 gaps — the span_near
+    greedy reading) plus an any_of of prefix/wildcard leaves as a
+    counted should."""
+    docs = load(spark, sf_dir, "documents")
+    return search(
+        docs,
+        {
+            "query": {"bool": {
+                "must": [{"intervals": {"text": {"match": {
+                    "query": "fast table",
+                    "ordered": True,
+                    "max_gaps": 2,
+                }}}}],
+                "should": [{"intervals": {"text": {"any_of": {
+                    "intervals": [
+                        {"prefix": {"prefix": "wind"}},
+                        {"wildcard": {"pattern": "mer?e"}},
+                    ],
+                }}}}],
+                "minimum_should_match": 1,
+            }},
+            "sort": [{"doc_id": "asc"}],
+            "size": 120,
+            "_source": ["doc_id", "n_chars"],
+        },
     )
 
 

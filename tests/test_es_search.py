@@ -6066,3 +6066,53 @@ def test_terms_lookup_resolution(spark):
     # a literal terms body is untouched (no false lookup sniffing)
     lit = {"terms": {"uid": [1, 2]}}
     assert resolve_terms_lookups(lit, {"segs": lkp}) == lit
+
+
+def test_intervals_query(spark):
+    """Round 16 (PARITY #39): intervals — ordered match with
+    max_gaps (the span_near greedy reading), unlimited gaps,
+    prefix/wildcard leaves, any_of OR; unordered multi-term and
+    all_of raise loudly."""
+    df = spark.createDataFrame(
+        [(1, "fast table scan merge"),
+         (2, "merge fast x y table"),
+         (3, "fast x y z table"),
+         (4, "table fast"),
+         (5, None)],
+        "id int, text string")
+
+    def ids(rule):
+        return sorted(r.id for r in df.filter(_false_safe(
+            compile_query({"intervals": {"text": rule}}))).collect())
+
+    # ordered adjacency: max_gaps 0
+    m = {"match": {"query": "fast table", "ordered": True,
+                   "max_gaps": 0}}
+    assert ids(m) == [1]
+    # doc 2 has 'fast x y table' (2 gaps); doc 3 needs 3
+    m2 = {"match": {"query": "fast table", "ordered": True,
+                    "max_gaps": 2}}
+    assert ids(m2) == [1, 2]
+    m2b = {"match": {"query": "fast table", "ordered": True,
+                     "max_gaps": 3}}
+    assert ids(m2b) == [1, 2, 3]
+    # unlimited (default -1): any in-order chain
+    m3 = {"match": {"query": "fast table", "ordered": True}}
+    assert ids(m3) == [1, 2, 3]
+    # single-term match needs no ordering
+    assert ids({"match": {"query": "merge"}}) == [1, 2]
+    assert ids({"prefix": {"prefix": "mer"}}) == [1, 2]
+    assert ids({"wildcard": {"pattern": "t?ble"}}) == [1, 2, 3, 4]
+    assert ids({"any_of": {"intervals": [
+        {"match": {"query": "scan"}},
+        {"prefix": {"prefix": "z"}},
+    ]}}) == [1, 3]
+    with pytest.raises(ValueError, match="ordered"):
+        compile_query({"intervals": {"text": {
+            "match": {"query": "fast table"}}}})
+    with pytest.raises(ValueError, match="not modeled"):
+        compile_query({"intervals": {"text": {"all_of": {
+            "intervals": []}}}})
+    with pytest.raises(ValueError, match="exactly one"):
+        compile_query({"intervals": {"text": {
+            "match": {"query": "a"}, "prefix": {"prefix": "b"}}}})

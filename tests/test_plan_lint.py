@@ -533,6 +533,9 @@ PINNED_FINGERPRINTS = {
     # IS a literal terms query — zero shuffle, the pushdown-eligible
     # filter class (the fetch's groupBy runs at plan-build time)
     "es_terms_lookup": {},
+    # intervals: the once-bound position-array chain is a pure
+    # projection + TakeOrdered page — the zero-shuffle span class
+    "es_intervals": {},
 }
 
 
