@@ -155,6 +155,16 @@ the after-key filter is a struct comparison applied BEFORE the
 groupBy (exactly ES's early-termination shape: later pages never
 re-aggregate earlier key ranges).
 
+Round 16 widens the dialect: ``combined_fields`` (term-centric
+multi-field match, PARITY #37), ``rank_feature`` /
+``distance_feature`` (exists() filter reductions, #37),
+``intervals`` (ordered max_gaps match over once-bound position
+arrays + prefix/wildcard/any_of leaves, #39), the ``terms`` LOOKUP
+form (``resolve_terms_lookups`` — fetch-and-rewrite via the
+``lookups=`` kwarg, #38), the ``ip_prefix`` bucket agg (subnet
+rollup over the CIDR octet tree, #34), and ``random_sampler``
+(deterministic portable-hash sample, 1/p-scaled doc_count, #35).
+
 Reference: the ES search API the dump loses (dump-es-parquet:222
 fetches with a query but exposes no agg/search surface post-dump).
 """
