@@ -530,22 +530,34 @@ def _ip_col_to_long(col: Column) -> Column:
     as no-match / no-bucket. Validity is part of the tree (round-15
     self-review): without the shape+range guard, ``1.2.3.4.5`` would
     silently parse as 1.2.3.4 and ``300.1.1.1`` would overflow into a
-    WRONG band instead of matching nothing."""
-    parts = F.split(col, r"\.")
-    # F.get + try_cast: an out-of-bounds part or malformed octet
-    # yields NULL even under ANSI mode (getItem would throw if the
-    # optimizer reorders the guard's conjuncts); the shape check is
-    # STRUCTURAL (exactly 4 dot-parts, each a long in [0, 255])
-    # rather than a per-row regex — same verdict without a regex
-    # engine in the scan's hot loop
-    octs = [F.get(parts, i).try_cast("long") for i in range(4)]
-    ok = F.size(parts) == F.lit(4)
-    for o in octs:
-        ok = ok & o.isNotNull() & (o >= F.lit(0)) & (o <= F.lit(255))
-    return F.when(
-        ok,
-        octs[0] * F.lit(16777216) + octs[1] * F.lit(65536)
-        + octs[2] * F.lit(256) + octs[3],
+    WRONG band instead of matching nothing.
+
+    The split is BOUND ONCE through a singleton ``transform`` lambda
+    (round 16 — the span_near binding discipline): the naive form
+    re-ran ``split`` under every ``F.get``/guard reference (9 copies
+    per evaluation — codegen subexpression elimination does not reach
+    across the conditional), measured ~5× slower on the bench's
+    ip rows."""
+
+    def _fold(parts):
+        # F.get + try_cast: an out-of-bounds part or malformed octet
+        # yields NULL even under ANSI mode (getItem would throw if
+        # the optimizer reorders the guard's conjuncts); the shape
+        # check is STRUCTURAL (exactly 4 dot-parts, each a long in
+        # [0, 255]) rather than a per-row regex — same verdict
+        # without a regex engine in the scan's hot loop
+        octs = [F.get(parts, i).try_cast("long") for i in range(4)]
+        ok = F.size(parts) == F.lit(4)
+        for o in octs:
+            ok = ok & o.isNotNull() & (o >= F.lit(0)) & (o <= F.lit(255))
+        return F.when(
+            ok,
+            octs[0] * F.lit(16777216) + octs[1] * F.lit(65536)
+            + octs[2] * F.lit(256) + octs[3],
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.split(col, r"\.")), _fold), 1
     )
 
 
