@@ -1809,18 +1809,27 @@ class _Level:
                 F.floor(_ip_col_to_long(col) / F.lit(width))
                 * F.lit(width)
             )
-            quad = F.concat_ws(
-                ".",
-                *[
-                    (F.floor(base / F.lit(d)) % F.lit(256)).cast("string")
-                    for d in (16777216, 65536, 256, 1)
-                ],
-            )
-            if b.get("append_prefix_length"):
-                quad = F.concat(quad, F.lit(f"/{plen}"))
-            # concat_ws skips NULLs — gate on the base so malformed
-            # ips drop instead of keying an '' bucket
-            return F.when(base.isNotNull(), quad)
+
+            # the quad build references the base 5× — bind it ONCE
+            # through the singleton transform lambda (the octet
+            # tree's own binding discipline) so the parse runs once
+            # per row, not per octet
+            def _quad(bval):
+                quad = F.concat_ws(
+                    ".",
+                    *[
+                        (F.floor(bval / F.lit(d)) % F.lit(256))
+                        .cast("string")
+                        for d in (16777216, 65536, 256, 1)
+                    ],
+                )
+                if b.get("append_prefix_length"):
+                    quad = F.concat(quad, F.lit(f"/{plen}"))
+                # concat_ws skips NULLs — gate on the base so
+                # malformed ips drop instead of keying an '' bucket
+                return F.when(bval.isNotNull(), quad)
+
+            return F.element_at(F.transform(F.array(base), _quad), 1)
         if self.kind == "filter":
             # ES single-filter sub-aggregation: one bucket holding the
             # matching docs (the body IS a query DSL dict); non-matching
