@@ -1234,6 +1234,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     broadcast dimension joins (esql_events_rollup keeps
         #     the ES|QL compiler declared)
         "esql_lookup_enrich",
+        # esql_values_top — the VALUES/TOP multi-value aggregates
+        #     under the engine's sorted deterministic reading,
+        #     composed with the MV_* family
+        "esql_values_top",
         # es_ip_prefix — the /N subnet rollup over the CIDR octet
         #     tree (es_ip_range keeps the ip family declared)
         "es_ip_prefix",
@@ -1454,6 +1458,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — round 16: LOOKUP JOIN (ES 8.18) + ENRICH as broadcast
         #   dimension joins; ip_prefix subnet rollup; random_sampler —
         "esql_lookup_enrich": _mod("esql", "q_esql_lookup_enrich"),
+        "esql_values_top": _mod("esql", "q_esql_values_top"),
         "es_ip_prefix": _mod("es_search", "q_es_ip_prefix"),
         "es_random_sampler": _mod("es_search", "q_es_random_sampler"),
         "es_combined_features": _mod(
@@ -5918,6 +5923,36 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                    / count(value) AS avg_v
         FROM b GROUP BY subnets ORDER BY subnets
+    """
+
+    # esql_values_top (round 16): VALUES = sorted distinct set
+    # (string-joined for the hash), TOP∘MV_SUM = sum of the 3
+    # largest per group (tie-insensitive — the top-3 MULTISET is
+    # unique even when tied rows are not).
+    q["esql_values_top"] = """
+        WITH e AS (
+          SELECT user_id, event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ), k AS (
+          SELECT user_id,
+                 array_to_string(list_sort(list(DISTINCT event_type)),
+                                 '|') AS kinds,
+                 count(*) AS n
+          FROM e GROUP BY user_id
+        ), r AS (
+          SELECT user_id, cents,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY cents DESC) AS rk
+          FROM e
+        ), t AS (
+          SELECT user_id, CAST(sum(cents) AS DOUBLE) AS top3_cents
+          FROM r WHERE rk <= 3 GROUP BY user_id
+        )
+        SELECT k.user_id AS user, kinds, top3_cents, n
+        FROM k JOIN t ON k.user_id = t.user_id
+        ORDER BY user LIMIT 100
     """
 
     # es_intervals (round 16): the ordered max_gaps chain over

@@ -1152,7 +1152,41 @@ def compile_query(q: dict | None, _scope=None) -> Column:
             raise ValueError(f"wrapper query does not decode: {e}") from e
         return compile_query(inner, _scope)
     if kind == "ids":
-        raise ValueError("ids query needs a doc-id column; filter it directly")
+        # round 16: lake rows carry no ``_id`` — like the terms
+        # LOOKUP form (PARITY #38) the body names the doc-id column
+        # via the ``id_field`` engine extension; values compare as
+        # strings (ES _id semantics). Without it the classic raise
+        # stands.
+        if "id_field" not in body:
+            raise ValueError(
+                "ids query needs a doc-id column — name it with "
+                "'id_field' (lake rows carry no _id; PARITY #38)"
+            )
+        vals = [str(v) for v in body["values"]]
+        if not vals:
+            return F.lit(False)
+        return _scoped_col(body["id_field"], _scope).cast("string").isin(vals)
+    if kind == "pinned":
+        # round 16: the promoted-results wrapper — in filter context
+        # the matched set is organic ∪ pinned ids (pinning only
+        # reorders scores). The ids arm takes the same id_field
+        # extension; the `docs` (per-index pins) form raises.
+        if "docs" in body:
+            raise ValueError(
+                "pinned.docs pins per-index _ids — use pinned.ids "
+                "with id_field on the single-table lake"
+            )
+        organic = _false_safe(compile_query(body["organic"], _scope))
+        ids = body.get("ids", [])
+        if not ids:
+            return organic
+        if "id_field" not in body:
+            raise ValueError(
+                "pinned.ids needs 'id_field' naming the doc-id "
+                "column (lake rows carry no _id; PARITY #38)"
+            )
+        idcol = _scoped_col(body["id_field"], _scope).cast("string")
+        return organic | _false_safe(idcol.isin([str(v) for v in ids]))
     if kind in (
         "geo_bounding_box", "geo_distance", "geo_shape"
     ) and _scope is not None:

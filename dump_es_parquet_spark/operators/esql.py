@@ -70,10 +70,12 @@ curated function table (see ``_FUNCTIONS``) including ``CASE`` and
 Out of scope, each raising loudly with the reason:
 ``METADATA`` fields (``_id``/``_index`` die with the cluster),
 ``INLINESTATS`` (retracted from 8.x; tech-preview semantics are not
-stable enough to pin), ``NOW()`` and date-math relative to now (no
-deterministic lake reading — pin the instant), and aggregate
-``VALUES``/``TOP`` (multi-value results have no stable oracle shape
-yet).
+stable enough to pin) and ``NOW()`` / date-math relative to now (no
+deterministic lake reading — pin the instant). Aggregate ``VALUES``
+(sorted-ascending distinct set — ES|QL leaves the order undefined;
+the engine pins the deterministic reading) and ``TOP(x, n, order)``
+(round 16) return multi-value columns that compose with the MV_*
+function family.
 
 Determinism: ES|QL results are unordered unless SORT is given —
 callers wanting hash-stable output must end with SORT (the oracle
@@ -504,7 +506,7 @@ _FUNCTIONS = {
 #: t-digest — the documented divergence).
 _AGGS = {
     "COUNT", "SUM", "MIN", "MAX", "AVG", "COUNT_DISTINCT", "MEDIAN",
-    "PERCENTILE",
+    "PERCENTILE", "VALUES", "TOP",
 }
 
 
@@ -723,6 +725,29 @@ class _ExprParser:
             # exact (ES|QL approximates; the PARITY cardinality
             # divergence — exactness makes oracle rows hash-checkable)
             return F.count_distinct(args[0])
+        if up == "VALUES":
+            # ES|QL VALUES(x): the distinct multi-value set; ES|QL
+            # leaves the order UNDEFINED — the engine documents the
+            # sorted-ascending reading (deterministic, oracle-able);
+            # NULLs skip (collect_set)
+            return F.sort_array(F.collect_set(args[0]))
+        if up == "TOP":
+            # TOP(x, n, "asc"|"desc") — the n extreme values as a
+            # multi-value result; n and the order must be plan-time
+            # literals (ES|QL's own contract)
+            if len(args) != 3:
+                raise ValueError('ES|QL: TOP(x, n, "asc"|"desc")')
+            n = int(_literal_number_of(args[1]))
+            if n < 1:
+                raise ValueError("ES|QL TOP: n must be >= 1")
+            order = _literal_string_of(args[2]).lower()
+            if order not in ("asc", "desc"):
+                raise ValueError('ES|QL TOP: order is "asc" or "desc"')
+            return F.slice(
+                F.sort_array(F.collect_list(args[0]),
+                             asc=(order == "asc")),
+                1, n,
+            )
         if up == "MEDIAN":
             return F.percentile(args[0], F.lit(0.5))
         if up == "PERCENTILE":
@@ -1432,5 +1457,28 @@ def q_esql_lookup_enrich(spark, sf_dir: str) -> DataFrame:
         | STATS n = COUNT(*), acct_cents = SUM(cents)
             BY nation = n_name, region = region_name
         | SORT nation
+        """,
+    )
+
+
+def q_esql_values_top(spark, sf_dir: str) -> DataFrame:
+    """Oracle row (round 16): the multi-value aggregates — VALUES
+    (sorted distinct set, joined to a string for the cross-engine
+    hash) and TOP (n extremes) composed with MV_SUM into a top-3
+    sum, per user."""
+    from .tables import load
+
+    return esql(
+        {"events": load(spark, sf_dir, "events")},
+        """
+        FROM events
+        | WHERE event_type IS NOT NULL AND value IS NOT NULL
+        | EVAL cents = TO_LONG(FLOOR(value * 100))
+        | STATS kinds = MV_CONCAT(VALUES(event_type), "|"),
+                top3_cents = MV_SUM(TOP(cents, 3, "desc")),
+                n = COUNT(*)
+            BY user = user_id
+        | SORT user
+        | LIMIT 100
         """,
     )

@@ -6116,3 +6116,35 @@ def test_intervals_query(spark):
     with pytest.raises(ValueError, match="exactly one"):
         compile_query({"intervals": {"text": {
             "match": {"query": "a"}, "prefix": {"prefix": "b"}}}})
+
+
+def test_ids_and_pinned_queries(spark):
+    """Round 16: ids / pinned take the id_field engine extension
+    (the PARITY #38 discipline) — values compare as strings (ES _id
+    semantics); pinned = organic OR ids; pinned.docs and the
+    field-less forms raise."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "id int, t string")
+
+    def ids_of(q):
+        return sorted(
+            r.id for r in df.filter(_false_safe(compile_query(q))).collect()
+        )
+
+    assert ids_of({"ids": {"values": ["1", "3"],
+                           "id_field": "id"}}) == [1, 3]
+    assert ids_of({"ids": {"values": [2], "id_field": "id"}}) == [2]
+    assert ids_of({"ids": {"values": [], "id_field": "id"}}) == []
+    assert ids_of({"pinned": {
+        "ids": ["4"], "id_field": "id",
+        "organic": {"term": {"t": "a"}}}}) == [1, 4]
+    assert ids_of({"pinned": {
+        "organic": {"term": {"t": "b"}}}}) == [2]
+    with pytest.raises(ValueError, match="id_field"):
+        compile_query({"ids": {"values": ["1"]}})
+    with pytest.raises(ValueError, match="id_field"):
+        compile_query({"pinned": {"ids": ["1"],
+                                  "organic": {"match_all": {}}}})
+    with pytest.raises(ValueError, match="docs"):
+        compile_query({"pinned": {"docs": [{"_id": "1"}],
+                                  "organic": {"match_all": {}}}})

@@ -463,3 +463,29 @@ def test_esql_function_table_round16(spark):
         esql({"t": df}, 'FROM t | EVAL x = IP_PREFIX(ip, 40)')
     with pytest.raises(ValueError, match="DATE_DIFF unit"):
         esql({"t": df}, 'FROM t | EVAL x = DATE_DIFF("fortnight", t0, t1)')
+
+
+def test_esql_values_and_top(spark):
+    """Round 16: VALUES (sorted-ascending distinct set — the
+    engine's deterministic reading of ES|QL's undefined order) and
+    TOP(x, n, order); both skip NULLs and compose with MV_*."""
+    df = spark.createDataFrame(
+        [(1, "b", 5.0), (1, "a", 9.0), (1, "b", 7.0), (1, None, 1.0),
+         (2, "c", None), (2, "c", 2.0)],
+        "g int, t string, v double")
+    r = esql({"x": df}, '''FROM x
+        | STATS ks = VALUES(t), t2 = TOP(v, 2, "desc"),
+                lo = TOP(v, 1, "asc") BY g = g
+        | SORT g''').collect()
+    a, b = r
+    assert a.ks == ["a", "b"] and b.ks == ["c"]
+    assert a.t2 == [9.0, 7.0] and a.lo == [1.0]
+    assert b.t2 == [2.0] and b.lo == [2.0]
+    with pytest.raises(ValueError, match="asc"):
+        esql({"x": df}, 'FROM x | STATS k = TOP(v, 2, "sideways") BY g = g')
+    with pytest.raises(ValueError, match=">= 1"):
+        esql({"x": df}, 'FROM x | STATS k = TOP(v, 0, "asc") BY g = g')
+    # per-aggregate WHERE masks compose
+    r = esql({"x": df}, '''FROM x
+        | STATS ks = VALUES(t) WHERE v > 4 BY g = g | SORT g''').collect()
+    assert r[0].ks == ["a", "b"] and r[1].ks == []

@@ -536,6 +536,11 @@ PINNED_FINGERPRINTS = {
     # intervals: the once-bound position-array chain is a pure
     # projection + TakeOrdered page — the zero-shuffle span class
     "es_intervals": {},
+    # VALUES/TOP: one groupBy (collect_set/list are partial-merge
+    # aggregates) + the TakeOrdered page — the ES|QL rollup class
+    "esql_values_top": {"exchange": 1},
+    # ids/pinned compile to literal isin filters (no pin needed —
+    # covered by the plan-lint parametrized gate)
 }
 
 
