@@ -1259,6 +1259,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     /any_of leaves (PARITY #39; corpus_match_phrase keeps
         #     the positional family sweep-green)
         "es_intervals",
+        # es_span_queries — the classic span family
+        #     (span_term/span_first/span_or/span_near in_order) over
+        #     the shared ordered chain (PARITY #41)
+        "es_span_queries",
     }
 )
 
@@ -1466,6 +1470,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "es_terms_lookup": _mod("es_search", "q_es_terms_lookup"),
         "es_intervals": _mod("es_search", "q_es_intervals"),
+        "es_span_queries": _mod("es_search", "q_es_span_queries"),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
         "es_geo_shape": _mod("es_search", "q_es_geo_shape"),
@@ -5979,6 +5984,35 @@ def _all_oracle_sql() -> dict[str, str]:
           AND (len(list_filter(t, x -> x LIKE 'wind%')) > 0
                OR len(list_filter(t, x -> x LIKE 'mer_e')) > 0)
         ORDER BY doc_id LIMIT 120
+    """
+
+    # es_span_queries (round 16): span_near = the ordered greedy
+    # chain (1-based positions, L-1+slop = 3); span_first = first
+    # occurrence within the first 5 positions; span_or = token
+    # containment OR; msm-1 counted should.
+    q["es_span_queries"] = """
+        WITH t AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS t
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, lang, t,
+                 [x FOR x IN range(1, len(t) + 1)
+                    IF t[x] = 'fast'] AS p1,
+                 [x FOR x IN range(1, len(t) + 1)
+                    IF t[x] = 'table'] AS p2
+          FROM t
+        )
+        SELECT doc_id, lang FROM pos
+        WHERE len(list_filter(p1, p ->
+                coalesce(list_min(list_filter(p2, q2 -> q2 > p)) - p
+                         <= 3, FALSE))) > 0
+          AND (CAST(list_position(t, 'merge') BETWEEN 1 AND 5
+                    AS INT)
+               + CAST(coalesce(list_contains(t, 'window'), FALSE)
+                      OR coalesce(list_contains(t, 'vector'), FALSE)
+                      AS INT)) >= 1
+        ORDER BY doc_id LIMIT 150
     """
 
     # es_terms_lookup (round 16): the VIP-list membership — the

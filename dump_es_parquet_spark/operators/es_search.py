@@ -739,7 +739,16 @@ def _intervals_expr(col: Column, rule: dict) -> Column:
             "minimization, which has no expression-tree reading "
             "(PARITY #39)"
         )
-    max_gaps = int(body.get("max_gaps", -1))
+    return _ordered_chain_expr(toks, terms, int(body.get("max_gaps", -1)))
+
+
+def _ordered_chain_expr(toks: Column, terms: list[str],
+                        max_gaps: int) -> Column:
+    """Does ANY in-order occurrence chain of ``terms`` exist with
+    total gap ≤ ``max_gaps`` (< 0 = unlimited)? The span_near
+    greedy-minimal reading over ONCE-BOUND per-term position arrays
+    — shared by the intervals ordered match and the span_near query
+    (PARITY #39)."""
     L = len(terms)
 
     def _positions(t):
@@ -775,6 +784,75 @@ def _intervals_expr(col: Column, rule: dict) -> Column:
         return F.exists(s["p0"], _span_ok)
 
     return F.element_at(F.transform(bound, _any_span), 1)
+
+
+def _span_expr(kind: str, body: dict, _scope) -> Column:
+    """The classic span query family in filter context (round 16,
+    PARITY #41): ``span_term`` (token containment), ``span_first``
+    (the term's FIRST occurrence ends within the first ``end``
+    positions — Lucene's end-exclusive reading over 1-based
+    array_position), ``span_or`` (NULL-safe OR), ``span_near`` with
+    ``in_order: true`` (the greedy ordered chain; unordered raises —
+    the intervals bound). span_not/span_containing/span_within and
+    non-span_term inner clauses raise loudly."""
+    from .retrieval import _tokens_col
+
+    def _term_of(clause: dict) -> tuple[str, str]:
+        if set(clause) != {"span_term"}:
+            raise ValueError(
+                "span clause must be span_term here (span nesting "
+                "beyond span_or/span_near-of-terms is not modeled)"
+            )
+        (f, spec), = clause["span_term"].items()
+        v = spec["value"] if isinstance(spec, dict) else spec
+        return f, str(v)
+
+    if kind == "span_term":
+        (f, spec), = body.items()
+        v = spec["value"] if isinstance(spec, dict) else spec
+        return F.array_contains(
+            _tokens_col(_scoped_col(f, _scope)), str(v)
+        )
+    if kind == "span_first":
+        f, v = _term_of(body["match"])
+        end = int(body["end"])
+        pos = F.array_position(
+            _tokens_col(_scoped_col(f, _scope)), v
+        )
+        return (pos > F.lit(0)) & (pos <= F.lit(end))
+    if kind == "span_or":
+        clauses = body["clauses"]
+        if not clauses:
+            raise ValueError("span_or needs clauses")
+        out = None
+        for c in clauses:
+            (ck, cb), = c.items()
+            arm = _false_safe(_span_expr(ck, cb, _scope))
+            out = arm if out is None else out | arm
+        return out
+    if kind == "span_near":
+        if not body.get("in_order"):
+            raise ValueError(
+                "span_near needs in_order: true — unordered spans "
+                "take Lucene's minimization (the intervals bound, "
+                "PARITY #39/#41)"
+            )
+        pairs = [_term_of(c) for c in body["clauses"]]
+        fields = {f for f, _ in pairs}
+        if len(fields) != 1:
+            raise ValueError(
+                f"span_near clauses must share one field, got "
+                f"{sorted(fields)} (the ES contract)"
+            )
+        toks = _tokens_col(_scoped_col(fields.pop(), _scope))
+        terms = [v for _, v in pairs]
+        if len(terms) == 1:
+            return F.array_contains(toks, terms[0])
+        return _ordered_chain_expr(toks, terms, int(body.get("slop", 0)))
+    raise ValueError(
+        f"span query {kind!r}: span_not/span_containing/span_within "
+        "are not modeled (PARITY #41)"
+    )
 
 
 def resolve_terms_lookups(node, lookups: dict | None):
@@ -956,6 +1034,10 @@ def compile_query(q: dict | None, _scope=None) -> Column:
         # documented Lucene divergence). PARITY #39.
         (field, rule), = ((f, r) for f, r in body.items())
         return _intervals_expr(_scoped_col(field, _scope), rule)
+    if kind in ("span_term", "span_first", "span_or", "span_near",
+                "span_not", "span_containing", "span_within",
+                "span_multi"):
+        return _span_expr(kind, body, _scope)
     if kind in ("rank_feature", "distance_feature"):
         # round 16: both are SCORING features — rank_feature boosts
         # by a static signal, distance_feature by closeness to an
@@ -10200,6 +10282,42 @@ def q_es_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sort": [{"doc_id": "asc"}],
             "size": 120,
             "_source": ["doc_id", "n_chars"],
+        },
+    )
+
+
+def q_es_span_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span query family (round 16, PARITY #41): an ordered
+    span_near within slop 2 as the must, a span_first + a span_or
+    as a counted should."""
+    docs = load(spark, sf_dir, "documents")
+    return search(
+        docs,
+        {
+            "query": {"bool": {
+                "must": [{"span_near": {
+                    "clauses": [
+                        {"span_term": {"text": "fast"}},
+                        {"span_term": {"text": "table"}},
+                    ],
+                    "slop": 2,
+                    "in_order": True,
+                }}],
+                "should": [
+                    {"span_first": {
+                        "match": {"span_term": {"text": "merge"}},
+                        "end": 5,
+                    }},
+                    {"span_or": {"clauses": [
+                        {"span_term": {"text": "window"}},
+                        {"span_term": {"text": "vector"}},
+                    ]}},
+                ],
+                "minimum_should_match": 1,
+            }},
+            "sort": [{"doc_id": "asc"}],
+            "size": 150,
+            "_source": ["doc_id", "lang"],
         },
     )
 

@@ -6148,3 +6148,52 @@ def test_ids_and_pinned_queries(spark):
     with pytest.raises(ValueError, match="docs"):
         compile_query({"pinned": {"docs": [{"_id": "1"}],
                                   "organic": {"match_all": {}}}})
+
+
+def test_span_query_family(spark):
+    """Round 16 (PARITY #41): span_term / span_first / span_or /
+    span_near(in_order) in filter context; unordered span_near,
+    mixed-field clauses, and the unmodeled span kinds raise."""
+    df = spark.createDataFrame(
+        [(1, "fast table scan"),
+         (2, "scan x fast y table"),
+         (3, "table fast"),
+         (4, None)],
+        "id int, text string")
+
+    def ids(q):
+        return sorted(r.id for r in df.filter(_false_safe(
+            compile_query(q))).collect())
+
+    assert ids({"span_term": {"text": "scan"}}) == [1, 2]
+    assert ids({"span_term": {"text": {"value": "fast"}}}) == [1, 2, 3]
+    # span_first: first occurrence within the first N positions
+    assert ids({"span_first": {
+        "match": {"span_term": {"text": "fast"}}, "end": 1}}) == [1]
+    assert ids({"span_first": {
+        "match": {"span_term": {"text": "fast"}}, "end": 3}}) == [1, 2, 3]
+    assert ids({"span_first": {
+        "match": {"span_term": {"text": "fast"}}, "end": 2}}) == [1, 3]
+    assert ids({"span_or": {"clauses": [
+        {"span_term": {"text": "scan"}},
+        {"span_term": {"text": "nothing"}}]}}) == [1, 2]
+    near = {"span_near": {"clauses": [
+        {"span_term": {"text": "fast"}},
+        {"span_term": {"text": "table"}}],
+        "slop": 0, "in_order": True}}
+    assert ids(near) == [1]
+    near2 = {"span_near": {"clauses": [
+        {"span_term": {"text": "fast"}},
+        {"span_term": {"text": "table"}}],
+        "slop": 1, "in_order": True}}
+    assert ids(near2) == [1, 2]
+    with pytest.raises(ValueError, match="in_order"):
+        compile_query({"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+            "slop": 1}})
+    with pytest.raises(ValueError, match="one field"):
+        compile_query({"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"other": "b"}}],
+            "slop": 1, "in_order": True}})
+    with pytest.raises(ValueError, match="not modeled"):
+        compile_query({"span_not": {"include": {}, "exclude": {}}})

@@ -539,6 +539,9 @@ PINNED_FINGERPRINTS = {
     # VALUES/TOP: one groupBy (collect_set/list are partial-merge
     # aggregates) + the TakeOrdered page — the ES|QL rollup class
     "esql_values_top": {"exchange": 1},
+    # span family: once-bound position chains are pure projections +
+    # the TakeOrdered page — the zero-shuffle span class
+    "es_span_queries": {},
     # ids/pinned compile to literal isin filters (no pin needed —
     # covered by the plan-lint parametrized gate)
 }
