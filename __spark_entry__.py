@@ -1263,6 +1263,11 @@ DEMOTED: frozenset[str] = frozenset(
         #     (span_term/span_first/span_or/span_near in_order) over
         #     the shared ordered chain (PARITY #41)
         "es_span_queries",
+        # es_match_fuzzy — match + fuzziness: per-token AUTO-edit
+        #     containment under the match operator (the search-box
+        #     typo shape; corpus_fuzzy_match keeps the whole-value
+        #     twin sweep-green)
+        "es_match_fuzzy",
     }
 )
 
@@ -1471,6 +1476,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_terms_lookup": _mod("es_search", "q_es_terms_lookup"),
         "es_intervals": _mod("es_search", "q_es_intervals"),
         "es_span_queries": _mod("es_search", "q_es_span_queries"),
+        "es_match_fuzzy": _mod("es_search", "q_es_match_fuzzy"),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
         "es_geo_shape": _mod("es_search", "q_es_geo_shape"),
@@ -5984,6 +5990,23 @@ def _all_oracle_sql() -> dict[str, str]:
           AND (len(list_filter(t, x -> x LIKE 'wind%')) > 0
                OR len(list_filter(t, x -> x LIKE 'mer_e')) > 0)
         ORDER BY doc_id LIMIT 120
+    """
+
+    # es_match_fuzzy (round 16): per-token classic levenshtein
+    # within AUTO edits (len-4 query terms -> 1), the length-delta
+    # prefilter spelled identically; both terms must land (operator
+    # and).
+    q["es_match_fuzzy"] = """
+        WITH t AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS t
+          FROM documents
+        )
+        SELECT doc_id, lang FROM t
+        WHERE len(list_filter(t, x -> abs(length(x) - 4) <= 1
+                                  AND levenshtein(x, 'merg') <= 1)) > 0
+          AND len(list_filter(t, x -> abs(length(x) - 4) <= 1
+                                  AND levenshtein(x, 'tabl') <= 1)) > 0
+        ORDER BY doc_id LIMIT 150
     """
 
     # es_span_queries (round 16): span_near = the ordered greedy

@@ -1538,6 +1538,47 @@ def compile_query(q: dict | None, _scope=None) -> Column:
                 analyzer = spec.get("analyzer", "whitespace")
             else:
                 query, op, analyzer = spec, "or", "whitespace"
+            if isinstance(spec, dict) and "fuzziness" in spec:
+                # match + fuzziness (round 16): each analyzed query
+                # term matches any DOC TOKEN within the edit budget
+                # (AUTO = 0/1/2 by the QUERY term's length, ES's
+                # rule; prefix_length pins leading chars), folded
+                # under the match operator. Same classic-Levenshtein
+                # reading as the fuzzy kind (PARITY #19's family).
+                from .retrieval import _terms as _qterms
+                from .retrieval import _tokens_col as _tc
+
+                fz = spec["fuzziness"]
+                plen = int(spec.get("prefix_length", 0))
+                toks = _tc(col, analyzer)
+                tests = []
+                def _tok_ok_for(t: str, d: int):
+                    # a unary factory: pyspark's HOF lambda builder
+                    # counts EVERY parameter (default-arg binding
+                    # would read as the (x, i) form)
+                    def _tok_ok(x):
+                        c = (
+                            F.abs(F.length(x) - F.lit(len(t)))
+                            <= F.lit(d)
+                        ) & (F.levenshtein(x, F.lit(t)) <= F.lit(d))
+                        if plen > 0:
+                            c = x.startswith(t[:plen]) & c
+                        return c
+
+                    return _tok_ok
+
+                for t in _qterms(str(query), analyzer):
+                    if isinstance(fz, str) and fz.upper() == "AUTO":
+                        d = 0 if len(t) < 3 else (1 if len(t) <= 5 else 2)
+                    else:
+                        d = int(fz)
+                    tests.append(F.exists(toks, _tok_ok_for(t, d)))
+                if not tests:
+                    return F.lit(False)
+                out = tests[0]
+                for c in tests[1:]:
+                    out = (out & c) if op == "and" else (out | c)
+                return out
             # the PARITY #19 analyzer seam, shared with retrieval:
             # document and query text go through the same tokenizer
             # (_terms dedupes — a repeated query term tests once).
@@ -10315,6 +10356,26 @@ def q_es_span_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
                 "minimum_should_match": 1,
             }},
+            "sort": [{"doc_id": "asc"}],
+            "size": 150,
+            "_source": ["doc_id", "lang"],
+        },
+    )
+
+
+def q_es_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match + fuzziness (round 16): both misspelled query terms
+    must fuzzy-match some doc token within AUTO edits (len-4 terms
+    → 1 edit) — the search-box typo shape."""
+    docs = load(spark, sf_dir, "documents")
+    return search(
+        docs,
+        {
+            "query": {"match": {"text": {
+                "query": "merg tabl",
+                "operator": "and",
+                "fuzziness": "AUTO",
+            }}},
             "sort": [{"doc_id": "asc"}],
             "size": 150,
             "_source": ["doc_id", "lang"],

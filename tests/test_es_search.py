@@ -6197,3 +6197,31 @@ def test_span_query_family(spark):
             "slop": 1, "in_order": True}})
     with pytest.raises(ValueError, match="not modeled"):
         compile_query({"span_not": {"include": {}, "exclude": {}}})
+
+
+def test_match_with_fuzziness(spark):
+    """Round 16: match + fuzziness — each analyzed query term
+    matches any doc TOKEN within the edit budget (AUTO by query-term
+    length), folded under the match operator; prefix_length pins."""
+    df = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "quack brown fix"),
+         (3, "slow green turtle"), (4, None)],
+        "id int, text string")
+
+    def ids(q):
+        return sorted(r.id for r in df.filter(_false_safe(
+            compile_query(q))).collect())
+
+    # 'quick'~AUTO(1..2 edits for len 5) matches quack; fox~ matches fix
+    assert ids({"match": {"text": {
+        "query": "quick fox", "operator": "and",
+        "fuzziness": "AUTO"}}}) == [1, 2]
+    assert ids({"match": {"text": {
+        "query": "quick fox", "operator": "and",
+        "fuzziness": 0}}}) == [1]
+    # prefix_length 2 pins 'fo' — 'fix' no longer matches 'fox'
+    assert ids({"match": {"text": {
+        "query": "fox", "fuzziness": 1,
+        "prefix_length": 2}}}) == [1]
+    # plain match (no fuzziness) is untouched
+    assert ids({"match": {"text": {"query": "brown"}}}) == [1, 2]

@@ -542,6 +542,9 @@ PINNED_FINGERPRINTS = {
     # span family: once-bound position chains are pure projections +
     # the TakeOrdered page — the zero-shuffle span class
     "es_span_queries": {},
+    # match+fuzziness: per-token levenshtein exists() is a pure
+    # projection — the zero-shuffle query-DSL class
+    "es_match_fuzzy": {},
     # ids/pinned compile to literal isin filters (no pin needed —
     # covered by the plan-lint parametrized gate)
 }
