@@ -1268,6 +1268,10 @@ DEMOTED: frozenset[str] = frozenset(
         #     typo shape; corpus_fuzzy_match keeps the whole-value
         #     twin sweep-green)
         "es_match_fuzzy",
+        # es_geo_grid — the map-click cell filter: key-expression
+        #     equality with the geotile/geohash agg trees (agg ≡
+        #     query pinned in pytest)
+        "es_geo_grid",
     }
 )
 
@@ -1477,6 +1481,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_intervals": _mod("es_search", "q_es_intervals"),
         "es_span_queries": _mod("es_search", "q_es_span_queries"),
         "es_match_fuzzy": _mod("es_search", "q_es_match_fuzzy"),
+        "es_geo_grid": _mod("es_search", "q_es_geo_grid"),
         "es_search_highlight": _mod("es_search", "q_es_search_highlight"),
         "es_geo_queries": _mod("es_search", "q_es_geo_queries"),
         "es_geo_shape": _mod("es_search", "q_es_geo_shape"),
@@ -5990,6 +5995,35 @@ def _all_oracle_sql() -> dict[str, str]:
           AND (len(list_filter(t, x -> x LIKE 'wind%')) > 0
                OR len(list_filter(t, x -> x LIKE 'mer_e')) > 0)
         ORDER BY doc_id LIMIT 120
+    """
+
+    # es_geo_grid (round 16): tile membership = the identical
+    # Web-Mercator tree at zoom 2 (scale 4.0, clamp 3), the
+    # 12-decimal rounding before the floor removing the cross-engine
+    # tan/ln ulp boundary risk.
+    q["es_geo_grid"] = """
+        WITH g AS (
+          SELECT event_id, value, value / 10.0 - 24.5 AS lat,
+                 CAST((event_id % 360) - 180 + 0.5 AS DOUBLE) AS lon
+          FROM events
+        ),
+        t AS (
+          SELECT event_id, value,
+                 greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 4.0)
+                                   AS BIGINT), 3)) AS tx,
+                 greatest(0, least(CAST(floor(round(
+                     (1.0 - ln(tan(radians(greatest(-85.05112878,
+                                  least(85.05112878, lat))))
+                               + 1.0 / cos(radians(greatest(-85.05112878,
+                                  least(85.05112878, lat)))))
+                            / pi()) / 2.0 * 4.0, 12)) AS BIGINT), 3)) AS ty
+          FROM g
+          WHERE lat IS NOT NULL AND lon IS NOT NULL
+            AND lat >= -90.0 AND lat <= 90.0
+            AND lon >= -180.0 AND lon <= 180.0
+        )
+        SELECT event_id, value FROM t WHERE tx = 2 AND ty = 1
+        ORDER BY event_id LIMIT 150
     """
 
     # es_match_fuzzy (round 16): per-token classic levenshtein

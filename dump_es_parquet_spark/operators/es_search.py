@@ -1034,6 +1034,35 @@ def compile_query(q: dict | None, _scope=None) -> Column:
         # documented Lucene divergence). PARITY #39.
         (field, rule), = ((f, r) for f, r in body.items())
         return _intervals_expr(_scoped_col(field, _scope), rule)
+    if kind == "geo_grid":
+        # round 16: the ES 8.x geo_grid query — docs whose point
+        # falls in ONE named grid cell, the exact companion of the
+        # geotile_grid/geohash_grid aggs (a map click filters to the
+        # clicked cell). The verdict is key-expression equality with
+        # the SAME trees the aggs use, so a geo_grid filter matches
+        # exactly the bucket it names. geohex raises (H3 has no
+        # lake-side tree — the grid family's documented bound).
+        (field, spec), = body.items()
+        if "geotile" in spec:
+            key = str(spec["geotile"])
+            try:
+                zoom = int(key.split("/")[0])
+            except (ValueError, IndexError):
+                raise ValueError(f"geotile key {key!r}: want 'z/x/y'")
+            return _geotile_expr(
+                F.col(field + ".lat"), F.col(field + ".lon"), zoom
+            ) == F.lit(key)
+        if "geohash" in spec:
+            key = str(spec["geohash"])
+            return _geohash_expr(
+                F.col(field + ".lat"), F.col(field + ".lon"), len(key)
+            ) == F.lit(key)
+        if "geohex" in spec:
+            raise ValueError(
+                "geo_grid geohex: H3 hex indexing has no lake-side "
+                "expression tree (the grid family's documented bound)"
+            )
+        raise ValueError("geo_grid needs geotile/geohash/geohex")
     if kind in ("span_term", "span_first", "span_or", "span_near",
                 "span_not", "span_containing", "span_within",
                 "span_multi"):
@@ -10359,6 +10388,31 @@ def q_es_span_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sort": [{"doc_id": "asc"}],
             "size": 150,
             "_source": ["doc_id", "lang"],
+        },
+    )
+
+
+def q_es_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geo_grid`` query (round 16): the map-click filter — docs
+    whose point falls in Web-Mercator tile 2/2/1, the SAME key tree
+    as the geotile_grid agg (agg ≡ query pinned in pytest; the
+    geohash arm is pytest-pinned too)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "loc",
+        F.struct(
+            (F.col("value") / F.lit(10.0) - F.lit(24.5)).alias("lat"),
+            (
+                (F.col("event_id") % F.lit(360)) - F.lit(180) + F.lit(0.5)
+            ).cast("double").alias("lon"),
+        ),
+    )
+    return search(
+        ev,
+        {
+            "query": {"geo_grid": {"loc": {"geotile": "2/2/1"}}},
+            "sort": [{"event_id": "asc"}],
+            "size": 150,
+            "_source": ["event_id", "value"],
         },
     )
 

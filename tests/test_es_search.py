@@ -6225,3 +6225,39 @@ def test_match_with_fuzziness(spark):
         "prefix_length": 2}}}) == [1]
     # plain match (no fuzziness) is untouched
     assert ids({"match": {"text": {"query": "brown"}}}) == [1, 2]
+
+
+def test_geo_grid_query_matches_agg_cell(spark):
+    """Round 16: geo_grid ≡ the grid AGG's cell — filtering by a
+    bucket's key returns exactly that bucket's docs, for BOTH the
+    geotile and geohash arms; geohex raises."""
+    import random
+
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    rng = random.Random(16016)
+    rows = [(i, rng.uniform(-80, 80), rng.uniform(-170, 170))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id int, lat double, lon double") \
+        .withColumn("loc", F.struct(F.col("lat"), F.col("lon"))) \
+        .drop("lat", "lon")
+    for kind, spec_key, precision in (
+        ("geotile_grid", "geotile", 3),
+        ("geohash_grid", "geohash", 2),
+    ):
+        buckets = search_aggs(df, {"aggs": {"cells": {
+            kind: {"field": "loc", "precision": precision},
+        }}}).collect()
+        assert buckets
+        # pick the fullest cell; the query must return exactly its
+        # doc_count rows
+        top = max(buckets, key=lambda r: r.doc_count)
+        got = df.filter(_false_safe(compile_query(
+            {"geo_grid": {"loc": {spec_key: top.cells}}}))).count()
+        assert got == top.doc_count, (spec_key, top.cells)
+        # the total over all cells partitions the data
+        assert sum(r.doc_count for r in buckets) == 300
+    with pytest.raises(ValueError, match="geohex"):
+        compile_query({"geo_grid": {"loc": {"geohex": "8a1fb46622dffff"}}})
+    with pytest.raises(ValueError, match="z/x/y"):
+        compile_query({"geo_grid": {"loc": {"geotile": "nope"}}})

@@ -545,6 +545,8 @@ PINNED_FINGERPRINTS = {
     # match+fuzziness: per-token levenshtein exists() is a pure
     # projection — the zero-shuffle query-DSL class
     "es_match_fuzzy": {},
+    # geo_grid: key-expression equality — the zero-shuffle class
+    "es_geo_grid": {},
     # ids/pinned compile to literal isin filters (no pin needed —
     # covered by the plan-lint parametrized gate)
 }
