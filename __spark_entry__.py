@@ -1229,23 +1229,14 @@ DEMOTED: frozenset[str] = frozenset(
         #       discipline declared
         "es_multi_rare_terms",
         # --- round 16: new rows land demoted-green pending the next
-        #     rotation window (the standing rhythm).
-        # esql_lookup_enrich — LOOKUP JOIN (ES 8.18) + ENRICH as
-        #     broadcast dimension joins (esql_events_rollup keeps
-        #     the ES|QL compiler declared)
-        "esql_lookup_enrich",
+        #     rotation window (the standing rhythm).  Five of them
+        #     (esql_lookup_enrich, es_ip_prefix, es_random_sampler,
+        #     es_intervals, es_span_queries) were PROMOTED in round 17
+        #     per VERDICT r16 Next #1 — see the declared-set comments.
         # esql_values_top — the VALUES/TOP multi-value aggregates
         #     under the engine's sorted deterministic reading,
         #     composed with the MV_* family
         "esql_values_top",
-        # es_ip_prefix — the /N subnet rollup over the CIDR octet
-        #     tree (es_ip_range keeps the ip family declared)
-        "es_ip_prefix",
-        # es_random_sampler — sub-aggs over a deterministic portable-
-        #     hash sample with 1/p-scaled doc_count (PARITY #35;
-        #     es_diversified_sampler keeps the sampler family
-        #     sweep-green)
-        "es_random_sampler",
         # es_combined_features — combined_fields term-centric match
         #     + rank_feature/distance_feature exists() reductions
         #     (PARITY #37; es_search_hits keeps the query-DSL page
@@ -1254,15 +1245,6 @@ DEMOTED: frozenset[str] = frozenset(
         # es_terms_lookup — the terms LOOKUP form resolved by a
         #     bounded 1-doc fetch + literal rewrite (PARITY #38)
         "es_terms_lookup",
-        # es_intervals — position-rule matching: ordered max_gaps
-        #     match (the span_near greedy reading) + prefix/wildcard
-        #     /any_of leaves (PARITY #39; corpus_match_phrase keeps
-        #     the positional family sweep-green)
-        "es_intervals",
-        # es_span_queries — the classic span family
-        #     (span_term/span_first/span_or/span_near in_order) over
-        #     the shared ordered chain (PARITY #41)
-        "es_span_queries",
         # es_match_fuzzy — match + fuzziness: per-token AUTO-edit
         #     containment under the match operator (the search-box
         #     typo shape; corpus_fuzzy_match keeps the whole-value
@@ -1272,6 +1254,35 @@ DEMOTED: frozenset[str] = frozenset(
         #     equality with the geotile/geohash agg trees (agg ≡
         #     query pinned in pytest)
         "es_geo_grid",
+        # --- round 17: five surface-duplicates demoted so the
+        #     round-16 rows (esql_lookup_enrich, es_intervals,
+        #     es_span_queries, es_ip_prefix, es_random_sampler)
+        #     could rotate into the declared 50 (VERDICT r16 Next
+        #     #1); every family keeps a declared row.
+        #   corpus_bm25 — corpus_bm25_served is the bit-identical
+        #       production superset (build-once/serve-many postings)
+        #       and stays declared alongside corpus_hybrid_rrf /
+        #       corpus_rank_eval
+        "corpus_bm25",
+        #   sim_label_centroids — the centroid shape lives inside the
+        #       declared IVF path (sim_ann_ivf_indexed trains the
+        #       same k-means centroids); sim_knn_graph keeps the
+        #       similarity family at 3 declared rows
+        "sim_label_centroids",
+        #   corpus_dup_clusters — the dedup family keeps 4 declared
+        #       rows (dedup_exact, dedup_minhash_lsh, corpus_dedup,
+        #       corpus_dedup_incremental); the transitive-collapse
+        #       cluster audit stays sweep-green
+        "corpus_dup_clusters",
+        #   es_date_histogram_tz_iana — two green rounds since its
+        #       round-14 promotion; es_aggs_tree keeps
+        #       date_histogram declared, the IANA tzdb pin stays
+        #       sweep-green
+        "es_date_histogram_tz_iana",
+        #   es_suggest_phrase — two green rounds since the round-15
+        #       beam rewrite; es_suggest_completion /
+        #       es_suggest_term stay sweep-green
+        "es_suggest_phrase",
     }
 )
 
