@@ -704,16 +704,27 @@ def _intervals_expr(col: Column, rule: dict) -> Column:
         for s in subs[1:]:
             out = out | _false_safe(_intervals_expr(col, s))
         return out
+    from .retrieval import _analyzer_spec
+
     if k == "prefix":
         analyzer = rule["prefix"].get("analyzer", "whitespace")
         pre = str(rule["prefix"]["prefix"])
+        # Lucene normalizes prefix/wildcard text through the
+        # analyzer's multi-term-aware filters (lowercase only), so
+        # under 'standard' the query side folds case like the doc
+        # tokens do — the prefix_leaf discipline (ADVICE r16).
+        if _analyzer_spec(analyzer)[0] == "standard":
+            pre = pre.lower()
         return F.exists(
             _tokens_col(col, analyzer),
             lambda t: t.startswith(F.lit(pre)),
         )
     if k == "wildcard":
         analyzer = rule["wildcard"].get("analyzer", "whitespace")
-        pat = _like_escape(str(rule["wildcard"]["pattern"]))
+        raw = str(rule["wildcard"]["pattern"])
+        if _analyzer_spec(analyzer)[0] == "standard":
+            raw = raw.lower()  # same multi-term normalization
+        pat = _like_escape(raw)
         pat = pat.replace("*", "%").replace("?", "_")
         return F.exists(
             _tokens_col(col, analyzer),
@@ -1034,6 +1045,11 @@ def compile_query(q: dict | None, _scope=None) -> Column:
         # documented Lucene divergence). PARITY #39.
         (field, rule), = ((f, r) for f, r in body.items())
         return _intervals_expr(_scoped_col(field, _scope), rule)
+    if kind == "geo_grid" and _scope is not None:
+        # same bound as the sibling geo queries below (ADVICE r16):
+        # the arm reads F.col(field+'.lat') against the TOP-LEVEL
+        # frame, which inside nested would silently resolve wrong.
+        raise ValueError("geo queries inside nested are not supported")
     if kind == "geo_grid":
         # round 16: the ES 8.x geo_grid query — docs whose point
         # falls in ONE named grid cell, the exact companion of the
@@ -1452,6 +1468,18 @@ def compile_query(q: dict | None, _scope=None) -> Column:
                 return F.lower(col) == F.lit(str(v).lower())
             return col == F.lit(v)
         if kind == "terms":
+            if isinstance(spec, dict):
+                # a dict body here is the LOOKUP form (or a typo'd
+                # one) that escaped resolve_terms_lookups —
+                # list(spec) would silently compile the dict's KEY
+                # NAMES as the term list (ADVICE r16). Raise loudly.
+                raise ValueError(
+                    f"terms query on {field!r}: dict body "
+                    f"{sorted(spec)} is the lookup form — resolve "
+                    "it via the search entry points' lookups= kwarg "
+                    "(resolve_terms_lookups, PARITY #38), or pass a "
+                    "plain list of values"
+                )
             vals = list(spec)
             if not vals:
                 return F.lit(False)
@@ -5038,8 +5066,12 @@ def search(
 
     ``lookups`` resolves ``terms`` lookup bodies to literal lists
     before compilation (resolve_terms_lookups, PARITY #38)."""
-    if lookups is not None:
-        request = resolve_terms_lookups(request, lookups)
+    # unconditional (ADVICE r16): resolve_terms_lookups itself raises
+    # the loud "pass the table via the lookups= kwarg" when a LOOKUP
+    # body appears and lookups is None — guarding on the kwarg here
+    # let an un-resolved lookup dict fall through to the terms arm as
+    # a silent no-match over the dict's key names.
+    request = resolve_terms_lookups(request, lookups)
     for name, spec in (request.get("runtime_mappings") or {}).items():
         # runtime fields: ES evaluates Painless at query time; the
         # lake-side stand-in is a SQL expression (``script_sql``) —
@@ -5259,6 +5291,23 @@ def _highlight_terms(q: dict | None, field: str) -> list[str]:
     return out
 
 
+def _sampler_scaled_metrics(aggs: dict) -> list[tuple[str, str]]:
+    """Names (+ kinds) of the sub-aggs random_sampler must scale by
+    1/probability: ``sum`` and ``value_count`` (ES's
+    SamplingContext.finalizeSampling — ADVICE r16). Recurses through
+    nested ``aggs`` trees; avg/min/max/cardinality are left alone."""
+    found: list[tuple[str, str]] = []
+    for name, spec in aggs.items():
+        if not isinstance(spec, dict):
+            continue
+        for kind in ("sum", "value_count"):
+            if kind in spec:
+                found.append((name, kind))
+        if "aggs" in spec:
+            found.extend(_sampler_scaled_metrics(spec["aggs"]))
+    return found
+
+
 def search_aggs(
     df: DataFrame, request: dict, lookups: dict | None = None
 ) -> DataFrame:
@@ -5274,8 +5323,12 @@ def search_aggs(
     dedicated one-scan plan here — a flag column instead of two
     passes — scoring with the same JLH micro-integers the corpus op
     pins (``retrieval.significant_terms``)."""
-    if lookups is not None:
-        request = resolve_terms_lookups(request, lookups)
+    # unconditional (ADVICE r16): resolve_terms_lookups itself raises
+    # the loud "pass the table via the lookups= kwarg" when a LOOKUP
+    # body appears and lookups is None — guarding on the kwarg here
+    # let an un-resolved lookup dict fall through to the terms arm as
+    # a silent no-match over the dict's key names.
+    request = resolve_terms_lookups(request, lookups)
     for name, spec in (request.get("runtime_mappings") or {}).items():
         df = df.withColumn(name, F.expr(spec["script_sql"]))
     aggs = request.get("aggs") or {}
@@ -5449,9 +5502,11 @@ def search_aggs(
         # (seed, field) lands under probability (quantized to
         # 1/10000 — the hash_bucket primitive, spelled identically
         # in the DuckDB oracle). doc_count columns in the sub-tree
-        # scale by 1/probability with ES's rounding; metric values
-        # stay unscaled (means/extrema are unbiased under uniform
-        # sampling, ES behavior).
+        # scale by 1/probability with ES's rounding, and so do sum /
+        # value_count metrics (ES SamplingContext.finalizeSampling —
+        # ADVICE r16); avg/min/max/cardinality stay unscaled
+        # (unbiased or set-valued under uniform sampling, ES
+        # behavior).
         if "random_sampler" in aspec:
             body = aspec["random_sampler"]
             if "aggs" not in aspec:
@@ -5486,6 +5541,26 @@ def search_aggs(
                     "doc_count",
                     F.round(F.col("doc_count") / F.lit(p)).cast("long"),
                 )
+            if p < 1.0:
+                # ES's finalizeSampling also scales sum and
+                # value_count metrics by 1/probability (ADVICE
+                # r16); value_count keeps ES's long rounding.
+                for mname, mkind in _sampler_scaled_metrics(
+                    aspec["aggs"]
+                ):
+                    if mname not in out.columns:
+                        raise ValueError(
+                            f"random_sampler: {mkind} sub-agg "
+                            f"{mname!r} produced no column to "
+                            "scale (unsupported nesting)"
+                        )
+                    c = F.col(mname) / F.lit(p)
+                    if mkind == "value_count":
+                        c = F.round(c)
+                    out = out.withColumn(
+                        mname,
+                        c.cast(out.schema[mname].dataType),
+                    )
             return out
         if "sampler" in aspec or "diversified_sampler" in aspec:
             skind = (
@@ -10473,8 +10548,12 @@ def search_count(
     partial+final count — no sort, no pagination machinery. Keys
     other than ``query`` raise (the _count API accepts only a
     query)."""
-    if lookups is not None:
-        request = resolve_terms_lookups(request, lookups)
+    # unconditional (ADVICE r16): resolve_terms_lookups itself raises
+    # the loud "pass the table via the lookups= kwarg" when a LOOKUP
+    # body appears and lookups is None — guarding on the kwarg here
+    # let an un-resolved lookup dict fall through to the terms arm as
+    # a silent no-match over the dict's key names.
+    request = resolve_terms_lookups(request, lookups)
     extra = set(request) - {"query"}
     if extra:
         raise ValueError(

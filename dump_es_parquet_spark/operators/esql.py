@@ -387,6 +387,22 @@ def _literal_string_of(c: Column) -> str:
         ) from None
 
 
+def _fn_mv_sort(a):
+    # ES|QL MV_SORT(field[, "ASC"|"DESC"]) — the optional order arg
+    # was silently dropped before (ADVICE r16); honor it, and raise
+    # on anything that isn't one of the two documented literals.
+    if len(a) == 1:
+        return F.sort_array(a[0])
+    if len(a) != 2:
+        raise ValueError("MV_SORT takes (field[, order])")
+    order = _literal_string_of(a[1]).strip().lower()
+    if order not in ("asc", "desc"):
+        raise ValueError(
+            f"MV_SORT order must be \"ASC\" or \"DESC\", got {order!r}"
+        )
+    return F.sort_array(a[0], asc=(order == "asc"))
+
+
 def _fn_date_trunc(args):
     # ES|QL spells DATE_TRUNC(1 day, ts) or DATE_TRUNC("1 day", ts);
     # the parser routes the interval through a string literal
@@ -467,7 +483,7 @@ _FUNCTIONS = {
     "MV_FIRST": lambda a: F.try_element_at(a[0], F.lit(1)),
     "MV_LAST": lambda a: F.try_element_at(a[0], F.lit(-1)),
     "MV_DEDUPE": lambda a: F.array_distinct(a[0]),
-    "MV_SORT": lambda a: F.sort_array(a[0]),
+    "MV_SORT": _fn_mv_sort,
     "MV_CONCAT": lambda a: F.array_join(a[0], _literal_string_of(a[1])),
     "LEFT": lambda a: F.left(a[0], a[1]),
     "RIGHT": lambda a: F.right(a[0], a[1]),

@@ -5966,6 +5966,46 @@ def test_random_sampler_agg(spark):
             "random_sampler": {"probability": 0.5, "field": "id"}}}})
 
 
+def test_random_sampler_scales_sum_and_value_count(spark):
+    """ADVICE r16: ES's finalizeSampling scales sum and value_count
+    metrics by 1/probability too (avg/min/max stay unscaled). Pin on
+    p=0.5 with a constant value column so the scaled sum is exactly
+    2x the sampled sum, and on nested sub-agg trees."""
+    from dump_es_parquet_spark.operators.es_search import search_aggs
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", 10.0) for i in range(400)],
+        "id int, t string, v double")
+    req = {"aggs": {"s": {
+        "random_sampler": {"probability": 0.5, "seed": 7, "field": "id"},
+        "aggs": {"types": {
+            "terms": {"field": "t"},
+            "aggs": {
+                "sum_v": {"sum": {"field": "v"}},
+                "n_v": {"value_count": {"field": "v"}},
+                "avg_v": {"avg": {"field": "v"}},
+            },
+        }},
+    }}}
+    rows = search_aggs(df, req).collect()
+    for r in rows:
+        # constant v=10 → scaled sum must equal 10 * scaled count;
+        # value_count scales with rounding to match doc_count
+        assert r.n_v == float(r.doc_count)
+        assert abs(r.sum_v - 10.0 * r.doc_count) < 1e-6
+        assert abs(r.avg_v - 10.0) < 1e-9  # avg unscaled
+    # p=1: no scaling path at all, exact identity
+    req1 = {"aggs": {"s": {
+        "random_sampler": {"probability": 1.0, "field": "id"},
+        "aggs": {"types": {
+            "terms": {"field": "t"},
+            "aggs": {"sum_v": {"sum": {"field": "v"}}},
+        }},
+    }}}
+    assert {(r.types, r.sum_v) for r in search_aggs(df, req1).collect()} \
+        == {("a", 2000.0), ("b", 2000.0)}
+
+
 def test_combined_fields_and_feature_queries(spark):
     """Round 16 (PARITY #37): combined_fields is term-centric — a
     term matches if it appears in ANY field; operator and / integer
@@ -6068,6 +6108,37 @@ def test_terms_lookup_resolution(spark):
     assert resolve_terms_lookups(lit, {"segs": lkp}) == lit
 
 
+def test_terms_lookup_never_silently_compiles(spark):
+    """ADVICE r16: a lookup-form terms dict that reaches the search
+    entry points WITHOUT the lookups= kwarg must raise (it used to
+    compile the dict's key names as the term list — a silent
+    no-match), and a dict body reaching compile_query directly
+    raises in the terms arm."""
+    from dump_es_parquet_spark.operators.es_search import (
+        compile_query,
+        search,
+        search_count,
+        search_aggs,
+    )
+
+    df = spark.createDataFrame([(1, "index")], "id int, uid string")
+    lookup_q = {"terms": {"uid": {
+        "index": "segs", "id": "vip", "id_field": "k", "path": "ids"}}}
+    # entry points resolve unconditionally now — lookups=None raises
+    # the 'pass the table' message instead of silently no-matching
+    with pytest.raises(ValueError, match="lookups= kwarg"):
+        search(df, {"query": lookup_q})
+    with pytest.raises(ValueError, match="lookups= kwarg"):
+        search_count(df, {"query": lookup_q})
+    with pytest.raises(ValueError, match="lookups= kwarg"):
+        search_aggs(df, {"query": lookup_q,
+                         "aggs": {"n": {"terms": {"field": "uid"}}}})
+    # and the compile_query terms arm refuses ANY dict body (e.g. a
+    # typo'd lookup missing 'path' that escapes the resolver)
+    with pytest.raises(ValueError, match="lookup form"):
+        compile_query({"terms": {"uid": {"index": "segs", "id": "v"}}})
+
+
 def test_intervals_query(spark):
     """Round 16 (PARITY #39): intervals — ordered match with
     max_gaps (the span_near greedy reading), unlimited gaps,
@@ -6116,6 +6187,33 @@ def test_intervals_query(spark):
     with pytest.raises(ValueError, match="exactly one"):
         compile_query({"intervals": {"text": {
             "match": {"query": "a"}, "prefix": {"prefix": "b"}}}})
+
+
+def test_intervals_prefix_wildcard_standard_analyzer_casing(spark):
+    """ADVICE r16: under analyzer 'standard' the doc tokens are
+    lowercased, so the prefix/wildcard query text must fold case the
+    same way (Lucene's multi-term normalization — the prefix_leaf
+    discipline); under 'whitespace' casing stays exact."""
+    df = spark.createDataFrame(
+        [(1, "Windows server"), (2, "window seat"), (3, "linux box")],
+        "id int, text string")
+
+    def ids(rule):
+        return sorted(r.id for r in df.filter(_false_safe(
+            compile_query({"intervals": {"text": rule}}))).collect())
+
+    # standard: 'Wind' folds to 'wind' and matches both docs
+    assert ids({"prefix": {"prefix": "Wind",
+                           "analyzer": "standard"}}) == [1, 2]
+    assert ids({"wildcard": {"pattern": "Wind*",
+                             "analyzer": "standard"}}) == [1, 2]
+    assert ids({"wildcard": {"pattern": "WINDOW?",
+                             "analyzer": "standard"}}) == [1]
+    # whitespace keeps exact case: 'Wind' only matches 'Windows'
+    assert ids({"prefix": {"prefix": "Wind",
+                           "analyzer": "whitespace"}}) == [1]
+    assert ids({"prefix": {"prefix": "wind",
+                           "analyzer": "whitespace"}}) == [2]
 
 
 def test_ids_and_pinned_queries(spark):
@@ -6261,3 +6359,9 @@ def test_geo_grid_query_matches_agg_cell(spark):
         compile_query({"geo_grid": {"loc": {"geohex": "8a1fb46622dffff"}}})
     with pytest.raises(ValueError, match="z/x/y"):
         compile_query({"geo_grid": {"loc": {"geotile": "nope"}}})
+    # ADVICE r16: inside nested, geo_grid raises like the sibling geo
+    # queries (the arm reads the TOP-LEVEL frame and would silently
+    # resolve wrong under a nested scope)
+    with pytest.raises(ValueError, match="nested"):
+        compile_query({"nested": {"path": "pts", "query": {
+            "geo_grid": {"loc": {"geotile": "3/4/2"}}}}})

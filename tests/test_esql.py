@@ -465,6 +465,24 @@ def test_esql_function_table_round16(spark):
         esql({"t": df}, 'FROM t | EVAL x = DATE_DIFF("fortnight", t0, t1)')
 
 
+def test_esql_mv_sort_order_arg(spark):
+    """ADVICE r16: MV_SORT honors its optional "ASC"/"DESC" literal
+    order argument (case-insensitive) instead of silently dropping
+    it; any other order literal raises."""
+    df = spark.createDataFrame(
+        [(1, [3.0, 1.0, 2.0])], "id int, xs array<double>")
+    r = esql({"t": df}, '''FROM t
+        | EVAL a = MV_SORT(xs), b = MV_SORT(xs, "DESC"),
+               c = MV_SORT(xs, "asc")''').collect()[0]
+    assert r.a == [1.0, 2.0, 3.0]
+    assert r.b == [3.0, 2.0, 1.0]
+    assert r.c == [1.0, 2.0, 3.0]
+    with pytest.raises(ValueError, match="MV_SORT order"):
+        esql({"t": df}, 'FROM t | EVAL x = MV_SORT(xs, "down")')
+    with pytest.raises(ValueError, match="string literal"):
+        esql({"t": df}, 'FROM t | EVAL x = MV_SORT(xs, id)')
+
+
 def test_esql_values_and_top(spark):
     """Round 16: VALUES (sorted-ascending distinct set — the
     engine's deterministic reading of ES|QL's undefined order) and
