@@ -1254,6 +1254,13 @@ DEMOTED: frozenset[str] = frozenset(
         #     equality with the geotile/geohash agg trees (agg ≡
         #     query pinned in pytest)
         "es_geo_grid",
+        # --- round 17: new rows land demoted-green pending the next
+        #     rotation window (the standing rhythm).
+        # es_function_score — function_score/script_score filter-
+        #     context reductions (VERDICT r16 Next #2, PARITY #43):
+        #     match exactly the inner query; min_score raises
+        #     (es_compound_filter keeps the wrapper family declared)
+        "es_function_score",
         # --- round 17: five surface-duplicates demoted so the
         #     round-16 rows (esql_lookup_enrich, es_intervals,
         #     es_span_queries, es_ip_prefix, es_random_sampler)
@@ -1465,6 +1472,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   search-as-you-type prefix matches, ip/CIDR + ip_range,
         #   terms_set, and the composite map-tile walk —
         "es_compound_filter": _mod("es_search", "q_es_compound_filter"),
+        "es_function_score": _mod("es_search", "q_es_function_score"),
         "es_simple_query_string": _mod(
             "querystring", "q_es_simple_query_string"
         ),
@@ -5818,6 +5826,18 @@ def _all_oracle_sql() -> dict[str, str]:
         WHERE (coalesce(event_type = 'click', FALSE)
                OR coalesce(value >= 900, FALSE))
           AND value >= 10
+          AND NOT coalesce(user_id = 13, FALSE)
+        ORDER BY event_id ASC LIMIT 150
+    """
+
+    # es_function_score (round 17, PARITY #43): the wrappers reduce
+    # to their inner queries in filter context — the oracle IS the
+    # reduction (function filters gate score functions, never the
+    # matched set; the Painless body is score-only).
+    q["es_function_score"] = """
+        SELECT event_id, event_type, value, user_id FROM events
+        WHERE (coalesce(event_type = 'click', FALSE)
+               OR coalesce(value >= 800, FALSE))
           AND NOT coalesce(user_id = 13, FALSE)
         ORDER BY event_id ASC LIMIT 150
     """

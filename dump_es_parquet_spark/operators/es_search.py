@@ -986,6 +986,54 @@ def compile_query(q: dict | None, _scope=None) -> Column:
         # filters — ES returns negative-matching docs, just ranked
         # lower
         return compile_query(body["positive"], _scope)
+    if kind == "function_score":
+        # round 17 (VERDICT r16 Next #2): the most-wrapped request
+        # shape in saved Kibana/alerting queries. In FILTER context
+        # the reduction is exact: function_score matches EXACTLY its
+        # inner query — per-function `filter` clauses gate which
+        # score FUNCTION applies to a doc, never which docs return
+        # (FunctionScoreQuery rewrites to the inner query's matches;
+        # a doc matching no function filter still returns, at the
+        # unmodified score). score_mode/boost_mode/max_boost/weight/
+        # random_score/field_value_factor/decay functions only shape
+        # _score and are accepted-and-ignored, the multi_match boost
+        # discipline. The ONE scoring knob that can change the
+        # matched set is `min_score` (docs scoring below it are
+        # dropped) — that needs real scoring, so it raises loudly.
+        # PARITY #43.
+        if "min_score" in body:
+            raise ValueError(
+                "function_score min_score drops docs by SCORE — no "
+                "filter-context reduction exists (scored retrieval "
+                "is operators/retrieval.py; PARITY #43)"
+            )
+        extra = set(body) - {
+            "query", "functions", "boost", "boost_mode", "score_mode",
+            "max_boost", "weight", "random_score",
+            "field_value_factor", "script_score", "gauss", "exp",
+            "linear",
+        }
+        if extra:
+            raise ValueError(
+                f"function_score key {sorted(extra)[0]!r} is not "
+                "modeled"
+            )
+        return compile_query(body.get("query"), _scope)
+    if kind == "script_score":
+        # round 17 (VERDICT r16 Next #2): script_score computes
+        # _score via Painless but matches EXACTLY its inner query —
+        # the same filter-context reduction. min_score (the one
+        # score-dependent matching knob) raises; the plain `script`
+        # QUERY kind (filter-BY-Painless) keeps raising elsewhere.
+        # PARITY #43.
+        if "min_score" in body:
+            raise ValueError(
+                "script_score min_score drops docs by SCORE — no "
+                "filter-context reduction exists (PARITY #43)"
+            )
+        if "query" not in body:
+            raise ValueError("script_score needs a 'query'")
+        return compile_query(body["query"], _scope)
     if kind == "combined_fields":
         # round 16: the ES 7.13+ term-centric multi-field match (the
         # BM25F successor to cross_fields). Filter-context reduction:
@@ -10161,6 +10209,52 @@ def q_es_compound_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "positive": {"term": {"user_id": 13}},
                         "negative": {"term": {"event_type": "view"}},
                         "negative_boost": 0.2,
+                    }},
+                ],
+            }},
+            "sort": [{"event_id": "asc"}],
+            "size": 150,
+            "_source": ["event_id", "event_type", "value", "user_id"],
+        },
+    )
+
+
+def q_es_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``function_score`` / ``script_score`` in filter context
+    (round 17, VERDICT r16 Next #2, PARITY #43): the saved-Kibana
+    wrapper shape — a bool nesting a function_score (whose inner
+    dis_max decides the matched set; the filter/weight/random_score
+    functions and score_mode/boost_mode only shape _score) in must,
+    and a script_score under must_not (the Painless body is
+    score-only — the exclusion is its inner term query). The oracle
+    spells only the inner queries, which IS the reduction."""
+    ev = load(spark, sf_dir, "events")
+    return search(
+        ev,
+        {
+            "query": {"bool": {
+                "must": [
+                    {"function_score": {
+                        "query": {"dis_max": {"queries": [
+                            {"term": {"event_type": "click"}},
+                            {"range": {"value": {"gte": 800}}},
+                        ]}},
+                        "functions": [
+                            {"filter": {"term": {"event_type": "click"}},
+                             "weight": 5},
+                            {"random_score": {"seed": 42}},
+                        ],
+                        "score_mode": "sum",
+                        "boost_mode": "multiply",
+                        "max_boost": 10.0,
+                    }},
+                ],
+                "must_not": [
+                    {"script_score": {
+                        "query": {"term": {"user_id": 13}},
+                        "script": {
+                            "source": "doc['value'].value / 10"
+                        },
                     }},
                 ],
             }},

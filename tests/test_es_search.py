@@ -5589,6 +5589,67 @@ def test_compound_filter_context_reductions(spark):
         ids({"dis_max": {"queries": []}})
 
 
+def test_function_score_script_score_reductions(spark):
+    """Round 17 (VERDICT r16 Next #2, PARITY #43): function_score /
+    script_score match EXACTLY their inner query in filter context —
+    per-function `filter` clauses gate score functions, never the
+    matched set; min_score (score-dependent matching) raises."""
+    df = spark.createDataFrame(
+        [(1, "quick brown fox", "a", 5.0),
+         (2, "quick brow", "b", 1.0),
+         (3, "slow brown foxtrot", "a", 9.0),
+         (4, None, None, None)],
+        "id int, text string, k string, v double")
+
+    def ids(q):
+        return sorted(
+            r.id for r in df.filter(_false_safe(compile_query(q))).collect()
+        )
+
+    # function filters do NOT restrict matches (ES: a doc matching
+    # no function filter still returns at the unmodified score)
+    assert ids({"function_score": {
+        "query": {"term": {"k": "a"}},
+        "functions": [
+            {"filter": {"range": {"v": {"gte": 9}}}, "weight": 10},
+            {"random_score": {"seed": 7}},
+        ],
+        "score_mode": "sum", "boost_mode": "multiply",
+        "max_boost": 3.0}}) == [1, 3]
+    # no query → match_all (ES default); NULL rows still excluded
+    # only by their own predicates, so all 4 rows return
+    assert ids({"function_score": {
+        "functions": [{"weight": 2}]}}) == [1, 2, 3, 4]
+    # field_value_factor / decay forms: score-only, ignored
+    assert ids({"function_score": {
+        "query": {"term": {"k": "b"}},
+        "field_value_factor": {"field": "v", "factor": 1.2}}}) == [2]
+    # script_score → its inner query; the Painless body is scoring-
+    # only and never consulted for the matched set
+    assert ids({"script_score": {
+        "query": {"range": {"v": {"gte": 5}}},
+        "script": {"source": "doc['v'].value * 2"}}}) == [1, 3]
+    # NULL-exactness: wrapper under must_not composes NULL-safe
+    assert ids({"bool": {"must_not": [{"function_score": {
+        "query": {"term": {"k": "b"}}}}]}}) == [1, 3, 4]
+    assert ids({"bool": {"must_not": [{"script_score": {
+        "query": {"term": {"k": "b"}},
+        "script": {"source": "1"}}}]}}) == [1, 3, 4]
+    # min_score is the one knob that changes the matched set — raise
+    with pytest.raises(ValueError, match="min_score"):
+        ids({"function_score": {"query": {"term": {"k": "a"}},
+                                "min_score": 1.5}})
+    with pytest.raises(ValueError, match="min_score"):
+        ids({"script_score": {"query": {"term": {"k": "a"}},
+                              "script": {"source": "1"},
+                              "min_score": 1.5}})
+    with pytest.raises(ValueError, match="query"):
+        ids({"script_score": {"script": {"source": "1"}}})
+    with pytest.raises(ValueError, match="not modeled"):
+        ids({"function_score": {"query": {"term": {"k": "a"}},
+                                "nope": 1}})
+
+
 def test_match_prefix_queries(spark):
     """Round 15 (VERDICT r14 Next #5): match_phrase_prefix anchors
     every token at a boundary with the LAST one a prefix;

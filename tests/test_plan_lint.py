@@ -492,6 +492,9 @@ PINNED_FINGERPRINTS = {
     # TakeOrdered page: the empty fingerprint IS the point (zero
     # shuffles — the query-DSL class)
     "es_compound_filter": {},
+    # function_score/script_score reduce to their inner queries —
+    # the same scan+filter+TakeOrdered shape as es_compound_filter
+    "es_function_score": {},
     "es_simple_query_string": {},
     "es_match_prefix": {},
     "es_terms_set": {},
