@@ -6088,18 +6088,32 @@ def _all_oracle_sql() -> dict[str, str]:
                  [x FOR x IN range(1, len(t) + 1)
                     IF t[x] = 'fast'] AS p1,
                  [x FOR x IN range(1, len(t) + 1)
-                    IF t[x] = 'table'] AS p2
+                    IF t[x] = 'table'] AS p2,
+                 [x FOR x IN range(1, len(t) + 1)
+                    IF t[x] = 'slow'] AS ps,
+                 [x FOR x IN range(1, len(t) + 1)
+                    IF t[x] = 'scan'] AS p3
           FROM t
         )
         SELECT doc_id, lang FROM pos
         WHERE len(list_filter(p1, p ->
                 coalesce(list_min(list_filter(p2, q2 -> q2 > p)) - p
                          <= 3, FALSE))) > 0
+          AND len(list_filter(p1, p ->
+                len(list_filter(ps, q3 ->
+                    q3 >= p AND q3 <= p + 2)) = 0)) > 0
           AND (CAST(list_position(t, 'merge') BETWEEN 1 AND 5
                     AS INT)
                + CAST(coalesce(list_contains(t, 'window'), FALSE)
                       OR coalesce(list_contains(t, 'vector'), FALSE)
-                      AS INT)) >= 1
+                      AS INT)
+               + CAST(len(list_filter(p1, p ->
+                     coalesce(list_min(list_filter(p2, q2 -> q2 > p))
+                              - p <= 3, FALSE)
+                     AND len(list_filter(p3, q4 ->
+                         q4 >= p AND q4 <=
+                         list_min(list_filter(p2, q2 -> q2 > p))
+                       )) > 0)) > 0 AS INT)) >= 1
         ORDER BY doc_id LIMIT 150
     """
 

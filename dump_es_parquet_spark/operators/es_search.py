@@ -804,8 +804,13 @@ def _span_expr(kind: str, body: dict, _scope) -> Column:
     positions — Lucene's end-exclusive reading over 1-based
     array_position), ``span_or`` (NULL-safe OR), ``span_near`` with
     ``in_order: true`` (the greedy ordered chain; unordered raises —
-    the intervals bound). span_not/span_containing/span_within and
-    non-span_term inner clauses raise loudly."""
+    the intervals bound). Round 17 (VERDICT r16 Next #3) adds
+    ``span_not`` (an include-span overlapping no exclude-span, with
+    the pre/post dilation knobs) and ``span_containing`` /
+    ``span_within`` (a big-span fully containing a little-span — one
+    doc-level verdict for both) over ``_span_occ_tree``'s shared
+    occurrence intervals. span_multi and deeper span nesting raise
+    loudly."""
     from .retrieval import _tokens_col
 
     def _term_of(clause: dict) -> tuple[str, str]:
@@ -860,9 +865,201 @@ def _span_expr(kind: str, body: dict, _scope) -> Column:
         if len(terms) == 1:
             return F.array_contains(toks, terms[0])
         return _ordered_chain_expr(toks, terms, int(body.get("slop", 0)))
+    if kind == "span_not":
+        # round 17 (VERDICT r16 Next #3): an include-span exists
+        # that overlaps NO exclude-span (the include interval grown
+        # by pre/post tokens, ES's dilation knobs). Occurrence sets
+        # come from the shared once-bound position arrays.
+        extra = set(body) - {"include", "exclude", "pre", "post",
+                             "dist", "boost"}
+        if extra:
+            raise ValueError(
+                f"span_not key {sorted(extra)[0]!r} is not modeled"
+            )
+        if "dist" in body:
+            # dist is the deprecated pre+post combined form
+            pre = post = int(body["dist"])
+        else:
+            pre, post = int(body.get("pre", 0)), int(body.get("post", 0))
+        if pre < 0 or post < 0:
+            raise ValueError("span_not pre/post must be >= 0")
+        f_i, inc = _span_occ_tree(body["include"], _scope)
+        f_e, exc = _span_occ_tree(body["exclude"], _scope)
+        if f_i != f_e:
+            raise ValueError(
+                f"span_not include/exclude must share one field, "
+                f"got {sorted({f_i, f_e})} (the ES contract)"
+            )
+        # bind BOTH occurrence arrays once (the singleton-transform
+        # CSE discipline) before the quadratic-in-occurrences scan
+        pair = F.array(F.struct(inc.alias("inc"), exc.alias("exc")))
+
+        def _verdict(s):
+            return F.exists(
+                s["inc"],
+                lambda i: ~F.coalesce(
+                    F.exists(
+                        s["exc"],
+                        lambda x: (x["s"] <= i["e"] + F.lit(post))
+                        & (x["e"] >= i["s"] - F.lit(pre)),
+                    ),
+                    F.lit(False),
+                ),
+            )
+
+        return F.element_at(F.transform(pair, _verdict), 1)
+    if kind in ("span_containing", "span_within"):
+        # round 17 (VERDICT r16 Next #3): both take {little, big};
+        # at the DOC level the verdict is identical — does a big-
+        # span exist that fully contains a little-span? (ES returns
+        # big's spans for containing and little's for within, a
+        # scoring/highlight distinction with no filter meaning.)
+        extra = set(body) - {"little", "big", "boost"}
+        if extra:
+            raise ValueError(
+                f"{kind} key {sorted(extra)[0]!r} is not modeled"
+            )
+        f_b, big = _span_occ_tree(body["big"], _scope)
+        f_l, little = _span_occ_tree(body["little"], _scope)
+        if f_b != f_l:
+            raise ValueError(
+                f"{kind} little/big must share one field, got "
+                f"{sorted({f_b, f_l})} (the ES contract)"
+            )
+        pair = F.array(F.struct(big.alias("b"), little.alias("l")))
+
+        def _contains(s):
+            return F.exists(
+                s["b"],
+                lambda b: F.coalesce(
+                    F.exists(
+                        s["l"],
+                        lambda l: (b["s"] <= l["s"]) & (l["e"] <= b["e"]),
+                    ),
+                    F.lit(False),
+                ),
+            )
+
+        return F.element_at(F.transform(pair, _contains), 1)
     raise ValueError(
-        f"span query {kind!r}: span_not/span_containing/span_within "
-        "are not modeled (PARITY #41)"
+        f"span query {kind!r}: span_multi and span nesting beyond "
+        "span_or/span_near-of-terms are not modeled (PARITY #41)"
+    )
+
+
+def _span_occ_tree(clause: dict, _scope) -> tuple[str, Column]:
+    """A span clause → ``(field, array<struct<s int, e int>>)`` of
+    its occurrence intervals over 0-based token positions (round 17,
+    PARITY #41): ``span_term`` → each position as [p, p];
+    ``span_near`` (in_order) → each completed greedy chain within
+    slop as [start, end] (the #39 reading: per start position, the
+    minimal in-order completion); ``span_or`` → the union. These are
+    the span sets span_not / span_containing / span_within quantify
+    over; anything else raises loudly."""
+    from .retrieval import _tokens_col
+
+    (ck, cb), = clause.items()
+    if ck == "span_term":
+        (f, spec), = cb.items()
+        v = str(spec["value"] if isinstance(spec, dict) else spec)
+        toks = _tokens_col(_scoped_col(f, _scope))
+        idx = F.transform(
+            toks, lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+        )
+        occ = F.transform(
+            F.filter(idx, lambda st: st["t"] == F.lit(v)),
+            lambda st: F.struct(st["i"].alias("s"), st["i"].alias("e")),
+        )
+        return f, occ
+    if ck == "span_or":
+        subs = cb["clauses"]
+        if not subs:
+            raise ValueError("span_or needs clauses")
+        parts = [_span_occ_tree(c, _scope) for c in subs]
+        fields = {f for f, _ in parts}
+        if len(fields) != 1:
+            raise ValueError(
+                f"span_or clauses must share one field, got "
+                f"{sorted(fields)} (the ES contract)"
+            )
+        out = parts[0][1]
+        for _, p in parts[1:]:
+            out = F.concat(out, p)
+        return fields.pop(), out
+    if ck == "span_near":
+        if not cb.get("in_order"):
+            raise ValueError(
+                "span_near needs in_order: true — unordered spans "
+                "take Lucene's minimization (the intervals bound, "
+                "PARITY #39/#41)"
+            )
+        slop = int(cb.get("slop", 0))
+        terms: list[str] = []
+        fields = set()
+        for c in cb["clauses"]:
+            if set(c) != {"span_term"}:
+                raise ValueError(
+                    "span_near occurrence clauses must be span_term "
+                    "(span nesting beyond span_or/span_near-of-terms "
+                    "is not modeled)"
+                )
+            (f, spec), = c["span_term"].items()
+            fields.add(f)
+            terms.append(str(
+                spec["value"] if isinstance(spec, dict) else spec
+            ))
+        if len(fields) != 1:
+            raise ValueError(
+                f"span_near clauses must share one field, got "
+                f"{sorted(fields)} (the ES contract)"
+            )
+        field = fields.pop()
+        toks = _tokens_col(_scoped_col(field, _scope))
+        if len(terms) == 1:
+            return field, _span_occ_tree(
+                {"span_term": {field: terms[0]}}, _scope
+            )[1]
+        L = len(terms)
+
+        def _positions(t):
+            idx = F.transform(
+                toks, lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+            )
+            return F.transform(
+                F.filter(idx, lambda st: st["t"] == F.lit(t)),
+                lambda st: st["i"],
+            )
+
+        bound = F.array(F.struct(*[
+            _positions(t).alias(f"p{j}") for j, t in enumerate(terms)
+        ]))
+
+        def _spans(s):
+            def _next_after(poss, after):
+                return F.array_min(F.filter(poss, lambda x: x > after))
+
+            def _end_of(p):
+                end = p
+                for j in range(1, L):
+                    end = _next_after(s[f"p{j}"], end)
+                return end
+
+            cand = F.transform(
+                s["p0"],
+                lambda p: F.struct(
+                    p.alias("s"), _end_of(p).alias("e")
+                ),
+            )
+            return F.filter(
+                cand,
+                lambda c: c["e"].isNotNull()
+                & ((c["e"] - c["s"]) <= F.lit(L - 1 + slop)),
+            )
+
+        return field, F.element_at(F.transform(bound, _spans), 1)
+    raise ValueError(
+        f"span clause {ck!r} has no occurrence-set reading "
+        "(span_term / span_or / span_near(in_order) only, PARITY #41)"
     )
 
 
@@ -10526,22 +10723,33 @@ def q_es_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_es_span_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span query family (round 16, PARITY #41): an ordered
-    span_near within slop 2 as the must, a span_first + a span_or
-    as a counted should."""
+    """Span query family (round 16 + round 17 extension, PARITY
+    #41): an ordered span_near within slop 2 plus a span_not (a
+    'fast' occurrence whose post-2 dilation overlaps no 'slow'
+    span) as the musts, a span_first + a span_or + a
+    span_containing (the fast→table chain containing a 'scan') as
+    a counted should."""
     docs = load(spark, sf_dir, "documents")
+    chain = {"span_near": {
+        "clauses": [
+            {"span_term": {"text": "fast"}},
+            {"span_term": {"text": "table"}},
+        ],
+        "slop": 2,
+        "in_order": True,
+    }}
     return search(
         docs,
         {
             "query": {"bool": {
-                "must": [{"span_near": {
-                    "clauses": [
-                        {"span_term": {"text": "fast"}},
-                        {"span_term": {"text": "table"}},
-                    ],
-                    "slop": 2,
-                    "in_order": True,
-                }}],
+                "must": [
+                    chain,
+                    {"span_not": {
+                        "include": {"span_term": {"text": "fast"}},
+                        "exclude": {"span_term": {"text": "slow"}},
+                        "post": 2,
+                    }},
+                ],
                 "should": [
                     {"span_first": {
                         "match": {"span_term": {"text": "merge"}},
@@ -10551,6 +10759,10 @@ def q_es_span_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
                         {"span_term": {"text": "window"}},
                         {"span_term": {"text": "vector"}},
                     ]}},
+                    {"span_containing": {
+                        "big": chain,
+                        "little": {"span_term": {"text": "scan"}},
+                    }},
                 ],
                 "minimum_should_match": 1,
             }},

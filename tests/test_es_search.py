@@ -6355,7 +6355,97 @@ def test_span_query_family(spark):
             {"span_term": {"text": "a"}}, {"span_term": {"other": "b"}}],
             "slop": 1, "in_order": True}})
     with pytest.raises(ValueError, match="not modeled"):
-        compile_query({"span_not": {"include": {}, "exclude": {}}})
+        compile_query({"span_multi": {"match": {
+            "prefix": {"text": "fa"}}}})
+
+
+def test_span_not_containing_within(spark):
+    """Round 17 (VERDICT r16 Next #3, PARITY #41): span_not = an
+    include-span overlapping NO exclude-span (pre/post dilation);
+    span_containing/span_within = a big-span fully containing a
+    little-span (one doc-level verdict). Overlap edge cases pinned:
+    adjacent, nested, identical spans."""
+    df = spark.createDataFrame(
+        [(1, "fast table scan"),
+         (2, "scan x fast y table"),
+         (3, "table fast"),
+         (4, "fast scan table fast x"),
+         (5, None)],
+        "id int, text string")
+
+    def ids(q):
+        return sorted(r.id for r in df.filter(_false_safe(
+            compile_query(q))).collect())
+
+    t = lambda v: {"span_term": {"text": v}}
+
+    # identical spans always overlap: include==exclude matches nothing
+    assert ids({"span_not": {"include": t("fast"),
+                             "exclude": t("fast")}}) == []
+    # a 'fast' occurrence NOT adjacent-overlapping a 'scan' span:
+    # doc1 fast@0 scan@2 (no overlap: spans are single positions),
+    # doc2 fast@2 scan@0, doc3 no scan, doc4 fast@0 scan@1 + fast@3
+    assert ids({"span_not": {"include": t("fast"),
+                             "exclude": t("scan")}}) == [1, 2, 3, 4]
+    # post=1 dilates include to touch the NEXT position — doc4's
+    # fast@0 now overlaps scan@1 but fast@3 survives; doc1's fast@0
+    # still misses scan@2
+    assert ids({"span_not": {"include": t("fast"),
+                             "exclude": t("scan"), "post": 1}}) \
+        == [1, 2, 3, 4]
+    # post=2: doc1's fast@0 now overlaps scan@2 and doc1 has no
+    # other 'fast' — drops out; doc4 keeps fast@3 (scan@1 is 2 back
+    # but pre=0)
+    assert ids({"span_not": {"include": t("fast"),
+                             "exclude": t("scan"), "post": 2}}) \
+        == [2, 3, 4]
+    # pre dilation looks backwards: doc2's fast@2 with pre=2 reaches
+    # scan@0 — but doc2 has no other fast, drops; dist = pre+post
+    assert ids({"span_not": {"include": t("fast"),
+                             "exclude": t("scan"), "pre": 2}}) \
+        == [1, 3, 4]
+    # dist=2 = pre=post=2: doc4's fast@3 dilates to [1,5] which
+    # reaches scan@1 — only the scan-free doc3 survives
+    assert ids({"span_not": {"include": t("fast"),
+                             "exclude": t("scan"), "dist": 2}}) == [3]
+    # include may be a span_near chain: 'fast...table' in-order
+    # chains overlap a 'scan' exclusion only where scan sits inside
+    chain = {"span_near": {"clauses": [t("fast"), t("table")],
+                           "slop": 2, "in_order": True}}
+    # doc1 chain [0,1] (scan@2 outside), doc2 chain [2,4] (scan@0
+    # outside), doc4 chain [0,2] contains scan@1 and no other chain
+    assert ids({"span_not": {"include": chain,
+                             "exclude": t("scan")}}) == [1, 2]
+    # containing/within: big = the chain, little = a term inside it.
+    # Nested-span case: doc4's chain [0,2] contains scan@1; doc1's
+    # chain [0,1] does NOT contain scan@2 (adjacent, not nested)
+    assert ids({"span_containing": {"big": chain,
+                                    "little": t("scan")}}) == [4]
+    assert ids({"span_within": {"little": t("scan"),
+                                "big": chain}}) == [4]
+    # identical little == big boundary: a single-term big contains
+    # the identical single-term little
+    assert ids({"span_containing": {"big": t("scan"),
+                                    "little": t("scan")}}) == [1, 2, 4]
+    # span_or union as the include set
+    assert ids({"span_not": {
+        "include": {"span_or": {"clauses": [t("fast"), t("x")]}},
+        "exclude": t("fast")}}) == [2, 4]
+    # guards: mixed fields, negative dilation, unknown keys
+    with pytest.raises(ValueError, match="one field"):
+        compile_query({"span_not": {
+            "include": {"span_term": {"text": "a"}},
+            "exclude": {"span_term": {"other": "b"}}}})
+    with pytest.raises(ValueError, match=">= 0"):
+        compile_query({"span_not": {"include": t("a"),
+                                    "exclude": t("b"), "pre": -1}})
+    with pytest.raises(ValueError, match="not modeled"):
+        compile_query({"span_not": {"include": t("a"),
+                                    "exclude": t("b"), "nope": 1}})
+    with pytest.raises(ValueError, match="occurrence-set"):
+        compile_query({"span_containing": {
+            "big": {"span_first": {"match": t("a"), "end": 2}},
+            "little": t("b")}})
 
 
 def test_match_with_fuzziness(spark):
