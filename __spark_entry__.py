@@ -6016,13 +6016,20 @@ def _all_oracle_sql() -> dict[str, str]:
                  [x FOR x IN range(1, len(t) + 1)
                     IF t[x] = 'fast'] AS p1,
                  [x FOR x IN range(1, len(t) + 1)
-                    IF t[x] = 'table'] AS p2
+                    IF t[x] = 'table'] AS p2,
+                 [x FOR x IN range(1, len(t) + 1)
+                    IF t[x] = 'slow'] AS p4,
+                 [x FOR x IN range(1, len(t) + 1)
+                    IF t[x] = 'scan'] AS p5
           FROM t
         )
         SELECT doc_id, n_chars FROM pos
         WHERE len(list_filter(p1, p ->
                 coalesce(list_min(list_filter(p2, q2 -> q2 > p)) - p
                          <= 3, FALSE))) > 0
+          AND len(list_filter(p4, p ->
+                coalesce(list_min(list_filter(p5, q5 -> q5 > p))
+                         - p - 1 <= 10, FALSE))) > 0
           AND (len(list_filter(t, x -> x LIKE 'wind%')) > 0
                OR len(list_filter(t, x -> x LIKE 'mer_e')) > 0)
         ORDER BY doc_id LIMIT 120

@@ -704,6 +704,37 @@ def _intervals_expr(col: Column, rule: dict) -> Column:
         for s in subs[1:]:
             out = out | _false_safe(_intervals_expr(col, s))
         return out
+    if k == "all_of":
+        # round 17 (VERDICT r16 Next #4): ordered all_of — the
+        # sub-rules' interval sets must appear IN ORDER (each
+        # starting after the previous ends), total between-interval
+        # gap ≤ max_gaps (< 0 / absent = unlimited). The chain walks
+        # greedily (per start, the min-END next interval — the #39
+        # span_near reading, so all_of of single-term matches is
+        # EXACTLY the flat ordered match; pinned in pytest).
+        # Unordered all_of keeps raising: Lucene's interval
+        # minimization has no expression-tree reading.
+        body = rule["all_of"]
+        extra = set(body) - {"intervals", "ordered", "max_gaps"}
+        if extra:
+            raise ValueError(
+                f"intervals all_of key {sorted(extra)[0]!r} is not "
+                "modeled (filter rules need interval algebra beyond "
+                "the ordered chain — PARITY #39)"
+            )
+        subs = body.get("intervals") or []
+        if not subs:
+            raise ValueError("all_of needs intervals")
+        if not body.get("ordered"):
+            raise ValueError(
+                "intervals all_of needs ordered:true — unordered "
+                "composition takes Lucene's interval minimization, "
+                "which has no expression-tree reading (PARITY #39)"
+            )
+        sets = [_interval_occ_set(col, s) for s in subs]
+        if len(sets) == 1:
+            return F.size(sets[0]) > 0
+        return _all_of_ordered_expr(sets, int(body.get("max_gaps", -1)))
     from .retrieval import _analyzer_spec
 
     if k == "prefix":
@@ -732,8 +763,8 @@ def _intervals_expr(col: Column, rule: dict) -> Column:
         )
     if k != "match":
         raise ValueError(
-            f"intervals {k!r}: all_of composition / fuzzy expansion "
-            "are not modeled (use match/prefix/wildcard/any_of)"
+            f"intervals {k!r}: fuzzy expansion is not modeled "
+            "(use match/prefix/wildcard/any_of/all_of)"
         )
     body = rule["match"]
     analyzer = body.get("analyzer", "whitespace")
@@ -751,6 +782,204 @@ def _intervals_expr(col: Column, rule: dict) -> Column:
             "(PARITY #39)"
         )
     return _ordered_chain_expr(toks, terms, int(body.get("max_gaps", -1)))
+
+
+def _interval_occ_set(col: Column, rule: dict) -> Column:
+    """An intervals sub-rule → ``array<struct<s int, e int>>`` of
+    its interval occurrences over 0-based token positions (round 17,
+    the all_of building block; PARITY #39): ``match`` single-term /
+    ``prefix`` / ``wildcard`` → each qualifying token position as
+    [p, p]; ``match`` multi-term (ordered, its OWN max_gaps budget)
+    → the greedy chains; ``any_of`` → the union. Nested ``all_of``
+    and ``fuzzy`` raise (one composition level — the documented
+    bound)."""
+    from .retrieval import _analyze, _analyzer_spec, _tokens_col
+
+    kinds = [k for k in rule
+             if k in ("match", "prefix", "wildcard", "any_of",
+                      "all_of", "fuzzy")]
+    if len(kinds) != 1:
+        raise ValueError(
+            f"an intervals rule takes exactly one kind, got {kinds}"
+        )
+    k = kinds[0]
+
+    def _pos_set(toks, pred):
+        idx = F.transform(
+            toks, lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+        )
+        return F.transform(
+            F.filter(idx, lambda st: pred(st["t"])),
+            lambda st: F.struct(st["i"].alias("s"), st["i"].alias("e")),
+        )
+
+    if k == "prefix":
+        analyzer = rule["prefix"].get("analyzer", "whitespace")
+        pre = str(rule["prefix"]["prefix"])
+        if _analyzer_spec(analyzer)[0] == "standard":
+            pre = pre.lower()
+        return _pos_set(
+            _tokens_col(col, analyzer),
+            lambda t: t.startswith(F.lit(pre)),
+        )
+    if k == "wildcard":
+        analyzer = rule["wildcard"].get("analyzer", "whitespace")
+        raw = str(rule["wildcard"]["pattern"])
+        if _analyzer_spec(analyzer)[0] == "standard":
+            raw = raw.lower()
+        pat = _like_escape(raw).replace("*", "%").replace("?", "_")
+        return _pos_set(
+            _tokens_col(col, analyzer), lambda t: t.like(pat)
+        )
+    if k == "any_of":
+        subs = rule["any_of"]["intervals"]
+        if not subs:
+            raise ValueError("any_of needs intervals")
+        out = _interval_occ_set(col, subs[0])
+        for s in subs[1:]:
+            out = F.concat(out, _interval_occ_set(col, s))
+        return out
+    if k != "match":
+        raise ValueError(
+            f"intervals {k!r} inside all_of: nested all_of / fuzzy "
+            "have no occurrence-set reading (one composition level "
+            "— PARITY #39)"
+        )
+    body = rule["match"]
+    analyzer = body.get("analyzer", "whitespace")
+    terms = _analyze(str(body["query"]), analyzer)
+    toks = _tokens_col(col, analyzer)
+    if not terms:
+        return F.array().cast("array<struct<s:int,e:int>>")
+    if len(terms) == 1:
+        return _pos_set(toks, lambda t: t == F.lit(terms[0]))
+    if not body.get("ordered"):
+        raise ValueError(
+            "multi-term intervals match needs ordered:true — "
+            "unordered matching takes Lucene's interval "
+            "minimization, which has no expression-tree reading "
+            "(PARITY #39)"
+        )
+    return _chain_intervals(toks, terms, int(body.get("max_gaps", -1)))
+
+
+def _chain_intervals(toks: Column, terms: list[str],
+                     max_gaps: int) -> Column:
+    """All greedy in-order occurrence chains of ``terms`` within the
+    gap budget, as ``array<struct<s int, e int>>`` — per start
+    position of the first term, the minimal completion (the #39
+    span_near reading), kept iff (e - s) ≤ len-1+max_gaps (< 0 =
+    unlimited). Position arrays bound ONCE per row (the
+    singleton-transform CSE discipline)."""
+    L = len(terms)
+
+    def _positions(t):
+        idx = F.transform(
+            toks, lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+        )
+        return F.transform(
+            F.filter(idx, lambda st: st["t"] == F.lit(t)),
+            lambda st: st["i"],
+        )
+
+    bound = F.array(F.struct(*[
+        _positions(t).alias(f"p{j}") for j, t in enumerate(terms)
+    ]))
+
+    def _spans(s):
+        def _next_after(poss, after):
+            return F.array_min(F.filter(poss, lambda x: x > after))
+
+        def _end_of(p):
+            end = p
+            for j in range(1, L):
+                end = _next_after(s[f"p{j}"], end)
+            return end
+
+        cand = F.transform(
+            s["p0"],
+            lambda p: F.struct(p.alias("s"), _end_of(p).alias("e")),
+        )
+        keep = lambda c: c["e"].isNotNull() if max_gaps < 0 else (
+            c["e"].isNotNull()
+            & ((c["e"] - c["s"]) <= F.lit(L - 1 + max_gaps))
+        )
+        return F.filter(cand, keep)
+
+    return F.element_at(F.transform(bound, _spans), 1)
+
+
+def _all_of_ordered_expr(sets: list[Column], max_gaps: int) -> Column:
+    """Does an in-order selection I1..In (one interval from each
+    set, each starting AFTER the previous ends) exist with total
+    between-interval gap ≤ ``max_gaps`` (< 0 = unlimited)? The walk
+    is greedy: per I1 candidate, each next interval is the min-END
+    candidate starting after the previous end (min start among
+    min-end ties) — the #39 reading, so all_of of single-position
+    sets reduces exactly to the flat ordered chain. All sets bound
+    ONCE per row before the scan."""
+    n = len(sets)
+    bound = F.array(F.struct(*[
+        s.alias(f"s{j}") for j, s in enumerate(sets)
+    ]))
+
+    def _next_interval(set_col, after):
+        # greedy step, candidates bound once: min-end interval
+        # starting after `after` (NULL struct fields when none)
+        return F.element_at(F.transform(
+            F.array(F.filter(set_col, lambda c: c["s"] > after)),
+            lambda cand: F.element_at(F.transform(
+                F.array(F.array_min(
+                    F.transform(cand, lambda c: c["e"])
+                )),
+                lambda em: F.struct(
+                    F.array_min(F.transform(
+                        F.filter(cand, lambda c: c["e"] == em),
+                        lambda c: c["s"],
+                    )).alias("s"),
+                    em.alias("e"),
+                ),
+            ), 1),
+        ), 1)
+
+    def _step(state, set_col):
+        # state struct<e, g> bound once, the greedy next interval
+        # bound once — the walk stays LINEAR in n (naive chaining
+        # would re-evaluate the whole prefix per reference)
+        return F.element_at(F.transform(F.array(state), lambda st:
+            F.element_at(F.transform(
+                F.array(_next_interval(set_col, st["e"])),
+                lambda nxt: F.struct(
+                    nxt["e"].alias("e"),
+                    (st["g"] + (nxt["s"] - st["e"] - F.lit(1)))
+                    .alias("g"),
+                ),
+            ), 1)), 1)
+
+    def _verdict(b):
+        def _try_start(i1):
+            state = F.struct(
+                i1["e"].alias("e"), F.lit(0).alias("g")
+            )
+            for j in range(1, n):
+                state = _step(state, b[f"s{j}"])
+
+            def _final(st):
+                ok = st["e"].isNotNull()
+                if max_gaps >= 0:
+                    ok = ok & (st["g"] <= F.lit(max_gaps))
+                return ok
+
+            return F.coalesce(
+                F.element_at(
+                    F.transform(F.array(state), _final), 1
+                ),
+                F.lit(False),
+            )
+
+        return F.exists(b["s0"], _try_start)
+
+    return F.element_at(F.transform(bound, _verdict), 1)
 
 
 def _ordered_chain_expr(toks: Column, terms: list[str],
@@ -10693,20 +10922,33 @@ def q_es_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_es_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``intervals`` query (round 16, PARITY #39): an ordered
-    max_gaps match ('fast … table' within 2 gaps — the span_near
-    greedy reading) plus an any_of of prefix/wildcard leaves as a
-    counted should."""
+    """``intervals`` query (round 16 + round 17 extension, PARITY
+    #39): an ordered max_gaps match ('fast … table' within 2 gaps —
+    the span_near greedy reading) AND an ordered ``all_of`` ('slow'
+    then 'scan' with between-interval gap ≤ 10 — the round-17 chain
+    composition, load-bearing: it halves the must set) as the
+    musts, plus an any_of of prefix/wildcard leaves as a counted
+    should."""
     docs = load(spark, sf_dir, "documents")
     return search(
         docs,
         {
             "query": {"bool": {
-                "must": [{"intervals": {"text": {"match": {
-                    "query": "fast table",
-                    "ordered": True,
-                    "max_gaps": 2,
-                }}}}],
+                "must": [
+                    {"intervals": {"text": {"match": {
+                        "query": "fast table",
+                        "ordered": True,
+                        "max_gaps": 2,
+                    }}}},
+                    {"intervals": {"text": {"all_of": {
+                        "intervals": [
+                            {"match": {"query": "slow"}},
+                            {"match": {"query": "scan"}},
+                        ],
+                        "ordered": True,
+                        "max_gaps": 10,
+                    }}}},
+                ],
                 "should": [{"intervals": {"text": {"any_of": {
                     "intervals": [
                         {"prefix": {"prefix": "wind"}},

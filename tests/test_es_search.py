@@ -6242,12 +6242,83 @@ def test_intervals_query(spark):
     with pytest.raises(ValueError, match="ordered"):
         compile_query({"intervals": {"text": {
             "match": {"query": "fast table"}}}})
-    with pytest.raises(ValueError, match="not modeled"):
+    with pytest.raises(ValueError, match="needs intervals"):
         compile_query({"intervals": {"text": {"all_of": {
             "intervals": []}}}})
     with pytest.raises(ValueError, match="exactly one"):
         compile_query({"intervals": {"text": {
             "match": {"query": "a"}, "prefix": {"prefix": "b"}}}})
+
+
+def test_intervals_all_of_ordered(spark):
+    """Round 17 (VERDICT r16 Next #4, PARITY #39): ordered all_of —
+    sub-rule intervals in order, total between-interval gap ≤
+    max_gaps; all_of of single-term matches ≡ the flat ordered
+    match (the equivalence pin); unordered all_of and nested all_of
+    raise."""
+    df = spark.createDataFrame(
+        [(1, "fast table scan merge"),
+         (2, "merge fast x y table"),
+         (3, "fast x y z table"),
+         (4, "table fast"),
+         (5, None)],
+        "id int, text string")
+
+    def ids(rule):
+        return sorted(r.id for r in df.filter(_false_safe(
+            compile_query({"intervals": {"text": rule}}))).collect())
+
+    def all_of(subs, **kw):
+        return {"all_of": {"intervals": subs, "ordered": True, **kw}}
+
+    m = lambda q: {"match": {"query": q}}
+
+    # equivalence pin: all_of(single-term matches) ≡ flat match, at
+    # every gap budget
+    for g in (0, 2, 3, -1):
+        flat = {"match": {"query": "fast table", "ordered": True,
+                          **({"max_gaps": g} if g >= 0 else {})}}
+        assert ids(all_of([m("fast"), m("table")],
+                          **({"max_gaps": g} if g >= 0 else {}))) \
+            == ids(flat), f"gap budget {g}"
+    # three-way chain with budget: fast..table..scan? only doc 1 has
+    # all three in order (fast@0 table@1 scan@2, gaps 0)
+    assert ids(all_of([m("fast"), m("table"), m("scan")],
+                      max_gaps=0)) == [1]
+    # a multi-term sub-match spends its OWN budget; the outer budget
+    # only covers between-interval gaps: doc2 'merge' then the
+    # chain fast..table (2 inner gaps) starting right after merge
+    assert ids(all_of(
+        [m("merge"),
+         {"match": {"query": "fast table", "ordered": True,
+                    "max_gaps": 2}}],
+        max_gaps=0)) == [2]
+    # same but outer budget 0 and inner 0: no doc qualifies
+    assert ids(all_of(
+        [m("merge"),
+         {"match": {"query": "fast table", "ordered": True,
+                    "max_gaps": 0}}],
+        max_gaps=0)) == []
+    # prefix / wildcard / any_of sub-rules produce position sets
+    assert ids(all_of([{"prefix": {"prefix": "mer"}}, m("fast")],
+                      max_gaps=0)) == [2]
+    # doc1 fast@0→scan@2 (gap 1), doc3 fast@0→z@3 (gap 2)
+    assert ids(all_of(
+        [m("fast"),
+         {"any_of": {"intervals": [m("scan"), m("z")]}}],
+        max_gaps=2)) == [1, 3]
+    assert ids(all_of(
+        [m("fast"),
+         {"any_of": {"intervals": [m("scan"), m("z")]}}],
+        max_gaps=1)) == [1]
+    # order matters: table before fast only in docs 2(no)/4
+    assert ids(all_of([m("table"), m("fast")])) == [4]
+    with pytest.raises(ValueError, match="ordered"):
+        ids({"all_of": {"intervals": [m("a"), m("b")]}})
+    with pytest.raises(ValueError, match="one composition level"):
+        ids(all_of([all_of([m("a"), m("b")]), m("c")]))
+    with pytest.raises(ValueError, match="not modeled"):
+        ids(all_of([m("a")], filter={"before": m("b")}))
 
 
 def test_intervals_prefix_wildcard_standard_analyzer_casing(spark):
