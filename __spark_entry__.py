@@ -1261,6 +1261,12 @@ DEMOTED: frozenset[str] = frozenset(
         #     match exactly the inner query; min_score raises
         #     (es_compound_filter keeps the wrapper family declared)
         "es_function_score",
+        # esql_sample — the ES 9.x SAMPLE command as the
+        #     random_sampler portable-hash filter, `SAMPLE p ON
+        #     field` determinism extension (VERDICT r16 Next #6,
+        #     PARITY #35; esql_events_rollup + esql_lookup_enrich
+        #     keep the ES|QL compiler declared)
+        "esql_sample",
         # --- round 17: five surface-duplicates demoted so the
         #     round-16 rows (esql_lookup_enrich, es_intervals,
         #     es_span_queries, es_ip_prefix, es_random_sampler)
@@ -1490,6 +1496,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — round 16: LOOKUP JOIN (ES 8.18) + ENRICH as broadcast
         #   dimension joins; ip_prefix subnet rollup; random_sampler —
         "esql_lookup_enrich": _mod("esql", "q_esql_lookup_enrich"),
+        "esql_sample": _mod("esql", "q_esql_sample"),
         "esql_values_top": _mod("esql", "q_esql_values_top"),
         "es_ip_prefix": _mod("es_search", "q_es_ip_prefix"),
         "es_random_sampler": _mod("es_search", "q_es_random_sampler"),
@@ -5901,11 +5908,18 @@ def _all_oracle_sql() -> dict[str, str]:
           SELECT value,
                  '10.' || CAST((user_id % 4) * 64 AS INT)
                  || '.' || CAST(user_id % 256 AS INT)
-                 || '.' || CAST(event_id % 256 AS INT) AS ip
+                 || '.' || CAST(event_id % 256 AS INT) AS ip,
+                 -- round 17: the v6 term 2001:db8::/108 over
+                 -- ip6 = '2001:db8::' || hex(u%256) || ':' ||
+                 -- hex(ev%256) (lo = (u%256)<<16 | ev%256) keeps
+                 -- exactly u%256 < 16 — the oracle spells the
+                 -- SEMANTICS; the engine parses the ::-compressed
+                 -- strings through the biased hi/lo tree
+                 user_id % 256 <= 15 AS v6ok
           FROM events
         ),
         n AS (
-          SELECT value,
+          SELECT value, v6ok,
                  TRY_CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
                + TRY_CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
                + TRY_CAST(string_split(ip, '.')[3] AS BIGINT) * 256
@@ -5923,6 +5937,7 @@ def _all_oracle_sql() -> dict[str, str]:
                  END AS bands
           FROM n
           WHERE coalesce(ipn >= 167772160 AND ipn < 176160768, FALSE)
+            AND v6ok
         )
         SELECT CAST(1 AS INT) AS level, bands, count(*) AS doc_count,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -6260,6 +6275,31 @@ def _all_oracle_sql() -> dict[str, str]:
     # DATE_TRUNC day keys, FLOOR band keys (Spark floor(double) is a
     # LONG, so the oracle casts), SUM over an exact integer cents
     # expression, the exact-decimal AVG tree, exact COUNT_DISTINCT.
+    # esql_sample (round 17, VERDICT r16 Next #6): `SAMPLE 0.25 ON
+    # event_id` = the random_sampler portable-hash filter (PARITY
+    # #35) — the oracle spells the identical first-4-hex-digit md5
+    # bucket with the fixed "0:" seed prefix.
+    q["esql_sample"] = """
+        WITH h AS (
+          SELECT event_type, value,
+                 md5('0:' || CAST(event_id AS VARCHAR)) AS hh
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ), dig AS (
+          SELECT event_type, value,
+                 (ascii(substr(hh,1,1)) - CASE WHEN ascii(substr(hh,1,1)) >= 97 THEN 87 ELSE 48 END) * 4096
+               + (ascii(substr(hh,2,1)) - CASE WHEN ascii(substr(hh,2,1)) >= 97 THEN 87 ELSE 48 END) * 256
+               + (ascii(substr(hh,3,1)) - CASE WHEN ascii(substr(hh,3,1)) >= 97 THEN 87 ELSE 48 END) * 16
+               + (ascii(substr(hh,4,1)) - CASE WHEN ascii(substr(hh,4,1)) >= 97 THEN 87 ELSE 48 END) AS v
+          FROM h
+        )
+        SELECT event_type AS etype, count(*) AS n,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM dig WHERE v % 10000 < 2500
+        GROUP BY etype ORDER BY etype LIMIT 50
+    """
+
     q["esql_events_rollup"] = """
         WITH e AS (
           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

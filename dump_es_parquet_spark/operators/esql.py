@@ -874,6 +874,50 @@ def _command(df: DataFrame, stage: list[_Tok], tables=None) -> DataFrame:
         raise ValueError(f"ES|QL {up}: {_UNSUPPORTED_COMMANDS[up]}")
     if head.kind == "ident" and head.val.upper() in ("LOOKUP", "ENRICH"):
         return _lookup_or_enrich(df, stage, tables)
+    if head.kind == "ident" and head.val.upper() == "SAMPLE":
+        # round 17 (VERDICT r16 Next #6): the ES 9.x `| SAMPLE
+        # probability` as the random_sampler portable-hash filter
+        # (PARITY #35's determinism discipline): ES samples
+        # pseudo-randomly per row, which has no deterministic lake
+        # reading, so the engine requires a doc-identity column via
+        # the `SAMPLE p ON field` extension — a row is kept iff the
+        # md5 bucket of its identity lands under p (quantized
+        # 1/10000, the hash_bucket primitive, spelled identically
+        # in the DuckDB oracle). The retired tech-preview seed form
+        # (`SAMPLE p seed`) raises.
+        if len(stage) < 2 or stage[1].kind != "num":
+            raise ValueError("ES|QL: SAMPLE <probability> ON <field>")
+        p = float(stage[1].val)
+        if not (0.0 < p < 1.0):
+            raise ValueError(
+                "ES|QL SAMPLE probability must be in (0, 1) "
+                "exclusive (the ES contract)"
+            )
+        if len(stage) == 2:
+            raise ValueError(
+                "ES|QL SAMPLE: per-row randomness has no "
+                "deterministic lake reading — name a doc-identity "
+                "column with `SAMPLE p ON field` (the random_sampler "
+                "'field' discipline, PARITY #35)"
+            )
+        if (len(stage) != 4 or stage[2].kind != "ident"
+                or stage[2].val.upper() != "ON"
+                or stage[3].kind != "ident"):
+            if len(stage) == 3 and stage[2].kind == "num":
+                raise ValueError(
+                    "ES|QL SAMPLE: the tech-preview seed argument "
+                    "was retired at GA — use `SAMPLE p ON field` "
+                    "(PARITY #35)"
+                )
+            raise ValueError("ES|QL: SAMPLE <probability> ON <field>")
+        from .sampling import hash_bucket
+
+        key = F.concat(
+            F.lit("0:"), F.col(stage[3].val).cast("string")
+        )
+        return df.filter(
+            hash_bucket(key) < F.lit(int(round(p * 10_000)))
+        )
     if head.kind == "kw" and head.val == "WHERE":
         p = _ExprParser(stage, 1)
         cond = p.parse()
@@ -1473,6 +1517,30 @@ def q_esql_lookup_enrich(spark, sf_dir: str) -> DataFrame:
         | STATS n = COUNT(*), acct_cents = SUM(cents)
             BY nation = n_name, region = region_name
         | SORT nation
+        """,
+    )
+
+
+def q_esql_sample(spark, sf_dir: str) -> DataFrame:
+    """Oracle row (round 17, VERDICT r16 Next #6): the ES 9.x
+    ``SAMPLE`` command under the engine's deterministic reading —
+    a 25% portable-hash sample keyed on event_id (``SAMPLE 0.25 ON
+    event_id``, the random_sampler 'field' discipline, PARITY #35)
+    feeding a STATS rollup; the oracle spells the identical md5
+    bucket."""
+    from .tables import load
+
+    return esql(
+        {"events": load(spark, sf_dir, "events")},
+        """
+        FROM events
+        | WHERE event_type IS NOT NULL AND value IS NOT NULL
+        | SAMPLE 0.25 ON event_id
+        | EVAL cents = TO_LONG(FLOOR(value * 100))
+        | STATS n = COUNT(*), total_cents = SUM(cents)
+            BY etype = event_type
+        | SORT etype
+        | LIMIT 50
         """,
     )
 

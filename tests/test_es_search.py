@@ -5589,6 +5589,59 @@ def test_compound_filter_context_reductions(spark):
         ids({"dis_max": {"queries": []}})
 
 
+def test_ipv6_term_terms_range(spark):
+    """Round 17 (VERDICT r16 Next #5, PARITY #30): IPv6 in the ip
+    family — CIDR masks via the biased hi/lo two-long /64 split
+    reading ('::' compression handled structurally, case folded),
+    terms lists mixing v4 and v6 masks, lexicographic hi/lo range
+    bounds; exact terms stay textual; v4 values parse NULL in the
+    v6 tree (the mixed-column contract)."""
+    df = spark.createDataFrame(
+        [(1, "2001:db8::1"), (2, "2001:DB8::FFFF"),
+         (3, "2001:db8:0:1::1"), (4, "10.0.0.1"), (5, "fe80::1"),
+         (6, None), (7, "cafe:beef"), (8, "a::b::c"),
+         (9, "2001:0db8:0000:0000:0000:0000:0000:0001")],
+        "id int, ip string")
+
+    def ids(q):
+        return sorted(r.id for r in df.filter(_false_safe(
+            compile_query(q))).collect())
+
+    # /64 boundary cases: prefix < 64 (hi band), = 64 (hi band),
+    # > 64 (hi pinned + lo band), 128 (exact), 0 (any valid v6)
+    assert ids({"term": {"ip": "2001:db8::/32"}}) == [1, 2, 3, 9]
+    assert ids({"term": {"ip": "2001:db8::/64"}}) == [1, 2, 9]
+    assert ids({"term": {"ip": "2001:db8::/112"}}) == [1, 2, 9]
+    assert ids({"term": {"ip": "2001:db8::1/128"}}) == [1, 9]
+    assert ids({"term": {"ip": "::/0"}}) == [1, 2, 3, 5, 9]
+    # non-base address masks to its network (ES non-strict)
+    assert ids({"term": {"ip": "2001:db8::abcd/112"}}) == [1, 2, 9]
+    # exact terms are TEXTUAL (the documented bound)
+    assert ids({"term": {"ip": "2001:db8::1"}}) == [1]
+    assert ids({"term": {"ip": "cafe:beef"}}) == [7]
+    # terms: v4 + v6 masks in one list
+    assert ids({"terms": {"ip": ["10.0.0.0/8", "fe80::/10"]}}) \
+        == [4, 5]
+    # range: lexicographic over (hi, lo); a CIDR lte bound takes
+    # its band end
+    assert ids({"range": {"ip": {"gte": "2001:db8::1",
+                                 "lt": "2001:db8::ffff"}}}) == [1, 9]
+    assert ids({"range": {"ip": {"lte": "2001:db8::/64"}}}) \
+        == [1, 2, 9]
+    assert ids({"range": {"ip": {"gt": "2001:db8::ffff"}}}) == [3, 5]
+    # mixed v4/v6 bounds raise; malformed masks raise
+    with pytest.raises(ValueError, match="mix"):
+        compile_query({"range": {"ip": {
+            "gte": "10.0.0.0", "lt": "2001:db8::"}}})
+    with pytest.raises(ValueError, match="out of range"):
+        compile_query({"term": {"ip": "2001:db8::/129"}})
+    with pytest.raises(ValueError, match="bad IPv6"):
+        compile_query({"term": {"ip": "2001:db8::1::2/64"}})
+    # a '/'-bearing value that fails the hex-group shape stays plain
+    # string equality (the path-term rule), never a silent band
+    assert ids({"term": {"ip": "2001:db8::zz/64"}}) == []
+
+
 def test_function_score_script_score_reductions(spark):
     """Round 17 (VERDICT r16 Next #2, PARITY #43): function_score /
     script_score match EXACTLY their inner query in filter context —
@@ -5752,8 +5805,11 @@ def test_ip_cidr_and_ip_range(spark):
     # a CIDR range bound takes its band edge
     assert ids({"range": {"ip": {"gte": "10.0.0.0/8",
                                  "lte": "10.255.255.255"}}}) == [1, 2, 3]
+    # round 17: IPv6 masks no longer raise — they take the hi/lo
+    # two-long band (test_ipv6_term_terms_range); the v4-mapped
+    # dotted-tail form is the remaining loud raise
     with pytest.raises(ValueError):
-        compile_query({"term": {"ip": "2001:db8::/32"}})
+        compile_query({"term": {"ip": "::ffff:1.2.3.4/96"}})
     # shape-like but VALUE-invalid masks (octet >255, prefix >32) are
     # NOT addresses — they stay plain string equality per the
     # _is_cidr_like contract (round 16, ADVICE): a keyword value like

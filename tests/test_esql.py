@@ -465,6 +465,33 @@ def test_esql_function_table_round16(spark):
         esql({"t": df}, 'FROM t | EVAL x = DATE_DIFF("fortnight", t0, t1)')
 
 
+def test_esql_sample(spark):
+    """Round 17 (VERDICT r16 Next #6, PARITY #35): SAMPLE = the
+    deterministic portable-hash filter keyed by `ON field`;
+    deterministic across runs, ~p of the rows; the plain ES form
+    (no ON), the retired seed form, and out-of-range probabilities
+    raise."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(400)], "id int, v double")
+    q = 'FROM t | SAMPLE 0.25 ON id | STATS n = COUNT(*)'
+    a = esql({"t": df}, q).collect()[0].n
+    b = esql({"t": df}, q).collect()[0].n
+    assert a == b  # deterministic
+    assert abs(a - 100) < 40  # ~25% of 400
+    # sampled ids are a SUBSET (a filter, not a reshuffle)
+    ids = {r.id for r in esql(
+        {"t": df}, 'FROM t | SAMPLE 0.5 ON id').collect()}
+    assert ids < set(range(400)) and len(ids) > 100
+    with pytest.raises(ValueError, match="deterministic lake"):
+        esql({"t": df}, 'FROM t | SAMPLE 0.25')
+    with pytest.raises(ValueError, match="seed"):
+        esql({"t": df}, 'FROM t | SAMPLE 0.25 42')
+    with pytest.raises(ValueError, match="probability"):
+        esql({"t": df}, 'FROM t | SAMPLE 1.5 ON id')
+    with pytest.raises(ValueError, match="SAMPLE <probability>"):
+        esql({"t": df}, 'FROM t | SAMPLE 0.25 ON 7')
+
+
 def test_esql_mv_sort_order_arg(spark):
     """ADVICE r16: MV_SORT honors its optional "ASC"/"DESC" literal
     order argument (case-insensitive) instead of silently dropping

@@ -528,6 +528,9 @@ PINNED_FINGERPRINTS = {
     # THE SCAN (no pre-shuffle); the sub-tree is the agg-tree class +
     # the scaled-doc_count projection
     "es_random_sampler": {"exchange": 4},
+    # SAMPLE = a plain hash filter before the STATS rollup — one
+    # partial-agg shuffle, the sample itself shuffles nothing
+    "esql_sample": {"exchange": 1},
     # combined_fields + the feature-query exists() reductions are
     # plain Catalyst filters + a TakeOrdered page — the zero-shuffle
     # query-DSL class
