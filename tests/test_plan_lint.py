@@ -281,9 +281,9 @@ PINNED_FINGERPRINTS = {
     # geohash_grid: the bit-interleave is a pure projection — one
     # rollup + the survival-window exchange + the oracle orderBy,
     # the same bucket-frame class as every other agg tree
-    "es_geohash_grid": {"exchange": 3},
+    "es_geohash_grid": {"exchange": 4},  # +1 r17 fan_out
     # geotile: same pure-projection bucket class as geohash
-    "es_geotile_grid": {"exchange": 3},
+    "es_geotile_grid": {"exchange": 4},  # +1 r17 fan_out
     # nested agg: one explode (Generate) before the same rollup +
     # window + orderBy class — the re-basing adds no exchange
     "es_nested_agg": {"exchange": 3},
@@ -332,7 +332,7 @@ PINNED_FINGERPRINTS = {
     "es_significant_heuristics": {"exchange": 8, "bnlj": 4},
     # categorize_text (round 14): the skeleton is a key expression —
     # the one-rollup bucket-frame class
-    "es_categorize_text": {"exchange": 4},
+    "es_categorize_text": {"exchange": 5},  # +1 r17 fan_out
     # composite missing_bucket (round 14): the null-aware cursor is
     # a scan filter — one groupBy exchange + TakeOrdered, the
     # composite page class
@@ -340,7 +340,7 @@ PINNED_FINGERPRINTS = {
     # nested-inside-nested aggregation (round 14): TWO scan-side
     # Generates feed the same one-rollup bucket-frame class — no
     # extra shuffle over the single-nested rows
-    "es_nested_inside_nested": {"exchange": 4},
+    "es_nested_inside_nested": {"exchange": 5},  # +1 r17 fan_out
     # has_parent + inner_hits (round 14): ONE equi-join of the
     # filtered parent projection (broadcast at this SF) + the
     # presentation sort
@@ -514,7 +514,7 @@ PINNED_FINGERPRINTS = {
     # ip_range: the octet-split key + CIDR filter are plain
     # expressions in the one rollup — the agg-tree class minus the
     # pipeline window
-    "es_ip_range": {"exchange": 3},
+    "es_ip_range": {"exchange": 4},  # +1 r17 fan_out
     # composite geotile source: one groupBy over the tile key with
     # the after filter below it — the composite page class
     "es_composite_geotile": {"exchange": 1},
@@ -536,11 +536,11 @@ PINNED_FINGERPRINTS = {
     "esql_lookup_enrich": {"exchange": 2, "bhj": 2},
     # ip_prefix: the subnet key is a pure octet-arithmetic projection
     # — the agg-tree class (rollup + the two frame windows)
-    "es_ip_prefix": {"exchange": 3},
+    "es_ip_prefix": {"exchange": 4},  # +1 r17 fan_out
     # random_sampler: the sample predicate is a plain md5 filter ON
     # THE SCAN (no pre-shuffle); the sub-tree is the agg-tree class +
     # the scaled-doc_count projection
-    "es_random_sampler": {"exchange": 4},
+    "es_random_sampler": {"exchange": 5},  # +1 r17 fan_out
     # SAMPLE = a plain hash filter before the STATS rollup — one
     # partial-agg shuffle, the sample itself shuffles nothing
     "esql_sample": {"exchange": 1},
@@ -554,13 +554,13 @@ PINNED_FINGERPRINTS = {
     "es_terms_lookup": {},
     # intervals: the once-bound position-array chain is a pure
     # projection + TakeOrdered page — the zero-shuffle span class
-    "es_intervals": {},
+    "es_intervals": {"exchange": 1},  # +1 r17 fan_out
     # VALUES/TOP: one groupBy (collect_set/list are partial-merge
     # aggregates) + the TakeOrdered page — the ES|QL rollup class
     "esql_values_top": {"exchange": 1},
     # span family: once-bound position chains are pure projections +
     # the TakeOrdered page — the zero-shuffle span class
-    "es_span_queries": {},
+    "es_span_queries": {"exchange": 1},  # +1 r17 fan_out
     # match+fuzziness: per-token levenshtein exists() is a pure
     # projection — the zero-shuffle query-DSL class
     "es_match_fuzzy": {},
