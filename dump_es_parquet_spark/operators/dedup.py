@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dump_es_parquet_spark.operators.tables import load
+from dump_es_parquet_spark.operators.tables import load, one_slice_frame
 
 SHINGLE_K = 3  # word n-gram size
 MINHASHES = 8
@@ -933,7 +933,8 @@ def embedding_ivf_candidates(
         )
     else:
         cents_one_row = (
-            e.sparkSession.createDataFrame(
+            one_slice_frame(
+                e.sparkSession,
                 [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cents_rows],
                 "cid int, cv array<double>",
             )
@@ -1343,8 +1344,15 @@ def _min_labels_driver_union_find(pairs: DataFrame) -> DataFrame:
     minimum).  Produces the identical (node, label) map the
     distributed fixpoint converges to, with zero checkpoint I/O and
     two jobs total (the collect + the local-relation scan)."""
-    spark = pairs.sparkSession
-    id_type = pairs.schema["id_a"].dataType
+    return _min_labels_union_find_rows(
+        pairs.sparkSession, pairs.collect(), pairs.schema["id_a"].dataType
+    )
+
+
+def _min_labels_union_find_rows(spark, edge_rows, id_type) -> DataFrame:
+    """Driver union-find over already-collected (id_a, id_b) rows —
+    split out so the adaptive router can reuse its ONE bounded
+    collect instead of running a count job first."""
     parent: dict = {}
 
     def find(x):
@@ -1355,7 +1363,7 @@ def _min_labels_driver_union_find(pairs: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for ida, idb in pairs.collect():
+    for ida, idb in edge_rows:
         ra, rb = find(ida), find(idb)
         if ra != rb:
             # attach the larger root under the smaller: roots stay the
@@ -1368,7 +1376,15 @@ def _min_labels_driver_union_find(pairs: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("node", id_type), T.StructField("label", id_type)]
     )
-    return spark.createDataFrame(rows, schema)
+    # ONE slice: a pickled-local frame launches a Python runner PER
+    # PARTITION at every materialization (~150 ms each, and each
+    # consumer of the label map re-materializes it) — 32 slices cost
+    # two 0.4-0.6 s 32-task stages per downstream join (measured in
+    # mm_binary_clusters); the label map is driver-built and bounded,
+    # one runner is the right shape.
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
 
 
 def _component_min_labels(pairs: DataFrame) -> DataFrame:
@@ -1410,9 +1426,16 @@ def _component_min_labels(pairs: DataFrame) -> DataFrame:
     # is pure scheduler overhead (measured 16 s -> ~3 s at sf0.1,
     # 64-partition rounds over ~500-row edge sets). ~500k edges per
     # partition keeps round tasks meaningful at any scale.
+    # ONE bounded probe job instead of count-then-collect: a LIMIT of
+    # bound+1 rows either returns the COMPLETE edge set (≤ bound — the
+    # union-find path) or proves it is large; only the large path then
+    # pays the exact count that sizes the fixpoint's shuffle width.
+    head = pairs.limit(SMALL_EDGE_UNION_FIND + 1).collect()
+    if len(head) <= SMALL_EDGE_UNION_FIND:
+        return _min_labels_union_find_rows(
+            spark, head, pairs.schema["id_a"].dataType
+        )
     n_edges = pairs.count()  # pairs is caller-cached; this is cheap
-    if n_edges <= SMALL_EDGE_UNION_FIND:
-        return _min_labels_driver_union_find(pairs)
     _ensure_checkpoint_dir(spark)
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     fix_p = max(1, min(int(prev_sp), (n_edges // 500_000) + 1))

@@ -225,6 +225,15 @@ def phash_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, phash): Arrow-batched real dHash over binary payloads
     via ``mapInPandas`` — the decode+hash stage of the multimodal dedup
     path. Memory is bounded by Arrow batch size, never partition size."""
+    from .tables import fan_out
+
+    # ship only what the hash reads (guide §4.1 — Spark cannot see
+    # which columns an opaque mapInPandas touches), and fan a
+    # parallelism-starved scan across the executor width before the
+    # Python stage (measured: the 2-partition union ran the whole
+    # corpus dHash in 2 tasks); a no-op at scale, so payloads are
+    # never shuffled when the scan is already wide
+    d = fan_out(d, "doc_id", "payload")
     dhash = _make_dhash()
 
     def _sig(batches):
@@ -271,7 +280,11 @@ def binary_dup_clusters(
         labels = _component_min_labels(pairs)
     finally:
         pairs.unpersist()
-    return d.join(
+    # join the labels onto ids ONLY: the payload column is dropped by
+    # the select anyway, and keeping it in the join re-builds every
+    # payload byte just to discard it (measured 2×0.44 s re-scans in
+    # the audit's a/b consumers)
+    return d.select("doc_id").join(
         labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     ).select(
         "doc_id",

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dump_es_parquet_spark.operators.tables import load
+from dump_es_parquet_spark.operators.tables import load, one_slice_frame
 
 
 def token_offsets(
@@ -62,7 +62,7 @@ def token_offsets(
         bases.append((r["_pid"], base))
         base += r["_t"]
     base_df = F.broadcast(
-        spark.createDataFrame(bases, "_pid int, _base long")
+        one_slice_frame(spark, bases, "_pid int, _base long")
     )
     return (
         local.join(base_df, "_pid")

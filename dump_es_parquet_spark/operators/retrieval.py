@@ -54,7 +54,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dump_es_parquet_spark.operators.tables import load
+from dump_es_parquet_spark.operators.tables import load, one_slice_frame
 
 #: Lucene defaults. K1_PLUS_1 / ONE_MINUS_B are spelled as LITERALS —
 #: never computed as ``K1 + 1.0`` — because the oracle SQL parses the
@@ -548,7 +548,7 @@ def bm25_topk_batch(
     ).where(F.col("term") != "")
     terms = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
     term_set = F.broadcast(
-        docs.sparkSession.createDataFrame([(t,) for t in terms], "term string")
+        one_slice_frame(docs.sparkSession, [(t,) for t in terms], "term string")
     )
 
     n_docs, total_dl, dfs = corpus_term_stats(docs, terms, text_col)
@@ -563,7 +563,7 @@ def bm25_topk_batch(
     )
     idf_rows = [(t, float(_idf_ppm(n_docs, dfs[t]))) for t in terms if dfs[t] > 0]
     idf = F.broadcast(
-        docs.sparkSession.createDataFrame(idf_rows, "term string, idf_ppm double")
+        one_slice_frame(docs.sparkSession, idf_rows, "term string, idf_ppm double")
     )
     scored = (
         postings.join(idf, "term")
@@ -622,7 +622,8 @@ def rank_eval(
     |queries|·k and the judgment count — never the corpus."""
     spark = docs.sparkSession
     disc = F.broadcast(
-        spark.createDataFrame(
+        one_slice_frame(
+            spark,
             [(r, 1.0 / math.log2(r + 1)) for r in range(1, k + 1)],
             "rank int, disc double",
         )
@@ -812,7 +813,7 @@ def bm25_topk_from_store(
         (t, float(_idf_ppm(n_docs, dfs[t]))) for t in terms if dfs.get(t)
     ]
     idf = F.broadcast(
-        spark.createDataFrame(idf_rows, "term string, idf_ppm double")
+        one_slice_frame(spark, idf_rows, "term string, idf_ppm double")
     )
     postings = spark.read.parquet(f"{store}/postings").where(
         F.col("term").isin(terms)
@@ -867,7 +868,7 @@ def bm25_topk_batch_from_store(
     }
     idf_rows = [(t, float(_idf_ppm(n_docs, dfs[t]))) for t in terms if dfs.get(t)]
     idf = F.broadcast(
-        spark.createDataFrame(idf_rows, "term string, idf_ppm double")
+        one_slice_frame(spark, idf_rows, "term string, idf_ppm double")
     )
     postings = spark.read.parquet(f"{store}/postings").where(
         F.col("term").isin(terms)
@@ -1158,8 +1159,8 @@ def q_corpus_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     2). Also the batch BM25 path's first oracle row: DuckDB rebuilds
     each query's ranking from the same exact-integer statistics."""
     docs = load(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        RANK_EVAL_QUERIES, "query_id long, query_text string"
+    queries = one_slice_frame(
+        spark, RANK_EVAL_QUERIES, "query_id long, query_text string"
     )
     qids = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("query_id")
     ratings = (
@@ -1974,7 +1975,7 @@ def phrase_suggest(
     # last, lastc, score) and never exceeds beam·per_token rows
     beam = max(size, per_token)
     tt = F.lit(total).cast("double")
-    ph = spark.createDataFrame(cands[0], "w string, wc long").select(
+    ph = one_slice_frame(spark, cands[0], "w string, wc long").select(
         F.col("w").alias("phrase"),
         F.col("w").alias("last"),
         F.col("wc").alias("lastc"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dump_es_parquet_spark.operators.tables import load
+from dump_es_parquet_spark.operators.tables import load, one_slice_frame
 
 
 def _hex_digit(h: Column, pos: int) -> Column:
@@ -154,7 +154,8 @@ def budget_mix(
     """
     from pyspark.sql.window import Window
 
-    b = df.sparkSession.createDataFrame(
+    b = one_slice_frame(
+        df.sparkSession,
         [(g, int(n)) for g, n in sorted(budgets.items())],
         f"{group_col} string, budget bigint",
     )
@@ -192,8 +193,8 @@ def mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         for g, w in MIX_WEIGHTS.items()
     }
     kept = budget_mix(d, "lang", "doc_id", "n_chars", budgets)
-    b = spark.createDataFrame(
-        sorted(budgets.items()), "lang string, budget bigint"
+    b = one_slice_frame(
+        spark, sorted(budgets.items()), "lang string, budget bigint"
     )
     return (
         kept.groupBy("lang")

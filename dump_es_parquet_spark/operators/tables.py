@@ -86,6 +86,20 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 _fan_seq = itertools.count()
 
 
+def one_slice_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """Bounded driver-built rows → a ONE-slice frame. A pickled-local
+    frame launches a Python runner PER PARTITION at every
+    materialization (~150 ms each), and ``createDataFrame`` on a bare
+    list slices it ``defaultParallelism`` ways — a 32-slice broadcast
+    side costs two 0.4-0.6 s 32-task stages per consumer (measured on
+    the dedup label map). One slice = one runner. Callers must pass
+    type-exact rows (the RDD path skips the list path's per-row
+    schema verification)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), 1), schema
+    )
+
+
 def _scan_splits_at_least(df: DataFrame, n: int) -> bool:
     """True when ``df``'s scan already has >= ``n`` input splits —
     the planner's own file-split math (ceil(bytes/maxPartitionBytes)
