@@ -27,6 +27,7 @@ operator hash-matches its SQL oracle exactly.
 
 from __future__ import annotations
 
+import itertools
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -51,6 +52,25 @@ def _lazy_barrier(df: DataFrame) -> DataFrame:
     scoped lifetime (``dedup_corpus``) pass a cache-tracking barrier
     and unpersist explicitly."""
     return df.localCheckpoint(eager=False)
+
+
+_barrier_seq = itertools.count()
+
+
+def _inline_barrier(df: DataFrame) -> DataFrame:
+    """Optimizer barrier WITHOUT materialization: an ``observe()``
+    CollectMetrics node, which CollapseProject cannot merge across
+    (verified: the md5 arrays stay bound once in the optimized plan).
+    Unlike ``_lazy_barrier`` it triggers no physical planning at
+    construction (a lazy ``localCheckpoint`` plans its whole subtree
+    when CALLED — ~0.5 s per barrier on the signature trees) and
+    persists nothing — so it is only correct where the barriered
+    frame has ONE downstream consumer; multi-consumer sites keep the
+    materializing barrier or the compute runs once per consumer."""
+    return df.observe(
+        f"dedup_barrier_{next(_barrier_seq)}",
+        F.count(F.lit(1)).alias("rows"),
+    )
 
 
 def _ensure_checkpoint_dir(spark: SparkSession) -> None:
@@ -192,7 +212,9 @@ def ngram_jaccard_pairs_for(
     )
 
 
-def minhash_signatures(d: DataFrame, barrier=_lazy_barrier) -> DataFrame:
+def minhash_signatures(
+    d: DataFrame, barrier=_lazy_barrier, single_use: bool = False
+) -> DataFrame:
     """Per-doc MinHash signature: 8 minima over 32-bit hash slices.
 
     Two md5s per shingle ("0|s", "1|s"), each split into four 8-hex-char
@@ -204,7 +226,11 @@ def minhash_signatures(d: DataFrame, barrier=_lazy_barrier) -> DataFrame:
 
     ``barrier`` is the materialization cut for that first projection —
     lazy localCheckpoint by default; ``dedup_corpus`` passes a tracked
-    ``cache`` so it can unpersist when done."""
+    ``cache`` so it can unpersist when done. ``single_use``: the
+    caller consumes the signature frame exactly once — the default
+    barrier then degrades to the non-materializing ``observe`` form
+    (same md5-bound-once property, none of the construction-time
+    planning or block storage)."""
     sh = shingles_col()
 
     def _md5_fn(prefix):
@@ -213,6 +239,8 @@ def minhash_signatures(d: DataFrame, barrier=_lazy_barrier) -> DataFrame:
     def _md5_arr(src_idx):
         return F.transform(sh, _md5_fn(f"{src_idx}|"))
 
+    if single_use and barrier is _lazy_barrier:
+        barrier = _inline_barrier
     hashed = barrier(
         d.select("doc_id", _md5_arr(0).alias("h0"), _md5_arr(1).alias("h1"))
     )
@@ -291,7 +319,9 @@ def minhash_lsh_pairs_for(
     texts all hashing identically) is bounded IN the operator
     (VERDICT r08 Next #3): buckets above ``max_bucket`` degrade to a
     linear star expansion — see :func:`_verified_band_pairs`."""
-    sig = minhash_signatures(d, barrier)
+    # single_use: sig feeds the band table exactly once (the verify
+    # join reads the shingle barrier, not sig)
+    sig = minhash_signatures(d, barrier, single_use=True)
     bands = minhash_band_table(sig)
     return _verified_band_pairs(d, bands, threshold, barrier, max_bucket)
 
@@ -504,7 +534,11 @@ def dedup_incremental(
         )
     spark = new_d.sparkSession
     sig_new = minhash_signatures(new_d, barrier)
-    sig_new = barrier(minhash_band_table(sig_new).join(sig_new, "doc_id"))
+    # the joined band+signature frame has ONE consumer (hist_match):
+    # the inline barrier keeps the band fold from re-inlining without
+    # a construction-time planning pass or block storage
+    _bar2 = _inline_barrier if barrier is _lazy_barrier else barrier
+    sig_new = _bar2(minhash_band_table(sig_new).join(sig_new, "doc_id"))
     hist = spark.read.parquet(store_path)
     if history_filter is not None:
         hist = hist.filter(history_filter)

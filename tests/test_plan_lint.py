@@ -154,7 +154,7 @@ PINNED_FINGERPRINTS = {
     # fingerprints run against a warm store, which is deterministic
     # because the store build happens at query-construction time.
     "corpus_dup_clusters": {"exchange": 5, "smj": 1},
-    "corpus_dedup_incremental": {"exchange": 6, "bhj": 3, "smj": 2},
+    "corpus_dedup_incremental": {"exchange": 7, "bhj": 4, "smj": 2},
     # round-8 improvement: k_eff and n_hits come from one left-join
     # aggregate, so the brute-force ground truth is planned once
     "sim_ivf_recall": {"exchange": 8, "bhj": 1, "smj": 1, "bnlj": 3},
