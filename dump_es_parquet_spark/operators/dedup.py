@@ -27,14 +27,17 @@ operator hash-matches its SQL oracle exactly.
 
 from __future__ import annotations
 
-import itertools
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dump_es_parquet_spark.operators.tables import load, one_slice_frame
+from dump_es_parquet_spark.operators.tables import (
+    _stable_metric_name,
+    load,
+    one_slice_frame,
+)
 
 SHINGLE_K = 3  # word n-gram size
 MINHASHES = 8
@@ -54,9 +57,6 @@ def _lazy_barrier(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
-_barrier_seq = itertools.count()
-
-
 def _inline_barrier(df: DataFrame) -> DataFrame:
     """Optimizer barrier WITHOUT materialization: an ``observe()``
     CollectMetrics node, which CollapseProject cannot merge across
@@ -66,9 +66,16 @@ def _inline_barrier(df: DataFrame) -> DataFrame:
     when CALLED — ~0.5 s per barrier on the signature trees) and
     persists nothing — so it is only correct where the barriered
     frame has ONE downstream consumer; multi-consumer sites keep the
-    materializing barrier or the compute runs once per consumer."""
+    materializing barrier or the compute runs once per consumer.
+
+    The metric name is the input's ``semanticHash`` (NOT a counter):
+    the name is part of plan canonicalization, so a unique-per-call
+    name would make every re-construction of the same query a
+    different canonical plan and defeat downstream ``persist()``
+    cache matching across a query's warm runs (see
+    ``tables._stable_metric_name``)."""
     return df.observe(
-        f"dedup_barrier_{next(_barrier_seq)}",
+        _stable_metric_name("dedup_barrier", df),
         F.count(F.lit(1)).alias("rows"),
     )
 

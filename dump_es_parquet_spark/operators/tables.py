@@ -3,8 +3,6 @@
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -81,9 +79,20 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
-#: unique CollectMetrics names — observe() names must not collide
-#: within one query, and a query may fan out several inputs
-_fan_seq = itertools.count()
+def _stable_metric_name(prefix: str, df: DataFrame) -> str:
+    """Deterministic CollectMetrics name for ``df.observe(...)``.
+
+    The name participates in plan canonicalization, so a
+    globally-unique counter name makes every construction of the same
+    query a DIFFERENT canonical plan — downstream ``persist()`` never
+    matches the SQL cache across re-constructions (measured:
+    es_frequent_item_sets 0.73 s -> 1.83 s in-bench when the counter
+    name defeated the warm-run cache hit). ``semanticHash`` is the
+    canonicalized-plan hash: identical inputs name identically
+    (cache-friendly), different inputs differ (observe raises on
+    same-name-different-result within one query, so names MUST track
+    semantics)."""
+    return f"{prefix}_{df.semanticHash() & 0xFFFFFFFF:08x}"
 
 
 def one_slice_frame(spark: SparkSession, rows, schema) -> DataFrame:
@@ -174,5 +183,6 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
         return df
     out = df.select(*cols) if cols else df
     return out.repartition(n).observe(
-        f"fan_out_{next(_fan_seq)}", F.count(F.lit(1)).alias("rows")
+        _stable_metric_name("fan_out", out),
+        F.count(F.lit(1)).alias("rows"),
     )

@@ -135,7 +135,9 @@ PINNED_FINGERPRINTS = {
     # oversized-bucket stats) from the degenerate-bucket guard
     # (VERDICT r08 Next #3)
     "dedup_simhash": {"exchange": 3, "bhj": 2},
-    "dedup_minhash_lsh": {"exchange": 3, "bhj": 2},
+    # r17: +1 exchange — the _par keyed repartition that keeps the
+    # CPU-dense shingle/md5 stage off the single-split scan task
+    "dedup_minhash_lsh": {"exchange": 4, "bhj": 2},
     "corpus_packing": {"exchange": 2, "bhj": 1},
     "q21_waiting_supplier_shape": {"exchange": 7, "bhj": 3, "smj": 1},
     "q7_nation_volume": {"exchange": 2, "bhj": 5},
