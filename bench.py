@@ -26,6 +26,87 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 RETRY_FACTOR = 2.0
 RETRY_FLOOR_S = 0.15
 
+#: Cross-query contamination control (VERDICT r17 Next #1): this box
+#: has documented multi-minute host degradation phases (80-97% kernel
+#: sys CPU, steal to 17%) that inflate memory-heavy queries 5-20x while
+#: the retry heuristic is blind to a phase spanning a query's warm-up
+#: AND timed runs. Two independent detectors mark (never alter) the
+#: timings: the control query re-timed every CONTROL_EVERY queries,
+#: and the /proc/stat sys/steal share of each query's own timed window.
+CONTROL_QUERY = "q1_pricing_summary"
+CONTROL_EVERY = 5
+CONTROL_FACTOR = 2.0
+CONTROL_MARGIN_S = 0.3
+SYS_PCT_SUSPECT = 0.35
+STEAL_PCT_SUSPECT = 0.05
+
+
+def read_cpu_stat():
+    """(busy+idle total, sys-like, steal) jiffies from /proc/stat's
+    aggregate cpu line; None when unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(x) for x in parts[1:9]]
+        # user nice system idle iowait irq softirq steal
+        return sum(vals), vals[2] + vals[5] + vals[6], vals[7]
+    except Exception:
+        return None
+
+
+def cpu_window(before, after):
+    """sys/steal share of ALL cpu time between two read_cpu_stat()
+    snapshots — the documented degradation-phase signature is 80-97%
+    sys with steal spikes to 17%; healthy Spark load on this box stays
+    well under SYS_PCT_SUSPECT."""
+    if before is None or after is None:
+        return None
+    dt = after[0] - before[0]
+    if dt <= 0:
+        return None
+    return {
+        "sys_pct": round((after[1] - before[1]) / dt, 3),
+        "steal_pct": round((after[2] - before[2]) / dt, 3),
+    }
+
+
+def control_flags(samples, names):
+    """Queries whose timed window a control spike brackets.
+
+    ``samples``: ordered [(n_queries_done_when_sampled, seconds)];
+    ``names``: query names in run order. A sample above
+    max(CONTROL_FACTOR x floor, floor + CONTROL_MARGIN_S) — floor =
+    the run's own minimum control time — flags every query between the
+    neighboring control samples (the spike may have started after the
+    previous sample and persisted past this one)."""
+    if len(samples) < 2:
+        return set()
+    floor = min(s for _, s in samples)
+    thr = max(CONTROL_FACTOR * floor, floor + CONTROL_MARGIN_S)
+    flagged: set = set()
+    for j, (k, s) in enumerate(samples):
+        if s <= thr:
+            continue
+        lo = samples[j - 1][0] if j > 0 else 0
+        hi = samples[j + 1][0] if j + 1 < len(samples) else len(names)
+        flagged.update(names[lo:hi])
+    return flagged
+
+
+def cpu_flags(windows):
+    """Queries whose own timed window shows the kernel-time signature."""
+    return {
+        name
+        for name, w in windows.items()
+        if w
+        and (
+            w["sys_pct"] >= SYS_PCT_SUSPECT
+            or w["steal_pct"] >= STEAL_PCT_SUSPECT
+        )
+    }
+
 
 def needs_retry(steady: float, warmup: float) -> bool:
     """True when a steady-state time smells like a transient load spike:
@@ -111,11 +192,34 @@ def main() -> int:
     extra_timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     retried: list[str] = []
+    cpu_windows: dict[str, dict | None] = {}
+    control_samples: list[tuple[int, float]] = []
+    run_order: list[str] = []
     total = 0.0
+
+    def run_control(n_done: int) -> None:
+        # the control run replicates a query's steady conditions
+        # (cache just cleared by the previous finally) and is NOT the
+        # control query's own timed slot — q1 still times normally
+        ctl = queries.get(CONTROL_QUERY)
+        if ctl is None:
+            return
+        try:
+            t0 = time.time()
+            ctl(spark, sf_dir).count()
+            control_samples.append((n_done, round(time.time() - t0, 3)))
+        except Exception:
+            pass
+        finally:
+            spark.catalog.clearCache()
+            gc.collect()
+
+    run_control(0)
     for name, fn in {**queries, **extra}.items():
         runs = []
         n = None
         out = timings if name in queries else extra_timings
+        cpu0 = read_cpu_stat()
         try:
 
             rows = [None]
@@ -148,12 +252,66 @@ def main() -> int:
             out[name] = cold[name] = -1.0
             print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
         finally:
+            cpu_windows[name] = cpu_window(cpu0, read_cpu_stat())
+            run_order.append(name)
             # between QUERIES only (never between a query's own runs,
             # which legitimately share plan-keyed cache entries): a
             # long session must not carry one query's cached blocks
             # into the next query's timed window — see warm-up loop
             spark.catalog.clearCache()
             gc.collect()
+            if len(run_order) % CONTROL_EVERY == 0:
+                run_control(len(run_order))
+    run_control(len(run_order))
+
+    # Durable per-query artifact (VERDICT r17 Next #1): the driver's
+    # tail capture keeps only ~2 KB of stdout, so round-over-round
+    # per-query comparison was blind (PERF_r17 per_query = {}). Write
+    # the COMPLETE per-query map + contamination markers to a file the
+    # judge can read, leaving the stdout contract untouched. Suspect
+    # entries are MARKED, never altered — the timings stay raw.
+    suspects: dict[str, list[str]] = {}
+    for q in control_flags(control_samples, run_order):
+        suspects.setdefault(q, []).append("control_spike")
+    for q in cpu_flags(cpu_windows):
+        suspects.setdefault(q, []).append("cpu_sys_steal")
+    perquery_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PERQUERY.json"
+    )
+    try:
+        tmp = perquery_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "metric": "total_query_seconds",
+                    "value": round(total, 2),
+                    "unit": "sec",
+                    "sf": sf,
+                    "cpus": int(cpus),
+                    "queries": timings,
+                    "extra": extra_timings,
+                    "cold": cold,
+                    "retried": retried,
+                    "control": {
+                        "query": CONTROL_QUERY,
+                        "every": CONTROL_EVERY,
+                        "samples": control_samples,
+                        "floor": min(
+                            (s for _, s in control_samples), default=None
+                        ),
+                    },
+                    "cpu_windows": cpu_windows,
+                    "suspect": {
+                        k: suspects[k] for k in sorted(suspects)
+                    },
+                },
+                fh,
+                indent=1,
+            )
+        os.replace(tmp, perquery_path)
+        print(f"# wrote {perquery_path}", file=sys.stderr)
+    except OSError as e:
+        print(f"# BENCH_PERQUERY write failed: {e}", file=sys.stderr)
 
     # the ONE stdout line (everything else goes to stderr), flushed
     # before spark.stop() so a slow JVM teardown can't truncate it.

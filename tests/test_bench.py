@@ -79,6 +79,79 @@ def test_summary_line_is_last_and_short():
     assert "queries" not in d and "extra" not in d  # size is O(1), not O(n)
 
 
+def test_control_flags_bracket_spike():
+    """A spiked control sample flags every query between its
+    neighboring samples — the spike may have started after the
+    previous sample and persisted past this one (r17 forensics: the
+    degradation phases hit CONTIGUOUS bench-order ranges)."""
+    from bench import control_flags
+
+    names = [f"q{i}" for i in range(12)]
+    samples = [(0, 0.2), (5, 0.21), (10, 1.5), (12, 0.19)]
+    assert control_flags(samples, names) == set(names[5:12])
+
+
+def test_control_flags_clean_run_flags_nothing():
+    from bench import control_flags
+
+    names = [f"q{i}" for i in range(10)]
+    # 0.2 -> 0.35: below both 2x floor and floor + 0.3
+    assert control_flags([(0, 0.2), (5, 0.35), (10, 0.22)], names) == set()
+    # fewer than two samples: nothing to compare against
+    assert control_flags([(0, 5.0)], names) == set()
+
+
+def test_control_flags_spike_at_edges():
+    from bench import control_flags
+
+    names = [f"q{i}" for i in range(6)]
+    # first sample spiked: flags from run start to the next sample
+    assert control_flags([(0, 2.0), (3, 0.2), (6, 0.2)], names) == {
+        "q0", "q1", "q2",
+    }
+    # last sample spiked: flags from the previous sample to run end
+    assert control_flags([(0, 0.2), (3, 0.2), (6, 2.0)], names) == {
+        "q3", "q4", "q5",
+    }
+
+
+def test_cpu_window_and_flags():
+    """The /proc/stat detector marks a query whose own timed window
+    shows the documented phase signature (80-97% sys, steal to 17%)."""
+    from bench import cpu_flags, cpu_window
+
+    # totals: 1000 jiffies elapsed, 800 of them sys-like
+    w_bad = cpu_window((10_000, 100, 0), (11_000, 900, 0))
+    assert w_bad == {"sys_pct": 0.8, "steal_pct": 0.0}
+    w_steal = cpu_window((10_000, 100, 10), (11_000, 200, 180))
+    w_ok = cpu_window((10_000, 100, 0), (11_000, 200, 10))
+    assert cpu_flags({"a": w_bad, "b": w_ok, "c": w_steal, "d": None}) == {
+        "a", "c",
+    }
+
+
+def test_cpu_window_handles_missing_snapshots():
+    from bench import cpu_window
+
+    assert cpu_window(None, (1, 1, 1)) is None
+    assert cpu_window((1, 1, 1), None) is None
+    assert cpu_window((5, 1, 1), (5, 1, 1)) is None  # zero elapsed
+
+
+def test_perquery_artifact_written_before_summary_in_source():
+    """BENCH_PERQUERY.json must be flushed BEFORE the final stdout
+    line: if the JVM teardown (or a driver timeout) kills the process
+    after the summary, the durable artifact must already exist."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert src.index("BENCH_PERQUERY.json") < src.index(
+        "summary_line(total"
+    )
+
+
 def test_summary_line_follows_detail_line_in_source():
     """The tail capture keeps the END of stdout — the summary must be
     printed AFTER the detail line, or the fix is inverted. Assert the
