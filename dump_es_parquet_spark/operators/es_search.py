@@ -177,7 +177,7 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tables import fan_out, load
+from .tables import _scan_splits_at_least, fan_out, load, one_slice_frame
 
 __all__ = [
     "compile_query",
@@ -3810,6 +3810,51 @@ def _metric_cols(
     return out
 
 
+def _propagate_ancestor_verdicts(
+    frame: DataFrame,
+    key_names: list[str],
+    idxs: list[int],
+    src_fmt: str,
+    anc_fmt: str,
+    establish_partitioning: bool = True,
+) -> DataFrame:
+    """Per-level verdict columns (``src_fmt.format(i)`` — non-null only
+    on level-``i`` rows) → descendant survival filter via prefix-max
+    windows: a level-``i`` verdict reaches its descendants through
+    ``max() over (partition by key_names[:i])``.
+
+    Planned as at most ONE exchange + ONE local sort for ALL levels
+    (guide §2.4 "two operations keyed the same way can share one
+    exchange"): hash partitioning by the FIRST key satisfies every
+    prefix window's clustering (its expressions are a subset of each
+    prefix), and one local sort by the LONGEST prefix satisfies every
+    window's required ordering PROVIDED the windows are applied
+    longest-prefix-first — ascending application re-sorted per level
+    because (k1) ordering does not cover (k1, k2), which is where 5 of
+    es_nested_inside_nested's 8 window sorts came from (r17 plan)."""
+    if not idxs:
+        return frame
+    if len(idxs) > 1:
+        if establish_partitioning:
+            frame = frame.repartition(key_names[0])
+        frame = frame.sortWithinPartitions(*key_names[: max(idxs)])
+    surv = F.lit(True)
+    for i in sorted(idxs, reverse=True):
+        frame = frame.withColumn(
+            anc_fmt.format(i),
+            F.max(F.col(src_fmt.format(i))).over(
+                Window.partitionBy(*key_names[:i])
+            ),
+        )
+        surv = surv & (
+            (F.col("level") < i) | (F.col(anc_fmt.format(i)) == 1)
+        )
+    return frame.filter(surv).drop(
+        *[src_fmt.format(i) for i in idxs],
+        *[anc_fmt.format(i) for i in idxs],
+    )
+
+
 def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     """Compile an ES aggregation tree over ``df`` into a flat bucket
     frame: ``(level, <key per bucket level>, doc_count, <metrics>)``
@@ -4174,6 +4219,7 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     # bucket frame (Spark plans WindowGroupLimit for the rank caps,
     # so top-``size`` prunes before the tiny shuffles, too).
     frame = rolled
+    keep_conds: dict[int, Column] = {}
     for i, lvl in enumerate(levels, start=1):
         mdc = int(
             lvl.body.get(
@@ -4181,15 +4227,16 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 1 if lvl.kind in ("terms", "multi_terms") else 0,
             )
         )
-        cond = F.col("doc_count") >= mdc if mdc > 0 else F.lit(True)
+        cond = F.col("doc_count") >= mdc if mdc > 0 else None
         if lvl.kind == "rare_terms":
             # ES rare_terms: keep terms appearing in at most
             # max_doc_count docs (default 1) — a doc_count CEILING
             # instead of terms' top-size rank cap; no window needed
             # (ES's CuckooFilter approximation is exact here)
-            cond = cond & (
-                F.col("doc_count") <= int(lvl.body.get("max_doc_count", 1))
+            ceil_cond = F.col("doc_count") <= int(
+                lvl.body.get("max_doc_count", 1)
             )
+            cond = ceil_cond if cond is None else cond & ceil_cond
         if lvl.kind in ("terms", "multi_terms", "categorize_text"):
             size = int(lvl.body.get("size", 10))
             order = lvl.body.get("order", {"_count": "desc"})
@@ -4211,24 +4258,59 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             w = Window.partitionBy(F.col("level"), *key_names[: i - 1]).orderBy(
                 *ocols, F.col(lvl.name).asc()
             )
-            cond = cond & (F.row_number().over(w) <= size)
-        frame = frame.withColumn(
-            f"_keep{i}", F.when(F.col("level") == i, cond.cast("int"))
+            rank_cond = F.row_number().over(w) <= size
+            cond = rank_cond if cond is None else cond & rank_cond
+        if cond is None:
+            # trivially-true keep (nested / gap-filled histogram levels:
+            # no min_doc_count, no rank cap, no ceiling): its _keep{i}
+            # would be constant 1 on level-i rows, and the rollup's
+            # grouping-set closure guarantees the level-i ancestor row
+            # of every deeper row EXISTS (the same source rows that
+            # produced the descendant bucket produced its prefix
+            # bucket, and the null-key filters above drop descendants
+            # exactly when they drop the ancestor) — so the _anc{i}
+            # prefix-max is constant 1 on surviving rows too. Skipping
+            # both removes one Window+Sort pair per such level
+            # (es_nested_inside_nested: 2 of its 8 window sorts).
+            continue
+        keep_conds[i] = cond
+    keep_idx = sorted(keep_conds)
+
+    def _with_keep(fr: DataFrame, i: int) -> DataFrame:
+        return fr.withColumn(
+            f"_keep{i}",
+            F.when(F.col("level") == i, keep_conds[i].cast("int")),
         )
+
+    # Window planning (guide §2.4 "two operations keyed the same way
+    # can share one exchange"): every window of this pass EXCEPT the
+    # level-1 rank (whose partitioning is (level) alone) clusters by a
+    # key set CONTAINING key_names[0] — the level>=2 ranks partition by
+    # (level, k1, ...) and every ancestor prefix-max by (k1, ...), and
+    # hash(k1) satisfies a clustering it is a subset of. So: apply the
+    # level-1 rank first (its own (level)-hash exchange), then ONE
+    # explicit repartition by k1 carries the level>=2 ranks AND, after
+    # one local sort by the longest prefix, every prefix-max window
+    # (applied longest-first so each required ordering is a prefix of
+    # the established sort). r17 left this to the planner, which
+    # re-sorted per window: es_nested_inside_nested spent 8 Window/Sort
+    # pairs where 6 windows over 4 sorts suffice.
+    if 1 in keep_conds:
+        frame = _with_keep(frame, 1)
+    later = [i for i in keep_idx if i >= 2]
+    # windows that hash(k1) can carry: level>=2 ranks + one prefix-max
+    # per surviving keep level
+    if len(later) + len(keep_idx) > 1:
+        frame = frame.repartition(key_names[0])
+    for i in later:
+        frame = _with_keep(frame, i)
     # a bucket survives iff it AND every ancestor bucket survives;
     # the ancestor's verdict reaches its descendants through a window
     # over the shared key prefix (the level-j ancestor is the only
     # row in that partition with a non-null _keep{j})
-    surv = F.lit(True)
-    for j in range(1, n + 1):
-        frame = frame.withColumn(
-            f"_anc{j}",
-            F.max(F.col(f"_keep{j}")).over(Window.partitionBy(*key_names[:j])),
-        )
-        surv = surv & ((F.col("level") < j) | (F.col(f"_anc{j}") == 1))
-    frame = frame.filter(surv).drop(
-        *[f"_keep{i}" for i in range(1, n + 1)],
-        *[f"_anc{i}" for i in range(1, n + 1)],
+    frame = _propagate_ancestor_verdicts(
+        frame, key_names, keep_idx, "_keep{}", "_anc{}",
+        establish_partitioning=False,  # the k1 repartition above holds
     )
 
     # gap levels shape the pipeline/bucket_sort ordering below, so
@@ -4296,23 +4378,9 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             frame = frame.withColumn(
                 f"_bs{i}", F.when(F.col("level") == i, keep.cast("int"))
             )
-        if idxs:
-            surv = F.lit(True)
-            for i in idxs:
-                frame = frame.withColumn(
-                    f"_bsa{i}",
-                    F.max(F.col(f"_bs{i}")).over(
-                        Window.partitionBy(*key_names[:i])
-                    ),
-                )
-                surv = surv & (
-                    (F.col("level") < i) | (F.col(f"_bsa{i}") == 1)
-                )
-            frame = frame.filter(surv).drop(
-                *[f"_bs{i}" for i in idxs],
-                *[f"_bsa{i}" for i in idxs],
-            )
-        return frame
+        return _propagate_ancestor_verdicts(
+            frame, key_names, idxs, "_bs{}", "_bsa{}"
+        )
 
     # bucket_selector (round 12): the HAVING clause for buckets —
     # runs after the other pipelines (so scripts can reference their
@@ -4372,23 +4440,9 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             frame = frame.withColumn(
                 f"_sel{i}", F.when(F.col("level") == i, keep.cast("int"))
             )
-        if idxs:
-            surv = F.lit(True)
-            for i in idxs:
-                frame = frame.withColumn(
-                    f"_sela{i}",
-                    F.max(F.col(f"_sel{i}")).over(
-                        Window.partitionBy(*key_names[:i])
-                    ),
-                )
-                surv = surv & (
-                    (F.col("level") < i) | (F.col(f"_sela{i}") == 1)
-                )
-            frame = frame.filter(surv).drop(
-                *[f"_sel{i}" for i in idxs],
-                *[f"_sela{i}" for i in idxs],
-            )
-        return frame
+        return _propagate_ancestor_verdicts(
+            frame, key_names, idxs, "_sel{}", "_sela{}"
+        )
 
     frame = _apply_bucket_selector(
         frame, [i for i in sel_levels if i not in gap_set]
@@ -7631,11 +7685,73 @@ def _driver_conjunct_stats(rows):
     return _ConjStats(rows)
 
 
-def _driver_merged_interval_classes(rows, grouped):
-    """Driver-side twin of the merged-interval ``mstat`` pass:
-    (_two, _one) — whether any merged must-range interval is
-    two-sided (band) / one-sided — from the local conjunct tuples,
-    mirroring the mergeable/merge aggregation exactly."""
+def _distributed_conjunct_stats(conjuncts: DataFrame):
+    """The frame-as-data stats pass: ONE bounded aggregation over the
+    persisted conjuncts frame, attribute-compatible with
+    :class:`_ConjStats` (the driver-side twin — their equivalence is
+    pinned by test_percolate_driver_twins_match_distributed)."""
+    is_eq = F.col("op") == "eq"
+    pos = ~F.col("negated")
+    return conjuncts.agg(
+        F.count(F.when(pos, F.lit(1))).alias("_n"),
+        F.count_distinct(
+            F.when(pos, F.struct("query_id", "group_id"))
+        ).alias("_ng"),
+        F.max(F.when(pos, F.col("min_match"))).alias("_mm"),
+        F.min("min_match").alias("_mm0"),
+        F.max(~F.col("op").isin(*_BULK_OPS)).alias("_bad"),
+        F.max(pos & is_eq & F.col("sval").isNotNull()).alias("_eq_s"),
+        F.max(pos & is_eq & F.col("nval").isNotNull()).alias("_eq_n"),
+        F.max(pos & F.col("op").isin("gt", "gte", "lt", "lte")).alias(
+            "_rng"
+        ),
+        F.max(pos & (F.col("op") == "exists")).alias("_ex"),
+        F.max(pos & (F.col("op") == "prefix")).alias("_pf"),
+        F.max(pos & (F.col("op") == "token")).alias("_tok"),
+        F.max(~pos & (F.col("op") == "token")).alias("_neg_tok"),
+        F.max(pos & (F.col("op") == "phrase")).alias("_ph"),
+        F.max(~pos & (F.col("op") == "phrase")).alias("_neg_ph"),
+        F.max(
+            ~pos & is_eq & F.col("sval").isNotNull()
+        ).alias("_neg_s"),
+        F.max(~pos & F.col("nval").isNotNull()).alias("_neg_n"),
+        F.max(~pos & (F.col("op") == "exists")).alias("_neg_ex"),
+        F.max(~pos & (F.col("op") == "prefix")).alias("_neg_pf"),
+        F.collect_set("field").alias("_fields"),
+    ).collect()[0]  # bounded: one row (fields ∩ schema ≤ width)
+
+
+def _distributed_merged_intervals(mergeable: DataFrame) -> DataFrame:
+    """The frame-as-data merged-interval aggregation (one interval per
+    (query, field) from the singleton must-range conjuncts) —
+    :func:`_driver_merged_intervals` is its driver-side twin."""
+    is_gt = F.col("op").isin("gt", "gte")
+    return mergeable.groupBy("query_id", "field").agg(
+        F.count(F.lit(1)).cast("long").alias("_gw"),
+        F.max(F.when(is_gt, F.col("nval"))).alias("lo"),
+        F.min(F.when(~is_gt, F.col("nval"))).alias("hi"),
+        F.max(
+            F.when(F.col("op") == "gt", F.col("nval"))
+        ).alias("_lo_s"),
+        F.min(
+            F.when(F.col("op") == "lt", F.col("nval"))
+        ).alias("_hi_s"),
+    ).withColumn(
+        "lo_strict", F.col("_lo_s").isNotNull()
+        & (F.col("_lo_s") == F.col("lo"))
+    ).withColumn(
+        "hi_strict", F.col("_hi_s").isNotNull()
+        & (F.col("_hi_s") == F.col("hi"))
+    ).drop("_lo_s", "_hi_s")
+
+
+def _driver_merged_intervals(rows, grouped):
+    """Driver-side twin of percolate_bulk's merged-interval
+    aggregation: the exact rows the distributed ``merged`` groupBy
+    produces — ``(query_id, field, _gw, lo, hi, lo_strict,
+    hi_strict)`` — from the local conjunct tuples. max/min/count are
+    order-independent over the same doubles, so the twin is bit-exact
+    (pinned by test_percolate_driver_twins_match_distributed)."""
     rng_ops = ("gt", "gte", "lt", "lte")
     mergeable = [
         r for r in rows if not r[8] and r[3] in rng_ops and r[7] == 1
@@ -7648,21 +7764,71 @@ def _driver_merged_interval_classes(rows, grouped):
     merged: dict = {}
     for r in mergeable:
         merged.setdefault((r[0], r[2]), []).append(r)
-    two = one = False
-    for grp in merged.values():
+    out = []
+    for (qid, field), grp in merged.items():
         los = [r[5] for r in grp if r[3] in ("gt", "gte")]
         his = [r[5] for r in grp if r[3] in ("lt", "lte")]
         lo = max(los) if los else None
         hi = min(his) if his else None
         gt_s = [r[5] for r in grp if r[3] == "gt"]
         lt_s = [r[5] for r in grp if r[3] == "lt"]
-        lo_strict = bool(gt_s) and max(gt_s) == lo
-        hi_strict = bool(lt_s) and min(lt_s) == hi
+        out.append(
+            (
+                qid,
+                field,
+                len(grp),
+                lo,
+                hi,
+                bool(gt_s) and max(gt_s) == lo,
+                bool(lt_s) and min(lt_s) == hi,
+            )
+        )
+    return out
+
+
+def _interval_is_two_sided(lo, hi, lo_strict, hi_strict):
+    """Python twin of the ``nonempty``/two-sided classification in
+    percolate_bulk (an interval is a band when both bounds exist and
+    it is satisfiable)."""
+    if lo is None or hi is None:
+        return False
+    return lo < hi or (lo == hi and not lo_strict and not hi_strict)
+
+
+def _driver_merged_interval_classes(rows, grouped):
+    """Driver-side twin of the merged-interval ``mstat`` pass:
+    (_two, _one) — whether any merged must-range interval is
+    two-sided (band) / one-sided."""
+    two = one = False
+    for _qid, _f, _gw, lo, hi, lo_s, hi_s in _driver_merged_intervals(
+        rows, grouped
+    ):
         if lo is None or hi is None:
             one = True
-        elif lo < hi or (lo == hi and not lo_strict and not hi_strict):
+        elif _interval_is_two_sided(lo, hi, lo_s, hi_s):
             two = True
     return two, one
+
+
+def _driver_interval_widths(merged_rows):
+    """Driver-side twin of the per-field bin-width aggregation over
+    the TWO-SIDED merged intervals. Bit-exactness of the avg is NOT
+    load-bearing (any positive width yields a candidate SUPERSET that
+    the exact lo/hi filter then prunes — bins never appear in
+    results), but max/min/greatest mirror the distributed tree."""
+    by_field: dict = {}
+    for r in merged_rows:
+        if _interval_is_two_sided(r[3], r[4], r[5], r[6]):
+            by_field.setdefault(r[1], []).append(r)
+    out = []
+    for fld, grp in sorted(by_field.items()):
+        aw = sum(r[4] - r[3] for r in grp) / len(grp)
+        mx = max(r[4] for r in grp)
+        mn = min(r[3] for r in grp)
+        out.append(
+            (fld, max(aw, (mx - mn) / 4096.0, abs(mx) * 1e-9, 1e-9))
+        )
+    return out
 
 
 def percolate_bulk(
@@ -7784,33 +7950,7 @@ def percolate_bulk(
     if local_rows is not None:
         st = _driver_conjunct_stats(local_rows)
     else:
-        st = conjuncts.agg(
-            F.count(F.when(pos, F.lit(1))).alias("_n"),
-            F.count_distinct(
-                F.when(pos, F.struct("query_id", "group_id"))
-            ).alias("_ng"),
-            F.max(F.when(pos, F.col("min_match"))).alias("_mm"),
-            F.min("min_match").alias("_mm0"),
-            F.max(~F.col("op").isin(*_BULK_OPS)).alias("_bad"),
-            F.max(pos & is_eq & F.col("sval").isNotNull()).alias("_eq_s"),
-            F.max(pos & is_eq & F.col("nval").isNotNull()).alias("_eq_n"),
-            F.max(pos & F.col("op").isin("gt", "gte", "lt", "lte")).alias(
-                "_rng"
-            ),
-            F.max(pos & (F.col("op") == "exists")).alias("_ex"),
-            F.max(pos & (F.col("op") == "prefix")).alias("_pf"),
-            F.max(pos & (F.col("op") == "token")).alias("_tok"),
-            F.max(~pos & (F.col("op") == "token")).alias("_neg_tok"),
-            F.max(pos & (F.col("op") == "phrase")).alias("_ph"),
-            F.max(~pos & (F.col("op") == "phrase")).alias("_neg_ph"),
-            F.max(
-                ~pos & is_eq & F.col("sval").isNotNull()
-            ).alias("_neg_s"),
-            F.max(~pos & F.col("nval").isNotNull()).alias("_neg_n"),
-            F.max(~pos & (F.col("op") == "exists")).alias("_neg_ex"),
-            F.max(~pos & (F.col("op") == "prefix")).alias("_neg_pf"),
-            F.collect_set("field").alias("_fields"),
-        ).collect()[0]  # bounded: one row (fields ∩ schema ≤ width)
+        st = _distributed_conjunct_stats(conjuncts)
     if st._bad or (st._mm0 is not None and st._mm0 < 1):
         if local_rows is not None:
             bad = [
@@ -7920,11 +8060,12 @@ def percolate_bulk(
     )
     docs = docs.select(*keep_cols)
     sc = docs.sparkSession.sparkContext
-    try:
-        scan_parts = docs.rdd.getNumPartitions()
-    except Exception:
-        scan_parts = sc.defaultParallelism
-    if scan_parts < sc.defaultParallelism:
+    # the split probe is the planner's own file-split math over the
+    # listing (one py4j call + a files-count>=width short-circuit for
+    # non-local URIs) — NOT df.rdd, which runs a full physical
+    # planning pass (~70 ms) on every percolate construction
+    # (VERDICT r17 Next #8)
+    if not _scan_splits_at_least(docs, sc.defaultParallelism):
         docs = docs.repartition(sc.defaultParallelism)
 
     def _melt(fields, cast_t, out_col):
@@ -7985,9 +8126,22 @@ def percolate_bulk(
         pf = conjuncts.filter(
             pos & (F.col("op") == "prefix")
         ).select("query_id", "group_id", "field", "sval")
-        plen = pf.groupBy("field").agg(
-            F.min(F.length("sval")).alias("_pl")
-        )
+        if local_rows is not None:
+            # rule-side min-prefix-length fold: plain Python over the
+            # local tuples instead of a per-construction Spark job
+            pl: dict = {}
+            for r in local_rows:
+                if not r[8] and r[3] == "prefix":
+                    pl[r[2]] = min(pl.get(r[2], 1 << 30), len(r[4]))
+            plen = one_slice_frame(
+                docs.sparkSession,
+                sorted(pl.items()),
+                "field string, _pl int",
+            )
+        else:
+            plen = pf.groupBy("field").agg(
+                F.min(F.length("sval")).alias("_pl")
+            )
         pfb = pf.join(F.broadcast(plen), "field").withColumn(
             "_pbin", F.col("sval").substr(F.lit(1), F.col("_pl"))
         )
@@ -8137,38 +8291,57 @@ def percolate_bulk(
             .select(*id_cols, "query_id", "group_id")
         )
     if n_fields and st._rng:
-        is_gt = F.col("op").isin("gt", "gte")
         mergeable = rng.filter(F.col("min_match") == 1)
         if grouped:
             # inside a multi-leaf group, range leaves are ALTERNATIVES
             # — only singleton (must) groups merge as conjunctions
-            gsz = conjuncts.filter(pos).groupBy(
-                "query_id", "group_id"
-            ).agg(F.count(F.lit(1)).alias("_gsz"))
+            if local_rows is not None:
+                from collections import Counter
+
+                gcnt = Counter(
+                    (r[0], r[6]) for r in local_rows if not r[8]
+                )
+                gsz = one_slice_frame(
+                    docs.sparkSession,
+                    [
+                        (q, g, c)
+                        for (q, g), c in sorted(gcnt.items())
+                    ],
+                    "query_id string, group_id int, _gsz long",
+                )
+            else:
+                gsz = conjuncts.filter(pos).groupBy(
+                    "query_id", "group_id"
+                ).agg(F.count(F.lit(1)).alias("_gsz"))
             mergeable = mergeable.join(
                 _rb(gsz), ["query_id", "group_id"]
             ).filter(F.col("_gsz") == 1)
             loose = rng.join(_rb(gsz), ["query_id", "group_id"]).filter(
                 (F.col("min_match") > 1) | (F.col("_gsz") > 1)
             )
-        merged = mergeable.groupBy("query_id", "field").agg(
-            F.count(F.lit(1)).cast("long").alias("_gw"),
-            F.max(F.when(is_gt, F.col("nval"))).alias("lo"),
-            F.min(F.when(~is_gt, F.col("nval"))).alias("hi"),
-            F.max(F.when(F.col("op") == "gt", F.col("nval"))).alias("_lo_s"),
-            F.min(F.when(F.col("op") == "lt", F.col("nval"))).alias("_hi_s"),
-        ).withColumn(
-            "lo_strict", F.col("_lo_s").isNotNull()
-            & (F.col("_lo_s") == F.col("lo"))
-        ).withColumn(
-            "hi_strict", F.col("_hi_s").isNotNull()
-            & (F.col("_hi_s") == F.col("hi"))
-        ).drop("_lo_s", "_hi_s")
-        # rule-sized like conjuncts; materialized by the mstat
-        # collect below so widths/ivals/one_sided read it cached
-        # instead of re-running the merge aggregation each
-        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
-        _persisted.append(merged)
+        _MERGED_SCHEMA = (
+            "query_id string, field string, _gw long, lo double, "
+            "hi double, lo_strict boolean, hi_strict boolean"
+        )
+        merged_rows = None
+        if local_rows is not None:
+            # decide-on-small-rows: the merge aggregation, its persist
+            # and every bounded stats job over it (mstat, widths) run
+            # in plain Python on the local conjunct tuples — zero
+            # rule-side Spark jobs per percolate construction (the
+            # frame-as-data path below keeps the distributed form)
+            merged_rows = _driver_merged_intervals(local_rows, grouped)
+            merged = one_slice_frame(
+                docs.sparkSession, merged_rows, _MERGED_SCHEMA
+            )
+        else:
+            # rule-sized like conjuncts; materialized by the mstat
+            # collect below so widths/ivals/one_sided read it cached
+            # instead of re-running the merge aggregation each
+            merged = _distributed_merged_intervals(mergeable).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            _persisted.append(merged)
         lo, hi = F.col("lo"), F.col("hi")
         v = F.col("v")
         lo_ok = lo.isNull() | F.when(F.col("lo_strict"), v > lo).otherwise(
@@ -8209,19 +8382,31 @@ def percolate_bulk(
             # width: ~the mean interval width, floored at span/4096
             # (explosion cap) and a magnitude-relative epsilon (keeps
             # floor(v/w) inside long range for epoch-scale axes)
-            widths = two_sided.groupBy("field").agg(
-                F.avg(hi - lo).alias("_aw"),
-                F.max(hi).alias("_mx"),
-                F.min(lo).alias("_mn"),
-            ).select(
-                "field",
-                F.greatest(
-                    F.col("_aw"),
-                    (F.col("_mx") - F.col("_mn")) / F.lit(4096.0),
-                    F.abs(F.col("_mx")) * F.lit(1e-9),
-                    F.lit(1e-9),
-                ).alias("_w"),
-            )
+            if merged_rows is not None:
+                # the bin-width pass was the surviving rule-side
+                # 1-task job (VERDICT r17 Next #5): with local rows it
+                # is a Python fold over the merged tuples; width
+                # differences cannot change results (bins are a
+                # candidate superset, the exact lo/hi filter decides)
+                widths = one_slice_frame(
+                    docs.sparkSession,
+                    _driver_interval_widths(merged_rows),
+                    "field string, _w double",
+                )
+            else:
+                widths = two_sided.groupBy("field").agg(
+                    F.avg(hi - lo).alias("_aw"),
+                    F.max(hi).alias("_mx"),
+                    F.min(lo).alias("_mn"),
+                ).select(
+                    "field",
+                    F.greatest(
+                        F.col("_aw"),
+                        (F.col("_mx") - F.col("_mn")) / F.lit(4096.0),
+                        F.abs(F.col("_mx")) * F.lit(1e-9),
+                        F.lit(1e-9),
+                    ).alias("_w"),
+                )
             ivals = two_sided.join(F.broadcast(widths), "field").withColumn(
                 "_bin",
                 F.explode(
@@ -8279,9 +8464,22 @@ def percolate_bulk(
     if leaf_sat:
         leaves = _union(leaf_sat)
         if grouped:
-            gmeta = conjuncts.filter(pos).select(
-                "query_id", "group_id", "min_match"
-            ).distinct()
+            if local_rows is not None:
+                gmeta = one_slice_frame(
+                    docs.sparkSession,
+                    sorted(
+                        {
+                            (r[0], r[6], r[7])
+                            for r in local_rows
+                            if not r[8]
+                        }
+                    ),
+                    "query_id string, group_id int, min_match int",
+                )
+            else:
+                gmeta = conjuncts.filter(pos).select(
+                    "query_id", "group_id", "min_match"
+                ).distinct()
             resolved = (
                 leaves.groupBy(*id_cols, "query_id", "group_id")
                 .agg(F.count(F.lit(1)).alias("_hits"))
@@ -8297,9 +8495,20 @@ def percolate_bulk(
         group_sat.append(resolved)
     satisfied = _union(group_sat)
 
-    totals = conjuncts.filter(pos).groupBy("query_id").agg(
-        F.count_distinct("group_id").alias("_n_req")
-    )
+    if local_rows is not None:
+        _tot: dict = {}
+        for r in local_rows:
+            if not r[8]:
+                _tot.setdefault(r[0], set()).add(r[6])
+        totals = one_slice_frame(
+            docs.sparkSession,
+            [(q, len(g)) for q, g in sorted(_tot.items())],
+            "query_id string, _n_req long",
+        )
+    else:
+        totals = conjuncts.filter(pos).groupBy("query_id").agg(
+            F.count_distinct("group_id").alias("_n_req")
+        )
     matched = (
         satisfied.groupBy(*id_cols, "query_id")
         .agg(F.sum("_gw").alias("_n_sat"))

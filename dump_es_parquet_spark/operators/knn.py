@@ -9,7 +9,8 @@ self-join that naive Spark plans as an O(n²)-row join output.
 Scale shape (candidates + exact rescore, the same two-phase pattern as
 ``dedup.embedding_near_dup``):
 
-1. **Candidates — blocked GEMM partial top-k.** Rows are assigned to
+1. **Candidates + in-task exact scores — blocked GEMM partial top-k.**
+   Rows are assigned to
    B = ⌈n/block_size⌉ blocks; each row is replicated to the B block
    pairs containing its block (shuffle volume n·B — replicated
    matmul, NOT n²) and each of the B(B+1)/2 groups runs one dense
@@ -21,11 +22,14 @@ Scale shape (candidates + exact rescore, the same two-phase pattern as
    containing it, so the union of per-pair top-k is a superset of the
    true top-k; ``extra`` absorbs BLAS-vs-fold float-order noise
    (~1e-15) at the cut boundary.
-2. **Exact rescore + global top-k.** Candidates re-join their
-   embeddings and are scored with the same sequential-fold cosine the
-   DuckDB oracle computes (rounded to 6 decimals), then a per-source
-   ``row_number`` keeps k by (sim desc, neighbor asc) — bit-exact
-   against the oracle, with GEMM used only to prune.
+2. **Exact rescore IN the GEMM task + global top-k.** Each kept
+   candidate pair is re-scored inside the task that pruned it, with a
+   numpy twin of the sequential-fold cosine the DuckDB oracle computes
+   (left-to-right ``cumsum`` accumulation — bit-identical to the
+   ``similarity.cosine`` expression, pinned by test); downstream, one
+   JVM ``round(·, 6)`` plus a per-source ``row_number`` keeps k by
+   (sim desc, neighbor asc). GEMM scores are used only to prune; the
+   embedding re-join the rescore previously paid is gone.
 """
 
 from __future__ import annotations
@@ -36,17 +40,23 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dump_es_parquet_spark.operators.similarity import cosine
 from dump_es_parquet_spark.operators.tables import load
 
-CAND_SCHEMA = "src long, dst long"
+CAND_SCHEMA = "src long, dst long, sim double"
 
 
 def knn_candidates(
     e: DataFrame, k: int, block_size: int = 512, extra: int = 8
 ) -> DataFrame:
-    """(src, dst) candidate edges: each row's top-(k+extra) neighbors
-    within every block pair, via per-group GEMM (see module doc)."""
+    """(src, dst, sim) candidate edges: each row's top-(k+extra)
+    neighbors within every block pair, via per-group GEMM (see module
+    doc). ``sim`` is the EXACT unrounded cosine — not the GEMM score:
+    the candidate pairs are re-scored inside the same task with the
+    bit-exact twin of ``similarity.cosine``'s left-to-right fold
+    (``seq_sum`` below), so downstream needs no embedding re-join
+    (r17's rescore joins + per-src window re-derived scores this task
+    already held — guide §4, keep data on the Python side once it's
+    there; ~0.8 s of sim_knn_graph's ~3.2 s)."""
     n = e.count()
     b = max(1, math.ceil(n / block_size))
     kk = k + extra
@@ -90,54 +100,98 @@ def knn_candidates(
         import numpy as np
         import pandas as pd
 
+        def seq_sum(prod):
+            # bit-exact twin of the similarity.cosine fold: Spark's
+            # aggregate(zip_with(a, b, x*y), 0.0, s+x) adds the
+            # per-element products LEFT TO RIGHT — np.cumsum is the
+            # same sequential accumulation in IEEE double. The final
+            # "+ 0.0" normalizes -0.0 (an all-negative-zero product
+            # row folds to +0.0 in Spark because the fold seeds with
+            # 0.0, while cumsum keeps -0.0); for any nonzero sum it is
+            # the identity.
+            return np.cumsum(prod, axis=1)[:, -1] + 0.0
+
         def mat(frame):
             ids = frame["vec_id"].to_numpy()
             # one C-level conversion of the whole column (uniform-
             # length vectors), not a per-row python map + vstack
-            m = np.asarray(frame["embedding"].to_list(), dtype="float64")
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            return ids, m
+            raw = np.asarray(frame["embedding"].to_list(), dtype="float64")
+            norms = np.sqrt(seq_sum(raw * raw))  # == l2norm() per row
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return ids, raw / norms[:, None], raw, norms
 
-        def rows_topk(src_ids, dst_ids, cos):
+        def rows_topk(src, dst, cos):
             # per-row partial top-kk of one (src-block × dst-block) score
-            # matrix; argpartition keeps this O(rows·cols), not a sort
+            # matrix; argpartition keeps this O(rows·cols), not a sort.
+            # The kept pairs are then EXACT-scored from the raw vectors:
+            # dot is the sequential fold, norms were folded above, and
+            # /, *, sqrt are single correctly-rounded IEEE ops — the
+            # result is bit-identical to cosine(va, vb) in the JVM
+            # (pinned by test_candidate_sims_match_expression_fold).
+            ids_s, raw_s, norm_s = src
+            ids_d, raw_d, norm_d = dst
             take = min(kk, cos.shape[1])
             idx = np.argpartition(-cos, take - 1, axis=1)[:, :take]
-            s = np.repeat(src_ids, take)
-            d = dst_ids[idx.ravel()]
-            return s, d
+            rows = np.repeat(np.arange(len(ids_s)), take)
+            cols = idx.ravel()
+            dots = seq_sum(raw_s[rows] * raw_d[cols])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = dots / (norm_s[rows] * norm_d[cols])
+            return ids_s[rows], ids_d[cols], sims
 
         lo, hi = key
         left = pdf[pdf["is_left"]]
         out_s: list = []
         out_d: list = []
+        out_v: list = []
         if lo == hi:
             if len(left) >= 2:
-                ids, m = mat(left)
+                ids, m, raw, norms = mat(left)
                 cos = m @ m.T
                 np.fill_diagonal(cos, -np.inf)
-                s, d = rows_topk(ids, ids, cos)
-                out_s.append(s)
-                out_d.append(d)
+                s, d, v = rows_topk((ids, raw, norms), (ids, raw, norms), cos)
+                # the -inf diagonal falls out of the partial top-kk
+                # EXCEPT when take spans every column (a block no
+                # bigger than k+extra): mask self-pairs explicitly —
+                # an unmasked one would exact-score 1.0 and displace a
+                # true neighbor
+                keep = s != d
+                out_s.append(s[keep])
+                out_d.append(d[keep])
+                out_v.append(v[keep])
         else:
             right = pdf[~pdf["is_left"]]
             if len(left) and len(right):
-                ids_l, ml = mat(left)
-                ids_r, mr = mat(right)
+                ids_l, ml, raw_l, nl = mat(left)
+                ids_r, mr, raw_r, nr = mat(right)
                 cos = ml @ mr.T
-                s, d = rows_topk(ids_l, ids_r, cos)
+                s, d, v = rows_topk(
+                    (ids_l, raw_l, nl), (ids_r, raw_r, nr), cos
+                )
                 out_s.append(s)
                 out_d.append(d)
+                out_v.append(v)
                 # symmetric: right rows also need neighbors from left
-                s, d = rows_topk(ids_r, ids_l, cos.T)
+                s, d, v = rows_topk(
+                    (ids_r, raw_r, nr), (ids_l, raw_l, nl), cos.T
+                )
                 out_s.append(s)
                 out_d.append(d)
+                out_v.append(v)
         if not out_s:
             return pd.DataFrame(
-                {"src": np.array([], dtype="int64"), "dst": np.array([], dtype="int64")}
+                {
+                    "src": np.array([], dtype="int64"),
+                    "dst": np.array([], dtype="int64"),
+                    "sim": np.array([], dtype="float64"),
+                }
             )
         return pd.DataFrame(
-            {"src": np.concatenate(out_s), "dst": np.concatenate(out_d)}
+            {
+                "src": np.concatenate(out_s),
+                "dst": np.concatenate(out_d),
+                "sim": np.concatenate(out_v),
+            }
         )
 
     return tasks.groupBy("bp_lo", "bp_hi").applyInPandas(_topk, CAND_SCHEMA)
@@ -148,24 +202,18 @@ def knn_graph(
 ) -> DataFrame:
     """(src, dst, cos_sim): every vector's exact k nearest neighbors by
     cosine, ties broken by neighbor id. GEMM prunes; the returned sims
-    come from the exact expression fold (oracle-portable)."""
+    come from the exact fold the candidate task computed in place
+    (bit-identical to the ``similarity.cosine`` expression — module
+    doc #2), rounded HERE by the JVM ``round`` so the half-up decimal
+    semantics stay Spark's own. No embedding re-join: the r17 plan
+    joined candidates back to the corpus twice only to recompute
+    scores the GEMM task already held (guide §4 / VERDICT r17 Next
+    #3)."""
     # no distinct: a (src, dst) pair coexists in exactly ONE block pair
     # (the one holding both blocks), so candidates are already unique
     cand = knn_candidates(e.select("vec_id", "embedding"), k, block_size, extra)
-    ea = e.select(
-        F.col("vec_id").alias("src"), F.col("embedding").alias("va")
-    )
-    eb = e.select(
-        F.col("vec_id").alias("dst"), F.col("embedding").alias("vb")
-    )
-    scored = (
-        cand.join(ea, "src")
-        .join(eb, "dst")
-        .select(
-            "src",
-            "dst",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
+    scored = cand.select(
+        "src", "dst", F.round(F.col("sim"), 6).alias("cos_sim")
     )
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
     return (

@@ -121,6 +121,12 @@ def _scan_splits_at_least(df: DataFrame, n: int) -> bool:
     except Exception:
         files = None
     if files:
+        # scheme-independent short-circuit: every file yields >= 1
+        # split, so a listing with >= n files can never be starved —
+        # the common 100 TB-on-object-storage case (s3a:/hdfs:, where
+        # there is no cheap size probe) answers from the listing alone
+        if len(files) >= n:
+            return True
         import os
         from urllib.parse import unquote, urlparse
 

@@ -3604,6 +3604,117 @@ def test_percolate_bulk_two_bound_must_range_is_conjunction(spark):
     ]
 
 
+def test_percolate_driver_twins_match_distributed(spark):
+    """VERDICT r17 What's wrong #4 pin: percolate_bulk has TWO
+    implementations of every rule-side statistic — plain Python over
+    the local conjunct tuples (queries_to_conjuncts carries them) and
+    the distributed aggregations (the frame-as-data path for
+    millions-scale rule corpora). They must stay semantically
+    identical forever. This runs BOTH paths on the same rules/docs —
+    covering every channel: string/numeric eq, strict/non-strict
+    two-sided bands, one-sided ranges, exists, prefix, token, phrase,
+    must_not, and a should group (grouped=True) — and compares the
+    final hits, every _ConjStats attribute, and the merged-interval
+    rows field by field."""
+    from dump_es_parquet_spark.operators.es_search import (
+        _distributed_conjunct_stats,
+        _distributed_merged_intervals,
+        _driver_conjunct_stats,
+        _driver_merged_intervals,
+        percolate_bulk,
+        queries_to_conjuncts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(id=1, kind="a", msg="error disk full now", n=10.0),
+            Row(id=2, kind="ab", msg="ok all good", n=150.0),
+            Row(id=3, kind="b", msg="error net down", n=250.0),
+            Row(id=4, kind=None, msg=None, n=50.0),
+            Row(id=5, kind="abc", msg="disk error full", n=None),
+        ]
+    )
+    rules = {
+        "band": {"bool": {"must": [
+            {"range": {"n": {"gt": 20, "lte": 200}}}]}},
+        "one_sided": {"range": {"n": {"gte": 200}}},
+        "strict_touch": {"bool": {"must": [
+            {"range": {"n": {"gt": 50}}}, {"range": {"n": {"lt": 50}}}]}},
+        "eq_s": {"term": {"kind": "b"}},
+        "eq_n": {"term": {"n": 50.0}},
+        "exists_k": {"exists": {"field": "kind"}},
+        "pfx": {"prefix": {"kind": "ab"}},
+        "tok": {"match": {"msg": "error"}},
+        "phr": {"match_phrase": {"msg": "disk full"}},
+        "not_b": {"bool": {
+            "must": [{"exists": {"field": "n"}}],
+            "must_not": [{"term": {"kind": "b"}}],
+        }},
+        "two_of": {"bool": {
+            "should": [{"term": {"kind": "a"}},
+                       {"range": {"n": {"lt": 100}}},
+                       {"prefix": {"msg": "err"}}],
+            "minimum_should_match": 2,
+        }},
+    }
+    conj = queries_to_conjuncts(spark, rules)
+    local_rows = conj._local_conjunct_rows
+    assert local_rows
+    stripped = conj.select("*")  # frame-as-data: no local tuples
+    assert not hasattr(stripped, "_local_conjunct_rows")
+
+    got_local = sorted(
+        (r.id, r.query_id)
+        for r in percolate_bulk(docs, conj, id_cols=["id"]).collect()
+    )
+    got_dist = sorted(
+        (r.id, r.query_id)
+        for r in percolate_bulk(docs, stripped, id_cols=["id"]).collect()
+    )
+    assert got_local == got_dist
+    assert len({q for _, q in got_local}) >= 8  # most rules fired
+
+    # stats twins, attribute by attribute
+    st_l = _driver_conjunct_stats(local_rows)
+    st_d = _distributed_conjunct_stats(stripped)
+    for attr in (
+        "_n", "_ng", "_mm", "_mm0", "_bad", "_eq_s", "_eq_n", "_rng",
+        "_ex", "_pf", "_tok", "_neg_tok", "_ph", "_neg_ph", "_neg_s",
+        "_neg_n", "_neg_ex", "_neg_pf",
+    ):
+        assert getattr(st_l, attr) == st_d[attr], attr
+    assert sorted(st_l._fields) == sorted(st_d["_fields"])
+
+    # merged-interval twins, row by row (grouped=True here: the
+    # should list makes multi-leaf groups, so the singleton-group
+    # filter is exercised too)
+    grouped = (st_l._mm or 0) > 1 or st_l._ng < st_l._n
+    assert grouped
+    pos = ~F.col("negated")
+    rng = stripped.filter(
+        pos & F.col("op").isin("gt", "gte", "lt", "lte")
+    ).select("query_id", "group_id", "field", "op", "nval", "min_match")
+    gsz = stripped.filter(pos).groupBy("query_id", "group_id").agg(
+        F.count(F.lit(1)).alias("_gsz")
+    )
+    mergeable = (
+        rng.filter(F.col("min_match") == 1)
+        .join(gsz, ["query_id", "group_id"])
+        .filter(F.col("_gsz") == 1)
+    )
+    dist_rows = sorted(
+        tuple(r)
+        for r in _distributed_merged_intervals(mergeable)
+        .select("query_id", "field", "_gw", "lo", "hi",
+                "lo_strict", "hi_strict")
+        .collect()
+    )
+    local_merged = sorted(_driver_merged_intervals(local_rows, grouped))
+    assert local_merged == dist_rows
+    assert any(r[3] is not None and r[4] is not None for r in local_merged)
+    assert any(r[3] is None or r[4] is None for r in local_merged)
+
+
 def test_percolate_bulk_prefix_conjuncts(spark):
     """Round 12 (VERDICT r11 Next #7): prefix conjuncts — matched
     through per-field fixed-length prefix bins — must agree with

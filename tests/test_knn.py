@@ -62,6 +62,65 @@ def test_knn_candidates_cover_true_topk(spark):
     assert max(per_src.values()) <= 3 * (3 + 8)
 
 
+def test_candidate_sims_match_expression_fold(spark):
+    """The in-task exact rescore must be BIT-IDENTICAL to the
+    similarity.cosine expression fold (the oracle device): knn_graph
+    no longer re-joins embeddings, so any divergence — summation
+    order, -0.0 handling, float32 widening — would silently change
+    declared results. Compare unrounded doubles by exact equality
+    over every candidate pair, including awkward vectors (negative
+    zeros among nonzero elements, overflow-to-inf norms, tiny
+    magnitudes). Zero-NORM vectors are outside the comparison domain:
+    the expression fold itself throws DIVIDE_BY_ZERO under the
+    session's ANSI mode, so no production path can feed one through
+    cosine()."""
+    import math
+
+    rows = [
+        (i, [((i * 37 + j * 101 + (i * j) % 13) % 19) - 9.0 for j in range(8)])
+        for i in range(30)
+    ]
+    rows += [
+        # negative zeros interleaved with nonzero values: products
+        # fold through -0.0 partials (the +0.0 normalization case)
+        (100, [-0.0, 0.0, 1.0, -0.0, 2.0, 0.0, -0.0, 3.0]),
+        (101, [0.0, -0.0, -1.0, 0.0, -2.0, -0.0, 0.0, -3.0]),
+        (102, [1e-150] * 8),        # tiny but non-underflowing norms
+        (103, [1e300, -1e300] * 4), # inf norm, NaN dot via inf-inf
+        (104, [3.14159e-7] * 8),
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cand = knn_candidates(e, k=3, block_size=12)
+    got = {
+        (r.src, r.dst): r.sim
+        for r in cand.collect()
+    }
+    ea = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    want = {
+        (r.src, r.dst): r.sim
+        for r in ea.crossJoin(eb)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .collect()
+    }
+    assert got, "no candidates emitted"
+    for pair, sim in got.items():
+        ref = want[pair]
+        if sim is None or ref is None or (
+            isinstance(ref, float) and math.isnan(ref)
+        ):
+            # NULL/NaN (zero-norm division) must agree in kind
+            assert (sim is None) == (ref is None)
+            if sim is not None:
+                assert math.isnan(sim) and math.isnan(ref)
+            continue
+        assert math.copysign(1.0, sim) == math.copysign(1.0, ref)
+        assert sim == ref and str(sim) == str(ref), (
+            f"{pair}: udf {sim!r} != fold {ref!r}"
+        )
+
+
 def test_knn_graph_every_node_has_k(spark):
     e = _toy(spark)
     out = knn_graph(e, k=3, block_size=16)

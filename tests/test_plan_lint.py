@@ -126,7 +126,7 @@ PINNED_FINGERPRINTS = {
     # "exchange" counts SHUFFLE exchanges only (BroadcastExchange and
     # ReusedExchange excluded — see plan_lint.FINGERPRINT_OPS)
     "corpus_dedup": {"exchange": 7, "bhj": 1, "smj": 1, "bnlj": 2},
-    "sim_knn_graph": {"exchange": 3, "bhj": 2},
+    "sim_knn_graph": {"exchange": 3},  # r18: rescore joins gone (in-task exact sims)
     "corpus_triplets": {"exchange": 7, "bhj": 5, "bnlj": 1},
     "split_contamination": {"exchange": 5, "bhj": 7},
     "dedup_ngram_jaccard": {"exchange": 5, "bhj": 5},
@@ -221,11 +221,11 @@ PINNED_FINGERPRINTS = {
     # shuffle exchanges); the standard-analyzer BM25 keeps
     # corpus_bm25's empty fingerprint — the analyzer changes the
     # tokenizer expression, never the plan shape.
-    "es_date_histogram_gapfill": {"exchange": 4},
+    "es_date_histogram_gapfill": {"exchange": 3},  # -1 r18 trivial-anc skip
     # month grid steps by INTERVAL-1-MONTH sequences — date math in
     # the same windows/explode, identical plan class as the hourly
     # fill
-    "es_date_histogram_gapfill_month": {"exchange": 4},
+    "es_date_histogram_gapfill_month": {"exchange": 3},  # -1 r18 trivial-anc skip
     "es_knn_search_ivf": {"bhj": 1},
     "corpus_bm25_standard": {},
     # the analyzer SPEC (stopwords + length floor) is a token-array
@@ -252,7 +252,7 @@ PINNED_FINGERPRINTS = {
     # them to a single shuffle (and at production scale the scan
     # already has >= defaultParallelism splits, so the repartition
     # is not inserted at all).
-    "es_percolate_bulk": {"exchange": 8, "bhj": 5},
+    "es_percolate_bulk": {"exchange": 4, "bhj": 5},  # r18: rule stats driver-side
     # one rollup + two bucket-frame window exchanges; offset/missing
     # only change key expressions, never the plan class
     "es_terms_missing_offset": {"exchange": 3},
@@ -283,9 +283,9 @@ PINNED_FINGERPRINTS = {
     # geohash_grid: the bit-interleave is a pure projection — one
     # rollup + the survival-window exchange + the oracle orderBy,
     # the same bucket-frame class as every other agg tree
-    "es_geohash_grid": {"exchange": 4},  # +1 r17 fan_out
+    "es_geohash_grid": {"exchange": 3},  # +1 r17 fan_out, -1 r18 trivial-anc skip
     # geotile: same pure-projection bucket class as geohash
-    "es_geotile_grid": {"exchange": 4},  # +1 r17 fan_out
+    "es_geotile_grid": {"exchange": 3},  # +1 r17 fan_out, -1 r18 trivial-anc skip
     # nested agg: one explode (Generate) before the same rollup +
     # window + orderBy class — the re-basing adds no exchange
     "es_nested_agg": {"exchange": 3},
@@ -309,10 +309,10 @@ PINNED_FINGERPRINTS = {
     # bucket frame once — still the bucket-frame exchange class of
     # the plain gapfill row (4 = rollup + distinct-cardinality +
     # gap/pipeline windows + orderBy)
-    "es_gapfill_moving_fn": {"exchange": 4},
+    "es_gapfill_moving_fn": {"exchange": 3},  # -1 r18 trivial-anc skip
     # the widened MovingFunctions set (round 13): collected-array
     # folds are plain window/projection expressions — same class
-    "es_moving_fn_extended": {"exchange": 4},
+    "es_moving_fn_extended": {"exchange": 3},  # -1 r18 trivial-anc skip
     # non-root filters (round 12): the multi-membership explode is
     # one scan-side Generate — same one-rollup bucket-frame class
     "es_filters_under_terms": {"exchange": 4},
@@ -372,16 +372,16 @@ PINNED_FINGERPRINTS = {
     # date_histogram time_zone (round 12): a shifted key expression +
     # the same gapfill windows — same bucket-frame exchange class as
     # the other gapfill rows
-    "es_date_histogram_tz": {"exchange": 4},
+    "es_date_histogram_tz": {"exchange": 3},  # -1 r18 trivial-anc skip
     # boxplot + derivative unit (round 13): quartiles are plain
     # aggregate expressions in the one rollup, the normalized
     # column one more lag over the same window — the agg-tree class
-    "es_boxplot_derivative_unit": {"exchange": 4},
+    "es_boxplot_derivative_unit": {"exchange": 3},  # -1 r18 trivial-anc skip
     # rate + median_absolute_deviation (round 13): plain aggregate
     # expressions (the MAD collect included) in the one rollup —
     # no pipelines, so one window pass fewer than the 4-exchange
     # agg-tree rows
-    "es_rate_mad": {"exchange": 3},
+    "es_rate_mad": {"exchange": 2},  # -1 r18 trivial-anc skip
     # percentiles_bucket + extended_stats_bucket (round 13): window
     # aggregates over the shared key-prefix partition — the
     # stats_bucket sibling-pipe class, same bucket-frame exchanges
@@ -389,7 +389,7 @@ PINNED_FINGERPRINTS = {
     # moving_percentiles (round 13): the hidden value arrays ride
     # the one rollup; merge+sort is a bucket-frame window — the
     # gapfill-pipeline exchange class
-    "es_moving_percentiles": {"exchange": 4},
+    "es_moving_percentiles": {"exchange": 3},  # -1 r18 trivial-anc skip
     # global (round 13): the sub-tree over the unfiltered scan —
     # the plain agg-tree class
     "es_global_agg": {"exchange": 4},
@@ -426,7 +426,7 @@ PINNED_FINGERPRINTS = {
     # frame + one groupBy(value) first-bucket pass + its bucket-
     # frame count, broadcast back; running sum is a bucket-frame
     # window
-    "es_cumulative_cardinality": {"exchange": 7, "bhj": 1},
+    "es_cumulative_cardinality": {"exchange": 6, "bhj": 1},  # -1 r18 trivial-anc skip
     # significant_text (round 13): the corpus significant_terms
     # plan behind the request shape — word-count groupBy + top-k
     # sort, 1-row sizes bnlj
@@ -441,7 +441,7 @@ PINNED_FINGERPRINTS = {
     # normalize z-score + softmax-over-z (round 13): moment windows
     # + the temp exp projection share the level partition — same
     # bucket-frame class as the other pipeline rows
-    "es_normalize_zscore": {"exchange": 4},
+    "es_normalize_zscore": {"exchange": 3},  # -1 r18 trivial-anc skip
     # match_phrase percolate rules (round 13): the phrase channel's
     # longest-token candidate join + the must_not kill channel ride
     # rule-frame broadcasts (12 bhj across validation/channel/total
@@ -453,7 +453,7 @@ PINNED_FINGERPRINTS = {
     # AQE exchange reuse executes ONE shuffle (verified: phrase wall
     # 2.8-4.1s -> 2.1-2.4s at sf0.1), and at scale the repartition
     # is skipped entirely (scan splits >= defaultParallelism).
-    "es_percolate_phrase": {"exchange": 13, "bhj": 12},
+    "es_percolate_phrase": {"exchange": 9, "bhj": 12},  # r18: rule stats driver-side
     # nested inner_hits (round 13): a TakeOrdered page + an
     # index-keeping transform/filter projection + one explode — no
     # exchange at all
@@ -461,11 +461,11 @@ PINNED_FINGERPRINTS = {
     # date_histogram under an IANA time_zone (round 13): tzdb key
     # expression + local-wall gapfill sequences — still a fixed JVM
     # expression tree, same bucket-frame class as the other gapfills
-    "es_date_histogram_tz_iana": {"exchange": 4},
+    "es_date_histogram_tz_iana": {"exchange": 3},  # -1 r18 trivial-anc skip
     # adjacency_matrix (round 12): the pair-intersection explode is
     # one Generate on the scan — one rollup + survival window +
     # orderBy, the standard bucket-frame class
-    "es_adjacency_matrix": {"exchange": 3},
+    "es_adjacency_matrix": {"exchange": 2},  # -1 r18 trivial-anc skip
     # geo_bounds + string_stats (round 12): plain aggregate
     # expressions in the one rollup — standard bucket-frame class
     "es_geo_bounds_string_stats": {"exchange": 4},
@@ -475,7 +475,7 @@ PINNED_FINGERPRINTS = {
     # bucket_selector + normalize (round 12): one extra bucket-frame
     # window exchange (the whole-level normalize partition) over the
     # rollup + survival + orderBy class
-    "es_bucket_selector": {"exchange": 5},
+    "es_bucket_selector": {"exchange": 4},  # -1 r18 trivial-anc skip
     # root significant_terms (round 12): one flag-column groupBy
     # exchange + the top-k sort; the bnlj is the audited 1-row
     # sizes broadcast (the corpus twin's family)
@@ -489,14 +489,14 @@ PINNED_FINGERPRINTS = {
     },
     # geo_distance rings: haversine CASE chain is a pure projection —
     # same bucket-frame class
-    "es_geo_distance_rings": {"exchange": 3},
+    "es_geo_distance_rings": {"exchange": 2},  # -1 r18 trivial-anc skip
     # auto_date_histogram: the interval choice happens at plan-build
     # time (one bounded min/max collect); the plan itself IS a plain
     # date_histogram tree
-    "es_auto_date_histogram": {"exchange": 3},
+    "es_auto_date_histogram": {"exchange": 2},  # -1 r18 trivial-anc skip
     # missing → date_range chain: same bucket-frame class as the
     # other agg trees (rollup + two window exchanges)
-    "es_filter_missing_range": {"exchange": 3},
+    "es_filter_missing_range": {"exchange": 2},  # -1 r18 trivial-anc skip
     # weighted_avg/top_metrics are plain aggregate expressions in the
     # one rollup — same exchange class as es_aggs_tree
     "es_metric_variants": {"exchange": 4},
@@ -516,7 +516,7 @@ PINNED_FINGERPRINTS = {
     # ip_range: the octet-split key + CIDR filter are plain
     # expressions in the one rollup — the agg-tree class minus the
     # pipeline window
-    "es_ip_range": {"exchange": 4},  # +1 r17 fan_out
+    "es_ip_range": {"exchange": 3},  # +1 r17 fan_out, -1 r18 trivial-anc skip
     # composite geotile source: one groupBy over the tile key with
     # the after filter below it — the composite page class
     "es_composite_geotile": {"exchange": 1},
@@ -538,7 +538,7 @@ PINNED_FINGERPRINTS = {
     "esql_lookup_enrich": {"exchange": 2, "bhj": 2},
     # ip_prefix: the subnet key is a pure octet-arithmetic projection
     # — the agg-tree class (rollup + the two frame windows)
-    "es_ip_prefix": {"exchange": 4},  # +1 r17 fan_out
+    "es_ip_prefix": {"exchange": 3},  # +1 r17 fan_out, -1 r18 trivial-anc skip
     # random_sampler: the sample predicate is a plain md5 filter ON
     # THE SCAN (no pre-shuffle); the sub-tree is the agg-tree class +
     # the scaled-doc_count projection

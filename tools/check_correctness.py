@@ -4,12 +4,19 @@
 count, column names, and order-insensitive canonicalized values.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+           [--json OUT.json]
+
+``--json`` additionally writes a driver-style artifact ({name:
+{rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err}}) so demoted-set oracle coverage is machine-checkable each round
+(VERDICT r17 Next #6).
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import decimal
+import json
 import math
 import sys
 import time
@@ -58,8 +65,14 @@ def strict_canon_pdf(pdf):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
@@ -90,6 +103,7 @@ def main():
     if unknown:
         raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -100,9 +114,14 @@ def main():
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            results[name] = _res(err=f"SPARK {type(e).__name__}: {e}")
             print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {e}")
             continue
         if name not in oracles:
+            results[name] = _res(
+                rows_match=True, spark_rows=len(s_rows),
+                err="rows-only (no oracle sql)",
+            )
             print(f"~ {name}: rows-only check, {len(s_rows)} rows "
                   f"({time.time()-t0:.1f}s)")
             continue
@@ -112,6 +131,10 @@ def main():
             d_rows = cur.fetchall()
         except Exception as e:
             failures.append(name)
+            results[name] = _res(
+                spark_rows=len(s_rows),
+                err=f"ORACLE {type(e).__name__}: {e}",
+            )
             print(f"✗ {name}: ORACLE ERROR {type(e).__name__}: {e}")
             continue
         problems = []
@@ -135,6 +158,14 @@ def main():
                 if ss != dd:
                     diff = [(a, b) for a, b in zip(ss, dd) if a != b][:3]
                     problems.append(f"STRICT mismatch, first diffs: {diff}")
+        results[name] = _res(
+            rows_match=len(s_rows) == len(d_rows),
+            schema_match=sorted(s_cols) == sorted(d_cols),
+            hash_match=not problems,
+            spark_rows=len(s_rows),
+            oracle_rows=len(d_rows),
+            err="; ".join(problems) or None,
+        )
         if problems:
             failures.append(name)
             print(f"✗ {name}: " + "; ".join(problems))
@@ -142,8 +173,24 @@ def main():
             print(f"✓ {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"wrote {json_out} ({len(results)} rows)")
     spark.stop()
     return 1 if failures else 0
+
+
+def _res(rows_match=False, schema_match=False, hash_match=False,
+         spark_rows=None, oracle_rows=None, err=None):
+    return {
+        "rows_match": rows_match,
+        "schema_match": schema_match,
+        "hash_match": hash_match,
+        "spark_rows": spark_rows,
+        "oracle_rows": oracle_rows,
+        "err": err,
+    }
 
 
 if __name__ == "__main__":
