@@ -1417,15 +1417,15 @@ def _min_labels_union_find_rows(spark, edge_rows, id_type) -> DataFrame:
     schema = T.StructType(
         [T.StructField("node", id_type), T.StructField("label", id_type)]
     )
-    # ONE slice: a pickled-local frame launches a Python runner PER
-    # PARTITION at every materialization (~150 ms each, and each
-    # consumer of the label map re-materializes it) — 32 slices cost
-    # two 0.4-0.6 s 32-task stages per downstream join (measured in
-    # mm_binary_clusters); the label map is driver-built and bounded,
-    # one runner is the right shape.
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema
-    )
+    # JVM-local frame (r18): the label map is driver-built and
+    # bounded; one_slice_frame ships it into the JVM as Arrow bytes
+    # once, so no consumer's re-materialization launches a Python
+    # runner (previously ~150 ms per materialization; 32 pickled
+    # slices cost two 0.4-0.6 s 32-task stages per downstream join,
+    # measured in mm_binary_clusters).
+    from .tables import one_slice_frame
+
+    return one_slice_frame(spark, rows, schema)
 
 
 def _component_min_labels(pairs: DataFrame) -> DataFrame:

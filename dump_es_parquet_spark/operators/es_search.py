@@ -7625,18 +7625,17 @@ def queries_to_conjuncts(
                     f"percolate_bulk query {qid!r}: {kind!r} is not "
                     "conjunct-expressible; use percolate() for the full DSL"
                 )
-    # ONE slice: the rows are driver-built (bounded by the dict
+    # JVM-local frame: the rows are driver-built (bounded by the dict
     # contract — millions-scale corpora persist conjunct rows
-    # directly, skipping this normalizer), but createDataFrame on a
-    # local list slices it across defaultParallelism partitions and
-    # EVERY partition of a pickled-local RDD launches its own Python
-    # runner at compute time (~150 ms each) — a 32-slice rule frame
-    # cost 0.5 s per materialization at sf0.1 (and 4.9 s when
-    # coalesced, one task paying all launches serially). One slice =
-    # one runner. All values are normalized above (floats coerced),
-    # so the unverified RDD path converts identically.
-    df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
+    # directly, skipping this normalizer); one_slice_frame ships them
+    # into the JVM as Arrow bytes once, so no materialization ever
+    # launches a Python runner (r18 — previously a one-slice pickled
+    # RDD paid ~150 ms of worker launch per consumer). All values are
+    # normalized above (floats coerced) and pyarrow raises on lossy
+    # conversions.
+    df = one_slice_frame(
+        spark,
+        rows,
         "query_id string, conjunct_id int, field string, "
         "op string, sval string, nval double, group_id int, "
         "min_match int, negated boolean",

@@ -1967,7 +1967,8 @@ def phrase_suggest(
             ),
             key=lambda t: (-t[0], t[1]),
         )[:size]
-        return spark.createDataFrame(
+        return one_slice_frame(
+            spark,
             [(i + 1, sugg, micro) for i, (micro, sugg) in enumerate(page)],
             out_schema,
         )
@@ -1991,7 +1992,8 @@ def phrase_suggest(
         # phrase product, and carrying `b` as a literal leaves the
         # scoring plan with no aggregation (one equi-key broadcast
         # hash join + one tiny window per step)
-        trans = spark.createDataFrame(
+        trans = one_slice_frame(
+            spark,
             [
                 (pw, w, wc, bg.get((pw, w)))
                 for pw in prevs

@@ -1013,6 +1013,28 @@ def test_load_memo_returns_same_plan_object(spark, sf_dir):
     assert a is b  # scan-plan template reused (no data cached)
 
 
+def test_one_slice_frame_arrow_semantics(spark):
+    """one_slice_frame is Arrow-backed (r18): the rows must land
+    EXACTLY — None stays NULL (never NaN, the pandas-path hazard),
+    array columns round-trip, the frame is one partition, and an
+    empty row list yields an empty frame of the right schema."""
+    from dump_es_parquet_spark.operators.tables import one_slice_frame
+
+    df = one_slice_frame(
+        spark,
+        [("a", None, [1.0, 2.0], True), ("b", 1.5, [], None)],
+        "k string, v double, arr array<double>, flag boolean",
+    )
+    assert df.rdd.getNumPartitions() == 1
+    rows = {r.k: r for r in df.collect()}
+    assert rows["a"].v is None and rows["b"].v == 1.5
+    assert rows["a"].arr == [1.0, 2.0] and rows["b"].arr == []
+    assert rows["a"].flag is True and rows["b"].flag is None
+
+    empty = one_slice_frame(spark, [], "k string, v double")
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
 class _SplitProbeStub:
     """Duck-typed frame for _scan_splits_at_least: non-local URIs have
     no cheap size probe, so the files-count>=width short-circuit must

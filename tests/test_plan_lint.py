@@ -125,7 +125,7 @@ def test_read_schema_width_counts_nested_types():
 PINNED_FINGERPRINTS = {
     # "exchange" counts SHUFFLE exchanges only (BroadcastExchange and
     # ReusedExchange excluded — see plan_lint.FINGERPRINT_OPS)
-    "corpus_dedup": {"exchange": 7, "bhj": 1, "smj": 1, "bnlj": 2},
+    "corpus_dedup": {"exchange": 5, "bhj": 2, "bnlj": 2},  # r18: arrow local frames broadcast
     "sim_knn_graph": {"exchange": 3},  # r18: rescore joins gone (in-task exact sims)
     "corpus_triplets": {"exchange": 7, "bhj": 5, "bnlj": 1},
     "split_contamination": {"exchange": 5, "bhj": 7},
@@ -155,7 +155,7 @@ PINNED_FINGERPRINTS = {
     # reads the shared signature store (no signature-chain stages);
     # fingerprints run against a warm store, which is deterministic
     # because the store build happens at query-construction time.
-    "corpus_dup_clusters": {"exchange": 5, "smj": 1},
+    "corpus_dup_clusters": {"exchange": 3, "bhj": 1},  # r18: arrow local frames broadcast
     "corpus_dedup_incremental": {"exchange": 7, "bhj": 4, "smj": 2},
     # round-8 improvement: k_eff and n_hits come from one left-join
     # aggregate, so the brute-force ground truth is planned once
@@ -177,7 +177,7 @@ PINNED_FINGERPRINTS = {
     "corpus_match_phrase": {"exchange": 1},
     # top-k broadcast back over one extra corpus scan + final sort
     "corpus_highlight": {"exchange": 1, "bhj": 1},
-    "mm_binary_clusters": {"exchange": 6, "smj": 3},
+    "mm_binary_clusters": {"exchange": 1, "bhj": 3},  # r18: arrow label map broadcasts
     "corpus_decontaminate_bloom": {"exchange": 7, "bhj": 2, "bnlj": 1},
     # round-9 second swap: the promoted ES _search compiler heads.
     # es_search_hits' empty fingerprint is the point — filter + global
@@ -260,7 +260,7 @@ PINNED_FINGERPRINTS = {
     # after the broadcast term semi-join) + metric joins over frames
     # bounded by |queries|·k and the qrel size — the smj pair is the
     # ranked⋈qrel / ideal side, both judgment-sized
-    "corpus_rank_eval": {"exchange": 7, "bhj": 7, "smj": 2},
+    "corpus_rank_eval": {"exchange": 7, "bhj": 8, "smj": 1},  # r18: arrow local frames broadcast
     # composite over (date_histogram × terms) sources: the after-key
     # filter lands before the ONE groupBy exchange — a later page
     # never re-aggregates earlier key ranges
