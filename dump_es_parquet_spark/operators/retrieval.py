@@ -54,7 +54,11 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dump_es_parquet_spark.operators.tables import load, one_slice_frame
+from dump_es_parquet_spark.operators.tables import (
+    fan_out,
+    load,
+    one_slice_frame,
+)
 
 #: Lucene defaults. K1_PLUS_1 / ONE_MINUS_B are spelled as LITERALS —
 #: never computed as ``K1 + 1.0`` — because the oracle SQL parses the
@@ -425,6 +429,13 @@ def corpus_term_stats(
     """One map-side-combined aggregate → ``(N, total_dl, {term: df})``.
     The collect is a single row of ``2 + len(terms)`` integers."""
     toks = _tokens_col(text_col, analyzer).alias("toks")
+    if isinstance(text_col, str):
+        # starved-scan mitigation (guide §2.5): a single-row-group
+        # corpus scan runs the whole tokenize+fold in ONE task
+        # (measured 341 ms of corpus_hybrid_rrf's stats job at sf0.1);
+        # fan_out spreads the partial aggregation across the executor
+        # width and no-ops at production split counts
+        docs = fan_out(docs, text_col)
     aggs = [
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size("toks")).cast("long").alias("total_dl"),

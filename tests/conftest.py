@@ -21,8 +21,8 @@ def spark():
 
     s = get_spark(
         app_name="tests",
-        master="local[4]",
-        shuffle_partitions=4,
+        master="local[8]",
+        shuffle_partitions=8,
         extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
     )
     yield s
